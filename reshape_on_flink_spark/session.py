@@ -1,0 +1,165 @@
+"""Session facade — the engine's equivalent of Flink's TableEnvironment.
+
+Reference parity: ``TableEnvironmentImpl.executeSql``
+(flink-table/flink-table-api-java/.../TableEnvironmentImpl.java:723) and
+``StreamExecutionEnvironment`` (flink-streaming-java/.../StreamExecutionEnvironment.java).
+Here both collapse onto one SparkSession: `spark.sql` is the SQL entry,
+DataFrames are the fluent entry, and Catalyst replaces the Blink planner.
+
+Scale defaults (tuned for the 100 TB target, harmless at test SF):
+
+- AQE on, with partition coalescing and skew-join splitting: this is the
+  batch half of the reference's Reshape mechanism (SURVEY.md §0.5) — Spark
+  re-plans skewed shuffle partitions at runtime instead of rerouting records.
+- ``spark.sql.shuffle.partitions`` is a *starting* parallelism; AQE coalesces
+  down and skew-splits up, so one number serves sf0.001 through 100 TB.
+- Arrow enabled for every Python<->JVM hop (pandas UDFs, toPandas).
+- Session timezone pinned to UTC so event-time semantics are absolute.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Engine configuration mirroring the reference's Reshape knobs
+#: (README.md:15-23, ControllerSimulator.scala:19-51 of the reference).
+#: Consumed by reshape_on_flink_spark.streaming.reshape.
+RESHAPE_DEFAULTS = {
+    "reshape.enabled": "false",
+    "reshape.hiThreshold": "0.8",
+    "reshape.loThreshold": "0.2",
+    "reshape.freqMs": "10000",
+    "reshape.firstPhaseNum": "6",
+    "reshape.firstPhaseRatio": "0.9",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "reshape_on_flink_spark", *, cores: int | None = None) -> SparkSession:
+    """Create (or fetch) the tuned SparkSession.
+
+    ``local[N]`` for tests; on a real cluster the same config block applies —
+    nothing here is local-mode-specific except the master URL.
+    """
+    cores = cores or default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cores, 8)))
+        .config("spark.default.parallelism", str(max(cores, 8)))
+        # --- AQE: the batch skew layer (Reshape-equivalent) ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- deterministic cross-engine comparison ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- Python boundary is always Arrow ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # parquet pushdown is default-on; keep explicit so a future config
+        # sweep can't silently disable the scan-level filters
+        .config("spark.sql.parquet.filterPushdown", "true")
+        # fixture `events.ts` is parquet TIMESTAMP(NANOS); Spark 4 has no ns
+        # type, so read as int64 ns and normalize in load_tables()
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    )
+    if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
+        builder = builder.master(f"local[{cores}]")
+    for k, v in RESHAPE_DEFAULTS.items():
+        builder = builder.config(f"spark.{k}", v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+class EngineSession:
+    """Thin TableEnvironment-style facade over a SparkSession.
+
+    Registers the fixture tables as temp views and exposes ``sql`` /
+    ``table``; everything else is plain DataFrame API on ``self.spark``.
+    """
+
+    TABLES = (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "orders",
+        "lineitem",
+        "events",
+        "documents",
+        "embeddings",
+    )
+
+    def __init__(self, spark: SparkSession | None = None, data_dir: str | None = None):
+        self.spark = spark or get_spark()
+        self.data_dir = data_dir
+        if data_dir:
+            self.register_dir(data_dir)
+
+    def register_dir(self, data_dir: str) -> None:
+        """Register every fixture parquet in ``data_dir`` as a temp view.
+
+        Parquet carries its own schema (no inference); scans stay lazy, so
+        registration is free and Catalyst prunes columns/filters per query.
+        """
+        self.data_dir = data_dir
+        ensure_confs(self.spark)
+        for name in self.TABLES:
+            path = os.path.join(data_dir, f"{name}.parquet")
+            if os.path.exists(path):
+                _normalize(name, self.spark.read.parquet(path)).createOrReplaceTempView(name)
+
+    def sql(self, statement: str) -> DataFrame:
+        """SQL entry point (reference: TableEnvironmentImpl.executeSql:723)."""
+        return self.spark.sql(statement)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+
+def ensure_confs(spark: SparkSession) -> SparkSession:
+    """Set runtime-settable confs the engine relies on.
+
+    Called from every table-loading path so the engine behaves the same on
+    a caller-provided session (e.g. the driver's vanilla SparkSession) as
+    on one built by get_spark().
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    return spark
+
+
+def _normalize(name: str, df: DataFrame) -> DataFrame:
+    """Fixture-schema normalization.
+
+    ``events.ts`` arrives as int64 nanoseconds (see nanosAsLong in
+    get_spark); convert to TimestampType by truncating to microseconds —
+    the same truncation DuckDB's ns->us cast performs, keeping the two
+    engines' event times identical.
+    """
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load fixture tables as DataFrames keyed by name (lazy scans)."""
+    ensure_confs(spark)
+    out: dict[str, DataFrame] = {}
+    for name in EngineSession.TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            out[name] = _normalize(name, spark.read.parquet(path))
+    return out
