@@ -66,6 +66,7 @@ def get_spark(app_name: str = "reshape_on_flink_spark", *, cores: int | None = N
         # type, so read as int64 ns and normalize in load_tables()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
