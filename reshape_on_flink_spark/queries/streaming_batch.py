@@ -1,3 +1,365 @@
-"""Batch-expressible streaming-semantics queries (filled in later)."""
+"""Streaming-semantics queries, batch-expressed for the oracle gate.
+
+These are the *semantics* of the reference's streaming operators
+(SURVEY.md §2.9: window assigners, interval joins, temporal ordering,
+windowed rank), run in batch mode so the driver can hash-compare against
+DuckDB. The genuinely-streaming executions of the same semantics (with
+watermarks, state, and micro-batches) live in
+``reshape_on_flink_spark/streaming/`` and are validated stream-vs-batch in
+``tests/test_streaming.py`` — stream-batch unification means THESE queries
+are their oracles too.
+
+Determinism: window bounds are emitted as epoch seconds (BIGINT) because
+the raw event timestamps are nanosecond-precision in parquet (Spark
+truncates to µs, DuckDB keeps ns — raw ts can never hash-match).
+``events.value`` is 2-decimal exact, so decimal-cast sums apply.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from reshape_on_flink_spark.queries.numeric import dec, dsum
+from reshape_on_flink_spark.session import load_tables
+
 QUERIES = {}
 ORACLES = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Tumbling window — reference TumblingEventTimeWindows.java:47 /
+# SliceAssigners.java (tumbling). Spark: F.window(). Scale: the groupBy
+# shuffles on (window, event_type) — window count grows with time range,
+# so key cardinality is high and uniform; partial agg runs map-side.
+# ---------------------------------------------------------------------------
+@query(
+    "q_tumble_window",
+    """
+    SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS ws,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY ws, event_type
+    """,
+)
+def q_tumble_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.unix_timestamp("w.start").alias("ws"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("ws", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hopping (sliding) window — reference SlidingEventTimeWindows.java:48 /
+# SliceAssigners.java (hopping). Spark: F.window(size, slide) — each event
+# is replicated size/slide times by Expand, same as Flink's slice sharing.
+# ---------------------------------------------------------------------------
+@query(
+    "q_hop_window",
+    """
+    SELECT ws, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT CAST((FLOOR(epoch(ts) / 300) - k) * 300 AS BIGINT) AS ws, value
+      FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+      WHERE epoch(ts) >= (FLOOR(epoch(ts) / 300) - k) * 300
+        AND epoch(ts) <  (FLOOR(epoch(ts) / 300) - k) * 300 + 600
+    )
+    GROUP BY ws
+    ORDER BY ws
+    """,
+)
+def q_hop_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "n", "sum_value")
+        .orderBy("ws")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session window — reference EventTimeSessionWindows.java:46 (gap merge).
+# Spark: F.session_window in batch; DuckDB oracle is the classic
+# gaps-and-islands rewrite (lag + running flag sum), which is also exactly
+# how the reference's merging window assigner behaves.
+# ---------------------------------------------------------------------------
+@query(
+    "q_session_window",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 300
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(FLOOR(MIN(epoch(ts))) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sess
+    GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.floor(F.unix_micros("w.start") / 1_000_000).cast("bigint").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUMULATE window — reference SliceAssigners.java:93 (cumulative) — a
+# Flink-specific TVF window Spark lacks (SURVEY.md §4.3). Engine impl:
+# operators/windows.py cumulate() — expand each event into every growing
+# slice of its max-window via explode, then one groupBy. One shuffle,
+# expansion factor = max/step (here 4), identical to Flink's slice count.
+# ---------------------------------------------------------------------------
+@query(
+    "q_cumulate_window",
+    """
+    SELECT ws, we, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)            AS ws,
+             CAST(FLOOR(epoch(ts) / 3600) * 3600 + k * 900 AS BIGINT)  AS we,
+             value, epoch(ts) AS es
+      FROM events CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k)
+      WHERE epoch(ts) < FLOOR(epoch(ts) / 3600) * 3600 + k * 900
+    )
+    GROUP BY ws, we
+    ORDER BY ws, we
+    """,
+)
+def q_cumulate_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.operators.windows import cumulate
+
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        cumulate(ev, "ts", max_size="1 hour", step="15 minutes")
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            F.col("window_start").alias("ws"),
+            F.col("window_end").alias("we"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("ws", "we")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval join — reference StreamExecIntervalJoin.java:67 /
+# TimeIntervalJoin.java:51: l.ts < r.ts <= l.ts + bound on the same key.
+# Batch formulation here; the streaming engine runs the same predicate as
+# a watermarked stream-stream join (streaming/joins.py). Scale: the Spark
+# impl equi-joins on (user_id) and filters the time band — at 100 TB the
+# operators/joins.interval_join variant adds coarse time-bucket keys so
+# the join key space is (user, bucket), bounding per-task fan-in.
+# ---------------------------------------------------------------------------
+@query(
+    "q_interval_join",
+    """
+    SELECT v.user_id, COUNT(*) AS n_pairs
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND v.ts < p.ts
+     AND epoch(p.ts) <= epoch(v.ts) + 600
+    GROUP BY v.user_id
+    ORDER BY v.user_id
+    """,
+)
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    v = ev.where(F.col("event_type") == "view").select("user_id", "ts")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("p_ts")
+    )
+    return (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("ts") < F.col("p_ts"))
+            & (F.unix_micros("p_ts") <= F.unix_micros("ts") + 600 * 1_000_000),
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of (temporal) join — reference TemporalRowTimeJoinOperator.java:78:
+# each row joins the latest left version at or before its time. Spark has
+# no native as-of join; engine impl = union-free window formulation:
+# order events per key by time, carry the last 'view' forward, emit at
+# 'purchase' rows. One shuffle + one sort per key — same cost shape as a
+# window agg, no O(n²) join. (operators/joins.py asof_join generalizes.)
+# ---------------------------------------------------------------------------
+@query(
+    "q_asof_join",
+    """
+    SELECT user_id, event_id AS purchase_id, last_view_id
+    FROM (
+      SELECT user_id, event_id, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_id
+      FROM events
+    )
+    WHERE event_type = 'purchase'
+    ORDER BY user_id, purchase_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    view_id = F.when(F.col("event_type") == "view", F.col("event_id"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.last(view_id, ignorenulls=True).over(w).alias("last_view_id"),
+        )
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), "last_view_id")
+        .orderBy("user_id", "purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream-static (lookup) join — reference CommonExecLookupJoin.java: per
+# record lookup into a dimension table. Spark: broadcast the dim.
+# ---------------------------------------------------------------------------
+@query(
+    "q_stream_static_join",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events JOIN customer ON c_custkey = user_id
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("user_id"))
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windowed Top-N — reference StreamExecWindowRank.java /
+# WindowRankProcessor.java: rank within each closed window.
+# ---------------------------------------------------------------------------
+@query(
+    "q_window_topn",
+    """
+    SELECT ws, user_id, n, rn
+    FROM (
+      SELECT ws, user_id, n,
+             ROW_NUMBER() OVER (PARTITION BY ws ORDER BY n DESC, user_id) AS rn
+      FROM (
+        SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws,
+               user_id, COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+      )
+    )
+    WHERE rn <= 3
+    ORDER BY ws, rn
+    """,
+)
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    per_user = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "user_id", "n")
+    )
+    w = W.partitionBy("ws").orderBy(F.desc("n"), F.asc("user_id"))
+    return (
+        per_user.select("ws", "user_id", "n", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+        .orderBy("ws", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JSON scalar extraction on the stream payload — reference JSON_* /
+# STR_TO_MAP function family applied to `props`.
+# ---------------------------------------------------------------------------
+@query(
+    "q_json_extract",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
