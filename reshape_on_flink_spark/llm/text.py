@@ -1,0 +1,110 @@
+"""Text-analysis operators: tokenize, quality, language ID, fingerprint.
+
+All pure Spark SQL expressions (no UDFs): tokenization is `split`,
+language ID is a stopword-hit argmax over higher-order array functions,
+the fingerprint is a polynomial rolling hash folded with `aggregate`.
+Scale: every operator is row-local (narrow) — zero shuffles; Catalyst
+fuses them into the scan's WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword language-ID
+#: heuristic. Deliberately small and deterministic — the point is the
+#: operator shape (argmax over per-language hit counts), not NLP quality.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "von"),
+    "es": ("el", "la", "de", "y", "que", "es", "un", "una", "en", "los"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une", "est", "que", "dans"),
+    "zh": ("的", "了", "是", "我", "不", "在", "有", "人", "这", "他"),
+}
+
+#: Modulus for the rolling fingerprint — small enough that acc*31 + h60
+#: never overflows int64 in either engine.
+FP_MOD = 1_000_000_007
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization, empty tokens removed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash of a string: first 15 hex digits
+    of md5, base-16 decoded. Chosen because DuckDB computes the identical
+    value via ('0x' || substr(md5(x),1,15))::BIGINT — the cross-engine
+    primitive under MinHash/SimHash/fingerprint."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring features: lengths, token stats, stopword ratio.
+
+    Mirrors the common pretraining-corpus filters (length bounds, symbol
+    ratios, stopword presence).
+    """
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    en_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(*STOPWORDS["en"])))
+    return df.select(
+        "*",
+        F.length(text_col).alias("q_n_chars"),
+        n_tok.alias("q_n_tokens"),
+        (total_len.cast("double") / F.greatest(n_tok, F.lit(1))).alias("q_avg_token_len"),
+        (en_hits.cast("double") / F.greatest(n_tok, F.lit(1))).alias("q_stopword_ratio"),
+        F.size(F.array_distinct(toks)).alias("q_n_distinct_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.greatest(n_tok, F.lit(1))).alias(
+            "q_distinct_ratio"
+        ),
+    )
+
+
+def _stopword_hits(toks: Column, stopwords: tuple[str, ...]) -> Column:
+    # nb: the lambda must be unary — PySpark binds extra lambda params as
+    # positional lambda variables, not Python closures
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))
+
+
+def lang_scores(col: str | Column = "text") -> dict[str, Column]:
+    """Per-language stopword hit counts."""
+    toks = tokens(col)
+    return {lang: _stopword_hits(toks, sw) for lang, sw in STOPWORDS.items()}
+
+
+def lang_id(col: str | Column = "text") -> Column:
+    """argmax over language scores; ties broken by language-code order
+    (deterministic). Unknown when no stopword hits at all."""
+    scores = lang_scores(col)
+    best = None
+    best_lang = None
+    for lang in sorted(scores):  # fixed order => deterministic tie-break
+        s = scores[lang]
+        if best is None:
+            best, best_lang = s, F.lit(lang)
+        else:
+            gt = s > best
+            best_lang = F.when(gt, F.lit(lang)).otherwise(best_lang)
+            best = F.when(gt, s).otherwise(best)
+    return F.when(best > 0, best_lang).otherwise(F.lit("und"))
+
+
+def fingerprint(col: str | Column = "text") -> Column:
+    """Rolling polynomial hash over token hashes:
+    ``fold(tokens, 0, (acc, t) -> (acc*31 + hash60(t)) % FP_MOD)``.
+    Order-sensitive (a true document fingerprint, not a bag hash)."""
+    hashes = F.transform(tokens(col), hash60)
+    return F.aggregate(
+        hashes,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % FP_MOD,
+    )

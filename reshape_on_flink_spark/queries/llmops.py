@@ -1,3 +1,323 @@
-"""LLM-data-pipeline queries (filled in later)."""
+"""LLM-data-pipeline query inventory (dedup / similarity / text / media).
+
+The oracle SQL is generated from the SAME constants as the Spark
+operators (MINHASH_PARAMS, STOPWORDS, FP_MOD...) so both engines compute
+one specification. The md5-based 60-bit hash (llm/text.hash60) is the
+cross-engine primitive: Spark `conv(substring(md5(x),1,15),16,10)` ==
+DuckDB `('0x' || substr(md5(x),1,15))::BIGINT`, verified bit-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reshape_on_flink_spark.llm import dedup as D
+from reshape_on_flink_spark.llm import multimodal as M
+from reshape_on_flink_spark.llm import similarity as S
+from reshape_on_flink_spark.llm import text as T
+from reshape_on_flink_spark.session import load_tables
+
 QUERIES = {}
 ORACLES = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --- shared oracle fragments (single source of truth: the llm modules) ---
+
+SQL_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
+
+_PARAM_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.MINHASH_PARAMS))
+
+# tokens with position -> 3-shingles (lead-window formulation, mirrors
+# llm/dedup.shingles) -> minhash signatures
+SQL_SHINGLE_CTE = f"""
+    toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    tok AS (SELECT doc_id, i AS pos, tk[i] AS tok
+            FROM toks, UNNEST(generate_series(1, len(tk))) AS u(i)),
+    sh0 AS (SELECT doc_id,
+                   tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle,
+                   LEAD(tok, 2) OVER w AS t2
+            FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE t2 IS NOT NULL),
+    params AS (SELECT * FROM (VALUES {_PARAM_VALUES}) AS p(i, a, b)),
+    sig AS (SELECT doc_id, i,
+                   MIN((a * ({SQL_H60.format(x='shingle')} % {D.MINHASH_P}) + b) % {D.MINHASH_P}) AS sig
+            FROM sh CROSS JOIN params GROUP BY doc_id, i)
+"""
+
+SQL_BANDS_CTE = f"""
+    bands AS (SELECT doc_id, i // {D.ROWS_PER_BAND} AS band,
+                     CAST(arg_min(sig, i) AS VARCHAR) || ':' || CAST(arg_max(sig, i) AS VARCHAR) AS band_key
+              FROM sig GROUP BY doc_id, i // {D.ROWS_PER_BAND}),
+    cand AS (SELECT DISTINCT l.doc_id AS d1, r.doc_id AS d2
+             FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+             WHERE l.doc_id < r.doc_id)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+@query(
+    "q_dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1 ORDER BY text_hash
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    return D.exact_dedup(d).orderBy("text_hash")
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures / LSH near-dup candidates / exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+@query(
+    "q_minhash_signatures",
+    f"""
+    WITH {SQL_SHINGLE_CTE}
+    SELECT doc_id, i, sig FROM sig ORDER BY doc_id, i
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    return D.minhash_signatures(D.shingles(d)).orderBy("doc_id", "i")
+
+
+@query(
+    "q_minhash_near_dups",
+    f"""
+    WITH {SQL_SHINGLE_CTE}, {SQL_BANDS_CTE}
+    SELECT d1, d2,
+           CAST(SUM(CASE WHEN s1.sig = s2.sig THEN 1 ELSE 0 END) AS DOUBLE) / {len(D.MINHASH_PARAMS)} AS est_jaccard
+    FROM cand
+    JOIN sig s1 ON s1.doc_id = d1
+    JOIN sig s2 ON s2.doc_id = d2 AND s2.i = s1.i
+    GROUP BY d1, d2
+    ORDER BY d1, d2
+    """,
+)
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    return D.minhash_near_duplicates(d).orderBy("d1", "d2")
+
+
+@query(
+    "q_ngram_jaccard",
+    f"""
+    WITH {SQL_SHINGLE_CTE}, {SQL_BANDS_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (SELECT c.d1, c.d2, COUNT(*) AS n_common
+               FROM cand c
+               JOIN sh a ON a.doc_id = c.d1
+               JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+               GROUP BY c.d1, c.d2)
+    SELECT c.d1, c.d2,
+           CAST(COALESCE(n_common, 0) AS DOUBLE) / (z1.n_sh + z2.n_sh - COALESCE(n_common, 0)) AS jaccard
+    FROM cand c
+    LEFT JOIN common USING (d1, d2)
+    JOIN sizes z1 ON z1.doc_id = c.d1
+    JOIN sizes z2 ON z2.doc_id = c.d2
+    ORDER BY d1, d2
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    pairs = D.lsh_candidates(D.lsh_bands(D.minhash_signatures(D.shingles(d))))
+    return D.ngram_jaccard(d, pairs).orderBy("d1", "d2")
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprints
+# ---------------------------------------------------------------------------
+@query(
+    "q_simhash",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    tok AS (SELECT doc_id, tk[i] AS tok
+            FROM toks, UNNEST(generate_series(1, len(tk))) AS u(i)),
+    contrib AS (
+      SELECT doc_id, b,
+             SUM(CASE WHEN ({SQL_H60.format(x='tok')} >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM tok CROSS JOIN (SELECT unnest(generate_series(0, {D.SIMHASH_BITS - 1})) AS b)
+      GROUP BY doc_id, b)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM contrib GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    return D.simhash(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text quality features + language ID + fingerprint
+# ---------------------------------------------------------------------------
+def _sql_stop_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS[lang]) + "]"
+
+
+@query(
+    "q_text_quality",
+    f"""
+    WITH t AS (SELECT doc_id, text, {SQL_TOKS} AS tk FROM documents)
+    SELECT doc_id,
+           LENGTH(text) AS q_n_chars,
+           CAST(len(tk) AS INT) AS q_n_tokens,
+           CAST(list_sum(list_transform(tk, x -> LENGTH(x))) AS DOUBLE)
+             / GREATEST(len(tk), 1) AS q_avg_token_len,
+           CAST(len(list_filter(tk, x -> list_contains({_sql_stop_list('en')}, LOWER(x)))) AS DOUBLE)
+             / GREATEST(len(tk), 1) AS q_stopword_ratio,
+           CAST(len(list_distinct(tk)) AS INT) AS q_n_distinct_tokens,
+           CAST(len(list_distinct(tk)) AS DOUBLE) / GREATEST(len(tk), 1) AS q_distinct_ratio
+    FROM t ORDER BY doc_id
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    return T.quality_features(d).select(
+        "doc_id",
+        "q_n_chars",
+        "q_n_tokens",
+        "q_avg_token_len",
+        "q_stopword_ratio",
+        "q_n_distinct_tokens",
+        "q_distinct_ratio",
+    ).orderBy("doc_id")
+
+
+_LANG_SCORE_COLS = ", ".join(
+    f"len(list_filter(tk, x -> list_contains({_sql_stop_list(lang)}, LOWER(x)))) AS s_{lang}"
+    for lang in sorted(T.STOPWORDS)
+)
+_LANG_GREATEST = "GREATEST(" + ", ".join(f"s_{lang}" for lang in sorted(T.STOPWORDS)) + ")"
+_LANG_CASE = (
+    "CASE WHEN " + _LANG_GREATEST + " = 0 THEN 'und' "
+    + " ".join(f"WHEN s_{lang} = {_LANG_GREATEST} THEN '{lang}'" for lang in sorted(T.STOPWORDS))
+    + " END"
+)
+
+
+@query(
+    "q_lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, lang, {SQL_TOKS} AS tk FROM documents),
+    scored AS (SELECT doc_id, lang, {_LANG_SCORE_COLS} FROM t),
+    pred AS (SELECT doc_id, lang, {_LANG_CASE} AS predicted FROM scored)
+    SELECT lang, predicted, COUNT(*) AS n
+    FROM pred GROUP BY lang, predicted ORDER BY lang, predicted
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.select("lang", T.lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@query(
+    "q_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents)
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT), list_transform(tk, x -> {SQL_H60.format(x='x')})),
+             (acc, x) -> (acc * 31 + x) % {T.FP_MOD}) AS fp
+    FROM t ORDER BY doc_id
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    return d.select("doc_id", T.fingerprint("text").alias("fp")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+@query(
+    "q_similarity_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+    sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(qvec, e.embedding),
+                                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             AS cos_sim
+           FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+    SELECT query_id, "rank", neighbor_id, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS "rank"
+      FROM sc)
+    WHERE "rank" <= 5
+    ORDER BY query_id, "rank"
+    """,
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5).orderBy("query_id", "rank")
+
+
+@query("q_similarity_ann_lsh")  # no SQL oracle: approximate by design; recall vs
+# brute force is asserted in tests/test_llm.py
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal binary columns
+# ---------------------------------------------------------------------------
+@query(
+    "q_multimodal_meta",
+    """
+    SELECT source,
+           COUNT(*) AS n,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+           COUNT(DISTINCT md5(text)) AS n_distinct_payloads
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = M.attach_binary_payload(load_tables(spark, sf_dir)["documents"])
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("media_meta.byte_len")).alias("total_bytes"),
+            F.countDistinct(F.col("media_meta.payload_md5")).alias("n_distinct_payloads"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("q_multimodal_features")  # no SQL oracle: exercises the mapInPandas
+# decode plumbing (stubbed codec); values asserted in tests/test_llm.py
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = M.attach_binary_payload(load_tables(spark, sf_dir)["documents"])
+    feats = M.extract_features(d.select("doc_id", "source", "payload"))
+    return (
+        feats.groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("feat_dim").alias("total_dim"),
+        )
+        .orderBy("source")
+    )
