@@ -1,0 +1,76 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized via the noop sink (full execution, no driver
+collect). The headline set spans the engine's surface: scan-agg, joins,
+windows, streaming semantics, dedup/LSH, similarity, text analysis.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q_agg_distinct",
+    "q_window_running_sum",
+    "q_topk_per_group",
+    "q_tumble_window",
+    "q_session_window",
+    "q_interval_join",
+    "q_stream_static_join",
+    "q_dedup_exact",
+    "q_minhash_near_dups",
+    "q_simhash",
+    "q_similarity_topk",
+    "q_text_quality",
+    "q_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from reshape_on_flink_spark.queries import merged
+    from reshape_on_flink_spark.session import get_spark
+
+    queries, _ = merged()
+    spark = get_spark("bench")
+    # warm the JVM + fs cache outside the measured window
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wallclock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cores": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
+                "spark_version": spark.version,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

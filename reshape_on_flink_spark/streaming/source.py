@@ -1,0 +1,73 @@
+"""Streaming sources: fixture replay + synthetic datagen.
+
+Reference parity: the in-memory ITCase sources of the reference test
+suite (SURVEY.md §5.3) and the DataGen table source
+(``DataGenTableSource.java``). For tests, `chunked_replay` splits a
+fixture table into N time-ordered parquet chunks so a file-source stream
+consumes them as N micro-batches (maxFilesPerTrigger=1) — deterministic
+multi-batch replay without Kafka.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from reshape_on_flink_spark.session import ensure_confs
+
+
+def chunked_replay(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    n_chunks: int = 5,
+    order_col: str = "ts",
+) -> DataFrame:
+    """Write ``df`` as ``n_chunks`` time-ordered parquet files and return
+    a file-source stream that replays them one file per micro-batch."""
+    ensure_confs(spark)
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    schema = df.schema
+    chunk = df.withColumn("_chunk", F.ntile(n_chunks).over(W.orderBy(order_col)))
+    for i in range(1, n_chunks + 1):
+        (
+            chunk.where(F.col("_chunk") == i)
+            .drop("_chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"chunk_{i:03d}"))
+        )
+    # flatten part files into one dir with ordered names
+    flat = os.path.join(out_dir, "stream")
+    os.makedirs(flat)
+    for i in range(1, n_chunks + 1):
+        src = os.path.join(out_dir, f"chunk_{i:03d}")
+        part = next(f for f in sorted(os.listdir(src)) if f.endswith(".parquet"))
+        shutil.copy(os.path.join(src, part), os.path.join(flat, f"{i:03d}.parquet"))
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+
+
+def rate_events(spark: SparkSession, rows_per_second: int = 1000, n_keys: int = 100) -> DataFrame:
+    """Synthetic event stream from the built-in rate source (the DataGen
+    source analog): monotonically timestamped rows with a Zipf-ish skewed
+    key — key 0 receives ~50% of traffic, the rest uniform."""
+    ensure_confs(spark)
+    rate = spark.readStream.format("rate").option("rowsPerSecond", rows_per_second).load()
+    return rate.select(
+        F.col("timestamp").alias("ts"),
+        F.col("value").alias("event_id"),
+        F.when(F.col("value") % 2 == 0, F.lit(0))
+        .otherwise(F.pmod(F.hash("value"), F.lit(n_keys)))
+        .alias("user_id"),
+        (F.pmod(F.col("value"), F.lit(100)) / 10.0).alias("value"),
+    )

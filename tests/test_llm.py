@@ -1,0 +1,82 @@
+"""LLM-operator tests: ANN recall, dedup identities, decode plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reshape_on_flink_spark.llm import dedup as D
+from reshape_on_flink_spark.llm import multimodal as M
+from reshape_on_flink_spark.llm import similarity as S
+from reshape_on_flink_spark.llm import text as T
+
+
+def test_ann_recall_vs_brute_force(spark, tables):
+    emb = tables["embeddings"]
+    q = emb.where(F.col("vec_id") < 10)
+    bf = {(r.query_id, r.neighbor_id) for r in S.brute_force_topk(emb, q, k=5).collect()}
+    ann = {(r.query_id, r.neighbor_id) for r in S.ann_lsh_topk(emb, q, k=5).collect()}
+    recall = len(bf & ann) / len(bf)
+    assert recall >= 0.5, f"ANN recall degraded: {recall}"
+
+
+def test_brute_force_topk_self_consistency(spark, tables):
+    emb = tables["embeddings"]
+    q = emb.where(F.col("vec_id") < 3)
+    rows = S.brute_force_topk(emb, q, k=5).collect()
+    assert len(rows) == 15
+    for r in rows:
+        assert r.query_id != r.neighbor_id
+        assert -1.0001 <= r.cos_sim <= 1.0001
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, tables):
+    d = tables["documents"].limit(50)
+    doubled = d.union(d.withColumn("doc_id", F.col("doc_id") + 100_000))
+    out = D.exact_dedup(doubled)
+    assert out.count() == 50
+    assert out.agg(F.sum("n_copies")).first()[0] == 100
+    # keeper is always the smaller id
+    assert out.where(F.col("keeper_id") >= 100_000).count() == 0
+
+
+def test_minhash_identical_docs_have_identical_signatures(spark, tables):
+    d = tables["documents"].limit(20)
+    doubled = d.union(d.withColumn("doc_id", F.col("doc_id") + 100_000))
+    pairs = D.minhash_near_duplicates(doubled).where(
+        F.col("d2") == F.col("d1") + 100_000
+    )
+    est = {r["d1"]: r["est_jaccard"] for r in pairs.collect()}
+    assert len(est) == 20  # every clone pair is an LSH candidate
+    assert all(v == 1.0 for v in est.values())
+
+
+def test_simhash_hamming_zero_for_clones(spark, tables):
+    d = tables["documents"].limit(20)
+    doubled = d.union(d.withColumn("doc_id", F.col("doc_id") + 100_000))
+    sim = D.simhash(doubled)
+    pairs = D.simhash_near_duplicates(sim, max_hamming=0).where(
+        F.col("d2") == F.col("d1") + 100_000
+    )
+    assert pairs.count() == 20
+
+
+def test_lang_id_deterministic_and_covering(spark, tables):
+    out = tables["documents"].select(T.lang_id("text").alias("p")).groupBy("p").count()
+    langs = {r["p"] for r in out.collect()}
+    assert langs <= set(T.STOPWORDS) | {"und"}
+
+
+def test_multimodal_fake_decode_matches_python(spark, tables):
+    d = M.attach_binary_payload(tables["documents"].limit(10))
+    feats = M.extract_features(d.select("doc_id", "text", "payload")).collect()
+    for r in feats:
+        payload = r["text"].encode()
+        assert r["feat_dim"] == len(payload)
+        assert abs(r["feat_mean"] - sum(payload) / len(payload)) < 1e-9
+
+
+def test_multimodal_real_decode_is_explicit_stub(spark, tables):
+    d = M.attach_binary_payload(tables["documents"].limit(1))
+    with pytest.raises(NotImplementedError):
+        M.extract_features(d, decode="real")

@@ -1,0 +1,128 @@
+"""Reshape skew-layer tests: controller schedule, exactness of the salted
+two-phase aggregation, and the load-spread improvement it buys."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from reshape_on_flink_spark.streaming.reshape import (
+    ReshapeConf,
+    ReshapeController,
+    ReshapeStreamingAgg,
+    salted_partial_merge_agg,
+)
+from tests.conftest import SF_DIR
+
+
+def conf(parallelism=8, **kw) -> ReshapeConf:
+    return ReshapeConf(parallelism=parallelism, freq_ms=0, **kw)
+
+
+class TestController:
+    def test_detects_hot_key_first_phase(self):
+        c = ReshapeController(conf())
+        # 1000 rows over 8 tasks -> mean 125; key 'a' has 500 > 0.8*125
+        c.observe({"a": 500, "b": 50, "c": 450}, 1000)
+        assert c.routing() == {"a": 10, "c": 10}  # 1/(1-0.9) = 10 salts
+
+    def test_adaptive_phase_resizes_to_excess(self):
+        c = ReshapeController(conf(first_phase_num=2))
+        for _ in range(3):
+            c.observe({"a": 500, "b": 50}, 1000)
+        # after first_phase_num iterations: salts = ceil(500 / 125) = 4
+        assert c.routing()["a"] == 4
+
+    def test_cooldown_cancels_mitigation(self):
+        c = ReshapeController(conf())
+        c.observe({"a": 500, "b": 50}, 1000)
+        assert "a" in c.routing()
+        c.observe({"a": 10, "b": 50}, 1000)  # below lo_threshold * mean
+        assert "a" not in c.routing()
+
+    def test_sticky_across_iterations(self):
+        c = ReshapeController(conf(first_phase_num=100))
+        c.observe({"a": 500}, 1000)
+        first = c.routing()["a"]
+        c.observe({"a": 400}, 1000)
+        assert c.routing()["a"] == first  # unchanged during first phase
+
+    def test_rate_limit_respects_freq_ms(self):
+        c = ReshapeController(ReshapeConf(parallelism=8, freq_ms=60_000))
+        c.observe({"a": 500}, 1000)
+        c.observe({}, 0)  # within freq window: ignored
+        assert "a" in c.routing()
+
+
+class TestSaltedAgg:
+    def test_exact_vs_plain_agg(self, spark, tables):
+        ev = tables["events"]
+        plain = {
+            r["user_id"]: (r["cnt"], round(r["sum_value"], 6))
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("cnt"), F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"))
+            .collect()
+        }
+        salted = {
+            r["user_id"]: (r["cnt"], round(r["sum_value"], 6))
+            for r in salted_partial_merge_agg(
+                ev.withColumn("value", F.col("value").cast("decimal(18,2)")),
+                "user_id",
+                "value",
+                routing={0: 8, 1: 4, 7: 16},
+                spread_col="event_id",
+            )
+            .select("user_id", "cnt", F.col("sum_value").cast("double").alias("sum_value"))
+            .collect()
+        }
+        assert salted == plain
+
+    def test_spread_improvement_on_skewed_keys(self, spark):
+        """The point of the mechanism: a hot key that would land on one
+        reducer spreads over n_salts reducers. Measure max reducer share
+        with and without salting under hash partitioning."""
+        n_part = 8
+        df = spark.range(10_000).select(
+            F.when(F.col("id") % 2 == 0, F.lit(0)).otherwise(F.pmod(F.hash("id"), 100)).alias("k"),
+            F.col("id").alias("event_id"),
+            F.lit(1.0).alias("v"),
+        )
+        def max_share(with_salt: bool) -> float:
+            key = (
+                F.concat_ws("_", F.col("k"), F.pmod(F.hash("event_id"), F.lit(16)))
+                if with_salt
+                else F.col("k").cast("string")
+            )
+            loads = (
+                df.withColumn("p", F.pmod(F.hash(key), F.lit(n_part)))
+                .groupBy("p")
+                .count()
+                .collect()
+            )
+            return max(r["count"] for r in loads) / 10_000
+
+        unsalted, salted = max_share(False), max_share(True)
+        assert unsalted > 0.5          # key 0 (50% of rows) hot-spots one reducer
+        assert salted < unsalted / 2   # salting spreads it
+
+    def test_streaming_reshape_agg_end_to_end(self, spark, tables, tmp_dir):
+        from reshape_on_flink_spark.streaming.source import chunked_replay
+
+        stream = chunked_replay(spark, tables["events"], os.path.join(tmp_dir, "replay"), n_chunks=4)
+        agg = ReshapeStreamingAgg(
+            "user_id", "value", "event_id", ReshapeConf(enabled=True, parallelism=8, freq_ms=0)
+        )
+        q = agg.attach(stream, os.path.join(tmp_dir, "ckpt"))
+        q.awaitTermination(120)
+        assert agg.batches_seen == 4
+        expected = {
+            r["user_id"]: (r["cnt"], round(r["sv"], 4))
+            for r in tables["events"]
+            .groupBy("user_id")
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+            .collect()
+        }
+        got = {k: (c, round(s, 4)) for k, (c, s) in agg.results.items()}
+        assert got == expected

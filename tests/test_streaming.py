@@ -1,0 +1,133 @@
+"""Stream-vs-batch unification tests: every streaming operator must agree
+with its batch formulation on the full input (the reference validates its
+streaming SQL the same way — ITCases with expected final row sets)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, assert_same_rows
+
+
+@pytest.fixture(scope="module")
+def events_stream_factory(spark, tables, tmp_dir_module=None):
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    base = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tmp", "replay")
+
+    def make(name: str, n_chunks: int = 4):
+        return chunked_replay(spark, tables["events"], os.path.join(base, name), n_chunks=n_chunks)
+
+    return make
+
+
+def run_to_memory(spark, sdf, name: str, tmp: str, mode: str = "update"):
+    q = (
+        sdf.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", os.path.join(tmp, f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_tumble_agg_stream_matches_batch(spark, tables, events_stream_factory, tmp_dir):
+    from reshape_on_flink_spark.queries.streaming_batch import q_tumble_window
+    from reshape_on_flink_spark.streaming.ops import tumble_agg
+
+    sdf = tumble_agg(events_stream_factory("tumble"))
+    got = run_to_memory(spark, sdf, "tumble_out", tmp_dir, mode="complete")
+    expected = q_tumble_window(spark, SF_DIR)
+    assert_same_rows(got.select("ws", "event_type", "n", "sum_value"), expected)
+
+
+def test_session_agg_stream_matches_batch(spark, tables, events_stream_factory, tmp_dir):
+    from reshape_on_flink_spark.queries.streaming_batch import q_session_window
+    from reshape_on_flink_spark.streaming.ops import session_agg
+
+    sdf = session_agg(events_stream_factory("session"))
+    got = run_to_memory(spark, sdf, "session_out", tmp_dir, mode="complete")
+    expected = q_session_window(spark, SF_DIR)
+    assert_same_rows(got.select("user_id", "session_start", "n_events", "sum_value"), expected)
+
+
+def test_interval_join_stream_matches_batch(spark, tables, events_stream_factory, tmp_dir):
+    from reshape_on_flink_spark.streaming.ops import interval_join_views_purchases
+
+    sdf = interval_join_views_purchases(events_stream_factory("ijoin"))
+    got = run_to_memory(spark, sdf, "ijoin_out", tmp_dir, mode="append")
+
+    ev = tables["events"]
+    v = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id")
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    expected = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("v_ts") < F.col("p_ts"))
+        & (F.unix_micros("p_ts") <= F.unix_micros("v_ts") + 600 * 1_000_000),
+    ).select("user_id", "view_id", "purchase_id")
+    assert_same_rows(got, expected)
+
+
+def test_dedup_keep_first_stream(spark, tables, events_stream_factory, tmp_dir):
+    """dropDuplicatesWithinWatermark keeps the first *arrival*; replay is
+    time-ordered, so first arrival == earliest ts == the batch oracle."""
+    from reshape_on_flink_spark.streaming.ops import dedup_keep_first
+
+    sdf = dedup_keep_first(events_stream_factory("dedupf"), ["user_id"]).select(
+        "user_id", "event_id"
+    )
+    got = run_to_memory(spark, sdf, "dedupf_out", tmp_dir, mode="append")
+    from reshape_on_flink_spark.queries.relational import q_dedup_keep_first
+
+    expected = q_dedup_keep_first(spark, SF_DIR).select("user_id", "event_id")
+    assert_same_rows(got, expected)
+
+
+def test_dedup_keep_last_stream(spark, tables, events_stream_factory, tmp_dir):
+    from reshape_on_flink_spark.streaming.ops import dedup_keep_last
+
+    sdf = dedup_keep_last(events_stream_factory("dedupl"), ["user_id"]).select(
+        "user_id", "event_id", "ts"
+    )
+    mem = run_to_memory(spark, sdf, "dedupl_out", tmp_dir, mode="update")
+    # update mode appends one row per user per batch; the per-user best
+    # advances monotonically in (ts, event_id), so the final state is the max
+    best = {}
+    for r in mem.collect():
+        key = (r["ts"], r["event_id"])
+        if r["user_id"] not in best or key > best[r["user_id"]]:
+            best[r["user_id"]] = key
+    rows = {u: k[1] for u, k in best.items()}
+    from reshape_on_flink_spark.queries.relational import q_dedup_keep_last
+
+    expected = {r["user_id"]: r["event_id"] for r in q_dedup_keep_last(spark, SF_DIR).collect()}
+    assert rows == expected
+
+
+def test_streaming_topn_counts(spark, tables, events_stream_factory, tmp_dir):
+    from reshape_on_flink_spark.streaming.ops import streaming_topn_counts
+
+    sdf = streaming_topn_counts(events_stream_factory("topn"))
+    mem = run_to_memory(spark, sdf, "topn_out", tmp_dir, mode="update")
+    final = {}
+    for r in mem.collect():  # update mode: later rows supersede
+        cur = final.get(r["user_id"], 0)
+        final[r["user_id"]] = max(cur, r["n"])
+    expected = {
+        r["user_id"]: r["n"]
+        for r in tables["events"].groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert final == expected
