@@ -1,0 +1,102 @@
+"""Sources & sinks — reference §2.1 (connectors + formats).
+
+The reference ships 31 connector modules and 7 format modules
+(``flink-connectors/``, ``flink-formats/``). This engine's v1 surface is
+the file-based core (parquet/csv/json/orc — all DataSource V2 with
+pushdown) plus the streaming sources in ``streaming/source.py`` (file
+replay, rate/datagen). Kafka/JDBC/avro load via the same API when their
+packages are on the classpath — gated behind import/classpath probes, not
+silently absent.
+
+Scale notes: always pass an explicit schema for csv/json (inference scans
+the data twice and types drift between runs); parquet/orc carry schemas
+and support predicate pushdown + column pruning (asserted in
+tests/test_plans.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from reshape_on_flink_spark.session import ensure_confs
+
+FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """Format-dispatched batch read (CommonExecTableSourceScan analog)."""
+    ensure_confs(spark)
+    if fmt not in FORMATS and not _optional_format_available(spark, fmt):
+        raise ValueError(f"format {fmt!r} unavailable; built-ins: {FORMATS}")
+    reader = spark.read.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in ("csv", "json"):
+        raise ValueError(f"{fmt} reads require an explicit schema (no inference in this engine)")
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Format-dispatched batch write (CommonExecSink analog).
+
+    ``partition_by`` maps to hive-style directory partitioning — the
+    100 TB layout lever: partition on the dominant filter column (date)
+    so partition pruning skips data before any scan."""
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    writer = df.write.format(fmt).mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def _optional_format_available(spark: SparkSession, fmt: str) -> bool:
+    """Probe for optional DataSource registrations (avro, kafka...)."""
+    try:
+        spark.read.format(fmt).schema("x int").load("/nonexistent__probe__")
+        return True
+    except Exception as e:  # noqa: BLE001
+        return "Failed to find" not in str(e) and "ClassNotFound" not in str(e)
+
+
+def datagen(
+    spark: SparkSession,
+    n_rows: int,
+    *,
+    n_keys: int = 100,
+    seed: int = 42,
+    skew_hot_share: float = 0.0,
+) -> DataFrame:
+    """Deterministic synthetic batch table (DataGenTableSource analog):
+    (id, key, value, payload). With ``skew_hot_share`` > 0, key 0
+    receives that share of rows (for skew-layer experiments)."""
+    base = spark.range(n_rows)
+    uniform = F.pmod(F.hash(F.col("id") + seed), F.lit(n_keys))
+    if skew_hot_share > 0:
+        threshold = int(skew_hot_share * 100)
+        key = F.when(F.pmod(F.hash(F.col("id") * 31 + seed), F.lit(100)) < threshold, F.lit(0)).otherwise(uniform)
+    else:
+        key = uniform
+    return base.select(
+        "id",
+        key.alias("key"),
+        (F.pmod(F.hash(F.col("id") + seed * 7), F.lit(10_000)) / 100.0).alias("value"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )

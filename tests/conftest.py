@@ -31,7 +31,11 @@ def tables(spark):
 
 @pytest.fixture()
 def tmp_dir(request):
-    d = os.path.join(TMP, request.node.name)
+    # sanitize: bracketed parametrize ids ("x[orc]") glob-expand in Spark paths
+    import re
+
+    safe = re.sub(r"[^A-Za-z0-9_.-]", "_", request.node.name)
+    d = os.path.join(TMP, safe)
     if os.path.exists(d):
         shutil.rmtree(d)
     os.makedirs(d)

@@ -1,0 +1,125 @@
+"""Function-registry tests: evaluate mapped expressions against literal
+expectations (golden values computed independently)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from reshape_on_flink_spark.functions.registry import REGISTRY, coverage_summary, fn
+
+# (flink_name, arg SQL strings, expected value)
+CASES = [
+    ("ASCII", ["'A'"], 65),
+    ("BIN", ["5"], "101"),
+    ("CHR", ["66"], "B"),
+    ("CHAR_LENGTH", ["'hello'"], 5),
+    ("CONCAT", ["'a'", "'b'"], "ab"),
+    ("CONCAT_WS", ["'-'", "'a'", "'b'"], "a-b"),
+    ("FROM_BASE64", ["'aGk='"], bytearray(b"hi")),
+    ("TO_BASE64", ["cast('hi' as binary)"], "aGk="),
+    ("HEX", ["cast('hi' as binary)"], "6869"),
+    ("INITCAP", ["'hello world'"], "Hello World"),
+    ("INSTR", ["'hello'", "'ll'"], 3),
+    ("LEFT", ["'hello'", "2"], "he"),
+    ("RIGHT", ["'hello'", "2"], "lo"),
+    ("LPAD", ["'x'", "3", "'*'"], "**x"),
+    ("RPAD", ["'x'", "3", "'*'"], "x**"),
+    ("LTRIM", ["'  x'"], "x"),
+    ("TRIM", ["'  x  '"], "x"),
+    ("OVERLAY", ["'hello'", "'XX'", "2", "2"], "hXXlo"),
+    ("REGEXP", ["'abc123'", "'[a-c]+[0-9]+'"], True),
+    ("REGEXP_EXTRACT", ["'a12b'", "'([0-9]+)'", "1"], "12"),
+    ("REGEXP_REPLACE", ["'aaa'", "'a'", "'b'"], "bbb"),
+    ("REPEAT", ["'ab'", "2"], "abab"),
+    ("REPLACE", ["'aba'", "'a'", "'c'"], "cbc"),
+    ("REVERSE", ["'abc'"], "cba"),
+    ("SPLIT_INDEX", ["'a,b,c'", "','", "1"], "b"),
+    ("SUBSTR", ["'hello'", "2", "3"], "ell"),
+    ("PARSE_URL", ["'https://h/p?q=1'", "'HOST'"], "h"),
+    ("IS_ALPHA", ["'abc'"], True),
+    ("IS_ALPHA", ["'ab1'"], False),
+    ("IS_DIGIT", ["'123'"], True),
+    ("IS_DIGIT", ["'12a'"], False),
+    ("IS_DECIMAL", ["'1.5'"], True),
+    ("IS_DECIMAL", ["'x'"], False),
+    ("HASH_CODE", ["'hi'"], ord("h") * 31 + ord("i")),
+    ("MD5", ["'ab'"], "187ef4436122d1cc2f40dc2b92f0eba0"),
+    ("SHA256", ["'ab'"], "fb8e20fc2e4c3f248c60c39bd652f3c1347298bb977b8b4d5903b85055620603"),
+    ("ABS", ["-3"], 3),
+    ("CEIL", ["1.2"], 2),
+    ("FLOOR", ["1.8"], 1),
+    ("ROUND", ["1.25", "1"], 1.3),
+    ("MOD", ["7", "3"], 1),
+    ("SQRT", ["9.0"], 3.0),
+    ("POWER", ["2.0", "10.0"], 1024.0),
+    ("LOG2", ["8.0"], 3.0),
+    ("LOG10", ["100.0"], 2.0),
+    ("COSH", ["0.0"], 1.0),
+    ("SIGN", ["-5.0"], -1.0),
+    ("ATAN2", ["0.0", "1.0"], 0.0),
+    ("PI", [], math.pi),
+    ("IF", ["true", "1", "2"], 1),
+    ("IFNULL", ["NULL", "5"], 5),
+    ("NULLIF", ["3", "3"], None),
+    ("COALESCE", ["NULL", "7"], 7),
+    ("GREATEST", ["1", "2"], 2),
+    ("LEAST", ["1", "2"], 1),
+    ("CAST", ["'12'", "int"], 12),
+    ("TRY_CAST", ["'x'", "int"], None),
+    ("ARRAY", ["1", "2"], [1, 2]),
+    ("CARDINALITY", ["array(1,2,3)"], 3),
+    ("AT", ["array(10,20)", "2"], 20),
+    ("ELEMENT", ["array(42)"], 42),
+    ("FLATTEN", ["array(array(1),array(2))"], [1, 2]),
+    ("ARRAY_CONTAINS", ["array(1,2)", "2"], True),
+    ("STR_TO_MAP", ["'a=1,b=2'", "','", "'='"], {"a": "1", "b": "2"}),
+    ("JSON_VALUE", ["'{\"k\": 5}'", "'$.k'"], "5"),
+    ("JSON_EXISTS", ["'{\"k\": 5}'", "'$.q'"], False),
+    ("SPLIT_INDEX", ["'x:y'", "':'", "0"], "x"),
+    ("TO_DATE", ["'2024-03-05'"], None),  # checked by type below
+    ("YEAR", ["timestamp '2024-03-05 00:00:00'"], 2024),
+    ("QUARTER", ["timestamp '2024-03-05 00:00:00'"], 1),
+    ("WEEK", ["timestamp '2024-03-05 00:00:00'"], 10),
+    ("DAYOFWEEK", ["timestamp '2024-03-05 00:00:00'"], 3),
+    ("HOUR", ["timestamp '2024-03-05 13:14:15'"], 13),
+    ("UNIX_TIMESTAMP", ["timestamp '1970-01-02 00:00:00'"], 86400),
+    ("FROM_UNIXTIME", ["86400"], "1970-01-02 00:00:00"),
+    ("DATE_FORMAT", ["timestamp '2024-03-05 00:00:00'", "'yyyy/MM'"], "2024/03"),
+    ("TIMESTAMPDIFF", ["DAY", "timestamp '2024-03-01 00:00:00'", "timestamp '2024-03-05 00:00:00'"], 4),
+    ("SUM0", ["x"], 0),  # evaluated over empty relation below
+]
+
+
+@pytest.mark.parametrize("name,args,expected", [c for c in CASES if c[0] != "SUM0"])
+def test_function_mapping(spark, name, args, expected):
+    col = fn(name, *args)
+    row = spark.range(1).select(col.alias("v")).first()
+    got = row["v"]
+    if name == "TO_DATE":
+        assert str(got) == "2024-03-05"
+    elif isinstance(expected, float):
+        assert float(got) == pytest.approx(expected, rel=1e-12)
+    else:
+        assert got == expected, f"{name}({args}) = {got!r}, expected {expected!r}"
+
+
+def test_sum0_empty_input(spark):
+    df = spark.range(1).where("id < 0").select(F.col("id").alias("x"))
+    assert df.select(fn("SUM0", "x").alias("v")).first()["v"] == 0
+
+
+def test_registry_coverage_declared(spark):
+    summary = coverage_summary()
+    assert summary.get("builtin", 0) >= 80
+    assert summary.get("unsupported", 0) <= 3  # explicit, small, documented
+    for e in REGISTRY.values():
+        if e.status == "unsupported":
+            assert e.note, f"{e.flink_name}: unsupported entries must document why"
+
+
+def test_unsupported_raises_cleanly(spark):
+    with pytest.raises(NotImplementedError):
+        fn("MATCH_RECOGNIZE")

@@ -1,0 +1,103 @@
+"""Operator-library tests: as-of join, bucketed range join, salted join,
+distinct-split aggregation, cumulate — each against a naive oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from reshape_on_flink_spark.operators.aggregates import split_count_distinct, split_sum_distinct
+from reshape_on_flink_spark.operators.joins import asof_join, range_join_bucketed, salted_join
+from tests.conftest import assert_same_rows
+
+
+def test_asof_join_vs_naive(spark, tables):
+    ev = tables["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id")
+    )
+    got = asof_join(
+        purchases,
+        views.select(F.col("v_user").alias("user_id"), F.col("v_ts").alias("ts"), "view_id"),
+        key="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_payload=["view_id"],
+    ).select("user_id", "event_id", F.col("asof_view_id").alias("view_id"))
+
+    # naive oracle: theta join + row_number
+    j = purchases.join(
+        views, (F.col("user_id") == F.col("v_user")) & (F.col("v_ts") < F.col("ts")), "left"
+    )
+    w = W.partitionBy("user_id", "event_id").orderBy(F.desc("v_ts"), F.desc("view_id"))
+    naive = (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "view_id")
+    )
+    assert_same_rows(got, naive)
+
+
+def test_range_join_bucketed_vs_naive(spark, tables):
+    ev = tables["events"].select("user_id", "ts", "event_id")
+    v = ev.select(F.col("user_id").alias("k"), F.col("ts").alias("lt"), F.col("event_id").alias("lid"))
+    p = ev.select(F.col("user_id").alias("k"), F.col("ts").alias("rt"), F.col("event_id").alias("rid"))
+    got = range_join_bucketed(
+        v, p, key="k", left_time="lt", right_time="rt", lower_seconds=1, upper_seconds=120
+    ).select("lid", "rid")
+    lt_us, rt_us = F.unix_micros(F.col("lt")), F.unix_micros(F.col("rt"))
+    naive = v.join(
+        p.withColumnRenamed("k", "k2"),
+        (F.col("k") == F.col("k2"))
+        & (rt_us >= lt_us + 1 * 1_000_000)
+        & (rt_us <= lt_us + 120 * 1_000_000),
+    ).select("lid", "rid")
+    assert_same_rows(got.distinct(), naive.distinct())
+    # the bucketed variant must not duplicate matches
+    assert got.count() == naive.count()
+
+
+def test_salted_join_vs_plain(spark, tables):
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    o = tables["orders"].select("o_orderkey", "o_totalprice").withColumnRenamed("o_orderkey", "l_orderkey")
+    got = salted_join(li, o, key="l_orderkey", n_salts=8)
+    plain = li.join(o, "l_orderkey")
+    assert got.count() == plain.count()
+    assert_same_rows(
+        got.groupBy("l_orderkey").count(), plain.groupBy("l_orderkey").count()
+    )
+
+
+def test_split_count_distinct_exact(spark, tables):
+    li = tables["lineitem"]
+    got = split_count_distinct(li, ["l_returnflag"], "l_partkey", n_buckets=16)
+    expected = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_distinct")
+    )
+    assert_same_rows(got, expected)
+
+
+def test_split_sum_distinct_exact(spark, tables):
+    li = tables["lineitem"]
+    got = split_sum_distinct(li, ["l_returnflag"], "l_quantity", n_buckets=16)
+    expected = li.groupBy("l_returnflag").agg(F.sum_distinct("l_quantity").alias("sum_distinct"))
+    assert_same_rows(got, expected)
+
+
+def test_cumulate_slices(spark, tables):
+    from reshape_on_flink_spark.operators.windows import cumulate
+
+    ev = tables["events"].limit(100)
+    out = cumulate(ev, "ts", max_size="1 hour", step="15 minutes")
+    rows = out.select("event_id", "window_start", "window_end").collect()
+    by_event = {}
+    for r in rows:
+        by_event.setdefault(r["event_id"], []).append((r["window_start"], r["window_end"]))
+    for eid, wins in by_event.items():
+        ws = {w for w, _ in wins}
+        assert len(ws) == 1  # one max-window per event
+        assert 1 <= len(wins) <= 4  # 1..max/step growing slices
+        ends = sorted(e for _, e in wins)
+        assert all(ends[i + 1] - ends[i] == 900 for i in range(len(ends) - 1))
