@@ -111,6 +111,7 @@ def range_join_bucketed(
             & (rt_us >= lt_us + lower_seconds * 1_000_000)
             & (rt_us <= lt_us + upper_seconds * 1_000_000),
         )
+        .drop(r_b[key])  # keep one unambiguous key column
         .drop("_b")
     )
 
