@@ -56,6 +56,31 @@ def main() -> None:
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Reshape skew layer: replay the events stream through the adaptive
+    # salted aggregation with the controller on vs off (same result set;
+    # measures the mechanism's overhead at this SF — its win shows on
+    # skewed clusters where one reducer would otherwise serialize)
+    import shutil
+
+    from reshape_on_flink_spark.session import load_tables
+    from reshape_on_flink_spark.streaming.reshape import ReshapeConf, ReshapeStreamingAgg
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    events = load_tables(spark, sf_dir)["events"]
+    for label, enabled in (("skew_replay_plain", False), ("skew_replay_reshape", True)):
+        replay_dir = os.path.join(".tmp", f"bench_{label}")
+        ckpt = os.path.join(".tmp", f"bench_{label}_ckpt")
+        shutil.rmtree(ckpt, ignore_errors=True)
+        stream = chunked_replay(spark, events, replay_dir, n_chunks=5)
+        agg = ReshapeStreamingAgg(
+            "user_id", "value", "event_id", ReshapeConf(enabled=enabled, parallelism=32, freq_ms=0)
+        )
+        t0 = time.perf_counter()
+        agg.attach(stream, ckpt).awaitTermination(300)
+        timings[label] = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(replay_dir, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -1,0 +1,129 @@
+"""Streaming OVER aggregates + temporal join + late-data side outputs —
+the SURVEY.md §4.3 gaps Spark has no built-in for.
+
+Reference:
+- streaming OVER: ``StreamExecOverAggregate.java`` with
+  ``RowTimeRowsBoundedPrecedingFunction`` /
+  ``*UnboundedPrecedingFunction`` (per-key ordered state + timers).
+- temporal join: ``TemporalRowTimeJoinOperator.java:78`` (latest version
+  at or before row time).
+- late data: ``WindowedStream.java:108-116`` (allowedLateness +
+  sideOutputLateData).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def running_over_agg(events: DataFrame) -> DataFrame:
+    """Streaming ``SUM(value) OVER (PARTITION BY user_id ORDER BY ts ROWS
+    UNBOUNDED PRECEDING)`` — emits each event with its running per-key
+    sum and count.
+
+    Implementation: ``applyInPandasWithState`` keyed on user_id; state
+    holds (running_count, running_sum); each micro-batch sorts its rows
+    by (ts, event_id) and folds them onto the state — the reference's
+    per-key ordered-state design, with the micro-batch as the mini-batch.
+
+    Correctness contract: equals the batch window aggregate when rows
+    arrive in event-time order across batches (the replay harness
+    guarantees this; out-of-order arrivals would need the reference's
+    row-time buffering + timers, i.e. a watermark-delayed emit — a
+    documented divergence).
+
+    State size: O(1) per key — 100 TB-safe.
+    """
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("event_id", LongType()),
+            StructField("ts", TimestampType()),
+            StructField("running_n", LongType()),
+            StructField("running_sum", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("s", DoubleType())]
+    )
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            # cumulative over exact cents to keep stream == batch bit-wise
+            cents = (pdf["value"] * 100).round().astype("int64")
+            run_cents = cents.cumsum() + int(round(s * 100))
+            out = pd.DataFrame(
+                {
+                    "user_id": pdf["user_id"].values,
+                    "event_id": pdf["event_id"].values,
+                    "ts": pdf["ts"].values,
+                    "running_n": (pd.RangeIndex(1, len(pdf) + 1) + n).astype("int64"),
+                    "running_sum": run_cents / 100.0,
+                }
+            )
+            n += len(pdf)
+            s = float(run_cents.iloc[-1]) / 100.0 if len(pdf) else s
+            yield out
+        state.update((n, s))
+
+    return events.select("user_id", "event_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
+        fold, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
+def temporal_join(events: DataFrame, versioned_dim: DataFrame, *, key: str, time_col: str, dim_time_col: str, dim_payload: list[str]):
+    """Streaming temporal (versioned) join: each event joins the dim
+    version valid at its event time (``FOR SYSTEM_TIME AS OF``).
+
+    Returns a function for ``foreachBatch``-style composition: the engine
+    applies the batch as-of join per micro-batch against the (slowly
+    changing) versioned dim — Spark re-reads the static side each batch,
+    which is exactly the lookup-join refresh semantics of the reference's
+    CommonExecLookupJoin + temporal table combination.
+    """
+    from reshape_on_flink_spark.operators.joins import asof_join
+
+    def join_batch(batch_df: DataFrame) -> DataFrame:
+        return asof_join(
+            batch_df,
+            versioned_dim,
+            key=key,
+            left_time=time_col,
+            right_time=dim_time_col,
+            right_payload=dim_payload,
+            strict=False,  # version AT the event time is valid
+        )
+
+    return join_batch
+
+
+def split_late(events: DataFrame, *, ts_col: str = "ts", lateness_seconds: int = 600) -> DataFrame:
+    """Late-data side output (allowedLateness + sideOutputLateData
+    analog): tags each row ``is_late`` relative to the maximum event time
+    seen so far *within its micro-batch partition* minus the allowed
+    lateness. Spark exposes no cross-batch watermark to transformations,
+    so this is the per-batch approximation; route is_late rows to a
+    side sink with ``foreachBatch`` + two filtered writes.
+    """
+    w_max = F.max(F.col(ts_col)).over(W.partitionBy(F.lit(1)))
+    # streaming DataFrames forbid unbounded windows; compute per batch in
+    # foreachBatch instead — provided here for the batch/foreachBatch path
+    return events.withColumn(
+        "is_late",
+        F.unix_micros(F.col(ts_col))
+        < F.unix_micros(w_max) - F.lit(lateness_seconds * 1_000_000),
+    )

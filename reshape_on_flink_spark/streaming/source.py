@@ -46,10 +46,16 @@ def chunked_replay(
     # flatten part files into one dir with ordered names
     flat = os.path.join(out_dir, "stream")
     os.makedirs(flat)
+    base_mtime = int(os.path.getmtime(out_dir))
     for i in range(1, n_chunks + 1):
         src = os.path.join(out_dir, f"chunk_{i:03d}")
         part = next(f for f in sorted(os.listdir(src)) if f.endswith(".parquet"))
-        shutil.copy(os.path.join(src, part), os.path.join(flat, f"{i:03d}.parquet"))
+        dst = os.path.join(flat, f"{i:03d}.parquet")
+        shutil.copy(os.path.join(src, part), dst)
+        # FileStreamSource orders batches by modification time; rapid copies
+        # collide at ms resolution, scrambling replay order — stamp strictly
+        # increasing mtimes so chunk i is always micro-batch i
+        os.utime(dst, (base_mtime + i, base_mtime + i))
     return (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)

@@ -131,3 +131,77 @@ def test_streaming_topn_counts(spark, tables, events_stream_factory, tmp_dir):
         for r in tables["events"].groupBy("user_id").agg(F.count("*").alias("n")).collect()
     }
     assert final == expected
+
+
+def test_running_over_agg_stream_matches_batch(spark, tables, events_stream_factory, tmp_dir):
+    """Streaming OVER (running per-key sum/count) == batch window agg,
+    given event-time-ordered replay."""
+    from reshape_on_flink_spark.streaming.over import running_over_agg
+    from pyspark.sql import Window as W
+
+    sdf = running_over_agg(events_stream_factory("overagg"))
+    got = run_to_memory(spark, sdf, "overagg_out", tmp_dir, mode="append").select(
+        "event_id", "running_n", "running_sum"
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    expected = tables["events"].select(
+        "event_id",
+        F.count("*").over(w).alias("running_n"),
+        (F.sum(F.round(F.col("value") * 100).cast("long")).over(w) / 100.0).alias("running_sum"),
+    )
+    assert_same_rows(got, expected)
+
+
+def test_temporal_join_per_batch(spark, tables):
+    """Versioned-dim temporal join: events pick the dim version valid at
+    their event time."""
+    from reshape_on_flink_spark.streaming.over import temporal_join
+    import datetime as dt
+
+    versions = spark.createDataFrame(
+        [
+            (0, dt.datetime(2024, 1, 1), "v1"),
+            (0, dt.datetime(2024, 1, 15), "v2"),
+            (1, dt.datetime(2024, 1, 10), "v1"),
+        ],
+        ["user_id", "valid_from", "version"],
+    )
+    joiner = temporal_join(
+        tables["events"].select("user_id", "ts", "event_id"),
+        versions,
+        key="user_id",
+        time_col="ts",
+        dim_time_col="valid_from",
+        dim_payload=["version"],
+    )
+    out = joiner(tables["events"].select("user_id", "ts", "event_id").where("user_id <= 1"))
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        if r["user_id"] == 0:
+            expect = "v2" if r["ts"] >= dt.datetime(2024, 1, 15) else "v1"
+        else:
+            expect = "v1" if r["ts"] >= dt.datetime(2024, 1, 10) else None
+        assert r["asof_version"] == expect, r
+
+
+def test_split_late_tags_late_rows(spark, tables):
+    from reshape_on_flink_spark.streaming.over import split_late
+
+    out = split_late(tables["events"], lateness_seconds=3600 * 24 * 20)
+    late = out.where("is_late").count()
+    total = out.count()
+    # events span ~30 days; with 20-day lateness only the first ~10 days are late
+    assert 0 < late < total
+
+
+def test_rate_events_source_shape(spark):
+    from reshape_on_flink_spark.streaming.source import rate_events
+
+    sdf = rate_events(spark, rows_per_second=500, n_keys=10)
+    assert sdf.isStreaming
+    assert set(sdf.columns) == {"ts", "event_id", "user_id", "value"}
