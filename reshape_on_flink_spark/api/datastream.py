@@ -1,0 +1,107 @@
+"""DataStream-style fluent facade over DataFrames.
+
+Reference surface: ``DataStream.java`` / ``KeyedStream.java`` /
+``WindowedStream.java`` (map, filter, flatMap, keyBy, reduce, aggregate,
+window, union, process). Users of the reference's DataStream API can port
+programs 1:1; under the hood every call declares DataFrame operations so
+Catalyst still optimizes the whole pipeline (the reference's DataStream
+programs bypass its optimizer — here they don't, which is the point of
+re-expressing rather than porting).
+
+Python callables route through Arrow-batched ``mapInPandas`` /
+``applyInPandas`` — the slow path; the docstrings push users toward the
+expression variants (map_expr, filter_expr) which stay in codegen.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+class DataStream:
+    """Fluent wrapper; ``.df`` exposes the underlying DataFrame at any
+    point (the Table<->DataStream bridge, BatchExecBoundedStreamScan /
+    StreamExecDataStreamScan analog)."""
+
+    def __init__(self, df: DataFrame):
+        self.df = df
+
+    # -- stateless row ops ------------------------------------------------
+    def map_expr(self, *cols: Column | str) -> "DataStream":
+        """map() as column expressions — JVM-side, preferred."""
+        return DataStream(self.df.select(*cols))
+
+    def filter_expr(self, cond: Column | str) -> "DataStream":
+        return DataStream(self.df.where(cond))
+
+    def map_pandas(self, fn: Callable[[pd.DataFrame], pd.DataFrame], schema: str) -> "DataStream":
+        """map()/flatMap() with arbitrary Python, Arrow-batched.
+        ``fn`` maps a pandas batch to a pandas batch (row count may
+        change, covering flatMap)."""
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                yield fn(pdf)
+
+        return DataStream(self.df.mapInPandas(run, schema=schema))
+
+    def union(self, other: "DataStream") -> "DataStream":
+        return DataStream(self.df.unionByName(other.df))
+
+    # -- keyed ops --------------------------------------------------------
+    def key_by(self, *keys: str) -> "KeyedStream":
+        return KeyedStream(self.df, list(keys))
+
+
+class KeyedStream:
+    def __init__(self, df: DataFrame, keys: list[str]):
+        self.df = df
+        self.keys = keys
+
+    def reduce(self, **aggs: Column) -> DataStream:
+        """keyBy().reduce()/aggregate(): named aggregate expressions."""
+        return DataStream(
+            self.df.groupBy(*self.keys).agg(*[c.alias(n) for n, c in aggs.items()])
+        )
+
+    def process(
+        self, fn: Callable[[tuple, pd.DataFrame], pd.DataFrame], schema: str
+    ) -> DataStream:
+        """KeyedProcessFunction analog: per-key pandas group transform
+        (state/timers belong to the streaming layer —
+        streaming/ops.py uses applyInPandasWithState)."""
+
+        def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+            return fn(key, pdf)
+
+        return DataStream(self.df.groupBy(*self.keys).applyInPandas(run, schema=schema))
+
+    def window_tumble(self, ts_col: str, size: str) -> "WindowedStream":
+        return WindowedStream(self.df, self.keys, F.window(ts_col, size))
+
+    def window_session(self, ts_col: str, gap: str) -> "WindowedStream":
+        return WindowedStream(self.df, self.keys, F.session_window(ts_col, gap))
+
+
+class WindowedStream:
+    def __init__(self, df: DataFrame, keys: list[str], window_col: Column):
+        self.df = df
+        self.keys = keys
+        self.window_col = window_col
+
+    def aggregate(self, **aggs: Column) -> DataStream:
+        out = self.df.groupBy(*self.keys, self.window_col.alias("w")).agg(
+            *[c.alias(n) for n, c in aggs.items()]
+        )
+        return DataStream(
+            out.select(
+                *self.keys,
+                F.unix_timestamp("w.start").alias("window_start"),
+                F.unix_timestamp("w.end").alias("window_end"),
+                *aggs.keys(),
+            )
+        )

@@ -1,0 +1,78 @@
+"""Changelog (CDC) operators — the reference's RowKind model, made explicit.
+
+Reference: ``RowKind.java:31-52`` (+I insert, -U update-before, +U
+update-after, -D delete), ``StreamExecChangelogNormalize.java:61`` (dedup
+an upsert stream into a clean changelog) and
+``StreamExecDropUpdateBefore.java`` / ``DropUpdateBeforeFunction.java``.
+
+This engine does not thread retractions through every operator (Spark's
+output modes replace that machinery — SURVEY.md §1.1); instead changelogs
+are *data*: an explicit ``_change_type`` column, with operators to
+normalize, filter, snapshot, and diff. This is also how Delta/Iceberg CDF
+expose changes, so the model is the ecosystem-native one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+#: RowKind.java:31-52
+INSERT, UPDATE_BEFORE, UPDATE_AFTER, DELETE = "+I", "-U", "+U", "-D"
+CHANGE_COL = "_change_type"
+
+
+def drop_update_before(df: DataFrame, change_col: str = CHANGE_COL) -> DataFrame:
+    """Strip -U rows (DropUpdateBeforeFunction): downstream consumers that
+    key on the primary key don't need the retraction half of an update."""
+    return df.where(F.col(change_col) != UPDATE_BEFORE)
+
+
+def changelog_normalize(
+    df: DataFrame, keys: list[str], seq_col: str, change_col: str = CHANGE_COL
+) -> DataFrame:
+    """Materialize the current table state from a changelog: keep each
+    key's latest change (by seq_col), drop keys whose latest change is a
+    delete (StreamExecChangelogNormalize semantics).
+
+    One shuffle on the key; Spark 3.5+ plans the rn=1 filter as
+    WindowGroupLimit (per-partition partial top-1 before the shuffle)."""
+    w = W.partitionBy(*keys).orderBy(F.desc(seq_col))
+    return (
+        df.where(F.col(change_col) != UPDATE_BEFORE)
+        .withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col(change_col) != DELETE))
+        .drop("_rn", change_col)
+    )
+
+
+def snapshot_diff(
+    before: DataFrame, after: DataFrame, keys: list[str], compare: list[str]
+) -> DataFrame:
+    """Diff two snapshots into a changelog (+I / -U / +U / -D rows) — the
+    inverse of changelog_normalize, useful for CDC tests and for emitting
+    changes from batch recomputations. One full-outer join on the keys."""
+    b = before.select(*keys, *compare).alias("b")
+    a = after.select(*keys, *compare).alias("a")
+    cond = [F.col(f"b.{k}").eqNullSafe(F.col(f"a.{k}")) for k in keys]
+    joined = b.join(a, cond, "full_outer")
+    b_key = F.col(f"b.{keys[0]}")
+    a_key = F.col(f"a.{keys[0]}")
+    changed = F.lit(False)
+    for c in compare:
+        changed = changed | ~F.col(f"b.{c}").eqNullSafe(F.col(f"a.{c}"))
+
+    inserts = joined.where(b_key.isNull()).select(
+        F.lit(INSERT).alias(CHANGE_COL), *[F.col(f"a.{c}").alias(c) for c in keys + compare]
+    )
+    deletes = joined.where(a_key.isNull()).select(
+        F.lit(DELETE).alias(CHANGE_COL), *[F.col(f"b.{c}").alias(c) for c in keys + compare]
+    )
+    updates_before = joined.where(b_key.isNotNull() & a_key.isNotNull() & changed).select(
+        F.lit(UPDATE_BEFORE).alias(CHANGE_COL), *[F.col(f"b.{c}").alias(c) for c in keys + compare]
+    )
+    updates_after = joined.where(b_key.isNotNull() & a_key.isNotNull() & changed).select(
+        F.lit(UPDATE_AFTER).alias(CHANGE_COL), *[F.col(f"a.{c}").alias(c) for c in keys + compare]
+    )
+    return inserts.unionByName(updates_before).unionByName(updates_after).unionByName(deletes)

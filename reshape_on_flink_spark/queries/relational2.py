@@ -558,3 +558,38 @@ def q_range_join_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
         upper_seconds=300,
     )
     return joined.groupBy("user_id").agg(F.count("*").alias("n_pairs")).orderBy("user_id")
+
+
+@query(
+    "q_changelog_normalize",
+    """
+    WITH ch AS (
+      SELECT user_id, event_id, value,
+             CASE event_type WHEN 'error' THEN '-D' WHEN 'signup' THEN '-U'
+                             WHEN 'view' THEN '+I' ELSE '+U' END AS _change_type
+      FROM events),
+    f AS (SELECT * FROM ch WHERE _change_type <> '-U'),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM f)
+    SELECT user_id, event_id, value
+    FROM r WHERE rn = 1 AND _change_type <> '-D'
+    ORDER BY user_id
+    """,
+)
+def q_changelog_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChangelogNormalize (reference StreamExecChangelogNormalize.java:61)
+    over a RowKind-tagged stream derived from events: latest change per
+    key wins, deletes remove the key, -U rows are dropped."""
+    from reshape_on_flink_spark.operators.changelog import changelog_normalize
+
+    ev = load_tables(spark, sf_dir)["events"]
+    tagged = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.when(F.col("event_type") == "error", "-D")
+        .when(F.col("event_type") == "signup", "-U")
+        .when(F.col("event_type") == "view", "+I")
+        .otherwise("+U")
+        .alias("_change_type"),
+    )
+    return changelog_normalize(tagged, ["user_id"], "event_id").orderBy("user_id")

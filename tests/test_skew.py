@@ -126,3 +126,40 @@ class TestSaltedAgg:
         }
         got = {k: (c, round(s, 4)) for k, (c, s) in agg.results.items()}
         assert got == expected
+
+
+class TestControllerOnSkewedStream:
+    def test_controller_engages_on_zipf_stream(self, spark, tmp_dir):
+        """End-to-end on genuinely skewed data: key 0 carries ~50% of a
+        replayed stream; the controller must detect it, mitigate with the
+        first-phase fan-out, and the salted results must stay exact."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from reshape_on_flink_spark.sources.readers import datagen
+        from reshape_on_flink_spark.streaming.source import chunked_replay
+
+        df = datagen(spark, 20_000, n_keys=50, skew_hot_share=0.5).select(
+            F.col("id").alias("event_id"),
+            F.col("key").alias("user_id"),
+            F.col("value"),
+            F.timestamp_millis(F.col("id") * 1000).alias("ts"),
+        )
+        stream = chunked_replay(spark, df, os.path.join(tmp_dir, "replay"), n_chunks=3)
+        agg = ReshapeStreamingAgg(
+            "user_id", "value", "event_id", ReshapeConf(enabled=True, parallelism=8, freq_ms=0)
+        )
+        agg.attach(stream, os.path.join(tmp_dir, "ckpt")).awaitTermination(180)
+
+        # the hot key was detected and salted with the first-phase fan-out
+        assert any(r.get(0, 0) == 10 for r in agg.routing_history), agg.routing_history
+        # and results are exactly the batch ground truth
+        expected = {
+            r["user_id"]: (r["cnt"], round(r["sv"], 4))
+            for r in df.groupBy("user_id")
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+            .collect()
+        }
+        got = {k: (c, round(s, 4)) for k, (c, s) in agg.results.items()}
+        assert got == expected
