@@ -215,3 +215,36 @@ def streaming_topn_counts(events: DataFrame, k: int = 3) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         count_updates, out_schema, state_schema, "update", "NoTimeout"
     )
+
+
+# ---------------------------------------------------------------------------
+# Async I/O — reference AsyncDataStream.unorderedWait
+# (flink-streaming-java/.../AsyncDataStream.java:101-161): per-record async
+# requests with bounded in-flight concurrency. Spark expression: an Arrow
+# batch enters a mapInPandas stage that drives an asyncio event loop — the
+# batch is the concurrency window, results are unordered within it.
+# ---------------------------------------------------------------------------
+
+
+def async_lookup(df: DataFrame, fetch_coro_factory, out_schema: str) -> DataFrame:
+    """Async enrichment: ``fetch_coro_factory(row_dict) -> coroutine``
+    returning a dict of extra columns; all requests in an Arrow batch run
+    concurrently (asyncio.gather). Use for rate-limited external lookups
+    where per-row sync calls would serialize the stage."""
+    import asyncio
+
+    async def _gather(rows):
+        # gather must be created inside the running loop
+        return await asyncio.gather(*[fetch_coro_factory(r) for r in rows])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = pdf.to_dict("records")
+            extras = asyncio.run(_gather(rows))
+            out = pdf.copy()
+            if extras:
+                for col in extras[0]:
+                    out[col] = [e[col] for e in extras]
+            yield out
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -80,3 +80,27 @@ def test_multimodal_real_decode_is_explicit_stub(spark, tables):
     d = M.attach_binary_payload(tables["documents"].limit(1))
     with pytest.raises(NotImplementedError):
         M.extract_features(d, decode="real")
+
+
+def test_dedup_clusters_connected_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4)], ["d1", "d2"]
+    )
+    got = {r["doc_id"]: r["keeper_id"] for r in D.dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_dedup_clusters_on_planted_dups(spark, tables):
+    d = tables["documents"].limit(30)
+    tripled = (
+        d.union(d.withColumn("doc_id", F.col("doc_id") + 100_000))
+        .union(d.withColumn("doc_id", F.col("doc_id") + 200_000))
+    )
+    pairs = D.minhash_near_duplicates(tripled).where(F.col("est_jaccard") >= 0.99).select("d1", "d2")
+    clusters = D.dedup_clusters(pairs)
+    # every clone maps to its original (the minimum id in its clone group)
+    bad = clusters.where(
+        (F.col("doc_id") % 100_000 != F.col("keeper_id")) | (F.col("keeper_id") >= 100_000)
+    ).count()
+    assert bad == 0
+    assert clusters.count() == 90  # 30 originals x 3 copies, all labeled

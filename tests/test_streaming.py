@@ -205,3 +205,21 @@ def test_rate_events_source_shape(spark):
     sdf = rate_events(spark, rows_per_second=500, n_keys=10)
     assert sdf.isStreaming
     assert set(sdf.columns) == {"ts", "event_id", "user_id", "value"}
+
+
+def test_async_lookup_enrichment(spark, tables):
+    from reshape_on_flink_spark.streaming.ops import async_lookup
+    import asyncio
+
+    async def fetch(row):
+        await asyncio.sleep(0)  # stand-in for network latency
+        return {"enriched": row["user_id"] * 10}
+
+    out = async_lookup(
+        tables["events"].select("user_id", "event_id").limit(50),
+        fetch,
+        "user_id long, event_id long, enriched long",
+    )
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r["enriched"] == r["user_id"] * 10 for r in rows)
