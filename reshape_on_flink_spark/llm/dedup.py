@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from reshape_on_flink_spark.llm.text import hash60, shingle_array, tokens
+from reshape_on_flink_spark.llm.text import hash60, shingle_array, spread, tokens
 
 #: MinHash parameters. (a, b) pairs are fixed literals so Spark and the
 #: SQL oracle agree; P is small enough that a*(h%P)+b stays in int64.
@@ -36,17 +36,7 @@ ROWS_PER_BAND = 2  # 16 hashes -> 8 bands of 2
 SIMHASH_BITS = 48  # bits of hash60 used for the simhash fingerprint
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure CPU-bound per-row stages (shingling, hashing) use the full
-    cluster: small single-file scans arrive as 1-2 partitions, which
-    serializes the 10-100x shingle expansion behind them. The round-robin
-    shuffle moves only the raw rows — negligible next to the expansion it
-    parallelizes. Inputs that already have enough partitions (any real
-    100 TB table) are left untouched."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+_spread = spread  # shared with llm.text
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -28,6 +28,17 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 FP_MOD = 1_000_000_007
 
 
+def spread(df):
+    """Repartition small single-file scans to full parallelism before
+    CPU-bound per-row stages (tokenize/shingle/hash are interpreted
+    higher-order functions — a 1-partition input serializes them).
+    Inputs with enough partitions pass through untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def tokens(col: str | Column = "text") -> Column:
     """Whitespace tokenization, empty tokens removed."""
     c = F.col(col) if isinstance(col, str) else col

@@ -188,7 +188,7 @@ def _sql_stop_list(lang: str) -> str:
     """,
 )
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_tables(spark, sf_dir)["documents"]
+    d = T.spread(load_tables(spark, sf_dir)["documents"])
     return T.quality_features(d).select(
         "doc_id",
         "q_n_chars",
@@ -223,7 +223,7 @@ _LANG_CASE = (
     """,
 )
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_tables(spark, sf_dir)["documents"]
+    d = T.spread(load_tables(spark, sf_dir)["documents"])
     return (
         d.select("lang", T.lang_id("text").alias("predicted"))
         .groupBy("lang", "predicted")
@@ -244,7 +244,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_tables(spark, sf_dir)["documents"]
+    d = T.spread(load_tables(spark, sf_dir)["documents"])
     return d.select("doc_id", T.fingerprint("text").alias("fp")).orderBy("doc_id")
 
 

@@ -155,12 +155,37 @@ def _normalize(name: str, df: DataFrame) -> DataFrame:
     return df
 
 
-def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Load fixture tables as DataFrames keyed by name (lazy scans)."""
+class _LazyTables:
+    """Mapping of table name -> DataFrame that defers the (footer-reading)
+    ``spark.read.parquet`` until a table is actually requested, and caches
+    the resulting plan. Queries touch 1-6 of the 10 fixture tables; eager
+    loading added ~0.5s of schema RPCs to every query invocation."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self._spark = spark
+        self._sf_dir = sf_dir
+        self._cache: dict[str, DataFrame] = {}
+
+    def __getitem__(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            path = os.path.join(self._sf_dir, f"{name}.parquet")
+            if not os.path.exists(path):
+                raise KeyError(name)
+            self._cache[name] = _normalize(name, self._spark.read.parquet(path))
+        return self._cache[name]
+
+    def __contains__(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self._sf_dir, f"{name}.parquet"))
+
+
+_TABLES_MEMO: dict[tuple[int, str], _LazyTables] = {}
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> _LazyTables:
+    """Fixture tables keyed by name — lazy per-table reads, memoized per
+    (session, dir) so repeated query invocations share the scan plans."""
     ensure_confs(spark)
-    out: dict[str, DataFrame] = {}
-    for name in EngineSession.TABLES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
-            out[name] = _normalize(name, spark.read.parquet(path))
-    return out
+    key = (id(spark), sf_dir)
+    if key not in _TABLES_MEMO:
+        _TABLES_MEMO[key] = _LazyTables(spark, sf_dir)
+    return _TABLES_MEMO[key]
