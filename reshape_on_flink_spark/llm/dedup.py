@@ -51,29 +51,37 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def shingles(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle) rows.
 
-    The shingle set is built row-locally (shingle_array); the explode here
-    only feeds set-intersection joins (ngram_jaccard) — signature
-    computation never materializes these rows."""
-    return _spread(df).select(
-        F.col(id_col).alias("doc_id"), F.explode(shingle_array(text_col, n)).alias("shingle")
+    posexplode + lead-window formulation: every stage (generator, window,
+    distinct) is whole-stage-codegen'd. The pure-expression alternative
+    (transform over a token array + array_distinct) avoids the doc-keyed
+    shuffle but runs interpreted — measured 2.7x slower at sf0.1; the
+    shuffle moves only ~30-byte rows, so codegen wins."""
+    tok = _spread(df).select(
+        F.col(id_col).alias("doc_id"), F.posexplode(tokens(text_col)).alias("pos", "tok")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    return (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("shingle"),
+            F.lead("tok", n - 1).over(w).alias("_t"),
+        )
+        .where(F.col("_t").isNotNull())
+        .select("doc_id", "shingle")
+        .distinct()
     )
 
 
 def minhash_sig_array(df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(doc_id, sigs: array<long>[16]) — the whole signature computed as
-    one narrow expression chain: md5 each distinct shingle once, then 16
-    affine-min reductions over the hash array. Zero shuffles; scales as a
-    map-only stage at any corpus size."""
-    # Explode the (row-local) shingle set to skinny (doc_id, h) rows, then
-    # 16 plain MIN aggregates — every stage is whole-stage-codegen'd.
-    # Two pure-expression alternatives measured slower: 16 separate
-    # array_min(transform(...)) defeats Catalyst CSE (md5 recomputed 16x),
-    # and a single aggregate/zip_with fold runs interpreted (HOFs have no
-    # codegen) at ~4x the cost of this shuffle of 24-byte rows.
+    """(doc_id, sigs: array<long>[16]): md5 each distinct shingle once,
+    then 16 plain MIN aggregates in one groupBy — fully codegen'd, one
+    aggregate shuffle of 24-byte rows. (16 separate
+    array_min(transform(...)) exprs defeat Catalyst CSE and recompute the
+    md5s 16x; a single aggregate/zip_with fold runs interpreted — both
+    measured slower.)"""
     h = (hash60(F.col("shingle")) % MINHASH_P).alias("h")
-    hashed = _spread(df).select(
-        F.col(id_col).alias("doc_id"), F.explode(shingle_array(text_col, n)).alias("shingle")
-    ).select("doc_id", h)
+    hashed = shingles(df, n, text_col, id_col).select("doc_id", h)
     mins = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"s{i}")
         for i, (a, b) in enumerate(MINHASH_PARAMS)

@@ -10,6 +10,7 @@ while results stay correct.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 
@@ -88,3 +89,31 @@ def test_similarity_broadcasts_queries(spark):
     plan = plan_of(brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=3))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_skips_shuffle(spark, tables, tmp_dir):
+    """Bucketing — the co-located-join lever from the 100 TB design
+    rules: two tables bucketed by the join key join WITHOUT any Exchange.
+    (At cluster scale this is how repeated fact-fact joins amortize their
+    shuffle once at write time.)"""
+    import re
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    o = tables["orders"].select("o_orderkey", "o_totalprice")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_li")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_o")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+        joined = spark.table("b_li").join(
+            spark.table("b_o"), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        plan = plan_of(joined)
+        n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+        assert n_exchanges == 0, plan
+        assert joined.count() == tables["lineitem"].count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_li")
+        spark.sql("DROP TABLE IF EXISTS b_o")
+

@@ -1,0 +1,99 @@
+"""Property-based tests (hypothesis): invariants that must hold for any
+input — the randomized-testing layer the reference lacks (SURVEY §5.6)."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SLOW = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),      # key (few keys -> collisions)
+        st.integers(min_value=0, max_value=10**6),  # id
+        st.integers(min_value=-10**6, max_value=10**6),  # value (cents)
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[1],
+)
+
+
+@SLOW
+@given(rows_strategy, st.dictionaries(st.integers(0, 5), st.integers(2, 9), max_size=3))
+def test_salted_agg_equals_plain_for_any_routing(spark, rows, routing):
+    from reshape_on_flink_spark.streaming.reshape import salted_partial_merge_agg
+
+    df = spark.createDataFrame(rows, "k long, event_id long, v long")
+    got = {
+        r["k"]: (r["cnt"], r["sum_value"])
+        for r in salted_partial_merge_agg(df, "k", "v", routing, "event_id").collect()
+    }
+    expected = {}
+    for k, _eid, v in rows:
+        c, s = expected.get(k, (0, 0))
+        expected[k] = (c + 1, s + v)
+    assert got == expected
+
+
+@SLOW
+@given(rows_strategy)
+def test_split_count_distinct_equals_plain(spark, rows):
+    from reshape_on_flink_spark.operators.aggregates import split_count_distinct
+
+    df = spark.createDataFrame(rows, "k long, event_id long, v long")
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in split_count_distinct(df, ["k"], "v", n_buckets=4).collect()
+    }
+    expected = {}
+    for k, _eid, v in rows:
+        expected.setdefault(k, set()).add(v)
+    assert got == {k: len(s) for k, s in expected.items()}
+
+
+@SLOW
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40, unique=True),
+    st.sampled_from([(3600, 900), (600, 300), (7200, 1800)]),
+)
+def test_cumulate_covering_invariants(spark, epochs, sizes):
+    """Every event lands in exactly ceil((t - ws) / step)-complement
+    slices: slice k covers the event iff t < ws + k*step."""
+    import math
+
+    from reshape_on_flink_spark.operators.windows import cumulate
+
+    max_s, step_s = sizes
+    df = spark.createDataFrame(
+        [(i, e) for i, e in enumerate(epochs)], "id long, epoch long"
+    ).select("id", F.timestamp_seconds("epoch").alias("ts"), "epoch")
+    out = cumulate(df, "ts", max_size=f"{max_s // 60} minutes", step=f"{step_s // 60} minutes")
+    got = {}
+    for r in out.select("id", "epoch", "window_start", "window_end").collect():
+        got.setdefault(r["id"], []).append((r["window_start"], r["window_end"], r["epoch"]))
+    for i, e in enumerate(epochs):
+        ws = (e // max_s) * max_s
+        offset = e - ws
+        n_expected = (max_s // step_s) - (offset // step_s)
+        wins = got[i]
+        assert len(wins) == n_expected, (e, wins)
+        assert all(w == ws for w, _, _ in wins)
+        assert all(we > e >= ws for _, we, _ in wins)
+
+
+@SLOW
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=20))
+def test_tokenizer_matches_python_split(spark, texts):
+    from reshape_on_flink_spark.llm.text import tokens
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, text string")
+    got = {r["i"]: r["toks"] for r in df.select("i", tokens("text").alias("toks")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == t.split(), (t, got[i])
