@@ -29,11 +29,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
     """Merge all query modules into one (queries, oracles) inventory."""
-    from reshape_on_flink_spark.queries import llmops, relational, relational2, streaming_batch
+    from reshape_on_flink_spark.queries import (
+        llmops,
+        relational,
+        relational2,
+        streaming_batch,
+        tpch_rest,
+    )
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, relational2, streaming_batch, llmops):
+    for mod in (relational, relational2, tpch_rest, streaming_batch, llmops):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles
