@@ -297,3 +297,84 @@ def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("keeper_id"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup — the semantic layer of the dedup stack
+# (exact/MinHash/SimHash catch textual clones; this catches paraphrases).
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup: (a_id, b_id, cos_sim) for every
+    a<b pair with cosine >= threshold.
+
+    O(N²·dim) — correct and fine up to ~10⁵ vectors per run; beyond that
+    use :func:`embedding_near_dups_lsh`. The kernel is the same codegen'd
+    zip_with/aggregate fold as similarity.cosine (bit-identical to the
+    DuckDB oracle's list_sum fold). The theta self-join (a_id < b_id)
+    halves the pair count; Spark plans it as a broadcast nested-loop when
+    one side fits, else a cartesian over range blocks."""
+    from reshape_on_flink_spark.llm.similarity import dot, norm
+
+    a = emb.select(
+        F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"), norm(vec_col).alias("a_norm")
+    )
+    b = emb.select(
+        F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"), norm(vec_col).alias("b_norm")
+    )
+    # Norms are computed once per vector (N HOF folds), not once per pair
+    # (N² folds) — the pair stage runs only the dot product. sqrt(a)*sqrt(b)
+    # is the exact same IEEE op sequence as the inline cosine / the oracle.
+    return (
+        F.broadcast(a)
+        .join(b, F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            (dot("a_vec", "b_vec") / (F.col("a_norm") * F.col("b_norm"))).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_dups_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_tables: int = 8,
+    n_planes: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate near-dup pairs at corpus scale: sign-LSH bucket join
+    for candidates (linear shuffle, no O(N²) stage), exact cosine
+    re-check. Recall vs the exact operator is asserted in
+    tests/test_llm.py; raise n_tables for higher recall."""
+    from reshape_on_flink_spark.llm.similarity import _bucket_array, cosine
+
+    tagged = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.explode(_bucket_array(vec_col, n_tables, n_planes, dim, seed)).alias("tb"),
+    ).select("_id", "_vec", "tb.table", "tb.bucket")
+    a = tagged.select(
+        F.col("_id").alias("a_id"), F.col("_vec").alias("a_vec"), "table", "bucket"
+    )
+    b = tagged.select(
+        F.col("_id").alias("b_id"), F.col("_vec").alias("b_vec"), "table", "bucket"
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return cand.select("a_id", "b_id", cosine("a_vec", "b_vec").alias("cos_sim")).where(
+        F.col("cos_sim") >= threshold
+    )

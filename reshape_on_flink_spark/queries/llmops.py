@@ -282,6 +282,31 @@ def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5).orderBy("query_id", "rank")
 
 
+@query(
+    "q_embedding_near_dup",
+    """
+    SELECT a_id, b_id, cos_sim FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    WHERE cos_sim >= 0.4
+    ORDER BY a_id, b_id
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (semantic dedup layer).
+
+    Exact all-pairs variant — the oracle-checkable baseline; the LSH
+    variant (llm.dedup.embedding_near_dups_lsh) is the 100 TB path,
+    recall-tested in tests/test_llm.py."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return D.embedding_near_dups(emb, threshold=0.4).orderBy("a_id", "b_id")
+
+
 # ---------------------------------------------------------------------------
 # Multimodal binary columns
 # ---------------------------------------------------------------------------

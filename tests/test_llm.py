@@ -104,3 +104,19 @@ def test_dedup_clusters_on_planted_dups(spark, tables):
     ).count()
     assert bad == 0
     assert clusters.count() == 90  # 30 originals x 3 copies, all labeled
+
+
+def test_embedding_near_dup_lsh_recall(spark, tables):
+    """LSH near-dup must recover most exact pairs (recall >= 0.6 at the
+    default 8x4 tables) and report identical cosines for pairs it finds."""
+    from reshape_on_flink_spark.llm.dedup import embedding_near_dups, embedding_near_dups_lsh
+
+    emb = tables["embeddings"]
+    exact = {(r["a_id"], r["b_id"]): r["cos_sim"] for r in embedding_near_dups(emb).collect()}
+    approx = {(r["a_id"], r["b_id"]): r["cos_sim"] for r in embedding_near_dups_lsh(emb).collect()}
+    assert exact, "fixture should contain near-dup pairs at threshold 0.4"
+    recall = len(set(approx) & set(exact)) / len(exact)
+    assert recall >= 0.6, recall
+    assert set(approx) <= set(exact)  # no false positives: same exact re-check
+    for k in set(approx) & set(exact):
+        assert approx[k] == exact[k]
