@@ -1,0 +1,371 @@
+"""Flink-SQL dialect facade: run reference-style SQL on Spark.
+
+The reference's SQL entry point is ``TableEnvironmentImpl.executeSql``
+(flink-table/flink-table-api-java/.../TableEnvironmentImpl.java:723); its
+dialect differs from Spark SQL in a small, enumerable set of constructs
+(parser surface: flink-sql-parser/.../ddl/, dql/; window TVFs:
+flink-table-planner-blink windowing exec nodes). This module translates
+those constructs textually and hands the result to ``spark.sql`` — the
+rest of the dialect (SELECT/JOIN/GROUP BY/OVER/CTEs/subqueries/set ops)
+is already common SQL that Catalyst parses directly.
+
+Translated constructs
+---------------------
+1. Window TVFs (Flink 1.13 ``TABLE(TUMBLE|HOP|CUMULATE(...))``,
+   StreamExecWindowAggregate + SliceAssigners.java:60,76,93):
+   - TUMBLE(TABLE t, DESCRIPTOR(ts), INTERVAL '5' MINUTE)
+     -> subquery projecting ``window(ts, '5 minute')`` start/end.
+   - HOP(TABLE t, DESCRIPTOR(ts), slide, size) -> ``window(ts, size, slide)``.
+   - CUMULATE(TABLE t, DESCRIPTOR(ts), step, max) -> expand-join SQL
+     mirroring operators.windows.cumulate (same slice math, timestamps out).
+   Positional and ``name => value`` arguments both accepted.
+2. Legacy group windows (WindowOperator.java:96):
+   ``GROUP BY TUMBLE(ts, i)`` -> ``GROUP BY window(ts, 'i')`` and
+   TUMBLE_START/TUMBLE_END/HOP_*/SESSION_* -> window.start / window.end
+   (SESSION maps to ``session_window``).
+3. Scalar-function dialect: every functions.registry entry whose Spark
+   rendering differs from its Flink spelling (SPLIT_INDEX, IS_DIGIT,
+   CHAR_LENGTH, FROM_BASE64, ...), applied recursively through nested
+   calls; PROCTIME() -> current_timestamp().
+4. DDL: ``CREATE TABLE ... WITH ('connector'='filesystem','path'=p,
+   'format'=f)`` -> ``CREATE TABLE ... USING f LOCATION p``;
+   WATERMARK declarations are stripped (Spark SQL has no DDL watermark —
+   use DataFrame ``withWatermark``; documented divergence).
+
+Explicitly unsupported (loud errors, SURVEY §4.3): MATCH_RECOGNIZE,
+``FOR SYSTEM_TIME AS OF`` (use operators.joins.asof_join).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+from reshape_on_flink_spark.functions.registry import REGISTRY
+
+# the quoted count may already be masked to \x00N\x00 (see _mask_strings)
+_INTERVAL_RE = re.compile(
+    r"INTERVAL\s+(?:'(\d+)'|\x00(\d+)\x00)\s+(SECOND|MINUTE|HOUR|DAY)S?\b",
+    re.IGNORECASE,
+)
+_UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _interval_parts(text: str, parts: list[str]) -> tuple[int, str]:
+    m = _INTERVAL_RE.fullmatch(text.strip())
+    if not m:
+        raise ValueError(f"unsupported interval literal: {text!r}")
+    if m.group(1) is not None:
+        count = int(m.group(1))
+    else:
+        count = int(parts[int(m.group(2))].strip("'"))
+    return count, m.group(3).lower()
+
+
+def _interval_to_duration(text: str, parts: list[str]) -> str:
+    """``INTERVAL '5' MINUTE`` -> ``5 minute`` (window() duration string)."""
+    count, unit = _interval_parts(text, parts)
+    return f"{count} {unit}"
+
+
+def _interval_seconds(text: str, parts: list[str]) -> int:
+    count, unit = _interval_parts(text, parts)
+    return count * _UNIT_SECONDS[unit]
+
+
+def _mask_strings(sql: str) -> tuple[str, list[str]]:
+    """Replace '...' literals with \x00{i}\x00 placeholders so rewrites
+    never touch string contents."""
+    parts: list[str] = []
+
+    def repl(m: re.Match) -> str:
+        parts.append(m.group(0))
+        return f"\x00{len(parts) - 1}\x00"
+
+    return re.sub(r"'(?:[^']|'')*'", repl, sql), parts
+
+
+def _unmask_strings(sql: str, parts: list[str]) -> str:
+    return re.sub(r"\x00(\d+)\x00", lambda m: parts[int(m.group(1))], sql)
+
+
+def _split_top(s: str) -> list[str]:
+    """Split on top-level commas (paren-aware; strings already masked)."""
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i].strip())
+            start = i + 1
+    tail = s[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+def _find_call(sql: str, names: tuple[str, ...], start: int = 0) -> tuple[str, int, int, str] | None:
+    """Find the next ``name( ... )`` call; returns (name, begin, end, args)
+    with ``end`` one past the closing paren."""
+    pat = re.compile(r"\b(" + "|".join(names) + r")\s*\(", re.IGNORECASE)
+    m = pat.search(sql, start)
+    if not m:
+        return None
+    depth, i = 1, m.end()
+    while i < len(sql) and depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise ValueError(f"unbalanced parens after {m.group(1)}")
+    return m.group(1).upper(), m.start(), i, sql[m.end() : i - 1]
+
+
+def _tvf_args(raw: str) -> dict[str, str]:
+    """Normalize a window-TVF argument list (positional or name =>)."""
+    args: dict[str, str] = {}
+    positional: list[str] = []
+    for a in _split_top(raw):
+        m = re.match(r"(\w+)\s*=>\s*(.*)", a, re.DOTALL)
+        if m:
+            args[m.group(1).upper()] = m.group(2).strip()
+        else:
+            positional.append(a)
+    for i, a in enumerate(positional):
+        args[f"_{i}"] = a
+    return args
+
+
+def _arg(args: dict[str, str], name: str, pos: int) -> str:
+    if name in args:
+        return args[name]
+    return args[f"_{pos}"]
+
+
+def _strip_table(a: str) -> str:
+    m = re.match(r"TABLE\s+(.*)", a.strip(), re.IGNORECASE | re.DOTALL)
+    return m.group(1).strip() if m else a.strip()
+
+
+def _strip_descriptor(a: str) -> str:
+    m = re.match(r"DESCRIPTOR\s*\(\s*(.*?)\s*\)\s*$", a.strip(), re.IGNORECASE)
+    return m.group(1) if m else a.strip()
+
+
+_WINDOW_TIME = "__w.end - INTERVAL '0.001' SECOND AS window_time"
+
+
+def _rewrite_window_tvfs(sql: str, parts: list[str]) -> str:
+    """TABLE(TUMBLE|HOP|CUMULATE(...)) -> Spark subquery."""
+    while True:
+        hit = _find_call(sql, ("TABLE",))
+        while hit and not re.match(
+            r"\s*(TUMBLE|HOP|CUMULATE)\s*\(", hit[3], re.IGNORECASE
+        ):
+            hit = _find_call(sql, ("TABLE",), hit[2])
+        if not hit:
+            return sql
+        _, begin, end, outer_args = hit
+        fname, _, _, raw = _find_call(outer_args, ("TUMBLE", "HOP", "CUMULATE"))
+        args = _tvf_args(raw)
+        src = _strip_table(_arg(args, "DATA", 0))
+        col = _strip_descriptor(_arg(args, "TIMECOL", 1))
+        if fname == "TUMBLE":
+            size = _interval_to_duration(_arg(args, "SIZE", 2), parts)
+            win = f"window({col}, '{size}')"
+        elif fname == "HOP":
+            slide = _interval_to_duration(_arg(args, "SLIDE", 2), parts)
+            size = _interval_to_duration(_arg(args, "SIZE", 3), parts)
+            win = f"window({col}, '{size}', '{slide}')"
+        else:  # CUMULATE — mirror operators.windows.cumulate slice math
+            step_s = _interval_seconds(_arg(args, "STEP", 2), parts)
+            max_s = _interval_seconds(_arg(args, "MAX_SIZE", 3), parts)
+            if max_s % step_s != 0:
+                raise ValueError("CUMULATE max_size must be a multiple of step")
+            n = max_s // step_s
+            sub = (
+                f"(SELECT * EXCEPT(__ws, __k), "
+                f"timestamp_seconds(__ws) AS window_start, "
+                f"timestamp_seconds(__ws + __k * {step_s}) AS window_end, "
+                f"timestamp_seconds(__ws + __k * {step_s}) - INTERVAL '0.001' SECOND"
+                f" AS window_time "
+                f"FROM (SELECT *, CAST(unix_micros({col}) / {max_s * 1_000_000} AS BIGINT)"
+                f" * {max_s} AS __ws, "
+                f"explode(sequence(1, {n})) AS __k FROM {src}) "
+                f"WHERE unix_micros({col}) < (__ws + __k * {step_s}) * 1000000)"
+            )
+            sql = sql[:begin] + sub + sql[end:]
+            continue
+        sub = (
+            f"(SELECT * EXCEPT(__w), __w.start AS window_start, "
+            f"__w.end AS window_end, {_WINDOW_TIME} "
+            f"FROM (SELECT *, {win} AS __w FROM {src}))"
+        )
+        sql = sql[:begin] + sub + sql[end:]
+
+
+_GW_AUX_RE = re.compile(
+    r"\b(TUMBLE|HOP|SESSION)_(START|END|ROWTIME|PROCTIME)\s*\(", re.IGNORECASE
+)
+
+
+def _rewrite_legacy_group_windows(sql: str, parts: list[str]) -> str:
+    """GROUP BY TUMBLE/HOP/SESSION(col, intervals) + *_START/*_END."""
+    # auxiliaries first (they contain the bare names as prefixes)
+    while True:
+        m = _GW_AUX_RE.search(sql)
+        if not m:
+            break
+        hit = _find_call(sql, (m.group(0)[: m.end() - m.start() - 1].strip(),))
+        _, begin, end, _raw = hit
+        kind = m.group(2).upper()
+        base = "session_window" if m.group(1).upper() == "SESSION" else "window"
+        repl = {
+            "START": f"{base}.start",
+            "END": f"{base}.end",
+            "ROWTIME": f"{base}.end - INTERVAL '0.001' SECOND",
+            "PROCTIME": f"{base}.end",
+        }[kind]
+        sql = sql[:begin] + repl + sql[end:]
+    # bare assigners (only meaningful inside GROUP BY)
+    while True:
+        hit = _find_call(sql, ("TUMBLE", "HOP", "SESSION"))
+        if not hit:
+            return sql
+        name, begin, end, raw = hit
+        args = _split_top(raw)
+        col = args[0]
+        if name == "TUMBLE":
+            win = f"window({col}, '{_interval_to_duration(args[1], parts)}')"
+        elif name == "HOP":
+            win = (
+                f"window({col}, '{_interval_to_duration(args[2], parts)}', "
+                f"'{_interval_to_duration(args[1], parts)}')"
+            )
+        else:
+            win = f"session_window({col}, '{_interval_to_duration(args[1], parts)}')"
+        sql = sql[:begin] + win + sql[end:]
+
+
+def _needs_shim(name: str, template: str) -> bool:
+    n_args = len(set(re.findall(r"\{(\d+)\}", template)))
+    default = f"{name.lower()}({', '.join('{%d}' % i for i in range(n_args))})"
+    return template.replace(" ", "") != default.replace(" ", "")
+
+
+# Registry entries the *textual* dialect layer must leave alone: keyword
+# syntax Spark parses natively (CAST/EXTRACT/...), infix operators whose
+# "(" belongs to the operand (IN/BETWEEN/LIKE), window assigners owned by
+# _rewrite_*_windows, and functions Spark ships under the same name.
+_NOT_TEXTUAL = {
+    "CAST", "TRY_CAST", "EXTRACT", "POSITION", "OVERLAY", "TRIM",
+    "BETWEEN", "IN", "LIKE", "SIMILAR",
+    "TUMBLE", "HOP", "SESSION", "ROW",
+    "FIRST_VALUE", "LAST_VALUE",  # Spark-native under the same names
+}
+
+_SHIMS: dict[str, str] = {
+    name: e.template
+    for name, e in REGISTRY.items()
+    if e.template is not None and name not in _NOT_TEXTUAL and _needs_shim(name, e.template)
+}
+
+
+def _rewrite_functions(sql: str) -> str:
+    """Apply registry shims recursively through nested calls."""
+    pos = 0
+    while True:
+        hit = _find_call(sql, tuple(_SHIMS), pos)
+        if not hit:
+            return sql
+        name, begin, end, raw = hit
+        args = [_rewrite_functions(a) for a in _split_top(raw)]
+        try:
+            rendered = "(" + _SHIMS[name].format(*args) + ")"  # parens: templates
+            # like "{0} rlike {1}" must bind tighter than surrounding operators
+        except IndexError as exc:
+            raise ValueError(f"{name} expects more arguments, got {len(args)}") from exc
+        sql = sql[:begin] + rendered + sql[end:]
+        pos = begin + len(rendered)
+
+
+_DDL_WITH_RE = re.compile(r"\bWITH\s*\((?P<opts>[^()]*)\)\s*$", re.IGNORECASE | re.DOTALL)
+_WATERMARK_RE = re.compile(r",\s*WATERMARK\s+FOR\s+\w+\s+AS\s+[^,)]+", re.IGNORECASE)
+
+
+def _rewrite_ddl(sql: str, parts: list[str]) -> str:
+    """Flink CREATE TABLE ... WITH (connector options) -> Spark USING/LOCATION."""
+    m = _DDL_WITH_RE.search(sql)
+    if not m or not re.match(r"\s*CREATE\s+(TEMPORARY\s+)?TABLE", sql, re.IGNORECASE):
+        return sql
+    opts: dict[str, str] = {}
+    for kv in _split_top(m.group("opts")):
+        k, _, v = kv.partition("=")
+        opts[_unmask_strings(k.strip(), parts).strip("' ")] = _unmask_strings(
+            v.strip(), parts
+        ).strip("' ")
+    connector = opts.get("connector", "")
+    if connector not in ("filesystem", ""):
+        raise NotImplementedError(
+            f"connector {connector!r}: only 'filesystem' maps to Spark DDL; "
+            "use sources.readers for other formats"
+        )
+    fmt = opts.get("format", "parquet")
+    path = opts.get("path")
+    using = f"USING {fmt}" + (f" LOCATION '{path}'" if path else "")
+    sql = sql[: m.start()] + using + sql[m.end() :]
+    sql = _WATERMARK_RE.sub("", sql)
+    # Flink-only column decorations Spark's parser rejects:
+    sql = re.sub(r",\s*PRIMARY\s+KEY\s*\([^)]*\)\s*NOT\s+ENFORCED", "", sql, flags=re.IGNORECASE)
+    return re.sub(r"\bTIMESTAMP(?:_LTZ)?\s*\(\s*\d\s*\)", "TIMESTAMP", sql, flags=re.IGNORECASE)
+
+
+class TableEnvironment:
+    """``TableEnvironment.create(spark).execute_sql(flink_sql)`` — the
+    reference's SQL entry point (TableEnvironmentImpl.java:723), Spark-run.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    @classmethod
+    def create(cls, spark: SparkSession) -> "TableEnvironment":
+        return cls(spark)
+
+    @staticmethod
+    def translate(sql: str) -> str:
+        """Flink SQL -> Spark SQL (pure text; no session needed)."""
+        if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
+            raise NotImplementedError(
+                "MATCH_RECOGNIZE is out of scope (SURVEY §4.3); see "
+                "operators for NFA-style alternatives"
+            )
+        if re.search(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", sql, re.IGNORECASE):
+            raise NotImplementedError(
+                "FOR SYSTEM_TIME AS OF: use operators.joins.asof_join / "
+                "streaming.over.temporal_join"
+            )
+        masked, parts = _mask_strings(sql)
+        masked = _rewrite_ddl(masked, parts)
+        masked = _rewrite_window_tvfs(masked, parts)
+        masked = _rewrite_legacy_group_windows(masked, parts)
+        masked = re.sub(r"\bPROCTIME\s*\(\s*\)", "current_timestamp()", masked, flags=re.IGNORECASE)
+        masked = _rewrite_functions(masked)
+        return _unmask_strings(masked, parts)
+
+    def execute_sql(self, sql: str) -> DataFrame:
+        return self.spark.sql(self.translate(sql))
+
+    # Flink's sqlQuery and executeSql are the same path for queries here.
+    sql_query = execute_sql
+
+    def create_temporary_view(self, name: str, df: DataFrame) -> None:
+        df.createOrReplaceTempView(name)
+
+    def from_path(self, name: str) -> DataFrame:
+        return self.spark.table(name)

@@ -363,3 +363,40 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Flink-SQL dialect facade end-to-end: the reference's own TVF syntax
+# (TableEnvironmentImpl.executeSql + TUMBLE TVF) run through
+# api.table_env.TableEnvironment against the oracle. Proves a reference
+# user's SQL text executes unchanged on this engine.
+# ---------------------------------------------------------------------------
+@query(
+    "q_flink_sql_dialect",
+    """
+    SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+           CAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_interact
+    FROM events
+    GROUP BY 1 ORDER BY ws
+    """,
+)
+def q_flink_sql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.api.table_env import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    tenv.create_temporary_view("events", load_tables(spark, sf_dir)["events"])
+    # Flink 1.13 SQL, verbatim: window TVF + a dialect scalar function.
+    return tenv.execute_sql(
+        """
+        SELECT CAST(UNIX_TIMESTAMP(CAST(window_start AS STRING)) AS BIGINT) AS ws,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               CAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_interact
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start ORDER BY ws
+        """
+    )

@@ -177,6 +177,16 @@ class _LazyTables:
     def __contains__(self, name: str) -> bool:
         return os.path.exists(os.path.join(self._sf_dir, f"{name}.parquet"))
 
+    def keys(self) -> list[str]:
+        return sorted(
+            f[: -len(".parquet")]
+            for f in os.listdir(self._sf_dir)
+            if f.endswith(".parquet")
+        )
+
+    def items(self):
+        return ((name, self[name]) for name in self.keys())
+
 
 _TABLES_MEMO: dict[tuple[int, str], _LazyTables] = {}
 

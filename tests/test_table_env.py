@@ -1,0 +1,194 @@
+"""Flink-SQL dialect facade (api.table_env): reference-style SQL runs on
+Spark and matches the equivalent native computation.
+
+Reference surface: TableEnvironmentImpl.executeSql (Flink SQL dialect),
+window TVFs (SliceAssigners.java), legacy group windows
+(WindowOperator.java:96), FlinkSqlOperatorTable functions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from reshape_on_flink_spark.api.table_env import TableEnvironment
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def tenv(spark, tables):
+    t = TableEnvironment.create(spark)
+    for name, df in tables.items():
+        t.create_temporary_view(name, df)
+    return t
+
+
+def rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_translate_tumble_tvf(tenv, tables):
+    got = tenv.execute_sql(
+        """
+        SELECT window_start, window_end, COUNT(*) AS n, SUM(value) AS total
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end
+        """
+    )
+    expected = (
+        tables["events"]
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n",
+            "total",
+        )
+    )
+    assert rows(got) == rows(expected)
+
+
+def test_translate_hop_tvf_named_args(tenv, tables):
+    got = tenv.execute_sql(
+        """
+        SELECT window_start, COUNT(*) AS n
+        FROM TABLE(HOP(DATA => TABLE events, TIMECOL => DESCRIPTOR(ts),
+                       SLIDE => INTERVAL '30' MINUTE, SIZE => INTERVAL '1' HOUR))
+        GROUP BY window_start
+        """
+    )
+    expected = (
+        tables["events"]
+        .groupBy(F.window("ts", "1 hour", "30 minute"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    assert rows(got) == rows(expected)
+
+
+def test_translate_cumulate_tvf(tenv, tables):
+    from reshape_on_flink_spark.operators.windows import cumulate
+
+    got = tenv.execute_sql(
+        """
+        SELECT window_start, window_end, COUNT(*) AS n
+        FROM TABLE(CUMULATE(TABLE events, DESCRIPTOR(ts),
+                            INTERVAL '15' MINUTE, INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end
+        """
+    )
+    expected = (
+        cumulate(tables["events"], "ts", max_size="1 hour", step="15 minutes")
+        .groupBy(
+            F.timestamp_seconds("window_start").alias("window_start"),
+            F.timestamp_seconds("window_end").alias("window_end"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    assert rows(got) == rows(expected)
+
+
+def test_translate_legacy_group_window(tenv, tables):
+    got = tenv.execute_sql(
+        """
+        SELECT TUMBLE_START(ts, INTERVAL '1' HOUR) AS ws,
+               TUMBLE_END(ts, INTERVAL '1' HOUR) AS we,
+               COUNT(*) AS n
+        FROM events GROUP BY TUMBLE(ts, INTERVAL '1' HOUR)
+        """
+    )
+    expected = (
+        tables["events"]
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), F.col("window.end").alias("we"), "n")
+    )
+    assert rows(got) == rows(expected)
+
+
+def test_translate_legacy_session_window(tenv, tables):
+    got = tenv.execute_sql(
+        """
+        SELECT SESSION_START(ts, INTERVAL '30' MINUTE) AS ws, COUNT(*) AS n
+        FROM events GROUP BY SESSION(ts, INTERVAL '30' MINUTE), user_id
+        """
+    )
+    expected = (
+        tables["events"]
+        .groupBy(F.session_window("ts", "30 minute"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("session_window.start").alias("ws"), "n")
+    )
+    assert rows(got) == rows(expected)
+
+
+def test_function_dialect_shims(tenv):
+    got = tenv.execute_sql(
+        """
+        SELECT SPLIT_INDEX('a,b,c', ',', 1) AS second_tok,
+               CHAR_LENGTH('hello') AS len5,
+               IS_DIGIT('123') AS d1,
+               IS_DIGIT('12a') AS d0,
+               IS_ALPHA('abc') AS a1,
+               TO_BASE64(ENCODE('hi', 'UTF-8')) AS b64,
+               FROM_BASE64('aGk=') AS raw
+        """
+    ).collect()[0]
+    assert got["second_tok"] == "b"
+    assert got["len5"] == 5
+    assert got["d1"] is True and got["d0"] is False and got["a1"] is True
+    assert got["b64"] == "aGk="
+    assert bytes(got["raw"]) == b"hi"
+
+
+def test_function_shims_nested_and_in_predicates(tenv, tables):
+    got = tenv.execute_sql(
+        """
+        SELECT doc_id FROM documents
+        WHERE IS_DIGIT(SPLIT_INDEX('x 7', ' ', 1)) AND doc_id < 3
+        ORDER BY doc_id
+        """
+    )
+    assert [r["doc_id"] for r in got.collect()] == [0, 1, 2]
+
+
+def test_strings_survive_masking(tenv):
+    # a literal containing function-like and interval-like text must pass
+    # through untouched
+    got = tenv.execute_sql(
+        "SELECT 'TUMBLE(ts, INTERVAL ''1'' HOUR) IS_DIGIT(x)' AS s"
+    ).collect()[0]
+    assert got["s"] == "TUMBLE(ts, INTERVAL '1' HOUR) IS_DIGIT(x)"
+
+
+def test_ddl_filesystem_connector(tenv, spark, tmp_dir):
+    df = spark.range(5).select(F.col("id").alias("v"))
+    df.write.mode("overwrite").parquet(f"{tmp_dir}/t")
+    tenv.execute_sql("DROP TABLE IF EXISTS flink_ddl_t")
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE flink_ddl_t (
+          v BIGINT,
+          PRIMARY KEY (v) NOT ENFORCED
+        ) WITH ('connector' = 'filesystem', 'path' = '{tmp_dir}/t', 'format' = 'parquet')
+        """
+    )
+    try:
+        assert rows(tenv.from_path("flink_ddl_t")) == [(i,) for i in range(5)]
+    finally:
+        tenv.execute_sql("DROP TABLE IF EXISTS flink_ddl_t")
+
+
+def test_unsupported_constructs_are_loud(tenv):
+    with pytest.raises(NotImplementedError, match="MATCH_RECOGNIZE"):
+        tenv.execute_sql("SELECT * FROM t MATCH_RECOGNIZE (PATTERN (A B) DEFINE A AS 1)")
+    with pytest.raises(NotImplementedError, match="SYSTEM_TIME"):
+        tenv.execute_sql("SELECT * FROM a JOIN b FOR SYSTEM_TIME AS OF a.ts ON a.k = b.k")
+
+
+def test_plain_sql_passthrough(tenv, tables):
+    got = tenv.execute_sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM lineitem GROUP BY l_returnflag"
+    )
+    expected = tables["lineitem"].groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    assert rows(got) == rows(expected)
