@@ -342,8 +342,9 @@ class TableEnvironment:
         """Flink SQL -> Spark SQL (pure text; no session needed)."""
         if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
             raise NotImplementedError(
-                "MATCH_RECOGNIZE is out of scope (SURVEY §4.3); see "
-                "operators for NFA-style alternatives"
+                "MATCH_RECOGNIZE in SQL text is not parsed; use "
+                "operators.cep.match_recognize (same NFA semantics, "
+                "DataFrame API)"
             )
         if re.search(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", sql, re.IGNORECASE):
             raise NotImplementedError(

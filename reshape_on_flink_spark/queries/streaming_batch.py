@@ -400,3 +400,72 @@ def q_flink_sql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY window_start ORDER BY ws
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# MATCH_RECOGNIZE (CEP) — reference StreamExecMatch.java:90 / flink-cep
+# NFA (CepOperator.java:81). V-shape detection per user: value strictly
+# falls (DOWN+) then strictly rises (UP+); AFTER MATCH SKIP PAST LAST ROW.
+# The oracle expresses the same greedy semantics relationally
+# (gaps-and-islands: maximal D-runs adjacent to U-runs) — valid because a
+# DOWN+ UP+ match is exactly a maximal down-run immediately followed by
+# an up-run.
+# ---------------------------------------------------------------------------
+@query(
+    "q_match_recognize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN value < lag(value) OVER w THEN 'DOWN'
+                  WHEN value > lag(value) OVER w THEN 'UP'
+                  ELSE 'X' END AS st,
+             ROW_NUMBER() OVER w AS rn
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    runs AS (
+      SELECT user_id, st, MIN(rn) AS rn_start, MAX(rn) AS rn_end, COUNT(*) AS len
+      FROM (SELECT *, rn - ROW_NUMBER() OVER (PARTITION BY user_id, st ORDER BY rn) AS grp
+            FROM flagged)
+      GROUP BY user_id, st, grp
+    ),
+    matches AS (
+      SELECT d.user_id, d.len AS n_down, u.len AS n_up
+      FROM runs d JOIN runs u
+        ON d.user_id = u.user_id AND u.rn_start = d.rn_end + 1
+      WHERE d.st = 'DOWN' AND u.st = 'UP'
+    )
+    SELECT user_id, COUNT(*) AS n_matches,
+           CAST(SUM(n_down + n_up) AS BIGINT) AS n_rows,
+           CAST(MAX(n_down) AS BIGINT) AS max_down,
+           CAST(MAX(n_up) AS BIGINT) AS max_up
+    FROM matches GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.operators.cep import match_recognize
+
+    ev = load_tables(spark, sf_dir)["events"].select("user_id", "ts", "event_id", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v = F.lag("value").over(w)
+    matched = match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        pattern="DOWN+ UP+",
+        define={"DOWN": F.col("value") < prev_v, "UP": F.col("value") > prev_v},
+    )
+    down = F.when(F.col("matched_symbol") == "DOWN", 1).otherwise(0)
+    up = F.when(F.col("matched_symbol") == "UP", 1).otherwise(0)
+    per_match = matched.groupBy("user_id", "match_id").agg(
+        F.sum(down).alias("n_down"), F.sum(up).alias("n_up")
+    )
+    return (
+        per_match.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.sum(F.col("n_down") + F.col("n_up")).alias("n_rows"),
+            F.max("n_down").alias("max_down"),
+            F.max("n_up").alias("max_up"),
+        )
+        .orderBy("user_id")
+    )

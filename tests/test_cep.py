@@ -1,0 +1,100 @@
+"""MATCH_RECOGNIZE operator (operators.cep): NFA semantics on literal
+frames — greedy quantifiers, backtracking, skip-past-last-row, errors."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from reshape_on_flink_spark.operators.cep import match_recognize, parse_pattern
+
+
+def _df(spark, values):
+    return spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(values)], "k int, pos int, v int"
+    )
+
+
+def _runs(df):
+    rows = df.orderBy("match_id", "pos").collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["match_id"], []).append((r["pos"], r["matched_symbol"]))
+    return list(out.values())
+
+
+def test_parse_pattern_rejects_alternation():
+    with pytest.raises(ValueError, match="unsupported pattern token"):
+        parse_pattern("(A|B) C")
+    with pytest.raises(ValueError, match="empty"):
+        parse_pattern("  ")
+
+
+def test_plain_sequence_and_skip_past_last_row(spark):
+    # A := even, B := odd; pattern "A B": matches at (0,1) then (2,3) — not (1,2)
+    df = _df(spark, [0, 1, 2, 3])
+    got = _runs(
+        match_recognize(
+            df, "k", "pos", "A B",
+            {"A": F.col("v") % 2 == 0, "B": F.col("v") % 2 == 1},
+        )
+    )
+    assert got == [[(0, "A"), (1, "B")], [(2, "A"), (3, "B")]]
+
+
+def test_plus_is_greedy_with_backtracking(spark):
+    # values 5 4 3 9: DOWN+ then END (v>8). DOWN+ must backtrack nothing;
+    # greedy consumes 4,3 then END=9.
+    df = _df(spark, [5, 4, 3, 9])
+    w = W.partitionBy("k").orderBy("pos")
+    got = _runs(
+        match_recognize(
+            df, "k", "pos", "DOWN+ END",
+            {"DOWN": F.col("v") < F.lag("v").over(w), "END": F.col("v") > 8},
+        )
+    )
+    assert got == [[(1, "DOWN"), (2, "DOWN"), (3, "END")]]
+
+
+def test_plus_backtracks_when_symbols_overlap(spark):
+    # A := v < 10 (everything), B := v == 3. Greedy A+ eats all, must
+    # backtrack to leave the 3 for B.
+    df = _df(spark, [1, 2, 3])
+    got = _runs(
+        match_recognize(df, "k", "pos", "A+ B", {"A": F.col("v") < 10, "B": F.col("v") == 3})
+    )
+    assert got == [[(0, "A"), (1, "A"), (2, "B")]]
+
+
+def test_optional_and_star(spark):
+    # pattern "A B? C*": A=1, B=2, C=3
+    df = _df(spark, [1, 3, 3, 1, 2, 3, 1])
+    got = _runs(
+        match_recognize(
+            df, "k", "pos", "A B? C*",
+            {"A": F.col("v") == 1, "B": F.col("v") == 2, "C": F.col("v") == 3},
+        )
+    )
+    assert got == [
+        [(0, "A"), (1, "C"), (2, "C")],
+        [(3, "A"), (4, "B"), (5, "C")],
+        [(6, "A")],
+    ]
+
+
+def test_missing_define_is_loud(spark):
+    with pytest.raises(ValueError, match="without DEFINE"):
+        match_recognize(_df(spark, [1]), "k", "pos", "A B", {"A": F.lit(True)})
+
+
+def test_partitions_are_independent(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 1), (1, 1, 2), (2, 0, 2), (2, 1, 1)], "k int, pos int, v int"
+    )
+    got = match_recognize(
+        df, "k", "pos", "A B", {"A": F.col("v") == 1, "B": F.col("v") == 2}
+    ).collect()
+    assert {(r["k"], r["pos"], r["matched_symbol"]) for r in got} == {
+        (1, 0, "A"), (1, 1, "B")
+    }
