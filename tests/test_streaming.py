@@ -223,3 +223,86 @@ def test_async_lookup_enrichment(spark, tables):
     rows = out.collect()
     assert len(rows) == 50
     assert all(r["enriched"] == r["user_id"] * 10 for r in rows)
+
+
+def test_count_window_agg_fires_every_n(spark, tables, tmp_dir):
+    """CountTrigger parity: complete n-windows only, in arrival order,
+    sums matching a driver-side replay of the same order."""
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+    from reshape_on_flink_spark.streaming.triggers import count_window_agg
+
+    n = 5
+    stream = chunked_replay(
+        spark, tables["events"], os.path.join(tmp_dir, "cw"), n_chunks=3, order_col="event_id"
+    )
+    got = {
+        (r["user_id"], r["window_seq"]): r["sum_value"]
+        for r in run_to_memory(
+            spark, count_window_agg(stream, n=n), "cw_out", tmp_dir, mode="append"
+        ).collect()
+    }
+    per_key = {}
+    for r in sorted(
+        tables["events"].select("user_id", "event_id", "value").collect(),
+        key=lambda r: r["event_id"],
+    ):
+        per_key.setdefault(r["user_id"], []).append(r["value"])
+    expected = {}
+    for k, vals in per_key.items():
+        for seq in range(len(vals) // n):
+            expected[(k, seq)] = sum(vals[seq * n : (seq + 1) * n])
+    assert set(got) == set(expected)
+    for key in got:
+        assert got[key] == pytest.approx(expected[key], rel=1e-9)
+
+
+def test_delta_trigger_agg_baseline_semantics(spark, tables, tmp_dir):
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+    from reshape_on_flink_spark.streaming.triggers import delta_trigger_agg
+
+    threshold = 40.0
+    stream = chunked_replay(
+        spark, tables["events"], os.path.join(tmp_dir, "dt"), n_chunks=3, order_col="event_id"
+    )
+    got = {
+        r["event_id"]: r["fired_value"]
+        for r in run_to_memory(
+            spark, delta_trigger_agg(stream, threshold), "dt_out", tmp_dir, mode="append"
+        ).collect()
+    }
+    per_key = {}
+    for r in sorted(
+        tables["events"].select("user_id", "event_id", "value").collect(),
+        key=lambda r: r["event_id"],
+    ):
+        per_key.setdefault(r["user_id"], []).append((r["event_id"], r["value"]))
+    expected = {}
+    for seq in per_key.values():
+        baseline = None
+        for eid, v in seq:
+            if baseline is None:
+                baseline = v
+            elif abs(v - baseline) > threshold:
+                expected[eid] = v
+                baseline = v
+    assert got == expected
+
+
+def test_count_evictor_keeps_last_n(spark, tables):
+    from reshape_on_flink_spark.streaming.triggers import count_evictor
+
+    ev = tables["events"].withColumn("w", F.window("ts", "1 hour"))
+    kept = count_evictor(ev, ["w", "user_id"], ["ts", "event_id"], keep_last_n=2)
+    sizes = kept.groupBy("w", "user_id").count().agg(F.max("count")).collect()[0][0]
+    assert sizes <= 2
+    # the kept rows are exactly the latest 2 per (window, user)
+    full = tables["events"].select("user_id", "ts", "event_id").collect()
+    per = {}
+    for r in full:
+        w_start = r["ts"].replace(minute=0, second=0, microsecond=0)
+        per.setdefault((w_start, r["user_id"]), []).append((r["ts"], r["event_id"]))
+    expected_ids = set()
+    for v in per.values():
+        expected_ids |= {eid for _, eid in sorted(v)[-2:]}
+    got_ids = {r["event_id"] for r in kept.select("event_id").collect()}
+    assert got_ids == expected_ids
