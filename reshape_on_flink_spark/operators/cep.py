@@ -158,3 +158,212 @@ def match_recognize(
         return out
 
     return flagged.groupBy(*partition_by).applyInPandas(run, schema=schema_out)
+
+
+# ---------------------------------------------------------------------------
+# Streaming MATCH_RECOGNIZE — incremental NFA across micro-batches.
+# Reference: CepOperator.java keeps partial NFA computations in keyed
+# state and only emits a greedy match once a subsequent element proves it
+# cannot extend; this operator reproduces that closure rule.
+# ---------------------------------------------------------------------------
+
+_NEED_MORE = object()  # matcher verdict: undecided until more rows arrive
+
+
+def _matcher_modes(symbols: list[str], toks: list[tuple[str, str]]):
+    """Like _matcher, but end-of-data is a distinct verdict: returns a
+    match (list), None (provably no match at this start, regardless of
+    future rows), or _NEED_MORE (a higher-or-equal-priority branch ran
+    out of rows — the greedy NFA cannot commit yet)."""
+    sym_idx = {s: i for i, s in enumerate(symbols)}
+    toks_i = [(sym_idx[s], q) for s, q in toks]
+
+    def match_at(bools, start: int, n: int):
+        def rec(ti: int, pos: int):
+            if ti == len(toks_i):
+                return []
+            si, q = toks_i[ti]
+            col = bools[si]
+            if q == "":
+                if pos >= n:
+                    return _NEED_MORE
+                if col[pos]:
+                    rest = rec(ti + 1, pos + 1)
+                    if rest is _NEED_MORE or rest is not None:
+                        return rest if rest is _NEED_MORE else [(pos, si), *rest]
+                return None
+            if q == "?":
+                if pos >= n:
+                    return _NEED_MORE  # greedy branch would consume a future row
+                if col[pos]:
+                    rest = rec(ti + 1, pos + 1)
+                    if rest is _NEED_MORE:
+                        return _NEED_MORE
+                    if rest is not None:
+                        return [(pos, si), *rest]
+                return rec(ti + 1, pos)
+            # + / * : greedy, highest k first; a run touching the end of
+            # data could extend with future rows -> undecided
+            k = 0
+            while pos + k < n and col[pos + k]:
+                k += 1
+            if pos + k >= n:
+                return _NEED_MORE
+            min_k = 1 if q == "+" else 0
+            while k >= min_k:
+                rest = rec(ti + 1, pos + k)
+                if rest is _NEED_MORE:
+                    return _NEED_MORE
+                if rest is not None:
+                    return [(pos + j, si) for j in range(k)] + [*rest]
+                k -= 1
+            return None
+
+        return rec(0, start)
+
+    return match_at
+
+
+def streaming_match_recognize(
+    events: DataFrame,
+    partition_by: str,
+    order_cols: list[str],
+    pattern: str,
+    define: dict,
+    input_cols: list[str],
+    max_pending: int = 10_000,
+    context_rows: int = 1,
+) -> DataFrame:
+    """MATCH_RECOGNIZE over a streaming DataFrame (applyInPandasWithState).
+
+    ``define`` maps symbols to *vectorized pandas predicates*
+    ``(pdf) -> bool array`` — evaluated over the key's full pending
+    history, so ``pdf[col].diff()`` implements Flink's ``PREV`` across
+    micro-batch boundaries (a Catalyst ``lag`` would reset per batch;
+    streaming window functions don't exist in Spark).
+
+    Emission rule (= CepOperator's): a greedy match is emitted only once
+    a later row proves it cannot extend; a match still touching the end
+    of the buffered history stays pending. ``max_pending`` bounds state:
+    on overflow the oldest history is force-closed with batch semantics
+    (end-of-data = no extension) and the buffer drained — documented
+    divergence, loud in logs at the moment it triggers.
+
+    100 TB: one shuffle on the key; state per key = the undecided suffix
+    only (closed prefixes are dropped every batch).
+    """
+    import pickle
+
+    from pyspark.sql.types import (
+        BinaryType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    toks = parse_pattern(pattern)
+    symbols = sorted({s for s, _ in toks})
+    missing = [s for s in symbols if s not in define]
+    if missing:
+        raise ValueError(f"pattern symbols without DEFINE: {missing}")
+    match_at = _matcher_modes(symbols, toks)
+
+    sample = events.select(*input_cols)
+    out_schema = StructType(
+        [*sample.schema.fields,
+         StructField("match_id", LongType()),
+         StructField("matched_symbol", StringType())]
+    )
+    state_schema = StructType(
+        [
+            StructField("pending", BinaryType()),
+            StructField("next_match_id", LongType()),
+            StructField("n_context", LongType()),
+        ]
+    )
+
+    def run(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            blob, next_id, ctx = state.get
+            pending = pickle.loads(blob)
+        else:
+            pending, next_id, ctx = None, 0, 0
+        new = pd.concat(list(pdfs), ignore_index=True)[input_cols]
+        pdf = (
+            pd.concat([pending, new], ignore_index=True)
+            if pending is not None
+            else new
+        ).sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+
+        out_frames = []
+
+        def scan(frame, allow_open: bool, start: int = 0):
+            nonlocal next_id
+            bools = [define[s](frame).to_numpy() for s in symbols]
+            n = len(frame)
+            pos_list, mid_list, sym_list = [], [], []
+            i = start
+            while i < n:
+                m = match_at(bools, i, n)
+                if m is _NEED_MORE:
+                    if allow_open:
+                        break  # keep frame[i:] pending
+                    i += 1  # force-close: treat end-of-data as no-extend
+                    continue
+                if m:
+                    for pos, si in m:
+                        pos_list.append(pos)
+                        mid_list.append(next_id)
+                        sym_list.append(symbols[si])
+                    i = m[-1][0] + 1
+                    next_id += 1
+                else:
+                    i += 1
+            else:
+                i = n
+            if pos_list:
+                part = frame.iloc[pos_list].copy()
+                part["match_id"] = pd.Series(mid_list, index=part.index, dtype="int64")
+                part["matched_symbol"] = pd.Series(sym_list, index=part.index, dtype="object")
+                out_frames.append(part)
+            return i
+
+        # rows [0, ctx) are PREV-context only — already matched or
+        # released last batch; they feed diff()-style predicates, never
+        # matches
+        keep_from = scan(pdf, allow_open=True, start=ctx)
+        if len(pdf) - keep_from > max_pending:
+            import sys
+
+            print(
+                f"streaming_match_recognize: key {key} pending exceeded "
+                f"{max_pending}; force-closing with batch semantics",
+                file=sys.stderr,
+            )
+            # re-scan the overflow region without the open-match privilege
+            overflow = pdf.iloc[keep_from:].reset_index(drop=True)
+            scan(overflow, allow_open=False)
+            keep_from = len(pdf)
+
+        new_ctx = min(context_rows, keep_from)
+        kept = pdf.iloc[keep_from - new_ctx :].reset_index(drop=True)
+        state.update(
+            (pickle.dumps(kept if len(kept) else None), next_id, new_ctx)
+        )
+
+        if out_frames:
+            yield pd.concat(out_frames, ignore_index=True)
+        else:
+            empty = pdf.iloc[0:0].copy()
+            empty["match_id"] = pd.Series([], dtype="int64")
+            empty["matched_symbol"] = pd.Series([], dtype="object")
+            yield empty
+
+    return (
+        sample.groupBy(partition_by)
+        .applyInPandasWithState(run, out_schema, state_schema, "append", "NoTimeout")
+    )
+

@@ -98,3 +98,67 @@ def test_partitions_are_independent(spark):
     assert {(r["k"], r["pos"], r["matched_symbol"]) for r in got} == {
         (1, 0, "A"), (1, 1, "B")
     }
+
+
+def test_streaming_match_recognize_matches_batch_closed(spark, tables, tmp_dir):
+    """Streaming CEP must emit exactly the batch matches that are CLOSED
+    (a later row proved no greedy extension) — an open match on a key's
+    final row stays pending, as in Flink's NFA state."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.operators.cep import (
+        match_recognize,
+        streaming_match_recognize,
+    )
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    ev_cols = ["user_id", "event_id", "value"]
+    stream = chunked_replay(
+        spark, tables["events"], os.path.join(tmp_dir, "cep"), n_chunks=3, order_col="event_id"
+    )
+    sdf = streaming_match_recognize(
+        stream,
+        partition_by="user_id",
+        order_cols=["event_id"],
+        pattern="DOWN+ UP+",
+        define={
+            "DOWN": lambda pdf: pdf["value"].diff() < 0,
+            "UP": lambda pdf: pdf["value"].diff() > 0,
+        },
+        input_cols=ev_cols,
+    )
+    got = {}
+    for r in run_to_memory(spark, sdf, "cep_out", tmp_dir, mode="append").collect():
+        got.setdefault((r["user_id"], r["match_id"]), []).append(
+            (r["event_id"], r["matched_symbol"])
+        )
+
+    w = W.partitionBy("user_id").orderBy("event_id")
+    prev_v = F.lag("value").over(w)
+    batch = match_recognize(
+        tables["events"].select(*ev_cols),
+        "user_id",
+        ["event_id"],
+        "DOWN+ UP+",
+        {"DOWN": F.col("value") < prev_v, "UP": F.col("value") > prev_v},
+    )
+    last_eid = {
+        r["user_id"]: r["m"]
+        for r in tables["events"].groupBy("user_id").agg(F.max("event_id").alias("m")).collect()
+    }
+    expected = {}
+    for r in batch.collect():
+        expected.setdefault((r["user_id"], r["match_id"]), []).append(
+            (r["event_id"], r["matched_symbol"])
+        )
+    # drop per-key matches that touch the key's final row (open forever)
+    expected = {
+        k: v
+        for k, v in expected.items()
+        if max(eid for eid, _ in v) != last_eid[k[0]]
+    }
+    got = {k: sorted(v) for k, v in got.items()}
+    expected = {k: sorted(v) for k, v in expected.items()}
+    assert got == expected
+    assert expected, "fixture should contain closed matches"
