@@ -97,3 +97,39 @@ def test_tokenizer_matches_python_split(spark, texts):
     got = {r["i"]: r["toks"] for r in df.select("i", tokens("text").alias("toks")).collect()}
     for i, t in enumerate(texts):
         assert got[i] == t.split(), (t, got[i])
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.sampled_from("abc "), min_size=0, max_size=14),
+    st.sampled_from(["A B", "A+ B", "A B+", "A+ B+ C", "A B? C", "A C* B", "A+", "A? B+"]),
+)
+def test_cep_matcher_agrees_with_regex_reference(rows, pattern_str):
+    """The CEP backtracking matcher must equal a regex oracle: symbols
+    A/B/C are 'row == a/b/c' predicates, patterns map 1:1 to regexes over
+    the row string, matched greedily and non-overlapping (re.finditer ==
+    skip past last row)."""
+    import re as _re
+
+    from reshape_on_flink_spark.operators.cep import _matcher, parse_pattern
+
+    toks = parse_pattern(pattern_str)
+    symbols = sorted({s for s, _ in toks})
+    text = "".join(rows)
+    sym_char = {"A": "a", "B": "b", "C": "c"}
+    bools = [[c == sym_char[s] for c in text] for s in symbols]
+    match_at = _matcher(symbols, toks)
+
+    got = []
+    i, n = 0, len(text)
+    while i < n:
+        m = match_at(bools, i, n)
+        if m:
+            got.append((m[0][0], m[-1][0] + 1))
+            i = m[-1][0] + 1
+        else:
+            i += 1
+
+    regex = "".join(sym_char[s] + q for s, q in toks)
+    expected = [(mm.start(), mm.end()) for mm in _re.finditer(regex, text) if mm.end() > mm.start()]
+    assert got == expected, (text, regex)
