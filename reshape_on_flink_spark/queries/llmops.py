@@ -275,8 +275,52 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, emb.where(F.col("vec_id") < 10), k=5).orderBy("query_id", "rank")
 
 
-@query("q_similarity_ann_lsh")  # no SQL oracle: approximate by design; recall vs
-# brute force is asserted in tests/test_llm.py
+def _ann_lsh_oracle(n_tables: int = 8, n_planes: int = 4, dim: int = 64, seed: int = 42) -> str:
+    """Generate the exact DuckDB replica of ann_lsh_topk: the seeded
+    hyperplanes are embedded as literals (same doubles as the Spark plan
+    — repr() round-trips), buckets become (table*2^planes + bucket) ids,
+    candidates are list_has_any over the id arrays, and the cosine
+    re-rank uses the shared left-fold kernel. The ANN result is therefore
+    deterministic and value-checked, not merely recall-tested."""
+    dot_tpl = (
+        "list_sum(list_transform(list_zip(embedding, {plane}), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    tb_entries = []
+    for t in range(n_tables):
+        planes = S.hyperplanes(dim, n_planes, seed + t)
+        bits = []
+        for p, plane in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+            bits.append(f"(CASE WHEN {dot_tpl.format(plane=lit)} > 0 THEN {1 << p} ELSE 0 END)")
+        tb_entries.append(f"({t * (1 << n_planes)} + " + " + ".join(bits) + ")")
+    tb_array = "[" + ", ".join(tb_entries) + "]"
+    cos = (
+        "list_sum(list_transform(list_zip(qvec, cvec), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+    WITH emb AS (SELECT vec_id, embedding, {tb_array} AS tb FROM embeddings),
+    pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             q.embedding AS qvec, c.embedding AS cvec
+      FROM emb q JOIN emb c
+        ON q.vec_id < 10 AND c.vec_id <> q.vec_id AND list_has_any(q.tb, c.tb)
+    ),
+    scored AS (SELECT query_id, neighbor_id, {cos} AS cos_sim FROM pairs)
+    SELECT query_id, "rank", neighbor_id, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS "rank"
+      FROM scored)
+    WHERE "rank" <= 5
+    ORDER BY query_id, "rank"
+    """
+
+
+@query("q_similarity_ann_lsh", _ann_lsh_oracle())
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir)["embeddings"]
     return S.ann_lsh_topk(emb, emb.where(F.col("vec_id") < 10), k=5).orderBy("query_id", "rank")
@@ -333,8 +377,18 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_multimodal_features")  # no SQL oracle: exercises the mapInPandas
-# decode plumbing (stubbed codec); values asserted in tests/test_llm.py
+@query(
+    "q_multimodal_features",
+    # The oracle recomputes the *fake-codec* features relationally
+    # (feat_dim == payload byte length), so the mapInPandas plumbing the
+    # Spark side runs — batch iteration, schema contract, binary column
+    # transport — is value-checked end-to-end, not just row-counted.
+    """
+    SELECT source, COUNT(*) AS n,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_dim
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = M.attach_binary_payload(load_tables(spark, sf_dir)["documents"])
     feats = M.extract_features(d.select("doc_id", "source", "payload"))
