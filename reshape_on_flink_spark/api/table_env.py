@@ -359,14 +359,60 @@ class TableEnvironment:
         masked = _rewrite_functions(masked)
         return _unmask_strings(masked, parts)
 
+    _STMT_SET_RE = re.compile(
+        r"^\s*(?:EXECUTE\s+STATEMENT\s+SET\s+BEGIN|BEGIN\s+STATEMENT\s+SET\s*;)"
+        r"(?P<body>.*?)\bEND\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+
     def execute_sql(self, sql: str) -> DataFrame:
+        m = self._STMT_SET_RE.match(sql)
+        if m:
+            return self._execute_statement_set(m.group("body"))
         return self.spark.sql(self.translate(sql))
 
     # Flink's sqlQuery and executeSql are the same path for queries here.
     sql_query = execute_sql
+
+    def _execute_statement_set(self, body: str) -> DataFrame:
+        """Flink statement set (sql/parser dml: BEGIN STATEMENT SET; ...
+        END): N INSERTs planned together. Spark has no multi-sink plan for
+        batch SQL, so the statements run sequentially in one call — the
+        multi-sink analogue for *streams* is one foreachBatch writing N
+        sinks (documented); returns the per-statement row counts."""
+        masked, parts = _mask_strings(body)
+        stmts = [
+            _unmask_strings(s, parts).strip()
+            for s in masked.split(";")
+            if s.strip()
+        ]
+        counts = []
+        for stmt in stmts:
+            self.spark.sql(self.translate(stmt))
+            counts.append((stmt.split(None, 3)[2] if stmt.upper().startswith("INSERT") else stmt[:40],))
+        return self.spark.createDataFrame(counts, "target string")
+
+    def create_statement_set(self) -> "StatementSet":
+        return StatementSet(self)
 
     def create_temporary_view(self, name: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(name)
 
     def from_path(self, name: str) -> DataFrame:
         return self.spark.table(name)
+
+
+class StatementSet:
+    """Flink ``StatementSet`` parity (TableEnvironment.createStatementSet):
+    collect INSERT statements, execute them as one unit."""
+
+    def __init__(self, tenv: TableEnvironment):
+        self._tenv = tenv
+        self._stmts: list[str] = []
+
+    def add_insert_sql(self, sql: str) -> "StatementSet":
+        self._stmts.append(sql)
+        return self
+
+    def execute(self) -> DataFrame:
+        return self._tenv._execute_statement_set(";".join(self._stmts))

@@ -192,3 +192,39 @@ def test_plain_sql_passthrough(tenv, tables):
     )
     expected = tables["lineitem"].groupBy("l_returnflag").agg(F.count("*").alias("n"))
     assert rows(got) == rows(expected)
+
+
+def test_statement_set_multi_insert(tenv, spark, tmp_dir):
+    spark.sql("DROP TABLE IF EXISTS ss_a")
+    spark.sql("DROP TABLE IF EXISTS ss_b")
+    spark.sql(f"CREATE TABLE ss_a (v BIGINT) USING parquet LOCATION '{tmp_dir}/a'")
+    spark.sql(f"CREATE TABLE ss_b (v BIGINT) USING parquet LOCATION '{tmp_dir}/b'")
+    try:
+        res = tenv.execute_sql(
+            """
+            BEGIN STATEMENT SET;
+              INSERT INTO ss_a SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1;
+              INSERT INTO ss_b SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F';
+            END
+            """
+        )
+        assert res.count() == 2
+        n_a = spark.table("ss_a").count()
+        n_b = spark.table("ss_b").count()
+        assert n_a == spark.table("lineitem").where("l_linenumber = 1").count() > 0
+        assert n_b == spark.table("orders").where("o_orderstatus = 'F'").count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ss_a")
+        spark.sql("DROP TABLE IF EXISTS ss_b")
+
+
+def test_statement_set_api(tenv, spark, tmp_dir):
+    spark.sql("DROP TABLE IF EXISTS ss_c")
+    spark.sql(f"CREATE TABLE ss_c (v BIGINT) USING parquet LOCATION '{tmp_dir}/c'")
+    try:
+        ss = tenv.create_statement_set()
+        ss.add_insert_sql("INSERT INTO ss_c SELECT doc_id FROM documents WHERE doc_id < 7")
+        ss.execute()
+        assert spark.table("ss_c").count() == 7
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ss_c")
