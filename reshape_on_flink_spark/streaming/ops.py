@@ -248,3 +248,18 @@ def async_lookup(df: DataFrame, fetch_coro_factory, out_schema: str) -> DataFram
             yield out
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+def allow_idle_sources(spark) -> None:
+    """Watermark-idleness parity (reference WatermarksWithIdleness.java:
+    an idle source stops holding back the operator watermark).
+
+    Spark has no per-source idleness detection, but the same failure mode
+    — one stalled input pinning the global watermark — is governed by
+    ``spark.sql.streaming.multipleWatermarkPolicy``: the default ``min``
+    blocks on the slowest input; ``max`` advances with the fastest, which
+    is exactly the behavior Flink's idleness marker buys (at the same
+    cost: late rows from the idle side may be dropped once it resumes).
+    Behavioral test: tests/test_streaming.py::test_idle_source_policy.
+    """
+    spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")

@@ -306,3 +306,36 @@ def test_count_evictor_keeps_last_n(spark, tables):
         expected_ids |= {eid for _, eid in sorted(v)[-2:]}
     got_ids = {r["event_id"] for r in kept.select("event_id").collect()}
     assert got_ids == expected_ids
+
+
+def test_idle_source_policy(spark, tables, tmp_dir):
+    """An idle (stale) source must not pin the watermark under the 'max'
+    policy (Flink WatermarksWithIdleness parity): windowed append-mode
+    output covers the active stream's windows; under default 'min' it
+    emits nothing past the idle source's old watermark."""
+    from reshape_on_flink_spark.streaming.ops import allow_idle_sources
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    ev = tables["events"]
+    cols = ["ts", "user_id", "value"]
+    split_ts = ev.selectExpr("percentile(cast(ts as double), 0.2) p").collect()[0]["p"]
+    old = ev.where(F.col("ts").cast("double") <= split_ts).select(cols)
+    recent = ev.where(F.col("ts").cast("double") > split_ts).select(cols)
+
+    def run(policy: str, tag: str):
+        spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", policy)
+        try:
+            s_idle = chunked_replay(spark, old, os.path.join(tmp_dir, f"i_{tag}"), n_chunks=1)
+            s_live = chunked_replay(spark, recent, os.path.join(tmp_dir, f"l_{tag}"), n_chunks=2)
+            unioned = s_idle.withWatermark("ts", "1 minute").unionByName(
+                s_live.withWatermark("ts", "1 minute")
+            )
+            agg = unioned.groupBy(F.window("ts", "1 hour")).agg(F.count("*").alias("n"))
+            return run_to_memory(spark, agg, f"idle_{tag}", tmp_dir, mode="append").count()
+        finally:
+            spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
+
+    allow_idle_sources(spark)  # smoke the helper
+    spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
+    n_min, n_max = run("min", "min"), run("max", "max")
+    assert n_max > n_min, (n_min, n_max)
