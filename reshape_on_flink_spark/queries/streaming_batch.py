@@ -469,3 +469,52 @@ def q_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Window join — reference DataStream.join/coGroup
+# (DataStream.java:721-729, JoinedStreams/CoGroupedStreams): equi-join
+# constrained to the same tumbling window. Spark-first: add the window
+# column to both sides, join on (window, key) — the window becomes part
+# of the shuffle key, so state never crosses window boundaries (the same
+# trick Flink's window join plays with its window operator).
+# Scale: both sides shuffle once on (window, user); window key spreads
+# hot users across time, a free skew reducer.
+# ---------------------------------------------------------------------------
+@query(
+    "q_window_join",
+    """
+    SELECT v.user_id, CAST(FLOOR(epoch(v.ts) / 3600) * 3600 AS BIGINT) AS ws,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND FLOOR(epoch(v.ts) / 3600) = FLOOR(epoch(p.ts) / 3600)
+    GROUP BY v.user_id, ws
+    ORDER BY v.user_id, ws
+    """,
+)
+def q_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .select("user_id", F.window("ts", "1 hour").alias("w"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.window("ts", "1 hour").alias("pw"),
+            "value",
+        )
+    )
+    return (
+        v.join(p, (F.col("user_id") == F.col("p_user")) & (F.col("w") == F.col("pw")))
+        .groupBy("user_id", F.unix_timestamp("w.start").alias("ws"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            dsum("value").alias("purchase_value"),
+        )
+        .orderBy("user_id", "ws")
+    )

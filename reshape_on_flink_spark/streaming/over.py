@@ -127,3 +127,58 @@ def split_late(events: DataFrame, *, ts_col: str = "ts", lateness_seconds: int =
         F.unix_micros(F.col(ts_col))
         < F.unix_micros(w_max) - F.lit(lateness_seconds * 1_000_000),
     )
+
+
+def late_data_router(
+    events: DataFrame,
+    on_time_sink,
+    late_sink,
+    checkpoint: str,
+    *,
+    ts_col: str = "ts",
+    lateness_seconds: int = 600,
+):
+    """allowedLateness + sideOutputLateData, cross-batch (reference
+    WindowedStream.java:108-116): maintains the Flink watermark contract
+    — max event time seen in *completed* micro-batches minus allowed
+    lateness — and routes each batch's rows to ``on_time_sink(df)`` or
+    ``late_sink(df)`` accordingly.
+
+    Unlike split_late (per-batch approximation for pure-DataFrame
+    pipelines), this sees the true cross-batch watermark via foreachBatch
+    driver state. Divergence from Flink: the watermark resets on query
+    restart (persist it next to the checkpoint for exactly-Flink
+    behavior); window operators downstream still use Spark's own
+    watermark. Returns the StreamingQuery.
+
+    100 TB: the routing is two filtered writes per batch — no extra
+    shuffle; the driver holds one long per query, nothing per key.
+    """
+    state = {"wm_us": None}
+    late_bound_us = lateness_seconds * 1_000_000
+
+    def route(batch_df, _batch_id: int):
+        batch_df = batch_df.persist()
+        try:
+            wm = state["wm_us"]
+            ts_us = F.unix_micros(F.col(ts_col))
+            if wm is None:
+                on_time, late = batch_df, batch_df.where(F.lit(False))
+            else:
+                cut = wm - late_bound_us
+                on_time = batch_df.where(ts_us >= F.lit(cut))
+                late = batch_df.where(ts_us < F.lit(cut))
+            on_time_sink(on_time)
+            late_sink(late)
+            mx = batch_df.agg(F.max(ts_us).alias("m")).collect()[0]["m"]
+            if mx is not None:
+                state["wm_us"] = max(state["wm_us"] or 0, int(mx))
+        finally:
+            batch_df.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(route)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

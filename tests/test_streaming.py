@@ -339,3 +339,58 @@ def test_idle_source_policy(spark, tables, tmp_dir):
     spark.conf.unset("spark.sql.streaming.multipleWatermarkPolicy")
     n_min, n_max = run("min", "min"), run("max", "max")
     assert n_max > n_min, (n_min, n_max)
+
+
+def test_late_data_router_cross_batch_watermark(spark, tables, tmp_dir):
+    """Late side output must apply the CROSS-batch watermark: a row is
+    late iff its event time is older than (max event time of all prior
+    batches - lateness) — verified against a driver-side simulation of
+    the same 3-chunk replay."""
+    from reshape_on_flink_spark.streaming.over import late_data_router
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    lateness = 3600  # 1 hour
+    # scramble arrival order (deterministically) so event time is far from
+    # arrival order and late rows actually occur
+    scrambled = tables["events"].withColumn(
+        "arrival", F.md5(F.col("event_id").cast("string"))
+    )
+    stream = chunked_replay(
+        spark, scrambled, os.path.join(tmp_dir, "late"), n_chunks=3, order_col="arrival"
+    )
+    got = {"on_time": set(), "late": set()}
+
+    def sink(name):
+        def write(df):
+            got[name].update(r["event_id"] for r in df.select("event_id").collect())
+        return write
+
+    q = late_data_router(
+        stream, sink("on_time"), sink("late"),
+        os.path.join(tmp_dir, "late_ckpt"), lateness_seconds=lateness,
+    )
+    q.awaitTermination(120)
+
+    import hashlib
+
+    rows = sorted(
+        tables["events"].select("event_id", "ts").collect(),
+        key=lambda r: hashlib.md5(str(r["event_id"]).encode()).hexdigest(),
+    )
+    n = len(rows)
+    base, rem = divmod(n, 3)
+    chunks, start = [], 0
+    for i in range(3):
+        size = base + (1 if i < rem else 0)
+        chunks.append(rows[start : start + size])
+        start += size
+    wm, expected = None, {"on_time": set(), "late": set()}
+    for chunk in chunks:
+        for r in chunk:
+            ts_us = int(r["ts"].timestamp() * 1_000_000)
+            is_late = wm is not None and ts_us < wm - lateness * 1_000_000
+            expected["late" if is_late else "on_time"].add(r["event_id"])
+        mx = max(int(r["ts"].timestamp() * 1_000_000) for r in chunk)
+        wm = max(wm or 0, mx)
+    assert got == expected
+    assert expected["late"], "replay should produce late rows"
