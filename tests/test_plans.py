@@ -117,3 +117,20 @@ def test_bucketed_join_skips_shuffle(spark, tables, tmp_dir):
         spark.sql("DROP TABLE IF EXISTS b_li")
         spark.sql("DROP TABLE IF EXISTS b_o")
 
+
+
+def test_no_cartesian_product_in_any_inventory_plan(spark):
+    """Sweeping plan lint (the 'nothing quadratic survives' rule from
+    README): none of the 100 inventory queries may plan a
+    CartesianProduct. Theta joins must ride BroadcastNestedLoopJoin (one
+    side bounded) — an unbounded cartesian at 100 TB is a bug by
+    definition."""
+    from reshape_on_flink_spark.queries import merged
+
+    queries, _ = merged()
+    offenders = []
+    for name, fn in sorted(queries.items()):
+        plan = plan_of(fn(spark, SF_DIR))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, offenders
