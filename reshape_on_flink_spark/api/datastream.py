@@ -52,6 +52,23 @@ class DataStream:
     def union(self, other: "DataStream") -> "DataStream":
         return DataStream(self.df.unionByName(other.df))
 
+    def side_output(self, cond: Column | str) -> tuple["DataStream", "DataStream"]:
+        """OutputTag/getSideOutput analog (SingleOutputStreamOperator
+        .java:383): returns (main, side) where side satisfies ``cond``.
+        Both branches share one scan under Catalyst when written in the
+        same job (filter-split pattern)."""
+        cond = F.expr(cond) if isinstance(cond, str) else cond
+        return DataStream(self.df.where(~cond)), DataStream(self.df.where(cond))
+
+    def broadcast_connect(
+        self, dim: DataFrame, on: Column, how: str = "left"
+    ) -> "DataStream":
+        """connect(broadcastStream) analog (DataStream.java:254-276,
+        broadcast state): enrich every record against a small broadcast
+        relation — per micro-batch in streaming, one broadcast hash join
+        in batch."""
+        return DataStream(self.df.join(F.broadcast(dim), on, how))
+
     # -- keyed ops --------------------------------------------------------
     def key_by(self, *keys: str) -> "KeyedStream":
         return KeyedStream(self.df, list(keys))
@@ -83,8 +100,55 @@ class KeyedStream:
     def window_tumble(self, ts_col: str, size: str) -> "WindowedStream":
         return WindowedStream(self.df, self.keys, F.window(ts_col, size))
 
+    def window_hop(self, ts_col: str, size: str, slide: str) -> "WindowedStream":
+        return WindowedStream(self.df, self.keys, F.window(ts_col, size, slide))
+
     def window_session(self, ts_col: str, gap: str) -> "WindowedStream":
         return WindowedStream(self.df, self.keys, F.session_window(ts_col, gap))
+
+    def count_window(self, n: int, value_col: str, order_cols: tuple[str, ...]) -> DataStream:
+        """countWindow(n) (GlobalWindows + CountTrigger): streaming-only;
+        delegates to streaming.triggers.count_window_agg."""
+        from reshape_on_flink_spark.streaming.triggers import count_window_agg
+
+        if len(self.keys) != 1:
+            raise ValueError("count_window supports a single key column")
+        return DataStream(
+            count_window_agg(
+                self.df, n=n, key_col=self.keys[0], value_col=value_col, order_cols=order_cols
+            )
+        )
+
+    def window_join(
+        self, other: "KeyedStream", ts_col: str, size: str, suffix: str = "_r"
+    ) -> DataStream:
+        """DataStream window join (DataStream.java:721-729): equi-join on
+        key within the same tumbling window — the window joins the
+        shuffle key, bounding join state to one window."""
+        left = self.df.withColumn("window", F.window(ts_col, size))
+        right = other.df.withColumn("__w_r", F.window(ts_col, size))
+        renames = {c: c + suffix for c in right.columns if c in left.columns}
+        for old, new in renames.items():
+            right = right.withColumnRenamed(old, new)
+        cond = F.col("window") == F.col("__w_r")
+        for lk, rk in zip(self.keys, other.keys):
+            cond = cond & (F.col(lk) == F.col(renames.get(rk, rk)))
+        return DataStream(left.join(right, cond).drop("__w_r"))
+
+    def co_group(
+        self,
+        other: "KeyedStream",
+        fn,
+        schema: str,
+        suffix: str = "_r",
+    ) -> DataStream:
+        """coGroup analog: ``fn(key, left_pdf, right_pdf) -> pdf`` via
+        cogrouped applyInPandas (both sides shuffled once on the key)."""
+        return DataStream(
+            self.df.groupBy(*self.keys)
+            .cogroup(other.df.groupBy(*other.keys))
+            .applyInPandas(fn, schema=schema)
+        )
 
 
 class WindowedStream:
