@@ -518,3 +518,56 @@ def q_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "ws")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-gap session windows — reference
+# DynamicEventTimeSessionWindows.java (SessionWindowTimeGapExtractor):
+# the inactivity gap is computed per event. Spark session_window accepts
+# a Column gap (3.2+). The oracle replays Spark's merge rule
+# relationally: window [t, t+gap) starts a new session iff t >= running
+# max of previous (t+gap) — gaps-and-islands with a cumulative max.
+# ---------------------------------------------------------------------------
+@query(
+    "q_session_window_dynamic_gap",
+    """
+    WITH e AS (
+      SELECT user_id, epoch_us(ts) AS t_us, value,
+             CASE WHEN event_type = 'view' THEN 600 ELSE 1800 END * 1000000 AS gap_us
+      FROM events
+    ),
+    marked AS (
+      SELECT *, CASE WHEN MAX(t_us + gap_us) OVER w_prev IS NULL
+                       OR t_us >= MAX(t_us + gap_us) OVER w_prev
+                     THEN 1 ELSE 0 END AS new_session
+      FROM e
+      WINDOW w_prev AS (PARTITION BY user_id ORDER BY t_us
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    sessions AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY t_us
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS session_id
+      FROM marked
+    )
+    SELECT user_id, MIN(t_us) AS session_start_us,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM sessions GROUP BY user_id, session_id
+    ORDER BY user_id, session_start_us
+    """,
+)
+def q_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir)["events"]
+    gap = F.when(F.col("event_type") == "view", "10 minutes").otherwise("30 minutes")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count("*").alias("n"), dsum("value").alias("sum_value"))
+        .select(
+            "user_id",
+            F.unix_micros("sw.start").alias("session_start_us"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
