@@ -294,6 +294,33 @@ def _rewrite_functions(sql: str) -> str:
         pos = begin + len(rendered)
 
 
+def _rewrite_unnest(sql: str) -> str:
+    """Flink ``[CROSS JOIN] UNNEST(expr) AS t(c)`` (SqlUnnestUtils /
+    CommonExecCorrelate) -> Spark ``LATERAL VIEW explode(expr) t AS c``.
+    Single-column arrays only; multi-column (map/row) forms raise."""
+    while True:
+        hit = _find_call(sql, ("UNNEST",))
+        if not hit:
+            return sql
+        _, begin, end, expr = hit
+        # swallow a preceding "CROSS JOIN" / ","
+        prefix = sql[:begin]
+        m_pre = re.search(r"(?:CROSS\s+JOIN\s*|,\s*)$", prefix, re.IGNORECASE)
+        if m_pre:
+            prefix = prefix[: m_pre.start()]
+        m_alias = re.match(r"\s*(?:AS\s+)?(\w+)\s*\(\s*([\w\s,]+)\)", sql[end:], re.IGNORECASE)
+        if not m_alias:
+            raise ValueError("UNNEST requires an AS t(col) alias")
+        cols = [c.strip() for c in m_alias.group(2).split(",")]
+        if len(cols) != 1:
+            raise NotImplementedError(
+                "multi-column UNNEST (maps/rows) is not translated; use "
+                "LATERAL VIEW explode in Spark SQL directly"
+            )
+        lateral = f" LATERAL VIEW explode({expr}) {m_alias.group(1)} AS {cols[0]}"
+        sql = prefix + lateral + sql[end + m_alias.end() :]
+
+
 _DDL_WITH_RE = re.compile(r"\bWITH\s*\((?P<opts>[^()]*)\)\s*$", re.IGNORECASE | re.DOTALL)
 _WATERMARK_RE = re.compile(r",\s*WATERMARK\s+FOR\s+\w+\s+AS\s+[^,)]+", re.IGNORECASE)
 
@@ -355,6 +382,7 @@ class TableEnvironment:
         masked = _rewrite_ddl(masked, parts)
         masked = _rewrite_window_tvfs(masked, parts)
         masked = _rewrite_legacy_group_windows(masked, parts)
+        masked = _rewrite_unnest(masked)
         masked = re.sub(r"\bPROCTIME\s*\(\s*\)", "current_timestamp()", masked, flags=re.IGNORECASE)
         masked = _rewrite_functions(masked)
         return _unmask_strings(masked, parts)

@@ -394,3 +394,22 @@ def test_late_data_router_cross_batch_watermark(spark, tables, tmp_dir):
         wm = max(wm or 0, mx)
     assert got == expected
     assert expected["late"], "replay should produce late rows"
+
+
+def test_cumulate_works_on_streams(spark, tables, tmp_dir):
+    """CUMULATE is pure expressions (explode + arithmetic), so the same
+    operator must run unchanged on a streaming frame and agree with the
+    batch computation (stream-batch unification)."""
+    from reshape_on_flink_spark.operators.windows import cumulate
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    stream = chunked_replay(spark, tables["events"], os.path.join(tmp_dir, "cum"), n_chunks=3)
+    sliced = cumulate(stream, "ts", max_size="1 hour", step="15 minutes")
+    agg = sliced.groupBy("window_start", "window_end").agg(F.count("*").alias("n"))
+    got = run_to_memory(spark, agg, "cum_out", tmp_dir, mode="complete")
+    expected = (
+        cumulate(tables["events"], "ts", max_size="1 hour", step="15 minutes")
+        .groupBy("window_start", "window_end")
+        .agg(F.count("*").alias("n"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))

@@ -228,3 +228,19 @@ def test_statement_set_api(tenv, spark, tmp_dir):
         assert spark.table("ss_c").count() == 7
     finally:
         spark.sql("DROP TABLE IF EXISTS ss_c")
+
+
+def test_unnest_translation(tenv, tables):
+    got = tenv.execute_sql(
+        """
+        SELECT doc_id, tok FROM documents
+        CROSS JOIN UNNEST(split(text, ' ')) AS t(tok)
+        WHERE doc_id = 1
+        """
+    )
+    expected = (
+        tables["documents"]
+        .where("doc_id = 1")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    assert rows(got) == rows(expected)
