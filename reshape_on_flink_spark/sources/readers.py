@@ -100,3 +100,38 @@ def datagen(
         (F.pmod(F.hash(F.col("id") + seed * 7), F.lit(10_000)) / 100.0).alias("value"),
         F.md5(F.col("id").cast("string")).alias("payload"),
     )
+
+
+def idempotent_foreach_batch(write_fn, marker_dir: str):
+    """Exactly-once sink semantics for arbitrary foreachBatch writers.
+
+    Reference parity: Flink's exactly-once sinks (TwoPhaseCommitSinkFunction
+    / checkpoint-coordinated commits, CheckpointCoordinator.java:96). Spark
+    guarantees foreachBatch is called with a monotonically increasing
+    batch_id and re-calls the SAME id after a restart — so exactly-once
+    reduces to idempotence per batch_id. This wraps any ``write_fn(df)``:
+    a commit marker per batch_id is written AFTER the sink write; replayed
+    ids with an existing marker are skipped.
+
+    The marker write itself is the atomic commit point (single rename on
+    any POSIX/object store with atomic rename); if the process dies
+    between sink write and marker, the batch replays — so ``write_fn``
+    must be overwrite-by-batch (e.g., write to a batch_id-keyed path or
+    MERGE on a key), which is exactly the contract Flink's 2PC sinks
+    impose on their pre-commit phase.
+    """
+    import os
+
+    os.makedirs(marker_dir, exist_ok=True)
+
+    def write(df, batch_id: int):
+        marker = os.path.join(marker_dir, f"batch_{batch_id}.done")
+        if os.path.exists(marker):
+            return
+        write_fn(df, batch_id)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("committed")
+        os.rename(tmp, marker)
+
+    return write
