@@ -130,3 +130,24 @@ def fingerprint(col: str | Column = "text") -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * 31 + h) % FP_MOD,
     )
+
+
+#: GPT-2-style pre-tokenizer regex, restricted to constructs shared by
+#: Java regex (Spark) and RE2 (DuckDB): contractions, space-prefixed
+#: letter runs, digit runs, punctuation runs. No lookarounds, no \p
+#: classes — byte-identical token streams across engines.
+BPE_SPLIT_REGEX = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_tokens(col: str | Column = "text") -> Column:
+    """BPE-ish pre-tokenization (the split step every BPE/WordPiece
+    tokenizer runs before merges): array of raw token strings. The merge
+    table itself is model-specific — plug a real tokenizer into a pandas
+    UDF for exact token ids; this column gives the scale-relevant stats
+    (token counts, length histograms) with zero Python."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_SPLIT_REGEX), 0)
+
+
+def bpe_token_count(col: str | Column = "text") -> Column:
+    return F.size(bpe_tokens(col))

@@ -400,3 +400,33 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_bpe_token_stats",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')))
+             AS BIGINT) AS total_tokens,
+           CAST(MAX(len(regexp_extract_all(text,
+             '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')))
+             AS BIGINT) AS max_tokens
+    FROM documents GROUP BY source ORDER BY source
+    """,
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting via the BPE-ish pre-tokenizer regex (T.bpe_tokens)
+    — the whitespace counter's production-grade sibling; both engines run
+    the identical RE2-safe pattern."""
+    d = load_tables(spark, sf_dir)["documents"]
+    n_tok = T.bpe_token_count("text")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(n_tok).alias("total_tokens"),
+            F.max(n_tok).alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
