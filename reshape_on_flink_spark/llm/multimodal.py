@@ -81,3 +81,87 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(_decode_batch, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    decode: str = "fake",
+) -> DataFrame:
+    """Image resize stage: payload -> resized payload + (width, height).
+
+    ``decode='real'`` is the PIL/turbojpeg plug point (absent in this
+    container -> NotImplementedError). The 'fake' codec emits a
+    deterministic payload of exactly width*height bytes derived from the
+    source bytes, so the batch plumbing — binary in/binary out through
+    Arrow, output size contracts — is test-checkable. Scale: resizing is
+    embarrassingly parallel; cap Arrow batch bytes via
+    spark.sql.execution.arrow.maxRecordsPerBatch for multi-MB images so a
+    batch fits executor memory.
+    """
+    if decode == "real":
+        raise NotImplementedError(
+            "real image resize requires PIL/libjpeg — plug the decoder in here"
+        )
+    out_schema = ", ".join(
+        [f"{n} {t}" for n, t in df.dtypes] + ["resized binary", "out_w int", "out_h int"]
+    )
+    n_bytes = width * height
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def fake(p: bytes) -> bytes:
+                if not p:
+                    return b"\x00" * n_bytes
+                reps = (n_bytes // len(p)) + 1
+                return (p * reps)[:n_bytes]
+
+            pdf = pdf.assign(
+                resized=pdf[payload_col].map(fake),
+                out_w=width,
+                out_h=height,
+            )
+            pdf["out_w"] = pdf["out_w"].astype("int32")
+            pdf["out_h"] = pdf["out_h"].astype("int32")
+            yield pdf
+
+    return df.mapInPandas(_resize, schema=out_schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n_bytes: int,
+    max_frames: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    decode: str = "fake",
+) -> DataFrame:
+    """Video frame sampling: one payload row -> N frame rows
+    (id, frame_idx, frame binary). The row-expanding mapInPandas shape is
+    the real contract (a video decoder replaces the fake slicer).
+    Scale: output is a generator stage — no buffering of all frames; at
+    100 TB keep frame rows co-partitioned with their source by
+    repartitioning on id AFTER sampling only if a keyed op follows.
+    """
+    if decode == "real":
+        raise NotImplementedError(
+            "real frame sampling requires ffmpeg/av — plug the demuxer in here"
+        )
+    out_schema = f"{id_col} long, frame_idx int, frame binary"
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for did, p in zip(pdf[id_col], pdf[payload_col]):
+                p = p or b""
+                for i in range(min(max_frames, max(1, len(p) // every_n_bytes))):
+                    ids.append(int(did))
+                    idxs.append(i)
+                    frames.append(p[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames}).astype(
+                {id_col: "int64", "frame_idx": "int32"}
+            )
+
+    return df.mapInPandas(_sample, schema=out_schema)

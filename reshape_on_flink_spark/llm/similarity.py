@@ -159,3 +159,85 @@ def ann_lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+def ivf_centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]:
+    """Seeded random unit centroids for IVF coarse quantization.
+
+    Production IVF trains centroids with k-means; means of floats are
+    partition-order-dependent, which would break the bit-exact oracle
+    contract, so the engine ships the (well-studied) random-centroid
+    variant: assignment quality is lower per cell, compensated by nprobe.
+    Swap in offline-trained centroid literals for a real deployment —
+    the plan shape (assign -> cell equi-join -> re-rank) is identical."""
+    rng = np.random.default_rng(seed)
+    c = rng.standard_normal((n_cells, dim))
+    c = c / np.linalg.norm(c, axis=1, keepdims=True)
+    return c.tolist()
+
+
+def _cell_of(vec_col: str | Column, centroids: list[list[float]]) -> Column:
+    """Nearest cell id — defined as probe_cells(...)[0] so corpus
+    assignment and query probing share one ordering spec (desc dot,
+    desc cell on float ties)."""
+    return F.element_at(_probe_cells(vec_col, centroids, 1), 1)
+
+
+def _probe_cells(vec_col: str | Column, centroids: list[list[float]], nprobe: int) -> Column:
+    """Array of the nprobe nearest cell ids (by centroid dot product)."""
+    pairs = F.array(
+        *[
+            F.struct(
+                dot(vec_col, F.array(*[F.lit(float(x)) for x in cen])).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, cen in enumerate(centroids)
+        ]
+    )
+    ordered = F.reverse(F.array_sort(pairs))  # by d desc, cell desc tiebreak
+    return F.slice(ordered, 1, nprobe).getField("cell")
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: corpus rows live in their nearest centroid's cell;
+    each query probes its ``nprobe`` nearest cells; exact cosine re-rank
+    within the probed candidates.
+
+    Physically: corpus gets ONE narrow map (cell assignment) and the
+    candidate set is an equi-join on cell id — at 100 TB the corpus scan
+    partitions by cell (write bucketed-by-cell parquet to make the probe
+    a partition-pruned read), and the shuffle carries |corpus|·(hit
+    cells/n_cells) rows instead of |corpus|·|queries|."""
+    cents = ivf_centroids(dim, n_cells, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        _cell_of(vec_col, cents).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(_probe_cells(vec_col, cents, nprobe)).alias("cell"),
+    )
+    cand = (
+        q.join(c, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "qvec", "neighbor_id", "cvec")
+    )
+    scored = cand.select("query_id", "neighbor_id", cosine("qvec", "cvec").alias("cos_sim"))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )

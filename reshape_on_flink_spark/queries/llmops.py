@@ -430,3 +430,61 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _ann_ivf_oracle(n_cells: int = 16, nprobe: int = 4, dim: int = 64, seed: int = 7) -> str:
+    """DuckDB replica of ann_ivf_topk: centroid literals embedded, the
+    same (desc dot, desc cell) ordering via struct sort, cosine re-rank
+    with the shared fold kernel."""
+    def dot_sql(vec: str, plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {lit}), "
+            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        )
+
+    cents = S.ivf_centroids(dim, n_cells, seed)
+    ranked = (
+        "list_reverse(list_sort(["
+        + ", ".join(
+            f"struct_pack(d := {dot_sql('embedding', cen)}, cell := {i})"
+            for i, cen in enumerate(cents)
+        )
+        + "]))"
+    )
+    cos = (
+        "list_sum(list_transform(list_zip(qvec, cvec), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+    WITH cells AS (SELECT vec_id, embedding, {ranked} AS ranked FROM embeddings),
+    corpus AS (SELECT vec_id AS neighbor_id, embedding AS cvec,
+                      ranked[1].cell AS cell FROM cells),
+    probes AS (SELECT vec_id AS query_id, embedding AS qvec,
+                      unnest(list_transform(ranked[1:{nprobe}], r -> r.cell)) AS cell
+               FROM cells WHERE vec_id < 10),
+    scored AS (
+      SELECT query_id, neighbor_id, {cos} AS cos_sim
+      FROM probes JOIN corpus USING (cell)
+      WHERE query_id <> neighbor_id)
+    SELECT query_id, "rank", neighbor_id, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS "rank"
+      FROM scored)
+    WHERE "rank" <= 5
+    ORDER BY query_id, "rank"
+    """
+
+
+@query("q_similarity_ivf", _ann_ivf_oracle())
+def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN (the bucketed scale path next to LSH):
+    corpus partitioned by nearest seeded centroid, queries probe 4 cells,
+    exact cosine re-rank inside candidates."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.ann_ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5).orderBy(
+        "query_id", "rank"
+    )

@@ -120,3 +120,43 @@ def test_embedding_near_dup_lsh_recall(spark, tables):
     assert set(approx) <= set(exact)  # no false positives: same exact re-check
     for k in set(approx) & set(exact):
         assert approx[k] == exact[k]
+
+
+def test_ivf_recall_vs_brute_force(spark, tables):
+    from reshape_on_flink_spark.llm.similarity import ann_ivf_topk, brute_force_topk
+
+    emb = tables["embeddings"]
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, q, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in ann_ivf_topk(emb, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # 4/16 cells probed; raise nprobe for more
+
+
+def test_multimodal_resize_contract(spark, tables):
+    from reshape_on_flink_spark.llm import multimodal as M
+
+    d = M.attach_binary_payload(tables["documents"].limit(20))
+    out = M.resize_images(d.select("doc_id", "payload"), width=8, height=4)
+    rows = out.collect()
+    assert len(rows) == 20
+    assert all(len(bytes(r["resized"])) == 32 for r in rows)
+    assert all((r["out_w"], r["out_h"]) == (8, 4) for r in rows)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        M.resize_images(d, 8, 4, decode="real")
+
+
+def test_multimodal_frame_sampling_expands_rows(spark, tables):
+    from reshape_on_flink_spark.llm import multimodal as M
+
+    d = M.attach_binary_payload(tables["documents"].limit(10)).select("doc_id", "payload")
+    out = M.sample_frames(d, every_n_bytes=16, max_frames=4).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    src = {r["doc_id"]: bytes(r["payload"]) for r in d.collect()}
+    for did, idxs in per_doc.items():
+        expected = min(4, max(1, len(src[did]) // 16))
+        assert sorted(idxs) == list(range(expected))
