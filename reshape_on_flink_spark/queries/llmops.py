@@ -488,3 +488,32 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=5).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "q_dedup_clusters",
+    f"""
+    WITH {SQL_SHINGLE_CTE}, {SQL_BANDS_CTE},
+    edges AS (SELECT d1 AS src, d2 AS dst FROM cand
+              UNION SELECT d2, d1 FROM cand),
+    closure AS (
+      -- transitive closure by recursive CTE: min reachable id == the
+      -- iterative min-label propagation the Spark operator runs
+      WITH RECURSIVE reach(node, other) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON r.other = e.src
+      )
+      SELECT node, LEAST(node, MIN(other)) AS keeper FROM reach GROUP BY node
+    )
+    SELECT node AS doc_id, keeper AS keeper_id FROM closure
+    ORDER BY doc_id
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: LSH candidate pairs -> connected components
+    (driver-loop label propagation, the reference's DataSet-iteration
+    analog) -> keeper per doc. Oracle: recursive-CTE transitive closure."""
+    d = load_tables(spark, sf_dir)["documents"]
+    pairs = D.lsh_candidates(D.lsh_bands(D.minhash_sig_array(d)))
+    return D.dedup_clusters(pairs).orderBy("doc_id")
