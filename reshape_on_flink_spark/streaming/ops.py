@@ -154,8 +154,19 @@ def dedup_keep_last(events: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def interval_join_views_purchases(
-    events: DataFrame, *, bound_seconds: int = 600, watermark: str = "10 minutes"
+    events: DataFrame,
+    *,
+    bound_seconds: int = 600,
+    watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
+    """Stream-stream time-interval join (reference
+    StreamExecIntervalJoin / TimeIntervalJoin.java): views matched to
+    purchases within (v_ts, v_ts + bound]. ``how='left_outer'`` emits
+    unmatched views once the watermark closes their interval — the
+    reference's outer interval join semantics, built into Spark's
+    stream-stream join. Both sides' state is bounded by watermark +
+    interval (state cleanup is automatic)."""
     v = (
         events.where(F.col("event_type") == "view")
         .select("user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id"))
@@ -175,6 +186,7 @@ def interval_join_views_purchases(
         (F.col("user_id") == F.col("p_user_id"))
         & (F.col("v_ts") < F.col("p_ts"))
         & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {bound_seconds} SECONDS")),
+        how,
     ).select("user_id", "view_id", "purchase_id")
 
 
