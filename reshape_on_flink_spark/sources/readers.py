@@ -135,3 +135,54 @@ def idempotent_foreach_batch(write_fn, marker_dir: str):
         os.rename(tmp, marker)
 
     return write
+
+
+def write_jdbc(
+    df,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    driver: str = "org.apache.derby.jdbc.EmbeddedDriver",
+    **options,
+):
+    """JDBC sink (reference flink-connectors/flink-connector-jdbc).
+
+    Scale: one JDBC connection per partition writes batched inserts —
+    ``df.repartition(n)`` controls sink concurrency; the RDBMS, not
+    Spark, is the bottleneck at 100 TB (use partitioned staging +
+    LOAD/COPY for bulk loads)."""
+    w = df.write.format("jdbc").option("url", url).option("dbtable", table).option(
+        "driver", driver
+    )
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.mode(mode).save()
+
+
+def read_jdbc(
+    spark,
+    url: str,
+    table: str,
+    driver: str = "org.apache.derby.jdbc.EmbeddedDriver",
+    partition_column: str | None = None,
+    num_partitions: int = 1,
+    lower_bound=None,
+    upper_bound=None,
+    **options,
+):
+    """JDBC source with optional range-partitioned parallel read (the
+    reference's JdbcNumericBetweenParametersProvider split). Filters and
+    column pruning push into the generated SQL (DSv1 JDBC pushdown)."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table).option(
+        "driver", driver
+    )
+    if partition_column is not None:
+        r = (
+            r.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load()

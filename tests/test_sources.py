@@ -73,3 +73,26 @@ def test_idempotent_foreach_batch_skips_replayed_ids(spark, tables, tmp_dir):
     os.remove(os.path.join(tmp_dir, "markers", "batch_1.done"))
     write(df, 1)
     assert [c[0] for c in calls] == [0, 1, 1]
+
+
+def test_jdbc_roundtrip_partitioned_and_pushdown(spark, tables):
+    """JDBC connector against embedded Derby: round-trip, partitioned
+    parallel read, and filter pushdown into the remote query."""
+    from reshape_on_flink_spark.sources.readers import read_jdbc, write_jdbc
+
+    url = "jdbc:derby:memory:enginetest;create=true"
+    src = tables["nation"]
+    write_jdbc(src, url, "nation_jdbc")
+    back = read_jdbc(
+        spark, url, "nation_jdbc",
+        partition_column="n_nationkey", num_partitions=4, lower_bound=0, upper_bound=25,
+    )
+    assert back.rdd.getNumPartitions() == 4
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+    filtered = back.where("n_nationkey < 5").select("n_name")
+    plan = filtered._jdf.queryExecution().explainString(
+        filtered._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "n_nationkey" in plan.split("PushedFilters")[1][:120]
+    assert filtered.count() == 5
