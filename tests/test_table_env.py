@@ -244,3 +244,36 @@ def test_unnest_translation(tenv, tables):
         .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     )
     assert rows(got) == rows(expected)
+
+
+def test_flink_sql_tvf_on_streaming_view(tenv, spark, tables, tmp_dir):
+    """The reference's primary mode: Flink SQL over an unbounded stream.
+    A TUMBLE TVF query issued through execute_sql against a STREAMING
+    temp view must run as a streaming query and converge to the batch
+    result (stream-batch unification)."""
+    import os
+
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+    from tests.test_streaming import run_to_memory
+
+    stream = chunked_replay(
+        spark, tables["events"], os.path.join(tmp_dir, "sqlstream"), n_chunks=3
+    )
+    stream.createOrReplaceTempView("events_stream")
+    sdf = tenv.execute_sql(
+        """
+        SELECT window_start, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM TABLE(TUMBLE(TABLE events_stream, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start
+        """
+    )
+    assert sdf.isStreaming
+    got = run_to_memory(spark, sdf, "sqlstream_out", tmp_dir, mode="complete")
+    expected = tenv.execute_sql(
+        """
+        SELECT window_start, COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR))
+        GROUP BY window_start
+        """
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
