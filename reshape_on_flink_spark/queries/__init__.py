@@ -40,6 +40,9 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
     for mod in (relational, relational2, tpch_rest, streaming_batch, llmops):
+        dupes = queries.keys() & mod.QUERIES.keys()
+        if dupes:
+            raise ValueError(f"duplicate query names across modules: {sorted(dupes)}")
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

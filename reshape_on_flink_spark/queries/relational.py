@@ -1394,3 +1394,46 @@ def q_hash_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Array / map / row constructors and accessors — reference Table-API
+# definitions BuiltInFunctionDefinitions.java:1198-1260 (array/map/row,
+# at, cardinality, element, flatten). All scalar outputs so the hash
+# compare stays representation-independent.
+# ---------------------------------------------------------------------------
+@query(
+    "q_array_map_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           len([l_quantity, l_discount, l_tax]) AS arr_len,
+           ([l_quantity, l_discount, l_tax])[2] AS arr_at_2,
+           map(['q', 'd'], [l_quantity, l_discount])['d'][1] AS map_at_d,
+           len(flatten([[l_quantity], [l_discount, l_tax]])) AS flat_len,
+           struct_pack(q := l_quantity, f := l_returnflag).f AS row_field
+    FROM lineitem
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q_array_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    arr = F.array("l_quantity", "l_discount", "l_tax")
+    m = F.create_map(F.lit("q"), F.col("l_quantity"), F.lit("d"), F.col("l_discount"))
+    return (
+        li.where(F.col("l_orderkey") < 100)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.size(arr).alias("arr_len"),
+            F.element_at(arr, 2).alias("arr_at_2"),
+            F.element_at(m, "d").alias("map_at_d"),
+            F.size(F.flatten(F.array(F.array("l_quantity"), F.array("l_discount", "l_tax")))).alias(
+                "flat_len"
+            ),
+            F.struct(F.col("l_quantity").alias("q"), F.col("l_returnflag").alias("f"))
+            .getField("f")
+            .alias("row_field"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
