@@ -69,6 +69,28 @@ class DataStream:
         in batch."""
         return DataStream(self.df.join(F.broadcast(dim), on, how))
 
+    # -- physical partitioning (reference streaming/runtime/partitioner/:
+    # rebalance, rescale, broadcast, shuffle, forward, global, keyBy) ----
+    def rebalance(self, n: int | None = None) -> "DataStream":
+        """Round-robin redistribute (RebalancePartitioner)."""
+        return DataStream(self.df.repartition(n) if n else self.df.repartition())
+
+    def rescale(self, n: int) -> "DataStream":
+        """Local-ish scale-down without full shuffle (RescalePartitioner
+        ~ coalesce: merges co-located partitions, no exchange)."""
+        return DataStream(self.df.coalesce(n))
+
+    def partition_custom(self, n: int, *cols: str) -> "DataStream":
+        """CustomPartitionerWrapper analog: hash-partition on chosen
+        columns (add a salt column first for custom spreading)."""
+        return DataStream(self.df.repartition(n, *[F.col(c) for c in cols]))
+
+    def global_(self) -> "DataStream":
+        """GlobalPartitioner: everything to one partition — only for
+        tiny final results (a deliberate scalability cliff, as in the
+        reference)."""
+        return DataStream(self.df.coalesce(1))
+
     # -- keyed ops --------------------------------------------------------
     def key_by(self, *keys: str) -> "KeyedStream":
         return KeyedStream(self.df, list(keys))

@@ -1,0 +1,94 @@
+"""Iteration operator — reference ``DataStream.iterate``
+(DataStream.java:531-559) / DataSet bulk iterations.
+
+Spark has no iteration operator: the idiomatic form is a driver loop over
+DataFrame steps, with ``localCheckpoint()`` per round to truncate lineage
+(otherwise plan depth grows linearly and analysis cost quadratically).
+This module makes the pattern a first-class operator:
+
+    result = iterate(seed_df, step_fn, max_iters=20, converged=same_rows)
+
+``llm/dedup.dedup_clusters`` is this pattern specialized to min-label
+propagation; ``pagerank`` below is the Gelly-adjacent demonstrator
+(flink-libraries/flink-gelly PageRank example).
+
+100 TB: each round is an ordinary distributed job; the driver holds only
+loop control. Convergence checks cost one action per round — make them
+cheap (count of changed rows, not a full collect).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def iterate(
+    seed: DataFrame,
+    step: Callable[[DataFrame, int], DataFrame],
+    max_iters: int,
+    converged: Callable[[DataFrame, DataFrame], bool] | None = None,
+) -> DataFrame:
+    """Run ``step(state, i)`` until ``converged(prev, new)`` or
+    ``max_iters``. State is localCheckpoint()ed every round."""
+    state = seed.localCheckpoint()
+    for i in range(max_iters):
+        new_state = step(state, i).localCheckpoint()
+        if converged is not None and converged(state, new_state):
+            return new_state
+        state = new_state
+    return state
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iters: int = 15,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over an edge list -> (node, rank).
+
+    Classic join-agg formulation: contributions = rank/out_degree routed
+    along edges, new rank = (1-d)/N + d * (sum of contributions +
+    dangling mass / N). Each round: one join on src (+ one agg) — the
+    same shuffle pattern at any graph size; ranks are doubles, so use a
+    tolerance when asserting (fp sums are partition-order-dependent).
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy(src).agg(F.count("*").alias("out_deg")).localCheckpoint()
+    ranks0 = nodes.withColumn("rank", F.lit(1.0 / n))
+
+    def step(ranks: DataFrame, _i: int) -> DataFrame:
+        with_deg = ranks.join(out_deg, ranks["node"] == out_deg[src], "left")
+        dangling = (
+            with_deg.where(F.col("out_deg").isNull()).agg(F.sum("rank").alias("m")).collect()[0]["m"]
+            or 0.0
+        )
+        contribs = (
+            edges.join(ranks, edges[src] == ranks["node"])
+            .join(out_deg, src)
+            .select(F.col(dst).alias("node"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        return (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+        )
+
+    return iterate(ranks0, step, max_iters)

@@ -85,3 +85,13 @@ def test_co_group_set_difference(spark, tables):
     p_users = {r["user_id"] for r in ev.where("event_type = 'purchase'").select("user_id").distinct().collect()}
     expected_users = v_users - p_users
     assert set(got) == expected_users
+
+
+def test_partitioner_facade(spark, tables):
+    ev = DataStream(tables["events"].select("user_id", "event_id"))
+    assert ev.rebalance(16).df.rdd.getNumPartitions() == 16
+    assert ev.rebalance(16).rescale(4).df.rdd.getNumPartitions() == 4
+    assert ev.global_().df.rdd.getNumPartitions() == 1
+    p = ev.partition_custom(8, "user_id")
+    assert p.df.rdd.getNumPartitions() == 8
+    assert p.df.count() == tables["events"].count()

@@ -101,3 +101,46 @@ def test_cumulate_slices(spark, tables):
         assert 1 <= len(wins) <= 4  # 1..max/step growing slices
         ends = sorted(e for _, e in wins)
         assert all(ends[i + 1] - ends[i] == 900 for i in range(len(ends) - 1))
+
+
+def test_iterate_fixed_point(spark):
+    """iterate() doubles a value until the cap — converged() stops it."""
+    from reshape_on_flink_spark.operators.iterate import iterate
+    from pyspark.sql import functions as F
+
+    seed = spark.createDataFrame([(1,)], "v int")
+    out = iterate(
+        seed,
+        lambda df, i: df.select(F.least(F.col("v") * 2, F.lit(100)).alias("v")),
+        max_iters=50,
+        converged=lambda a, b: a.collect() == b.collect(),
+    )
+    assert out.collect()[0]["v"] == 100
+
+
+def test_pagerank_matches_reference_implementation(spark):
+    """PageRank vs a driver-side reference on the same small graph
+    (edge list from nation adjacency); fp tolerance, ranks sum to 1."""
+    from reshape_on_flink_spark.operators.iterate import pagerank
+
+    edges_py = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (4, 2)]  # node 5 absent
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, max_iters=25).collect()}
+
+    import collections
+
+    nodes = sorted({n for e in edges_py for n in e})
+    n = len(nodes)
+    out = collections.Counter(s for s, _ in edges_py)
+    ranks = {v: 1.0 / n for v in nodes}
+    d = 0.85
+    for _ in range(25):
+        dangling = sum(r for v, r in ranks.items() if out[v] == 0)
+        new = {}
+        for v in nodes:
+            in_sum = sum(ranks[s] / out[s] for s, t in edges_py if t == v)
+            new[v] = (1 - d) / n + d * dangling / n + d * in_sum
+        ranks = new
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
