@@ -517,3 +517,51 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_tables(spark, sf_dir)["documents"]
     pairs = D.lsh_candidates(D.lsh_bands(D.minhash_sig_array(d)))
     return D.dedup_clusters(pairs).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# The composed curation pipeline, oracle-verified END-TO-END: quality
+# gate -> lang id -> exact dedup -> minhash/LSH near-dup clustering ->
+# per-language corpus stats. One hash mismatch anywhere in the chain
+# fails the gate, so this is the integration test of the LLM stack.
+# ---------------------------------------------------------------------------
+_PIPELINE_SHINGLES = (SQL_SHINGLE_CTE + "," + SQL_BANDS_CTE).replace(
+    "FROM documents", "FROM docs"
+)
+
+@query(
+    "q_llm_pipeline",
+    f"""
+    WITH t0 AS (SELECT doc_id, text, {SQL_TOKS} AS tk FROM documents),
+    scored AS (SELECT *, {_LANG_SCORE_COLS} FROM t0),
+    pred AS (SELECT doc_id, text, tk, {_LANG_CASE} AS predicted_lang FROM scored),
+    quality AS (SELECT * FROM pred WHERE len(tk) >= 5 AND LENGTH(text) >= 20),
+    exact AS (SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM quality)
+      WHERE doc_id = keep_id),
+    docs AS (SELECT doc_id, text FROM exact),
+    {_PIPELINE_SHINGLES},
+    edges AS (SELECT d1 AS src, d2 AS dst FROM cand UNION SELECT d2, d1 FROM cand),
+    closure AS (
+      WITH RECURSIVE reach(node, other) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON r.other = e.src
+      )
+      SELECT node, LEAST(node, MIN(other)) AS keeper FROM reach GROUP BY node
+    ),
+    kept AS (
+      SELECT e.doc_id, e.predicted_lang, len(e.tk) AS n_tokens
+      FROM exact e LEFT JOIN closure c ON c.node = e.doc_id
+      WHERE c.node IS NULL OR c.keeper = e.doc_id)
+    SELECT predicted_lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS min_doc_id
+    FROM kept GROUP BY predicted_lang ORDER BY predicted_lang
+    """,
+)
+def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.llm.pipeline import corpus_stats
+
+    return corpus_stats(load_tables(spark, sf_dir)["documents"])
