@@ -53,7 +53,7 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for warm_q in ("q1_pricing_summary", "q_simhash"):
+        for warm_q in ("q1_pricing_summary", "q_simhash", "q_text_quality", "q_minhash_near_dups"):
             queries[warm_q](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
