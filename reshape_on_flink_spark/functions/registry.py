@@ -226,7 +226,9 @@ REGISTRY: dict[str, Entry] = {
         _e("CUMULATE", None, "expr",
            "no Spark TVF; operators/windows.cumulate (explode-based slice assigner)"),
         # ---- explicitly unsupported ----
-        _e("MATCH_RECOGNIZE", None, "unsupported", "SQL CEP — out of scope (SURVEY §4.3)"),
+        _e("MATCH_RECOGNIZE", None, "divergent",
+           "SQL-text form not parsed; full NFA operator at operators.cep.match_recognize"
+           " (batch + streaming)"),
     ]
 }
 
