@@ -294,10 +294,17 @@ def _rewrite_functions(sql: str) -> str:
         pos = begin + len(rendered)
 
 
-def _rewrite_unnest(sql: str) -> str:
-    """Flink ``[CROSS JOIN] UNNEST(expr) AS t(c)`` (SqlUnnestUtils /
-    CommonExecCorrelate) -> Spark ``LATERAL VIEW explode(expr) t AS c``.
-    Single-column arrays only; multi-column (map/row) forms raise."""
+def _rewrite_unnest(sql: str, multi_fn: str = "inline") -> str:
+    """Flink ``[CROSS JOIN] UNNEST(expr) AS t(c, ...)`` (SqlUnnestUtils /
+    CommonExecCorrelate) -> Spark LATERAL VIEW.
+
+    - one alias column  -> ``LATERAL VIEW explode(expr) t AS c`` (arrays)
+    - N alias columns   -> ``LATERAL VIEW {multi_fn}(expr) t AS c1, ...``
+      where ``multi_fn`` is ``inline`` for array<row> (Flink flattens row
+      fields to columns) or ``explode`` for maps (key, value). Text alone
+      cannot tell a 2-field row array from a map, so ``execute_sql``
+      resolves the ambiguity by retrying with ``explode`` when analysis
+      of the ``inline`` form fails (see _UNNEST_RETRY)."""
     while True:
         hit = _find_call(sql, ("UNNEST",))
         if not hit:
@@ -312,12 +319,8 @@ def _rewrite_unnest(sql: str) -> str:
         if not m_alias:
             raise ValueError("UNNEST requires an AS t(col) alias")
         cols = [c.strip() for c in m_alias.group(2).split(",")]
-        if len(cols) != 1:
-            raise NotImplementedError(
-                "multi-column UNNEST (maps/rows) is not translated; use "
-                "LATERAL VIEW explode in Spark SQL directly"
-            )
-        lateral = f" LATERAL VIEW explode({expr}) {m_alias.group(1)} AS {cols[0]}"
+        fn = "explode" if len(cols) == 1 else multi_fn
+        lateral = f" LATERAL VIEW {fn}({expr}) {m_alias.group(1)} AS {', '.join(cols)}"
         sql = prefix + lateral + sql[end + m_alias.end() :]
 
 
@@ -365,7 +368,7 @@ class TableEnvironment:
         return cls(spark)
 
     @staticmethod
-    def translate(sql: str) -> str:
+    def translate(sql: str, unnest_multi: str = "inline") -> str:
         """Flink SQL -> Spark SQL (pure text; no session needed)."""
         if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
             raise NotImplementedError(
@@ -382,7 +385,7 @@ class TableEnvironment:
         masked = _rewrite_ddl(masked, parts)
         masked = _rewrite_window_tvfs(masked, parts)
         masked = _rewrite_legacy_group_windows(masked, parts)
-        masked = _rewrite_unnest(masked)
+        masked = _rewrite_unnest(masked, unnest_multi)
         masked = re.sub(r"\bPROCTIME\s*\(\s*\)", "current_timestamp()", masked, flags=re.IGNORECASE)
         masked = _rewrite_functions(masked)
         return _unmask_strings(masked, parts)
@@ -393,11 +396,23 @@ class TableEnvironment:
         re.IGNORECASE | re.DOTALL,
     )
 
+    # multi-column UNNEST is ambiguous in text: array<row> needs inline(),
+    # map needs explode(). Try inline first; a type-mismatch analysis error
+    # means the operand was a map -> retry once with explode.
+    _UNNEST_MULTI_RE = re.compile(
+        r"\bUNNEST\s*\(.*?\)\s*(?:AS\s+)?\w+\s*\(\s*\w+\s*,", re.IGNORECASE | re.DOTALL
+    )
+
     def execute_sql(self, sql: str) -> DataFrame:
         m = self._STMT_SET_RE.match(sql)
         if m:
             return self._execute_statement_set(m.group("body"))
-        return self.spark.sql(self.translate(sql))
+        try:
+            return self.spark.sql(self.translate(sql))
+        except Exception as exc:  # AnalysisException: inline() over a map
+            if self._UNNEST_MULTI_RE.search(sql) and "inline" in str(exc).lower():
+                return self.spark.sql(self.translate(sql, unnest_multi="explode"))
+            raise
 
     # Flink's sqlQuery and executeSql are the same path for queries here.
     sql_query = execute_sql

@@ -246,6 +246,34 @@ def test_unnest_translation(tenv, tables):
     assert rows(got) == rows(expected)
 
 
+def test_unnest_multi_column_row_array(tenv, spark):
+    """UNNEST(array<row>) AS t(a, b) flattens row fields to columns
+    (Flink SqlUnnestUtils row form) -> Spark LATERAL VIEW inline."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, array(named_struct('item', 'a', 'qty', 2),"
+        " named_struct('item', 'b', 'qty', 3))), (2, array(named_struct('item', 'c', 'qty', 5)))"
+        " AS t(order_id, lines)"
+    ).createOrReplaceTempView("unnest_rows_src")
+    got = tenv.execute_sql(
+        "SELECT order_id, item, qty FROM unnest_rows_src"
+        " CROSS JOIN UNNEST(lines) AS u(item, qty)"
+    )
+    assert rows(got) == [(1, "a", 2), (1, "b", 3), (2, "c", 5)]
+
+
+def test_unnest_multi_column_map(tenv, spark):
+    """UNNEST(map) AS t(k, v) -> explode; resolved via the typed retry
+    (inline fails analysis on a map operand)."""
+    spark.sql(
+        "SELECT * FROM VALUES (1, map('x', 10, 'y', 20)), (2, map('z', 30))"
+        " AS t(id, attrs)"
+    ).createOrReplaceTempView("unnest_map_src")
+    got = tenv.execute_sql(
+        "SELECT id, k, v FROM unnest_map_src CROSS JOIN UNNEST(attrs) AS u(k, v)"
+    )
+    assert rows(got) == [(1, "x", 10), (1, "y", 20), (2, "z", 30)]
+
+
 def test_flink_sql_tvf_on_streaming_view(tenv, spark, tables, tmp_dir):
     """The reference's primary mode: Flink SQL over an unbounded stream.
     A TUMBLE TVF query issued through execute_sql against a STREAMING
