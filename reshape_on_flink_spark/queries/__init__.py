@@ -34,12 +34,13 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         relational,
         relational2,
         streaming_batch,
+        tpcds_shapes,
         tpch_rest,
     )
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
-    for mod in (relational, relational2, tpch_rest, streaming_batch, llmops):
+    for mod in (relational, relational2, tpch_rest, tpcds_shapes, streaming_batch, llmops):
         dupes = queries.keys() & mod.QUERIES.keys()
         if dupes:
             raise ValueError(f"duplicate query names across modules: {sorted(dupes)}")

@@ -1,0 +1,284 @@
+"""TPC-DS-distinctive planner shapes, adapted to the driver fixtures.
+
+The reference ships a 103-query TPC-DS correctness harness
+(flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/, runner
+TpcdsTestProgram.java:48-80, tolerant comparator TpcdsResultComparator.java).
+Its *operator* content is already covered by our TPC-H-style inventory;
+what TPC-DS adds are planner shapes TPC-H lacks. This module implements
+one representative of each such shape on the fixture tables:
+
+- multi-channel UNION ALL + ROLLUP with GROUPING() tags  (q5/q77 family)
+- scalar subqueries inside CASE on a one-row driver      (q9)
+- year-over-year self-join on an aggregated CTE          (q2/q75)
+- cross-channel INTERSECT of customer sets               (q38/q87)
+- ROLLUP + rank-within-grouping-level                    (q67)
+
+Numeric discipline per queries.numeric (exact decimal sums, single IEEE
+division). Scale notes (100 TB / 1000 executors) in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from reshape_on_flink_spark.queries.numeric import disc_price, dsum, SQL_DISC_PRICE, sql_dsum
+from reshape_on_flink_spark.session import load_tables
+
+QUERIES = {}
+ORACLES = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q5/q77 family: per-channel sales/returns built as UNION ALL of
+# tagged branches, rolled up across channels with a GROUPING() marker.
+# Scale: each branch is a scan+projection (no shuffle); the union is
+# partition-concatenation (free); the rollup is one hash-agg shuffle on
+# the low-cardinality channel key — Expand doubles rows pre-shuffle but
+# partial aggregation collapses them map-side.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_channel_rollup",
+    f"""
+    WITH channels AS (
+      SELECT 'sold' AS channel, {SQL_DISC_PRICE} AS amount, l_quantity AS qty
+      FROM lineitem WHERE l_returnflag <> 'R'
+      UNION ALL
+      SELECT 'returned' AS channel, {SQL_DISC_PRICE} AS amount, l_quantity AS qty
+      FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT COALESCE(channel, 'ALL') AS channel,
+           CAST(GROUPING(channel) AS INTEGER) AS is_total,
+           CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS amount_sum,
+           {sql_dsum('qty')} AS qty_sum,
+           COUNT(*) AS n
+    FROM channels
+    GROUP BY ROLLUP(channel)
+    ORDER BY is_total, channel
+    """,
+)
+def q_ds_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    sold = li.where(F.col("l_returnflag") != "R").select(
+        F.lit("sold").alias("channel"), disc_price().alias("amount"), F.col("l_quantity").alias("qty")
+    )
+    ret = li.where(F.col("l_returnflag") == "R").select(
+        F.lit("returned").alias("channel"), disc_price().alias("amount"), F.col("l_quantity").alias("qty")
+    )
+    return (
+        sold.unionAll(ret)
+        .rollup("channel")
+        .agg(
+            F.grouping("channel").cast("int").alias("is_total"),
+            F.sum(F.col("amount").cast("decimal(18,4)")).cast("double").alias("amount_sum"),
+            dsum("qty").alias("qty_sum"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            F.coalesce("channel", F.lit("ALL")).alias("channel"),
+            "is_total",
+            "amount_sum",
+            "qty_sum",
+            "n",
+        )
+        .orderBy("is_total", "channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q9: a one-row SELECT whose projections are CASE WHEN (scalar
+# subquery) THEN (scalar subquery) ELSE (scalar subquery) END per bucket.
+# Spark plans each scalar subquery as an independent aggregate whose
+# single-row result is broadcast into the driver row — we express that
+# directly: per-bucket conditional aggregates in ONE pass over lineitem
+# (better than TPC-DS's 15 separate subquery scans), cross-joined onto a
+# one-row frame. Scale: single scan, map-side partial agg to 1 row.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_bucket_case",
+    """
+    WITH b AS (
+      SELECT
+        COUNT(CASE WHEN l_quantity BETWEEN 1 AND 20 THEN 1 END) AS c1,
+        CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 20
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s1,
+        CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 20
+                 THEN CAST(l_discount AS DECIMAL(18,2)) END) AS DOUBLE) AS d1,
+        COUNT(CASE WHEN l_quantity BETWEEN 21 AND 35 THEN 1 END) AS c2,
+        CAST(SUM(CASE WHEN l_quantity BETWEEN 21 AND 35
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s2,
+        CAST(SUM(CASE WHEN l_quantity BETWEEN 21 AND 35
+                 THEN CAST(l_discount AS DECIMAL(18,2)) END) AS DOUBLE) AS d2,
+        COUNT(CASE WHEN l_quantity > 35 THEN 1 END) AS c3,
+        CAST(SUM(CASE WHEN l_quantity > 35
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE) AS s3,
+        CAST(SUM(CASE WHEN l_quantity > 35
+                 THEN CAST(l_discount AS DECIMAL(18,2)) END) AS DOUBLE) AS d3
+      FROM lineitem
+    )
+    SELECT
+      CASE WHEN c1 > 5000 THEN s1 / c1 ELSE d1 / c1 END AS bucket1,
+      CASE WHEN c2 > 5000 THEN s2 / c2 ELSE d2 / c2 END AS bucket2,
+      CASE WHEN c3 > 5000 THEN s3 / c3 ELSE d3 / c3 END AS bucket3
+    FROM b
+    """,
+)
+def q_ds_bucket_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+
+    def bucket(i: int, cond):
+        return [
+            F.count(F.when(cond, 1)).alias(f"c{i}"),
+            F.sum(F.when(cond, F.col("l_extendedprice").cast("decimal(18,2)")))
+            .cast("double")
+            .alias(f"s{i}"),
+            F.sum(F.when(cond, F.col("l_discount").cast("decimal(18,2)")))
+            .cast("double")
+            .alias(f"d{i}"),
+        ]
+
+    q = F.col("l_quantity")
+    b = li.agg(
+        *bucket(1, q.between(1, 20)),
+        *bucket(2, q.between(21, 35)),
+        *bucket(3, q > 35),
+    )
+    return b.select(
+        *[
+            F.when(F.col(f"c{i}") > 5000, F.col(f"s{i}") / F.col(f"c{i}"))
+            .otherwise(F.col(f"d{i}") / F.col(f"c{i}"))
+            .alias(f"bucket{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q2/q75 shape: aggregate a measure per period, then self-join
+# period with period+1 and emit the ratio. Scale: the yearly agg reduces
+# to ~tens of rows; the self-join is a broadcast of an already-tiny
+# aggregate — no full-table shuffle beyond the first groupBy (which
+# partial-aggregates map-side to one row per year per task).
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_yoy_ratio",
+    """
+    WITH yearly AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1
+    )
+    SELECT cur.yr AS yr, prev.total AS prev_total, cur.total AS cur_total,
+           cur.total / prev.total AS yoy_ratio
+    FROM yearly cur JOIN yearly prev ON cur.yr = prev.yr + 1
+    ORDER BY yr
+    """,
+)
+def q_ds_yoy_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    yearly = o.groupBy(F.year("o_orderdate").cast("int").alias("yr")).agg(
+        dsum("o_totalprice").alias("total")
+    )
+    cur, prev = yearly.alias("cur"), yearly.alias("prev")
+    return (
+        cur.join(F.broadcast(prev), F.col("cur.yr") == F.col("prev.yr") + 1)
+        .select(
+            F.col("cur.yr").alias("yr"),
+            F.col("prev.total").alias("prev_total"),
+            F.col("cur.total").alias("cur_total"),
+            (F.col("cur.total") / F.col("prev.total")).alias("yoy_ratio"),
+        )
+        .orderBy("yr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q38/q87 shape: COUNT of the INTERSECT of distinct customer sets
+# from several channels. Spark rewrites INTERSECT to a left-semi join
+# chain over hash-distinct inputs; all three legs shuffle on the same key
+# so the joins co-locate (one exchange each, reused). Scale: distinct
+# custkey sets are ~|customer| not |orders| — the semi joins operate on
+# deduplicated keys, and AQE can pick broadcast legs if a channel is small.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_channel_intersect",
+    """
+    SELECT COUNT(*) AS n_common FROM (
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+      INTERSECT
+      SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    ) t
+    """,
+)
+def q_ds_channel_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    high = o.where(F.col("o_orderpriority") == "2-HIGH").select("o_custkey").distinct()
+    finished = o.where(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    return urgent.intersect(high).intersect(finished).agg(F.count("*").alias("n_common"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q67 shape: ROLLUP over product dims, then rank WITHIN each
+# grouping level by the aggregated measure and keep the top-k. Scale:
+# Expand multiplies rows by the number of grouping sets (3 here) before
+# the shuffle, but map-side partial agg collapses to |brand × type| rows;
+# the window re-shuffles only the aggregated rows on grouping_id.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_rollup_rank",
+    f"""
+    WITH agg AS (
+      SELECT COALESCE(p_brand, 'ALL') AS brand, COALESCE(p_type, 'ALL') AS ptype,
+             CAST(GROUPING(p_brand) * 2 + GROUPING(p_type) AS INTEGER) AS lvl,
+             {sql_dsum('l_quantity')} AS qty_sum
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY ROLLUP(p_brand, p_type)
+    )
+    SELECT brand, ptype, lvl, qty_sum, rnk FROM (
+      SELECT *, RANK() OVER (PARTITION BY lvl ORDER BY qty_sum DESC, brand, ptype) AS rnk
+      FROM agg
+    ) r WHERE rnk <= 5
+    ORDER BY lvl, rnk, brand, ptype
+    """,
+)
+def q_ds_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    joined = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+    )
+    agg = (
+        joined.rollup("p_brand", "p_type")
+        .agg(
+            (F.grouping("p_brand").cast("int") * 2 + F.grouping("p_type").cast("int")).alias(
+                "lvl"
+            ),
+            dsum("l_quantity").alias("qty_sum"),
+        )
+        .select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            F.coalesce("p_type", F.lit("ALL")).alias("ptype"),
+            "lvl",
+            "qty_sum",
+        )
+    )
+    w = W.partitionBy("lvl").orderBy(F.desc("qty_sum"), "brand", "ptype")
+    return (
+        agg.withColumn("rnk", F.rank().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("brand", "ptype", "lvl", "qty_sum", "rnk")
+        .orderBy("lvl", "rnk", "brand", "ptype")
+    )
