@@ -80,6 +80,69 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_matmul(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k via a vectorized numpy matmul kernel.
+
+    Same contract as :func:`brute_force_topk` (query_id, rank,
+    neighbor_id, cos_sim), but the scoring runs as one BLAS GEMM per
+    Arrow batch instead of per-row Catalyst expressions — ~10-100×
+    faster at dim >= 256 where FLOPs dominate and Arrow transfer
+    amortizes. The small query side is collected and closure-captured
+    (the same "queries fit in memory" contract the broadcast variant
+    has); each corpus partition emits only its local top-k candidates
+    per query, so the final shuffle carries k·|queries| rows per
+    partition, then a window takes the global top-k.
+
+    Float caveat: GEMM accumulation order differs from the left-fold
+    expression kernel, so cos_sim can differ at ~1e-15 relative —
+    results are NOT hash-identical to the oracle (tolerance-tested in
+    tests/test_llm.py instead of the value-hash gate).
+    """
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qn = qm / np.maximum(np.linalg.norm(qm, axis=1, keepdims=True), 1e-300)
+
+    def score(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            cm = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            cn = cm / np.maximum(np.linalg.norm(cm, axis=1, keepdims=True), 1e-300)
+            sims = cn @ qn.T  # |corpus batch| × |queries|
+            m = min(k + 1, sims.shape[0])  # +1 headroom for a self-match
+            top = np.argpartition(-sims, m - 1, axis=0)[:m]
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(q_ids):
+                for i in top[:, j]:
+                    if ids[i] != qid:
+                        out_q.append(qid)
+                        out_n.append(ids[i])
+                        out_s.append(sims[i, j])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cos_sim": out_s}
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        cand.select("query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Seeded random hyperplanes for sign-LSH (deterministic across runs)."""
     rng = np.random.default_rng(seed)

@@ -30,6 +30,23 @@ def test_brute_force_topk_self_consistency(spark, tables):
         assert -1.0001 <= r.cos_sim <= 1.0001
 
 
+def test_matmul_topk_matches_expression_kernel(spark, tables):
+    """The numpy-GEMM fast path returns the same neighbors as the exact
+    Catalyst-expression kernel, with cos_sim equal to fp tolerance (GEMM
+    accumulation order differs from the left-fold, so no hash match)."""
+    emb = tables["embeddings"]
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.rank): r for r in S.brute_force_topk(emb, q, k=5).collect()}
+    fast = {(r.query_id, r.rank): r for r in S.brute_force_topk_matmul(emb, q, k=5).collect()}
+    assert exact.keys() == fast.keys()
+    for key, e in exact.items():
+        f = fast[key]
+        assert abs(e.cos_sim - f.cos_sim) < 1e-9, key
+        # identical neighbor unless two sims are within fp noise of a tie
+        if e.neighbor_id != f.neighbor_id:
+            assert abs(e.cos_sim - f.cos_sim) < 1e-12, key
+
+
 def test_exact_dedup_finds_planted_duplicates(spark, tables):
     d = tables["documents"].limit(50)
     doubled = d.union(d.withColumn("doc_id", F.col("doc_id") + 100_000))
