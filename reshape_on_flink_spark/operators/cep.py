@@ -4,11 +4,15 @@ Reference: StreamExecMatch
 (flink-table-planner-blink/.../nodes/exec/stream/StreamExecMatch.java:90)
 delegating to the flink-cep NFA (flink-libraries/flink-cep/.../operator/
 CepOperator.java:81). Supported subset here: a concatenation pattern of
-quantified symbols (``A B+ C* D?``), per-symbol boolean DEFINE
-conditions, greedy quantifiers with backtracking, and Flink's default
-``AFTER MATCH SKIP PAST LAST ROW``. Not supported (loud in docs, not
-silently wrong): alternation ``(A|B)``, reluctant quantifiers ``+?``,
-``SKIP TO`` variants.
+quantified symbols or alternation groups (``A (B|C)+ D?``), per-symbol
+boolean DEFINE conditions, greedy quantifiers with backtracking, and
+Flink's default ``AFTER MATCH SKIP PAST LAST ROW``. Because DEFINE
+conditions are precomputed per-symbol booleans (no dependence on the
+in-progress match), an alternation group matches exactly the OR of its
+symbols' columns; the reported ``matched_symbol`` is the leftmost
+alternative true at that row. Not supported (loud in docs, not silently
+wrong): reluctant quantifiers ``+?``, ``SKIP TO`` variants, nested
+groups.
 
 Spark-first split of work:
 
@@ -34,51 +38,103 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_TOKEN_RE = re.compile(r"^([A-Za-z_]\w*)([+*?]?)$")
+_TOKEN_RE = re.compile(
+    r"^(?:([A-Za-z_]\w*)|\(([A-Za-z_]\w*(?:\|[A-Za-z_]\w*)+)\))([+*?]?)$"
+)
 
 
-def parse_pattern(pattern: str) -> list[tuple[str, str]]:
-    """``"A B+ C?"`` -> ``[("A", ""), ("B", "+"), ("C", "?")]``."""
-    toks = []
+def parse_pattern(pattern: str) -> list[tuple[str | tuple[str, ...], str]]:
+    """``"A (B|C)+ D?"`` -> ``[("A", ""), (("B", "C"), "+"), ("D", "?")]``
+    — plain tokens stay strings, alternation groups become tuples."""
+    toks: list[tuple[str | tuple[str, ...], str]] = []
     for raw in pattern.split():
         m = _TOKEN_RE.match(raw)
         if not m:
             raise ValueError(
-                f"unsupported pattern token {raw!r} (supported: SYMBOL with "
-                "optional +, *, ? — no alternation/reluctant quantifiers)"
+                f"unsupported pattern token {raw!r} (supported: SYMBOL or "
+                "(S1|S2|...) with optional +, *, ? — no reluctant "
+                "quantifiers or nested groups)"
             )
-        toks.append((m.group(1), m.group(2)))
+        sym = m.group(1) if m.group(1) else tuple(m.group(2).split("|"))
+        toks.append((sym, m.group(3)))
     if not toks:
         raise ValueError("empty pattern")
     return toks
 
 
-def _matcher(symbols: list[str], toks: list[tuple[str, str]]):
-    """Build the per-group backtracking matcher (pure Python on numpy
-    bool arrays; no pandas/Spark objects inside the hot loop)."""
+def pattern_symbols(toks: list[tuple[str | tuple[str, ...], str]]) -> list[str]:
+    """Sorted distinct symbols across plain tokens and alternation groups."""
+    out: set[str] = set()
+    for sym, _ in toks:
+        out.update((sym,) if isinstance(sym, str) else sym)
+    return sorted(out)
+
+
+def _token_cols(symbols: list[str], toks):
+    """Per-token (alternative symbol indexes, quantifier); a one-entry
+    cache maps a bools list -> per-token OR'd match columns so the scan
+    loop (one match_at per start offset) reuses the merge."""
     sym_idx = {s: i for i, s in enumerate(symbols)}
-    toks_i = [(sym_idx[s], q) for s, q in toks]
+    toks_i = [
+        (tuple(sym_idx[s] for s in ((sym,) if isinstance(sym, str) else sym)), q)
+        for sym, q in toks
+    ]
+    cache: dict = {"key": None, "cols": None}
+
+    def cols_for(bools):
+        if cache["key"] is not bools:
+            cache["key"] = bools
+            cache["cols"] = [
+                bools[idxs[0]]
+                if len(idxs) == 1
+                else np.logical_or.reduce([np.asarray(bools[i]) for i in idxs])
+                for idxs, _ in toks_i
+            ]
+        return cache["cols"]
+
+    def label_at(bools, ti: int, pos: int) -> int:
+        for i in toks_i[ti][0]:
+            if bools[i][pos]:
+                return i
+        return toks_i[ti][0][0]
+
+    return toks_i, cols_for, label_at
+
+
+def _matcher(symbols: list[str], toks: list[tuple[str | tuple[str, ...], str]]):
+    """Build the per-group backtracking matcher (pure Python on numpy
+    bool arrays; no pandas/Spark objects inside the hot loop).
+    Alternation groups match on the OR of their symbol columns; the
+    emitted symbol index is the leftmost alternative true at that row."""
+    toks_i, cols_for, label_at = _token_cols(symbols, toks)
 
     def match_at(bools, start: int, n: int):
+        cols = cols_for(bools)
+
+        def lab(ti: int, pos: int) -> int:
+            idxs = toks_i[ti][0]
+            return idxs[0] if len(idxs) == 1 else label_at(bools, ti, pos)
+
         def rec(ti: int, pos: int):
             if ti == len(toks_i):
                 return []
-            si, q = toks_i[ti]
-            col = bools[si]
+            _, q = toks_i[ti]
+            col = cols[ti]
             if q == "":
                 if pos < n and col[pos]:
                     rest = rec(ti + 1, pos + 1)
                     if rest is not None:
-                        return [(pos, si), *rest]
+                        return [(pos, lab(ti, pos)), *rest]
                 return None
             if q == "?":
                 if pos < n and col[pos]:
                     rest = rec(ti + 1, pos + 1)
                     if rest is not None:
-                        return [(pos, si), *rest]
+                        return [(pos, lab(ti, pos)), *rest]
                 return rec(ti + 1, pos)
             # greedy + / * with backtracking
             k = 0
@@ -88,7 +144,7 @@ def _matcher(symbols: list[str], toks: list[tuple[str, str]]):
             while k >= min_k:
                 rest = rec(ti + 1, pos + k)
                 if rest is not None:
-                    return [(pos + j, si) for j in range(k)] + [*rest]
+                    return [(pos + j, lab(ti, pos + j)) for j in range(k)] + [*rest]
                 k -= 1
             return None
 
@@ -115,7 +171,7 @@ def match_recognize(
     partition_by = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
     toks = parse_pattern(pattern)
-    symbols = sorted({s for s, _ in toks})
+    symbols = pattern_symbols(toks)
     missing = [s for s in symbols if s not in define]
     if missing:
         raise ValueError(f"pattern symbols without DEFINE: {missing}")
@@ -170,27 +226,32 @@ def match_recognize(
 _NEED_MORE = object()  # matcher verdict: undecided until more rows arrive
 
 
-def _matcher_modes(symbols: list[str], toks: list[tuple[str, str]]):
+def _matcher_modes(symbols: list[str], toks: list[tuple[str | tuple[str, ...], str]]):
     """Like _matcher, but end-of-data is a distinct verdict: returns a
     match (list), None (provably no match at this start, regardless of
     future rows), or _NEED_MORE (a higher-or-equal-priority branch ran
     out of rows — the greedy NFA cannot commit yet)."""
-    sym_idx = {s: i for i, s in enumerate(symbols)}
-    toks_i = [(sym_idx[s], q) for s, q in toks]
+    toks_i, cols_for, label_at = _token_cols(symbols, toks)
 
     def match_at(bools, start: int, n: int):
+        cols = cols_for(bools)
+
+        def lab(ti: int, pos: int) -> int:
+            idxs = toks_i[ti][0]
+            return idxs[0] if len(idxs) == 1 else label_at(bools, ti, pos)
+
         def rec(ti: int, pos: int):
             if ti == len(toks_i):
                 return []
-            si, q = toks_i[ti]
-            col = bools[si]
+            _, q = toks_i[ti]
+            col = cols[ti]
             if q == "":
                 if pos >= n:
                     return _NEED_MORE
                 if col[pos]:
                     rest = rec(ti + 1, pos + 1)
                     if rest is _NEED_MORE or rest is not None:
-                        return rest if rest is _NEED_MORE else [(pos, si), *rest]
+                        return rest if rest is _NEED_MORE else [(pos, lab(ti, pos)), *rest]
                 return None
             if q == "?":
                 if pos >= n:
@@ -200,7 +261,7 @@ def _matcher_modes(symbols: list[str], toks: list[tuple[str, str]]):
                     if rest is _NEED_MORE:
                         return _NEED_MORE
                     if rest is not None:
-                        return [(pos, si), *rest]
+                        return [(pos, lab(ti, pos)), *rest]
                 return rec(ti + 1, pos)
             # + / * : greedy, highest k first; a run touching the end of
             # data could extend with future rows -> undecided
@@ -215,7 +276,7 @@ def _matcher_modes(symbols: list[str], toks: list[tuple[str, str]]):
                 if rest is _NEED_MORE:
                     return _NEED_MORE
                 if rest is not None:
-                    return [(pos + j, si) for j in range(k)] + [*rest]
+                    return [(pos + j, lab(ti, pos + j)) for j in range(k)] + [*rest]
                 k -= 1
             return None
 
@@ -263,7 +324,7 @@ def streaming_match_recognize(
     )
 
     toks = parse_pattern(pattern)
-    symbols = sorted({s for s, _ in toks})
+    symbols = pattern_symbols(toks)
     missing = [s for s in symbols if s not in define]
     if missing:
         raise ValueError(f"pattern symbols without DEFINE: {missing}")

@@ -24,11 +24,36 @@ def _runs(df):
     return list(out.values())
 
 
-def test_parse_pattern_rejects_alternation():
+def test_parse_pattern_alternation_and_rejects():
+    assert parse_pattern("(A|B) C") == [(("A", "B"), ""), ("C", "")]
+    assert parse_pattern("A (B|C)+ D?") == [("A", ""), (("B", "C"), "+"), ("D", "?")]
     with pytest.raises(ValueError, match="unsupported pattern token"):
-        parse_pattern("(A|B) C")
+        parse_pattern("A+? B")  # reluctant
+    with pytest.raises(ValueError, match="unsupported pattern token"):
+        parse_pattern("((A|B)|C)")  # nested
     with pytest.raises(ValueError, match="empty"):
         parse_pattern("  ")
+
+
+def test_alternation_group_matches_and_labels(spark):
+    """(UP|DOWN)+ END: the group consumes rows where either symbol fires;
+    matched_symbol reports the leftmost true alternative per row."""
+    df = _df(spark, [1, 9, 2, 3])  # UP:=v>=5, DOWN:=v<5, END:=v==3
+    got = match_recognize(
+        df,
+        "k",
+        "pos",
+        "(UP|DOWN)+ END",
+        {
+            "UP": F.col("v") >= 5,
+            "DOWN": F.col("v") < 5,
+            "END": F.col("v") == 3,
+        },
+    ).orderBy("pos")
+    rows = [(r["pos"], r["matched_symbol"]) for r in got.collect()]
+    # greedy run takes rows 0..2 ((UP|DOWN)+), row 3 is END; DOWN is the
+    # leftmost alternative alphabetically-listed first where v<5
+    assert rows == [(0, "DOWN"), (1, "UP"), (2, "DOWN"), (3, "END")]
 
 
 def test_plain_sequence_and_skip_past_last_row(spark):

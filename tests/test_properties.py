@@ -102,19 +102,24 @@ def test_tokenizer_matches_python_split(spark, texts):
 @settings(max_examples=200, deadline=None)
 @given(
     st.lists(st.sampled_from("abc "), min_size=0, max_size=14),
-    st.sampled_from(["A B", "A+ B", "A B+", "A+ B+ C", "A B? C", "A C* B", "A+", "A? B+"]),
+    st.sampled_from(
+        [
+            "A B", "A+ B", "A B+", "A+ B+ C", "A B? C", "A C* B", "A+", "A? B+",
+            "(A|B) C", "(A|B)+ C", "A (B|C)*", "(A|C)? B", "(A|B|C)+",
+        ]
+    ),
 )
 def test_cep_matcher_agrees_with_regex_reference(rows, pattern_str):
     """The CEP backtracking matcher must equal a regex oracle: symbols
-    A/B/C are 'row == a/b/c' predicates, patterns map 1:1 to regexes over
-    the row string, matched greedily and non-overlapping (re.finditer ==
-    skip past last row)."""
+    A/B/C are 'row == a/b/c' predicates, patterns (incl. alternation
+    groups) map 1:1 to regexes over the row string, matched greedily and
+    non-overlapping (re.finditer == skip past last row)."""
     import re as _re
 
-    from reshape_on_flink_spark.operators.cep import _matcher, parse_pattern
+    from reshape_on_flink_spark.operators.cep import _matcher, parse_pattern, pattern_symbols
 
     toks = parse_pattern(pattern_str)
-    symbols = sorted({s for s, _ in toks})
+    symbols = pattern_symbols(toks)
     text = "".join(rows)
     sym_char = {"A": "a", "B": "b", "C": "c"}
     bools = [[c == sym_char[s] for c in text] for s in symbols]
@@ -130,6 +135,11 @@ def test_cep_matcher_agrees_with_regex_reference(rows, pattern_str):
         else:
             i += 1
 
-    regex = "".join(sym_char[s] + q for s, q in toks)
+    def tok_re(sym, q):
+        if isinstance(sym, str):
+            return sym_char[sym] + q
+        return "(?:" + "|".join(sym_char[s] for s in sym) + ")" + q
+
+    regex = "".join(tok_re(sym, q) for sym, q in toks)
     expected = [(mm.start(), mm.end()) for mm in _re.finditer(regex, text) if mm.end() > mm.start()]
     assert got == expected, (text, regex)
