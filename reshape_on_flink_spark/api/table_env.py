@@ -32,7 +32,16 @@ Translated constructs
    WATERMARK declarations are stripped (Spark SQL has no DDL watermark —
    use DataFrame ``withWatermark``; documented divergence).
 
-Explicitly unsupported (loud errors, SURVEY §4.3): MATCH_RECOGNIZE,
+5. MATCH_RECOGNIZE (``execute_sql`` only — needs the session): the
+   clause is parsed (PARTITION BY / ORDER BY / MEASURES / PATTERN /
+   DEFINE with PREV(SYM.col[, n]) -> lag over the partition window) and
+   routed through ``operators.cep.match_recognize``; MEASURES
+   (FIRST/LAST/COUNT/SUM/MIN/MAX/AVG over symbol-prefixed columns,
+   MATCH_NUMBER()) become ordinary aggregations over match_id, and the
+   outer query runs against the per-match result view. ONE ROW PER
+   MATCH + SKIP PAST LAST ROW only (loud errors otherwise).
+
+Explicitly unsupported (loud errors, SURVEY §4.3):
 ``FOR SYSTEM_TIME AS OF`` (use operators.joins.asof_join).
 """
 
@@ -372,9 +381,9 @@ class TableEnvironment:
         """Flink SQL -> Spark SQL (pure text; no session needed)."""
         if re.search(r"\bMATCH_RECOGNIZE\b", sql, re.IGNORECASE):
             raise NotImplementedError(
-                "MATCH_RECOGNIZE in SQL text is not parsed; use "
-                "operators.cep.match_recognize (same NFA semantics, "
-                "DataFrame API)"
+                "MATCH_RECOGNIZE needs the CEP operator, not a text "
+                "rewrite — run it through execute_sql (supported subset) "
+                "or call operators.cep.match_recognize directly"
             )
         if re.search(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", sql, re.IGNORECASE):
             raise NotImplementedError(
@@ -407,12 +416,159 @@ class TableEnvironment:
         m = self._STMT_SET_RE.match(sql)
         if m:
             return self._execute_statement_set(m.group("body"))
+        if re.search(r"\bMATCH_RECOGNIZE\s*\(", sql, re.IGNORECASE):
+            return self._execute_match_recognize(sql)
         try:
             return self.spark.sql(self.translate(sql))
         except Exception as exc:  # AnalysisException: inline() over a map
             if self._UNNEST_MULTI_RE.search(sql) and "inline" in str(exc).lower():
                 return self.spark.sql(self.translate(sql, unnest_multi="explode"))
             raise
+
+    # -- MATCH_RECOGNIZE (SQL form) -> operators.cep.match_recognize -------
+    #
+    # Supported subset (the operator's semantics, StreamExecMatch.java:90):
+    # ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST ROW (both defaulted),
+    # PATTERN of quantified symbols / alternation groups, DEFINE with
+    # current-row refs (SYM.col) and PREV(SYM.col[, n]), MEASURES of
+    # FIRST/LAST/COUNT/SUM/MIN/MAX/AVG over symbol-prefixed columns plus
+    # MATCH_NUMBER(). Loud errors otherwise.
+
+    _MR_SECTION_STOP = (
+        r"(?=\bPARTITION\s+BY\b|\bORDER\s+BY\b|\bMEASURES\b|\bONE\s+ROW\b|"
+        r"\bALL\s+ROWS\b|\bAFTER\s+MATCH\b|\bPATTERN\s*\(|\bDEFINE\b|$)"
+    )
+
+    def _execute_match_recognize(self, sql: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from reshape_on_flink_spark.operators.cep import match_recognize, parse_pattern, pattern_symbols
+
+        hit = _find_call(sql, ("MATCH_RECOGNIZE",))
+        assert hit is not None
+        _, begin, end, body = hit
+        head = sql[:begin]
+        fm = re.search(r"\bFROM\s+([A-Za-z_][\w.]*)\s*$", head, re.IGNORECASE)
+        if not fm:
+            raise NotImplementedError(
+                "MATCH_RECOGNIZE source must be a named table/view "
+                "(subquery sources not supported)"
+            )
+        table = fm.group(1)
+
+        if re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", body, re.IGNORECASE):
+            raise NotImplementedError("ALL ROWS PER MATCH: only ONE ROW PER MATCH is supported")
+        skip = re.search(r"\bAFTER\s+MATCH\s+SKIP\s+(.*?)\s*" + self._MR_SECTION_STOP,
+                         body, re.IGNORECASE | re.DOTALL)
+        if skip and not re.fullmatch(r"PAST\s+LAST\s+ROW", skip.group(1).strip(), re.IGNORECASE):
+            raise NotImplementedError(
+                f"AFTER MATCH SKIP {skip.group(1).strip()}: only SKIP PAST LAST ROW"
+            )
+
+        def section(kw: str) -> str | None:
+            m = re.search(kw + r"\s+(.*?)\s*" + self._MR_SECTION_STOP, body,
+                          re.IGNORECASE | re.DOTALL)
+            return m.group(1).strip() if m else None
+
+        part_s = section(r"\bPARTITION\s+BY\b")
+        order_s = section(r"\bORDER\s+BY\b")
+        measures_s = section(r"\bMEASURES\b")
+        if not (part_s and order_s and measures_s):
+            raise ValueError("MATCH_RECOGNIZE needs PARTITION BY, ORDER BY and MEASURES")
+        pat_hit = _find_call(body, ("PATTERN",))
+        if not pat_hit:
+            raise ValueError("MATCH_RECOGNIZE needs PATTERN (...)")
+        pattern = pat_hit[3].strip()
+        def_m = re.search(r"\bDEFINE\b\s+(.*)$", body, re.IGNORECASE | re.DOTALL)
+        if not def_m:
+            raise ValueError("MATCH_RECOGNIZE needs DEFINE")
+
+        part_cols = [c.strip() for c in part_s.split(",")]
+        order_cols = [re.sub(r"\s+ASC$", "", c.strip(), flags=re.IGNORECASE)
+                      for c in order_s.split(",")]
+        if any(re.search(r"\sDESC$", c, re.IGNORECASE) for c in order_cols):
+            raise NotImplementedError("MATCH_RECOGNIZE ORDER BY ... DESC is not supported")
+        symbols = pattern_symbols(parse_pattern(pattern))
+        over = (
+            f" OVER (PARTITION BY {', '.join(part_cols)} ORDER BY {', '.join(order_cols)})"
+        )
+
+        def mr_expr(expr: str) -> str:
+            expr = re.sub(
+                r"\bPREV\s*\(\s*\w+\.(\w+)\s*(?:,\s*(\d+))?\s*\)",
+                lambda m: f"lag({m.group(1)}{', ' + m.group(2) if m.group(2) else ''})" + over,
+                expr,
+                flags=re.IGNORECASE,
+            )
+            if re.search(r"\b(NEXT|FINAL|RUNNING)\s*\(", expr, re.IGNORECASE):
+                raise NotImplementedError("NEXT/FINAL/RUNNING in MATCH_RECOGNIZE")
+            return re.sub(r"\b(" + "|".join(symbols) + r")\.", "", expr)
+
+        define: dict = {}
+        for item in _split_top(def_m.group(1)):
+            dm = re.match(r"(\w+)\s+AS\s+(.+)$", item.strip(), re.IGNORECASE | re.DOTALL)
+            if not dm:
+                raise ValueError(f"bad DEFINE item: {item!r}")
+            define[dm.group(1)] = F.expr(mr_expr(dm.group(2)))
+
+        matched = match_recognize(
+            self.spark.table(table), part_cols, order_cols, pattern, define
+        )
+
+        order_key = F.struct(*[F.col(c) for c in order_cols])
+        sym_col = F.col("matched_symbol")
+        aggs, out_aliases, match_number_aliases = [], [], set()
+        for item in _split_top(measures_s):
+            mm = re.match(r"(.+?)\s+AS\s+(\w+)$", item.strip(), re.IGNORECASE | re.DOTALL)
+            if not mm:
+                raise ValueError(f"bad MEASURES item: {item!r}")
+            expr, alias = mm.group(1).strip(), mm.group(2)
+            out_aliases.append(alias)
+            if re.fullmatch(r"MATCH_NUMBER\s*\(\s*\)", expr, re.IGNORECASE):
+                match_number_aliases.add(alias)  # Flink numbers matches from 1
+                continue
+            if re.search(r"\bCLASSIFIER\s*\(", expr, re.IGNORECASE):
+                raise NotImplementedError("CLASSIFIER() needs ALL ROWS PER MATCH")
+            am = re.fullmatch(
+                r"(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(?:(\w+)\.)?(\*|\w+)\s*\)",
+                expr,
+                re.IGNORECASE,
+            )
+            if not am:
+                raise NotImplementedError(f"unsupported MEASURES expression: {expr!r}")
+            fn, sym, col = am.group(1).upper(), am.group(2), am.group(3)
+            if sym is not None and sym not in symbols:
+                raise ValueError(f"MEASURES references unknown symbol {sym!r}")
+            cond = sym_col == sym if sym is not None else F.lit(True)
+            if col == "*":
+                if fn != "COUNT":
+                    raise NotImplementedError(f"{fn}(*) in MEASURES")
+                aggs.append(F.count(F.when(cond, F.lit(1))).alias(alias))
+                continue
+            val = F.when(cond, F.col(col))
+            if fn == "FIRST":
+                aggs.append(F.min_by(val, F.when(cond, order_key)).alias(alias))
+            elif fn == "LAST":
+                aggs.append(F.max_by(val, F.when(cond, order_key)).alias(alias))
+            else:
+                aggs.append(getattr(F, fn.lower())(val).alias(alias))
+        if not out_aliases:
+            raise ValueError("empty MEASURES")
+
+        one_row = matched.groupBy(*part_cols, "match_id").agg(
+            *(aggs or [F.count("*").alias("__n")])
+        )
+        per_match = one_row.select(
+            *part_cols,
+            *[
+                (F.col("match_id") + 1).alias(a) if a in match_number_aliases else F.col(a)
+                for a in out_aliases
+            ],
+        )
+        view = f"__mr_{abs(hash(sql)) % 10**8}"
+        per_match.createOrReplaceTempView(view)
+        outer = sql[: fm.start(1)] + view + sql[end:]
+        return self.execute_sql(outer)
 
     # Flink's sqlQuery and executeSql are the same path for queries here.
     sql_query = execute_sql

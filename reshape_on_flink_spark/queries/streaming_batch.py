@@ -471,6 +471,40 @@ def q_match_recognize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Same V-shape query issued as Flink SQL *text* through the dialect
+# facade (api.table_env parses the MATCH_RECOGNIZE clause and routes it
+# through the cep operator); shares q_match_recognize's relational
+# oracle verbatim, so the SQL path is held to the same hash gate.
+@query("q_match_recognize_sql")
+def q_match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.api.table_env import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    tenv.create_temporary_view("events", load_tables(spark, sf_dir)["events"])
+    return tenv.execute_sql(
+        """
+        SELECT user_id, COUNT(*) AS n_matches,
+               CAST(SUM(n_down + n_up) AS BIGINT) AS n_rows,
+               CAST(MAX(n_down) AS BIGINT) AS max_down,
+               CAST(MAX(n_up) AS BIGINT) AS max_up
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES COUNT(DOWN.*) AS n_down, COUNT(UP.*) AS n_up
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN+ UP+)
+          DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+                 UP AS UP.value > PREV(UP.value)
+        ) AS m
+        GROUP BY user_id ORDER BY user_id
+        """
+    )
+
+
+ORACLES["q_match_recognize_sql"] = ORACLES["q_match_recognize"]
+
+
 # ---------------------------------------------------------------------------
 # Window join — reference DataStream.join/coGroup
 # (DataStream.java:721-729, JoinedStreams/CoGroupedStreams): equi-join

@@ -180,10 +180,71 @@ def test_ddl_filesystem_connector(tenv, spark, tmp_dir):
 
 
 def test_unsupported_constructs_are_loud(tenv):
-    with pytest.raises(NotImplementedError, match="MATCH_RECOGNIZE"):
-        tenv.execute_sql("SELECT * FROM t MATCH_RECOGNIZE (PATTERN (A B) DEFINE A AS 1)")
+    with pytest.raises(NotImplementedError, match="ALL ROWS PER MATCH"):
+        tenv.execute_sql(
+            "SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts"
+            " MEASURES COUNT(A.*) AS n ALL ROWS PER MATCH PATTERN (A) DEFINE A AS TRUE)"
+        )
+    with pytest.raises(NotImplementedError, match="SKIP"):
+        tenv.execute_sql(
+            "SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts"
+            " MEASURES COUNT(A.*) AS n AFTER MATCH SKIP TO NEXT ROW"
+            " PATTERN (A) DEFINE A AS TRUE)"
+        )
     with pytest.raises(NotImplementedError, match="SYSTEM_TIME"):
         tenv.execute_sql("SELECT * FROM a JOIN b FOR SYSTEM_TIME AS OF a.ts ON a.k = b.k")
+
+
+def test_match_recognize_sql_routes_through_cep_operator(tenv, spark, tables):
+    """The SQL clause form must agree with the directly-driven operator
+    (same NFA), measures computed as per-match aggregations."""
+    from pyspark.sql import Window as W
+
+    from reshape_on_flink_spark.operators.cep import match_recognize
+
+    got = tenv.execute_sql(
+        """
+        SELECT user_id, match_no, n_down, n_up, bottom
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES MATCH_NUMBER() AS match_no,
+                   COUNT(DOWN.*) AS n_down,
+                   COUNT(UP.*) AS n_up,
+                   LAST(DOWN.value) AS bottom
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN+ UP+)
+          DEFINE DOWN AS DOWN.value < PREV(DOWN.value),
+                 UP AS UP.value > PREV(UP.value)
+        ) AS m
+        WHERE user_id <= 3
+        """
+    )
+    ev = tables["events"].select("user_id", "ts", "event_id", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    matched = match_recognize(
+        ev,
+        "user_id",
+        ["ts", "event_id"],
+        "DOWN+ UP+",
+        {"DOWN": F.col("value") < prev, "UP": F.col("value") > prev},
+    )
+    expected = (
+        matched.where("user_id <= 3")
+        .groupBy("user_id", "match_id")
+        .agg(
+            F.count(F.when(F.col("matched_symbol") == "DOWN", 1)).alias("n_down"),
+            F.count(F.when(F.col("matched_symbol") == "UP", 1)).alias("n_up"),
+        )
+        .select(
+            "user_id", (F.col("match_id") + 1).alias("match_no"), "n_down", "n_up"
+        )
+    )
+    assert rows(got.select("user_id", "match_no", "n_down", "n_up")) == rows(expected)
+    # LAST(DOWN.value): the bottom of the V is strictly below both ends
+    assert got.where("bottom IS NULL").count() == 0
 
 
 def test_plain_sql_passthrough(tenv, tables):
