@@ -41,8 +41,11 @@ Translated constructs
    outer query runs against the per-match result view. ONE ROW PER
    MATCH + SKIP PAST LAST ROW only (loud errors otherwise).
 
-Explicitly unsupported (loud errors, SURVEY §4.3):
-``FOR SYSTEM_TIME AS OF`` (use operators.joins.asof_join).
+6. ``[LEFT] JOIN r FOR SYSTEM_TIME AS OF l.t ON l.k = r.k``
+   (``execute_sql`` only): routed through operators.joins.asof_join
+   against a table registered via ``register_versioned_table`` (the
+   analog of Flink's versioned-table DDL); INNER drops left rows with
+   no version at their rowtime, LEFT keeps them as nulls.
 """
 
 from __future__ import annotations
@@ -371,6 +374,9 @@ class TableEnvironment:
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
+        # versioned (temporal) tables: name -> rowtime column, the
+        # metadata Flink declares via WATERMARK + PRIMARY KEY DDL
+        self._versioned: dict[str, str] = {}
 
     @classmethod
     def create(cls, spark: SparkSession) -> "TableEnvironment":
@@ -387,8 +393,10 @@ class TableEnvironment:
             )
         if re.search(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", sql, re.IGNORECASE):
             raise NotImplementedError(
-                "FOR SYSTEM_TIME AS OF: use operators.joins.asof_join / "
-                "streaming.over.temporal_join"
+                "FOR SYSTEM_TIME AS OF needs the asof_join operator, not "
+                "a text rewrite — run it through execute_sql against a "
+                "register_versioned_table() table, or call "
+                "operators.joins.asof_join directly"
             )
         masked, parts = _mask_strings(sql)
         masked = _rewrite_ddl(masked, parts)
@@ -418,6 +426,8 @@ class TableEnvironment:
             return self._execute_statement_set(m.group("body"))
         if re.search(r"\bMATCH_RECOGNIZE\s*\(", sql, re.IGNORECASE):
             return self._execute_match_recognize(sql)
+        if re.search(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", sql, re.IGNORECASE):
+            return self._execute_temporal_join(sql)
         try:
             return self.spark.sql(self.translate(sql))
         except Exception as exc:  # AnalysisException: inline() over a map
@@ -590,6 +600,93 @@ class TableEnvironment:
             self.spark.sql(self.translate(stmt))
             counts.append((stmt.split(None, 3)[2] if stmt.upper().startswith("INSERT") else stmt[:40],))
         return self.spark.createDataFrame(counts, "target string")
+
+    # -- FOR SYSTEM_TIME AS OF -> operators.joins.asof_join ----------------
+
+    _TEMPORAL_RE = re.compile(
+        r"\bFROM\s+(?P<lt>[\w.]+)(?:\s+(?:AS\s+)?(?!JOIN\b|LEFT\b)(?P<la>\w+))?\s+"
+        r"(?P<lj>LEFT\s+(?:OUTER\s+)?)?JOIN\s+(?P<rt>[\w.]+)\s+"
+        r"FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?P<ta>\w+)\.(?P<tc>\w+)"
+        r"(?:\s+(?:AS\s+)?(?!ON\b)(?P<ra>\w+))?\s+"
+        r"ON\s+(?P<a1>\w+)\.(?P<k1>\w+)\s*=\s*(?P<a2>\w+)\.(?P<k2>\w+)",
+        re.IGNORECASE,
+    )
+
+    def register_versioned_table(
+        self, name: str, df: DataFrame, time_col: str
+    ) -> None:
+        """Flink versioned-table registration (a dynamic table with a
+        rowtime + primary key, usable as the build side of
+        ``FOR SYSTEM_TIME AS OF``). ``time_col`` is the version rowtime."""
+        df.createOrReplaceTempView(name)
+        self._versioned[name] = time_col
+
+    def _execute_temporal_join(self, sql: str) -> DataFrame:
+        """``l JOIN r FOR SYSTEM_TIME AS OF l.t ON l.k = r.k`` — each left
+        row joins the latest right version with rowtime <= l.t (Flink
+        TemporalRowTimeJoinOperator.java:78 semantics), via the
+        one-shuffle union/carry-forward asof_join. INNER drops left rows
+        with no version; LEFT keeps them with nulls."""
+        from pyspark.sql import functions as F
+
+        from reshape_on_flink_spark.operators.joins import asof_join
+
+        m = self._TEMPORAL_RE.search(sql)
+        if not m:
+            raise NotImplementedError(
+                "unsupported FOR SYSTEM_TIME AS OF form; expected "
+                "FROM l [AS] a JOIN r FOR SYSTEM_TIME AS OF a.t [AS b] "
+                "ON a.k = b.k (or use operators.joins.asof_join)"
+            )
+        lt, rt = m.group("lt"), m.group("rt")
+        la = m.group("la") or lt
+        ra = m.group("ra") or rt
+        left_outer = bool(m.group("lj"))
+        if m.group("ta").lower() != la.lower():
+            raise ValueError("AS OF time attribute must come from the left (probe) side")
+        if rt not in self._versioned:
+            raise ValueError(
+                f"{rt!r} is not a versioned table — call "
+                "register_versioned_table(name, df, time_col) first "
+                "(Flink requires the same: a rowtime + primary key)"
+            )
+        r_time = self._versioned[rt]
+        # map the ON condition's aliases to sides
+        pairs = {m.group("a1").lower(): m.group("k1"), m.group("a2").lower(): m.group("k2")}
+        if set(pairs) != {la.lower(), ra.lower()}:
+            raise ValueError("ON must equate one left column with one right column")
+        lkey, rkey = pairs[la.lower()], pairs[ra.lower()]
+
+        left = self.spark.table(lt)
+        right = self.spark.table(rt)
+        if rkey != lkey:
+            right = right.withColumnRenamed(rkey, lkey)
+        payload = [c for c in right.columns if c != lkey]
+        joined = asof_join(
+            left,
+            right,
+            key=lkey,
+            left_time=m.group("tc"),
+            right_time=r_time,
+            right_payload=payload,
+            strict=False,  # version at t includes updates with rowtime == t
+        )
+        if not left_outer:
+            joined = joined.where(F.col(f"asof_{r_time}").isNotNull())
+        clash = [c for c in payload if c in left.columns]
+        if clash:
+            raise ValueError(
+                f"right columns {clash} collide with left columns; "
+                "project/rename the versioned table first"
+            )
+        out = joined.select(
+            *left.columns, *[F.col(f"asof_{c}").alias(c) for c in payload]
+        )
+        view = f"__tj_{abs(hash(sql)) % 10**8}"
+        out.createOrReplaceTempView(view)
+        outer = sql[: m.start()] + f"FROM {view}" + sql[m.end():]
+        outer = re.sub(rf"\b(?:{la}|{ra})\.", "", outer, flags=re.IGNORECASE)
+        return self.execute_sql(outer)
 
     def create_statement_set(self) -> "StatementSet":
         return StatementSet(self)

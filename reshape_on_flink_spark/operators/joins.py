@@ -39,8 +39,9 @@ def asof_join(
     Left rows keep all their columns; right payload columns arrive as
     ``asof_<name>`` (null when no prior right row exists).
     """
-    # side marker orders right rows before left rows at equal timestamps
-    # when strict (right row at t must NOT match a left row at t)
+    # side marker resolves equal-timestamp ordering: strict puts left
+    # rows first (a right row at t must NOT be visible to a left row at
+    # t), non-strict puts right rows first (version AT t is valid)
     l_marked = left.withColumn("_t", F.col(left_time)).withColumn("_side", F.lit(1))
     r_marked = right.withColumn("_t", F.col(right_time)).withColumn("_side", F.lit(0))
 
@@ -60,7 +61,7 @@ def asof_join(
         *[F.col(c).alias(f"_rp_{c}") for c in right_payload],
     )
     unioned = l_aligned.unionByName(r_aligned)
-    order = [F.col("_t")] + ([F.col("_side")] if strict else [F.col("_side").desc()])
+    order = [F.col("_t")] + ([F.col("_side").desc()] if strict else [F.col("_side")])
     w = W.partitionBy("_k").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
     carried = unioned.select(
         "_side",

@@ -509,8 +509,9 @@ def q_asof_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir)["events"]
     purchases = ev.where(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
     views = ev.where(F.col("event_type") == "view").select("user_id", "ts", "event_id")
-    # strict=True + (ts, event_id) tie order == the window oracle: at equal
-    # ts, a view with smaller event_id precedes the purchase
+    # strict=False (equal-ts views visible) tracks the window oracle,
+    # which orders by (ts, event_id) and includes same-ts earlier views;
+    # fixture timestamps are ns-unique so ties never materialize
     out = asof_join(
         purchases,
         views.withColumnRenamed("event_id", "view_id"),
@@ -518,7 +519,7 @@ def q_asof_operator(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_time="ts",
         right_time="ts",
         right_payload=["view_id"],
-        strict=True,
+        strict=False,
     )
     return out.select(
         "user_id", F.col("event_id").alias("purchase_id"), F.col("asof_view_id").alias("last_view_id")

@@ -40,6 +40,16 @@ def test_asof_join_vs_naive(spark, tables):
     assert_same_rows(got, naive)
 
 
+def test_asof_join_tie_semantics(spark):
+    """strict=True excludes an equal-timestamp right row; strict=False
+    includes it (the 'version AT t is valid' temporal-join contract)."""
+    left = spark.createDataFrame([(1, 10, "probe")], "k int, t int, tag string")
+    right = spark.createDataFrame([(1, 5, "old"), (1, 10, "at_t")], "k int, t int, v string")
+    kw = dict(key="k", left_time="t", right_time="t", right_payload=["v"])
+    assert asof_join(left, right, strict=True, **kw).first()["asof_v"] == "old"
+    assert asof_join(left, right, strict=False, **kw).first()["asof_v"] == "at_t"
+
+
 def test_range_join_bucketed_vs_naive(spark, tables):
     ev = tables["events"].select("user_id", "ts", "event_id")
     v = ev.select(F.col("user_id").alias("k"), F.col("ts").alias("lt"), F.col("event_id").alias("lid"))

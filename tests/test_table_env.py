@@ -192,7 +192,57 @@ def test_unsupported_constructs_are_loud(tenv):
             " PATTERN (A) DEFINE A AS TRUE)"
         )
     with pytest.raises(NotImplementedError, match="SYSTEM_TIME"):
-        tenv.execute_sql("SELECT * FROM a JOIN b FOR SYSTEM_TIME AS OF a.ts ON a.k = b.k")
+        # subquery build side: outside the supported clause shape
+        tenv.execute_sql(
+            "SELECT * FROM a JOIN (SELECT * FROM b) FOR SYSTEM_TIME AS OF a.ts ON a.k = b.k"
+        )
+
+
+def test_temporal_join_sql_versioned_table(tenv, spark):
+    """FOR SYSTEM_TIME AS OF joins each probe row to the latest version
+    with rowtime <= probe time (TemporalRowTimeJoinOperator semantics);
+    INNER drops pre-history probes, LEFT keeps them as nulls."""
+    spark.createDataFrame(
+        [("eur", 10, 100), ("eur", 20, 200), ("usd", 15, 50)],
+        "cur string, vt int, rate int",
+    ).createOrReplaceTempView("_rates_src")
+    tenv.register_versioned_table("rates", spark.table("_rates_src"), time_col="vt")
+    spark.createDataFrame(
+        [(1, "eur", 5), (2, "eur", 10), (3, "eur", 25), (4, "usd", 20), (5, "gbp", 30)],
+        "id int, cur string, t int",
+    ).createOrReplaceTempView("trades")
+
+    got = tenv.execute_sql(
+        """
+        SELECT o.id, o.cur, r.rate
+        FROM trades o JOIN rates FOR SYSTEM_TIME AS OF o.t AS r
+        ON o.cur = r.cur
+        ORDER BY id
+        """
+    )
+    # id=1 predates every eur version (dropped); id=2 hits vt=10 (<=);
+    # id=3 hits vt=20; id=4 hits usd vt=15; gbp has no versions (dropped)
+    assert [tuple(r) for r in got.collect()] == [
+        (2, "eur", 100),
+        (3, "eur", 200),
+        (4, "usd", 50),
+    ]
+
+    left = tenv.execute_sql(
+        """
+        SELECT o.id, r.rate
+        FROM trades o LEFT JOIN rates FOR SYSTEM_TIME AS OF o.t AS r
+        ON o.cur = r.cur
+        ORDER BY id
+        """
+    )
+    assert [tuple(r) for r in left.collect()] == [
+        (1, None),
+        (2, 100),
+        (3, 200),
+        (4, 50),
+        (5, None),
+    ]
 
 
 def test_match_recognize_sql_routes_through_cep_operator(tenv, spark, tables):
