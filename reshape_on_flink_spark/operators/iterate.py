@@ -92,3 +92,46 @@ def pagerank(
         )
 
     return iterate(ranks0, step, max_iters)
+
+
+def sssp(
+    edges: DataFrame,
+    source,
+    max_iters: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = None,
+) -> DataFrame:
+    """Single-source shortest paths -> (node, dist); unreachable nodes
+    are absent. Gelly's SingleSourceShortestPaths (scatter-gather)
+    re-expressed as Bellman-Ford rounds: each round relaxes every edge
+    out of the current distance table (one join on src + one min-agg —
+    the frontier IS the state table) and stops when no distance
+    improved. ``weight`` None means hop count. Rounds are bounded by the
+    graph diameter, each a plain shuffle join at any scale."""
+    w_col = F.col(weight).cast("double") if weight else F.lit(1.0)
+    state = (
+        edges.select(F.col(src).alias("node"))
+        .where(F.col(src) == source)
+        .distinct()
+        .withColumn("dist", F.lit(0.0))
+        .localCheckpoint()
+    )
+
+    def step(cur: DataFrame, _i: int) -> DataFrame:
+        relaxed = (
+            edges.join(cur, edges[src] == cur["node"])
+            .select(F.col(dst).alias("node"), (F.col("dist") + w_col).alias("dist"))
+        )
+        return cur.union(relaxed).groupBy("node").agg(F.min("dist").alias("dist"))
+
+    def settled(prev: DataFrame, new: DataFrame) -> bool:
+        improved = (
+            new.join(prev.withColumnRenamed("dist", "prev_dist"), "node", "left")
+            .where(F.col("prev_dist").isNull() | (F.col("dist") < F.col("prev_dist")))
+            .limit(1)
+            .count()
+        )
+        return improved == 0
+
+    return iterate(state, step, max_iters, converged=settled)

@@ -154,3 +154,19 @@ def test_pagerank_matches_reference_implementation(spark):
     for v in nodes:
         assert abs(got[v] - ranks[v]) < 1e-9, (v, got[v], ranks[v])
     assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_sssp_weighted_and_unreachable(spark):
+    """Bellman-Ford SSSP: weighted distances from the source; nodes with
+    no path are absent; converges before max_iters on a short diameter."""
+    from reshape_on_flink_spark.operators.iterate import sssp
+
+    edges = spark.createDataFrame(
+        # 0->1 (1), 0->2 (4), 1->2 (2), 2->3 (1), 4->0 (1): 4 unreachable from 0
+        [(0, 1, 1.0), (0, 2, 4.0), (1, 2, 2.0), (2, 3, 1.0), (4, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    got = {r["node"]: r["dist"] for r in sssp(edges, 0, weight="w").collect()}
+    assert got == {0: 0.0, 1: 1.0, 2: 3.0, 3: 4.0}  # 2 via 1 beats direct 4
+    hops = {r["node"]: r["dist"] for r in sssp(edges, 0).collect()}
+    assert hops == {0: 0.0, 1: 1.0, 2: 1.0, 3: 2.0}
