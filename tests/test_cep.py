@@ -125,6 +125,59 @@ def test_partitions_are_independent(spark):
     }
 
 
+def test_streaming_match_recognize_alternation(spark, tmp_dir):
+    """(V|C)+ P across micro-batch boundaries: the alternation group's
+    OR-matching and per-row labels survive incremental NFA state."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.operators.cep import (
+        match_recognize,
+        streaming_match_recognize,
+    )
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    rows = [(1, i, t) for i, t in enumerate("vcvpvvcpcc")]
+    df = spark.createDataFrame(rows, "k int, pos int, typ string")
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "cep_alt"), n_chunks=3, order_col="pos"
+    )
+    sdf = streaming_match_recognize(
+        stream,
+        partition_by="k",
+        order_cols=["pos"],
+        pattern="(V|C)+ P",
+        define={
+            "V": lambda pdf: pdf["typ"] == "v",
+            "C": lambda pdf: pdf["typ"] == "c",
+            "P": lambda pdf: pdf["typ"] == "p",
+        },
+        input_cols=["k", "pos", "typ"],
+    )
+    got = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in run_to_memory(spark, sdf, "cep_alt_out", tmp_dir, mode="append").collect()
+    )
+    batch = match_recognize(
+        df,
+        "k",
+        "pos",
+        "(V|C)+ P",
+        {
+            "V": F.col("typ") == "v",
+            "C": F.col("typ") == "c",
+            "P": F.col("typ") == "p",
+        },
+    )
+    expected = sorted((r["pos"], r["matched_symbol"]) for r in batch.collect())
+    # both closed matches: rows 0-3 and 4-7; the trailing c,c stays pending
+    assert expected == [
+        (0, "V"), (1, "C"), (2, "V"), (3, "P"),
+        (4, "V"), (5, "V"), (6, "C"), (7, "P"),
+    ]
+    assert got == expected
+
+
 def test_streaming_match_recognize_matches_batch_closed(spark, tables, tmp_dir):
     """Streaming CEP must emit exactly the batch matches that are CLOSED
     (a later row proved no greedy extension) — an open match on a key's
