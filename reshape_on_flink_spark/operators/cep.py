@@ -10,9 +10,11 @@ Flink's default ``AFTER MATCH SKIP PAST LAST ROW``. Because DEFINE
 conditions are precomputed per-symbol booleans (no dependence on the
 in-progress match), an alternation group matches exactly the OR of its
 symbols' columns; the reported ``matched_symbol`` is the leftmost
-alternative true at that row. Not supported (loud in docs, not silently
-wrong): reluctant quantifiers ``+?``, ``SKIP TO`` variants, nested
-groups.
+alternative true at that row. Reluctant quantifiers (``+? *? ??``)
+search smallest-run-first — in streaming a reluctant match is emitted
+immediately (future rows cannot shrink it), where greedy must wait for
+closure. Not supported (loud in docs, not silently wrong): ``SKIP TO``
+variants, nested groups.
 
 Spark-first split of work:
 
@@ -43,21 +45,22 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _TOKEN_RE = re.compile(
-    r"^(?:([A-Za-z_]\w*)|\(([A-Za-z_]\w*(?:\|[A-Za-z_]\w*)+)\))([+*?]?)$"
+    r"^(?:([A-Za-z_]\w*)|\(([A-Za-z_]\w*(?:\|[A-Za-z_]\w*)+)\))([+*?]\??|)$"
 )
 
 
 def parse_pattern(pattern: str) -> list[tuple[str | tuple[str, ...], str]]:
     """``"A (B|C)+ D?"`` -> ``[("A", ""), (("B", "C"), "+"), ("D", "?")]``
-    — plain tokens stay strings, alternation groups become tuples."""
+    — plain tokens stay strings, alternation groups become tuples.
+    Quantifiers: greedy ``+ * ?`` and reluctant ``+? *? ??``."""
     toks: list[tuple[str | tuple[str, ...], str]] = []
     for raw in pattern.split():
         m = _TOKEN_RE.match(raw)
         if not m:
             raise ValueError(
                 f"unsupported pattern token {raw!r} (supported: SYMBOL or "
-                "(S1|S2|...) with optional +, *, ? — no reluctant "
-                "quantifiers or nested groups)"
+                "(S1|S2|...) with optional +, *, ?, +?, *?, ?? — no "
+                "nested groups)"
             )
         sym = m.group(1) if m.group(1) else tuple(m.group(2).split("|"))
         toks.append((sym, m.group(3)))
@@ -130,17 +133,36 @@ def _matcher(symbols: list[str], toks: list[tuple[str | tuple[str, ...], str]]):
                     if rest is not None:
                         return [(pos, lab(ti, pos)), *rest]
                 return None
-            if q == "?":
-                if pos < n and col[pos]:
-                    rest = rec(ti + 1, pos + 1)
+            if q in ("?", "??"):
+                branches = ("take", "skip") if q == "?" else ("skip", "take")
+                for b in branches:
+                    if b == "take":
+                        if pos < n and col[pos]:
+                            rest = rec(ti + 1, pos + 1)
+                            if rest is not None:
+                                return [(pos, lab(ti, pos)), *rest]
+                    else:
+                        rest = rec(ti + 1, pos)
+                        if rest is not None:
+                            return rest
+                return None
+            min_k = 1 if q[0] == "+" else 0
+            if q.endswith("?"):  # reluctant + / * : smallest run first
+                for j in range(min_k):
+                    if pos + j >= n or not col[pos + j]:
+                        return None
+                k = min_k
+                while True:
+                    rest = rec(ti + 1, pos + k)
                     if rest is not None:
-                        return [(pos, lab(ti, pos)), *rest]
-                return rec(ti + 1, pos)
+                        return [(pos + j, lab(ti, pos + j)) for j in range(k)] + [*rest]
+                    if pos + k >= n or not col[pos + k]:
+                        return None
+                    k += 1
             # greedy + / * with backtracking
             k = 0
             while pos + k < n and col[pos + k]:
                 k += 1
-            min_k = 1 if q == "+" else 0
             while k >= min_k:
                 rest = rec(ti + 1, pos + k)
                 if rest is not None:
@@ -263,6 +285,39 @@ def _matcher_modes(symbols: list[str], toks: list[tuple[str | tuple[str, ...], s
                     if rest is not None:
                         return [(pos, lab(ti, pos)), *rest]
                 return rec(ti + 1, pos)
+            if q == "??":  # reluctant optional: skip branch first
+                rest = rec(ti + 1, pos)
+                if rest is _NEED_MORE or rest is not None:
+                    return rest
+                if pos >= n:
+                    return _NEED_MORE
+                if col[pos]:
+                    rest = rec(ti + 1, pos + 1)
+                    if rest is _NEED_MORE:
+                        return _NEED_MORE
+                    if rest is not None:
+                        return [(pos, lab(ti, pos)), *rest]
+                return None
+            min_k = 1 if q[0] == "+" else 0
+            if q.endswith("?"):  # reluctant + / * : smallest run first;
+                # a found match is final (future rows cannot shrink it)
+                for j in range(min_k):
+                    if pos + j >= n:
+                        return _NEED_MORE
+                    if not col[pos + j]:
+                        return None
+                k = min_k
+                while True:
+                    rest = rec(ti + 1, pos + k)
+                    if rest is _NEED_MORE:
+                        return _NEED_MORE
+                    if rest is not None:
+                        return [(pos + j, lab(ti, pos + j)) for j in range(k)] + [*rest]
+                    if pos + k >= n:
+                        return _NEED_MORE
+                    if not col[pos + k]:
+                        return None
+                    k += 1
             # + / * : greedy, highest k first; a run touching the end of
             # data could extend with future rows -> undecided
             k = 0
@@ -270,7 +325,6 @@ def _matcher_modes(symbols: list[str], toks: list[tuple[str | tuple[str, ...], s
                 k += 1
             if pos + k >= n:
                 return _NEED_MORE
-            min_k = 1 if q == "+" else 0
             while k >= min_k:
                 rest = rec(ti + 1, pos + k)
                 if rest is _NEED_MORE:

@@ -27,12 +27,34 @@ def _runs(df):
 def test_parse_pattern_alternation_and_rejects():
     assert parse_pattern("(A|B) C") == [(("A", "B"), ""), ("C", "")]
     assert parse_pattern("A (B|C)+ D?") == [("A", ""), (("B", "C"), "+"), ("D", "?")]
-    with pytest.raises(ValueError, match="unsupported pattern token"):
-        parse_pattern("A+? B")  # reluctant
+    assert parse_pattern("A+? (B|C)*? D??") == [
+        ("A", "+?"), (("B", "C"), "*?"), ("D", "??"),
+    ]
     with pytest.raises(ValueError, match="unsupported pattern token"):
         parse_pattern("((A|B)|C)")  # nested
     with pytest.raises(ValueError, match="empty"):
         parse_pattern("  ")
+
+
+def test_reluctant_quantifier_takes_shortest_run(spark):
+    """A+? B stops at the first B-eligible row; greedy A+ B runs on.
+    v<=9 is A-eligible AND B is v in {3, 5}: reluctant ends at the first
+    3, greedy extends the A-run as far as backtracking allows."""
+    df = _df(spark, [1, 2, 3, 4, 5])
+    rel = _runs(
+        match_recognize(
+            df, "k", "pos", "A+? B",
+            {"A": F.col("v") <= 9, "B": F.col("v").isin(3, 5)},
+        )
+    )
+    assert rel == [[(0, "A"), (1, "A"), (2, "B")], [(3, "A"), (4, "B")]]
+    greedy = _runs(
+        match_recognize(
+            df, "k", "pos", "A+ B",
+            {"A": F.col("v") <= 9, "B": F.col("v").isin(3, 5)},
+        )
+    )
+    assert greedy == [[(0, "A"), (1, "A"), (2, "A"), (3, "A"), (4, "B")]]
 
 
 def test_alternation_group_matches_and_labels(spark):

@@ -106,6 +106,7 @@ def test_tokenizer_matches_python_split(spark, texts):
         [
             "A B", "A+ B", "A B+", "A+ B+ C", "A B? C", "A C* B", "A+", "A? B+",
             "(A|B) C", "(A|B)+ C", "A (B|C)*", "(A|C)? B", "(A|B|C)+",
+            "A+? B", "A*? B", "A?? B", "(A|B)+? C", "A B+? C", "C*? A B??",
         ]
     ),
 )
