@@ -470,10 +470,18 @@ class TableEnvironment:
             raise NotImplementedError("ALL ROWS PER MATCH: only ONE ROW PER MATCH is supported")
         skip = re.search(r"\bAFTER\s+MATCH\s+SKIP\s+(.*?)\s*" + self._MR_SECTION_STOP,
                          body, re.IGNORECASE | re.DOTALL)
-        if skip and not re.fullmatch(r"PAST\s+LAST\s+ROW", skip.group(1).strip(), re.IGNORECASE):
-            raise NotImplementedError(
-                f"AFTER MATCH SKIP {skip.group(1).strip()}: only SKIP PAST LAST ROW"
-            )
+        after_match = "past_last_row"
+        if skip:
+            s = re.sub(r"\s+", " ", skip.group(1).strip())
+            if re.fullmatch(r"PAST LAST ROW", s, re.IGNORECASE):
+                after_match = "past_last_row"
+            elif re.fullmatch(r"TO NEXT ROW", s, re.IGNORECASE):
+                after_match = "to_next_row"
+            else:
+                sm = re.fullmatch(r"TO (FIRST|LAST) (\w+)", s, re.IGNORECASE)
+                if not sm:
+                    raise NotImplementedError(f"AFTER MATCH SKIP {s}")
+                after_match = f"to_{sm.group(1).lower()} {sm.group(2)}"
 
         def section(kw: str) -> str | None:
             m = re.search(kw + r"\s+(.*?)\s*" + self._MR_SECTION_STOP, body,
@@ -522,7 +530,8 @@ class TableEnvironment:
             define[dm.group(1)] = F.expr(mr_expr(dm.group(2)))
 
         matched = match_recognize(
-            self.spark.table(table), part_cols, order_cols, pattern, define
+            self.spark.table(table), part_cols, order_cols, pattern, define,
+            after_match=after_match,
         )
 
         order_key = F.struct(*[F.col(c) for c in order_cols])

@@ -13,8 +13,11 @@ symbols' columns; the reported ``matched_symbol`` is the leftmost
 alternative true at that row. Reluctant quantifiers (``+? *? ??``)
 search smallest-run-first — in streaming a reluctant match is emitted
 immediately (future rows cannot shrink it), where greedy must wait for
-closure. Not supported (loud in docs, not silently wrong): ``SKIP TO``
-variants, nested groups.
+closure. Batch supports all AFTER MATCH SKIP strategies (past last row
+/ to next row / to first|last SYM, with Flink's infinite-loop guard);
+streaming supports past-last-row only (overlapping matches would need
+re-emittable history in keyed state). Not supported (loud, not silently
+wrong): nested groups.
 
 Spark-first split of work:
 
@@ -181,6 +184,7 @@ def match_recognize(
     order_by: str | list[str],
     pattern: str,
     define: dict[str, Column],
+    after_match: str = "past_last_row",
 ) -> DataFrame:
     """Rows of every match, annotated with ``match_id`` (0-based ordinal
     within the partition) and ``matched_symbol``.
@@ -189,6 +193,13 @@ def match_recognize(
     use ``F.lag(col).over(Window.partitionBy(keys).orderBy(order))`` for
     Flink's ``PREV``. MEASURES: aggregate the returned rows by
     (partition, match_id) with ordinary Spark aggregations.
+
+    ``after_match`` is the AFTER MATCH SKIP strategy: ``"past_last_row"``
+    (default), ``"to_next_row"`` (resume at match start + 1, allows
+    overlapping matches), ``"to_first SYM"`` / ``"to_last SYM"`` (resume
+    AT the first/last row mapped to SYM). As in Flink, a strategy that
+    would restart the scan at the match's own first row raises (infinite
+    loop), as does SKIP TO a symbol that mapped no rows.
     """
     partition_by = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
@@ -197,6 +208,19 @@ def match_recognize(
     missing = [s for s in symbols if s not in define]
     if missing:
         raise ValueError(f"pattern symbols without DEFINE: {missing}")
+
+    am = after_match.strip().lower().replace("  ", " ")
+    am_parts = am.split()
+    if am_parts[0] in ("to_first", "to_last"):
+        if len(am_parts) != 2:
+            raise ValueError(f"after_match {after_match!r}: expected 'to_first SYM'")
+        skip_mode, skip_sym = am_parts[0], after_match.split()[1]
+        if skip_sym not in symbols:
+            raise ValueError(f"AFTER MATCH SKIP TO unknown symbol {skip_sym!r}")
+    elif am in ("past_last_row", "to_next_row"):
+        skip_mode, skip_sym = am, None
+    else:
+        raise ValueError(f"unsupported after_match strategy {after_match!r}")
 
     flagged = df
     for s in symbols:
@@ -221,12 +245,29 @@ def match_recognize(
         i, mid = 0, 0
         while i < n:
             m = match_at(bools, i, n)
-            if m:  # AFTER MATCH SKIP PAST LAST ROW; empty match advances
+            if m:  # empty match advances
                 for pos, si in m:
                     rows_idx.append(pos)
                     match_ids.append(mid)
                     matched_syms.append(symbols[si])
-                i = m[-1][0] + 1
+                if skip_mode == "past_last_row":
+                    i = m[-1][0] + 1
+                elif skip_mode == "to_next_row":
+                    i = m[0][0] + 1
+                else:
+                    mapped = [pos for pos, si in m if symbols[si] == skip_sym]
+                    if not mapped:
+                        raise ValueError(
+                            f"AFTER MATCH SKIP TO {skip_sym}: no rows were "
+                            "mapped to that symbol in the match"
+                        )
+                    resume = mapped[0] if skip_mode == "to_first" else mapped[-1]
+                    if resume == m[0][0]:
+                        raise ValueError(
+                            f"AFTER MATCH SKIP TO {skip_sym} would restart at "
+                            "the match's own first row (infinite loop)"
+                        )
+                    i = resume
                 mid += 1
             else:
                 i += 1

@@ -36,6 +36,31 @@ def test_parse_pattern_alternation_and_rejects():
         parse_pattern("  ")
 
 
+def test_after_match_skip_strategies(spark):
+    """to_next_row overlaps matches; to_first/to_last resume at the
+    mapped row; a strategy restarting at the match's first row raises."""
+    df = _df(spark, [1, 2, 3, 4])
+    always = {"A": F.lit(True), "B": F.lit(True)}
+    tiled = _runs(match_recognize(df, "k", "pos", "A B", always))
+    assert [[p for p, _ in m] for m in tiled] == [[0, 1], [2, 3]]
+    overlap = _runs(
+        match_recognize(df, "k", "pos", "A B", always, after_match="to_next_row")
+    )
+    assert [[p for p, _ in m] for m in overlap] == [[0, 1], [1, 2], [2, 3]]
+    # to_last B on "A B+ C": resume AT the last B row of the match
+    df2 = _df(spark, [1, 2, 2, 3])
+    defs = {"A": F.col("v") == 1, "B": F.col("v") == 2, "C": F.col("v") == 3}
+    m = _runs(match_recognize(df2, "k", "pos", "A B+ C", defs, after_match="to_last B"))
+    assert [[p for p, _ in mm] for mm in m] == [[0, 1, 2, 3]]  # scan resumed at 2, no 2nd match
+    with pytest.raises(Exception, match="infinite loop"):
+        match_recognize(
+            _df(spark, [1, 1, 1]), "k", "pos", "A+", {"A": F.lit(True)},
+            after_match="to_first A",
+        ).collect()
+    with pytest.raises(ValueError, match="unsupported after_match"):
+        match_recognize(df, "k", "pos", "A B", always, after_match="bogus")
+
+
 def test_reluctant_quantifier_takes_shortest_run(spark):
     """A+? B stops at the first B-eligible row; greedy A+ B runs on.
     v<=9 is A-eligible AND B is v in {3, 5}: reluctant ends at the first

@@ -188,9 +188,34 @@ def test_unsupported_constructs_are_loud(tenv):
     with pytest.raises(NotImplementedError, match="SKIP"):
         tenv.execute_sql(
             "SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts"
-            " MEASURES COUNT(A.*) AS n AFTER MATCH SKIP TO NEXT ROW"
+            " MEASURES COUNT(A.*) AS n AFTER MATCH SKIP TO SOMEWHERE ELSE"
             " PATTERN (A) DEFINE A AS TRUE)"
         )
+
+
+def test_match_recognize_sql_skip_to_next_row(tenv, spark):
+    """SKIP TO NEXT ROW resumes at match start + 1 -> overlapping
+    matches; PAST LAST ROW (default) tiles them."""
+    spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate([1, 2, 3, 4])], "k int, pos int, v double"
+    ).createOrReplaceTempView("mr_skip_src")
+
+    def count_matches(skip_clause):
+        return tenv.execute_sql(
+            f"""
+            SELECT COUNT(*) AS n FROM mr_skip_src MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY pos
+              MEASURES COUNT(A.*) AS n_a
+              ONE ROW PER MATCH
+              {skip_clause}
+              PATTERN (A B)
+              DEFINE A AS TRUE, B AS TRUE
+            )
+            """
+        ).first()["n"]
+
+    assert count_matches("AFTER MATCH SKIP PAST LAST ROW") == 2  # (0,1) (2,3)
+    assert count_matches("AFTER MATCH SKIP TO NEXT ROW") == 3  # + (1,2)
     with pytest.raises(NotImplementedError, match="SYSTEM_TIME"):
         # subquery build side: outside the supported clause shape
         tenv.execute_sql(
