@@ -438,11 +438,13 @@ class TableEnvironment:
     # -- MATCH_RECOGNIZE (SQL form) -> operators.cep.match_recognize -------
     #
     # Supported subset (the operator's semantics, StreamExecMatch.java:90):
-    # ONE ROW PER MATCH, AFTER MATCH SKIP PAST LAST ROW (both defaulted),
-    # PATTERN of quantified symbols / alternation groups, DEFINE with
-    # current-row refs (SYM.col) and PREV(SYM.col[, n]), MEASURES of
-    # FIRST/LAST/COUNT/SUM/MIN/MAX/AVG over symbol-prefixed columns plus
-    # MATCH_NUMBER(). Loud errors otherwise.
+    # ONE ROW / ALL ROWS PER MATCH, every AFTER MATCH SKIP strategy,
+    # PATTERN of quantified symbols / alternation groups (greedy +
+    # reluctant), DEFINE with current-row refs (SYM.col) and
+    # PREV(SYM.col[, n]), MEASURES of FIRST/LAST/COUNT/SUM/MIN/MAX/AVG
+    # over symbol-prefixed columns plus MATCH_NUMBER() and (ALL ROWS)
+    # CLASSIFIER() with RUNNING-default / FINAL(...) semantics as window
+    # frames over (partition, match_id). Loud errors otherwise.
 
     _MR_SECTION_STOP = (
         r"(?=\bPARTITION\s+BY\b|\bORDER\s+BY\b|\bMEASURES\b|\bONE\s+ROW\b|"
@@ -466,8 +468,7 @@ class TableEnvironment:
             )
         table = fm.group(1)
 
-        if re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", body, re.IGNORECASE):
-            raise NotImplementedError("ALL ROWS PER MATCH: only ONE ROW PER MATCH is supported")
+        all_rows = bool(re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", body, re.IGNORECASE))
         skip = re.search(r"\bAFTER\s+MATCH\s+SKIP\s+(.*?)\s*" + self._MR_SECTION_STOP,
                          body, re.IGNORECASE | re.DOTALL)
         after_match = "past_last_row"
@@ -536,18 +537,30 @@ class TableEnvironment:
 
         order_key = F.struct(*[F.col(c) for c in order_cols])
         sym_col = F.col("matched_symbol")
-        aggs, out_aliases, match_number_aliases = [], [], set()
+        # measure descriptors: ("match_number"|"classifier", alias) or
+        # ("agg", agg_builder, alias, mode) with mode in running|final
+        measures = []
         for item in _split_top(measures_s):
             mm = re.match(r"(.+?)\s+AS\s+(\w+)$", item.strip(), re.IGNORECASE | re.DOTALL)
             if not mm:
                 raise ValueError(f"bad MEASURES item: {item!r}")
             expr, alias = mm.group(1).strip(), mm.group(2)
-            out_aliases.append(alias)
             if re.fullmatch(r"MATCH_NUMBER\s*\(\s*\)", expr, re.IGNORECASE):
-                match_number_aliases.add(alias)  # Flink numbers matches from 1
+                measures.append(("match_number", None, alias, None))
                 continue
-            if re.search(r"\bCLASSIFIER\s*\(", expr, re.IGNORECASE):
-                raise NotImplementedError("CLASSIFIER() needs ALL ROWS PER MATCH")
+            if re.fullmatch(r"CLASSIFIER\s*\(\s*\)", expr, re.IGNORECASE):
+                if not all_rows:
+                    raise NotImplementedError("CLASSIFIER() needs ALL ROWS PER MATCH")
+                measures.append(("classifier", None, alias, None))
+                continue
+            # RUNNING/FINAL semantics prefix (Flink: ALL ROWS defaults to
+            # RUNNING, ONE ROW measures are always FINAL)
+            mode = "running" if all_rows else "final"
+            sem = re.fullmatch(r"(RUNNING|FINAL)\s*\((.*)\)", expr, re.IGNORECASE | re.DOTALL)
+            if sem:
+                if not all_rows:
+                    raise NotImplementedError("RUNNING/FINAL only applies to ALL ROWS PER MATCH")
+                mode, expr = sem.group(1).lower(), sem.group(2).strip()
             am = re.fullmatch(
                 r"(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(?:(\w+)\.)?(\*|\w+)\s*\)",
                 expr,
@@ -562,28 +575,53 @@ class TableEnvironment:
             if col == "*":
                 if fn != "COUNT":
                     raise NotImplementedError(f"{fn}(*) in MEASURES")
-                aggs.append(F.count(F.when(cond, F.lit(1))).alias(alias))
-                continue
-            val = F.when(cond, F.col(col))
-            if fn == "FIRST":
-                aggs.append(F.min_by(val, F.when(cond, order_key)).alias(alias))
-            elif fn == "LAST":
-                aggs.append(F.max_by(val, F.when(cond, order_key)).alias(alias))
+                agg = F.count(F.when(cond, F.lit(1)))
             else:
-                aggs.append(getattr(F, fn.lower())(val).alias(alias))
-        if not out_aliases:
+                val = F.when(cond, F.col(col))
+                if fn == "FIRST":
+                    agg = F.min_by(val, F.when(cond, order_key))
+                elif fn == "LAST":
+                    agg = F.max_by(val, F.when(cond, order_key))
+                else:
+                    agg = getattr(F, fn.lower())(val)
+            measures.append(("agg", agg, alias, mode))
+        if not measures:
             raise ValueError("empty MEASURES")
 
-        one_row = matched.groupBy(*part_cols, "match_id").agg(
-            *(aggs or [F.count("*").alias("__n")])
-        )
-        per_match = one_row.select(
-            *part_cols,
-            *[
-                (F.col("match_id") + 1).alias(a) if a in match_number_aliases else F.col(a)
-                for a in out_aliases
-            ],
-        )
+        if all_rows:
+            from pyspark.sql import Window as W
+
+            w_base = W.partitionBy(*part_cols, "match_id").orderBy(
+                *[F.col(c) for c in order_cols]
+            )
+            frames = {
+                "running": w_base.rowsBetween(W.unboundedPreceding, W.currentRow),
+                "final": w_base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing),
+            }
+            data_cols = [c for c in matched.columns if c not in ("match_id", "matched_symbol")]
+            out_cols = []
+            for kind, agg, alias, mode in measures:
+                if kind == "match_number":
+                    out_cols.append((F.col("match_id") + 1).alias(alias))
+                elif kind == "classifier":
+                    out_cols.append(sym_col.alias(alias))
+                else:
+                    out_cols.append(agg.over(frames[mode]).alias(alias))
+            per_match = matched.select(*data_cols, *out_cols)
+        else:
+            aggs = [agg.alias(alias) for kind, agg, alias, _ in measures if kind == "agg"]
+            one_row = matched.groupBy(*part_cols, "match_id").agg(
+                *(aggs or [F.count("*").alias("__n")])
+            )
+            per_match = one_row.select(
+                *part_cols,
+                *[
+                    (F.col("match_id") + 1).alias(alias)
+                    if kind == "match_number"
+                    else F.col(alias)
+                    for kind, _, alias, _ in measures
+                ],
+            )
         view = f"__mr_{abs(hash(sql)) % 10**8}"
         per_match.createOrReplaceTempView(view)
         outer = sql[: fm.start(1)] + view + sql[end:]

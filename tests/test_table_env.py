@@ -180,10 +180,10 @@ def test_ddl_filesystem_connector(tenv, spark, tmp_dir):
 
 
 def test_unsupported_constructs_are_loud(tenv):
-    with pytest.raises(NotImplementedError, match="ALL ROWS PER MATCH"):
+    with pytest.raises(NotImplementedError, match="CLASSIFIER"):
         tenv.execute_sql(
             "SELECT * FROM events MATCH_RECOGNIZE (PARTITION BY user_id ORDER BY ts"
-            " MEASURES COUNT(A.*) AS n ALL ROWS PER MATCH PATTERN (A) DEFINE A AS TRUE)"
+            " MEASURES CLASSIFIER() AS c ONE ROW PER MATCH PATTERN (A) DEFINE A AS TRUE)"
         )
     with pytest.raises(NotImplementedError, match="SKIP"):
         tenv.execute_sql(
@@ -191,6 +191,41 @@ def test_unsupported_constructs_are_loud(tenv):
             " MEASURES COUNT(A.*) AS n AFTER MATCH SKIP TO SOMEWHERE ELSE"
             " PATTERN (A) DEFINE A AS TRUE)"
         )
+
+
+def test_match_recognize_sql_all_rows_per_match(tenv, spark):
+    """ALL ROWS PER MATCH emits every matched row with CLASSIFIER(),
+    MATCH_NUMBER(), RUNNING-default aggregates, and FINAL(...) frames."""
+    spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate([5, 3, 4, 9, 2, 6])],
+        "k int, pos int, v double",
+    ).createOrReplaceTempView("mr_all_src")
+    got = tenv.execute_sql(
+        """
+        SELECT pos, sym, mno, run_cnt, total_cnt
+        FROM mr_all_src MATCH_RECOGNIZE (
+          PARTITION BY k
+          ORDER BY pos
+          MEASURES CLASSIFIER() AS sym,
+                   MATCH_NUMBER() AS mno,
+                   COUNT(*) AS run_cnt,
+                   FINAL(COUNT(*)) AS total_cnt
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN+ UP+)
+          DEFINE DOWN AS DOWN.v < PREV(DOWN.v),
+                 UP AS UP.v > PREV(UP.v)
+        ) ORDER BY pos
+        """
+    ).collect()
+    # match 1: pos 1 (down) + greedy up run pos 2-3; match 2: pos 4-5
+    assert [tuple(r) for r in got] == [
+        (1, "DOWN", 1, 1, 3),
+        (2, "UP", 1, 2, 3),
+        (3, "UP", 1, 3, 3),
+        (4, "DOWN", 2, 1, 2),
+        (5, "UP", 2, 2, 2),
+    ]
 
 
 def test_match_recognize_sql_skip_to_next_row(tenv, spark):
