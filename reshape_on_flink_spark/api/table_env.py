@@ -429,11 +429,24 @@ class TableEnvironment:
         if re.search(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", sql, re.IGNORECASE):
             return self._execute_temporal_join(sql)
         try:
-            return self.spark.sql(self.translate(sql))
+            out = self.spark.sql(self.translate(sql))
         except Exception as exc:  # AnalysisException: inline() over a map
             if self._UNNEST_MULTI_RE.search(sql) and "inline" in str(exc).lower():
                 return self.spark.sql(self.translate(sql, unnest_multi="explode"))
             raise
+        # Flink declares versioned (temporal) tables with WATERMARK +
+        # PRIMARY KEY DDL; the Spark DDL drops both, so capture the
+        # rowtime here to make the table usable in FOR SYSTEM_TIME AS OF
+        ddl = re.match(
+            r"\s*CREATE\s+(?:TEMPORARY\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)",
+            sql,
+            re.IGNORECASE,
+        )
+        if ddl and re.search(r"\bPRIMARY\s+KEY\b", sql, re.IGNORECASE):
+            wm = re.search(r"\bWATERMARK\s+FOR\s+(\w+)\b", sql, re.IGNORECASE)
+            if wm:
+                self._versioned[ddl.group(1)] = wm.group(1)
+        return out
 
     # -- MATCH_RECOGNIZE (SQL form) -> operators.cep.match_recognize -------
     #

@@ -258,6 +258,27 @@ def test_match_recognize_sql_skip_to_next_row(tenv, spark):
         )
 
 
+def test_versioned_table_registered_from_ddl(tenv, spark, tmp_dir):
+    """Flink's versioned-table DDL (WATERMARK + PRIMARY KEY) makes the
+    table usable as a FOR SYSTEM_TIME AS OF build side without an
+    explicit register_versioned_table call."""
+    spark.sql("DROP TABLE IF EXISTS rates_ddl")
+    tenv.execute_sql(
+        f"""
+        CREATE TABLE rates_ddl (
+          cur STRING, rate INT, vt TIMESTAMP,
+          PRIMARY KEY (cur) NOT ENFORCED,
+          WATERMARK FOR vt AS vt - INTERVAL '5' SECOND
+        ) WITH ('connector' = 'filesystem', 'path' = '{tmp_dir}/rates_ddl',
+                'format' = 'parquet')
+        """
+    )
+    try:
+        assert tenv._versioned["rates_ddl"] == "vt"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rates_ddl")
+
+
 def test_temporal_join_sql_versioned_table(tenv, spark):
     """FOR SYSTEM_TIME AS OF joins each probe row to the latest version
     with rowtime <= probe time (TemporalRowTimeJoinOperator semantics);
