@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from reshape_on_flink_spark.queries.numeric import disc_price, dsum, SQL_DISC_PRICE, sql_dsum
+from reshape_on_flink_spark.queries.numeric import dec, disc_price, dsum, SQL_DISC_PRICE, sql_dsum
 from reshape_on_flink_spark.session import load_tables
 
 QUERIES = {}
@@ -282,3 +282,131 @@ def q_ds_rollup_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("brand", "ptype", "lvl", "qty_sum", "rnk")
         .orderBy("lvl", "rnk", "brand", "ptype")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q47 shape: aggregate to a coarse grain (priority × month), then
+# window over the aggregate — centered moving average via lag/lead — and
+# keep the rows deviating most from their neighborhood. Scale: the window
+# runs over the already-aggregated rows (|priorities| × |months|), so the
+# second shuffle is tiny regardless of fact-table size; deviation ranking
+# is a TakeOrderedAndProject over that small set.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_moving_avg_deviation",
+    """
+    WITH monthly AS (
+      SELECT o_orderpriority AS prio,
+             CAST(EXTRACT(YEAR FROM o_orderdate) * 100 + EXTRACT(MONTH FROM o_orderdate)
+                  AS INTEGER) AS ym,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders GROUP BY 1, 2
+    ),
+    with_mavg AS (
+      SELECT prio, ym, total,
+             lag(total) OVER w AS prev_t,
+             lead(total) OVER w AS next_t
+      FROM monthly WINDOW w AS (PARTITION BY prio ORDER BY ym)
+    )
+    SELECT prio, ym, total,
+           (prev_t + total + next_t) / 3 AS mavg,
+           ABS(total - (prev_t + total + next_t) / 3) AS deviation
+    FROM with_mavg
+    WHERE prev_t IS NOT NULL AND next_t IS NOT NULL
+    ORDER BY deviation DESC, prio, ym
+    LIMIT 10
+    """,
+)
+def q_ds_moving_avg_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int").alias("ym"),
+    ).agg(dsum("o_totalprice").alias("total"))
+    w = W.partitionBy("prio").orderBy("ym")
+    with_mavg = monthly.select(
+        "prio",
+        "ym",
+        "total",
+        F.lag("total").over(w).alias("prev_t"),
+        F.lead("total").over(w).alias("next_t"),
+    ).where(F.col("prev_t").isNotNull() & F.col("next_t").isNotNull())
+    mavg = (F.col("prev_t") + F.col("total") + F.col("next_t")) / 3
+    return (
+        with_mavg.select(
+            "prio",
+            "ym",
+            "total",
+            mavg.alias("mavg"),
+            F.abs(F.col("total") - mavg).alias("deviation"),
+        )
+        .orderBy(F.desc("deviation"), "prio", "ym")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q51 shape: two channels aggregated to daily grain, FULL OUTER
+# joined on the grain, cumulative sums compared via windows. Scale: daily
+# grains are tiny post-aggregation; the full-outer join and windows run
+# over |days| rows. Cumulative sums are exact decimals, so the crossing
+# predicate is deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_cumulative_cross",
+    """
+    WITH a AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 10000
+                  + EXTRACT(MONTH FROM o_orderdate) * 100
+                  + EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amt
+      FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1
+    ),
+    b AS (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) * 10000
+                  + EXTRACT(MONTH FROM o_orderdate) * 100
+                  + EXTRACT(DAY FROM o_orderdate) AS INTEGER) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS amt
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+    ),
+    joined AS (
+      SELECT COALESCE(a.d, b.d) AS d, a.amt AS a_amt, b.amt AS b_amt
+      FROM a FULL OUTER JOIN b ON a.d = b.d
+    ),
+    cum AS (
+      SELECT d,
+             CAST(SUM(COALESCE(a_amt, 0)) OVER (ORDER BY d) AS DOUBLE) AS a_cum,
+             CAST(SUM(COALESCE(b_amt, 0)) OVER (ORDER BY d) AS DOUBLE) AS b_cum
+      FROM joined
+    )
+    SELECT d, a_cum, b_cum FROM cum WHERE a_cum > b_cum ORDER BY d LIMIT 50
+    """,
+)
+def q_ds_cumulative_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    day = (
+        F.year("o_orderdate") * 10000 + F.month("o_orderdate") * 100 + F.dayofmonth("o_orderdate")
+    ).cast("int")
+
+    def daily(cond) -> DataFrame:
+        return (
+            o.where(cond)
+            .groupBy(day.alias("d"))
+            .agg(F.sum(dec("o_totalprice")).alias("amt"))
+        )
+
+    a = daily(F.col("o_orderpriority") == "1-URGENT").withColumnRenamed("amt", "a_amt")
+    b = daily(F.col("o_orderstatus") == "F").withColumnRenamed("amt", "b_amt")
+    joined = (
+        a.withColumnRenamed("d", "ad")
+        .join(b.withColumnRenamed("d", "bd"), F.col("ad") == F.col("bd"), "full_outer")
+        .select(F.coalesce("ad", "bd").alias("d"), "a_amt", "b_amt")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    w = W.orderBy("d")
+    cum = joined.select(
+        "d",
+        F.sum(F.coalesce("a_amt", zero)).over(w).cast("double").alias("a_cum"),
+        F.sum(F.coalesce("b_amt", zero)).over(w).cast("double").alias("b_cum"),
+    )
+    return cum.where(F.col("a_cum") > F.col("b_cum")).orderBy("d").limit(50)
