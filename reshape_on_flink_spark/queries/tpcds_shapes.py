@@ -410,3 +410,91 @@ def q_ds_cumulative_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce("b_amt", zero)).over(w).cast("double").alias("b_cum"),
     )
     return cum.where(F.col("a_cum") > F.col("b_cum")).orderBy("d").limit(50)
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q66 shape: wide month-pivot — one row per group with 12 monthly
+# amount columns. Spark's PIVOT (RelationalGroupedDataset.pivot with
+# explicit values = no extra distinct-scan) compiles to a single
+# hash-aggregate with 12 conditional sums: one shuffle on the group key,
+# map-side partials, no row explosion. The oracle spells the same thing
+# as SUM(CASE WHEN month = m ...) columns.
+# ---------------------------------------------------------------------------
+_MONTH_COLS_SQL = ",\n".join(
+    f"""CAST(SUM(CASE WHEN EXTRACT(MONTH FROM o_orderdate) = {m}
+         THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+         AS DOUBLE) AS m{m:02d}"""
+    for m in range(1, 13)
+)
+
+
+@query(
+    "q_ds_pivot_monthly",
+    f"""
+    SELECT o_orderpriority AS prio,
+    {_MONTH_COLS_SQL}
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY prio
+    """,
+)
+def q_ds_pivot_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    zero = F.lit(0).cast("decimal(18,2)")
+    pivoted = (
+        o.select(
+            F.col("o_orderpriority").alias("prio"),
+            F.month("o_orderdate").alias("m"),
+            dec("o_totalprice").alias("amt"),
+        )
+        .groupBy("prio")
+        .pivot("m", list(range(1, 13)))
+        .agg(F.coalesce(F.sum("amt"), zero))
+    )
+    # a (prio, month) cell with no rows is null in PIVOT but 0 in the
+    # oracle's SUM(CASE ... ELSE 0) spelling — align them
+    return pivoted.select(
+        "prio",
+        *[
+            F.coalesce(F.col(str(m)).cast("double"), F.lit(0.0)).alias(f"m{m:02d}")
+            for m in range(1, 13)
+        ],
+    ).orderBy("prio")
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (reverse of q66): wide monthly columns melted back to
+# (group, month, amount) rows via df.unpivot — compiles to Expand (×12
+# rows map-side, no shuffle); the oracle is the UNION ALL spelling.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_unpivot_monthly",
+    f"""
+    WITH wide AS (
+      SELECT o_orderpriority AS prio,
+      {_MONTH_COLS_SQL}
+      FROM orders
+      GROUP BY o_orderpriority
+    )
+    SELECT prio, month, amount FROM (
+      {" UNION ALL ".join(
+        f"SELECT prio, '{f'm{m:02d}'}' AS month, m{m:02d} AS amount FROM wide"
+        for m in range(1, 13)
+      )}
+    ) t
+    WHERE amount > 0
+    ORDER BY prio, month
+    """,
+)
+def q_ds_unpivot_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q_ds_pivot_monthly(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "prio",
+            [f"m{m:02d}" for m in range(1, 13)],
+            "month",
+            "amount",
+        )
+        .where(F.col("amount") > 0)
+        .orderBy("prio", "month")
+    )
