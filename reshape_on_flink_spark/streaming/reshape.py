@@ -44,10 +44,12 @@ equivalent.
 from __future__ import annotations
 
 import math
+import os
+import shutil
 import time
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -98,8 +100,26 @@ class ReshapeController:
     def routing(self) -> dict:
         return {k: hk.salts for k, hk in self.hot_keys.items()}
 
+    def due(self) -> bool:
+        """True if the next observe() would run (freq_ms window elapsed).
+
+        Callers that must pay a Spark job to produce the observation
+        (``observe_candidates``) check this first so rate-limited ticks
+        cost nothing — the ControllerSimulator analog only samples
+        busyRatio once per ``reshapeFreq`` too.
+        """
+        return not self._last_update or (time.monotonic() - self._last_update) * 1000 >= self.conf.freq_ms
+
     def observe(self, key_counts: dict[object, int], total_rows: int) -> None:
-        """One controller iteration (rate-limited to freq_ms)."""
+        """One controller iteration (rate-limited to freq_ms).
+
+        ``key_counts`` need not be the full per-key histogram: only keys
+        above ``lo_threshold × task_mean`` plus currently-tracked hot
+        keys influence any branch below, so callers may (and at scale
+        MUST) pre-filter to that bounded candidate set — see
+        ``observe_candidates``. Tracked keys absent from ``key_counts``
+        cool down exactly as if they had count 0.
+        """
         now = time.monotonic()
         if self._last_update and (now - self._last_update) * 1000 < self.conf.freq_ms:
             return
@@ -168,46 +188,198 @@ def salted_partial_merge_agg(
     )
 
 
+def observe_candidates(
+    merged: DataFrame, key_col: str, conf: ReshapeConf, tracked: dict
+) -> tuple[int, dict]:
+    """Distributed, bounded load observation for the controller.
+
+    Input is the *merged* per-key aggregate of the current micro-batch
+    (one row per key, ``cnt`` column), i.e. the result the pipeline
+    computes anyway. Returns ``(total_rows, candidates)`` where
+    candidates holds only keys that can influence the controller:
+
+    - keys with ``cnt > lo_threshold × task_mean`` (every possible new
+      hot key — hi_threshold ≥ lo_threshold — and every tracked key
+      still above its cool-down bar), plus
+    - currently ``tracked`` hot keys regardless of count (so cool-down
+      sees their true low count instead of a phantom absence).
+
+    The collect is bounded by ``parallelism / lo_threshold + |tracked|``
+    rows (at most that many keys can exceed ``lo × total/parallelism``),
+    independent of key cardinality — the full histogram never reaches
+    the driver. This is what makes the control loop viable at 100 TB:
+    the reference's controller likewise receives only per-*subtask*
+    busyRatios (O(parallelism)), never per-key stats.
+    """
+    total = merged.agg(F.sum("cnt").alias("t")).collect()[0]["t"] or 0
+    if total <= 0:
+        return 0, {}
+    floor = conf.lo_threshold * (total / conf.parallelism)
+    cond = F.col("cnt") > F.lit(floor)
+    if tracked:
+        cond = cond | F.col(key_col).isin(list(tracked))
+    rows = merged.filter(cond).select(key_col, "cnt").collect()
+    return int(total), {r[key_col]: r["cnt"] for r in rows}
+
+
+class PartialUpsertSink:
+    """Cluster-scale merge target: per-epoch partial parquet + merge-on-read.
+
+    The driver-side dict in ``ReshapeStreamingAgg`` is a test
+    convenience; at 100 TB the cumulative keyed result can't live on the
+    driver. This sink implements the standard upsert pattern on plain
+    parquet (on a real deployment the same calls map 1:1 onto a Delta /
+    Iceberg ``MERGE INTO`` in ``foreachBatch``):
+
+    - ``write(merged, epoch_id)``: writes the batch's merged per-key
+      partials to ``partials/epoch=<id>`` with dynamic overwrite — a
+      replayed epoch (failure recovery) overwrites its own directory,
+      so the sink is idempotent / effectively exactly-once.
+    - ``result_df()``: merge-on-read — snapshot ∪ partials, re-aggregated
+      per key. Distributed; never collects.
+    - ``compact()``: folds snapshot + partials into a new snapshot
+      (written to a temp dir, atomically swapped) and clears partials,
+      bounding read amplification. Called automatically every
+      ``compact_every`` epochs.
+    """
+
+    def __init__(self, spark: SparkSession, path: str, key_col: str, compact_every: int = 8):
+        self.spark = spark
+        self.path = path
+        self.key_col = key_col
+        self.compact_every = compact_every
+        self._epochs_since_compact = 0
+
+    @property
+    def _partials(self) -> str:
+        return os.path.join(self.path, "partials")
+
+    @property
+    def _snapshot(self) -> str:
+        return os.path.join(self.path, "snapshot")
+
+    @property
+    def _marker(self) -> str:
+        return os.path.join(self.path, "_compacted_through")
+
+    def _compacted_through(self) -> int:
+        try:
+            with open(self._marker) as f:
+                return int(f.read().strip())
+        except (OSError, ValueError):
+            return -1
+
+    def write(self, merged: DataFrame, epoch_id: int) -> None:
+        if int(epoch_id) <= self._compacted_through():
+            return  # replay of an epoch already folded into the snapshot
+        merged.write.mode("overwrite").parquet(
+            os.path.join(self._partials, f"epoch={int(epoch_id)}")
+        )
+        self._epochs_since_compact += 1
+        if self._epochs_since_compact >= self.compact_every:
+            self.compact()
+
+    def _read(self, path: str) -> DataFrame | None:
+        if not os.path.isdir(path):
+            return None
+        try:
+            return self.spark.read.option("basePath", path).parquet(path).drop("epoch")
+        except Exception:
+            return None  # empty dir
+
+    def result_df(self) -> DataFrame:
+        parts = [df for df in (self._read(self._snapshot), self._read(self._partials)) if df is not None]
+        if not parts:
+            raise ValueError(f"no data written to {self.path} yet")
+        union = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        return union.groupBy(self.key_col).agg(
+            F.sum("cnt").alias("cnt"), F.sum("sum_value").alias("sum_value")
+        )
+
+    def compact(self) -> None:
+        folded_epochs = [
+            int(d.split("=", 1)[1])
+            for d in (os.listdir(self._partials) if os.path.isdir(self._partials) else [])
+            if d.startswith("epoch=")
+        ]
+        if not folded_epochs:
+            return
+        folded = self.result_df().coalesce(max(1, self.spark.sparkContext.defaultParallelism // 8))
+        tmp = self._snapshot + ".tmp"
+        folded.write.mode("overwrite").parquet(tmp)
+        old = self._snapshot + ".old"
+        if os.path.isdir(self._snapshot):
+            os.rename(self._snapshot, old)
+        os.rename(tmp, self._snapshot)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(self._partials, ignore_errors=True)
+        with open(self._marker, "w") as f:
+            f.write(str(max(folded_epochs)))
+        self._epochs_since_compact = 0
+
+
 class ReshapeStreamingAgg:
     """Streaming grouped aggregation with the Reshape control loop.
 
-    Runs as ``foreachBatch``: every micro-batch the controller observes
-    per-key load, updates the routing table (rate-limited to freq_ms,
-    two-phase schedule), and the batch is aggregated via
-    salted_partial_merge_agg; partials are merged into a cumulative
-    result table kept as a driver-side dict (exact, update-mode
-    semantics). At cluster scale the merge target would be an upsert sink
-    (Delta/HBase/foreachBatch-MERGE) — the control loop is identical.
+    Runs as ``foreachBatch``: each micro-batch is aggregated via
+    salted_partial_merge_agg under the controller's current (sticky)
+    routing table; the controller then observes per-key load *from that
+    already-computed merged aggregate* — via ``observe_candidates``, so
+    only the bounded heavy-hitter candidate set ever reaches the driver
+    — and updates the routing for subsequent batches (rate-limited to
+    freq_ms, two-phase schedule). Observing the output of the
+    aggregation the pipeline runs anyway costs zero extra shuffles.
+
+    Merge target: pass ``sink=PartialUpsertSink(...)`` for the
+    cluster-scale path (per-epoch idempotent parquet upsert,
+    merge-on-read, periodic compaction — the Delta-MERGE analog).
+    Without a sink, results accumulate in a driver-side dict — a test
+    convenience only, sized to the fixture key space.
     """
 
-    def __init__(self, key_col: str, value_col: str, spread_col: str, conf: ReshapeConf):
+    def __init__(
+        self,
+        key_col: str,
+        value_col: str,
+        spread_col: str,
+        conf: ReshapeConf,
+        sink: PartialUpsertSink | None = None,
+    ):
         self.key_col = key_col
         self.value_col = value_col
         self.spread_col = spread_col
         self.conf = conf
+        self.sink = sink
         self.controller = ReshapeController(conf)
         self.results: dict = {}  # key -> (cnt, sum)
         self.batches_seen = 0
         self.routing_history: list[dict] = []
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
-        if self.conf.enabled:
-            counts = {
-                r["k"]: r["n"]
-                for r in batch_df.groupBy(F.col(self.key_col).alias("k"))
-                .agg(F.count("*").alias("n"))
-                .collect()
-            }
-            self.controller.observe(counts, sum(counts.values()))
         routing = self.controller.routing() if self.conf.enabled else {}
         self.routing_history.append(dict(routing))
         agg = salted_partial_merge_agg(
             batch_df, self.key_col, self.value_col, routing, self.spread_col
         )
-        for r in agg.collect():
-            k = r[self.key_col]
-            cnt, sv = self.results.get(k, (0, 0.0))
-            self.results[k] = (cnt + r["cnt"], sv + (r["sum_value"] or 0.0))
+        observe_now = self.conf.enabled and self.controller.due()
+        if observe_now:
+            agg = agg.persist()  # shared by the observe jobs and the sink write
+        try:
+            if observe_now:
+                total, candidates = observe_candidates(
+                    agg, self.key_col, self.conf, self.controller.hot_keys
+                )
+                self.controller.observe(candidates, total)
+            if self.sink is not None:
+                self.sink.write(agg, epoch_id)
+            else:
+                for r in agg.collect():
+                    k = r[self.key_col]
+                    cnt, sv = self.results.get(k, (0, 0.0))
+                    self.results[k] = (cnt + r["cnt"], sv + (r["sum_value"] or 0.0))
+        finally:
+            if observe_now:
+                agg.unpersist()
         self.batches_seen += 1
 
     def attach(self, stream_df: DataFrame, checkpoint_dir: str):

@@ -9,9 +9,11 @@ import pytest
 from pyspark.sql import functions as F
 
 from reshape_on_flink_spark.streaming.reshape import (
+    PartialUpsertSink,
     ReshapeConf,
     ReshapeController,
     ReshapeStreamingAgg,
+    observe_candidates,
     salted_partial_merge_agg,
 )
 from tests.conftest import SF_DIR
@@ -125,6 +127,100 @@ class TestSaltedAgg:
             .collect()
         }
         got = {k: (c, round(s, 4)) for k, (c, s) in agg.results.items()}
+        assert got == expected
+
+
+class TestScalePath:
+    """Heavy-hitter-only observation and the upsert-sink merge — the two
+    pieces that keep the control loop and the result table off the
+    driver at cluster scale."""
+
+    def test_observe_candidates_is_bounded(self, spark):
+        """10k distinct keys, one hot: the driver must receive only the
+        bounded candidate set, never the full histogram."""
+        cfg = conf(parallelism=8)  # lo=0.2 -> floor = 0.2 * total/8
+        df = spark.range(10_000).select(
+            F.col("id").alias("k"), F.lit(1).alias("one")
+        )
+        # hot key 0 gets 5000 extra rows
+        hot = spark.range(5_000).select(F.lit(0).alias("k"), F.lit(1).alias("one"))
+        merged = df.unionByName(hot).groupBy("k").agg(
+            F.count("*").alias("cnt"), F.sum("one").alias("sum_value")
+        )
+        total, cands = observe_candidates(merged, "k", cfg, tracked={})
+        assert total == 15_000
+        # floor = 0.2 * 15000/8 = 375; only key 0 (5001 rows) exceeds it
+        assert set(cands) == {0}
+        # feeding the filtered dict to the controller detects the hot key
+        c = ReshapeController(cfg)
+        c.observe(cands, total)
+        assert 0 in c.routing()
+
+    def test_observe_candidates_reports_tracked_for_cooldown(self, spark):
+        cfg = conf(parallelism=8)
+        merged = spark.createDataFrame(
+            [(0, 10, 10.0), (1, 900, 900.0)], ["k", "cnt", "sum_value"]
+        )
+        total, cands = observe_candidates(merged, "k", cfg, tracked={0: object()})
+        # key 0 is far below the floor but tracked -> reported with its
+        # true count so the controller cools it down on real evidence
+        assert cands[0] == 10
+        c = ReshapeController(cfg)
+        c.hot_keys[0] = type("HK", (), {"salts": 10, "iterations": 0})()
+        c.observe(cands, total)
+        assert 0 not in c.routing()
+
+    def test_upsert_sink_exact_idempotent_and_compacting(self, spark, tables, tmp_dir):
+        sink = PartialUpsertSink(spark, os.path.join(tmp_dir, "upsert"), "user_id", compact_every=2)
+        ev = tables["events"]
+        chunks = [ev.filter(F.pmod(F.hash("event_id"), 3) == i) for i in range(3)]
+        for epoch, chunk in enumerate(chunks):
+            merged = salted_partial_merge_agg(chunk, "user_id", "value", {}, "event_id")
+            sink.write(merged, epoch)
+        # epochs 0,1 compacted into the snapshot; epoch 2 is a live partial
+        assert os.path.isdir(os.path.join(tmp_dir, "upsert", "snapshot"))
+        expected = {
+            r["user_id"]: (r["cnt"], round(r["sv"], 4))
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+            .collect()
+        }
+        def current():
+            return {
+                r["user_id"]: (r["cnt"], round(r["sum_value"], 4))
+                for r in sink.result_df().collect()
+            }
+        assert current() == expected
+        # replay of a live epoch: overwrites its own partial dir -> no change
+        sink.write(salted_partial_merge_agg(chunks[2], "user_id", "value", {}, "event_id"), 2)
+        assert current() == expected
+        # replay of an epoch already folded into the snapshot: skipped
+        sink.write(salted_partial_merge_agg(chunks[0], "user_id", "value", {}, "event_id"), 0)
+        assert current() == expected
+
+    def test_streaming_agg_with_upsert_sink(self, spark, tables, tmp_dir):
+        from reshape_on_flink_spark.streaming.source import chunked_replay
+
+        sink = PartialUpsertSink(spark, os.path.join(tmp_dir, "upsert"), "user_id", compact_every=3)
+        stream = chunked_replay(spark, tables["events"], os.path.join(tmp_dir, "replay"), n_chunks=4)
+        agg = ReshapeStreamingAgg(
+            "user_id", "value", "event_id",
+            ReshapeConf(enabled=True, parallelism=8, freq_ms=0), sink=sink,
+        )
+        agg.attach(stream, os.path.join(tmp_dir, "ckpt")).awaitTermination(120)
+        assert agg.batches_seen == 4
+        assert agg.results == {}  # nothing accumulated on the driver
+        expected = {
+            r["user_id"]: (r["cnt"], round(r["sv"], 4))
+            for r in tables["events"]
+            .groupBy("user_id")
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+            .collect()
+        }
+        got = {
+            r["user_id"]: (r["cnt"], round(r["sum_value"], 4))
+            for r in sink.result_df().collect()
+        }
         assert got == expected
 
 
