@@ -467,7 +467,7 @@ class TableEnvironment:
     def _execute_match_recognize(self, sql: str) -> DataFrame:
         from pyspark.sql import functions as F
 
-        from reshape_on_flink_spark.operators.cep import match_recognize, parse_pattern, pattern_symbols
+        from reshape_on_flink_spark.operators.cep import match_recognize, symbols_of
 
         hit = _find_call(sql, ("MATCH_RECOGNIZE",))
         assert hit is not None
@@ -520,7 +520,7 @@ class TableEnvironment:
                       for c in order_s.split(",")]
         if any(re.search(r"\sDESC$", c, re.IGNORECASE) for c in order_cols):
             raise NotImplementedError("MATCH_RECOGNIZE ORDER BY ... DESC is not supported")
-        symbols = pattern_symbols(parse_pattern(pattern))
+        symbols = symbols_of(pattern)
         over = (
             f" OVER (PARTITION BY {', '.join(part_cols)} ORDER BY {', '.join(order_cols)})"
         )

@@ -16,8 +16,15 @@ immediately (future rows cannot shrink it), where greedy must wait for
 closure. Batch supports all AFTER MATCH SKIP strategies (past last row
 / to next row / to first|last SYM, with Flink's infinite-loop guard);
 streaming supports past-last-row only (overlapping matches would need
-re-emittable history in keyed state). Not supported (loud, not silently
-wrong): nested groups.
+re-emittable history in keyed state).
+
+Nested pattern groups (``A (B C+)+ D``, ``((A|B) C){2,3}``) and bounded
+quantifiers (``{n}``, ``{n,}``, ``{n,m}``, reluctant with trailing
+``?``) run on a generic backtracking AST matcher
+(``parse_pattern_ast`` / ``_ast_matcher``) with exact regex branch
+priority; flat patterns keep the specialized numpy matcher below (same
+semantics, less per-row overhead). Both paths share the three-way
+streaming verdict (match / no-match / need-more).
 
 Spark-first split of work:
 
@@ -78,6 +85,226 @@ def pattern_symbols(toks: list[tuple[str | tuple[str, ...], str]]) -> list[str]:
     for sym, _ in toks:
         out.update((sym,) if isinstance(sym, str) else sym)
     return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# Generic nested-pattern path: recursive-descent parser + backtracking
+# generator matcher. Used when the flat tokenizer above can't express the
+# pattern (nested groups, multi-symbol sequences inside groups, bounded
+# quantifiers); flat patterns stay on the numpy matcher.
+# ---------------------------------------------------------------------------
+
+_AST_TOKEN_RE = re.compile(r"[A-Za-z_]\w*|\{\d+(?:,\d*)?\}|[()|+*?]")
+_BRACE_RE = re.compile(r"\{(\d+)(?:,(\d*))?\}")
+
+# a quantifier is (min, max|None=inf, greedy)
+_QUANT_SIMPLE = {
+    "+": (1, None), "*": (0, None), "?": (0, 1),
+}
+
+
+def parse_pattern_ast(pattern: str) -> list:
+    """Parse the full MATCH_RECOGNIZE pattern grammar.
+
+    Returns a *sequence*: ``list[(node, (min, max, greedy))]`` where
+    ``node`` is either a symbol name (str) or an alternation — a
+    ``list`` of alternative sequences (a single-alternative list is a
+    plain group). ``max`` is None for unbounded. Grammar::
+
+        seq   := term+
+        term  := atom quant?
+        atom  := SYMBOL | '(' seq ('|' seq)* ')'
+        quant := + | * | ? | {n} | {n,} | {n,m}   (optionally + '?')
+    """
+    toks = _AST_TOKEN_RE.findall(pattern)
+    if "".join(toks).replace(" ", "") != pattern.replace(" ", ""):
+        bad = re.sub(r"[A-Za-z_0-9(){}|+*?,\s]", "", pattern)
+        raise ValueError(f"unsupported characters in pattern {pattern!r}: {bad!r}")
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = toks[pos]
+        pos += 1
+        return t
+
+    def parse_quant():
+        nonlocal pos
+        t = peek()
+        if t in _QUANT_SIMPLE:
+            take()
+            m, M = _QUANT_SIMPLE[t]
+        elif t is not None and t.startswith("{"):
+            take()
+            bm = _BRACE_RE.match(t)
+            lo = int(bm.group(1))
+            M = None if bm.group(2) == "" else int(bm.group(2) if bm.group(2) is not None else bm.group(1))
+            m = lo
+            if M is not None and M < m:
+                raise ValueError(f"bad quantifier bounds in {t!r}")
+        else:
+            return (1, 1, True)
+        greedy = True
+        if peek() == "?":
+            take()
+            greedy = False
+        return (m, M, greedy)
+
+    def parse_seq():
+        items = []
+        while peek() is not None and peek() not in (")", "|"):
+            t = take()
+            if t == "(":
+                alts = [parse_seq()]
+                while peek() == "|":
+                    take()
+                    alts.append(parse_seq())
+                if take_expect(")"):
+                    pass
+                node = alts
+            elif re.match(r"^[A-Za-z_]\w*$", t):
+                node = t
+            else:
+                raise ValueError(f"unexpected token {t!r} in pattern {pattern!r}")
+            items.append((node, parse_quant()))
+        if not items:
+            raise ValueError(f"empty group/sequence in pattern {pattern!r}")
+        return items
+
+    def take_expect(tok):
+        t = peek()
+        if t != tok:
+            raise ValueError(f"expected {tok!r} in pattern {pattern!r}, got {t!r}")
+        take()
+        return True
+
+    seq = parse_seq()
+    if pos != len(toks):
+        raise ValueError(f"trailing tokens in pattern {pattern!r}: {toks[pos:]}")
+    return seq
+
+
+def ast_symbols(seq: list) -> list[str]:
+    out: set[str] = set()
+
+    def walk(items):
+        for node, _ in items:
+            if isinstance(node, str):
+                out.add(node)
+            else:
+                for alt in node:
+                    walk(alt)
+
+    walk(seq)
+    return sorted(out)
+
+
+def _is_flat(pattern: str) -> bool:
+    try:
+        parse_pattern(pattern)
+        return True
+    except ValueError:
+        return False
+
+
+def symbols_of(pattern: str) -> list[str]:
+    """Distinct symbols of a pattern, flat or nested."""
+    if _is_flat(pattern):
+        return pattern_symbols(parse_pattern(pattern))
+    return ast_symbols(parse_pattern_ast(pattern))
+
+
+def _ast_matcher(symbols: list[str], seq: list, modes: bool = False):
+    """Backtracking matcher over per-symbol boolean arrays for arbitrary
+    nesting, exploring branches in exact regex priority order (greedy =
+    more repetitions / take-branch first; reluctant = fewer / skip
+    first; alternatives left to right).
+
+    With ``modes=True``, end-of-data is a distinct verdict exactly as in
+    ``_matcher_modes``: because candidates are generated lazily in
+    priority order, any branch that had to test a row at ``pos >= n``
+    *before* the first candidate appeared means a higher-or-equal
+    priority continuation depends on unseen rows — the NFA cannot
+    commit, so the verdict is ``_NEED_MORE``.
+
+    Worst case is exponential on adversarially ambiguous nests (as in
+    any backtracking regex engine); per-key input is one Arrow batch, so
+    the blast radius is a single group, same as Flink's NFA.
+    """
+    sym_idx = {s: i for i, s in enumerate(symbols)}
+
+    def compile_seq(items):
+        return [
+            (sym_idx[node] if isinstance(node, str) else [compile_seq(a) for a in node], q)
+            for node, q in items
+        ]
+
+    seq_c = compile_seq(seq)
+
+    def match_at(bools, start: int, n: int):
+        hit_end = False
+
+        def sym_gen(si, pos):
+            nonlocal hit_end
+            if pos >= n:
+                if modes:
+                    hit_end = True
+                return
+            if bools[si][pos]:
+                yield pos + 1, ((pos, si),)
+
+        def node_gen(node, pos):
+            if isinstance(node, int):
+                yield from sym_gen(node, pos)
+            else:
+                for alt in node:
+                    yield from seq_gen(alt, 0, pos)
+
+        def rep_gen(node, pos, m, M, greedy):
+            def rep(p, count):
+                if greedy:
+                    if M is None or count < M:
+                        for p1, r1 in node_gen(node, p):
+                            if p1 == p:
+                                continue  # empty-body repetition guard
+                            for p2, r2 in rep(p1, count + 1):
+                                yield p2, r1 + r2
+                    if count >= m:
+                        yield p, ()
+                else:
+                    if count >= m:
+                        yield p, ()
+                    if M is None or count < M:
+                        for p1, r1 in node_gen(node, p):
+                            if p1 == p:
+                                continue
+                            for p2, r2 in rep(p1, count + 1):
+                                yield p2, r1 + r2
+
+            yield from rep(pos, 0)
+
+        def seq_gen(items, i, pos):
+            if i == len(items):
+                yield pos, ()
+                return
+            node, (m, M, greedy) = items[i]
+            if (m, M) == (1, 1):
+                source = node_gen(node, pos)
+            else:
+                source = rep_gen(node, pos, m, M, greedy)
+            for p1, r1 in source:
+                for p2, r2 in seq_gen(items, i + 1, p1):
+                    yield p2, r1 + r2
+
+        first = next(seq_gen(seq_c, 0, start), None)
+        if modes and hit_end:
+            return _NEED_MORE
+        return list(first[1]) if first is not None else None
+
+    return match_at
 
 
 def _token_cols(symbols: list[str], toks):
@@ -203,8 +430,14 @@ def match_recognize(
     """
     partition_by = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
-    toks = parse_pattern(pattern)
-    symbols = pattern_symbols(toks)
+    if _is_flat(pattern):
+        toks = parse_pattern(pattern)
+        symbols = pattern_symbols(toks)
+        matcher = _matcher(symbols, toks)
+    else:  # nested groups / bounded quantifiers -> generic AST matcher
+        ast = parse_pattern_ast(pattern)
+        symbols = ast_symbols(ast)
+        matcher = _ast_matcher(symbols, ast)
     missing = [s for s in symbols if s not in define]
     if missing:
         raise ValueError(f"pattern symbols without DEFINE: {missing}")
@@ -231,7 +464,7 @@ def match_recognize(
         ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
         + ", match_id bigint, matched_symbol string"
     )
-    match_at = _matcher(symbols, toks)
+    match_at = matcher
     data_cols = [f.name for f in out_fields]
     sym_cols = [f"__sym_{s}" for s in symbols]
 
@@ -418,12 +651,17 @@ def streaming_match_recognize(
         StructType,
     )
 
-    toks = parse_pattern(pattern)
-    symbols = pattern_symbols(toks)
+    if _is_flat(pattern):
+        toks = parse_pattern(pattern)
+        symbols = pattern_symbols(toks)
+        match_at = _matcher_modes(symbols, toks)
+    else:  # nested groups / bounded quantifiers -> generic AST matcher
+        ast = parse_pattern_ast(pattern)
+        symbols = ast_symbols(ast)
+        match_at = _ast_matcher(symbols, ast, modes=True)
     missing = [s for s in symbols if s not in define]
     if missing:
         raise ValueError(f"pattern symbols without DEFINE: {missing}")
-    match_at = _matcher_modes(symbols, toks)
 
     sample = events.select(*input_cols)
     out_schema = StructType(

@@ -506,6 +506,83 @@ ORACLES["q_match_recognize_sql"] = ORACLES["q_match_recognize"]
 
 
 # ---------------------------------------------------------------------------
+# Nested-group MATCH_RECOGNIZE: (V C)+ P — view/click pairs repeating as
+# a *unit*, closed by a purchase (the pattern shape Flink's NFA handles
+# via group states; our generic AST matcher). The relational oracle is
+# exact because the group's body (v,c) can never contain a P row: a
+# greedy (V C)+ always consumes a full maximal island of consecutive
+# view->click pairs (positions stepping by 2), and a match exists iff
+# the row after the island's last pair is a purchase. Backtracking to
+# fewer pairs can never succeed (it would land P on a v/c row), so
+# matches == islands adjacent to a purchase.
+# ---------------------------------------------------------------------------
+@query(
+    "q_match_recognize_nested",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    pairs AS (
+      SELECT s.user_id, s.rn
+      FROM seq s JOIN seq n ON n.user_id = s.user_id AND n.rn = s.rn + 1
+      WHERE s.event_type = 'view' AND n.event_type = 'click'
+    ),
+    islands AS (
+      SELECT user_id, rn,
+             rn - 2 * ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM pairs
+    ),
+    chains AS (
+      SELECT user_id, grp, MAX(rn) + 1 AS last_c_rn, COUNT(*) AS n_pairs
+      FROM islands GROUP BY user_id, grp
+    ),
+    matches AS (
+      SELECT c.user_id, c.n_pairs
+      FROM chains c
+      JOIN seq p ON p.user_id = c.user_id AND p.rn = c.last_c_rn + 1
+      WHERE p.event_type = 'purchase'
+    )
+    SELECT user_id, COUNT(*) AS n_matches,
+           CAST(SUM(2 * n_pairs + 1) AS BIGINT) AS n_rows,
+           CAST(MAX(n_pairs) AS BIGINT) AS max_pairs
+    FROM matches GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_match_recognize_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.operators.cep import match_recognize
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    matched = match_recognize(
+        ev,
+        partition_by="user_id",
+        order_by=["ts", "event_id"],
+        pattern="(V C)+ P",
+        define={
+            "V": F.col("event_type") == "view",
+            "C": F.col("event_type") == "click",
+            "P": F.col("event_type") == "purchase",
+        },
+    )
+    pair_flag = F.when(F.col("matched_symbol") == "V", 1).otherwise(0)
+    per_match = matched.groupBy("user_id", "match_id").agg(
+        F.sum(pair_flag).alias("n_pairs"), F.count("*").alias("n_rows_m")
+    )
+    return (
+        per_match.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.sum("n_rows_m").alias("n_rows"),
+            F.max("n_pairs").alias("max_pairs"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Window join — reference DataStream.join/coGroup
 # (DataStream.java:721-729, JoinedStreams/CoGroupedStreams): equi-join
 # constrained to the same tumbling window. Spark-first: add the window

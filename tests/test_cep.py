@@ -155,6 +155,130 @@ def test_optional_and_star(spark):
     ]
 
 
+def test_parse_pattern_ast_nested_and_bounded():
+    from reshape_on_flink_spark.operators.cep import ast_symbols, parse_pattern_ast
+
+    ast = parse_pattern_ast("A (B C+)+ D?")
+    assert ast[0] == ("A", (1, 1, True))
+    group, q = ast[1]
+    assert q == (1, None, True)
+    assert group == [[("B", (1, 1, True)), ("C", (1, None, True))]]
+    assert ast[2] == ("D", (0, 1, True))
+    assert ast_symbols(ast) == ["A", "B", "C", "D"]
+
+    assert parse_pattern_ast("A{2,3}") == [("A", (2, 3, True))]
+    assert parse_pattern_ast("A{2,}?") == [("A", (2, None, False))]
+    assert parse_pattern_ast("A{4}") == [("A", (4, 4, True))]
+    nested = parse_pattern_ast("((A|B) C){2}")
+    assert nested[0][1] == (2, 2, True)
+
+    with pytest.raises(ValueError, match="expected"):
+        parse_pattern_ast("A (B C")  # unbalanced
+    with pytest.raises(ValueError, match="empty"):
+        parse_pattern_ast("()")
+    with pytest.raises(ValueError, match="bad quantifier bounds"):
+        parse_pattern_ast("A{3,2}")
+    with pytest.raises(ValueError, match="unsupported characters"):
+        parse_pattern_ast("A # B")
+
+
+def test_nested_group_sequence(spark):
+    """A (B C)+ D: the group must repeat as a unit — a lone B without a
+    following C can't close a repetition."""
+    # v: 1=A, 2=B, 3=C, 4=D
+    df = _df(spark, [1, 2, 3, 2, 3, 4])
+    defs = {s: F.col("v") == i for i, s in enumerate(["A", "B", "C", "D"], start=1)}
+    got = _runs(match_recognize(df, "k", "pos", "A (B C)+ D", defs))
+    assert got == [[(0, "A"), (1, "B"), (2, "C"), (3, "B"), (4, "C"), (5, "D")]]
+    # a dangling B breaks the unit: A B C B D has only one full (B C)
+    df2 = _df(spark, [1, 2, 3, 2, 4])
+    got2 = _runs(match_recognize(df2, "k", "pos", "A (B C)+ D", defs))
+    assert got2 == []  # B at pos 3 can't complete, D isn't a C
+
+
+def test_nested_group_backtracks_into_group_choice(spark):
+    """(A|B C)+ D with overlapping truths: branch priority A-first, but
+    the matcher must backtrack into the longer B C branch when needed."""
+    # rows: x where A and B both true, then C-only, then D
+    df = spark.createDataFrame(
+        [(1, 0, "ab"), (1, 1, "c"), (1, 2, "d")], "k int, pos int, t string"
+    )
+    defs = {
+        "A": F.col("t").contains("a"),
+        "B": F.col("t").contains("b"),
+        "C": F.col("t") == "c",
+        "D": F.col("t") == "d",
+    }
+    got = _runs(match_recognize(df, "k", "pos", "(A|B C)+ D", defs))
+    # A-branch consumes row 0, but then row 1 (c) matches neither A nor
+    # B-C start... actually B C consumes rows 0-1. Regex priority: try
+    # A at 0, next rep at 1 fails, D at 1 fails -> backtrack to B C.
+    assert got == [[(0, "B"), (1, "C"), (2, "D")]]
+
+
+def test_bounded_quantifiers_greedy_and_exact(spark):
+    df = _df(spark, [1, 1, 1, 1, 2])
+    defs = {"A": F.col("v") == 1, "B": F.col("v") == 2}
+    got = _runs(match_recognize(df, "k", "pos", "A{2,3} B", defs))
+    # greedy: takes 3 As (rows 1-3) then B; row 0 alone can't start a
+    # match (only 4 As total, leftmost match consumes 0..2 then B fails
+    # at 3 -> backtrack... leftmost-first: at start 0 take A{3}=0,1,2,
+    # B at 3 fails (v=1); A{2}=0,1, B at 2 fails; no match at 0; at
+    # start 1: A=1,2,3 B=4 matches.
+    assert got == [[(1, "A"), (2, "A"), (3, "A"), (4, "B")]]
+    exact = _runs(match_recognize(df, "k", "pos", "A{4} B", defs))
+    assert exact == [[(0, "A"), (1, "A"), (2, "A"), (3, "A"), (4, "B")]]
+    with_reluctant = _runs(match_recognize(df, "k", "pos", "A{2,3}? B", defs))
+    # reluctant: fewest reps that still match -> 3 (rows 1..3) at start 1
+    assert with_reluctant == [[(1, "A"), (2, "A"), (3, "A"), (4, "B")]]
+
+
+def test_streaming_nested_group_matches_batch(spark, tmp_dir):
+    """Nested pattern across micro-batch boundaries: the AST matcher's
+    need-more verdict must hold matches open exactly like the flat one."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.operators.cep import streaming_match_recognize
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    # a(bc)(bc)d then a(bc)d then trailing a b (stays pending: open)
+    seq = "abcbcdabcdab"
+    rows = [(1, i, t) for i, t in enumerate(seq)]
+    df = spark.createDataFrame(rows, "k int, pos int, t string")
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "cep_nested"), n_chunks=4, order_col="pos"
+    )
+    sdf = streaming_match_recognize(
+        stream,
+        partition_by="k",
+        order_cols=["pos"],
+        pattern="A (B C)+ D",
+        define={
+            "A": lambda pdf: pdf["t"] == "a",
+            "B": lambda pdf: pdf["t"] == "b",
+            "C": lambda pdf: pdf["t"] == "c",
+            "D": lambda pdf: pdf["t"] == "d",
+        },
+        input_cols=["k", "pos", "t"],
+    )
+    got = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in run_to_memory(spark, sdf, "cep_nested_out", tmp_dir, mode="append").collect()
+    )
+    batch = match_recognize(
+        df, "k", "pos", "A (B C)+ D",
+        {"A": F.col("t") == "a", "B": F.col("t") == "b",
+         "C": F.col("t") == "c", "D": F.col("t") == "d"},
+    )
+    expected = sorted((r["pos"], r["matched_symbol"]) for r in batch.collect())
+    assert expected == [
+        (0, "A"), (1, "B"), (2, "C"), (3, "B"), (4, "C"), (5, "D"),
+        (6, "A"), (7, "B"), (8, "C"), (9, "D"),
+    ]
+    assert got == expected
+
+
 def test_missing_define_is_loud(spark):
     with pytest.raises(ValueError, match="without DEFINE"):
         match_recognize(_df(spark, [1]), "k", "pos", "A B", {"A": F.lit(True)})

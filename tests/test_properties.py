@@ -144,3 +144,53 @@ def test_cep_matcher_agrees_with_regex_reference(rows, pattern_str):
     regex = "".join(tok_re(sym, q) for sym, q in toks)
     expected = [(mm.start(), mm.end()) for mm in _re.finditer(regex, text) if mm.end() > mm.start()]
     assert got == expected, (text, regex)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.sampled_from("abc "), min_size=0, max_size=14),
+    st.sampled_from(
+        [
+            "A (B C)+",            # nested sequence group
+            "(A (B|C))+",          # group inside group
+            "A (B C+)* A",         # starred nested seq
+            "(A B){2,3}",          # bounded quantifier on group
+            "A{2,4} B",            # bounded quantifier on symbol
+            "(A|B C)+",            # alternation with multi-symbol branch
+            "A (B|C){1,2}? B",     # reluctant bounded group
+            "((A|B) C)+?",         # reluctant nested nest
+            "A{2} (B|C)",          # exact count
+            "(A B?)+ C",           # optional inside group
+        ]
+    ),
+)
+def test_cep_ast_matcher_agrees_with_regex_reference(rows, pattern_str):
+    """The generic AST matcher (nested groups, bounded quantifiers) must
+    equal the Python regex engine — same backtracking priority — on
+    non-overlapping leftmost matches."""
+    import re as _re
+
+    from reshape_on_flink_spark.operators.cep import _ast_matcher, ast_symbols, parse_pattern_ast
+
+    ast = parse_pattern_ast(pattern_str)
+    symbols = ast_symbols(ast)
+    text = "".join(rows)
+    sym_char = {"A": "a", "B": "b", "C": "c"}
+    bools = [[c == sym_char[s] for c in text] for s in symbols]
+    match_at = _ast_matcher(symbols, ast)
+
+    got = []
+    i, n = 0, len(text)
+    while i < n:
+        m = match_at(bools, i, n)
+        if m:
+            got.append((m[0][0], m[-1][0] + 1))
+            i = m[-1][0] + 1
+        else:
+            i += 1
+
+    regex = pattern_str.replace(" ", "").replace("(", "(?:")
+    for s, c in sym_char.items():
+        regex = regex.replace(s, c)
+    expected = [(mm.start(), mm.end()) for mm in _re.finditer(regex, text) if mm.end() > mm.start()]
+    assert got == expected, (text, regex)
