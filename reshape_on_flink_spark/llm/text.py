@@ -57,12 +57,22 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def seq1(stop: Column) -> Column:
+    """``sequence(1, stop)`` that is EMPTY when stop < 1. Spark's
+    ``sequence(1, 0)`` yields a *descending* ``[1, 0]`` (not ``[]``),
+    which sends out-of-range indexes into ``element_at`` on short/empty
+    documents — every 1..stop index loop must go through this guard."""
+    return F.when(stop >= 1, F.sequence(F.lit(1), stop)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
 def shingle_array(col: str | Column = "text", n: int = 3) -> Column:
     """Distinct word n-gram shingles as an array — computed entirely
     row-locally (no explode, no shuffle): the scale-path input to
     MinHash/SimHash."""
     toks = tokens(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = seq1(F.size(toks) - (n - 1))
     return F.array_distinct(
         F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
     )
@@ -130,6 +140,96 @@ def fingerprint(col: str | Column = "text") -> Column:
         F.lit(0).cast("long"),
         lambda acc, h: (acc * 31 + h) % FP_MOD,
     )
+
+
+def _run_stats(values: Column) -> Column:
+    """Struct ``(best, dup)`` over an array: length of the longest run of
+    equal elements after sorting (= count of the most frequent element)
+    and the total length of runs longer than 1 (= occurrences of
+    duplicated elements, with multiplicity). One ``aggregate`` pass over
+    ``array_sort`` — O(n log n) row-local, no explode/shuffle: the
+    repetition filters run inside the scan stage even at 100 TB."""
+    sorted_ = F.array_sort(values)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+        F.lit(0).alias("dup"),
+    )
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        run_new = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
+        dup_new = F.when(~same & (acc["run"] > 1), acc["dup"] + acc["run"]).otherwise(
+            acc["dup"]
+        )
+        return F.struct(
+            x.alias("prev"),
+            run_new.alias("run"),
+            F.greatest(acc["best"], run_new).alias("best"),
+            dup_new.alias("dup"),
+        )
+
+    def finish(acc):
+        return F.struct(
+            acc["best"].alias("best"),
+            F.when(acc["run"] > 1, acc["dup"] + acc["run"]).otherwise(acc["dup"]).alias("dup"),
+        )
+
+    return F.aggregate(sorted_, init, step, finish)
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1):
+    fraction of tokens taken by the most frequent token, fraction of
+    2-grams taken by the most frequent 2-gram, and the fraction of
+    2-grams that occur more than once (counted with multiplicity).
+    High values flag boilerplate / spam for corpus filtering."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    tok_stats = _run_stats(toks)
+
+    idx2 = seq1(n_tok - 1)
+    grams2 = F.transform(
+        idx2, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    )
+    n_g2 = F.size(grams2)
+    g2_stats = _run_stats(grams2)
+    return df.select(
+        "*",
+        (tok_stats["best"].cast("double") / F.greatest(n_tok, F.lit(1))).alias(
+            "r_top_token_frac"
+        ),
+        (g2_stats["best"].cast("double") / F.greatest(n_g2, F.lit(1))).alias(
+            "r_top_2gram_frac"
+        ),
+        (g2_stats["dup"].cast("double") / F.greatest(n_g2, F.lit(1))).alias(
+            "r_dup_2gram_frac"
+        ),
+    )
+
+
+#: PII patterns restricted to constructs shared by Java regex (Spark)
+#: and RE2 (DuckDB): no lookarounds, no backreferences. Scrub order
+#: matters (email before ip before phone) — replacements contain no
+#: digits, so later patterns can't re-match scrubbed spans.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+?\d[\d-]{7,}\d", "<PHONE>"),
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact email / IPv4 / phone-shaped spans, keeping per-kind match
+    counts (the audit trail a curation pipeline logs). Row-local
+    regexp_replace chain — narrow, codegen-friendly, no Python."""
+    out = df
+    scrubbed = F.col(text_col)
+    for kind, (pat, repl) in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{kind}", F.regexp_count(scrubbed, F.lit(pat)))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return out.withColumn("scrubbed", scrubbed)
 
 
 #: GPT-2-style pre-tokenizer regex, restricted to constructs shared by

@@ -565,3 +565,143 @@ def q_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reshape_on_flink_spark.llm.pipeline import corpus_stats
 
     return corpus_stats(load_tables(spark, sf_dir)["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021 A1.1): top-token /
+# top-2-gram / duplicated-2-gram fractions. Row-local in both engines
+# (Spark higher-order functions vs DuckDB list lambdas) — the filter
+# runs inside the scan stage, zero shuffles at any scale.
+# ---------------------------------------------------------------------------
+_SQL_CNTS = "list_transform(list_distinct({xs}), d -> len(list_filter({xs}, t -> t = d)))"
+
+@query(
+    "q_repetition_filter",
+    f"""
+    WITH t AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    f1 AS (SELECT doc_id, len(tk) AS n_tok,
+                  COALESCE(list_max({_SQL_CNTS.format(xs='tk')}), 0) AS top_tok,
+                  list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1]) AS g2
+           FROM t),
+    f2 AS (SELECT doc_id, n_tok, top_tok, len(g2) AS n_g2,
+                  COALESCE(list_max({_SQL_CNTS.format(xs='g2')}), 0) AS top_2g,
+                  COALESCE(list_sum(list_transform({_SQL_CNTS.format(xs='g2')},
+                           c -> CASE WHEN c > 1 THEN c ELSE 0 END)), 0) AS dup_2g
+           FROM f1)
+    SELECT doc_id,
+           CAST(top_tok AS DOUBLE) / GREATEST(n_tok, 1) AS r_top_token_frac,
+           CAST(top_2g AS DOUBLE) / GREATEST(n_g2, 1) AS r_top_2gram_frac,
+           CAST(dup_2g AS DOUBLE) / GREATEST(n_g2, 1) AS r_dup_2gram_frac
+    FROM f2 ORDER BY doc_id
+    """,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T.spread(load_tables(spark, sf_dir)["documents"])
+    return T.repetition_features(d).select(
+        "doc_id", "r_top_token_frac", "r_top_2gram_frac", "r_dup_2gram_frac"
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: docs sharing a 5-gram with the (synthetic)
+# benchmark split doc_id % 29 == 0. Spark: benchmark n-gram set is
+# broadcast into a LEFT SEMI join against the pipelined corpus explode —
+# one corpus pass, no corpus shuffle.
+# ---------------------------------------------------------------------------
+_SQL_5G = (
+    "list_distinct(list_transform(range(1, len(tk) - 3), "
+    "i -> array_to_string(tk[i:i+4], ' ')))"
+)
+
+@query(
+    "q_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, source, {SQL_TOKS} AS tk FROM documents),
+    ng AS (SELECT doc_id, source, UNNEST({_SQL_5G}) AS ng FROM t),
+    bench AS (SELECT DISTINCT ng FROM ng WHERE doc_id % 29 = 0),
+    hits AS (SELECT DISTINCT c.doc_id FROM ng c JOIN bench b USING (ng)
+             WHERE c.doc_id % 29 <> 0),
+    corpus AS (SELECT doc_id, source FROM documents WHERE doc_id % 29 <> 0)
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_contaminated
+    FROM corpus LEFT JOIN hits h USING (doc_id)
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.llm import decontam
+
+    d = T.spread(load_tables(spark, sf_dir)["documents"])
+    bench = d.filter(F.col("doc_id") % 29 == 0)
+    corpus = d.filter(F.col("doc_id") % 29 != 0)
+    flagged = decontam.decontaminate(corpus, bench, n=5)
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("contaminated").cast("bigint")).alias("n_contaminated"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrub: email/IPv4/phone redaction with per-kind audit counts.
+# The corpus has no PII, so both engines append identical synthetic
+# spans derived from doc_id before scrubbing — the oracle hash-checks
+# the scrubbed text itself (md5), not just the counts.
+# ---------------------------------------------------------------------------
+_EMAIL_RE, _IP_RE, _PHONE_RE = (
+    T.PII_PATTERNS["email"][0], T.PII_PATTERNS["ip"][0], T.PII_PATTERNS["phone"][0],
+)
+
+@query(
+    "q_pii_scrub",
+    f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com via 10.'
+                  || CAST(doc_id % 250 AS VARCHAR) || '.'
+                  || CAST((doc_id * 7) % 250 AS VARCHAR) || '.'
+                  || CAST((doc_id * 13) % 250 AS VARCHAR)
+                  || ' tel 555-12' || CAST(doc_id % 90 + 10 AS VARCHAR) || '-4321' AS t
+      FROM documents),
+    s1 AS (SELECT doc_id, len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_email,
+                  regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g') AS t FROM synth),
+    s2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t, '{_IP_RE}')) AS n_ip,
+                  regexp_replace(t, '{_IP_RE}', '<IP>', 'g') AS t FROM s1),
+    s3 AS (SELECT doc_id, n_email, n_ip,
+                  len(regexp_extract_all(t, '{_PHONE_RE}')) AS n_phone,
+                  regexp_replace(t, '{_PHONE_RE}', '<PHONE>', 'g') AS t FROM s2)
+    SELECT doc_id, CAST(n_email AS INT) AS n_email, CAST(n_ip AS INT) AS n_ip,
+           CAST(n_phone AS INT) AS n_phone, md5(t) AS scrub_hash
+    FROM s3 ORDER BY doc_id
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = T.spread(load_tables(spark, sf_dir)["documents"])
+    synth = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10."),
+            (F.col("doc_id") % 250).cast("string"), F.lit("."),
+            ((F.col("doc_id") * 7) % 250).cast("string"), F.lit("."),
+            ((F.col("doc_id") * 13) % 250).cast("string"),
+            F.lit(" tel 555-12"), (F.col("doc_id") % 90 + 10).cast("string"),
+            F.lit("-4321"),
+        ).alias("text"),
+    )
+    return (
+        T.pii_scrub(synth)
+        .select(
+            "doc_id",
+            F.col("n_email").cast("int").alias("n_email"),
+            F.col("n_ip").cast("int").alias("n_ip"),
+            F.col("n_phone").cast("int").alias("n_phone"),
+            F.md5("scrubbed").alias("scrub_hash"),
+        )
+        .orderBy("doc_id")
+    )

@@ -177,3 +177,55 @@ def test_multimodal_frame_sampling_expands_rows(spark, tables):
     for did, idxs in per_doc.items():
         expected = min(4, max(1, len(src[did]) // 16))
         assert sorted(idxs) == list(range(expected))
+
+
+def test_repetition_features_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z w"), (3, "")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            round(r["r_top_token_frac"], 6),
+            round(r["r_top_2gram_frac"], 6),
+            round(r["r_dup_2gram_frac"], 6),
+        )
+        for r in T.repetition_features(df).collect()
+    }
+    # doc 1: tokens aaab -> top 3/4; 2-grams [aa, aa, ab] -> top 2/3, dup 2/3
+    assert got[1] == (round(3 / 4, 6), round(2 / 3, 6), round(2 / 3, 6))
+    # doc 2: all distinct -> top 1/4, top2g 1/3, dup 0
+    assert got[2] == (round(1 / 4, 6), round(1 / 3, 6), 0.0)
+    # doc 3: empty -> all zero (guarded division)
+    assert got[3] == (0.0, 0.0, 0.0)
+
+
+def test_decontaminate_flags_shared_ngram(spark):
+    from reshape_on_flink_spark.llm.decontam import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "xx quick brown fox jumps over yy")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["contaminated"] for r in decontaminate(corpus, bench, n=5).collect()}
+    assert got == {1: True, 2: False}
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@foo-bar.org or 192.168.0.1 call +1-555-123-4567 done"),
+         (2, "no pii here")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.pii_scrub(df).collect()}
+    r1 = rows[1]
+    assert (r1["n_email"], r1["n_ip"], r1["n_phone"]) == (1, 1, 1)
+    assert r1["scrubbed"] == "mail <EMAIL> or <IP> call <PHONE> done"
+    r2 = rows[2]
+    assert (r2["n_email"], r2["n_ip"], r2["n_phone"]) == (0, 0, 0)
+    assert r2["scrubbed"] == "no pii here"
