@@ -498,3 +498,175 @@ def q_ds_unpivot_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("amount") > 0)
         .orderBy("prio", "month")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q34/q73: frequent-buyer shape — aggregate orders per customer,
+# filter on the AGGREGATE (HAVING COUNT BETWEEN), then join back to the
+# dimension for attributes. Scale: the agg shuffles on o_custkey once;
+# the surviving key set is tiny (HAVING is highly selective), so AQE
+# broadcasts it into the customer join — no second large shuffle.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_having_count_join_back",
+    """
+    WITH freq AS (
+      SELECT o_custkey, COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey HAVING COUNT(*) BETWEEN 15 AND 20
+    )
+    SELECT c_custkey, c_name, n_orders
+    FROM freq JOIN customer ON c_custkey = o_custkey
+    ORDER BY n_orders DESC, c_custkey
+    """,
+)
+def q_ds_having_count_join_back(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    freq = (
+        t["orders"]
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .where(F.col("n_orders").between(15, 20))
+    )
+    return (
+        freq.join(t["customer"], freq["o_custkey"] == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "n_orders")
+        .orderBy(F.desc("n_orders"), "c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q88: a grid of independent scalar COUNT subqueries cross-joined
+# into one row (the planner must run N separate aggregate subtrees and
+# combine single-row results). Kept as literal separate subtrees — the
+# shape under test; q_ds_bucket_case already demonstrates the fused
+# one-pass alternative. Scale: N scans in parallel, each reduced
+# map-side to one row; the cross joins are single-row broadcasts.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_scalar_count_grid",
+    """
+    SELECT u.h_urgent, h.h_high, m.h_medium, n.h_notspec, l.h_low
+    FROM (SELECT COUNT(*) AS h_urgent FROM orders WHERE o_orderpriority = '1-URGENT') u
+    CROSS JOIN (SELECT COUNT(*) AS h_high FROM orders WHERE o_orderpriority = '2-HIGH') h
+    CROSS JOIN (SELECT COUNT(*) AS h_medium FROM orders WHERE o_orderpriority = '3-MEDIUM') m
+    CROSS JOIN (SELECT COUNT(*) AS h_notspec FROM orders WHERE o_orderpriority = '4-NOT SPECIFIED') n
+    CROSS JOIN (SELECT COUNT(*) AS h_low FROM orders WHERE o_orderpriority = '5-LOW') l
+    """,
+)
+def q_ds_scalar_count_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+
+    def bucket(prio: str, alias: str) -> DataFrame:
+        return o.where(F.col("o_orderpriority") == prio).agg(F.count("*").alias(alias))
+
+    out = bucket("1-URGENT", "h_urgent")
+    for prio, alias in [
+        ("2-HIGH", "h_high"), ("3-MEDIUM", "h_medium"),
+        ("4-NOT SPECIFIED", "h_notspec"), ("5-LOW", "h_low"),
+    ]:
+        out = out.crossJoin(bucket(prio, alias))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q93: returns-adjusted net sales — total per order LEFT JOINed
+# to the returned subset, netted with COALESCE, re-aggregated upward.
+# Scale: both aggs shuffle on l_orderkey (same key -> AQE reuses the
+# partitioning for the join); the orders join shuffles on o_orderkey.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_returns_net",
+    f"""
+    WITH tot AS (
+      SELECT l_orderkey, {sql_dsum('l_quantity')} AS tot_qty
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    ret AS (
+      SELECT l_orderkey, {sql_dsum('l_quantity')} AS ret_qty
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+    ),
+    net AS (
+      SELECT t.l_orderkey, t.tot_qty - COALESCE(r.ret_qty, 0) AS net_qty
+      FROM tot t LEFT JOIN ret r ON t.l_orderkey = r.l_orderkey
+    )
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(net_qty AS DECIMAL(18,2))) AS DOUBLE) AS net_qty_sum
+    FROM net JOIN orders ON o_orderkey = l_orderkey
+    GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def q_ds_returns_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    tot = li.groupBy("l_orderkey").agg(dsum("l_quantity").alias("tot_qty"))
+    ret = (
+        li.where(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("ret_qty"))
+    )
+    net = tot.join(ret.withColumnRenamed("l_orderkey", "r_orderkey"),
+                   tot["l_orderkey"] == F.col("r_orderkey"), "left").select(
+        "l_orderkey",
+        (F.col("tot_qty") - F.coalesce(F.col("ret_qty"), F.lit(0.0))).alias("net_qty"),
+    )
+    return (
+        net.join(t["orders"], net["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("net_qty").cast("decimal(18,2)")).cast("double").alias("net_qty_sum"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q99: lag-bucket matrix — day difference between order date and
+# ship date bucketed into a CASE matrix of conditional counts per group.
+# Scale: one fact-fact join (orderkey) then a single hash agg on the
+# low-cardinality l_linestatus; the CASE buckets are map-side.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_ship_lag_matrix",
+    """
+    WITH lagged AS (
+      SELECT l_linestatus,
+             date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lag_days
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT l_linestatus,
+           COUNT(CASE WHEN lag_days <= 30 THEN 1 END) AS d30,
+           COUNT(CASE WHEN lag_days > 30 AND lag_days <= 60 THEN 1 END) AS d60,
+           COUNT(CASE WHEN lag_days > 60 AND lag_days <= 90 THEN 1 END) AS d90,
+           COUNT(CASE WHEN lag_days > 90 THEN 1 END) AS d_over,
+           COUNT(*) AS n
+    FROM lagged GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q_ds_ship_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    lagged = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_linestatus",
+            F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("lag_days"),
+        )
+    )
+
+    def bucket(cond, alias):
+        return F.count(F.when(cond, 1)).alias(alias)
+
+    d = F.col("lag_days")
+    return (
+        lagged.groupBy("l_linestatus")
+        .agg(
+            bucket(d <= 30, "d30"),
+            bucket((d > 30) & (d <= 60), "d60"),
+            bucket((d > 60) & (d <= 90), "d90"),
+            bucket(d > 90, "d_over"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("l_linestatus")
+    )
