@@ -261,6 +261,89 @@ def _probe_cells(vec_col: str | Column, centroids: list[list[float]], nprobe: in
     return F.slice(ordered, 1, nprobe).getField("cell")
 
 
+def kmeans_train(
+    corpus: DataFrame,
+    n_cells: int,
+    dim: int,
+    n_iters: int = 5,
+    seed: int = 7,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Distributed Lloyd's k-means for IVF coarse quantizers.
+
+    Each iteration is one narrow map (cell assignment via centroid
+    literals) + one hash agg: vectors posexplode to (cell, pos, val) and
+    average per (cell, pos) — the shuffle carries n_cells x dim grouped
+    partials (map-side combined), and the driver collects exactly
+    n_cells x dim doubles per round. At 100 TB you train on a sample
+    (corpus.sample) with the identical loop; assignment of the full
+    corpus happens once afterwards inside ann_ivf_trained_topk.
+    Empty cells keep their previous centroid. Centroids are re-normalized
+    each round (spherical k-means — matches the cosine metric IVF
+    probes with).
+    """
+    cents = ivf_centroids(dim, n_cells, seed)
+    for _ in range(n_iters):
+        # two selects: a multi-name generator alias (posexplode) in the
+        # same projection as the struct-sort expression of _cell_of
+        # makes Spark lose the struct field names
+        assigned = corpus.select(
+            _cell_of(vec_col, cents).alias("cell"), F.col(vec_col).alias("v")
+        ).select("cell", F.posexplode("v").alias("pos", "val"))
+        rows = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        seen: set[int] = set()
+        for r in rows:
+            new[r["cell"]][r["pos"]] = r["m"]
+            seen.add(r["cell"])
+        arr = np.asarray(new)
+        norms = np.linalg.norm(arr, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        arr = arr / norms
+        cents = [
+            arr[i].tolist() if i in seen else cents[i] for i in range(n_cells)
+        ]
+    return cents
+
+
+def inertia(corpus: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> float:
+    """Mean assignment dissimilarity (1 - cosine to own centroid) —
+    the training-progress metric for spherical k-means."""
+    cents = centroids
+    best_dot = F.greatest(
+        *[dot(vec_col, F.array(*[F.lit(float(x)) for x in c])) for c in cents]
+    )
+    sim = best_dot / F.greatest(norm(vec_col), F.lit(1e-12))
+    return float(
+        corpus.select(F.avg(F.lit(1.0) - sim).alias("j")).collect()[0]["j"]
+    )
+
+
+def ann_ivf_trained_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with k-means-trained centroids: same plan shape as
+    ann_ivf_topk (assign -> cell equi-join -> exact re-rank), but the
+    quantizer is trained with kmeans_train first — higher recall per
+    probed cell. Training cost is n_iters small jobs; the serving plan
+    is unchanged, so all scale arguments of ann_ivf_topk carry over."""
+    cents = kmeans_train(corpus, n_cells, dim, n_iters=n_iters, seed=seed, vec_col=vec_col)
+    return _ivf_topk_with_centroids(corpus, queries, cents, k, nprobe, id_col, vec_col)
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -282,6 +365,18 @@ def ann_ivf_topk(
     a partition-pruned read), and the shuffle carries |corpus|·(hit
     cells/n_cells) rows instead of |corpus|·|queries|."""
     cents = ivf_centroids(dim, n_cells, seed)
+    return _ivf_topk_with_centroids(corpus, queries, cents, k, nprobe, id_col, vec_col)
+
+
+def _ivf_topk_with_centroids(
+    corpus: DataFrame,
+    queries: DataFrame,
+    cents: list[list[float]],
+    k: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),

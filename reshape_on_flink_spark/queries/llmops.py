@@ -490,6 +490,21 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_similarity_ivf_trained")
+def q_similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a k-means-trained quantizer (4 Lloyd's rounds on the
+    corpus, then the identical assign -> cell-join -> re-rank plan).
+    No SQL oracle by design: distributed float means are
+    partition-order-dependent, so trained centroids aren't bit-stable
+    across engines — correctness is held by the recall tests
+    (test_llm.py: trained recall >= seeded recall) and the driver's
+    rows-only check here."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.ann_ivf_trained_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, n_iters=4
+    ).orderBy("query_id", "rank")
+
+
 @query(
     "q_dedup_clusters",
     f"""

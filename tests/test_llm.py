@@ -229,3 +229,35 @@ def test_pii_scrub_redacts_and_counts(spark):
     r2 = rows[2]
     assert (r2["n_email"], r2["n_ip"], r2["n_phone"]) == (0, 0, 0)
     assert r2["scrubbed"] == "no pii here"
+
+
+def test_kmeans_training_reduces_inertia(spark, tables):
+    from reshape_on_flink_spark.llm.similarity import inertia, ivf_centroids, kmeans_train
+
+    emb = tables["embeddings"]
+    init = ivf_centroids(64, 16, seed=7)
+    trained = kmeans_train(emb, n_cells=16, dim=64, n_iters=4, seed=7)
+    assert inertia(emb, trained) < inertia(emb, init)
+
+
+def test_trained_ivf_recall_at_least_seeded(spark, tables):
+    """k-means centroids must not degrade recall vs the seeded-random
+    quantizer at the same nprobe budget (the point of training)."""
+    from reshape_on_flink_spark.llm.similarity import (
+        ann_ivf_topk,
+        ann_ivf_trained_topk,
+        brute_force_topk,
+    )
+
+    emb = tables["embeddings"]
+    q = emb.where(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in brute_force_topk(emb, q, k=5).collect()}
+    seeded = {(r["query_id"], r["neighbor_id"]) for r in ann_ivf_topk(emb, q, k=5).collect()}
+    trained = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_trained_topk(emb, q, k=5, n_iters=4).collect()
+    }
+    r_seeded = len(exact & seeded) / len(exact)
+    r_trained = len(exact & trained) / len(exact)
+    assert r_trained >= r_seeded - 0.05, (r_trained, r_seeded)
+    assert r_trained >= 0.5, r_trained
