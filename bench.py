@@ -34,6 +34,10 @@ HEADLINE = [
     "q_similarity_topk",
     "q_text_quality",
     "q_fingerprint",
+    # round-2 additions (recorded in BASELINE.md: headline set extended)
+    "q_repetition_filter",
+    "q_decontaminate",
+    "q_match_recognize_nested",
 ]
 
 
@@ -53,7 +57,10 @@ def main() -> None:
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for warm_q in ("q1_pricing_summary", "q_simhash", "q_text_quality", "q_minhash_near_dups"):
+        for warm_q in (
+            "q1_pricing_summary", "q_simhash", "q_text_quality", "q_minhash_near_dups",
+            "q_repetition_filter", "q_decontaminate", "q_match_recognize_nested",
+        ):
             queries[warm_q](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}

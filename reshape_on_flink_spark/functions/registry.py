@@ -227,8 +227,9 @@ REGISTRY: dict[str, Entry] = {
            "no Spark TVF; operators/windows.cumulate (explode-based slice assigner)"),
         # ---- explicitly unsupported ----
         _e("MATCH_RECOGNIZE", None, "divergent",
-           "SQL-text form not parsed; full NFA operator at operators.cep.match_recognize"
-           " (batch + streaming)"),
+           "full NFA operator at operators.cep.match_recognize (batch + streaming,"
+           " nested groups + bounded quantifiers); SQL-text form parsed by"
+           " api.table_env.execute_sql"),
     ]
 }
 

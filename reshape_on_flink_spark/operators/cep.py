@@ -405,6 +405,132 @@ def _matcher(symbols: list[str], toks: list[tuple[str | tuple[str, ...], str]]):
     return match_at
 
 
+_RX_BASE = 0x100  # bitmask -> char offset (dodges ASCII regex metachars)
+_RX_MAX_SYMBOLS = 12  # 2^12 chars stays well under the surrogate range
+
+
+def _flat_to_ast(toks) -> list:
+    """Flat token list -> AST sequence form, so one regex builder serves
+    both parse paths."""
+    q_map = {
+        "": (1, 1, True), "+": (1, None, True), "+?": (1, None, False),
+        "*": (0, None, True), "*?": (0, None, False),
+        "?": (0, 1, True), "??": (0, 1, False),
+    }
+    out = []
+    for sym, q in toks:
+        if isinstance(sym, str):
+            node = sym
+        else:  # alternation tuple -> group of single-symbol branches
+            node = [[(s, (1, 1, True))] for s in sym]
+        out.append((node, q_map[q]))
+    return out
+
+
+def _bitmask_regex(symbols: list[str], seq: list) -> "re.Pattern | None":
+    """Compile the pattern to a Python regex over the per-row bitmask
+    encoding (row char = _RX_BASE + sum(bools[s] << s)): a symbol
+    becomes the character class of all bitmask values with its bit set,
+    so rows satisfying several DEFINEs stay fully general. Python's
+    backtracking `re` has exactly the branch priority of the AST
+    matcher (property-tested), which makes `rx.search(s, i)` a C-speed
+    'first position >= i where a match starts' — the scan's hot loop.
+    Returns None when the symbol count exceeds the encoding budget."""
+    n = len(symbols)
+    if n > _RX_MAX_SYMBOLS:
+        return None
+
+    def cls(mask: int) -> str:
+        vals = [m for m in range(1 << n) if m & mask]
+        parts, lo = [], None
+        for v in vals:
+            if lo is None:
+                lo = hi = v
+            elif v == hi + 1:
+                hi = v
+            else:
+                parts.append((lo, hi))
+                lo = hi = v
+        parts.append((lo, hi))
+        out = []
+        for a, b in parts:
+            ca, cb = chr(_RX_BASE + a), chr(_RX_BASE + b)
+            out.append(ca if a == b else f"{ca}-{cb}")
+        return "[" + "".join(out) + "]"
+
+    sym_idx = {s: i for i, s in enumerate(symbols)}
+
+    def rx_item(node, quant) -> str:
+        m, M, greedy = quant
+        if isinstance(node, str):
+            body = cls(1 << sym_idx[node])
+        else:
+            body = "(?:" + "|".join(rx_seq(alt) for alt in node) + ")"
+        if (m, M) == (1, 1):
+            q = ""
+        elif (m, M) == (0, 1):
+            q = "?"
+        elif (m, M) == (1, None):
+            q = "+"
+        elif (m, M) == (0, None):
+            q = "*"
+        elif M is None:
+            q = f"{{{m},}}"
+        else:
+            q = f"{{{m},{M}}}"
+        if q and not greedy:
+            q += "?"
+        return body + q
+
+    def rx_seq(items) -> str:
+        return "".join(rx_item(node, quant) for node, quant in items)
+
+    return re.compile(rx_seq(seq), re.DOTALL)
+
+
+def _encode_bitmask_str(bools, n: int) -> str:
+    """Rows -> the bitmask string the compiled regex scans."""
+    acc = np.zeros(n, dtype=np.int32)
+    for b, col in enumerate(bools):
+        acc = acc + (np.asarray(col, dtype=np.int32) << b)
+    return "".join(map(chr, (acc + _RX_BASE).tolist()))
+
+
+def _first_idx_flat(symbols: list[str], toks) -> list[int]:
+    """Indexes of symbols that can match the FIRST row of a non-empty
+    match (prefix of optional tokens + the first mandatory one). Used to
+    skip scan positions cheaply: a match can only start where one of
+    these symbol columns is true."""
+    sym_idx = {s: i for i, s in enumerate(symbols)}
+    out: set[int] = set()
+    for sym, q in toks:
+        out.update(sym_idx[s] for s in ((sym,) if isinstance(sym, str) else sym))
+        if q in ("", "+", "+?"):
+            break
+    return sorted(out)
+
+
+def _first_idx_ast(symbols: list[str], seq: list) -> list[int]:
+    """First-set for the nested AST (conservative superset — safe to
+    over-include, never to miss)."""
+    sym_idx = {s: i for i, s in enumerate(symbols)}
+    out: set[int] = set()
+
+    def add_seq(items) -> bool:  # True if the sequence can match empty
+        for node, (m, _M, _g) in items:
+            if isinstance(node, str):
+                out.add(sym_idx[node])
+                node_empty = False
+            else:
+                node_empty = any([add_seq(alt) for alt in node])
+            if m > 0 and not node_empty:
+                return False
+        return True
+
+    add_seq(seq)
+    return sorted(out)
+
+
 def match_recognize(
     df: DataFrame,
     partition_by: str | list[str],
@@ -434,10 +560,14 @@ def match_recognize(
         toks = parse_pattern(pattern)
         symbols = pattern_symbols(toks)
         matcher = _matcher(symbols, toks)
+        first_idx = _first_idx_flat(symbols, toks)
+        rx = _bitmask_regex(symbols, _flat_to_ast(toks))
     else:  # nested groups / bounded quantifiers -> generic AST matcher
         ast = parse_pattern_ast(pattern)
         symbols = ast_symbols(ast)
         matcher = _ast_matcher(symbols, ast)
+        first_idx = _first_idx_ast(symbols, ast)
+        rx = _bitmask_regex(symbols, ast)
     missing = [s for s in symbols if s not in define]
     if missing:
         raise ValueError(f"pattern symbols without DEFINE: {missing}")
@@ -474,9 +604,29 @@ def match_recognize(
         pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
         n = len(pdf)
         bools = [pdf[c].to_numpy() for c in sym_cols]
+        # scan accelerators: the bitmask regex finds the next match
+        # start in C (same branch priority as the matcher — property-
+        # tested); fallback is the first-set skip mask
+        enc = _encode_bitmask_str(bools, n) if rx is not None else None
+        can_start = (
+            np.logical_or.reduce([np.asarray(bools[j], dtype=bool) for j in first_idx])
+            if rx is None and n
+            else None
+        )
         rows_idx, match_ids, matched_syms = [], [], []
         i, mid = 0, 0
         while i < n:
+            if rx is not None:
+                mm = rx.search(enc, i)
+                if not mm:
+                    break
+                if mm.end() == mm.start():  # empty match: advance (as below)
+                    i = mm.start() + 1
+                    continue
+                i = mm.start()
+            elif not can_start[i]:
+                i += 1
+                continue
             m = match_at(bools, i, n)
             if m:  # empty match advances
                 for pos, si in m:
@@ -655,10 +805,12 @@ def streaming_match_recognize(
         toks = parse_pattern(pattern)
         symbols = pattern_symbols(toks)
         match_at = _matcher_modes(symbols, toks)
+        first_idx = _first_idx_flat(symbols, toks)
     else:  # nested groups / bounded quantifiers -> generic AST matcher
         ast = parse_pattern_ast(pattern)
         symbols = ast_symbols(ast)
         match_at = _ast_matcher(symbols, ast, modes=True)
+        first_idx = _first_idx_ast(symbols, ast)
     missing = [s for s in symbols if s not in define]
     if missing:
         raise ValueError(f"pattern symbols without DEFINE: {missing}")
@@ -698,9 +850,17 @@ def streaming_match_recognize(
             nonlocal next_id
             bools = [define[s](frame).to_numpy() for s in symbols]
             n = len(frame)
+            can_start = (
+                np.logical_or.reduce([np.asarray(bools[j], dtype=bool) for j in first_idx])
+                if n
+                else None
+            )
             pos_list, mid_list, sym_list = [], [], []
             i = start
             while i < n:
+                if not can_start[i]:
+                    i += 1
+                    continue
                 m = match_at(bools, i, n)
                 if m is _NEED_MORE:
                     if allow_open:

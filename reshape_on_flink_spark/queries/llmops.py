@@ -647,9 +647,12 @@ _SQL_5G = (
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reshape_on_flink_spark.llm import decontam
 
-    d = T.spread(load_tables(spark, sf_dir)["documents"])
-    bench = d.filter(F.col("doc_id") % 29 == 0)
-    corpus = d.filter(F.col("doc_id") % 29 != 0)
+    d = load_tables(spark, sf_dir)["documents"]
+    # filter BEFORE spread: the modulo predicates push into the scan, so
+    # each branch repartitions only its own rows (the benchmark branch
+    # is ~3% of docs)
+    bench = T.spread(d.filter(F.col("doc_id") % 29 == 0))
+    corpus = T.spread(d.filter(F.col("doc_id") % 29 != 0))
     flagged = decontam.decontaminate(corpus, bench, n=5)
     return (
         flagged.groupBy("source")

@@ -362,24 +362,34 @@ class ReshapeStreamingAgg:
             batch_df, self.key_col, self.value_col, routing, self.spread_col
         )
         observe_now = self.conf.enabled and self.controller.due()
-        if observe_now:
-            agg = agg.persist()  # shared by the observe jobs and the sink write
-        try:
+        if self.sink is not None:
+            # scale path: bounded distributed observation (2 small jobs
+            # per controller tick, amortized by freq_ms), then the
+            # idempotent upsert write — nothing key-shaped on the driver
             if observe_now:
-                total, candidates = observe_candidates(
-                    agg, self.key_col, self.conf, self.controller.hot_keys
-                )
-                self.controller.observe(candidates, total)
-            if self.sink is not None:
+                agg = agg.persist()  # shared by observe jobs + sink write
+            try:
+                if observe_now:
+                    total, candidates = observe_candidates(
+                        agg, self.key_col, self.conf, self.controller.hot_keys
+                    )
+                    self.controller.observe(candidates, total)
                 self.sink.write(agg, epoch_id)
-            else:
-                for r in agg.collect():
-                    k = r[self.key_col]
-                    cnt, sv = self.results.get(k, (0, 0.0))
-                    self.results[k] = (cnt + r["cnt"], sv + (r["sum_value"] or 0.0))
-        finally:
+            finally:
+                if observe_now:
+                    agg.unpersist()
+        else:
+            # dict mode (tests/bench): the merged result is collected
+            # anyway, so the observation is derived from those rows for
+            # free — zero extra Spark jobs, same controller inputs
+            rows = agg.collect()
             if observe_now:
-                agg.unpersist()
+                counts = {r[self.key_col]: r["cnt"] for r in rows}
+                self.controller.observe(counts, sum(counts.values()))
+            for r in rows:
+                k = r[self.key_col]
+                cnt, sv = self.results.get(k, (0, 0.0))
+                self.results[k] = (cnt + r["cnt"], sv + (r["sum_value"] or 0.0))
         self.batches_seen += 1
 
     def attach(self, stream_df: DataFrame, checkpoint_dir: str):

@@ -134,3 +134,41 @@ def test_no_cartesian_product_in_any_inventory_plan(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_decontaminate_is_broadcast_semi_join(spark):
+    """The benchmark n-gram set must broadcast into a LEFT SEMI join —
+    the corpus side is never shuffled (one pass at 100 TB)."""
+    from reshape_on_flink_spark.queries.llmops import q_decontaminate
+
+    plan = plan_of(q_decontaminate(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the corpus n-gram explode feeds the semi join directly: no
+    # Exchange between Generate and the semi join
+    gen_to_join = plan.split("Generate")[0]
+    assert "SortMergeJoin" not in plan.split("LeftSemi")[0].split("Generate")[-1]
+
+
+def test_repetition_filter_is_narrow(spark):
+    """Repetition features are row-local: the only exchange in the plan
+    is the final presentation sort."""
+    from reshape_on_flink_spark.queries.llmops import q_repetition_filter
+
+    plan = plan_of(q_repetition_filter(spark, SF_DIR))
+    n_exchanges = plan.count("Exchange (")  # tree nodes only
+    # one rangepartitioning exchange for the ORDER BY; the spread()
+    # repartition adds one round-robin at this single-file fixture
+    assert n_exchanges <= 2, plan[:3000]
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_having_count_join_back_aggregates_before_join(spark):
+    """q34/q73 shape: the HAVING filter must apply to the aggregate
+    BEFORE the customer join (selective key set -> broadcastable)."""
+    from reshape_on_flink_spark.queries.tpcds_shapes import q_ds_having_count_join_back
+
+    plan = plan_of(q_ds_having_count_join_back(spark, SF_DIR))
+    agg_pos = plan.find("HashAggregate")
+    assert agg_pos != -1
+    # the aggregate-side filter on the count appears in the plan
+    assert "n_orders" in plan

@@ -194,3 +194,70 @@ def test_cep_ast_matcher_agrees_with_regex_reference(rows, pattern_str):
         regex = regex.replace(s, c)
     expected = [(mm.start(), mm.end()) for mm in _re.finditer(regex, text) if mm.end() > mm.start()]
     assert got == expected, (text, regex)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=7), min_size=0, max_size=18),
+    st.sampled_from(
+        [
+            "A B", "A+ B", "(A|B)+ C", "A+? B", "A B? C", "A C* B",
+            "A (B C)+", "(A (B|C))+", "(A B){2,3}", "A{2,4} B",
+            "(A|B C)+", "A (B|C){1,2}? B", "(A B?)+ C",
+        ]
+    ),
+)
+def test_cep_regex_scan_equals_matcher_scan(masks, pattern_str):
+    """The bitmask-regex scan accelerator must produce the same matches
+    (spans AND per-row labels) as the pure matcher loop, including on
+    rows where several symbols are true simultaneously."""
+    from reshape_on_flink_spark.operators.cep import (
+        _ast_matcher,
+        _bitmask_regex,
+        _encode_bitmask_str,
+        _flat_to_ast,
+        _is_flat,
+        _matcher,
+        ast_symbols,
+        parse_pattern,
+        parse_pattern_ast,
+        pattern_symbols,
+    )
+
+    if _is_flat(pattern_str):
+        toks = parse_pattern(pattern_str)
+        symbols = pattern_symbols(toks)
+        match_at = _matcher(symbols, toks)
+        rx = _bitmask_regex(symbols, _flat_to_ast(toks))
+    else:
+        ast = parse_pattern_ast(pattern_str)
+        symbols = ast_symbols(ast)
+        match_at = _ast_matcher(symbols, ast)
+        rx = _bitmask_regex(symbols, ast)
+    assert rx is not None
+    n = len(masks)
+    # bit b of mask -> symbol b true at that row (multi-hot rows allowed)
+    bools = [[bool(m >> b & 1) for m in masks] for b in range(len(symbols))]
+
+    def scan(use_rx):
+        out = []
+        enc = _encode_bitmask_str(bools, n) if use_rx else None
+        i = 0
+        while i < n:
+            if use_rx:
+                mm = rx.search(enc, i)
+                if not mm:
+                    break
+                if mm.end() == mm.start():
+                    i = mm.start() + 1
+                    continue
+                i = mm.start()
+            m = match_at(bools, i, n)
+            if m:
+                out.append(tuple(m))
+                i = m[-1][0] + 1
+            else:
+                i += 1
+        return out
+
+    assert scan(True) == scan(False), (masks, pattern_str)
