@@ -411,3 +411,24 @@ def test_streaming_match_recognize_matches_batch_closed(spark, tables, tmp_dir):
     expected = {k: sorted(v) for k, v in expected.items()}
     assert got == expected
     assert expected, "fixture should contain closed matches"
+
+
+def test_cep_chunked_equals_grouped(spark, tables):
+    """The mapInPandas harness (keys batched per Arrow chunk, boundary
+    carry) must produce exactly the grouped-map results on real data."""
+    ev = tables["events"].select("user_id", "ts", "event_id", "value")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v = F.lag("value").over(w)
+    defs = {"DOWN": F.col("value") < prev_v, "UP": F.col("value") > prev_v}
+
+    def canon(df):
+        return sorted(
+            (r["user_id"], r["match_id"], r["event_id"], r["matched_symbol"])
+            for r in df.collect()
+        )
+
+    grouped = match_recognize(ev, "user_id", ["ts", "event_id"], "DOWN+ UP+", defs, impl="grouped")
+    chunked = match_recognize(ev, "user_id", ["ts", "event_id"], "DOWN+ UP+", defs, impl="chunked")
+    assert canon(chunked) == canon(grouped)
+    with pytest.raises(ValueError, match="impl"):
+        match_recognize(ev, "user_id", "event_id", "DOWN+", defs, impl="bogus")
