@@ -243,11 +243,24 @@ class PartialUpsertSink:
       ``compact_every`` epochs.
     """
 
-    def __init__(self, spark: SparkSession, path: str, key_col: str, compact_every: int = 8):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        key_col: str,
+        compact_every: int = 8,
+        merge_spec: dict[str, str] | None = None,
+    ):
+        """``merge_spec`` maps value column -> merge fn (``sum``/``min``/
+        ``max``) for re-aggregating partials; None infers ``sum`` for
+        every non-key column of the first written partial. Partials must
+        be merge-decomposable (count/sum/min/max are; write sum+cnt pairs
+        for avg)."""
         self.spark = spark
         self.path = path
         self.key_col = key_col
         self.compact_every = compact_every
+        self.merge_spec = dict(merge_spec) if merge_spec else None
         self._epochs_since_compact = 0
 
     @property
@@ -292,8 +305,12 @@ class PartialUpsertSink:
         if not parts:
             raise ValueError(f"no data written to {self.path} yet")
         union = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
+        spec = self.merge_spec or {
+            c: "sum" for c in union.columns if c != self.key_col
+        }
+        mergers = {"sum": F.sum, "min": F.min, "max": F.max}
         return union.groupBy(self.key_col).agg(
-            F.sum("cnt").alias("cnt"), F.sum("sum_value").alias("sum_value")
+            *[mergers[fn](c).alias(c) for c, fn in spec.items()]
         )
 
     def compact(self) -> None:
@@ -316,6 +333,32 @@ class PartialUpsertSink:
         with open(self._marker, "w") as f:
             f.write(str(max(folded_epochs)))
         self._epochs_since_compact = 0
+
+
+def attach_upsert(
+    stream_df: DataFrame,
+    sink: PartialUpsertSink,
+    partial_fn,
+    checkpoint_dir: str,
+):
+    """Generic streaming-aggregation-to-upsert-sink attachment: every
+    micro-batch is reduced by ``partial_fn(batch_df) -> merged partial``
+    (one row per key, merge-decomposable columns) and written to the
+    sink's idempotent per-epoch store. This is the cluster-scale pattern
+    for ANY keyed streaming aggregate, not just the Reshape controller:
+    ``sink.result_df()`` is the cumulative table, exact under replays.
+    """
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sink.write(partial_fn(batch_df), epoch_id)
+
+    return (
+        stream_df.writeStream.outputMode("update")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 class ReshapeStreamingAgg:

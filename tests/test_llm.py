@@ -261,3 +261,32 @@ def test_trained_ivf_recall_at_least_seeded(spark, tables):
     r_trained = len(exact & trained) / len(exact)
     assert r_trained >= r_seeded - 0.05, (r_trained, r_seeded)
     assert r_trained >= 0.5, r_trained
+
+
+def test_streaming_decontamination_stream_static_semi_join(spark, tables, tmp_dir):
+    """Decontamination composes with a stream: the static benchmark
+    n-gram set broadcasts into a stream-static LEFT SEMI join, emitting
+    contaminated doc ids per micro-batch — same ids as the batch op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from reshape_on_flink_spark.llm.decontam import contaminated_ids, ngram_set
+    from reshape_on_flink_spark.llm.text import shingle_array
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+    from tests.test_streaming import run_to_memory
+
+    docs = tables["documents"].select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 29 == 0)
+    corpus = docs.filter(F.col("doc_id") % 29 != 0)
+    bench_ngrams = ngram_set(bench, n=5)
+
+    stream = chunked_replay(spark, corpus, os.path.join(tmp_dir, "decon"), n_chunks=3, order_col="doc_id")
+    exploded = stream.select("doc_id", F.explode(shingle_array("text", 5)).alias("ng"))
+    hits = exploded.join(F.broadcast(bench_ngrams), "ng", "left_semi").select("doc_id")
+    got = {
+        r["doc_id"]
+        for r in run_to_memory(spark, hits, "decon_out", tmp_dir, mode="append").collect()
+    }
+    expected = {r["doc_id"] for r in contaminated_ids(corpus, bench_ngrams, n=5).collect()}
+    assert got == expected and expected

@@ -309,3 +309,36 @@ class TestBatchAQESkew:
         finally:
             for k, v in saved.items():
                 (conf.set(k, v) if v is not None else conf.unset(k))
+
+
+def test_generic_attach_upsert_with_mixed_merge_spec(spark, tables, tmp_dir):
+    """attach_upsert serves any keyed aggregate: a count/min/max partial
+    merges exactly across epochs under the declared merge spec."""
+    from reshape_on_flink_spark.streaming.reshape import PartialUpsertSink, attach_upsert
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    sink = PartialUpsertSink(
+        spark, os.path.join(tmp_dir, "upsert_g"), "event_type", compact_every=2,
+        merge_spec={"cnt": "sum", "v_min": "min", "v_max": "max"},
+    )
+    stream = chunked_replay(spark, tables["events"], os.path.join(tmp_dir, "replay_g"), n_chunks=3)
+
+    def partial(batch_df):
+        return batch_df.groupBy("event_type").agg(
+            F.count("*").alias("cnt"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+
+    attach_upsert(stream, sink, partial, os.path.join(tmp_dir, "ckpt_g")).awaitTermination(120)
+    expected = {
+        r["event_type"]: (r["cnt"], round(r["v_min"], 6), round(r["v_max"], 6))
+        for r in tables["events"].groupBy("event_type").agg(
+            F.count("*").alias("cnt"), F.min("value").alias("v_min"), F.max("value").alias("v_max")
+        ).collect()
+    }
+    got = {
+        r["event_type"]: (r["cnt"], round(r["v_min"], 6), round(r["v_max"], 6))
+        for r in sink.result_df().collect()
+    }
+    assert got == expected
