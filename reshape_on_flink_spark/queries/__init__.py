@@ -26,9 +26,86 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+# The driver's correctness gate checks the FIRST 50 registered queries, so
+# registration order is evidence-allocation: this list puts one-or-more
+# representatives of EVERY operator family from SURVEY.md §2 up front
+# (group windows, CEP, Flink-SQL dialect, temporal/interval/lookup/window
+# joins, changelog, distinct-split agg, the full LLM curation stack, and
+# TPC-DS shapes), with the homogeneous relational bulk registered last.
+# Every name listed here must exist in the merged inventory — merged()
+# raises otherwise, and tests/test_inventory.py pins the family coverage.
+GATE_PRIORITY: tuple[str, ...] = (
+    # flagship scan/pushdown/two-phase agg
+    "q1_pricing_summary",
+    # group windows (tumble/hop/session/cumulate/dynamic gap)
+    "q_tumble_window",
+    "q_hop_window",
+    "q_session_window",
+    "q_cumulate_window",
+    "q_session_window_dynamic_gap",
+    # CEP / MATCH_RECOGNIZE
+    "q_match_recognize",
+    "q_match_recognize_nested",
+    "q_match_recognize_sql",
+    # Flink SQL dialect facade
+    "q_flink_sql_dialect",
+    # temporal / as-of
+    "q_asof_operator",
+    "q_asof_join",
+    # interval / window / lookup joins + window top-n
+    "q_interval_join",
+    "q_window_join",
+    "q_stream_static_join",
+    "q_window_topn",
+    "q_json_extract",
+    # skew-aware distinct split, changelog, range join
+    "q_distinct_split_agg",
+    "q_changelog_normalize",
+    "q_range_join_operator",
+    # previously-untested relational breadth
+    "q_values_literal",
+    "q_limit_offset",
+    "q_listagg",
+    "q_percentiles",
+    "q_bit_bool_agg",
+    # LLM curation stack
+    "q_dedup_exact",
+    "q_minhash_near_dups",
+    "q_dedup_clusters",
+    "q_simhash",
+    "q_ngram_jaccard",
+    "q_text_quality",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_similarity_topk",
+    "q_similarity_ann_lsh",
+    "q_similarity_ivf",
+    "q_similarity_ivf_trained",
+    "q_repetition_filter",
+    "q_decontaminate",
+    "q_pii_scrub",
+    "q_llm_pipeline",
+    "q_bpe_token_stats",
+    # TPC-DS planner shapes
+    "q_ds_channel_rollup",
+    "q_ds_yoy_ratio",
+    "q_ds_moving_avg_deviation",
+    "q_ds_having_count_join_back",
+    # core join/expand family representatives
+    "q_join_full_outer",
+    "q_join_semi",
+    "q_join_theta",
+    "q_grouping_sets",
+)
+
 
 def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
-    """Merge all query modules into one (queries, oracles) inventory."""
+    """Merge all query modules into one (queries, oracles) inventory.
+
+    Registration order is GATE_PRIORITY first (the driver's 50-query
+    correctness cap samples every operator family), then each module's
+    remaining queries in module order.
+    """
     from reshape_on_flink_spark.queries import (
         llmops,
         relational,
@@ -38,12 +115,28 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
         tpch_rest,
     )
 
-    queries: dict[str, QueryFn] = {}
-    oracles: dict[str, str] = {}
+    all_queries: dict[str, QueryFn] = {}
+    all_oracles: dict[str, str] = {}
     for mod in (relational, relational2, tpch_rest, tpcds_shapes, streaming_batch, llmops):
-        dupes = queries.keys() & mod.QUERIES.keys()
+        dupes = all_queries.keys() & mod.QUERIES.keys()
         if dupes:
             raise ValueError(f"duplicate query names across modules: {sorted(dupes)}")
-        queries.update(mod.QUERIES)
-        oracles.update(mod.ORACLES)
+        all_queries.update(mod.QUERIES)
+        all_oracles.update(mod.ORACLES)
+
+    missing = [name for name in GATE_PRIORITY if name not in all_queries]
+    if missing:
+        raise ValueError(f"GATE_PRIORITY names not in inventory: {missing}")
+
+    queries: dict[str, QueryFn] = {}
+    oracles: dict[str, str] = {}
+    for name in GATE_PRIORITY:
+        queries[name] = all_queries[name]
+        if name in all_oracles:
+            oracles[name] = all_oracles[name]
+    for name, fn in all_queries.items():
+        if name not in queries:
+            queries[name] = fn
+            if name in all_oracles:
+                oracles[name] = all_oracles[name]
     return queries, oracles
