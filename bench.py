@@ -2,19 +2,25 @@
 sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is materialized via the noop sink (full execution, no driver
-collect). The headline set spans the engine's surface: scan-agg, joins,
-windows, streaming semantics, dedup/LSH, similarity, text analysis.
+Methodology (recorded in BASELINE.md): each query is materialized via the
+noop sink (full execution, no driver collect); one unmeasured warm pass at
+the MEASURED scale factor (JIT + codegen + file-index + shuffle services),
+then REPS measured runs per query with the per-query MEDIAN reported —
+single-sample noise (GC pause, page-cache miss) was the whole story of the
+round-2 regression, so the artifact now owns the noise model.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPS = 3
 
 HEADLINE = [
     "q1_pricing_summary",
@@ -50,50 +56,63 @@ def main() -> None:
 
     queries, _ = merged()
     spark = get_spark("bench")
-    # warm the JVM + fs cache outside the measured window: file-index the
-    # bench tables and run two representative queries at sf0.001 so
-    # whole-stage-codegen compilation and the noop sink are JIT'd before
-    # any measured run (BASELINE methodology: warm JVM)
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-    warm_dir = "/root/testdata/sf0.001"
-    if os.path.isdir(warm_dir):
-        for warm_q in (
-            "q1_pricing_summary", "q_simhash", "q_text_quality", "q_minhash_near_dups",
-            "q_repetition_filter", "q_decontaminate", "q_match_recognize_nested",
-        ):
-            queries[warm_q](spark, warm_dir).write.format("noop").mode("overwrite").save()
+
+    def run(name: str) -> None:
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    # warm pass at the measured SF: JIT + whole-stage-codegen compilation,
+    # parquet footer/file-index caches, broadcast build paths — everything
+    # a long-lived cluster session would have resident
+    for name in HEADLINE:
+        run(name)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        samples = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            run(name)
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 3)
 
     # Reshape skew layer: replay the events stream through the adaptive
     # salted aggregation with the controller on vs off (same result set;
     # measures the mechanism's overhead at this SF — its win shows on
-    # skewed clusters where one reducer would otherwise serialize)
+    # skewed clusters where one reducer would otherwise serialize).
+    # Cluster-scale path: results land in the idempotent PartialUpsertSink,
+    # nothing key-shaped accumulates on the driver.
     import shutil
 
     from reshape_on_flink_spark.session import load_tables
-    from reshape_on_flink_spark.streaming.reshape import ReshapeConf, ReshapeStreamingAgg
+    from reshape_on_flink_spark.streaming.reshape import (
+        PartialUpsertSink,
+        ReshapeConf,
+        ReshapeStreamingAgg,
+    )
     from reshape_on_flink_spark.streaming.source import chunked_replay
 
     events = load_tables(spark, sf_dir)["events"]
     for label, enabled in (("skew_replay_plain", False), ("skew_replay_reshape", True)):
-        replay_dir = os.path.join(".tmp", f"bench_{label}")
-        ckpt = os.path.join(".tmp", f"bench_{label}_ckpt")
-        shutil.rmtree(ckpt, ignore_errors=True)
-        stream = chunked_replay(spark, events, replay_dir, n_chunks=5)
-        agg = ReshapeStreamingAgg(
-            "user_id", "value", "event_id", ReshapeConf(enabled=enabled, parallelism=32, freq_ms=0)
-        )
-        t0 = time.perf_counter()
-        agg.attach(stream, ckpt).awaitTermination(300)
-        timings[label] = round(time.perf_counter() - t0, 3)
-        shutil.rmtree(replay_dir, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
+        samples = []
+        for rep in range(REPS):
+            replay_dir = os.path.join(".tmp", f"bench_{label}_{rep}")
+            ckpt = os.path.join(".tmp", f"bench_{label}_{rep}_ckpt")
+            sink_dir = os.path.join(".tmp", f"bench_{label}_{rep}_sink")
+            for d in (ckpt, sink_dir):
+                shutil.rmtree(d, ignore_errors=True)
+            stream = chunked_replay(spark, events, replay_dir, n_chunks=5)
+            sink = PartialUpsertSink(spark, sink_dir, "user_id", compact_every=4)
+            agg = ReshapeStreamingAgg(
+                "user_id", "value", "event_id",
+                ReshapeConf(enabled=enabled, parallelism=32, freq_ms=0),
+                sink=sink,
+            )
+            t0 = time.perf_counter()
+            agg.attach(stream, ckpt).awaitTermination(300)
+            samples.append(time.perf_counter() - t0)
+            for d in (replay_dir, ckpt, sink_dir):
+                shutil.rmtree(d, ignore_errors=True)
+        timings[label] = round(statistics.median(samples), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -106,6 +125,7 @@ def main() -> None:
                 "sf": sf,
                 "cores": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
                 "spark_version": spark.version,
+                "methodology": f"median of {REPS} after 1 warm pass at measured SF",
             }
         )
     )

@@ -50,19 +50,29 @@ def contaminated_ids(
 
 def decontaminate(
     corpus: DataFrame,
-    benchmark: DataFrame,
+    benchmark: DataFrame | None = None,
     n: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    benchmark_ngrams: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus with a boolean ``contaminated`` column.
+
+    Pass either ``benchmark`` (raw docs — the n-gram set is derived) or
+    ``benchmark_ngrams`` (a prebuilt/persisted :func:`ngram_set` result;
+    the benchmark set is static per run, so callers scrubbing many
+    corpus shards should build it once, ``persist()`` it, and reuse).
 
     The flag join is left unhinted: the hit set's size is data-dependent
     (usually tiny -> AQE broadcasts it; pathological contamination ->
     shuffle join stays safe).
     """
+    if benchmark_ngrams is None:
+        if benchmark is None:
+            raise ValueError("pass benchmark or benchmark_ngrams")
+        benchmark_ngrams = ngram_set(benchmark, n, text_col)
     hits = contaminated_ids(
-        corpus, ngram_set(benchmark, n, text_col), n, id_col, text_col
+        corpus, benchmark_ngrams, n, id_col, text_col
     ).withColumn("contaminated", F.lit(True))
     return corpus.join(hits, id_col, "left").withColumn(
         "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))

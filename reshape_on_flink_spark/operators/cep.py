@@ -767,7 +767,15 @@ def match_recognize(
             else:
                 pdf = pdf.reset_index(drop=True)
             keys = pdf[part_cols]
-            boundary = (keys != keys.shift()).any(axis=1).to_numpy()
+            shifted = keys.shift()
+            # null-aware boundary: NaN != NaN is True, so a plain != would
+            # split a run of null-keyed rows into per-row groups — grouped
+            # mode (Spark groupBy) treats null as one key, match it
+            boundary = (
+                ((keys != shifted) & ~(keys.isna() & shifted.isna()))
+                .any(axis=1)
+                .to_numpy()
+            )
             boundary[0] = True
             starts = np.flatnonzero(boundary)
             # the last key may continue into the next Arrow batch: carry it

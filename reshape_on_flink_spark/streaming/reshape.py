@@ -237,10 +237,23 @@ class PartialUpsertSink:
       so the sink is idempotent / effectively exactly-once.
     - ``result_df()``: merge-on-read — snapshot ∪ partials, re-aggregated
       per key. Distributed; never collects.
-    - ``compact()``: folds snapshot + partials into a new snapshot
-      (written to a temp dir, atomically swapped) and clears partials,
-      bounding read amplification. Called automatically every
-      ``compact_every`` epochs.
+    - ``compact()``: folds snapshot + live partials into a new
+      *versioned* snapshot dir, then commits with ONE atomic
+      ``os.replace`` of the ``CURRENT`` pointer file (the Iceberg
+      metadata-pointer pattern). Crash at any instant leaves either the
+      old committed state (all partials intact) or the new one (folded
+      epochs ignored via the pointer's compacted-through watermark) —
+      never a missing snapshot, never a double count. Post-commit
+      cleanup is best-effort garbage collection: ``write()`` skips and
+      ``result_df()`` filters out partial epochs ≤ the committed
+      watermark, so leftover folded partials are inert. Called
+      automatically every ``compact_every`` epochs.
+
+    On-disk layout::
+
+        partials/epoch=<id>/   per-epoch merged partial (idempotent)
+        snapshot_v<E>/         compacted through epoch E (immutable)
+        CURRENT                text "snapshot_v<E>:<E>" — the commit point
     """
 
     def __init__(
@@ -268,19 +281,36 @@ class PartialUpsertSink:
         return os.path.join(self.path, "partials")
 
     @property
-    def _snapshot(self) -> str:
-        return os.path.join(self.path, "snapshot")
+    def _current(self) -> str:
+        return os.path.join(self.path, "CURRENT")
 
-    @property
-    def _marker(self) -> str:
-        return os.path.join(self.path, "_compacted_through")
+    def _load_current(self) -> tuple[str | None, int]:
+        """(committed snapshot dir or None, compacted-through epoch).
+
+        The CURRENT pointer file is the only source of truth; a snapshot
+        dir not named by it does not exist as far as readers are
+        concerned (it is either a crashed pre-commit attempt or
+        post-commit garbage awaiting cleanup).
+        """
+        try:
+            with open(self._current) as f:
+                name, _, through = f.read().strip().partition(":")
+            d = os.path.join(self.path, name)
+            return (d if os.path.isdir(d) else None), int(through)
+        except (OSError, ValueError):
+            return None, -1
 
     def _compacted_through(self) -> int:
-        try:
-            with open(self._marker) as f:
-                return int(f.read().strip())
-        except (OSError, ValueError):
-            return -1
+        return self._load_current()[1]
+
+    def _partial_epochs(self) -> list[int]:
+        if not os.path.isdir(self._partials):
+            return []
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(self._partials)
+            if d.startswith("epoch=")
+        )
 
     def write(self, merged: DataFrame, epoch_id: int) -> None:
         if int(epoch_id) <= self._compacted_through():
@@ -292,16 +322,36 @@ class PartialUpsertSink:
         if self._epochs_since_compact >= self.compact_every:
             self.compact()
 
-    def _read(self, path: str) -> DataFrame | None:
-        if not os.path.isdir(path):
+    def read_epoch(self, epoch_id: int) -> DataFrame | None:
+        """The merged partial a given epoch wrote (None if skipped as a
+        replay). Reading the just-written small parquet back is the cheap
+        way to observe per-key load without re-running the aggregation's
+        lineage or persisting it."""
+        d = os.path.join(self._partials, f"epoch={int(epoch_id)}")
+        if not os.path.isdir(d):
+            return None
+        return self.spark.read.parquet(d)
+
+    def _read_snapshot(self) -> DataFrame | None:
+        snap_dir, _ = self._load_current()
+        if snap_dir is None:
+            return None
+        return self.spark.read.parquet(snap_dir)
+
+    def _read_live_partials(self) -> DataFrame | None:
+        """Partials newer than the committed watermark (folded epochs
+        left behind by a crash mid-cleanup are filtered out here)."""
+        if not os.path.isdir(self._partials):
             return None
         try:
-            return self.spark.read.option("basePath", path).parquet(path).drop("epoch")
+            df = self.spark.read.option("basePath", self._partials).parquet(self._partials)
         except Exception:
             return None  # empty dir
+        _, through = self._load_current()
+        return df.filter(F.col("epoch") > F.lit(through)).drop("epoch")
 
     def result_df(self) -> DataFrame:
-        parts = [df for df in (self._read(self._snapshot), self._read(self._partials)) if df is not None]
+        parts = [df for df in (self._read_snapshot(), self._read_live_partials()) if df is not None]
         if not parts:
             raise ValueError(f"no data written to {self.path} yet")
         union = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
@@ -314,24 +364,30 @@ class PartialUpsertSink:
         )
 
     def compact(self) -> None:
-        folded_epochs = [
-            int(d.split("=", 1)[1])
-            for d in (os.listdir(self._partials) if os.path.isdir(self._partials) else [])
-            if d.startswith("epoch=")
-        ]
-        if not folded_epochs:
+        old_snap, through = self._load_current()
+        live_epochs = [e for e in self._partial_epochs() if e > through]
+        if not live_epochs:
             return
+        new_through = max(live_epochs)
         folded = self.result_df().coalesce(max(1, self.spark.sparkContext.defaultParallelism // 8))
-        tmp = self._snapshot + ".tmp"
-        folded.write.mode("overwrite").parquet(tmp)
-        old = self._snapshot + ".old"
-        if os.path.isdir(self._snapshot):
-            os.rename(self._snapshot, old)
-        os.rename(tmp, self._snapshot)
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(self._partials, ignore_errors=True)
-        with open(self._marker, "w") as f:
-            f.write(str(max(folded_epochs)))
+        new_name = f"snapshot_v{new_through}"
+        new_dir = os.path.join(self.path, new_name)
+        shutil.rmtree(new_dir, ignore_errors=True)  # crashed prior attempt
+        folded.write.mode("overwrite").parquet(new_dir)
+        # the ONLY commit point: atomically repoint CURRENT. Crash before
+        # this line -> old state fully intact (snapshot + all partials);
+        # crash after -> new snapshot committed and every folded epoch is
+        # ignored by write()/result_df() via the watermark, so the
+        # cleanup below is pure garbage collection.
+        tmp = self._current + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(f"{new_name}:{new_through}")
+        os.replace(tmp, self._current)
+        if old_snap is not None:
+            shutil.rmtree(old_snap, ignore_errors=True)
+        for e in self._partial_epochs():
+            if e <= new_through:  # folded now, or stale from a crashed cleanup
+                shutil.rmtree(os.path.join(self._partials, f"epoch={e}"), ignore_errors=True)
         self._epochs_since_compact = 0
 
 
@@ -406,21 +462,19 @@ class ReshapeStreamingAgg:
         )
         observe_now = self.conf.enabled and self.controller.due()
         if self.sink is not None:
-            # scale path: bounded distributed observation (2 small jobs
-            # per controller tick, amortized by freq_ms), then the
-            # idempotent upsert write — nothing key-shaped on the driver
+            # scale path: the idempotent upsert write materializes the
+            # merged partial anyway, so the controller observes by
+            # reading that small parquet back (2 tiny jobs per tick,
+            # amortized by freq_ms) — the aggregation lineage is never
+            # re-run and nothing key-shaped reaches the driver
+            self.sink.write(agg, epoch_id)
             if observe_now:
-                agg = agg.persist()  # shared by observe jobs + sink write
-            try:
-                if observe_now:
+                written = self.sink.read_epoch(epoch_id)
+                if written is not None:  # None: epoch was a skipped replay
                     total, candidates = observe_candidates(
-                        agg, self.key_col, self.conf, self.controller.hot_keys
+                        written, self.key_col, self.conf, self.controller.hot_keys
                     )
                     self.controller.observe(candidates, total)
-                self.sink.write(agg, epoch_id)
-            finally:
-                if observe_now:
-                    agg.unpersist()
         else:
             # dict mode (tests/bench): the merged result is collected
             # anyway, so the observation is derived from those rows for

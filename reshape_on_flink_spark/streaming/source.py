@@ -14,7 +14,6 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from reshape_on_flink_spark.session import ensure_confs
@@ -34,7 +33,23 @@ def chunked_replay(
         shutil.rmtree(out_dir)
     os.makedirs(out_dir)
     schema = df.schema
-    chunk = df.withColumn("_chunk", F.ntile(n_chunks).over(W.orderBy(order_col)))
+    # time-ordered chunk assignment WITHOUT a global window (an
+    # unpartitioned ntile() funnels the whole table through one task):
+    # approximate n_chunks-quantiles of the order column give the chunk
+    # boundaries, and the assignment is a map-only range bucketing —
+    # fully parallel, same replay semantics (chunk i holds earlier rows
+    # than chunk i+1, boundaries approximate instead of exact).
+    ordv = F.col(order_col).cast("double")
+    probs = [i / n_chunks for i in range(1, n_chunks)]
+    cuts = (
+        sorted(set(df.select(ordv.alias("_o")).stat.approxQuantile("_o", probs, 0.001)))
+        if probs
+        else []
+    )
+    chunk_expr = F.lit(1)
+    for c in cuts:
+        chunk_expr = chunk_expr + F.when(ordv > F.lit(c), 1).otherwise(0)
+    chunk = df.withColumn("_chunk", chunk_expr)
     for i in range(1, n_chunks + 1):
         (
             chunk.where(F.col("_chunk") == i)

@@ -432,3 +432,36 @@ def test_cep_chunked_equals_grouped(spark, tables):
     assert canon(chunked) == canon(grouped)
     with pytest.raises(ValueError, match="impl"):
         match_recognize(ev, "user_id", "event_id", "DOWN+", defs, impl="bogus")
+
+
+def test_cep_chunked_null_keys_match_grouped(spark, tables):
+    """Null partition keys form ONE group (Spark groupBy semantics); the
+    chunked boundary scan must not split a run of null-keyed rows into
+    per-row groups (NaN != NaN is True in a naive boundary test), which
+    would silently drop matches spanning them."""
+    ev = (
+        tables["events"]
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn(
+            "user_id",
+            F.when(F.col("user_id") % 7 == 0, F.lit(None)).otherwise(F.col("user_id")),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v = F.lag("value").over(w)
+    defs = {"DOWN": F.col("value") < prev_v, "UP": F.col("value") > prev_v}
+
+    def canon(df):
+        return sorted(
+            (
+                (r["user_id"], r["match_id"], r["event_id"], r["matched_symbol"])
+                for r in df.collect()
+            ),
+            key=repr,
+        )
+
+    grouped = match_recognize(ev, "user_id", ["ts", "event_id"], "DOWN+ UP+", defs, impl="grouped")
+    chunked = match_recognize(ev, "user_id", ["ts", "event_id"], "DOWN+ UP+", defs, impl="chunked")
+    g, c = canon(grouped), canon(chunked)
+    assert c == g
+    assert any(t[0] is None for t in g), "fixture must produce null-key matches"

@@ -178,7 +178,8 @@ class TestScalePath:
             merged = salted_partial_merge_agg(chunk, "user_id", "value", {}, "event_id")
             sink.write(merged, epoch)
         # epochs 0,1 compacted into the snapshot; epoch 2 is a live partial
-        assert os.path.isdir(os.path.join(tmp_dir, "upsert", "snapshot"))
+        snap_dir, through = sink._load_current()
+        assert snap_dir is not None and through == 1
         expected = {
             r["user_id"]: (r["cnt"], round(r["sv"], 4))
             for r in ev.groupBy("user_id")
@@ -197,6 +198,92 @@ class TestScalePath:
         # replay of an epoch already folded into the snapshot: skipped
         sink.write(salted_partial_merge_agg(chunks[0], "user_id", "value", {}, "event_id"), 0)
         assert current() == expected
+
+    def test_upsert_sink_crash_before_commit_preserves_old_state(self, spark, tables, tmp_dir):
+        """Crash at any point before the CURRENT repoint must leave the
+        previously committed state fully readable and re-compactable."""
+        import os as _os
+
+        sink = PartialUpsertSink(spark, os.path.join(tmp_dir, "upsert"), "user_id", compact_every=100)
+        ev = tables["events"]
+        chunks = [ev.filter(F.pmod(F.hash("event_id"), 2) == i) for i in range(2)]
+        for epoch, chunk in enumerate(chunks):
+            sink.write(salted_partial_merge_agg(chunk, "user_id", "value", {}, "event_id"), epoch)
+        expected = {
+            r["user_id"]: (r["cnt"], round(r["sv"], 4))
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+            .collect()
+        }
+
+        real_replace = _os.replace
+
+        def crash_replace(src, dst):
+            raise OSError("simulated crash at the commit point")
+
+        _os.replace = crash_replace
+        try:
+            with pytest.raises(OSError, match="simulated crash"):
+                sink.compact()
+        finally:
+            _os.replace = real_replace
+        # nothing committed: no snapshot, all partials intact, result exact
+        assert sink._load_current() == (None, -1)
+        got = {
+            r["user_id"]: (r["cnt"], round(r["sum_value"], 4))
+            for r in sink.result_df().collect()
+        }
+        assert got == expected
+        # a later (non-crashing) compact succeeds from the same state
+        sink.compact()
+        snap_dir, through = sink._load_current()
+        assert snap_dir is not None and through == 1
+        got = {
+            r["user_id"]: (r["cnt"], round(r["sum_value"], 4))
+            for r in sink.result_df().collect()
+        }
+        assert got == expected
+
+    def test_upsert_sink_crash_after_commit_ignores_stale_partials(self, spark, tables, tmp_dir):
+        """Crash between the CURRENT repoint and partial cleanup: a
+        replayed folded epoch re-writing its partial must not be double
+        counted by result_df() or accepted by write()."""
+        sink = PartialUpsertSink(spark, os.path.join(tmp_dir, "upsert"), "user_id", compact_every=100)
+        ev = tables["events"]
+        chunks = [ev.filter(F.pmod(F.hash("event_id"), 2) == i) for i in range(2)]
+        for epoch, chunk in enumerate(chunks):
+            sink.write(salted_partial_merge_agg(chunk, "user_id", "value", {}, "event_id"), epoch)
+        expected = {
+            r["user_id"]: (r["cnt"], round(r["sv"], 4))
+            for r in ev.groupBy("user_id")
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+            .collect()
+        }
+        sink.compact()
+        _, through = sink._load_current()
+        assert through == 1
+        # simulate the replayed epoch whose partial survived a crashed
+        # cleanup: write epoch 0's partial straight into the store,
+        # bypassing write()'s watermark check
+        salted_partial_merge_agg(chunks[0], "user_id", "value", {}, "event_id").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sink._partials, "epoch=0"))
+        got = {
+            r["user_id"]: (r["cnt"], round(r["sum_value"], 4))
+            for r in sink.result_df().collect()
+        }
+        assert got == expected  # stale partial filtered by the watermark
+        # write() also refuses the replay outright
+        sink.write(salted_partial_merge_agg(chunks[0], "user_id", "value", {}, "event_id"), 0)
+        got = {
+            r["user_id"]: (r["cnt"], round(r["sum_value"], 4))
+            for r in sink.result_df().collect()
+        }
+        assert got == expected
+        # and the stale dir is garbage-collected by the next compact
+        sink.write(salted_partial_merge_agg(chunks[1], "user_id", "value", {}, "event_id"), 2)
+        sink.compact()
+        assert sink._partial_epochs() == []
 
     def test_streaming_agg_with_upsert_sink(self, spark, tables, tmp_dir):
         from reshape_on_flink_spark.streaming.source import chunked_replay
