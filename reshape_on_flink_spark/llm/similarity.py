@@ -269,18 +269,29 @@ def kmeans_train(
     seed: int = 7,
     vec_col: str = "embedding",
 ) -> list[list[float]]:
-    """Distributed Lloyd's k-means for IVF coarse quantizers.
+    """Distributed Lloyd's-style training for IVF coarse quantizers,
+    deterministic by construction (median update rule).
 
     Each iteration is one narrow map (cell assignment via centroid
     literals) + one hash agg: vectors posexplode to (cell, pos, val) and
-    average per (cell, pos) — the shuffle carries n_cells x dim grouped
-    partials (map-side combined), and the driver collects exactly
+    take the exact MEDIAN per (cell, pos) — the shuffle carries
+    n_cells x dim grouped partials, and the driver collects exactly
     n_cells x dim doubles per round. At 100 TB you train on a sample
     (corpus.sample) with the identical loop; assignment of the full
     corpus happens once afterwards inside ann_ivf_trained_topk.
-    Empty cells keep their previous centroid. Centroids are re-normalized
-    each round (spherical k-means — matches the cosine metric IVF
-    probes with).
+
+    Determinism contract (what restores the cross-engine hash gate):
+    a float MEAN is partition-order-dependent, so trained centroids
+    weren't bit-stable across engines or runs. The median involves no
+    float reduction at all — both engines sort the identical doubles and
+    pick (or average two of) them — and the re-normalized coordinates
+    are quantized to 1e-6, absorbing last-ulp drift in the norm's
+    64-term sum. The spherical k-medians update is a well-known robust
+    variant; recall-vs-seeded tests hold as for means.
+
+    Empty cells keep their previous centroid. Centroids are
+    re-normalized each round (spherical — matches the cosine metric IVF
+    probes with), then rounded to 1e-6.
     """
     cents = ivf_centroids(dim, n_cells, seed)
     for _ in range(n_iters):
@@ -292,7 +303,7 @@ def kmeans_train(
         ).select("cell", F.posexplode("v").alias("pos", "val"))
         rows = (
             assigned.groupBy("cell", "pos")
-            .agg(F.avg("val").alias("m"))
+            .agg(F.median("val").alias("m"))
             .collect()
         )
         new = [list(c) for c in cents]
@@ -303,7 +314,7 @@ def kmeans_train(
         arr = np.asarray(new)
         norms = np.linalg.norm(arr, axis=1, keepdims=True)
         norms[norms == 0] = 1.0
-        arr = arr / norms
+        arr = np.round(arr / norms, 6)
         cents = [
             arr[i].tolist() if i in seen else cents[i] for i in range(n_cells)
         ]

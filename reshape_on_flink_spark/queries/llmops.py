@@ -490,15 +490,93 @@ def q_similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_similarity_ivf_trained")
+def _ann_ivf_trained_oracle(
+    n_cells: int = 16, nprobe: int = 4, dim: int = 64, seed: int = 7, n_iters: int = 4
+) -> str:
+    """DuckDB replica of ann_ivf_trained_topk INCLUDING the training:
+    the seeded centroids are embedded as literals and the n_iters
+    median-update Lloyd's rounds are unrolled as CTE stages (assign by
+    desc-dot/desc-cell, exact median per coordinate, renormalize, round
+    to 1e-6, empty cells keep the previous centroid), then the standard
+    assign -> cell-join -> re-rank serving plan runs on the trained
+    table. Deterministic cross-engine because the median involves no
+    float reduction and the 1e-6 quantization absorbs last-ulp drift in
+    the norm sum — see kmeans_train's determinism contract."""
+    dot = (
+        "list_sum(list_transform(list_zip(e.embedding, c.cvec), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+    cents = S.ivf_centroids(dim, n_cells, seed)
+    c0_rows = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(repr(float(x)) for x in cen) + "]::DOUBLE[])"
+        for i, cen in enumerate(cents)
+    )
+    steps = [f"c0 AS (SELECT * FROM (VALUES {c0_rows}) AS t(cell, cvec))"]
+    for i in range(1, n_iters + 1):
+        p = f"c{i - 1}"
+        steps.append(
+            f"""s{i} AS (SELECT e.vec_id, e.embedding, c.cell, {dot} AS d
+           FROM embeddings e CROSS JOIN {p} c),
+    a{i} AS (SELECT vec_id, embedding, cell FROM (
+              SELECT vec_id, embedding, cell,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d DESC, cell DESC) AS rn
+              FROM s{i}) WHERE rn = 1),
+    m{i} AS (SELECT cell, pos, median(val) AS m FROM (
+              SELECT cell, UNNEST(embedding) AS val,
+                     UNNEST(range(len(embedding))) AS pos FROM a{i})
+             GROUP BY cell, pos),
+    g{i} AS (SELECT cell, list(m ORDER BY pos) AS raw FROM m{i} GROUP BY cell),
+    n{i} AS (SELECT cell, list_transform(raw,
+                x -> round(x / (CASE WHEN nrm = 0 THEN 1.0 ELSE nrm END), 6)) AS cvec
+             FROM (SELECT cell, raw,
+                          sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm
+                   FROM g{i})),
+    c{i} AS (SELECT p.cell, COALESCE(n.cvec, p.cvec) AS cvec
+             FROM {p} p LEFT JOIN n{i} n USING (cell))"""
+        )
+    cos = (
+        "list_sum(list_transform(list_zip(qvec, cvec), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    train = ",\n    ".join(steps)
+    return f"""
+    WITH {train},
+    sc AS (SELECT e.vec_id, e.embedding, c.cell, {dot} AS d
+           FROM embeddings e CROSS JOIN c{n_iters} c),
+    ranked AS (SELECT vec_id, embedding, cell,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY d DESC, cell DESC) AS rn
+               FROM sc),
+    corpus AS (SELECT vec_id AS neighbor_id, embedding AS cvec, cell
+               FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, embedding AS qvec, cell
+               FROM ranked WHERE rn <= {nprobe} AND vec_id < 10),
+    scored AS (
+      SELECT query_id, neighbor_id, {cos} AS cos_sim
+      FROM probes JOIN corpus USING (cell)
+      WHERE query_id <> neighbor_id)
+    SELECT query_id, "rank", neighbor_id, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id) AS "rank"
+      FROM scored)
+    WHERE "rank" <= 5
+    ORDER BY query_id, "rank"
+    """
+
+
+@query("q_similarity_ivf_trained", _ann_ivf_trained_oracle())
 def q_similarity_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN with a k-means-trained quantizer (4 Lloyd's rounds on the
-    corpus, then the identical assign -> cell-join -> re-rank plan).
-    No SQL oracle by design: distributed float means are
-    partition-order-dependent, so trained centroids aren't bit-stable
-    across engines — correctness is held by the recall tests
-    (test_llm.py: trained recall >= seeded recall) and the driver's
-    rows-only check here."""
+    """IVF ANN with a trained quantizer (4 median-update Lloyd's rounds
+    on the corpus, then the identical assign -> cell-join -> re-rank
+    plan). The median update rule makes training deterministic (no
+    partition-order-dependent float reduction; centroids quantized to
+    1e-6), so the full train+serve pipeline is hash-gated against a
+    DuckDB replica that unrolls the same four rounds in SQL. Recall
+    quality is held by test_llm.py (trained recall >= seeded recall)."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     return S.ann_ivf_trained_topk(
         emb, emb.where(F.col("vec_id") < 10), k=5, n_iters=4
