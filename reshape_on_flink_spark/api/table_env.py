@@ -46,6 +46,14 @@ Translated constructs
    against a table registered via ``register_versioned_table`` (the
    analog of Flink's versioned-table DDL); INNER drops left rows with
    no version at their rowtime, LEFT keeps them as nulls.
+
+7. DDL/DQL statement surface (flink-sql-parser ddl/ + dql/): SHOW
+   TABLES/DATABASES/VIEWS/FUNCTIONS/CATALOGS/CREATE TABLE, DESCRIBE,
+   USE db, DROP, CREATE DATABASE/VIEW and ALTER TABLE ... RENAME TO are
+   already Spark-native and pass through; the enumerable differences —
+   EXPLAIN [details] PLAN FOR, SHOW CURRENT CATALOG/DATABASE,
+   USE CATALOG, DROP TEMPORARY, ALTER TABLE ADD(...)/SET(...) — are
+   translated, and Flink's module/jar statements error loudly.
 """
 
 from __future__ import annotations
@@ -336,6 +344,78 @@ def _rewrite_unnest(sql: str, multi_fn: str = "inline") -> str:
         sql = prefix + lateral + sql[end + m_alias.end() :]
 
 
+_STMT_UNSUPPORTED_RE = re.compile(
+    r"^\s*(SHOW\s+(?:FULL\s+)?MODULES|SHOW\s+JARS|SHOW\s+JOBS|USE\s+MODULES|"
+    r"(?:UN)?LOAD\s+MODULE|ADD\s+JAR|REMOVE\s+JAR)\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_statements(sql: str) -> str:
+    """Flink DDL/DQL statement surface -> Spark catalog SQL.
+
+    Reference parser surface: flink-sql-parser ``ddl/`` (33 classes:
+    CREATE/DROP/ALTER TABLE|VIEW|DATABASE|CATALOG|FUNCTION, ...) and
+    ``dql/`` (15 SHOW/DESCRIBE/EXPLAIN/USE statements). Most spell
+    identically in Spark (SHOW TABLES/DATABASES/VIEWS/FUNCTIONS/
+    CREATE TABLE, DESCRIBE, USE db, DROP TABLE/VIEW/DATABASE, ALTER
+    TABLE ... RENAME TO); this translates the enumerable differences and
+    rejects Flink's module/jar management loudly (no catalog analog).
+    """
+    m = _STMT_UNSUPPORTED_RE.match(sql)
+    if m:
+        raise NotImplementedError(
+            f"{' '.join(m.group(1).upper().split())}: Flink module/jar "
+            "management has no Spark catalog analog"
+        )
+    # EXPLAIN [CHANGELOG_MODE|ESTIMATED_COST|JSON_EXECUTION_PLAN, ...]
+    # PLAN FOR <stmt>  ->  EXPLAIN <stmt>  (details map to Spark's single
+    # formatted plan; the statement itself continues through translate()).
+    sql = re.sub(
+        r"^(\s*)EXPLAIN\s+(?:(?:CHANGELOG_MODE|ESTIMATED_COST|JSON_EXECUTION_PLAN)"
+        r"\s*,?\s*)*(?:PLAN\s+FOR\s+)",
+        r"\1EXPLAIN ",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # SHOW CURRENT CATALOG/DATABASE -> scalar SELECTs (same one-row shape)
+    sql = re.sub(
+        r"^\s*SHOW\s+CURRENT\s+CATALOG\s*;?\s*$",
+        "SELECT current_catalog() AS catalog_name",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"^\s*SHOW\s+CURRENT\s+DATABASE\s*;?\s*$",
+        "SELECT current_database() AS database_name",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    # USE CATALOG c -> SET CATALOG c (SqlUseCatalog.java)
+    sql = re.sub(
+        r"^\s*USE\s+CATALOG\s+([\w.]+)", r"SET CATALOG \1", sql, flags=re.IGNORECASE
+    )
+    # DROP TEMPORARY TABLE/VIEW -> DROP TABLE/VIEW (session-scoped both)
+    sql = re.sub(
+        r"^\s*DROP\s+TEMPORARY\s+(TABLE|VIEW)\b", r"DROP \1", sql, flags=re.IGNORECASE
+    )
+    # ALTER TABLE t ADD (c T, ...) -> ADD COLUMNS (...); SET ('k'='v') ->
+    # SET TBLPROPERTIES (...)  (SqlAlterTableProperties / add-column DDL)
+    sql = re.sub(
+        r"^(\s*ALTER\s+TABLE\s+[\w.]+\s+)ADD\s*\(",
+        r"\1ADD COLUMNS (",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    sql = re.sub(
+        r"^(\s*ALTER\s+TABLE\s+[\w.]+\s+)SET\s*\(",
+        r"\1SET TBLPROPERTIES (",
+        sql,
+        flags=re.IGNORECASE,
+    )
+    return sql
+
+
 _DDL_WITH_RE = re.compile(r"\bWITH\s*\((?P<opts>[^()]*)\)\s*$", re.IGNORECASE | re.DOTALL)
 _WATERMARK_RE = re.compile(r",\s*WATERMARK\s+FOR\s+\w+\s+AS\s+[^,)]+", re.IGNORECASE)
 
@@ -399,6 +479,7 @@ class TableEnvironment:
                 "operators.joins.asof_join directly"
             )
         masked, parts = _mask_strings(sql)
+        masked = _rewrite_statements(masked)
         masked = _rewrite_ddl(masked, parts)
         masked = _rewrite_window_tvfs(masked, parts)
         masked = _rewrite_legacy_group_windows(masked, parts)

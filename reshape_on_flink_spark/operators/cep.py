@@ -531,6 +531,50 @@ def _first_idx_ast(symbols: list[str], seq: list) -> list[int]:
     return sorted(out)
 
 
+def _parse_after_match(after_match: str, symbols: list[str]) -> tuple[str, str | None]:
+    """AFTER MATCH SKIP strategy string -> (skip_mode, skip_sym).
+
+    Shared by batch and streaming matchers (reference: NFACompiler /
+    AfterMatchSkipStrategy in flink-libraries/flink-cep)."""
+    am = after_match.strip().lower().replace("  ", " ")
+    am_parts = am.split()
+    if am_parts[0] in ("to_first", "to_last"):
+        if len(am_parts) != 2:
+            raise ValueError(f"after_match {after_match!r}: expected 'to_first SYM'")
+        skip_mode, skip_sym = am_parts[0], after_match.split()[1]
+        if skip_sym not in symbols:
+            raise ValueError(f"AFTER MATCH SKIP TO unknown symbol {skip_sym!r}")
+        return skip_mode, skip_sym
+    if am in ("past_last_row", "to_next_row"):
+        return am, None
+    raise ValueError(f"unsupported after_match strategy {after_match!r}")
+
+
+def _resume_pos(m, skip_mode: str, skip_sym: str | None, symbols: list[str]) -> int:
+    """Row position where the scan resumes after emitting match ``m``
+    (list of (pos, symbol_index)), per the AFTER MATCH SKIP strategy.
+    Raises on the NFA's infinite-loop condition (SKIP TO the match's own
+    first row) and on SKIP TO a symbol that mapped no rows — same
+    contract as the reference NFA (NFA.java)."""
+    if skip_mode == "past_last_row":
+        return m[-1][0] + 1
+    if skip_mode == "to_next_row":
+        return m[0][0] + 1
+    mapped = [pos for pos, si in m if symbols[si] == skip_sym]
+    if not mapped:
+        raise ValueError(
+            f"AFTER MATCH SKIP TO {skip_sym}: no rows were "
+            "mapped to that symbol in the match"
+        )
+    resume = mapped[0] if skip_mode == "to_first" else mapped[-1]
+    if resume == m[0][0]:
+        raise ValueError(
+            f"AFTER MATCH SKIP TO {skip_sym} would restart at "
+            "the match's own first row (infinite loop)"
+        )
+    return resume
+
+
 def match_recognize(
     df: DataFrame,
     partition_by: str | list[str],
@@ -585,18 +629,7 @@ def match_recognize(
     if missing:
         raise ValueError(f"pattern symbols without DEFINE: {missing}")
 
-    am = after_match.strip().lower().replace("  ", " ")
-    am_parts = am.split()
-    if am_parts[0] in ("to_first", "to_last"):
-        if len(am_parts) != 2:
-            raise ValueError(f"after_match {after_match!r}: expected 'to_first SYM'")
-        skip_mode, skip_sym = am_parts[0], after_match.split()[1]
-        if skip_sym not in symbols:
-            raise ValueError(f"AFTER MATCH SKIP TO unknown symbol {skip_sym!r}")
-    elif am in ("past_last_row", "to_next_row"):
-        skip_mode, skip_sym = am, None
-    else:
-        raise ValueError(f"unsupported after_match strategy {after_match!r}")
+    skip_mode, skip_sym = _parse_after_match(after_match, symbols)
 
     flagged = df
     for s in symbols:
@@ -646,24 +679,7 @@ def match_recognize(
                     rows_idx.append(pos)
                     match_ids.append(mid)
                     matched_syms.append(symbols[si])
-                if skip_mode == "past_last_row":
-                    i = m[-1][0] + 1
-                elif skip_mode == "to_next_row":
-                    i = m[0][0] + 1
-                else:
-                    mapped = [pos for pos, si in m if symbols[si] == skip_sym]
-                    if not mapped:
-                        raise ValueError(
-                            f"AFTER MATCH SKIP TO {skip_sym}: no rows were "
-                            "mapped to that symbol in the match"
-                        )
-                    resume = mapped[0] if skip_mode == "to_first" else mapped[-1]
-                    if resume == m[0][0]:
-                        raise ValueError(
-                            f"AFTER MATCH SKIP TO {skip_sym} would restart at "
-                            "the match's own first row (infinite loop)"
-                        )
-                    i = resume
+                i = _resume_pos(m, skip_mode, skip_sym, symbols)
                 mid += 1
             else:
                 i += 1
@@ -729,24 +745,7 @@ def match_recognize(
                 match_ids.append(int(mids[g]))
                 matched_syms.append(symbols[si])
             mids[g] += 1
-            if skip_mode == "past_last_row":
-                next_r = m[-1][0] + 1
-            elif skip_mode == "to_next_row":
-                next_r = m[0][0] + 1
-            else:
-                mapped = [pos for pos, si in m if symbols[si] == skip_sym]
-                if not mapped:
-                    raise ValueError(
-                        f"AFTER MATCH SKIP TO {skip_sym}: no rows were "
-                        "mapped to that symbol in the match"
-                    )
-                next_r = mapped[0] if skip_mode == "to_first" else mapped[-1]
-                if next_r == m[0][0]:
-                    raise ValueError(
-                        f"AFTER MATCH SKIP TO {skip_sym} would restart at "
-                        "the match's own first row (infinite loop)"
-                    )
-            i = next_r + g
+            i = _resume_pos(m, skip_mode, skip_sym, symbols) + g
         if not rows_idx:
             return None
         out = pdf.iloc[rows_idx][data_cols].copy()
@@ -908,6 +907,7 @@ def streaming_match_recognize(
     input_cols: list[str],
     max_pending: int = 10_000,
     context_rows: int = 1,
+    after_match: str = "past_last_row",
 ) -> DataFrame:
     """MATCH_RECOGNIZE over a streaming DataFrame (applyInPandasWithState).
 
@@ -916,6 +916,15 @@ def streaming_match_recognize(
     history, so ``pdf[col].diff()`` implements Flink's ``PREV`` across
     micro-batch boundaries (a Catalyst ``lag`` would reset per batch;
     streaming window functions don't exist in Spark).
+
+    ``after_match``: every AFTER MATCH SKIP strategy of the batch
+    operator — ``past_last_row`` (default), ``to_next_row``,
+    ``to_first SYM`` / ``to_last SYM`` — with the reference NFA's
+    semantics incl. the infinite-loop guard (NFA.java's
+    SkipToFirst/LastStrategy). Overlapping strategies re-scan rows that
+    already belong to an emitted match; those rows stay in keyed state
+    until every start position through them is decided, so matches are
+    emitted in start order and stream == batch on every strategy.
 
     Emission rule (= CepOperator's): a greedy match is emitted only once
     a later row proves it cannot extend; a match still touching the end
@@ -950,6 +959,7 @@ def streaming_match_recognize(
     missing = [s for s in symbols if s not in define]
     if missing:
         raise ValueError(f"pattern symbols without DEFINE: {missing}")
+    skip_mode, skip_sym = _parse_after_match(after_match, symbols)
 
     sample = events.select(*input_cols)
     out_schema = StructType(
@@ -1008,7 +1018,7 @@ def streaming_match_recognize(
                         pos_list.append(pos)
                         mid_list.append(next_id)
                         sym_list.append(symbols[si])
-                    i = m[-1][0] + 1
+                    i = _resume_pos(m, skip_mode, skip_sym, symbols)
                     next_id += 1
                 else:
                     i += 1

@@ -27,75 +27,57 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate checks the FIRST 50 registered queries, so
-# registration order is evidence-allocation: this list puts one-or-more
-# representatives of EVERY operator family from SURVEY.md §2 up front
-# (group windows, CEP, Flink-SQL dialect, temporal/interval/lookup/window
-# joins, changelog, distinct-split agg, the full LLM curation stack, and
-# TPC-DS shapes), with the homogeneous relational bulk registered last.
-# Every name listed here must exist in the merged inventory — merged()
-# raises otherwise, and tests/test_inventory.py pins the family coverage.
+# registration order is evidence-allocation. Rotation policy (round 4+):
+# put queries with NO driver row in any prior round first — rounds 2+3
+# recorded green rows for 95/126 (see CORRECTNESS_r02/r03.json); this
+# list front-loads the 31 never-sampled queries plus everything NEW this
+# round, so r2∪r3∪r4 driver rows cover the whole inventory. Queries left
+# off this list still register (merged() appends them in module order and
+# they fill the remaining gate slots) and keep their prior-round rows as
+# evidence. merged() raises on unknown names.
 GATE_PRIORITY: tuple[str, ...] = (
-    # flagship scan/pushdown/two-phase agg
-    "q1_pricing_summary",
-    # group windows (tumble/hop/session/cumulate/dynamic gap)
-    "q_tumble_window",
-    "q_hop_window",
-    "q_session_window",
-    "q_cumulate_window",
-    "q_session_window_dynamic_gap",
-    # CEP / MATCH_RECOGNIZE
-    "q_match_recognize",
-    "q_match_recognize_nested",
-    "q_match_recognize_sql",
-    # Flink SQL dialect facade
-    "q_flink_sql_dialect",
-    # temporal / as-of
-    "q_asof_operator",
-    "q_asof_join",
-    # interval / window / lookup joins + window top-n
-    "q_interval_join",
-    "q_window_join",
-    "q_stream_static_join",
-    "q_window_topn",
-    "q_json_extract",
-    # skew-aware distinct split, changelog, range join
-    "q_distinct_split_agg",
-    "q_changelog_normalize",
-    "q_range_join_operator",
-    # previously-untested relational breadth
-    "q_values_literal",
-    "q_limit_offset",
-    "q_listagg",
-    "q_percentiles",
-    "q_bit_bool_agg",
-    # LLM curation stack
-    "q_dedup_exact",
-    "q_minhash_near_dups",
-    "q_dedup_clusters",
-    "q_simhash",
-    "q_ngram_jaccard",
-    "q_text_quality",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_similarity_topk",
-    "q_similarity_ann_lsh",
-    "q_similarity_ivf",
-    "q_similarity_ivf_trained",
-    "q_repetition_filter",
-    "q_decontaminate",
-    "q_pii_scrub",
-    "q_llm_pipeline",
-    "q_bpe_token_stats",
-    # TPC-DS planner shapes
-    "q_ds_channel_rollup",
-    "q_ds_yoy_ratio",
-    "q_ds_moving_avg_deviation",
-    "q_ds_having_count_join_back",
-    # core join/expand family representatives
-    "q_join_full_outer",
-    "q_join_semi",
-    "q_join_theta",
-    "q_grouping_sets",
+    # new this round: DDL/DQL statement surface + TPC-DS additions
+    "q_dialect_catalog_roundtrip",
+    "q_ds_channel_tolerance",
+    "q_ds_yoy_customer_filter",
+    "q_ds_wide_star_yoy",
+    "q_ds_antijoin_returns",
+    "q_ds_exists_demographics",
+    # TPC-H tails never sampled by the r2/r3 caps
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q11_important_supply",
+    "q12_priority_class",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
+    "q20_supply_candidates",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    # relational breadth never sampled
+    "q_star_join_region_revenue",
+    "q_filter_clause_agg",
+    "q_distinct_rows",
+    "q_nullsafe_join",
+    # TPC-DS shapes never sampled
+    "q_ds_bucket_case",
+    "q_ds_channel_intersect",
+    "q_ds_rollup_rank",
+    "q_ds_cumulative_cross",
+    "q_ds_pivot_monthly",
+    "q_ds_unpivot_monthly",
+    "q_ds_scalar_count_grid",
+    "q_ds_returns_net",
+    "q_ds_ship_lag_matrix",
+    # LLM ops never sampled
+    "q_minhash_signatures",
+    "q_embedding_near_dup",
+    "q_multimodal_meta",
+    "q_multimodal_features",
 )
 
 

@@ -403,6 +403,73 @@ def q_flink_sql_dialect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SQL statement surface (DDL/DQL) end-to-end: CREATE DATABASE / USE /
+# SHOW CURRENT DATABASE / CREATE TABLE WITH / INSERT / SHOW TABLES /
+# ALTER TABLE ADD + RENAME TO / DESCRIBE / EXPLAIN PLAN FOR / CREATE +
+# DROP VIEW — the reference's flink-sql-parser ddl/ (33 classes) + dql/
+# (15 classes) exercised in one session through the dialect facade
+# (api.table_env._rewrite_statements). Every statement's effect is
+# asserted in-callable (loud gate failure), and the final SELECT reads
+# the data back through the catalog so the oracle hash covers the whole
+# roundtrip. Scale: pure catalog metadata ops + one small INSERT — no
+# data-plane divergence from the plain scan.
+# ---------------------------------------------------------------------------
+@query(
+    "q_dialect_catalog_roundtrip",
+    """
+    SELECT n_nationkey, n_name, n_regionkey
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def q_dialect_catalog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from reshape_on_flink_spark.api.table_env import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    tenv.create_temporary_view("nation_src", load_tables(spark, sf_dir)["nation"])
+    prev_db = spark.catalog.currentDatabase()
+    loc = tempfile.mkdtemp(prefix="dialect_nation_")
+    try:
+        tenv.execute_sql(f"CREATE DATABASE IF NOT EXISTS dialect_db LOCATION '{loc}_db'")
+        tenv.execute_sql("USE dialect_db")
+        cur = tenv.execute_sql("SHOW CURRENT DATABASE").collect()
+        assert cur[0][0] == "dialect_db", cur
+        tenv.execute_sql("DROP TABLE IF EXISTS dialect_nation")
+        tenv.execute_sql("DROP TABLE IF EXISTS dialect_nation_v2")
+        tenv.execute_sql(
+            "CREATE TABLE dialect_nation ("
+            "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT) "
+            f"WITH ('connector'='filesystem', 'path'='{loc}', 'format'='parquet')"
+        )
+        tenv.execute_sql(
+            "INSERT INTO dialect_nation "
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation_src"
+        )
+        shown = {r[1] for r in tenv.execute_sql("SHOW TABLES").collect()}
+        assert "dialect_nation" in shown, shown
+        tenv.execute_sql("ALTER TABLE dialect_nation ADD (n_note STRING)")
+        tenv.execute_sql("ALTER TABLE dialect_nation RENAME TO dialect_nation_v2")
+        desc_cols = {r[0] for r in tenv.execute_sql("DESCRIBE dialect_nation_v2").collect()}
+        assert {"n_nationkey", "n_name", "n_regionkey", "n_note"} <= desc_cols, desc_cols
+        plan = tenv.execute_sql(
+            "EXPLAIN PLAN FOR SELECT n_name FROM dialect_nation_v2 WHERE n_regionkey = 0"
+        ).collect()
+        assert plan and "n_regionkey" in plan[0][0], plan
+        tenv.execute_sql(
+            "CREATE TEMPORARY VIEW dialect_scratch AS SELECT 1 AS one"
+        )
+        tenv.execute_sql("DROP TEMPORARY VIEW dialect_scratch")
+        return tenv.execute_sql(
+            "SELECT n_nationkey, n_name, n_regionkey "
+            "FROM dialect_db.dialect_nation_v2 ORDER BY n_nationkey"
+        )
+    finally:
+        spark.catalog.setCurrentDatabase(prev_db)
+
+
+# ---------------------------------------------------------------------------
 # MATCH_RECOGNIZE (CEP) — reference StreamExecMatch.java:90 / flink-cep
 # NFA (CepOperator.java:81). V-shape detection per user: value strictly
 # falls (DOWN+) then strictly rises (UP+); AFTER MATCH SKIP PAST LAST ROW.

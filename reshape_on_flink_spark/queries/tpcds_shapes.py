@@ -670,3 +670,285 @@ def q_ds_ship_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q58 shape (cross-channel tolerance compare): the same per-item
+# aggregate computed in three channels, three-way self-joined on the item
+# key, kept only when every channel is within a tolerance band of the
+# three-channel average (tpcds-tool/query/query58.sql). Channels here are
+# the l_returnflag legs. Scale: three aggregates shuffle on the SAME key
+# (l_partkey), so the self-joins co-locate with no extra exchange; no
+# broadcast — all sides are |parts|-sized.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_channel_tolerance",
+    f"""
+    WITH per AS (
+      SELECT l_partkey, l_returnflag,
+             CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS rev
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT a.l_partkey AS partkey,
+           a.rev AS rev_a, n.rev AS rev_n, r.rev AS rev_r
+    FROM per a
+    JOIN per n ON n.l_partkey = a.l_partkey AND n.l_returnflag = 'N'
+    JOIN per r ON r.l_partkey = a.l_partkey AND r.l_returnflag = 'R'
+    WHERE a.l_returnflag = 'A'
+      AND a.rev BETWEEN 0.9 * (a.rev + n.rev + r.rev) / 3
+                    AND 1.1 * (a.rev + n.rev + r.rev) / 3
+      AND n.rev BETWEEN 0.9 * (a.rev + n.rev + r.rev) / 3
+                    AND 1.1 * (a.rev + n.rev + r.rev) / 3
+      AND r.rev BETWEEN 0.9 * (a.rev + n.rev + r.rev) / 3
+                    AND 1.1 * (a.rev + n.rev + r.rev) / 3
+    ORDER BY partkey
+    """,
+)
+def q_ds_channel_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    per = li.groupBy("l_partkey", "l_returnflag").agg(
+        F.sum(disc_price()).cast("double").alias("rev")
+    )
+    a = per.where(F.col("l_returnflag") == "A").select(
+        F.col("l_partkey").alias("partkey"), F.col("rev").alias("rev_a")
+    )
+    n = per.where(F.col("l_returnflag") == "N").select(
+        F.col("l_partkey").alias("nk"), F.col("rev").alias("rev_n")
+    )
+    r = per.where(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("rk"), F.col("rev").alias("rev_r")
+    )
+    avg3 = (F.col("rev_a") + F.col("rev_n") + F.col("rev_r")) / 3
+    return (
+        a.join(n, a.partkey == n.nk)
+        .join(r, a.partkey == F.col("rk"))
+        .where(
+            F.col("rev_a").between(0.9 * avg3, 1.1 * avg3)
+            & F.col("rev_n").between(0.9 * avg3, 1.1 * avg3)
+            & F.col("rev_r").between(0.9 * avg3, 1.1 * avg3)
+        )
+        .select("partkey", "rev_a", "rev_n", "rev_r")
+        .orderBy("partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q11/q74 shape (per-customer YoY ratio filter): a per-customer,
+# per-year, per-channel aggregate self-joined into 4 cells (2 channels x
+# 2 years); keep customers whose urgent-channel YoY growth exceeds the
+# standard channel's — with the first-year>0 guards of the original
+# (query11.sql / query74.sql). Scale: one shuffle keyed on o_custkey for
+# the base aggregate; the 4 legs co-locate on the same key.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_yoy_customer_filter",
+    """
+    WITH yearly AS (
+      SELECT o_custkey,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'urgent' ELSE 'std' END AS chan,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) IN (1997, 1998)
+      GROUP BY 1, 2, 3
+    )
+    SELECT u1.o_custkey AS custkey,
+           u2.total / u1.total AS urgent_growth,
+           s2.total / s1.total AS std_growth
+    FROM yearly u1
+    JOIN yearly u2 ON u2.o_custkey = u1.o_custkey AND u2.chan = 'urgent' AND u2.yr = 1998
+    JOIN yearly s1 ON s1.o_custkey = u1.o_custkey AND s1.chan = 'std' AND s1.yr = 1997
+    JOIN yearly s2 ON s2.o_custkey = u1.o_custkey AND s2.chan = 'std' AND s2.yr = 1998
+    WHERE u1.chan = 'urgent' AND u1.yr = 1997
+      AND u1.total > 0 AND s1.total > 0
+      AND u2.total / u1.total > s2.total / s1.total
+    ORDER BY custkey
+    """,
+)
+def q_ds_yoy_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    yearly = (
+        o.where(F.year("o_orderdate").isin(1997, 1998))
+        .groupBy(
+            "o_custkey",
+            F.year("o_orderdate").cast("int").alias("yr"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "urgent"
+            ).otherwise("std").alias("chan"),
+        )
+        .agg(dsum("o_totalprice").alias("total"))
+    )
+
+    def leg(name, chan, yr):
+        return yearly.where((F.col("chan") == chan) & (F.col("yr") == yr)).select(
+            F.col("o_custkey").alias(f"{name}_k"), F.col("total").alias(f"{name}_t")
+        )
+
+    u1, u2, s1, s2 = leg("u1", "urgent", 1997), leg("u2", "urgent", 1998), \
+        leg("s1", "std", 1997), leg("s2", "std", 1998)
+    return (
+        u1.join(u2, u1.u1_k == u2.u2_k)
+        .join(s1, u1.u1_k == s1.s1_k)
+        .join(s2, u1.u1_k == s2.s2_k)
+        .where(
+            (F.col("u1_t") > 0) & (F.col("s1_t") > 0)
+            & (F.col("u2_t") / F.col("u1_t") > F.col("s2_t") / F.col("s1_t"))
+        )
+        .select(
+            F.col("u1_k").alias("custkey"),
+            (F.col("u2_t") / F.col("u1_t")).alias("urgent_growth"),
+            (F.col("s2_t") / F.col("s1_t")).alias("std_growth"),
+        )
+        .orderBy("custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q64 shape (multi-year wide star join): the fact joined through
+# every dimension (orders -> customer -> nation -> region, plus part and
+# supplier), aggregated per (nation, year), then self-joined on adjacent
+# years keeping nations whose average item price rose
+# (tpcds-tool/query/query64.sql's two-year store-sales comparison).
+# Scale: lineitem shuffles once on l_orderkey for the orders join; every
+# dimension is broadcast (customer/nation/region/part/supplier are tiny
+# next to the fact); the year self-join operates on |nations x years|.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_wide_star_yoy",
+    f"""
+    WITH priced AS (
+      SELECT n_name,
+             CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+             CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) / COUNT(*) AS avg_price
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      JOIN part     ON l_partkey = p_partkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      WHERE p_retailprice > 900 AND s_acctbal > 0
+      GROUP BY 1, 2
+    )
+    SELECT cur.n_name AS nation, cur.yr AS yr,
+           prev.avg_price AS prev_avg, cur.avg_price AS cur_avg
+    FROM priced cur
+    JOIN priced prev ON prev.n_name = cur.n_name AND prev.yr = cur.yr - 1
+    WHERE cur.avg_price > prev.avg_price
+    ORDER BY nation, yr
+    """,
+)
+def q_ds_wide_star_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    priced = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(
+            F.broadcast(t["part"].where(F.col("p_retailprice") > 900)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(t["supplier"].where(F.col("s_acctbal") > 0)),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("yr"))
+        .agg((F.sum(disc_price()).cast("double") / F.count("*")).alias("avg_price"))
+    )
+    cur, prev = priced.alias("cur"), priced.alias("prev")
+    return (
+        cur.join(
+            prev,
+            (F.col("prev.n_name") == F.col("cur.n_name"))
+            & (F.col("prev.yr") == F.col("cur.yr") - 1),
+        )
+        .where(F.col("cur.avg_price") > F.col("prev.avg_price"))
+        .select(
+            F.col("cur.n_name").alias("nation"),
+            F.col("cur.yr").alias("yr"),
+            F.col("prev.avg_price").alias("prev_avg"),
+            F.col("cur.avg_price").alias("cur_avg"),
+        )
+        .orderBy("nation", "yr")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q78 shape (anti-join channels): sales kept only when NO return
+# exists for the sale's order (query78.sql's ws/cs LEFT JOIN returns ...
+# WHERE wr_order_number IS NULL), then aggregated per supplier. Scale:
+# the distinct returned-order set is a fraction of lineitem; Spark plans
+# a left-anti join co-partitioned on l_orderkey with the fact's existing
+# shuffle — no broadcast assumption, AQE may pick one if the set is small.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_antijoin_returns",
+    f"""
+    WITH ret_orders AS (
+      SELECT DISTINCT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT l_suppkey AS suppkey,
+           COUNT(*) AS n_clean_items,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS clean_rev
+    FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT l_orderkey FROM ret_orders)
+    GROUP BY l_suppkey
+    ORDER BY suppkey
+    """,
+)
+def q_ds_antijoin_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    ret_orders = li.where(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    return (
+        li.join(ret_orders, "l_orderkey", "left_anti")
+        .groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.count("*").alias("n_clean_items"),
+            F.sum(disc_price()).cast("double").alias("clean_rev"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q35/q69 shape (EXISTS + NOT EXISTS demographics): customers
+# that appear in one channel and not another, grouped by a demographic
+# with count + exact-sum stats. Spark rewrites the correlated EXISTS /
+# NOT EXISTS into a left-semi + left-anti join pair on c_custkey.
+# Scale: both probe sides are distinct-custkey sets (customer-sized, not
+# order-sized); the joins share the aggregate's c_custkey partitioning.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_exists_demographics",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal_sum
+    FROM customer c
+    WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+          )
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_ds_exists_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o = t["orders"]
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    finished = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    return (
+        t["customer"]
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .join(finished, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_cust"), dsum("c_acctbal").alias("bal_sum"))
+        .orderBy("c_mktsegment")
+    )

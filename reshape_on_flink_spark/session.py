@@ -65,6 +65,11 @@ def get_spark(app_name: str = "reshape_on_flink_spark", *, cores: int | None = N
         # fixture `events.ts` is parquet TIMESTAMP(NANOS); Spark 4 has no ns
         # type, so read as int64 ns and normalize in load_tables()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # fixture timestamps are parquet TIMESTAMP(isAdjustedToUTC=false);
+        # Spark 4 would infer TIMESTAMP_NTZ, which unix_micros()/watermarks
+        # reject — read them as TimestampType (UTC session ⇒ identical wall
+        # clock to DuckDB's naive timestamps)
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
@@ -133,6 +138,7 @@ def ensure_confs(spark: SparkSession) -> SparkSession:
     on one built by get_spark().
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -111,6 +111,17 @@ def temporal_join(events: DataFrame, versioned_dim: DataFrame, *, key: str, time
     return join_batch
 
 
+def _event_us(col) -> F.Column:
+    """Event time as epoch micros, tolerant of TIMESTAMP_NTZ columns
+    (parquet micros without UTC adjustment read as NTZ; ``unix_micros``
+    only accepts LTZ). The cast is a no-op on LTZ and interprets NTZ in
+    the session timezone — a constant offset that cancels out of every
+    lateness comparison because the watermark derives from the same
+    mapping."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def split_late(events: DataFrame, *, ts_col: str = "ts", lateness_seconds: int = 600) -> DataFrame:
     """Late-data side output (allowedLateness + sideOutputLateData
     analog): tags each row ``is_late`` relative to the maximum event time
@@ -124,8 +135,92 @@ def split_late(events: DataFrame, *, ts_col: str = "ts", lateness_seconds: int =
     # foreachBatch instead — provided here for the batch/foreachBatch path
     return events.withColumn(
         "is_late",
-        F.unix_micros(F.col(ts_col))
-        < F.unix_micros(w_max) - F.lit(lateness_seconds * 1_000_000),
+        _event_us(F.col(ts_col))
+        < _event_us(w_max) - F.lit(lateness_seconds * 1_000_000),
+    )
+
+
+def temporal_sort(
+    events: DataFrame,
+    sink,
+    checkpoint: str,
+    pending_dir: str,
+    *,
+    ts_col: str = "ts",
+    tiebreak: list[str] | None = None,
+    delay_seconds: int = 0,
+):
+    """Streaming temporal sort — event-time ordered emit per watermark
+    advance (reference ``StreamExecTemporalSort`` /
+    ``RowTimeSortOperator.java``: buffer rows in state, register an
+    event-time timer, on watermark emit every buffered row with
+    timestamp <= watermark in timestamp order).
+
+    Spark mapping: ``foreachBatch`` with a parquet-backed pending buffer.
+    Each micro-batch (1) unions the new rows with the pending buffer,
+    (2) advances the watermark to max event time seen in *completed*
+    batches minus ``delay_seconds`` (the bounded-out-of-orderness bound),
+    (3) emits rows at-or-below the watermark to ``sink(df)`` globally
+    sorted by (ts, tiebreak), and (4) writes the remainder back as the
+    new pending buffer. Ordering contract (same as the reference): when
+    actual out-of-orderness <= ``delay_seconds``, emission is totally
+    ordered across calls (the watermark is monotone, so call k's rows
+    all sort <= call k+1's). A row later than that bound emits on
+    arrival — the analog of RowTimeSortOperator's immediately-firing
+    timer for a timestamp already below the watermark.
+
+    The watermark is persisted next to the buffer, so a restarted query
+    resumes with the same ordering contract (unlike a bare driver dict).
+
+    100 TB: the buffer holds only rows above the watermark (bounded by
+    out-of-orderness x input rate, the reference's state bound); the
+    per-batch sort is a distributed range-partition sort, and the
+    buffer rewrite is append-free parquet swap — no driver state beyond
+    one long.
+    """
+    import json
+    import os
+    import shutil
+
+    tiebreak = tiebreak or []
+    wm_file = os.path.join(pending_dir, "_watermark.json")
+    cur = os.path.join(pending_dir, "cur")
+    state = {"wm_us": None}
+    if os.path.exists(wm_file):
+        with open(wm_file) as fh:
+            state["wm_us"] = json.load(fh)["wm_us"]
+
+    def step(batch_df, _batch_id: int):
+        spark = batch_df.sparkSession
+        ts_us = _event_us(ts_col)
+        full = batch_df
+        if os.path.exists(cur):
+            full = batch_df.unionByName(spark.read.parquet(cur))
+        full = full.persist()
+        try:
+            mx = full.agg(F.max(ts_us).alias("m")).collect()[0]["m"]
+            if mx is not None:
+                state["wm_us"] = max(state["wm_us"] or 0, int(mx))
+            if state["wm_us"] is None:
+                return
+            cut = state["wm_us"] - delay_seconds * 1_000_000
+            ready = full.where(ts_us <= F.lit(cut)).orderBy(ts_col, *tiebreak)
+            sink(ready)
+            nxt = os.path.join(pending_dir, "nxt")
+            full.where(ts_us > F.lit(cut)).write.mode("overwrite").parquet(nxt)
+            if os.path.exists(cur):
+                shutil.rmtree(cur)
+            os.replace(nxt, cur)
+            with open(wm_file, "w") as fh:
+                json.dump({"wm_us": state["wm_us"]}, fh)
+        finally:
+            full.unpersist()
+
+    return (
+        events.writeStream.foreachBatch(step)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
 
 
@@ -161,7 +256,7 @@ def late_data_router(
         batch_df = batch_df.persist()
         try:
             wm = state["wm_us"]
-            ts_us = F.unix_micros(F.col(ts_col))
+            ts_us = _event_us(ts_col)
             if wm is None:
                 on_time, late = batch_df, batch_df.where(F.lit(False))
             else:

@@ -15,6 +15,12 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DateType,
+    NumericType,
+    TimestampNTZType,
+    TimestampType,
+)
 
 from reshape_on_flink_spark.session import ensure_confs
 
@@ -34,22 +40,37 @@ def chunked_replay(
     os.makedirs(out_dir)
     schema = df.schema
     # time-ordered chunk assignment WITHOUT a global window (an
-    # unpartitioned ntile() funnels the whole table through one task):
-    # approximate n_chunks-quantiles of the order column give the chunk
-    # boundaries, and the assignment is a map-only range bucketing —
-    # fully parallel, same replay semantics (chunk i holds earlier rows
-    # than chunk i+1, boundaries approximate instead of exact).
-    ordv = F.col(order_col).cast("double")
-    probs = [i / n_chunks for i in range(1, n_chunks)]
-    cuts = (
-        sorted(set(df.select(ordv.alias("_o")).stat.approxQuantile("_o", probs, 0.001)))
-        if probs
-        else []
-    )
-    chunk_expr = F.lit(1)
-    for c in cuts:
-        chunk_expr = chunk_expr + F.when(ordv > F.lit(c), 1).otherwise(0)
-    chunk = df.withColumn("_chunk", chunk_expr)
+    # unpartitioned ntile() funnels the whole table through one task).
+    # Numeric/temporal order columns: approximate n_chunks-quantiles give
+    # the chunk boundaries and the assignment is a map-only range
+    # bucketing — fully parallel, same replay semantics (chunk i holds
+    # earlier rows than chunk i+1, boundaries approximate not exact).
+    # Any other orderable type (e.g. md5 strings): repartitionByRange +
+    # spark_partition_id — range partitions are assigned in ascending
+    # order, so the partition id IS the time-ordered chunk id; equally
+    # parallel, works for every orderable dtype.
+    order_type = df.schema[order_col].dataType
+    if isinstance(order_type, (NumericType, DateType, TimestampType, TimestampNTZType)):
+        ordv = F.col(order_col).cast("double")
+        probs = [i / n_chunks for i in range(1, n_chunks)]
+        cuts = (
+            sorted(set(df.select(ordv.alias("_o")).stat.approxQuantile("_o", probs, 0.001)))
+            if probs
+            else []
+        )
+        chunk_expr = F.lit(1)
+        for c in cuts:
+            chunk_expr = chunk_expr + F.when(ordv > F.lit(c), 1).otherwise(0)
+        chunk = df.withColumn("_chunk", chunk_expr)
+    else:
+        # localCheckpoint pins the (sampled) range boundaries and partition
+        # ids so the per-chunk writes below don't re-run the shuffle with a
+        # potentially different sample.
+        chunk = (
+            df.repartitionByRange(n_chunks, F.col(order_col))
+            .withColumn("_chunk", F.spark_partition_id() + F.lit(1))
+            .localCheckpoint()
+        )
     for i in range(1, n_chunks + 1):
         (
             chunk.where(F.col("_chunk") == i)

@@ -465,3 +465,102 @@ def test_cep_chunked_null_keys_match_grouped(spark, tables):
     g, c = canon(grouped), canon(chunked)
     assert c == g
     assert any(t[0] is None for t in g), "fixture must produce null-key matches"
+
+
+@pytest.mark.parametrize(
+    "strategy,n_matches",
+    [
+        ("past_last_row", 1),
+        ("to_next_row", 2),
+        ("to_first B", 2),
+        ("to_last C", 2),
+    ],
+)
+def test_streaming_skip_strategies_match_batch(spark, tmp_dir, strategy, n_matches):
+    """AFTER MATCH SKIP strategies on the STREAMING matcher: stream ==
+    batch on a nested pattern where the strategies genuinely differ —
+    the 'd' at pos 3 both ends match 0 and (symbol A := a|d) starts
+    match 1, which only a skip-back strategy can find (reference
+    NFA.java SkipToFirst/LastStrategy semantics)."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.operators.cep import (
+        match_recognize,
+        streaming_match_recognize,
+    )
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    seq = "abcdbcdx"
+    rows = [(1, i, t) for i, t in enumerate(seq)]
+    df = spark.createDataFrame(rows, "k int, pos int, t string")
+    pattern = "A (B C)+ D"
+    batch = match_recognize(
+        df, "k", "pos", pattern,
+        {
+            "A": (F.col("t") == "a") | (F.col("t") == "d"),
+            "B": F.col("t") == "b",
+            "C": F.col("t") == "c",
+            "D": F.col("t") == "d",
+        },
+        after_match=strategy,
+    )
+    expected = sorted(
+        (r["match_id"], r["pos"], r["matched_symbol"]) for r in batch.collect()
+    )
+    assert len({m for m, _, _ in expected}) == n_matches
+
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, f"cep_skip_{n_matches}_{strategy[:7].strip()}"),
+        n_chunks=4, order_col="pos",
+    )
+    sdf = streaming_match_recognize(
+        stream,
+        partition_by="k",
+        order_cols=["pos"],
+        pattern=pattern,
+        define={
+            "A": lambda pdf: (pdf["t"] == "a") | (pdf["t"] == "d"),
+            "B": lambda pdf: pdf["t"] == "b",
+            "C": lambda pdf: pdf["t"] == "c",
+            "D": lambda pdf: pdf["t"] == "d",
+        },
+        input_cols=["k", "pos", "t"],
+        after_match=strategy,
+    )
+    name = f"cep_skip_out_{n_matches}_{abs(hash(strategy)) % 997}"
+    got = sorted(
+        (r["match_id"], r["pos"], r["matched_symbol"])
+        for r in run_to_memory(spark, sdf, name, tmp_dir, mode="append").collect()
+    )
+    assert got == expected
+
+
+def test_streaming_skip_infinite_loop_guard(spark, tmp_dir):
+    """SKIP TO FIRST A would restart at the match's own first row — the
+    streaming matcher must raise the NFA's infinite-loop error, not spin."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.operators.cep import streaming_match_recognize
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    rows = [(1, i, t) for i, t in enumerate("abx")]
+    df = spark.createDataFrame(rows, "k int, pos int, t string")
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "cep_loop"), n_chunks=1, order_col="pos"
+    )
+    sdf = streaming_match_recognize(
+        stream,
+        partition_by="k",
+        order_cols=["pos"],
+        pattern="A B",
+        define={
+            "A": lambda pdf: pdf["t"] == "a",
+            "B": lambda pdf: pdf["t"] == "b",
+        },
+        input_cols=["k", "pos", "t"],
+        after_match="to_first A",
+    )
+    with pytest.raises(Exception, match="infinite loop"):
+        run_to_memory(spark, sdf, "cep_loop_out", tmp_dir, mode="append")

@@ -9,6 +9,8 @@ while results stay correct.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -143,9 +145,8 @@ def test_decontaminate_is_broadcast_semi_join(spark):
 
     plan = plan_of(q_decontaminate(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
-    # the corpus n-gram explode feeds the semi join directly: no
-    # Exchange between Generate and the semi join
-    gen_to_join = plan.split("Generate")[0]
+    # the corpus n-gram explode feeds the semi join directly: no sort-
+    # merge (i.e. no corpus shuffle) between Generate and the semi join
     assert "SortMergeJoin" not in plan.split("LeftSemi")[0].split("Generate")[-1]
 
 
@@ -168,7 +169,13 @@ def test_having_count_join_back_aggregates_before_join(spark):
     from reshape_on_flink_spark.queries.tpcds_shapes import q_ds_having_count_join_back
 
     plan = plan_of(q_ds_having_count_join_back(spark, SF_DIR))
-    agg_pos = plan.find("HashAggregate")
-    assert agg_pos != -1
-    # the aggregate-side filter on the count appears in the plan
-    assert "n_orders" in plan
+    # the HAVING filter on the aggregated count must sit BELOW the
+    # customer join. Formatted-plan node numbers are leaves-first, so the
+    # Filter detail block whose Condition mentions n_orders must carry a
+    # smaller node id than the join's.
+    filt = re.search(r"\((\d+)\) Filter\nInput.*\nCondition : .*n_orders", plan)
+    join = re.search(r"\((\d+)\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan)
+    assert filt and join, plan[:2000]
+    assert int(filt.group(1)) < int(join.group(1)), (
+        "HAVING filter must apply before the customer join"
+    )

@@ -371,27 +371,22 @@ def test_late_data_router_cross_batch_watermark(spark, tables, tmp_dir):
     )
     q.awaitTermination(120)
 
-    import hashlib
+    # simulate the watermark contract over the ACTUAL replayed chunks (the
+    # flattened files, in micro-batch order) — the oracle pins the routing
+    # semantics, not the chunker's (approximate) boundary placement
+    import pyarrow.parquet as pq
 
-    rows = sorted(
-        tables["events"].select("event_id", "ts").collect(),
-        key=lambda r: hashlib.md5(str(r["event_id"]).encode()).hexdigest(),
-    )
-    n = len(rows)
-    base, rem = divmod(n, 3)
-    chunks, start = [], 0
-    for i in range(3):
-        size = base + (1 if i < rem else 0)
-        chunks.append(rows[start : start + size])
-        start += size
+    flat = os.path.join(tmp_dir, "late", "stream")
     wm, expected = None, {"on_time": set(), "late": set()}
-    for chunk in chunks:
-        for r in chunk:
-            ts_us = int(r["ts"].timestamp() * 1_000_000)
+    for fname in sorted(os.listdir(flat)):
+        tbl = pq.read_table(os.path.join(flat, fname), columns=["event_id", "ts"])
+        ids = tbl.column("event_id").to_pylist()
+        ts_us_list = [int(t.timestamp() * 1_000_000) for t in tbl.column("ts").to_pylist()]
+        for eid, ts_us in zip(ids, ts_us_list):
             is_late = wm is not None and ts_us < wm - lateness * 1_000_000
-            expected["late" if is_late else "on_time"].add(r["event_id"])
-        mx = max(int(r["ts"].timestamp() * 1_000_000) for r in chunk)
-        wm = max(wm or 0, mx)
+            expected["late" if is_late else "on_time"].add(eid)
+        if ts_us_list:
+            wm = max(wm or 0, max(ts_us_list))
     assert got == expected
     assert expected["late"], "replay should produce late rows"
 
@@ -534,3 +529,84 @@ def test_checkpoint_restart_recovers_state(spark, tables, tmp_dir):
         .collect()
     }
     assert final == expected
+
+
+def test_temporal_sort_emits_event_time_order(spark, tmp_dir):
+    """Streaming temporal sort (RowTimeSortOperator analog): replaying a
+    jittered-order stream with delay >= actual out-of-orderness must emit
+    exactly the batch ORDER BY ts sequence, watermark-gated — the tail
+    newer than (final watermark - delay) stays pending."""
+    from reshape_on_flink_spark.streaming.over import temporal_sort
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    n, jitter, delay = 300, 7, 30
+    df = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+        # deterministic arrival jitter of up to `jitter` positions
+        (F.col("id") + F.pmod(F.hash("id"), F.lit(2 * jitter + 1)) - jitter).alias("arr"),
+    )
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "tsort"), n_chunks=5, order_col="arr"
+    )
+    emitted: list[list[int]] = []
+
+    def sink(ready):
+        emitted.append([r["event_id"] for r in ready.collect()])
+
+    q = temporal_sort(
+        stream, sink,
+        os.path.join(tmp_dir, "tsort_ckpt"),
+        os.path.join(tmp_dir, "tsort_pending"),
+        ts_col="ts", tiebreak=["event_id"], delay_seconds=delay,
+    )
+    q.awaitTermination(120)
+
+    flat = [e for chunk in emitted for e in chunk]
+    # jitter (7 rows ~ 7 s) < delay (30 s): emission must be the exact
+    # event-time order, i.e. the sorted prefix below final_wm - delay
+    assert flat == sorted(flat), "temporal sort emitted out of event-time order"
+    # the stream replay ends with watermark = max ts = base + n - 1; the
+    # last `delay` seconds stay pending (never emitted), everything else is
+    assert flat == list(range(n - delay)), (len(flat), flat[-5:])
+
+
+def test_temporal_sort_watermark_survives_restart(spark, tmp_dir):
+    """The persisted watermark must carry across a query restart: a
+    second run over newer chunks resumes the same ordering contract."""
+    from reshape_on_flink_spark.streaming.over import temporal_sort
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    base_ts = 1_700_000_000
+    pending = os.path.join(tmp_dir, "tsr_pending")
+    emitted: list[int] = []
+
+    def sink(ready):
+        emitted.extend(r["event_id"] for r in ready.collect())
+
+    def run(ids, tag):
+        df = spark.createDataFrame(
+            [(i,) for i in ids], "event_id bigint"
+        ).select(
+            "event_id",
+            F.timestamp_seconds(F.lit(base_ts) + F.col("event_id")).alias("ts"),
+        )
+        stream = chunked_replay(
+            spark, df, os.path.join(tmp_dir, f"tsr_{tag}"), n_chunks=2,
+            order_col="event_id",
+        )
+        q = temporal_sort(
+            stream, sink, os.path.join(tmp_dir, f"tsr_ckpt_{tag}"), pending,
+            ts_col="ts", tiebreak=["event_id"], delay_seconds=0,
+        )
+        q.awaitTermination(120)
+
+    run(range(0, 100), "a")
+    wm_after_a = len(emitted)
+    assert emitted == sorted(emitted) and wm_after_a > 0
+    # restart with newer data: rows 100.. emit; the persisted watermark
+    # (99) means a would-be duplicate of an old timestamp is late, not
+    # silently re-ordered ahead of new data
+    run(range(100, 200), "b")
+    assert emitted == sorted(emitted)
+    assert emitted[-1] == 199 - 0  # delay 0: everything emitted by stream end

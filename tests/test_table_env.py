@@ -497,3 +497,108 @@ def test_flink_sql_tvf_on_streaming_view(tenv, spark, tables, tmp_dir):
         """
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
+# --- DDL/DQL statement surface (flink-sql-parser ddl/ + dql/) -------------
+
+
+def test_show_statements(tenv):
+    tabs = {r[1] for r in tenv.execute_sql("SHOW TABLES").collect()}
+    assert "events" in tabs and "nation" in tabs
+    dbs = {r[0] for r in tenv.execute_sql("SHOW DATABASES").collect()}
+    assert "default" in dbs
+    fns = {r[0].lower() for r in tenv.execute_sql("SHOW FUNCTIONS").collect()}
+    assert "sum" in fns
+    cur_db = tenv.execute_sql("SHOW CURRENT DATABASE").collect()
+    assert cur_db[0][0] == "default"
+    cur_cat = tenv.execute_sql("SHOW CURRENT CATALOG").collect()
+    assert cur_cat[0][0] == "spark_catalog"
+    cats = {r[0] for r in tenv.execute_sql("SHOW CATALOGS").collect()}
+    assert "spark_catalog" in cats
+
+
+def test_describe_statement(tenv):
+    cols = {r[0]: r[1] for r in tenv.execute_sql("DESCRIBE nation").collect()}
+    assert cols["n_nationkey"] in ("int", "bigint")
+    assert "n_name" in cols
+    # DESC abbreviation (SqlRichDescribeTable accepts both)
+    assert {r[0] for r in tenv.execute_sql("DESC nation").collect()} == set(cols)
+
+
+def test_explain_plan_for(tenv):
+    plan = tenv.execute_sql(
+        "EXPLAIN PLAN FOR SELECT n_name FROM nation WHERE n_regionkey = 0"
+    ).collect()
+    text = plan[0][0]
+    assert "n_regionkey" in text
+    # Flink's EXPLAIN details collapse onto Spark's single plan output
+    plan2 = tenv.execute_sql(
+        "EXPLAIN ESTIMATED_COST, CHANGELOG_MODE PLAN FOR SELECT 1"
+    ).collect()
+    assert plan2[0][0]
+    # EXPLAIN of dialect SQL: the inner statement is translated too
+    plan3 = tenv.execute_sql(
+        "EXPLAIN PLAN FOR SELECT window_start, COUNT(*) FROM "
+        "TABLE(TUMBLE(TABLE events, DESCRIPTOR(ts), INTERVAL '1' HOUR)) "
+        "GROUP BY window_start"
+    ).collect()
+    assert plan3[0][0]
+
+
+def test_use_and_database_lifecycle(tenv, spark, tmp_dir):
+    import os
+
+    loc = os.path.join(tmp_dir, "ddl_db")
+    tenv.execute_sql(f"CREATE DATABASE IF NOT EXISTS ddl_test_db LOCATION '{loc}'")
+    try:
+        tenv.execute_sql("USE ddl_test_db")
+        assert spark.catalog.currentDatabase() == "ddl_test_db"
+    finally:
+        tenv.execute_sql("USE default")
+    assert spark.catalog.currentDatabase() == "default"
+    tenv.execute_sql("DROP DATABASE ddl_test_db")
+    dbs = {r[0] for r in tenv.execute_sql("SHOW DATABASES").collect()}
+    assert "ddl_test_db" not in dbs
+
+
+def test_alter_table_add_rename_drop(tenv, spark, tmp_dir):
+    import os
+
+    loc = os.path.join(tmp_dir, "alter_tbl")
+    tenv.execute_sql("DROP TABLE IF EXISTS alter_src")
+    tenv.execute_sql("DROP TABLE IF EXISTS alter_dst")
+    tenv.execute_sql(
+        "CREATE TABLE alter_src (k BIGINT, v STRING) "
+        f"WITH ('connector'='filesystem', 'path'='{loc}', 'format'='parquet')"
+    )
+    tenv.execute_sql("INSERT INTO alter_src VALUES (1, 'a'), (2, 'b')")
+    tenv.execute_sql("ALTER TABLE alter_src ADD (note STRING)")
+    cols = [r[0] for r in tenv.execute_sql("DESCRIBE alter_src").collect()]
+    assert "note" in cols
+    tenv.execute_sql("ALTER TABLE alter_src RENAME TO alter_dst")
+    got = sorted(
+        (r["k"], r["v"], r["note"])
+        for r in tenv.execute_sql("SELECT * FROM alter_dst").collect()
+    )
+    assert got == [(1, "a", None), (2, "b", None)]
+    # ALTER ... SET ('k'='v') -> TBLPROPERTIES
+    tenv.execute_sql("ALTER TABLE alter_dst SET ('note.kind'='test')")
+    tbl = tenv.execute_sql("SHOW CREATE TABLE alter_dst").collect()[0][0]
+    assert "note.kind" in tbl
+    tenv.execute_sql("DROP TABLE alter_dst")
+    tabs = {r[1] for r in tenv.execute_sql("SHOW TABLES").collect()}
+    assert "alter_dst" not in tabs and "alter_src" not in tabs
+
+
+def test_drop_temporary_view_statement(tenv, spark):
+    tenv.execute_sql("CREATE TEMPORARY VIEW drop_me AS SELECT 1 AS one")
+    assert tenv.execute_sql("SELECT * FROM drop_me").collect()[0][0] == 1
+    tenv.execute_sql("DROP TEMPORARY VIEW drop_me")
+    assert not spark.catalog.tableExists("drop_me")
+
+
+def test_module_statements_are_loud(tenv):
+    for stmt in ("SHOW MODULES", "SHOW FULL MODULES", "SHOW JARS",
+                 "USE MODULES core", "LOAD MODULE hive", "UNLOAD MODULE core"):
+        with pytest.raises(NotImplementedError):
+            tenv.execute_sql(stmt)
