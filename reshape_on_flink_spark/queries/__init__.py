@@ -43,6 +43,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_ds_wide_star_yoy",
     "q_ds_antijoin_returns",
     "q_ds_exists_demographics",
+    "q_ds_frequent_item_best_customer",
     # TPC-H tails never sampled by the r2/r3 caps
     "q2_min_cost_supplier",
     "q8_market_share",

@@ -952,3 +952,57 @@ def q_ds_exists_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_cust"), dsum("c_acctbal").alias("bal_sum"))
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q23 shape (frequent-item-set + best-customer subqueries): two
+# aggregate-derived filter sets — items sold often, customers whose
+# lifetime spend clears a fraction of the MAX spend (a scalar subquery
+# over an aggregate) — then the fact restricted to both via semi joins
+# (tpcds-tool/query/query23a.sql). Scale: the scalar MAX is a 1-row
+# broadcast; both filter sets are aggregate-sized (|parts| / |customers|)
+# and semi-join against the fact on its existing keys; no row explosion.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_frequent_item_best_customer",
+    f"""
+    WITH freq_parts AS (
+      SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING COUNT(*) > 40
+    ),
+    spend AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      FROM orders GROUP BY o_custkey
+    ),
+    best_customers AS (
+      SELECT o_custkey FROM spend
+      WHERE total > 0.5 * (SELECT MAX(total) FROM spend)
+    )
+    SELECT COUNT(*) AS n_items,
+           CAST(SUM({SQL_DISC_PRICE}) AS DOUBLE) AS rev
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_partkey IN (SELECT l_partkey FROM freq_parts)
+      AND o_custkey IN (SELECT o_custkey FROM best_customers)
+    """,
+)
+def q_ds_frequent_item_best_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li, o = t["lineitem"], t["orders"]
+    freq_parts = li.groupBy("l_partkey").count().where(F.col("count") > 40).select("l_partkey")
+    spend = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("total"))
+    max_total = spend.agg(F.max("total").alias("max_total"))
+    best = (
+        spend.join(F.broadcast(max_total))
+        .where(F.col("total") > 0.5 * F.col("max_total"))
+        .select("o_custkey")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(freq_parts, "l_partkey", "left_semi")
+        .join(best, "o_custkey", "left_semi")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(disc_price()).cast("double").alias("rev"),
+        )
+    )

@@ -179,3 +179,47 @@ def test_having_count_join_back_aggregates_before_join(spark):
     assert int(filt.group(1)) < int(join.group(1)), (
         "HAVING filter must apply before the customer join"
     )
+
+
+def test_wide_star_yoy_broadcasts_all_dims(spark):
+    """q64 shape: every dimension of the 7-table star must ride a
+    broadcast join — the fact (lineitem) shuffles only for the orders
+    join; a sort-merge against a dim table would re-shuffle the fact."""
+    from reshape_on_flink_spark.queries.tpcds_shapes import q_ds_wide_star_yoy
+
+    plan = plan_of(q_ds_wide_star_yoy(spark, SF_DIR))
+    # 5 broadcast dims (customer, nation, region, part, supplier)
+    assert plan.count("BroadcastHashJoin") >= 5, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_antijoin_returns_is_left_anti_on_fact_key(spark):
+    """q78 shape: the no-returns filter must be a LeftAnti join on the
+    fact's own join key (co-partitioned), never a NOT-IN rewrite into a
+    nested loop."""
+    from reshape_on_flink_spark.queries.tpcds_shapes import q_ds_antijoin_returns
+
+    plan = plan_of(q_ds_antijoin_returns(spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_exists_demographics_semi_anti_pair(spark):
+    """q35/q69 shape: EXISTS/NOT EXISTS must compile to one left-semi +
+    one left-anti join on c_custkey."""
+    from reshape_on_flink_spark.queries.tpcds_shapes import q_ds_exists_demographics
+
+    plan = plan_of(q_ds_exists_demographics(spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+
+
+def test_frequent_item_scalar_max_is_broadcast(spark):
+    """q23 shape: the scalar MAX-over-aggregate must broadcast (1 row),
+    and both filter sets reach the fact as semi joins."""
+    from reshape_on_flink_spark.queries.tpcds_shapes import (
+        q_ds_frequent_item_best_customer,
+    )
+
+    plan = plan_of(q_ds_frequent_item_best_customer(spark, SF_DIR))
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
