@@ -674,12 +674,14 @@ def q_ds_ship_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # TPC-DS q58 shape (cross-channel tolerance compare): the same per-item
-# aggregate computed in three channels, three-way self-joined on the item
-# key, kept only when every channel is within a tolerance band of the
-# three-channel average (tpcds-tool/query/query58.sql). Channels here are
-# the l_returnflag legs. Scale: three aggregates shuffle on the SAME key
-# (l_partkey), so the self-joins co-locate with no extra exchange; no
-# broadcast — all sides are |parts|-sized.
+# aggregate computed in three channels, compared per item with every
+# channel required inside a tolerance band of the three-channel average
+# (tpcds-tool/query/query58.sql). The oracle spells it the original way
+# (three subqueries self-joined on the item key); the Spark plan is the
+# Spark-first rewrite — ONE conditional aggregation over (partkey)
+# producing all three channel sums, so the fact is scanned and shuffled
+# exactly once and the three-way join disappears entirely. Same rows:
+# requiring all three sums non-null ≡ the inner three-way join.
 # ---------------------------------------------------------------------------
 @query(
     "q_ds_channel_tolerance",
@@ -706,24 +708,22 @@ def q_ds_ship_lag_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ds_channel_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
-    per = li.groupBy("l_partkey", "l_returnflag").agg(
-        F.sum(disc_price()).cast("double").alias("rev")
-    )
-    a = per.where(F.col("l_returnflag") == "A").select(
-        F.col("l_partkey").alias("partkey"), F.col("rev").alias("rev_a")
-    )
-    n = per.where(F.col("l_returnflag") == "N").select(
-        F.col("l_partkey").alias("nk"), F.col("rev").alias("rev_n")
-    )
-    r = per.where(F.col("l_returnflag") == "R").select(
-        F.col("l_partkey").alias("rk"), F.col("rev").alias("rev_r")
+
+    def chan(flag: str):
+        # per-channel exact sum; NULL when the part has no rows in the
+        # channel (≡ the original's inner join dropping that part)
+        return F.sum(F.when(F.col("l_returnflag") == flag, disc_price())).cast("double")
+
+    per = li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        chan("A").alias("rev_a"), chan("N").alias("rev_n"), chan("R").alias("rev_r")
     )
     avg3 = (F.col("rev_a") + F.col("rev_n") + F.col("rev_r")) / 3
     return (
-        a.join(n, a.partkey == n.nk)
-        .join(r, a.partkey == F.col("rk"))
-        .where(
-            F.col("rev_a").between(0.9 * avg3, 1.1 * avg3)
+        per.where(
+            F.col("rev_a").isNotNull()
+            & F.col("rev_n").isNotNull()
+            & F.col("rev_r").isNotNull()
+            & F.col("rev_a").between(0.9 * avg3, 1.1 * avg3)
             & F.col("rev_n").between(0.9 * avg3, 1.1 * avg3)
             & F.col("rev_r").between(0.9 * avg3, 1.1 * avg3)
         )
@@ -734,11 +734,14 @@ def q_ds_channel_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # TPC-DS q11/q74 shape (per-customer YoY ratio filter): a per-customer,
-# per-year, per-channel aggregate self-joined into 4 cells (2 channels x
+# per-year, per-channel aggregate pivoted into 4 cells (2 channels x
 # 2 years); keep customers whose urgent-channel YoY growth exceeds the
 # standard channel's — with the first-year>0 guards of the original
-# (query11.sql / query74.sql). Scale: one shuffle keyed on o_custkey for
-# the base aggregate; the 4 legs co-locate on the same key.
+# (query11.sql / query74.sql). The oracle spells it the original way
+# (the yearly CTE self-joined 4x); the Spark plan is the Spark-first
+# rewrite — ONE conditional aggregation keyed on o_custkey computes all
+# 4 cells, so orders shuffles once and the join tree disappears
+# (all-cells-non-null ≡ the original's inner 4-way join).
 # ---------------------------------------------------------------------------
 @query(
     "q_ds_yoy_customer_filter",
@@ -767,35 +770,34 @@ def q_ds_channel_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ds_yoy_customer_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_tables(spark, sf_dir)["orders"]
-    yearly = (
-        o.where(F.year("o_orderdate").isin(1997, 1998))
-        .groupBy(
-            "o_custkey",
-            F.year("o_orderdate").cast("int").alias("yr"),
-            F.when(
-                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "urgent"
-            ).otherwise("std").alias("chan"),
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    yr = F.year("o_orderdate")
+
+    def cell(is_urgent: bool, year: int):
+        cond = (urgent if is_urgent else ~urgent) & (yr == year)
+        # NULL when the customer has no orders in the cell (≡ the
+        # original's inner join dropping that customer)
+        return F.sum(F.when(cond, dec("o_totalprice"))).cast("double")
+
+    cells = (
+        o.where(yr.isin(1997, 1998))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            cell(True, 1997).alias("u1_t"),
+            cell(True, 1998).alias("u2_t"),
+            cell(False, 1997).alias("s1_t"),
+            cell(False, 1998).alias("s2_t"),
         )
-        .agg(dsum("o_totalprice").alias("total"))
     )
-
-    def leg(name, chan, yr):
-        return yearly.where((F.col("chan") == chan) & (F.col("yr") == yr)).select(
-            F.col("o_custkey").alias(f"{name}_k"), F.col("total").alias(f"{name}_t")
-        )
-
-    u1, u2, s1, s2 = leg("u1", "urgent", 1997), leg("u2", "urgent", 1998), \
-        leg("s1", "std", 1997), leg("s2", "std", 1998)
     return (
-        u1.join(u2, u1.u1_k == u2.u2_k)
-        .join(s1, u1.u1_k == s1.s1_k)
-        .join(s2, u1.u1_k == s2.s2_k)
-        .where(
-            (F.col("u1_t") > 0) & (F.col("s1_t") > 0)
+        cells.where(
+            F.col("u1_t").isNotNull() & F.col("u2_t").isNotNull()
+            & F.col("s1_t").isNotNull() & F.col("s2_t").isNotNull()
+            & (F.col("u1_t") > 0) & (F.col("s1_t") > 0)
             & (F.col("u2_t") / F.col("u1_t") > F.col("s2_t") / F.col("s1_t"))
         )
         .select(
-            F.col("u1_k").alias("custkey"),
+            "custkey",
             (F.col("u2_t") / F.col("u1_t")).alias("urgent_growth"),
             (F.col("s2_t") / F.col("s1_t")).alias("std_growth"),
         )

@@ -223,3 +223,26 @@ def test_frequent_item_scalar_max_is_broadcast(spark):
     plan = plan_of(q_ds_frequent_item_best_customer(spark, SF_DIR))
     assert plan.count("LeftSemi") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_channel_tolerance_one_pass_no_joins(spark):
+    """q58 shape rewrite: the three channels come from ONE conditional
+    aggregation — a join node in this plan means the self-join form
+    (3x fact shuffle) regressed back in."""
+    from reshape_on_flink_spark.queries.tpcds_shapes import q_ds_channel_tolerance
+
+    plan = plan_of(q_ds_channel_tolerance(spark, SF_DIR))
+    assert "Join" not in plan, plan[:1500]
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges <= 2  # aggregate + presentation sort
+
+
+def test_yoy_customer_filter_one_pass_no_joins(spark):
+    """q11/q74 shape rewrite: all 4 (channel x year) cells from ONE
+    conditional aggregation keyed on o_custkey."""
+    from reshape_on_flink_spark.queries.tpcds_shapes import q_ds_yoy_customer_filter
+
+    plan = plan_of(q_ds_yoy_customer_filter(spark, SF_DIR))
+    assert "Join" not in plan, plan[:1500]
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges <= 2

@@ -261,3 +261,61 @@ def test_cep_regex_scan_equals_matcher_scan(masks, pattern_str):
         return out
 
     assert scan(True) == scan(False), (masks, pattern_str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.sampled_from("abc "), min_size=0, max_size=14),
+    st.sampled_from(
+        [
+            "A B", "A+ B", "A B+", "A+ B+ C", "A B? C", "A C* B",
+            "(A|B) C", "(A|B)+ C", "A B+? C",
+        ]
+    ),
+)
+def test_cep_to_next_row_agrees_with_per_position_regex(rows, pattern_str):
+    """AFTER MATCH SKIP TO NEXT ROW must equal the independent oracle
+    'attempt a greedy regex match at EVERY start position' (overlapping
+    matches allowed, one per start) — the NFA semantics the reference's
+    SkipToNextStrategy implements."""
+    import re as _re
+
+    from reshape_on_flink_spark.operators.cep import (
+        _matcher,
+        _resume_pos,
+        parse_pattern,
+        pattern_symbols,
+    )
+
+    toks = parse_pattern(pattern_str)
+    symbols = pattern_symbols(toks)
+    text = "".join(rows)
+    sym_char = {"A": "a", "B": "b", "C": "c"}
+    bools = [[c == sym_char[s] for c in text] for s in symbols]
+    match_at = _matcher(symbols, toks)
+
+    got = []
+    i, n = 0, len(text)
+    while i < n:
+        m = match_at(bools, i, n)
+        if m:
+            got.append((m[0][0], m[-1][0] + 1))
+            i = _resume_pos(m, "to_next_row", None, symbols)
+        else:
+            i += 1
+
+    def tok_re(sym, q):
+        if isinstance(sym, str):
+            return sym_char[sym] + q
+        return "(?:" + "|".join(sym_char[s] for s in sym) + ")" + q
+
+    regex = _re.compile("".join(tok_re(sym, q) for sym, q in toks))
+    expected = []
+    for j in range(n):
+        mm = regex.match(text, j)
+        if mm and mm.end() > mm.start() and mm.start() == j:
+            expected.append((j, mm.end()))
+    # the scan only attempts starts >= previous match start + 1, which is
+    # every position — but positions INSIDE a failed region are attempted
+    # too, so the sets coincide exactly
+    assert got == expected, (text, regex.pattern)

@@ -96,3 +96,34 @@ def test_jdbc_roundtrip_partitioned_and_pushdown(spark, tables):
     )
     assert "PushedFilters" in plan and "n_nationkey" in plan.split("PushedFilters")[1][:120]
     assert filtered.count() == 5
+
+
+def test_chunked_replay_string_order_col_chunks_are_time_ordered(spark, tmp_dir):
+    """The range-partition path (non-numeric order columns) must produce
+    chunks where every row of chunk i orders <= every row of chunk i+1 —
+    the replay-order contract the quantile path gives numeric columns."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    df = spark.range(500).select(
+        F.col("id").alias("event_id"), F.md5(F.col("id").cast("string")).alias("okey")
+    )
+    out = os.path.join(tmp_dir, "replay_str")
+    stream = chunked_replay(spark, df, out, n_chunks=4, order_col="okey")
+    assert stream.isStreaming
+    flat = os.path.join(out, "stream")
+    prev_max, total = None, 0
+    for fname in sorted(os.listdir(flat)):
+        keys = pq.read_table(os.path.join(flat, fname), columns=["okey"]).column("okey").to_pylist()
+        total += len(keys)
+        if not keys:
+            continue
+        if prev_max is not None:
+            assert min(keys) >= prev_max, (fname, min(keys), prev_max)
+        prev_max = max(keys)
+    assert total == 500
