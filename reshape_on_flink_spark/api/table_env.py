@@ -287,6 +287,7 @@ _NOT_TEXTUAL = {
     "BETWEEN", "IN", "LIKE", "SIMILAR",
     "TUMBLE", "HOP", "SESSION", "ROW",
     "FIRST_VALUE", "LAST_VALUE",  # Spark-native under the same names
+    "OVERLAPS",  # infix period predicate: its "(" belongs to the operand
 }
 
 _SHIMS: dict[str, str] = {

