@@ -328,6 +328,79 @@ for _n in _NATIVE:
 for _n in _INTERNAL:
     REGISTRY.setdefault(_n, Entry(_n, None, "internal", "planner-internal, no user surface"))
 
+# ---------------------------------------------------------------------------
+# BuiltInFunctionDefinitions.java (141 Table-API expression-DSL names).
+# Most are camelCase aliases of the SQL operators above; the DSL-syntax
+# names (ordering, OVER frames, column selectors, time attributes) map to
+# the equivalent Spark DataFrame API and carry no call template.
+# Completeness over this second reference surface is pinned by
+# tests/test_functions.py::test_registry_accounts_for_table_api_definitions.
+# ---------------------------------------------------------------------------
+_TABLE_API_ALIASES = {
+    "CHARLENGTH": "CHAR_LENGTH",
+    "CURRENTDATE": "CURRENT_DATE",
+    "CURRENTTIME": "CURRENT_TIME",
+    "CURRENTTIMESTAMP": "CURRENT_TIMESTAMP",
+    "CURRENTROWTIMESTAMP": "CURRENT_ROW_TIMESTAMP",
+    "DATEFORMAT": "DATE_FORMAT",
+    "FROMBASE64": "FROM_BASE64",
+    "TOBASE64": "TO_BASE64",
+    "IFTHENELSE": "IF",
+    "LOWERCASE": "LOWER",
+    "UPPERCASE": "UPPER",
+    "RANDINTEGER": "RAND_INTEGER",
+    "REGEXPEXTRACT": "REGEXP_EXTRACT",
+    "REGEXPREPLACE": "REGEXP_REPLACE",
+    "STDDEVPOP": "STDDEV_POP",
+    "STDDEVSAMP": "STDDEV_SAMP",
+    "VARPOP": "VAR_POP",
+    "VARSAMP": "VAR_SAMP",
+    "TEMPORALOVERLAPS": "OVERLAPS",
+    "TOTIMESTAMPLTZ": "TO_TIMESTAMP_LTZ",
+    "GREATERTHAN": "GREATER_THAN",
+    "GREATERTHANOREQUAL": "GREATER_THAN_OR_EQUAL",
+    "LESSTHAN": "LESS_THAN",
+    "LESSTHANOREQUAL": "LESS_THAN_OR_EQUAL",
+    "NOTEQUALS": "NOT_EQUALS",
+    "NOTBETWEEN": "NOT_BETWEEN",
+    "ISNULL": "IS_NULL",
+    "ISNOTNULL": "IS_NOT_NULL",
+    "ISTRUE": "IS_TRUE",
+    "ISNOTTRUE": "IS_NOT_TRUE",
+    "ISFALSE": "IS_FALSE",
+    "ISNOTFALSE": "IS_NOT_FALSE",
+    "MINUSPREFIX": "UNARY_MINUS",
+    "TIMES": "MULTIPLY",
+}
+for _alias, _target in _TABLE_API_ALIASES.items():
+    _t = REGISTRY[_target]
+    REGISTRY.setdefault(
+        _alias, Entry(_alias, _t.template, _t.status, f"Table-API DSL alias of {_target}")
+    )
+
+_TABLE_API_NATIVE = {
+    # expression-DSL syntax -> Spark DataFrame API equivalent
+    "ASC", "DESC", "DISTINCT", "OVER", "RANGETO",
+    "CURRENTRANGE", "CURRENTROW", "UNBOUNDEDRANGE", "UNBOUNDEDROW",
+    "START", "END",  # window properties -> window.start / window.end
+    "GET", "FLATTEN",  # row field access -> col["f"] / struct expansion
+    "WITHCOLUMNS", "WITHOUTCOLUMNS",  # column selectors -> select/colRegex
+    "ROWTIME", "PROCTIME",  # time attributes -> event-time cols/current_timestamp
+    "SOURCE_WATERMARK",  # WATERMARK DDL marker -> df.withWatermark
+}
+for _n in _TABLE_API_NATIVE:
+    REGISTRY.setdefault(
+        _n, Entry(_n, None, "native", "Table-API DSL syntax; Spark DataFrame API equivalent")
+    )
+REGISTRY.setdefault("TYPEOF", Entry("TYPEOF", "typeof({0})", "builtin"))
+REGISTRY.setdefault(
+    "REINTERPRETCAST", Entry("REINTERPRETCAST", None, "internal", "planner-internal cast")
+)
+REGISTRY.setdefault(
+    "STREAMRECORDTIMESTAMP",
+    Entry("STREAMRECORDTIMESTAMP", None, "internal", "planner-internal rowtime access"),
+)
+
 
 def fn(name: str, *args: str) -> Column:
     """Resolve a registry entry to a Column over SQL argument strings."""
