@@ -169,59 +169,103 @@ def temporal_sort(
     arrival — the analog of RowTimeSortOperator's immediately-firing
     timer for a timestamp already below the watermark.
 
-    The watermark is persisted next to the buffer, so a restarted query
-    resumes with the same ordering contract (unlike a bare driver dict).
+    Crash safety (the PartialUpsertSink pointer pattern): each batch
+    writes its new pending buffer to an epoch-versioned directory
+    (``v<batch_id>`` — a replayed epoch overwrites its own dir,
+    idempotent), then commits (watermark, version) with ONE atomic
+    ``os.replace`` of the ``CURRENT`` pointer. A crash at any instant
+    leaves either the old committed (buffer, watermark) pair or the new
+    one; a replayed already-committed epoch is skipped. Emission to
+    ``sink`` happens before the commit point, so a crash inside the
+    window re-emits that batch's ready rows on replay — at-least-once to
+    the sink, the same contract as Flink's non-transactional sinks
+    (pair with an idempotent sink for effectively-exactly-once).
 
     100 TB: the buffer holds only rows above the watermark (bounded by
     out-of-orderness x input rate, the reference's state bound); the
-    per-batch sort is a distributed range-partition sort, and the
-    buffer rewrite is append-free parquet swap — no driver state beyond
-    one long.
+    per-batch sort is a distributed range-partition sort, and the only
+    driver state is the (watermark, version) pointer.
     """
-    import json
-    import os
-    import shutil
-
-    tiebreak = tiebreak or []
-    wm_file = os.path.join(pending_dir, "_watermark.json")
-    cur = os.path.join(pending_dir, "cur")
-    state = {"wm_us": None}
-    if os.path.exists(wm_file):
-        with open(wm_file) as fh:
-            state["wm_us"] = json.load(fh)["wm_us"]
-
-    def step(batch_df, _batch_id: int):
-        spark = batch_df.sparkSession
-        ts_us = _event_us(ts_col)
-        full = batch_df
-        if os.path.exists(cur):
-            full = batch_df.unionByName(spark.read.parquet(cur))
-        full = full.persist()
-        try:
-            mx = full.agg(F.max(ts_us).alias("m")).collect()[0]["m"]
-            if mx is not None:
-                state["wm_us"] = max(state["wm_us"] or 0, int(mx))
-            if state["wm_us"] is None:
-                return
-            cut = state["wm_us"] - delay_seconds * 1_000_000
-            ready = full.where(ts_us <= F.lit(cut)).orderBy(ts_col, *tiebreak)
-            sink(ready)
-            nxt = os.path.join(pending_dir, "nxt")
-            full.where(ts_us > F.lit(cut)).write.mode("overwrite").parquet(nxt)
-            if os.path.exists(cur):
-                shutil.rmtree(cur)
-            os.replace(nxt, cur)
-            with open(wm_file, "w") as fh:
-                json.dump({"wm_us": state["wm_us"]}, fh)
-        finally:
-            full.unpersist()
-
+    step = temporal_sort_step(
+        sink, checkpoint, pending_dir,
+        ts_col=ts_col, tiebreak=tiebreak, delay_seconds=delay_seconds,
+    )
     return (
         events.writeStream.foreachBatch(step)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )
+
+
+def temporal_sort_step(
+    sink,
+    checkpoint: str,
+    pending_dir: str,
+    *,
+    ts_col: str = "ts",
+    tiebreak: list[str] | None = None,
+    delay_seconds: int = 0,
+):
+    """The foreachBatch function behind :func:`temporal_sort`, exposed so
+    the replay/commit-point behavior is directly testable."""
+    import json
+    import os
+    import shutil
+
+    tiebreak = tiebreak or []
+    os.makedirs(pending_dir, exist_ok=True)
+    current = os.path.join(pending_dir, "CURRENT")
+
+    def read_pointer() -> dict:
+        if not os.path.exists(current):
+            return {"wm_us": None, "epoch": -1, "last_bid": None, "ckpt": None}
+        with open(current) as fh:
+            return json.load(fh)
+
+    def step(batch_df, batch_id: int):
+        spark = batch_df.sparkSession
+        p = read_pointer()
+        # batch ids are only comparable within one checkpoint's id-space:
+        # same checkpoint + batch_id already committed => epoch replay
+        # (crash between the pointer commit and Spark's offset commit).
+        # A different checkpoint is a NEW query resuming the persisted
+        # buffer/watermark — its ids restart at 0 and must not be skipped.
+        if p["ckpt"] == checkpoint and p["last_bid"] is not None and batch_id <= p["last_bid"]:
+            return
+        wm_us, epoch = p["wm_us"], p["epoch"] + 1
+        ts_us = _event_us(ts_col)
+        full = batch_df
+        cur_dir = os.path.join(pending_dir, f"v{p['epoch']}")
+        if p["epoch"] >= 0 and os.path.exists(cur_dir):
+            full = batch_df.unionByName(spark.read.parquet(cur_dir))
+        full = full.persist()
+        try:
+            mx = full.agg(F.max(ts_us).alias("m")).collect()[0]["m"]
+            if mx is not None:
+                wm_us = max(wm_us or 0, int(mx))
+            if wm_us is None:
+                return
+            cut = wm_us - delay_seconds * 1_000_000
+            # epoch-versioned buffer: a crashed attempt of this epoch left
+            # v{epoch} behind; overwrite makes the retry idempotent
+            nxt_dir = os.path.join(pending_dir, f"v{epoch}")
+            full.where(ts_us > F.lit(cut)).write.mode("overwrite").parquet(nxt_dir)
+            ready = full.where(ts_us <= F.lit(cut)).orderBy(ts_col, *tiebreak)
+            sink(ready)
+            tmp = current + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(
+                    {"wm_us": wm_us, "epoch": epoch, "last_bid": batch_id, "ckpt": checkpoint},
+                    fh,
+                )
+            os.replace(tmp, current)  # the commit point
+            if p["epoch"] >= 0 and os.path.exists(cur_dir):
+                shutil.rmtree(cur_dir, ignore_errors=True)  # best-effort GC
+        finally:
+            full.unpersist()
+
+    return step
 
 
 def late_data_router(

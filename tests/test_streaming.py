@@ -610,3 +610,43 @@ def test_temporal_sort_watermark_survives_restart(spark, tmp_dir):
     run(range(100, 200), "b")
     assert emitted == sorted(emitted)
     assert emitted[-1] == 199 - 0  # delay 0: everything emitted by stream end
+
+
+def test_temporal_sort_replayed_batch_is_idempotent(spark, tmp_dir):
+    """Crash-window contract: after the pointer commit, Spark may still
+    replay the same batch (crash before the offset commit). The replayed
+    call must be a no-op — no duplicate emission, no double-counted
+    pending rows — while a NEW query (different checkpoint) restarting
+    at batch 0 must keep processing."""
+    from reshape_on_flink_spark.streaming.over import temporal_sort_step
+
+    pending = os.path.join(tmp_dir, "tsi_pending")
+    emitted: list[int] = []
+
+    def sink(ready):
+        emitted.extend(r["event_id"] for r in ready.collect())
+
+    def batch(ids):
+        return spark.createDataFrame([(i,) for i in ids], "event_id bigint").select(
+            "event_id", F.timestamp_seconds(F.lit(1_700_000_000) + F.col("event_id")).alias("ts")
+        )
+
+    ck = os.path.join(tmp_dir, "tsi_ckpt")
+    step = temporal_sort_step(sink, ck, pending, ts_col="ts", tiebreak=["event_id"], delay_seconds=5)
+    step(batch(range(0, 20)), 0)
+    after_first = list(emitted)
+    assert after_first == list(range(0, 15))  # wm=19, delay 5 -> 0..14 emit
+    # replay of the committed batch 0: must be skipped entirely
+    step(batch(range(0, 20)), 0)
+    assert emitted == after_first
+    # next batch drains the rest up to the new watermark
+    step(batch(range(20, 30)), 1)
+    assert emitted == list(range(0, 25))
+    # a NEW query incarnation (different checkpoint) restarts ids at 0 —
+    # the persisted watermark and buffer must carry over, not be skipped
+    step2 = temporal_sort_step(
+        sink, os.path.join(tmp_dir, "tsi_ckpt2"), pending,
+        ts_col="ts", tiebreak=["event_id"], delay_seconds=5,
+    )
+    step2(batch(range(30, 40)), 0)
+    assert emitted == list(range(0, 35))
