@@ -1,0 +1,118 @@
+"""Training-corpus assembly: sequence packing and weighted domain mixing.
+
+The two operations that sit between a curated corpus and a training run:
+
+- :func:`pack_sequences` — concatenate-and-chunk packing: documents are
+  laid out contiguously in a deterministic order and cut into
+  fixed-length token windows ("packs"), the standard pretraining
+  sequence-packing scheme (a document may straddle two packs; the
+  attention mask handles boundaries downstream).
+- :func:`domain_mix_sample` — deterministic weighted sampling per
+  domain: each domain (language, source, ...) keeps a configured
+  fraction of its documents, chosen by a hash of the key rather than an
+  RNG, so the sample is reproducible row-for-row on any cluster layout
+  and in any engine (the DuckDB oracle computes the identical sample).
+
+Both are pure Spark SQL expressions — no UDFs, fully codegen'd.
+
+Scale (100 TB): packing partitions by the stream column (e.g. lang) —
+the running token-offset window runs per stream, so parallelism equals
+the number of streams and no global single-partition window exists
+(callers wanting one global stream shard it first; documented).
+Sampling is map-only (a hash comparison per row), zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from reshape_on_flink_spark.llm.text import hash60, token_count
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    *,
+    stream_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    n_tokens: Column | None = None,
+) -> DataFrame:
+    """Assign each document its packing position in fixed-length windows.
+
+    Documents are concatenated per ``stream_col`` in ``order_col`` order
+    and cut every ``seq_len`` tokens. Returns the input plus:
+
+    - ``n_tokens``     — the document's token count
+    - ``tok_offset``   — tokens before this document in its stream
+    - ``pack_id``      — window index of the document's FIRST token
+    - ``pack_offset``  — position of the first token within that pack
+    - ``n_packs_spanned`` — how many windows the document touches
+
+    Determinism: the layout is a pure function of (stream, order) — no
+    RNG, no partition-order dependence — so the DuckDB oracle reproduces
+    it exactly with a running-sum window.
+
+    100 TB: one window per stream key (language/source cardinality —
+    dozens to thousands of streams), each a running SUM over a sorted
+    range — Spark executes it as one shuffle on the stream key plus a
+    sorted streaming frame; no global window, no explode.
+    """
+    nt = n_tokens if n_tokens is not None else token_count(text_col)
+    w = (
+        W.partitionBy(stream_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = docs.withColumn("n_tokens", nt.cast("long"))
+    cum = F.sum("n_tokens").over(w)
+    out = out.withColumn("tok_offset", cum - F.col("n_tokens"))
+    return (
+        out.withColumn("pack_id", F.floor(F.col("tok_offset") / seq_len))
+        .withColumn("pack_offset", F.col("tok_offset") % seq_len)
+        .withColumn(
+            "n_packs_spanned",
+            F.when(F.col("n_tokens") == 0, F.lit(1)).otherwise(
+                F.floor((F.col("tok_offset") + F.col("n_tokens") - 1) / seq_len)
+                - F.col("pack_id")
+                + 1
+            ).cast("long"),
+        )
+    )
+
+
+def domain_mix_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    *,
+    domain_col: str = "lang",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic weighted per-domain sampling (data mixing).
+
+    A document survives iff ``hash60(key) % resolution <
+    rate(domain) * resolution`` — the standard hash-threshold sampler:
+    reproducible across runs, engines, and cluster layouts; changing one
+    domain's rate leaves every other domain's sample identical (rates
+    are monotone: raising a rate only ADDS documents). Unknown domains
+    get ``default_rate``.
+
+    100 TB: map-only — one md5 + one comparison per row, no shuffle; the
+    sampled fraction flows straight into downstream stages.
+    """
+    h = F.pmod(hash60(F.col(key_col).cast("string")), F.lit(resolution))
+    rate = None
+    for dom, r in sorted(rates.items()):
+        thresh = F.lit(int(r * resolution))
+        cond = F.col(domain_col) == dom
+        rate = F.when(cond, thresh) if rate is None else rate.when(cond, thresh)
+    rate = (
+        rate.otherwise(F.lit(int(default_rate * resolution)))
+        if rate is not None
+        else F.lit(int(default_rate * resolution))
+    )
+    return docs.where(h < rate)

@@ -823,3 +823,85 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-corpus assembly): concatenate documents per
+# language stream in doc_id order and cut into 512-token windows —
+# each doc annotated with its pack id / offset / windows spanned
+# (llm/pack.pack_sequences). Pure window expressions; the oracle is the
+# same running sum. Scale: one shuffle on the stream key; the running
+# frame is a sorted streaming aggregate per stream — no global window.
+# ---------------------------------------------------------------------------
+@query(
+    "q_sequence_pack",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    o AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS tok_offset
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, tok_offset,
+           CAST(FLOOR(tok_offset / 512) AS BIGINT) AS pack_id,
+           CAST(tok_offset % 512 AS BIGINT) AS pack_offset,
+           CAST(CASE WHEN n_tokens = 0 THEN 1
+                ELSE FLOOR((tok_offset + n_tokens - 1) / 512)
+                     - FLOOR(tok_offset / 512) + 1 END AS BIGINT) AS n_packs_spanned
+    FROM o ORDER BY doc_id
+    """,
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.llm.pack import pack_sequences
+
+    d = T.spread(load_tables(spark, sf_dir)["documents"]).select("doc_id", "lang", "text")
+    return (
+        pack_sequences(d, 512, stream_col="lang", order_col="doc_id")
+        .select(
+            "doc_id", "lang", "n_tokens", "tok_offset",
+            "pack_id", "pack_offset", "n_packs_spanned",
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted domain mixing (deterministic hash-threshold sampling): each
+# language keeps a configured fraction of documents, chosen by
+# hash60(doc_id) — reproducible row-for-row in both engines, zero
+# shuffles (llm/pack.domain_mix_sample). The oracle applies the same
+# thresholds with the shared md5->int60 primitive.
+# ---------------------------------------------------------------------------
+_MIX_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25, "zh": 0.4}
+
+
+@query(
+    "q_domain_mix_sample",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             {SQL_H60.format(x="CAST(doc_id AS VARCHAR)")} % 1000000 AS h
+      FROM documents
+    )
+    SELECT doc_id, lang FROM t
+    WHERE h < CASE lang WHEN 'en' THEN 800000 WHEN 'de' THEN 500000
+                        WHEN 'fr' THEN 250000 WHEN 'zh' THEN 400000
+                        ELSE 100000 END
+    ORDER BY doc_id
+    """,
+)
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.llm.pack import domain_mix_sample
+
+    d = T.spread(load_tables(spark, sf_dir)["documents"]).select("doc_id", "lang")
+    return (
+        domain_mix_sample(d, _MIX_RATES, default_rate=0.1)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )

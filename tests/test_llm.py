@@ -290,3 +290,62 @@ def test_streaming_decontamination_stream_static_semi_join(spark, tables, tmp_di
     }
     expected = {r["doc_id"] for r in contaminated_ids(corpus, bench_ngrams, n=5).collect()}
     assert got == expected and expected
+
+
+def test_pack_sequences_layout_invariants(spark):
+    """Packing layout: offsets are contiguous per stream, pack ids are
+    floor(offset/seq_len), and spanned-window counts match the doc's
+    token footprint (straddling docs included)."""
+    from reshape_on_flink_spark.llm.pack import pack_sequences
+
+    rows = [
+        (0, "en", "a " * 10),   # 10 tokens
+        (1, "en", "b " * 250),  # 250
+        (2, "en", "c " * 300),  # 300 -> straddles the 512 boundary
+        (3, "en", ""),          # 0 tokens
+        (4, "de", "x " * 600),  # own stream; spans 2 packs from offset 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, 512, stream_col="lang", order_col="doc_id").collect()
+    }
+    assert got[0]["tok_offset"] == 0 and got[0]["pack_id"] == 0
+    assert got[1]["tok_offset"] == 10 and got[1]["n_packs_spanned"] == 1
+    # doc 2 starts at 260, ends at 559 -> packs 0 and 1
+    assert got[2]["tok_offset"] == 260
+    assert got[2]["pack_id"] == 0 and got[2]["n_packs_spanned"] == 2
+    # zero-token doc occupies its position without advancing the offset
+    assert got[3]["tok_offset"] == 560 and got[3]["n_packs_spanned"] == 1
+    # independent stream restarts at offset 0
+    assert got[4]["tok_offset"] == 0 and got[4]["n_packs_spanned"] == 2
+    # contiguity: offsets equal the running sum of earlier docs
+    assert got[2]["tok_offset"] == got[1]["tok_offset"] + got[1]["n_tokens"]
+
+
+def test_domain_mix_sample_deterministic_and_monotone(spark, tables):
+    """Hash-threshold sampling: reproducible across invocations, and
+    raising one domain's rate only ADDS documents (no reshuffling of the
+    kept set) — the property that makes mixture tuning incremental."""
+    from reshape_on_flink_spark.llm.pack import domain_mix_sample
+
+    d = tables["documents"].select("doc_id", "lang")
+    low = {r["doc_id"] for r in domain_mix_sample(d, {"en": 0.3}, default_rate=0.2).collect()}
+    again = {r["doc_id"] for r in domain_mix_sample(d, {"en": 0.3}, default_rate=0.2).collect()}
+    high = {r["doc_id"] for r in domain_mix_sample(d, {"en": 0.6}, default_rate=0.2).collect()}
+    assert low == again
+    assert low <= high and len(high) > len(low)
+    # non-en docs are untouched by the en-rate change
+    langs = {r["doc_id"]: r["lang"] for r in d.collect()}
+    assert {i for i in high - low if langs[i] != "en"} == set()
+
+
+def test_domain_mix_rates_are_approximately_honored(spark, tables):
+    from reshape_on_flink_spark.llm.pack import domain_mix_sample
+
+    d = tables["documents"].select("doc_id", "lang")
+    kept = domain_mix_sample(d, {"en": 0.5}, default_rate=0.0)
+    n_en = d.where("lang = 'en'").count()
+    k_en = kept.count()
+    assert kept.where("lang <> 'en'").count() == 0
+    assert abs(k_en / n_en - 0.5) < 0.2  # hash uniformity at fixture size
