@@ -116,3 +116,83 @@ def domain_mix_sample(
         else F.lit(int(default_rate * resolution))
     )
     return docs.where(h < rate)
+
+
+def streaming_pack(
+    docs,
+    seq_len: int,
+    *,
+    stream_col: str = "lang",
+    order_cols: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Streaming sequence packing: continuous corpus assembly.
+
+    The streaming form of :func:`pack_sequences` —
+    ``applyInPandasWithState`` keyed on ``stream_col``; state is one
+    long (the stream's cumulative token offset), each micro-batch sorts
+    its rows by ``order_cols`` and folds them onto the offset. Given
+    order-respecting arrival per stream (the replay harness guarantees
+    it), stream output == batch output row-for-row.
+
+    State: O(1) per stream key — a single offset — so this runs
+    indefinitely at any scale; packs are emitted as metadata the moment
+    their documents arrive.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    order_cols = order_cols or [id_col]
+    out_schema = StructType(
+        [
+            StructField(stream_col, StringType()),
+            StructField(id_col, LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("tok_offset", LongType()),
+            StructField("pack_id", LongType()),
+            StructField("pack_offset", LongType()),
+            StructField("n_packs_spanned", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("offset", LongType())])
+
+    def fold(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        (offset,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_cols)
+            n_tok = (
+                pdf[text_col].str.split().map(len).astype("int64")
+                if len(pdf)
+                else pd.Series([], dtype="int64")
+            )
+            starts = n_tok.cumsum() - n_tok + offset
+            ends = starts + n_tok.clip(lower=1) - 1  # zero-token docs span 1
+            out = pd.DataFrame(
+                {
+                    stream_col: pdf[stream_col].values,
+                    id_col: pdf[id_col].values,
+                    "n_tokens": n_tok.values,
+                    "tok_offset": starts.values,
+                    "pack_id": (starts // seq_len).values,
+                    "pack_offset": (starts % seq_len).values,
+                    "n_packs_spanned": (ends // seq_len - starts // seq_len + 1).values,
+                }
+            )
+            if len(pdf):
+                offset = int(starts.iloc[-1] + n_tok.iloc[-1])
+            yield out
+        state.update((offset,))
+
+    return (
+        docs.select(stream_col, id_col, text_col, *[c for c in order_cols if c != id_col])
+        .groupBy(stream_col)
+        .applyInPandasWithState(fold, out_schema, state_schema, "append", "NoTimeout")
+    )

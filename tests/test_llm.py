@@ -349,3 +349,31 @@ def test_domain_mix_rates_are_approximately_honored(spark, tables):
     k_en = kept.count()
     assert kept.where("lang <> 'en'").count() == 0
     assert abs(k_en / n_en - 0.5) < 0.2  # hash uniformity at fixture size
+
+
+def test_streaming_pack_matches_batch(spark, tables, tmp_dir):
+    """Continuous corpus assembly: streaming packing across micro-batch
+    boundaries must equal the batch layout row-for-row (the stream
+    offset carries in keyed state)."""
+    import os
+
+    from reshape_on_flink_spark.llm.pack import pack_sequences, streaming_pack
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+    from tests.test_streaming import run_to_memory
+
+    docs = tables["documents"].select("doc_id", "lang", "text")
+    stream = chunked_replay(
+        spark, docs, os.path.join(tmp_dir, "pack_replay"), n_chunks=3, order_col="doc_id"
+    )
+    sdf = streaming_pack(stream, 512, stream_col="lang", order_cols=["doc_id"])
+    got = sorted(
+        map(tuple, run_to_memory(spark, sdf, "pack_out", tmp_dir, mode="append")
+            .select("doc_id", "n_tokens", "tok_offset", "pack_id", "pack_offset", "n_packs_spanned")
+            .collect())
+    )
+    expected = sorted(
+        map(tuple, pack_sequences(docs, 512, stream_col="lang", order_col="doc_id")
+            .select("doc_id", "n_tokens", "tok_offset", "pack_id", "pack_offset", "n_packs_spanned")
+            .collect())
+    )
+    assert got == expected and expected
