@@ -410,3 +410,33 @@ def _ivf_topk_with_centroids(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization (the storage/compression path
+    of an ANN index: 4x smaller than float32, dot products on int8).
+
+    ``scale = max(|v|)/127`` per vector; ``q_i = round(v_i / scale)`` in
+    [-127, 127]. Adds ``scale`` (DOUBLE) and ``q`` (array<int>). Pure
+    expressions — map-only, no shuffle, codegen'd; reconstruction is
+    ``q_i * scale``.
+
+    Determinism: both engines compute the same double divisions and
+    round half-away-from-zero, so the oracle reproduces q bit-exactly.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    out = emb.withColumn("_v", v).withColumn(
+        "scale",
+        F.greatest(
+            F.array_max(F.transform(F.col("_v"), F.abs)) / F.lit(127.0),
+            F.lit(1e-12),
+        ),
+    )
+    return out.withColumn(
+        "q", F.transform(F.col("_v"), lambda x: F.round(x / F.col("scale")).cast("int"))
+    ).drop("_v")

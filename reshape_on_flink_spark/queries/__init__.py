@@ -46,6 +46,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_ds_frequent_item_best_customer",
     "q_sequence_pack",
     "q_domain_mix_sample",
+    "q_embedding_quantize",
     # TPC-H tails never sampled by the r2/r3 caps
     "q2_min_cost_supplier",
     "q8_market_share",

@@ -905,3 +905,41 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (ANN storage path): per-vector scale +
+# rounded int8 codes, exploded positionally for the hash gate
+# (llm/similarity.quantize_embeddings). Map-only, no shuffle; both
+# engines do the same double divide + half-away-from-zero round, so the
+# codes match bit-exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "q_embedding_quantize",
+    """
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, ve,
+             GREATEST(list_max(list_transform(ve, x -> abs(x))) / 127.0, 1e-12) AS scale
+      FROM v
+    )
+    SELECT vec_id, scale, i - 1 AS i,
+           CAST(ROUND(ve[i] / scale) AS INTEGER) AS q
+    FROM s, UNNEST(generate_series(1, len(ve))) AS u(i)
+    ORDER BY vec_id, i
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.llm.similarity import quantize_embeddings
+
+    e = load_tables(spark, sf_dir)["embeddings"]
+    return (
+        quantize_embeddings(e)
+        .select("vec_id", "scale", F.posexplode("q").alias("i", "q"))
+        .select("vec_id", "scale", F.col("i").cast("long").alias("i"), "q")
+        .orderBy("vec_id", "i")
+    )

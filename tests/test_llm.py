@@ -377,3 +377,32 @@ def test_streaming_pack_matches_batch(spark, tables, tmp_dir):
             .collect())
     )
     assert got == expected and expected
+
+
+def test_quantize_embeddings_reconstruction_error_bounded(spark, tables):
+    """int8 quantization invariants: codes in [-127,127], max |code| is
+    127 for every non-zero vector (scale saturates), and reconstruction
+    error per element is <= scale/2."""
+    from reshape_on_flink_spark.llm.similarity import quantize_embeddings
+
+    q = quantize_embeddings(tables["embeddings"]).select("vec_id", "embedding", "scale", "q")
+    bad = q.select(
+        F.exists("q", lambda x: (x > 127) | (x < -127)).alias("oob"),
+        (
+            F.array_max(
+                F.zip_with(
+                    F.transform("embedding", lambda x: x.cast("double")),
+                    "q",
+                    lambda v, c: F.abs(v - c * F.col("scale")),
+                )
+            )
+            > F.col("scale") / 2 + 1e-12
+        ).alias("err"),
+        (F.array_max(F.transform("q", F.abs)) != 127).alias("nosat"),
+    )
+    agg = bad.agg(
+        F.sum(F.col("oob").cast("int")).alias("oob"),
+        F.sum(F.col("err").cast("int")).alias("err"),
+        F.sum(F.col("nosat").cast("int")).alias("nosat"),
+    ).collect()[0]
+    assert agg["oob"] == 0 and agg["err"] == 0 and agg["nosat"] == 0
