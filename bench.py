@@ -44,6 +44,10 @@ HEADLINE = [
     "q_repetition_filter",
     "q_decontaminate",
     "q_match_recognize_nested",
+    # round-4 additions: training-corpus assembly + quantization families
+    "q_sequence_pack",
+    "q_domain_mix_sample",
+    "q_embedding_quantize",
 ]
 
 

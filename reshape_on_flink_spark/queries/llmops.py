@@ -930,16 +930,17 @@ def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_id, scale, i - 1 AS i,
            CAST(ROUND(ve[i] / scale) AS INTEGER) AS q
     FROM s, UNNEST(generate_series(1, len(ve))) AS u(i)
-    ORDER BY vec_id, i
     """,
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reshape_on_flink_spark.llm.similarity import quantize_embeddings
 
     e = load_tables(spark, sf_dir)["embeddings"]
+    # no ORDER BY: the gate's hash is order-insensitive, and a global
+    # sort of |vectors| x dim exploded rows would be the only shuffle in
+    # an otherwise map-only plan
     return (
         quantize_embeddings(e)
         .select("vec_id", "scale", F.posexplode("q").alias("i", "q"))
         .select("vec_id", "scale", F.col("i").cast("long").alias("i"), "q")
-        .orderBy("vec_id", "i")
     )

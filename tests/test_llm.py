@@ -406,3 +406,22 @@ def test_quantize_embeddings_reconstruction_error_bounded(spark, tables):
         F.sum(F.col("nosat").cast("int")).alias("nosat"),
     ).collect()[0]
     assert agg["oob"] == 0 and agg["err"] == 0 and agg["nosat"] == 0
+
+
+def test_quantized_topk_recall(spark, tables):
+    """Search over the int8-compressed index must recall ~all exact
+    neighbors (reconstruction perturbs cosines by <1%)."""
+    from reshape_on_flink_spark.llm.similarity import brute_force_topk, quantized_topk
+
+    emb = tables["embeddings"]
+    qs = emb.where(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(emb, qs, k=5).collect()
+    }
+    quant = {
+        (r["query_id"], r["neighbor_id"])
+        for r in quantized_topk(emb, qs, k=5).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, recall
