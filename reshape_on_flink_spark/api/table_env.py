@@ -540,6 +540,13 @@ class TableEnvironment:
     # over symbol-prefixed columns plus MATCH_NUMBER() and (ALL ROWS)
     # CLASSIFIER() with RUNNING-default / FINAL(...) semantics as window
     # frames over (partition, match_id). Loud errors otherwise.
+    #
+    # A STREAMING source view routes through streaming_match_recognize
+    # (incremental NFA in keyed state, all skip strategies): ALL ROWS
+    # PER MATCH, DEFINE compiled to pandas predicates
+    # (operators.cep.pandas_predicate), MEASURES limited to
+    # CLASSIFIER()/MATCH_NUMBER() — aggregates run downstream as
+    # ordinary watermarked streaming SQL.
 
     _MR_SECTION_STOP = (
         r"(?=\bPARTITION\s+BY\b|\bORDER\s+BY\b|\bMEASURES\b|\bONE\s+ROW\b|"
@@ -549,7 +556,12 @@ class TableEnvironment:
     def _execute_match_recognize(self, sql: str) -> DataFrame:
         from pyspark.sql import functions as F
 
-        from reshape_on_flink_spark.operators.cep import match_recognize, symbols_of
+        from reshape_on_flink_spark.operators.cep import (
+            match_recognize,
+            pandas_predicate,
+            streaming_match_recognize,
+            symbols_of,
+        )
 
         hit = _find_call(sql, ("MATCH_RECOGNIZE",))
         assert hit is not None
@@ -618,15 +630,71 @@ class TableEnvironment:
                 raise NotImplementedError("NEXT/FINAL/RUNNING in MATCH_RECOGNIZE")
             return re.sub(r"\b(" + "|".join(symbols) + r")\.", "", expr)
 
+        src_df = self.spark.table(table)
+        streaming = src_df.isStreaming
+
         define: dict = {}
         for item in _split_top(def_m.group(1)):
             dm = re.match(r"(\w+)\s+AS\s+(.+)$", item.strip(), re.IGNORECASE | re.DOTALL)
             if not dm:
                 raise ValueError(f"bad DEFINE item: {item!r}")
-            define[dm.group(1)] = F.expr(mr_expr(dm.group(2)))
+            define[dm.group(1)] = (
+                pandas_predicate(dm.group(2), symbols)
+                if streaming
+                else F.expr(mr_expr(dm.group(2)))
+            )
+
+        if streaming:
+            # STREAMING subset (reference: MATCH_RECOGNIZE is primarily a
+            # streaming feature — StreamExecMatch): the incremental NFA
+            # with all skip strategies; DEFINE via the pandas translator;
+            # ALL ROWS PER MATCH with CLASSIFIER()/MATCH_NUMBER() only
+            # (RUNNING/FINAL aggregates would need window functions,
+            # which streams don't have — aggregate the emitted rows with
+            # ordinary watermarked streaming SQL instead).
+            if not all_rows:
+                raise NotImplementedError(
+                    "streaming MATCH_RECOGNIZE supports ALL ROWS PER MATCH "
+                    "(aggregate match rows downstream); ONE ROW PER MATCH "
+                    "needs a streaming aggregation the caller owns"
+                )
+            if len(part_cols) != 1:
+                raise NotImplementedError(
+                    "streaming MATCH_RECOGNIZE: single PARTITION BY column"
+                )
+            matched = streaming_match_recognize(
+                src_df,
+                partition_by=part_cols[0],
+                order_cols=order_cols,
+                pattern=pattern,
+                define=define,
+                input_cols=src_df.columns,
+                after_match=after_match,
+            )
+            out_cols = []
+            for item in _split_top(measures_s):
+                mm = re.match(r"(.+?)\s+AS\s+(\w+)$", item.strip(), re.IGNORECASE | re.DOTALL)
+                if not mm:
+                    raise ValueError(f"bad MEASURES item: {item!r}")
+                expr, alias = mm.group(1).strip(), mm.group(2)
+                if re.fullmatch(r"MATCH_NUMBER\s*\(\s*\)", expr, re.IGNORECASE):
+                    out_cols.append((F.col("match_id") + 1).alias(alias))
+                elif re.fullmatch(r"CLASSIFIER\s*\(\s*\)", expr, re.IGNORECASE):
+                    out_cols.append(F.col("matched_symbol").alias(alias))
+                else:
+                    raise NotImplementedError(
+                        "streaming MEASURES subset: CLASSIFIER()/MATCH_NUMBER() "
+                        f"only (got {expr!r}); aggregate downstream"
+                    )
+            data_cols = [c for c in matched.columns if c not in ("match_id", "matched_symbol")]
+            per_match = matched.select(*data_cols, *out_cols)
+            view = f"__mr_{abs(hash(sql)) % 10**8}"
+            per_match.createOrReplaceTempView(view)
+            outer = sql[: fm.start(1)] + view + sql[end:]
+            return self.execute_sql(outer)
 
         matched = match_recognize(
-            self.spark.table(table), part_cols, order_cols, pattern, define,
+            src_df, part_cols, order_cols, pattern, define,
             after_match=after_match,
         )
 

@@ -1067,3 +1067,146 @@ def streaming_match_recognize(
         .applyInPandasWithState(run, out_schema, state_schema, "append", "NoTimeout")
     )
 
+
+
+def pandas_predicate(expr: str, symbols: list[str]):
+    """Compile a MATCH_RECOGNIZE DEFINE expression into a vectorized
+    pandas predicate ``(pdf) -> bool Series`` for the STREAMING matcher.
+
+    Supported grammar (the common DEFINE subset; loud errors otherwise):
+    comparisons (=, <>, <, <=, >, >=) between arithmetic (+ - * /)
+    combinations of ``SYM.col`` references, ``PREV(SYM.col[, n])``
+    (-> ``pdf[col].shift(n)``, evaluated over the key's full buffered
+    history so PREV crosses micro-batch boundaries), numeric/string
+    literals, and AND/OR/NOT with parentheses. This mirrors what the
+    batch path compiles to Catalyst (lag over the partition window).
+    """
+    import re as _re
+
+    def strip_outer_parens(s: str) -> str:
+        s = s.strip()
+        while s.startswith("(") and s.endswith(")"):
+            depth = 0
+            for i, ch in enumerate(s):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and i != len(s) - 1:
+                        return s
+            s = s[1:-1].strip()
+        return s
+
+    def split_top(s: str, word: str) -> list[str]:
+        parts, depth, start, i, n = [], 0, 0, 0, len(s)
+        pat = _re.compile(r"\b" + word + r"\b", _re.IGNORECASE)
+        while i < n:
+            ch = s[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "'":
+                i += 1
+                while i < n and s[i] != "'":
+                    i += 1
+            elif depth == 0:
+                m = pat.match(s, i)
+                if m:
+                    parts.append(s[start:i])
+                    start = i = m.end()
+                    continue
+            i += 1
+        parts.append(s[start:])
+        return parts
+
+    def compile_bool(s: str) -> str:
+        s = strip_outer_parens(s)
+        ors = split_top(s, "OR")
+        if len(ors) > 1:
+            return "(" + " | ".join(compile_bool(p) for p in ors) + ")"
+        ands = split_top(s, "AND")
+        if len(ands) > 1:
+            return "(" + " & ".join(compile_bool(p) for p in ands) + ")"
+        m = _re.match(r"\s*NOT\b(.*)$", s, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            return "(~" + compile_bool(m.group(1)) + ")"
+        return compile_cmp(s)
+
+    def compile_cmp(s: str) -> str:
+        s = strip_outer_parens(s)
+        # one top-level comparison operator
+        depth, i, n = 0, 0, len(s)
+        while i < n:
+            ch = s[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "'":
+                i += 1
+                while i < n and s[i] != "'":
+                    i += 1
+            elif depth == 0:
+                for op, py in (("<>", "!="), ("<=", "<="), (">=", ">="),
+                               ("=", "=="), ("<", "<"), (">", ">")):
+                    if s.startswith(op, i):
+                        lhs, rhs = s[:i], s[i + len(op):]
+                        return f"({compile_arith(lhs)} {py} {compile_arith(rhs)})"
+            i += 1
+        raise NotImplementedError(
+            f"streaming DEFINE subset: expected a comparison, got {s!r}"
+        )
+
+    def compile_arith(s: str) -> str:
+        s = strip_outer_parens(s)
+        out, depth, i, n = [], 0, 0, len(s)
+        while i < n:
+            ch = s[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "'":
+                j = s.index("'", i + 1)
+                out.append(s[i : j + 1])
+                i = j + 1
+                continue
+            if depth == 0 and ch in "+-*/":
+                out.append(f" {ch} ")
+                i += 1
+                continue
+            out.append(ch)
+            i += 1
+        return "(" + compile_atoms("".join(out)) + ")"
+
+    sym_alt = "|".join(symbols)
+
+    def compile_atoms(s: str) -> str:
+        s = _re.sub(
+            r"\bPREV\s*\(\s*(?:" + sym_alt + r")\.(\w+)\s*(?:,\s*(\d+))?\s*\)",
+            lambda m: f'pdf["{m.group(1)}"].shift({m.group(2) or 1})',
+            s,
+            flags=_re.IGNORECASE,
+        )
+        if _re.search(r"\b(NEXT|FIRST|LAST|FINAL|RUNNING|CLASSIFIER)\s*\(", s, _re.IGNORECASE):
+            raise NotImplementedError(
+                "streaming DEFINE subset: NEXT/FIRST/LAST/aggregates not supported"
+            )
+        s = _re.sub(r"\b(?:" + sym_alt + r")\.(\w+)", r'pdf["\1"]', s)
+        leftover = _re.search(r"(?<![.\w])([A-Za-z_]\w*)\s*\(", s)
+        if leftover:
+            raise NotImplementedError(
+                f"streaming DEFINE subset: function {leftover.group(1)!r} not supported"
+            )
+        return s
+
+    src = compile_bool(expr)
+    code = compile(src, "<define>", "eval")
+
+    def predicate(pdf):
+        result = eval(code, {"__builtins__": {}}, {"pdf": pdf})
+        return result.fillna(False) if hasattr(result, "fillna") else result
+
+    predicate.__doc__ = f"DEFINE {expr!r} -> {src}"
+    return predicate

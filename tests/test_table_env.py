@@ -602,3 +602,73 @@ def test_module_statements_are_loud(tenv):
                  "USE MODULES core", "LOAD MODULE hive", "UNLOAD MODULE core"):
         with pytest.raises(NotImplementedError):
             tenv.execute_sql(stmt)
+
+
+def test_match_recognize_sql_on_streaming_view(tenv, spark, tmp_dir):
+    """MATCH_RECOGNIZE SQL text on a STREAMING view routes through the
+    incremental NFA and equals the batch result on the same data —
+    including PREV in DEFINE (compiled to a pandas shift over buffered
+    history) and CLASSIFIER/MATCH_NUMBER measures."""
+    import os
+
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+    from tests.test_streaming import run_to_memory
+
+    rows = [(1, i, float(v)) for i, v in enumerate([5, 3, 1, 4, 6, 2, 1, 3, 7, 5])]
+    df = spark.createDataFrame(rows, "k int, pos int, price double")
+    sql_text = """
+        SELECT pos, sym, mno FROM {src}
+        MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY pos
+          MEASURES CLASSIFIER() AS sym, MATCH_NUMBER() AS mno
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN+ UP+)
+          DEFINE DOWN AS DOWN.price < PREV(DOWN.price),
+                 UP AS UP.price > PREV(UP.price)
+        )
+    """
+    tenv.create_temporary_view("mr_batch_src", df)
+    expected = sorted(
+        map(tuple, tenv.execute_sql(sql_text.format(src="mr_batch_src")).collect())
+    )
+    assert expected, "fixture must produce matches"
+
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "mr_stream"), n_chunks=3, order_col="pos"
+    )
+    stream.createOrReplaceTempView("mr_stream_src")
+    sdf = tenv.execute_sql(sql_text.format(src="mr_stream_src"))
+    assert sdf.isStreaming
+    got = sorted(
+        map(tuple, run_to_memory(spark, sdf, "mr_sql_stream_out", tmp_dir, mode="append").collect())
+    )
+    assert got == expected
+
+
+def test_match_recognize_sql_streaming_subset_is_loud(tenv, spark, tmp_dir):
+    import os
+
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    df = spark.createDataFrame([(1, 0, 1.0)], "k int, pos int, price double")
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "mr_loud"), n_chunks=1, order_col="pos"
+    )
+    stream.createOrReplaceTempView("mr_loud_src")
+    with pytest.raises(NotImplementedError, match="ONE ROW PER MATCH"):
+        tenv.execute_sql("""
+            SELECT * FROM mr_loud_src MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY pos
+              MEASURES COUNT(A.pos) AS n ONE ROW PER MATCH
+              PATTERN (A+) DEFINE A AS A.price > 0
+            )
+        """)
+    with pytest.raises(NotImplementedError, match="streaming MEASURES subset"):
+        tenv.execute_sql("""
+            SELECT * FROM mr_loud_src MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY pos
+              MEASURES SUM(A.price) AS s ALL ROWS PER MATCH
+              PATTERN (A+) DEFINE A AS A.price > 0
+            )
+        """)
