@@ -47,6 +47,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_sequence_pack",
     "q_domain_mix_sample",
     "q_embedding_quantize",
+    "q_quantized_topk",
     # TPC-H tails never sampled by the r2/r3 caps
     "q2_min_cost_supplier",
     "q8_market_share",

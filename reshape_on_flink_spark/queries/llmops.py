@@ -944,3 +944,50 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "scale", F.posexplode("q").alias("i", "q"))
         .select("vec_id", "scale", F.col("i").cast("long").alias("i"), "q")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantized-index ANN search, value-checked (not merely recall-tested):
+# the oracle reconstructs the SAME int8 codes (round(x/scale)*scale) and
+# re-ranks with the shared cosine kernel, so the compressed-index search
+# is hash-gated end-to-end (llm/similarity.quantized_topk).
+# ---------------------------------------------------------------------------
+@query(
+    "q_quantized_topk",
+    """
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, ve,
+             GREATEST(list_max(list_transform(ve, x -> abs(x))) / 127.0, 1e-12) AS scale
+      FROM v
+    ),
+    rec AS (
+      SELECT vec_id, list_transform(ve, x -> ROUND(x / scale) * scale) AS rv
+      FROM s
+    ),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+    sc AS (
+      SELECT query_id, r.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(qvec, r.rv),
+                                     x -> CAST(x[1] AS DOUBLE) * x[2]))
+             / (sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(r.rv, x -> x * x))))
+             AS cos_sim
+      FROM q, rec r WHERE r.vec_id <> q.query_id
+    )
+    SELECT query_id, "rank", neighbor_id, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS "rank"
+      FROM sc)
+    WHERE "rank" <= 5
+    ORDER BY query_id, "rank"
+    """,
+)
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.quantized_topk(emb, emb.where(F.col("vec_id") < 10), k=5).orderBy(
+        "query_id", "rank"
+    )
