@@ -319,3 +319,42 @@ def test_cep_to_next_row_agrees_with_per_position_regex(rows, pattern_str):
     # every position — but positions INSIDE a failed region are attempted
     # too, so the sets coincide exactly
     assert got == expected, (text, regex.pattern)
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),               # stream
+            st.integers(min_value=0, max_value=10**6),   # doc id (unique)
+            st.integers(min_value=0, max_value=40),      # token count
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: t[1],
+    )
+)
+def test_pack_layout_properties(spark, rows):
+    """For ANY corpus: per stream in id order, offsets are the exact
+    running token sum (contiguity), pack math is floor/mod-consistent,
+    and spanned counts cover the doc's token footprint."""
+    from reshape_on_flink_spark.llm.pack import pack_sequences
+
+    seq_len = 16
+    df = spark.createDataFrame(
+        [(s, i, "x " * n) for s, i, n in rows], "lang string, doc_id long, text string"
+    )
+    got = sorted(
+        (
+            (r["lang"], r["doc_id"], r["n_tokens"], r["tok_offset"],
+             r["pack_id"], r["pack_offset"], r["n_packs_spanned"])
+            for r in pack_sequences(df, seq_len).collect()
+        )
+    )
+    running = {}
+    for lang, did, n_tok, off, pid, poff, spanned in got:
+        assert off == running.get(lang, 0), (lang, did)
+        running[lang] = off + n_tok
+        assert pid == off // seq_len and poff == off % seq_len
+        last = off + max(n_tok, 1) - 1
+        assert spanned == last // seq_len - pid + 1
