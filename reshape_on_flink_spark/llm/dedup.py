@@ -11,6 +11,20 @@
   parallelizes; no O(n²) stage exists anywhere. Near-dup clusters beyond
   pairs need iterative connected components — out of scope here (the pair
   table + keeper-min is the 1-hop approximation).
+- **Hot-bucket cap**: a band bucket with B members would emit B² rows
+  inside ONE join key — the classic LSH skew bomb (near-identical
+  boilerplate puts millions of web docs in the same bucket in EVERY
+  band, so per-bucket truncation would silently exempt exactly those
+  docs from dedup). Every candidate generator therefore switches any
+  bucket larger than ``max_bucket_size`` to a *star* formulation:
+  (min-id pivot, member) pairs — linear in B, connectivity through the
+  pivot preserved for :func:`dedup_clusters`, per-task input bounded by
+  max(B, cap²). Capped-bucket row counts are surfaced via
+  ``df.observe`` (named ``lsh_bucket_cap_*``). Trade-off (documented,
+  tested): within an oversized bucket, member↔member pairs whose
+  similarity passes the downstream check but whose pivot pairs don't
+  are not emitted — acceptable because oversized buckets are by
+  construction near-clone cliques.
 - **SimHash** is one groupBy over (doc, bit) — linear, and the banding
   trick reuses the LSH join shape for Hamming-neighbor candidates.
 - All hashes derive from `hash60` (md5-based) so every stage is
@@ -18,6 +32,8 @@
 """
 
 from __future__ import annotations
+
+import itertools
 
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
@@ -34,6 +50,15 @@ MINHASH_PARAMS: tuple[tuple[int, int], ...] = tuple(
 ROWS_PER_BAND = 2  # 16 hashes -> 8 bands of 2
 
 SIMHASH_BITS = 48  # bits of hash60 used for the simhash fingerprint
+
+#: Default per-(band, band_key) membership bound before a bucket switches
+#: from all-pairs to the linear star formulation. 64 members = at most
+#: 2016 pairs per bucket key; large enough that real small-SF fixtures
+#: never trip it (oracle parity), small enough that one reducer never
+#: sees a quadratic blowup.
+DEFAULT_BUCKET_CAP = 64
+
+_OBS_SEQ = itertools.count()
 
 
 _spread = spread  # shared with llm.text
@@ -125,19 +150,72 @@ def lsh_bands(sig_array_df: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidates(band_df: DataFrame) -> DataFrame:
-    """Distinct candidate pairs (d1 < d2) sharing at least one band."""
-    left = band_df.select(F.col("doc_id").alias("d1"), "band", "band_key")
-    right = band_df.select(F.col("doc_id").alias("d2"), "band", "band_key")
+def _capped_bucket_pairs(
+    df: DataFrame,
+    key_cols: list[str],
+    payload_cols: list[str],
+    max_bucket_size: int,
+) -> DataFrame:
+    """Candidate pairs within each bucket, skew-bounded (shared engine for
+    the minhash/simhash/embedding LSH joins).
+
+    ``df`` has one row per (bucket member); buckets are the ``key_cols``
+    groups; ``payload_cols[0]`` is the id (orderable, unique). Buckets
+    with ≤ max_bucket_size members produce exact all-pairs via a
+    self-join; larger buckets produce (pivot=min-id, member) star pairs —
+    linear, one window pass. Returns columns ``a_<col>``/``b_<col>`` for
+    every payload col, with a_id < b_id. The window shuffles on exactly
+    the join key, so the self-join reuses its exchange; the star branch
+    adds no shuffle at all.
+
+    Reference analog: the Reshape controller's whole premise is that one
+    overloaded reducer must shed load (README.md:15-23) — here the shed
+    happens statically in the plan instead of at runtime.
+    """
+    id_col = payload_cols[0]
+    w = W.partitionBy(*key_cols)
+    pivot_struct = F.min(F.struct(*payload_cols)).over(w)
+    sized = df.select(
+        *key_cols,
+        *payload_cols,
+        F.count(F.lit(1)).over(w).alias("_bsz"),
+        pivot_struct.alias("_pivot"),
+    )
+    small = sized.where(F.col("_bsz") <= max_bucket_size)
+    big = sized.where(F.col("_bsz") > max_bucket_size).observe(
+        f"lsh_bucket_cap_{next(_OBS_SEQ)}",
+        F.count(F.lit(1)).alias("capped_member_rows"),
+        F.max("_bsz").alias("max_bucket_size_seen"),
+    )
+    a = small.select(*key_cols, *[F.col(c).alias(f"a_{c}") for c in payload_cols])
+    b = small.select(*key_cols, *[F.col(c).alias(f"b_{c}") for c in payload_cols])
+    all_pairs = a.join(b, key_cols).where(F.col(f"a_{id_col}") < F.col(f"b_{id_col}"))
+    star = big.where(F.col(id_col) != F.col("_pivot")[id_col]).select(
+        *key_cols,
+        *[F.col("_pivot")[c].alias(f"a_{c}") for c in payload_cols],
+        *[F.col(c).alias(f"b_{c}") for c in payload_cols],
+    )
+    out_cols = [f"a_{c}" for c in payload_cols] + [f"b_{c}" for c in payload_cols]
+    return all_pairs.select(*out_cols).union(star.select(*out_cols))
+
+
+def lsh_candidates(band_df: DataFrame, max_bucket_size: int = DEFAULT_BUCKET_CAP) -> DataFrame:
+    """Distinct candidate pairs (d1 < d2) sharing at least one band.
+
+    Buckets larger than ``max_bucket_size`` emit linear star pairs
+    instead of all-pairs (see module docstring, "Hot-bucket cap")."""
+    pairs = _capped_bucket_pairs(
+        band_df, ["band", "band_key"], ["doc_id"], max_bucket_size
+    )
     return (
-        left.join(right, ["band", "band_key"])
-        .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
+        pairs.select(F.col("a_doc_id").alias("d1"), F.col("b_doc_id").alias("d2"))
         .distinct()
     )
 
 
-def minhash_near_duplicates(df: DataFrame, n: int = 3) -> DataFrame:
+def minhash_near_duplicates(
+    df: DataFrame, n: int = 3, max_bucket_size: int = DEFAULT_BUCKET_CAP
+) -> DataFrame:
     """Candidate pairs with their estimated Jaccard (matching signature
     fraction). Returns (d1, d2, est_jaccard). Only the candidate pairs
     (post-LSH) ever compare full signatures — two broadcast-size joins of
@@ -145,7 +223,7 @@ def minhash_near_duplicates(df: DataFrame, n: int = 3) -> DataFrame:
     # the signature table is reused three times (bands, d1 side, d2 side)
     # and is tiny relative to the corpus (16 longs per doc) — persist it
     sig = minhash_sig_array(df, n).persist()
-    cand = lsh_candidates(lsh_bands(sig))
+    cand = lsh_candidates(lsh_bands(sig), max_bucket_size)
     s1 = sig.select(F.col("doc_id").alias("d1"), F.col("sigs").alias("sigs1"))
     s2 = sig.select(F.col("doc_id").alias("d2"), F.col("sigs").alias("sigs2"))
     n_hashes = len(MINHASH_PARAMS)
@@ -222,10 +300,15 @@ def _pow2(b):  # b: 0-based bit index column
     return F.element_at(F.array(*[F.lit(p).cast("long") for p in _POW2]), b + 1)
 
 
-def simhash_near_duplicates(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_duplicates(
+    sim_df: DataFrame, max_hamming: int = 3, max_bucket_size: int = DEFAULT_BUCKET_CAP
+) -> DataFrame:
     """Hamming-ball candidate pairs via 4-chunk banding (any doc pair
     within Hamming distance 3 of a 48-bit fingerprint shares at least one
-    of 4 12-bit chunks... chunk width 12). Returns (d1, d2, hamming)."""
+    of 4 12-bit chunks... chunk width 12). Returns (d1, d2, hamming).
+
+    Oversized chunk buckets fall back to star pairs (module docstring,
+    "Hot-bucket cap")."""
     chunk_width = SIMHASH_BITS // 4
     chunks = F.array(*[F.lit(c) for c in range(4)])
     banded = sim_df.select(
@@ -238,12 +321,15 @@ def simhash_near_duplicates(sim_df: DataFrame, max_hamming: int = 3) -> DataFram
         "chunk",
         F.expr(f"shiftright(simhash, chunk * {chunk_width}) & {(1 << chunk_width) - 1}").alias("chunk_val"),
     )
-    left = banded.select(F.col("doc_id").alias("d1"), F.col("simhash").alias("h1"), "chunk", "chunk_val")
-    right = banded.select(F.col("doc_id").alias("d2"), F.col("simhash").alias("h2"), "chunk", "chunk_val")
+    pairs = _capped_bucket_pairs(
+        banded, ["chunk", "chunk_val"], ["doc_id", "simhash"], max_bucket_size
+    )
     return (
-        left.join(right, ["chunk", "chunk_val"])
-        .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))).alias("hamming"))
+        pairs.select(
+            F.col("a_doc_id").alias("d1"),
+            F.col("b_doc_id").alias("d2"),
+            F.bit_count(F.col("a_simhash").bitwiseXOR(F.col("b_simhash"))).alias("hamming"),
+        )
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
@@ -352,11 +438,14 @@ def embedding_near_dups_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Approximate near-dup pairs at corpus scale: sign-LSH bucket join
     for candidates (linear shuffle, no O(N²) stage), exact cosine
     re-check. Recall vs the exact operator is asserted in
-    tests/test_llm.py; raise n_tables for higher recall."""
+    tests/test_llm.py; raise n_tables for higher recall. Oversized
+    buckets fall back to star pairs (module docstring, "Hot-bucket
+    cap")."""
     from reshape_on_flink_spark.llm.similarity import _bucket_array, cosine
 
     tagged = emb.select(
@@ -364,17 +453,11 @@ def embedding_near_dups_lsh(
         F.col(vec_col).alias("_vec"),
         F.explode(_bucket_array(vec_col, n_tables, n_planes, dim, seed)).alias("tb"),
     ).select("_id", "_vec", "tb.table", "tb.bucket")
-    a = tagged.select(
-        F.col("_id").alias("a_id"), F.col("_vec").alias("a_vec"), "table", "bucket"
-    )
-    b = tagged.select(
-        F.col("_id").alias("b_id"), F.col("_vec").alias("b_vec"), "table", "bucket"
-    )
-    cand = (
-        a.join(b, ["table", "bucket"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .dropDuplicates(["a_id", "b_id"])
-    )
-    return cand.select("a_id", "b_id", cosine("a_vec", "b_vec").alias("cos_sim")).where(
-        F.col("cos_sim") >= threshold
-    )
+    cand = _capped_bucket_pairs(
+        tagged, ["table", "bucket"], ["_id", "_vec"], max_bucket_size
+    ).dropDuplicates(["a__id", "b__id"])
+    return cand.select(
+        F.col("a__id").alias("a_id"),
+        F.col("b__id").alias("b_id"),
+        cosine("a__vec", "b__vec").alias("cos_sim"),
+    ).where(F.col("cos_sim") >= threshold)

@@ -142,6 +142,57 @@ def test_embedding_near_dup_lsh_recall(spark, tables):
         assert approx[k] == exact[k]
 
 
+def test_lsh_bucket_cap_star_path_bounded_and_connected(spark):
+    """The LSH skew bomb, defused: 2000 near-identical docs land in ONE
+    bucket per band (uncapped all-pairs would be ~2M rows per band inside
+    one join key). With the cap, the candidate stage emits exactly the
+    n-1 linear star pairs, and connectivity survives for clustering."""
+    n = 2000
+    rows = [(i, "the same boilerplate license header text repeated everywhere") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = D.minhash_sig_array(df)
+    cand = D.lsh_candidates(D.lsh_bands(sig), max_bucket_size=64)
+    pairs = cand.collect()
+    # star: every non-pivot doc pairs with the pivot (doc 0), nothing else
+    assert len(pairs) == n - 1
+    assert {(r["d1"], r["d2"]) for r in pairs} == {(0, i) for i in range(1, n)}
+    clusters = D.dedup_clusters(cand)
+    assert clusters.where(F.col("keeper_id") == 0).count() == n
+    # wall-clock sanity is implicit: uncapped would join 8 bands x 2000^2
+
+
+def test_lsh_cap_noop_on_small_buckets(spark, tables):
+    """Capped and uncapped candidates are identical when no bucket
+    exceeds the cap — the oracle-parity guarantee for the gate fixtures."""
+    d = tables["documents"].limit(80)
+    bands = D.lsh_bands(D.minhash_sig_array(d))
+    capped = {(r["d1"], r["d2"]) for r in D.lsh_candidates(bands).collect()}
+    uncapped = {(r["d1"], r["d2"]) for r in D.lsh_candidates(bands, max_bucket_size=1 << 30).collect()}
+    assert capped == uncapped
+
+
+def test_simhash_cap_star_keeps_clone_connectivity(spark):
+    """100 identical fingerprints in one chunk bucket with cap 10: the
+    star pairs all carry hamming 0 and connect every doc to the pivot."""
+    rows = [(i, 0x0F0F0F0F0F0F) for i in range(100)]
+    sim = spark.createDataFrame(rows, "doc_id long, simhash long")
+    pairs = D.simhash_near_duplicates(sim, max_hamming=0, max_bucket_size=10)
+    got = {(r["d1"], r["d2"]) for r in pairs.collect()}
+    assert got == {(0, i) for i in range(1, 100)}
+
+
+def test_embedding_lsh_cap_star_still_exact_checked(spark, tables):
+    """With a tiny cap, every emitted pair must still pass the exact
+    cosine re-check (no false positives), and every vector sharing a
+    bucket with the pivot stays reachable."""
+    from reshape_on_flink_spark.llm.dedup import embedding_near_dups, embedding_near_dups_lsh
+
+    emb = tables["embeddings"]
+    exact = {(r["a_id"], r["b_id"]) for r in embedding_near_dups(emb).collect()}
+    capped = {(r["a_id"], r["b_id"]) for r in embedding_near_dups_lsh(emb, max_bucket_size=8).collect()}
+    assert capped <= exact  # star pairs re-checked by the same cosine kernel
+
+
 def test_ivf_recall_vs_brute_force(spark, tables):
     from reshape_on_flink_spark.llm.similarity import ann_ivf_topk, brute_force_topk
 
