@@ -66,6 +66,74 @@ def session_agg(
     )
 
 
+def cumulate_agg(
+    events: DataFrame,
+    *,
+    max_size: str = "1 hour",
+    step: str = "15 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming CUMULATE — growing windows sharing a max window
+    (reference SliceAssigners.java:93, CumulativeSliceAssigner; the
+    reference's slicing window operator is streaming-first).
+
+    Spark-first slice sharing: ONE stateful aggregation keyed on the
+    native event-time ``window(ts, max_size)`` — so state is
+    watermark-purged and append mode works — computing per-slice
+    *conditional* partial aggregates (slice k counts only rows with
+    ``ts < window_start + k*step``); the per-slice rows are exploded
+    AFTER the aggregation. Compared to the batch explode plan
+    (operators/windows.cumulate), the shuffle carries 1/n_slices the
+    rows: the expansion happens on aggregated state, not events.
+
+    Output matches queries/streaming_batch.q_cumulate_window:
+    (ws, we, n, sum_value), slices with no events omitted.
+    """
+    from reshape_on_flink_spark.operators.windows import parse_duration
+    from reshape_on_flink_spark.queries.numeric import dec
+
+    max_s = parse_duration(max_size)
+    step_s = parse_duration(step)
+    if max_s % step_s != 0:
+        raise ValueError("max_size must be a multiple of step")
+    n_slices = max_s // step_s
+
+    us = F.unix_micros(F.col("ts"))
+    ws = (us / F.lit(1_000_000 * max_s)).cast("bigint") * max_s
+    in_slice = [
+        us < (ws + F.lit(k * step_s)) * F.lit(1_000_000) for k in range(1, n_slices + 1)
+    ]
+    pre = events.withWatermark("ts", watermark).select(
+        "ts",
+        *[F.when(c, F.lit(1)).otherwise(F.lit(0)).alias(f"_c{k}") for k, c in enumerate(in_slice)],
+        *[F.when(c, dec("value")).alias(f"_v{k}") for k, c in enumerate(in_slice)],
+    )
+    agg = pre.groupBy(F.window("ts", f"{max_s} seconds").alias("w")).agg(
+        *[F.sum(f"_c{k}").alias(f"_n{k}") for k in range(n_slices)],
+        *[F.sum(f"_v{k}").cast("double").alias(f"_s{k}") for k in range(n_slices)],
+    )
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(k + 1).alias("k"),
+                F.col(f"_n{k}").alias("n"),
+                F.col(f"_s{k}").alias("s"),
+            )
+            for k in range(n_slices)
+        ]
+    )
+    return (
+        agg.select(F.unix_timestamp("w.start").alias("ws"), F.explode(slices).alias("sl"))
+        .select(
+            "ws",
+            (F.col("ws") + F.col("sl.k") * F.lit(step_s)).alias("we"),
+            F.col("sl.n").alias("n"),
+            F.col("sl.s").alias("sum_value"),
+        )
+        .where(F.col("n") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup — reference StreamExecDeduplicate (keep-first / keep-last).
 # ---------------------------------------------------------------------------

@@ -57,6 +57,40 @@ def test_session_agg_stream_matches_batch(spark, tables, events_stream_factory, 
     assert_same_rows(got.select("user_id", "session_start", "n_events", "sum_value"), expected)
 
 
+def test_cumulate_agg_stream_matches_batch(spark, tables, events_stream_factory, tmp_dir):
+    """Streaming CUMULATE (slice-shared single agg) == batch explode
+    formulation (operators/windows.cumulate via q_cumulate_window)."""
+    from reshape_on_flink_spark.queries.streaming_batch import q_cumulate_window
+    from reshape_on_flink_spark.streaming.ops import cumulate_agg
+
+    sdf = cumulate_agg(events_stream_factory("cumulate"))
+    got = run_to_memory(spark, sdf, "cumulate_out", tmp_dir, mode="complete")
+    expected = q_cumulate_window(spark, SF_DIR)
+    assert_same_rows(got.select("ws", "we", "n", "sum_value"), expected)
+
+
+def test_cumulate_agg_append_mode_is_valid_and_purgeable(
+    spark, tables, events_stream_factory, tmp_dir
+):
+    """The slice-shared form groups on the native event-time window, so
+    append mode must VALIDATE (watermark-managed state) — the batch-style
+    groupBy on derived bigints would be rejected here. Emitted rows are
+    the watermark-closed subset of the batch result."""
+    from reshape_on_flink_spark.queries.streaming_batch import q_cumulate_window
+    from reshape_on_flink_spark.streaming.ops import cumulate_agg
+
+    sdf = cumulate_agg(events_stream_factory("cumulate_ap"))
+    got = run_to_memory(spark, sdf, "cumulate_ap_out", tmp_dir, mode="append")
+    expected = {
+        (r["ws"], r["we"]): (r["n"], r["sum_value"])
+        for r in q_cumulate_window(spark, SF_DIR).collect()
+    }
+    emitted = {(r["ws"], r["we"]): (r["n"], r["sum_value"]) for r in got.collect()}
+    assert set(emitted) <= set(expected)
+    for k, v in emitted.items():
+        assert v == expected[k], k
+
+
 def test_interval_join_stream_matches_batch(spark, tables, events_stream_factory, tmp_dir):
     from reshape_on_flink_spark.streaming.ops import interval_join_views_purchases
 

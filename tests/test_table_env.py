@@ -499,6 +499,35 @@ def test_flink_sql_tvf_on_streaming_view(tenv, spark, tables, tmp_dir):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
 
 
+def test_flink_sql_cumulate_tvf_on_streaming_view(tenv, spark, tables, tmp_dir):
+    """CUMULATE TVF over a STREAMING view: the slice-expansion rewrite is
+    narrow (explode + filter), so it runs as a streaming query and
+    converges to the batch TVF result. (The dedicated scale path with
+    watermark-purged state is streaming.ops.cumulate_agg, tested
+    stream-vs-batch in test_streaming.py.)"""
+    import os
+
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+    from tests.test_streaming import run_to_memory
+
+    stream = chunked_replay(
+        spark, tables["events"], os.path.join(tmp_dir, "cumstream"), n_chunks=3
+    )
+    stream.createOrReplaceTempView("events_cumstream")
+    q = """
+        SELECT window_start, window_end, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM TABLE(CUMULATE(TABLE {src}, DESCRIPTOR(ts),
+                            INTERVAL '15' MINUTE, INTERVAL '1' HOUR))
+        GROUP BY window_start, window_end
+        """
+    sdf = tenv.execute_sql(q.format(src="events_cumstream"))
+    assert sdf.isStreaming
+    got = run_to_memory(spark, sdf, "cumstream_out", tmp_dir, mode="complete")
+    expected = tenv.execute_sql(q.format(src="events"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+
 # --- DDL/DQL statement surface (flink-sql-parser ddl/ + dql/) -------------
 
 
