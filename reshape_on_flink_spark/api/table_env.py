@@ -35,11 +35,12 @@ Translated constructs
 5. MATCH_RECOGNIZE (``execute_sql`` only — needs the session): the
    clause is parsed (PARTITION BY / ORDER BY / MEASURES / PATTERN /
    DEFINE with PREV(SYM.col[, n]) -> lag over the partition window) and
-   routed through ``operators.cep.match_recognize``; MEASURES
+   routed through ``operators.cep.match_recognize`` (batch) or
+   ``streaming_match_recognize`` (streaming views); MEASURES
    (FIRST/LAST/COUNT/SUM/MIN/MAX/AVG over symbol-prefixed columns,
-   MATCH_NUMBER()) become ordinary aggregations over match_id, and the
-   outer query runs against the per-match result view. ONE ROW PER
-   MATCH + SKIP PAST LAST ROW only (loud errors otherwise).
+   MATCH_NUMBER(), CLASSIFIER(), RUNNING/FINAL prefixes) with ONE ROW
+   or ALL ROWS PER MATCH and every AFTER MATCH SKIP strategy, on BOTH
+   routes (stream == batch pinned in tests/test_table_env.py).
 
 6. ``[LEFT] JOIN r FOR SYSTEM_TIME AS OF l.t ON l.k = r.k``
    (``execute_sql`` only): routed through operators.joins.asof_join
@@ -542,11 +543,11 @@ class TableEnvironment:
     # frames over (partition, match_id). Loud errors otherwise.
     #
     # A STREAMING source view routes through streaming_match_recognize
-    # (incremental NFA in keyed state, all skip strategies): ALL ROWS
-    # PER MATCH, DEFINE compiled to pandas predicates
-    # (operators.cep.pandas_predicate), MEASURES limited to
-    # CLASSIFIER()/MATCH_NUMBER() — aggregates run downstream as
-    # ordinary watermarked streaming SQL.
+    # (incremental NFA in keyed state, all skip strategies): ONE ROW and
+    # ALL ROWS PER MATCH, DEFINE compiled to pandas predicates
+    # (operators.cep.pandas_predicate, PREV offsets sized into the
+    # retained context), full MEASURES computed per completed match
+    # inside the stateful operator.
 
     _MR_SECTION_STOP = (
         r"(?=\bPARTITION\s+BY\b|\bORDER\s+BY\b|\bMEASURES\b|\bONE\s+ROW\b|"
@@ -644,77 +645,22 @@ class TableEnvironment:
                 else F.expr(mr_expr(dm.group(2)))
             )
 
-        if streaming:
-            # STREAMING subset (reference: MATCH_RECOGNIZE is primarily a
-            # streaming feature — StreamExecMatch): the incremental NFA
-            # with all skip strategies; DEFINE via the pandas translator;
-            # ALL ROWS PER MATCH with CLASSIFIER()/MATCH_NUMBER() only
-            # (RUNNING/FINAL aggregates would need window functions,
-            # which streams don't have — aggregate the emitted rows with
-            # ordinary watermarked streaming SQL instead).
-            if not all_rows:
-                raise NotImplementedError(
-                    "streaming MATCH_RECOGNIZE supports ALL ROWS PER MATCH "
-                    "(aggregate match rows downstream); ONE ROW PER MATCH "
-                    "needs a streaming aggregation the caller owns"
-                )
-            if len(part_cols) != 1:
-                raise NotImplementedError(
-                    "streaming MATCH_RECOGNIZE: single PARTITION BY column"
-                )
-            matched = streaming_match_recognize(
-                src_df,
-                partition_by=part_cols[0],
-                order_cols=order_cols,
-                pattern=pattern,
-                define=define,
-                input_cols=src_df.columns,
-                after_match=after_match,
-            )
-            out_cols = []
-            for item in _split_top(measures_s):
-                mm = re.match(r"(.+?)\s+AS\s+(\w+)$", item.strip(), re.IGNORECASE | re.DOTALL)
-                if not mm:
-                    raise ValueError(f"bad MEASURES item: {item!r}")
-                expr, alias = mm.group(1).strip(), mm.group(2)
-                if re.fullmatch(r"MATCH_NUMBER\s*\(\s*\)", expr, re.IGNORECASE):
-                    out_cols.append((F.col("match_id") + 1).alias(alias))
-                elif re.fullmatch(r"CLASSIFIER\s*\(\s*\)", expr, re.IGNORECASE):
-                    out_cols.append(F.col("matched_symbol").alias(alias))
-                else:
-                    raise NotImplementedError(
-                        "streaming MEASURES subset: CLASSIFIER()/MATCH_NUMBER() "
-                        f"only (got {expr!r}); aggregate downstream"
-                    )
-            data_cols = [c for c in matched.columns if c not in ("match_id", "matched_symbol")]
-            per_match = matched.select(*data_cols, *out_cols)
-            view = f"__mr_{abs(hash(sql)) % 10**8}"
-            per_match.createOrReplaceTempView(view)
-            outer = sql[: fm.start(1)] + view + sql[end:]
-            return self.execute_sql(outer)
-
-        matched = match_recognize(
-            src_df, part_cols, order_cols, pattern, define,
-            after_match=after_match,
-        )
-
-        order_key = F.struct(*[F.col(c) for c in order_cols])
-        sym_col = F.col("matched_symbol")
-        # measure descriptors: ("match_number"|"classifier", alias) or
-        # ("agg", agg_builder, alias, mode) with mode in running|final
-        measures = []
+        # measure descriptors (shared batch/streaming):
+        # ("match_number"|"classifier", None, alias, None) or
+        # ("agg", (FN, sym|None, col|'*'), alias, mode) mode running|final
+        parsed = []
         for item in _split_top(measures_s):
             mm = re.match(r"(.+?)\s+AS\s+(\w+)$", item.strip(), re.IGNORECASE | re.DOTALL)
             if not mm:
                 raise ValueError(f"bad MEASURES item: {item!r}")
             expr, alias = mm.group(1).strip(), mm.group(2)
             if re.fullmatch(r"MATCH_NUMBER\s*\(\s*\)", expr, re.IGNORECASE):
-                measures.append(("match_number", None, alias, None))
+                parsed.append(("match_number", None, alias, None))
                 continue
             if re.fullmatch(r"CLASSIFIER\s*\(\s*\)", expr, re.IGNORECASE):
                 if not all_rows:
                     raise NotImplementedError("CLASSIFIER() needs ALL ROWS PER MATCH")
-                measures.append(("classifier", None, alias, None))
+                parsed.append(("classifier", None, alias, None))
                 continue
             # RUNNING/FINAL semantics prefix (Flink: ALL ROWS defaults to
             # RUNNING, ONE ROW measures are always FINAL)
@@ -734,22 +680,64 @@ class TableEnvironment:
             fn, sym, col = am.group(1).upper(), am.group(2), am.group(3)
             if sym is not None and sym not in symbols:
                 raise ValueError(f"MEASURES references unknown symbol {sym!r}")
+            if col == "*" and fn != "COUNT":
+                raise NotImplementedError(f"{fn}(*) in MEASURES")
+            parsed.append(("agg", (fn, sym, col), alias, mode))
+        if not parsed:
+            raise ValueError("empty MEASURES")
+
+        if streaming:
+            # STREAMING route (reference: MATCH_RECOGNIZE is primarily a
+            # streaming feature — StreamExecMatch): incremental NFA with
+            # all skip strategies; DEFINE via the pandas translator;
+            # ONE ROW and ALL ROWS PER MATCH with full RUNNING/FINAL
+            # MEASURES, computed per completed match inside the stateful
+            # operator (a match only emits whole, so both frames are
+            # decided at emission). PREV(col, n) retention: keep exactly
+            # max-offset context rows across micro-batch boundaries.
+            context_rows = max(
+                1, max((getattr(p, "max_prev", 0) for p in define.values()), default=0)
+            )
+            per_match = streaming_match_recognize(
+                src_df,
+                partition_by=part_cols,
+                order_cols=order_cols,
+                pattern=pattern,
+                define=define,
+                input_cols=src_df.columns,
+                after_match=after_match,
+                context_rows=context_rows,
+                measures=parsed,
+                one_row=not all_rows,
+            )
+            view = f"__mr_{abs(hash(sql)) % 10**8}"
+            per_match.createOrReplaceTempView(view)
+            outer = sql[: fm.start(1)] + view + sql[end:]
+            return self.execute_sql(outer)
+
+        matched = match_recognize(
+            src_df, part_cols, order_cols, pattern, define,
+            after_match=after_match,
+        )
+
+        order_key = F.struct(*[F.col(c) for c in order_cols])
+        sym_col = F.col("matched_symbol")
+
+        def catalyst_agg(fn: str, sym: str | None, col: str):
             cond = sym_col == sym if sym is not None else F.lit(True)
             if col == "*":
-                if fn != "COUNT":
-                    raise NotImplementedError(f"{fn}(*) in MEASURES")
-                agg = F.count(F.when(cond, F.lit(1)))
-            else:
-                val = F.when(cond, F.col(col))
-                if fn == "FIRST":
-                    agg = F.min_by(val, F.when(cond, order_key))
-                elif fn == "LAST":
-                    agg = F.max_by(val, F.when(cond, order_key))
-                else:
-                    agg = getattr(F, fn.lower())(val)
-            measures.append(("agg", agg, alias, mode))
-        if not measures:
-            raise ValueError("empty MEASURES")
+                return F.count(F.when(cond, F.lit(1)))
+            val = F.when(cond, F.col(col))
+            if fn == "FIRST":
+                return F.min_by(val, F.when(cond, order_key))
+            if fn == "LAST":
+                return F.max_by(val, F.when(cond, order_key))
+            return getattr(F, fn.lower())(val)
+
+        measures = [
+            (kind, catalyst_agg(*spec) if kind == "agg" else None, alias, mode)
+            for kind, spec, alias, mode in parsed
+        ]
 
         if all_rows:
             from pyspark.sql import Window as W

@@ -898,9 +898,51 @@ def _matcher_modes(symbols: list[str], toks: list[tuple[str | tuple[str, ...], s
     return match_at
 
 
+def _measure_final_and_running(g, fn: str, sym: str | None, col: str):
+    """Per-match measure series (RUNNING) and scalar (FINAL) in pandas,
+    mirroring the batch Catalyst frames (table_env: running = rows
+    unbounded-preceding..current, final = whole match). ``g`` is ONE
+    match's rows in pattern order with a 0..n-1 RangeIndex."""
+    import numpy as np
+    import pandas as pd
+
+    cond = (
+        g["matched_symbol"] == sym if sym is not None else pd.Series(True, index=g.index)
+    )
+    if col == "*":  # COUNT(*) over cond rows
+        run = cond.cumsum().astype("int64")
+        return run, int(cond.sum())
+    s = g[col].where(cond)
+    valid = s.notna()
+    seen = valid.cummax()
+    if fn == "COUNT":
+        run = valid.cumsum().astype("int64")
+        return run, int(valid.sum())
+    if fn == "SUM":
+        run = s.fillna(0).cumsum().where(seen)
+    elif fn == "MIN":
+        run = s.cummin().ffill()  # cummin leaves NaN at masked rows; the
+        # batch running frame ignores nulls and carries the min-so-far
+    elif fn == "MAX":
+        run = s.cummax().ffill()
+    elif fn == "AVG":
+        run = s.fillna(0).cumsum().where(seen) / valid.cumsum()
+    elif fn == "FIRST":
+        fi = s.first_valid_index()
+        run = pd.Series([None] * len(g), index=g.index, dtype=s.dtype if valid.any() else object)
+        if fi is not None:
+            run.iloc[fi:] = s.iloc[fi]
+    elif fn == "LAST":
+        run = s.ffill()
+    else:  # pragma: no cover - parse layer rejects earlier
+        raise NotImplementedError(fn)
+    final = run.iloc[-1] if len(run) else np.nan
+    return run, final
+
+
 def streaming_match_recognize(
     events: DataFrame,
-    partition_by: str,
+    partition_by: str | list[str],
     order_cols: list[str],
     pattern: str,
     define: dict,
@@ -908,6 +950,8 @@ def streaming_match_recognize(
     max_pending: int = 10_000,
     context_rows: int = 1,
     after_match: str = "past_last_row",
+    measures: list | None = None,
+    one_row: bool = False,
 ) -> DataFrame:
     """MATCH_RECOGNIZE over a streaming DataFrame (applyInPandasWithState).
 
@@ -935,16 +979,29 @@ def streaming_match_recognize(
 
     100 TB: one shuffle on the key; state per key = the undecided suffix
     only (closed prefixes are dropped every batch).
+
+    ``measures`` (optional): parsed MEASURES descriptors
+    ``(kind, (fn, sym, col) | None, alias, mode)`` with kind in
+    match_number/classifier/agg and mode running/final — computed in
+    pandas per COMPLETED match (a match is only ever emitted whole, so
+    RUNNING/FINAL frames are fully determined at emission; semantics
+    mirror the batch Catalyst window frames). ``one_row=True`` emits
+    Flink's ONE ROW PER MATCH: partition cols + measures, FINAL
+    semantics. Type note (documented divergence): numeric SUM/AVG
+    measures are emitted as DOUBLE on the streaming route.
     """
     import pickle
 
     from pyspark.sql.types import (
         BinaryType,
+        DoubleType,
         LongType,
         StringType,
         StructField,
         StructType,
     )
+
+    part_cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
 
     if _is_flat(pattern):
         toks = parse_pattern(pattern)
@@ -962,11 +1019,32 @@ def streaming_match_recognize(
     skip_mode, skip_sym = _parse_after_match(after_match, symbols)
 
     sample = events.select(*input_cols)
-    out_schema = StructType(
-        [*sample.schema.fields,
-         StructField("match_id", LongType()),
-         StructField("matched_symbol", StringType())]
-    )
+    field_of = {f.name: f for f in sample.schema.fields}
+
+    def _measure_field(kind: str, spec, alias: str) -> StructField:
+        if kind == "match_number":
+            return StructField(alias, LongType())
+        if kind == "classifier":
+            return StructField(alias, StringType())
+        fn, _sym, col = spec
+        if fn == "COUNT":
+            return StructField(alias, LongType())
+        if fn in ("SUM", "AVG"):
+            return StructField(alias, DoubleType())
+        return StructField(alias, field_of[col].dataType)
+
+    if measures is not None:
+        measure_fields = [_measure_field(k, sp, al) for k, sp, al, _m in measures]
+        if one_row:
+            out_schema = StructType([field_of[c] for c in part_cols] + measure_fields)
+        else:
+            out_schema = StructType([*sample.schema.fields, *measure_fields])
+    else:
+        out_schema = StructType(
+            [*sample.schema.fields,
+             StructField("match_id", LongType()),
+             StructField("matched_symbol", StringType())]
+        )
     state_schema = StructType(
         [
             StructField("pending", BinaryType()),
@@ -1055,15 +1133,54 @@ def streaming_match_recognize(
         )
 
         if out_frames:
-            yield pd.concat(out_frames, ignore_index=True)
+            matched_rows = pd.concat(out_frames, ignore_index=True)
         else:
-            empty = pdf.iloc[0:0].copy()
-            empty["match_id"] = pd.Series([], dtype="int64")
-            empty["matched_symbol"] = pd.Series([], dtype="object")
-            yield empty
+            matched_rows = pdf.iloc[0:0].copy()
+            matched_rows["match_id"] = pd.Series([], dtype="int64")
+            matched_rows["matched_symbol"] = pd.Series([], dtype="object")
+
+        if measures is None:
+            yield matched_rows
+            return
+
+        aliases = [al for _k, _sp, al, _m in measures]
+        pieces = []
+        for mid, g in matched_rows.groupby("match_id", sort=True):
+            g = g.reset_index(drop=True)
+            if one_row:
+                row = {c: g[c].iloc[0] for c in part_cols}
+                for kind, spec, alias, _mode in measures:
+                    if kind == "match_number":
+                        row[alias] = int(mid) + 1
+                    else:  # agg, FINAL semantics (parse layer rejects classifier)
+                        row[alias] = _measure_final_and_running(g, *spec)[1]
+                pieces.append(row)
+            else:
+                for kind, spec, alias, mode in measures:
+                    if kind == "match_number":
+                        g[alias] = int(mid) + 1
+                    elif kind == "classifier":
+                        g[alias] = g["matched_symbol"]
+                    else:
+                        run_s, fin = _measure_final_and_running(g, *spec)
+                        g[alias] = run_s if mode == "running" else fin
+                pieces.append(g[input_cols + aliases])
+        if one_row:
+            out_pdf = pd.DataFrame(pieces, columns=[*part_cols, *aliases])
+        elif pieces:
+            out_pdf = pd.concat(pieces, ignore_index=True)
+        else:
+            out_pdf = pd.DataFrame(columns=[*input_cols, *aliases])
+        for f in out_schema.fields:  # pin numeric dtypes for Arrow
+            if f.name in aliases and len(out_pdf):
+                if str(f.dataType) == "DoubleType()":
+                    out_pdf[f.name] = out_pdf[f.name].astype("float64")
+                elif str(f.dataType) == "LongType()":
+                    out_pdf[f.name] = out_pdf[f.name].astype("int64")
+        yield out_pdf
 
     return (
-        sample.groupBy(partition_by)
+        sample.groupBy(*part_cols)
         .applyInPandasWithState(run, out_schema, state_schema, "append", "NoTimeout")
     )
 
@@ -1181,25 +1298,50 @@ def pandas_predicate(expr: str, symbols: list[str]):
         return "(" + compile_atoms("".join(out)) + ")"
 
     sym_alt = "|".join(symbols)
+    max_prev = [0]
 
     def compile_atoms(s: str) -> str:
-        s = _re.sub(
-            r"\bPREV\s*\(\s*(?:" + sym_alt + r")\.(\w+)\s*(?:,\s*(\d+))?\s*\)",
-            lambda m: f'pdf["{m.group(1)}"].shift({m.group(2) or 1})',
-            s,
-            flags=_re.IGNORECASE,
-        )
+        # Placeholder compilation: every recognized atom (PREV call,
+        # SYM.col ref, string literal) is lifted out, then the REMAINDER
+        # must contain nothing but numbers/operators/parens — so dotted
+        # attribute access ('pdf.sum()') and unknown bare identifiers die
+        # HERE at compile time, never executor-side in eval.
+        lifted: list[str] = []
+
+        def lift(code: str) -> str:
+            lifted.append(code)
+            return f" __P{len(lifted) - 1}__ "
+
         if _re.search(r"\b(NEXT|FIRST|LAST|FINAL|RUNNING|CLASSIFIER)\s*\(", s, _re.IGNORECASE):
             raise NotImplementedError(
                 "streaming DEFINE subset: NEXT/FIRST/LAST/aggregates not supported"
             )
-        s = _re.sub(r"\b(?:" + sym_alt + r")\.(\w+)", r'pdf["\1"]', s)
-        leftover = _re.search(r"(?<![.\w])([A-Za-z_]\w*)\s*\(", s)
-        if leftover:
+
+        def prev_repl(m: _re.Match) -> str:
+            n = int(m.group(2) or 1)
+            max_prev[0] = max(max_prev[0], n)
+            return lift(f'pdf["{m.group(1)}"].shift({n})')
+
+        s = _re.sub(
+            r"\bPREV\s*\(\s*(?:" + sym_alt + r")\.(\w+)\s*(?:,\s*(\d+))?\s*\)",
+            prev_repl,
+            s,
+            flags=_re.IGNORECASE,
+        )
+        s = _re.sub(r"'(?:[^']|'')*'", lambda m: lift(m.group(0)), s)
+        s = _re.sub(
+            r"\b(?:" + sym_alt + r")\.(\w+)", lambda m: lift(f'pdf["{m.group(1)}"]'), s
+        )
+        remainder = _re.sub(r"__P\d+__", "", s)
+        remainder = _re.sub(r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", "", remainder)
+        bad = _re.search(r"[A-Za-z_.\"\[\]]", remainder)
+        if bad:
             raise NotImplementedError(
-                f"streaming DEFINE subset: function {leftover.group(1)!r} not supported"
+                f"streaming DEFINE subset: unsupported token at {bad.group(0)!r} "
+                f"in {s!r} (only SYM.col, PREV(SYM.col[, n]), literals and "
+                "arithmetic are allowed)"
             )
-        return s
+        return _re.sub(r"__P(\d+)__", lambda m: lifted[int(m.group(1))], s)
 
     src = compile_bool(expr)
     code = compile(src, "<define>", "eval")
@@ -1209,4 +1351,5 @@ def pandas_predicate(expr: str, symbols: list[str]):
         return result.fillna(False) if hasattr(result, "fillna") else result
 
     predicate.__doc__ = f"DEFINE {expr!r} -> {src}"
+    predicate.max_prev = max_prev[0]
     return predicate

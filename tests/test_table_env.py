@@ -675,29 +675,158 @@ def test_match_recognize_sql_on_streaming_view(tenv, spark, tmp_dir):
     assert got == expected
 
 
-def test_match_recognize_sql_streaming_subset_is_loud(tenv, spark, tmp_dir):
+_MR_FIXTURE_ROWS = [
+    (k, i, float(v))
+    for k in (1, 2)
+    for i, v in enumerate([5, 3, 1, 4, 6, 2, 1, 3, 7, 5, 4, 2, 6, 8, 1])
+]
+
+
+def _mr_stream_vs_batch(tenv, spark, tmp_dir, sql_text, name):
+    """Run the same MATCH_RECOGNIZE SQL on batch and streaming views of
+    the same fixture; return (batch_rows, stream_rows) sorted."""
+    import os
+
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+    from tests.test_streaming import run_to_memory
+
+    df = spark.createDataFrame(_MR_FIXTURE_ROWS, "k int, pos int, price double")
+    tenv.create_temporary_view(f"mrb_{name}", df)
+    expected = sorted(
+        map(tuple, tenv.execute_sql(sql_text.format(src=f"mrb_{name}")).collect())
+    )
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, f"mrs_{name}"), n_chunks=4, order_col="pos"
+    )
+    stream.createOrReplaceTempView(f"mrs_{name}")
+    sdf = tenv.execute_sql(sql_text.format(src=f"mrs_{name}"))
+    assert sdf.isStreaming
+    got = sorted(
+        map(tuple, run_to_memory(spark, sdf, f"mr_out_{name}", tmp_dir, mode="append").collect())
+    )
+    return expected, got
+
+
+def test_match_recognize_sql_streaming_one_row_per_match(tenv, spark, tmp_dir):
+    """ONE ROW PER MATCH on the streaming route: FINAL aggregate and
+    navigation measures computed per completed match == batch."""
+    expected, got = _mr_stream_vs_batch(
+        tenv, spark, tmp_dir,
+        """
+        SELECT k, mno, n_down, total, lo, first_up, last_up FROM {src}
+        MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY pos
+          MEASURES MATCH_NUMBER() AS mno, COUNT(DOWN.pos) AS n_down,
+                   SUM(price) AS total, MIN(DOWN.price) AS lo,
+                   FIRST(UP.price) AS first_up, LAST(UP.price) AS last_up
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN+ UP+)
+          DEFINE DOWN AS DOWN.price < PREV(DOWN.price),
+                 UP AS UP.price > PREV(UP.price)
+        )
+        """,
+        "onerow",
+    )
+    assert expected and got == expected
+
+
+def test_match_recognize_sql_streaming_running_final_measures(tenv, spark, tmp_dir):
+    """ALL ROWS PER MATCH with RUNNING (default) and FINAL(...) agg
+    measures on the streaming route == batch Catalyst window frames."""
+    expected, got = _mr_stream_vs_batch(
+        tenv, spark, tmp_dir,
+        """
+        SELECT pos, sym, run_sum, fin_sum, run_cnt, run_min FROM {src}
+        MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY pos
+          MEASURES CLASSIFIER() AS sym, SUM(price) AS run_sum,
+                   FINAL(SUM(price)) AS fin_sum, COUNT(*) AS run_cnt,
+                   RUNNING(MIN(price)) AS run_min
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN+ UP+)
+          DEFINE DOWN AS DOWN.price < PREV(DOWN.price),
+                 UP AS UP.price > PREV(UP.price)
+        )
+        """,
+        "runfin",
+    )
+    assert expected and got == expected
+
+
+@pytest.mark.parametrize(
+    "skip", ["PAST LAST ROW", "TO NEXT ROW", "TO LAST UP", "TO FIRST UP"]
+)
+def test_match_recognize_sql_streaming_skip_strategies(tenv, spark, tmp_dir, skip):
+    """Every AFTER MATCH SKIP strategy × ALL ROWS on the streaming SQL
+    route == batch (overlapping strategies re-scan emitted rows)."""
+    expected, got = _mr_stream_vs_batch(
+        tenv, spark, tmp_dir,
+        f"""
+        SELECT pos, sym, mno FROM {{src}}
+        MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY pos
+          MEASURES CLASSIFIER() AS sym, MATCH_NUMBER() AS mno
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP {skip}
+          PATTERN (DOWN+ UP+)
+          DEFINE DOWN AS DOWN.price < PREV(DOWN.price),
+                 UP AS UP.price > PREV(UP.price)
+        )
+        """,
+        "skip_" + skip.lower().replace(" ", "_"),
+    )
+    # match ids may be assigned in a different interleaving per partition
+    # across engines; compare the (pos, sym) row multiset and match count
+    strip = lambda rows: sorted((p, s) for p, s, _m in rows)
+    assert expected and strip(got) == strip(expected)
+    assert len({m for *_x, m in got}) == len({m for *_x, m in expected})
+
+
+def test_match_recognize_sql_streaming_prev_offset_2(tenv, spark, tmp_dir):
+    """PREV(col, 2) in DEFINE: the streaming route must retain enough
+    context rows across micro-batch boundaries (context_rows follows the
+    max compiled PREV offset) — silent divergence here was the round-4
+    advisor's medium finding."""
+    expected, got = _mr_stream_vs_batch(
+        tenv, spark, tmp_dir,
+        """
+        SELECT pos, sym FROM {src}
+        MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY pos
+          MEASURES CLASSIFIER() AS sym
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (A B)
+          DEFINE A AS A.price > 0,
+                 B AS B.price < PREV(B.price, 2)
+        )
+        """,
+        "prev2",
+    )
+    assert expected and got == expected
+
+
+def test_match_recognize_streaming_define_guard_is_compile_time(tenv, spark, tmp_dir):
+    """Dotted attribute access and unknown identifiers in a streaming
+    DEFINE must die at COMPILE time with NotImplementedError, not
+    executor-side in eval."""
     import os
 
     from reshape_on_flink_spark.streaming.source import chunked_replay
 
     df = spark.createDataFrame([(1, 0, 1.0)], "k int, pos int, price double")
     stream = chunked_replay(
-        spark, df, os.path.join(tmp_dir, "mr_loud"), n_chunks=1, order_col="pos"
+        spark, df, os.path.join(tmp_dir, "mr_guard"), n_chunks=1, order_col="pos"
     )
-    stream.createOrReplaceTempView("mr_loud_src")
-    with pytest.raises(NotImplementedError, match="ONE ROW PER MATCH"):
-        tenv.execute_sql("""
-            SELECT * FROM mr_loud_src MATCH_RECOGNIZE (
-              PARTITION BY k ORDER BY pos
-              MEASURES COUNT(A.pos) AS n ONE ROW PER MATCH
-              PATTERN (A+) DEFINE A AS A.price > 0
-            )
-        """)
-    with pytest.raises(NotImplementedError, match="streaming MEASURES subset"):
-        tenv.execute_sql("""
-            SELECT * FROM mr_loud_src MATCH_RECOGNIZE (
-              PARTITION BY k ORDER BY pos
-              MEASURES SUM(A.price) AS s ALL ROWS PER MATCH
-              PATTERN (A+) DEFINE A AS A.price > 0
-            )
-        """)
+    stream.createOrReplaceTempView("mr_guard_src")
+    for bad_define in ("A AS pdf.sum() > 0", "A AS price > 0", "A AS abs(A.price) > 0"):
+        with pytest.raises((NotImplementedError, ValueError)):
+            tenv.execute_sql(f"""
+                SELECT * FROM mr_guard_src MATCH_RECOGNIZE (
+                  PARTITION BY k ORDER BY pos
+                  MEASURES MATCH_NUMBER() AS mno ALL ROWS PER MATCH
+                  PATTERN (A+) DEFINE {bad_define}
+                )
+            """)
