@@ -4,9 +4,10 @@ The reference ships 31 connector modules and 7 format modules
 (``flink-connectors/``, ``flink-formats/``). This engine's v1 surface is
 the file-based core (parquet/csv/json/orc — all DataSource V2 with
 pushdown) plus the streaming sources in ``streaming/source.py`` (file
-replay, rate/datagen). Kafka/JDBC/avro load via the same API when their
-packages are on the classpath — gated behind import/classpath probes, not
-silently absent.
+replay, rate/datagen). JDBC lives below; kafka + avro live in
+``sources/kafka.py`` — config assembly and wire-format plumbing fully
+built and tested, classpath-probed activation with loud errors naming
+the exact package coordinate when the jar is absent.
 
 Scale notes: always pass an explicit schema for csv/json (inference scans
 the data twice and types drift between runs); parquet/orc carry schemas

@@ -127,3 +127,138 @@ def test_chunked_replay_string_order_col_chunks_are_time_ordered(spark, tmp_dir)
             assert min(keys) >= prev_max, (fname, min(keys), prev_max)
         prev_max = max(keys)
     assert total == 500
+
+
+# --- kafka/avro connector readiness (sources/kafka.py) --------------------
+# The jars are absent in this sandbox; everything up to the classpath
+# probe is exercised for real — config assembly, wire-schema decode and
+# encode on core Spark — and the jar-needing paths are pinned to fail
+# LOUD with the exact activation coordinate. One integration test
+# auto-skips unless the jar is present.
+
+
+def test_kafka_source_options_assembly():
+    from reshape_on_flink_spark.sources import kafka as K
+
+    opts = K.kafka_source_options(
+        "b1:9092,b2:9092",
+        topics=["events", "clicks"],
+        starting_offsets={"events": {"0": 23, "1": -2}},
+        group_id_prefix="reshape",
+        fail_on_data_loss=False,
+        max_offsets_per_trigger=50_000,
+        **{"security.protocol": "SASL_SSL"},
+    )
+    assert opts["kafka.bootstrap.servers"] == "b1:9092,b2:9092"
+    assert opts["subscribe"] == "events,clicks"
+    assert opts["startingOffsets"] == '{"events": {"0": 23, "1": -2}}'
+    assert opts["groupIdPrefix"] == "reshape"
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["maxOffsetsPerTrigger"] == "50000"
+    assert opts["kafka.security.protocol"] == "SASL_SSL"
+
+    pat = K.kafka_source_options("b:9092", topic_pattern="events_.*")
+    assert pat["subscribePattern"] == "events_.*"
+    asg = K.kafka_source_options("b:9092", assign={"events": [0, 1]})
+    assert asg["assign"] == '{"events": [0, 1]}'
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="exactly one"):
+        K.kafka_source_options("b:9092", topics=["a"], topic_pattern="b.*")
+    with _pytest.raises(ValueError, match="exactly one"):
+        K.kafka_source_options("b:9092")
+
+
+def test_kafka_sink_options_assembly():
+    from reshape_on_flink_spark.sources import kafka as K
+
+    opts = K.kafka_sink_options("b:9092", "out_topic", **{"compression.type": "lz4"})
+    assert opts == {
+        "kafka.bootstrap.servers": "b:9092",
+        "topic": "out_topic",
+        "kafka.compression.type": "lz4",
+    }
+    # topic-column mode: no topic option, DataFrame carries it
+    assert "topic" not in K.kafka_sink_options("b:9092")
+
+
+def _wire_df(spark, payloads: list[bytes]):
+    """A batch DataFrame shaped exactly like kafka DSv2 output."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (str(i).encode(), p, "events", 0, i, None, 0)
+        for i, p in enumerate(payloads)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp, timestampType int",
+    )
+
+
+def test_kafka_json_decode_roundtrip(spark):
+    from reshape_on_flink_spark.sources import kafka as K
+
+    df = _wire_df(spark, [b'{"user_id": 7, "value": 1.5}', b'{"user_id": 8, "value": 2.0}'])
+    out = K.decode_kafka_value(df, "json", "user_id long, value double")
+    assert [tuple(r) for r in out.orderBy("user_id").collect()] == [(7, 1.5), (8, 2.0)]
+    with_meta = K.decode_kafka_value(
+        df, "json", "user_id long, value double", keep_metadata=True
+    )
+    r = with_meta.orderBy("user_id").first()
+    assert (r["topic"], r["partition"], r["offset"], r["user_id"]) == ("events", 0, 0, 7)
+
+
+def test_kafka_csv_decode(spark):
+    from reshape_on_flink_spark.sources import kafka as K
+
+    df = _wire_df(spark, [b"7,1.5", b"8,2.0"])
+    out = K.decode_kafka_value(df, "csv", "user_id long, value double")
+    assert [tuple(r) for r in out.orderBy("user_id").collect()] == [(7, 1.5), (8, 2.0)]
+
+
+def test_kafka_encode_decode_json_roundtrip(spark):
+    from reshape_on_flink_spark.sources import kafka as K
+
+    src = spark.createDataFrame([(7, 1.5, "t1"), (8, 2.0, "t2")], "uid long, v double, tgt string")
+    enc = K.encode_kafka_value(src, "json", key_col="uid", topic_col="tgt")
+    assert enc.columns == ["key", "value", "topic"]
+    assert dict(enc.dtypes)["value"] == "binary" and dict(enc.dtypes)["key"] == "binary"
+    back = K.decode_kafka_value(enc, "json", "v double")
+    assert sorted(r["v"] for r in back.collect()) == [1.5, 2.0]
+
+
+def test_kafka_and_avro_absent_paths_are_loud(spark):
+    import pytest as _pytest
+
+    from reshape_on_flink_spark.sources import kafka as K
+
+    df = _wire_df(spark, [b"x"])
+    if not K.kafka_available(spark):
+        with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            K.kafka_source(spark, "b:9092", topics=["t"], schema="x long")
+        with _pytest.raises(RuntimeError, match="spark-sql-kafka"):
+            K.kafka_sink(df, "b:9092", "t")
+    if not K.avro_available(spark):
+        with _pytest.raises(RuntimeError, match="spark-avro"):
+            K.decode_kafka_value(df, "avro", '{"type": "record"}')
+        with _pytest.raises(RuntimeError, match="spark-avro"):
+            K.encode_kafka_value(df.select("value"), "avro")
+
+
+def test_kafka_integration_when_jar_present(spark, tmp_dir):
+    """Full readStream config path — runs only with the kafka jar on the
+    classpath (auto-skipped here; the activation path is the point)."""
+    import pytest as _pytest
+
+    from reshape_on_flink_spark.sources import kafka as K
+
+    if not K.kafka_available(spark):
+        _pytest.skip("kafka jar not on classpath (expected in this sandbox)")
+    sdf = K.kafka_source(  # pragma: no cover - jar-present env only
+        spark, "localhost:9092", topics=["t"], schema="x long",
+        starting_offsets="earliest",
+    )
+    assert sdf.isStreaming  # pragma: no cover
