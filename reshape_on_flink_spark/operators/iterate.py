@@ -68,10 +68,12 @@ def pagerank(
     ranks0 = nodes.withColumn("rank", F.lit(1.0 / n))
 
     def step(ranks: DataFrame, _i: int) -> DataFrame:
+        # dangling mass stays IN-PLAN as a broadcast 1-row aggregate
+        # (cross join) instead of a per-iteration driver collect: the
+        # iteration runs as one job, no driver-side scalar dependency.
         with_deg = ranks.join(out_deg, ranks["node"] == out_deg[src], "left")
-        dangling = (
-            with_deg.where(F.col("out_deg").isNull()).agg(F.sum("rank").alias("m")).collect()[0]["m"]
-            or 0.0
+        dangling = with_deg.where(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dangling")
         )
         contribs = (
             edges.join(ranks, edges[src] == ranks["node"])
@@ -80,14 +82,16 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("in_sum"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         return (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_dangling") / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
             )
         )
 

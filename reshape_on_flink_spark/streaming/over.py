@@ -233,25 +233,47 @@ def temporal_sort_step(
         # buffer/watermark — its ids restart at 0 and must not be skipped.
         if p["ckpt"] == checkpoint and p["last_bid"] is not None and batch_id <= p["last_bid"]:
             return
-        wm_us, epoch = p["wm_us"], p["epoch"] + 1
+        wm_prev, epoch = p["wm_us"], p["epoch"] + 1
         ts_us = _event_us(ts_col)
         full = batch_df
         cur_dir = os.path.join(pending_dir, f"v{p['epoch']}")
         if p["epoch"] >= 0 and os.path.exists(cur_dir):
             full = batch_df.unionByName(spark.read.parquet(cur_dir))
         full = full.persist()
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = full.observe(obs, F.max(ts_us).alias("m"))
         try:
-            mx = full.agg(F.max(ts_us).alias("m")).collect()[0]["m"]
-            if mx is not None:
-                wm_us = max(wm_us or 0, int(mx))
-            if wm_us is None:
-                return
-            cut = wm_us - delay_seconds * 1_000_000
+            # the watermark bound stays IN-PLAN as a broadcast 1-row
+            # aggregate; the driver's copy (for the pointer commit) rides
+            # the pending write as an observed metric — no standalone
+            # max-collect job per batch
+            bound = full.agg(
+                F.greatest(F.max(ts_us), F.lit(wm_prev).cast("long")).alias("_wm")
+            )
+            cut = F.col("_wm") - F.lit(delay_seconds * 1_000_000)
             # epoch-versioned buffer: a crashed attempt of this epoch left
             # v{epoch} behind; overwrite makes the retry idempotent
             nxt_dir = os.path.join(pending_dir, f"v{epoch}")
-            full.where(ts_us > F.lit(cut)).write.mode("overwrite").parquet(nxt_dir)
-            ready = full.where(ts_us <= F.lit(cut)).orderBy(ts_col, *tiebreak)
+            (
+                observed.crossJoin(F.broadcast(bound))
+                .where(ts_us > cut)
+                .drop("_wm")
+                .write.mode("overwrite")
+                .parquet(nxt_dir)
+            )
+            mx = obs.get["m"]
+            wm_us = max(wm_prev or 0, int(mx)) if mx is not None else wm_prev
+            if wm_us is None:  # no data ever seen: nothing to commit
+                shutil.rmtree(nxt_dir, ignore_errors=True)
+                return
+            ready = (
+                full.crossJoin(F.broadcast(bound))
+                .where(ts_us <= cut)
+                .drop("_wm")
+                .orderBy(ts_col, *tiebreak)
+            )
             sink(ready)
             tmp = current + ".tmp"
             with open(tmp, "w") as fh:
@@ -297,10 +319,17 @@ def late_data_router(
     late_bound_us = lateness_seconds * 1_000_000
 
     def route(batch_df, _batch_id: int):
-        batch_df = batch_df.persist()
+        from pyspark.sql import Observation
+
+        # the watermark max rides the sink job as an observed metric —
+        # no separate driver job per batch. Contract: the sinks must
+        # consume their DataFrame (every Flink-style sink does); the
+        # observation resolves on the first such action.
+        obs = Observation()
+        ts_us = _event_us(ts_col)
+        batch_df = batch_df.observe(obs, F.max(ts_us).alias("m")).persist()
         try:
             wm = state["wm_us"]
-            ts_us = _event_us(ts_col)
             if wm is None:
                 on_time, late = batch_df, batch_df.where(F.lit(False))
             else:
@@ -309,7 +338,7 @@ def late_data_router(
                 late = batch_df.where(ts_us < F.lit(cut))
             on_time_sink(on_time)
             late_sink(late)
-            mx = batch_df.agg(F.max(ts_us).alias("m")).collect()[0]["m"]
+            mx = obs.get["m"]
             if mx is not None:
                 state["wm_us"] = max(state["wm_us"] or 0, int(mx))
         finally:

@@ -170,3 +170,22 @@ def test_sssp_weighted_and_unreachable(spark):
     assert got == {0: 0.0, 1: 1.0, 2: 3.0, 3: 4.0}  # 2 via 1 beats direct 4
     hops = {r["node"]: r["dist"] for r in sssp(edges, 0).collect()}
     assert hops == {0: 0.0, 1: 1.0, 2: 1.0, 3: 2.0}
+
+
+def test_pagerank_dangling_mass_stays_in_plan(spark):
+    """The dangling-mass scalar must ride the iteration plan as a
+    broadcast 1-row aggregate (cross join), not a per-iteration driver
+    collect: no driver-side scalar dependency inside the hot loop
+    (round-4 advisor item on per-batch collects)."""
+    import inspect
+
+    from pyspark.sql import functions as F
+
+    from reshape_on_flink_spark.operators import iterate as it
+
+    assert ".collect()" not in inspect.getsource(it.pagerank)
+    assert "crossJoin" in inspect.getsource(it.pagerank)
+    # and the rewrite still converges to the same ranks (sum to 1)
+    edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0), (3, 0)], "src long, dst long")
+    ranks = {r["node"]: r["rank"] for r in it.pagerank(edges, max_iters=10).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
