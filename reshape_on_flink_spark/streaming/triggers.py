@@ -16,6 +16,9 @@ with stateful operators:
 - **count_evictor**: keep only the last ``n`` rows of each window before
   aggregating — expressed relationally (row_number desc ≤ n), usable in
   batch and in foreachBatch streaming.
+- **time_evictor** / **delta_evictor**: the remaining two reference
+  evictor classes (TimeEvictor, DeltaEvictor), same relational shape —
+  a max/last-over-window against each row instead of a state buffer.
 - ContinuousProcessingTimeTrigger / early-fire ≡ Spark update output
   mode + ``trigger(processingTime=...)`` — native, no code needed
   (documented mapping, COVERAGE §2.9).
@@ -148,4 +151,56 @@ def count_evictor(
         df.withColumn("_rn_desc", F.row_number().over(w))
         .where(F.col("_rn_desc") <= keep_last_n)
         .drop("_rn_desc")
+    )
+
+
+def time_evictor(
+    df: DataFrame,
+    window_cols: list[str],
+    ts_col: str,
+    keep_seconds: float,
+) -> DataFrame:
+    """TimeEvictor.of(Time.seconds(keep)): evict rows whose timestamp is
+    ``<= max(ts in window) - keep`` (reference TimeEvictor.java:69-82 —
+    current_time is the window buffer's max timestamp, eviction is
+    inclusive at the cutoff). Relational: one max-over-window, no state.
+
+    ``ts_col`` may be a TIMESTAMP (keep_seconds in seconds) or a numeric
+    column (keep_seconds in the column's own units)."""
+    is_ts = dict(df.dtypes)[ts_col].startswith("timestamp")
+    ts = F.unix_micros(F.col(ts_col)) if is_ts else F.col(ts_col).cast("long")
+    span = int(keep_seconds * 1_000_000) if is_ts else int(keep_seconds)
+    cutoff = F.max(ts).over(W.partitionBy(*window_cols)) - F.lit(span)
+    return (
+        df.withColumn("_keep", ts > cutoff).where(F.col("_keep")).drop("_keep")
+    )
+
+
+def delta_evictor(
+    df: DataFrame,
+    window_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    threshold: float,
+    delta_fn=None,
+) -> DataFrame:
+    """DeltaEvictor.of(threshold, delta): evict every row whose
+    ``delta(row, LAST row of the window buffer) >= threshold``
+    (reference DeltaEvictor.java:74-83). Default delta is absolute
+    difference on ``value_col``; pass ``delta_fn(col, last_col) ->
+    Column`` for a custom DeltaFunction. Relational: one last-over-window
+    against each row, no state."""
+    w = (
+        W.partitionBy(*window_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    last_v = F.last(value_col).over(w)
+    delta = (
+        delta_fn(F.col(value_col), last_v)
+        if delta_fn is not None
+        else F.abs(F.col(value_col) - last_v)
+    )
+    return (
+        df.withColumn("_keep", delta < threshold).where(F.col("_keep")).drop("_keep")
     )

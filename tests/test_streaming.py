@@ -342,6 +342,57 @@ def test_count_evictor_keeps_last_n(spark, tables):
     assert got_ids == expected_ids
 
 
+def test_time_evictor_matches_reference_cutoff(spark, tables):
+    """TimeEvictor semantics: rows with ts <= max(ts in window) - keep
+    are evicted (inclusive cutoff, TimeEvictor.java:80)."""
+    from reshape_on_flink_spark.streaming.triggers import time_evictor
+
+    ev = tables["events"].withColumn("w", F.window("ts", "1 hour"))
+    kept = time_evictor(ev, ["w", "user_id"], "ts", keep_seconds=600)
+    rows = tables["events"].select("user_id", "ts", "event_id").collect()
+    per = {}
+    for r in rows:
+        w_start = r["ts"].replace(minute=0, second=0, microsecond=0)
+        per.setdefault((w_start, r["user_id"]), []).append(r)
+    expected_ids = set()
+    for group in per.values():
+        mx = max(r["ts"] for r in group)
+        import datetime as dt
+
+        cutoff = mx - dt.timedelta(seconds=600)
+        expected_ids |= {r["event_id"] for r in group if r["ts"] > cutoff}
+    got_ids = {r["event_id"] for r in kept.select("event_id").collect()}
+    assert got_ids == expected_ids
+    assert got_ids  # non-degenerate fixture
+
+
+def test_delta_evictor_matches_reference_semantics(spark):
+    """DeltaEvictor: evict rows whose |v - v_last| >= threshold, where
+    v_last is the LAST element of the window buffer
+    (DeltaEvictor.java:74-83)."""
+    from reshape_on_flink_spark.streaming.triggers import delta_evictor
+
+    rows = [
+        # window g=1, ordered by pos; last value = 5.0
+        (1, 0, 1.0), (1, 1, 4.5), (1, 2, 9.0), (1, 3, 5.0),
+        # window g=2: last value = 10.0
+        (2, 0, 10.0), (2, 1, 12.0), (2, 2, 6.0), (2, 3, 10.0),
+    ]
+    df = spark.createDataFrame(rows, "g int, pos int, v double")
+    kept = delta_evictor(df, ["g"], ["pos"], "v", threshold=3.0)
+    got = sorted((r["g"], r["pos"]) for r in kept.collect())
+    # g=1: |1-5|=4 evict, |4.5-5|=.5 keep, |9-5|=4 evict, |5-5|=0 keep
+    # g=2: |10-10|=0 keep, |12-10|=2 keep, |6-10|=4 evict, 0 keep
+    assert got == [(1, 1), (1, 3), (2, 0), (2, 1), (2, 3)]
+    # custom DeltaFunction: squared difference
+    kept_sq = delta_evictor(
+        df, ["g"], ["pos"], "v", threshold=5.0,
+        delta_fn=lambda a, b: (a - b) * (a - b),
+    )
+    got_sq = sorted((r["g"], r["pos"]) for r in kept_sq.collect())
+    assert got_sq == [(1, 1), (1, 3), (2, 0), (2, 1), (2, 3)]
+
+
 def test_idle_source_policy(spark, tables, tmp_dir):
     """An idle (stale) source must not pin the watermark under the 'max'
     policy (Flink WatermarksWithIdleness parity): windowed append-mode
