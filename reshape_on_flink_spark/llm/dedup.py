@@ -335,54 +335,20 @@ def simhash_near_duplicates(
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dedup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     """Connected components over near-duplicate pairs -> cluster keeper
     per doc: (doc_id, keeper_id) where keeper is the minimum id reachable
     through the pair graph.
 
-    Iterative min-label propagation (the reference's DataSet iteration
-    analog — Spark has no iteration operator, so the driver loops over
-    DataFrame steps, localCheckpoint()ing each round to truncate lineage).
-    Near-dup graphs are forests of tiny components, so convergence takes
-    O(component diameter) rounds — 2-4 in practice; each round is one
-    join + one aggregate, fully distributed.
-    """
-    edges = (
-        pairs.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-        .union(pairs.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
-        .distinct()
-        .localCheckpoint()
+    Delegates to operators.iterate.connected_components (large-star/
+    small-star, O(log n) rounds on any graph shape — an earlier
+    min-label propagation here needed O(diameter) rounds, pathological
+    on chain-shaped near-dup graphs)."""
+    from reshape_on_flink_spark.operators.iterate import connected_components
+
+    return connected_components(pairs, max_iters=max_iters).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("keeper_id")
     )
-    labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iters):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("keeper_id"))
 
 
 # ---------------------------------------------------------------------------

@@ -98,6 +98,86 @@ def pagerank(
     return iterate(ranks0, step, max_iters)
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iters: int = 25,
+    a: str = "d1",
+    b: str = "d2",
+) -> DataFrame:
+    """Connected components over an undirected pair list ->
+    (node, component) where component is the minimum id in the node's
+    component.
+
+    Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond"): each round hooks every node
+    directly to the smallest id it can see, halving tree heights —
+    convergence in O(log n) rounds on ANY graph shape, where plain
+    min-label propagation needs O(diameter) (pathological on chains).
+    Each half-round is one groupBy + one join on node ids — ordinary
+    shuffles at any scale; no driver data beyond the convergence probe.
+
+    Raises after ``max_iters`` without convergence (loud, never silently
+    wrong). Reference analog: Gelly ConnectedComponents
+    (flink-libraries/flink-gelly) / DataSet delta iterations.
+    """
+    src, dst = "_u", "_v"
+    edges = (
+        pairs.select(F.col(a).alias(src), F.col(b).alias(dst))
+        .where(F.col(src) != F.col(dst))
+        .distinct()
+        .localCheckpoint()
+    )
+    if edges.isEmpty():
+        return pairs.sparkSession.createDataFrame([], "node long, component long")
+
+    def symmetric(e: DataFrame) -> DataFrame:
+        return e.union(e.select(F.col(dst).alias(src), F.col(src).alias(dst)))
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # connect every strictly-larger neighbor of u to min(N(u) ∪ {u})
+        nbrs = symmetric(e)
+        mins = nbrs.groupBy(src).agg(F.least(F.min(dst), F.first(src)).alias("_m"))
+        return (
+            nbrs.join(mins, src)
+            .where(F.col(dst) > F.col(src))
+            .select(F.col(dst).alias(src), F.col("_m").alias(dst))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient to smaller endpoints; connect them (and u) to the min
+        nbrs = symmetric(e).where(F.col(dst) < F.col(src))
+        mins = nbrs.groupBy(src).agg(F.least(F.min(dst), F.first(src)).alias("_m"))
+        moved = (
+            nbrs.join(mins, src)
+            .select(F.col(dst).alias(src), F.col("_m").alias(dst))
+        )
+        selfs = mins.select(F.col(src), F.col("_m").alias(dst))
+        return moved.union(selfs).where(F.col(src) != F.col(dst)).distinct()
+
+    for _ in range(max_iters):
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            # converged: every edge is (node, component-min)
+            labels = edges.groupBy(src).agg(F.min(dst).alias("component"))
+            roots = (
+                symmetric(edges).select(F.col(dst).alias(src)).distinct()
+                .join(labels, src, "left_anti")
+                .select(F.col(src), F.col(src).alias("component"))
+            )
+            return labels.union(roots).select(
+                F.col(src).alias("node"), "component"
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds"
+    )
+
+
 def sssp(
     edges: DataFrame,
     source,

@@ -189,3 +189,41 @@ def test_pagerank_dangling_mass_stays_in_plan(spark):
     edges = spark.createDataFrame([(0, 1), (1, 2), (2, 0), (3, 0)], "src long, dst long")
     ranks = {r["node"]: r["rank"] for r in it.pagerank(edges, max_iters=10).collect()}
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_connected_components_long_chain_converges_in_log_rounds(spark):
+    """A 64-node chain needs ~64 rounds under min-label propagation; the
+    large-star/small-star formulation must finish within ~2*log2(n)
+    alternations — max_iters=12 is the loud bound."""
+    from reshape_on_flink_spark.operators.iterate import connected_components
+
+    n = 64
+    chain = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], "d1 long, d2 long")
+    got = {r["node"]: r["component"] for r in connected_components(chain, max_iters=12).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_matches_dedup_clusters_fixture(spark):
+    """Equivalence with the historical dedup_clusters semantics on a
+    multi-component fixture (forest + chain + singleton pair)."""
+    from reshape_on_flink_spark.operators.iterate import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (3, 4), (40, 41)],
+        ["d1", "d2"],
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20, 40: 40, 41: 40}
+
+
+def test_connected_components_empty_and_nonconvergence_guard(spark):
+    from reshape_on_flink_spark.operators.iterate import connected_components
+
+    empty = spark.createDataFrame([], "d1 long, d2 long")
+    assert connected_components(empty).count() == 0
+    import pytest as _pytest
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(40)], "d1 long, d2 long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iters=1)
