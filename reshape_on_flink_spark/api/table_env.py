@@ -370,12 +370,14 @@ def _rewrite_statements(sql: str) -> str:
             f"{' '.join(m.group(1).upper().split())}: Flink module/jar "
             "management has no Spark catalog analog"
         )
-    # EXPLAIN [CHANGELOG_MODE|ESTIMATED_COST|JSON_EXECUTION_PLAN, ...]
-    # PLAN FOR <stmt>  ->  EXPLAIN <stmt>  (details map to Spark's single
-    # formatted plan; the statement itself continues through translate()).
+    # EXPLAIN [CHANGELOG_MODE|ESTIMATED_COST|JSON_EXECUTION_PLAN|
+    # PLAN_ADVICE, ...] [PLAN FOR] <stmt>  ->  EXPLAIN <stmt>  (details
+    # map to Spark's single formatted plan; Flink allows the detail list
+    # with or without PLAN FOR; the statement continues via translate()).
     sql = re.sub(
-        r"^(\s*)EXPLAIN\s+(?:(?:CHANGELOG_MODE|ESTIMATED_COST|JSON_EXECUTION_PLAN)"
-        r"\s*,?\s*)*(?:PLAN\s+FOR\s+)",
+        r"^(\s*)EXPLAIN\s+"
+        r"(?:(?:CHANGELOG_MODE|ESTIMATED_COST|JSON_EXECUTION_PLAN|PLAN_ADVICE)"
+        r"\s*(?:,\s*)?)*(?:PLAN\s+FOR\s+)?",
         r"\1EXPLAIN ",
         sql,
         flags=re.IGNORECASE,

@@ -250,8 +250,13 @@ REGISTRY: dict[str, Entry] = {
            "Calcite date1 - date2 -> day count"),
         _e("IS_DISTINCT_FROM", "not ({0} <=> {1})", "expr"),
         _e("IS_NOT_DISTINCT_FROM", "{0} <=> {1}", "expr"),
-        _e("OVERLAPS", "({0} <= {3} and {2} <= {1})", "expr",
-           "(s1,e1) OVERLAPS (s2,e2) period predicate; Spark has no OVERLAPS syntax"),
+        _e("OVERLAPS",
+           "(least({0}, {1}) <= greatest({2}, {3})"
+           " and least({2}, {3}) <= greatest({0}, {1}))",
+           "expr",
+           "(s1,e1) OVERLAPS (s2,e2) period predicate; Spark has no OVERLAPS"
+           " syntax. least/greatest normalize swapped endpoints, matching"
+           " Calcite's OVERLAPS rewrite"),
         _e("CURRENT_TIME", "date_format(current_timestamp(), 'HH:mm:ss')", "divergent",
            "Spark has no TIME type; returns the wall-clock as a string"),
         _e("LOCALTIME", "date_format(localtimestamp(), 'HH:mm:ss')", "divergent",
@@ -402,11 +407,34 @@ REGISTRY.setdefault(
 )
 
 
+#: Entries whose Flink form is variadic — fn() joins ALL args instead of
+#: filling a fixed-slot template (str.format silently ignores surplus
+#: args, which would drop operands).
+_VARIADIC = {
+    "CONCAT": "concat({args})",
+    "CONCAT_FUNCTION": "concat({args})",
+    "CONCAT_WS": "concat_ws({args})",
+    "COALESCE": "coalesce({args})",
+    "GREATEST": "greatest({args})",
+    "LEAST": "least({args})",
+}
+
+
 def fn(name: str, *args: str) -> Column:
-    """Resolve a registry entry to a Column over SQL argument strings."""
+    """Resolve a registry entry to a Column over SQL argument strings.
+    Variadic entries accept any arity; fixed-slot templates reject an
+    argument-count mismatch loudly."""
+    import re as _re
+
     e = REGISTRY[name.upper()]
     if e.template is None:
         raise NotImplementedError(f"{name}: {e.note or 'unsupported'}")
+    variadic = _VARIADIC.get(name.upper())
+    if variadic is not None:
+        return F.expr(variadic.format(args=", ".join(args)))
+    n_slots = len(set(_re.findall(r"\{(\d+)\}", e.template)))
+    if len(args) != n_slots:
+        raise TypeError(f"{name} expects {n_slots} args, got {len(args)}")
     return F.expr(e.template.format(*args))
 
 

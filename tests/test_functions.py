@@ -210,3 +210,39 @@ def test_registry_accounts_for_table_api_definitions():
     assert len(names) >= 140, len(names)
     missing = sorted({n.upper() for n in names} - set(REGISTRY))
     assert not missing, f"Table-API definitions unaccounted: {missing}"
+
+
+def test_variadic_concat_and_fixed_arity_guard(spark):
+    """fn() must pass ALL args to variadic entries (CONCAT/CONCAT_WS/
+    COALESCE/GREATEST/LEAST) and reject arity mismatches on fixed-slot
+    templates loudly — str.format silently ignored surplus args before."""
+    from reshape_on_flink_spark.functions.registry import fn
+
+    row = spark.range(1).select(
+        fn("CONCAT", "'a'", "'b'", "'c'", "'d'").alias("c4"),
+        fn("CONCAT_FUNCTION", "'x'", "'y'", "'z'").alias("c3"),
+        fn("CONCAT_WS", "'-'", "'a'", "'b'", "'c'").alias("ws"),
+        fn("COALESCE", "NULL", "NULL", "'v'").alias("co"),
+        fn("GREATEST", "1", "7", "3").alias("g"),
+        fn("LEAST", "5", "2", "9").alias("l"),
+    ).collect()[0]
+    assert row["c4"] == "abcd" and row["c3"] == "xyz" and row["ws"] == "a-b-c"
+    assert row["co"] == "v" and row["g"] == 7 and row["l"] == 2
+
+    import pytest as _pytest
+
+    with _pytest.raises(TypeError, match="expects 1 args, got 2"):
+        fn("ASCII", "'a'", "'b'")
+
+
+def test_overlaps_normalizes_swapped_endpoints(spark):
+    """Calcite/Flink OVERLAPS normalizes (end, start) periods with
+    least/greatest — reversed intervals must give the same answer."""
+    from reshape_on_flink_spark.functions.registry import fn
+
+    row = spark.range(1).select(
+        fn("OVERLAPS", "5", "1", "4", "9").alias("rev1"),
+        fn("OVERLAPS", "1", "5", "9", "4").alias("rev2"),
+        fn("OVERLAPS", "2", "1", "9", "3").alias("norev"),
+    ).collect()[0]
+    assert row["rev1"] is True and row["rev2"] is True and row["norev"] is False

@@ -572,6 +572,11 @@ def test_explain_plan_for(tenv):
         "GROUP BY window_start"
     ).collect()
     assert plan3[0][0]
+    # details WITHOUT 'PLAN FOR' (Flink allows both), incl. PLAN_ADVICE
+    plan4 = tenv.execute_sql("EXPLAIN ESTIMATED_COST SELECT 1").collect()
+    assert plan4[0][0]
+    plan5 = tenv.execute_sql("EXPLAIN PLAN_ADVICE, CHANGELOG_MODE SELECT 1").collect()
+    assert plan5[0][0]
 
 
 def test_use_and_database_lifecycle(tenv, spark, tmp_dir):
