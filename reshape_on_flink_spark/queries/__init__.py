@@ -36,53 +36,61 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # they fill the remaining gate slots) and keep their prior-round rows as
 # evidence. merged() raises on unknown names.
 GATE_PRIORITY: tuple[str, ...] = (
-    # new this round: DDL/DQL statement surface + TPC-DS additions
-    "q_dialect_catalog_roundtrip",
-    "q_ds_channel_tolerance",
-    "q_ds_yoy_customer_filter",
-    "q_ds_wide_star_yoy",
-    "q_ds_antijoin_returns",
-    "q_ds_exists_demographics",
-    "q_ds_frequent_item_best_customer",
-    "q_sequence_pack",
-    "q_domain_mix_sample",
-    "q_embedding_quantize",
-    "q_quantized_topk",
-    # TPC-H tails never sampled by the r2/r3 caps
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q11_important_supply",
-    "q12_priority_class",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q20_supply_candidates",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    # relational breadth never sampled
-    "q_star_join_region_revenue",
-    "q_filter_clause_agg",
-    "q_distinct_rows",
-    "q_nullsafe_join",
-    # TPC-DS shapes never sampled
-    "q_ds_bucket_case",
-    "q_ds_channel_intersect",
-    "q_ds_rollup_rank",
-    "q_ds_cumulative_cross",
-    "q_ds_pivot_monthly",
-    "q_ds_unpivot_monthly",
-    "q_ds_scalar_count_grid",
-    "q_ds_returns_net",
-    "q_ds_ship_lag_matrix",
-    # LLM ops never sampled
-    "q_minhash_signatures",
-    "q_embedding_near_dup",
-    "q_multimodal_meta",
-    "q_multimodal_features",
+    # round-5 rotation: the 8 NEW TPC-DS shapes first, then the 40
+    # queries whose only green gate row is from round 2 (stalest
+    # evidence), then round-3-only entries to fill the 50-slot cap.
+    # r2 U r3 U r4 covered all 137 prior queries; this refresh keeps
+    # every family's evidence at most two rounds old.
+    "q_ds_multi_cte_reuse",
+    "q_ds_two_year_star_join",
+    "q_ds_inventory_chain",
+    "q_ds_correlated_window_ratio",
+    "q_ds_variance_flag_chain",
+    "q_ds_first_purchase_cohort",
+    "q_ds_dual_rank_return_ratio",
+    "q_ds_channel_overlap_census",
+    "q_join_anti",
+    "q_join_cross",
+    "q6_forecast_revenue",
+    "q_agg_distinct",
+    "q_rollup",
+    "q_cube",
+    "q_having",
+    "q_pivot",
+    "q_stats_moments",
+    "q_agg_minmax_by",
+    "q_window_rank",
+    "q_window_running_sum",
+    "q_window_sliding_rows",
+    "q_window_range_frame",
+    "q_window_lead_lag",
+    "q_window_first_last",
+    "q_window_ntile_cume",
+    "q_order_limit",
+    "q_topk_per_group",
+    "q_dedup_keep_first",
+    "q_dedup_keep_last",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_in_subquery",
+    "q_scalar_subquery",
+    "q_correlated_subquery",
+    "q_explode_tokens",
+    "q_posexplode",
+    "q_string_funcs",
+    "q_regex_funcs",
+    "q_math_funcs",
+    "q_datetime_funcs",
+    "q_case_null_funcs",
+    "q_hash_funcs",
+    "q_array_map_funcs",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "q_join_theta",
+    "q_grouping_sets",
 )
 
 

@@ -12,6 +12,14 @@ one representative of each such shape on the fixture tables:
 - year-over-year self-join on an aggregated CTE          (q2/q75)
 - cross-channel INTERSECT of customer sets               (q38/q87)
 - ROLLUP + rank-within-grouping-level                    (q67)
+- one CTE referenced 3x (rows + totals + scalar cutoff)  (q14/q23)
+- same star aggregate instantiated per year, self-joined (q64)
+- fact-to-fact chain with shifted-date condition         (q72)
+- window-LAG growth compared across channels             (q31)
+- exact-moment variance flag + consecutive-period join   (q39)
+- MIN-date cohort join-back with COUNT(DISTINCT) grid    (q54 family)
+- dual-ranking top-k union on return ratios              (q49)
+- FULL OUTER JOIN channel-overlap census                 (q97)
 
 Numeric discipline per queries.numeric (exact decimal sums, single IEEE
 division). Scale notes (100 TB / 1000 executors) in each docstring.
@@ -1007,4 +1015,409 @@ def q_ds_frequent_item_best_customer(spark: SparkSession, sf_dir: str) -> DataFr
             F.count("*").alias("n_items"),
             F.sum(disc_price()).cast("double").alias("rev"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q14/q23 shape: ONE expensive aggregated CTE referenced THREE
+# times — as the row source, as a per-channel total (join back), and as
+# a scalar threshold. Scale: Catalyst plans each reference; AQE reuses
+# the exchange when the subtrees are identical, and both the channel
+# total and the scalar threshold are broadcast-size aggregates — the big
+# scan happens once per materialized reference, never per row.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_multi_cte_reuse",
+    f"""
+    WITH sales AS (
+      SELECT p_brand, l_returnflag AS channel,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY p_brand, l_returnflag
+    ),
+    chan AS (SELECT channel, SUM(rev_dec) AS chan_dec FROM sales GROUP BY channel),
+    thr AS (SELECT CAST(SUM(rev_dec) AS DOUBLE) / COUNT(*) AS t FROM sales)
+    SELECT s.channel AS channel, s.p_brand AS p_brand,
+           CAST(s.rev_dec AS DOUBLE) AS rev,
+           CAST(s.rev_dec AS DOUBLE) / CAST(c.chan_dec AS DOUBLE) AS chan_share
+    FROM sales s JOIN chan c ON s.channel = c.channel CROSS JOIN thr
+    WHERE CAST(s.rev_dec AS DOUBLE) > t
+    ORDER BY channel, p_brand
+    """,
+)
+def q_ds_multi_cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    sales = (
+        t["lineitem"]
+        .join(t["part"], F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", F.col("l_returnflag").alias("channel"))
+        .agg(F.sum(dec("l_extendedprice")).alias("rev_dec"))
+    )
+    chan = sales.groupBy("channel").agg(F.sum("rev_dec").alias("chan_dec"))
+    thr = sales.agg((F.sum("rev_dec").cast("double") / F.count("*")).alias("t"))
+    return (
+        sales.join(F.broadcast(chan), "channel")
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("rev_dec").cast("double") > F.col("t"))
+        .select(
+            "channel",
+            "p_brand",
+            F.col("rev_dec").cast("double").alias("rev"),
+            (F.col("rev_dec").cast("double") / F.col("chan_dec").cast("double")).alias(
+                "chan_share"
+            ),
+        )
+        .orderBy("channel", "p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q64 shape: the SAME star aggregate instantiated for two years
+# and self-joined on the entity key with a cross-year condition, plus
+# broadcast dims on the result. Scale: the per-(customer, year) aggregate
+# shuffles once; the self-join co-locates on o_custkey (same hash
+# partitioning both sides); customer and nation ride broadcasts.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_two_year_star_join",
+    """
+    WITH cy AS (
+      SELECT o_custkey, CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS yr,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT c_name, n_name,
+           CAST(a.rev_dec AS DOUBLE) AS rev_y1, CAST(b.rev_dec AS DOUBLE) AS rev_y2
+    FROM cy a JOIN cy b ON a.o_custkey = b.o_custkey
+    JOIN customer ON c_custkey = a.o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE a.yr = 1995 AND b.yr = 1996
+      AND CAST(b.rev_dec AS DOUBLE) > CAST(a.rev_dec AS DOUBLE)
+    ORDER BY c_name
+    """,
+)
+def q_ds_two_year_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    cy = t["orders"].groupBy(
+        "o_custkey", F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    a = cy.where(F.col("yr") == 1995).alias("a")
+    b = cy.where(F.col("yr") == 1996).alias("b")
+    return (
+        a.join(b, F.col("a.o_custkey") == F.col("b.o_custkey"))
+        .where(F.col("b.rev_dec").cast("double") > F.col("a.rev_dec").cast("double"))
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("a.o_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("c_nationkey"))
+        .select(
+            "c_name",
+            "n_name",
+            F.col("a.rev_dec").cast("double").alias("rev_y1"),
+            F.col("b.rev_dec").cast("double").alias("rev_y2"),
+        )
+        .orderBy("c_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q72 shape: a long fact-to-fact join chain with a shifted-date
+# condition (inventory/catalog analog: shipments that slipped >60 days
+# past order placement, excluding returns). Scale: the only
+# big shuffle is lineitem⋈orders on orderkey; part/supplier/nation are
+# broadcast; the date conditions are row-local post-join filters that
+# Catalyst pushes into the join where possible.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_inventory_chain",
+    """
+    SELECT p_brand, n_name, COUNT(*) AS n_delayed
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_returnflag <> 'R'
+    GROUP BY p_brand, n_name
+    ORDER BY n_delayed DESC, p_brand, n_name
+    LIMIT 100
+    """,
+)
+def q_ds_inventory_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("n_nationkey") == F.col("s_nationkey"))
+        .where(
+            (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAY"))
+            & (F.col("l_returnflag") != "R")
+        )
+        .groupBy("p_brand", "n_name")
+        .agg(F.count("*").alias("n_delayed"))
+        .orderBy(F.desc("n_delayed"), "p_brand", "n_name")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q31 shape: per-(entity, period) aggregates, window-LAG growth
+# per channel, then a cross-channel self-join comparing growth rates.
+# Scale: one agg shuffle on (nation, quarter, channel); the window and
+# the self-join both repartition only the tiny aggregate.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_correlated_window_ratio",
+    """
+    WITH rev AS (
+      SELECT c_nationkey AS nk,
+             CAST(EXTRACT(QUARTER FROM o_orderdate) AS INTEGER) AS q,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'hi' ELSE 'lo' END AS chan,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      WHERE CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) = 1995
+      GROUP BY 1, 2, 3
+    ),
+    g AS (
+      SELECT nk, q, chan,
+             CAST(rev_dec AS DOUBLE)
+               / CAST(LAG(rev_dec) OVER (PARTITION BY nk, chan ORDER BY q) AS DOUBLE)
+               AS growth
+      FROM rev
+    )
+    SELECT h.nk AS nationkey, h.q AS quarter,
+           h.growth AS hi_growth, l.growth AS lo_growth
+    FROM g h JOIN g l ON h.nk = l.nk AND h.q = l.q
+    WHERE h.chan = 'hi' AND l.chan = 'lo' AND h.growth > l.growth
+    ORDER BY nationkey, quarter
+    """,
+)
+def q_ds_correlated_window_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t["orders"]
+        .join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.year("o_orderdate").cast("int") == 1995)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.quarter("o_orderdate").cast("int").alias("q"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("hi")
+            ).otherwise(F.lit("lo")).alias("chan"),
+        )
+        .agg(F.sum(dec("o_totalprice")).alias("rev_dec"))
+    )
+    w = W.partitionBy("nk", "chan").orderBy("q")
+    g = rev.select(
+        "nk", "q", "chan",
+        (F.col("rev_dec").cast("double") / F.lag("rev_dec").over(w).cast("double")).alias(
+            "growth"
+        ),
+    )
+    h, lo = g.where(F.col("chan") == "hi").alias("h"), g.where(F.col("chan") == "lo").alias("l")
+    return (
+        h.join(lo, (F.col("h.nk") == F.col("l.nk")) & (F.col("h.q") == F.col("l.q")))
+        .where(F.col("h.growth") > F.col("l.growth"))
+        .select(
+            F.col("h.nk").alias("nationkey"),
+            F.col("h.q").alias("quarter"),
+            F.col("h.growth").alias("hi_growth"),
+            F.col("l.growth").alias("lo_growth"),
+        )
+        .orderBy("nationkey", "quarter")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q39 shape: per-(entity, period) variance flag from EXACT moment
+# sums (decimal sum and sum-of-squares; stddev_samp's accumulation order
+# differs across engines, so the variance is assembled from exact sums
+# with a fixed IEEE expression tree), then a consecutive-period
+# self-join of the flagged rows. Scale: one agg shuffle; the self-join
+# repartitions only flagged aggregates.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_variance_flag_chain",
+    """
+    WITH m AS (
+      SELECT l_suppkey AS sk, CAST(EXTRACT(MONTH FROM l_shipdate) AS INTEGER) AS m,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS ss
+      FROM lineitem GROUP BY 1, 2
+    ),
+    v AS (
+      SELECT sk, m, (ss - s * s / n) / (n - 1) AS var
+      FROM m WHERE n >= 3
+    ),
+    f AS (SELECT sk, m, var FROM v WHERE var > 190.0)
+    SELECT a.sk AS sk, a.m AS m1, b.m AS m2, a.var AS var1, b.var AS var2
+    FROM f a JOIN f b ON a.sk = b.sk AND b.m = a.m + 1
+    ORDER BY sk, m1
+    """,
+)
+def q_ds_variance_flag_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir)["lineitem"]
+    m = li.groupBy(
+        F.col("l_suppkey").alias("sk"),
+        F.month("l_shipdate").cast("int").alias("m"),
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("s"),
+        F.sum(dec("l_quantity") * dec("l_quantity")).cast("double").alias("ss"),
+    )
+    v = m.where(F.col("n") >= 3).select(
+        "sk", "m",
+        ((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)).alias("var"),
+    )
+    f = v.where(F.col("var") > 190.0)
+    a, b = f.alias("a"), f.alias("b")
+    return (
+        a.join(b, (F.col("a.sk") == F.col("b.sk")) & (F.col("b.m") == F.col("a.m") + 1))
+        .select(
+            F.col("a.sk").alias("sk"),
+            F.col("a.m").alias("m1"),
+            F.col("b.m").alias("m2"),
+            F.col("a.var").alias("var1"),
+            F.col("b.var").alias("var2"),
+        )
+        .orderBy("sk", "m1")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS first-sale cohort shape (q54-adjacent): MIN(date) per customer
+# defines the cohort, joined back to the fact for a cohort-year ×
+# order-year grid with a COUNT(DISTINCT). Scale: the min-date aggregate
+# and the fact shuffle on the same key (o_custkey) — co-located join;
+# the distinct-count shuffles on the tiny (cohort, year) grid.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_first_purchase_cohort",
+    """
+    WITH first_o AS (
+      SELECT o_custkey AS k, MIN(o_orderdate) AS first_dt FROM orders GROUP BY 1
+    )
+    SELECT CAST(EXTRACT(YEAR FROM f.first_dt) AS INTEGER) AS cohort_year,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS order_year,
+           COUNT(DISTINCT o.o_custkey) AS n_customers,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+    FROM orders o JOIN first_o f ON o.o_custkey = f.k
+    GROUP BY 1, 2
+    ORDER BY cohort_year, order_year
+    """,
+)
+def q_ds_first_purchase_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    first_o = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.min("o_orderdate").alias("first_dt")
+    )
+    return (
+        o.join(first_o, F.col("o_custkey") == F.col("k"))
+        .groupBy(
+            F.year("first_dt").cast("int").alias("cohort_year"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dsum("o_totalprice").alias("rev"),
+        )
+        .orderBy("cohort_year", "order_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q49 shape: per-entity return ratios ranked by TWO different
+# orderings, keeping rows in the top-k of EITHER ranking. Scale: one agg
+# shuffle to brand granularity; both windows repartition the same tiny
+# aggregate (single exchange, two sorts).
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_dual_rank_return_ratio",
+    """
+    WITH base AS (
+      SELECT p_brand,
+        CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R'
+                 THEN CAST(l_quantity AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+          / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_ratio,
+        CAST(COALESCE(SUM(CASE WHEN l_returnflag = 'R'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END), 0) AS DOUBLE)
+          / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS amt_ratio
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY p_brand
+    ),
+    ranked AS (
+      SELECT *, RANK() OVER (ORDER BY qty_ratio DESC, p_brand) AS qty_rank,
+                RANK() OVER (ORDER BY amt_ratio DESC, p_brand) AS amt_rank
+      FROM base
+    )
+    SELECT p_brand, qty_ratio, amt_ratio, qty_rank, amt_rank
+    FROM ranked WHERE qty_rank <= 10 OR amt_rank <= 10
+    ORDER BY p_brand
+    """,
+)
+def q_ds_dual_rank_return_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    ret_qty = F.sum(F.when(F.col("l_returnflag") == "R", dec("l_quantity")))
+    ret_amt = F.sum(F.when(F.col("l_returnflag") == "R", dec("l_extendedprice")))
+    base = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            (
+                F.coalesce(ret_qty, F.lit(0).cast("decimal(18,2)")).cast("double")
+                / F.sum(dec("l_quantity")).cast("double")
+            ).alias("qty_ratio"),
+            (
+                F.coalesce(ret_amt, F.lit(0).cast("decimal(18,2)")).cast("double")
+                / F.sum(dec("l_extendedprice")).cast("double")
+            ).alias("amt_ratio"),
+        )
+    )
+    ranked = base.select(
+        "*",
+        F.rank().over(W.orderBy(F.desc("qty_ratio"), "p_brand")).alias("qty_rank"),
+        F.rank().over(W.orderBy(F.desc("amt_ratio"), "p_brand")).alias("amt_rank"),
+    )
+    return (
+        ranked.where((F.col("qty_rank") <= 10) | (F.col("amt_rank") <= 10))
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q97 shape: channel-overlap census via FULL OUTER JOIN of two
+# distinct key sets, counted by presence pattern. Scale: both distinct
+# sets and the full join hash on the same key — one exchange per side,
+# co-located join, three conditional counts in one pass.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_channel_overlap_census",
+    """
+    WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders
+               WHERE o_orderpriority = '1-URGENT'),
+         b AS (SELECT DISTINCT o_custkey AS k FROM orders
+               WHERE o_orderpriority = '5-LOW')
+    SELECT COUNT(CASE WHEN a.k IS NOT NULL AND b.k IS NOT NULL THEN 1 END) AS both_ch,
+           COUNT(CASE WHEN a.k IS NOT NULL AND b.k IS NULL THEN 1 END) AS only_a,
+           COUNT(CASE WHEN a.k IS NULL AND b.k IS NOT NULL THEN 1 END) AS only_b
+    FROM a FULL OUTER JOIN b ON a.k = b.k
+    """,
+)
+def q_ds_channel_overlap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_tables(spark, sf_dir)["orders"]
+    a = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("ak")
+    ).distinct()
+    b = o.where(F.col("o_orderpriority") == "5-LOW").select(
+        F.col("o_custkey").alias("bk")
+    ).distinct()
+    return a.join(b, F.col("ak") == F.col("bk"), "full_outer").agg(
+        F.count(F.when(F.col("ak").isNotNull() & F.col("bk").isNotNull(), 1)).alias("both_ch"),
+        F.count(F.when(F.col("ak").isNotNull() & F.col("bk").isNull(), 1)).alias("only_a"),
+        F.count(F.when(F.col("ak").isNull() & F.col("bk").isNotNull(), 1)).alias("only_b"),
     )

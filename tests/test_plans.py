@@ -246,3 +246,24 @@ def test_yoy_customer_filter_one_pass_no_joins(spark):
     assert "Join" not in plan, plan[:1500]
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n_exchanges <= 2
+
+
+def test_two_year_star_join_colocates_self_join(spark):
+    """q64 shape: the per-(customer, year) aggregate self-join must hash
+    on o_custkey with broadcast dims — no cartesian, dims never shuffle
+    the fact."""
+    from reshape_on_flink_spark.queries.tpcds_shapes import q_ds_two_year_star_join
+
+    plan = plan_of(q_ds_two_year_star_join(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2  # customer, nation
+    assert "CartesianProduct" not in plan
+
+
+def test_inventory_chain_broadcasts_all_dims(spark):
+    """q72 shape: the only big shuffle is lineitem x orders on orderkey;
+    part/supplier/nation must ride broadcasts."""
+    from reshape_on_flink_spark.queries.tpcds_shapes import q_ds_inventory_chain
+
+    plan = plan_of(q_ds_inventory_chain(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
