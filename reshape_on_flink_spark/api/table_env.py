@@ -461,10 +461,76 @@ class TableEnvironment:
         # versioned (temporal) tables: name -> rowtime column, the
         # metadata Flink declares via WATERMARK + PRIMARY KEY DDL
         self._versioned: dict[str, str] = {}
+        self._journal_path: str | None = None
 
     @classmethod
     def create(cls, spark: SparkSession) -> "TableEnvironment":
         return cls(spark)
+
+    # -- catalog persistence (SqlCreateCatalog.java analog) ----------------
+    #
+    # Flink catalogs (hive/jdbc) outlive the session; Spark's session
+    # catalog is in-memory unless a Hive metastore is configured (no hive
+    # jars in this environment). The Spark-first analog is a DDL JOURNAL:
+    # every successful persistent CREATE/DROP/ALTER of a TABLE, VIEW or
+    # DATABASE is appended to a file, and a fresh session replays it.
+    # Temporary objects are deliberately NOT journaled — Flink's
+    # temporary tables/views are session-scoped and never enter a
+    # catalog either. Data survives via the tables' external locations.
+
+    _JOURNAL_DDL_RE = re.compile(
+        r"^\s*(?:CREATE|DROP|ALTER)\s+(?:OR\s+REPLACE\s+)?(?:EXTERNAL\s+)?"
+        r"(?:TABLE|VIEW|DATABASE|SCHEMA)\b",
+        re.IGNORECASE,
+    )
+
+    def enable_catalog_persistence(self, journal_path: str) -> None:
+        """Journal persistent DDL to ``journal_path`` (JSONL, one
+        statement per line, append-only). Idempotent across calls."""
+        import os
+
+        os.makedirs(os.path.dirname(journal_path) or ".", exist_ok=True)
+        self._journal_path = journal_path
+
+    def restore_catalog(self, journal_path: str | None = None) -> int:
+        """Replay a DDL journal into this session's catalog; returns the
+        number of statements replayed. Errors are loud (a journal is a
+        linear history — a failed replay means the catalog drifted)."""
+        import json as _json
+        import os
+
+        path = journal_path or self._journal_path
+        if path is None or not os.path.exists(path):
+            return 0
+        prev, self._journal_path = self._journal_path, None  # no re-journal
+        n = 0
+        try:
+            with open(path) as fh:
+                for line in fh:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    self.execute_sql(_json.loads(line)["sql"])
+                    n += 1
+        finally:
+            self._journal_path = prev
+        return n
+
+    def _maybe_journal(self, sql: str) -> None:
+        if self._journal_path is None:
+            return
+        if not self._JOURNAL_DDL_RE.match(sql):
+            return
+        if re.match(
+            r"^\s*(?:CREATE|DROP)\s+(?:OR\s+REPLACE\s+)?TEMPORARY\b",
+            sql,
+            re.IGNORECASE,
+        ):
+            return
+        import json as _json
+
+        with open(self._journal_path, "a") as fh:
+            fh.write(_json.dumps({"sql": sql}) + "\n")
 
     @staticmethod
     def translate(sql: str, unnest_multi: str = "inline") -> str:
@@ -531,6 +597,7 @@ class TableEnvironment:
             wm = re.search(r"\bWATERMARK\s+FOR\s+(\w+)\b", sql, re.IGNORECASE)
             if wm:
                 self._versioned[ddl.group(1)] = wm.group(1)
+        self._maybe_journal(sql)
         return out
 
     # -- MATCH_RECOGNIZE (SQL form) -> operators.cep.match_recognize -------

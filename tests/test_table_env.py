@@ -835,3 +835,61 @@ def test_match_recognize_streaming_define_guard_is_compile_time(tenv, spark, tmp
                   PATTERN (A+) DEFINE {bad_define}
                 )
             """)
+
+
+def test_catalog_persistence_journal_replay(tenv, spark, tables, tmp_dir):
+    """Flink catalogs outlive sessions (SqlCreateCatalog); the Spark
+    analog here is a persistent-DDL journal. Create database + external
+    table + view with journaling on, wipe the session catalog directly
+    (simulating a fresh session), replay — metadata AND data must
+    survive (data rides the external location)."""
+    import os
+
+    journal = os.path.join(tmp_dir, "catalog", "ddl.jsonl")
+    loc = os.path.join(tmp_dir, "persist_nation")
+    prev_db = spark.catalog.currentDatabase()
+    tenv.enable_catalog_persistence(journal)
+    try:
+        tenv.execute_sql(
+            f"CREATE DATABASE IF NOT EXISTS persist_db LOCATION '{loc}_db'"
+        )
+        tenv.execute_sql(
+            "CREATE TABLE IF NOT EXISTS persist_db.persist_nation ("
+            "n_nationkey BIGINT, n_name STRING) "
+            f"WITH ('connector'='filesystem', 'path'='{loc}', 'format'='parquet')"
+        )
+        tables["nation"].select("n_nationkey", "n_name").write.mode(
+            "overwrite"
+        ).parquet(loc)
+        tenv.execute_sql(
+            "CREATE VIEW IF NOT EXISTS persist_db.persist_top AS "
+            "SELECT n_name FROM persist_db.persist_nation WHERE n_nationkey < 5"
+        )
+        # temporary objects must NOT be journaled
+        tenv.execute_sql("CREATE TEMPORARY VIEW persist_tmp AS SELECT 1 AS one")
+        n_before = tenv.execute_sql(
+            "SELECT COUNT(*) AS n FROM persist_db.persist_top"
+        ).collect()[0]["n"]
+        assert n_before == 5
+
+        # simulate a fresh session: wipe the catalog BEHIND the journal
+        spark.sql("DROP VIEW IF EXISTS persist_db.persist_top")
+        spark.sql("DROP TABLE IF EXISTS persist_db.persist_nation")
+        spark.sql("DROP DATABASE IF EXISTS persist_db")
+        spark.catalog.dropTempView("persist_tmp")
+
+        fresh = type(tenv).create(spark)
+        replayed = fresh.restore_catalog(journal)
+        assert replayed == 3  # database + table + view; temp view absent
+        rows = fresh.execute_sql(
+            "SELECT COUNT(*) AS n FROM persist_db.persist_top"
+        ).collect()
+        assert rows[0]["n"] == 5
+        assert not any(
+            v.name == "persist_tmp" for v in spark.catalog.listTables()
+        )
+    finally:
+        spark.sql("DROP VIEW IF EXISTS persist_db.persist_top")
+        spark.sql("DROP TABLE IF EXISTS persist_db.persist_nation")
+        spark.sql("DROP DATABASE IF EXISTS persist_db")
+        spark.catalog.setCurrentDatabase(prev_db)
