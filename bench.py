@@ -48,6 +48,8 @@ HEADLINE = [
     "q_sequence_pack",
     "q_domain_mix_sample",
     "q_embedding_quantize",
+    # round-5 addition: unigram LM scoring (skew-split token join)
+    "q_unigram_perplexity",
 ]
 
 

@@ -38,6 +38,8 @@ SQL_H60 = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
 
 SQL_TOKS = r"list_filter(string_split_regex(text, '\s+'), t -> t <> '')"
 
+from reshape_on_flink_spark.llm.lm import LP_SCALE as T_LP_SCALE  # noqa: E402
+
 _PARAM_VALUES = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(D.MINHASH_PARAMS))
 
 # tokens with position -> 3-shingles (lead-window formulation, mirrors
@@ -991,3 +993,35 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.quantized_topk(emb, emb.where(F.col("vec_id") < 10), k=5).orderBy(
         "query_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM perplexity (corpus-quality signal). Scale: the token join
+# is Zipf-hot, so llm/lm.py splits it — top-k vocabulary broadcast
+# (map-side, covers the head mass), uniform tail via shuffle join.
+# Per-token log-probs are fixed-point-quantized before the per-doc sum
+# so the oracle hash matches (double summation is order-dependent).
+# ---------------------------------------------------------------------------
+@query(
+    "q_unigram_perplexity",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    tok AS (SELECT doc_id, tk[i] AS tok
+            FROM toks, UNNEST(generate_series(1, len(tk))) AS u(i)),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab),
+    lp AS (
+      SELECT doc_id,
+             CAST(ROUND(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+                        * {T_LP_SCALE}) AS BIGINT) AS lp
+      FROM tok JOIN vocab USING (tok) CROSS JOIN tot)
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           -CAST(SUM(lp) AS DOUBLE) / {T_LP_SCALE}.0 / COUNT(*) AS xent
+    FROM lp GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.llm.lm import unigram_lm_scores
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return unigram_lm_scores(d).orderBy("doc_id")

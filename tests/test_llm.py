@@ -586,3 +586,32 @@ def test_multimodal_real_frame_demux(spark):
     )
     # stride 2 over 5 frames -> frames 0, 2, 4
     assert [b for _, b in got] == [frames[0], frames[2], frames[4]]
+
+
+def test_unigram_perplexity_skew_split_plan_and_signal(spark, tables):
+    """The LM scorer's token join must be skew-split: head vocabulary on
+    broadcast joins (join + anti), tail on the shuffle join — and a
+    repeated-boilerplate doc must score LOWER cross-entropy than the
+    corpus median (stereotypical text is the signal)."""
+    from reshape_on_flink_spark.llm.lm import unigram_lm_scores
+
+    d = tables["documents"].limit(200)
+    planted = d.union(
+        spark.createDataFrame(
+            [(900_001, "the the the the the the the the")],
+            "doc_id long, text string",
+        ).select(*d.columns[:2])
+        if len(d.columns) == 2
+        else spark.createDataFrame(
+            [tuple([900_001, "the the the the the the the the"] + [None] * (len(d.columns) - 2))],
+            d.schema,
+        )
+    )
+    scores = unigram_lm_scores(planted)
+    plan = scores._jdf.queryExecution().explainString(
+        scores._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:2000]
+    rows = {r["doc_id"]: r["xent"] for r in scores.collect()}
+    med = sorted(v for k, v in rows.items() if k != 900_001)[len(rows) // 2]
+    assert rows[900_001] < med  # max-repetition doc = lowest entropy
