@@ -240,3 +240,22 @@ def bpe_tokens(col: str | Column = "text") -> Column:
 
 def bpe_token_count(col: str | Column = "text") -> Column:
     return F.size(bpe_tokens(col))
+
+
+#: Normalization steps shared by Java regex (Spark) and RE2 (DuckDB):
+#: strip C0/C1 control chars (keep \t\n\r), collapse runs of whitespace
+#: to one space, trim. Unicode NFC is deliberately NOT here — Spark has
+#: no JVM-side normalizer (a pandas UDF plug point would be the slow
+#: path); byte-level cleanup is the 99% case for web corpora.
+CONTROL_CHARS_REGEX = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Row-local text cleanup: control-char strip + whitespace collapse
+    + trim, emitted as ``norm_text`` with a ``changed`` flag. Map-only
+    regexp_replace chain — codegen'd, fused into the scan at any scale."""
+    cleaned = F.regexp_replace(F.col(text_col), CONTROL_CHARS_REGEX, "")
+    collapsed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
+    return df.withColumn("norm_text", collapsed).withColumn(
+        "changed", F.col("norm_text") != F.col(text_col)
+    )

@@ -42,6 +42,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # r2 U r3 U r4 covered all 137 prior queries; this refresh keeps
     # every family's evidence at most two rounds old.
     "q_unigram_perplexity",
+    "q_text_normalize",
     "q_ds_multi_cte_reuse",
     "q_ds_two_year_star_join",
     "q_ds_inventory_chain",

@@ -1025,3 +1025,29 @@ def q_unigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir)["documents"]
     return unigram_lm_scores(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text normalization (cleaning stage before dedup/quality). Map-only
+# regexp chain, md5-gated so the oracle covers every byte of output.
+# ---------------------------------------------------------------------------
+@query(
+    "q_text_normalize",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+                 regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                 '\s+', ' ', 'g'))) AS norm_md5,
+           (trim(regexp_replace(
+                 regexp_replace(text, '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                 '\s+', ' ', 'g')) <> text) AS changed
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        T.normalize_text(d)
+        .select("doc_id", F.md5("norm_text").alias("norm_md5"), "changed")
+        .orderBy("doc_id")
+    )

@@ -615,3 +615,18 @@ def test_unigram_perplexity_skew_split_plan_and_signal(spark, tables):
     rows = {r["doc_id"]: r["xent"] for r in scores.collect()}
     med = sorted(v for k, v in rows.items() if k != 900_001)[len(rows) // 2]
     assert rows[900_001] < med  # max-repetition doc = lowest entropy
+
+
+def test_normalize_text_strips_controls_and_collapses_whitespace(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "hello\x00 world\x1f!"),
+            (2, "  a \t\t b\n\n c  "),
+            (3, "already clean"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["norm_text"], r["changed"]) for r in T.normalize_text(df).collect()}
+    assert got[1] == ("hello world!", True)
+    assert got[2] == ("a b c", True)
+    assert got[3] == ("already clean", False)
