@@ -358,3 +358,58 @@ def test_pack_layout_properties(spark, rows):
         assert pid == off // seq_len and poff == off % seq_len
         last = off + max(n_tok, 1) - 1
         assert spanned == last // seq_len - pid + 1
+
+
+@SLOW
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # bucket key
+            st.integers(min_value=0, max_value=500),  # member id
+        ),
+        min_size=1,
+        max_size=80,
+        unique_by=lambda t: (t[0], t[1]),
+    ),
+    st.integers(min_value=2, max_value=6),  # cap
+)
+def test_capped_bucket_pairs_invariants(spark, rows, cap):
+    """For ANY bucket assignment and cap: (a) a<b on every pair; (b) no
+    member of a multi-member bucket is orphaned (connectivity for
+    clustering); (c) per-bucket pair count is bounded by the all-pairs
+    count below the cap and by the linear star count above it; (d)
+    capped == uncapped exactly when every bucket fits the cap."""
+    from collections import defaultdict
+
+    from reshape_on_flink_spark.llm.dedup import _capped_bucket_pairs
+
+    df = spark.createDataFrame(rows, "bkey int, doc_id long").withColumn(
+        "band", F.lit(0)
+    )
+    out = _capped_bucket_pairs(
+        df, ["band", "bkey"], ["doc_id"], max_bucket_size=cap
+    ).collect()
+    pairs = {(r["a_doc_id"], r["b_doc_id"]) for r in out}
+    assert all(a < b for a, b in pairs)
+
+    buckets = defaultdict(set)
+    for bkey, did in rows:
+        buckets[bkey].add(did)
+    covered = {x for p in pairs for x in p}
+    expected_pairs = set()
+    for members in buckets.values():
+        if len(members) <= 1:
+            continue
+        assert members <= covered | (members - covered), members
+        for m in members:
+            assert m in covered, (m, sorted(members), cap)
+        if len(members) <= cap:
+            ms = sorted(members)
+            expected_pairs |= {(a, b) for i, a in enumerate(ms) for b in ms[i + 1:]}
+        else:
+            pivot = min(members)
+            expected_pairs |= {(pivot, m) for m in members if m != pivot}
+    # pairs is exactly the union of per-bucket contributions (buckets can
+    # overlap in membership, so subset in general; equality per our
+    # single-band construction with distinct bucket keys)
+    assert pairs == expected_pairs

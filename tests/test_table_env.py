@@ -893,3 +893,44 @@ def test_catalog_persistence_journal_replay(tenv, spark, tables, tmp_dir):
         spark.sql("DROP TABLE IF EXISTS persist_db.persist_nation")
         spark.sql("DROP DATABASE IF EXISTS persist_db")
         spark.catalog.setCurrentDatabase(prev_db)
+
+
+def test_match_recognize_sql_streaming_multi_partition_cols(tenv, spark, tmp_dir):
+    """PARTITION BY with TWO columns on the streaming route (previously
+    raised): matches stay within each (k, grp) partition, equal to the
+    batch result."""
+    import os
+
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+    from tests.test_streaming import run_to_memory
+
+    rows = [
+        (k, g, i, float(v))
+        for k in (1, 2)
+        for g in ("x", "y")
+        for i, v in enumerate([5, 3, 6, 2, 4])
+    ]
+    df = spark.createDataFrame(rows, "k int, grp string, pos int, price double")
+    sql_text = """
+        SELECT k, grp, pos, sym FROM {src}
+        MATCH_RECOGNIZE (
+          PARTITION BY k, grp ORDER BY pos
+          MEASURES CLASSIFIER() AS sym
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (DOWN UP)
+          DEFINE DOWN AS DOWN.price < PREV(DOWN.price),
+                 UP AS UP.price > PREV(UP.price)
+        )
+    """
+    tenv.create_temporary_view("mr_mp_batch", df)
+    expected = sorted(map(tuple, tenv.execute_sql(sql_text.format(src="mr_mp_batch")).collect()))
+    assert expected
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "mr_mp"), n_chunks=3, order_col="pos"
+    )
+    stream.createOrReplaceTempView("mr_mp_stream")
+    sdf = tenv.execute_sql(sql_text.format(src="mr_mp_stream"))
+    assert sdf.isStreaming
+    got = sorted(map(tuple, run_to_memory(spark, sdf, "mr_mp_out", tmp_dir, mode="append").collect()))
+    assert got == expected
