@@ -43,6 +43,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # every family's evidence at most two rounds old.
     "q_unigram_perplexity",
     "q_text_normalize",
+    "q_bigram_perplexity",
     "q_ds_multi_cte_reuse",
     "q_ds_two_year_star_join",
     "q_ds_inventory_chain",

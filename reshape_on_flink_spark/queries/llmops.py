@@ -1051,3 +1051,35 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.md5("norm_text").alias("norm_md5"), "changed")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM conditional perplexity — same skew-split join shape as the
+# unigram scorer, applied to (w1,w2) pair counts and w1 context counts.
+# ---------------------------------------------------------------------------
+@query(
+    "q_bigram_perplexity",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    tok AS (SELECT doc_id, i, tk[i] AS w1
+            FROM toks, UNNEST(generate_series(1, len(tk))) AS u(i)),
+    pairs AS (
+      SELECT doc_id, w1, LEAD(w1) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      FROM tok QUALIFY w2 IS NOT NULL),
+    c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM pairs GROUP BY 1, 2),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM pairs GROUP BY 1),
+    lp AS (
+      SELECT doc_id,
+             CAST(ROUND(LN(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                        * {T_LP_SCALE}) AS BIGINT) AS lp
+      FROM pairs JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           -CAST(SUM(lp) AS DOUBLE) / {T_LP_SCALE}.0 / COUNT(*) AS xent
+    FROM lp GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.llm.lm import bigram_lm_scores
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return bigram_lm_scores(d).orderBy("doc_id")

@@ -630,3 +630,22 @@ def test_normalize_text_strips_controls_and_collapses_whitespace(spark):
     assert got[1] == ("hello world!", True)
     assert got[2] == ("a b c", True)
     assert got[3] == ("already clean", False)
+
+
+def test_bigram_perplexity_signal_and_short_doc_handling(spark, tables):
+    """A doc that is one repeated bigram must score near-zero conditional
+    cross-entropy; docs with < 2 tokens are absent (no bigrams)."""
+    from reshape_on_flink_spark.llm.lm import bigram_lm_scores
+
+    base = tables["documents"].limit(100).select("doc_id", "text")
+    planted = base.union(
+        spark.createDataFrame(
+            [(900_001, "ping pong ping pong ping pong ping pong"),
+             (900_002, "solo")],
+            "doc_id long, text string",
+        )
+    )
+    scores = {r["doc_id"]: r["xent"] for r in bigram_lm_scores(planted).collect()}
+    assert 900_002 not in scores  # single token -> no bigrams
+    others = sorted(v for k, v in scores.items() if k < 900_000)
+    assert scores[900_001] < others[len(others) // 2]
