@@ -478,3 +478,210 @@ def quantized_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the third ANN index family beside sign-LSH
+# and IVF: vectors compress to m sub-space codes (here 8 codes over a
+# 64-dim vector = 8 bytes vs 256), and queries score candidates from a
+# per-query lookup table without touching raw vectors.
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for PQ partial dots / norms: per-subspace doubles
+#: are quantized to 1e-9 BIGINTs before the cross-subspace sum, which
+#: makes the (order-free) integer sum bit-identical across engines.
+PQ_SCALE = 1_000_000_000
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Sample-initialized codebooks: subvector s of the ``k_codes``
+    lowest-id corpus rows is codeword (s, code). Deterministic and
+    data-adaptive (sampling init is standard PQ practice; k-means
+    refinement would break the float-reduction determinism contract —
+    see kmeans_train — and sampling already matches the fixture's
+    distribution). Returns books[s][code] = list of dim/m floats."""
+    d_sub = dim // m
+    rows = (
+        corpus.where(F.col(id_col) < k_codes)
+        .orderBy(id_col)
+        .select(vec_col)
+        .collect()
+    )
+    return [
+        [[float(r[0][s * d_sub + j]) for j in range(d_sub)] for r in rows]
+        for s in range(m)
+    ]
+
+
+def _sub_slice(vec_col: str, s: int, d_sub: int) -> Column:
+    return F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
+
+
+def _lit_arr(vals: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def _fold_l2(sub: Column, vals: list[float]) -> Column:
+    diff2 = F.zip_with(
+        sub, _lit_arr(vals), lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+    )
+    return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _fold_dot(sub: Column, vals: list[float]) -> Column:
+    prods = F.zip_with(sub, _lit_arr(vals), lambda a, b: a.cast("double") * b)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(neighbor_id, c0..c{m-1}): per-subspace nearest-codeword ids
+    (argmin L2, code-asc tie-break via the struct sort). Map-only
+    expressions — the encode stage fuses into the scan; the emitted
+    codes are the stored index (m ints per vector)."""
+    m = len(books)
+    d_sub = len(books[0][0])
+
+    def code_of(s: int) -> Column:
+        pairs = F.array(
+            *[
+                F.struct(
+                    _fold_l2(_sub_slice(vec_col, s, d_sub), books[s][c]).alias("d"),
+                    F.lit(c).alias("code"),
+                )
+                for c in range(len(books[s]))
+            ]
+        )
+        return F.element_at(F.array_sort(pairs), 1)["code"]
+
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        *[code_of(s).alias(f"c{s}") for s in range(m)],
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance PQ search: corpus rows are scored from their
+    codes alone via per-query lookup tables (dot(q_sub, codeword) per
+    subspace), cos ≈ Σ_s LUT_s[code_s] / (|q|·|reconstruction|).
+
+    100 TB: the candidate scan reads m ints per vector (the compressed
+    index) instead of the float array — the same broadcast-queries /
+    per-partition-top-k shape as quantized_topk, with 8x less data
+    motion than int8 and 32x less than float32. Cross-subspace sums run
+    on 1e-9 fixed-point BIGINTs (exact, order-free), so the whole
+    pipeline is hash-gated against a DuckDB replica.
+    """
+    import math
+
+    books = pq_codebooks(corpus, m, k_codes, dim, id_col, vec_col)
+    d_sub = dim // m
+    enc = pq_encode(corpus, books, id_col, vec_col)
+    # reconstruction norm^2 per row: literal lookup of per-codeword
+    # norms (fixed-point), exact integer sum across subspaces
+    n2_lit = [
+        F.array(
+            *[
+                F.lit(int(math.floor(sum(x * x for x in books[s][c]) * PQ_SCALE + 0.5)))
+                for c in range(k_codes)
+            ]
+        )
+        for s in range(m)
+    ]
+    recon2f = sum(
+        [F.element_at(n2_lit[s], F.col(f"c{s}") + 1) for s in range(m)],
+        F.lit(0).cast("long"),
+    )
+    enc = enc.withColumn("_r2f", recon2f)
+
+    qlut = [
+        F.array(
+            *[
+                F.round(_fold_dot(_sub_slice(vec_col, s, d_sub), books[s][c]) * PQ_SCALE)
+                .cast("long")
+                for c in range(k_codes)
+            ]
+        ).alias(f"ql{s}")
+        for s in range(m)
+    ]
+    q = queries.select(
+        F.col(id_col).alias("query_id"), norm(vec_col).alias("_qn"), *qlut
+    )
+    adf = sum(
+        [F.element_at(F.col(f"ql{s}"), F.col(f"c{s}") + 1) for s in range(m)],
+        F.lit(0).cast("long"),
+    )
+    cos_pq = (adf.cast("double") / F.lit(float(PQ_SCALE))) / (
+        F.col("_qn")
+        * F.sqrt(F.greatest(F.col("_r2f").cast("double") / F.lit(float(PQ_SCALE)), F.lit(1e-12)))
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(enc)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos_pq.alias("cos_pq"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_pq"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cos_pq", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_pq")
+    )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 50,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The PQ serving shape: codes-only asymmetric scoring produces a
+    ``shortlist`` per query, then ONLY those candidates join back to
+    their raw vectors for an exact cosine re-rank — PQ is the candidate
+    generator, exactness comes from the re-rank (IVF-PQ style). Data
+    motion: the full scan touches m ints per vector; raw vectors move
+    for |queries|·shortlist rows only. Recall@k is pinned in
+    tests/test_llm.py (shortlist-50 recovers ~0.9 of true top-5 on the
+    fixture, vs ~0.3 for raw PQ ranking)."""
+    cand = pq_topk(
+        corpus, queries, k=shortlist, m=m, k_codes=k_codes, dim=dim,
+        id_col=id_col, vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine("qvec", "cvec").alias("cos_sim"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )

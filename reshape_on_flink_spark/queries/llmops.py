@@ -1083,3 +1083,122 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir)["documents"]
     return bigram_lm_scores(d).orderBy("doc_id")
+
+
+def _pq_oracle(m: int = 8, k_codes: int = 16, dim: int = 64, k: int = 5) -> str:
+    """DuckDB replica of pq_topk INCLUDING codebook construction: the
+    sample-init codebooks are the sub-slices of the k_codes lowest-id
+    rows; encoding is argmin L2 with (dist ASC, code ASC) tie-break;
+    partial dots/norms are quantized to 1e-9 BIGINTs per subspace so the
+    cross-subspace SUMs are exact integers — identical to the Spark
+    expression tree (see llm/similarity.PQ_SCALE)."""
+    d_sub = dim // m
+    sc = S.PQ_SCALE
+    return f"""
+    WITH subsp AS (SELECT UNNEST(range({m})) AS s),
+    bsub AS (
+      SELECT b.vec_id AS code, s.s,
+             list_slice(b.embedding, s.s * {d_sub} + 1, s.s * {d_sub} + {d_sub}) AS bv
+      FROM embeddings b CROSS JOIN subsp s WHERE b.vec_id < {k_codes}),
+    csub AS (
+      SELECT e.vec_id, s.s,
+             list_slice(e.embedding, s.s * {d_sub} + 1, s.s * {d_sub} + {d_sub}) AS sv
+      FROM embeddings e CROSS JOIN subsp s),
+    dist AS (
+      SELECT c.vec_id, c.s, b.code,
+             list_sum(list_transform(list_zip(c.sv, b.bv),
+               x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                    * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+      FROM csub c JOIN bsub b ON c.s = b.s),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, code ASC) AS rn
+        FROM dist) WHERE rn = 1),
+    bnorm AS (
+      SELECT s, code,
+             CAST(ROUND(list_sum(list_transform(bv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * {sc}) AS BIGINT) AS n2f
+      FROM bsub),
+    qdot AS (
+      SELECT q.vec_id AS query_id, q.s, b.code,
+             CAST(ROUND(list_sum(list_transform(list_zip(q.sv, b.bv),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) * {sc}) AS BIGINT) AS df
+      FROM csub q JOIN bsub b ON q.s = b.s WHERE q.vec_id < 10),
+    pair AS (
+      SELECT d.query_id, c.vec_id AS neighbor_id, SUM(d.df) AS adf, SUM(n.n2f) AS r2f
+      FROM codes c
+      JOIN qdot d ON d.s = c.s AND d.code = c.code
+      JOIN bnorm n ON n.s = c.s AND n.code = c.code
+      GROUP BY 1, 2),
+    qn AS (
+      SELECT vec_id AS query_id,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm
+      FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT p.query_id, p.neighbor_id,
+             (CAST(adf AS DOUBLE) / {sc}.0)
+               / (qnorm * sqrt(GREATEST(CAST(r2f AS DOUBLE) / {sc}.0, 1e-12))) AS cos_pq
+      FROM pair p JOIN qn USING (query_id)
+      WHERE p.query_id <> p.neighbor_id)
+    SELECT query_id, "rank", neighbor_id, cos_pq FROM (
+      SELECT query_id, neighbor_id, cos_pq,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_pq DESC, neighbor_id ASC) AS "rank"
+      FROM scored)
+    WHERE "rank" <= {k}
+    ORDER BY query_id, "rank"
+    """
+
+
+@query("q_similarity_pq", _pq_oracle())
+def q_similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (asymmetric distance over 8-byte codes)
+    — the compressed-index family beside sign-LSH and IVF. The full
+    codebook-build + encode + LUT-search pipeline is hash-gated; recall
+    vs brute force is pinned in tests/test_llm.py."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.pq_topk(emb, emb.where(F.col("vec_id") < 10), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _pq_rerank_oracle(shortlist: int = 50, k: int = 5) -> str:
+    """pq_topk_rerank replica: the _pq_oracle shortlist (rank <=
+    shortlist) joins back to raw vectors for the exact-cosine re-rank."""
+    inner = _pq_oracle(k=shortlist).strip().rstrip()
+    # reuse the full PQ pipeline as a subquery producing the shortlist
+    cos = (
+        "list_sum(list_transform(list_zip(q.embedding, c.embedding), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(q.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(c.embedding,"
+        " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+    WITH cand AS ({inner}),
+    rescored AS (
+      SELECT cand.query_id, cand.neighbor_id, {cos} AS cos_sim
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+    SELECT query_id, "rank", neighbor_id, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
+      FROM rescored)
+    WHERE "rank" <= {k}
+    ORDER BY query_id, "rank"
+    """
+
+
+@query("q_similarity_pq_rerank", _pq_rerank_oracle())
+def q_similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ shortlist + exact cosine re-rank (the IVF-PQ serving shape)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.pq_topk_rerank(emb, emb.where(F.col("vec_id") < 10), k=5).orderBy(
+        "query_id", "rank"
+    )

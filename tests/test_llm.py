@@ -649,3 +649,34 @@ def test_bigram_perplexity_signal_and_short_doc_handling(spark, tables):
     assert 900_002 not in scores  # single token -> no bigrams
     others = sorted(v for k, v in scores.items() if k < 900_000)
     assert scores[900_001] < others[len(others) // 2]
+
+
+def test_pq_rerank_recall_vs_brute_force(spark, tables):
+    """PQ is the candidate generator, the re-rank restores exactness:
+    shortlist-50 + exact cosine must recover >= 0.7 of the true top-5
+    (raw PQ ranking alone sits near 0.3 at 4-bit codes — also asserted
+    so a silently-improved fixture doesn't mask a rerank regression)."""
+    emb = tables["embeddings"]
+    q = emb.where(F.col("vec_id") < 10)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in S.brute_force_topk(emb, q, k=5).collect()}
+    rr = {(r["query_id"], r["neighbor_id"]) for r in S.pq_topk_rerank(emb, q, k=5).collect()}
+    assert len(bf & rr) / len(bf) >= 0.7
+    raw = {(r["query_id"], r["neighbor_id"]) for r in S.pq_topk(emb, q, k=5).collect()}
+    assert len(bf & raw) / len(bf) >= 0.15  # codes-only floor
+    # re-ranked cosines are the exact ones
+    exact = {(r["query_id"], r["neighbor_id"]): r["cos_sim"]
+             for r in S.brute_force_topk(emb, q, k=50).collect()}
+    for r in S.pq_topk_rerank(emb, q, k=5).collect():
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact:
+            assert r["cos_sim"] == exact[key]
+
+
+def test_pq_encode_is_deterministic_and_compact(spark, tables):
+    emb = tables["embeddings"]
+    books = S.pq_codebooks(emb)
+    enc1 = sorted(map(tuple, S.pq_encode(emb, books).collect()))
+    enc2 = sorted(map(tuple, S.pq_encode(emb, books).collect()))
+    assert enc1 == enc2
+    assert len(enc1[0]) == 9  # id + 8 codes
+    assert all(0 <= c < 16 for row in enc1 for c in row[1:])
