@@ -48,8 +48,10 @@ HEADLINE = [
     "q_sequence_pack",
     "q_domain_mix_sample",
     "q_embedding_quantize",
-    # round-5 addition: unigram LM scoring (skew-split token join)
+    # round-5 additions: unigram LM scoring (skew-split token join),
+    # PQ compressed-index search with exact re-rank
     "q_unigram_perplexity",
+    "q_similarity_pq_rerank",
 ]
 
 
