@@ -370,6 +370,18 @@ def _rewrite_statements(sql: str) -> str:
             f"{' '.join(m.group(1).upper().split())}: Flink module/jar "
             "management has no Spark catalog analog"
         )
+    # CREATE/DROP CATALOG (SqlCreateCatalog.java): Spark catalogs are
+    # plugins configured at session start (spark.sql.catalog.<name>),
+    # not DDL-creatable — refuse loudly and point at the two real
+    # mechanisms instead of letting Spark's parser produce a confusing
+    # syntax error.
+    if re.match(r"^\s*(?:CREATE|DROP)\s+CATALOG\b", sql, re.IGNORECASE):
+        raise NotImplementedError(
+            "CREATE/DROP CATALOG: Spark catalogs are session-start plugins "
+            "(spark.sql.catalog.<name>=<class>); for cross-session object "
+            "persistence use TableEnvironment.enable_catalog_persistence / "
+            "restore_catalog (DDL journal)"
+        )
     # EXPLAIN [CHANGELOG_MODE|ESTIMATED_COST|JSON_EXECUTION_PLAN|
     # PLAN_ADVICE, ...] [PLAN FOR] <stmt>  ->  EXPLAIN <stmt>  (details
     # map to Spark's single formatted plan; Flink allows the detail list

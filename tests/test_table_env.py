@@ -684,6 +684,14 @@ _MR_FIXTURE_ROWS = [
     (k, i, float(v))
     for k in (1, 2)
     for i, v in enumerate([5, 3, 1, 4, 6, 2, 1, 3, 7, 5, 4, 2, 6, 8, 1])
+] + [
+    # terminal sentinel per partition: NULL price matches NO symbol, so
+    # greedy matches at the data's tail CLOSE in the streaming engine
+    # too (an open match on an unbounded stream never emits — correct
+    # streaming semantics; batch force-closes at end-of-data). Both
+    # engines see the same sentinel, keeping the comparison fair.
+    (k, 15, None)
+    for k in (1, 2)
 ]
 
 
@@ -697,14 +705,15 @@ def _mr_stream_vs_batch(tenv, spark, tmp_dir, sql_text, name):
 
     df = spark.createDataFrame(_MR_FIXTURE_ROWS, "k int, pos int, price double")
     tenv.create_temporary_view(f"mrb_{name}", df)
+    # plain replacement, not str.format: PATTERN quantifiers carry {n,m}
     expected = sorted(
-        map(tuple, tenv.execute_sql(sql_text.format(src=f"mrb_{name}")).collect())
+        map(tuple, tenv.execute_sql(sql_text.replace("{src}", f"mrb_{name}")).collect())
     )
     stream = chunked_replay(
         spark, df, os.path.join(tmp_dir, f"mrs_{name}"), n_chunks=4, order_col="pos"
     )
     stream.createOrReplaceTempView(f"mrs_{name}")
-    sdf = tenv.execute_sql(sql_text.format(src=f"mrs_{name}"))
+    sdf = tenv.execute_sql(sql_text.replace("{src}", f"mrs_{name}"))
     assert sdf.isStreaming
     got = sorted(
         map(tuple, run_to_memory(spark, sdf, f"mr_out_{name}", tmp_dir, mode="append").collect())
@@ -934,3 +943,60 @@ def test_match_recognize_sql_streaming_multi_partition_cols(tenv, spark, tmp_dir
     assert sdf.isStreaming
     got = sorted(map(tuple, run_to_memory(spark, sdf, "mr_mp_out", tmp_dir, mode="append").collect()))
     assert got == expected
+
+
+def test_create_catalog_is_loud_with_pointer(tenv):
+    with pytest.raises(NotImplementedError, match="enable_catalog_persistence"):
+        tenv.execute_sql("CREATE CATALOG my_cat WITH ('type' = 'generic_in_memory')")
+    with pytest.raises(NotImplementedError, match="session-start plugins"):
+        tenv.execute_sql("DROP CATALOG my_cat")
+
+
+@pytest.mark.parametrize(
+    "pattern,define,measures,skip",
+    [
+        # greedy plus-runs, mixed agg + navigation measures, RUNNING default
+        ("(DOWN+ UP+)",
+         "DOWN AS DOWN.price < PREV(DOWN.price), UP AS UP.price > PREV(UP.price)",
+         "SUM(price) AS s, MIN(DOWN.price) AS lo, LAST(UP.price) AS lu",
+         "PAST LAST ROW"),
+        # alternation group + FINAL frames + overlap skip
+        ("((A | B)+)",
+         "A AS A.price > 4, B AS B.price <= 4",
+         "FINAL(COUNT(A.*)) AS na, FINAL(COUNT(B.*)) AS nb, CLASSIFIER() AS sym",
+         "TO NEXT ROW"),
+        # bounded quantifier + PREV offset 2 + AVG
+        ("(A{2,3} B)",
+         "A AS A.price > 0, B AS B.price < PREV(B.price, 2)",
+         "AVG(A.price) AS avg_a, MATCH_NUMBER() AS mno",
+         "PAST LAST ROW"),
+        # reluctant quantifier + MAX + skip-to-first
+        ("(DOWN+? UP)",
+         "DOWN AS DOWN.price < PREV(DOWN.price), UP AS UP.price > PREV(UP.price)",
+         "MAX(price) AS hi, FIRST(DOWN.price) AS fd",
+         "TO FIRST UP"),
+    ],
+    ids=["greedy-mixed", "alternation-final", "bounded-prev2", "reluctant-skipfirst"],
+)
+def test_match_recognize_matrix_stream_equals_batch(
+    tenv, spark, tmp_dir, pattern, define, measures, skip
+):
+    """Cross-engine MR matrix: pattern shapes x measures x skip
+    strategies, ALL ROWS PER MATCH, stream == batch on every cell."""
+    name = f"mx_{abs(hash((pattern, measures, skip))) % 10**6}"
+    expected, got = _mr_stream_vs_batch(
+        tenv, spark, tmp_dir,
+        f"""
+        SELECT pos, {', '.join(m.split(' AS ')[-1] for m in measures.split(', '))}
+        FROM {{src}} MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY pos
+          MEASURES {measures}
+          ALL ROWS PER MATCH
+          AFTER MATCH SKIP {skip}
+          PATTERN {pattern}
+          DEFINE {define}
+        )
+        """,
+        name,
+    )
+    assert expected and got == expected
