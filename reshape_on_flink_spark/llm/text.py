@@ -259,3 +259,95 @@ def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("norm_text", collapsed).withColumn(
         "changed", F.col("norm_text") != F.col(text_col)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Context-window chunking — split each document into overlapping
+    token windows of ``size`` tokens advancing by ``stride`` (the
+    pretraining-corpus assembly step upstream of sequence packing,
+    ``llm/pack.py``). Output: (doc_id, chunk_id, n_tokens, chunk_text).
+
+    A document with n tokens yields ``1 + ceil((n - size)/stride)``
+    chunks (one chunk when n <= size, including empty docs); the last
+    chunk may be short. Entirely row-local — tokenize, per-row index
+    sequence, explode, slice — so it fuses into the scan with NO shuffle
+    at any scale: 100 TB of documents chunk at scan speed, and the
+    output inherits the input partitioning (no skew: a single huge doc
+    expands to n/stride rows inside its own partition).
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+    n = F.size(F.col("tk"))
+    # integer ceil: 1 + (n - size + stride - 1) div stride, guarded at 1
+    n_chunks = F.when(n <= F.lit(size), F.lit(1)).otherwise(
+        F.lit(1) + ((n - F.lit(size) + F.lit(stride - 1)) / F.lit(stride)).cast("int")
+    )
+    e = base.select("doc_id", "tk", F.explode(seq1(n_chunks)).alias("i"))
+    chunk = F.slice(F.col("tk"), (F.col("i") - 1) * stride + 1, size)
+    return e.select(
+        "doc_id",
+        (F.col("i") - 1).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+def terms(col: str | Column = "text") -> Column:
+    """Lowercased alphabetic terms (runs of a-z), empties removed —
+    the normalized vocabulary stream for TF-IDF / keyword extraction.
+    Mirrored in SQL as string_split_regex(lower(text), '[^a-z]+')."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), "[^a-z]+"), lambda t: t != "")
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hot_vocab_k: int = 10_000,
+) -> DataFrame:
+    """Per-document top-``k`` TF-IDF keywords: score = tf · ln(N/df),
+    quantized to fixed-point µ-units (round(score·1e6) as BIGINT — the
+    same cross-engine determinism device as ``llm/lm.py``) and ranked
+    (score desc, term asc) per document.
+
+    Scale shape: the document-frequency join is Zipf-hot ('the' appears
+    in every document), so it rides the same skew-split as the LM
+    scorers — head terms broadcast map-side, tail terms shuffle on
+    near-uniform keys. N is a broadcast 1-row aggregate. The final
+    per-doc top-k is a row_number window partitioned by doc_id —
+    high-cardinality partition key, no skew.
+    """
+    from pyspark.sql import Window as W
+
+    from reshape_on_flink_spark.llm.lm import LP_SCALE, _skew_split_count_join
+
+    tok = spread(df).select(
+        F.col(id_col).alias("doc_id"), F.explode(terms(text_col)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf has one row per (doc, term): the per-term row count IS the
+    # document frequency, so the skew-split count join yields df directly.
+    with_df = _skew_split_count_join(tf, ["term"], hot_vocab_k).withColumnRenamed(
+        "cnt", "df"
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    score = F.round(
+        F.col("tf").cast("double")
+        * F.log(F.col("_n").cast("double") / F.col("df").cast("double"))
+        * F.lit(LP_SCALE)
+    ).cast("long")
+    scored = with_df.crossJoin(F.broadcast(n_docs)).select(
+        "doc_id", "term", "tf", "df", score.alias("score_fp")
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score_fp"), "term")
+    return scored.select(
+        "*", F.row_number().over(w).alias("rank")
+    ).where(F.col("rank") <= k)

@@ -41,6 +41,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     # evidence), then round-3-only entries to fill the 50-slot cap.
     # r2 U r3 U r4 covered all 137 prior queries; this refresh keeps
     # every family's evidence at most two rounds old.
+    # Late round-5 additions (never sampled) lead:
+    "q_doc_chunks",
+    "q_tfidf_top_terms",
+    "q_corpus_trigram_topk",
+    "q_ds_two_cte_union_channels",
+    "q_ds_correlated_exists_or",
+    "q_ds_exists_notexists_distinct",
     "q_unigram_perplexity",
     "q_text_normalize",
     "q_bigram_perplexity",

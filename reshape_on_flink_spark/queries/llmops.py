@@ -1202,3 +1202,101 @@ def q_similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk_rerank(emb, emb.where(F.col("vec_id") < 10), k=5).orderBy(
         "query_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking / TF-IDF keywords / corpus shingle census —
+# the corpus-assembly + corpus-analytics trio upstream of packing.
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE, _CHUNK_STRIDE = 32, 24
+
+
+@query(
+    "q_doc_chunks",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    c AS (SELECT doc_id, tk,
+                 CASE WHEN len(tk) <= {_CHUNK_SIZE} THEN 1
+                      ELSE 1 + (len(tk) - {_CHUNK_SIZE} + {_CHUNK_STRIDE - 1}) // {_CHUNK_STRIDE}
+                 END AS n_chunks
+          FROM toks),
+    e AS (SELECT doc_id, tk, i FROM c, UNNEST(generate_series(1, n_chunks)) AS u(i))
+    SELECT doc_id, i - 1 AS chunk_id,
+           len(list_slice(tk, (i-1)*{_CHUNK_STRIDE} + 1, (i-1)*{_CHUNK_STRIDE} + {_CHUNK_SIZE})) AS n_tokens,
+           array_to_string(list_slice(tk, (i-1)*{_CHUNK_STRIDE} + 1, (i-1)*{_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' ') AS chunk_text
+    FROM e ORDER BY doc_id, chunk_id
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (llm/text.chunk_documents):
+    row-local tokenize/explode/slice, zero shuffles — chunks 100 TB at
+    scan speed."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return T.chunk_documents(d, size=_CHUNK_SIZE, stride=_CHUNK_STRIDE).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@query(
+    "q_tfidf_top_terms",
+    f"""
+    WITH toks AS (SELECT doc_id,
+                         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                                     t -> t <> '') AS tk
+                  FROM documents),
+    tok AS (SELECT doc_id, t AS term FROM toks, UNNEST(tk) AS u(t)),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             CAST(ROUND(CAST(t.tf AS DOUBLE)
+                        * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE))
+                        * {T_LP_SCALE}) AS BIGINT) AS score_fp
+      FROM tf t JOIN dfreq d USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, df, score_fp, "rank" FROM (
+      SELECT doc_id, term, tf, df, score_fp,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score_fp DESC, term ASC) AS "rank"
+      FROM scored)
+    WHERE "rank" <= 3
+    ORDER BY doc_id, "rank"
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords (llm/text.tfidf_top_terms):
+    skew-split document-frequency join + fixed-point-quantized scores
+    (the llm/lm.py determinism device)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return T.tfidf_top_terms(d, k=3).orderBy("doc_id", "rank")
+
+
+@query(
+    "q_corpus_trigram_topk",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    tok AS (SELECT doc_id, i AS pos, tk[i] AS tok
+            FROM toks, UNNEST(generate_series(1, len(tk))) AS u(i)),
+    sh0 AS (SELECT doc_id,
+                   tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle,
+                   LEAD(tok, 2) OVER w AS t2
+            FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE t2 IS NOT NULL)
+    SELECT shingle, COUNT(*) AS doc_freq FROM sh GROUP BY 1
+    ORDER BY doc_freq DESC, shingle LIMIT 20
+    """,
+)
+def q_corpus_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level boilerplate census: top-20 word trigrams by document
+    frequency. Spark side reuses the row-local distinct-shingle array
+    (llm/text.shingle_array — no per-token explode shuffle), then one
+    hash-agg + TakeOrdered(20): a scan-speed corpus statistic."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.select(F.explode(T.shingle_array("text", 3)).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), "shingle")
+        .limit(20)
+    )

@@ -20,6 +20,9 @@ one representative of each such shape on the fixture tables:
 - MIN-date cohort join-back with COUNT(DISTINCT) grid    (q54 family)
 - dual-ranking top-k union on return ratios              (q49)
 - FULL OUTER JOIN channel-overlap census                 (q97)
+- two shared CTEs filtering a two-channel UNION ALL      (q23 full form)
+- correlated EXISTS AND (EXISTS OR EXISTS) census        (q10)
+- self-EXISTS + NOT-EXISTS gated COUNT(DISTINCT)         (q16)
 
 Numeric discipline per queries.numeric (exact decimal sums, single IEEE
 division). Scale notes (100 TB / 1000 executors) in each docstring.
@@ -1420,4 +1423,184 @@ def q_ds_channel_overlap_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("ak").isNotNull() & F.col("bk").isNotNull(), 1)).alias("both_ch"),
         F.count(F.when(F.col("ak").isNotNull() & F.col("bk").isNull(), 1)).alias("only_a"),
         F.count(F.when(F.col("ak").isNull() & F.col("bk").isNotNull(), 1)).alias("only_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q23 FULL form (tpcds-tool/query/query23.sql): TWO shared CTEs
+# (frequent items, best customers — the latter itself gated by a scalar
+# subquery over the first CTE's sibling) filtering TWO channel branches
+# that UNION ALL into one aggregate. Extends q_ds_frequent_item_best_customer
+# (the single-channel partial shape) with the full cross-channel reuse.
+# Scale: both CTEs are aggregation-reduced key sets; `best` (customers
+# above half the max spend) is tiny -> broadcast semi-join; `freq`
+# can be large at 100 TB -> unhinted semi-join, AQE picks broadcast vs
+# shuffle at runtime. Each branch is scan + two semi-joins; the final
+# agg shuffles 2 rows.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_two_cte_union_channels",
+    """
+    WITH freq_parts AS (
+      SELECT l_partkey FROM lineitem GROUP BY l_partkey HAVING COUNT(*) > 40
+    ),
+    spend AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+      FROM orders GROUP BY o_custkey
+    ),
+    best AS (
+      SELECT o_custkey FROM spend WHERE total > 0.5 * (SELECT MAX(total) FROM spend)
+    )
+    SELECT channel, CAST(SUM(amt) AS DOUBLE) AS revenue, COUNT(*) AS n_items FROM (
+      SELECT 'urgent' AS channel, CAST(l_extendedprice AS DECIMAL(18,2)) AS amt
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderpriority = '1-URGENT'
+        AND l_partkey IN (SELECT l_partkey FROM freq_parts)
+        AND o_custkey IN (SELECT o_custkey FROM best)
+      UNION ALL
+      SELECT 'low' AS channel, CAST(l_extendedprice AS DECIMAL(18,2)) AS amt
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderpriority = '5-LOW'
+        AND l_partkey IN (SELECT l_partkey FROM freq_parts)
+        AND o_custkey IN (SELECT o_custkey FROM best)
+    ) GROUP BY channel ORDER BY channel
+    """,
+)
+def q_ds_two_cte_union_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li, o = t["lineitem"], t["orders"]
+    freq = li.groupBy("l_partkey").count().where(F.col("count") > 40).select("l_partkey")
+    spend = o.groupBy("o_custkey").agg(F.sum(dec("o_totalprice")).alias("total"))
+    mx = spend.agg(F.max("total").alias("mx"))
+    best = (
+        spend.join(F.broadcast(mx))
+        .where(F.col("total") > 0.5 * F.col("mx"))
+        .select("o_custkey")
+    )
+
+    def branch(prio: str, tag: str) -> DataFrame:
+        return (
+            li.join(
+                o.where(F.col("o_orderpriority") == prio),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .join(freq, "l_partkey", "left_semi")
+            .join(F.broadcast(best), "o_custkey", "left_semi")
+            .select(F.lit(tag).alias("channel"), dec("l_extendedprice").alias("amt"))
+        )
+
+    return (
+        branch("1-URGENT", "urgent")
+        .unionAll(branch("5-LOW", "low"))
+        .groupBy("channel")
+        .agg(
+            F.sum("amt").cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("channel")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q10 shape: customer census gated by correlated EXISTS AND an
+# OR of two more EXISTS over different fact paths. The OR-of-EXISTS is
+# the planner-distinctive bit — Spark can't OR two semi-joins, so the
+# Spark-first form is one semi-join against the UNION of the two
+# aggregation-reduced key sets (same result set, one exchange).
+# Scale: every key set is DISTINCT-reduced before joining; all joins
+# hash on c_custkey; final agg on a 5-value segment key.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_correlated_exists_or",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND EXTRACT(YEAR FROM o.o_orderdate) = 1995)
+      AND (EXISTS (SELECT 1 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+                   WHERE o.o_custkey = c.c_custkey AND l.l_returnflag = 'R')
+           OR EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000))
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q_ds_correlated_exists_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    c, o, li = t["customer"], t["orders"], t["lineitem"]
+    k95 = (
+        o.where(F.year("o_orderdate") == 1995)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    kret = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    khigh = (
+        o.where(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    k_or = kret.unionAll(khigh).distinct()
+    return (
+        c.join(k95, F.col("c_custkey") == k95["k"], "left_semi")
+        .join(k_or, F.col("c_custkey") == k_or["k"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q16 shape: COUNT(DISTINCT order) over a fact join gated by a
+# self-EXISTS (another line of the same order from a DIFFERENT supplier)
+# and a self-NOT-EXISTS (no returned line in the order). The EXISTS
+# condition is order-level, so it decorrelates to a semi-join against
+# orders-with->=2-distinct-suppliers; the NOT EXISTS to an anti-join
+# against orders-with-returns. Scale: both gate sets are agg-reduced to
+# orderkeys; all three joins + the distinct-agg hash on l_orderkey, so
+# AQE coalesces them into one exchange chain; final agg on the 5-value
+# priority key.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_exists_notexists_distinct",
+    """
+    SELECT o_orderpriority, COUNT(DISTINCT l1.l_orderkey) AS n_orders
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_ds_exists_notexists_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li, o = t["lineitem"], t["orders"]
+    multi = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("ns"))
+        .where(F.col("ns") >= 2)
+        .select("l_orderkey")
+    )
+    returned = (
+        li.where(F.col("l_returnflag") == "R").select("l_orderkey").distinct()
+    )
+    return (
+        li.join(
+            o.where(F.col("o_orderstatus") == "F"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(multi, "l_orderkey", "left_semi")
+        .join(returned, "l_orderkey", "left_anti")
+        .groupBy("o_orderpriority")
+        .agg(F.countDistinct("l_orderkey").alias("n_orders"))
+        .orderBy("o_orderpriority")
     )

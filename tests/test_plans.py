@@ -267,3 +267,29 @@ def test_inventory_chain_broadcasts_all_dims(spark):
     plan = plan_of(q_ds_inventory_chain(spark, SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_chunk_documents_is_shuffle_free(spark):
+    """Context-window chunking must stay row-local — tokenize, explode,
+    slice fused into the scan. Any Exchange means a 100 TB corpus pays a
+    shuffle it doesn't need."""
+    from reshape_on_flink_spark.llm.text import chunk_documents
+    from reshape_on_flink_spark.session import load_tables
+
+    d = load_tables(spark, SF_DIR)["documents"]
+    plan = plan_of(chunk_documents(d))
+    assert not re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)
+
+
+def test_tfidf_skew_split_broadcasts_head(spark):
+    """The TF-IDF document-frequency join must carry the skew split: the
+    Zipf-head terms ride a broadcast join (plus the broadcast 1-row N);
+    the plan must not degenerate to a single all-shuffle join."""
+    from reshape_on_flink_spark.llm.text import tfidf_top_terms
+    from reshape_on_flink_spark.session import load_tables
+
+    d = load_tables(spark, SF_DIR)["documents"]
+    plan = plan_of(tfidf_top_terms(d, k=3))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row N cross join
+    assert "CartesianProduct" not in plan
