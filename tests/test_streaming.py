@@ -735,3 +735,19 @@ def test_temporal_sort_replayed_batch_is_idempotent(spark, tmp_dir):
     )
     step2(batch(range(30, 40)), 0)
     assert emitted == list(range(0, 35))
+
+
+def test_chunk_documents_stream_matches_batch(spark, tables, tmp_dir):
+    """Context-window chunking is map-only, so it must run unchanged on a
+    document stream (append mode, no state) and agree with the batch
+    result — the corpus-assembly path is streaming-safe by construction."""
+    from reshape_on_flink_spark.llm.text import chunk_documents
+
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    docs = tables["documents"]
+    stream = chunked_replay(
+        spark, docs, os.path.join(tmp_dir, "docs_replay"), n_chunks=3, order_col="doc_id"
+    )
+    got = run_to_memory(spark, chunk_documents(stream), "chunk_stream_out", tmp_dir, mode="append")
+    assert_same_rows(got, chunk_documents(docs))
