@@ -52,6 +52,8 @@ HEADLINE = [
     # PQ compressed-index search with exact re-rank
     "q_unigram_perplexity",
     "q_similarity_pq_rerank",
+    # late round-5: context-window chunking (zero-shuffle corpus assembly)
+    "q_doc_chunks",
 ]
 
 

@@ -524,19 +524,16 @@ def _sub_slice(vec_col: str, s: int, d_sub: int) -> Column:
     return F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
 
 
-def _lit_arr(vals: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vals])
-
-
-def _fold_l2(sub: Column, vals: list[float]) -> Column:
+def _fold_l2(sub: Column, cw: Column) -> Column:
+    """Σ (sub_j - cw_j)² — elementwise zip then left fold, double math."""
     diff2 = F.zip_with(
-        sub, _lit_arr(vals), lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
+        sub, cw, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)
     )
     return F.aggregate(diff2, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _fold_dot(sub: Column, vals: list[float]) -> Column:
-    prods = F.zip_with(sub, _lit_arr(vals), lambda a, b: a.cast("double") * b)
+def _fold_dot(sub: Column, cw: Column) -> Column:
+    prods = F.zip_with(sub, cw, lambda a, b: a.cast("double") * b)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
@@ -549,19 +546,22 @@ def pq_encode(
     """(neighbor_id, c0..c{m-1}): per-subspace nearest-codeword ids
     (argmin L2, code-asc tie-break via the struct sort). Map-only
     expressions — the encode stage fuses into the scan; the emitted
-    codes are the stored index (m ints per vector)."""
+    codes are the stored index (m ints per vector).
+
+    Each subspace's codebook enters the plan as ONE 2-D array literal
+    scanned by transform() — not one Column per codeword. The per-
+    codeword formulation built m·k_codes·d_sub literal nodes (thousands
+    of py4j calls to construct, a giant tree for every Catalyst pass);
+    this form is ~100× smaller to build and plan with byte-identical
+    arithmetic (same zip/fold order)."""
     m = len(books)
-    d_sub = len(books[0][0])
+    d_sub = len(books[0][0])  # noqa: F841  (shape doc; slices derive from it)
 
     def code_of(s: int) -> Column:
-        pairs = F.array(
-            *[
-                F.struct(
-                    _fold_l2(_sub_slice(vec_col, s, d_sub), books[s][c]).alias("d"),
-                    F.lit(c).alias("code"),
-                )
-                for c in range(len(books[s]))
-            ]
+        sub = _sub_slice(vec_col, s, d_sub)
+        pairs = F.transform(
+            F.lit(books[s]),
+            lambda cw, i: F.struct(_fold_l2(sub, cw).alias("d"), i.alias("code")),
         )
         return F.element_at(F.array_sort(pairs), 1)["code"]
 
@@ -598,11 +598,12 @@ def pq_topk(
     d_sub = dim // m
     enc = pq_encode(corpus, books, id_col, vec_col)
     # reconstruction norm^2 per row: literal lookup of per-codeword
-    # norms (fixed-point), exact integer sum across subspaces
+    # norms (fixed-point), exact integer sum across subspaces. One array
+    # literal per subspace (see pq_encode on why not per-codeword nodes).
     n2_lit = [
-        F.array(
-            *[
-                F.lit(int(math.floor(sum(x * x for x in books[s][c]) * PQ_SCALE + 0.5)))
+        F.lit(
+            [
+                int(math.floor(sum(x * x for x in books[s][c]) * PQ_SCALE + 0.5))
                 for c in range(k_codes)
             ]
         )
@@ -614,16 +615,14 @@ def pq_topk(
     )
     enc = enc.withColumn("_r2f", recon2f)
 
-    qlut = [
-        F.array(
-            *[
-                F.round(_fold_dot(_sub_slice(vec_col, s, d_sub), books[s][c]) * PQ_SCALE)
-                .cast("long")
-                for c in range(k_codes)
-            ]
+    def lut_of(s: int) -> Column:
+        sub = _sub_slice(vec_col, s, d_sub)
+        return F.transform(
+            F.lit(books[s]),
+            lambda cw: F.round(_fold_dot(sub, cw) * PQ_SCALE).cast("long"),
         ).alias(f"ql{s}")
-        for s in range(m)
-    ]
+
+    qlut = [lut_of(s) for s in range(m)]
     q = queries.select(
         F.col(id_col).alias("query_id"), norm(vec_col).alias("_qn"), *qlut
     )
