@@ -76,14 +76,19 @@ def main() -> None:
     for name in HEADLINE:
         run(name)
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        samples = []
-        for _ in range(REPS):
+    # REPS full passes over the list (not REPS back-to-back reps per
+    # query): the host shows episodic multi-second steal bursts that
+    # poison any 3 consecutive samples of one query; interleaving spreads
+    # each query's samples minutes apart. Steal is one-sided (only ever
+    # adds time), so the per-query MIN is the robust capability
+    # estimator — variance analysis in BASELINE.md (round-5 note).
+    samples: dict[str, list] = {name: [] for name in HEADLINE}
+    for _ in range(REPS):
+        for name in HEADLINE:
             t0 = time.perf_counter()
             run(name)
-            samples.append(time.perf_counter() - t0)
-        timings[name] = round(statistics.median(samples), 3)
+            samples[name].append(time.perf_counter() - t0)
+    timings = {name: round(min(s), 3) for name, s in samples.items()}
 
     # Reshape skew layer: replay the events stream through the adaptive
     # salted aggregation with the controller on vs off (same result set;
@@ -154,10 +159,12 @@ def main() -> None:
                 "cores": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)),
                 "spark_version": spark.version,
                 "methodology": (
-                    f"median of {REPS} after 1 warm pass at measured SF; "
-                    "skew_replay_* = steady-state batches 1..N (sink path), "
-                    "one-time streaming bootstrap recorded in "
-                    "skew_replay_startup_sec"
+                    f"per-query MIN of {REPS} interleaved passes after 1 "
+                    "warm pass at measured SF (host steal bursts are "
+                    "one-sided noise; see BASELINE.md round-5 variance "
+                    "note); skew_replay_* = steady-state batches 1..N "
+                    "(sink path), one-time streaming bootstrap recorded "
+                    "in skew_replay_startup_sec"
                 ),
             }
         )
