@@ -68,6 +68,39 @@ def write_table(
     writer.save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Bucketed (+optionally sorted) table write — the co-located-join
+    layout lever at 100 TB: the shuffle on the bucket key is paid ONCE
+    at write time, and every later equi-join or aggregation on that key
+    between same-bucketed tables runs exchange-free (asserted in
+    tests/test_plans.py::test_bucketed_join_is_exchange_free). Size
+    ``n_buckets`` so one bucket of the LARGEST co-bucketed table is a
+    few hundred MB (e.g. 100 TB fact / 4096 buckets ≈ 25 GB... use
+    32768 for ~3 GB, or bucket per date partition). ``sort_cols``
+    additionally pre-sorts within buckets, turning later sort-merge
+    joins into merge-only.
+
+    Bucket metadata lives in the session catalog, so this is a
+    ``saveAsTable`` path (``path`` pins the file location for an
+    external table); plain ``save()`` cannot record bucketing.
+    """
+    writer = df.write.format(fmt).mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def _optional_format_available(spark: SparkSession, fmt: str) -> bool:
     """Probe for optional DataSource registrations (avro, kafka...)."""
     try:

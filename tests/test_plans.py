@@ -293,3 +293,41 @@ def test_tfidf_skew_split_broadcasts_head(spark):
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row N cross join
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_is_exchange_free(spark, tables, tmp_dir):
+    """Co-bucketed tables must join with ZERO exchanges: the write-time
+    bucketBy pre-pays the shuffle, the join consumes bucket locality.
+    This is the 100 TB co-located-join path (write_bucketed docstring)."""
+    from reshape_on_flink_spark.sources.readers import write_bucketed
+
+    li = tables["lineitem"].select("l_orderkey", "l_quantity")
+    o = tables["orders"].select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "bkt_li", 4, ["l_orderkey"], sort_cols=["l_orderkey"],
+                   path=f"{tmp_dir}/bkt_li")
+    write_bucketed(o, "bkt_o", 4, ["o_orderkey"], sort_cols=["o_orderkey"],
+                   path=f"{tmp_dir}/bkt_o")
+    try:
+        joined = (
+            spark.table("bkt_li")
+            .join(
+                spark.table("bkt_o").hint("merge"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = plan_of(joined)
+        join_part = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in join_part, join_part
+        # and it computes the same thing as the unbucketed join
+        want = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, want.collect()))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_li")
+        spark.sql("DROP TABLE IF EXISTS bkt_o")
