@@ -413,3 +413,35 @@ def test_capped_bucket_pairs_invariants(spark, rows, cap):
     # overlap in membership, so subset in general; equality per our
     # single-band construction with distinct bucket keys)
     assert pairs == expected_pairs
+
+
+def test_chunk_layout_properties(spark):
+    """Chunk layout invariants for every doc length 0..130 against the
+    size/stride spec (one Spark pass, pandas-side checks):
+    - chunk count == 1 + ceil(max(n - size, 0)/stride)
+    - chunk i covers tokens [i*stride, min(i*stride + size, n))
+    - concatenating chunks at stride offsets reconstructs the doc
+    """
+    import math
+
+    from reshape_on_flink_spark.llm.text import chunk_documents
+
+    size, stride = 7, 5
+    docs = [(n, " ".join(f"t{n}_{j}" for j in range(n))) for n in range(0, 131)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = (
+        chunk_documents(df, size=size, stride=stride)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    for n, text in docs:
+        toks = text.split() if text else []
+        chunks = out[out.doc_id == n]
+        want_chunks = 1 + math.ceil(max(n - size, 0) / stride)
+        assert len(chunks) == want_chunks, (n, len(chunks), want_chunks)
+        for _, row in chunks.iterrows():
+            start = int(row.chunk_id) * stride
+            want = toks[start : start + size]
+            got = row.chunk_text.split() if row.chunk_text else []
+            assert got == want, (n, row.chunk_id)
+            assert int(row.n_tokens) == len(want)
