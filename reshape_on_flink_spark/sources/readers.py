@@ -23,7 +23,12 @@ from pyspark.sql.types import StructType
 
 from reshape_on_flink_spark.session import ensure_confs
 
-FORMATS = ("parquet", "orc", "json", "csv")
+FORMATS = ("parquet", "orc", "json", "csv", "text")
+#: read-only formats: fixed schemas defined by Spark, no write path.
+#: binaryFile = (path, modificationTime, length, content) — the raw-media
+#: ingestion door for the multimodal pipeline (llm/multimodal.py): read a
+#: directory of image/audio files as binary rows, then mapInPandas-decode.
+READ_ONLY_FORMATS = ("binaryFile",)
 
 
 def read_table(
@@ -35,8 +40,12 @@ def read_table(
 ) -> DataFrame:
     """Format-dispatched batch read (CommonExecTableSourceScan analog)."""
     ensure_confs(spark)
-    if fmt not in FORMATS and not _optional_format_available(spark, fmt):
-        raise ValueError(f"format {fmt!r} unavailable; built-ins: {FORMATS}")
+    if (
+        fmt not in FORMATS
+        and fmt not in READ_ONLY_FORMATS
+        and not _optional_format_available(spark, fmt)
+    ):
+        raise ValueError(f"format {fmt!r} unavailable; built-ins: {FORMATS + READ_ONLY_FORMATS}")
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
@@ -60,6 +69,8 @@ def write_table(
     ``partition_by`` maps to hive-style directory partitioning — the
     100 TB layout lever: partition on the dominant filter column (date)
     so partition pruning skips data before any scan."""
+    if fmt in READ_ONLY_FORMATS:
+        raise ValueError(f"format {fmt!r} is read-only (no Spark write path)")
     if fmt == "csv":
         options.setdefault("header", "true")
     writer = df.write.format(fmt).mode(mode).options(**options)

@@ -262,3 +262,42 @@ def test_kafka_integration_when_jar_present(spark, tmp_dir):
         starting_offsets="earliest",
     )
     assert sdf.isStreaming  # pragma: no cover
+
+
+def test_text_format_roundtrip(spark, tables, tmp_dir):
+    """Raw-text corpus ingestion: one string column per line."""
+    src = tables["nation"].select(F.col("n_name").alias("value"))
+    path = os.path.join(tmp_dir, "txt")
+    write_table(src, path, fmt="text")
+    got = read_table(spark, path, fmt="text")
+    assert_same_rows(got, src)
+
+
+def test_binaryfile_reads_media_dir_into_multimodal_pipeline(spark, tmp_dir):
+    """binaryFile is the raw-media door: a directory of files becomes
+    (path, content) rows that feed the multimodal decode stage."""
+    from reshape_on_flink_spark.llm.multimodal import extract_features
+
+    media = os.path.join(tmp_dir, "media")
+    os.makedirs(media)
+    payloads = {f"f{i}.bin": bytes([i] * (i + 1)) for i in range(3)}
+    for name, data in payloads.items():
+        with open(os.path.join(media, name), "wb") as fh:
+            fh.write(data)
+    df = read_table(spark, media, fmt="binaryFile")
+    rows = {os.path.basename(r["path"]): bytes(r["content"]) for r in df.collect()}
+    assert rows == payloads
+    feats = extract_features(
+        df.select(
+            F.element_at(F.split("path", "/"), -1).alias("doc_id"),
+            F.col("content").alias("payload"),
+        ),
+        decode="fake",
+    ).collect()
+    got = {r["doc_id"]: r["feat_dim"] for r in feats}
+    assert got == {name: len(data) for name, data in payloads.items()}
+
+
+def test_binaryfile_write_rejected(spark, tables, tmp_dir):
+    with pytest.raises(ValueError, match="read-only"):
+        write_table(tables["nation"], tmp_dir, fmt="binaryFile")
