@@ -73,3 +73,58 @@ def corpus_stats(documents: DataFrame) -> DataFrame:
         )
         .orderBy("predicted_lang")
     )
+
+
+#: assembly defaults (mirrored in the q_corpus_assembly oracle)
+ASSEMBLY_RATES = {"en": 0.8, "de": 0.5, "fr": 0.25, "zh": 0.4}
+ASSEMBLY_DEFAULT_RATE = 0.1
+CHUNK_SIZE, CHUNK_STRIDE, SEQ_LEN = 32, 24, 128
+
+
+def assemble_packs(documents: DataFrame) -> DataFrame:
+    """The ASSEMBLY half of the corpus story (curate() is the cleaning
+    half): weighted domain mixing -> normalization -> token-count gate
+    -> overlapping context-window chunking -> per-stream sequence
+    packing of the chunks. Output: one row per chunk with its packed
+    position ((doc_id, chunk_id, lang, n_tokens, tok_offset, pack_id,
+    pack_offset)).
+
+    Scale shape, stage by stage: mixing is a map-only hash threshold
+    (shrinks everything downstream for free); normalization and the
+    gate fuse into the same scan; chunking is row-local explode (lang
+    rides through via carry_cols — NO join-back shuffle); packing is
+    the single shuffle of the whole pipeline, on the low-cardinality
+    stream key with a sorted running frame. One shuffle end-to-end.
+    """
+    from reshape_on_flink_spark.llm.pack import domain_mix_sample, pack_sequences
+
+    # no spread(): all pre-pack stages keep the scan's partitioning (at
+    # 100 TB the parquet split count IS the parallelism); the packing
+    # window's exchange is the pipeline's only shuffle, pinned in
+    # tests/test_plans.py::test_assembly_pipeline_single_shuffle.
+    mixed = domain_mix_sample(
+        documents.select("doc_id", "lang", "text"),
+        ASSEMBLY_RATES,
+        default_rate=ASSEMBLY_DEFAULT_RATE,
+    )
+    norm = T.normalize_text(mixed).select(
+        "doc_id", "lang", F.col("norm_text").alias("text")
+    )
+    gated = norm.where(T.token_count("text") >= MIN_TOKENS)
+    chunks = T.chunk_documents(
+        gated, size=CHUNK_SIZE, stride=CHUNK_STRIDE, carry_cols=("lang",)
+    )
+    ordered = chunks.withColumn(
+        "seq_key", F.col("doc_id") * F.lit(1000) + F.col("chunk_id")
+    )
+    packed = pack_sequences(
+        ordered,
+        SEQ_LEN,
+        stream_col="lang",
+        order_col="seq_key",
+        n_tokens=F.col("n_tokens"),
+    )
+    return packed.select(
+        "doc_id", "chunk_id", "lang", "n_tokens", "tok_offset",
+        "pack_id", "pack_offset",
+    )

@@ -267,6 +267,7 @@ def chunk_documents(
     id_col: str = "doc_id",
     size: int = 32,
     stride: int = 24,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Context-window chunking — split each document into overlapping
     token windows of ``size`` tokens advancing by ``stride`` (the
@@ -280,18 +281,23 @@ def chunk_documents(
     at any scale: 100 TB of documents chunk at scan speed, and the
     output inherits the input partitioning (no skew: a single huge doc
     expands to n/stride rows inside its own partition).
+
+    ``carry_cols`` ride through the explode unchanged (e.g. the stream
+    key for downstream packing) — carrying them here is free; joining
+    them back later would cost a shuffle.
     """
     toks = tokens(text_col)
-    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("tk"))
+    base = df.select(F.col(id_col).alias("doc_id"), *carry_cols, toks.alias("tk"))
     n = F.size(F.col("tk"))
     # integer ceil: 1 + (n - size + stride - 1) div stride, guarded at 1
     n_chunks = F.when(n <= F.lit(size), F.lit(1)).otherwise(
         F.lit(1) + ((n - F.lit(size) + F.lit(stride - 1)) / F.lit(stride)).cast("int")
     )
-    e = base.select("doc_id", "tk", F.explode(seq1(n_chunks)).alias("i"))
+    e = base.select("doc_id", *carry_cols, "tk", F.explode(seq1(n_chunks)).alias("i"))
     chunk = F.slice(F.col("tk"), (F.col("i") - 1) * stride + 1, size)
     return e.select(
         "doc_id",
+        *carry_cols,
         (F.col("i") - 1).cast("long").alias("chunk_id"),
         F.size(chunk).cast("long").alias("n_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),

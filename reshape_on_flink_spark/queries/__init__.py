@@ -42,6 +42,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # r2 U r3 U r4 covered all 137 prior queries; this refresh keeps
     # every family's evidence at most two rounds old.
     # Late round-5 additions (never sampled) lead:
+    "q_corpus_assembly",
     "q_doc_chunks",
     "q_tfidf_top_terms",
     "q_corpus_trigram_topk",

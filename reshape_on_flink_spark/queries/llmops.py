@@ -1300,3 +1300,59 @@ def q_corpus_trigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), "shingle")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus ASSEMBLY pipeline, oracle-verified end-to-end: domain mixing ->
+# normalization -> token gate -> context-window chunking -> per-stream
+# sequence packing of the chunks (llm/pipeline.assemble_packs). One
+# shuffle end-to-end (the packing window); everything upstream is
+# map-only / row-local. The companion to q_llm_pipeline (curation half).
+# ---------------------------------------------------------------------------
+_ASM_NORM = (
+    r"trim(regexp_replace(regexp_replace(text,"
+    r" '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'), '\s+', ' ', 'g'))"
+)
+
+
+@query(
+    "q_corpus_assembly",
+    f"""
+    WITH mixed AS (
+      SELECT doc_id, lang, text FROM documents
+      WHERE {SQL_H60.format(x="CAST(doc_id AS VARCHAR)")} % 1000000
+            < CASE lang WHEN 'en' THEN 800000 WHEN 'de' THEN 500000
+                        WHEN 'fr' THEN 250000 WHEN 'zh' THEN 400000
+                        ELSE 100000 END
+    ),
+    norm AS (SELECT doc_id, lang, {_ASM_NORM} AS text FROM mixed),
+    toks AS (SELECT doc_id, lang, {SQL_TOKS} AS tk FROM norm),
+    gated AS (SELECT * FROM toks WHERE len(tk) >= 5),
+    c AS (SELECT doc_id, lang, tk,
+                 CASE WHEN len(tk) <= 32 THEN 1
+                      ELSE 1 + (len(tk) - 32 + 23) // 24 END AS n_chunks
+          FROM gated),
+    e AS (SELECT doc_id, lang, tk, i FROM c, UNNEST(generate_series(1, n_chunks)) AS u(i)),
+    ch AS (SELECT doc_id, lang, i - 1 AS chunk_id,
+                  CAST(len(list_slice(tk, (i-1)*24 + 1, (i-1)*24 + 32)) AS BIGINT) AS n_tokens,
+                  doc_id * 1000 + (i - 1) AS seq_key
+           FROM e),
+    p AS (SELECT doc_id, chunk_id, lang, n_tokens,
+                 CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY seq_key
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tokens AS BIGINT) AS tok_offset
+          FROM ch)
+    SELECT doc_id, chunk_id, lang, n_tokens, tok_offset,
+           CAST(FLOOR(tok_offset / 128) AS BIGINT) AS pack_id,
+           CAST(tok_offset % 128 AS BIGINT) AS pack_offset
+    FROM p ORDER BY doc_id, chunk_id
+    """,
+)
+def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end assembly: mix -> normalize -> gate -> chunk -> pack
+    (llm/pipeline.assemble_packs). One hash mismatch anywhere in the
+    five-stage chain fails this gate."""
+    from reshape_on_flink_spark.llm.pipeline import assemble_packs
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return assemble_packs(d).orderBy("doc_id", "chunk_id")

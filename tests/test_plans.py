@@ -331,3 +331,14 @@ def test_bucketed_join_is_exchange_free(spark, tables, tmp_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_li")
         spark.sql("DROP TABLE IF EXISTS bkt_o")
+
+
+def test_assembly_pipeline_single_shuffle(spark):
+    """mix -> normalize -> gate -> chunk -> pack must cost exactly ONE
+    exchange (the packing window on the stream key); any second exchange
+    means a stage stopped fusing into the scan."""
+    from reshape_on_flink_spark.llm.pipeline import assemble_packs
+    from reshape_on_flink_spark.session import load_tables
+
+    plan = plan_of(assemble_packs(load_tables(spark, SF_DIR)["documents"]))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 1
