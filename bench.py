@@ -53,7 +53,10 @@ HEADLINE = [
     "q_unigram_perplexity",
     "q_similarity_pq_rerank",
     # late round-5: context-window chunking (zero-shuffle corpus assembly)
+    # and the composed assembly pipeline (mix->normalize->gate->chunk->pack,
+    # single-shuffle plan-pinned)
     "q_doc_chunks",
+    "q_corpus_assembly",
 ]
 
 

@@ -1,0 +1,163 @@
+"""Sketch aggregates: HyperLogLog distinct counting + Count-Min heavy
+hitters — fixed-size mergeable state, the approximate-aggregation tier
+every 100 TB engine needs (Flink exposes the same tier as
+APPROX_COUNT_DISTINCT in FlinkSqlOperatorTable and as DataStream
+process-function sketches; reference:
+flink-table/flink-table-planner-blink/.../functions/sql/FlinkSqlOperatorTable.java,
+flink-table/flink-table-runtime-blink/.../functions/aggregate/hyperloglog/).
+
+Why not Spark's approx_count_distinct / DuckDB's approx_distinct: their
+internal HLL implementations differ, so results can never hash-match
+across engines. These sketches are built from the repo's shared
+md5→int60 primitive (llm/text.hash60) with integer-exact register
+arithmetic, so the DuckDB oracle reproduces the sketch STATE bit-for-bit
+and the estimates to the quantized digit — approximate in cardinality,
+exact in computation.
+
+Determinism devices:
+- register scan: rho = position of the first 1-bit in the 50-bit suffix
+  via lpad(bin(w)) + instr — byte-identical string ops in both engines;
+- the harmonic sum Σ 2^-rho is computed as Σ 2^(51-rho) in BIGINT
+  (every term integer-exact, order-free) and divided once in double;
+- estimates are emitted in fixed-point milli-units (round(E·1000)), the
+  same quantization the LM scorers use.
+
+Scale shape: HLL registers partial-aggregate map-side (MAX per bucket
+commutes), so the shuffle carries ≤ m=1024 rows per group regardless of
+input size — count-distinct without the distinct shuffle. The CMS is a
+fixed 4×256 grid per measured column: the classic bounded-state answer
+to the same hot-key detection problem the Reshape controller
+(streaming/reshape.py) solves by observation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from reshape_on_flink_spark.llm.text import hash60
+
+# ---- HyperLogLog ----------------------------------------------------------
+
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 buckets
+HLL_W_BITS = 50  # hash60 >> p fits in 50 bits
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def _rho(w: Column) -> Column:
+    """1-based position of the first 1-bit in the 50-bit suffix
+    (= leading zeros + 1); 51 when the suffix is all zeros."""
+    pos = F.instr(F.lpad(F.bin(w), HLL_W_BITS, "0"), "1")
+    return F.when(pos == 0, F.lit(HLL_W_BITS + 1)).otherwise(pos)
+
+
+def hll_registers(
+    df: DataFrame, group_cols: list[str], col: str
+) -> DataFrame:
+    """(group..., _b, _reg): the HLL register table — MAX(rho) per
+    (group, bucket). Map-side partial MAX means the exchange carries at
+    most m rows per group whatever the input size."""
+    h = hash60(F.col(col).cast("string"))
+    bucket = h.bitwiseAND(HLL_M - 1)
+    w = F.shiftright(h, HLL_P)
+    rows = df.select(
+        *group_cols, bucket.alias("_b"), _rho(w).alias("_rho")
+    )
+    return rows.groupBy(*group_cols, "_b").agg(F.max("_rho").alias("_reg"))
+
+
+def hll_count_distinct(
+    df: DataFrame, group_cols: list[str], col: str
+) -> DataFrame:
+    """(group..., hll_est_milli, hll_buckets_used): HLL cardinality
+    estimate per group in fixed-point milli-units, with the standard
+    linear-counting correction for the small range. ~2% typical error
+    at p=10; state is 1024 small ints per group."""
+    regs = hll_registers(df, group_cols, col)
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W_BITS + 1} - _reg AS INT))")
+    agg = regs.groupBy(*group_cols).agg(
+        F.sum(term).alias("_s_present"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    two51 = 1 << (HLL_W_BITS + 1)
+    s_total = F.col("_s_present") + (F.lit(HLL_M) - F.col("_present")) * F.lit(two51)
+    zeros = F.lit(HLL_M) - F.col("_present")
+    raw = (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M * two51) / s_total.cast("double")
+    )
+    est = F.when(
+        (zeros > 0) & (raw <= F.lit(2.5 * HLL_M)),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.round(est * 1000).cast("long").alias("hll_est_milli"),
+        F.col("_present").alias("hll_buckets_used"),
+    )
+
+
+# ---- Count-Min sketch -----------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+
+
+def _cms_cell(col: Column, i: int) -> Column:
+    return F.pmod(hash60(F.concat(F.lit(f"{i}:"), col.cast("string"))), F.lit(CMS_WIDTH))
+
+
+def cms_sketch(df: DataFrame, col: str) -> DataFrame:
+    """(row, cell, cnt): the CMS grid — depth×width counters, each value
+    incrementing one cell per row. Fixed 4×256 state regardless of input
+    size; counters partial-aggregate map-side (SUM commutes)."""
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), _cms_cell(F.col(col), i).alias("cell"))
+            for i in range(CMS_DEPTH)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("rc"))
+        .groupBy(F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, candidates: DataFrame, col: str
+) -> DataFrame:
+    """candidates + ``cms_est``: min over the value's depth cells —
+    the classic overestimate-only point query (est >= true count,
+    error <= 2n/width with prob 1-2^-depth). The sketch side is 1024
+    rows — broadcast, so estimation is map-side on the candidates."""
+    cells = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("row"), _cms_cell(F.col(col), i).alias("cell"))
+                for i in range(CMS_DEPTH)
+            ]
+        )
+    ).alias("rc")
+    probes = candidates.select("*", cells).select(
+        *candidates.columns, F.col("rc.row").alias("row"), F.col("rc.cell").alias("cell")
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "cell"], "left")
+        .groupBy(*candidates.columns)
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cms_est"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame, col: str, threshold: int
+) -> DataFrame:
+    """(value, cms_est): candidates whose CMS estimate reaches
+    ``threshold``. CMS never underestimates, so recall is 1 — the
+    sketch-based analog of the Reshape controller's hot-key detection
+    (streaming/reshape.py), with O(1) state instead of observed
+    per-batch counts."""
+    sketch = cms_sketch(df, col)
+    cands = df.select(F.col(col).alias("value")).distinct()
+    est = cms_estimate(sketch, cands, "value")
+    return est.where(F.col("cms_est") >= threshold)

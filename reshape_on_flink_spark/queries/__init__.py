@@ -43,6 +43,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     # every family's evidence at most two rounds old.
     # Late round-5 additions (never sampled) lead:
     "q_corpus_assembly",
+    "q_hll_distinct",
+    "q_cms_heavy_hitters",
     "q_doc_chunks",
     "q_tfidf_top_terms",
     "q_corpus_trigram_topk",

@@ -1356,3 +1356,82 @@ def q_corpus_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir)["documents"]
     return assemble_packs(d).orderBy("doc_id", "chunk_id")
+
+
+# ---------------------------------------------------------------------------
+# Sketch aggregates (operators/sketches.py): HLL distinct counting and
+# CMS heavy hitters. Approximate in cardinality, EXACT in computation —
+# the register/counter state is integer arithmetic over the shared
+# md5->int60 primitive, so the DuckDB oracle replicates the sketch
+# bit-for-bit and the gate hash-matches the estimates.
+# ---------------------------------------------------------------------------
+from reshape_on_flink_spark.operators import sketches as SK  # noqa: E402
+
+_HLL_CONST = repr(SK.HLL_ALPHA * SK.HLL_M * SK.HLL_M * (1 << (SK.HLL_W_BITS + 1)))
+_H60_ORDER = SQL_H60.format(x="CAST(l_orderkey AS VARCHAR)")
+
+
+@query(
+    "q_hll_distinct",
+    f"""
+    WITH h AS (SELECT l_returnflag, {_H60_ORDER} AS h FROM lineitem),
+    b AS (SELECT l_returnflag, h % {SK.HLL_M} AS b, h // {SK.HLL_M} AS w FROM h),
+    r AS (SELECT l_returnflag, b,
+                 CASE WHEN strpos(lpad(bin(w), {SK.HLL_W_BITS}, '0'), '1') = 0
+                      THEN {SK.HLL_W_BITS + 1}
+                      ELSE strpos(lpad(bin(w), {SK.HLL_W_BITS}, '0'), '1') END AS rho
+          FROM b),
+    regs AS (SELECT l_returnflag, b, MAX(rho) AS reg FROM r GROUP BY 1, 2),
+    agg AS (SELECT l_returnflag,
+                   SUM(CAST(1 AS BIGINT) << CAST({SK.HLL_W_BITS + 1} - reg AS INT)) AS s_present,
+                   COUNT(*) AS present
+            FROM regs GROUP BY 1),
+    est AS (SELECT l_returnflag,
+                   CAST(s_present + ({SK.HLL_M} - present) * (CAST(1 AS BIGINT) << {SK.HLL_W_BITS + 1}) AS DOUBLE) AS s_total,
+                   {SK.HLL_M} - present AS zeros, present
+            FROM agg)
+    SELECT l_returnflag,
+           CAST(ROUND(CASE WHEN zeros > 0 AND ({_HLL_CONST} / s_total) <= {2.5 * SK.HLL_M}
+                           THEN {float(SK.HLL_M)} * ln({float(SK.HLL_M)} / CAST(zeros AS DOUBLE))
+                           ELSE {_HLL_CONST} / s_total END * 1000) AS BIGINT) AS hll_est_milli,
+           present AS hll_buckets_used
+    FROM est ORDER BY l_returnflag
+    """,
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL distinct orderkeys per returnflag — count-distinct whose
+    shuffle carries <= 1024 rows per group at ANY input size."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return SK.hll_count_distinct(li, ["l_returnflag"], "l_orderkey").orderBy(
+        "l_returnflag"
+    )
+
+
+_H60_CMS = SQL_H60.format(
+    x="(CAST(i AS VARCHAR) || ':' || CAST(user_id AS VARCHAR))"
+)
+
+
+@query(
+    "q_cms_heavy_hitters",
+    f"""
+    WITH sk AS (
+      SELECT i AS "row", cell, COUNT(*) AS cnt FROM (
+        SELECT u.i, {_H60_CMS} % {SK.CMS_WIDTH} AS cell
+        FROM events, UNNEST([0, 1, 2, 3]) AS u(i))
+      GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT user_id FROM events),
+    probe AS (SELECT c.user_id, u.i AS "row", {_H60_CMS} % {SK.CMS_WIDTH} AS cell
+              FROM cand c, UNNEST([0, 1, 2, 3]) AS u(i)),
+    est AS (SELECT user_id, MIN(COALESCE(cnt, 0)) AS cms_est
+            FROM probe LEFT JOIN sk USING ("row", cell) GROUP BY 1)
+    SELECT user_id AS value, cms_est FROM est
+    WHERE cms_est >= 80 ORDER BY value
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS heavy hitters over event user_ids: fixed 4x256 counter state,
+    overestimate-only point queries, recall-1 hot-key detection — the
+    sketch analog of the Reshape controller's observed counts."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return SK.cms_heavy_hitters(ev, "user_id", 80).orderBy("value")

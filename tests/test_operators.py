@@ -227,3 +227,46 @@ def test_connected_components_empty_and_nonconvergence_guard(spark):
     chain = spark.createDataFrame([(i, i + 1) for i in range(40)], "d1 long, d2 long")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iters=1)
+
+
+def test_hll_estimate_accuracy(spark, tables):
+    """p=10 HLL typical error is ~3%; the fixture's orderkey groups sit
+    at n/m ~ 1 — the linear-counting/raw crossover, the estimator's
+    worst zone — so assert within 8% there and rely on the oracle gate
+    for bit-exactness of the computation itself."""
+    from reshape_on_flink_spark.operators.sketches import hll_count_distinct
+
+    li = tables["lineitem"]
+    for col in ("l_orderkey", "l_suppkey"):
+        exact = {
+            r["l_returnflag"]: r["n"]
+            for r in li.groupBy("l_returnflag")
+            .agg(F.countDistinct(col).alias("n"))
+            .collect()
+        }
+        est = {
+            r["l_returnflag"]: r["hll_est_milli"] / 1000.0
+            for r in hll_count_distinct(li, ["l_returnflag"], col).collect()
+        }
+        assert set(est) == set(exact)
+        for k, n in exact.items():
+            assert abs(est[k] - n) / n < 0.08, (col, k, n, est[k])
+
+
+def test_cms_estimate_is_overestimate_within_bound(spark, tables):
+    """CMS point queries never underestimate; error is bounded by
+    ~2n/width per the standard analysis (slack 2x for small-n variance)."""
+    from reshape_on_flink_spark.operators.sketches import (
+        CMS_WIDTH,
+        cms_estimate,
+        cms_sketch,
+    )
+
+    ev = tables["events"]
+    n = ev.count()
+    sketch = cms_sketch(ev, "user_id")
+    true = ev.groupBy(F.col("user_id").alias("value")).count()
+    joined = cms_estimate(sketch, true.select("value"), "value").join(true, "value")
+    for r in joined.collect():
+        assert r["cms_est"] >= r["count"], r
+        assert r["cms_est"] - r["count"] <= 4 * n / CMS_WIDTH, r
