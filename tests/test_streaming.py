@@ -751,3 +751,18 @@ def test_chunk_documents_stream_matches_batch(spark, tables, tmp_dir):
     )
     got = run_to_memory(spark, chunk_documents(stream), "chunk_stream_out", tmp_dir, mode="append")
     assert_same_rows(got, chunk_documents(docs))
+
+
+def test_hll_registers_stream_matches_batch(spark, tables, events_stream_factory, tmp_dir):
+    """The HLL register table is a single MAX aggregation, so it runs
+    directly as streaming state (complete mode) and must converge to the
+    batch registers — approximate distinct-users over an unbounded
+    stream with <=1024 rows of state per group. (The estimate is a
+    stateless derivation on emit; chained-aggregation limits don't
+    apply to it.)"""
+    from reshape_on_flink_spark.operators.sketches import hll_registers
+
+    stream = events_stream_factory("hllregs")
+    sdf = hll_registers(stream, ["event_type"], "user_id")
+    got = run_to_memory(spark, sdf, "hll_regs_out", tmp_dir, mode="complete")
+    assert_same_rows(got, hll_registers(tables["events"], ["event_type"], "user_id"))
