@@ -74,7 +74,21 @@ def hll_count_distinct(
     estimate per group in fixed-point milli-units, with the standard
     linear-counting correction for the small range. ~2% typical error
     at p=10; state is 1024 small ints per group."""
-    regs = hll_registers(df, group_cols, col)
+    return hll_estimate(hll_registers(df, group_cols, col), group_cols)
+
+
+def hll_merge(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge register tables down to a coarser grouping by MAX per
+    bucket. MAX is associative/commutative, so merged registers are
+    IDENTICAL to registers computed directly on the coarse group
+    (pinned in tests) — store per-(day, dim) sketches once, roll up to
+    any coarser cube cell without rescanning the data. This
+    re-aggregability is the whole point of sketch state at 100 TB."""
+    return regs.groupBy(*group_cols, "_b").agg(F.max("_reg").alias("_reg"))
+
+
+def hll_estimate(regs: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Registers -> (group..., hll_est_milli, hll_buckets_used)."""
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W_BITS + 1} - _reg AS INT))")
     agg = regs.groupBy(*group_cols).agg(
         F.sum(term).alias("_s_present"),

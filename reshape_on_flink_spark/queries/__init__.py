@@ -44,6 +44,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # Late round-5 additions (never sampled) lead:
     "q_corpus_assembly",
     "q_hll_distinct",
+    "q_hll_rollup",
     "q_cms_heavy_hitters",
     "q_doc_chunks",
     "q_tfidf_top_terms",

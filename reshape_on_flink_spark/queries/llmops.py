@@ -1435,3 +1435,72 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch analog of the Reshape controller's observed counts."""
     ev = load_tables(spark, sf_dir)["events"]
     return SK.cms_heavy_hitters(ev, "user_id", 80).orderBy("value")
+
+
+def _hll_est_sql(regs: str, keys: str) -> str:
+    """DuckDB replica of sketches.hll_estimate over a registers CTE."""
+    m, wb1 = SK.HLL_M, SK.HLL_W_BITS + 1
+    return f"""
+      SELECT {keys},
+             CAST(ROUND(CASE WHEN ({m} - present) > 0
+                              AND ({_HLL_CONST} / s_total) <= {2.5 * SK.HLL_M}
+                             THEN {float(SK.HLL_M)} * ln({float(SK.HLL_M)}
+                                  / CAST({m} - present AS DOUBLE))
+                             ELSE {_HLL_CONST} / s_total END * 1000) AS BIGINT)
+               AS hll_est_milli,
+             present AS hll_buckets_used
+      FROM (SELECT {keys},
+                   CAST(SUM(CAST(1 AS BIGINT) << CAST({wb1} - reg AS INT))
+                        + ({m} - COUNT(*)) * (CAST(1 AS BIGINT) << {wb1})
+                        AS DOUBLE) AS s_total,
+                   COUNT(*) AS present
+            FROM {regs} GROUP BY {keys})
+    """
+
+
+@query(
+    "q_hll_rollup",
+    f"""
+    WITH h AS (SELECT l_returnflag, EXTRACT(MONTH FROM l_shipdate) AS ship_month,
+                      {_H60_ORDER} AS h
+               FROM lineitem),
+    b AS (SELECT l_returnflag, ship_month, h % {SK.HLL_M} AS b, h // {SK.HLL_M} AS w FROM h),
+    r AS (SELECT l_returnflag, ship_month, b,
+                 CASE WHEN strpos(lpad(bin(w), {SK.HLL_W_BITS}, '0'), '1') = 0
+                      THEN {SK.HLL_W_BITS + 1}
+                      ELSE strpos(lpad(bin(w), {SK.HLL_W_BITS}, '0'), '1') END AS rho
+          FROM b),
+    regs AS (SELECT l_returnflag, CAST(ship_month AS INTEGER) AS ship_month, b,
+                    MAX(rho) AS reg
+             FROM r GROUP BY 1, 2, 3),
+    merged AS (SELECT l_returnflag, b, MAX(reg) AS reg FROM regs GROUP BY 1, 2),
+    fine AS ({_hll_est_sql("regs", "l_returnflag, ship_month")}),
+    coarse AS ({_hll_est_sql("merged", "l_returnflag")})
+    SELECT l_returnflag, ship_month, hll_est_milli, hll_buckets_used FROM fine
+    UNION ALL
+    SELECT l_returnflag, CAST(0 AS INTEGER) AS ship_month, hll_est_milli,
+           hll_buckets_used
+    FROM coarse
+    ORDER BY l_returnflag, ship_month
+    """,
+)
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch re-aggregation: per-(returnflag, month) registers stored
+    once, rolled up to per-returnflag estimates by register merge
+    (ship_month = 0 rows) WITHOUT rescanning — merged registers are
+    bit-identical to direct coarse registers (max associativity,
+    pinned in tests/test_operators.py)."""
+    li = load_tables(spark, sf_dir)["lineitem"].withColumn(
+        "ship_month", F.month("l_shipdate")
+    )
+    regs = SK.hll_registers(li, ["l_returnflag", "ship_month"], "l_orderkey")
+    fine = SK.hll_estimate(regs, ["l_returnflag", "ship_month"])
+    coarse = SK.hll_estimate(
+        SK.hll_merge(regs, ["l_returnflag"]), ["l_returnflag"]
+    ).select(
+        "l_returnflag",
+        F.lit(0).alias("ship_month"),
+        "hll_est_milli",
+        "hll_buckets_used",
+    )
+    return fine.unionByName(coarse).orderBy("l_returnflag", "ship_month")

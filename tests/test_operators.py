@@ -270,3 +270,17 @@ def test_cms_estimate_is_overestimate_within_bound(spark, tables):
     for r in joined.collect():
         assert r["cms_est"] >= r["count"], r
         assert r["cms_est"] - r["count"] <= 4 * n / CMS_WIDTH, r
+
+
+def test_hll_merge_equals_direct_registers(spark, tables):
+    """Register merge must be lossless: MAX-merging fine-grained
+    register tables yields bit-identical registers (and therefore
+    identical estimates) to computing the coarse group directly —
+    the re-aggregability contract of stored sketch state."""
+    from reshape_on_flink_spark.operators.sketches import hll_merge, hll_registers
+
+    li = tables["lineitem"].withColumn("m", F.month("l_shipdate"))
+    fine = hll_registers(li, ["l_returnflag", "m"], "l_orderkey")
+    merged = hll_merge(fine, ["l_returnflag"])
+    direct = hll_registers(li, ["l_returnflag"], "l_orderkey")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
