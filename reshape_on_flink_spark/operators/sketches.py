@@ -33,6 +33,7 @@ to the same hot-key detection problem the Reshape controller
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from reshape_on_flink_spark.llm.text import hash60
@@ -175,3 +176,59 @@ def cms_heavy_hitters(
     cands = df.select(F.col(col).alias("value")).distinct()
     est = cms_estimate(sketch, cands, "value")
     return est.where(F.col("cms_est") >= threshold)
+
+
+# ---- Histogram quantile sketch --------------------------------------------
+
+HIST_WIDTH = 10_000.0  # value-space bucket width (caller-tunable)
+
+
+def histogram_sketch(
+    df: DataFrame, group_cols: list[str], col: str, width: float = HIST_WIDTH
+) -> DataFrame:
+    """(group..., bucket, cnt): equi-width histogram — the quantile
+    sketch companion to HLL/CMS. Counts partial-aggregate map-side and
+    merge by SUM (losslessly re-aggregable like the HLL registers);
+    state is value_range/width counters per group."""
+    b = F.floor(F.col(col).cast("double") / F.lit(width)).cast("long")
+    return (
+        df.select(*group_cols, b.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def histogram_quantiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    width: float = HIST_WIDTH,
+) -> DataFrame:
+    """(group..., q, est): quantile estimates from the histogram — the
+    upper edge of the first bucket whose cumulative count reaches q·n.
+    Error is bounded by one bucket width; everything is integer
+    arithmetic over exact counts (deterministic, oracle-replicable),
+    unlike t-digest/KLL whose internals are engine-specific."""
+    w = W.partitionBy(*group_cols).orderBy("bucket")
+    cum = sketch.select(
+        *group_cols,
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(W.partitionBy(*group_cols)).alias("n"),
+    )
+    quantiles = F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])
+    ).alias("q")
+    probes = cum.select(*group_cols, "bucket", "cum", "n", quantiles)
+    hits = probes.where(
+        F.col("cum") >= F.ceil(F.col("q") * F.col("n"))
+    )
+    return (
+        hits.groupBy(*group_cols, "q")
+        .agg(F.min("bucket").alias("_b"))
+        .select(
+            *group_cols,
+            "q",
+            ((F.col("_b") + 1) * F.lit(width)).alias("est"),
+        )
+    )

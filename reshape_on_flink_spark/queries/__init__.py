@@ -46,6 +46,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_hll_distinct",
     "q_hll_rollup",
     "q_cms_heavy_hitters",
+    "q_hist_quantiles",
     "q_doc_chunks",
     "q_tfidf_top_terms",
     "q_corpus_trigram_topk",

@@ -1504,3 +1504,36 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hll_buckets_used",
     )
     return fine.unionByName(coarse).orderBy("l_returnflag", "ship_month")
+
+
+@query(
+    "q_hist_quantiles",
+    """
+    WITH sk AS (
+      SELECT o_orderpriority,
+             CAST(FLOOR(CAST(o_totalprice AS DOUBLE) / 10000.0) AS BIGINT) AS bucket,
+             COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2),
+    c AS (SELECT o_orderpriority, bucket,
+                 SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bucket) AS cum,
+                 SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+          FROM sk),
+    p AS (SELECT c.*, u.q FROM c,
+          UNNEST([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS u(q)),
+    hits AS (SELECT o_orderpriority, q, MIN(bucket) AS b
+             FROM p WHERE cum >= CEIL(q * n) GROUP BY 1, 2)
+    SELECT o_orderpriority, q, (b + 1) * 10000.0 AS est
+    FROM hits ORDER BY o_orderpriority, q
+    """,
+)
+def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch (operators/sketches.py): equi-width
+    counts (mergeable like the HLL registers) -> cumulative scan ->
+    p50/p90/p99 per priority, error bounded by one bucket width.
+    Deterministic integer arithmetic — unlike t-digest/KLL — so the
+    oracle replicates the sketch exactly."""
+    o = load_tables(spark, sf_dir)["orders"]
+    sk = SK.histogram_sketch(o, ["o_orderpriority"], "o_totalprice")
+    return SK.histogram_quantiles(sk, ["o_orderpriority"]).orderBy(
+        "o_orderpriority", "q"
+    )

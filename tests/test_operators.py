@@ -284,3 +284,38 @@ def test_hll_merge_equals_direct_registers(spark, tables):
     merged = hll_merge(fine, ["l_returnflag"])
     direct = hll_registers(li, ["l_returnflag"], "l_orderkey")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+
+
+def test_histogram_quantiles_within_bucket_width(spark, tables):
+    """Sketch quantiles return the upper edge of the bucket holding the
+    ceil(q*n)-th order statistic — within one width of that statistic;
+    Spark's percentile() additionally interpolates between order stats,
+    so compare within TWO bucket widths. The sketch must also merge
+    losslessly (SUM) like the HLL registers."""
+    from reshape_on_flink_spark.operators.sketches import (
+        histogram_quantiles,
+        histogram_sketch,
+    )
+
+    o = tables["orders"]
+    sk = histogram_sketch(o, ["o_orderpriority"], "o_totalprice")
+    est = {
+        (r["o_orderpriority"], r["q"]): r["est"]
+        for r in histogram_quantiles(sk, ["o_orderpriority"]).collect()
+    }
+    exact = o.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").alias("p")
+    )
+    for r in exact.collect():
+        for q, x in zip((0.5, 0.9, 0.99), r["p"]):
+            e = est[(r["o_orderpriority"], q)]
+            assert abs(e - x) <= 2 * 10_000.0, (r["o_orderpriority"], q, e, x)
+    # lossless merge: month-partitioned sketches SUM-merge to the direct one
+    om = o.withColumn("m", F.month("o_orderdate"))
+    fine = histogram_sketch(om, ["o_orderpriority", "m"], "o_totalprice")
+    merged = (
+        fine.groupBy("o_orderpriority", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, sk.collect())
+    )
