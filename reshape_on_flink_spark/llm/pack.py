@@ -196,3 +196,49 @@ def streaming_pack(
         .groupBy(stream_col)
         .applyInPandasWithState(fold, out_schema, state_schema, "append", "NoTimeout")
     )
+
+
+def train_val_test_split(
+    docs: DataFrame,
+    val_rate: float = 0.05,
+    test_rate: float = 0.05,
+    key_col: str = "doc_id",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by hash threshold — the
+    held-out-set selector beside :func:`domain_mix_sample`. Stable
+    under corpus growth: a document's split never changes when other
+    documents are added/removed (it depends only on its own key), which
+    is what prevents silent eval-set contamination across corpus
+    versions. Map-only, zero shuffles, engine-reproducible."""
+    h = F.pmod(hash60(F.col(key_col).cast("string")), F.lit(resolution))
+    t_val = int(val_rate * resolution)
+    t_test = t_val + int(test_rate * resolution)
+    split = (
+        F.when(h < t_val, F.lit("val"))
+        .when(h < t_test, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return docs.withColumn("split", split)
+
+
+def stratified_bottom_k(
+    docs: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic k-per-stratum uniform sample: the k smallest
+    hash60(key) per stratum (bottom-k / min-wise sampling). Unlike a
+    rate-based sampler this guarantees EXACTLY min(k, |stratum|) rows
+    per stratum — the balanced-eval-set selector. One shuffle on the
+    strata key; Spark executes the rank filter as WindowGroupLimit
+    (per-partition top-k before the exchange), so the shuffle carries
+    ~k rows per (partition, stratum), not the stratum."""
+    h = hash60(F.col(key_col).cast("string"))
+    w = W.partitionBy(strata_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -47,6 +47,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_hll_rollup",
     "q_cms_heavy_hitters",
     "q_hist_quantiles",
+    "q_train_val_test_split",
+    "q_stratified_sample",
     "q_doc_chunks",
     "q_tfidf_top_terms",
     "q_corpus_trigram_topk",

@@ -1537,3 +1537,58 @@ def q_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.histogram_quantiles(sk, ["o_orderpriority"]).orderBy(
         "o_orderpriority", "q"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic splits & samples (llm/pack.py): hash-threshold
+# train/val/test assignment and exact-k-per-stratum bottom-k sampling —
+# the held-out / balanced-eval selectors beside domain mixing.
+# ---------------------------------------------------------------------------
+_H60_DOC = SQL_H60.format(x="CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "q_train_val_test_split",
+    f"""
+    SELECT split, lang, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc_id
+    FROM (
+      SELECT doc_id, lang,
+             CASE WHEN {_H60_DOC} % 1000000 < 50000 THEN 'val'
+                  WHEN {_H60_DOC} % 1000000 < 100000 THEN 'test'
+                  ELSE 'train' END AS split
+      FROM documents)
+    GROUP BY split, lang ORDER BY split, lang
+    """,
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-threshold split census — a doc's split depends only on its
+    own key, so eval membership is stable across corpus versions."""
+    from reshape_on_flink_spark.llm.pack import train_val_test_split
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        train_val_test_split(d)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .orderBy("split", "lang")
+    )
+
+
+@query(
+    "q_stratified_sample",
+    f"""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {_H60_DOC} ASC, doc_id ASC) AS rk
+      FROM documents)
+    WHERE rk <= 10 ORDER BY lang, doc_id
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-10-per-language bottom-k sample (min-wise hashing);
+    WindowGroupLimit keeps the shuffle at ~k rows per partition."""
+    from reshape_on_flink_spark.llm.pack import stratified_bottom_k
+
+    d = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang")
+    return stratified_bottom_k(d, 10).orderBy("lang", "doc_id")

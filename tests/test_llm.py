@@ -680,3 +680,32 @@ def test_pq_encode_is_deterministic_and_compact(spark, tables):
     assert enc1 == enc2
     assert len(enc1[0]) == 9  # id + 8 codes
     assert all(0 <= c < 16 for row in enc1 for c in row[1:])
+
+
+def test_split_stable_under_corpus_growth(spark, tables):
+    """A document's train/val/test assignment must not change when the
+    corpus around it changes — the anti-contamination contract."""
+    from reshape_on_flink_spark.llm.pack import train_val_test_split
+
+    d = tables["documents"].select("doc_id")
+    full = {r["doc_id"]: r["split"] for r in train_val_test_split(d).collect()}
+    half = {
+        r["doc_id"]: r["split"]
+        for r in train_val_test_split(d.where(F.col("doc_id") % 2 == 0)).collect()
+    }
+    assert half == {k: v for k, v in full.items() if k % 2 == 0}
+    from collections import Counter
+
+    counts = Counter(full.values())
+    n = len(full)
+    assert 0.02 < counts["val"] / n < 0.10 and 0.02 < counts["test"] / n < 0.10
+
+
+def test_stratified_bottom_k_exact_counts(spark, tables):
+    from reshape_on_flink_spark.llm.pack import stratified_bottom_k
+
+    d = tables["documents"].select("doc_id", "lang")
+    got = stratified_bottom_k(d, 10)
+    counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    strata = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {k: min(10, v) for k, v in strata.items()}

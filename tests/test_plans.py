@@ -342,3 +342,12 @@ def test_assembly_pipeline_single_shuffle(spark):
 
     plan = plan_of(assemble_packs(load_tables(spark, SF_DIR)["documents"]))
     assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 1
+
+
+def test_stratified_sample_uses_window_group_limit(spark, tables):
+    """Bottom-k per stratum must pre-limit map-side (WindowGroupLimit)
+    so the exchange carries ~k rows per partition, not the stratum."""
+    from reshape_on_flink_spark.llm.pack import stratified_bottom_k
+
+    plan = plan_of(stratified_bottom_k(tables["documents"].select("doc_id", "lang"), 10))
+    assert "WindowGroupLimit" in plan

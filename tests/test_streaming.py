@@ -766,3 +766,15 @@ def test_hll_registers_stream_matches_batch(spark, tables, events_stream_factory
     sdf = hll_registers(stream, ["event_type"], "user_id")
     got = run_to_memory(spark, sdf, "hll_regs_out", tmp_dir, mode="complete")
     assert_same_rows(got, hll_registers(tables["events"], ["event_type"], "user_id"))
+
+
+def test_cms_sketch_stream_matches_batch(spark, tables, events_stream_factory, tmp_dir):
+    """The CMS grid is one SUM aggregation — streaming state directly;
+    must converge to the batch sketch over the events replay."""
+    from reshape_on_flink_spark.operators.sketches import cms_sketch
+
+    stream = events_stream_factory("cmsgrid")
+    got = run_to_memory(
+        spark, cms_sketch(stream, "user_id"), "cms_grid_out", tmp_dir, mode="complete"
+    )
+    assert_same_rows(got, cms_sketch(tables["events"], "user_id"))
