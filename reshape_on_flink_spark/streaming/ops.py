@@ -343,3 +343,49 @@ def allow_idle_sources(spark) -> None:
     Behavioral test: tests/test_streaming.py::test_idle_source_policy.
     """
     spark.conf.set("spark.sql.streaming.multipleWatermarkPolicy", "max")
+
+
+def query_state(
+    spark,
+    checkpoint: str,
+    *,
+    batch_id: int | None = None,
+    operator_id: int = 0,
+    store_name: str | None = None,
+    flatten: bool = True,
+):
+    """Queryable state — read a streaming job's keyed state directly
+    from its checkpoint, live (any committed batch) or post-hoc.
+
+    Reference parity: flink-queryable-state's QueryableStateClient
+    (flink-queryable-state/flink-queryable-state-client-java/.../
+    QueryableStateClient.java) serves point lookups against a running
+    job's keyed state; Spark's State Reader (the ``statestore`` data
+    source) exposes the same state as a DataFrame instead — scans,
+    joins, and aggregations over operator state, not just point gets.
+    ``batch_id`` time-travels to any retained checkpointed batch.
+
+    Scale: the reader loads state-store files directly (one task per
+    store partition) — no interaction with, or load on, the running
+    query.
+    """
+    reader = spark.read.format("statestore")
+    if batch_id is not None:
+        reader = reader.option("batchId", batch_id)
+    if operator_id:
+        reader = reader.option("operatorId", operator_id)
+    if store_name:
+        reader = reader.option("storeName", store_name)
+    df = reader.load(checkpoint)
+    if not flatten:
+        return df
+    key_cols = [f"key.{f}" for f in df.schema["key"].dataType.fieldNames()]
+    val_cols = [f"value.{f}" for f in df.schema["value"].dataType.fieldNames()]
+    return df.select(*key_cols, *val_cols, "partition_id")
+
+
+def state_metadata(spark, checkpoint: str):
+    """Operator/state-store inventory of a checkpoint (the discovery
+    step before query_state): operator ids/names, store names, and the
+    committed batch range per store."""
+    return spark.read.format("state-metadata").load(checkpoint)

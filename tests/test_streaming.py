@@ -778,3 +778,34 @@ def test_cms_sketch_stream_matches_batch(spark, tables, events_stream_factory, t
         spark, cms_sketch(stream, "user_id"), "cms_grid_out", tmp_dir, mode="complete"
     )
     assert_same_rows(got, cms_sketch(tables["events"], "user_id"))
+
+
+def test_queryable_state_matches_emitted_aggregates(spark, tables, events_stream_factory, tmp_dir):
+    """query_state must see exactly the keyed state the streaming agg
+    holds — per-key counts equal to the batch aggregation — and
+    state_metadata must locate the store."""
+    from reshape_on_flink_spark.streaming.ops import query_state, state_metadata
+
+    stream = events_stream_factory("qstate")
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ckpt = os.path.join(tmp_dir, "ckpt_qstate")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("qstate_out")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    meta = state_metadata(spark, ckpt).collect()
+    assert any(r["operatorName"] == "stateStoreSave" for r in meta)
+
+    got = query_state(spark, ckpt).select(F.col("event_type"), F.col("count"))
+    want = tables["events"].groupBy("event_type").agg(F.count(F.lit(1)).alias("count"))
+    assert_same_rows(got, want)
+
+    # time travel: batch 0 state holds only the first replay chunk
+    first = query_state(spark, ckpt, batch_id=0).agg(F.sum("count")).first()[0]
+    assert 0 < first < tables["events"].count()
