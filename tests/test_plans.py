@@ -351,3 +351,24 @@ def test_stratified_sample_uses_window_group_limit(spark, tables):
 
     plan = plan_of(stratified_bottom_k(tables["documents"].select("doc_id", "lang"), 10))
     assert "WindowGroupLimit" in plan
+
+
+def test_hll_two_exchange_bound(spark, tables):
+    """HLL distinct = register agg + estimate agg: exactly two
+    exchanges, each carrying <=1024 rows per group — never a
+    distinct-expand or a wide shuffle."""
+    from reshape_on_flink_spark.operators.sketches import hll_count_distinct
+
+    plan = plan_of(hll_count_distinct(tables["lineitem"], ["l_returnflag"], "l_orderkey"))
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE)) == 2
+    assert "Expand" not in plan
+
+
+def test_cms_estimate_broadcasts_sketch(spark, tables):
+    """The 4x256 CMS grid must ride a broadcast into the candidate
+    probe join — never a shuffle join against the candidates."""
+    from reshape_on_flink_spark.operators.sketches import cms_heavy_hitters
+
+    plan = plan_of(cms_heavy_hitters(tables["events"], "user_id", 80))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
