@@ -55,6 +55,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_ds_two_cte_union_channels",
     "q_ds_correlated_exists_or",
     "q_ds_exists_notexists_distinct",
+    "q_ds_ranked_dim_rollup",
     "q_unigram_perplexity",
     "q_text_normalize",
     "q_bigram_perplexity",

@@ -23,6 +23,7 @@ one representative of each such shape on the fixture tables:
 - two shared CTEs filtering a two-channel UNION ALL      (q23 full form)
 - correlated EXISTS AND (EXISTS OR EXISTS) census        (q10)
 - self-EXISTS + NOT-EXISTS gated COUNT(DISTINCT)         (q16)
+- ranked-subquery dimension gate + rollup + level rank   (q70)
 
 Numeric discipline per queries.numeric (exact decimal sums, single IEEE
 division). Scale notes (100 TB / 1000 executors) in each docstring.
@@ -1603,4 +1604,90 @@ def q_ds_exists_notexists_distinct(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("o_orderpriority")
         .agg(F.countDistinct("l_orderkey").alias("n_orders"))
         .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q70 shape: the GROUPING dimension itself is gated by a RANKED
+# SUBQUERY (top-3 nations by revenue), then ROLLUP over (nation,
+# segment) with a rank computed WITHIN each grouping level — the
+# window's partition key is derived from GROUPING() flags. Scale: the
+# gate subquery is an agg to |nations| rows ranked with one global
+# window over ~25 rows (broadcast back); the main rollup is one Expand
+# + hash-agg; the level rank partitions on (level, nation) — bounded
+# cardinality.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_ranked_dim_rollup",
+    """
+    WITH nat_rev AS (
+      SELECT c_nationkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_nationkey
+    ),
+    top_nat AS (
+      SELECT c_nationkey FROM (
+        SELECT c_nationkey, RANK() OVER (ORDER BY rev DESC, c_nationkey) AS r
+        FROM nat_rev)
+      WHERE r <= 3
+    )
+    SELECT n_name, mkt, lochierarchy, rev, rank_in_level FROM (
+      SELECT COALESCE(n_name, 'ALL') AS n_name,
+             COALESCE(c_mktsegment, 'ALL') AS mkt,
+             CAST(GROUPING(n_name) + GROUPING(c_mktsegment) AS INTEGER) AS lochierarchy,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
+             RANK() OVER (
+               PARTITION BY GROUPING(n_name) + GROUPING(c_mktsegment),
+                            CASE WHEN GROUPING(c_mktsegment) = 0 THEN n_name END
+               ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC,
+                        COALESCE(c_mktsegment, 'ALL')
+             ) AS rank_in_level
+      FROM orders
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation ON n_nationkey = c_nationkey
+      WHERE c_nationkey IN (SELECT c_nationkey FROM top_nat)
+      GROUP BY ROLLUP(n_name, c_mktsegment))
+    ORDER BY lochierarchy DESC, n_name, rank_in_level
+    """,
+)
+def q_ds_ranked_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    o, c, n = t["orders"], t["customer"], t["nation"]
+    nat_rev = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_nationkey")
+        .agg(F.sum(dec("o_totalprice")).alias("rev"))
+    )
+    top_nat = (
+        nat_rev.select(
+            "c_nationkey",
+            F.rank().over(W.orderBy(F.desc("rev"), "c_nationkey")).alias("r"),
+        )
+        .where(F.col("r") <= 3)
+        .select("c_nationkey")
+    )
+    base = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(top_nat), "c_nationkey", "left_semi")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+    )
+    level = (F.grouping("n_name") + F.grouping("c_mktsegment")).cast("int")
+    rolled = base.rollup("n_name", "c_mktsegment").agg(
+        level.alias("lochierarchy"),
+        F.sum(dec("o_totalprice")).alias("rev_dec"),
+        F.grouping("c_mktsegment").alias("_gm"),
+    )
+    wlevel = W.partitionBy(
+        "lochierarchy",
+        F.when(F.col("_gm") == 0, F.col("n_name")),
+    ).orderBy(F.desc("rev_dec"), F.coalesce("c_mktsegment", F.lit("ALL")))
+    return (
+        rolled.select(
+            F.coalesce("n_name", F.lit("ALL")).alias("n_name"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("mkt"),
+            "lochierarchy",
+            F.col("rev_dec").cast("double").alias("rev"),
+            F.rank().over(wlevel).alias("rank_in_level"),
+        )
+        .orderBy(F.desc("lochierarchy"), "n_name", "rank_in_level")
     )
