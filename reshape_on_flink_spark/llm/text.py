@@ -244,17 +244,36 @@ def bpe_token_count(col: str | Column = "text") -> Column:
 
 #: Normalization steps shared by Java regex (Spark) and RE2 (DuckDB):
 #: strip C0/C1 control chars (keep \t\n\r), collapse runs of whitespace
-#: to one space, trim. Unicode NFC is deliberately NOT here — Spark has
-#: no JVM-side normalizer (a pandas UDF plug point would be the slow
-#: path); byte-level cleanup is the 99% case for web corpora.
+#: to one space, trim. Unicode NFC is available as an opt-in pandas-UDF
+#: stage (``nfc=True``) — Spark has no JVM-side normalizer, so NFC is
+#: the one Python step in the chain (Arrow-batched stdlib
+#: unicodedata; DuckDB's nfc_normalize mirrors it in the oracle).
 CONTROL_CHARS_REGEX = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
 
 
-def normalize_text(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Row-local text cleanup: control-char strip + whitespace collapse
-    + trim, emitted as ``norm_text`` with a ``changed`` flag. Map-only
-    regexp_replace chain — codegen'd, fused into the scan at any scale."""
-    cleaned = F.regexp_replace(F.col(text_col), CONTROL_CHARS_REGEX, "")
+def _nfc(col: Column) -> Column:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def nfc_udf(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda v: unicodedata.normalize("NFC", v) if v is not None else None
+        )
+
+    return nfc_udf(col)
+
+
+def normalize_text(df: DataFrame, text_col: str = "text", nfc: bool = False) -> DataFrame:
+    """Row-local text cleanup: optional Unicode NFC, control-char strip,
+    whitespace collapse, trim — emitted as ``norm_text`` with a
+    ``changed`` flag. The regex chain is map-only codegen fused into the
+    scan at any scale; NFC (off by default) adds one Arrow-batched
+    pandas stage, still map-only (no shuffle, partitioning unchanged)."""
+    src = _nfc(F.col(text_col)) if nfc else F.col(text_col)
+    cleaned = F.regexp_replace(src, CONTROL_CHARS_REGEX, "")
     collapsed = F.trim(F.regexp_replace(cleaned, r"\s+", " "))
     return df.withColumn("norm_text", collapsed).withColumn(
         "changed", F.col("norm_text") != F.col(text_col)

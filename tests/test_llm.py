@@ -709,3 +709,21 @@ def test_stratified_bottom_k_exact_counts(spark, tables):
     counts = {r["lang"]: r["n"] for r in got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     strata = {r["lang"]: r["n"] for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
     assert counts == {k: min(10, v) for k, v in strata.items()}
+
+
+def test_normalize_text_nfc_composes_combining_marks(spark):
+    """nfc=True must compose e+COMBINING ACUTE into \u00e9 (agreeing
+    with stdlib unicodedata); nfc=False leaves the decomposed form."""
+    import unicodedata
+
+    decomposed = "Cafe\u0301 menu"  # e + combining acute accent
+    composed = "Caf\u00e9 menu"
+    assert unicodedata.normalize("NFC", decomposed) == composed
+    df = spark.createDataFrame([(1, decomposed)], "doc_id long, text string")
+    from reshape_on_flink_spark.llm.text import normalize_text
+
+    on = normalize_text(df, nfc=True).first()
+    assert on["norm_text"] == composed
+    assert on["changed"] is True
+    off = normalize_text(df, nfc=False).first()
+    assert off["norm_text"] == decomposed
