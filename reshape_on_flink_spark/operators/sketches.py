@@ -1,10 +1,12 @@
 """Sketch aggregates: HyperLogLog distinct counting + Count-Min heavy
-hitters — fixed-size mergeable state, the approximate-aggregation tier
-every 100 TB engine needs (Flink exposes the same tier as
-APPROX_COUNT_DISTINCT in FlinkSqlOperatorTable and as DataStream
-process-function sketches; reference:
-flink-table/flink-table-planner-blink/.../functions/sql/FlinkSqlOperatorTable.java,
-flink-table/flink-table-runtime-blink/.../functions/aggregate/hyperloglog/).
+hitters + histogram quantiles — fixed-size mergeable state, the
+approximate-aggregation tier every 100 TB engine needs. The reference
+Flink version exposes NO approximate aggregates (grep APPROX in
+flink-table/flink-table-planner-blink/.../functions/sql/
+FlinkSqlOperatorTable.java — absent; Flink grew APPROX_COUNT_DISTINCT
+later), so this tier is a beyond-reference addition in the same spirit
+as the dedup/ANN stack: capabilities a 100 TB training-data engine
+needs that the reference leaves to user code.
 
 Why not Spark's approx_count_distinct / DuckDB's approx_distinct: their
 internal HLL implementations differ, so results can never hash-match
