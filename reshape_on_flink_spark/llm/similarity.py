@@ -247,15 +247,14 @@ def _cell_of(vec_col: str | Column, centroids: list[list[float]]) -> Column:
 
 
 def _probe_cells(vec_col: str | Column, centroids: list[list[float]], nprobe: int) -> Column:
-    """Array of the nprobe nearest cell ids (by centroid dot product)."""
-    pairs = F.array(
-        *[
-            F.struct(
-                dot(vec_col, F.array(*[F.lit(float(x)) for x in cen])).alias("d"),
-                F.lit(i).alias("cell"),
-            )
-            for i, cen in enumerate(centroids)
-        ]
+    """Array of the nprobe nearest cell ids (by centroid dot product).
+    The centroid table enters the plan as ONE 2-D array literal scanned
+    by transform() — not one Column per centroid (see pq_encode on why:
+    identical arithmetic, ~n_cells·dim fewer py4j/tree nodes)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    pairs = F.transform(
+        F.lit([[float(x) for x in cen] for cen in centroids]),
+        lambda cen, i: F.struct(dot(v, cen).alias("d"), i.alias("cell")),
     )
     ordered = F.reverse(F.array_sort(pairs))  # by d desc, cell desc tiebreak
     return F.slice(ordered, 1, nprobe).getField("cell")
@@ -542,6 +541,7 @@ def pq_encode(
     books: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    extra_cols: tuple[Column, ...] = (),
 ) -> DataFrame:
     """(neighbor_id, c0..c{m-1}): per-subspace nearest-codeword ids
     (argmin L2, code-asc tie-break via the struct sort). Map-only
@@ -567,6 +567,7 @@ def pq_encode(
 
     return corpus.select(
         F.col(id_col).alias("neighbor_id"),
+        *extra_cols,
         *[code_of(s).alias(f"c{s}") for s in range(m)],
     )
 
@@ -681,6 +682,108 @@ def pq_topk_rerank(
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.select("query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    shortlist: int = 50,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ: the production ANN index layout — coarse cells prune the
+    scan, PQ codes score the survivors from the compressed index, exact
+    cosine re-ranks the shortlist. Composes this module's IVF
+    (cell assignment / nprobe probing) and PQ (codebooks, asymmetric
+    LUT scoring) stages end to end.
+
+    100 TB data motion: the index is (cell, m code-ints) per vector;
+    search touches nprobe/n_cells of it via a cell equi-join (never a
+    cross join), scores from codes alone, and moves raw vectors only
+    for |queries|·shortlist re-rank rows. Every stage is deterministic
+    (seeded centroids, sample-init codebooks, fixed-point LUT sums),
+    so the full pipeline is hash-gated against a DuckDB replica.
+    """
+    import math
+
+    cents = ivf_centroids(dim, n_cells, seed)
+    books = pq_codebooks(corpus, m, k_codes, dim, id_col, vec_col)
+    d_sub = dim // m
+    enc = pq_encode(
+        corpus, books, id_col, vec_col,
+        extra_cols=(_cell_of(vec_col, cents).alias("cell"),),
+    )
+    n2_lit = [
+        F.lit(
+            [
+                int(math.floor(sum(x * x for x in books[s][c]) * PQ_SCALE + 0.5))
+                for c in range(k_codes)
+            ]
+        )
+        for s in range(m)
+    ]
+    recon2f = sum(
+        [F.element_at(n2_lit[s], F.col(f"c{s}") + 1) for s in range(m)],
+        F.lit(0).cast("long"),
+    )
+    enc = enc.withColumn("_r2f", recon2f)
+
+    def lut_of(s: int) -> Column:
+        sub = _sub_slice(vec_col, s, d_sub)
+        return F.transform(
+            F.lit(books[s]),
+            lambda cw: F.round(_fold_dot(sub, cw) * PQ_SCALE).cast("long"),
+        ).alias(f"ql{s}")
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        norm(vec_col).alias("_qn"),
+        F.col(vec_col).alias("qvec"),
+        *[lut_of(s) for s in range(m)],
+        F.explode(_probe_cells(vec_col, cents, nprobe)).alias("cell"),
+    )
+    adf = sum(
+        [F.element_at(F.col(f"ql{s}"), F.col(f"c{s}") + 1) for s in range(m)],
+        F.lit(0).cast("long"),
+    )
+    cos_pq = (adf.cast("double") / F.lit(float(PQ_SCALE))) / (
+        F.col("_qn")
+        * F.sqrt(F.greatest(F.col("_r2f").cast("double") / F.lit(float(PQ_SCALE)), F.lit(1e-12)))
+    )
+    scored = (
+        F.broadcast(q)
+        .join(enc, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos_pq.alias("cos_pq"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_pq"), F.asc("neighbor_id"))
+    cand = (
+        scored.select("query_id", "neighbor_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    qraw = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    craw = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    rescored = (
+        cand.join(F.broadcast(qraw), "query_id")
+        .join(craw, "neighbor_id")
+        .select("query_id", "neighbor_id", cosine("qvec", "cvec").alias("cos_sim"))
+    )
+    w2 = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        rescored.select(
+            "query_id", "neighbor_id", "cos_sim", F.row_number().over(w2).alias("rank")
+        )
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )

@@ -49,6 +49,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_hist_quantiles",
     "q_train_val_test_split",
     "q_stratified_sample",
+    "q_similarity_ivfpq",
     "q_doc_chunks",
     "q_tfidf_top_terms",
     "q_corpus_trigram_topk",

@@ -1592,3 +1592,124 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir)["documents"].select("doc_id", "lang")
     return stratified_bottom_k(d, 10).orderBy("lang", "doc_id")
+
+
+def _ivfpq_oracle(
+    n_cells: int = 16, nprobe: int = 4, m: int = 8, k_codes: int = 16,
+    dim: int = 64, shortlist: int = 50, k: int = 5, seed: int = 7,
+) -> str:
+    """DuckDB replica of ivfpq_topk: the _pq_oracle scoring chain with a
+    cell restriction (corpus cell must be among the query's nprobe
+    probed cells) and the exact-cosine re-rank of the shortlist."""
+    d_sub = dim // m
+    sc = S.PQ_SCALE
+
+    def dot_sql(vec: str, plane: list[float]) -> str:
+        lit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        return (
+            f"list_sum(list_transform(list_zip({vec}, {lit}), "
+            "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        )
+
+    cents = S.ivf_centroids(dim, n_cells, seed)
+    ranked = (
+        "list_reverse(list_sort(["
+        + ", ".join(
+            f"struct_pack(d := {dot_sql('embedding', cen)}, cell := {i})"
+            for i, cen in enumerate(cents)
+        )
+        + "]))"
+    )
+    cos = (
+        "list_sum(list_transform(list_zip(qvec, cvec), "
+        "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+        " / (sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+        " * sqrt(list_sum(list_transform(cvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+    )
+    return f"""
+    WITH cellr AS (SELECT vec_id, {ranked} AS ranked FROM embeddings),
+    ccell AS (SELECT vec_id, ranked[1].cell AS cell FROM cellr),
+    pcell AS (SELECT vec_id AS query_id,
+                     unnest(list_transform(ranked[1:{nprobe}], r -> r.cell)) AS cell
+              FROM cellr WHERE vec_id < 10),
+    subsp AS (SELECT UNNEST(range({m})) AS s),
+    bsub AS (
+      SELECT b.vec_id AS code, s.s,
+             list_slice(b.embedding, s.s * {d_sub} + 1, s.s * {d_sub} + {d_sub}) AS bv
+      FROM embeddings b CROSS JOIN subsp s WHERE b.vec_id < {k_codes}),
+    csub AS (
+      SELECT e.vec_id, s.s,
+             list_slice(e.embedding, s.s * {d_sub} + 1, s.s * {d_sub} + {d_sub}) AS sv
+      FROM embeddings e CROSS JOIN subsp s),
+    dist AS (
+      SELECT c.vec_id, c.s, b.code,
+             list_sum(list_transform(list_zip(c.sv, b.bv),
+               x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+                    * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)))) AS d
+      FROM csub c JOIN bsub b ON c.s = b.s),
+    codes AS (
+      SELECT vec_id, s, code FROM (
+        SELECT vec_id, s, code,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d ASC, code ASC) AS rn
+        FROM dist) WHERE rn = 1),
+    bnorm AS (
+      SELECT s, code,
+             CAST(ROUND(list_sum(list_transform(bv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) * {sc}) AS BIGINT) AS n2f
+      FROM bsub),
+    qdot AS (
+      SELECT q.vec_id AS query_id, q.s, b.code,
+             CAST(ROUND(list_sum(list_transform(list_zip(q.sv, b.bv),
+               x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) * {sc}) AS BIGINT) AS df
+      FROM csub q JOIN bsub b ON q.s = b.s WHERE q.vec_id < 10),
+    pair AS (
+      SELECT d.query_id, c.vec_id AS neighbor_id, SUM(d.df) AS adf, SUM(n.n2f) AS r2f
+      FROM codes c
+      JOIN ccell cc ON cc.vec_id = c.vec_id
+      JOIN pcell pc ON pc.cell = cc.cell
+      JOIN qdot d ON d.s = c.s AND d.code = c.code AND d.query_id = pc.query_id
+      JOIN bnorm n ON n.s = c.s AND n.code = c.code
+      GROUP BY 1, 2),
+    qn AS (
+      SELECT vec_id AS query_id,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qnorm
+      FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT p.query_id, p.neighbor_id,
+             (CAST(adf AS DOUBLE) / {sc}.0)
+               / (qnorm * sqrt(GREATEST(CAST(r2f AS DOUBLE) / {sc}.0, 1e-12))) AS cos_pq
+      FROM pair p JOIN qn USING (query_id)
+      WHERE p.query_id <> p.neighbor_id),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_pq DESC, neighbor_id ASC) AS rk
+        FROM scored) WHERE rk <= {shortlist}),
+    rescored AS (
+      SELECT cand.query_id, cand.neighbor_id, {cos.replace('qvec', 'q.embedding').replace('cvec', 'c.embedding')} AS cos_sim
+      FROM cand
+      JOIN embeddings q ON q.vec_id = cand.query_id
+      JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+    SELECT query_id, "rank", neighbor_id, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS "rank"
+      FROM rescored)
+    WHERE "rank" <= {k}
+    ORDER BY query_id, "rank"
+    """
+
+
+@query("q_similarity_ivfpq", _ivfpq_oracle())
+def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ combined index (llm/similarity.ivfpq_topk): coarse cells
+    prune the scan, PQ codes score survivors, exact cosine re-ranks the
+    shortlist — the production ANN serving layout, hash-gated across
+    all three stages."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.ivfpq_topk(emb, emb.where(F.col("vec_id") < 10), k=5).orderBy(
+        "query_id", "rank"
+    )

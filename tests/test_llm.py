@@ -727,3 +727,15 @@ def test_normalize_text_nfc_composes_combining_marks(spark):
     assert on["changed"] is True
     off = normalize_text(df, nfc=False).first()
     assert off["norm_text"] == decomposed
+
+
+def test_ivfpq_recall_vs_brute_force(spark, tables):
+    """IVF-PQ adds cell pruning in front of the PQ shortlist: recall
+    drops only by the probe miss rate, so nprobe=4/16 cells must still
+    recover >= 0.5 of the true top-5 (and stay <= plain PQ-rerank,
+    which scans every cell)."""
+    emb = tables["embeddings"]
+    q = emb.where(F.col("vec_id") < 10)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in S.brute_force_topk(emb, q, k=5).collect()}
+    ivfpq = {(r["query_id"], r["neighbor_id"]) for r in S.ivfpq_topk(emb, q, k=5).collect()}
+    assert len(bf & ivfpq) / len(bf) >= 0.5
