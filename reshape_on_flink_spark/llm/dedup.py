@@ -427,3 +427,83 @@ def embedding_near_dups_lsh(
         F.col("b__id").alias("b_id"),
         cosine("a__vec", "b__vec").alias("cos_sim"),
     ).where(F.col("cos_sim") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Passage-level (sub-document) dedup — the CCNet paragraph-dedup analog
+# ---------------------------------------------------------------------------
+
+#: Tokens per passage block. Real pipelines hash paragraphs (newline
+#: splits); for whitespace-only corpora the fixed-size token block is the
+#: standard analog (e.g. 100-token spans in suffix-array dedup papers).
+PASSAGE_BLOCK = 16
+
+
+def passage_blocks(
+    df: DataFrame,
+    block: int = PASSAGE_BLOCK,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into consecutive ``block``-token passages:
+    (doc_id, block_idx, n_total, block_text, block_hash) rows; the last
+    block may be short, empty docs yield none.
+
+    Row-local (tokenize, per-row index sequence, explode, slice) — fuses
+    into the scan with no shuffle; ``n_total`` (blocks in the doc) is
+    carried from the explode so downstream stages never join it back.
+    Mirrors the slicing arithmetic of ``text.chunk_documents`` (stride ==
+    size, i.e. non-overlapping).
+    """
+    from reshape_on_flink_spark.llm.text import seq1
+
+    base = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk"))
+    n_blocks = F.ceil(F.size("tk") / F.lit(block)).cast("int")
+    e = base.select(
+        "doc_id",
+        "tk",
+        n_blocks.cast("long").alias("n_total"),
+        F.explode(seq1(n_blocks)).alias("i"),
+    )
+    blk = F.slice(F.col("tk"), (F.col("i") - 1) * block + 1, block)
+    return e.select(
+        "doc_id",
+        (F.col("i") - 1).cast("long").alias("block_idx"),
+        "n_total",
+        F.array_join(blk, " ").alias("block_text"),
+        F.md5(F.array_join(blk, " ")).alias("block_hash"),
+    )
+
+
+def passage_dedup(
+    df: DataFrame,
+    block: int = PASSAGE_BLOCK,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide passage dedup (CCNet-style, Wenzek et al. 2019 §3.1,
+    done there on paragraph hashes; reference analog: the reference has no
+    sub-document dedup — this is a training-pipeline extension): every
+    passage keeps only its globally-first occurrence (min (doc_id,
+    block_idx)); surviving passages are reassembled per document.
+
+    Output: (doc_id, n_total, n_kept, clean_text) — documents whose every
+    passage is a duplicate drop out entirely.
+
+    Scale: two shuffles, both on bounded keys — (1) first-occurrence
+    choice is a row_number window on the 16-byte ``block_hash`` (partition
+    size == duplicate multiplicity, linear work per key); (2) reassembly
+    groups on ``doc_id`` (partition size == blocks per doc). Neither key
+    ever concentrates a corpus-sized group, so the plan survives 100 TB;
+    the passage stream itself is narrow (see :func:`passage_blocks`).
+    """
+    b = passage_blocks(df, block=block, text_col=text_col, id_col=id_col)
+    w = W.partitionBy("block_hash").orderBy("doc_id", "block_idx")
+    kept = b.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    ordered = F.array_sort(F.collect_list(F.struct("block_idx", "block_text")))
+    return kept.groupBy("doc_id", "n_total").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["block_text"]), " "
+        ).alias("clean_text"),
+    )

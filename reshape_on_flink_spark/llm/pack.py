@@ -242,3 +242,43 @@ def stratified_bottom_k(
         .where(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int = 16,
+    seed: int = 0,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic output sharding: ``shard = hash60(seed:key) %
+    n_shards`` — the corpus-shuffle-and-shard step before a partitioned
+    training-data write (`df.write.partitionBy("shard")` or
+    `repartition("shard")`). Map-only; the hash both *shuffles* (orders
+    docs pseudo-randomly within a shard via the full hash) and *shards*
+    (uniform assignment independent of input order), so reruns and
+    backfills land every doc in the same place.
+    """
+    h = hash60(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string")))
+    return df.withColumn("shuffle_hash", h).withColumn(
+        "shard", F.pmod(F.col("shuffle_hash"), F.lit(n_shards)).cast("int")
+    )
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 16,
+    seed: int = 0,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard manifest (doc count + token sum) for the shard
+    assignment above — the bookkeeping a 100 TB corpus write emits next
+    to its data. One aggregation shuffle on the n_shards-ary key."""
+    return (
+        assign_shards(df, n_shards=n_shards, seed=seed, key_col=key_col)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(token_count(text_col)).alias("n_tokens"),
+        )
+    )

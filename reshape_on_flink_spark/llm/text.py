@@ -376,3 +376,43 @@ def tfidf_top_terms(
     return scored.select(
         "*", F.row_number().over(w).alias("rank")
     ).where(F.col("rank") <= k)
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier (fastText-style scorer, fixed weights)
+# ---------------------------------------------------------------------------
+
+#: Fixed logistic-regression weights over the quality_features columns.
+#: Literal constants shared with the SQL oracle; in production these come
+#: from an offline-trained model (fastText / DSIR-style) — the operator
+#: shape (row-local featurize + dot + sigmoid) is identical.
+QC_BIAS = -3.0
+QC_W_LOG_TOKENS = 0.35
+QC_W_AVG_LEN = 0.25
+QC_W_STOPWORD = 6.0
+QC_W_DISTINCT = 1.5
+QC_KEEP_THRESHOLD = 0.6
+
+
+def quality_classifier(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model-based quality scoring: a fixed-weight logistic regression
+    over :func:`quality_features` (the CCNet/fastText quality-classifier
+    stage of a pretraining pipeline, distilled to its dataflow shape).
+
+    Adds ``qc_score`` (sigmoid of the linear response, rounded to 6 dp so
+    Spark and the DuckDB oracle agree bit-for-bit after the gate's 1e-9
+    rounding) and ``qc_keep``. Entirely row-local expression math — no
+    UDF, no shuffle; classifies 100 TB at scan speed.
+    """
+    f = quality_features(df, text_col)
+    z = (
+        F.lit(QC_BIAS)
+        + F.lit(QC_W_LOG_TOKENS) * F.log(F.lit(1.0) + F.col("q_n_tokens"))
+        + F.lit(QC_W_AVG_LEN) * F.col("q_avg_token_len")
+        + F.lit(QC_W_STOPWORD) * F.col("q_stopword_ratio")
+        + F.lit(QC_W_DISTINCT) * F.col("q_distinct_ratio")
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return f.withColumn("qc_score", score).withColumn(
+        "qc_keep", F.col("qc_score") >= QC_KEEP_THRESHOLD
+    )

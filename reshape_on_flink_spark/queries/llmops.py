@@ -1713,3 +1713,95 @@ def q_similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivfpq_topk(emb, emb.where(F.col("vec_id") < 10), k=5).orderBy(
         "query_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level dedup / quality classifier / shard manifest (round-5 adds)
+# ---------------------------------------------------------------------------
+_PB = D.PASSAGE_BLOCK
+
+
+@query(
+    "q_passage_dedup",
+    f"""
+    WITH toks AS (SELECT doc_id, {{toks}} AS tk FROM documents),
+    blk AS (SELECT doc_id, i - 1 AS block_idx,
+                   CAST(ceil(len(tk) / {_PB}.0) AS BIGINT) AS n_total,
+                   array_to_string(list_slice(tk, (i-1)*{_PB} + 1, (i-1)*{_PB} + {_PB}), ' ') AS block_text
+            FROM toks, UNNEST(generate_series(1, CAST(ceil(len(tk) / {_PB}.0) AS BIGINT))) AS u(i)),
+    kept AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(block_text)
+                                          ORDER BY doc_id, block_idx) AS rn
+             FROM blk)
+    SELECT doc_id, n_total, COUNT(*) AS n_kept,
+           string_agg(block_text, ' ' ORDER BY block_idx) AS clean_text
+    FROM kept WHERE rn = 1
+    GROUP BY doc_id, n_total
+    ORDER BY doc_id
+    """.format(toks=SQL_TOKS),
+)
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide passage dedup (llm/dedup.passage_dedup, CCNet-style):
+    keep each 16-token passage's globally-first occurrence, reassemble
+    docs. Two bounded-key shuffles (block_hash, doc_id)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return D.passage_dedup(d).orderBy("doc_id")
+
+
+@query(
+    "q_quality_classifier",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    f AS (SELECT doc_id, len(tk) AS n_tok,
+            CAST(COALESCE(list_aggregate(list_transform(tk, t -> length(t)), 'sum'), 0) AS DOUBLE)
+              / greatest(len(tk), 1) AS avg_len,
+            CAST(len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], lower(t)))) AS DOUBLE)
+              / greatest(len(tk), 1) AS stop_ratio,
+            CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1) AS dist_ratio
+          FROM toks),
+    s AS (SELECT doc_id, n_tok,
+            round(1.0 / (1.0 + exp(-({T.QC_BIAS} + {T.QC_W_LOG_TOKENS} * ln(1.0 + n_tok)
+                                     + {T.QC_W_AVG_LEN} * avg_len
+                                     + {T.QC_W_STOPWORD} * stop_ratio
+                                     + {T.QC_W_DISTINCT} * dist_ratio))), 6) AS qc_score
+          FROM f)
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS q_n_tokens, qc_score,
+           qc_score >= {T.QC_KEEP_THRESHOLD} AS qc_keep
+    FROM s ORDER BY doc_id
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight logistic quality scorer (llm/text.quality_classifier):
+    row-local featurize + sigmoid, no UDF, no shuffle — the model-based
+    filter stage of a pretraining pipeline."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        T.quality_classifier(d)
+        .select(
+            "doc_id",
+            F.col("q_n_tokens").cast("long").alias("q_n_tokens"),
+            "qc_score",
+            "qc_keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_shard_manifest",
+    f"""
+    WITH t AS (SELECT CAST({SQL_H60.format(x="'0:' || CAST(doc_id AS VARCHAR)")} % 16 AS INT) AS shard,
+                      len({SQL_TOKS}) AS n_tok
+               FROM documents)
+    SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM t GROUP BY shard ORDER BY shard
+    """,
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic output sharding + per-shard manifest
+    (llm/pack.assign_shards / shard_manifest): hash-assign docs to 16
+    shards, count docs and tokens per shard — the bookkeeping of a
+    partitioned corpus write. Map + one 16-key aggregation shuffle."""
+    from reshape_on_flink_spark.llm import pack as P
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return P.shard_manifest(d, n_shards=16, seed=0).orderBy("shard")

@@ -594,3 +594,44 @@ def q_changelog_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("_change_type"),
     )
     return changelog_normalize(tagged, ["user_id"], "event_id").orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# ANALYZE-style one-pass table profile (operators/profile.py)
+# ---------------------------------------------------------------------------
+def _profile_oracle_block(col: str, kind: str) -> str:
+    base = f"""SELECT '{col}' AS col_name, COUNT(*) AS n_rows,
+       COUNT(*) - COUNT({col}) AS n_nulls, COUNT(DISTINCT {col}) AS n_distinct"""
+    if kind == "num":
+        mm = f"CAST(MIN({col}) AS DOUBLE) AS min_num, CAST(MAX({col}) AS DOUBLE) AS max_num,\n       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str"
+    elif kind == "ts":
+        mm = f"CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,\n       strftime(MIN({col}), '%Y-%m-%d %H:%M:%S') AS min_str, strftime(MAX({col}), '%Y-%m-%d %H:%M:%S') AS max_str"
+    else:
+        mm = f"CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,\n       MIN({col}) AS min_str, MAX({col}) AS max_str"
+    return f"{base},\n       {mm}\n    FROM orders"
+
+
+@query(
+    "q_profile_table",
+    "\n    UNION ALL\n    ".join(
+        _profile_oracle_block(c, k)
+        for c, k in [
+            ("o_orderkey", "num"),
+            ("o_custkey", "num"),
+            ("o_orderstatus", "str"),
+            ("o_totalprice", "num"),
+            ("o_orderdate", "ts"),
+            ("o_orderpriority", "str"),
+        ]
+    )
+    + "\n    ORDER BY col_name",
+)
+def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column statistics (operators/profile.py): row
+    count, nulls, exact NDV, typed min/max for every orders column in a
+    SINGLE aggregation pass (one scan regardless of column count; the
+    planner-statistics surface of the reference's ANALYZE TABLE)."""
+    from reshape_on_flink_spark.operators.profile import profile_table
+
+    o = load_tables(spark, sf_dir)["orders"]
+    return profile_table(o).orderBy("col_name")

@@ -1691,3 +1691,143 @@ def q_ds_ranked_dim_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lochierarchy"), "n_name", "rank_in_level")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q29/q25 shape (three-fact lifecycle chain): the SAME fact table
+# instantiated three times — sale, return of that sale (matched on
+# order+item), and a LATER repurchase by the same customer of the same
+# item (date inequality) — then a dim join and a three-measure aggregate.
+# Scale: sale↔return joins on the near-unique (orderkey, partkey) pair
+# (no fan-out); the repurchase is matched at (custkey, brand) grain (the
+# fixture's analog of q29's exact-item rematch — exact-part repeats are
+# vanishingly rare here), with multiplicity bounded by one customer's
+# purchases within ONE brand;
+# all three instances shuffle on join keys, the date predicate rides the
+# join condition so no post-join filter blowup. tpcds-tool/query/query29.sql.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_lifecycle_chain",
+    f"""
+    WITH s AS (SELECT l_orderkey, l_partkey, l_quantity AS sold_qty, o_custkey
+               FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+               WHERE l_returnflag <> 'R'),
+    r AS (SELECT l_orderkey, l_partkey, l_quantity AS ret_qty, o_orderdate AS ret_date
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          WHERE l_returnflag = 'R'),
+    rep AS (SELECT o_custkey, p_brand AS rep_brand, l_quantity AS rep_qty,
+                   o_orderdate AS rep_date
+            FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                          JOIN part ON p_partkey = l_partkey)
+    SELECT p_brand,
+           COUNT(*) AS n_chains,
+           {sql_dsum('sold_qty')} AS sold_qty_sum,
+           {sql_dsum('ret_qty')} AS ret_qty_sum,
+           {sql_dsum('rep_qty')} AS rep_qty_sum
+    FROM s
+    JOIN r ON r.l_orderkey = s.l_orderkey AND r.l_partkey = s.l_partkey
+    JOIN part ON p_partkey = s.l_partkey
+    JOIN rep ON rep.o_custkey = s.o_custkey AND rep.rep_brand = p_brand
+            AND rep.rep_date > r.ret_date
+    GROUP BY p_brand ORDER BY p_brand
+    """,
+)
+def q_ds_lifecycle_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li, o, p = t["lineitem"], t["orders"], t["part"]
+    lo = li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+    s = lo.where(F.col("l_returnflag") != "R").select(
+        "l_orderkey", "l_partkey", F.col("l_quantity").alias("sold_qty"), "o_custkey"
+    )
+    r = lo.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("r_orderkey"),
+        F.col("l_partkey").alias("r_partkey"),
+        F.col("l_quantity").alias("ret_qty"),
+        F.col("o_orderdate").alias("ret_date"),
+    )
+    rep = lo.join(p, F.col("p_partkey") == F.col("l_partkey")).select(
+        F.col("o_custkey").alias("rep_custkey"),
+        F.col("p_brand").alias("rep_brand"),
+        F.col("l_quantity").alias("rep_qty"),
+        F.col("o_orderdate").alias("rep_date"),
+    )
+    chain = (
+        s.join(
+            r,
+            (F.col("r_orderkey") == F.col("l_orderkey"))
+            & (F.col("r_partkey") == F.col("l_partkey")),
+        )
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            rep,
+            (F.col("rep_custkey") == F.col("o_custkey"))
+            & (F.col("rep_brand") == F.col("p_brand"))
+            & (F.col("rep_date") > F.col("ret_date")),
+        )
+    )
+    return (
+        chain.groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_chains"),
+            dsum("sold_qty").alias("sold_qty_sum"),
+            dsum("ret_qty").alias("ret_qty_sum"),
+            dsum("rep_qty").alias("rep_qty_sum"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q30/q81 shape (entity vs group-average gate): per-customer
+# return totals, compared against 1.2 × the AVERAGE of those totals
+# within the customer's nation — an aggregate OF an aggregate joined
+# back to its own first level, then the winner rows join the customer
+# dim. Scale: level-1 agg shuffles on custkey; level-2 reduces to ≤25
+# nation rows that BROADCAST back onto level 1 (plan never reshuffles
+# the big side); dim join is on the already-reduced winner set.
+# tpcds-tool/query/query30.sql.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_above_nation_avg_returns",
+    f"""
+    WITH ctr AS (
+      SELECT o_custkey, c_nationkey, {sql_dsum('l_extendedprice', 2)} AS ret_amt
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      WHERE l_returnflag = 'R'
+      GROUP BY o_custkey, c_nationkey),
+    nat AS (SELECT c_nationkey,
+                   CAST(SUM(CAST(ret_amt AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_amt
+            FROM ctr GROUP BY c_nationkey)
+    SELECT c_name, ctr.c_nationkey, ret_amt
+    FROM ctr
+    JOIN nat ON nat.c_nationkey = ctr.c_nationkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE ret_amt > 1.2 * avg_amt
+    ORDER BY c_name
+    """,
+)
+def q_ds_above_nation_avg_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li, o, c = t["lineitem"], t["orders"], t["customer"]
+    ctr = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(dsum("l_extendedprice").alias("ret_amt"))
+    )
+    # ret_amt is 2-decimal-exact; the level-2 sum stays decimal so the
+    # 1.2×avg boundary comparison is order-independent too
+    nat = ctr.groupBy("c_nationkey").agg(
+        (F.sum(dec("ret_amt")).cast("double") / F.count("*")).alias("avg_amt")
+    )
+    return (
+        ctr.join(F.broadcast(nat.withColumnRenamed("c_nationkey", "n_key")),
+                 F.col("n_key") == F.col("c_nationkey"))
+        .where(F.col("ret_amt") > 1.2 * F.col("avg_amt"))
+        .join(c.select("c_custkey", "c_name"), F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_name", "c_nationkey", "ret_amt")
+        .orderBy("c_name")
+    )

@@ -739,3 +739,68 @@ def test_ivfpq_recall_vs_brute_force(spark, tables):
     bf = {(r["query_id"], r["neighbor_id"]) for r in S.brute_force_topk(emb, q, k=5).collect()}
     ivfpq = {(r["query_id"], r["neighbor_id"]) for r in S.ivfpq_topk(emb, q, k=5).collect()}
     assert len(bf & ivfpq) / len(bf) >= 0.5
+
+
+def test_passage_dedup_removes_cross_doc_duplicates(spark):
+    """A passage duplicated across docs survives only at its first
+    (doc_id, block_idx); fully-duplicate docs vanish; clean_text
+    reassembles surviving blocks in order."""
+    from reshape_on_flink_spark.llm import dedup as D
+
+    blk = ["w%d" % i for i in range(16)]
+    uniq = ["u%d" % i for i in range(16)]
+    uniq2 = ["v%d" % i for i in range(16)]
+    rows = [
+        (0, " ".join(blk + uniq)),          # original: both blocks kept
+        (1, " ".join(blk)),                 # exact block dup -> doc vanishes
+        (2, " ".join(uniq2 + blk)),         # first block kept, second dropped
+        (3, " ".join(uniq[:5])),            # short tail block, unique
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in D.passage_dedup(df).collect()}
+
+    assert 1 not in out
+    assert out[0]["n_total"] == 2 and out[0]["n_kept"] == 2
+    assert out[0]["clean_text"] == " ".join(blk + uniq)
+    assert out[2]["n_total"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["clean_text"] == " ".join(uniq2)
+    assert out[3]["n_kept"] == 1 and out[3]["clean_text"] == " ".join(uniq[:5])
+
+
+def test_passage_dedup_within_doc_repeat_kept_once(spark):
+    from reshape_on_flink_spark.llm import dedup as D
+
+    blk = ["x%d" % i for i in range(16)]
+    df = spark.createDataFrame([(7, " ".join(blk * 3))], "doc_id long, text string")
+    (row,) = D.passage_dedup(df).collect()
+    assert row["n_total"] == 3 and row["n_kept"] == 1
+    assert row["clean_text"] == " ".join(blk)
+
+
+def test_quality_classifier_monotone_in_stopword_ratio(spark):
+    """More stopwords (higher w_stopword feature) -> higher score;
+    scores live in (0, 1); keep flag matches the threshold."""
+    from reshape_on_flink_spark.llm import text as T
+
+    low = " ".join("zq%d" % i for i in range(40))
+    high = " ".join(["the a of and to in is it that for"] * 4)
+    df = spark.createDataFrame([(0, low), (1, high)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in T.quality_classifier(df).collect()}
+    assert 0.0 < out[0]["qc_score"] < out[1]["qc_score"] < 1.0
+    for r in out.values():
+        assert r["qc_keep"] == (r["qc_score"] >= T.QC_KEEP_THRESHOLD)
+
+
+def test_shard_assignment_deterministic_and_complete(spark, tables):
+    from reshape_on_flink_spark.llm import pack as P
+
+    d = tables["documents"].limit(200)
+    a1 = P.assign_shards(d, n_shards=8, seed=3).select("doc_id", "shard")
+    a2 = P.assign_shards(d, n_shards=8, seed=3).select("doc_id", "shard")
+    assert sorted(map(tuple, a1.collect())) == sorted(map(tuple, a2.collect()))
+    man = P.shard_manifest(d, n_shards=8, seed=3).collect()
+    assert sum(r["n_docs"] for r in man) == d.count()
+    assert all(0 <= r["shard"] < 8 for r in man)
+    # a different seed reshuffles at least one document
+    a3 = P.assign_shards(d, n_shards=8, seed=4).select("doc_id", "shard")
+    assert sorted(map(tuple, a1.collect())) != sorted(map(tuple, a3.collect()))

@@ -319,3 +319,44 @@ def test_histogram_quantiles_within_bucket_width(spark, tables):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, sk.collect())
     )
+
+
+def test_profile_table_one_pass_stats(spark):
+    """profile_table: exact per-column stats in ONE aggregation; typed
+    min/max routing (numeric vs string vs timestamp)."""
+    import datetime
+
+    from reshape_on_flink_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.5, datetime.datetime(2024, 1, 1, 12, 0, 0)),
+            (2, "b", None, datetime.datetime(2024, 6, 1, 0, 0, 0)),
+            (2, None, -3.0, None),
+        ],
+        "k long, s string, x double, ts timestamp",
+    )
+    prof = {r["col_name"]: r for r in profile_table(df).collect()}
+    assert set(prof) == {"k", "s", "x", "ts"}
+    k = prof["k"]
+    assert (k["n_rows"], k["n_nulls"], k["n_distinct"]) == (3, 0, 2)
+    assert (k["min_num"], k["max_num"]) == (1.0, 2.0) and k["min_str"] is None
+    s = prof["s"]
+    assert (s["n_nulls"], s["n_distinct"], s["min_str"], s["max_str"]) == (1, 2, "a", "b")
+    assert s["min_num"] is None
+    x = prof["x"]
+    assert (x["n_nulls"], x["min_num"], x["max_num"]) == (1, -3.0, 1.5)
+    ts = prof["ts"]
+    assert ts["min_str"] == "2024-01-01 12:00:00" and ts["max_str"] == "2024-06-01 00:00:00"
+    assert ts["n_nulls"] == 1
+
+
+def test_profile_table_single_aggregation_plan(spark):
+    """The profile never scans per column: exactly one Aggregate subtree
+    chain (allowing the multi-distinct Expand), no unions of scans."""
+    from reshape_on_flink_spark.operators.profile import profile_table
+
+    df = spark.range(100).selectExpr("id", "id % 7 AS a", "CAST(id AS STRING) AS s")
+    plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Union" not in plan
+    assert plan.count("Expand") <= 1
