@@ -57,6 +57,10 @@ HEADLINE = [
     # single-shuffle plan-pinned)
     "q_doc_chunks",
     "q_corpus_assembly",
+    # round-5 continuation: passage-level dedup (two bounded-key
+    # shuffles) and the fixed-weight quality classifier (map-only)
+    "q_passage_dedup",
+    "q_quality_classifier",
 ]
 
 

@@ -42,6 +42,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     # r2 U r3 U r4 covered all 137 prior queries; this refresh keeps
     # every family's evidence at most two rounds old.
     # Late round-5 additions (never sampled) lead:
+    "q_passage_dedup",
+    "q_quality_classifier",
+    "q_shard_manifest",
+    "q_profile_table",
+    "q_ds_lifecycle_chain",
+    "q_ds_above_nation_avg_returns",
     "q_corpus_assembly",
     "q_hll_distinct",
     "q_hll_rollup",

@@ -360,3 +360,14 @@ def test_profile_table_single_aggregation_plan(spark):
     plan = profile_table(df)._jdf.queryExecution().optimizedPlan().toString()
     assert "Union" not in plan
     assert plan.count("Expand") <= 1
+
+
+def test_profile_table_approx_ndv_close(spark):
+    """approx=True (the 100 TB path) swaps exact NDV for HLL++ — same
+    schema, estimates within the documented ~5% envelope."""
+    from reshape_on_flink_spark.operators.profile import profile_table
+
+    df = spark.range(10_000).selectExpr("id", "id % 100 AS b")
+    prof = {r["col_name"]: r for r in profile_table(df, approx=True).collect()}
+    assert abs(prof["id"]["n_distinct"] - 10_000) / 10_000 < 0.05
+    assert abs(prof["b"]["n_distinct"] - 100) / 100 < 0.05
