@@ -234,3 +234,77 @@ def histogram_quantiles(
             ((F.col("_b") + 1) * F.lit(width)).alias("est"),
         )
     )
+
+
+# ---- Bloom filter ---------------------------------------------------------
+# Set-membership sketch: m bits as m/32 words (32 bits per BIGINT word —
+# the sign bit stays clear, so `1 << bit` is in-range for BOTH engines;
+# DuckDB raises on 1::BIGINT << 63), k md5-derived hash functions.
+# Build is a tiny aggregation (≤ m/32 rows shuffle regardless of input
+# size); the finished filter is a ~m/8-byte array BROADCAST to every
+# probe task, so membership tests are map-only — the bounded-state
+# replacement for a broadcast semi-join when the reference set outgrows
+# the broadcast threshold (decontamination against a large benchmark
+# suite being the canonical corpus use). False positives only, rate
+# ≈ (1 - e^{-kn/m})^k; never false negatives — both properties tested.
+# Same determinism contract as the other sketches: hash60-based
+# positions, integer-exact word arithmetic, oracle-replicable
+# bit-for-bit.
+
+BLOOM_M = 4096  # bits
+BLOOM_WORD_BITS = 32
+BLOOM_WORDS = BLOOM_M // BLOOM_WORD_BITS
+BLOOM_K = 3
+
+
+def _bloom_pos(col: Column, i: int) -> Column:
+    """Bit position of hash function ``i``: hash60('i:'||x) % m."""
+    return F.pmod(hash60(F.concat_ws(":", F.lit(str(i)), col)), F.lit(BLOOM_M))
+
+
+def _bit_mask(p: Column) -> Column:
+    """``1 << (p % 32)`` as exact integer arithmetic. ``F.shiftleft``
+    only takes a literal shift amount, so the mask is ``pow(2, bit)`` —
+    exact in double for bits 0..31, then cast back to long."""
+    return F.pow(F.lit(2.0), (p % BLOOM_WORD_BITS).cast("int")).cast("long")
+
+
+def bloom_build(df: DataFrame, col: str) -> DataFrame:
+    """Build the filter over ``df[col]``: one row, ``bloom``
+    array<long> of BLOOM_WORDS words. Two-stage agg: per-word bit_or
+    (≤ BLOOM_WORDS shuffle rows), then densify into the array."""
+    pos = df.select(
+        F.explode(
+            F.array(*[_bloom_pos(F.col(col), i) for i in range(BLOOM_K)])
+        ).alias("p")
+    )
+    words = (
+        pos.select(
+            (F.col("p") / BLOOM_WORD_BITS).cast("int").alias("w"),
+            _bit_mask(F.col("p")).alias("m"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(BLOOM_WORDS - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("wm"), i), F.lit(0).cast("long")),
+    )
+    return words.agg(
+        F.map_from_entries(F.collect_list(F.struct("w", "bits"))).alias("wm")
+    ).select(dense.alias("bloom"))
+
+
+def bloom_might_contain(col: Column) -> Column:
+    """Membership predicate against a broadcast ``bloom`` array column
+    (crossJoin(broadcast(bloom_build(...))) upstream): true iff ALL k
+    bits are set. Pure expressions — map-only at any scale."""
+    checks = []
+    for i in range(BLOOM_K):
+        p = _bloom_pos(col, i)
+        word = F.element_at(F.col("bloom"), ((p / BLOOM_WORD_BITS).cast("int") + 1))
+        checks.append(word.bitwiseAND(_bit_mask(p)) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out

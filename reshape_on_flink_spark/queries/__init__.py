@@ -43,6 +43,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # every family's evidence at most two rounds old.
     # Late round-5 additions (never sampled) lead:
     "q_passage_dedup",
+    "q_bloom_decontam",
     "q_quality_classifier",
     "q_shard_manifest",
     "q_profile_table",

@@ -1805,3 +1805,64 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir)["documents"]
     return P.shard_manifest(d, n_shards=16, seed=0).orderBy("shard")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter decontamination: the bounded-state scale path for the
+# broadcast-semi-join scrub (operators/sketches bloom_*). The oracle
+# replicates the filter bit-for-bit (hash60 positions, 32-bit words),
+# so per-source flag counts — INCLUDING any false positives — hash-match.
+# ---------------------------------------------------------------------------
+def _bloom_oracle() -> str:
+    m, wb, k = SK.BLOOM_M, SK.BLOOM_WORD_BITS, SK.BLOOM_K
+    pos_union = "\n          UNION ALL ".join(
+        f"SELECT {SQL_H60.format(x=f_salt)} % {m} AS p FROM bench"
+        for f_salt in [f"'{i}:' || ng" for i in range(k)]
+    )
+    chk_sel = "\n          UNION ALL ".join(
+        f"SELECT doc_id, source, ng, {SQL_H60.format(x=f_salt)} % {m} AS p FROM corpus_ng"
+        for f_salt in [f"'{i}:' || ng" for i in range(k)]
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, source, {SQL_TOKS} AS tk FROM documents),
+    ngd AS (SELECT doc_id, source, UNNEST({_SQL_5G}) AS ng FROM t),
+    bench AS (SELECT DISTINCT ng FROM ngd WHERE doc_id % 29 = 0),
+    pos AS ({pos_union}),
+    words AS (SELECT p // {wb} AS w, bit_or(1::BIGINT << CAST(p % {wb} AS INT)) AS bits
+              FROM pos GROUP BY 1),
+    corpus_ng AS (SELECT doc_id, source, ng FROM ngd WHERE doc_id % 29 <> 0),
+    probe AS ({chk_sel}),
+    chk AS (SELECT doc_id, source, ng,
+                   MIN(CASE WHEN w.bits IS NOT NULL
+                             AND (w.bits & (1::BIGINT << CAST(p.p % {wb} AS INT))) <> 0
+                            THEN 1 ELSE 0 END) AS ok
+            FROM probe p LEFT JOIN words w ON w.w = p.p // {wb}
+            GROUP BY doc_id, source, ng),
+    per_doc AS (SELECT doc_id, source, MAX(ok) AS hit FROM chk GROUP BY doc_id, source)
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(hit) AS BIGINT) AS n_flagged
+    FROM per_doc GROUP BY source ORDER BY source
+    """
+
+
+@query("q_bloom_decontam", _bloom_oracle())
+def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination through a 4096-bit Bloom filter instead of the
+    broadcast n-gram set: build is a <=128-row aggregation, the probe is
+    map-only against the ~0.5 KB broadcast word array — bounded state no
+    matter how large the benchmark suite grows. False-positive flags are
+    part of the contract (and of the oracle's replica)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    bench_ng = _bench_ngram_set(spark, sf_dir)
+    bloom = SK.bloom_build(bench_ng, "ng")
+    corpus = T.spread(d.filter(F.col("doc_id") % 29 != 0))
+    ex = corpus.select(
+        "doc_id", "source", F.explode(T.shingle_array("text", 5)).alias("ng")
+    ).crossJoin(F.broadcast(bloom))
+    per_doc = ex.groupBy("doc_id", "source").agg(
+        F.max(SK.bloom_might_contain(F.col("ng")).cast("int")).alias("hit")
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("hit").cast("bigint").alias("n_flagged"))
+        .orderBy("source")
+    )
