@@ -389,3 +389,28 @@ def state_metadata(spark, checkpoint: str):
     step before query_state): operator ids/names, store names, and the
     committed batch range per store."""
     return spark.read.format("state-metadata").load(checkpoint)
+
+
+def streaming_passage_filter(
+    docs: DataFrame, block: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming passage-level dedup: the batch operator's blocking stage
+    (llm/dedup.passage_blocks — stateless narrow explode/slice, runs
+    unchanged on a stream) feeding keep-first dedup state on the 16-byte
+    ``block_hash``. Emits each surviving passage once, append mode.
+
+    Semantic delta vs the batch ``passage_dedup`` (documented, tested):
+    which OCCURRENCE survives follows arrival order, not the global
+    (doc_id, block_idx) minimum — the surviving hash SET is identical,
+    so corpus-level dedup effect matches; reassembly is left to the
+    batch consumer of the emitted blocks. State = one row per distinct
+    passage (the dedup-table growth any streaming exact-dedup carries);
+    bound it operationally by keying state TTL on ingestion time when
+    the corpus has one (dropDuplicatesWithinWatermark), exactly like
+    ``dedup_keep_first_within_watermark``.
+    """
+    from reshape_on_flink_spark.llm.dedup import passage_blocks
+
+    return passage_blocks(docs, block=block, text_col=text_col, id_col=id_col).dropDuplicates(
+        ["block_hash"]
+    )

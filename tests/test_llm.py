@@ -804,3 +804,28 @@ def test_shard_assignment_deterministic_and_complete(spark, tables):
     # a different seed reshuffles at least one document
     a3 = P.assign_shards(d, n_shards=8, seed=4).select("doc_id", "shard")
     assert sorted(map(tuple, a1.collect())) != sorted(map(tuple, a3.collect()))
+
+
+def test_streaming_passage_filter_matches_batch_hash_set(spark, tables, tmp_dir):
+    """Streaming passage dedup keeps exactly the batch operator's
+    surviving hash set (arrival order decides WHICH occurrence — the
+    set and count are order-independent)."""
+    import os
+
+    from reshape_on_flink_spark.llm import dedup as D
+    from reshape_on_flink_spark.streaming.ops import streaming_passage_filter
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+    from tests.test_streaming import run_to_memory
+
+    docs = tables["documents"].select("doc_id", "text").limit(120)
+    stream = chunked_replay(
+        spark, docs, os.path.join(tmp_dir, "pf"), n_chunks=3, order_col="doc_id"
+    )
+    got = run_to_memory(
+        spark, streaming_passage_filter(stream), "pf_out", tmp_dir, mode="append"
+    ).collect()
+    got_hashes = [r["block_hash"] for r in got]
+    assert len(got_hashes) == len(set(got_hashes))  # each passage once
+
+    batch = D.passage_blocks(docs).select("block_hash").distinct()
+    assert set(got_hashes) == {r["block_hash"] for r in batch.collect()}

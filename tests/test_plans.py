@@ -372,3 +372,58 @@ def test_cms_estimate_broadcasts_sketch(spark, tables):
     plan = plan_of(cms_heavy_hitters(tables["events"], "user_id", 80))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_passage_dedup_two_bounded_exchanges(spark):
+    """Operator-only plan (no presentation sort): exactly the two
+    bounded-key shuffles the docstring promises — the first-occurrence
+    window on block_hash and the reassembly agg on doc_id."""
+    from reshape_on_flink_spark.llm.dedup import passage_dedup
+    from reshape_on_flink_spark.session import load_tables
+
+    d = load_tables(spark, SF_DIR)["documents"]
+    plan = plan_of(passage_dedup(d))
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n == 2, plan
+
+
+def test_quality_classifier_is_narrow(spark):
+    """The classifier adds NO exchange: featurize + sigmoid fuse into
+    the scan."""
+    from reshape_on_flink_spark.llm.text import quality_classifier
+    from reshape_on_flink_spark.session import load_tables
+
+    d = load_tables(spark, SF_DIR)["documents"]
+    plan = plan_of(quality_classifier(d))
+    assert "Exchange" not in plan, plan
+
+
+def test_shard_manifest_single_small_agg(spark):
+    """Manifest = one aggregation exchange on the n_shards-ary key."""
+    from reshape_on_flink_spark.llm.pack import shard_manifest
+    from reshape_on_flink_spark.session import load_tables
+
+    d = load_tables(spark, SF_DIR)["documents"]
+    plan = plan_of(shard_manifest(d, n_shards=16))
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n == 1, plan
+
+
+def test_bloom_probe_is_broadcast_map_only(spark):
+    """The probe side never shuffles: the filter arrives by broadcast
+    (BroadcastNestedLoopJoin on the 1-row bloom) and membership checks
+    are row-local expressions."""
+    from pyspark.sql import functions as F
+
+    from reshape_on_flink_spark.operators import sketches as SK
+    from reshape_on_flink_spark.session import load_tables
+
+    d = load_tables(spark, SF_DIR)["documents"]
+    bloom = SK.bloom_build(d.limit(50), "text")
+    probe = d.crossJoin(F.broadcast(bloom)).select(
+        SK.bloom_might_contain(F.col("text")).alias("hit")
+    )
+    plan = plan_of(probe)
+    assert "BroadcastNestedLoopJoin" in plan
+    # the probe stream itself must not hash- or range-partition
+    assert "Exchange hashpartitioning" not in plan.split("BroadcastNestedLoopJoin")[0]
