@@ -44,6 +44,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # Late round-5 additions (never sampled) lead:
     "q_passage_dedup",
     "q_bloom_decontam",
+    "q_dedup_keep_best",
     "q_quality_classifier",
     "q_shard_manifest",
     "q_profile_table",

@@ -1866,3 +1866,80 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("hit").cast("bigint").alias("n_flagged"))
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware keeper selection: near-dup clusters keep their BEST
+# member by classifier score (real pipelines keep the highest-quality
+# duplicate, not the smallest id). Composes dedup_clusters with
+# quality_classifier — scores are 6-dp-rounded in both engines, so the
+# argmax (ties broken by doc_id) is hash-deterministic.
+# ---------------------------------------------------------------------------
+@query(
+    "q_dedup_keep_best",
+    f"""
+    WITH {SQL_SHINGLE_CTE}, {SQL_BANDS_CTE},
+    edges AS (SELECT d1 AS src, d2 AS dst FROM cand
+              UNION SELECT d2, d1 FROM cand),
+    closure AS (
+      WITH RECURSIVE reach(node, other) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.node, e.dst FROM reach r JOIN edges e ON r.other = e.src
+      )
+      SELECT node, LEAST(node, MIN(other)) AS keeper FROM reach GROUP BY node
+    ),
+    f AS (SELECT doc_id, len(tk) AS n_tok,
+            CAST(COALESCE(list_aggregate(list_transform(tk, t -> length(t)), 'sum'), 0) AS DOUBLE)
+              / greatest(len(tk), 1) AS avg_len,
+            CAST(len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], lower(t)))) AS DOUBLE)
+              / greatest(len(tk), 1) AS stop_ratio,
+            CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1) AS dist_ratio
+          FROM toks),
+    s AS (SELECT doc_id,
+            round(1.0 / (1.0 + exp(-({T.QC_BIAS} + {T.QC_W_LOG_TOKENS} * ln(1.0 + n_tok)
+                                     + {T.QC_W_AVG_LEN} * avg_len
+                                     + {T.QC_W_STOPWORD} * stop_ratio
+                                     + {T.QC_W_DISTINCT} * dist_ratio))), 6) AS qc_score
+          FROM f),
+    j AS (SELECT c.keeper AS cluster_id, c.node AS doc_id, s.qc_score
+          FROM closure c JOIN s ON s.doc_id = c.node),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                       ORDER BY qc_score DESC, doc_id ASC) AS rn,
+                 COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+          FROM j)
+    SELECT cluster_id, doc_id AS best_doc, qc_score AS best_score, n_members
+    FROM r WHERE rn = 1 ORDER BY cluster_id
+    """,
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup keeper choice: LSH near-dup clusters
+    (llm/dedup.dedup_clusters) keep their argmax-quality member
+    (llm/text.quality_classifier), ties by doc_id. One extra shuffle
+    over plain clustering (the per-cluster window on the cluster key —
+    partition size = cluster size, bounded by the hot-bucket cap's
+    star formulation upstream)."""
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir)["documents"]
+    clusters = D.dedup_clusters(
+        D.lsh_candidates(D.lsh_bands(D.minhash_sig_array(d)))
+    )
+    scored = T.quality_classifier(d).select("doc_id", "qc_score")
+    j = clusters.join(scored, "doc_id").select(
+        F.col("keeper_id").alias("cluster_id"), "doc_id", "qc_score"
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.desc("qc_score"), F.asc("doc_id"))
+    wc = W.partitionBy("cluster_id")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count("*").over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("best_doc"),
+            F.col("qc_score").alias("best_score"),
+            "n_members",
+        )
+        .orderBy("cluster_id")
+    )
