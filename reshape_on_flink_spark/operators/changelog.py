@@ -76,3 +76,32 @@ def snapshot_diff(
         F.lit(UPDATE_AFTER).alias(CHANGE_COL), *[F.col(f"a.{c}").alias(c) for c in keys + compare]
     )
     return inserts.unionByName(updates_before).unionByName(updates_after).unionByName(deletes)
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: list[str],
+    seq_col: str,
+    attrs: list[str] | None = None,
+) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from a change stream:
+    each key's versions get ``valid_from`` (its change time),
+    ``valid_to`` (the NEXT version's change time, null while current)
+    and ``is_current`` — the standard warehouse dimension-history shape
+    (reference analog: the versioned-table side of `FOR SYSTEM_TIME AS
+    OF` temporal joins, `StreamExecTemporalJoin`; this operator
+    MATERIALIZES that version history as a table).
+
+    One shuffle on the key; the interval close is a single LEAD window
+    over it (partition size = versions per key). Joinable back via
+    ``operators/joins.asof_join`` or a plain range predicate.
+    """
+    cols = attrs if attrs is not None else [
+        c for c in df.columns if c not in keys and c != seq_col
+    ]
+    return df.select(*keys, *cols, F.col(seq_col).alias("valid_from")).select(
+        "*",
+        F.lead("valid_from").over(
+            W.partitionBy(*keys).orderBy("valid_from")
+        ).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())

@@ -635,3 +635,35 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_tables(spark, sf_dir)["orders"]
     return profile_table(o).orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension history from a change stream (operators/changelog.py)
+# ---------------------------------------------------------------------------
+@query(
+    "q_scd2_intervals",
+    """
+    WITH v AS (SELECT user_id, event_type, value,
+                      epoch_us(ts) AS valid_from
+               FROM events)
+    SELECT user_id, event_type, value, valid_from,
+           LEAD(valid_from) OVER w AS valid_to,
+           (LEAD(valid_from) OVER w IS NULL) AS is_current
+    FROM v WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
+    ORDER BY user_id, valid_from
+    """,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing dimension build
+    (operators/changelog.scd2_intervals): every per-user change becomes
+    a version row with [valid_from, valid_to) micros and is_current —
+    the materialized form of the temporal-join version history. One
+    key shuffle + one LEAD window."""
+    from reshape_on_flink_spark.operators.changelog import scd2_intervals
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id", "event_type", "value", F.unix_micros("ts").alias("seq_us")
+    )
+    return scd2_intervals(
+        ev, ["user_id"], "seq_us", attrs=["event_type", "value"]
+    ).orderBy("user_id", "valid_from")

@@ -409,3 +409,23 @@ def test_bloom_build_is_bounded_state(spark):
     (row,) = SK.bloom_build(big, "key").collect()
     assert len(row["bloom"]) == SK.BLOOM_WORDS
     assert all(0 <= w < (1 << SK.BLOOM_WORD_BITS) for w in row["bloom"])
+
+
+def test_scd2_intervals_chain_per_key(spark):
+    """Versions chain: valid_to == next valid_from, exactly one current
+    row per key, attributes ride through."""
+    from reshape_on_flink_spark.operators.changelog import scd2_intervals
+
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 5, "x")],
+        "k long, seq long, attr string",
+    )
+    rows = sorted(
+        map(tuple, scd2_intervals(df, ["k"], "seq").collect())
+    )
+    assert rows == [
+        (1, "a", 10, 20, False),
+        (1, "b", 20, 30, False),
+        (1, "c", 30, None, True),
+        (2, "x", 5, None, True),
+    ]
