@@ -51,6 +51,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_profile_table",
     "q_ds_lifecycle_chain",
     "q_ds_above_nation_avg_returns",
+    "q_ds_bracketed_or_join",
+    "q_ds_before_after_ratio",
     "q_corpus_assembly",
     "q_hll_distinct",
     "q_hll_rollup",

@@ -682,7 +682,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
                 PARTITION BY l_suppkey
-                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
     FROM lineitem
     ORDER BY l_suppkey, l_orderkey, l_linenumber
@@ -690,12 +690,16 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROWS UNBOUNDED PRECEDING running sum (reference
-    RowUnboundedPrecedingOverFrame). Deterministic: total order within the
-    partition is unique, decimal sum exact at every prefix."""
+    RowUnboundedPrecedingOverFrame). Deterministic: the window order
+    carries l_partkey as a final tie-breaker because the synthetic
+    fixture duplicates (l_orderkey, l_linenumber) pairs — at sf0.1 one
+    (suppkey, shipdate, orderkey, linenumber) group is genuinely tied
+    with different measures, which flips ROWS-frame contents between
+    engines without it; decimal sum exact at every prefix."""
     li = load_tables(spark, sf_dir)["lineitem"]
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
@@ -715,11 +719,11 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_suppkey, l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
                 PARTITION BY l_suppkey
-                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
                 ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS window_price,
            COUNT(*) OVER (
                 PARTITION BY l_suppkey
-                ORDER BY l_shipdate, l_orderkey, l_linenumber
+                ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey
                 ROWS BETWEEN 3 PRECEDING AND 1 FOLLOWING) AS window_n
     FROM lineitem
     ORDER BY l_suppkey, l_orderkey, l_linenumber
@@ -730,7 +734,7 @@ def q_window_sliding_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_tables(spark, sf_dir)["lineitem"]
     w = (
         W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_partkey")
         .rowsBetween(-3, 1)
     )
     return (

@@ -1831,3 +1831,106 @@ def q_ds_above_nation_avg_returns(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("c_name", "c_nationkey", "ret_amt")
         .orderBy("c_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q13/q48 shape (multi-bracket disjunctive join predicate): the
+# fact joins dims under an OR of AND-brackets that each mix columns
+# from BOTH sides (demographics×sales brackets in q13) — the planner
+# must keep the per-bracket conjuncts it CAN push (single-side) at the
+# scans and evaluate only the genuinely cross-side residue post-join.
+# Scale: order-side brackets prune before the join; the fact side
+# streams through one broadcast-hash join with a residual OR filter —
+# no bracket forces a cartesian or a second pass.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_bracketed_or_join",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_lines,
+           {sql_dsum('l_quantity')} AS qty_sum,
+           {sql_dsum('l_extendedprice')} AS price_sum
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE (o_orderstatus = 'F' AND o_totalprice BETWEEN 50000 AND 150000
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (o_orderstatus = 'O' AND o_totalprice BETWEEN 150000 AND 300000
+           AND l_quantity BETWEEN 30 AND 50)
+       OR (o_orderstatus = 'P' AND l_discount BETWEEN 0.05 AND 0.08)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_ds_bracketed_or_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li, o = t["lineitem"], t["orders"]
+    j = li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+    b1 = (
+        (F.col("o_orderstatus") == "F")
+        & F.col("o_totalprice").between(50000, 150000)
+        & F.col("l_quantity").between(10, 30)
+    )
+    b2 = (
+        (F.col("o_orderstatus") == "O")
+        & F.col("o_totalprice").between(150000, 300000)
+        & F.col("l_quantity").between(30, 50)
+    )
+    b3 = (F.col("o_orderstatus") == "P") & F.col("l_discount").between(0.05, 0.08)
+    return (
+        j.where(b1 | b2 | b3)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum("l_quantity").alias("qty_sum"),
+            dsum("l_extendedprice").alias("price_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q21 shape (before/after-event conditional ratio gate): per
+# supplier, quantities shipped before vs after a pivot date as
+# CONDITIONAL sums in one pass, keep suppliers whose after/before ratio
+# sits in a band — aggregate once, HAVING on a ratio of two conditional
+# aggregates (no self-join, no second scan). Scale: one agg shuffle on
+# s_suppkey; the dim join attaches names to the already-reduced rows.
+# tpcds-tool/query/query21.sql.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_before_after_ratio",
+    """
+    WITH agg AS (
+      SELECT l_suppkey,
+             CAST(SUM(CASE WHEN l_shipdate <  TIMESTAMP '1998-06-01 00:00:00'
+                           THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS before_qty,
+             CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1998-06-01 00:00:00'
+                           THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS after_qty
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT s_name, before_qty, after_qty
+    FROM agg JOIN supplier ON s_suppkey = l_suppkey
+    WHERE before_qty > 0 AND after_qty > 0
+      AND after_qty / before_qty BETWEEN 0.8 AND 0.95
+    ORDER BY s_name
+    """,
+)
+def q_ds_before_after_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li, s = t["lineitem"], t["supplier"]
+    pivot = "1998-06-01 00:00:00"
+    agg = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.when(F.col("l_shipdate") < F.lit(pivot).cast("timestamp"), dec("l_quantity"))
+        ).cast("double").alias("before_qty"),
+        F.sum(
+            F.when(F.col("l_shipdate") >= F.lit(pivot).cast("timestamp"), dec("l_quantity"))
+        ).cast("double").alias("after_qty"),
+    )
+    return (
+        agg.where(
+            (F.col("before_qty") > 0)
+            & (F.col("after_qty") > 0)
+            & ((F.col("after_qty") / F.col("before_qty")).between(0.8, 0.95))
+        )
+        .join(F.broadcast(s.select("s_suppkey", "s_name")), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", "before_qty", "after_qty")
+        .orderBy("s_name")
+    )

@@ -445,3 +445,59 @@ def test_chunk_layout_properties(spark):
             got = row.chunk_text.split() if row.chunk_text else []
             assert got == want, (n, row.chunk_id)
             assert int(row.n_tokens) == len(want)
+
+
+texts_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "dd", "eee"]), min_size=0, max_size=40
+    ).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@SLOW
+@given(texts_strategy)
+def test_passage_dedup_properties(spark, texts):
+    """For ANY corpus: (1) kept-block multiset == distinct block set of
+    the input (each distinct passage survives exactly once corpus-wide);
+    (2) per-doc n_kept <= n_total; (3) every clean_text is a
+    concatenation of that doc's own blocks in order."""
+    from reshape_on_flink_spark.llm.dedup import passage_blocks, passage_dedup
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    blocks = passage_blocks(df, block=4).collect()
+    out = passage_dedup(df, block=4).collect()
+
+    # exact reference implementation: global first occurrence by
+    # (doc_id, block_idx), reassembled per doc in block order
+    seen: set = set()
+    expected: dict = {}
+    for b in sorted(blocks, key=lambda b: (b["doc_id"], b["block_idx"])):
+        if b["block_text"] not in seen:
+            seen.add(b["block_text"])
+            expected.setdefault(b["doc_id"], []).append(b["block_text"])
+    got = {r["doc_id"]: r for r in out}
+    assert set(got) == set(expected)
+    for doc_id, blks in expected.items():
+        r = got[doc_id]
+        assert r["clean_text"] == " ".join(blks)
+        assert r["n_kept"] == len(blks)
+        assert 1 <= r["n_kept"] <= r["n_total"]
+
+
+@SLOW
+@given(st.lists(st.text(alphabet="abcxyz", min_size=1, max_size=8), min_size=1, max_size=50, unique=True))
+def test_bloom_no_false_negatives_property(spark, keys):
+    """For ANY key set: every inserted key probes positive."""
+    from reshape_on_flink_spark.operators import sketches as SK
+
+    df = spark.createDataFrame([(k,) for k in keys], "key string")
+    bloom = SK.bloom_build(df, "key")
+    misses = (
+        df.crossJoin(F.broadcast(bloom))
+        .where(~SK.bloom_might_contain(F.col("key")))
+        .count()
+    )
+    assert misses == 0
