@@ -457,6 +457,8 @@ def passage_blocks(
     """
     from reshape_on_flink_spark.llm.text import seq1
 
+    if block < 1:
+        raise ValueError(f"block must be >= 1, got {block}")
     base = df.select(F.col(id_col).alias("doc_id"), tokens(text_col).alias("tk"))
     n_blocks = F.ceil(F.size("tk") / F.lit(block)).cast("int")
     e = base.select(

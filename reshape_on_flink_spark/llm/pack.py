@@ -258,6 +258,8 @@ def assign_shards(
     (uniform assignment independent of input order), so reruns and
     backfills land every doc in the same place.
     """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     h = hash60(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string")))
     return df.withColumn("shuffle_hash", h).withColumn(
         "shard", F.pmod(F.col("shuffle_hash"), F.lit(n_shards)).cast("int")

@@ -53,6 +53,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_ds_above_nation_avg_returns",
     "q_ds_bracketed_or_join",
     "q_ds_before_after_ratio",
+    "q_ds_revenue_share",
     "q_corpus_assembly",
     "q_hll_distinct",
     "q_hll_rollup",

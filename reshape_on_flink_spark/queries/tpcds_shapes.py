@@ -1934,3 +1934,39 @@ def q_ds_before_after_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "before_qty", "after_qty")
         .orderBy("s_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-DS q98/q12/q20 shape (ratio-to-report): per-item revenue with its
+# SHARE of the item-class total — an aggregate feeding an unbounded
+# partition-total window over itself (revenueratio). Scale: one agg
+# shuffle on the item key, then ONE window exchange on the class key
+# whose partitions are class-sized; the share division happens on
+# already-reduced rows. The window total is summed as DECIMAL (exact,
+# order-free) so the share is engine-deterministic.
+# tpcds-tool/query/query98.sql.
+# ---------------------------------------------------------------------------
+@query(
+    "q_ds_revenue_share",
+    f"""
+    WITH rev AS (
+      SELECT l_partkey, {sql_dsum('l_extendedprice')} AS rev
+      FROM lineitem GROUP BY l_partkey),
+    j AS (SELECT p_type, p_partkey, rev FROM rev JOIN part ON p_partkey = l_partkey)
+    SELECT p_type, p_partkey, rev,
+           rev / CAST(SUM(CAST(rev AS DECIMAL(18,2)))
+                      OVER (PARTITION BY p_type) AS DOUBLE) AS class_share
+    FROM j ORDER BY p_type, p_partkey
+    """,
+)
+def q_ds_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    li, p = t["lineitem"], t["part"]
+    rev = li.groupBy("l_partkey").agg(dsum("l_extendedprice").alias("rev"))
+    j = rev.join(p, F.col("p_partkey") == F.col("l_partkey")).select(
+        "p_type", "p_partkey", "rev"
+    )
+    total = F.sum(dec("rev")).over(W.partitionBy("p_type")).cast("double")
+    return j.select(
+        "p_type", "p_partkey", "rev", (F.col("rev") / total).alias("class_share")
+    ).orderBy("p_type", "p_partkey")
