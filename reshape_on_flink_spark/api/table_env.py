@@ -583,10 +583,19 @@ class TableEnvironment:
         r"\bUNNEST\s*\(.*?\)\s*(?:AS\s+)?\w+\s*\(\s*\w+\s*,", re.IGNORECASE | re.DOTALL
     )
 
+    _ANALYZE_RE = re.compile(
+        r"\s*ANALYZE\s+TABLE\s+(?P<table>[\w.]+)\s+COMPUTE\s+STATISTICS"
+        r"(?:\s+FOR\s+(?:(?P<all>ALL\s+COLUMNS)|COLUMNS\s+(?P<cols>[\w\s,]+)))?\s*$",
+        re.IGNORECASE,
+    )
+
     def execute_sql(self, sql: str) -> DataFrame:
         m = self._STMT_SET_RE.match(sql)
         if m:
             return self._execute_statement_set(m.group("body"))
+        m = self._ANALYZE_RE.match(sql)
+        if m:
+            return self._execute_analyze(m)
         if re.search(r"\bMATCH_RECOGNIZE\s*\(", sql, re.IGNORECASE):
             return self._execute_match_recognize(sql)
         if re.search(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", sql, re.IGNORECASE):
@@ -611,6 +620,40 @@ class TableEnvironment:
                 self._versioned[ddl.group(1)] = wm.group(1)
         self._maybe_journal(sql)
         return out
+
+    def _execute_analyze(self, m: "re.Match") -> DataFrame:
+        """Flink ``ANALYZE TABLE ... COMPUTE STATISTICS`` (flink-sql-parser
+        ``SqlAnalyzeTable``; reference collects row count + per-column
+        NDV/nulls/min/max into the catalog for the planner).
+
+        Spark-first split: the statement RETURNS the statistics as a
+        table (operators/profile.profile_table — one aggregation pass),
+        and additionally feeds Spark's own catalog stats (its CBO
+        consumes them) when the object is a catalog table — temp views
+        have no catalog stats slot in Spark, so for them the returned
+        profile IS the product (documented divergence, loud nowhere
+        because nothing is dropped)."""
+        from pyspark.sql import functions as F
+
+        from reshape_on_flink_spark.operators.profile import profile_table
+
+        table = m.group("table")
+        cols = None
+        if m.group("cols"):
+            cols = [c.strip() for c in m.group("cols").split(",") if c.strip()]
+        df = self.spark.table(table)
+        if m.group("all") or cols is not None:
+            col_sql = "FOR ALL COLUMNS" if m.group("all") else f"FOR COLUMNS {', '.join(cols)}"
+            native = f"ANALYZE TABLE {table} COMPUTE STATISTICS {col_sql}"
+            profile = profile_table(df, cols=cols)
+        else:
+            native = f"ANALYZE TABLE {table} COMPUTE STATISTICS"
+            profile = df.agg(F.count(F.lit(1)).alias("n_rows"))
+        try:
+            self.spark.sql(native)
+        except Exception:  # temp view: no catalog stats slot in Spark
+            pass
+        return profile
 
     # -- MATCH_RECOGNIZE (SQL form) -> operators.cep.match_recognize -------
     #

@@ -1000,3 +1000,22 @@ def test_match_recognize_matrix_stream_equals_batch(
         name,
     )
     assert expected and got == expected
+
+
+def test_analyze_table_statement_returns_profile(tenv, spark):
+    """Flink ANALYZE TABLE ... COMPUTE STATISTICS routes to the one-pass
+    profiler: FOR ALL COLUMNS returns one stats row per column, FOR
+    COLUMNS a subset, bare form the row count."""
+    out = tenv.execute_sql(
+        "ANALYZE TABLE orders COMPUTE STATISTICS FOR ALL COLUMNS"
+    ).collect()
+    assert {r["col_name"] for r in out} >= {"o_orderkey", "o_orderstatus"}
+    assert all(r["n_rows"] == out[0]["n_rows"] for r in out)
+
+    sub = tenv.execute_sql(
+        "ANALYZE TABLE orders COMPUTE STATISTICS FOR COLUMNS o_custkey, o_totalprice"
+    ).collect()
+    assert {r["col_name"] for r in sub} == {"o_custkey", "o_totalprice"}
+
+    bare = tenv.execute_sql("ANALYZE TABLE orders COMPUTE STATISTICS").collect()
+    assert bare[0]["n_rows"] == out[0]["n_rows"]
