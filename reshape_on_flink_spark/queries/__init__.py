@@ -46,6 +46,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_bloom_decontam",
     "q_dedup_keep_best",
     "q_scd2_intervals",
+    "q_funnel_conversion",
     "q_quality_classifier",
     "q_shard_manifest",
     "q_profile_table",

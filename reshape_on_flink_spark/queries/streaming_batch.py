@@ -749,3 +749,72 @@ def q_session_window_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion: ordered step analysis (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+@query(
+    "q_funnel_conversion",
+    """
+    WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+           FROM events e JOIN s1 ON s1.user_id = e.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+           FROM events e JOIN s2 ON s2.user_id = e.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+           GROUP BY e.user_id)
+    SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+           (SELECT COUNT(*) FROM s2) AS n_click_after_view,
+           (SELECT COUNT(*) FROM s3) AS n_purchase_after_click,
+           round(CAST((SELECT COUNT(*) FROM s3) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM s1), 6) AS conversion
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): each step keeps users
+    whose step event strictly FOLLOWS their previous step's first time —
+    the product-analytics conversion query. Scale: one agg per step on
+    user_id; each join's right side is the already-reduced previous step
+    (monotonically shrinking, AQE broadcasts it), so the events scan
+    streams through three filters without ever re-shuffling the fact."""
+    ev = load_tables(spark, sf_dir)["events"]
+    us = F.unix_micros("ts")
+
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(us > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where(us > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t3"))
+    )
+    c1 = s1.agg(F.count("*").alias("n_view"))
+    c2 = s2.agg(F.count("*").alias("n_click_after_view"))
+    c3 = s3.agg(F.count("*").alias("n_purchase_after_click"))
+    return (
+        c1.crossJoin(c2)
+        .crossJoin(c3)
+        .select(
+            "n_view",
+            "n_click_after_view",
+            "n_purchase_after_click",
+            F.round(
+                F.col("n_purchase_after_click").cast("double") / F.col("n_view"), 6
+            ).alias("conversion"),
+        )
+    )
