@@ -427,3 +427,27 @@ def test_bloom_probe_is_broadcast_map_only(spark):
     assert "BroadcastNestedLoopJoin" in plan
     # the probe stream itself must not hash- or range-partition
     assert "Exchange hashpartitioning" not in plan.split("BroadcastNestedLoopJoin")[0]
+
+
+def test_funnel_steps_broadcast_shrinking_sides(spark):
+    """Each funnel join's right side is the already-reduced previous
+    step — broadcast, never a fact-fact shuffle join."""
+    from reshape_on_flink_spark.queries.streaming_batch import q_funnel_conversion
+
+    plan = plan_of(q_funnel_conversion(spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_scd2_single_key_exchange(spark):
+    """SCD2 build = one hash exchange on the key feeding the LEAD
+    window; no second shuffle before the presentation sort."""
+    from reshape_on_flink_spark.operators.changelog import scd2_intervals
+    from reshape_on_flink_spark.session import load_tables
+
+    ev = load_tables(spark, SF_DIR)["events"].select(
+        "user_id", "event_type", F.unix_micros("ts").alias("seq")
+    )
+    plan = plan_of(scd2_intervals(ev, ["user_id"], "seq"))
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n == 1, plan
