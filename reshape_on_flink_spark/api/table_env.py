@@ -585,7 +585,7 @@ class TableEnvironment:
 
     _ANALYZE_RE = re.compile(
         r"\s*ANALYZE\s+TABLE\s+(?P<table>[\w.]+)\s+COMPUTE\s+STATISTICS"
-        r"(?:\s+FOR\s+(?:(?P<all>ALL\s+COLUMNS)|COLUMNS\s+(?P<cols>[\w\s,]+)))?\s*$",
+        r"(?:\s+FOR\s+(?:(?P<all>ALL\s+COLUMNS)|COLUMNS\s+(?P<cols>[\w\s,]+?)))?\s*;?\s*$",
         re.IGNORECASE,
     )
 
@@ -649,11 +649,21 @@ class TableEnvironment:
         else:
             native = f"ANALYZE TABLE {table} COMPUTE STATISTICS"
             profile = df.agg(F.count(F.lit(1)).alias("n_rows"))
-        try:
+        # temp views have no catalog stats slot in Spark — skip the
+        # native feed for them ONLY; a failing ANALYZE on a real catalog
+        # table must stay loud (CBO silently losing stats is a bug)
+        if not self._is_temporary(table):
             self.spark.sql(native)
-        except Exception:  # temp view: no catalog stats slot in Spark
-            pass
         return profile
+
+    def _is_temporary(self, table: str) -> bool:
+        try:
+            return self.spark.catalog.getTable(table).tableType in (
+                "TEMPORARY",
+                "TEMP",
+            )
+        except Exception:
+            return False  # let the native statement surface the real error
 
     # -- MATCH_RECOGNIZE (SQL form) -> operators.cep.match_recognize -------
     #

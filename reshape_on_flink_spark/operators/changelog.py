@@ -83,6 +83,7 @@ def scd2_intervals(
     keys: list[str],
     seq_col: str,
     attrs: list[str] | None = None,
+    tie_cols: list[str] | None = None,
 ) -> DataFrame:
     """Build a type-2 slowly-changing dimension from a change stream:
     each key's versions get ``valid_from`` (its change time),
@@ -95,13 +96,22 @@ def scd2_intervals(
     One shuffle on the key; the interval close is a single LEAD window
     over it (partition size = versions per key). Joinable back via
     ``operators/joins.asof_join`` or a plain range predicate.
+
+    ``(keys, seq_col)`` must totally order the versions; when the
+    change stream can carry two versions of a key at the same sequence
+    value, pass ``tie_cols`` (e.g. the change id) — they extend the
+    window order AND the output (consumers need them to disambiguate
+    the zero-length interval the tie produces). Same tie-ambiguity
+    class as the window-frame queries' l_partkey fix.
     """
+    tie_cols = list(tie_cols or [])
     cols = attrs if attrs is not None else [
-        c for c in df.columns if c not in keys and c != seq_col
+        c for c in df.columns if c not in keys and c != seq_col and c not in tie_cols
     ]
-    return df.select(*keys, *cols, F.col(seq_col).alias("valid_from")).select(
+    w = W.partitionBy(*keys).orderBy("valid_from", *tie_cols)
+    return df.select(
+        *keys, *tie_cols, *cols, F.col(seq_col).alias("valid_from")
+    ).select(
         "*",
-        F.lead("valid_from").over(
-            W.partitionBy(*keys).orderBy("valid_from")
-        ).alias("valid_to"),
+        F.lead("valid_from").over(w).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())

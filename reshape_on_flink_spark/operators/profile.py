@@ -40,6 +40,11 @@ def profile_table(df: DataFrame, cols: list[str] | None = None, approx: bool = F
     all computed in one aggregation pass."""
     dtypes = dict(df.dtypes)
     cols = list(cols) if cols is not None else df.columns
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(
+            f"columns not in table: {missing} (available: {sorted(dtypes)})"
+        )
     ndv = F.approx_count_distinct if approx else F.countDistinct
 
     aggs = [F.count(F.lit(1)).alias("__n_rows")]

@@ -1747,10 +1747,11 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.passage_dedup(d).orderBy("doc_id")
 
 
-@query(
-    "q_quality_classifier",
-    f"""
-    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+# Shared quality-classifier SQL (single source of truth for the weight
+# formula across every oracle that scores docs): expects a `toks`
+# CTE (doc_id, tk) upstream; defines f (features) and s (doc_id, n_tok,
+# qc_score).
+SQL_QC_CTES = f"""
     f AS (SELECT doc_id, len(tk) AS n_tok,
             CAST(COALESCE(list_aggregate(list_transform(tk, t -> length(t)), 'sum'), 0) AS DOUBLE)
               / greatest(len(tk), 1) AS avg_len,
@@ -1764,6 +1765,14 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      + {T.QC_W_STOPWORD} * stop_ratio
                                      + {T.QC_W_DISTINCT} * dist_ratio))), 6) AS qc_score
           FROM f)
+"""
+
+
+@query(
+    "q_quality_classifier",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    {SQL_QC_CTES}
     SELECT doc_id, CAST(n_tok AS BIGINT) AS q_n_tokens, qc_score,
            qc_score >= {T.QC_KEEP_THRESHOLD} AS qc_keep
     FROM s ORDER BY doc_id
@@ -1889,19 +1898,7 @@ def q_bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       SELECT node, LEAST(node, MIN(other)) AS keeper FROM reach GROUP BY node
     ),
-    f AS (SELECT doc_id, len(tk) AS n_tok,
-            CAST(COALESCE(list_aggregate(list_transform(tk, t -> length(t)), 'sum'), 0) AS DOUBLE)
-              / greatest(len(tk), 1) AS avg_len,
-            CAST(len(list_filter(tk, t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], lower(t)))) AS DOUBLE)
-              / greatest(len(tk), 1) AS stop_ratio,
-            CAST(len(list_distinct(tk)) AS DOUBLE) / greatest(len(tk), 1) AS dist_ratio
-          FROM toks),
-    s AS (SELECT doc_id,
-            round(1.0 / (1.0 + exp(-({T.QC_BIAS} + {T.QC_W_LOG_TOKENS} * ln(1.0 + n_tok)
-                                     + {T.QC_W_AVG_LEN} * avg_len
-                                     + {T.QC_W_STOPWORD} * stop_ratio
-                                     + {T.QC_W_DISTINCT} * dist_ratio))), 6) AS qc_score
-          FROM f),
+    {SQL_QC_CTES},
     j AS (SELECT c.keeper AS cluster_id, c.node AS doc_id, s.qc_score
           FROM closure c JOIN s ON s.doc_id = c.node),
     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id

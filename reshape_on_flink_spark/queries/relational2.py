@@ -643,14 +643,14 @@ def q_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_scd2_intervals",
     """
-    WITH v AS (SELECT user_id, event_type, value,
+    WITH v AS (SELECT user_id, event_id, event_type, value,
                       epoch_us(ts) AS valid_from
                FROM events)
-    SELECT user_id, event_type, value, valid_from,
+    SELECT user_id, event_id, event_type, value, valid_from,
            LEAD(valid_from) OVER w AS valid_to,
            (LEAD(valid_from) OVER w IS NULL) AS is_current
-    FROM v WINDOW w AS (PARTITION BY user_id ORDER BY valid_from)
-    ORDER BY user_id, valid_from
+    FROM v WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+    ORDER BY user_id, valid_from, event_id
     """,
 )
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -658,12 +658,15 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/changelog.scd2_intervals): every per-user change becomes
     a version row with [valid_from, valid_to) micros and is_current —
     the materialized form of the temporal-join version history. One
-    key shuffle + one LEAD window."""
+    key shuffle + one LEAD window; event_id rides as the version-order
+    tie-breaker (same-microsecond changes stay deterministic)."""
     from reshape_on_flink_spark.operators.changelog import scd2_intervals
 
     ev = load_tables(spark, sf_dir)["events"].select(
-        "user_id", "event_type", "value", F.unix_micros("ts").alias("seq_us")
+        "user_id", "event_id", "event_type", "value",
+        F.unix_micros("ts").alias("seq_us"),
     )
     return scd2_intervals(
-        ev, ["user_id"], "seq_us", attrs=["event_type", "value"]
-    ).orderBy("user_id", "valid_from")
+        ev, ["user_id"], "seq_us", attrs=["event_type", "value"],
+        tie_cols=["event_id"],
+    ).orderBy("user_id", "valid_from", "event_id")

@@ -1019,3 +1019,17 @@ def test_analyze_table_statement_returns_profile(tenv, spark):
 
     bare = tenv.execute_sql("ANALYZE TABLE orders COMPUTE STATISTICS").collect()
     assert bare[0]["n_rows"] == out[0]["n_rows"]
+
+
+def test_analyze_table_trailing_semicolon_and_bad_column(tenv):
+    import pytest
+
+    out = tenv.execute_sql(
+        "ANALYZE TABLE orders COMPUTE STATISTICS FOR ALL COLUMNS;"
+    ).collect()
+    assert len(out) >= 6  # semicolon form routes to the profiler too
+
+    with pytest.raises(ValueError, match="columns not in table.*o_typo"):
+        tenv.execute_sql(
+            "ANALYZE TABLE orders COMPUTE STATISTICS FOR COLUMNS o_typo"
+        )

@@ -72,8 +72,18 @@ def audit_query(df) -> dict:
     status store's finalized AQE plan graph(s)."""
     spark = df.sparkSession
     store = spark._jsparkSession.sharedState().statusStore()
+
+    def _drain() -> None:
+        # the status store is fed by the ASYNC listener bus: without a
+        # drain, a loaded host can return from save() before the
+        # SQLExecutionEnd event lands (query reads as 0 rows) or leak a
+        # late execution into the NEXT query's [n_before, size) window
+        spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+
+    _drain()
     n_before = store.executionsList().size()
     df.write.format("noop").mode("overwrite").save()
+    _drain()
     lst = store.executionsList()
     acc = {
         "scan_rows": 0,
