@@ -308,3 +308,40 @@ def bloom_might_contain(col: Column) -> Column:
     for c in checks[1:]:
         out = out & c
     return out
+
+
+def hll_set_estimates(
+    df: DataFrame, col: str, part_col: str, a_val, b_val
+) -> DataFrame:
+    """Set-operation cardinality from sketches alone: distinct-count
+    estimates for partition A, partition B, their union (register
+    merge), and the INTERSECTION via inclusion–exclusion
+    (|A∩B| ≈ |A| + |B| − |A∪B|, floored at 0 — the standard HLL
+    intersection estimator; error grows as the Jaccard similarity
+    shrinks, documented trade-off). All arithmetic is the engine-shared
+    integer register math, so the oracle reproduces every estimate to
+    the milli-unit. One register-table pass; merge/estimate stages
+    carry ≤ m rows each."""
+    regs_a = hll_registers(df.where(F.col(part_col) == a_val), [], col)
+    regs_b = hll_registers(df.where(F.col(part_col) == b_val), [], col)
+    regs_u = hll_merge(regs_a.unionByName(regs_b), [])
+    est_a = hll_estimate(regs_a, []).select(
+        F.col("hll_est_milli").alias("est_a_milli")
+    )
+    est_b = hll_estimate(regs_b, []).select(
+        F.col("hll_est_milli").alias("est_b_milli")
+    )
+    est_u = hll_estimate(regs_u, []).select(
+        F.col("hll_est_milli").alias("est_union_milli")
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(est_u)
+        .select(
+            "*",
+            F.greatest(
+                F.col("est_a_milli") + F.col("est_b_milli") - F.col("est_union_milli"),
+                F.lit(0).cast("long"),
+            ).alias("est_intersect_milli"),
+        )
+    )

@@ -1940,3 +1940,42 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set-operation estimates: union by register merge, intersection by
+# inclusion-exclusion — set cardinalities from sketch state alone.
+# ---------------------------------------------------------------------------
+@query(
+    "q_hll_intersect_est",
+    f"""
+    WITH h AS (SELECT l_returnflag, {_H60_ORDER} AS h
+               FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+    b AS (SELECT l_returnflag, h % {SK.HLL_M} AS b, h // {SK.HLL_M} AS w FROM h),
+    r AS (SELECT l_returnflag, b,
+                 CASE WHEN strpos(lpad(bin(w), {SK.HLL_W_BITS}, '0'), '1') = 0
+                      THEN {SK.HLL_W_BITS + 1}
+                      ELSE strpos(lpad(bin(w), {SK.HLL_W_BITS}, '0'), '1') END AS rho
+          FROM b),
+    regs AS (SELECT l_returnflag AS tag, b, MAX(rho) AS reg FROM r GROUP BY 1, 2),
+    regs_u AS (SELECT 'U' AS tag, b, MAX(reg) AS reg FROM regs GROUP BY 2),
+    all_regs AS (SELECT * FROM regs UNION ALL SELECT * FROM regs_u),
+    est AS ({_hll_est_sql("all_regs", "tag")})
+    SELECT MAX(CASE WHEN tag = 'A' THEN hll_est_milli END) AS est_a_milli,
+           MAX(CASE WHEN tag = 'R' THEN hll_est_milli END) AS est_b_milli,
+           MAX(CASE WHEN tag = 'U' THEN hll_est_milli END) AS est_union_milli,
+           GREATEST(MAX(CASE WHEN tag = 'A' THEN hll_est_milli END)
+                    + MAX(CASE WHEN tag = 'R' THEN hll_est_milli END)
+                    - MAX(CASE WHEN tag = 'U' THEN hll_est_milli END),
+                    CAST(0 AS BIGINT)) AS est_intersect_milli
+    FROM est
+    """,
+)
+def q_hll_intersect_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation cardinalities from sketch state alone
+    (operators/sketches.hll_set_estimates): distinct orders with 'A'
+    lines, with 'R' lines, their union via lossless register merge, and
+    the intersection by inclusion-exclusion — no distinct shuffle, no
+    join; every estimate replicated to the milli-unit by the oracle."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return SK.hll_set_estimates(li, "l_orderkey", "l_returnflag", "A", "R")

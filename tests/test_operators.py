@@ -489,3 +489,21 @@ def test_zorder_key_interleaves_and_handles_nulls(spark):
     for r in out:
         key = (r["a"], r["b"])
         assert seen.setdefault(key, r["_zorder"]) == r["_zorder"]
+
+
+def test_hll_intersect_estimate_accuracy(spark, tables):
+    """Inclusion-exclusion intersection estimate lands within ~10% of
+    the exact |A∩B| on the lineitem returnflag partitions (high overlap
+    — the estimator's good regime)."""
+    from pyspark.sql import functions as F
+
+    from reshape_on_flink_spark.operators import sketches as SK
+
+    li = tables["lineitem"]
+    (row,) = SK.hll_set_estimates(li, "l_orderkey", "l_returnflag", "A", "R").collect()
+    a = {r[0] for r in li.where("l_returnflag = 'A'").select("l_orderkey").distinct().collect()}
+    b = {r[0] for r in li.where("l_returnflag = 'R'").select("l_orderkey").distinct().collect()}
+    exact = len(a & b)
+    est = row["est_intersect_milli"] / 1000.0
+    assert abs(est - exact) / max(exact, 1) < 0.10, (est, exact)
+    assert row["est_union_milli"] <= row["est_a_milli"] + row["est_b_milli"]
