@@ -284,3 +284,46 @@ def shard_manifest(
             F.sum(token_count(text_col)).alias("n_tokens"),
         )
     )
+
+
+def domain_mix_epochs(
+    docs: DataFrame,
+    epochs: dict[str, float],
+    *,
+    domain_col: str = "lang",
+    key_col: str = "doc_id",
+    default_epochs: float = 1.0,
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Epoch-based domain mixing with UPSAMPLING (DoReMi/Pile-style
+    domain weights above 1): a document with weight ``w`` appears
+    ``floor(w)`` times always, plus once more iff
+    ``hash60(key) % resolution < frac(w) * resolution`` — the
+    deterministic fractional epoch. ``w < 1`` degrades to the
+    hash-threshold downsampler (:func:`domain_mix_sample` semantics);
+    copies carry ``copy_idx`` (0-based) so downstream packing/shuffling
+    can separate them.
+
+    100 TB: map-only explode — each row expands to its own copies inside
+    its partition (fan-out = w, no shuffle, no skew concentration).
+    """
+    from reshape_on_flink_spark.llm.text import seq1
+
+    h = F.pmod(hash60(F.col(key_col).cast("string")), F.lit(resolution))
+    n_copies = None
+    for dom, w in sorted(epochs.items()):
+        if w < 0:
+            raise ValueError(f"epochs must be >= 0, got {dom}={w}")
+        base, frac = int(w), w - int(w)
+        n = F.lit(base) + (h < F.lit(int(frac * resolution))).cast("int")
+        cond = F.col(domain_col) == dom
+        n_copies = F.when(cond, n) if n_copies is None else n_copies.when(cond, n)
+    base, frac = int(default_epochs), default_epochs - int(default_epochs)
+    dflt = F.lit(base) + (h < F.lit(int(frac * resolution))).cast("int")
+    n_copies = dflt if n_copies is None else n_copies.otherwise(dflt)
+    return (
+        docs.withColumn("_n", n_copies)
+        .select("*", F.explode(seq1(F.col("_n"))).alias("_i"))
+        .withColumn("copy_idx", F.col("_i") - 1)
+        .drop("_n", "_i")
+    )

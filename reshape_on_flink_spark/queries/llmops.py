@@ -1979,3 +1979,46 @@ def q_hll_intersect_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     join; every estimate replicated to the milli-unit by the oracle."""
     li = load_tables(spark, sf_dir)["lineitem"]
     return SK.hll_set_estimates(li, "l_orderkey", "l_returnflag", "A", "R")
+
+
+# ---------------------------------------------------------------------------
+# Epoch-based domain mixing with upsampling (weights above 1.0)
+# ---------------------------------------------------------------------------
+_EPOCHS = {"src0": 2.5, "src1": 0.4, "src2": 1.0}
+_EPOCH_DEFAULT = 1.0
+_EPOCH_RES = 1_000_000
+
+
+def _epoch_oracle() -> str:
+    arms = " ".join(
+        f"WHEN source = '{dom}' THEN {int(w)}"
+        f" + CASE WHEN h < {int((w - int(w)) * _EPOCH_RES)} THEN 1 ELSE 0 END"
+        for dom, w in sorted(_EPOCHS.items())
+    )
+    d = _EPOCH_DEFAULT
+    dflt = f"{int(d)} + CASE WHEN h < {int((d - int(d)) * _EPOCH_RES)} THEN 1 ELSE 0 END"
+    return f"""
+    WITH h AS (SELECT doc_id, source,
+                      {SQL_H60.format(x="CAST(doc_id AS VARCHAR)")} % {_EPOCH_RES} AS h
+               FROM documents),
+    c AS (SELECT doc_id, source, CASE {arms} ELSE {dflt} END AS n FROM h)
+    SELECT doc_id, source, i - 1 AS copy_idx
+    FROM c, UNNEST(generate_series(1, n)) AS u(i)
+    ORDER BY doc_id, copy_idx
+    """
+
+
+@query("q_domain_upsample", _epoch_oracle())
+def q_domain_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted mixing with UPSAMPLING (llm/pack.domain_mix_epochs,
+    DoReMi/Pile-style weights > 1): src0 seen ~2.5x, src1 ~0.4x, rest
+    1.0x — floor(w) guaranteed copies plus a deterministic fractional
+    epoch by hash threshold. Map-only explode, no shuffle."""
+    from reshape_on_flink_spark.llm import pack as P
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        P.domain_mix_epochs(d, _EPOCHS, domain_col="source", default_epochs=_EPOCH_DEFAULT)
+        .select("doc_id", "source", F.col("copy_idx").cast("long").alias("copy_idx"))
+        .orderBy("doc_id", "copy_idx")
+    )

@@ -829,3 +829,26 @@ def test_streaming_passage_filter_matches_batch_hash_set(spark, tables, tmp_dir)
 
     batch = D.passage_blocks(docs).select("block_hash").distinct()
     assert set(got_hashes) == {r["block_hash"] for r in batch.collect()}
+
+
+def test_domain_mix_epochs_upsample_counts(spark, tables):
+    """Weight w -> every doc appears floor(w) or ceil(w) times, the
+    fractional epoch hits ~frac of docs, and w=0 drops the domain."""
+    from reshape_on_flink_spark.llm import pack as P
+
+    d = tables["documents"].select("doc_id", "source")
+    out = P.domain_mix_epochs(
+        d, {"src0": 2.5, "src1": 0.0}, domain_col="source", default_epochs=1.0
+    )
+    counts = {
+        (r["source"], r["doc_id"]): r["n"]
+        for r in out.groupBy("source", "doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert all(n in (2, 3) for (s, _), n in counts.items() if s == "src0")
+    assert not any(s == "src1" for s, _ in counts)
+    assert all(n == 1 for (s, _), n in counts.items() if s not in ("src0", "src1"))
+    # deterministic: rerun is identical
+    again = P.domain_mix_epochs(
+        d, {"src0": 2.5, "src1": 0.0}, domain_col="source", default_epochs=1.0
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
