@@ -327,3 +327,54 @@ def domain_mix_epochs(
         .withColumn("copy_idx", F.col("_i") - 1)
         .drop("_n", "_i")
     )
+
+
+def length_bucket_batches(
+    docs: DataFrame,
+    batch_size: int = 8,
+    edges: tuple[int, ...] = (16, 32, 64),
+    n_shards: int = 4,
+    *,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Length-bucketed batch assembly: group documents of similar token
+    count into fixed-size batches so per-batch padding (to the batch
+    max) stays small — the dynamic-batching layout every training /
+    batch-inference loader wants. Returns one row per batch:
+    (bucket, shard, batch_idx, n_docs, max_tokens, sum_tokens,
+    pad_frac) where ``pad_frac = 1 - sum/(max*n)``.
+
+    Scale: bucket count is tiny (len(edges)+1), so batching directly per
+    bucket would funnel the corpus through a handful of window
+    partitions; the ``shard`` key (hash60 % n_shards) fans each bucket
+    out to n_shards independent deterministic sub-streams — set n_shards
+    ~ cluster parallelism and each window partition holds
+    |corpus|/(buckets*shards). Assignment is a row_number window + one
+    aggregation, both on the same (bucket, shard) key: one shuffle.
+    """
+    arr = F.array(*[F.lit(int(e)) for e in edges])
+    nt = token_count(text_col).cast("long")
+    bucket = F.size(F.filter(arr, lambda e: e <= nt))
+    shard = F.pmod(hash60(F.col(key_col).cast("string")), F.lit(n_shards))
+    tagged = docs.select(
+        F.col(key_col),
+        nt.alias("n_tokens"),
+        bucket.alias("bucket"),
+        shard.alias("shard"),
+    )
+    w = W.partitionBy("bucket", "shard").orderBy(key_col)
+    batched = tagged.withColumn(
+        "batch_idx", F.floor((F.row_number().over(w) - 1) / batch_size)
+    )
+    return batched.groupBy("bucket", "shard", "batch_idx").agg(
+        F.count("*").alias("n_docs"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("n_tokens").cast("double")
+            / (F.max("n_tokens") * F.count("*")).cast("double"),
+            6,
+        ).alias("pad_frac"),
+    )

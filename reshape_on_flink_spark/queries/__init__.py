@@ -49,6 +49,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_funnel_conversion",
     "q_hll_intersect_est",
     "q_domain_upsample",
+    "q_length_batches",
     "q_quality_classifier",
     "q_shard_manifest",
     "q_profile_table",

@@ -2022,3 +2022,48 @@ def q_domain_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", F.col("copy_idx").cast("long").alias("copy_idx"))
         .orderBy("doc_id", "copy_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batch assembly (padding-efficiency layout)
+# ---------------------------------------------------------------------------
+@query(
+    "q_length_batches",
+    f"""
+    WITH toks AS (SELECT doc_id, CAST(len({SQL_TOKS}) AS BIGINT) AS n_tokens
+                  FROM documents),
+    t AS (SELECT doc_id, n_tokens,
+                 CAST(len(list_filter([16, 32, 64], e -> e <= n_tokens)) AS BIGINT) AS bucket,
+                 {SQL_H60.format(x="CAST(doc_id AS VARCHAR)")} % 4 AS shard
+          FROM toks),
+    b AS (SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY bucket, shard
+                                                   ORDER BY doc_id) - 1) / 8.0) AS BIGINT)
+                      AS batch_idx
+          FROM t)
+    SELECT bucket, shard, batch_idx, COUNT(*) AS n_docs,
+           MAX(n_tokens) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           round(1.0 - CAST(SUM(n_tokens) AS DOUBLE)
+                       / (MAX(n_tokens) * COUNT(*)), 6) AS pad_frac
+    FROM b GROUP BY bucket, shard, batch_idx
+    ORDER BY bucket, shard, batch_idx
+    """,
+)
+def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching (llm/pack.length_bucket_batches): docs
+    of similar token count grouped into fixed-size batches; hash shards
+    fan the few buckets out to parallel sub-streams. Per-batch padding
+    fraction reported — the dynamic-batching loader layout."""
+    from reshape_on_flink_spark.llm import pack as P
+
+    d = load_tables(spark, sf_dir)["documents"]
+    out = P.length_bucket_batches(d, batch_size=8, edges=(16, 32, 64), n_shards=4)
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "shard",
+        "batch_idx",
+        "n_docs",
+        "max_tokens",
+        F.col("sum_tokens").cast("long").alias("sum_tokens"),
+        "pad_frac",
+    ).orderBy("bucket", "shard", "batch_idx")
