@@ -50,6 +50,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_hll_intersect_est",
     "q_domain_upsample",
     "q_length_batches",
+    "q_contamination_rate",
     "q_quality_classifier",
     "q_shard_manifest",
     "q_profile_table",

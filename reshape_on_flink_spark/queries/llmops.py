@@ -2067,3 +2067,51 @@ def q_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_tokens").cast("long").alias("sum_tokens"),
         "pad_frac",
     ).orderBy("bucket", "shard", "batch_idx")
+
+
+# ---------------------------------------------------------------------------
+# Contamination RATE (overlap fraction, not just a flag): pipelines
+# threshold on "what fraction of this doc's n-grams appear in the
+# benchmark" — the graded form of q_decontaminate.
+# ---------------------------------------------------------------------------
+@query(
+    "q_contamination_rate",
+    f"""
+    WITH t AS (SELECT doc_id, source, {SQL_TOKS} AS tk FROM documents),
+    ngd AS (SELECT doc_id, source, UNNEST({_SQL_5G}) AS ng FROM t),
+    bench AS (SELECT DISTINCT ng FROM ngd WHERE doc_id % 29 = 0),
+    per AS (SELECT c.doc_id, c.source, COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN b.ng IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+            FROM ngd c LEFT JOIN bench b USING (ng)
+            WHERE c.doc_id % 29 <> 0
+            GROUP BY c.doc_id, c.source)
+    SELECT doc_id, source, n_grams, n_hits,
+           round(CAST(n_hits AS DOUBLE) / n_grams, 6) AS overlap_frac
+    FROM per ORDER BY doc_id
+    """,
+)
+def q_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination: per-doc benchmark n-gram overlap fraction
+    (llm/decontam machinery) — the thresholdable form real scrubs use
+    (drop docs above e.g. 10% overlap, keep incidental collisions).
+    Broadcast flag join + one agg on doc_id; corpus never re-shuffles."""
+    from reshape_on_flink_spark.llm import decontam
+
+    d = load_tables(spark, sf_dir)["documents"]
+    corpus = T.spread(d.filter(F.col("doc_id") % 29 != 0))
+    bench_ng = _bench_ngram_set(spark, sf_dir).withColumn("_hit", F.lit(1))
+    ex = corpus.select(
+        "doc_id", "source", F.explode(T.shingle_array("text", 5)).alias("ng")
+    )
+    per = (
+        ex.join(F.broadcast(bench_ng), "ng", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("bigint").alias("n_hits"),
+        )
+    )
+    return per.select(
+        "doc_id", "source", "n_grams", "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.col("n_grams"), 6).alias("overlap_frac"),
+    ).orderBy("doc_id")

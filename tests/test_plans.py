@@ -451,3 +451,25 @@ def test_scd2_single_key_exchange(spark):
     plan = plan_of(scd2_intervals(ev, ["user_id"], "seq"))
     n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n == 1, plan
+
+
+def test_domain_upsample_is_narrow(spark):
+    """Epoch mixing adds NO exchange: hash threshold + explode fuse
+    into the scan."""
+    from reshape_on_flink_spark.llm.pack import domain_mix_epochs
+    from reshape_on_flink_spark.session import load_tables
+
+    d = load_tables(spark, SF_DIR)["documents"]
+    plan = plan_of(domain_mix_epochs(d, {"src0": 2.5}, domain_col="source"))
+    assert "Exchange" not in plan, plan
+
+
+def test_length_batches_single_exchange(spark):
+    """Window + aggregation share the (bucket, shard) key: one shuffle."""
+    from reshape_on_flink_spark.llm.pack import length_bucket_batches
+    from reshape_on_flink_spark.session import load_tables
+
+    d = load_tables(spark, SF_DIR)["documents"]
+    plan = plan_of(length_bucket_batches(d))
+    n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n == 1, plan
