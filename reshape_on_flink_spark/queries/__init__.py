@@ -51,6 +51,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_domain_upsample",
     "q_length_batches",
     "q_contamination_rate",
+    "q_curation_v2",
     "q_quality_classifier",
     "q_shard_manifest",
     "q_profile_table",

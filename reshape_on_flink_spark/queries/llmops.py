@@ -2115,3 +2115,69 @@ def q_contamination_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_grams", "n_hits",
         F.round(F.col("n_hits").cast("double") / F.col("n_grams"), 6).alias("overlap_frac"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Curation assembly v2 — end-to-end composition of THIS round's
+# operators: classifier gate -> passage dedup -> length-bucketed
+# batching, one oracle hash over the whole chain.
+# ---------------------------------------------------------------------------
+@query(
+    "q_curation_v2",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    {SQL_QC_CTES},
+    kept AS (SELECT t.doc_id, t.tk FROM toks t JOIN s ON s.doc_id = t.doc_id
+             WHERE s.qc_score >= {T.QC_KEEP_THRESHOLD}),
+    blk AS (SELECT doc_id, i - 1 AS block_idx,
+                   array_to_string(list_slice(tk, (i-1)*{_PB} + 1, (i-1)*{_PB} + {_PB}), ' ') AS block_text
+            FROM kept, UNNEST(generate_series(1, CAST(ceil(len(tk) / {_PB}.0) AS BIGINT))) AS u(i)),
+    firsts AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(block_text)
+                                            ORDER BY doc_id, block_idx) AS rn
+               FROM blk),
+    cleaned AS (SELECT doc_id,
+                       string_agg(block_text, ' ' ORDER BY block_idx) AS clean_text
+                FROM firsts WHERE rn = 1 GROUP BY doc_id),
+    ct AS (SELECT doc_id,
+                  CAST(len(list_filter(string_split_regex(clean_text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+           FROM cleaned),
+    t2 AS (SELECT doc_id, n_tokens,
+                  CAST(len(list_filter([16, 32, 64], e -> e <= n_tokens)) AS BIGINT) AS bucket,
+                  {SQL_H60.format(x="CAST(doc_id AS VARCHAR)")} % 4 AS shard
+           FROM ct),
+    b AS (SELECT *, CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY bucket, shard
+                                                   ORDER BY doc_id) - 1) / 8.0) AS BIGINT)
+                      AS batch_idx
+          FROM t2)
+    SELECT bucket, shard, batch_idx, COUNT(*) AS n_docs,
+           MAX(n_tokens) AS max_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           round(1.0 - CAST(SUM(n_tokens) AS DOUBLE)
+                       / (MAX(n_tokens) * COUNT(*)), 6) AS pad_frac
+    FROM b GROUP BY bucket, shard, batch_idx
+    ORDER BY bucket, shard, batch_idx
+    """,
+)
+def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end composition of the round-5 continuation operators:
+    quality-classifier gate -> corpus-wide passage dedup -> length-
+    bucketed batch assembly, hash-verified as ONE chain (a mismatch
+    anywhere breaks the gate). Dataflow: narrow gate, two bounded-key
+    dedup shuffles, one batching shuffle."""
+    from reshape_on_flink_spark.llm import pack as P
+
+    d = load_tables(spark, sf_dir)["documents"]
+    kept = T.quality_classifier(d).where(F.col("qc_keep")).select("doc_id", "text")
+    clean = D.passage_dedup(kept).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    out = P.length_bucket_batches(clean, batch_size=8, edges=(16, 32, 64), n_shards=4)
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "shard",
+        "batch_idx",
+        "n_docs",
+        "max_tokens",
+        F.col("sum_tokens").cast("long").alias("sum_tokens"),
+        "pad_frac",
+    ).orderBy("bucket", "shard", "batch_idx")
