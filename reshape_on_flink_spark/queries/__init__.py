@@ -52,6 +52,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_length_batches",
     "q_contamination_rate",
     "q_curation_v2",
+    "q_quality_percentile_gate",
     "q_quality_classifier",
     "q_shard_manifest",
     "q_profile_table",

@@ -2181,3 +2181,45 @@ def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_tokens").cast("long").alias("sum_tokens"),
         "pad_frac",
     ).orderBy("bucket", "shard", "batch_idx")
+
+
+# ---------------------------------------------------------------------------
+# Per-domain percentile quality gate: keep the top share of each source
+# by classifier score (adaptive threshold — the "top q% per domain"
+# curation step, robust to domains with different score distributions).
+# ---------------------------------------------------------------------------
+@query(
+    "q_quality_percentile_gate",
+    f"""
+    WITH toks AS (SELECT doc_id, {SQL_TOKS} AS tk FROM documents),
+    {SQL_QC_CTES},
+    j AS (SELECT s.doc_id, d.source, s.qc_score
+          FROM s JOIN documents d ON d.doc_id = s.doc_id),
+    r AS (SELECT *, PERCENT_RANK() OVER (PARTITION BY source
+                                         ORDER BY qc_score, doc_id) AS pr
+          FROM j)
+    SELECT doc_id, source, qc_score, round(pr, 6) AS pr
+    FROM r WHERE pr >= 0.7 ORDER BY doc_id
+    """,
+)
+def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gate: per-source PERCENT_RANK over the
+    classifier score keeps the top 30% of EVERY domain (fixed global
+    thresholds over- or under-prune domains with shifted score
+    distributions). One window shuffle on the source key; ties broken
+    by doc_id so the cut is engine-deterministic."""
+    from pyspark.sql import Window as W
+
+    d = load_tables(spark, sf_dir)["documents"]
+    scored = T.quality_classifier(d).select("doc_id", "source", "qc_score")
+    w = W.partitionBy("source").orderBy("qc_score", "doc_id")
+    # filter on the RAW rank (k/(n-1) — bit-identical across engines,
+    # matching the oracle's WHERE); round only for the output column
+    return (
+        scored.withColumn("_pr", F.percent_rank().over(w))
+        .where(F.col("_pr") >= 0.7)
+        .select(
+            "doc_id", "source", "qc_score", F.round("_pr", 6).alias("pr")
+        )
+        .orderBy("doc_id")
+    )
