@@ -509,3 +509,48 @@ def passage_dedup(
             F.transform(ordered, lambda s: s["block_text"]), " "
         ).alias("clean_text"),
     )
+
+
+def corpus_minhash_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-to-corpus overlap estimation from sketches alone: each
+    group's SHINGLE SET gets one corpus-level MinHash signature (the MIN
+    over every member document's shingle hashes — set union commutes
+    with min), and every group pair's Jaccard similarity is estimated
+    as the fraction of matching components. The planning metric for
+    cross-corpus dedup ("how much of B is already in A?") WITHOUT any
+    pairwise document work.
+
+    Scale: one aggregate shuffle of (group, 16 longs) — map-side partial
+    MIN, state per group is 16 numbers; the pair comparison runs on
+    |groups|² tiny rows. Output: (src_a, src_b, est_jaccard),
+    src_a < src_b.
+    """
+    h = (hash60(F.col("shingle")) % MINHASH_P).alias("h")
+    hashed = shingles(df, n, text_col, id_col).join(
+        df.select(F.col(id_col).alias("doc_id"), F.col(group_col).alias("_g")),
+        "doc_id",
+    ).select("_g", h)
+    mins = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"s{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    sigs = hashed.groupBy("_g").agg(*mins)
+    a = sigs.select(F.col("_g").alias("src_a"), *[F.col(f"s{i}").alias(f"a{i}") for i in range(len(MINHASH_PARAMS))])
+    b = sigs.select(F.col("_g").alias("src_b"), *[F.col(f"s{i}").alias(f"b{i}") for i in range(len(MINHASH_PARAMS))])
+    matches = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(len(MINHASH_PARAMS))
+    )
+    return (
+        a.join(b, F.col("src_a") < F.col("src_b"))
+        .select(
+            "src_a",
+            "src_b",
+            (matches.cast("double") / F.lit(len(MINHASH_PARAMS))).alias("est_jaccard"),
+        )
+    )

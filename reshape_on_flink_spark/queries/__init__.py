@@ -53,6 +53,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_contamination_rate",
     "q_curation_v2",
     "q_quality_percentile_gate",
+    "q_corpus_overlap_minhash",
     "q_quality_classifier",
     "q_shard_manifest",
     "q_profile_table",

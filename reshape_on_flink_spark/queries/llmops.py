@@ -2223,3 +2223,42 @@ def q_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-to-corpus overlap from sketches: one MinHash signature PER
+# SOURCE (min over member docs' shingle hashes — union commutes with
+# min), pairwise Jaccard estimated from matching components.
+# ---------------------------------------------------------------------------
+@query(
+    "q_corpus_overlap_minhash",
+    f"""
+    WITH toks AS (SELECT doc_id, source, {SQL_TOKS} AS tk FROM documents),
+    tok AS (SELECT doc_id, source, i AS pos, tk[i] AS tok
+            FROM toks, UNNEST(generate_series(1, len(tk))) AS u(i)),
+    sh0 AS (SELECT doc_id, source,
+                   tok || ' ' || LEAD(tok) OVER w || ' ' || LEAD(tok, 2) OVER w AS shingle,
+                   LEAD(tok, 2) OVER w AS t2
+            FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    sh AS (SELECT DISTINCT source, shingle FROM sh0 WHERE t2 IS NOT NULL),
+    params AS (SELECT * FROM (VALUES {_PARAM_VALUES}) AS p(i, a, b)),
+    sig AS (SELECT source, i,
+                   MIN((a * ({SQL_H60.format(x='shingle')} % {D.MINHASH_P}) + b) % {D.MINHASH_P}) AS sig
+            FROM sh CROSS JOIN params GROUP BY source, i)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS DOUBLE)
+             / {len(D.MINHASH_PARAMS)} AS est_jaccard
+    FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY src_a, src_b
+    """,
+)
+def q_corpus_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus overlap planning metric
+    (llm/dedup.corpus_minhash_overlap): per-source corpus-level MinHash
+    signatures (16 longs of state per source), all source pairs'
+    Jaccard estimated without any document-pair work."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return D.corpus_minhash_overlap(d, group_col="source").orderBy(
+        "src_a", "src_b"
+    )

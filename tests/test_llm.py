@@ -852,3 +852,25 @@ def test_domain_mix_epochs_upsample_counts(spark, tables):
         d, {"src0": 2.5, "src1": 0.0}, domain_col="source", default_epochs=1.0
     )
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_corpus_overlap_identical_groups_score_one(spark, tables):
+    """Duplicating a corpus under two labels => estimated corpus Jaccard
+    1.0 between the clone labels; disjoint shingle sets score near 0."""
+    from reshape_on_flink_spark.llm import dedup as D
+
+    d = tables["documents"].limit(40).select("doc_id", "text")
+    two = d.selectExpr("doc_id", "text", "'A' AS grp").union(
+        d.selectExpr("doc_id + 100000 AS doc_id", "text", "'B' AS grp")
+    )
+    (row,) = D.corpus_minhash_overlap(two, group_col="grp").collect()
+    assert (row["src_a"], row["src_b"], row["est_jaccard"]) == ("A", "B", 1.0)
+
+    disjoint = d.selectExpr("doc_id", "text", "'A' AS grp").union(
+        spark.createDataFrame(
+            [(200000 + i, " ".join(f"zz{i}w{j}" for j in range(30)), "B") for i in range(40)],
+            "doc_id long, text string, grp string",
+        )
+    )
+    (row2,) = D.corpus_minhash_overlap(disjoint, group_col="grp").collect()
+    assert row2["est_jaccard"] <= 0.2
