@@ -540,17 +540,25 @@ def corpus_minhash_overlap(
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"s{i}")
         for i, (a, b) in enumerate(MINHASH_PARAMS)
     ]
+    k = len(MINHASH_PARAMS)
     sigs = hashed.groupBy("_g").agg(*mins)
-    a = sigs.select(F.col("_g").alias("src_a"), *[F.col(f"s{i}").alias(f"a{i}") for i in range(len(MINHASH_PARAMS))])
-    b = sigs.select(F.col("_g").alias("src_b"), *[F.col(f"s{i}").alias(f"b{i}") for i in range(len(MINHASH_PARAMS))])
-    matches = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(len(MINHASH_PARAMS))
+    long = sigs.select(
+        "_g",
+        F.posexplode(F.array(*[f"s{i}" for i in range(k)])).alias("i", "sig"),
     )
+    # pair on the component index (EQUI-join — 16 keys × |groups| rows
+    # per key; an inequality-only pair join would plan as a cartesian,
+    # which the plan lint forbids even at this tiny cardinality)
+    a = long.select(F.col("_g").alias("src_a"), "i", F.col("sig").alias("sig_a"))
+    b = long.select(F.col("_g").alias("src_b"), "i", F.col("sig").alias("sig_b"))
     return (
-        a.join(b, F.col("src_a") < F.col("src_b"))
-        .select(
-            "src_a",
-            "src_b",
-            (matches.cast("double") / F.lit(len(MINHASH_PARAMS))).alias("est_jaccard"),
+        a.join(b, "i")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(
+            (
+                F.sum((F.col("sig_a") == F.col("sig_b")).cast("int")).cast("double")
+                / F.lit(k)
+            ).alias("est_jaccard")
         )
     )
