@@ -505,14 +505,25 @@ def pq_codebooks(
     data-adaptive (sampling init is standard PQ practice; k-means
     refinement would break the float-reduction determinism contract —
     see kmeans_train — and sampling already matches the fixture's
-    distribution). Returns books[s][code] = list of dim/m floats."""
+    distribution). Returns books[s][code] = list of dim/m floats.
+
+    Ids need not be dense or zero-based: the sample is the ``k_codes``
+    lowest ids whatever their values (hashes, UUIDs-as-longs, offsets).
+    A corpus smaller than ``k_codes`` is a loud error — a short/empty
+    codebook would otherwise surface as an opaque index-out-of-range
+    far downstream in pq_encode."""
     d_sub = dim // m
     rows = (
-        corpus.where(F.col(id_col) < k_codes)
-        .orderBy(id_col)
+        corpus.orderBy(id_col)
         .select(vec_col)
+        .limit(k_codes)
         .collect()
     )
+    if len(rows) < k_codes:
+        raise ValueError(
+            f"pq_codebooks: corpus has {len(rows)} rows but k_codes="
+            f"{k_codes}; PQ needs at least k_codes vectors to sample"
+        )
     return [
         [[float(r[0][s * d_sub + j]) for j in range(d_sub)] for r in rows]
         for s in range(m)

@@ -682,6 +682,25 @@ def test_pq_encode_is_deterministic_and_compact(spark, tables):
     assert all(0 <= c < 16 for row in enc1 for c in row[1:])
 
 
+def test_pq_codebooks_nondense_ids(spark, tables):
+    """pq_codebooks samples the k_codes LOWEST ids, whatever their
+    values — hashed/UUID-as-long id spaces must yield the same books as
+    the equivalent dense relabeling, and a too-small corpus must fail
+    loudly instead of emitting a short codebook."""
+    emb = tables["embeddings"]
+    # shift ids far outside [0, k_codes): old `id < k_codes` predicate
+    # would have selected zero rows here
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + F.lit(10_000_000_000))
+    assert S.pq_codebooks(shifted) == S.pq_codebooks(emb)
+    # sparse ids: order, not density, decides the sample
+    sparse = emb.withColumn("vec_id", F.col("vec_id") * 1_000_003)
+    assert S.pq_codebooks(sparse) == S.pq_codebooks(emb)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k_codes"):
+        S.pq_codebooks(emb.limit(7), k_codes=16)
+
+
 def test_split_stable_under_corpus_growth(spark, tables):
     """A document's train/val/test assignment must not change when the
     corpus around it changes — the anti-contamination contract."""

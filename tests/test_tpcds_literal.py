@@ -1,0 +1,141 @@
+"""The reference's literal TPC-DS query texts, through the dialect layer.
+
+The reference end-to-end suite executes 103 query files verbatim
+(flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query/*.sql, driver
+TpcdsTestProgram.java:48-80: read file -> tEnv.sqlQuery(text)).  This
+suite does the same through ``TableEnvironment.execute_sql`` on Spark,
+with DuckDB executing the *same text* on the same parquet data as the
+value oracle.  This is a parser/dialect breadth test: every construct in
+the 103 texts (multi-CTE scoping, INTERSECT towers, correlated
+subqueries, ROLLUP/GROUPING, date interval arithmetic, backtick
+identifiers, stddev_samp, ...) must flow through the dialect layer
+untouched or correctly rewritten.
+
+Per-query accommodations (all documented, none touch the Spark side):
+
+- ORACLE_PATCHES: DuckDB binds ORDER BY names against the input scope
+  before the output scope and calls ties ambiguous where Flink/Spark
+  resolve to the projected column (query58 ``order by item_id``,
+  query72 ``order by ... d_week_seq``).  The patch qualifies the
+  identifier for the oracle text only; the join predicates make every
+  candidate column equal, so semantics are unchanged.
+- LIMIT-boundary ties: when ORDER BY keys don't fully determine the
+  ``LIMIT 100`` cut, row sets below the boundary are engine-dependent.
+  The comparator retries with the trailing LIMIT stripped from BOTH
+  texts — same literal query otherwise.
+- query90 divides by a COUNT(*) that is 0 at this sf.  Flink, like
+  ANSI Spark, raises on decimal division by zero; DuckDB returns NULL.
+  The test asserts the Flink-parity behavior (ANSI raise) AND
+  value-compares the non-error semantics with ANSI off.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from reshape_on_flink_spark.sources import tpcds as T
+
+QUERY_DIR = os.environ.get(
+    "TPCDS_QUERY_DIR",
+    "/root/reference/flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query",
+)
+DATA_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".tpcds_cache",
+    "sf0.01",
+)
+
+_HAVE_TEXTS = os.path.isdir(QUERY_DIR)
+
+QUERY_FILES = sorted(
+    glob.glob(os.path.join(QUERY_DIR, "query*.sql")) if _HAVE_TEXTS else [],
+    key=lambda p: (len(os.path.basename(p)), p),
+)
+
+# oracle-side (DuckDB) identifier qualification; see module docstring
+ORACLE_PATCHES = {
+    "query58": ("order by item_id", "order by ss_items.item_id"),
+    "query72": (
+        "order by total_cnt desc, i_item_desc, w_warehouse_name, d_week_seq",
+        "order by total_cnt desc, i_item_desc, w_warehouse_name, d1.d_week_seq",
+    ),
+}
+
+ANSI_DIV0 = {"query90"}
+
+
+@pytest.fixture(scope="module")
+def tpcds_env(spark):
+    """(isolated SparkSession, TableEnvironment, DuckDB oracle) over the
+    same generated parquet.  ``newSession()`` shares the JVM but has its
+    own temp-view catalog, so TPC-DS ``customer``/``item`` never collide
+    with the TPC-H-ish fixture views used by the rest of the suite."""
+    from reshape_on_flink_spark.api.table_env import TableEnvironment
+
+    T.generate_tpcds(DATA_DIR, sf=0.01)
+    session = spark.newSession()
+    T.register_tpcds(session, DATA_DIR)
+    duck = T.duckdb_tpcds(DATA_DIR)
+    yield session, TableEnvironment.create(session), duck
+    duck.close()
+
+
+def _both(tenv, duck, sql: str):
+    spd = tenv.execute_sql(sql).toPandas()
+    dpd = duck.execute(T.to_duckdb_dialect(sql)).fetchdf()
+    return spd, dpd
+
+
+@pytest.mark.parametrize(
+    "query_file",
+    QUERY_FILES,
+    ids=[os.path.basename(f)[:-4] for f in QUERY_FILES],
+)
+def test_tpcds_literal_text(query_file, tpcds_env):
+    session, tenv, duck = tpcds_env
+    name = os.path.basename(query_file)[:-4]
+    sql = T.load_query_text(query_file)
+    oracle_sql = sql
+    if name in ORACLE_PATCHES:
+        old, new = ORACLE_PATCHES[name]
+        assert old in oracle_sql, f"{name}: oracle patch target drifted"
+        oracle_sql = oracle_sql.replace(old, new)
+
+    if name in ANSI_DIV0:
+        # Flink-parity first: ANSI Spark must raise on the /0 ...
+        with pytest.raises(Exception, match="(?i)divide|division|arithmetic"):
+            tenv.execute_sql(sql).collect()
+        # ... and the NULL semantics (ANSI off) must value-match DuckDB
+        session.conf.set("spark.sql.ansi.enabled", "false")
+        try:
+            spd = tenv.execute_sql(sql).toPandas()
+        finally:
+            session.conf.set("spark.sql.ansi.enabled", "true")
+        dpd = duck.execute(T.to_duckdb_dialect(oracle_sql)).fetchdf()
+        assert T.compare_results(spd, dpd) is None
+        return
+
+    spd = tenv.execute_sql(sql).toPandas()
+    dpd = duck.execute(T.to_duckdb_dialect(oracle_sql)).fetchdf()
+    msg = T.compare_results(spd, dpd)
+    if msg is not None and T.top_limit(sql) is not None and len(dpd) == T.top_limit(sql):
+        # LIMIT-boundary tie: strip the trailing LIMIT from BOTH texts
+        nolim = T.strip_top_limit(sql)
+        spd, dpd = (
+            tenv.execute_sql(nolim).toPandas(),
+            duck.execute(T.to_duckdb_dialect(T.strip_top_limit(oracle_sql))).fetchdf(),
+        )
+        msg = T.compare_results(spd, dpd)
+        assert msg is None, f"{name} (limit-stripped): {msg}"
+    else:
+        assert msg is None, f"{name}: {msg}"
+
+
+@pytest.mark.skipif(not _HAVE_TEXTS, reason="reference query dir absent")
+def test_tpcds_inventory_complete():
+    """All 103 reference query files are present and every one is
+    exercised by the parametrized test above."""
+    assert len(QUERY_FILES) == 103

@@ -1,0 +1,83 @@
+"""Triage sweep: run every reference TPC-DS query text through the
+dialect layer on Spark vs DuckDB on identical parquet. Prints per-query
+status; used to build the pinned pytest suite."""
+
+import glob
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from reshape_on_flink_spark.sources import tpcds as T
+
+QUERY_DIR = os.environ.get(
+    "TPCDS_QUERY_DIR",
+    "/root/reference/flink-end-to-end-tests/flink-tpcds-test/tpcds-tool/query",
+)
+DATA_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".tpcds_cache", "sf0.01")
+
+ONLY = sys.argv[1:] or None
+
+
+def main():
+    from reshape_on_flink_spark.session import get_spark
+    from reshape_on_flink_spark.api.table_env import TableEnvironment
+
+    T.generate_tpcds(DATA_DIR, sf=0.01)
+    spark = get_spark("tpcds-sweep", cores=8)
+    T.register_tpcds(spark, DATA_DIR)
+    tenv = TableEnvironment.create(spark)
+    duck = T.duckdb_tpcds(DATA_DIR)
+
+    files = sorted(glob.glob(os.path.join(QUERY_DIR, "query*.sql")),
+                   key=lambda p: (len(os.path.basename(p)), p))
+    ok, okl, bad = [], [], []
+    for f in files:
+        name = os.path.basename(f)[:-4]
+        if ONLY and name not in ONLY:
+            continue
+        sql = T.load_query_text(f)
+        t0 = time.time()
+        try:
+            sdf = tenv.execute_sql(sql)
+            spd = sdf.toPandas()
+        except Exception as e:
+            bad.append((name, "SPARK", repr(e)[:300]))
+            print(f"{name:10s} SPARK-ERR {repr(e)[:200]}")
+            continue
+        try:
+            dpd = duck.execute(T.to_duckdb_dialect(sql)).fetchdf()
+        except Exception as e:
+            bad.append((name, "DUCK", repr(e)[:300]))
+            print(f"{name:10s} DUCK-ERR {repr(e)[:200]}")
+            continue
+        msg = T.compare_results(spd, dpd)
+        mode = "full"
+        if msg is not None and T.top_limit(sql) is not None and len(dpd) == T.top_limit(sql):
+            nolim = T.strip_top_limit(sql)
+            try:
+                spd2 = tenv.execute_sql(nolim).toPandas()
+                dpd2 = duck.execute(T.to_duckdb_dialect(nolim)).fetchdf()
+                msg2 = T.compare_results(spd2, dpd2)
+                if msg2 is None:
+                    msg, mode = None, "nolimit"
+                else:
+                    msg = msg + " | nolimit: " + msg2
+            except Exception as e:
+                msg = msg + " | nolimit raised: " + repr(e)[:150]
+        dt = time.time() - t0
+        if msg is None:
+            (ok if mode == "full" else okl).append(name)
+            print(f"{name:10s} OK({mode}) rows={len(spd)} {dt:.1f}s")
+        else:
+            bad.append((name, "MISMATCH", msg))
+            print(f"{name:10s} MISMATCH {msg[:220]}  {dt:.1f}s")
+    print(f"\nfull={len(ok)} nolimit={len(okl)} bad={len(bad)}")
+    for b in bad:
+        print("BAD", b[0], b[1], b[2][:160])
+
+
+if __name__ == "__main__":
+    main()
