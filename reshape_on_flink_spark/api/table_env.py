@@ -147,6 +147,32 @@ def _find_call(sql: str, names: tuple[str, ...], start: int = 0) -> tuple[str, i
     return m.group(1).upper(), m.start(), i, sql[m.end() : i - 1]
 
 
+def _matching_open(text: str, close_idx: int) -> int:
+    """Index of the ``(`` matching ``text[close_idx] == ')'``, honoring
+    single-quoted string literals ('' escapes); -1 if unbalanced."""
+    stack: list[int] = []
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if text[i] == "'":
+                    if i + 1 < n and text[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif ch == "(":
+            stack.append(i)
+        elif ch == ")":
+            open_i = stack.pop() if stack else -1
+            if i == close_idx:
+                return open_i
+        i += 1
+    return -1
+
+
 def _tvf_args(raw: str) -> dict[str, str]:
     """Normalize a window-TVF argument list (positional or name =>)."""
     args: dict[str, str] = {}
@@ -702,13 +728,34 @@ class TableEnvironment:
         assert hit is not None
         _, begin, end, body = hit
         head = sql[:begin]
-        fm = re.search(r"\bFROM\s+([A-Za-z_][\w.]*)\s*$", head, re.IGNORECASE)
-        if not fm:
-            raise NotImplementedError(
-                "MATCH_RECOGNIZE source must be a named table/view "
-                "(subquery sources not supported)"
-            )
-        table = fm.group(1)
+        head_r = head.rstrip()
+        if head_r.endswith(")"):
+            # subquery source: FROM ( <query> ) MATCH_RECOGNIZE (...)
+            # — the subquery runs through execute_sql itself (so nested
+            # dialect constructs work) and lands in a temp view; the
+            # whole parenthesized span is then replaced by the match
+            # output view exactly like a named-table source.
+            open_i = _matching_open(head_r, len(head_r) - 1)
+            if open_i < 0 or not re.search(
+                r"\bFROM\s*$", head_r[:open_i], re.IGNORECASE
+            ):
+                raise NotImplementedError(
+                    "MATCH_RECOGNIZE source must be a named table/view or "
+                    "a parenthesized subquery directly after FROM"
+                )
+            sub_sql = head_r[open_i + 1 : -1].strip()
+            table = f"__mr_src_{abs(hash(sub_sql)) % 10**8}"
+            self.execute_sql(sub_sql).createOrReplaceTempView(table)
+            src_start = open_i
+        else:
+            fm = re.search(r"\bFROM\s+([A-Za-z_][\w.]*)\s*$", head, re.IGNORECASE)
+            if not fm:
+                raise NotImplementedError(
+                    "MATCH_RECOGNIZE source must be a named table/view or "
+                    "a parenthesized subquery directly after FROM"
+                )
+            table = fm.group(1)
+            src_start = fm.start(1)
 
         all_rows = bool(re.search(r"\bALL\s+ROWS\s+PER\s+MATCH\b", body, re.IGNORECASE))
         skip = re.search(r"\bAFTER\s+MATCH\s+SKIP\s+(.*?)\s*" + self._MR_SECTION_STOP,
@@ -745,28 +792,77 @@ class TableEnvironment:
             raise ValueError("MATCH_RECOGNIZE needs DEFINE")
 
         part_cols = [c.strip() for c in part_s.split(",")]
-        order_cols = [re.sub(r"\s+ASC$", "", c.strip(), flags=re.IGNORECASE)
-                      for c in order_s.split(",")]
-        if any(re.search(r"\sDESC$", c, re.IGNORECASE) for c in order_cols):
-            raise NotImplementedError("MATCH_RECOGNIZE ORDER BY ... DESC is not supported")
+        order_specs: list[tuple[str, bool]] = []
+        for item in (c.strip() for c in order_s.split(",")):
+            dm = re.match(r"(.+?)\s+(ASC|DESC)$", item, re.IGNORECASE)
+            if dm:
+                order_specs.append((dm.group(1).strip(), dm.group(2).upper() == "ASC"))
+            else:
+                order_specs.append((item, True))
+        order_cols = [c for c, _ in order_specs]
         symbols = symbols_of(pattern)
+
+        src_df = self.spark.table(table)
+        streaming = src_df.isStreaming
+
+        if any(not asc for _, asc in order_specs):
+            # DESC scan order (batch): materialize the scan position as a
+            # row_number over the directed sort and use it as the single
+            # ascending order key everywhere downstream (NFA scan, PREV/
+            # NEXT lag frames, FIRST/LAST order structs) — one window,
+            # no operator changes.  Streaming keeps Flink's own rule:
+            # the primary ORDER BY must be an ascending time attribute
+            # (flink-table-planner MatchRecognize validation).
+            if streaming:
+                raise NotImplementedError(
+                    "streaming MATCH_RECOGNIZE requires ascending (rowtime) "
+                    "ORDER BY, as in Flink; DESC is supported on batch sources"
+                )
+            from pyspark.sql import Window as _W
+
+            seq_w = _W.partitionBy(*part_cols).orderBy(
+                *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in order_specs]
+            )
+            src_df = src_df.withColumn("__mr_seq", F.row_number().over(seq_w))
+            order_cols = ["__mr_seq"]
+
         over = (
             f" OVER (PARTITION BY {', '.join(part_cols)} ORDER BY {', '.join(order_cols)})"
         )
 
         def mr_expr(expr: str) -> str:
+            # RUNNING(x) in DEFINE is the default evaluation semantics for
+            # row-local/navigation expressions -> unwrap; FINAL is illegal
+            # in DEFINE (SQL standard; Flink MatchCodeGenerator rejects it)
+            expr = re.sub(r"\bRUNNING\s*\(", "(", expr, flags=re.IGNORECASE)
+            if re.search(r"\bFINAL\s*\(", expr, re.IGNORECASE):
+                raise NotImplementedError(
+                    "FINAL is not allowed in DEFINE (use it in MEASURES)"
+                )
+            if re.search(
+                r"\b(SUM|COUNT|AVG|MIN|MAX|FIRST|LAST)\s*\(", expr, re.IGNORECASE
+            ):
+                raise NotImplementedError(
+                    "match-scoped aggregates/navigation (SUM/COUNT/AVG/MIN/"
+                    "MAX/FIRST/LAST) in DEFINE need NFA match state and are "
+                    "not supported; row-local expressions and PREV/NEXT are"
+                )
             expr = re.sub(
                 r"\bPREV\s*\(\s*\w+\.(\w+)\s*(?:,\s*(\d+))?\s*\)",
                 lambda m: f"lag({m.group(1)}{', ' + m.group(2) if m.group(2) else ''})" + over,
                 expr,
                 flags=re.IGNORECASE,
             )
-            if re.search(r"\b(NEXT|FINAL|RUNNING)\s*\(", expr, re.IGNORECASE):
-                raise NotImplementedError("NEXT/FINAL/RUNNING in MATCH_RECOGNIZE")
+            # NEXT(S.col[, n]) -> lead over the scan order.  Batch-only
+            # extension: Flink's streaming NFA cannot look ahead and
+            # rejects NEXT in DEFINE; a bounded batch scan can.
+            expr = re.sub(
+                r"\bNEXT\s*\(\s*\w+\.(\w+)\s*(?:,\s*(\d+))?\s*\)",
+                lambda m: f"lead({m.group(1)}{', ' + m.group(2) if m.group(2) else ''})" + over,
+                expr,
+                flags=re.IGNORECASE,
+            )
             return re.sub(r"\b(" + "|".join(symbols) + r")\.", "", expr)
-
-        src_df = self.spark.table(table)
-        streaming = src_df.isStreaming
 
         define: dict = {}
         for item in _split_top(def_m.group(1)):
@@ -846,7 +942,7 @@ class TableEnvironment:
             )
             view = f"__mr_{abs(hash(sql)) % 10**8}"
             per_match.createOrReplaceTempView(view)
-            outer = sql[: fm.start(1)] + view + sql[end:]
+            outer = sql[:src_start] + view + sql[end:]
             return self.execute_sql(outer)
 
         matched = match_recognize(
@@ -883,7 +979,8 @@ class TableEnvironment:
                 "running": w_base.rowsBetween(W.unboundedPreceding, W.currentRow),
                 "final": w_base.rowsBetween(W.unboundedPreceding, W.unboundedFollowing),
             }
-            data_cols = [c for c in matched.columns if c not in ("match_id", "matched_symbol")]
+            data_cols = [c for c in matched.columns
+                         if c not in ("match_id", "matched_symbol", "__mr_seq")]
             out_cols = []
             for kind, agg, alias, mode in measures:
                 if kind == "match_number":
@@ -909,7 +1006,7 @@ class TableEnvironment:
             )
         view = f"__mr_{abs(hash(sql)) % 10**8}"
         per_match.createOrReplaceTempView(view)
-        outer = sql[: fm.start(1)] + view + sql[end:]
+        outer = sql[:src_start] + view + sql[end:]
         return self.execute_sql(outer)
 
     # Flink's sqlQuery and executeSql are the same path for queries here.

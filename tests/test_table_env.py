@@ -228,6 +228,107 @@ def test_match_recognize_sql_all_rows_per_match(tenv, spark):
     ]
 
 
+def test_match_recognize_sql_order_by_desc(tenv, spark):
+    """ORDER BY ... DESC (batch): the NFA scans the directed order.
+    Oracle: DESC on pos must equal ASC on a negated copy of pos —
+    same engine, mechanically different path (row_number scan key)."""
+    spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate([5, 3, 4, 9, 2, 6])],
+        "k int, pos int, v double",
+    ).createOrReplaceTempView("mr_desc_src")
+    spark.sql(
+        "SELECT k, pos, -pos AS neg_pos, v FROM mr_desc_src"
+    ).createOrReplaceTempView("mr_desc_neg")
+
+    def run(src, order):
+        df = tenv.execute_sql(f"""
+            SELECT pos, sym, mno FROM {src} MATCH_RECOGNIZE (
+              PARTITION BY k ORDER BY {order}
+              MEASURES CLASSIFIER() AS sym, MATCH_NUMBER() AS mno
+              ALL ROWS PER MATCH
+              PATTERN (DOWN+ UP+)
+              DEFINE DOWN AS DOWN.v < PREV(DOWN.v),
+                     UP AS UP.v > PREV(UP.v)
+            ) ORDER BY mno, pos
+        """)
+        assert "__mr_seq" not in df.columns  # scan key never leaks
+        return [tuple(r) for r in df.collect()]
+
+    got = run("mr_desc_src", "pos DESC")
+    assert got == run("mr_desc_neg", "neg_pos ASC")
+    # hand-check: scan [6,2,9,4,3,5] -> match1 = pos4 DOWN, pos3 UP;
+    # match2 = pos2 DOWN, pos1 DOWN, pos0 UP
+    assert got == [
+        (3, "UP", 1), (4, "DOWN", 1),
+        (0, "UP", 2), (1, "DOWN", 2), (2, "DOWN", 2),
+    ]
+
+
+def test_match_recognize_sql_subquery_source(tenv, spark):
+    """FROM (subquery) MATCH_RECOGNIZE — the subquery runs through
+    execute_sql and must equal the same query over a registered view."""
+    spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate([5, 3, 4, 9, 2, 6])],
+        "k int, pos int, v double",
+    ).createOrReplaceTempView("mr_subq_src")
+
+    mr = """MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY pos
+          MEASURES COUNT(A.*) AS n_a
+          ONE ROW PER MATCH
+          PATTERN (A+)
+          DEFINE A AS A.v > 3.5
+        )"""
+    sub = tenv.execute_sql(
+        f"SELECT n_a FROM (SELECT k, pos, v FROM mr_subq_src WHERE pos <> 1) {mr} ORDER BY n_a"
+    ).collect()
+    spark.sql("SELECT k, pos, v FROM mr_subq_src WHERE pos <> 1").createOrReplaceTempView(
+        "mr_subq_view"
+    )
+    named = tenv.execute_sql(
+        f"SELECT n_a FROM mr_subq_view {mr} ORDER BY n_a"
+    ).collect()
+    assert [tuple(r) for r in sub] == [tuple(r) for r in named] != []
+
+
+def test_match_recognize_sql_define_next_and_running(tenv, spark):
+    """NEXT(S.col[, n]) in DEFINE (batch lookahead -> lead) and the
+    RUNNING(...) unwrap; FINAL and match-scoped aggregates in DEFINE
+    stay loud."""
+    spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate([5, 3, 4, 9, 2, 6])],
+        "k int, pos int, v double",
+    ).createOrReplaceTempView("mr_next_src")
+    got = tenv.execute_sql(
+        """
+        SELECT n_a FROM mr_next_src MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY pos
+          MEASURES COUNT(A.*) AS n_a
+          ONE ROW PER MATCH
+          PATTERN (A+)
+          DEFINE A AS RUNNING(A.v < NEXT(A.v))
+        ) ORDER BY n_a
+        """
+    ).collect()
+    # v < next(v): pos1, pos2 (run of 2) and pos4 (run of 1)
+    assert [r["n_a"] for r in got] == [1, 2]
+    for bad, msg in [
+        ("A AS FINAL(A.v) > 0", "FINAL"),
+        ("A AS SUM(A.v) > 2", "aggregates"),
+        ("A AS LAST(A.v) > 2", "aggregates"),
+    ]:
+        with pytest.raises(NotImplementedError, match=msg):
+            tenv.execute_sql(
+                f"""
+                SELECT * FROM mr_next_src MATCH_RECOGNIZE (
+                  PARTITION BY k ORDER BY pos
+                  MEASURES COUNT(A.*) AS n ONE ROW PER MATCH
+                  PATTERN (A+) DEFINE {bad}
+                )
+                """
+            )
+
+
 def test_match_recognize_sql_skip_to_next_row(tenv, spark):
     """SKIP TO NEXT ROW resumes at match start + 1 -> overlapping
     matches; PAST LAST ROW (default) tiles them."""
