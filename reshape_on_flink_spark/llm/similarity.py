@@ -530,6 +530,68 @@ def pq_codebooks(
     ]
 
 
+def pq_codebooks_trained(
+    corpus: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    dim: int = 64,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """K-medians-refined PQ codebooks: sample-init (pq_codebooks), then
+    ``n_iters`` rounds of (assign each subvector to its nearest codeword,
+    replace each codeword with the per-coordinate exact MEDIAN of its
+    assigned subvectors, quantize to 1e-6).  The same determinism
+    contract as kmeans_train: the median involves no partition-order-
+    dependent float reduction, so trained books are bit-stable across
+    runs and engines and the downstream search stays hash-gated.
+
+    One job per round: every row explodes to m (subspace, code, coord,
+    val) quads via a single array-of-structs literal plan (no self-join
+    with the encode output), one hash agg computes the m x k_codes x
+    d_sub medians, and the driver collects exactly that many doubles
+    (1024 at the defaults) — bounded regardless of corpus size.  At
+    100 TB train on corpus.sample(...) with the identical loop; serving
+    (pq_encode / pq_topk) is unchanged.
+
+    Empty codes keep their previous codeword (standard k-means practice,
+    same rule as kmeans_train)."""
+    d_sub = dim // m
+    books = pq_codebooks(corpus, m, k_codes, dim, id_col, vec_col)
+    for _ in range(n_iters):
+        def code_of(s: int) -> Column:
+            sub = _sub_slice(vec_col, s, d_sub)
+            pairs = F.transform(
+                F.lit(books[s]),
+                lambda cw, i: F.struct(_fold_l2(sub, cw).alias("d"), i.alias("code")),
+            )
+            return F.element_at(F.array_sort(pairs), 1)["code"]
+
+        quads = F.array(
+            *[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    code_of(s).alias("code"),
+                    _sub_slice(vec_col, s, d_sub).alias("sv"),
+                )
+                for s in range(m)
+            ]
+        )
+        rows = (
+            corpus.select(F.explode(quads).alias("a"))
+            .select("a.s", "a.code", F.posexplode("a.sv").alias("pos", "val"))
+            .groupBy("s", "code", "pos")
+            .agg(F.median("val").alias("med"))
+            .collect()
+        )
+        new = [[list(cw) for cw in book] for book in books]
+        for r in rows:
+            new[r["s"]][r["code"]][r["pos"]] = float(np.round(r["med"], 6))
+        books = new
+    return books
+
+
 def _sub_slice(vec_col: str, s: int, d_sub: int) -> Column:
     return F.slice(F.col(vec_col), s * d_sub + 1, d_sub)
 
@@ -592,6 +654,7 @@ def pq_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Asymmetric-distance PQ search: corpus rows are scored from their
     codes alone via per-query lookup tables (dot(q_sub, codeword) per
@@ -606,7 +669,8 @@ def pq_topk(
     """
     import math
 
-    books = pq_codebooks(corpus, m, k_codes, dim, id_col, vec_col)
+    if books is None:
+        books = pq_codebooks(corpus, m, k_codes, dim, id_col, vec_col)
     d_sub = dim // m
     enc = pq_encode(corpus, books, id_col, vec_col)
     # reconstruction norm^2 per row: literal lookup of per-codeword
@@ -670,6 +734,7 @@ def pq_topk_rerank(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """The PQ serving shape: codes-only asymmetric scoring produces a
     ``shortlist`` per query, then ONLY those candidates join back to
@@ -681,7 +746,7 @@ def pq_topk_rerank(
     fixture, vs ~0.3 for raw PQ ranking)."""
     cand = pq_topk(
         corpus, queries, k=shortlist, m=m, k_codes=k_codes, dim=dim,
-        id_col=id_col, vec_col=vec_col,
+        id_col=id_col, vec_col=vec_col, books=books,
     ).select("query_id", "neighbor_id")
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))

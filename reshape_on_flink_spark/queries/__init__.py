@@ -82,6 +82,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_bigram_perplexity",
     "q_similarity_pq",
     "q_similarity_pq_rerank",
+    "q_similarity_pq_trained",
     "q_ds_multi_cte_reuse",
     "q_ds_two_year_star_join",
     "q_ds_inventory_chain",

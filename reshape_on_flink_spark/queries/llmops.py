@@ -1085,25 +1085,67 @@ def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_lm_scores(d).orderBy("doc_id")
 
 
-def _pq_oracle(m: int = 8, k_codes: int = 16, dim: int = 64, k: int = 5) -> str:
+_PQ_L2 = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))"
+    " * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))))"
+)
+
+
+def _pq_oracle(
+    m: int = 8, k_codes: int = 16, dim: int = 64, k: int = 5,
+    train_iters: int = 0,
+) -> str:
     """DuckDB replica of pq_topk INCLUDING codebook construction: the
     sample-init codebooks are the sub-slices of the k_codes lowest-id
     rows; encoding is argmin L2 with (dist ASC, code ASC) tie-break;
     partial dots/norms are quantized to 1e-9 BIGINTs per subspace so the
     cross-subspace SUMs are exact integers — identical to the Spark
-    expression tree (see llm/similarity.PQ_SCALE)."""
+    expression tree (see llm/similarity.PQ_SCALE).
+
+    ``train_iters > 0`` additionally unrolls that many k-medians
+    refinement rounds (pq_codebooks_trained: assign by L2 with
+    (d ASC, code ASC) tie-break, per-coordinate exact MEDIAN, round to
+    1e-6, empty codes keep the previous codeword) as CTE stages — the
+    same unrolled-training pattern as _ann_ivf_trained_oracle."""
     d_sub = dim // m
     sc = S.PQ_SCALE
+    # bv is DOUBLE[] from the start: COALESCE in the training chain would
+    # otherwise unify the rounds' DOUBLE[] with FLOAT[] and truncate the
+    # refined codewords to float32 (Spark's books are Python doubles)
+    books = ["""b0 AS (
+      SELECT b.vec_id AS code, s.s,
+             list_transform(
+               list_slice(b.embedding, s.s * {d} + 1, s.s * {d} + {d}),
+               x -> CAST(x AS DOUBLE)) AS bv
+      FROM embeddings b CROSS JOIN subsp s WHERE b.vec_id < {k})""".format(
+        d=d_sub, k=k_codes)]
+    for i in range(1, train_iters + 1):
+        l2 = _PQ_L2.format(a="c.sv", b="b.bv")
+        books.append(f"""d{i} AS (
+      SELECT c.vec_id, c.s, c.sv, b.code, {l2} AS d
+      FROM csub c JOIN b{i - 1} b ON c.s = b.s),
+    a{i} AS (SELECT s, code, sv FROM (
+      SELECT s, code, sv,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                ORDER BY d ASC, code ASC) AS rn
+      FROM d{i}) WHERE rn = 1),
+    m{i} AS (SELECT s, code, pos, median(CAST(val AS DOUBLE)) AS med FROM (
+      SELECT s, code, UNNEST(sv) AS val, UNNEST(range(len(sv))) AS pos
+      FROM a{i}) GROUP BY s, code, pos),
+    g{i} AS (SELECT s, code, list(round(med, 6) ORDER BY pos) AS bv
+             FROM m{i} GROUP BY s, code),
+    b{i} AS (SELECT p.s, p.code, COALESCE(g.bv, p.bv) AS bv
+             FROM b{i - 1} p LEFT JOIN g{i} g USING (s, code))""")
+    books_sql = ",\n    ".join(books)
     return f"""
     WITH subsp AS (SELECT UNNEST(range({m})) AS s),
-    bsub AS (
-      SELECT b.vec_id AS code, s.s,
-             list_slice(b.embedding, s.s * {d_sub} + 1, s.s * {d_sub} + {d_sub}) AS bv
-      FROM embeddings b CROSS JOIN subsp s WHERE b.vec_id < {k_codes}),
     csub AS (
       SELECT e.vec_id, s.s,
              list_slice(e.embedding, s.s * {d_sub} + 1, s.s * {d_sub} + {d_sub}) AS sv
       FROM embeddings e CROSS JOIN subsp s),
+    {books_sql},
+    bsub AS (SELECT code, s, bv FROM b{train_iters}),
     dist AS (
       SELECT c.vec_id, c.s, b.code,
              list_sum(list_transform(list_zip(c.sv, b.bv),
@@ -1202,6 +1244,23 @@ def q_similarity_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.pq_topk_rerank(emb, emb.where(F.col("vec_id") < 10), k=5).orderBy(
         "query_id", "rank"
     )
+
+
+@query("q_similarity_pq_trained", _pq_oracle(train_iters=2))
+def q_similarity_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ search with OFFLINE-TRAINED codebooks: two k-medians
+    refinement rounds on the corpus (pq_codebooks_trained — exact
+    per-coordinate medians, the same determinism trick as
+    kmeans_train), then the identical codes-only serving plan.
+    Training cuts quantization distortion ~23% vs sample-init on the
+    fixture (pinned in tests/test_llm.py); the full train + encode +
+    search pipeline is hash-gated against a DuckDB replica that
+    unrolls both rounds in SQL."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    books = S.pq_codebooks_trained(emb, n_iters=2)
+    return S.pq_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=5, books=books
+    ).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------

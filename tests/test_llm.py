@@ -682,6 +682,53 @@ def test_pq_encode_is_deterministic_and_compact(spark, tables):
     assert all(0 <= c < 16 for row in enc1 for c in row[1:])
 
 
+def test_pq_trained_codebooks_cut_distortion(spark, tables):
+    """K-medians refinement must strictly reduce quantization distortion
+    (mean L2^2 between vector and its reconstruction) vs sample-init —
+    that is the objective training optimizes (>=15% pinned; measured
+    ~23-26% on the fixtures).  Top-k recall on a 10-query fixture is
+    sampling noise and is deliberately NOT pinned as an improvement;
+    the recall floor of the serving path is pinned instead.  Training
+    is bit-deterministic (exact medians, 1e-6 quantization — the
+    kmeans_train contract), which the hash-gated
+    q_similarity_pq_trained oracle also relies on."""
+    emb = tables["embeddings"]
+
+    def mse(books):
+        d_sub = 8
+        err = None
+        enc = S.pq_encode(emb, books)
+        j = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding").join(
+            enc, "neighbor_id"
+        )
+        for s in range(8):
+            sub = F.slice("embedding", s * d_sub + 1, d_sub)
+            cw = F.element_at(F.lit(books[s]), F.col(f"c{s}") + 1)
+            diff2 = F.aggregate(
+                F.zip_with(
+                    sub, cw,
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            err = diff2 if err is None else err + diff2
+        return j.select(F.avg(err)).collect()[0][0]
+
+    base = S.pq_codebooks(emb)
+    trained = S.pq_codebooks_trained(emb, n_iters=2)
+    assert trained == S.pq_codebooks_trained(emb, n_iters=2)  # deterministic
+    m0, m1 = mse(base), mse(trained)
+    assert m1 < 0.85 * m0, f"distortion {m0:.4f} -> {m1:.4f}: <15% reduction"
+    # serving floor with trained books: shortlist+rerank still recovers
+    # the bulk of the true top-5
+    q = emb.where(F.col("vec_id") < 10)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in S.brute_force_topk(emb, q, k=5).collect()}
+    rr = {(r["query_id"], r["neighbor_id"])
+          for r in S.pq_topk_rerank(emb, q, k=5, books=trained).collect()}
+    assert len(bf & rr) / len(bf) >= 0.7
+
+
 def test_pq_codebooks_nondense_ids(spark, tables):
     """pq_codebooks samples the k_codes LOWEST ids, whatever their
     values — hashed/UUID-as-long id spaces must yield the same books as
