@@ -516,9 +516,13 @@ class TableEnvironment:
     # temporary tables/views are session-scoped and never enter a
     # catalog either. Data survives via the tables' external locations.
 
+    # FUNCTION covers Flink's SqlCreateFunction/SqlDropFunction
+    # (flink-sql-parser ddl/): persistent SQL-bodied functions journal
+    # and replay; TEMPORARY functions are session-scoped in both engines
+    # and deliberately not journaled (same rule as temporary tables).
     _JOURNAL_DDL_RE = re.compile(
         r"^\s*(?:CREATE|DROP|ALTER)\s+(?:OR\s+REPLACE\s+)?(?:EXTERNAL\s+)?"
-        r"(?:TABLE|VIEW|DATABASE|SCHEMA)\b",
+        r"(?:TABLE|VIEW|DATABASE|SCHEMA|FUNCTION)\b",
         re.IGNORECASE,
     )
 

@@ -19,6 +19,70 @@ from pyspark.sql import functions as F
 from reshape_on_flink_spark.queries.numeric import dsum
 
 # ---------------------------------------------------------------------------
+# State TTL — reference StateTtlConfig (flink-core/.../state/
+# StateTtlConfig.java: newBuilder(ttl).setUpdateType(OnCreateAndWrite)
+# .setStateVisibility(NeverReturnExpired)). The Spark analog maps TTL to
+# a GroupState processing-time timeout: every write re-arms the timeout,
+# and the timeout callback clears the key's state, so an expired key is
+# never read again (NeverReturnExpired) and restarts fresh on its next
+# event. Works on any applyInPandasWithState operator via apply_with_ttl.
+# ---------------------------------------------------------------------------
+
+
+class StateTtl:
+    """Per-operator keyed-state time-to-live.
+
+    Supported knobs mirror the reference defaults: update type
+    ``OnCreateAndWrite`` (each write re-arms; ``OnReadAndWrite`` is
+    meaningless here because a keyed invocation without data never
+    happens outside the timeout callback) and visibility
+    ``NeverReturnExpired`` (expiry physically removes the state).
+    TTL time is processing time, as in the reference's only supported
+    ``TtlTimeCharacteristic.ProcessingTime``."""
+
+    def __init__(self, ttl_ms: int, update_type: str = "OnCreateAndWrite",
+                 visibility: str = "NeverReturnExpired"):
+        if ttl_ms <= 0:
+            raise ValueError("ttl_ms must be positive")
+        if update_type != "OnCreateAndWrite":
+            raise NotImplementedError(
+                "only OnCreateAndWrite is supported (reads outside the "
+                "data path don't exist in the GroupState model)"
+            )
+        if visibility != "NeverReturnExpired":
+            raise NotImplementedError(
+                "only NeverReturnExpired is supported (expiry removes state)"
+            )
+        self.ttl_ms = int(ttl_ms)
+
+
+def apply_with_ttl(grouped, func, out_schema, state_schema, output_mode,
+                   ttl: "StateTtl | None"):
+    """``applyInPandasWithState`` with an optional per-key TTL.
+
+    Without ``ttl`` this is the plain NoTimeout call. With it, the
+    stateful function is wrapped so that (a) a fired timeout clears the
+    key's state and emits nothing, and (b) every invocation that leaves
+    state behind re-arms a processing-time timeout of ``ttl.ttl_ms``."""
+    if ttl is None:
+        return grouped.applyInPandasWithState(
+            func, out_schema, state_schema, output_mode, "NoTimeout"
+        )
+
+    def wrapped(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        yield from func(key, pdfs, state)
+        if state.exists:
+            state.setTimeoutDuration(ttl.ttl_ms)
+
+    return grouped.applyInPandasWithState(
+        wrapped, out_schema, state_schema, output_mode, "ProcessingTimeTimeout"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Windowed aggregation — reference StreamExecGroupWindowAggregate /
 # SlicingWindowOperator. Watermark == BoundedOutOfOrdernessWatermarks.
 # ---------------------------------------------------------------------------
@@ -158,10 +222,13 @@ def dedup_keep_first_within_watermark(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
 
 
-def dedup_keep_last(events: DataFrame, keys: list[str]) -> DataFrame:
+def dedup_keep_last(
+    events: DataFrame, keys: list[str], ttl: StateTtl | None = None
+) -> DataFrame:
     """Keep-last has no built-in: emit per-key latest row each batch in
     update mode via stateful pandas (reference
-    ProcTimeDeduplicateKeepLastRowFunction)."""
+    ProcTimeDeduplicateKeepLastRowFunction; ``ttl`` is the
+    StateTtlConfig analog — idle keys are dropped after the TTL)."""
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -208,10 +275,10 @@ def dedup_keep_last(events: DataFrame, keys: list[str]) -> DataFrame:
             }
         )
 
-    return (
+    return apply_with_ttl(
         events.select("user_id", "event_id", "ts", "event_type", "value")
-        .groupBy("user_id")
-        .applyInPandasWithState(keep_last, out_schema, state_schema, "update", "NoTimeout")
+        .groupBy("user_id"),
+        keep_last, out_schema, state_schema, "update", ttl,
     )
 
 
@@ -271,11 +338,18 @@ def lookup_join(events: DataFrame, dim: DataFrame, on_left: str, on_right: str) 
 # ---------------------------------------------------------------------------
 
 
-def streaming_topn_counts(events: DataFrame, k: int = 3) -> DataFrame:
+def streaming_topn_counts(
+    events: DataFrame, k: int = 3, ttl: StateTtl | None = None
+) -> DataFrame:
     """Running per-user event counts -> per-batch global top-k rows in
     update mode, via stateful pandas. Emits (user_id, n) for users whose
     count changed; the sink keeps the latest per user (top-k is then a
-    trivial sort over ≤ distinct-user rows)."""
+    trivial sort over ≤ distinct-user rows).
+
+    ``ttl`` bounds per-key state lifetime (StateTtlConfig analog): a key
+    idle longer than the TTL is dropped and restarts from zero on its
+    next event — the reference's idle-state retention for unbounded
+    keyspaces."""
     from pyspark.sql.types import LongType, StructField, StructType
 
     out_schema = StructType(
@@ -292,8 +366,9 @@ def streaming_topn_counts(events: DataFrame, k: int = 3) -> DataFrame:
         state.update((n,))
         yield pd.DataFrame({"user_id": [key[0]], "n": [n]})
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        count_updates, out_schema, state_schema, "update", "NoTimeout"
+    return apply_with_ttl(
+        events.groupBy("user_id"), count_updates, out_schema, state_schema,
+        "update", ttl,
     )
 
 

@@ -809,3 +809,88 @@ def test_queryable_state_matches_emitted_aggregates(spark, tables, events_stream
     # time travel: batch 0 state holds only the first replay chunk
     first = query_state(spark, ckpt, batch_id=0).agg(F.sum("count")).first()[0]
     assert 0 < first < tables["events"].count()
+
+def test_state_ttl_expires_idle_keys(spark, tmp_dir):
+    """StateTtlConfig analog: a key idle past its TTL is physically
+    dropped (NeverReturnExpired) and restarts from zero on its next
+    event; without a TTL the same feed accumulates. ProcessingTimeTimeout
+    queries run empty micro-batches to fire timeouts, so the test polls
+    the sink rather than processAllAvailable (which never idles)."""
+    import time
+
+    from reshape_on_flink_spark.streaming.ops import StateTtl, streaming_topn_counts
+
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "user_id long, event_id long, ts timestamp, event_type string, value double"
+
+    def feeder(src, stage):
+        os.makedirs(src, exist_ok=True)
+
+        def feed(name, rows):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(stage)
+            part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+            os.rename(os.path.join(stage, part), os.path.join(src, name))
+
+        return feed
+
+    def wait_rows(table, pred, timeout=90):
+        end = time.time() + timeout
+        while time.time() < end:
+            rows = [(r["user_id"], r["n"]) for r in spark.table(table).collect()]
+            if pred(rows):
+                return rows
+            time.sleep(0.3)
+        raise AssertionError(f"timed out; last rows: {rows}")
+
+    src = os.path.join(tmp_dir, "src")
+    feed = feeder(src, os.path.join(tmp_dir, "stage"))
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = streaming_topn_counts(stream, ttl=StateTtl(1500))
+    feed("b1.parquet", [(1, 1, t0, "view", 1.0), (1, 2, t0, "view", 1.0)])
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ttl_out")
+        .option("checkpointLocation", os.path.join(tmp_dir, "ckpt"))
+        .start()
+    )
+    try:
+        wait_rows("ttl_out", lambda r: r == [(1, 2)])
+        time.sleep(2.5)  # idle past the 1.5s TTL; empty batches fire expiry
+        feed("b3.parquet", [(1, 4, t0, "view", 1.0)])
+        # user 1 restarted at 1 after expiry (without TTL it would be 3)
+        rows = wait_rows("ttl_out", lambda r: len(r) == 2)
+    finally:
+        q.stop()
+    assert rows == [(1, 2), (1, 1)]
+
+    # control: same feed pattern without TTL accumulates across the gap
+    src2 = os.path.join(tmp_dir, "src2")
+    feed2 = feeder(src2, os.path.join(tmp_dir, "stage2"))
+    stream2 = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src2)
+    )
+    out2 = streaming_topn_counts(stream2)
+    feed2("b1.parquet", [(1, 1, t0, "view", 1.0), (1, 2, t0, "view", 1.0)])
+    q2 = (
+        out2.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ttl_ctrl")
+        .option("checkpointLocation", os.path.join(tmp_dir, "ckpt2"))
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        time.sleep(2.5)
+        feed2("b3.parquet", [(1, 4, t0, "view", 1.0)])
+        q2.processAllAvailable()
+        rows2 = [(r["user_id"], r["n"]) for r in spark.table("ttl_ctrl").collect()]
+    finally:
+        q2.stop()
+    assert rows2 == [(1, 2), (1, 3)]

@@ -975,32 +975,55 @@ def test_catalog_persistence_journal_replay(tenv, spark, tables, tmp_dir):
             "CREATE VIEW IF NOT EXISTS persist_db.persist_top AS "
             "SELECT n_name FROM persist_db.persist_nation WHERE n_nationkey < 5"
         )
+        # persistent SQL-bodied function journals (SqlCreateFunction
+        # analog); the temporary one below must not
+        tenv.execute_sql(
+            "CREATE OR REPLACE FUNCTION persist_db.persist_twice(x BIGINT) "
+            "RETURNS BIGINT RETURN x * 2"
+        )
         # temporary objects must NOT be journaled
         tenv.execute_sql("CREATE TEMPORARY VIEW persist_tmp AS SELECT 1 AS one")
+        tenv.execute_sql(
+            "CREATE OR REPLACE TEMPORARY FUNCTION persist_tmp_fn(x BIGINT) "
+            "RETURNS BIGINT RETURN x + 1"
+        )
         n_before = tenv.execute_sql(
             "SELECT COUNT(*) AS n FROM persist_db.persist_top"
         ).collect()[0]["n"]
         assert n_before == 5
 
+        assert tenv.execute_sql(
+            "SELECT persist_db.persist_twice(21) AS v"
+        ).collect()[0]["v"] == 42
+
         # simulate a fresh session: wipe the catalog BEHIND the journal
         spark.sql("DROP VIEW IF EXISTS persist_db.persist_top")
         spark.sql("DROP TABLE IF EXISTS persist_db.persist_nation")
+        spark.sql("DROP FUNCTION IF EXISTS persist_db.persist_twice")
         spark.sql("DROP DATABASE IF EXISTS persist_db")
         spark.catalog.dropTempView("persist_tmp")
+        spark.sql("DROP TEMPORARY FUNCTION IF EXISTS persist_tmp_fn")
 
         fresh = type(tenv).create(spark)
         replayed = fresh.restore_catalog(journal)
-        assert replayed == 3  # database + table + view; temp view absent
+        # database + table + view + function; temp view/function absent
+        assert replayed == 4
         rows = fresh.execute_sql(
             "SELECT COUNT(*) AS n FROM persist_db.persist_top"
         ).collect()
         assert rows[0]["n"] == 5
+        assert fresh.execute_sql(
+            "SELECT persist_db.persist_twice(21) AS v"
+        ).collect()[0]["v"] == 42
         assert not any(
             v.name == "persist_tmp" for v in spark.catalog.listTables()
         )
+        assert not spark.catalog.functionExists("persist_tmp_fn")
     finally:
         spark.sql("DROP VIEW IF EXISTS persist_db.persist_top")
         spark.sql("DROP TABLE IF EXISTS persist_db.persist_nation")
+        spark.sql("DROP FUNCTION IF EXISTS persist_db.persist_twice")
+        spark.sql("DROP TEMPORARY FUNCTION IF EXISTS persist_tmp_fn")
         spark.sql("DROP DATABASE IF EXISTS persist_db")
         spark.catalog.setCurrentDatabase(prev_db)
 
