@@ -255,3 +255,114 @@ def kafka_sink(
     if checkpoint:  # pragma: no cover
         writer = writer.option("checkpointLocation", checkpoint)
     return writer  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# File-backed mock broker — an in-process stand-in honoring the kafka
+# DSv2 *contract* (wire schema, subscription modes, starting offsets) so
+# the full produce -> stream -> decode -> encode pipeline moves real
+# bytes end-to-end without the connector jar. The mock is a topic log on
+# disk: parquet segments with monotonically assigned per-(topic,
+# partition) offsets, read back as a file-source stream projected to
+# KAFKA_WIRE_COLUMNS. Swap mock_kafka_stream for kafka_source (same
+# downstream code) once the jar is present — that is the only line that
+# changes.
+# ---------------------------------------------------------------------------
+
+#: The kafka DSv2 row schema (spark-sql-kafka-0-10 KafkaRecordToRowConverter).
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset bigint, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def mock_kafka_produce(
+    spark: SparkSession,
+    broker_dir: str,
+    topic: str,
+    records: list[tuple[bytes | None, bytes]],
+    partition: int = 0,
+) -> int:
+    """Append records to the mock topic log, assigning contiguous
+    offsets per (topic, partition) exactly as a broker would. Returns
+    the first assigned offset."""
+    import datetime as _dt
+    import os
+
+    os.makedirs(broker_dir, exist_ok=True)
+    meta_path = os.path.join(broker_dir, "_offsets.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    tp = f"{topic}/{partition}"
+    base = int(meta.get(tp, 0))
+    now = _dt.datetime.now(tz=_dt.timezone.utc).replace(tzinfo=None)
+    rows = [
+        (k, v, topic, partition, base + i, now, 0)  # 0 = CreateTime
+        for i, (k, v) in enumerate(records)
+    ]
+    df = spark.createDataFrame(rows, KAFKA_WIRE_SCHEMA)
+    df.coalesce(1).write.mode("append").parquet(os.path.join(broker_dir, "log"))
+    meta[tp] = base + len(records)
+    with open(meta_path, "w") as fh:
+        json.dump(meta, fh)
+    return base
+
+
+def mock_kafka_stream(
+    spark: SparkSession, broker_dir: str, options: dict[str, str]
+) -> DataFrame:
+    """A streaming DataFrame over the mock log, honoring the assembled
+    kafka-source options (the SAME dict kafka_source_options builds):
+
+    - ``subscribe`` (topic list), ``subscribePattern`` (regex),
+      ``assign`` ({topic: [partitions]} JSON) select the records;
+    - ``startingOffsets``: "earliest" or the per-partition JSON form
+      ({topic: {partition: offset}}); "latest" has no meaning for a
+      bounded replay log and raises.
+
+    Consumer passthrough options (kafka.*) and rate limits are accepted
+    and ignored — they configure a broker/client the mock doesn't have.
+    """
+    import os
+
+    raw = (
+        spark.readStream.schema(KAFKA_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(broker_dir, "log"))
+    )
+    if "subscribe" in options:
+        raw = raw.where(F.col("topic").isin(options["subscribe"].split(",")))
+    elif "subscribePattern" in options:
+        raw = raw.where(F.col("topic").rlike(options["subscribePattern"]))
+    elif "assign" in options:
+        pairs = [
+            (t, p)
+            for t, parts in json.loads(options["assign"]).items()
+            for p in parts
+        ]
+        cond = None
+        for t, p in pairs:
+            c = (F.col("topic") == t) & (F.col("partition") == p)
+            cond = c if cond is None else (cond | c)
+        raw = raw.where(cond if cond is not None else F.lit(False))
+    else:
+        raise ValueError("options select no topics (subscribe/subscribePattern/assign)")
+    start = options.get("startingOffsets", "earliest")
+    if start == "latest":
+        raise NotImplementedError(
+            "mock broker replays a bounded log; 'latest' has no meaning here"
+        )
+    if start != "earliest":
+        cond = F.lit(True)
+        for t, parts in json.loads(start).items():
+            for p, off in parts.items():
+                skip = (
+                    (F.col("topic") == t)
+                    & (F.col("partition") == int(p))
+                    & (F.col("offset") < int(off))
+                )
+                cond = cond & ~skip
+        raw = raw.where(cond)
+    return raw

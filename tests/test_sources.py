@@ -327,3 +327,96 @@ def test_incremental_ingest_processes_only_new_files(spark, tables, tmp_dir):
     assert sorted(seen) == sorted(r["n_nationkey"] for r in nation.collect())
 
     assert incremental_ingest(spark, src, ckpt, sink=sink) == 0
+
+
+def test_mock_kafka_broker_end_to_end(spark, tmp_dir):
+    """Bytes actually move: produce json records into the file-backed
+    mock broker, stream them back through the SAME option dict
+    kafka_source_options assembles, decode on core Spark, and round-trip
+    the payloads through encode_kafka_value. Covers the three
+    subscription modes and JSON startingOffsets. This is the
+    non-skipping sibling of the jar-gated integration test — swap
+    mock_kafka_stream for kafka_source and nothing downstream changes."""
+    import json as _json
+
+    from reshape_on_flink_spark.sources import kafka as K
+
+    broker = os.path.join(tmp_dir, "broker")
+    orders = [
+        {"order_id": i, "amount": float(i) * 1.5} for i in range(6)
+    ]
+    first = K.mock_kafka_produce(
+        spark, broker, "orders",
+        [(str(o["order_id"]).encode(), _json.dumps(o).encode()) for o in orders[:4]],
+    )
+    assert first == 0
+    # a second produce continues the offset sequence
+    assert K.mock_kafka_produce(
+        spark, broker, "orders",
+        [(str(o["order_id"]).encode(), _json.dumps(o).encode()) for o in orders[4:]],
+    ) == 4
+    # noise on another topic must not leak through `subscribe`
+    K.mock_kafka_produce(spark, broker, "clicks", [(None, b'{"order_id":99,"amount":0.0}')])
+
+    opts = K.kafka_source_options(
+        "mock:9092", topics=["orders"],
+        starting_offsets={"orders": {"0": 2}},  # skip offsets 0 and 1
+    )
+    stream = K.mock_kafka_stream(spark, broker, opts)
+    decoded = K.decode_kafka_value(
+        stream, "json", "order_id long, amount double", keep_metadata=True
+    )
+    q = (
+        decoded.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mock_kafka_out")
+        .option("checkpointLocation", os.path.join(tmp_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("mock_kafka_out").collect()
+    assert sorted(r["offset"] for r in got) == [2, 3, 4, 5]
+    assert {(r["order_id"], r["amount"]) for r in got} == {
+        (o["order_id"], o["amount"]) for o in orders[2:]
+    }
+    assert all(r["topic"] == "orders" for r in got)
+
+    # encode round-trip: typed rows -> kafka sink contract -> same bytes
+    typed = spark.createDataFrame(orders[2:], "order_id long, amount double")
+    enc = K.encode_kafka_value(typed, "json")
+    enc_rows = {bytes(r["value"]) for r in enc.collect()}
+    dec_back = K.decode_kafka_value(
+        spark.createDataFrame(
+            [(None, v, "t", 0, 0, None, 0) for v in enc_rows], K.KAFKA_WIRE_SCHEMA
+        ),
+        "json",
+        "order_id long, amount double",
+    )
+    assert {(r["order_id"], r["amount"]) for r in dec_back.collect()} == {
+        (o["order_id"], o["amount"]) for o in orders[2:]
+    }
+
+    # subscribePattern and assign select the same records
+    pat = K.mock_kafka_stream(
+        spark, broker, K.kafka_source_options("mock:9092", topic_pattern="ord.*")
+    )
+    asg = K.mock_kafka_stream(
+        spark, broker, K.kafka_source_options("mock:9092", assign={"orders": [0]})
+    )
+    for s, nm in ((pat, "mock_pat"), (asg, "mock_asg")):
+        qq = (
+            s.writeStream.outputMode("append").format("memory").queryName(nm)
+            .option("checkpointLocation", os.path.join(tmp_dir, f"ckpt_{nm}"))
+            .trigger(availableNow=True).start()
+        )
+        qq.awaitTermination(120)
+        assert sorted(r["offset"] for r in spark.table(nm).collect()) == [0, 1, 2, 3, 4, 5]
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="latest"):
+        K.mock_kafka_stream(
+            spark, broker,
+            K.kafka_source_options("mock:9092", topics=["orders"], starting_offsets="latest"),
+        )
