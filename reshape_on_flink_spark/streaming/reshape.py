@@ -449,6 +449,20 @@ class ReshapeStreamingAgg:
         self.spread_col = spread_col
         self.conf = conf
         self.sink = sink
+        if sink is None:
+            # driver-side dict mode is test/bench-only: per-key results
+            # accumulate in driver memory, which is unbounded in the key
+            # cardinality. Loud by default so a production topology can't
+            # silently ship without the upsert sink.
+            import warnings
+
+            warnings.warn(
+                "ReshapeStreamingAgg without a PartialUpsertSink collects "
+                "per-key aggregates to the driver — test/bench convenience "
+                "only; pass sink=PartialUpsertSink(...) for the scale path",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         self.controller = ReshapeController(conf)
         self.results: dict = {}  # key -> (cnt, sum)
         self.batches_seen = 0
