@@ -791,6 +791,12 @@ class TableEnvironment:
         if not pat_hit:
             raise ValueError("MATCH_RECOGNIZE needs PATTERN (...)")
         pattern = pat_hit[3].strip()
+        # PATTERN (...) WITHIN INTERVAL 'n' UNIT — Flink's time-bounded
+        # pattern (SqlMatchRecognize.interval; CEP NFA window pruning)
+        within_m = re.search(
+            r"\bWITHIN\s+(INTERVAL\s+'\d+'\s+\w+)", body, re.IGNORECASE
+        )
+        within_sec = _interval_seconds(within_m.group(1), []) if within_m else None
         def_m = re.search(r"\bDEFINE\b\s+(.*)$", body, re.IGNORECASE | re.DOTALL)
         if not def_m:
             raise ValueError("MATCH_RECOGNIZE needs DEFINE")
@@ -810,6 +816,11 @@ class TableEnvironment:
         streaming = src_df.isStreaming
 
         if any(not asc for _, asc in order_specs):
+            if within_sec is not None:
+                raise NotImplementedError(
+                    "PATTERN ... WITHIN needs an ascending time-attribute "
+                    "ORDER BY (as in Flink); it cannot combine with DESC"
+                )
             # DESC scan order (batch): materialize the scan position as a
             # row_number over the directed sort and use it as the single
             # ascending order key everywhere downstream (NFA scan, PREV/
@@ -943,6 +954,7 @@ class TableEnvironment:
                 context_rows=context_rows,
                 measures=parsed,
                 one_row=not all_rows,
+                within=within_sec,
             )
             view = f"__mr_{abs(hash(sql)) % 10**8}"
             per_match.createOrReplaceTempView(view)
@@ -951,7 +963,7 @@ class TableEnvironment:
 
         matched = match_recognize(
             src_df, part_cols, order_cols, pattern, define,
-            after_match=after_match,
+            after_match=after_match, within=within_sec,
         )
 
         order_key = F.struct(*[F.col(c) for c in order_cols])

@@ -575,6 +575,28 @@ def _resume_pos(m, skip_mode: str, skip_sym: str | None, symbols: list[str]) -> 
     return resume
 
 
+def _within_delta(within, order_dtype_is_time: bool):
+    """Normalize a WITHIN bound: duration string or seconds for a
+    timestamp order column (microsecond ticks), raw numeric delta for a
+    numeric order column."""
+    if isinstance(within, str):
+        from reshape_on_flink_spark.operators.windows import parse_duration
+
+        within = parse_duration(within)
+    if order_dtype_is_time:
+        return float(within) * 1_000_000
+    return float(within)
+
+
+def _time_axis(pdf, order_col: str):
+    """(tick array, is_time) for WITHIN bounds over the primary order
+    column."""
+    v = pdf[order_col].to_numpy()
+    if np.issubdtype(v.dtype, np.datetime64):
+        return v.astype("datetime64[us]").astype("int64"), True
+    return v.astype("float64"), False
+
+
 def match_recognize(
     df: DataFrame,
     partition_by: str | list[str],
@@ -583,6 +605,7 @@ def match_recognize(
     define: dict[str, Column],
     after_match: str = "past_last_row",
     impl: str = "chunked",
+    within: str | float | None = None,
 ) -> DataFrame:
     """Rows of every match, annotated with ``match_id`` (0-based ordinal
     within the partition) and ``matched_symbol``.
@@ -610,6 +633,17 @@ def match_recognize(
       case is millions of keys).
     - ``"grouped"``: one ``applyInPandas`` group per key. Simpler;
       kept as the reference harness.
+
+    ``within`` is Flink's time-bounded pattern (SQL ``PATTERN (...)
+    WITHIN INTERVAL ...``; CEP ``Pattern.within`` — flink-libraries/
+    flink-cep/.../nfa/NFA.java window pruning): a match is valid only if
+    last-row time minus first-row time is strictly less than the bound
+    (Flink times out partials at >= window). Implemented by clamping the
+    matcher's scan horizon per start row — greedy quantifiers then
+    backtrack into the window naturally, which reproduces the NFA's
+    prune-and-retry behavior without a timer wheel. The bound reads the
+    FIRST order column: a duration string/seconds for timestamps, a raw
+    delta for numeric columns.
     """
     partition_by = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
@@ -650,6 +684,14 @@ def match_recognize(
         pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
         n = len(pdf)
         bools = [pdf[c].to_numpy() for c in sym_cols]
+        if within is not None:
+            tv, is_time = _time_axis(pdf, order_by[0])
+            delta = _within_delta(within, is_time)
+
+            def bound(i: int, hi: int) -> int:
+                return min(hi, i + int(np.searchsorted(tv[i:hi], tv[i] + delta, side="left")))
+        else:
+            bound = lambda i, hi: hi  # noqa: E731
         # scan accelerators: the bitmask regex finds the next match
         # start in C (same branch priority as the matcher — property-
         # tested); fallback is the first-set skip mask
@@ -673,7 +715,7 @@ def match_recognize(
             elif not can_start[i]:
                 i += 1
                 continue
-            m = match_at(bools, i, n)
+            m = match_at(bools, i, bound(i, n))
             if m:  # empty match advances
                 for pos, si in m:
                     rows_idx.append(pos)
@@ -707,6 +749,14 @@ def match_recognize(
         bools = [pdf[c].to_numpy() for c in sym_cols]
         G = len(starts)
         ends = np.append(starts[1:], n)
+        if within is not None:
+            tv, is_time = _time_axis(pdf, order_by[0])
+            delta = _within_delta(within, is_time)
+
+            def bound(i: int, hi: int) -> int:
+                return min(hi, i + int(np.searchsorted(tv[i:hi], tv[i] + delta, side="left")))
+        else:
+            bound = lambda i, hi: hi  # noqa: E731
         if rx is None:  # >12 symbols: per-key matcher fallback
             frames = [
                 process_group(pdf.iloc[s:e]) for s, e in zip(starts.tolist(), ends.tolist())
@@ -736,8 +786,8 @@ def match_recognize(
             sp = mm.start()
             g = int(np.searchsorted(group_strstart, sp, side="right") - 1)
             r = sp - g
-            m = match_at(bools, r, int(ends[g]))
-            if not m:  # can only differ at the key's bound — defensive
+            m = match_at(bools, r, bound(r, int(ends[g])))
+            if not m:  # key-bound mismatch (defensive) or WITHIN clamp
                 i = sp + 1
                 continue
             for pos, si in m:
@@ -952,8 +1002,17 @@ def streaming_match_recognize(
     after_match: str = "past_last_row",
     measures: list | None = None,
     one_row: bool = False,
+    within: str | float | None = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE over a streaming DataFrame (applyInPandasWithState).
+
+    ``within``: Flink's time-bounded pattern (PATTERN ... WITHIN /
+    CEP ``Pattern.within``) — a match must complete strictly inside the
+    bound measured on the first order column from its first row. Beyond
+    filtering, WITHIN also RELEASES state: a partial match whose window
+    has closed (later-timestamped rows exist in the buffer) is decided
+    immediately instead of staying pending, so per-key state is bounded
+    by the window horizon even for never-completing starts.
 
     ``define`` maps symbols to *vectorized pandas predicates*
     ``(pdf) -> bool array`` — evaluated over the key's full pending
@@ -1074,6 +1133,14 @@ def streaming_match_recognize(
             nonlocal next_id
             bools = [define[s](frame).to_numpy() for s in symbols]
             n = len(frame)
+            if within is not None and n:
+                tv, is_time = _time_axis(frame, order_cols[0])
+                delta = _within_delta(within, is_time)
+
+                def bound(i: int) -> int:
+                    return min(n, i + int(np.searchsorted(tv[i:], tv[i] + delta, side="left")))
+            else:
+                bound = lambda i: n  # noqa: E731
             can_start = (
                 np.logical_or.reduce([np.asarray(bools[j], dtype=bool) for j in first_idx])
                 if n
@@ -1085,8 +1152,15 @@ def streaming_match_recognize(
                 if not can_start[i]:
                     i += 1
                     continue
-                m = match_at(bools, i, n)
+                hi = bound(i)
+                m = match_at(bools, i, hi)
                 if m is _NEED_MORE:
+                    if hi < n:
+                        # the window closed inside the buffer: end-of-
+                        # window is final, not end-of-data — no match
+                        # can ever complete from this start
+                        i += 1
+                        continue
                     if allow_open:
                         break  # keep frame[i:] pending
                     i += 1  # force-close: treat end-of-data as no-extend

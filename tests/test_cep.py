@@ -564,3 +564,73 @@ def test_streaming_skip_infinite_loop_guard(spark, tmp_dir):
     )
     with pytest.raises(Exception, match="infinite loop"):
         run_to_memory(spark, sdf, "cep_loop_out", tmp_dir, mode="append")
+
+
+def test_within_bounds_batch_matches(spark):
+    """PATTERN ... WITHIN (Pattern.within analog): a match must complete
+    strictly inside the bound measured from its first row; greedy
+    quantifiers backtrack into the window instead of dying."""
+    df = spark.createDataFrame(
+        [(1, t, 1) for t in [0, 1, 2, 10, 11]], "k int, pos int, v int"
+    )
+    define = {"A": F.col("v") == 1}
+
+    def mids(within, impl):
+        got = match_recognize(df, "k", "pos", "A A+", define, within=within, impl=impl)
+        out = {}
+        for r in got.collect():
+            out.setdefault(r["match_id"], []).append(r["pos"])
+        return {m: sorted(p) for m, p in out.items()}
+
+    for impl in ("chunked", "grouped"):
+        # unbounded: one greedy match over everything
+        assert mids(None, impl) == {0: [0, 1, 2, 10, 11]}
+        # within=3 (strict <): [0,1,2] fits, [10,11] fits; the gap splits
+        assert mids(3, impl) == {0: [0, 1, 2], 1: [10, 11]}
+        # within=2: [0,1] then [10,11] — row 2 is exactly at the bound
+        # and excluded (Flink times out at >= window)
+        assert mids(2, impl) == {0: [0, 1], 1: [10, 11]}
+        # too tight for any pair
+        assert mids(1, impl) == {}
+
+
+def test_within_streaming_matches_batch_and_releases_state(spark, tmp_dir):
+    """Streaming WITHIN == batch WITHIN across chunk boundaries, and a
+    never-completing partial is RELEASED once its window closes (state
+    does not pin on it)."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.operators.cep import streaming_match_recognize
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    # 'a b' pairs: close pair (0,1), far pair (10,30: window closed),
+    # then a trailing 'a' at 40 with its closer at 41
+    rows = [(1, 0, "a"), (1, 1, "b"), (1, 10, "a"), (1, 30, "b"),
+            (1, 40, "a"), (1, 41, "b")]
+    df = spark.createDataFrame(rows, "k int, pos int, t string")
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "within"), n_chunks=3, order_col="pos"
+    )
+    sdf = streaming_match_recognize(
+        stream,
+        partition_by="k",
+        order_cols=["pos"],
+        pattern="A B",
+        define={"A": lambda pdf: pdf["t"] == "a", "B": lambda pdf: pdf["t"] == "b"},
+        input_cols=["k", "pos", "t"],
+        within=5,
+    )
+    got = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in run_to_memory(spark, sdf, "within_out", tmp_dir, mode="append").collect()
+    )
+    batch = match_recognize(
+        df, "k", "pos", "A B",
+        {"A": F.col("t") == "a", "B": F.col("t") == "b"}, within=5,
+    )
+    expected = sorted((r["pos"], r["matched_symbol"]) for r in batch.collect())
+    # (0,1) matches; (10,*) window closes before 30 -> released, no
+    # match; (40,41) matches even though 30 sat between the a's
+    assert expected == [(0, "A"), (1, "B"), (40, "A"), (41, "B")]
+    assert got == expected

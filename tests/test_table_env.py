@@ -1157,3 +1157,41 @@ def test_analyze_table_trailing_semicolon_and_bad_column(tenv):
         tenv.execute_sql(
             "ANALYZE TABLE orders COMPUTE STATISTICS FOR COLUMNS o_typo"
         )
+
+
+def test_match_recognize_sql_within_interval(tenv, spark):
+    """PATTERN (...) WITHIN INTERVAL — the SQL form of the time-bounded
+    pattern, on a real timestamp rowtime; equals the operator call."""
+    import datetime as dt
+
+    from reshape_on_flink_spark.operators.cep import match_recognize
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(minutes=m), s)
+        for m, s in [(0, "v"), (2, "v"), (4, "p"), (30, "v"), (50, "p"), (60, "v"), (63, "p")]
+    ]
+    spark.createDataFrame(rows, "k int, ts timestamp, t string").createOrReplaceTempView(
+        "mr_within_src"
+    )
+    got = tenv.execute_sql(
+        """
+        SELECT k, n_rows FROM mr_within_src MATCH_RECOGNIZE (
+          PARTITION BY k ORDER BY ts
+          MEASURES COUNT(*) AS n_rows
+          ONE ROW PER MATCH
+          PATTERN (V+ P) WITHIN INTERVAL '10' MINUTE
+          DEFINE V AS V.t = 'v', P AS P.t = 'p'
+        )
+        """
+    ).collect()
+    # (0,2,4) fits in 10 min; (30,50) exceeds it; (60,63) fits
+    assert sorted(r["n_rows"] for r in got) == [2, 3]
+    op = match_recognize(
+        spark.table("mr_within_src"), "k", "ts", "V+ P",
+        {"V": F.col("t") == "v", "P": F.col("t") == "p"}, within=600,
+    )
+    n_per_match = {}
+    for r in op.collect():
+        n_per_match[r["match_id"]] = n_per_match.get(r["match_id"], 0) + 1
+    assert sorted(n_per_match.values()) == [2, 3]
