@@ -36,6 +36,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # they fill the remaining gate slots) and keep their prior-round rows as
 # evidence. merged() raises on unknown names.
 GATE_PRIORITY: tuple[str, ...] = (
+    # round-6 additions (never sampled) lead: trained-PQ search and the
+    # three gelly-library graph queries.
+    "q_similarity_pq_trained",
+    "q_graph_degrees",
+    "q_graph_triangles",
+    "q_graph_label_propagation",
     # round-5 rotation: the 8 NEW TPC-DS shapes first, then the 40
     # queries whose only green gate row is from round 2 (stalest
     # evidence), then round-3-only entries to fill the 50-slot cap.
@@ -144,6 +150,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
     remaining queries in module order.
     """
     from reshape_on_flink_spark.queries import (
+        graphs,
         llmops,
         relational,
         relational2,
@@ -154,7 +161,7 @@ def merged() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     all_queries: dict[str, QueryFn] = {}
     all_oracles: dict[str, str] = {}
-    for mod in (relational, relational2, tpch_rest, tpcds_shapes, streaming_batch, llmops):
+    for mod in (relational, relational2, tpch_rest, tpcds_shapes, streaming_batch, llmops, graphs):
         dupes = all_queries.keys() & mod.QUERIES.keys()
         if dupes:
             raise ValueError(f"duplicate query names across modules: {sorted(dupes)}")

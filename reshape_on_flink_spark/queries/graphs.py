@@ -1,0 +1,152 @@
+"""Graph library queries — the Gelly-adjacent breadth beyond
+pagerank/SSSP/connected-components (flink-libraries/flink-gelly
+``library/`` + ``metric/``): vertex degrees, triangle counting, label
+propagation. Each runs the operators in operators/iterate.py over a
+deterministic co-occurrence graph derived from the events fixture and
+is hash-gated against a DuckDB replica.
+
+The graph: users co-occurring in the same (minute, event_type) bucket.
+Both engines derive it with the identical distinct-bucket self-join —
+at sf0.01 that is 207 undirected edges over 150 users with 8 triangles
+and real community structure (day/hour buckets were rejected: with 150
+users they saturate to a near-complete graph).
+
+Scale note: the bucket self-join is bounded by the max bucket size
+(10 users at sf0.01 — pairs per bucket are quadratic in THAT, not in
+the user count); a production co-occurrence projection caps or samples
+oversized buckets exactly like llm/dedup's LSH hot-bucket cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from reshape_on_flink_spark.session import load_tables
+
+QUERIES = {}
+ORACLES = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+SQL_EDGES_CTE = """
+    occ AS (SELECT DISTINCT date_trunc('minute', ts) AS h, event_type AS et,
+                            user_id AS u
+            FROM events),
+    e AS (SELECT DISTINCT a.u AS u, b.u AS v
+          FROM occ a JOIN occ b ON a.h = b.h AND a.et = b.et AND a.u < b.u)
+"""
+
+
+def cooccurrence_edges(events: DataFrame) -> DataFrame:
+    """Canonical undirected (u < v) user co-occurrence edges."""
+    occ = events.select(
+        F.date_trunc("minute", "ts").alias("h"),
+        F.col("event_type").alias("et"),
+        F.col("user_id").alias("u"),
+    ).distinct()
+    b = occ.select(F.col("h"), F.col("et"), F.col("u").alias("v"))
+    return (
+        occ.join(b, ["h", "et"])
+        .where(F.col("u") < F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+@query(
+    "q_graph_degrees",
+    f"""
+    WITH {SQL_EDGES_CTE}
+    SELECT node, out_deg, in_deg, deg FROM (
+      SELECT COALESCE(o.node, i.node) AS node,
+             COALESCE(o.out_deg, 0) AS out_deg,
+             COALESCE(i.in_deg, 0) AS in_deg,
+             COALESCE(o.out_deg, 0) + COALESCE(i.in_deg, 0) AS deg
+      FROM (SELECT u AS node, COUNT(*) AS out_deg FROM e GROUP BY u) o
+      FULL OUTER JOIN (SELECT v AS node, COUNT(*) AS in_deg FROM e GROUP BY v) i
+        ON o.node = i.node)
+    ORDER BY node
+    """,
+)
+def q_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertex degrees (gelly VertexDegrees) on the canonical edge list:
+    two partial-agg shuffles + one key join, linear at any scale."""
+    from reshape_on_flink_spark.operators.iterate import vertex_degrees
+
+    events = load_tables(spark, sf_dir)["events"]
+    edges = cooccurrence_edges(events)
+    return vertex_degrees(edges, src="u", dst="v").orderBy("node")
+
+
+@query(
+    "q_graph_triangles",
+    f"""
+    WITH {SQL_EDGES_CTE},
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+    pv AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri)
+    SELECT node, COUNT(*) AS n_triangles FROM pv GROUP BY node ORDER BY node
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts (gelly TriangleListing/TriangleCount).
+    The Spark side runs the DEGREE-ORDERED orientation (celebrity-vertex
+    wedge bound — the 100 TB skew guard); the oracle enumerates by id
+    order. The triangle set is orientation-independent, so the outputs
+    hash-match — which doubles as a test that the degree orientation
+    loses/duplicates nothing."""
+    from reshape_on_flink_spark.operators.iterate import triangle_count
+
+    events = load_tables(spark, sf_dir)["events"]
+    edges = cooccurrence_edges(events)
+    return triangle_count(edges, src="u", dst="v", orient="degree").orderBy("node")
+
+
+def _lp_oracle(rounds: int = 3) -> str:
+    steps = [
+        "l0 AS (SELECT node, node AS label FROM (SELECT u AS node FROM e UNION SELECT v FROM e))"
+    ]
+    for i in range(1, rounds + 1):
+        steps.append(f"""c{i} AS (
+      SELECT s.node, l.label AS nl, COUNT(*) AS c
+      FROM sym s JOIN l{i - 1} l ON l.node = s.nbr GROUP BY s.node, l.label),
+    b{i} AS (SELECT node, nl FROM (
+      SELECT node, nl, ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY c DESC, nl ASC) AS rn
+      FROM c{i}) WHERE rn = 1),
+    l{i} AS (SELECT l.node, COALESCE(b.nl, l.label) AS label
+             FROM l{i - 1} l LEFT JOIN b{i} b USING (node))""")
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {SQL_EDGES_CTE},
+    sym AS (SELECT u AS node, v AS nbr FROM e UNION SELECT v, u FROM e),
+    {chain}
+    SELECT node, label FROM l{rounds} ORDER BY node
+    """
+
+
+@query("q_graph_label_propagation", _lp_oracle())
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation, 3 supersteps (gelly
+    LabelPropagation): most-frequent neighbor label with smallest-label
+    tie-break — deterministic, so the full iterative computation is
+    hash-gated against an unrolled SQL replica (the kmeans/PQ-training
+    pattern applied to a graph algorithm)."""
+    from reshape_on_flink_spark.operators.iterate import label_propagation
+
+    events = load_tables(spark, sf_dir)["events"]
+    edges = cooccurrence_edges(events)
+    return label_propagation(edges, rounds=3, src="u", dst="v").orderBy("node")

@@ -507,3 +507,49 @@ def test_hll_intersect_estimate_accuracy(spark, tables):
     est = row["est_intersect_milli"] / 1000.0
     assert abs(est - exact) / max(exact, 1) < 0.10, (est, exact)
     assert row["est_union_milli"] <= row["est_a_milli"] + row["est_b_milli"]
+
+
+def test_graph_triangle_count_orientations_agree(spark):
+    """Two triangles sharing an edge + a pendant: per-vertex counts are
+    known, and the degree-ordered orientation (the skew guard) must
+    enumerate exactly the same triangle set as plain id order."""
+    from reshape_on_flink_spark.operators.iterate import triangle_count
+
+    # triangles (1,2,3) and (2,3,4); pendant 5-1; duplicate + reversed
+    # + self-loop edges must not change anything
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (2, 4), (4, 3), (5, 1), (2, 1), (3, 3)],
+        "src int, dst int",
+    )
+    expected = {1: 1, 2: 2, 3: 2, 4: 1}
+    for orient in ("degree", "id"):
+        got = {r["node"]: r["n_triangles"]
+               for r in triangle_count(edges, orient=orient).collect()}
+        assert got == expected, orient
+
+
+def test_graph_label_propagation_finds_communities(spark):
+    """Two cliques joined by one bridge edge: after a few synchronous
+    rounds every clique member carries its clique's minimum id, and the
+    result is deterministic across repeated runs."""
+    from reshape_on_flink_spark.operators.iterate import label_propagation
+
+    clique = lambda ids: [(a, b) for a in ids for b in ids if a < b]  # noqa: E731
+    edges = spark.createDataFrame(
+        clique([1, 2, 3, 4]) + clique([10, 11, 12, 13]) + [(4, 10)],
+        "src int, dst int",
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(edges, rounds=4).collect()}
+    assert {got[n] for n in (1, 2, 3)} == {1}
+    assert {got[n] for n in (11, 12, 13)} == {10}
+    got2 = {r["node"]: r["label"] for r in label_propagation(edges, rounds=4).collect()}
+    assert got == got2
+
+
+def test_graph_vertex_degrees(spark):
+    from reshape_on_flink_spark.operators.iterate import vertex_degrees
+
+    edges = spark.createDataFrame([(1, 2), (1, 3), (3, 1)], "src int, dst int")
+    got = {r["node"]: (r["out_deg"], r["in_deg"], r["deg"])
+           for r in vertex_degrees(edges).collect()}
+    assert got == {1: (2, 1, 3), 2: (0, 1, 1), 3: (1, 1, 2)}
