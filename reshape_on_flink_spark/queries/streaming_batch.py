@@ -572,6 +572,51 @@ def q_match_recognize_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["q_match_recognize_sql"] = ORACLES["q_match_recognize"]
 
 
+# PATTERN ... WITHIN through the SQL route. The (V P) adjacency pattern
+# is chosen because its matches cannot overlap (a row cannot be both a
+# match's V and the previous match's P — the classes are disjoint), so
+# the greedy NFA semantics reduce exactly to a lead() pair filter and
+# the time bound is relationally expressible with strict <
+# (Flink/our WITHIN times out partials at >= the window).
+@query(
+    "q_match_recognize_within",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_type,
+             lead(event_type) OVER w AS nt,
+             lead(ts) OVER w AS nts
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, COUNT(*) AS n_matches
+    FROM seq
+    WHERE event_type = 'view' AND nt = 'purchase'
+      AND nts < ts + INTERVAL 4 HOUR
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_match_recognize_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.api.table_env import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    tenv.create_temporary_view("events", load_tables(spark, sf_dir)["events"])
+    return tenv.execute_sql(
+        """
+        SELECT user_id, COUNT(*) AS n_matches
+        FROM events MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts, event_id
+          MEASURES COUNT(V.*) AS n_v
+          ONE ROW PER MATCH
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (V P) WITHIN INTERVAL '4' HOUR
+          DEFINE V AS V.event_type = 'view',
+                 P AS P.event_type = 'purchase'
+        ) AS m
+        GROUP BY user_id ORDER BY user_id
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Nested-group MATCH_RECOGNIZE: (V C)+ P — view/click pairs repeating as
 # a *unit*, closed by a purchase (the pattern shape Flink's NFA handles
