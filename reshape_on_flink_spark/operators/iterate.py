@@ -354,3 +354,76 @@ def label_propagation(
         )
 
     return iterate(labels0, step, rounds)
+
+
+#: fixed-point scale for Adamic-Adar partials: 1/ln(deg) terms quantize
+#: to 1e-9 BIGINTs so the per-pair sum is an order-free integer sum —
+#: the same determinism trick as llm/similarity.PQ_SCALE.
+AA_SCALE = 1_000_000_000
+
+
+def neighborhood_similarity(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Jaccard index + Adamic-Adar per vertex pair sharing >= 1 neighbor
+    — flink-gelly JaccardIndex / AdamicAdar
+    (flink-libraries/flink-gelly/.../library/similarity/JaccardIndex.java,
+    AdamicAdar.java).
+
+    One wedge generation at each common neighbor (pairs of its
+    neighbors), one aggregation keyed on the pair:
+    jaccard = |N(u) ∩ N(v)| / (|N(u)| + |N(v)| - |∩|), and
+    adamic_adar = Σ_w 1/ln(deg(w)) over the common neighbors w.
+
+    Determinism: the 1/ln terms are quantized to 1e-9 fixed-point before
+    the pair sum (integer addition is order-free), so results hash-match
+    across engines. Scale: wedges at a vertex of degree d are O(d²) —
+    the same skew exposure as triangle counting; gelly's JaccardIndex
+    groups by the HIGHER-degree endpoint for the same reason. Cap or
+    sample celebrity vertices upstream (llm/dedup's hot-bucket cap
+    pattern) when degree distributions are heavy-tailed.
+    """
+    u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(u.alias("u"), v.alias("v"))
+        .distinct()
+    )
+    sym = (
+        und.select(F.col("u").alias("w"), F.col("v").alias("x"))
+        .union(und.select(F.col("v"), F.col("u")))
+    )
+    deg = sym.groupBy("w").agg(F.count("*").alias("d"))
+    # each common neighbor w contributes one wedge per neighbor pair,
+    # carrying its fixed-point 1/ln(deg(w)) weight
+    # a degree-1 vertex has ln(d)=0 but can never BE a common neighbor
+    # (one neighbor -> no pair), so its weight is unused — pin it to 0
+    # instead of tripping ANSI division-by-zero
+    wsym = sym.join(deg, "w").select(
+        "w", "x",
+        F.when(
+            F.col("d") > 1,
+            F.round(F.lit(float(AA_SCALE)) / F.log(F.col("d").cast("double"))).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("aw"),
+    )
+    b = wsym.select(F.col("w"), F.col("x").alias("y"), F.col("aw").alias("aw2"))
+    pairs = (
+        wsym.join(b, "w")
+        .where(F.col("x") < F.col("y"))
+        .groupBy(F.col("x").alias("u"), F.col("y").alias("v"))
+        .agg(F.count("*").alias("shared"), F.sum("aw").alias("aa_f"))
+    )
+    du = deg.select(F.col("w").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("w").alias("v"), F.col("d").alias("dv"))
+    return (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u", "v", "shared",
+            (
+                F.col("shared").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("shared")).cast("double")
+            ).alias("jaccard"),
+            (F.col("aa_f").cast("double") / F.lit(float(AA_SCALE))).alias("adamic_adar"),
+        )
+    )

@@ -150,3 +150,40 @@ def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir)["events"]
     edges = cooccurrence_edges(events)
     return label_propagation(edges, rounds=3, src="u", dst="v").orderBy("node")
+
+
+@query(
+    "q_graph_jaccard",
+    f"""
+    WITH {SQL_EDGES_CTE},
+    sym AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT w, COUNT(*) AS d FROM sym GROUP BY w),
+    wsym AS (SELECT s.w, s.x,
+                    CASE WHEN d > 1
+                         THEN CAST(ROUND(1000000000.0 / ln(CAST(d AS DOUBLE))) AS BIGINT)
+                         ELSE 0 END AS aw
+             FROM sym s JOIN deg USING (w)),
+    pairs AS (
+      SELECT a.x AS u, b.x AS v, COUNT(*) AS shared, SUM(a.aw) AS aa_f
+      FROM wsym a JOIN wsym b ON a.w = b.w AND a.x < b.x
+      GROUP BY a.x, b.x)
+    SELECT p.u, p.v, p.shared,
+           CAST(p.shared AS DOUBLE) / (du.d + dv.d - p.shared) AS jaccard,
+           CAST(aa_f AS DOUBLE) / 1000000000.0 AS adamic_adar
+    FROM pairs p
+    JOIN deg du ON du.w = p.u
+    JOIN deg dv ON dv.w = p.v
+    ORDER BY p.u, p.v
+    """,
+)
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood similarity (gelly JaccardIndex + AdamicAdar) over
+    the co-occurrence graph: wedge generation at common neighbors, one
+    pair-keyed aggregation; Adamic-Adar's 1/ln(deg) terms sum as 1e-9
+    fixed-point integers so the iterative-free float reduction is
+    order-independent and hash-gated."""
+    from reshape_on_flink_spark.operators.iterate import neighborhood_similarity
+
+    events = load_tables(spark, sf_dir)["events"]
+    edges = cooccurrence_edges(events)
+    return neighborhood_similarity(edges, src="u", dst="v").orderBy("u", "v")

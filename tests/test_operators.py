@@ -553,3 +553,28 @@ def test_graph_vertex_degrees(spark):
     got = {r["node"]: (r["out_deg"], r["in_deg"], r["deg"])
            for r in vertex_degrees(edges).collect()}
     assert got == {1: (2, 1, 3), 2: (0, 1, 1), 3: (1, 1, 2)}
+
+
+def test_graph_neighborhood_similarity(spark):
+    """Square 1-2-3-4 with a pendant 5-1: hand-checked Jaccard and
+    Adamic-Adar values (fixed-point 1/ln(deg) sums)."""
+    import math
+
+    from reshape_on_flink_spark.operators.iterate import neighborhood_similarity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (5, 1)], "src int, dst int"
+    )
+    got = {(r["u"], r["v"]): (r["shared"], r["jaccard"], r["adamic_adar"])
+           for r in neighborhood_similarity(edges).collect()}
+    inv_ln = lambda d: round(1e9 / math.log(d)) / 1e9  # noqa: E731
+    expect = {
+        (1, 3): (2, 2 / 3, 2 * inv_ln(2)),          # via 2 and 4
+        (2, 4): (2, 1.0, inv_ln(3) + inv_ln(2)),    # via 1 (deg 3) and 3
+        (2, 5): (1, 0.5, inv_ln(3)),                # via 1
+        (4, 5): (1, 0.5, inv_ln(3)),                # via 1
+    }
+    assert set(got) == set(expect)
+    for k, (sh, jc, aa) in expect.items():
+        g = got[k]
+        assert g[0] == sh and abs(g[1] - jc) < 1e-12 and abs(g[2] - aa) < 1e-9, (k, g)
