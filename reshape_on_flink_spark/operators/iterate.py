@@ -427,3 +427,83 @@ def neighborhood_similarity(
             (F.col("aa_f").cast("double") / F.lit(float(AA_SCALE))).alias("adamic_adar"),
         )
     )
+
+
+def pagerank_fixed(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = AA_SCALE,
+) -> DataFrame:
+    """PageRank on 1e-9 fixed-point ranks -> (node, rank_f, rank).
+
+    The float formulation (``pagerank``) is partition-order-dependent in
+    its contribution sums, so it can only ever be tolerance-tested.
+    This variant keeps ranks as BIGINT fixed-point: per-edge
+    contributions quantize to ``round(rank_f / out_deg)`` BEFORE the
+    aggregation, making the sum an exact integer reduction, and every
+    per-round scalar term rounds to the same grid — identical IEEE
+    double intermediates on any engine, so a fixed round count is
+    hash-gateable (the kmeans/PQ-training determinism contract applied
+    to PageRank). Quantization error per round is <= 1 ulp-of-grid per
+    in-edge (~deg * 1e-9), far below any ranking use.
+
+    Same plan shape per round as ``pagerank``: one join on src + one
+    agg; dangling mass stays in-plan as a broadcast 1-row aggregate.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    out_deg = edges.groupBy(src).agg(F.count("*").alias("out_deg")).localCheckpoint()
+    import math
+
+    halfup = lambda x: int(math.floor(x + 0.5))  # noqa: E731  (SQL ROUND parity)
+    r_init = halfup(scale / n)
+    base_f = halfup((1.0 - damping) * scale / n)
+    ranks0 = nodes.withColumn("rank_f", F.lit(r_init).cast("long"))
+
+    def step(ranks: DataFrame, _i: int) -> DataFrame:
+        with_deg = ranks.join(out_deg, ranks["node"] == out_deg[src], "left")
+        dangling = with_deg.where(F.col("out_deg").isNull()).agg(
+            F.coalesce(F.sum("rank_f"), F.lit(0)).cast("long").alias("_dang_f")
+        )
+        contribs = (
+            edges.join(ranks, edges[src] == ranks["node"])
+            .join(out_deg, src)
+            .select(
+                F.col(dst).alias("node"),
+                F.round(F.col("rank_f").cast("double") / F.col("out_deg"))
+                .cast("long")
+                .alias("c_f"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c_f").alias("in_f"))
+        )
+        return (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit(base_f).cast("long")
+                    + F.round(
+                        F.lit(damping) * F.col("_dang_f").cast("double") / F.lit(float(n))
+                    ).cast("long")
+                    + F.coalesce(
+                        F.round(F.lit(damping) * F.col("in_f").cast("double")).cast("long"),
+                        F.lit(0).cast("long"),
+                    )
+                ).alias("rank_f"),
+            )
+        )
+
+    out = iterate(ranks0, step, iters)
+    return out.select(
+        "node", "rank_f", (F.col("rank_f").cast("double") / F.lit(float(scale))).alias("rank")
+    )

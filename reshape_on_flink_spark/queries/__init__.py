@@ -44,6 +44,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_graph_label_propagation",
     "q_match_recognize_within",
     "q_graph_jaccard",
+    "q_graph_pagerank",
+    "q_graph_sssp",
     # round-5 rotation: the 8 NEW TPC-DS shapes first, then the 40
     # queries whose only green gate row is from round 2 (stalest
     # evidence), then round-3-only entries to fill the 50-slot cap.

@@ -187,3 +187,86 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir)["events"]
     edges = cooccurrence_edges(events)
     return neighborhood_similarity(edges, src="u", dst="v").orderBy("u", "v")
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-point PageRank replica (see pagerank_fixed: every
+    float intermediate is quantized to the 1e-9 grid, sums are integer
+    reductions, so the unrolled SQL reproduces ranks bit-for-bit)."""
+    steps = [
+        """nodes AS (SELECT DISTINCT node FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)),
+    ed AS (SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e),
+    odeg AS (SELECT s, COUNT(*) AS od FROM ed GROUP BY s),
+    cnt AS (SELECT COUNT(*) AS nn FROM nodes),
+    r0 AS (SELECT node, CAST(ROUND(1000000000.0 / nn) AS BIGINT) AS rf
+           FROM nodes CROSS JOIN cnt)"""
+    ]
+    for i in range(1, iters + 1):
+        p = f"r{i - 1}"
+        steps.append(f"""dg{i} AS (
+      SELECT COALESCE(SUM(rf), 0) AS dang FROM {p} r
+      LEFT JOIN odeg o ON o.s = r.node WHERE o.s IS NULL),
+    c{i} AS (
+      SELECT ed.d AS node,
+             SUM(CAST(ROUND(CAST(rf AS DOUBLE) / od) AS BIGINT)) AS inf
+      FROM ed JOIN {p} r ON r.node = ed.s JOIN odeg o ON o.s = ed.s
+      GROUP BY ed.d),
+    r{i} AS (
+      SELECT n.node,
+             CAST(ROUND((1.0 - {damping}) * 1000000000.0 / nn) AS BIGINT)
+             + CAST(ROUND({damping} * CAST(dang AS DOUBLE) / nn) AS BIGINT)
+             + COALESCE(CAST(ROUND({damping} * CAST(inf AS DOUBLE)) AS BIGINT), 0)
+             AS rf
+      FROM nodes n CROSS JOIN cnt CROSS JOIN dg{i} LEFT JOIN c{i} USING (node))""")
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {SQL_EDGES_CTE},
+    {chain}
+    SELECT node, rf AS rank_f, CAST(rf AS DOUBLE) / 1000000000.0 AS rank
+    FROM r{iters} ORDER BY node
+    """
+
+
+@query("q_graph_pagerank", _pagerank_oracle())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank, 5 rounds, hash-gated: the iterative float
+    algorithm made order-independent by 1e-9 quantization of every
+    contribution (operators/iterate.pagerank_fixed) — upgrading the
+    gelly PageRank row from tolerance-tested to value-hash-gated.
+    Runs on the symmetrized co-occurrence graph."""
+    from reshape_on_flink_spark.operators.iterate import pagerank_fixed
+
+    events = load_tables(spark, sf_dir)["events"]
+    e = cooccurrence_edges(events)
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return pagerank_fixed(sym, iters=5, src="u", dst="v").orderBy("node")
+
+
+@query(
+    "q_graph_sssp",
+    f"""
+    WITH RECURSIVE {SQL_EDGES_CTE},
+    sym AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+    walk(node, dist) AS (
+      SELECT (SELECT MIN(u) FROM e), 0
+      UNION
+      SELECT s.nbr, w.dist + 1
+      FROM walk w JOIN sym s ON s.node = w.node
+      WHERE w.dist < 20
+    )
+    SELECT node, CAST(MIN(dist) AS DOUBLE) AS dist
+    FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths (hop count) from the smallest vertex
+    id — gelly SingleSourceShortestPaths. Bellman-Ford rounds are
+    deterministic for hop counts (min over exact values), so the
+    iterative operator hash-matches a bounded recursive-CTE oracle."""
+    from reshape_on_flink_spark.operators.iterate import sssp
+
+    events = load_tables(spark, sf_dir)["events"]
+    e = cooccurrence_edges(events)
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    source = e.agg(F.min("u")).collect()[0][0]
+    return sssp(sym, source, max_iters=20, src="u", dst="v").orderBy("node")

@@ -578,3 +578,23 @@ def test_graph_neighborhood_similarity(spark):
     for k, (sh, jc, aa) in expect.items():
         g = got[k]
         assert g[0] == sh and abs(g[1] - jc) < 1e-12 and abs(g[2] - aa) < 1e-9, (k, g)
+
+
+def test_pagerank_fixed_matches_float_ranking(spark):
+    """Fixed-point PageRank: mass conserved (sum of ranks ~ 1), ranking
+    equals the float formulation, per-node values within the per-round
+    quantization error bound, and bit-deterministic across runs."""
+    from reshape_on_flink_spark.operators.iterate import pagerank, pagerank_fixed
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (1, 3), (5, 1)],
+        "src int, dst int",
+    )
+    fx = {r["node"]: r["rank"] for r in pagerank_fixed(edges, iters=10).collect()}
+    fl = {r["node"]: r["rank"] for r in pagerank(edges, max_iters=10).collect()}
+    assert abs(sum(fx.values()) - 1.0) < 1e-6
+    assert sorted(fx, key=fx.get) == sorted(fl, key=fl.get)
+    for n in fl:
+        assert abs(fx[n] - fl[n]) < 1e-6
+    fx2 = {r["node"]: r["rank"] for r in pagerank_fixed(edges, iters=10).collect()}
+    assert fx == fx2
