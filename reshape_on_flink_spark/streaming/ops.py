@@ -489,3 +489,99 @@ def streaming_passage_filter(
     return passage_blocks(docs, block=block, text_col=text_col, id_col=id_col).dropDuplicates(
         ["block_hash"]
     )
+
+
+def streaming_passage_dedup(
+    docs: DataFrame, block: int = 16, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Streaming passage-level dedup with DETERMINISTIC claims — the
+    surviving-block stream feeding :func:`reassemble_passages_batch`.
+
+    Keyed on ``block_hash`` with first-claim state; within a batch the
+    winner is the minimum (doc_id, block_idx) — the batch operator's
+    global tie-break — so the stream equals batch whenever replay is
+    doc-ordered (across batches, arrival order decides: the documented
+    streaming delta shared with streaming_passage_filter).
+
+    State = one claim row per distinct passage; bound it with StateTtl
+    via apply_with_ttl when ingestion time is available.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from reshape_on_flink_spark.llm.dedup import passage_blocks
+
+    blocks = passage_blocks(docs, block=block, text_col=text_col, id_col=id_col)
+    surv_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("block_idx", LongType()),
+            StructField("n_total", LongType()),
+            StructField("block_text", StringType()),
+        ]
+    )
+    claim_schema = StructType([StructField("claimed", LongType())])
+
+    def keep_first(key, pdfs, state):
+        if state.exists:
+            return
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        row = pdf.sort_values(["doc_id", "block_idx"]).iloc[0]
+        state.update((1,))
+        yield pd.DataFrame(
+            {
+                "doc_id": [int(row["doc_id"])],
+                "block_idx": [int(row["block_idx"])],
+                "n_total": [int(row["n_total"])],
+                "block_text": [str(row["block_text"])],
+            }
+        )
+
+    return blocks.groupBy("block_hash").applyInPandasWithState(
+        keep_first, surv_schema, claim_schema, "append", "NoTimeout"
+    )
+
+
+def reassemble_passages_batch(survivors: DataFrame) -> DataFrame:
+    """Batch reassembly of surviving passages -> (doc_id, n_total,
+    n_kept, clean_text) — the same group-and-sort the batch operator
+    runs (llm/dedup.passage_dedup's second stage)."""
+    ordered = F.array_sort(F.collect_list(F.struct("block_idx", "block_text")))
+    return survivors.groupBy("doc_id", "n_total").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(ordered, lambda s: s["block_text"]), " "
+        ).alias("clean_text"),
+    )
+
+
+def streaming_passage_dedup_query(
+    docs: DataFrame,
+    checkpoint: str,
+    sink_fn,
+    block: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """The full streaming passage-dedup + reassembly pipeline as ONE
+    query: stage 1 is the stateful claim operator, stage 2 runs
+    per-micro-batch via ``foreachBatch`` (a document's blocks all
+    explode inside one micro-batch, so each batch's surviving set is
+    complete — reassembly is batch-local by construction; Spark forbids
+    a second stateful pandas operator in the same plan, and foreachBatch
+    is the idiomatic multi-stage streaming composition, same as the
+    statement-set sink pattern). ``sink_fn(assembled_df, epoch_id)``
+    owns the write. Returns the started StreamingQuery."""
+    survivors = streaming_passage_dedup(
+        docs, block=block, text_col=text_col, id_col=id_col
+    )
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        sink_fn(reassemble_passages_batch(batch_df), epoch_id)
+
+    return (
+        survivors.writeStream.outputMode("append")
+        .foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -894,3 +894,32 @@ def test_state_ttl_expires_idle_keys(spark, tmp_dir):
     finally:
         q2.stop()
     assert rows2 == [(1, 2), (1, 3)]
+
+
+def test_streaming_passage_dedup_reassembles_like_batch(spark, tables, tmp_dir):
+    """The full streaming passage-dedup + reassembly pipeline (stateful
+    claim + foreachBatch reassembly) == batch passage_dedup exactly,
+    given doc-ordered replay (first arrival == global minimum;
+    within-batch ties resolved by the same (doc_id, block_idx) rule)."""
+    from reshape_on_flink_spark.llm.dedup import passage_dedup
+    from reshape_on_flink_spark.streaming.ops import streaming_passage_dedup_query
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    docs = tables["documents"].select("doc_id", "text")
+    stream = chunked_replay(
+        spark, docs, os.path.join(tmp_dir, "passages"), n_chunks=3, order_col="doc_id"
+    )
+    out: dict = {}
+
+    def sink(assembled, epoch_id):
+        for r in assembled.collect():
+            assert r["doc_id"] not in out  # append-only: each doc once
+            out[r["doc_id"]] = (r["n_total"], r["n_kept"], r["clean_text"])
+
+    q = streaming_passage_dedup_query(stream, os.path.join(tmp_dir, "ckpt"), sink)
+    q.awaitTermination(120)
+    expected = {
+        r["doc_id"]: (r["n_total"], r["n_kept"], r["clean_text"])
+        for r in passage_dedup(docs).collect()
+    }
+    assert out == expected and len(expected) > 0
