@@ -36,8 +36,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # they fill the remaining gate slots) and keep their prior-round rows as
 # evidence. merged() raises on unknown names.
 GATE_PRIORITY: tuple[str, ...] = (
-    # round-6 additions (never sampled) lead: trained-PQ search and the
-    # three gelly-library graph queries.
+    # round-6 rotation: the 8 never-sampled round-6 queries first
+    # (trained-PQ, the five gelly-graph queries, WITHIN), then ALL 38
+    # queries whose only driver row is from round 2 (the stalest
+    # evidence), then round-3 entries to fill the 50-slot cap —
+    # r2..r6 driver rows then cover the whole inventory with nothing
+    # older than two rounds except the r3/r4 bulk refreshed in r5.
     "q_similarity_pq_trained",
     "q_graph_degrees",
     "q_graph_triangles",
@@ -46,63 +50,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_graph_jaccard",
     "q_graph_pagerank",
     "q_graph_sssp",
-    # round-5 rotation: the 8 NEW TPC-DS shapes first, then the 40
-    # queries whose only green gate row is from round 2 (stalest
-    # evidence), then round-3-only entries to fill the 50-slot cap.
-    # r2 U r3 U r4 covered all 137 prior queries; this refresh keeps
-    # every family's evidence at most two rounds old.
-    # Late round-5 additions (never sampled) lead:
-    "q_passage_dedup",
-    "q_bloom_decontam",
-    "q_dedup_keep_best",
-    "q_scd2_intervals",
-    "q_funnel_conversion",
-    "q_hll_intersect_est",
-    "q_domain_upsample",
-    "q_length_batches",
-    "q_contamination_rate",
-    "q_curation_v2",
-    "q_quality_percentile_gate",
-    "q_corpus_overlap_minhash",
-    "q_quality_classifier",
-    "q_shard_manifest",
-    "q_profile_table",
-    "q_ds_lifecycle_chain",
-    "q_ds_above_nation_avg_returns",
-    "q_ds_bracketed_or_join",
-    "q_ds_before_after_ratio",
-    "q_ds_revenue_share",
-    "q_corpus_assembly",
-    "q_hll_distinct",
-    "q_hll_rollup",
-    "q_cms_heavy_hitters",
-    "q_hist_quantiles",
-    "q_train_val_test_split",
-    "q_stratified_sample",
-    "q_similarity_ivfpq",
-    "q_doc_chunks",
-    "q_tfidf_top_terms",
-    "q_corpus_trigram_topk",
-    "q_ds_two_cte_union_channels",
-    "q_ds_correlated_exists_or",
-    "q_ds_exists_notexists_distinct",
-    "q_ds_ranked_dim_rollup",
-    "q_unigram_perplexity",
-    "q_text_normalize",
-    "q_bigram_perplexity",
-    "q_similarity_pq",
-    "q_similarity_pq_rerank",
-    "q_similarity_pq_trained",
-    "q_ds_multi_cte_reuse",
-    "q_ds_two_year_star_join",
-    "q_ds_inventory_chain",
-    "q_ds_correlated_window_ratio",
-    "q_ds_variance_flag_chain",
-    "q_ds_first_purchase_cohort",
-    "q_ds_dual_rank_return_ratio",
-    "q_ds_channel_overlap_census",
-    "q_join_anti",
-    "q_join_cross",
     "q6_forecast_revenue",
     "q_agg_distinct",
     "q_rollup",
@@ -143,6 +90,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q9_product_type_profit",
     "q_join_theta",
     "q_grouping_sets",
+    "q_listagg",
+    "q_percentiles",
 )
 
 
