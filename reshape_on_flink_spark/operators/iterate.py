@@ -460,6 +460,12 @@ def pagerank_fixed(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:  # empty graph: empty result, same schema (no 1/n terms)
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("rank_f"),
+            F.lit(0.0).alias("rank"),
+        )
     out_deg = edges.groupBy(src).agg(F.count("*").alias("out_deg")).localCheckpoint()
     import math
 

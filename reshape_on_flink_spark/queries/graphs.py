@@ -248,7 +248,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE {SQL_EDGES_CTE},
     sym AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
     walk(node, dist) AS (
-      SELECT (SELECT MIN(u) FROM e), 0
+      SELECT u, 0 FROM (SELECT MIN(u) AS u FROM e) WHERE u IS NOT NULL
       UNION
       SELECT s.nbr, w.dist + 1
       FROM walk w JOIN sym s ON s.node = w.node

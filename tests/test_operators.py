@@ -598,3 +598,23 @@ def test_pagerank_fixed_matches_float_ranking(spark):
         assert abs(fx[n] - fl[n]) < 1e-6
     fx2 = {r["node"]: r["rank"] for r in pagerank_fixed(edges, iters=10).collect()}
     assert fx == fx2
+
+
+def test_graph_ops_on_empty_edge_list(spark):
+    """Empty graphs (the sf0.001 co-occurrence derivation) are valid
+    inputs everywhere: no 1/n crash, empty results, stable schemas."""
+    from reshape_on_flink_spark.operators.iterate import (
+        label_propagation,
+        neighborhood_similarity,
+        pagerank_fixed,
+        sssp,
+        triangle_count,
+        vertex_degrees,
+    )
+
+    empty = spark.createDataFrame([], "src int, dst int")
+    assert pagerank_fixed(empty).columns == ["node", "rank_f", "rank"]
+    assert pagerank_fixed(empty).count() == 0
+    assert sssp(empty, source=0).count() == 0
+    for fn in (vertex_degrees, triangle_count, label_propagation, neighborhood_similarity):
+        assert fn(empty).count() == 0
