@@ -513,3 +513,131 @@ def pagerank_fixed(
     return out.select(
         "node", "rank_f", (F.col("rank_f").cast("double") / F.lit(float(scale))).alias("rank")
     )
+
+
+def clustering_coefficient(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-vertex local clustering coefficient — flink-gelly
+    LocalClusteringCoefficient (flink-libraries/flink-gelly/.../
+    clustering/undirected/LocalClusteringCoefficient.java):
+    cc(v) = 2·triangles(v) / (deg(v)·(deg(v)-1)) on the undirected
+    graph, 0 for degree < 2. Composes triangle_count (degree-ordered,
+    skew-bounded) with the neighbor-count degree; the division is a
+    ratio of exact integers, so results are engine-exact."""
+    u, v = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(u.alias("u"), v.alias("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    tri = triangle_count(und, src="u", dst="v")
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("d").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("d") >= 2,
+                2.0 * F.coalesce("n_triangles", F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)).cast("double"),
+            ).otherwise(F.lit(0.0)).alias("coefficient"),
+        )
+    )
+
+
+def hits(
+    edges: DataFrame,
+    iters: int = 5,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """HITS hubs & authorities — flink-gelly HITS
+    (flink-libraries/flink-gelly/.../link_analysis/HITS.java), made
+    hash-gateable with the pagerank_fixed determinism contract: scores
+    live as 1e-9 fixed-point BIGINTs, each half-step is an exact integer
+    sum over edges, and the L2 normalization divides by
+    sqrt(Σ f²) computed from exact integers (one IEEE sqrt + divide +
+    re-quantize — identical on any engine/partitioning).
+
+    Per round: two key joins + two aggs (authority from in-edges' hub
+    scores, hub from out-edges' new authority scores) + two 1-row
+    norm aggregates that stay in-plan as broadcast scalars.
+
+    The grid is 1e-6 (not 1e-9): the norm squares raw degree-sums, and
+    Σ (scale·deg)² must stay inside the exact DECIMAL(38,0)/HUGEINT
+    window on both engines — 1e-6 leaves headroom to degree ~1e6 at
+    billion-vertex graphs, and score precision 1e-6 in [0,1] is far
+    below any ranking use."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if nodes.count() == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("hub_f"),
+            F.lit(0).cast("long").alias("auth_f"),
+            F.lit(0.0).alias("hub"),
+            F.lit(0.0).alias("authority"),
+        )
+    e = edges.select(F.col(src).alias("es"), F.col(dst).alias("ed")).localCheckpoint()
+    state0 = nodes.select(
+        "node", F.lit(scale).cast("long").alias("hub_f"), F.lit(scale).cast("long").alias("auth_f")
+    )
+
+    def normalize(df: DataFrame, col: str) -> DataFrame:
+        # norm² = Σ f² as an exact DECIMAL(38,0) sum (order-free; the
+        # long·long product would overflow); the sqrt/divide are one
+        # deterministic double op each, re-quantized to the grid
+        d38 = F.col(col).cast("decimal(38,0)")
+        nrm = df.agg(F.sqrt((F.sum(d38 * d38)).cast("double")).alias("_n"))
+        return df.crossJoin(F.broadcast(nrm)).select(
+            *[c for c in df.columns if c != col],
+            F.when(F.col("_n") > 0,
+                   F.round(F.col(col).cast("double") / F.col("_n") * F.lit(float(scale))))
+            .otherwise(F.lit(0.0)).cast("long").alias(col),
+        )
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        auth = (
+            e.join(state.select(F.col("node").alias("es"), "hub_f"), "es")
+            .groupBy(F.col("ed").alias("node"))
+            .agg(F.sum("hub_f").alias("raw_a"))
+        )
+        # checkpoint the half-step: new_auth feeds BOTH the hub update
+        # and the round's output join — uncheckpointed it re-executes,
+        # doubling per-round work (and compounding across rounds)
+        new_auth = normalize(
+            nodes.join(auth, "node", "left")
+            .select("node", F.coalesce("raw_a", F.lit(0)).cast("long").alias("auth_f")),
+            "auth_f",
+        ).localCheckpoint()
+        hub = (
+            e.join(new_auth.select(F.col("node").alias("ed"), "auth_f"), "ed")
+            .groupBy(F.col("es").alias("node"))
+            .agg(F.sum("auth_f").alias("raw_h"))
+        )
+        new_hub = normalize(
+            nodes.join(hub, "node", "left")
+            .select("node", F.coalesce("raw_h", F.lit(0)).cast("long").alias("hub_f")),
+            "hub_f",
+        )
+        return new_hub.join(new_auth, "node").select("node", "hub_f", "auth_f")
+
+    out = iterate(state0, step, iters)
+    return out.select(
+        "node", "hub_f", "auth_f",
+        (F.col("hub_f").cast("double") / F.lit(float(scale))).alias("hub"),
+        (F.col("auth_f").cast("double") / F.lit(float(scale))).alias("authority"),
+    )

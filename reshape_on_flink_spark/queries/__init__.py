@@ -50,6 +50,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_graph_jaccard",
     "q_graph_pagerank",
     "q_graph_sssp",
+    "q_graph_clustering_coeff",
+    "q_graph_hits",
     "q6_forecast_revenue",
     "q_agg_distinct",
     "q_rollup",

@@ -38,12 +38,17 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+# MATERIALIZED: DuckDB inlines CTEs by default, so an iterative oracle
+# chain would re-evaluate this self-join exponentially many times
+# (measured: the 3-round HITS oracle went 89s -> sub-second).
 SQL_EDGES_CTE = """
-    occ AS (SELECT DISTINCT date_trunc('minute', ts) AS h, event_type AS et,
-                            user_id AS u
-            FROM events),
-    e AS (SELECT DISTINCT a.u AS u, b.u AS v
-          FROM occ a JOIN occ b ON a.h = b.h AND a.et = b.et AND a.u < b.u)
+    occ AS MATERIALIZED (
+        SELECT DISTINCT date_trunc('minute', ts) AS h, event_type AS et,
+                        user_id AS u
+        FROM events),
+    e AS MATERIALIZED (
+        SELECT DISTINCT a.u AS u, b.u AS v
+        FROM occ a JOIN occ b ON a.h = b.h AND a.et = b.et AND a.u < b.u)
 """
 
 
@@ -127,7 +132,7 @@ def _lp_oracle(rounds: int = 3) -> str:
       SELECT node, nl, ROW_NUMBER() OVER (PARTITION BY node
                                           ORDER BY c DESC, nl ASC) AS rn
       FROM c{i}) WHERE rn = 1),
-    l{i} AS (SELECT l.node, COALESCE(b.nl, l.label) AS label
+    l{i} AS MATERIALIZED (SELECT l.node, COALESCE(b.nl, l.label) AS label
              FROM l{i - 1} l LEFT JOIN b{i} b USING (node))""")
     chain = ",\n    ".join(steps)
     return f"""
@@ -211,7 +216,7 @@ def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
              SUM(CAST(ROUND(CAST(rf AS DOUBLE) / od) AS BIGINT)) AS inf
       FROM ed JOIN {p} r ON r.node = ed.s JOIN odeg o ON o.s = ed.s
       GROUP BY ed.d),
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT n.node,
              CAST(ROUND((1.0 - {damping}) * 1000000000.0 / nn) AS BIGINT)
              + CAST(ROUND({damping} * CAST(dang AS DOUBLE) / nn) AS BIGINT)
@@ -270,3 +275,99 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     source = e.agg(F.min("u")).collect()[0][0]
     return sssp(sym, source, max_iters=20, src="u", dst="v").orderBy("node")
+
+
+@query(
+    "q_graph_clustering_coeff",
+    f"""
+    WITH {SQL_EDGES_CTE},
+    deg AS (SELECT node, COUNT(*) AS d FROM
+            (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+      JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v),
+    pv AS (SELECT node, COUNT(*) AS t FROM
+           (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri) GROUP BY node)
+    SELECT deg.node, deg.d AS degree,
+           COALESCE(pv.t, 0) AS n_triangles,
+           CASE WHEN deg.d >= 2
+                THEN 2.0 * COALESCE(pv.t, 0) / (deg.d * (deg.d - 1))
+                ELSE 0.0 END AS coefficient
+    FROM deg LEFT JOIN pv USING (node)
+    ORDER BY node
+    """,
+)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient (gelly LocalClusteringCoefficient):
+    2·tri(v)/(deg(v)·(deg(v)-1)) — a ratio of exact integers, composing
+    the degree-ordered triangle counter with neighbor-count degrees."""
+    from reshape_on_flink_spark.operators.iterate import clustering_coefficient
+
+    events = load_tables(spark, sf_dir)["events"]
+    edges = cooccurrence_edges(events)
+    return clustering_coefficient(edges, src="u", dst="v").orderBy("node")
+
+
+def _hits_oracle(iters: int = 3, scale: int = 1_000_000) -> str:
+    """Unrolled fixed-point HITS replica (see operators/iterate.hits:
+    integer half-step sums, exact HUGEINT sum-of-squares for the norm,
+    one sqrt/divide per half-step re-quantized to the 1e-6 grid)."""
+    steps = [
+        f"""nodes AS (SELECT DISTINCT node FROM
+             (SELECT u AS node FROM e UNION ALL SELECT v FROM e)),
+    s0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub_f,
+                  CAST({scale} AS BIGINT) AS auth_f FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        p = f"s{i - 1}"
+        steps.append(f"""ar{i} AS (
+      SELECT e.v AS node, SUM(s.hub_f) AS raw
+      FROM e JOIN {p} s ON s.node = e.u GROUP BY e.v),
+    af{i} AS (SELECT n.node, CAST(COALESCE(raw, 0) AS BIGINT) AS f
+              FROM nodes n LEFT JOIN ar{i} USING (node)),
+    an{i} AS (SELECT sqrt(CAST(SUM(CAST(f AS HUGEINT) * f) AS DOUBLE)) AS nr
+              FROM af{i}),
+    aa{i} AS MATERIALIZED (SELECT node,
+                     CASE WHEN nr > 0
+                          THEN CAST(ROUND(CAST(f AS DOUBLE) / nr * {scale}.0) AS BIGINT)
+                          ELSE 0 END AS auth_f
+              FROM af{i} CROSS JOIN an{i}),
+    hr{i} AS (
+      SELECT e.u AS node, SUM(a.auth_f) AS raw
+      FROM e JOIN aa{i} a ON a.node = e.v GROUP BY e.u),
+    hf{i} AS (SELECT n.node, CAST(COALESCE(raw, 0) AS BIGINT) AS f
+              FROM nodes n LEFT JOIN hr{i} USING (node)),
+    hn{i} AS (SELECT sqrt(CAST(SUM(CAST(f AS HUGEINT) * f) AS DOUBLE)) AS nr
+              FROM hf{i}),
+    hh{i} AS MATERIALIZED (SELECT node,
+                     CASE WHEN nr > 0
+                          THEN CAST(ROUND(CAST(f AS DOUBLE) / nr * {scale}.0) AS BIGINT)
+                          ELSE 0 END AS hub_f
+              FROM hf{i} CROSS JOIN hn{i}),
+    s{i} AS MATERIALIZED (SELECT h.node, h.hub_f, a.auth_f
+             FROM hh{i} h JOIN aa{i} a USING (node))""")
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {SQL_EDGES_CTE},
+    {chain}
+    SELECT node, hub_f, auth_f,
+           CAST(hub_f AS DOUBLE) / {scale}.0 AS hub,
+           CAST(auth_f AS DOUBLE) / {scale}.0 AS authority
+    FROM s{iters} ORDER BY node
+    """
+
+
+@query("q_graph_hits", _hits_oracle())
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities, 3 rounds, hash-gated (gelly HITS):
+    the canonical u->v co-occurrence edges taken as a directed graph;
+    fixed-point half-step sums + exact-integer norms make the full
+    iterative computation engine-exact (operators/iterate.hits)."""
+    from reshape_on_flink_spark.operators.iterate import hits
+
+    events = load_tables(spark, sf_dir)["events"]
+    edges = cooccurrence_edges(events)
+    return hits(edges, iters=3, src="u", dst="v").orderBy("node")

@@ -618,3 +618,35 @@ def test_graph_ops_on_empty_edge_list(spark):
     assert sssp(empty, source=0).count() == 0
     for fn in (vertex_degrees, triangle_count, label_propagation, neighborhood_similarity):
         assert fn(empty).count() == 0
+
+
+def test_clustering_coefficient_known_graph(spark):
+    """Triangle 1-2-3 with pendant 4-1: cc(2)=cc(3)=1, cc(1)=1/3,
+    cc(4)=0 (degree<2)."""
+    from reshape_on_flink_spark.operators.iterate import clustering_coefficient
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (4, 1)], "src int, dst int")
+    got = {r["node"]: (r["degree"], r["n_triangles"], r["coefficient"])
+           for r in clustering_coefficient(edges).collect()}
+    assert got == {
+        1: (3, 1, 2 * 1 / (3 * 2)),
+        2: (2, 1, 1.0),
+        3: (2, 1, 1.0),
+        4: (1, 0, 0.0),
+    }
+
+
+def test_hits_star_graph(spark):
+    """Directed star 1->{2,3,4}: node 1 is the pure hub (hub=1),
+    2/3/4 are equal authorities (1/sqrt(3) each); deterministic."""
+    import math
+
+    from reshape_on_flink_spark.operators.iterate import hits
+
+    edges = spark.createDataFrame([(1, 2), (1, 3), (1, 4)], "src int, dst int")
+    got = {r["node"]: (r["hub"], r["authority"]) for r in hits(edges, iters=3).collect()}
+    assert abs(got[1][0] - 1.0) < 1e-5 and got[1][1] == 0.0
+    for n in (2, 3, 4):
+        assert got[n][0] == 0.0
+        assert abs(got[n][1] - 1 / math.sqrt(3)) < 1e-5
+    assert got == {r["node"]: (r["hub"], r["authority"]) for r in hits(edges, iters=3).collect()}
