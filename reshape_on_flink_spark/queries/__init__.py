@@ -47,11 +47,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_graph_triangles",
     "q_graph_label_propagation",
     "q_match_recognize_within",
+    "q_graph_clustering_coeff",
+    "q_graph_hits",
     "q_graph_jaccard",
     "q_graph_pagerank",
     "q_graph_sssp",
-    "q_graph_clustering_coeff",
-    "q_graph_hits",
     "q6_forecast_revenue",
     "q_agg_distinct",
     "q_rollup",
