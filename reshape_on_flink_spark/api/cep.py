@@ -1,0 +1,446 @@
+"""Fluent CEP Pattern API — the flink-cep library's user-facing surface.
+
+Reference: ``Pattern.begin("a").where(...).followedBy("b").where(...)
+.oneOrMore().within(...)`` then ``CEP.pattern(stream, pattern)
+.select(...)`` — flink-libraries/flink-cep/src/main/java/org/apache/
+flink/cep/pattern/Pattern.java:128 (begin/where/or/next/followedBy/
+notNext/notFollowedBy/oneOrMore/times/optional/greedy/until/within)
+and cep/CEP.java + cep/PatternStream.java (select/flatSelect).
+
+Spark-first compile: the builder does NOT get its own matcher. It
+compiles the stage chain into a MATCH_RECOGNIZE pattern string + DEFINE
+map and delegates to :func:`reshape_on_flink_spark.operators.cep.
+match_recognize` (batch) / ``streaming_match_recognize`` (streams), so
+every semantics fix and perf property of the engine (Catalyst-evaluated
+predicates, chunked Arrow harness, WITHIN horizon clamp, skip
+strategies) is shared, and `CEP.pattern(...).select(...)` aggregations
+stay JVM-side Spark aggregations.
+
+Contiguity compile:
+
+- ``next`` (strict): plain concatenation — MATCH_RECOGNIZE is strict by
+  construction.
+- ``followed_by`` (relaxed): a reluctant TRUE-filler ``__gapN*?`` is
+  inserted before the stage. Reluctant = minimal skip, which is exactly
+  Flink's relaxed contiguity (the FIRST matching event after the
+  previous stage wins; NFA "proceed" edges skip minimally). Filler rows
+  are consumed by the match (they advance AFTER MATCH SKIP) but are
+  dropped from user-visible output, as skipped events are not part of a
+  Flink match.
+- ``not_followed_by``: the next relaxed stage's filler gets the negated
+  condition (``__gapN`` := NOT cond) — no event between the two stages
+  may satisfy it, Pattern.java:304. Terminal ``notFollowedBy`` (legal
+  in Flink only with a ``within`` bound) needs a post-match lookahead
+  the engine deliberately lacks; it raises.
+- ``not_next``: the event directly after the previous stage must not
+  satisfy the condition (Pattern.java:273). Exact when the following
+  stage is strict (the negation folds into that stage's DEFINE);
+  otherwise raises with guidance to use ``not_followed_by``.
+
+Looping divergence (documented): ``one_or_more``/``times`` compile to
+consecutive repetition — equal to Flink's ``.consecutive()`` mode
+(Quantifier.java STRICT). Flink's default relaxed looping
+(non-adjacent events folded into one loop) and
+``allowCombinations()`` are not expressible as a regex over a total
+row order; ``consecutive()`` is therefore a no-op here and
+``allow_combinations()`` raises. ``until(c)`` on a consecutive loop is
+exact: the loop body DEFINE becomes ``cond AND NOT c`` (stop collecting
+at the first ``c`` event — Pattern.java:219).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from reshape_on_flink_spark.operators.cep import (
+    match_recognize,
+    streaming_match_recognize,
+)
+
+_KINDS = ("begin", "next", "followed_by", "not_next", "not_followed_by")
+
+
+@dataclass
+class _Stage:
+    name: str
+    kind: str  # one of _KINDS
+    cond: Column | Callable | None = None
+    pandas_cond: Callable | None = None
+    quant: tuple[int, int | None, bool] | None = None  # (min, max, greedy)
+    until_cond: Column | None = None
+    negated_gap: Column | None = None  # set on the stage FOLLOWING a not_followed_by
+    fold_not: list = field(default_factory=list)  # conds folded in from not_next
+
+
+class Pattern:
+    """Immutable-ish fluent builder; every method returns ``self`` (the
+    Flink API mutates the tail stage the same way)."""
+
+    def __init__(self) -> None:
+        self._stages: list[_Stage] = []
+        self._within: str | float | None = None
+
+    # -- construction -------------------------------------------------
+    @staticmethod
+    def begin(name: str) -> "Pattern":
+        p = Pattern()
+        p._stages.append(_Stage(name=name, kind="begin"))
+        return p
+
+    def _add(self, name: str, kind: str) -> "Pattern":
+        if any(s.name == name for s in self._stages):
+            raise ValueError(f"duplicate stage name {name!r}")
+        if not name.isidentifier():
+            raise ValueError(f"stage name must be an identifier, got {name!r}")
+        self._stages.append(_Stage(name=name, kind=kind))
+        return self
+
+    def next(self, name: str) -> "Pattern":
+        return self._add(name, "next")
+
+    def followed_by(self, name: str) -> "Pattern":
+        return self._add(name, "followed_by")
+
+    def followed_by_any(self, name: str) -> "Pattern":
+        raise NotImplementedError(
+            "followedByAny (non-deterministic relaxed contiguity, "
+            "Pattern.java:322) multiplies alternative matches per prefix; "
+            "the regex-priority engine emits one match per start. Use "
+            "followed_by(), or after_match='to_next_row' on select() for "
+            "overlapping matches."
+        )
+
+    def not_next(self, name: str) -> "Pattern":
+        return self._add(name, "not_next")
+
+    def not_followed_by(self, name: str) -> "Pattern":
+        return self._add(name, "not_followed_by")
+
+    # -- conditions on the tail stage ---------------------------------
+    def _tail(self) -> _Stage:
+        if not self._stages:
+            raise ValueError("call Pattern.begin(...) first")
+        return self._stages[-1]
+
+    def where(self, cond: Column | str | Callable) -> "Pattern":
+        """AND a condition onto the current stage (Pattern.java:155).
+        Accepts a Catalyst Column, a SQL string, or (streaming route
+        only) a vectorized pandas predicate ``pdf -> bool array``."""
+        t = self._tail()
+        if callable(cond) and not isinstance(cond, Column):
+            if t.pandas_cond is not None:
+                prev = t.pandas_cond
+                t.pandas_cond = lambda pdf, a=prev, b=cond: a(pdf) & b(pdf)
+            else:
+                t.pandas_cond = cond
+            return self
+        cond = F.expr(cond) if isinstance(cond, str) else cond
+        t.cond = cond if t.cond is None else (t.cond & cond)
+        return self
+
+    def or_(self, cond: Column | str | Callable) -> "Pattern":
+        """OR a condition onto the current stage (Pattern.java:175)."""
+        t = self._tail()
+        if callable(cond) and not isinstance(cond, Column):
+            if t.pandas_cond is None:
+                raise ValueError("or_ with a pandas predicate needs a prior where()")
+            prev = t.pandas_cond
+            t.pandas_cond = lambda pdf, a=prev, b=cond: a(pdf) | b(pdf)
+            return self
+        cond = F.expr(cond) if isinstance(cond, str) else cond
+        if t.cond is None:
+            raise ValueError("or_ needs a prior where() on this stage")
+        t.cond = t.cond | cond
+        return self
+
+    # -- quantifiers on the tail stage --------------------------------
+    def _set_quant(self, lo: int, hi: int | None) -> None:
+        t = self._tail()
+        if t.kind in ("not_next", "not_followed_by"):
+            raise ValueError("NOT stages cannot be quantified (MalformedPatternException)")
+        if t.quant is not None and not (t.quant[0] == 0 and t.quant[1] == 1):
+            raise ValueError(f"stage {t.name!r} already quantified")
+        t.quant = (lo, hi, True)
+
+    def one_or_more(self) -> "Pattern":
+        self._set_quant(1, None)
+        return self
+
+    def times(self, lo: int, hi: int | None = None) -> "Pattern":
+        if lo < 0 or (hi is not None and hi < lo):
+            raise ValueError(f"bad times bounds ({lo}, {hi})")
+        self._set_quant(lo, lo if hi is None else hi)
+        return self
+
+    def times_or_more(self, lo: int) -> "Pattern":
+        self._set_quant(lo, None)
+        return self
+
+    def optional(self) -> "Pattern":
+        t = self._tail()
+        if t.quant is None:
+            t.quant = (0, 1, True)
+        else:
+            t.quant = (0, t.quant[1], t.quant[2])
+        return self
+
+    def greedy(self) -> "Pattern":
+        t = self._tail()
+        if t.quant is None:
+            raise ValueError("greedy() applies to a quantified stage")
+        t.quant = (t.quant[0], t.quant[1], True)
+        return self
+
+    def reluctant(self) -> "Pattern":
+        """Smallest-repetition-first (regex ``+?``). Not in the Flink
+        builder (its default relaxed loop is lazier still); exposed
+        because the engine supports it natively."""
+        t = self._tail()
+        if t.quant is None:
+            raise ValueError("reluctant() applies to a quantified stage")
+        t.quant = (t.quant[0], t.quant[1], False)
+        return self
+
+    def consecutive(self) -> "Pattern":
+        """No-op: this compile IS consecutive looping (see module doc)."""
+        self._tail()
+        return self
+
+    def allow_combinations(self) -> "Pattern":
+        raise NotImplementedError(
+            "allowCombinations (Quantifier.java COMBINATIONS) enumerates "
+            "all event subsets per loop — not expressible as a regex over "
+            "a total row order; use one_or_more() (consecutive)."
+        )
+
+    def until(self, cond: Column | str) -> "Pattern":
+        t = self._tail()
+        if t.quant is None or t.quant[1] == 1:
+            raise ValueError("until() is only applicable to looping stages (Pattern.java:228)")
+        if t.until_cond is not None:
+            raise ValueError("only one until condition can be applied")
+        t.until_cond = F.expr(cond) if isinstance(cond, str) else cond
+        return self
+
+    def within(self, duration: str | float) -> "Pattern":
+        """Whole-pattern time bound (Pattern.java:245); engine WITHIN."""
+        self._within = duration
+        return self
+
+    # -- compile ------------------------------------------------------
+    def compile(self) -> tuple[str, dict[str, Column], list[str], str | float | None]:
+        """-> (pattern_string, define, user_symbols, within). Raises on
+        chains the engine cannot express (loudly, with the reason)."""
+        toks: list[str] = []
+        define: dict[str, Column] = {}
+        user_syms: list[str] = []
+        stages = self._stages
+        for s in stages:  # compile is re-runnable: clear derived state
+            s.fold_not = []
+            s.negated_gap = None
+        gap_n = 0
+        i = 0
+        while i < len(stages):
+            s = stages[i]
+            if s.kind in ("not_next", "not_followed_by"):
+                if s.cond is None:
+                    raise ValueError(f"NOT stage {s.name!r} needs a where() condition")
+                nxt = stages[i + 1] if i + 1 < len(stages) else None
+                if s.kind == "not_followed_by":
+                    if nxt is None:
+                        raise NotImplementedError(
+                            "terminal notFollowedBy needs post-match lookahead "
+                            "(Flink allows it only with within); end the "
+                            "pattern on a positive stage instead"
+                        )
+                    if nxt.kind == "next":
+                        # no events can lie between the neighbours; the
+                        # constraint is vacuous (matches Flink NFA: the NOT
+                        # state guards the proceed path only)
+                        pass
+                    elif nxt.kind == "followed_by":
+                        nxt.negated_gap = s.cond
+                        # ALSO: if the gap is empty, the very next event is
+                        # nxt's own — Flink still forbids it satisfying the
+                        # NOT condition only for notNext, not notFollowedBy.
+                    else:
+                        raise ValueError(
+                            f"NOT stage {s.name!r} must be followed by a "
+                            f"positive stage, got {nxt.kind}"
+                        )
+                else:  # not_next
+                    if nxt is None:
+                        raise NotImplementedError(
+                            "terminal notNext is not expressible without "
+                            "lookahead; end the pattern on a positive stage"
+                        )
+                    if nxt.kind != "next":
+                        raise NotImplementedError(
+                            "not_next folds into a strict next() stage; for a "
+                            "relaxed successor use not_followed_by()"
+                        )
+                    nxt.fold_not.append(s.cond)
+                i += 1
+                continue
+
+            if s.cond is None and s.pandas_cond is None:
+                raise ValueError(f"stage {s.name!r} has no where() condition")
+            if s.kind == "followed_by":
+                gap = f"__gap{gap_n}"
+                gap_n += 1
+                toks.append(f"{gap}*?")
+                define[gap] = (
+                    ~s.negated_gap if s.negated_gap is not None else F.lit(True)
+                )
+            cond = s.cond
+            for neg in s.fold_not:
+                cond = cond & ~neg
+            if s.until_cond is not None:
+                cond = cond & ~s.until_cond
+            define[s.name] = cond
+            user_syms.append(s.name)
+            toks.append(s.name + _quant_str(s.quant))
+            i += 1
+        if not user_syms:
+            raise ValueError("pattern has no positive stages")
+        return " ".join(toks), define, user_syms, self._within
+
+
+def _quant_str(q: tuple[int, int | None, bool] | None) -> str:
+    if q is None:
+        return ""
+    lo, hi, greedy = q
+    sfx = "" if greedy else "?"
+    if (lo, hi) == (1, 1):
+        return ""
+    if (lo, hi) == (1, None):
+        return "+" + sfx
+    if (lo, hi) == (0, None):
+        return "*" + sfx
+    if (lo, hi) == (0, 1):
+        return "?" + sfx
+    if hi is None:
+        return f"{{{lo},}}" + sfx
+    if hi == lo:
+        return f"{{{lo}}}" + sfx
+    return f"{{{lo},{hi}}}" + sfx
+
+
+class PatternStream:
+    """Result of :meth:`CEP.pattern` — select/flat_select mirror
+    PatternStream.java (select = ONE ROW PER MATCH aggregation,
+    flat_select = ALL ROWS, skipped/filler events excluded)."""
+
+    def __init__(
+        self,
+        df: DataFrame,
+        pattern: Pattern,
+        key_by: str | list[str],
+        order_by: str | list[str],
+        after_match: str = "past_last_row",
+    ) -> None:
+        self._df = df
+        self._pattern = pattern
+        self._keys = [key_by] if isinstance(key_by, str) else list(key_by)
+        self._order = [order_by] if isinstance(order_by, str) else list(order_by)
+        self._after = after_match
+
+    def _run(self) -> tuple[DataFrame, list[str]]:
+        pat, define, user_syms, within = self._pattern.compile()
+        if self._df.isStreaming:
+            pandas_define = {}
+            for s in self._pattern._stages:
+                if s.kind in ("not_next", "not_followed_by"):
+                    continue
+                if s.pandas_cond is None:
+                    raise ValueError(
+                        f"streaming CEP needs vectorized pandas predicates; "
+                        f"stage {s.name!r} has only a Catalyst condition "
+                        f"(pass a `pdf -> bool array` callable to where())"
+                    )
+            # rebuild define with pandas callables for user symbols, TRUE
+            # arrays for fillers
+            import pandas as pd
+
+            for name in define:
+                if name.startswith("__gap"):
+                    pandas_define[name] = lambda pdf: pd.Series(True, index=pdf.index)
+            for s in self._pattern._stages:
+                if s.kind in ("not_next", "not_followed_by"):
+                    continue
+                if s.fold_not or s.until_cond is not None or s.negated_gap is not None:
+                    raise NotImplementedError(
+                        "NOT folds / until / not_followed_by need Catalyst "
+                        "negation; the streaming route takes pandas "
+                        "predicates — express the negation inside the "
+                        "predicate itself"
+                    )
+                pandas_define[s.name] = s.pandas_cond
+            out = streaming_match_recognize(
+                self._df,
+                self._keys,
+                self._order,
+                pat,
+                pandas_define,
+                input_cols=self._df.columns,
+                after_match=self._after,
+                within=within,
+            )
+        else:
+            only_pandas = [k for k, v in define.items() if v is None]
+            if only_pandas:
+                raise ValueError(
+                    f"batch CEP needs Catalyst conditions; stages "
+                    f"{only_pandas} have only pandas predicates"
+                )
+            out = match_recognize(
+                self._df,
+                self._keys,
+                self._order,
+                pat,
+                define,
+                after_match=self._after,
+                within=within,
+            )
+        return out, user_syms
+
+    def flat_select(self) -> DataFrame:
+        """ALL ROWS PER MATCH: input columns + (match_id,
+        matched_symbol); relaxed-contiguity skipped events excluded."""
+        out, _ = self._run()
+        return out.where(~F.col("matched_symbol").startswith("__gap"))
+
+    def select(self, **measures: Column) -> DataFrame:
+        """ONE ROW PER MATCH: key columns + match_id + the given
+        aggregate measures over the match's (non-skipped) rows. Use
+        :func:`sym` to scope a column to one pattern symbol."""
+        rows = self.flat_select()
+        aggs = [v.alias(k) for k, v in measures.items()]
+        return rows.groupBy(*self._keys, "match_id").agg(*aggs)
+
+
+def sym(symbol: str, col: str | Column) -> Column:
+    """``sym("b", "price")`` — the column restricted to rows matched by
+    one pattern symbol (NULL elsewhere), for use inside
+    :meth:`PatternStream.select` aggregates, e.g.
+    ``F.max(sym("b", "price"))`` = MATCH_RECOGNIZE ``MAX(B.price)``."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.when(F.col("matched_symbol") == symbol, col)
+
+
+class CEP:
+    """CEP.java analog: entry point binding a pattern to a DataFrame."""
+
+    @staticmethod
+    def pattern(
+        df: DataFrame,
+        pattern: Pattern,
+        key_by: str | list[str],
+        order_by: str | list[str],
+        after_match: str = "past_last_row",
+    ) -> PatternStream:
+        return PatternStream(df, pattern, key_by, order_by, after_match)
