@@ -42,6 +42,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # evidence), then round-3 entries to fill the 50-slot cap —
     # r2..r6 driver rows then cover the whole inventory with nothing
     # older than two rounds except the r3/r4 bulk refreshed in r5.
+    "q_cep_fluent",
     "q_similarity_pq_trained",
     "q_graph_degrees",
     "q_graph_triangles",

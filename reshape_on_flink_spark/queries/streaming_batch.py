@@ -618,6 +618,90 @@ def q_match_recognize_within(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fluent CEP Pattern API (api.cep — flink-cep Pattern.java/CEP.java):
+# begin("v").where(view).followed_by("p").where(purchase) with relaxed
+# contiguity, per user, AFTER MATCH SKIP PAST LAST ROW. The oracle is
+# exact via a tiling equivalence: scanning greedily, a purchase row is
+# matched iff at least one view lies strictly between the immediately
+# preceding purchase (any, matched or not) and it — an unmatched
+# purchase provably has no views since the previous matched one, so the
+# "previous ANY purchase" marker is the correct relational resume
+# point. The matched view is then the first view after that marker.
+# ---------------------------------------------------------------------------
+@query(
+    "q_cep_fluent",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER w AS rn,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS views_before
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    purch AS (
+      SELECT user_id, rn, value,
+             COALESCE(views_before, 0) AS vb,
+             COALESCE(LAG(COALESCE(views_before, 0))
+               OVER (PARTITION BY user_id ORDER BY rn), 0) AS prev_vb,
+             COALESCE(LAG(rn) OVER (PARTITION BY user_id ORDER BY rn), 0)
+               AS prev_prn
+      FROM seq WHERE event_type = 'purchase'
+    ),
+    matched AS (
+      SELECT m.user_id, m.rn, m.value AS p_value,
+             (SELECT MIN(v.rn) FROM seq v
+              WHERE v.user_id = m.user_id AND v.event_type = 'view'
+                AND v.rn > m.prev_prn) AS vrn
+      FROM purch m WHERE m.vb > m.prev_vb
+    )
+    SELECT t.user_id, COUNT(*) AS n_matches,
+           CAST(SUM(CAST(t.p_value AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_purchase_value,
+           CAST(SUM(CAST(v.value AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_view_value,
+           CAST(SUM(t.rn - t.vrn - 1) AS BIGINT) AS rows_skipped
+    FROM matched t
+    JOIN seq v ON v.user_id = t.user_id AND v.rn = t.vrn
+    GROUP BY t.user_id ORDER BY t.user_id
+    """,
+)
+def q_cep_fluent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.api.cep import CEP, Pattern, sym
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .withColumn(
+            "__rn",
+            F.row_number().over(W.partitionBy("user_id").orderBy("ts", "event_id")),
+        )
+    )
+    pat = (
+        Pattern.begin("v").where(F.col("event_type") == "view")
+        .followed_by("p").where(F.col("event_type") == "purchase")
+    )
+    per_match = CEP.pattern(ev, pat, "user_id", ["ts", "event_id"]).select(
+        p_value=F.sum(dec(sym("p", "value"))),
+        v_value=F.sum(dec(sym("v", "value"))),
+        # rows the relaxed gap skipped = span minus the two matched rows;
+        # recovered from per-partition positions of the two matched rows
+        span=F.max(sym("p", "__rn")) - F.min(sym("v", "__rn")) - F.lit(1),
+    )
+    return (
+        per_match.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.sum("p_value").cast("double").alias("sum_purchase_value"),
+            F.sum("v_value").cast("double").alias("sum_view_value"),
+            F.sum("span").alias("rows_skipped"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Nested-group MATCH_RECOGNIZE: (V C)+ P — view/click pairs repeating as
 # a *unit*, closed by a purchase (the pattern shape Flink's NFA handles
 # via group states; our generic AST matcher). The relational oracle is
