@@ -641,3 +641,95 @@ def hits(
         (F.col("hub_f").cast("double") / F.lit(float(scale))).alias("hub"),
         (F.col("auth_f").cast("double") / F.lit(float(scale))).alias("authority"),
     )
+
+
+def kcore_subgraph(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 50,
+) -> DataFrame:
+    """The k-core: maximal subgraph where every vertex has degree >= k,
+    by iterative peeling (standard graph-library operator; the gelly
+    neighborhood machinery family). Returns the surviving edge list.
+
+    Each round: one degree aggregation + two left-semi joins — all keyed
+    shuffles, no quadratic stage; rounds needed = longest peel chain
+    (small in practice: degeneracy ordering collapses most graphs in a
+    handful of rounds). Peeling is monotone (edges only leave) and
+    idempotent at the fixed point, which is what lets a bounded unrolled
+    SQL replica hash-match the converged result.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    seed = edges.select(src, dst)
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        deg = (
+            state.select(F.col(src).alias("node"))
+            .union(state.select(F.col(dst).alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("d"))
+        )
+        keep = deg.where(F.col("d") >= k).select("node")
+        return state.join(
+            keep.withColumnRenamed("node", src), src, "left_semi"
+        ).join(keep.withColumnRenamed("node", dst), dst, "left_semi")
+
+    return iterate(
+        seed, step, max_iters,
+        converged=lambda prev, new: new.count() == prev.count(),
+    )
+
+
+def coreness(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iters: int = 100,
+) -> DataFrame:
+    """Vertex coreness (the k-core number of every vertex) -> (node,
+    coreness), via the h-index fixed point (Lu et al., "The H-index of a
+    network node", 2016): start from degrees, repeatedly replace each
+    value with the h-index of the neighbors' values; the unique fixed
+    point is the coreness. Pure integer arithmetic -> deterministic and
+    hash-gateable; monotone non-increasing + idempotent, so a bounded
+    unrolled SQL replica matches the converged result.
+
+    Each round: one join routing neighbor values + one per-node window
+    rank + one aggregate — keyed shuffles only. The h-index of a
+    celebrity vertex ranks its full neighbor list (one window partition);
+    that is the same per-key skew bound as any keyed window here.
+    """
+    from pyspark.sql import Window as W
+
+    sym = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).union(
+        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    )
+    sym = sym.localCheckpoint()
+    state0 = sym.groupBy("node").agg(F.count("*").alias("val"))
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        nbr_vals = sym.join(
+            state.select(F.col("node").alias("nbr"), "val"), "nbr"
+        ).select("node", "val")
+        ranked = nbr_vals.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("node").orderBy(F.desc("val"))),
+        )
+        return ranked.groupBy("node").agg(
+            F.max(F.least(F.col("rn"), F.col("val"))).alias("val")
+        )
+
+    def same_vals(prev: DataFrame, new: DataFrame) -> bool:
+        return (
+            prev.withColumnRenamed("val", "pv")
+            .join(new, "node")
+            .where(F.col("pv") != F.col("val"))
+            .count()
+            == 0
+        )
+
+    out = iterate(state0, step, max_iters, converged=same_vals)
+    return out.withColumnRenamed("val", "coreness")

@@ -371,3 +371,82 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir)["events"]
     edges = cooccurrence_edges(events)
     return hits(edges, iters=3, src="u", dst="v").orderBy("node")
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 6) -> str:
+    """Unrolled peeling replica. Peeling is monotone and idempotent at
+    the fixed point, so ``rounds`` >= the fixture's peel depth (3 at
+    sf0.01, 1 at sf0.1, measured) makes the bounded unroll EXACT — extra
+    rounds are no-ops, not approximation error."""
+    steps = ["p0 AS MATERIALIZED (SELECT u, v FROM e)"]
+    for i in range(1, rounds + 1):
+        steps.append(f"""k{i} AS MATERIALIZED (
+      SELECT node FROM (SELECT node, COUNT(*) AS c FROM
+        (SELECT u AS node FROM p{i - 1} UNION ALL SELECT v FROM p{i - 1})
+        GROUP BY node) WHERE c >= {k}),
+    p{i} AS MATERIALIZED (
+      SELECT u, v FROM p{i - 1}
+      WHERE u IN (SELECT node FROM k{i}) AND v IN (SELECT node FROM k{i}))""")
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {SQL_EDGES_CTE},
+    {chain}
+    SELECT node, COUNT(*) AS core_degree
+    FROM (SELECT u AS node FROM p{rounds} UNION ALL SELECT v FROM p{rounds})
+    GROUP BY node ORDER BY node
+    """
+
+
+@query("q_graph_kcore", _kcore_oracle())
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core membership with in-core degrees: iterative peeling run to
+    the fixed point (operators/iterate.kcore_subgraph), hash-gated
+    against a bounded unrolled peel (exact by idempotence)."""
+    from reshape_on_flink_spark.operators.iterate import kcore_subgraph
+
+    events = load_tables(spark, sf_dir)["events"]
+    edges = cooccurrence_edges(events)
+    core = kcore_subgraph(edges, k=2, src="u", dst="v")
+    return (
+        core.select(F.col("u").alias("node"))
+        .union(core.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("core_degree"))
+        .orderBy("node")
+    )
+
+
+def _coreness_oracle(rounds: int = 24) -> str:
+    """Unrolled h-index iteration. Monotone non-increasing + idempotent
+    at the fixed point (= the coreness), so ``rounds`` >= the fixture's
+    convergence depth (7 at sf0.01, 21 at sf0.1, measured) is exact."""
+    steps = [
+        """sym2 AS MATERIALIZED (
+      SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+    s0 AS MATERIALIZED (SELECT node, COUNT(*) AS val FROM sym2 GROUP BY node)"""
+    ]
+    for i in range(1, rounds + 1):
+        steps.append(f"""s{i} AS MATERIALIZED (
+      SELECT node, MAX(LEAST(rn, val)) AS val FROM (
+        SELECT s.node, c.val,
+               ROW_NUMBER() OVER (PARTITION BY s.node ORDER BY c.val DESC) AS rn
+        FROM sym2 s JOIN s{i - 1} c ON c.node = s.nbr)
+      GROUP BY node)""")
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {SQL_EDGES_CTE},
+    {chain}
+    SELECT node, val AS coreness FROM s{rounds} ORDER BY node
+    """
+
+
+@query("q_graph_coreness", _coreness_oracle())
+def q_graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full k-core decomposition — every vertex's coreness — via the
+    h-index fixed point (operators/iterate.coreness). Integer-exact, so
+    the entire iterative computation is value-hash-gated."""
+    from reshape_on_flink_spark.operators.iterate import coreness
+
+    events = load_tables(spark, sf_dir)["events"]
+    edges = cooccurrence_edges(events)
+    return coreness(edges, src="u", dst="v").orderBy("node")

@@ -650,3 +650,40 @@ def test_hits_star_graph(spark):
         assert got[n][0] == 0.0
         assert abs(got[n][1] - 1 / math.sqrt(3)) < 1e-5
     assert got == {r["node"]: (r["hub"], r["authority"]) for r in hits(edges, iters=3).collect()}
+
+
+def test_kcore_peeling_cascade(spark):
+    """Path 5-6-7 hangs off a triangle 1-2-3 (via 3-5): the 2-core is
+    exactly the triangle, and peeling must CASCADE (removing 7 drops 6
+    below degree 2, then 5) — a one-round filter would get it wrong."""
+    from reshape_on_flink_spark.operators.iterate import coreness, kcore_subgraph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 5), (5, 6), (6, 7)], "src int, dst int"
+    )
+    core = kcore_subgraph(edges, k=2)
+    assert sorted(map(tuple, core.select("src", "dst").collect())) == [
+        (1, 2), (2, 3), (3, 1),
+    ]
+    # coreness: triangle members 2, tail 1
+    got = {r["node"]: r["coreness"] for r in coreness(edges).collect()}
+    assert got == {1: 2, 2: 2, 3: 2, 5: 1, 6: 1, 7: 1}
+    # 3-core of a 4-clique minus nothing: whole clique; of this graph: empty
+    assert kcore_subgraph(edges, k=3).count() == 0
+    clique = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "src int, dst int"
+    )
+    assert kcore_subgraph(clique, k=3).count() == 6
+    assert {r["coreness"] for r in coreness(clique).collect()} == {3}
+
+
+def test_kcore_empty_and_validation(spark):
+    from reshape_on_flink_spark.operators.iterate import coreness, kcore_subgraph
+    import pytest as _pytest
+
+    empty = spark.createDataFrame([], "src int, dst int")
+    assert kcore_subgraph(empty, k=2).count() == 0
+    assert coreness(empty).columns == ["node", "coreness"]
+    assert coreness(empty).count() == 0
+    with _pytest.raises(ValueError, match="k must be"):
+        kcore_subgraph(empty, k=0)
