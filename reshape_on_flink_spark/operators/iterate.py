@@ -733,3 +733,70 @@ def coreness(
 
     out = iterate(state0, step, max_iters, converged=same_vals)
     return out.withColumnRenamed("val", "coreness")
+
+
+def graph_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Whole-graph vertex/edge metrics in ONE pass (gelly
+    library/metric/undirected/VertexMetrics.java:116-123): vertex count,
+    edge count, average degree, triplet count (sum of deg·(deg-1)/2 —
+    the open-wedge denominator of the global clustering coefficient),
+    maximum degree, maximum per-vertex triplets, and density. Input is
+    the canonical undirected edge list (each edge once).
+
+    Two keyed shuffles (degree agg, then a single global agg) — the
+    global agg is a partial-aggregated single row, no collect."""
+    deg = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    trip = (F.col("d") * (F.col("d") - 1) / 2).cast("long")
+    return deg.agg(
+        F.count("*").alias("vertex_count"),
+        (F.sum("d") / 2).cast("long").alias("edge_count"),
+        (F.sum("d") / F.count("*")).alias("avg_degree"),
+        F.sum(trip).alias("triplet_count"),
+        F.max("d").alias("max_degree"),
+        F.max(trip).alias("max_triplets"),
+        (
+            F.sum("d").cast("double")
+            / (F.count("*") * (F.count("*") - F.lit(1)))
+        ).alias("density"),
+    )
+
+
+def summarize_graph(
+    vertices: DataFrame,
+    edges: DataFrame,
+    node: str = "node",
+    value: str = "value",
+    src: str = "src",
+    dst: str = "dst",
+) -> tuple[DataFrame, DataFrame]:
+    """Graph summarization (gelly library/Summarization.java): condense
+    vertices sharing a value into one super-vertex (represented by the
+    group's minimum id, with the member count) and edges into
+    group-to-group super-edges with edge counts.
+
+    -> (super_vertices(group_value, repr_id, n_members),
+        super_edges(src_value, dst_value, n_edges)).
+
+    One agg for groups + two value-lookup joins for edges — a vertex
+    value held by billions of nodes is a big GROUP, not a big partition
+    problem: every stage is a keyed partial agg."""
+    sv = vertices.groupBy(F.col(value).alias("group_value")).agg(
+        F.min(node).alias("repr_id"), F.count("*").alias("n_members")
+    )
+    vmap = vertices.select(F.col(node), F.col(value))
+    se = (
+        edges.join(
+            vmap.select(F.col(node).alias(src), F.col(value).alias("src_value")), src
+        )
+        .join(
+            vmap.select(F.col(node).alias(dst), F.col(value).alias("dst_value")), dst
+        )
+        .groupBy("src_value", "dst_value")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    return sv, se

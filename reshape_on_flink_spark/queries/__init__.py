@@ -45,6 +45,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_cep_fluent",
     "q_graph_kcore",
     "q_graph_coreness",
+    "q_graph_metrics",
+    "q_graph_summarize",
     "q_similarity_pq_trained",
     "q_graph_degrees",
     "q_graph_triangles",

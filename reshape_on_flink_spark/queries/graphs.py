@@ -450,3 +450,89 @@ def q_graph_coreness(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir)["events"]
     edges = cooccurrence_edges(events)
     return coreness(edges, src="u", dst="v").orderBy("node")
+
+
+@query(
+    "q_graph_metrics",
+    f"""
+    WITH {SQL_EDGES_CTE},
+    deg AS (SELECT node, COUNT(*) AS d FROM
+            (SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY node)
+    SELECT COUNT(*) AS vertex_count,
+           CAST(SUM(d) / 2 AS BIGINT) AS edge_count,
+           CAST(SUM(d) AS DOUBLE) / COUNT(*) AS avg_degree,
+           CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS triplet_count,
+           MAX(d) AS max_degree,
+           CAST(MAX(d * (d - 1) / 2) AS BIGINT) AS max_triplets,
+           CAST(SUM(d) AS DOUBLE) / (COUNT(*) * (COUNT(*) - 1)) AS density
+    FROM deg
+    """,
+)
+def q_graph_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-graph metrics (gelly VertexMetrics): one row, exact
+    integers + two IEEE divisions, hash-gated."""
+    from reshape_on_flink_spark.operators.iterate import graph_metrics
+
+    events = load_tables(spark, sf_dir)["events"]
+    edges = cooccurrence_edges(events)
+    return graph_metrics(edges, src="u", dst="v")
+
+
+@query(
+    "q_graph_summarize",
+    f"""
+    WITH {SQL_EDGES_CTE},
+    verts AS (SELECT DISTINCT node, node % 7 AS grp FROM
+              (SELECT u AS node FROM e UNION SELECT v FROM e)),
+    sv AS (SELECT grp, MIN(node) AS repr_id, COUNT(*) AS n_members
+           FROM verts GROUP BY grp),
+    se AS (
+      SELECT a.grp AS src_value, b.grp AS dst_value, COUNT(*) AS n_edges
+      FROM e JOIN verts a ON a.node = e.u JOIN verts b ON b.node = e.v
+      GROUP BY a.grp, b.grp)
+    SELECT se.src_value, se.dst_value, se.n_edges,
+           s1.repr_id AS src_repr, s1.n_members AS src_members,
+           s2.repr_id AS dst_repr, s2.n_members AS dst_members
+    FROM se JOIN sv s1 ON s1.grp = se.src_value
+            JOIN sv s2 ON s2.grp = se.dst_value
+    ORDER BY se.src_value, se.dst_value
+    """,
+)
+def q_graph_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph summarization (gelly Summarization.java): vertices grouped
+    by a derived segment value (id mod 7), super-edges with edge counts,
+    super-vertices with representative id + member count."""
+    from reshape_on_flink_spark.operators.iterate import summarize_graph
+
+    events = load_tables(spark, sf_dir)["events"]
+    edges = cooccurrence_edges(events)
+    verts = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("value", F.col("node") % 7)
+    )
+    sv, se = summarize_graph(verts, edges, src="u", dst="v")
+    return (
+        se.join(
+            sv.select(
+                F.col("group_value").alias("src_value"),
+                F.col("repr_id").alias("src_repr"),
+                F.col("n_members").alias("src_members"),
+            ),
+            "src_value",
+        )
+        .join(
+            sv.select(
+                F.col("group_value").alias("dst_value"),
+                F.col("repr_id").alias("dst_repr"),
+                F.col("n_members").alias("dst_members"),
+            ),
+            "dst_value",
+        )
+        .select(
+            "src_value", "dst_value", "n_edges",
+            "src_repr", "src_members", "dst_repr", "dst_members",
+        )
+        .orderBy("src_value", "dst_value")
+    )

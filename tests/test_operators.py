@@ -687,3 +687,29 @@ def test_kcore_empty_and_validation(spark):
     assert coreness(empty).count() == 0
     with _pytest.raises(ValueError, match="k must be"):
         kcore_subgraph(empty, k=0)
+
+
+def test_graph_metrics_and_summarization_known_graph(spark):
+    """Triangle 1-2-3 + pendant 4-1: n=4, m=4, degrees (3,2,2,1) ->
+    triplets 3+1+1+0=5, density 2*4/(4*3)=2/3. Summarize by parity:
+    odd={1,3}, even={2,4} -> directed super-edges (1,2)->odd-even,
+    (2,3)+(4,1)->even-odd, (3,1)->odd-odd."""
+    from reshape_on_flink_spark.operators.iterate import (
+        graph_metrics,
+        summarize_graph,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (4, 1)], "src int, dst int")
+    m = graph_metrics(edges).collect()[0]
+    assert (m["vertex_count"], m["edge_count"], m["triplet_count"]) == (4, 4, 5)
+    assert (m["max_degree"], m["max_triplets"]) == (3, 3)
+    assert abs(m["avg_degree"] - 2.0) < 1e-12 and abs(m["density"] - 2 / 3) < 1e-12
+    verts = spark.createDataFrame(
+        [(i, i % 2) for i in (1, 2, 3, 4)], "node int, value int"
+    )
+    sv, se = summarize_graph(verts, edges)
+    assert {(r["group_value"], r["repr_id"], r["n_members"]) for r in sv.collect()} == {
+        (0, 2, 2), (1, 1, 2),
+    }
+    got = {(r["src_value"], r["dst_value"]): r["n_edges"] for r in se.collect()}
+    assert got == {(1, 0): 1, (0, 1): 2, (1, 1): 1}
