@@ -1139,8 +1139,19 @@ class TableEnvironment:
     def create_temporary_view(self, name: str, df: DataFrame) -> None:
         df.createOrReplaceTempView(name)
 
-    def from_path(self, name: str) -> DataFrame:
-        return self.spark.table(name)
+    def from_path(self, name: str) -> "Table":
+        """pyflink TableEnvironment.from_path: a fluent Table over the
+        catalog/temp-view entry (api.table.Table delegates unknown
+        attributes to its DataFrame, so DataFrame callers still work)."""
+        from reshape_on_flink_spark.api.table import Table
+
+        return Table(self.spark.table(name))
+
+    def from_elements(self, elements, schema: str) -> "Table":
+        """pyflink TableEnvironment.from_elements: literal rows."""
+        from reshape_on_flink_spark.api.table import Table
+
+        return Table(self.spark.createDataFrame(elements, schema))
 
 
 class StatementSet:

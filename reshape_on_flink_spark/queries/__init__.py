@@ -43,6 +43,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # r2..r6 driver rows then cover the whole inventory with nothing
     # older than two rounds except the r3/r4 bulk refreshed in r5.
     "q_cep_fluent",
+    "q_table_api_pipeline",
     "q_graph_kcore",
     "q_graph_coreness",
     "q_graph_metrics",

@@ -670,3 +670,44 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, ["user_id"], "seq_us", attrs=["event_type", "value"],
         tie_cols=["event_id"],
     ).orderBy("user_id", "valid_from", "event_id")
+
+
+# ---------------------------------------------------------------------------
+# Fluent Table API facade (api.table — the pyflink Table surface,
+# flink-python/pyflink/table/table.py): one pipeline exercising
+# join-on-predicate, filter, group_by().select() with the string DSL,
+# order_by and fetch — held to the same hash gate as the SQL route.
+# ---------------------------------------------------------------------------
+@query(
+    "q_table_api_pipeline",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    LIMIT 5
+    """,
+)
+def q_table_api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.api.table import Table
+
+    t = load_tables(spark, sf_dir)
+    orders, customer = Table(t["orders"]), Table(t["customer"])
+    return (
+        orders.join(customer, "o_custkey = c_custkey")
+        .filter("c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'")
+        .group_by("o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "count(*) as n_orders",
+            dsum("o_totalprice").alias("revenue"),
+            F.countDistinct("c_nationkey").cast("bigint").alias("n_nations"),
+        )
+        .order_by("o_orderpriority")
+        .fetch(5)
+        .df
+    )
