@@ -61,6 +61,10 @@ HEADLINE = [
     # shuffles) and the fixed-weight quality classifier (map-only)
     "q_passage_dedup",
     "q_quality_classifier",
+    # round-6 continuation: fluent-CEP relaxed-contiguity matching and
+    # the h-index coreness fixed point (iterative graph family)
+    "q_cep_fluent",
+    "q_graph_coreness",
 ]
 
 
