@@ -800,3 +800,65 @@ def summarize_graph(
         .agg(F.count("*").alias("n_edges"))
     )
     return sv, se
+
+
+def scatter_gather(
+    vertices: DataFrame,
+    edges: DataFrame,
+    message: Column,
+    combine: Callable[[Column], Column],
+    update: Callable[[Column, Column], Column],
+    max_iters: int = 20,
+    id_col: str = "node",
+    val_col: str = "value",
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Scatter-gather / Pregel-style vertex-centric iteration — the
+    gelly iteration models (flink-gelly spargel/ScatterGatherIteration.
+    java:78 and pregel/VertexCentricIteration.java) as a declarative
+    Spark operator. Each superstep:
+
+    - SCATTER: every edge carries ``message`` (a Column over the
+      src-vertex ⋈ edge frame: vertex ``value`` + edge attrs visible)
+      to its destination;
+    - GATHER: per-vertex inbox reduced by ``combine`` (e.g. ``F.min``)
+      — Pregel's MessageCombiner, applied as a partial agg;
+    - UPDATE: ``update(old_value, combined_msg)`` (combined_msg NULL
+      when no messages arrived — Flink's "no update" case: return the
+      old value).
+
+    Halts when no vertex value changed (Flink halts when no vertex
+    calls setNewVertexValue) or at ``max_iters``. Each superstep is one
+    join on src + one keyed agg + one join on id — the same shuffle
+    shape as pagerank here; no driver-side data motion beyond the
+    convergence count.
+    """
+    seed = vertices.select(F.col(id_col), F.col(val_col))
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        msgs = (
+            state.join(edges, state[id_col] == edges[src])
+            .select(F.col(dst).alias(id_col), message.alias("__msg"))
+        )
+        inbox = msgs.groupBy(id_col).agg(combine(F.col("__msg")).alias("__msg"))
+        return state.join(inbox, id_col, "left").select(
+            F.col(id_col),
+            update(F.col(val_col), F.col("__msg")).alias(val_col),
+        )
+
+    def changed(prev: DataFrame, new: DataFrame) -> bool:
+        return (
+            prev.withColumnRenamed(val_col, "__pv")
+            .join(new, id_col)
+            .where(
+                ~F.col("__pv").eqNullSafe(F.col(val_col))
+            )
+            .count()
+            == 0
+        )
+
+    return iterate(seed, step, max_iters, converged=changed)
+
+
+pregel = scatter_gather  # VertexCentricIteration: same compile here

@@ -536,3 +536,55 @@ def q_graph_summarize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_value", "dst_value")
     )
+
+
+# Scatter-gather (Pregel) facade: SSSP expressed as min-distance message
+# passing must reach the identical fixed point as the dedicated operator
+# — same recursive-CTE oracle as q_graph_sssp, so the iteration model
+# itself is value-hash-gated.
+@query(
+    "q_graph_pregel",
+    f"""
+    WITH RECURSIVE {SQL_EDGES_CTE},
+    sym AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+    walk(node, dist) AS (
+      SELECT u, 0 FROM (SELECT MIN(u) AS u FROM e) WHERE u IS NOT NULL
+      UNION
+      SELECT s.nbr, w.dist + 1
+      FROM walk w JOIN sym s ON s.node = w.node
+      WHERE w.dist < 20
+    )
+    SELECT node, CAST(MIN(dist) AS DOUBLE) AS dist
+    FROM walk GROUP BY node ORDER BY node
+    """,
+)
+def q_graph_pregel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-count SSSP via the gelly iteration-model facade
+    (operators/iterate.scatter_gather = ScatterGatherIteration /
+    VertexCentricIteration): scatter dist+1 along edges, gather min,
+    update least — unreachable vertices filtered like the operator."""
+    from reshape_on_flink_spark.operators.iterate import scatter_gather
+
+    events = load_tables(spark, sf_dir)["events"]
+    e = cooccurrence_edges(events)
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    nodes = sym.select(F.col("u").alias("node")).distinct()
+    source = e.agg(F.min("u")).collect()[0][0]
+    inf = float("inf")
+    verts = nodes.withColumn(
+        "value",
+        F.when(F.col("node") == F.lit(source), 0.0).otherwise(F.lit(inf)),
+    )
+    out = scatter_gather(
+        verts, sym,
+        message=F.col("value") + 1.0,
+        combine=F.min,
+        update=lambda old, msg: F.least(old, F.coalesce(msg, old)),
+        max_iters=20,
+        src="u", dst="v",
+    )
+    return (
+        out.where(F.col("value") != F.lit(inf))
+        .select("node", F.col("value").alias("dist"))
+        .orderBy("node")
+    )

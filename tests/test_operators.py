@@ -713,3 +713,73 @@ def test_graph_metrics_and_summarization_known_graph(spark):
     }
     got = {(r["src_value"], r["dst_value"]): r["n_edges"] for r in se.collect()}
     assert got == {(1, 0): 1, (0, 1): 2, (1, 1): 1}
+
+
+def test_scatter_gather_sssp_and_cc_parity(spark):
+    """The gelly iteration models (scatter_gather/pregel) reproduce the
+    dedicated operators: SSSP as min-distance propagation, connected
+    components as min-id propagation — same fixed points."""
+    from reshape_on_flink_spark.operators.iterate import (
+        connected_components,
+        pregel,
+        scatter_gather,
+        sssp,
+    )
+
+    assert pregel is scatter_gather
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6)], "src int, dst int"
+    )
+    sym = edges.union(edges.selectExpr("dst as src", "src as dst"))
+    nodes = sym.selectExpr("src as node").distinct()
+
+    # SSSP from node 1: value = hop distance (inf as NULL-safe big)
+    verts = nodes.withColumn(
+        "value", F.when(F.col("node") == 1, 0.0).otherwise(float("inf"))
+    )
+    got = scatter_gather(
+        verts, sym,
+        message=F.col("value") + 1.0,
+        combine=F.min,
+        update=lambda old, msg: F.least(old, F.coalesce(msg, old)),
+        max_iters=10,
+    )
+    direct = sssp(sym, source=1, max_iters=10)
+    g = {r["node"]: r["value"] for r in got.collect() if r["value"] != float("inf")}
+    d = {r["node"]: r["dist"] for r in direct.collect()}
+    assert g == d == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0}
+
+    # connected components: min-id propagation
+    cc_verts = nodes.withColumn("value", F.col("node"))
+    got_cc = scatter_gather(
+        cc_verts, sym,
+        message=F.col("value"),
+        combine=F.min,
+        update=lambda old, msg: F.least(old, F.coalesce(msg, old)),
+        max_iters=10,
+    )
+    pairs = edges.selectExpr("src as d1", "dst as d2")
+    direct_cc = connected_components(pairs)
+    gc = {r["node"]: r["value"] for r in got_cc.collect()}
+    dc = {r["node"]: r["component"] for r in direct_cc.collect()}
+    assert gc == dc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5}
+
+
+def test_scatter_gather_halts_on_convergence(spark):
+    """A 2-chain converges in 2 supersteps; with max_iters=20 the halt
+    must come from the no-change check, and an isolated vertex (no
+    inbox ever) keeps its value via the NULL-message update path."""
+    from reshape_on_flink_spark.operators.iterate import scatter_gather
+
+    edges = spark.createDataFrame([(1, 2)], "src int, dst int")
+    verts = spark.createDataFrame(
+        [(1, 5), (2, 9), (7, 3)], "node int, value int"
+    )
+    out = scatter_gather(
+        verts, edges,
+        message=F.col("value"),
+        combine=F.min,
+        update=lambda old, msg: F.least(old, F.coalesce(msg, old)),
+        max_iters=20,
+    )
+    assert {r["node"]: r["value"] for r in out.collect()} == {1: 5, 2: 5, 7: 3}
