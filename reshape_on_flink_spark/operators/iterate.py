@@ -710,6 +710,13 @@ def coreness(
     sym = sym.localCheckpoint()
     state0 = sym.groupBy("node").agg(F.count("*").alias("val"))
 
+    # Bulk iteration deliberately (NOT iterate_delta): the h-index
+    # frontier does not shrink usefully on dense co-occurrence graphs —
+    # values walk down through ~max-coreness rounds with a large changed
+    # set every round — so a delta formulation pays 4 joins/round for no
+    # frontier saving (measured 20x slower at sf0.1). Delta iteration
+    # wins where the frontier is genuinely sparse (BFS/SSSP tails; see
+    # iterate_delta and its SSSP test).
     def step(state: DataFrame, _i: int) -> DataFrame:
         nbr_vals = sym.join(
             state.select(F.col("node").alias("nbr"), "val"), "nbr"
@@ -862,3 +869,100 @@ def scatter_gather(
 
 
 pregel = scatter_gather  # VertexCentricIteration: same compile here
+
+
+def community_detection(
+    edges: DataFrame,
+    rounds: int = 3,
+    delta: float = 0.5,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Community detection with hop attenuation (gelly library/
+    CommunityDetection.java, Leung et al. arXiv:0808.2633): vertices
+    carry (label, score); each superstep every vertex receives
+    neighbors' (label, score), adopts the label with the highest SUMMED
+    score (smallest label on ties — the reference's TreeMap order with
+    strict `>`), re-scores it to the highest SINGLE received score of
+    that label, minus delta/superstep when the label changed. Vertices
+    with no inbox keep their value.
+
+    Scores are fixed-point integers (``scale``): integer sums/maxes are
+    partition-order-independent, so the full iterative computation is
+    bit-exact and hash-gateable (the pagerank_fixed/HITS device).
+    Each superstep: one message join + one (node,label) agg + one
+    per-node window pick — keyed shuffles only.
+
+    -> (node, label) after ``rounds`` supersteps.
+    """
+    from pyspark.sql import Window as W
+
+    sym = edges.select(F.col(src).alias("node"), F.col(dst).alias("nbr")).union(
+        edges.select(F.col(dst).alias("node"), F.col(src).alias("nbr"))
+    ).localCheckpoint()
+    nodes = sym.select("node").distinct()
+    state = nodes.select(
+        "node", F.col("node").alias("label"), F.lit(int(scale)).alias("score_f")
+    )
+
+    def step(st: DataFrame, i: int) -> DataFrame:
+        superstep = i + 1  # Flink supersteps are 1-based
+        att = int(round(delta / superstep * scale))
+        msgs = sym.join(
+            st.select(F.col("node").alias("nbr"), "label", "score_f"), "nbr"
+        ).select("node", "label", "score_f")
+        per_label = msgs.groupBy("node", "label").agg(
+            F.sum("score_f").alias("tot"), F.max("score_f").alias("hi")
+        )
+        pick = per_label.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("node").orderBy(F.desc("tot"), F.asc("label"))
+            ),
+        ).where(F.col("rn") == 1)
+        old = st.select(
+            "node", F.col("label").alias("old_label"), F.col("score_f").alias("old_score")
+        )
+        return old.join(pick, "node", "left").select(
+            "node",
+            F.coalesce("label", "old_label").alias("label"),
+            F.when(F.col("label").isNull(), F.col("old_score"))
+            .otherwise(
+                F.col("hi")
+                - F.when(F.col("label") != F.col("old_label"), F.lit(att)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("score_f"),
+        )
+
+    out = iterate(state, step, rounds)
+    return out.select("node", "label")
+
+
+def iterate_delta(
+    solution: DataFrame,
+    workset: DataFrame,
+    step: Callable[[DataFrame, DataFrame, int], tuple[DataFrame, DataFrame]],
+    max_iters: int,
+) -> DataFrame:
+    """Delta iteration — Flink ``DataSet.iterateDelta`` (flink-java
+    DataSet.java / DeltaIteration.java): carry a full *solution set*
+    plus a shrinking *workset*; each round recomputes only what the
+    workset reaches and terminates when the workset is empty. This is
+    the reference's flagship batch-iteration optimization (bulk
+    iterations recompute everything every round).
+
+    ``step(solution, workset, i) -> (new_solution, new_workset)``.
+    Both sides are localCheckpoint()ed per round; the only per-round
+    action is the workset emptiness probe (a LIMIT-1 scan on the
+    checkpointed workset, not a full count)."""
+    solution = solution.localCheckpoint()
+    workset = workset.localCheckpoint()
+    for i in range(max_iters):
+        if workset.isEmpty():
+            break
+        solution, workset = step(solution, workset, i)
+        solution = solution.localCheckpoint()
+        workset = workset.localCheckpoint()
+    return solution

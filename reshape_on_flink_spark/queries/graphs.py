@@ -588,3 +588,58 @@ def q_graph_pregel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("value").alias("dist"))
         .orderBy("node")
     )
+
+
+def _community_oracle(rounds: int = 3, delta: float = 0.5, scale: int = 1_000_000) -> str:
+    """Unrolled fixed-point replica of operators/iterate.
+    community_detection (gelly CommunityDetection.java): summed-score
+    label pick (smallest label on ties = the reference TreeMap order),
+    re-score to the label's highest single message, hop attenuation
+    round(delta/superstep * scale) on label change — all integer."""
+    steps = [
+        f"""sym3 AS MATERIALIZED (
+      SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+    s0 AS MATERIALIZED (
+      SELECT node, node AS label, CAST({scale} AS BIGINT) AS score_f
+      FROM (SELECT DISTINCT u AS node FROM e UNION SELECT v FROM e))"""
+    ]
+    for i in range(1, rounds + 1):
+        att = int(round(delta / i * scale))
+        steps.append(f"""m{i} AS (
+      SELECT s.node, l.label, l.score_f
+      FROM sym3 s JOIN s{i - 1} l ON l.node = s.nbr),
+    p{i} AS (
+      SELECT node, label, SUM(score_f) AS tot, MAX(score_f) AS hi
+      FROM m{i} GROUP BY node, label),
+    k{i} AS (
+      SELECT node, label, hi FROM (
+        SELECT node, label, hi,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY tot DESC, label ASC) AS rn
+        FROM p{i}) WHERE rn = 1),
+    s{i} AS MATERIALIZED (
+      SELECT o.node,
+             COALESCE(k.label, o.label) AS label,
+             CAST(CASE WHEN k.label IS NULL THEN o.score_f
+                  ELSE k.hi - CASE WHEN k.label <> o.label
+                                   THEN {att} ELSE 0 END
+                  END AS BIGINT) AS score_f
+      FROM s{i - 1} o LEFT JOIN k{i} k USING (node))""")
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {SQL_EDGES_CTE},
+    {chain}
+    SELECT node, label FROM s{rounds} ORDER BY node
+    """
+
+
+@query("q_graph_community", _community_oracle())
+def q_graph_community(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-attenuated community detection, 3 supersteps, hash-gated
+    (gelly CommunityDetection; fixed-point scores make the float
+    algorithm engine-exact — the pagerank_fixed/HITS device)."""
+    from reshape_on_flink_spark.operators.iterate import community_detection
+
+    events = load_tables(spark, sf_dir)["events"]
+    edges = cooccurrence_edges(events)
+    return community_detection(edges, rounds=3, src="u", dst="v").orderBy("node")

@@ -783,3 +783,40 @@ def test_scatter_gather_halts_on_convergence(spark):
         max_iters=20,
     )
     assert {r["node"]: r["value"] for r in out.collect()} == {1: 5, 2: 5, 7: 3}
+
+
+def test_iterate_delta_sssp_frontier(spark):
+    """Delta-iteration SSSP on a 12-chain: the workset is the BFS
+    frontier (one node per round — the shape where delta iteration
+    beats bulk recompute-all), terminates on empty workset before
+    max_iters, and reaches the exact distances."""
+    from reshape_on_flink_spark.operators.iterate import iterate_delta
+
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "src int, dst int"
+    )
+    solution = spark.createDataFrame(
+        [(0, 0)] + [(i, 1 << 30) for i in range(1, n + 1)], "node int, dist int"
+    )
+    workset = spark.createDataFrame([(0, 0)], "node int, dist int")
+
+    def step(sol, ws, _i):
+        cand = (
+            ws.join(edges, ws["node"] == edges["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("nd"))
+            .groupBy("node")
+            .agg(F.min("nd").alias("nd"))
+        )
+        upd = sol.join(cand, "node", "left")
+        new_sol = upd.select(
+            "node", F.least(F.col("dist"), F.coalesce("nd", "dist")).alias("dist")
+        )
+        new_ws = upd.where(
+            F.col("nd").isNotNull() & (F.col("nd") < F.col("dist"))
+        ).select("node", F.col("nd").alias("dist"))
+        return new_sol, new_ws
+
+    out = iterate_delta(solution, workset, step, max_iters=50)
+    got = {r["node"]: r["dist"] for r in out.collect()}
+    assert got == {i: i for i in range(n + 1)}
