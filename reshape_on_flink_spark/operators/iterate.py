@@ -966,3 +966,34 @@ def iterate_delta(
         solution = solution.localCheckpoint()
         workset = workset.localCheckpoint()
     return solution
+
+
+def bipartite_projection(
+    edges: DataFrame,
+    side: str = "top",
+    top: str = "top",
+    bottom: str = "bottom",
+    count_shared: bool = True,
+) -> DataFrame:
+    """Bipartite graph projection (gelly bipartite/BipartiteGraph.java:
+    130/182 ``projectionTopSimple``/``projectionBottomSimple``): connect
+    two same-side vertices whenever they share an opposite-side
+    neighbor. Canonical output (``u < v``); ``count_shared`` adds the
+    number of shared opposite vertices (the *Full* projections' payload
+    reduced to its count — intermediate-vertex lists don't scale).
+
+    One self-join keyed on the opposite side + one agg. The skew bound
+    is the largest opposite-side group (pairs are quadratic in THAT
+    group only) — a production projection caps or samples oversized
+    groups exactly like llm/dedup's LSH hot-bucket cap; this operator
+    is the uncapped exact form its callers compose with a cap upstream.
+    """
+    if side not in ("top", "bottom"):
+        raise ValueError(f"side must be 'top' or 'bottom', got {side!r}")
+    keep, joink = (top, bottom) if side == "top" else (bottom, top)
+    a = edges.select(F.col(joink).alias("__k"), F.col(keep).alias("u")).distinct()
+    b = a.select("__k", F.col("u").alias("v"))
+    pairs = a.join(b, "__k").where(F.col("u") < F.col("v"))
+    if not count_shared:
+        return pairs.select("u", "v").distinct()
+    return pairs.groupBy("u", "v").agg(F.count("*").alias("n_shared"))

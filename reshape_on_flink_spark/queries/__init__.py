@@ -50,6 +50,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_graph_summarize",
     "q_graph_pregel",
     "q_graph_community",
+    "q_graph_bipartite_projection",
     "q_similarity_pq_trained",
     "q_graph_degrees",
     "q_graph_triangles",

@@ -643,3 +643,30 @@ def q_graph_community(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_tables(spark, sf_dir)["events"]
     edges = cooccurrence_edges(events)
     return community_detection(edges, rounds=3, src="u", dst="v").orderBy("node")
+
+
+@query(
+    "q_graph_bipartite_projection",
+    """
+    WITH be AS MATERIALIZED (
+      SELECT DISTINCT user_id AS top_v,
+             date_trunc('hour', ts) AS bot_v
+      FROM events WHERE event_type = 'purchase')
+    SELECT a.top_v AS u, b.top_v AS v, COUNT(*) AS n_shared
+    FROM be a JOIN be b ON a.bot_v = b.bot_v AND a.top_v < b.top_v
+    GROUP BY a.top_v, b.top_v
+    ORDER BY u, v
+    """,
+)
+def q_graph_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top projection of the user/purchase-hour bipartite graph (gelly
+    BipartiteGraph.projectionTopSimple with shared-neighbor counts):
+    users connected by purchasing in the same hour."""
+    from reshape_on_flink_spark.operators.iterate import bipartite_projection
+
+    events = load_tables(spark, sf_dir)["events"]
+    be = events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("top"),
+        F.date_trunc("hour", "ts").alias("bottom"),
+    )
+    return bipartite_projection(be, side="top").orderBy("u", "v")

@@ -820,3 +820,24 @@ def test_iterate_delta_sssp_frontier(spark):
     out = iterate_delta(solution, workset, step, max_iters=50)
     got = {r["node"]: r["dist"] for r in out.collect()}
     assert got == {i: i for i in range(n + 1)}
+
+
+def test_bipartite_projection_known_graph(spark):
+    """tops {1,2,3} bottoms {a,b}: 1-a, 2-a, 2-b, 3-b ->
+    top projection (1,2):1 via a, (2,3):1 via b; bottom (a,b):1 via 2."""
+    from reshape_on_flink_spark.operators.iterate import bipartite_projection
+
+    be = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (2, "b"), (3, "b")], "top int, bottom string"
+    )
+    tp = {(r["u"], r["v"]): r["n_shared"]
+          for r in bipartite_projection(be, side="top").collect()}
+    assert tp == {(1, 2): 1, (2, 3): 1}
+    bp = {(r["u"], r["v"]): r["n_shared"]
+          for r in bipartite_projection(be, side="bottom").collect()}
+    assert bp == {("a", "b"): 1}
+    simple = bipartite_projection(be, side="top", count_shared=False)
+    assert sorted(map(tuple, simple.collect())) == [(1, 2), (2, 3)]
+    import pytest as _p
+    with _p.raises(ValueError, match="side must be"):
+        bipartite_projection(be, side="left")
