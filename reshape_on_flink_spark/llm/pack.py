@@ -378,3 +378,63 @@ def length_bucket_batches(
             6,
         ).alias("pad_frac"),
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    alpha: float = 0.5,
+    budget_frac: float = 0.5,
+    *,
+    domain_col: str = "lang",
+    key_col: str = "doc_id",
+    resolution: int = 1_000_000,
+) -> DataFrame:
+    """Temperature-scaled domain mixing (the multilingual-LM standard:
+    sample domain d with share proportional to (n_d/N)^alpha — alpha<1
+    flattens toward uniform, up-weighting tail domains; mT5/XLM-R style).
+
+    Closed form: rate_d = min(1, c0 * n_d^(alpha-1)) with
+    c0 = budget_frac * N / sum_e(n_e^alpha) — expected kept fraction is
+    ``budget_frac`` when no per-domain cap binds (caps can only lower
+    it; documented standard behavior). alpha=0.5 is computed as
+    1/sqrt(n) (sqrt is IEEE correctly-rounded, so both engines produce
+    bit-identical rates; other alphas go through pow with the same
+    caveat as any cross-engine float).
+
+    Execution: one domain-count agg (tiny) + a broadcast rate join +
+    the map-only hash-threshold sampler of :func:`domain_mix_sample` —
+    no data-sized shuffle at any corpus size.
+    """
+    from reshape_on_flink_spark.llm.text import hash60
+
+    counts = docs.groupBy(domain_col).agg(F.count("*").alias("__n"))
+    if abs(alpha - 0.5) < 1e-12:
+        pow_a = F.sqrt(F.col("__n").cast("double"))
+    else:
+        pow_a = F.pow(F.col("__n").cast("double"), F.lit(alpha))
+    totals = counts.agg(
+        F.sum("__n").cast("double").alias("__tot"),
+        F.sum(pow_a).alias("__sum_pa"),
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            domain_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(budget_frac)
+                * F.col("__tot")
+                / F.col("__sum_pa")
+                * (pow_a / F.col("__n").cast("double")),
+            ).alias("__rate"),
+        )
+        .withColumn(
+            "__thresh", F.floor(F.col("__rate") * F.lit(float(resolution))).cast("long")
+        )
+    )
+    h = F.pmod(hash60(F.col(key_col).cast("string")), F.lit(resolution))
+    return (
+        docs.join(F.broadcast(rates), domain_col)
+        .where(h < F.col("__thresh"))
+        .drop("__rate", "__thresh")
+    )

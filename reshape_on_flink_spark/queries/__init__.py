@@ -44,6 +44,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # older than two rounds except the r3/r4 bulk refreshed in r5.
     "q_cep_fluent",
     "q_table_api_pipeline",
+    "q_temperature_mix",
     "q_graph_kcore",
     "q_graph_coreness",
     "q_graph_metrics",

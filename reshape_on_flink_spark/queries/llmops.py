@@ -2321,3 +2321,47 @@ def q_corpus_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.corpus_minhash_overlap(d, group_col="source").orderBy(
         "src_a", "src_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixing (llm/pack.temperature_mix): rates
+# derived from the corpus itself — rate_d = min(1, c0·n_d^(alpha-1)),
+# c0 = budget·N / Σ n^alpha, alpha=0.5 via IEEE sqrt so both engines
+# produce bit-identical thresholds; then the shared md5->int60
+# hash-threshold sampler. The oracle recomputes the whole derivation.
+# ---------------------------------------------------------------------------
+@query(
+    "q_temperature_mix",
+    f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+                   SUM(sqrt(CAST(n AS DOUBLE))) AS spa FROM counts),
+    rates AS (
+      SELECT lang,
+             CAST(FLOOR(LEAST(1.0,
+                   0.5 * nn / spa * (sqrt(CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)))
+                 * 1000000.0) AS BIGINT) AS thresh
+      FROM counts CROSS JOIN tot),
+    kept AS (
+      SELECT d.lang, d.doc_id
+      FROM documents d JOIN rates USING (lang)
+      WHERE {SQL_H60.format(x="CAST(d.doc_id AS VARCHAR)")} % 1000000
+            < rates.thresh)
+    SELECT lang, COUNT(*) AS n_kept, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.llm.pack import temperature_mix
+
+    d = T.spread(load_tables(spark, sf_dir)["documents"]).select("doc_id", "lang")
+    kept = temperature_mix(d, alpha=0.5, budget_frac=0.5)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
