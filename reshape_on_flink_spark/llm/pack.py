@@ -438,3 +438,54 @@ def temperature_mix(
         .where(h < F.col("__thresh"))
         .drop("__rate", "__thresh")
     )
+
+
+def contrastive_pairs(
+    docs: DataFrame,
+    min_jaccard: float = 0.5,
+    n_buckets: int = 256,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Contrastive training pairs for embedding models: (anchor,
+    positive, negative, est_jaccard). Positives are MinHash-LSH
+    near-duplicate candidates at ``est_jaccard >= min_jaccard``
+    (llm/dedup.minhash_near_duplicates — the banded equi-join, never
+    all-pairs); negatives are DETERMINISTIC hash-ring picks: the
+    minimum-hash document of the bucket ``hash60(anchor||'#neg') %
+    n_buckets`` — pseudorandom per anchor, reproducible across engines
+    and runs. (The negative is uniform over a fixed per-bucket choice;
+    hard-negative mining would swap this stage for an ANN lookup —
+    llm/similarity — without touching the positives side.)
+
+    Scale: the bucket->negative table is ``n_buckets`` rows computed by
+    one pass over ids (two tiny aggs), then BROADCAST — no data-sized
+    join for negatives at any corpus size.
+    """
+    from reshape_on_flink_spark.llm.dedup import minhash_near_duplicates
+    from reshape_on_flink_spark.llm.text import hash60
+
+    pos = minhash_near_duplicates(docs).where(F.col("est_jaccard") >= min_jaccard)
+    ring = docs.select(
+        F.col(id_col), hash60(F.col(id_col).cast("string")).alias("rh")
+    )
+    bmin = ring.groupBy((F.col("rh") % n_buckets).alias("bucket")).agg(
+        F.min("rh").alias("mrh")
+    )
+    bneg = (
+        bmin.join(ring, (F.col("rh") == F.col("mrh")) & (F.col("rh") % n_buckets == F.col("bucket")))
+        .groupBy("bucket")
+        .agg(F.min(id_col).alias("negative"))
+    )
+    probe = F.pmod(
+        hash60(F.concat(F.col("d1").cast("string"), F.lit("#neg"))), F.lit(n_buckets)
+    )
+    return (
+        pos.withColumn("bucket", probe)
+        .join(F.broadcast(bneg), "bucket")
+        .select(
+            F.col("d1").alias("anchor"),
+            F.col("d2").alias("positive"),
+            "negative",
+            "est_jaccard",
+        )
+    )

@@ -2365,3 +2365,43 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining (llm/pack.contrastive_pairs): MinHash-LSH
+# positives (reusing the shingle/band CTEs) + deterministic hash-ring
+# negatives (per-bucket min-hash doc, bucket chosen by the anchor's
+# salted hash). The oracle rebuilds the whole composition.
+# ---------------------------------------------------------------------------
+@query(
+    "q_contrastive_pairs",
+    f"""
+    WITH {SQL_SHINGLE_CTE}, {SQL_BANDS_CTE},
+    est AS (
+      SELECT d1, d2,
+             CAST(SUM(CASE WHEN s1.sig = s2.sig THEN 1 ELSE 0 END) AS DOUBLE)
+               / {len(D.MINHASH_PARAMS)} AS est_jaccard
+      FROM cand
+      JOIN sig s1 ON s1.doc_id = d1
+      JOIN sig s2 ON s2.doc_id = d2 AND s2.i = s1.i
+      GROUP BY d1, d2),
+    ring AS (SELECT doc_id,
+                    {SQL_H60.format(x="CAST(doc_id AS VARCHAR)")} AS rh
+             FROM documents),
+    bmin AS (SELECT rh % 256 AS bucket, MIN(rh) AS mrh FROM ring GROUP BY 1),
+    bneg AS (SELECT b.bucket, MIN(r.doc_id) AS negative
+             FROM bmin b JOIN ring r ON r.rh = b.mrh AND r.rh % 256 = b.bucket
+             GROUP BY b.bucket)
+    SELECT e.d1 AS anchor, e.d2 AS positive, n.negative, e.est_jaccard
+    FROM est e
+    JOIN bneg n
+      ON n.bucket = {SQL_H60.format(x="CAST(e.d1 AS VARCHAR) || '#neg'")} % 256
+    WHERE e.est_jaccard >= 0.5
+    ORDER BY anchor, positive
+    """,
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.llm.pack import contrastive_pairs
+
+    d = load_tables(spark, sf_dir)["documents"]
+    return contrastive_pairs(d, min_jaccard=0.5).orderBy("anchor", "positive")
