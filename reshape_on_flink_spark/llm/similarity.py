@@ -863,3 +863,40 @@ def ivfpq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cos_sim")
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dup_threshold: float = 0.95,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-k highest-cosine neighbors whose similarity is BELOW the
+    near-duplicate threshold — similar enough to be hard, not so
+    similar they are actually positives (the standard dense-retrieval
+    negative-mining recipe; pairs with llm/pack.contrastive_pairs,
+    whose ring negatives this upgrades).
+
+    Exact baseline (broadcast queries x corpus scan, the
+    brute_force_topk shape). Scale path: run the IVF/PQ shortlist first
+    (ann_ivf_topk / pq re-rank) and apply the same threshold filter on
+    the shortlist — identical semantics over the candidates it keeps.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine("qvec", "cvec").alias("cos_sim"))
+        .where(F.col("cos_sim") < F.lit(dup_threshold))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.select("query_id", "neighbor_id", "cos_sim", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cos_sim")
+    )

@@ -46,6 +46,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_table_api_pipeline",
     "q_temperature_mix",
     "q_contrastive_pairs",
+    "q_hard_negatives",
     "q_graph_kcore",
     "q_graph_coreness",
     "q_graph_metrics",

@@ -2405,3 +2405,35 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_tables(spark, sf_dir)["documents"]
     return contrastive_pairs(d, min_jaccard=0.5).orderBy("anchor", "positive")
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (llm/similarity.hard_negatives): highest-cosine
+# neighbors below the near-dup threshold — the dense-retrieval negative
+# recipe; same left-fold cosine kernel as q_similarity_topk, so the
+# filtered ranking hash-matches exactly.
+# ---------------------------------------------------------------------------
+@query(
+    "q_hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+    sc AS (SELECT query_id, e.vec_id AS neighbor_id,
+             list_sum(list_transform(list_zip(qvec, e.embedding),
+                                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             AS cos_sim
+           FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+    SELECT query_id, "rank", neighbor_id, cos_sim FROM (
+      SELECT query_id, neighbor_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS "rank"
+      FROM sc WHERE cos_sim < 0.95)
+    WHERE "rank" <= 3
+    ORDER BY query_id, "rank"
+    """,
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return S.hard_negatives(
+        emb, emb.where(F.col("vec_id") < 10), dup_threshold=0.95, k=3
+    ).orderBy("query_id", "rank")
