@@ -231,3 +231,22 @@ def read_jdbc(
     for k, v in options.items():
         r = r.option(k, v)
     return r.load()
+
+
+def write_sequence_file(df: DataFrame, path: str, key_col: str, value_col: str) -> None:
+    """Hadoop SequenceFile sink (reference flink-formats/
+    flink-sequence-file SequenceFileWriterFactory): (key, value) Text
+    pairs via the RDD bridge — Spark has no DataFrame-level sequence
+    format, but the Hadoop IO machinery is in the JVM already."""
+    df.select(
+        F.col(key_col).cast("string"), F.col(value_col).cast("string")
+    ).rdd.map(tuple).saveAsSequenceFile(path)
+
+
+def read_sequence_file(spark: SparkSession, path: str) -> DataFrame:
+    """SequenceFile source -> (key string, value string) DataFrame
+    (reference flink-hadoop-compatibility SequenceFile input). Text
+    keys/values; a production variant parameterizes the Writable
+    classes the same way the reference factory does."""
+    rdd = spark.sparkContext.sequenceFile(path)
+    return spark.createDataFrame(rdd, "key string, value string")
