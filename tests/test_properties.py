@@ -501,3 +501,61 @@ def test_bloom_no_false_negatives_property(spark, keys):
         .count()
     )
     assert misses == 0
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+).map(lambda es: sorted({(min(a, b), max(a, b)) for a, b in es}))
+
+
+def _py_kcore(edges: list[tuple[int, int]], k: int) -> set[tuple[int, int]]:
+    cur = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= k}
+        nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+        if nxt == cur:
+            return cur
+        cur = nxt
+
+
+def _py_coreness(edges: list[tuple[int, int]]) -> dict[int, int]:
+    # coreness(v) = max k with v in the k-core (peeling ground truth)
+    nodes = {n for e in edges for n in e}
+    out = {n: 0 for n in nodes}
+    k = 1
+    while True:
+        core = _py_kcore(edges, k)
+        if not core:
+            return out
+        for n in {x for e in core for x in e}:
+            out[n] = k
+        k += 1
+
+
+@SLOW
+@given(edges_strategy, st.integers(2, 4))
+def test_kcore_subgraph_matches_python_peeling(spark, edges, k):
+    from reshape_on_flink_spark.operators.iterate import kcore_subgraph
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {tuple(r) for r in kcore_subgraph(df, k=k).select("src", "dst").collect()}
+    assert got == _py_kcore(edges, k)
+
+
+@SLOW
+@given(edges_strategy)
+def test_coreness_hindex_fixed_point_equals_peeling_definition(spark, edges):
+    """The h-index iteration's fixed point IS the coreness (Lu et al.
+    theorem) — checked against the direct peeling definition on random
+    graphs, including non-dense ids and disconnected shapes."""
+    from reshape_on_flink_spark.operators.iterate import coreness
+
+    df = spark.createDataFrame(edges, "src int, dst int")
+    got = {r["node"]: r["coreness"] for r in coreness(df).collect()}
+    assert got == _py_coreness(edges)
