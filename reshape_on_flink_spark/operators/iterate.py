@@ -869,6 +869,11 @@ def scatter_gather(
 
 
 pregel = scatter_gather  # VertexCentricIteration: same compile here
+# Gather-sum-apply (gelly gsa/GatherSumApplyIteration.java) also
+# collapses to this compile: gather = the per-edge message expression,
+# sum = the combiner aggregate, apply = the update function. All three
+# reference iteration models are one declarative join-agg-update round.
+gsa_iteration = scatter_gather
 
 
 def community_detection(
