@@ -243,3 +243,34 @@ def test_streaming_pattern_equals_batch(spark, tmp_dir):
         ).collect()
     )
     assert got == expected
+
+
+def test_builder_compile_round_trips_through_both_parsers(spark):
+    """Every compilable builder chain must produce a pattern string the
+    engine's parsers accept, with DEFINE covering exactly the symbols —
+    across quantifier forms and contiguity mixes."""
+    import itertools
+
+    from reshape_on_flink_spark.operators.cep import (
+        ast_symbols,
+        parse_pattern_ast,
+    )
+
+    quants = [
+        lambda p: p,
+        lambda p: p.one_or_more(),
+        lambda p: p.times(2),
+        lambda p: p.times(1, 3),
+        lambda p: p.optional(),
+        lambda p: p.times_or_more(2).reluctant(),
+    ]
+    links = ["next", "followed_by"]
+    for q1, q2, link in itertools.product(quants, quants, links):
+        p = Pattern.begin("a").where("v = 1")
+        p = q1(p)
+        p = getattr(p, link)("b").where("v = 2")
+        p = q2(p)
+        pat, define, syms, _ = p.compile()
+        parsed = ast_symbols(parse_pattern_ast(pat))
+        assert set(parsed) == set(define), (pat, parsed, sorted(define))
+        assert set(syms) == {"a", "b"}
