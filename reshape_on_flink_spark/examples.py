@@ -1,0 +1,118 @@
+"""Reference example programs, ported Spark-first.
+
+flink-examples is the reference's "here is how you use the engine"
+surface; these ports show the same programs on this engine's facades —
+a migrating user's Rosetta stone. Each returns a DataFrame and is
+pinned by tests/test_examples.py against the reference semantics.
+
+| here | reference |
+|---|---|
+| word_count | flink-examples-streaming/.../wordcount/WordCount.java |
+| session_windowing | .../windowing/SessionWindowing.java (the literal fixture) |
+| top_speed_windowing | .../windowing/TopSpeedWindowing.java (GlobalWindows + TimeEvictor(10s) + DeltaTrigger(50)) |
+| fraud_detection | flink-walkthroughs fraud-detection (small charge immediately followed by a large one, within a minute) |
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def word_count(lines: DataFrame, text_col: str = "value") -> DataFrame:
+    """WordCount.java: tokenize, lowercase, count per word -> (word,
+    cnt). Works identically on a batch or streaming frame (the
+    reference ships both programs; stream-batch unification makes them
+    one)."""
+    words = lines.select(
+        F.explode(
+            F.split(F.lower(F.col(text_col)), r"\W+")
+        ).alias("word")
+    ).where(F.col("word") != "")
+    return words.groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+def session_windowing(events: DataFrame) -> DataFrame:
+    """SessionWindowing.java: key by id, 3 ms session gap, count per
+    session. ``events`` is (id string, ts_ms long, v int); returns
+    (id, session_start_ms, n)."""
+    with_ts = events.withColumn("__ts", F.timestamp_millis(F.col("ts_ms")))
+    return (
+        with_ts.groupBy(
+            F.session_window("__ts", "3 milliseconds").alias("__w"), "id"
+        )
+        .agg(F.sum("v").alias("n"))
+        .select(
+            "id",
+            F.unix_millis(F.col("__w.start")).alias("session_start_ms"),
+            "n",
+        )
+    )
+
+
+def top_speed_windowing(car_data: DataFrame) -> DataFrame:
+    """TopSpeedWindowing.java: per car, a GlobalWindow with
+    DeltaTrigger(50 m on covered distance) and TimeEvictor(10 s) —
+    every time a car advances 50 m past the last firing, emit the top
+    speed seen in the trailing 10 s. ``car_data`` is (car_id int,
+    speed double, distance double, ts_ms long); returns firing rows
+    (car_id, ts_ms, top_speed).
+
+    Port: the DeltaTrigger's baseline-reset scan (DeltaTrigger.java
+    semantics; the streaming form of the same scan is
+    streaming/triggers.delta_trigger_agg) runs per key in one Arrow
+    batch, and the evictor becomes a 10 s RANGE frame max — the
+    trailing-window max ONLY matters at firing rows, so
+    evict+aggregate collapses to one window function.
+    """
+    import pandas as pd
+
+    def fire_scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("ts_ms")
+        baseline, out = None, []
+        for dist, ts in zip(pdf["distance"].to_numpy(), pdf["ts_ms"].to_numpy()):
+            if baseline is None:
+                baseline = float(dist)
+            elif abs(float(dist) - baseline) > 50.0:
+                out.append((int(pdf["car_id"].iloc[0]), int(ts)))
+                baseline = float(dist)
+        return pd.DataFrame(out, columns=["car_id", "ts_ms"])
+
+    fires = car_data.groupBy("car_id").applyInPandas(
+        fire_scan, "car_id int, ts_ms long"
+    )
+    w = (
+        W.partitionBy("car_id")
+        .orderBy(F.col("ts_ms"))
+        .rangeBetween(-10_000, 0)  # TimeEvictor.of(10 s), ms timestamps
+    )
+    enriched = car_data.withColumn("top_speed", F.max("speed").over(w))
+    return fires.join(enriched, ["car_id", "ts_ms"]).select(
+        "car_id", "ts_ms", "top_speed"
+    )
+
+
+def fraud_detection(transactions: DataFrame) -> DataFrame:
+    """The fraud-detection walkthrough: a small charge (< $1)
+    IMMEDIATELY followed by a large one (> $500) on the same account,
+    both within one minute — the card-testing pattern. ``transactions``
+    is (account_id, ts (timestamp), txn_id, amount); returns one row
+    per fraud match (account_id, match_id, small_txn, large_txn).
+
+    Uses the fluent CEP API (api.cep) exactly as the walkthrough uses
+    flink-cep's Pattern."""
+    from reshape_on_flink_spark.api.cep import CEP, Pattern, sym
+
+    pat = (
+        Pattern.begin("small").where(F.col("amount") < 1.0)
+        .next("large").where(F.col("amount") > 500.0)
+        .within("1 minute")
+    )
+    return (
+        CEP.pattern(transactions, pat, "account_id", ["ts", "txn_id"])
+        .select(
+            small_txn=F.max(sym("small", "txn_id")),
+            large_txn=F.max(sym("large", "txn_id")),
+        )
+    )

@@ -1,0 +1,100 @@
+"""Reference example-program ports (reshape_on_flink_spark.examples)
+pinned against the reference semantics / literal fixtures."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from reshape_on_flink_spark import examples as E
+
+
+def test_word_count_batch_and_stream_agree(spark, tmp_dir):
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    lines = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "To be or not to be",
+            "that is the question",
+            "to be is to do",
+        ])],
+        "i int, value string",
+    )
+    batch = {(r["word"], r["cnt"]) for r in E.word_count(lines).collect()}
+    assert ("to", 4) in batch and ("be", 3) in batch and ("question", 1) in batch
+
+    stream = chunked_replay(
+        spark, lines, os.path.join(tmp_dir, "wc"), n_chunks=3, order_col="i"
+    )
+    sdf = E.word_count(stream)
+    got = run_to_memory(spark, sdf, "wc_out", tmp_dir, mode="complete")
+    assert {(r["word"], r["cnt"]) for r in got.collect()} == batch
+
+
+def test_session_windowing_literal_fixture(spark):
+    """The SessionWindowing.java input verbatim: sessions a@1, b@{1,3,5},
+    c@6, a@10, c@11 with a 3 ms gap -> five sessions with counts
+    1,3,1,1,1."""
+    events = spark.createDataFrame(
+        [("a", 1, 1), ("b", 1, 1), ("b", 3, 1), ("b", 5, 1),
+         ("c", 6, 1), ("a", 10, 1), ("c", 11, 1)],
+        "id string, ts_ms long, v int",
+    )
+    got = {
+        (r["id"], r["session_start_ms"], r["n"])
+        for r in E.session_windowing(events).collect()
+    }
+    assert got == {
+        ("a", 1, 1), ("b", 1, 3), ("c", 6, 1), ("a", 10, 1), ("c", 11, 1),
+    }
+
+
+def test_top_speed_windowing_reference_simulation(spark):
+    """Two cars; fires whenever distance advances >= 50 m past the last
+    firing baseline; top speed = max over the trailing 10 s."""
+    rows = []
+    # car 0: distance grows 30 m/tick every 2 s -> fires at ticks 2,4,6..
+    for i in range(8):
+        rows.append((0, 10.0 * (i % 3 + 1), 30.0 * i, 2_000 * i))
+    # car 1: one early fire then idle (no distance growth)
+    rows.append((1, 50.0, 0.0, 0))
+    rows.append((1, 99.0, 60.0, 1_000))
+    rows.append((1, 20.0, 61.0, 30_000))
+    df = spark.createDataFrame(rows, "car_id int, speed double, distance double, ts_ms long")
+    got = {(r["car_id"], r["ts_ms"], r["top_speed"])
+           for r in E.top_speed_windowing(df).collect()}
+
+    # python reference: DeltaTrigger baseline-reset + trailing-10s max
+    expect = set()
+    for car in (0, 1):
+        data = sorted([r for r in rows if r[0] == car], key=lambda r: r[3])
+        baseline = None
+        for (cid, speed, dist, ts) in data:
+            if baseline is None:
+                baseline = dist
+                continue
+            if abs(dist - baseline) > 50.0:
+                top = max(s for (_c, s, _d, t) in data if ts - 10_000 <= t <= ts)
+                expect.add((car, ts, top))
+                baseline = dist
+    assert got == expect and len(got) >= 3
+
+
+def test_fraud_detection_pattern(spark):
+    ts = lambda s: datetime(2024, 1, 1, 0, s // 60, s % 60)  # noqa: E731
+    txns = spark.createDataFrame(
+        [
+            (1, ts(0), 100, 0.5), (1, ts(10), 101, 600.0),   # fraud
+            (2, ts(0), 200, 0.5), (2, ts(5), 201, 30.0),     # small then normal
+            (3, ts(0), 300, 700.0), (3, ts(5), 301, 0.2),    # large first
+            (4, ts(0), 400, 0.9), (4, ts(65), 401, 900.0),   # outside the minute
+        ],
+        "account_id int, ts timestamp, txn_id int, amount double",
+    )
+    got = {(r["account_id"], r["small_txn"], r["large_txn"])
+           for r in E.fraud_detection(txns).collect()}
+    assert got == {(1, 100, 101)}
