@@ -11,6 +11,7 @@ pinned by tests/test_examples.py against the reference semantics.
 | session_windowing | .../windowing/SessionWindowing.java (the literal fixture) |
 | top_speed_windowing | .../windowing/TopSpeedWindowing.java (GlobalWindows + TimeEvictor(10s) + DeltaTrigger(50)) |
 | fraud_detection | flink-walkthroughs fraud-detection (small charge immediately followed by a large one, within a minute) |
+| state_machine | .../statemachine/StateMachineExample.java (per-address DFA, invalid-transition alerts) |
 """
 
 from __future__ import annotations
@@ -115,4 +116,47 @@ def fraud_detection(transactions: DataFrame) -> DataFrame:
             small_txn=F.max(sym("small", "txn_id")),
             large_txn=F.max(sym("large", "txn_id")),
         )
+    )
+
+
+# StateMachineExample.java's DFA (statemachine/dfa/State.java):
+# Initial -a-> W -b-> Y -e-> Z -g-> Terminal; Initial -c-> X;
+# X -b-> Y; X -d-> Z. Anything else is an invalid transition.
+_DFA = {
+    ("Initial", "a"): "W", ("Initial", "c"): "X",
+    ("W", "b"): "Y", ("X", "b"): "Y", ("X", "d"): "Z",
+    ("Y", "e"): "Z", ("Z", "g"): "Terminal",
+}
+
+
+def state_machine(events: DataFrame) -> DataFrame:
+    """StateMachineExample.java: run each source address's event
+    sequence through the DFA; emit an alert row (address, event_type,
+    state_before) for every invalid transition. A Terminal transition
+    resets to Initial (the reference evicts the key; reset is the
+    batch-replay equivalent), and an invalid event leaves the state
+    unchanged so later events keep being checked.
+
+    ``events`` is (address string, seq long, event_type string). The
+    same per-key scan runs streaming under applyInPandasWithState with
+    the state tuple carrying the current DFA state.
+    """
+    import pandas as pd
+
+    def scan(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("seq")
+        state, out = "Initial", []
+        addr = pdf["address"].iloc[0]
+        for ev in pdf["event_type"]:
+            nxt = _DFA.get((state, ev))
+            if nxt is None:
+                out.append((addr, ev, state))
+            elif nxt == "Terminal":
+                state = "Initial"
+            else:
+                state = nxt
+        return pd.DataFrame(out, columns=["address", "event_type", "state_before"])
+
+    return events.groupBy("address").applyInPandas(
+        scan, "address string, event_type string, state_before string"
     )

@@ -98,3 +98,18 @@ def test_fraud_detection_pattern(spark):
     got = {(r["account_id"], r["small_txn"], r["large_txn"])
            for r in E.fraud_detection(txns).collect()}
     assert got == {(1, 100, 101)}
+
+
+def test_state_machine_alerts(spark):
+    """Valid walk a-b-e-g (then resets) raises nothing; the 'b' from
+    Initial and the 'g' from W are invalid and carry their state."""
+    rows = (
+        [("ok", i, t) for i, t in enumerate("abeg")]          # full valid walk
+        + [("ok", 10 + i, t) for i, t in enumerate("cd")]     # valid again post-reset
+        + [("bad", 0, "b")]                                   # invalid from Initial
+        + [("bad2", 0, "a"), ("bad2", 1, "g"), ("bad2", 2, "b")]  # g invalid in W
+    )
+    df = spark.createDataFrame(rows, "address string, seq long, event_type string")
+    got = {(r["address"], r["event_type"], r["state_before"])
+           for r in E.state_machine(df).collect()}
+    assert got == {("bad", "b", "Initial"), ("bad2", "g", "W")}
