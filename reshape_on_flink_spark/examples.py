@@ -137,9 +137,9 @@ def state_machine(events: DataFrame) -> DataFrame:
     batch-replay equivalent), and an invalid event leaves the state
     unchanged so later events keep being checked.
 
-    ``events`` is (address string, seq long, event_type string). The
-    same per-key scan runs streaming under applyInPandasWithState with
-    the state tuple carrying the current DFA state.
+    ``events`` is (address string, seq long, event_type string); use
+    :func:`state_machine_streaming` for the continuous form (same scan,
+    DFA state carried in keyed state across micro-batches).
     """
     import pandas as pd
 
@@ -159,4 +159,46 @@ def state_machine(events: DataFrame) -> DataFrame:
 
     return events.groupBy("address").applyInPandas(
         scan, "address string, event_type string, state_before string"
+    )
+
+
+def state_machine_streaming(events: DataFrame) -> DataFrame:
+    """Streaming form of :func:`state_machine`: the per-address DFA
+    state lives in keyed state (applyInPandasWithState), alerts stream
+    out in append mode — the actual shape of
+    StateMachineExample.java's keyed FlatMapFunction.
+
+    Assumes per-key event order within/across micro-batches follows
+    ``seq`` (the reference assumes arrival order; replay sources here
+    deliver in order)."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("address", StringType()),
+            StructField("event_type", StringType()),
+            StructField("state_before", StringType()),
+        ]
+    )
+    state_schema = StructType([StructField("dfa_state", StringType())])
+
+    def scan(key, pdfs, gstate):
+        state = gstate.get[0] if gstate.exists else "Initial"
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("seq")
+            for ev in pdf["event_type"]:
+                nxt = _DFA.get((state, ev))
+                if nxt is None:
+                    out.append((key[0], ev, state))
+                elif nxt == "Terminal":
+                    state = "Initial"
+                else:
+                    state = nxt
+        gstate.update((state,))
+        yield pd.DataFrame(out, columns=["address", "event_type", "state_before"])
+
+    return events.groupBy("address").applyInPandasWithState(
+        scan, out_schema, state_schema, "append", "NoTimeout"
     )

@@ -113,3 +113,31 @@ def test_state_machine_alerts(spark):
     got = {(r["address"], r["event_type"], r["state_before"])
            for r in E.state_machine(df).collect()}
     assert got == {("bad", "b", "Initial"), ("bad2", "g", "W")}
+
+
+def test_state_machine_streaming_equals_batch(spark, tmp_dir):
+    """DFA state must survive micro-batch boundaries: replay the same
+    sequences in 4 chunks and compare alerts with the batch scan."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    rows = (
+        [("ok", i, t) for i, t in enumerate("abegcd")]
+        + [("bad", 0, "b"), ("bad", 1, "a"), ("bad", 2, "g")]
+        + [("bad2", 0, "a"), ("bad2", 1, "g"), ("bad2", 2, "b"), ("bad2", 3, "e")]
+    )
+    df = spark.createDataFrame(rows, "address string, seq long, event_type string")
+    batch = {(r["address"], r["event_type"], r["state_before"])
+             for r in E.state_machine(df).collect()}
+    assert len(batch) >= 3  # non-degenerate
+
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "sm"), n_chunks=4, order_col="seq"
+    )
+    got = run_to_memory(
+        spark, E.state_machine_streaming(stream), "sm_out", tmp_dir, mode="append"
+    )
+    assert {(r["address"], r["event_type"], r["state_before"])
+            for r in got.collect()} == batch
