@@ -141,3 +141,50 @@ def test_state_machine_streaming_equals_batch(spark, tmp_dir):
     )
     assert {(r["address"], r["event_type"], r["state_before"])
             for r in got.collect()} == batch
+
+
+def test_fraud_detection_streaming_matches_batch(spark, tmp_dir):
+    """The walkthrough pattern streamed: pandas predicates + WITHIN on
+    the fluent CEP route; match set equals the batch route."""
+    import os
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    ts = lambda s: datetime(2024, 1, 1, 0, s // 60, s % 60)  # noqa: E731
+    txns = spark.createDataFrame(
+        [
+            (1, ts(0), 100, 0.5), (1, ts(10), 101, 600.0),
+            (2, ts(0), 200, 0.5), (2, ts(5), 201, 30.0),
+            (4, ts(0), 400, 0.9), (4, ts(65), 401, 900.0),
+            (5, ts(30), 500, 0.1), (5, ts(40), 501, 800.0),
+        ],
+        "account_id int, ts timestamp, txn_id int, amount double",
+    )
+    batch = sorted(
+        (r["account_id"], r["txn_id"])
+        for r in E.fraud_detection(txns).select("account_id", "small_txn").collect()
+        for r in [{"account_id": r["account_id"], "txn_id": r["small_txn"]}]
+    )
+    assert batch == [(1, 100), (5, 500)]
+
+    stream = chunked_replay(
+        spark, txns, os.path.join(tmp_dir, "fraud"), n_chunks=3, order_col="txn_id"
+    )
+    pat = (
+        Pattern.begin("small").where(lambda pdf: pdf["amount"] < 1.0)
+        .next("large").where(lambda pdf: pdf["amount"] > 500.0)
+        .within("1 minute")
+    )
+    sdf = CEP.pattern(stream, pat, "account_id", ["ts", "txn_id"]).flat_select()
+    got = run_to_memory(spark, sdf, "fraud_out", tmp_dir, mode="append")
+    small_rows = sorted(
+        (r["account_id"], r["txn_id"])
+        for r in got.collect()
+        if r["matched_symbol"] == "small"
+    )
+    assert small_rows == batch
