@@ -717,6 +717,10 @@ def coreness(
     # frontier saving (measured 20x slower at sf0.1). Delta iteration
     # wins where the frontier is genuinely sparse (BFS/SSSP tails; see
     # iterate_delta and its SSSP test).
+    # convergence rides the step itself: the new state carries a
+    # __changed flag computed against the previous values inside the
+    # same job, so the per-round cost is ONE checkpointed job plus a
+    # LIMIT-1 probe on its result — not a separate join+count job.
     def step(state: DataFrame, _i: int) -> DataFrame:
         nbr_vals = sym.join(
             state.select(F.col("node").alias("nbr"), "val"), "nbr"
@@ -725,21 +729,27 @@ def coreness(
             "rn",
             F.row_number().over(W.partitionBy("node").orderBy(F.desc("val"))),
         )
-        return ranked.groupBy("node").agg(
-            F.max(F.least(F.col("rn"), F.col("val"))).alias("val")
+        new_vals = ranked.groupBy("node").agg(
+            F.max(F.least(F.col("rn"), F.col("val"))).alias("nv")
         )
-
-    def same_vals(prev: DataFrame, new: DataFrame) -> bool:
         return (
-            prev.withColumnRenamed("val", "pv")
-            .join(new, "node")
-            .where(F.col("pv") != F.col("val"))
-            .count()
-            == 0
+            state.select("node", F.col("val").alias("pv"))
+            .join(new_vals, "node")
+            .select(
+                "node",
+                F.col("nv").alias("val"),
+                (F.col("nv") != F.col("pv")).alias("__changed"),
+            )
         )
 
-    out = iterate(state0, step, max_iters, converged=same_vals)
-    return out.withColumnRenamed("val", "coreness")
+    def converged(_prev: DataFrame, new: DataFrame) -> bool:
+        return new.where(F.col("__changed")).isEmpty()
+
+    out = iterate(
+        state0.withColumn("__changed", F.lit(True)), step, max_iters,
+        converged=converged,
+    )
+    return out.select("node", F.col("val").alias("coreness"))
 
 
 def graph_metrics(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
