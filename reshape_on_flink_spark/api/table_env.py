@@ -324,6 +324,21 @@ _SHIMS: dict[str, str] = {
 }
 
 
+# optional trailing arguments with Flink's documented defaults
+# (SqlLibraryOperators: LISTAGG(expr) == LISTAGG(expr, ','))
+_ARG_DEFAULTS: dict[str, list[str]] = {"LISTAGG": ["','"]}
+
+
+def _fill_default_args(name: str, args: list[str]) -> list[str]:
+    dflt = _ARG_DEFAULTS.get(name)
+    if not dflt:
+        return args
+    full = len(set(re.findall(r"\{(\d+)\}", _SHIMS[name])))
+    while len(args) < full and full - len(args) <= len(dflt):
+        args = args + [dflt[len(dflt) - (full - len(args))]]
+    return args
+
+
 def _rewrite_functions(sql: str) -> str:
     """Apply registry shims recursively through nested calls."""
     pos = 0
@@ -333,6 +348,7 @@ def _rewrite_functions(sql: str) -> str:
             return sql
         name, begin, end, raw = hit
         args = [_rewrite_functions(a) for a in _split_top(raw)]
+        args = _fill_default_args(name, args)
         try:
             rendered = "(" + _SHIMS[name].format(*args) + ")"  # parens: templates
             # like "{0} rlike {1}" must bind tighter than surrounding operators
@@ -340,6 +356,57 @@ def _rewrite_functions(sql: str) -> str:
             raise ValueError(f"{name} expects more arguments, got {len(args)}") from exc
         sql = sql[:begin] + rendered + sql[end:]
         pos = begin + len(rendered)
+
+
+def _sql_regex_to_java(pat: str) -> str:
+    """SQL SIMILAR TO pattern -> Java regex: ``%`` -> ``.*``, ``_`` ->
+    ``.`` (outside character classes / escapes); regex metacharacters
+    ``| * + ? ( ) [ ] { }`` pass through — the SQL:2016 SIMILAR grammar
+    is a regex with LIKE wildcards. ``\\`` escapes the next char."""
+    out, i, in_class = [], 0, False
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\" and i + 1 < len(pat):
+            out.append(re.escape(pat[i + 1]))
+            i += 2
+            continue
+        if c == "[":
+            in_class = True
+            out.append(c)
+        elif c == "]":
+            in_class = False
+            out.append(c)
+        elif not in_class and c == "%":
+            out.append(".*")
+        elif not in_class and c == "_":
+            out.append(".")
+        elif not in_class and c == ".":
+            out.append("\\.")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_SIMILAR_RE = re.compile(
+    r"(\bNOT\s+)?\bSIMILAR\s+TO\s+\x00(\d+)\x00", re.IGNORECASE
+)
+
+
+def _rewrite_similar_to(sql: str, parts: list[str]) -> str:
+    """Flink/SQL:2016 ``expr [NOT] SIMILAR TO 'pattern'`` (Spark has no
+    SIMILAR TO) -> ``[NOT] RLIKE`` with the converted, anchored regex.
+    The operand stays in place; only the operator and masked literal
+    change, so precedence is preserved."""
+
+    def repl(m: re.Match) -> str:
+        lit = parts[int(m.group(2))]
+        pat = _sql_regex_to_java(lit[1:-1].replace("''", "'"))
+        parts.append("'^(?:" + pat.replace("'", "''") + ")$'")
+        neg = "NOT " if m.group(1) else ""
+        return f"{neg}RLIKE \x00{len(parts) - 1}\x00"
+
+    return _SIMILAR_RE.sub(repl, sql)
 
 
 def _rewrite_unnest(sql: str, multi_fn: str = "inline") -> str:
@@ -596,6 +663,7 @@ class TableEnvironment:
         masked = _rewrite_window_tvfs(masked, parts)
         masked = _rewrite_legacy_group_windows(masked, parts)
         masked = _rewrite_unnest(masked, unnest_multi)
+        masked = _rewrite_similar_to(masked, parts)
         masked = re.sub(r"\bPROCTIME\s*\(\s*\)", "current_timestamp()", masked, flags=re.IGNORECASE)
         masked = _rewrite_functions(masked)
         return _unmask_strings(masked, parts)
@@ -626,6 +694,22 @@ class TableEnvironment:
         m = self._ANALYZE_RE.match(sql)
         if m:
             return self._execute_analyze(m)
+        m = re.match(
+            r"\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$", sql, re.IGNORECASE
+        )
+        if m and self._is_temporary(m.group(1)):
+            # Flink's SHOW CREATE TABLE covers temporary objects
+            # (SqlShowCreateTable.java); Spark's rejects temp views, so
+            # synthesize the DDL from the schema
+            name = m.group(1)
+            cols = ",\n  ".join(
+                f"{f.name} {f.dataType.simpleString().upper()}"
+                for f in self.spark.table(name).schema.fields
+            )
+            return self.spark.createDataFrame(
+                [(f"CREATE TEMPORARY VIEW {name} (\n  {cols})",)],
+                "createtab_stmt string",
+            )
         if re.search(r"\bMATCH_RECOGNIZE\s*\(", sql, re.IGNORECASE):
             return self._execute_match_recognize(sql)
         if re.search(r"\bFOR\s+SYSTEM_TIME\s+AS\s+OF\b", sql, re.IGNORECASE):

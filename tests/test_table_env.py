@@ -1195,3 +1195,28 @@ def test_match_recognize_sql_within_interval(tenv, spark):
     for r in op.collect():
         n_per_match[r["match_id"]] = n_per_match.get(r["match_id"], 0) + 1
     assert sorted(n_per_match.values()) == [2, 3]
+
+
+def test_similar_to_listagg_and_show_create_temp(spark):
+    """Round-6 dialect gap closures: SIMILAR TO (SQL:2016 regex with
+    LIKE wildcards -> anchored RLIKE), single-arg LISTAGG default ','
+    separator, SHOW CREATE TABLE on temporary views."""
+    from reshape_on_flink_spark.api.table_env import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    spark.createDataFrame(
+        [(1, "abc", 10.0), (2, "xy", 5.0), (3, "a%c", 1.0)],
+        "id int, k string, v double",
+    ).createOrReplaceTempView("dialect_gap_t")
+    q = lambda s: [r["id"] for r in tenv.execute_sql(s).collect()]  # noqa: E731
+    assert q("SELECT id FROM dialect_gap_t WHERE k SIMILAR TO 'a_c' ORDER BY id") == [1, 3]
+    assert q("SELECT id FROM dialect_gap_t WHERE k SIMILAR TO 'a\\%c' ORDER BY id") == [3]
+    assert q("SELECT id FROM dialect_gap_t WHERE k NOT SIMILAR TO '%b%' ORDER BY id") == [2, 3]
+    assert q("SELECT id FROM dialect_gap_t WHERE k SIMILAR TO '(a|x)%' ORDER BY id") == [1, 2, 3]
+    assert q("SELECT id FROM dialect_gap_t WHERE k SIMILAR TO 'ab' ORDER BY id") == []  # anchored
+    r = tenv.execute_sql("SELECT LISTAGG(k) AS l FROM dialect_gap_t WHERE id < 3").collect()
+    assert r[0]["l"] == "abc,xy"
+    r2 = tenv.execute_sql("SELECT LISTAGG(k, '|') AS l FROM dialect_gap_t WHERE id < 3").collect()
+    assert r2[0]["l"] == "abc|xy"
+    ddl = tenv.execute_sql("SHOW CREATE TABLE dialect_gap_t").collect()[0]["createtab_stmt"]
+    assert ddl.startswith("CREATE TEMPORARY VIEW dialect_gap_t") and "k STRING" in ddl
