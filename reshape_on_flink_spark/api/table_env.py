@@ -358,6 +358,72 @@ def _rewrite_functions(sql: str) -> str:
         pos = begin + len(rendered)
 
 
+_ON_NULL_RE = re.compile(r"^(NULL|ABSENT)\s+ON\s+NULL$", re.IGNORECASE)
+_KV_RE = re.compile(r"^(?:KEY\s+)?(.+?)\s+VALUE\s+(.+)$", re.IGNORECASE | re.DOTALL)
+_IS_JSON_RE = re.compile(
+    r"((?:\x00\d+\x00)|(?:[\w.]+)|(?:\([^()]*\)))\s+IS\s+(NOT\s+)?JSON\b",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_json_constructors(sql: str) -> str:
+    """Flink SQL:2016 JSON constructors (SqlJsonObjectFunction /
+    SqlJsonArrayFunction / IS JSON — all in FlinkSqlOperatorTable):
+
+    - ``JSON_OBJECT([KEY] k VALUE v, ... [NULL|ABSENT ON NULL])`` ->
+      ``to_json(named_struct(...))``; Flink's default NULL ON NULL
+      keeps null fields (``ignoreNullFields=false``), ABSENT drops
+      them (Spark's default).
+    - ``JSON_ARRAY(v, ... [ABSENT|NULL ON NULL])`` ->
+      ``to_json(array(...))`` with a null filter for Flink's default
+      ABSENT ON NULL (array elements must share a type — Spark array
+      semantics; Flink's heterogeneous arrays raise there, loudly).
+    - ``expr IS [NOT] JSON`` -> ``try_parse_json(expr) IS [NOT] NULL``
+      (simple operands: literal/identifier/parenthesized).
+    """
+    while True:
+        hit = _find_call(sql, ("JSON_OBJECT", "JSON_ARRAY"))
+        if not hit:
+            break
+        name, begin, end, raw = hit
+        on_null = "NULL" if name == "JSON_OBJECT" else "ABSENT"
+        # the ON NULL clause trails the last entry without a comma
+        trail = re.search(r"\b(NULL|ABSENT)\s+ON\s+NULL\s*$", raw, re.IGNORECASE)
+        if trail:
+            on_null = trail.group(1).upper()
+            raw = raw[: trail.start()]
+        args = _split_top(raw)
+        if name == "JSON_OBJECT":
+            pairs = []
+            for a in args:
+                m = _KV_RE.match(a.strip())
+                if not m:
+                    raise ValueError(
+                        f"JSON_OBJECT expects [KEY] k VALUE v entries, got {a!r}"
+                    )
+                pairs += [m.group(1).strip(), m.group(2).strip()]
+            body = f"named_struct({', '.join(pairs)})"
+            rendered = (
+                f"to_json({body}, map('ignoreNullFields', 'false'))"
+                if on_null == "NULL"
+                else f"to_json({body})"
+            )
+        else:
+            arr = f"array({', '.join(a.strip() for a in args)})"
+            if on_null == "ABSENT":
+                arr = f"filter({arr}, x -> x IS NOT NULL)"
+            rendered = f"to_json({arr})"
+        sql = sql[:begin] + rendered + sql[end:]
+    def is_json(m: re.Match) -> str:
+        neg = bool(m.group(2))
+        return (
+            f"try_parse_json({m.group(1)}) IS "
+            + ("NULL" if neg else "NOT NULL")
+        )
+
+    return _IS_JSON_RE.sub(is_json, sql)
+
+
 def _sql_regex_to_java(pat: str) -> str:
     """SQL SIMILAR TO pattern -> Java regex: ``%`` -> ``.*``, ``_`` ->
     ``.`` (outside character classes / escapes); regex metacharacters
@@ -664,6 +730,7 @@ class TableEnvironment:
         masked = _rewrite_legacy_group_windows(masked, parts)
         masked = _rewrite_unnest(masked, unnest_multi)
         masked = _rewrite_similar_to(masked, parts)
+        masked = _rewrite_json_constructors(masked)
         masked = re.sub(r"\bPROCTIME\s*\(\s*\)", "current_timestamp()", masked, flags=re.IGNORECASE)
         masked = _rewrite_functions(masked)
         return _unmask_strings(masked, parts)

@@ -1220,3 +1220,23 @@ def test_similar_to_listagg_and_show_create_temp(spark):
     assert r2[0]["l"] == "abc|xy"
     ddl = tenv.execute_sql("SHOW CREATE TABLE dialect_gap_t").collect()[0]["createtab_stmt"]
     assert ddl.startswith("CREATE TEMPORARY VIEW dialect_gap_t") and "k STRING" in ddl
+
+
+def test_json_constructors_and_is_json(spark):
+    """SQL:2016 JSON constructors through the dialect: JSON_OBJECT
+    (KEY/VALUE, NULL vs ABSENT ON NULL — Flink default keeps nulls),
+    JSON_ARRAY (default ABSENT drops nulls), IS [NOT] JSON."""
+    from reshape_on_flink_spark.api.table_env import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    one = lambda s: tenv.execute_sql(s).collect()[0][0]  # noqa: E731
+    assert one("SELECT JSON_OBJECT('a' VALUE 1, 'b' VALUE NULL) AS j") == '{"a":1,"b":null}'
+    assert one("SELECT JSON_OBJECT(KEY 'a' VALUE 1, 'b' VALUE NULL ABSENT ON NULL) AS j") == '{"a":1}'
+    assert one("SELECT JSON_ARRAY(1, NULL, 2) AS j") == "[1,2]"
+    assert one("SELECT JSON_ARRAY(1, NULL, 2 NULL ON NULL) AS j") == "[1,null,2]"
+    assert one("SELECT '{\"a\":1}' IS JSON AS j") is True
+    assert one("SELECT 'oops{' IS JSON AS j") is False
+    assert one("SELECT 'oops{' IS NOT JSON AS j") is True
+    import pytest as _p
+    with _p.raises(ValueError, match="JSON_OBJECT expects"):
+        tenv.execute_sql("SELECT JSON_OBJECT('a', 1) AS j")
