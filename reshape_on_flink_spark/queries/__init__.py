@@ -47,6 +47,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_temperature_mix",
     "q_contrastive_pairs",
     "q_hard_negatives",
+    "q_similar_to",
     "q_graph_kcore",
     "q_graph_coreness",
     "q_graph_metrics",

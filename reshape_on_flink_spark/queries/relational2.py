@@ -711,3 +711,41 @@ def q_table_api_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .fetch(5)
         .df
     )
+
+
+# ---------------------------------------------------------------------------
+# SIMILAR TO through the SQL dialect (SQL:2016 regex-with-LIKE-wildcards;
+# Spark has no SIMILAR TO — the facade compiles it to anchored RLIKE,
+# api/table_env._rewrite_similar_to). DuckDB's own SIMILAR TO deviates
+# from the standard (no %/_ wildcards), so the oracle spells the
+# equivalent anchored regexes with regexp_full_match — the conversion
+# itself is what the hash gate checks.
+# ---------------------------------------------------------------------------
+@query(
+    "q_similar_to",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CASE WHEN regexp_full_match(o_orderstatus, '(O|F)')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+    FROM orders
+    WHERE regexp_full_match(o_orderpriority, '[12]-.*')
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_similar_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.api.table_env import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    tenv.create_temporary_view("orders", load_tables(spark, sf_dir)["orders"])
+    return tenv.execute_sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus SIMILAR TO '(O|F)' THEN 1
+                             ELSE 0 END) AS BIGINT) AS n_matched
+        FROM orders
+        WHERE o_orderpriority SIMILAR TO '[12]-%'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
