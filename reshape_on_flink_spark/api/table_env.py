@@ -360,12 +360,6 @@ def _rewrite_functions(sql: str) -> str:
 
 _ON_NULL_RE = re.compile(r"^(NULL|ABSENT)\s+ON\s+NULL$", re.IGNORECASE)
 _KV_RE = re.compile(r"^(?:KEY\s+)?(.+?)\s+VALUE\s+(.+)$", re.IGNORECASE | re.DOTALL)
-_IS_JSON_RE = re.compile(
-    r"((?:\x00\d+\x00)|(?:[\w.]+)|(?:\([^()]*\)))\s+IS\s+(NOT\s+)?JSON\b",
-    re.IGNORECASE,
-)
-
-
 def _rewrite_json_constructors(sql: str) -> str:
     """Flink SQL:2016 JSON constructors (SqlJsonObjectFunction /
     SqlJsonArrayFunction / IS JSON — all in FlinkSqlOperatorTable):
@@ -414,14 +408,42 @@ def _rewrite_json_constructors(sql: str) -> str:
                 arr = f"filter({arr}, x -> x IS NOT NULL)"
             rendered = f"to_json({arr})"
         sql = sql[:begin] + rendered + sql[end:]
-    def is_json(m: re.Match) -> str:
-        neg = bool(m.group(2))
-        return (
-            f"try_parse_json({m.group(1)}) IS "
-            + ("NULL" if neg else "NOT NULL")
+    # IS [NOT] JSON: scan the operand backwards (identifier, masked
+    # literal, or a call/paren group with balanced parens — a regex
+    # cannot balance, so walk)
+    while True:
+        m = re.search(r"\s+IS\s+(NOT\s+)?JSON\b", sql, re.IGNORECASE)
+        if not m:
+            break
+        end = m.start()
+        if end > 0 and sql[end - 1] == ")":
+            depth, j = 0, end - 1
+            while j >= 0:
+                if sql[j] == ")":
+                    depth += 1
+                elif sql[j] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            k = j - 1
+            while k >= 0 and (sql[k].isalnum() or sql[k] in "_."):
+                k -= 1
+            start = k + 1
+        else:
+            k = end - 1
+            while k >= 0 and (sql[k].isalnum() or sql[k] in "_.\x00"):
+                k -= 1
+            start = k + 1
+        operand = sql[start:end]
+        if not operand.strip():
+            raise ValueError("IS JSON without a resolvable operand")
+        repl = (
+            f"try_parse_json({operand}) IS "
+            + ("NULL" if m.group(1) else "NOT NULL")
         )
-
-    return _IS_JSON_RE.sub(is_json, sql)
+        sql = sql[:start] + repl + sql[m.end():]
+    return sql
 
 
 def _sql_regex_to_java(pat: str) -> str:

@@ -48,6 +48,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_contrastive_pairs",
     "q_hard_negatives",
     "q_similar_to",
+    "q_json_construct",
     "q_graph_kcore",
     "q_graph_coreness",
     "q_graph_metrics",

@@ -749,3 +749,41 @@ def q_similar_to(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderpriority ORDER BY o_orderpriority
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL:2016 JSON constructors through the dialect (JSON_OBJECT /
+# JSON_ARRAY / IS JSON -> to_json/try_parse_json rewrites,
+# api/table_env._rewrite_json_constructors). DuckDB builds the same
+# compact JSON strings natively — byte-identical, so the rewrite is
+# value-hash-gated.
+# ---------------------------------------------------------------------------
+@query(
+    "q_json_construct",
+    """
+    SELECT o_orderkey,
+           json_object('priority', o_orderpriority,
+                       'status', o_orderstatus,
+                       'total_cents', CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                      )::VARCHAR AS payload,
+           to_json([o_custkey, o_orderkey])::VARCHAR AS keys_arr,
+           TRUE AS is_valid
+    FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey
+    """,
+)
+def q_json_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.api.table_env import TableEnvironment
+
+    tenv = TableEnvironment.create(spark)
+    tenv.create_temporary_view("orders", load_tables(spark, sf_dir)["orders"])
+    return tenv.execute_sql(
+        """
+        SELECT o_orderkey,
+               JSON_OBJECT('priority' VALUE o_orderpriority,
+                           'status' VALUE o_orderstatus,
+                           'total_cents' VALUE CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS payload,
+               JSON_ARRAY(o_custkey, o_orderkey) AS keys_arr,
+               JSON_OBJECT('priority' VALUE o_orderpriority) IS JSON AS is_valid
+        FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey
+        """
+    )
