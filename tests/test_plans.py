@@ -473,3 +473,18 @@ def test_length_batches_single_exchange(spark):
     plan = plan_of(length_bucket_batches(d))
     n = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
     assert n == 1, plan
+
+
+def test_continuation_queries_broadcast_their_small_sides(spark):
+    """Round-6 continuation plan pins: the Table-API pipeline broadcasts
+    its dim side; temperature-mix broadcasts the O(domains) rates;
+    contrastive pairs broadcast the O(buckets) negatives table — no
+    data-sized shuffle enters from the small side in any of them."""
+    from reshape_on_flink_spark.queries import merged
+
+    queries, _ = merged()
+    sf = "/root/testdata/sf0.001"
+    for name in ("q_table_api_pipeline", "q_temperature_mix", "q_contrastive_pairs"):
+        plan = plan_of(queries[name](spark, sf))
+        assert "BroadcastExchange" in plan, f"{name} lost its broadcast:\n{plan[:800]}"
+        assert "CartesianProduct" not in plan, name
