@@ -69,3 +69,28 @@ def cumulate(df: DataFrame, ts_col: str, *, max_size: str, step: str) -> DataFra
     # event belongs to slice k iff t < ws + k*step  (exact µs comparison)
     df = df.where(us < F.col("window_end") * F.lit(1_000_000))
     return df.drop("_slice_k")
+
+
+def count_tumble(
+    df,
+    n: int,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("event_id",),
+):
+    """Batch form of countWindow(n) (GlobalWindows + CountTrigger.of(n),
+    streaming form streaming/triggers.count_window_agg): every COMPLETE
+    window of ``n`` records per key in ``order_cols`` order ->
+    (key, window_seq, n_rows, sum_value). Partial tails never emit,
+    exactly like the trigger. One window function + one keyed agg."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    w = W.partitionBy(key_col).orderBy(*order_cols)
+    seq = F.floor((F.row_number().over(w) - 1) / n).cast("long")
+    return (
+        df.withColumn("window_seq", seq)
+        .groupBy(key_col, "window_seq")
+        .agg(F.count("*").alias("n_rows"), F.sum(value_col).alias("sum_value"))
+        .where(F.col("n_rows") == n)
+    )

@@ -49,6 +49,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_hard_negatives",
     "q_similar_to",
     "q_json_construct",
+    "q_count_window",
+    "q_count_evictor",
+    "q_salted_join",
     "q_graph_kcore",
     "q_graph_coreness",
     "q_graph_metrics",

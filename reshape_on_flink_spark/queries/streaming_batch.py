@@ -947,3 +947,98 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("conversion"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count windows (GlobalWindows + CountTrigger.of(n)) in batch form —
+# operators/windows.count_tumble; the streaming form
+# (streaming/triggers.count_window_agg) is pinned equal in pytest.
+# ---------------------------------------------------------------------------
+@query(
+    "q_count_window",
+    """
+    WITH seq AS (
+      SELECT user_id, value,
+             CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY user_id
+                                            ORDER BY event_id) - 1) / 5)
+                  AS BIGINT) AS window_seq
+      FROM events)
+    SELECT user_id, window_seq, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM seq GROUP BY user_id, window_seq
+    HAVING COUNT(*) = 5
+    ORDER BY user_id, window_seq
+    """,
+)
+def q_count_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.operators.windows import count_tumble
+
+    ev = load_tables(spark, sf_dir)["events"]
+    out = count_tumble(ev, n=5, key_col="user_id", value_col=dec("value"))
+    return out.withColumn("sum_value", F.col("sum_value").cast("double")).orderBy(
+        "user_id", "window_seq"
+    )
+
+
+# ---------------------------------------------------------------------------
+# CountEvictor.of(3): keep only the last 3 events per user before the
+# aggregate (streaming/triggers.count_evictor, relational form).
+# ---------------------------------------------------------------------------
+@query(
+    "q_count_evictor",
+    """
+    WITH kept AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY event_id DESC) AS rn
+      FROM events)
+    SELECT user_id, COUNT(*) AS n_kept,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_last3
+    FROM kept WHERE rn <= 3
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_count_evictor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.streaming.triggers import count_evictor
+
+    ev = load_tables(spark, sf_dir)["events"]
+    kept = count_evictor(ev, ["user_id"], ["event_id"], keep_last_n=3)
+    return (
+        kept.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            dsum("value").alias("sum_last3"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted (skew-resistant) join — operators/joins.salted_join. Salting is
+# a pure execution strategy: results must equal the plain join, which is
+# exactly what the oracle states.
+# ---------------------------------------------------------------------------
+@query(
+    "q_salted_join",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.operators.joins import salted_join
+
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].select(F.col("l_orderkey").alias("k"), "l_quantity")
+    o = t["orders"].select(
+        F.col("o_orderkey").alias("k"), "o_orderpriority"
+    )
+    joined = salted_join(li, o, key="k", n_salts=8)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty"))
+        .orderBy("o_orderpriority")
+    )

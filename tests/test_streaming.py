@@ -923,3 +923,36 @@ def test_streaming_passage_dedup_reassembles_like_batch(spark, tables, tmp_dir):
         for r in passage_dedup(docs).collect()
     }
     assert out == expected and len(expected) > 0
+
+
+def test_count_tumble_batch_equals_streaming_trigger(spark, tables):
+    """operators/windows.count_tumble (batch) == streaming
+    count_window_agg on the same data: complete windows only, same
+    sums — the CountTrigger stream==batch pin."""
+    import os
+    import shutil
+
+    from reshape_on_flink_spark.operators.windows import count_tumble
+    from reshape_on_flink_spark.streaming.triggers import count_window_agg
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+    from tests.conftest import TMP
+
+    ev = tables["events"].select("user_id", "event_id", "value")
+    batch = {
+        (r["user_id"], r["window_seq"], round(r["sum_value"], 6))
+        for r in count_tumble(ev, n=5).collect()
+    }
+    assert batch  # non-degenerate
+
+    d = os.path.join(TMP, "count_tumble_eq")
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    stream = chunked_replay(spark, ev, os.path.join(d, "src"), n_chunks=3, order_col="event_id")
+    sdf = count_window_agg(stream, n=5)
+    got = run_to_memory(spark, sdf, "count_tumble_out", d, mode="append")
+    streaming = {
+        (r["user_id"], r["window_seq"], round(r["sum_value"], 6))
+        for r in got.collect()
+    }
+    assert streaming == batch
+    shutil.rmtree(d, ignore_errors=True)
