@@ -68,7 +68,45 @@ HEADLINE = [
 ]
 
 
+def warn_untracked_artifacts() -> None:
+    """Remind when round artifacts exist on disk but are not git-tracked.
+
+    Untracked BENCH_r*/CORRECTNESS_r* files have recurred across rounds;
+    a loud stderr line at every bench/oracle run makes the omission
+    visible before the round closes.
+    """
+    import glob
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    if os.path.basename(repo) == "tools":
+        repo = os.path.dirname(repo)
+    try:
+        tracked = set(
+            subprocess.run(
+                ["git", "-C", repo, "ls-files"],
+                capture_output=True, text=True, timeout=10,
+            ).stdout.splitlines()
+        )
+    except Exception:
+        return
+    pats = ["BENCH_r*.json", "CORRECTNESS_r*.json"]
+    loose = [
+        os.path.basename(p)
+        for pat in pats
+        for p in glob.glob(os.path.join(repo, pat))
+        if os.path.basename(p) not in tracked
+    ]
+    if loose:
+        print(
+            f"WARNING: round artifacts not git-tracked: {sorted(loose)} "
+            "— `git add` them before the round ends.",
+            file=sys.stderr,
+        )
+
+
 def main() -> None:
+    warn_untracked_artifacts()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
 

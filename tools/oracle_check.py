@@ -41,6 +41,9 @@ def canonical_hash(df: pd.DataFrame) -> tuple[int, tuple[str, ...], str]:
 
 
 def main() -> int:
+    from bench import warn_untracked_artifacts
+
+    warn_untracked_artifacts()
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
