@@ -37,15 +37,45 @@ Contiguity compile:
   stage is strict (the negation folds into that stage's DEFINE);
   otherwise raises with guidance to use ``not_followed_by``.
 
-Looping divergence (documented): ``one_or_more``/``times`` compile to
-consecutive repetition — equal to Flink's ``.consecutive()`` mode
-(Quantifier.java STRICT). Flink's default relaxed looping
-(non-adjacent events folded into one loop) and
-``allowCombinations()`` are not expressible as a regex over a total
-row order; ``consecutive()`` is therefore a no-op here and
-``allow_combinations()`` raises. ``until(c)`` on a consecutive loop is
-exact: the loop body DEFINE becomes ``cond AND NOT c`` (stop collecting
-at the first ``c`` event — Pattern.java:219).
+Looping contiguity (Quantifier.java:39-60 inner consuming strategies,
+all three implemented):
+
+- DEFAULT = **relaxed** (``SKIP_TILL_NEXT``): non-matching events
+  between loop iterations are ignored. Compiled as
+  ``B (__lgapN*? B)*`` where ``__lgapN`` := NOT(loop condition) — the
+  filler may never swallow a matching event, so the loop folds exactly
+  the in-order subsequence of matching events (reference matrix:
+  docs/content/docs/libs/cep.md "consecutive": input
+  ``C D A1 A2 A3 D A4 B`` -> 4 matches ending ``{C A1 A2 A3 A4 B}``).
+- ``consecutive()`` = **strict** (``STRICT``): plain ``B{lo,hi}`` —
+  any non-matching event breaks the loop.
+- ``allow_combinations()`` = **combinations** (``SKIP_TILL_ANY``):
+  the filler becomes unconditional (``__lgapN* B``), so enumeration
+  yields every subset of matching events containing the first one
+  (8 matches in the reference matrix).
+
+Emission semantics follow Flink's AfterMatchSkipStrategy:
+
+- ``after_match="no_skip"`` (the DEFAULT, = Flink's
+  ``AfterMatchSkipStrategy.noSkip()``): every row starts a potential
+  match and every loop expansion is emitted as its own match
+  (AfterMatchSkipITCase.testNoSkip*). ``greedy()`` prunes to the
+  longest expansion per start (GreedyITCase) — except on the pattern's
+  terminal stage, where Flink ignores greedy and emits all expansions
+  (GreedyITCase.testEndWithZeroOrMoreGreedy).
+- single-match strategies (``past_last_row``, ``to_next_row``,
+  ``to_first/to_last SYM``): one match per scan position — the FIRST
+  completed (fewest-repetitions) expansion, exactly Flink's
+  ``skipToNext()`` behavior on loops
+  (AfterMatchSkipITCase.testSkipToNextWithQuantifierAtTheEnd emits
+  ``{a1 b1}``, not the longest). ``greedy()`` switches that to the
+  longest expansion.
+
+``until(c)`` is exact in every mode: the loop body DEFINE becomes
+``cond AND NOT c`` and the loop filler additionally may not skip a
+``c`` event (stop collecting at the first ``c`` — Pattern.java:219;
+the docs' stop-condition example ``{a1 a2} {a1} {a2} {a3}`` is
+reproduced in tests).
 """
 
 from __future__ import annotations
@@ -70,7 +100,13 @@ class _Stage:
     kind: str  # one of _KINDS
     cond: Column | Callable | None = None
     pandas_cond: Callable | None = None
-    quant: tuple[int, int | None, bool] | None = None  # (min, max, greedy)
+    # (min, max, greedy): greedy is None (Flink default: first-completed
+    # under single-match strategies, enumerate-all under no_skip),
+    # True (greedy()), or False (reluctant() — deterministic shortest)
+    quant: tuple[int, int | None, bool | None] | None = None
+    loop_mode: str = "relaxed"  # Quantifier.java inner consuming strategy:
+    # "relaxed" (default SKIP_TILL_NEXT) | "strict" (consecutive) |
+    # "combinations" (allowCombinations, SKIP_TILL_ANY)
     until_cond: Column | None = None
     negated_gap: Column | None = None  # set on the stage FOLLOWING a not_followed_by
     fold_not: list = field(default_factory=list)  # conds folded in from not_next
@@ -164,7 +200,7 @@ class Pattern:
             raise ValueError("NOT stages cannot be quantified (MalformedPatternException)")
         if t.quant is not None and not (t.quant[0] == 0 and t.quant[1] == 1):
             raise ValueError(f"stage {t.name!r} already quantified")
-        t.quant = (lo, hi, True)
+        t.quant = (lo, hi, None)
 
     def one_or_more(self) -> "Pattern":
         self._set_quant(1, None)
@@ -196,26 +232,53 @@ class Pattern:
         return self
 
     def reluctant(self) -> "Pattern":
-        """Smallest-repetition-first (regex ``+?``). Not in the Flink
-        builder (its default relaxed loop is lazier still); exposed
-        because the engine supports it natively."""
+        """Deterministic smallest-repetition (regex ``+?``): exactly one
+        (shortest) expansion per start under EVERY strategy, including
+        no_skip. Not in the Flink builder; exposed because the engine
+        supports it natively."""
         t = self._tail()
         if t.quant is None:
             raise ValueError("reluctant() applies to a quantified stage")
         t.quant = (t.quant[0], t.quant[1], False)
         return self
 
+    def _loop_tail(self, what: str) -> _Stage:
+        t = self._tail()
+        if t.quant is None or t.quant[1] == 1:
+            raise ValueError(
+                f"{what} not applicable to a non-looping stage "
+                "(Quantifier.java checkPattern)"
+            )
+        return t
+
     def consecutive(self) -> "Pattern":
-        """No-op: this compile IS consecutive looping (see module doc)."""
-        self._tail()
+        """STRICT inner contiguity between loop iterations — any
+        non-matching event breaks the loop (Quantifier.java:101)."""
+        t = self._loop_tail("consecutive()")
+        if t.loop_mode == "combinations":
+            raise ValueError(
+                "You can apply either combinations or consecutive, not both!"
+            )
+        if t.loop_mode == "strict":
+            raise ValueError("Consecutive already applied!")
+        t.loop_mode = "strict"
         return self
 
     def allow_combinations(self) -> "Pattern":
-        raise NotImplementedError(
-            "allowCombinations (Quantifier.java COMBINATIONS) enumerates "
-            "all event subsets per loop — not expressible as a regex over "
-            "a total row order; use one_or_more() (consecutive)."
-        )
+        """SKIP_TILL_ANY inner contiguity — the loop may skip matching
+        events too, so every subset of matching events (containing the
+        first) is a match (Quantifier.java:85). Exponential in the loop
+        length by construction, exactly as in the reference NFA — bound
+        it with where()/until()/within()."""
+        t = self._loop_tail("allow_combinations()")
+        if t.loop_mode == "strict":
+            raise ValueError(
+                "You can apply either combinations or consecutive, not both!"
+            )
+        if t.loop_mode == "combinations":
+            raise ValueError("Combinations already applied!")
+        t.loop_mode = "combinations"
+        return self
 
     def until(self, cond: Column | str) -> "Pattern":
         t = self._tail()
@@ -232,9 +295,49 @@ class Pattern:
         return self
 
     # -- compile ------------------------------------------------------
-    def compile(self) -> tuple[str, dict[str, Column], list[str], str | float | None]:
+    def compile(
+        self, emit: str = "first"
+    ) -> tuple[str, dict[str, Column], list[str], str | float | None]:
         """-> (pattern_string, define, user_symbols, within). Raises on
-        chains the engine cannot express (loudly, with the reason)."""
+        chains the engine cannot express (loudly, with the reason).
+
+        ``emit`` resolves Flink-default (``greedy=None``) quantifiers:
+
+        - ``"first"`` (single-match skip strategies): reluctant regex
+          quantifiers — the first COMPLETED (fewest-repetitions)
+          expansion wins, Flink's skipToNext-on-loops behavior.
+          Optionals stay take-first.
+        - ``"all"`` (no_skip enumeration): greedy regex quantifiers —
+          the NO_SKIP enumerator branches at greedy choice points and
+          emits every expansion.
+        """
+        if emit not in ("first", "all"):
+            raise ValueError(f"emit must be 'first' or 'all', got {emit!r}")
+
+        def sfx(g: bool | None, optional_like: bool = False) -> str:
+            if g is True:
+                return ""
+            if g is False:
+                return "?"
+            if emit == "all":
+                return ""
+            return "" if optional_like else "?"
+
+        def brace(lo: int, hi: int | None) -> str:
+            if (lo, hi) == (1, 1):
+                return ""
+            if (lo, hi) == (1, None):
+                return "+"
+            if (lo, hi) == (0, None):
+                return "*"
+            if (lo, hi) == (0, 1):
+                return "?"
+            if hi is None:
+                return f"{{{lo},}}"
+            if hi == lo:
+                return f"{{{lo}}}"
+            return f"{{{lo},{hi}}}"
+
         toks: list[str] = []
         define: dict[str, Column] = {}
         user_syms: list[str] = []
@@ -242,6 +345,7 @@ class Pattern:
         for s in stages:  # compile is re-runnable: clear derived state
             s.fold_not = []
             s.negated_gap = None
+        self._lgap_pandas = {}
         gap_n = 0
         i = 0
         while i < len(stages):
@@ -296,6 +400,15 @@ class Pattern:
                 define[gap] = (
                     ~s.negated_gap if s.negated_gap is not None else F.lit(True)
                 )
+                self._lgap_pandas[gap] = ("true", None)
+            q = s.quant
+            is_loop = q is not None and (q[0] > 1 or q[1] is None or q[1] > 1)
+            if is_loop and s.fold_not:
+                raise NotImplementedError(
+                    "not_next before a looping stage would fold the negation "
+                    "into every iteration, not just the first event; use "
+                    "not_followed_by() instead"
+                )
             cond = s.cond
             for neg in s.fold_not:
                 cond = cond & ~neg
@@ -303,31 +416,48 @@ class Pattern:
                 cond = cond & ~s.until_cond
             define[s.name] = cond
             user_syms.append(s.name)
-            toks.append(s.name + _quant_str(s.quant))
+            if q is None:
+                toks.append(s.name)
+            elif not is_loop or s.loop_mode == "strict":
+                qstr = brace(q[0], q[1])
+                toks.append(
+                    s.name + qstr + (sfx(q[2], (q[0], q[1]) == (0, 1)) if qstr else "")
+                )
+            else:
+                # relaxed / combinations looping: per-iteration filler
+                # (Quantifier.java inner SKIP_TILL_NEXT / SKIP_TILL_ANY)
+                lgap = f"__lgap{gap_n}"
+                gap_n += 1
+                if s.loop_mode == "relaxed":
+                    # may skip only non-matching (and non-stop) events
+                    if s.cond is not None:
+                        gcol = ~s.cond
+                        if s.until_cond is not None:
+                            gcol = gcol & ~s.until_cond
+                        define[lgap] = gcol
+                    else:
+                        define[lgap] = None  # streaming: rebuilt from pandas
+                    self._lgap_pandas[lgap] = ("not_cond", s.pandas_cond)
+                    filler = f"{lgap}*?"
+                else:  # combinations: may skip anything but a stop event
+                    define[lgap] = (
+                        ~s.until_cond if s.until_cond is not None else F.lit(True)
+                    )
+                    self._lgap_pandas[lgap] = ("true", None)
+                    filler = f"{lgap}*" if emit == "all" else f"{lgap}*?"
+                lo, hi, g = q
+                inner_lo, inner_hi = max(lo, 1), hi
+                qstr = brace(inner_lo - 1, None if inner_hi is None else inner_hi - 1)
+                rep = f"( {filler} {s.name} )" + qstr + (sfx(g) if qstr else "")
+                body = f"{s.name} {rep}"
+                if lo == 0:  # optional loop: the whole group may be absent
+                    toks.append(f"( {body} )?" + sfx(g, True))
+                else:
+                    toks.append(body)
             i += 1
         if not user_syms:
             raise ValueError("pattern has no positive stages")
         return " ".join(toks), define, user_syms, self._within
-
-
-def _quant_str(q: tuple[int, int | None, bool] | None) -> str:
-    if q is None:
-        return ""
-    lo, hi, greedy = q
-    sfx = "" if greedy else "?"
-    if (lo, hi) == (1, 1):
-        return ""
-    if (lo, hi) == (1, None):
-        return "+" + sfx
-    if (lo, hi) == (0, None):
-        return "*" + sfx
-    if (lo, hi) == (0, 1):
-        return "?" + sfx
-    if hi is None:
-        return f"{{{lo},}}" + sfx
-    if hi == lo:
-        return f"{{{lo}}}" + sfx
-    return f"{{{lo},{hi}}}" + sfx
 
 
 class PatternStream:

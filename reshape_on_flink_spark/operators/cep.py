@@ -307,6 +307,136 @@ def _ast_matcher(symbols: list[str], seq: list, modes: bool = False):
     return match_at
 
 
+def _ast_enumerator(symbols: list[str], seq: list, modes: bool = False):
+    """ALL-matches enumerator for Flink's NO_SKIP emission.
+
+    Returns ``enum_at(bools, start, n) -> list[match]`` (each match a
+    list of ``(pos, symbol_index)``), enumerating every *distinct* way
+    the pattern can match at ``start`` — Flink's NFA branch semantics
+    (flink-libraries/flink-cep/.../nfa/NFA.java: a looping state both
+    PROCEEDs and loops, so every loop expansion is its own match;
+    AfterMatchSkipStrategy.noSkip() emits them all — see the reference
+    contiguity matrix in docs/content/docs/libs/cep.md "consecutive"/
+    "allowCombinations" and AfterMatchSkipITCase.testNoSkip*).
+
+    Quantifier flags select branch-vs-commit per choice point:
+
+    - greedy quantifier  -> ENUMERATE all expansion counts (the NFA
+      branch). More-reps-first order, so the longest expansion gets the
+      lowest match ordinal at a given prefix.
+    - reluctant quantifier -> DETERMINISTIC: commit to the first
+      expansion that completes at least one overall match (fewest reps
+      = Flink's "first completed" branch; this is what makes relaxed
+      stage-gap fillers ``__gap*?`` take the FIRST matching next-stage
+      event instead of fanning out into followedByAny semantics).
+
+    Matches are deduped on their (pos, symbol) row-sets — two
+    derivations yielding the same rows are one Flink match.
+
+    With ``modes=True`` (streaming): if any explored branch had to test
+    a row at ``pos >= n``, the full set is undecided (a future row could
+    add a longer expansion) and ``_NEED_MORE`` is returned — same
+    closure rule as ``_matcher_modes``.
+    """
+    sym_idx = {s: i for i, s in enumerate(symbols)}
+
+    def compile_seq(items):
+        return [
+            (sym_idx[node] if isinstance(node, str) else [compile_seq(a) for a in node], q)
+            for node, q in items
+        ]
+
+    seq_c = compile_seq(seq)
+
+    def enum_at(bools, start: int, n: int):
+        hit_end = False
+        results: list[list] = []
+        seen: set = set()
+
+        def node_cands(node, pos):
+            nonlocal hit_end
+            if isinstance(node, int):
+                if pos >= n:
+                    if modes:
+                        hit_end = True
+                    return
+                if bools[node][pos]:
+                    yield pos + 1, ((pos, node),)
+            else:
+                for alt in node:
+                    yield from group_seq(alt, 0, pos)
+
+        def item_cands(node, m, M, greedy, pos):
+            if (m, M) == (1, 1):
+                yield from node_cands(node, pos)
+                return
+
+            def rep(p, count):
+                if greedy:
+                    if M is None or count < M:
+                        for p1, r1 in node_cands(node, p):
+                            if p1 == p:
+                                continue  # empty-body repetition guard
+                            for p2, r2 in rep(p1, count + 1):
+                                yield p2, r1 + r2
+                    if count >= m:
+                        yield p, ()
+                else:
+                    if count >= m:
+                        yield p, ()
+                    if M is None or count < M:
+                        for p1, r1 in node_cands(node, p):
+                            if p1 == p:
+                                continue
+                            for p2, r2 in rep(p1, count + 1):
+                                yield p2, r1 + r2
+
+            yield from rep(pos, 0)
+
+        def group_seq(items, i, pos):
+            """All (end, rows) completions of a group's inner sequence.
+            Inner reluctant items commit to their first expansion that
+            lets the GROUP complete (local cut; exact for the gap-filler
+            groups the fluent compiler emits, where inner fillers are
+            either forced or fully enumerated)."""
+            if i == len(items):
+                yield pos, ()
+                return
+            node, (m, M, greedy) = items[i]
+            for p1, r1 in item_cands(node, m, M, greedy, pos):
+                got = False
+                for p2, r2 in group_seq(items, i + 1, p1):
+                    got = True
+                    yield p2, r1 + r2
+                if not greedy and got:
+                    break
+
+        def seq_all(items, idx, pos, acc) -> int:
+            if idx == len(items):
+                if acc:
+                    key = tuple(acc)
+                    if key not in seen:
+                        seen.add(key)
+                        results.append(list(acc))
+                        return 1
+                return 0
+            node, (m, M, greedy) = items[idx]
+            added = 0
+            for p1, rows in item_cands(node, m, M, greedy, pos):
+                got = seq_all(items, idx + 1, p1, acc + list(rows))
+                added += got
+                if not greedy and got:
+                    break
+            return added
+
+        seq_all(seq_c, 0, start, [])
+        if modes and hit_end:
+            return _NEED_MORE
+        return results
+
+    return enum_at
+
+
 def _token_cols(symbols: list[str], toks):
     """Per-token (alternative symbol indexes, quantifier); a one-entry
     cache maps a bools list -> per-token OR'd match columns so the scan
@@ -545,7 +675,7 @@ def _parse_after_match(after_match: str, symbols: list[str]) -> tuple[str, str |
         if skip_sym not in symbols:
             raise ValueError(f"AFTER MATCH SKIP TO unknown symbol {skip_sym!r}")
         return skip_mode, skip_sym
-    if am in ("past_last_row", "to_next_row"):
+    if am in ("past_last_row", "to_next_row", "no_skip"):
         return am, None
     raise ValueError(f"unsupported after_match strategy {after_match!r}")
 
@@ -652,7 +782,8 @@ def match_recognize(
         symbols = pattern_symbols(toks)
         matcher = _matcher(symbols, toks)
         first_idx = _first_idx_flat(symbols, toks)
-        rx = _bitmask_regex(symbols, _flat_to_ast(toks))
+        ast = _flat_to_ast(toks)
+        rx = _bitmask_regex(symbols, ast)
     else:  # nested groups / bounded quantifiers -> generic AST matcher
         ast = parse_pattern_ast(pattern)
         symbols = ast_symbols(ast)
@@ -664,6 +795,7 @@ def match_recognize(
         raise ValueError(f"pattern symbols without DEFINE: {missing}")
 
     skip_mode, skip_sym = _parse_after_match(after_match, symbols)
+    enum_at = _ast_enumerator(symbols, ast) if skip_mode == "no_skip" else None
 
     flagged = df
     for s in symbols:
@@ -713,6 +845,15 @@ def match_recognize(
                     continue
                 i = mm.start()
             elif not can_start[i]:
+                i += 1
+                continue
+            if enum_at is not None:  # NO_SKIP: every match from this start
+                for m in enum_at(bools, i, bound(i, n)):
+                    for pos, si in m:
+                        rows_idx.append(pos)
+                        match_ids.append(mid)
+                        matched_syms.append(symbols[si])
+                    mid += 1
                 i += 1
                 continue
             m = match_at(bools, i, bound(i, n))
@@ -786,6 +927,15 @@ def match_recognize(
             sp = mm.start()
             g = int(np.searchsorted(group_strstart, sp, side="right") - 1)
             r = sp - g
+            if enum_at is not None:  # NO_SKIP: every match from this start
+                for m in enum_at(bools, r, bound(r, int(ends[g]))):
+                    for pos, si in m:
+                        rows_idx.append(pos)
+                        match_ids.append(int(mids[g]))
+                        matched_syms.append(symbols[si])
+                    mids[g] += 1
+                i = sp + 1
+                continue
             m = match_at(bools, r, bound(r, int(ends[g])))
             if not m:  # key-bound mismatch (defensive) or WITHIN clamp
                 i = sp + 1
@@ -1067,6 +1217,7 @@ def streaming_match_recognize(
         symbols = pattern_symbols(toks)
         match_at = _matcher_modes(symbols, toks)
         first_idx = _first_idx_flat(symbols, toks)
+        ast = _flat_to_ast(toks)
     else:  # nested groups / bounded quantifiers -> generic AST matcher
         ast = parse_pattern_ast(pattern)
         symbols = ast_symbols(ast)
@@ -1076,6 +1227,11 @@ def streaming_match_recognize(
     if missing:
         raise ValueError(f"pattern symbols without DEFINE: {missing}")
     skip_mode, skip_sym = _parse_after_match(after_match, symbols)
+    if skip_mode == "no_skip":  # ALL matches per start, advance by one
+        match_at = _ast_enumerator(symbols, ast, modes=True)
+        enum_closed = _ast_enumerator(symbols, ast)
+    else:
+        enum_closed = None
 
     sample = events.select(*input_cols)
     field_of = {f.name: f for f in sample.schema.fields}
@@ -1157,15 +1313,40 @@ def streaming_match_recognize(
                 if m is _NEED_MORE:
                     if hi < n:
                         # the window closed inside the buffer: end-of-
-                        # window is final, not end-of-data — no match
-                        # can ever complete from this start
+                        # window is final, not end-of-data. NO_SKIP: the
+                        # window-clamped match set IS final — emit it
+                        # (batch emits exactly this bounded enumeration).
+                        if skip_mode == "no_skip":
+                            for one in enum_closed(bools, i, hi):
+                                for pos, si in one:
+                                    pos_list.append(pos)
+                                    mid_list.append(next_id)
+                                    sym_list.append(symbols[si])
+                                next_id += 1
                         i += 1
                         continue
                     if allow_open:
                         break  # keep frame[i:] pending
+                    if skip_mode == "no_skip":  # force-close at end-of-data
+                        for one in enum_closed(bools, i, n):
+                            for pos, si in one:
+                                pos_list.append(pos)
+                                mid_list.append(next_id)
+                                sym_list.append(symbols[si])
+                            next_id += 1
+                        i += 1
+                        continue
                     i += 1  # force-close: treat end-of-data as no-extend
                     continue
-                if m:
+                if skip_mode == "no_skip":
+                    for one in m:
+                        for pos, si in one:
+                            pos_list.append(pos)
+                            mid_list.append(next_id)
+                            sym_list.append(symbols[si])
+                        next_id += 1
+                    i += 1
+                elif m:
                     for pos, si in m:
                         pos_list.append(pos)
                         mid_list.append(next_id)
