@@ -29,9 +29,12 @@ Contiguity compile:
   Flink match.
 - ``not_followed_by``: the next relaxed stage's filler gets the negated
   condition (``__gapN`` := NOT cond) — no event between the two stages
-  may satisfy it, Pattern.java:304. Terminal ``notFollowedBy`` (legal
-  in Flink only with a ``within`` bound) needs a post-match lookahead
-  the engine deliberately lacks; it raises.
+  may satisfy it, Pattern.java:304. Terminal ``notFollowedBy`` is legal
+  only with a ``within`` bound (as in Flink): the engine's
+  ``terminal_not`` post-match lookahead drops any match followed by a
+  NOT-row before its WITHIN horizon; streaming emits a surviving match
+  only once the horizon closes (Flink's timeout-then-emit). Without
+  ``within`` it raises, mirroring MalformedPatternException.
 - ``not_next``: the event directly after the previous stage must not
   satisfy the condition (Pattern.java:273). Exact when the following
   stage is strict (the negation folds into that stage's DEFINE);
@@ -56,13 +59,21 @@ all three implemented):
 
 Emission semantics follow Flink's AfterMatchSkipStrategy:
 
-- ``after_match="no_skip"`` (the DEFAULT, = Flink's
-  ``AfterMatchSkipStrategy.noSkip()``): every row starts a potential
-  match and every loop expansion is emitted as its own match
+- ``after_match="no_skip"`` (= Flink's
+  ``AfterMatchSkipStrategy.noSkip()``, the Flink CEP builder's
+  default): every row starts a potential match and every loop
+  expansion is emitted as its own match
   (AfterMatchSkipITCase.testNoSkip*). ``greedy()`` prunes to the
   longest expansion per start (GreedyITCase) — except on the pattern's
   terminal stage, where Flink ignores greedy and emits all expansions
   (GreedyITCase.testEndWithZeroOrMoreGreedy).
+
+  DELIBERATE DIVERGENCE: this facade's DEFAULT is ``past_last_row``,
+  the SQL-standard MATCH_RECOGNIZE default (AFTER MATCH SKIP PAST
+  LAST ROW) shared with the engine it delegates to — non-overlapping
+  tiled matches. Flink's builder defaults to noSkip; pass
+  ``after_match="no_skip"`` for Flink-default enumeration. Pinned in
+  tests/test_cep_fluent.py (AfterMatchSkip matrix).
 - single-match strategies (``past_last_row``, ``to_next_row``,
   ``to_first/to_last SYM``): one match per scan position — the FIRST
   completed (fewest-repetitions) expansion, exactly Flink's
@@ -217,9 +228,11 @@ class Pattern:
         return self
 
     def optional(self) -> "Pattern":
+        # greedy stays None (Flink default): no_skip enumerates BOTH the
+        # present and absent branch; greedy() upgrades to present-only.
         t = self._tail()
         if t.quant is None:
-            t.quant = (0, 1, True)
+            t.quant = (0, 1, None)
         else:
             t.quant = (0, t.quant[1], t.quant[2])
         return self
@@ -309,14 +322,19 @@ class Pattern:
           Optionals stay take-first.
         - ``"all"`` (no_skip enumeration): greedy regex quantifiers —
           the NO_SKIP enumerator branches at greedy choice points and
-          emits every expansion.
+          emits every expansion. Explicit ``greedy()`` compiles to a
+          POSSESSIVE quantifier (``++``): the enumerator commits to the
+          longest completing expansion per start (GreedyITCase) —
+          except on the pattern's terminal stage, where Flink ignores
+          greedy and enumerates
+          (GreedyITCase.testEndWithZeroOrMoreGreedy).
         """
         if emit not in ("first", "all"):
             raise ValueError(f"emit must be 'first' or 'all', got {emit!r}")
 
         def sfx(g: bool | None, optional_like: bool = False) -> str:
             if g is True:
-                return ""
+                return "+" if emit == "all" else ""
             if g is False:
                 return "?"
             if emit == "all":
@@ -346,21 +364,41 @@ class Pattern:
             s.fold_not = []
             s.negated_gap = None
         self._lgap_pandas = {}
+        self._terminal_not = None
         gap_n = 0
+        last_positive = max(
+            (j for j, st in enumerate(stages) if st.kind in ("begin", "next", "followed_by")),
+            default=-1,
+        )
         i = 0
         while i < len(stages):
             s = stages[i]
             if s.kind in ("not_next", "not_followed_by"):
-                if s.cond is None:
+                if s.cond is None and s.pandas_cond is None:
                     raise ValueError(f"NOT stage {s.name!r} needs a where() condition")
                 nxt = stages[i + 1] if i + 1 < len(stages) else None
+                if s.cond is None and not (s.kind == "not_followed_by" and nxt is None):
+                    # only the TERMINAL notFollowedBy (engine lookahead)
+                    # can run from a pandas-only predicate; the in-chain
+                    # NOT folds need a Catalyst Column
+                    raise ValueError(
+                        f"NOT stage {s.name!r} needs a Catalyst where() "
+                        "condition (pandas predicates are only supported "
+                        "on a terminal notFollowedBy)"
+                    )
                 if s.kind == "not_followed_by":
                     if nxt is None:
-                        raise NotImplementedError(
-                            "terminal notFollowedBy needs post-match lookahead "
-                            "(Flink allows it only with within); end the "
-                            "pattern on a positive stage instead"
-                        )
+                        if self._within is None:
+                            raise ValueError(
+                                "terminal notFollowedBy requires a within() "
+                                "bound (Flink: NotFollowedBy is not supported "
+                                "without windowTime as a last part of a "
+                                "Pattern, Pattern.java:304)"
+                            )
+                        # post-match lookahead: engine terminal_not
+                        self._terminal_not = (s.cond, s.pandas_cond)
+                        i += 1
+                        continue
                     if nxt.kind == "next":
                         # no events can lie between the neighbours; the
                         # constraint is vacuous (matches Flink NFA: the NOT
@@ -402,6 +440,10 @@ class Pattern:
                 )
                 self._lgap_pandas[gap] = ("true", None)
             q = s.quant
+            if q is not None and q[2] is True and emit == "all" and i == last_positive:
+                # Flink ignores greedy on the pattern's terminal stage
+                # and enumerates (GreedyITCase.testEndWithZeroOrMoreGreedy)
+                q = (q[0], q[1], None)
             is_loop = q is not None and (q[0] > 1 or q[1] is None or q[1] > 1)
             if is_loop and s.fold_not:
                 raise NotImplementedError(
@@ -480,7 +522,17 @@ class PatternStream:
         self._after = after_match
 
     def _run(self) -> tuple[DataFrame, list[str]]:
-        pat, define, user_syms, within = self._pattern.compile()
+        # no_skip enumerates EVERY loop expansion (Flink noSkip), so
+        # default quantifiers must compile greedy; single-match skip
+        # strategies take the first-completed expansion (reluctant).
+        # A terminal notFollowedBy also needs the enumerable form: a
+        # killed expansion must not kill its surviving siblings.
+        stages = self._pattern._stages
+        has_tn = bool(stages) and stages[-1].kind == "not_followed_by"
+        pat, define, user_syms, within = self._pattern.compile(
+            emit="all" if (self._after == "no_skip" or has_tn) else "first"
+        )
+        tn = self._pattern._terminal_not  # (catalyst_cond, pandas_cond) | None
         if self._df.isStreaming:
             pandas_define = {}
             for s in self._pattern._stages:
@@ -492,13 +544,23 @@ class PatternStream:
                         f"stage {s.name!r} has only a Catalyst condition "
                         f"(pass a `pdf -> bool array` callable to where())"
                     )
-            # rebuild define with pandas callables for user symbols, TRUE
-            # arrays for fillers
+            # rebuild define with pandas callables: user symbols from
+            # their where() predicates, fillers (stage gaps '__gapN' AND
+            # loop-iteration gaps '__lgapN') from the recipes compile()
+            # recorded in _lgap_pandas — ("true", None) -> all-True,
+            # ("not_cond", f) -> ~f(pdf) (a relaxed loop's filler may
+            # never swallow an event the loop body would match).
             import pandas as pd
 
-            for name in define:
-                if name.startswith("__gap"):
-                    pandas_define[name] = lambda pdf: pd.Series(True, index=pdf.index)
+            for name, (kind, fn) in self._pattern._lgap_pandas.items():
+                if kind == "true":
+                    pandas_define[name] = lambda pdf: pd.Series(
+                        True, index=pdf.index
+                    )
+                else:  # "not_cond"
+                    pandas_define[name] = lambda pdf, f=fn: ~pd.Series(
+                        f(pdf), index=pdf.index
+                    )
             for s in self._pattern._stages:
                 if s.kind in ("not_next", "not_followed_by"):
                     continue
@@ -510,6 +572,15 @@ class PatternStream:
                         "predicate itself"
                     )
                 pandas_define[s.name] = s.pandas_cond
+            tn_name = None
+            if tn is not None:
+                if tn[1] is None:
+                    raise ValueError(
+                        "streaming CEP needs a vectorized pandas predicate "
+                        "on the terminal notFollowedBy stage"
+                    )
+                tn_name = "__notend"
+                pandas_define[tn_name] = tn[1]
             out = streaming_match_recognize(
                 self._df,
                 self._keys,
@@ -519,6 +590,7 @@ class PatternStream:
                 input_cols=self._df.columns,
                 after_match=self._after,
                 within=within,
+                terminal_not=tn_name,
             )
         else:
             only_pandas = [k for k, v in define.items() if v is None]
@@ -527,6 +599,15 @@ class PatternStream:
                     f"batch CEP needs Catalyst conditions; stages "
                     f"{only_pandas} have only pandas predicates"
                 )
+            tn_name = None
+            if tn is not None:
+                if tn[0] is None:
+                    raise ValueError(
+                        "batch CEP needs a Catalyst condition on the "
+                        "terminal notFollowedBy stage"
+                    )
+                tn_name = "__notend"
+                define = {**define, tn_name: tn[0]}
             out = match_recognize(
                 self._df,
                 self._keys,
@@ -535,14 +616,17 @@ class PatternStream:
                 define,
                 after_match=self._after,
                 within=within,
+                terminal_not=tn_name,
             )
         return out, user_syms
 
     def flat_select(self) -> DataFrame:
         """ALL ROWS PER MATCH: input columns + (match_id,
-        matched_symbol); relaxed-contiguity skipped events excluded."""
-        out, _ = self._run()
-        return out.where(~F.col("matched_symbol").startswith("__gap"))
+        matched_symbol); relaxed-contiguity skipped events (both stage
+        '__gapN' and loop '__lgapN' fillers) excluded — skipped events
+        are not part of a Flink match."""
+        out, user_syms = self._run()
+        return out.where(F.col("matched_symbol").isin(user_syms))
 
     def select(self, **measures: Column) -> DataFrame:
         """ONE ROW PER MATCH: key columns + match_id + the given

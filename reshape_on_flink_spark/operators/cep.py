@@ -114,7 +114,15 @@ def parse_pattern_ast(pattern: str) -> list:
         seq   := term+
         term  := atom quant?
         atom  := SYMBOL | '(' seq ('|' seq)* ')'
-        quant := + | * | ? | {n} | {n,} | {n,m}   (optionally + '?')
+        quant := + | * | ? | {n} | {n,} | {n,m}   (optionally + '?' | '+')
+
+    A trailing ``?`` makes the quantifier reluctant, a trailing ``+``
+    possessive (``b++``, ``( x )*+``): under the all-matches enumerator
+    a possessive quantifier COMMITS to its longest completing expansion
+    instead of enumerating every count — Flink's ``greedy()`` modifier
+    under noSkip emission (GreedyITCase). Single-match matchers treat
+    possessive as plain greedy (longest-first backtracking, the
+    completing superset).
     """
     toks = _AST_TOKEN_RE.findall(pattern)
     if "".join(toks).replace(" ", "") != pattern.replace(" ", ""):
@@ -151,6 +159,9 @@ def parse_pattern_ast(pattern: str) -> list:
         if peek() == "?":
             take()
             greedy = False
+        elif peek() == "+":
+            take()
+            greedy = "poss"
         return (m, M, greedy)
 
     def parse_seq():
@@ -329,6 +340,11 @@ def _ast_enumerator(symbols: list[str], seq: list, modes: bool = False):
       = Flink's "first completed" branch; this is what makes relaxed
       stage-gap fillers ``__gap*?`` take the FIRST matching next-stage
       event instead of fanning out into followedByAny semantics).
+    - possessive quantifier (``++``/``*+``/``{m,n}+``) -> DETERMINISTIC
+      from the other end: commit to the LONGEST expansion that
+      completes a match — Flink's ``greedy()`` under noSkip
+      (GreedyITCase: greedy states don't branch to PROCEED while the
+      loop can still consume).
 
     Matches are deduped on their (pos, symbol) row-sets — two
     derivations yielding the same rows are one Flink match.
@@ -408,8 +424,8 @@ def _ast_enumerator(symbols: list[str], seq: list, modes: bool = False):
                 for p2, r2 in group_seq(items, i + 1, p1):
                     got = True
                     yield p2, r1 + r2
-                if not greedy and got:
-                    break
+                if greedy is not True and got:
+                    break  # reluctant commits shortest, possessive longest
 
         def seq_all(items, idx, pos, acc) -> int:
             if idx == len(items):
@@ -425,8 +441,8 @@ def _ast_enumerator(symbols: list[str], seq: list, modes: bool = False):
             for p1, rows in item_cands(node, m, M, greedy, pos):
                 got = seq_all(items, idx + 1, p1, acc + list(rows))
                 added += got
-                if not greedy and got:
-                    break
+                if greedy is not True and got:
+                    break  # reluctant commits shortest, possessive longest
             return added
 
         seq_all(seq_c, 0, start, [])
@@ -736,6 +752,7 @@ def match_recognize(
     after_match: str = "past_last_row",
     impl: str = "chunked",
     within: str | float | None = None,
+    terminal_not: str | None = None,
 ) -> DataFrame:
     """Rows of every match, annotated with ``match_id`` (0-based ordinal
     within the partition) and ``matched_symbol``.
@@ -774,6 +791,17 @@ def match_recognize(
     prune-and-retry behavior without a timer wheel. The bound reads the
     FIRST order column: a duration string/seconds for timestamps, a raw
     delta for numeric columns.
+
+    ``terminal_not``: a symbol present in ``define`` but NOT in the
+    pattern — Flink's terminal ``notFollowedBy`` (legal only with a
+    ``within`` bound, Pattern.java:304): a match is valid only if no
+    row between its last row (exclusive) and its WITHIN horizon
+    satisfies the symbol's condition. Candidate expansions are
+    enumerated per start and filtered independently (NFA branches are
+    independent: ``a b+ notFollowedBy(x)`` over ``a b1 x b2`` still
+    matches ``{a b1 b2}``); under single-match skip strategies the
+    first-completed (fewest rows, then earliest positions) SURVIVING
+    expansion is emitted — pass an enumerable (greedy) pattern string.
     """
     partition_by = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
@@ -795,10 +823,28 @@ def match_recognize(
         raise ValueError(f"pattern symbols without DEFINE: {missing}")
 
     skip_mode, skip_sym = _parse_after_match(after_match, symbols)
-    enum_at = _ast_enumerator(symbols, ast) if skip_mode == "no_skip" else None
+    if terminal_not is not None:
+        if within is None:
+            raise ValueError(
+                "terminal_not requires a within bound (Flink allows "
+                "terminal notFollowedBy only with within, Pattern.java:304)"
+            )
+        if terminal_not in symbols:
+            raise ValueError(
+                f"terminal_not symbol {terminal_not!r} also appears in the pattern"
+            )
+        if terminal_not not in define:
+            raise ValueError(f"terminal_not symbol {terminal_not!r} has no DEFINE")
+    enum_at = (
+        _ast_enumerator(symbols, ast)
+        if (skip_mode == "no_skip" or terminal_not is not None)
+        else None
+    )
+    all_syms = symbols + ([terminal_not] if terminal_not is not None else [])
+    tn_idx = len(symbols)  # bools index of the terminal-not flag column
 
     flagged = df
-    for s in symbols:
+    for s in all_syms:
         flagged = flagged.withColumn(f"__sym_{s}", F.coalesce(define[s], F.lit(False)))
 
     out_fields = [f for f in df.schema.fields]
@@ -808,7 +854,15 @@ def match_recognize(
     )
     match_at = matcher
     data_cols = [f.name for f in out_fields]
-    sym_cols = [f"__sym_{s}" for s in symbols]
+    sym_cols = [f"__sym_{s}" for s in all_syms]
+
+    def _nf_survivors(cands, bools, hi):
+        """Drop expansions with a terminal-not row in (last_row, horizon)."""
+        return [
+            m
+            for m in cands
+            if not np.asarray(bools[tn_idx][m[-1][0] + 1 : hi], dtype=bool).any()
+        ]
 
     def process_group(pdf):
         import pandas as pd
@@ -826,8 +880,9 @@ def match_recognize(
             bound = lambda i, hi: hi  # noqa: E731
         # scan accelerators: the bitmask regex finds the next match
         # start in C (same branch priority as the matcher — property-
-        # tested); fallback is the first-set skip mask
-        enc = _encode_bitmask_str(bools, n) if rx is not None else None
+        # tested); fallback is the first-set skip mask. Encode ONLY the
+        # pattern symbols — the terminal_not flag is not an rx class.
+        enc = _encode_bitmask_str(bools[: len(symbols)], n) if rx is not None else None
         can_start = (
             np.logical_or.reduce([np.asarray(bools[j], dtype=bool) for j in first_idx])
             if rx is None and n
@@ -847,14 +902,29 @@ def match_recognize(
             elif not can_start[i]:
                 i += 1
                 continue
-            if enum_at is not None:  # NO_SKIP: every match from this start
-                for m in enum_at(bools, i, bound(i, n)):
+            if enum_at is not None:  # NO_SKIP and/or terminal_not: enumerate
+                hi = bound(i, n)
+                cands = enum_at(bools, i, hi)
+                if terminal_not is not None:
+                    cands = _nf_survivors(cands, bools, hi)
+                if skip_mode == "no_skip":
+                    for m in cands:
+                        for pos, si in m:
+                            rows_idx.append(pos)
+                            match_ids.append(mid)
+                            matched_syms.append(symbols[si])
+                        mid += 1
+                    i += 1
+                elif cands:  # single-match: first-completed survivor
+                    m = min(cands, key=lambda mm: (len(mm), [p for p, _ in mm]))
                     for pos, si in m:
                         rows_idx.append(pos)
                         match_ids.append(mid)
                         matched_syms.append(symbols[si])
+                    i = _resume_pos(m, skip_mode, skip_sym, symbols)
                     mid += 1
-                i += 1
+                else:
+                    i += 1
                 continue
             m = match_at(bools, i, bound(i, n))
             if m:  # empty match advances
@@ -906,7 +976,7 @@ def match_recognize(
             return pd.concat(frames, ignore_index=True) if frames else None
 
         acc = np.zeros(n, dtype=np.int32)
-        for b, col in enumerate(bools):
+        for b, col in enumerate(bools[: len(symbols)]):  # tn flag is no rx class
             acc += np.asarray(col, dtype=np.int32) << b
         acc += _RX_BASE
         s_all = "".join(map(chr, acc.tolist()))
@@ -927,14 +997,29 @@ def match_recognize(
             sp = mm.start()
             g = int(np.searchsorted(group_strstart, sp, side="right") - 1)
             r = sp - g
-            if enum_at is not None:  # NO_SKIP: every match from this start
-                for m in enum_at(bools, r, bound(r, int(ends[g]))):
+            if enum_at is not None:  # NO_SKIP and/or terminal_not: enumerate
+                hi = bound(r, int(ends[g]))
+                cands = enum_at(bools, r, hi)
+                if terminal_not is not None:
+                    cands = _nf_survivors(cands, bools, hi)
+                if skip_mode == "no_skip":
+                    for m in cands:
+                        for pos, si in m:
+                            rows_idx.append(pos)
+                            match_ids.append(int(mids[g]))
+                            matched_syms.append(symbols[si])
+                        mids[g] += 1
+                    i = sp + 1
+                elif cands:  # single-match: first-completed survivor
+                    m = min(cands, key=lambda mm: (len(mm), [p for p, _ in mm]))
                     for pos, si in m:
                         rows_idx.append(pos)
                         match_ids.append(int(mids[g]))
                         matched_syms.append(symbols[si])
                     mids[g] += 1
-                i = sp + 1
+                    i = _resume_pos(m, skip_mode, skip_sym, symbols) + g
+                else:
+                    i = sp + 1
                 continue
             m = match_at(bools, r, bound(r, int(ends[g])))
             if not m:  # key-bound mismatch (defensive) or WITHIN clamp
@@ -1153,8 +1238,17 @@ def streaming_match_recognize(
     measures: list | None = None,
     one_row: bool = False,
     within: str | float | None = None,
+    terminal_not: str | None = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE over a streaming DataFrame (applyInPandasWithState).
+
+    ``terminal_not``: terminal ``notFollowedBy`` under ``within`` — same
+    contract as the batch operator. Streaming decidability: a surviving
+    match is emitted only once its WITHIN horizon has closed inside the
+    buffer (a NOT-row could still arrive while the window is open), the
+    same timeout-then-emit rule as Flink's NFA for notFollowedBy ends
+    (Pattern.java:304); force-close (overflow / end-of-data re-scan)
+    applies batch semantics (no further rows = no NOT-row).
 
     ``within``: Flink's time-bounded pattern (PATTERN ... WITHIN /
     CEP ``Pattern.within``) — a match must complete strictly inside the
@@ -1216,18 +1310,33 @@ def streaming_match_recognize(
         toks = parse_pattern(pattern)
         symbols = pattern_symbols(toks)
         match_at = _matcher_modes(symbols, toks)
+        match_closed = _matcher(symbols, toks)
         first_idx = _first_idx_flat(symbols, toks)
         ast = _flat_to_ast(toks)
     else:  # nested groups / bounded quantifiers -> generic AST matcher
         ast = parse_pattern_ast(pattern)
         symbols = ast_symbols(ast)
         match_at = _ast_matcher(symbols, ast, modes=True)
+        match_closed = _ast_matcher(symbols, ast)
         first_idx = _first_idx_ast(symbols, ast)
     missing = [s for s in symbols if s not in define]
     if missing:
         raise ValueError(f"pattern symbols without DEFINE: {missing}")
     skip_mode, skip_sym = _parse_after_match(after_match, symbols)
-    if skip_mode == "no_skip":  # ALL matches per start, advance by one
+    if terminal_not is not None:
+        if within is None:
+            raise ValueError(
+                "terminal_not requires a within bound (Flink allows "
+                "terminal notFollowedBy only with within, Pattern.java:304)"
+            )
+        if terminal_not in symbols:
+            raise ValueError(
+                f"terminal_not symbol {terminal_not!r} also appears in the pattern"
+            )
+        if terminal_not not in define:
+            raise ValueError(f"terminal_not symbol {terminal_not!r} has no DEFINE")
+    use_enum = skip_mode == "no_skip" or terminal_not is not None
+    if use_enum:  # enumerate expansions per start, advance by one
         match_at = _ast_enumerator(symbols, ast, modes=True)
         enum_closed = _ast_enumerator(symbols, ast)
     else:
@@ -1288,6 +1397,11 @@ def streaming_match_recognize(
         def scan(frame, allow_open: bool, start: int = 0):
             nonlocal next_id
             bools = [define[s](frame).to_numpy() for s in symbols]
+            tnb = (
+                np.asarray(define[terminal_not](frame).to_numpy(), dtype=bool)
+                if terminal_not is not None
+                else None
+            )
             n = len(frame)
             if within is not None and n:
                 tv, is_time = _time_axis(frame, order_cols[0])
@@ -1303,6 +1417,35 @@ def streaming_match_recognize(
                 else None
             )
             pos_list, mid_list, sym_list = [], [], []
+
+            def emit_one(one):
+                nonlocal next_id
+                for pos, si in one:
+                    pos_list.append(pos)
+                    mid_list.append(next_id)
+                    sym_list.append(symbols[si])
+                next_id += 1
+
+            def survivors(cands, hi):
+                # terminal_not: drop expansions with a NOT-row in
+                # (last_row, horizon) — region fully inside seen data
+                if terminal_not is None:
+                    return cands
+                return [mm for mm in cands if not tnb[mm[-1][0] + 1 : hi].any()]
+
+            def emit_enum(cands):
+                """Emit a decided enumeration per the skip mode; return
+                the next scan position from `i`."""
+                if skip_mode == "no_skip":
+                    for one in cands:
+                        emit_one(one)
+                    return i + 1
+                if cands:  # single-match: first-completed survivor
+                    mm = min(cands, key=lambda c: (len(c), [p for p, _ in c]))
+                    emit_one(mm)
+                    return _resume_pos(mm, skip_mode, skip_sym, symbols)
+                return i + 1
+
             i = start
             while i < n:
                 if not can_start[i]:
@@ -1311,48 +1454,35 @@ def streaming_match_recognize(
                 hi = bound(i)
                 m = match_at(bools, i, hi)
                 if m is _NEED_MORE:
-                    if hi < n:
-                        # the window closed inside the buffer: end-of-
-                        # window is final, not end-of-data. NO_SKIP: the
-                        # window-clamped match set IS final — emit it
-                        # (batch emits exactly this bounded enumeration).
-                        if skip_mode == "no_skip":
-                            for one in enum_closed(bools, i, hi):
-                                for pos, si in one:
-                                    pos_list.append(pos)
-                                    mid_list.append(next_id)
-                                    sym_list.append(symbols[si])
-                                next_id += 1
-                        i += 1
+                    # end-of-window (hi < n) is FINAL — batch emits
+                    # exactly this bounded result; end-of-data is final
+                    # only when force-closing (allow_open=False)
+                    if hi >= n and allow_open:
+                        break  # keep frame[i:] pending
+                    closed_hi = min(hi, n)
+                    if use_enum:
+                        i = emit_enum(
+                            survivors(enum_closed(bools, i, closed_hi), closed_hi)
+                        )
                         continue
+                    m2 = match_closed(bools, i, closed_hi)
+                    if m2:
+                        emit_one(m2)
+                        i = _resume_pos(m2, skip_mode, skip_sym, symbols)
+                    else:
+                        i += 1
+                    continue
+                # the matcher decided on seen data
+                if terminal_not is not None and hi >= n:
+                    # NOT-window still open: a NOT-row may yet arrive
                     if allow_open:
                         break  # keep frame[i:] pending
-                    if skip_mode == "no_skip":  # force-close at end-of-data
-                        for one in enum_closed(bools, i, n):
-                            for pos, si in one:
-                                pos_list.append(pos)
-                                mid_list.append(next_id)
-                                sym_list.append(symbols[si])
-                            next_id += 1
-                        i += 1
-                        continue
-                    i += 1  # force-close: treat end-of-data as no-extend
-                    continue
-                if skip_mode == "no_skip":
-                    for one in m:
-                        for pos, si in one:
-                            pos_list.append(pos)
-                            mid_list.append(next_id)
-                            sym_list.append(symbols[si])
-                        next_id += 1
-                    i += 1
+                    hi = n  # force-close: no further rows = no NOT-row
+                if use_enum:
+                    i = emit_enum(survivors(m, hi))
                 elif m:
-                    for pos, si in m:
-                        pos_list.append(pos)
-                        mid_list.append(next_id)
-                        sym_list.append(symbols[si])
+                    emit_one(m)
                     i = _resume_pos(m, skip_mode, skip_sym, symbols)
-                    next_id += 1
                 else:
                     i += 1
             else:

@@ -36,6 +36,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # they fill the remaining gate slots) and keep their prior-round rows as
 # evidence. merged() raises on unknown names.
 GATE_PRIORITY: tuple[str, ...] = (
+    # round-8 rotation: NEW queries first
+    "q_cep_relaxed_loop",
     # round-6 rotation: the 8 never-sampled round-6 queries first
     # (trained-PQ, the five gelly-graph queries, WITHIN), then ALL 38
     # queries whose only driver row is from round 2 (the stalest

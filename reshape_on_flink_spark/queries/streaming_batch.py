@@ -702,6 +702,94 @@ def q_cep_fluent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fluent CEP with a RELAXED looping stage under noSkip emission — the
+# round-7/8 looping rewrite end-to-end (api.cep compile(emit='all') ->
+# _ast_enumerator): view, click+ (relaxed inner contiguity,
+# Quantifier.java SKIP_TILL_NEXT), purchase, WITHIN 4h, per user.
+#
+# Exact relational oracle: under noSkip every view V starts matches;
+# the relaxed loop's j-th expansion takes the first j clicks after V
+# (the '__lgap' filler may skip anything BUT a click, including
+# purchases), and the trailing relaxed gap commits to the FIRST
+# purchase after click j. The WITHIN horizon (strictly <, matching the
+# engine's searchsorted 'left' clamp) makes expansion j valid iff that
+# purchase's sec < V.sec + 259200 — monotone in j, so valid expansions
+# are a prefix 1..m and the per-view match count is m, total loop rows
+# m(m+1)/2. Order column is integer epoch-seconds (+ event_id
+# tie-break): both engines floor identically, immune to the ns-vs-µs
+# parquet encoding split.
+# ---------------------------------------------------------------------------
+@query(
+    "q_cep_relaxed_loop",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT),
+                                         event_id) AS rn
+      FROM events
+    ),
+    ann AS (
+      SELECT *,
+             MIN(CASE WHEN event_type = 'purchase' THEN rn END) OVER (
+               PARTITION BY user_id ORDER BY rn
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+             ) AS fp_rn
+      FROM seq
+    ),
+    clk AS (
+      SELECT a.user_id, a.rn, p.sec AS fp_sec
+      FROM ann a JOIN seq p ON p.user_id = a.user_id AND p.rn = a.fp_rn
+      WHERE a.event_type = 'click'
+    ),
+    per_view AS (
+      SELECT v.user_id, v.rn AS v_rn, COUNT(*) AS m
+      FROM seq v
+      JOIN clk c ON c.user_id = v.user_id AND c.rn > v.rn
+      WHERE v.event_type = 'view' AND c.fp_sec < v.sec + 259200
+      GROUP BY v.user_id, v.rn
+    )
+    SELECT user_id,
+           CAST(SUM(m) AS BIGINT) AS n_matches,
+           CAST(SUM((m * (m + 1)) // 2) AS BIGINT) AS loop_rows
+    FROM per_view
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_cep_relaxed_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("sec", F.col("ts").cast("long"))
+    )
+    pat = (
+        Pattern.begin("s").where(F.col("event_type") == "view")
+        .followed_by("a").where(F.col("event_type") == "click").one_or_more()
+        .followed_by("e").where(F.col("event_type") == "purchase")
+        .within(259200)  # 3 days; numeric order column: raw delta, strict <
+    )
+    rows = CEP.pattern(
+        ev, pat, "user_id", ["sec", "event_id"], after_match="no_skip"
+    ).flat_select()
+    per_match = rows.groupBy("user_id", "match_id").agg(
+        F.sum(F.when(F.col("matched_symbol") == "a", 1).otherwise(0)).alias(
+            "loop_len"
+        )
+    )
+    return (
+        per_match.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.sum("loop_len").cast("bigint").alias("loop_rows"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Nested-group MATCH_RECOGNIZE: (V C)+ P — view/click pairs repeating as
 # a *unit*, closed by a purchase (the pattern shape Flink's NFA handles
 # via group states; our generic AST matcher). The relational oracle is

@@ -65,6 +65,12 @@ class ReshapeConf:
     first_phase_ratio: float = 0.9  # reroute 90 of every 100 records
     parallelism: int = 32  # stand-in for subtask count
     max_salts: int = 64
+    # observation source: "inline" (observe inside process_batch, from
+    # the merged aggregate the pipeline computes anyway) or "listener"
+    # (a StreamingQueryListener polls the upsert sink on progress events
+    # — the out-of-band control plane of the reference's JobMaster
+    # timer, ControllerSimulator.scala:52-94)
+    observation: str = "inline"
 
     @classmethod
     def from_spark_conf(cls, spark) -> "ReshapeConf":
@@ -76,7 +82,15 @@ class ReshapeConf:
             freq_ms=int(g("spark.reshape.freqMs", "10000")),
             first_phase_num=int(g("spark.reshape.firstPhaseNum", "6")),
             first_phase_ratio=float(g("spark.reshape.firstPhaseRatio", "0.9")),
+            observation=g("spark.reshape.observation", "inline"),
         )
+
+    def __post_init__(self):
+        if self.observation not in ("inline", "listener"):
+            raise ValueError(
+                f"spark.reshape.observation must be 'inline' or "
+                f"'listener', got {self.observation!r}"
+            )
 
 
 @dataclass
@@ -467,6 +481,7 @@ class ReshapeStreamingAgg:
         self.results: dict = {}  # key -> (cnt, sum)
         self.batches_seen = 0
         self.routing_history: list[dict] = []
+        self.listener: "ReshapeProgressListener | None" = None
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         routing = self.controller.routing() if self.conf.enabled else {}
@@ -474,7 +489,13 @@ class ReshapeStreamingAgg:
         agg = salted_partial_merge_agg(
             batch_df, self.key_col, self.value_col, routing, self.spread_col
         )
-        observe_now = self.conf.enabled and self.controller.due()
+        # listener mode: observation runs out-of-band on progress events
+        # (ReshapeProgressListener) — the data path never observes
+        observe_now = (
+            self.conf.enabled
+            and self.conf.observation == "inline"
+            and self.controller.due()
+        )
         if self.sink is not None:
             # scale path: the idempotent upsert write materializes the
             # merged partial anyway, so the controller observes by
@@ -504,11 +525,90 @@ class ReshapeStreamingAgg:
         self.batches_seen += 1
 
     def attach(self, stream_df: DataFrame, checkpoint_dir: str):
-        """Start the streaming query with this aggregator as the sink."""
-        return (
+        """Start the streaming query with this aggregator as the sink.
+
+        ``conf.observation == "listener"`` registers a
+        :class:`ReshapeProgressListener` (stored on ``self.listener``;
+        the caller owns ``spark.streams.removeListener`` on teardown).
+        The query gets a unique name so the listener only reacts to its
+        own progress events."""
+        import uuid
+
+        writer = (
             stream_df.writeStream.outputMode("update")
             .foreachBatch(self.process_batch)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
-            .start()
         )
+        if self.conf.enabled and self.conf.observation == "listener":
+            if self.sink is None:
+                raise ValueError(
+                    "listener-driven observation polls the upsert sink "
+                    "(the MetricStore analog); pass sink=PartialUpsertSink(...)"
+                )
+            name = f"reshape_{uuid.uuid4().hex[:12]}"
+            self.listener = ReshapeProgressListener(self, name)
+            stream_df.sparkSession.streams.addListener(self.listener)
+            writer = writer.queryName(name)
+        return writer.start()
+
+
+try:  # StreamingQueryListener needs a live JVM bridge at import in some
+    from pyspark.sql.streaming import StreamingQueryListener as _SQL
+except ImportError:  # pragma: no cover - pyspark always ships it
+    _SQL = object
+
+
+class ReshapeProgressListener(_SQL):
+    """Listener-driven controller observation — the control-plane analog
+    of the reference's JobMaster timer polling the MetricFetcher
+    (ControllerSimulator.scala:52-94 schedules the poll;
+    createSubtaskBackPressureInfo:157-172 reads per-subtask input counts
+    from the MetricStore). Here the poll source is the
+    ``StreamingQueryListener`` progress event and the "metric store" is
+    the PartialUpsertSink's just-written per-epoch partial: on each
+    ``onQueryProgress`` for the attached query (and at most once per
+    ``freq_ms``, the reshapeFreq analog) the listener reads that small
+    parquet back, reduces it to the bounded heavy-hitter candidate set
+    (``observe_candidates``) and feeds one controller iteration.
+
+    The data path (``process_batch``) never observes in this mode — the
+    controller thread and the micro-batch thread share only the routing
+    dict (single atomic reference swap per iteration, same coupling the
+    reference has between the JobMaster timer and the running workers).
+
+    Enable with ``spark.reshape.observation=listener`` /
+    ``ReshapeConf(observation="listener")``; requires the upsert sink.
+    The owner removes the listener via ``spark.streams.removeListener``
+    after the query terminates.
+    """
+
+    def __init__(self, agg: "ReshapeStreamingAgg", query_name: str):
+        self._agg = agg
+        self._query_name = query_name
+        self.ticks = 0  # controller iterations driven by this listener
+
+    def onQueryStarted(self, event):  # noqa: N802 (listener API casing)
+        pass
+
+    def onQueryProgress(self, event):  # noqa: N802
+        p = event.progress
+        if p.name != self._query_name:
+            return
+        agg = self._agg
+        if not (agg.conf.enabled and agg.controller.due()):
+            return
+        written = agg.sink.read_epoch(p.batchId)
+        if written is None:  # replayed/skipped epoch: nothing new to read
+            return
+        total, candidates = observe_candidates(
+            written, agg.key_col, agg.conf, agg.controller.hot_keys
+        )
+        agg.controller.observe(candidates, total)
+        self.ticks += 1
+
+    def onQueryIdle(self, event):  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event):  # noqa: N802
+        pass

@@ -594,6 +594,45 @@ def test_within_bounds_batch_matches(spark):
         assert mids(1, impl) == {}
 
 
+def test_within_streaming_greedy_loop_closes_at_window(spark, tmp_dir):
+    """A greedy loop whose window closes inside the buffer must emit the
+    window-clamped match (round-8 fix: the modes matcher returns
+    NEED_MORE when the loop probes the horizon edge; the scan now
+    re-runs a CLOSED matcher instead of silently dropping the start)."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.operators.cep import streaming_match_recognize
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    rows = [(1, 0, "a"), (1, 1, "b"), (1, 2, "b"), (1, 10, "c"), (1, 11, "c")]
+    df = spark.createDataFrame(rows, "k int, pos int, t string")
+    define_b = {"A": F.col("t") == "a", "B": F.col("t") == "b"}
+    batch = match_recognize(df, "k", "pos", "A B+", define_b, within=5)
+    expected = sorted((r["pos"], r["matched_symbol"]) for r in batch.collect())
+    assert expected == [(0, "A"), (1, "B"), (2, "B")]
+
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "within_greedy"), n_chunks=2, order_col="pos"
+    )
+    sdf = streaming_match_recognize(
+        stream,
+        partition_by="k",
+        order_cols=["pos"],
+        pattern="A B+",
+        define={"A": lambda pdf: pdf["t"] == "a", "B": lambda pdf: pdf["t"] == "b"},
+        input_cols=["k", "pos", "t"],
+        within=5,
+    )
+    got = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in run_to_memory(
+            spark, sdf, "within_greedy_out", tmp_dir, mode="append"
+        ).collect()
+    )
+    assert got == expected
+
+
 def test_within_streaming_matches_batch_and_releases_state(spark, tmp_dir):
     """Streaming WITHIN == batch WITHIN across chunk boundaries, and a
     never-completing partial is RELEASED once its window closes (state

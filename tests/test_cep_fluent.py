@@ -28,6 +28,10 @@ def _matches(ps):
 
 
 def test_compile_strict_chain_and_quantifiers(spark):
+    # Default loop contiguity is RELAXED (Quantifier.java SKIP_TILL_NEXT):
+    # loops compile to body+filler groups; emit picks reluctant
+    # (first-completed, single-match skip strategies) vs greedy (no_skip
+    # enumeration); explicit reluctant() stays reluctant under both.
     p = (
         Pattern.begin("a").where(F.col("v") == 1)
         .next("b").where(F.col("v") == 2).one_or_more()
@@ -36,10 +40,36 @@ def test_compile_strict_chain_and_quantifiers(spark):
         .next("e").where(F.col("v") == 5).times_or_more(2).reluctant()
     )
     pat, define, syms, within = p.compile()
-    assert pat == "a b+ c? d{2,3} e{2,}?"
+    assert pat == "a b ( __lgap0*? b )*? c? d ( __lgap1*? d ){1,2}? e ( __lgap2*? e )+?"
     assert syms == ["a", "b", "c", "d", "e"]
     assert within is None
-    assert set(define) == {"a", "b", "c", "d", "e"}
+    assert set(define) == {"a", "b", "c", "d", "e", "__lgap0", "__lgap1", "__lgap2"}
+    pat_all, _, _, _ = p.compile(emit="all")
+    assert pat_all == "a b ( __lgap0*? b )* c? d ( __lgap1*? d ){1,2} e ( __lgap2*? e )+?"
+
+
+def test_compile_consecutive_loops_are_plain_quantifiers(spark):
+    # consecutive() = STRICT inner contiguity (Quantifier.java:101):
+    # plain regex quantifiers, no filler symbols.
+    p = (
+        Pattern.begin("a").where("v = 1")
+        .next("b").where("v = 2").one_or_more().consecutive()
+        .next("d").where("v = 4").times(2, 3).consecutive()
+    )
+    assert p.compile()[0] == "a b+? d{2,3}?"
+    assert p.compile(emit="all")[0] == "a b+ d{2,3}"
+
+
+def test_compile_allow_combinations_unconditional_filler(spark):
+    # allowCombinations = SKIP_TILL_ANY (Quantifier.java:85): the loop
+    # filler is unconditional TRUE, greedy under no_skip enumeration.
+    p = (
+        Pattern.begin("a").where("v = 1")
+        .followed_by("b").where("v = 2").one_or_more().allow_combinations()
+    )
+    pat, define, _, _ = p.compile(emit="all")
+    assert pat == "a __gap0*? b ( __lgap1* b )*"
+    assert set(define) == {"a", "b", "__gap0", "__lgap1"}
 
 
 def test_compile_relaxed_inserts_reluctant_fillers(spark):
@@ -56,9 +86,18 @@ def test_compile_relaxed_inserts_reluctant_fillers(spark):
 def test_compile_rejections(spark):
     with pytest.raises(NotImplementedError, match="followedByAny"):
         Pattern.begin("a").where("v=1").followed_by_any("b")
-    with pytest.raises(NotImplementedError, match="allowCombinations"):
-        Pattern.begin("a").where("v=1").one_or_more().allow_combinations()
-    with pytest.raises(NotImplementedError, match="terminal notFollowedBy"):
+    # consecutive/allowCombinations are mutually exclusive and
+    # non-repeatable (Quantifier.java checkPattern messages)
+    with pytest.raises(ValueError, match="not both"):
+        Pattern.begin("a").where("v=1").one_or_more().consecutive().allow_combinations()
+    with pytest.raises(ValueError, match="not both"):
+        Pattern.begin("a").where("v=1").one_or_more().allow_combinations().consecutive()
+    with pytest.raises(ValueError, match="already applied"):
+        Pattern.begin("a").where("v=1").one_or_more().consecutive().consecutive()
+    with pytest.raises(ValueError, match="not applicable"):
+        Pattern.begin("a").where("v=1").consecutive()
+    # terminal notFollowedBy is legal ONLY with within (Pattern.java:304)
+    with pytest.raises(ValueError, match="within"):
         Pattern.begin("a").where("v=1").not_followed_by("n").where("v=9").compile()
     with pytest.raises(NotImplementedError, match="not_followed_by"):
         (
@@ -240,6 +279,253 @@ def test_streaming_pattern_equals_batch(spark, tmp_dir):
         (r["pos"], r["matched_symbol"])
         for r in run_to_memory(
             spark, sdf, "cep_fluent_out", tmp_dir, mode="append"
+        ).collect()
+    )
+    assert got == expected
+
+
+# ------------------------------------------ terminal notFollowedBy + within
+
+
+def test_terminal_not_followed_by_requires_within_and_filters(spark):
+    """Pattern.java:304: notFollowedBy as the last stage is legal only
+    with a within bound; a match is dropped iff a NOT-row occurs after
+    its last row and before its WITHIN horizon."""
+    p = (
+        Pattern.begin("a").where("v = 1")
+        .followed_by("b").where("v = 2")
+        .not_followed_by("x").where("v = 9")
+        .within(5.0)
+    )
+    # x at pos 2 is inside the horizon (2 - 0 < 5): killed
+    assert _matches(CEP.pattern(_df(spark, [1, 2, 9]), p, "k", "pos")) == []
+    # no x at all: survives
+    assert _matches(CEP.pattern(_df(spark, [1, 2, 3]), p, "k", "pos")) == [
+        [(0, "a"), (1, "b")]
+    ]
+    # x exists but only AT/after the horizon (pos 5, delta 5 not < 5)
+    assert _matches(
+        CEP.pattern(_df(spark, [1, 2, 3, 3, 3, 9]), p, "k", "pos")
+    ) == [[(0, "a"), (1, "b")]]
+
+
+def test_terminal_not_sibling_expansions_survive(spark):
+    """NFA branches are independent: a b+ notFollowedBy(x) over
+    'a b1 x b2' — the {a b1} expansion is killed by the x, but the
+    {a b1 b2} expansion (relaxed loop skips the x) has no x after it
+    and survives, exactly Flink's branch semantics."""
+    df = _df(spark, [1, 2, 9, 2])
+    p = (
+        Pattern.begin("a").where("v = 1")
+        .followed_by("b").where("v = 2").one_or_more()
+        .not_followed_by("x").where("v = 9")
+        .within(100.0)
+    )
+    assert _row_sets(CEP.pattern(df, p, "k", "pos")) == [(0, 1, 3)]
+    # no_skip: only the surviving expansion is emitted
+    assert _row_sets(CEP.pattern(df, p, "k", "pos", after_match="no_skip")) == [
+        (0, 1, 3)
+    ]
+    # and with every expansion surviving (no x), no_skip emits both
+    df2 = _df(spark, [1, 2, 2, 5])
+    assert _row_sets(CEP.pattern(df2, p, "k", "pos", after_match="no_skip")) == [
+        (0, 1), (0, 1, 2)
+    ]
+
+
+def test_terminal_not_streaming_equals_batch(spark, tmp_dir):
+    """Streaming terminal notFollowedBy: survivors are emitted once the
+    horizon closes, kills never emit — equal to batch. Trailing rows
+    push every horizon closed so the stream can drain fully."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    # per-pos semantics with within 3: (1,2) at 0,1 then x at 2 -> kill;
+    # (1,2) at 4,5 with x at 9 beyond horizon -> survive; trailing noise
+    # rows at 20,21 close all horizons
+    values = [1, 2, 9, 3, 1, 2, 3, 3, 3, 9, 3, 3]
+    df = _df(spark, values)
+    batch_p = (
+        Pattern.begin("a").where("v = 1")
+        .followed_by("b").where("v = 2")
+        .not_followed_by("x").where("v = 9")
+        .within(3.0)
+    )
+    expected = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in CEP.pattern(df, batch_p, "k", "pos").flat_select().collect()
+    )
+    assert expected == [(4, "a"), (5, "b")]  # first pair killed by the x
+
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "cep_tn"), n_chunks=4, order_col="pos"
+    )
+    stream_p = (
+        Pattern.begin("a").where(lambda pdf: pdf["v"] == 1)
+        .followed_by("b").where(lambda pdf: pdf["v"] == 2)
+        .not_followed_by("x").where(lambda pdf: pdf["v"] == 9)
+        .within(3.0)
+    )
+    sdf = CEP.pattern(stream, stream_p, "k", "pos").flat_select()
+    got = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in run_to_memory(
+            spark, sdf, "cep_tn_out", tmp_dir, mode="append"
+        ).collect()
+    )
+    assert got == expected
+
+
+# ------------------------------------------- reference contiguity matrix
+
+
+def _row_sets(ps):
+    """flat_select -> sorted list of per-match sorted pos tuples."""
+    out = {}
+    for r in ps.flat_select().collect():
+        out.setdefault(r["match_id"], []).append(r["pos"])
+    return sorted(tuple(sorted(v)) for v in out.values())
+
+
+def test_loop_contiguity_reference_matrix(spark):
+    """docs/content/docs/libs/cep.md 'Contiguity within looping patterns':
+    input C D A1 A2 A3 D A4 B, pattern C A+ B (relaxed stage gaps) —
+    relaxed inner: 4 matches; consecutive: 3; allowCombinations: 8."""
+    # C=1 D=9 A=2 B=3; A1..A4 at pos 2,3,4,6; B at 7
+    df = _df(spark, [1, 9, 2, 2, 2, 9, 2, 3])
+
+    def build(mode):
+        p = (
+            Pattern.begin("c").where("v = 1")
+            .followed_by("a").where("v = 2").one_or_more()
+        )
+        if mode == "strict":
+            p = p.consecutive()
+        elif mode == "comb":
+            p = p.allow_combinations()
+        return p.followed_by("b").where("v = 3")
+
+    def rows(mode):
+        return _row_sets(CEP.pattern(df, build(mode), "k", "pos", after_match="no_skip"))
+
+    # every match contains A1 (relaxed stage contiguity takes the FIRST A)
+    assert rows("relaxed") == sorted(
+        [(0, 2, 7), (0, 2, 3, 7), (0, 2, 3, 4, 7), (0, 2, 3, 4, 6, 7)]
+    )
+    # strict inner contiguity: the D at pos 5 breaks the loop before A4
+    assert rows("strict") == sorted([(0, 2, 7), (0, 2, 3, 7), (0, 2, 3, 4, 7)])
+    # combinations: every subset of {A2,A3,A4} on top of A1 -> 8
+    assert rows("comb") == sorted(
+        [
+            (0, 2, 7), (0, 2, 3, 7), (0, 2, 3, 4, 7), (0, 2, 3, 4, 6, 7),
+            (0, 2, 3, 6, 7), (0, 2, 4, 7), (0, 2, 4, 6, 7), (0, 2, 6, 7),
+        ]
+    )
+
+
+def test_until_stop_condition_docs_example(spark):
+    """Pattern.java:219 / docs oneOrMore()+until(): pattern a+ until(b)
+    over 'a1 c a2 b a3' emits {a1 a2} {a1} {a2} {a3} — collection stops
+    at the b, so a3 never pairs with a1/a2."""
+    df = _df(spark, [1, 9, 1, 8, 1])  # a=1 c=9 b=8
+    p = Pattern.begin("a").where("v = 1").one_or_more().until("v = 8")
+    got = _row_sets(CEP.pattern(df, p, "k", "pos", after_match="no_skip"))
+    assert got == [(0,), (0, 2), (2,), (4,)]
+
+
+# --------------------------------------- AfterMatchSkip reference matrix
+
+
+def test_after_match_skip_matrix_bplus_c(spark):
+    """docs cep.md AfterMatchSkipStrategy table 1: pattern b+ c (strict,
+    MATCH_RECOGNIZE notation) over b1 b2 b3 c."""
+    df = _df(spark, [2, 2, 2, 3])  # b=2 c=3
+    p = (
+        Pattern.begin("b").where("v = 2").one_or_more().consecutive()
+        .next("c").where("v = 3")
+    )
+    full, mid, last = (0, 1, 2, 3), (1, 2, 3), (2, 3)
+    assert _row_sets(CEP.pattern(df, p, "k", "pos", after_match="no_skip")) == [
+        full, mid, last
+    ]
+    assert _row_sets(CEP.pattern(df, p, "k", "pos", after_match="to_next_row")) == [
+        full, mid, last
+    ]
+    assert _row_sets(CEP.pattern(df, p, "k", "pos", after_match="past_last_row")) == [
+        full
+    ]
+
+
+def test_after_match_skip_matrix_a_bplus(spark):
+    """docs cep.md NO_SKIP vs SKIP_TO_NEXT table: pattern a b+ over
+    a b1 b2 b3 — noSkip emits all three expansions from the single
+    start; skipToNext emits only the first-completed {a b1}."""
+    df = _df(spark, [1, 2, 2, 2])
+    p = Pattern.begin("a").where("v = 1").followed_by("b").where("v = 2").one_or_more()
+    assert _row_sets(CEP.pattern(df, p, "k", "pos", after_match="no_skip")) == [
+        (0, 1), (0, 1, 2), (0, 1, 2, 3)
+    ]
+    assert _row_sets(CEP.pattern(df, p, "k", "pos", after_match="to_next_row")) == [
+        (0, 1)
+    ]
+
+
+def test_after_match_skip_greedy_matrix(spark):
+    """docs cep.md NO_SKIP vs SKIP_TO_FIRST table: pattern
+    (a|b|c) (b|c) c+.greedy d over a b c1 c2 c3 d — greedy prunes each
+    start to its longest expansion; skipToFirst[c] resumes at c1."""
+    df = _df(spark, [1, 2, 3, 3, 3, 4])  # a=1 b=2 c=3 d=4
+    p = (
+        Pattern.begin("s1").where("v in (1,2,3)")
+        .followed_by("s2").where("v in (2,3)")
+        .followed_by("c").where("v = 3").one_or_more().greedy()
+        .followed_by("d").where("v = 4")
+    )
+    assert _row_sets(CEP.pattern(df, p, "k", "pos", after_match="no_skip")) == [
+        (0, 1, 2, 3, 4, 5), (1, 2, 3, 4, 5), (2, 3, 4, 5)
+    ]
+    assert _row_sets(CEP.pattern(df, p, "k", "pos", after_match="to_first c")) == [
+        (0, 1, 2, 3, 4, 5), (2, 3, 4, 5)
+    ]
+
+
+def test_streaming_loop_pattern_equals_batch(spark, tmp_dir):
+    """Round-7 regression: a streaming fluent pattern with a looping
+    stage must materialize the '__lgapN' relaxed-loop fillers (it used
+    to raise 'pattern symbols without DEFINE') and agree with batch."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    values = [1, 9, 2, 2, 9, 2, 3, 1, 2, 3]
+    df = _df(spark, values)
+    batch_p = (
+        Pattern.begin("c").where("v = 1")
+        .followed_by("a").where("v = 2").one_or_more()
+        .followed_by("b").where("v = 3")
+    )
+    expected = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in CEP.pattern(df, batch_p, "k", "pos").flat_select().collect()
+    )
+    assert len(expected) >= 6  # two tiled matches, loop engaged
+
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "cep_loop"), n_chunks=4, order_col="pos"
+    )
+    stream_p = (
+        Pattern.begin("c").where(lambda pdf: pdf["v"] == 1)
+        .followed_by("a").where(lambda pdf: pdf["v"] == 2).one_or_more()
+        .followed_by("b").where(lambda pdf: pdf["v"] == 3)
+    )
+    sdf = CEP.pattern(stream, stream_p, "k", "pos").flat_select()
+    got = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in run_to_memory(
+            spark, sdf, "cep_loop_out", tmp_dir, mode="append"
         ).collect()
     )
     assert got == expected

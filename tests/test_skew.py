@@ -348,6 +348,78 @@ class TestControllerOnSkewedStream:
         assert got == expected
 
 
+    def test_controller_engages_on_zipf_listener_mode(self, spark, tmp_dir):
+        """Same zipf stream, observation='listener' (round-8): the
+        controller is fed exclusively by StreamingQueryListener progress
+        events polling the upsert sink — the control-plane analog of the
+        reference's JobMaster timer polling the MetricStore
+        (ControllerSimulator.scala:52-94,157-172). Run 1 engages the hot
+        key out-of-band; run 2 (sticky controller, listener removed)
+        applies the routing from its first batch and stays exact."""
+        import os
+        import time
+
+        from pyspark.sql import functions as F
+
+        from reshape_on_flink_spark.sources.readers import datagen
+        from reshape_on_flink_spark.streaming.source import chunked_replay
+
+        df = datagen(spark, 20_000, n_keys=50, skew_hot_share=0.5).select(
+            F.col("id").alias("event_id"),
+            F.col("key").alias("user_id"),
+            F.col("value"),
+            F.timestamp_millis(F.col("id") * 1000).alias("ts"),
+        )
+        sink1 = PartialUpsertSink(spark, os.path.join(tmp_dir, "upsert_l1"), "user_id")
+        agg = ReshapeStreamingAgg(
+            "user_id", "value", "event_id",
+            ReshapeConf(enabled=True, parallelism=8, freq_ms=0, observation="listener"),
+            sink=sink1,
+        )
+        stream1 = chunked_replay(
+            spark, df, os.path.join(tmp_dir, "replay_l1"), n_chunks=3
+        )
+        q = agg.attach(stream1, os.path.join(tmp_dir, "ckpt_l1"))
+        try:
+            q.awaitTermination(180)
+            # progress events are delivered asynchronously — poll
+            deadline = time.time() + 60
+            while time.time() < deadline and agg.listener.ticks == 0:
+                time.sleep(0.5)
+        finally:
+            spark.streams.removeListener(agg.listener)
+        # the data path never observed; the listener engaged the hot key
+        assert agg.listener.ticks >= 1
+        assert agg.controller.routing().get(0) == 10  # first-phase fan-out
+
+        # run 2: listener removed, controller sticky — routing is applied
+        # to the data path from the very first batch, results stay exact
+        sink2 = PartialUpsertSink(spark, os.path.join(tmp_dir, "upsert_l2"), "user_id")
+        agg.sink = sink2
+        run2_start = agg.batches_seen
+        stream2 = chunked_replay(
+            spark, df, os.path.join(tmp_dir, "replay_l2"), n_chunks=3
+        )
+        try:  # attach registers a fresh listener for run 2
+            agg.attach(stream2, os.path.join(tmp_dir, "ckpt_l2")).awaitTermination(180)
+        finally:
+            spark.streams.removeListener(agg.listener)
+        assert all(
+            r.get(0) == 10 for r in agg.routing_history[run2_start:]
+        ), agg.routing_history
+        expected = {
+            r["user_id"]: (r["cnt"], round(r["sv"], 4))
+            for r in df.groupBy("user_id")
+            .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+            .collect()
+        }
+        got = {
+            r["user_id"]: (r["cnt"], round(r["sum_value"], 4))
+            for r in sink2.result_df().collect()
+        }
+        assert got == expected
+
+
 class TestBatchAQESkew:
     def test_aqe_splits_skewed_join_partitions(self, spark):
         """Batch half of the Reshape mapping (SURVEY §0.5): AQE skew-join
