@@ -12,6 +12,8 @@ pinned by tests/test_examples.py against the reference semantics.
 | top_speed_windowing | .../windowing/TopSpeedWindowing.java (GlobalWindows + TimeEvictor(10s) + DeltaTrigger(50)) |
 | fraud_detection | flink-walkthroughs fraud-detection (small charge immediately followed by a large one, within a minute) |
 | state_machine | .../statemachine/StateMachineExample.java (per-address DFA, invalid-transition alerts) |
+| async_io_enrichment | .../async/AsyncIOExample.java (AsyncDataStream.orderedWait over SampleAsyncFunction) |
+| iterate_fibonacci | .../iteration/IterateExample.java (DataStream.iterate + Step feedback until Fibonacci >= BOUND) |
 """
 
 from __future__ import annotations
@@ -202,3 +204,92 @@ def state_machine_streaming(events: DataFrame) -> DataFrame:
     return events.groupBy("address").applyInPandasWithState(
         scan, out_schema, state_schema, "append", "NoTimeout"
     )
+
+
+def async_io_enrichment(
+    ids: DataFrame, sleep_factor_ms: int = 0, mode: str = "ordered"
+) -> DataFrame:
+    """AsyncIOExample.java: an integer stream enriched through an async
+    lookup — SampleAsyncFunction pauses a worker thread for a bounded
+    random time, then completes with ``"key-" + (input % 10)``; the
+    result stream is AsyncDataStream.orderedWait/unorderedWait over it.
+
+    Port: the engine's :func:`streaming.ops.async_lookup` (asyncio-
+    gathered Arrow batches — the thread-pool analog) with a
+    deterministic bounded pause of ``(value % 7)/7 x sleep_factor_ms``
+    standing in for the random sleep (same bounded-latency shape, but
+    reproducible). ``mode`` mirrors the reference's waitMode flag:
+    ``orderedWait``'s reorder buffer comes free here — concurrent
+    results are reassembled in input order inside each Arrow batch — so
+    both modes emit identically; the flag is validated for parity.
+    ``failRatio`` is NOT ported: in the reference a failed future fails
+    the JOB (resultFuture.completeExceptionally), and an exception from
+    the lookup coroutine here does exactly that already.
+
+    ``ids`` is (value bigint); returns (value, lookup_key). Works on a
+    batch or streaming frame (mapInPandas runs on both).
+    """
+    import asyncio
+
+    from reshape_on_flink_spark.streaming.ops import async_lookup
+
+    if mode not in ("ordered", "unordered"):
+        raise ValueError(f"waitMode must be 'ordered' or 'unordered', got {mode!r}")
+
+    async def fetch(row: dict) -> dict:
+        if sleep_factor_ms:
+            await asyncio.sleep((row["value"] % 7) / 7 * sleep_factor_ms / 1000)
+        return {"lookup_key": f"key-{row['value'] % 10}"}
+
+    return async_lookup(ids, fetch, "value bigint, lookup_key string")
+
+
+def iterate_fibonacci(
+    pairs: DataFrame, bound: int = 100, max_iters: int = 64
+) -> DataFrame:
+    """IterateExample.java: each input pair (first, second) seeds a
+    Fibonacci recurrence; the Step ProcessFunction ALWAYS advances
+    ``(x, y, step) -> (y, x + y, step + 1)`` and routes the advanced
+    element back into the iteration while the PRE-advance values were
+    both ``< BOUND`` (so every element takes exactly one step past the
+    bound crossing before it exits). OutputMap emits ((first, second),
+    step).
+
+    Port: the engine's :func:`operators.iterate.iterate` driver-side
+    fixed point (the batch re-expression of DataStream.iterate /
+    closeWith — SURVEY §2.9 Iterations); live rows advance per round,
+    exited rows carry; convergence = no live rows. Returns (first,
+    second, step).
+    """
+    from reshape_on_flink_spark.operators.iterate import iterate
+
+    seed = pairs.select(
+        F.col("first").cast("int"),
+        F.col("second").cast("int"),
+        F.col("first").cast("int").alias("x"),
+        F.col("second").cast("int").alias("y"),
+        F.lit(0).alias("step"),
+        F.lit(False).alias("done"),
+    )
+
+    def step(state: DataFrame, _i: int) -> DataFrame:
+        live = ~F.col("done")
+        # Step.processElement's feedback test reads the INPUT tuple
+        # (value.f2 / value.f3), i.e. the pre-advance x and y
+        exit_now = (F.col("x") >= bound) | (F.col("y") >= bound)
+        return state.select(
+            "first",
+            "second",
+            F.when(live, F.col("y")).otherwise(F.col("x")).alias("x"),
+            F.when(live, F.col("x") + F.col("y")).otherwise(F.col("y")).alias("y"),
+            F.when(live, F.col("step") + 1).otherwise(F.col("step")).alias("step"),
+            F.when(live, exit_now).otherwise(F.lit(True)).alias("done"),
+        )
+
+    out = iterate(
+        seed,
+        step,
+        max_iters=max_iters,
+        converged=lambda _p, n: n.where(~F.col("done")).limit(1).count() == 0,
+    )
+    return out.select("first", "second", "step")

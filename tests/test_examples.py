@@ -188,3 +188,69 @@ def test_fraud_detection_streaming_matches_batch(spark, tmp_dir):
         if r["matched_symbol"] == "small"
     )
     assert small_rows == batch
+
+
+def test_async_io_enrichment_reference_simulation(spark):
+    """AsyncIOExample.java: every input completes with
+    'key-' + (input % 10); orderedWait restores input order even though
+    lookups complete out of order (staggered deterministic pauses)."""
+    from reshape_on_flink_spark.examples import async_io_enrichment
+
+    ids = spark.range(0, 50).select(F.col("id").alias("value")).coalesce(1)
+    rows = async_io_enrichment(ids, sleep_factor_ms=40).collect()
+    assert [r["value"] for r in rows] == list(range(50))  # orderedWait
+    assert all(r["lookup_key"] == f"key-{r['value'] % 10}" for r in rows)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="waitMode"):
+        async_io_enrichment(ids, mode="sideways")
+
+
+def test_async_io_enrichment_streaming(spark, tmp_dir):
+    """The same enrichment on a streaming frame (the reference program
+    is a streaming job): result set equals batch."""
+    import os
+
+    from reshape_on_flink_spark.examples import async_io_enrichment
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+    from tests.test_streaming import run_to_memory
+
+    df = spark.range(0, 30).select(F.col("id").alias("value"))
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "async_src"), n_chunks=3, order_col="value"
+    )
+    got = sorted(
+        (r["value"], r["lookup_key"])
+        for r in run_to_memory(
+            spark, async_io_enrichment(stream), "async_out", tmp_dir, mode="append"
+        ).collect()
+    )
+    assert got == [(v, f"key-{v % 10}") for v in range(30)]
+
+
+def test_iterate_fibonacci_reference_simulation(spark):
+    """IterateExample.java Step semantics, simulated row-for-row: the
+    element always advances once, the PRE-advance (x, y) decide whether
+    it feeds back (both < BOUND) or exits — so the step count is one
+    past the bound crossing."""
+    from reshape_on_flink_spark.examples import iterate_fibonacci
+
+    def ref_steps(a: int, b: int, bound: int = 100) -> int:
+        x, y, s = a, b, 0
+        while True:
+            px, py = x, y
+            x, y, s = y, x + y, s + 1
+            if not (px < bound and py < bound):
+                return s
+
+    pairs = [(1, 1), (5, 60), (99, 1), (3, 7), (10, 90), (50, 49), (1, 99)]
+    df = spark.createDataFrame(pairs, "first int, second int")
+    got = {
+        (r["first"], r["second"]): r["step"]
+        for r in iterate_fibonacci(df).collect()
+    }
+    assert got == {(a, b): ref_steps(a, b) for a, b in pairs}
+    # the docs' canonical property: (1,1) crosses 100 at F(11)=144,
+    # exits one step later
+    assert got[(1, 1)] == ref_steps(1, 1) == 11
