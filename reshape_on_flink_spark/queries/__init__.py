@@ -28,72 +28,19 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate checks the FIRST 50 registered queries, so
 # registration order is evidence-allocation. Rotation policy (round 4+):
-# put queries with NO driver row in any prior round first — rounds 2+3
-# recorded green rows for 95/126 (see CORRECTNESS_r02/r03.json); this
-# list front-loads the 31 never-sampled queries plus everything NEW this
-# round, so r2∪r3∪r4 driver rows cover the whole inventory. Queries left
-# off this list still register (merged() appends them in module order and
-# they fill the remaining gate slots) and keep their prior-round rows as
-# evidence. merged() raises on unknown names.
+# queries with NO driver row in any prior round go first, then the ones
+# with the STALEST driver evidence (computed from the committed
+# CORRECTNESS_r*.json files). Queries left off this list still register
+# (merged() appends them in module order and they keep their prior-round
+# rows as evidence). merged() raises on unknown names.
 GATE_PRIORITY: tuple[str, ...] = (
-    # round-8 rotation: NEW queries first
+    # round-8 rotation: the new round-8 query first, then the 15
+    # queries whose only driver row is round 2 (stalest evidence),
+    # then the oldest round-3 entries to fill the 50-slot gate cap.
+    # r8 gate + r7/r5/r4 rows then cover the inventory with nothing
+    # older than round 3; the next-stalest r3 entries follow (inert
+    # beyond slot 50, queued for the round-9 rotation).
     "q_cep_relaxed_loop",
-    # round-6 rotation: the 8 never-sampled round-6 queries first
-    # (trained-PQ, the five gelly-graph queries, WITHIN), then ALL 38
-    # queries whose only driver row is from round 2 (the stalest
-    # evidence), then round-3 entries to fill the 50-slot cap —
-    # r2..r6 driver rows then cover the whole inventory with nothing
-    # older than two rounds except the r3/r4 bulk refreshed in r5.
-    "q_cep_fluent",
-    "q_table_api_pipeline",
-    "q_temperature_mix",
-    "q_contrastive_pairs",
-    "q_hard_negatives",
-    "q_similar_to",
-    "q_json_construct",
-    "q_count_window",
-    "q_count_evictor",
-    "q_salted_join",
-    "q_graph_kcore",
-    "q_graph_coreness",
-    "q_graph_metrics",
-    "q_graph_summarize",
-    "q_graph_pregel",
-    "q_graph_community",
-    "q_graph_bipartite_projection",
-    "q_similarity_pq_trained",
-    "q_graph_degrees",
-    "q_graph_triangles",
-    "q_graph_label_propagation",
-    "q_match_recognize_within",
-    "q_graph_clustering_coeff",
-    "q_graph_hits",
-    "q_graph_jaccard",
-    "q_graph_pagerank",
-    "q_graph_sssp",
-    "q6_forecast_revenue",
-    "q_agg_distinct",
-    "q_rollup",
-    "q_cube",
-    "q_having",
-    "q_pivot",
-    "q_stats_moments",
-    "q_agg_minmax_by",
-    "q_window_rank",
-    "q_window_running_sum",
-    "q_window_sliding_rows",
-    "q_window_range_frame",
-    "q_window_lead_lag",
-    "q_window_first_last",
-    "q_window_ntile_cume",
-    "q_order_limit",
-    "q_topk_per_group",
-    "q_dedup_keep_first",
-    "q_dedup_keep_last",
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
     "q_in_subquery",
     "q_scalar_subquery",
     "q_correlated_subquery",
@@ -113,6 +60,57 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_grouping_sets",
     "q_listagg",
     "q_percentiles",
+    "q_bit_bool_agg",
+    "q_limit_offset",
+    "q_values_literal",
+    "q_distinct_split_agg",
+    "q_asof_operator",
+    "q_range_join_operator",
+    "q_changelog_normalize",
+    "q_ds_channel_rollup",
+    "q_ds_yoy_ratio",
+    "q_ds_moving_avg_deviation",
+    "q_ds_having_count_join_back",
+    "q_tumble_window",
+    "q_hop_window",
+    "q_session_window",
+    "q_cumulate_window",
+    "q_interval_join",
+    "q_asof_join",
+    "q_stream_static_join",
+    "q_window_topn",
+    "q_json_extract",
+    "q_flink_sql_dialect",
+    "q_match_recognize",
+    "q_match_recognize_sql",
+    "q_match_recognize_nested",
+    "q_window_join",
+    "q_session_window_dynamic_gap",
+    "q_dedup_exact",
+    "q_minhash_near_dups",
+    "q_ngram_jaccard",
+    "q_simhash",
+    # --- slots 51+ (next rotation) ---
+    "q_text_quality",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_similarity_topk",
+    "q_similarity_ann_lsh",
+    "q_bpe_token_stats",
+    "q_similarity_ivf",
+    "q_similarity_ivf_trained",
+    "q_dedup_clusters",
+    "q_llm_pipeline",
+    "q_repetition_filter",
+    "q_decontaminate",
+    "q_pii_scrub",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "q_join_left_outer",
+    "q_join_right_outer",
+    "q_join_full_outer",
 )
 
 

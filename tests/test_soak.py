@@ -159,3 +159,160 @@ def test_streaming_soak_concurrent_bounded_state(spark, tmp_dir):
     }
     got_rs = {k: (c, round(s, 4)) for k, (c, s) in agg.results.items()}
     assert got_rs == expected_rs
+
+
+@pytest.mark.slow
+def test_streaming_soak_chaos_restart(spark, tmp_dir):
+    """Chaos soak: the same concurrent stack (cumulate, incremental NFA,
+    Reshape controller) KILLED mid-replay and restarted from its
+    checkpoints — results must still equal batch exactly.
+
+    Durable sinks replace the memory sink so recovery is end-to-end
+    exactly-once: the file sink's _spark_metadata commit log for the two
+    append queries, the PartialUpsertSink's idempotent per-epoch upsert
+    for the controller (its torn-write crash windows are pinned
+    separately in test_skew.py). Watermark + NFA + dedup-claim state all
+    come back from the checkpoints; the restarted availableNow queries
+    drain the remaining chunks.
+    """
+    import time
+
+    from reshape_on_flink_spark.operators.cep import (
+        match_recognize,
+        streaming_match_recognize,
+    )
+    from reshape_on_flink_spark.queries.streaming_batch import q_cumulate_window
+    from reshape_on_flink_spark.session import load_tables
+    from reshape_on_flink_spark.streaming.ops import cumulate_agg
+    from reshape_on_flink_spark.streaming.reshape import (
+        PartialUpsertSink,
+        ReshapeConf,
+        ReshapeStreamingAgg,
+    )
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    events = load_tables(spark, SF01)["events"]
+    replay = os.path.join(tmp_dir, "chaos_replay")
+    first_stream = chunked_replay(spark, events, replay, n_chunks=30)
+    flat = os.path.join(replay, "stream")
+
+    def reopen():
+        # a fresh reader over the SAME files — chunked_replay would
+        # rewrite them; restart must see identical inputs
+        return (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(flat)
+        )
+
+    cum_out = os.path.join(tmp_dir, "chaos_cum_out")
+    mr_out = os.path.join(tmp_dir, "chaos_mr_out")
+    mr_filter = F.col("user_id") < 300
+    define_p = {
+        "V": lambda pdf: pdf["event_type"] == "view",
+        "P": lambda pdf: pdf["event_type"] == "purchase",
+    }
+    upsert = PartialUpsertSink(spark, os.path.join(tmp_dir, "chaos_upsert"), "user_id")
+    agg = ReshapeStreamingAgg(
+        "user_id", "value", "event_id",
+        ReshapeConf(enabled=True, parallelism=8, freq_ms=0), sink=upsert,
+    )
+
+    def start_all(stream):
+        q_cum = (
+            cumulate_agg(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", cum_out)
+            .option("checkpointLocation", os.path.join(tmp_dir, "chaos_ckpt_cum"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_mr = (
+            streaming_match_recognize(
+                stream.where(mr_filter),
+                partition_by="user_id",
+                order_cols=["ts", "event_id"],
+                pattern="V V+ P",
+                define=define_p,
+                input_cols=["user_id", "event_id", "ts", "event_type", "value"],
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", mr_out)
+            .option("checkpointLocation", os.path.join(tmp_dir, "chaos_ckpt_mr"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_rs = agg.attach(stream, os.path.join(tmp_dir, "chaos_ckpt_rs"))
+        return [q_cum, q_mr, q_rs]
+
+    # ---- phase 1: run, then kill every query mid-replay ---------------
+    queries = start_all(first_stream)
+    killed = 0
+    deadline = time.time() + 420
+    remaining = list(queries)
+    while remaining and time.time() < deadline:
+        for q in list(remaining):
+            if not q.isActive:
+                remaining.remove(q)  # finished before the kill landed
+                continue
+            lp = q.lastProgress
+            if lp is not None and lp["batchId"] >= 6:
+                q.stop()
+                killed += 1
+                remaining.remove(q)
+        time.sleep(0.2)
+    for q in remaining:
+        q.stop()
+    # the kill must actually land mid-replay on every consumer (30
+    # chunks at sf0.1 leave a wide window; batchId >= 6 << 30)
+    assert killed == 3, f"kill landed on only {killed}/3 queries"
+
+    # ---- phase 2: restart from the checkpoints, drain to the end ------
+    for q in start_all(reopen()):
+        q.awaitTermination(600)
+
+    # ---- cumulate == batch on every closed window ----------------------
+    got = {
+        (r["ws"], r["we"]): (r["n"], round(r["sum_value"], 4))
+        for r in spark.read.parquet(cum_out).collect()
+    }
+    expected = {
+        (r["ws"], r["we"]): (r["n"], round(r["sum_value"], 4))
+        for r in q_cumulate_window(spark, SF01).collect()
+    }
+    assert got, "no windows closed"
+    for k, v in got.items():
+        assert expected.get(k) == v, f"window {k}: stream {v} vs batch {expected.get(k)}"
+    assert len(got) >= 0.9 * len(expected)
+
+    # ---- NFA matches == batch across the restart boundary --------------
+    batch_mr = match_recognize(
+        events.where(mr_filter),
+        "user_id",
+        ["ts", "event_id"],
+        "V V+ P",
+        {"V": F.col("event_type") == "view", "P": F.col("event_type") == "purchase"},
+    )
+    got_mr = {
+        (r["user_id"], r["event_id"], r["matched_symbol"])
+        for r in spark.read.parquet(mr_out).collect()
+    }
+    exp_mr = {
+        (r["user_id"], r["event_id"], r["matched_symbol"]) for r in batch_mr.collect()
+    }
+    assert got_mr == exp_mr and len(exp_mr) > 100
+
+    # ---- reshape upsert sink exact despite replayed epochs -------------
+    expected_rs = {
+        r["user_id"]: (r["cnt"], round(r["sv"], 4))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    got_rs = {
+        r["user_id"]: (r["cnt"], round(r["sum_value"], 4))
+        for r in upsert.result_df().collect()
+    }
+    assert got_rs == expected_rs
