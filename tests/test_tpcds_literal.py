@@ -57,6 +57,14 @@ QUERY_FILES = sorted(
 
 # oracle-side (DuckDB) identifier qualification; see module docstring
 ORACLE_PATCHES = {
+    "query54": (
+        # DuckDB CAST(decimal AS INT) rounds half-up; Flink/Spark
+        # truncate toward zero (Calcite cast). One sf1 customer lands
+        # at revenue/50 = 10714.8168, splitting the engines by a
+        # segment — pin the oracle to the reference's truncation.
+        "cast((revenue/50) as int) as segment",
+        "cast(trunc(revenue/50) as int) as segment",
+    ),
     "query58": ("order by item_id", "order by ss_items.item_id"),
     "query72": (
         "order by total_cnt desc, i_item_desc, w_warehouse_name, d_week_seq",
