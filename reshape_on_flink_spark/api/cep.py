@@ -27,6 +27,14 @@ Contiguity compile:
   are consumed by the match (they advance AFTER MATCH SKIP) but are
   dropped from user-visible output, as skipped events are not part of a
   Flink match.
+- ``followed_by_any`` (non-deterministic relaxed, ``SKIP_TILL_ANY``,
+  Pattern.java:322): the filler compiles GREEDY under noSkip
+  enumeration (``__gapN*``), so every candidate event for the stage
+  spawns its own match — the docs' "Contiguity within looping
+  patterns" rows: ``a b+ c`` with non-deterministic links over
+  ``a b1 d1 b2 d2 b3 c`` gives the 6 interval matches with a relaxed
+  inner loop and all 7 subset matches with ``allow_combinations()``
+  (both pinned in tests).
 - ``not_followed_by``: the next relaxed stage's filler gets the negated
   condition (``__gapN`` := NOT cond) — no event between the two stages
   may satisfy it, Pattern.java:304. Terminal ``notFollowedBy`` is legal
@@ -102,7 +110,14 @@ from reshape_on_flink_spark.operators.cep import (
     streaming_match_recognize,
 )
 
-_KINDS = ("begin", "next", "followed_by", "not_next", "not_followed_by")
+_KINDS = (
+    "begin",
+    "next",
+    "followed_by",
+    "followed_by_any",
+    "not_next",
+    "not_followed_by",
+)
 
 
 @dataclass
@@ -153,13 +168,17 @@ class Pattern:
         return self._add(name, "followed_by")
 
     def followed_by_any(self, name: str) -> "Pattern":
-        raise NotImplementedError(
-            "followedByAny (non-deterministic relaxed contiguity, "
-            "Pattern.java:322) multiplies alternative matches per prefix; "
-            "the regex-priority engine emits one match per start. Use "
-            "followed_by(), or after_match='to_next_row' on select() for "
-            "overlapping matches."
-        )
+        """Non-deterministic relaxed contiguity (Pattern.java:322,
+        ``SKIP_TILL_ANY``): the gap before this stage may skip MATCHING
+        events too, so under ``after_match="no_skip"`` every candidate
+        event for this stage yields its own match (docs cep.md
+        "Contiguity within looping patterns": ``a b+ c`` with
+        non-deterministic links over ``a b1 d1 b2 d2 b3 c`` -> 7
+        matches). Compiled as an unconditional filler that the noSkip
+        enumerator branches on (``__gapN*``); under single-match skip
+        strategies the highest-priority branch is the minimal gap, which
+        coincides with ``followed_by``."""
+        return self._add(name, "followed_by_any")
 
     def not_next(self, name: str) -> "Pattern":
         return self._add(name, "not_next")
@@ -367,7 +386,11 @@ class Pattern:
         self._terminal_not = None
         gap_n = 0
         last_positive = max(
-            (j for j, st in enumerate(stages) if st.kind in ("begin", "next", "followed_by")),
+            (
+                j
+                for j, st in enumerate(stages)
+                if st.kind in ("begin", "next", "followed_by", "followed_by_any")
+            ),
             default=-1,
         )
         i = 0
@@ -438,6 +461,17 @@ class Pattern:
                 define[gap] = (
                     ~s.negated_gap if s.negated_gap is not None else F.lit(True)
                 )
+                self._lgap_pandas[gap] = ("true", None)
+            elif s.kind == "followed_by_any":
+                # SKIP_TILL_ANY stage gap: under noSkip enumeration the
+                # filler is GREEDY (branch on every candidate event for
+                # this stage); single-match strategies take the highest-
+                # priority branch = minimal gap (reluctant), which is
+                # Flink's first surviving computation
+                gap = f"__gap{gap_n}"
+                gap_n += 1
+                toks.append(f"{gap}*" if emit == "all" else f"{gap}*?")
+                define[gap] = F.lit(True)
                 self._lgap_pandas[gap] = ("true", None)
             q = s.quant
             if q is not None and q[2] is True and emit == "all" and i == last_positive:

@@ -84,8 +84,6 @@ def test_compile_relaxed_inserts_reluctant_fillers(spark):
 
 
 def test_compile_rejections(spark):
-    with pytest.raises(NotImplementedError, match="followedByAny"):
-        Pattern.begin("a").where("v=1").followed_by_any("b")
     # consecutive/allowCombinations are mutually exclusive and
     # non-repeatable (Quantifier.java checkPattern messages)
     with pytest.raises(ValueError, match="not both"):
@@ -421,6 +419,57 @@ def test_loop_contiguity_reference_matrix(spark):
         [
             (0, 2, 7), (0, 2, 3, 7), (0, 2, 3, 4, 7), (0, 2, 3, 4, 6, 7),
             (0, 2, 3, 6, 7), (0, 2, 4, 7), (0, 2, 4, 6, 7), (0, 2, 6, 7),
+        ]
+    )
+
+
+def test_followed_by_any_compile_and_singleton(spark):
+    """followedByAny (SKIP_TILL_ANY stage gap, Pattern.java:322):
+    greedy filler under noSkip enumeration — every candidate event for
+    the stage spawns a match; followed_by takes only the first."""
+    p = Pattern.begin("a").where("v = 1").followed_by_any("b").where("v = 2")
+    assert p.compile()[0] == "a __gap0*? b"  # single-match: first branch
+    assert p.compile(emit="all")[0] == "a __gap0* b"
+
+    df = _df(spark, [1, 9, 2, 2])
+    assert _row_sets(CEP.pattern(df, p, "k", "pos", after_match="no_skip")) == [
+        (0, 2), (0, 3)
+    ]
+    rel = Pattern.begin("a").where("v = 1").followed_by("b").where("v = 2")
+    assert _row_sets(CEP.pattern(df, rel, "k", "pos", after_match="no_skip")) == [
+        (0, 2)
+    ]
+
+
+def test_followed_by_any_looping_docs_matrix(spark):
+    """docs cep.md 'Contiguity within looping patterns': a b+ c with
+    NON-DETERMINISTIC stage links over 'a b1 d1 b2 d2 b3 c' — relaxed
+    inner loop gives the 6 interval matches; allowCombinations gives
+    all 7 nonempty subsets. (The section's 'strict' row folds the
+    stage-level discard into the loop and contradicts the consecutive()
+    section's own matrix, which we pin instead in
+    test_loop_contiguity_reference_matrix.)"""
+    # a=1 d=9 b=2 c=3; b1,b2,b3 at pos 1,3,5; c at 6
+    df = _df(spark, [1, 2, 9, 2, 9, 2, 3])
+
+    def build(mode):
+        p = (
+            Pattern.begin("a").where("v = 1")
+            .followed_by_any("b").where("v = 2").one_or_more()
+        )
+        if mode == "comb":
+            p = p.allow_combinations()
+        return p.followed_by_any("c").where("v = 3")
+
+    relaxed = _row_sets(CEP.pattern(df, build("relaxed"), "k", "pos", after_match="no_skip"))
+    assert relaxed == sorted(
+        [(0, 1, 6), (0, 1, 3, 6), (0, 1, 3, 5, 6), (0, 3, 6), (0, 3, 5, 6), (0, 5, 6)]
+    )
+    comb = _row_sets(CEP.pattern(df, build("comb"), "k", "pos", after_match="no_skip"))
+    assert comb == sorted(
+        [
+            (0, 1, 6), (0, 1, 3, 6), (0, 1, 3, 5, 6), (0, 1, 5, 6),
+            (0, 3, 6), (0, 3, 5, 6), (0, 5, 6),
         ]
     )
 
