@@ -136,6 +136,36 @@ class _Stage:
     until_cond: Column | None = None
     negated_gap: Column | None = None  # set on the stage FOLLOWING a not_followed_by
     fold_not: list = field(default_factory=list)  # conds folded in from not_next
+    # group pattern (GroupPattern.java): a sub-Pattern standing in for
+    # the stage's condition; quantifiers/contiguity apply to the group
+    group: "Pattern | None" = None
+    # optional() is a separate wrapper, NOT lo=0: Flink's
+    # times(2).optional() means 0 or 2 occurrences, never 1
+    opt: bool = False
+
+
+def _first_positive_cond(stages) -> tuple:
+    """(catalyst_cond, pandas_cond) of the first positive leaf stage —
+    the group-loop relaxed filler's guard (the NFA ignores an event
+    between repetitions unless it could start the next one)."""
+    for st in stages:
+        if st.kind in ("not_next", "not_followed_by"):
+            continue
+        if st.group is not None:
+            return _first_positive_cond(st.group._stages)
+        return st.cond, st.pandas_cond
+    return None, None
+
+
+def _positive_leaf_stages(stages):
+    """Every condition-bearing stage, recursing through groups."""
+    for st in stages:
+        if st.kind in ("not_next", "not_followed_by"):
+            continue
+        if st.group is not None:
+            yield from _positive_leaf_stages(st.group._stages)
+        else:
+            yield st
 
 
 class Pattern:
@@ -148,12 +178,23 @@ class Pattern:
 
     # -- construction -------------------------------------------------
     @staticmethod
-    def begin(name: str) -> "Pattern":
+    def begin(name: "str | Pattern") -> "Pattern":
         p = Pattern()
+        if isinstance(name, Pattern):
+            # group pattern sequence start (Pattern.java:503)
+            p._stages.append(_Stage(name="__group0", kind="begin", group=name))
+            return p
         p._stages.append(_Stage(name=name, kind="begin"))
         return p
 
-    def _add(self, name: str, kind: str) -> "Pattern":
+    def _add(self, name: "str | Pattern", kind: str) -> "Pattern":
+        if isinstance(name, Pattern):
+            # group pattern link (Pattern.java:516/529/543: followedBy/
+            # followedByAny/next over a sub-Pattern)
+            self._stages.append(
+                _Stage(name=f"__group{len(self._stages)}", kind=kind, group=name)
+            )
+            return self
         if any(s.name == name for s in self._stages):
             raise ValueError(f"duplicate stage name {name!r}")
         if not name.isidentifier():
@@ -161,10 +202,10 @@ class Pattern:
         self._stages.append(_Stage(name=name, kind=kind))
         return self
 
-    def next(self, name: str) -> "Pattern":
+    def next(self, name: "str | Pattern") -> "Pattern":
         return self._add(name, "next")
 
-    def followed_by(self, name: str) -> "Pattern":
+    def followed_by(self, name: "str | Pattern") -> "Pattern":
         return self._add(name, "followed_by")
 
     def followed_by_any(self, name: str) -> "Pattern":
@@ -177,7 +218,8 @@ class Pattern:
         matches). Compiled as an unconditional filler that the noSkip
         enumerator branches on (``__gapN*``); under single-match skip
         strategies the highest-priority branch is the minimal gap, which
-        coincides with ``followed_by``."""
+        coincides with ``followed_by``. Accepts a sub-``Pattern`` for a
+        group link (GroupPattern)."""
         return self._add(name, "followed_by_any")
 
     def not_next(self, name: str) -> "Pattern":
@@ -197,6 +239,10 @@ class Pattern:
         Accepts a Catalyst Column, a SQL string, or (streaming route
         only) a vectorized pandas predicate ``pdf -> bool array``."""
         t = self._tail()
+        if t.group is not None:
+            raise ValueError(
+                "GroupPattern does not support where clause (GroupPattern.java:45)"
+            )
         if callable(cond) and not isinstance(cond, Column):
             if t.pandas_cond is not None:
                 prev = t.pandas_cond
@@ -211,6 +257,10 @@ class Pattern:
     def or_(self, cond: Column | str | Callable) -> "Pattern":
         """OR a condition onto the current stage (Pattern.java:175)."""
         t = self._tail()
+        if t.group is not None:
+            raise ValueError(
+                "GroupPattern does not support or clause (GroupPattern.java:51)"
+            )
         if callable(cond) and not isinstance(cond, Column):
             if t.pandas_cond is None:
                 raise ValueError("or_ with a pandas predicate needs a prior where()")
@@ -247,17 +297,24 @@ class Pattern:
         return self
 
     def optional(self) -> "Pattern":
-        # greedy stays None (Flink default): no_skip enumerates BOTH the
-        # present and absent branch; greedy() upgrades to present-only.
+        # A separate wrapper flag, NOT lo=0: Flink's times(2).optional()
+        # means 0 or exactly 2 occurrences (never 1). greedy stays None
+        # (Flink default): no_skip enumerates BOTH the present and
+        # absent branch; greedy() upgrades to present-only.
         t = self._tail()
-        if t.quant is None:
-            t.quant = (0, 1, None)
-        else:
-            t.quant = (0, t.quant[1], t.quant[2])
+        if t.kind in ("not_next", "not_followed_by"):
+            raise ValueError("NOT stages cannot be optional (MalformedPatternException)")
+        if t.opt:
+            raise ValueError("Optional already applied!")
+        t.opt = True
         return self
 
     def greedy(self) -> "Pattern":
         t = self._tail()
+        if t.group is not None:
+            raise ValueError(
+                "Option not applicable to group pattern (MalformedPatternException)"
+            )
         if t.quant is None:
             raise ValueError("greedy() applies to a quantified stage")
         t.quant = (t.quant[0], t.quant[1], True)
@@ -375,162 +432,236 @@ class Pattern:
                 return f"{{{lo}}}"
             return f"{{{lo},{hi}}}"
 
-        toks: list[str] = []
         define: dict[str, Column] = {}
         user_syms: list[str] = []
-        stages = self._stages
-        for s in stages:  # compile is re-runnable: clear derived state
-            s.fold_not = []
-            s.negated_gap = None
-        self._lgap_pandas = {}
+        ctx = {
+            "define": define,
+            "user_syms": user_syms,
+            "lgap_pandas": {},
+            "gap_n": 0,
+            "names": set(),
+        }
+        self._lgap_pandas = ctx["lgap_pandas"]
         self._terminal_not = None
-        gap_n = 0
-        last_positive = max(
-            (
-                j
-                for j, st in enumerate(stages)
-                if st.kind in ("begin", "next", "followed_by", "followed_by_any")
-            ),
-            default=-1,
-        )
-        i = 0
-        while i < len(stages):
-            s = stages[i]
-            if s.kind in ("not_next", "not_followed_by"):
-                if s.cond is None and s.pandas_cond is None:
-                    raise ValueError(f"NOT stage {s.name!r} needs a where() condition")
-                nxt = stages[i + 1] if i + 1 < len(stages) else None
-                if s.cond is None and not (s.kind == "not_followed_by" and nxt is None):
-                    # only the TERMINAL notFollowedBy (engine lookahead)
-                    # can run from a pandas-only predicate; the in-chain
-                    # NOT folds need a Catalyst Column
-                    raise ValueError(
-                        f"NOT stage {s.name!r} needs a Catalyst where() "
-                        "condition (pandas predicates are only supported "
-                        "on a terminal notFollowedBy)"
-                    )
-                if s.kind == "not_followed_by":
-                    if nxt is None:
-                        if self._within is None:
-                            raise ValueError(
-                                "terminal notFollowedBy requires a within() "
-                                "bound (Flink: NotFollowedBy is not supported "
-                                "without windowTime as a last part of a "
-                                "Pattern, Pattern.java:304)"
-                            )
-                        # post-match lookahead: engine terminal_not
-                        self._terminal_not = (s.cond, s.pandas_cond)
-                        i += 1
-                        continue
-                    if nxt.kind == "next":
-                        # no events can lie between the neighbours; the
-                        # constraint is vacuous (matches Flink NFA: the NOT
-                        # state guards the proceed path only)
-                        pass
-                    elif nxt.kind == "followed_by":
-                        nxt.negated_gap = s.cond
-                        # ALSO: if the gap is empty, the very next event is
-                        # nxt's own — Flink still forbids it satisfying the
-                        # NOT condition only for notNext, not notFollowedBy.
-                    else:
-                        raise ValueError(
-                            f"NOT stage {s.name!r} must be followed by a "
-                            f"positive stage, got {nxt.kind}"
-                        )
-                else:  # not_next
-                    if nxt is None:
-                        raise NotImplementedError(
-                            "terminal notNext is not expressible without "
-                            "lookahead; end the pattern on a positive stage"
-                        )
-                    if nxt.kind != "next":
-                        raise NotImplementedError(
-                            "not_next folds into a strict next() stage; for a "
-                            "relaxed successor use not_followed_by()"
-                        )
-                    nxt.fold_not.append(s.cond)
-                i += 1
-                continue
 
-            if s.cond is None and s.pandas_cond is None:
-                raise ValueError(f"stage {s.name!r} has no where() condition")
-            if s.kind == "followed_by":
-                gap = f"__gap{gap_n}"
-                gap_n += 1
-                toks.append(f"{gap}*?")
-                define[gap] = (
-                    ~s.negated_gap if s.negated_gap is not None else F.lit(True)
+        def and_negs(col, negs):
+            for neg in negs:
+                col = col & ~neg
+            return col
+
+        def compile_stages(owner, stages, extra_negs, top):
+            """One stage list -> token list; groups recurse with their
+            until conditions folded into every inner DEFINE (Flink's
+            stop condition halts collection anywhere in the group)."""
+            toks: list[str] = []
+            for s in stages:  # compile is re-runnable: clear derived state
+                s.fold_not = []
+                s.negated_gap = None
+            # Flink ignores greedy on the pattern's TERMINAL stage and
+            # enumerates (GreedyITCase.testEndWithZeroOrMoreGreedy) —
+            # outer chain only; groups are never greedy (builder raises)
+            last_positive = (
+                max(
+                    (
+                        j
+                        for j, st in enumerate(stages)
+                        if st.kind in ("begin", "next", "followed_by", "followed_by_any")
+                    ),
+                    default=-1,
                 )
-                self._lgap_pandas[gap] = ("true", None)
-            elif s.kind == "followed_by_any":
-                # SKIP_TILL_ANY stage gap: under noSkip enumeration the
-                # filler is GREEDY (branch on every candidate event for
-                # this stage); single-match strategies take the highest-
-                # priority branch = minimal gap (reluctant), which is
-                # Flink's first surviving computation
-                gap = f"__gap{gap_n}"
-                gap_n += 1
-                toks.append(f"{gap}*" if emit == "all" else f"{gap}*?")
-                define[gap] = F.lit(True)
-                self._lgap_pandas[gap] = ("true", None)
-            q = s.quant
-            if q is not None and q[2] is True and emit == "all" and i == last_positive:
-                # Flink ignores greedy on the pattern's terminal stage
-                # and enumerates (GreedyITCase.testEndWithZeroOrMoreGreedy)
-                q = (q[0], q[1], None)
-            is_loop = q is not None and (q[0] > 1 or q[1] is None or q[1] > 1)
-            if is_loop and s.fold_not:
-                raise NotImplementedError(
-                    "not_next before a looping stage would fold the negation "
-                    "into every iteration, not just the first event; use "
-                    "not_followed_by() instead"
-                )
-            cond = s.cond
-            for neg in s.fold_not:
-                cond = cond & ~neg
-            if s.until_cond is not None:
-                cond = cond & ~s.until_cond
-            define[s.name] = cond
-            user_syms.append(s.name)
-            if q is None:
-                toks.append(s.name)
-            elif not is_loop or s.loop_mode == "strict":
-                qstr = brace(q[0], q[1])
-                toks.append(
-                    s.name + qstr + (sfx(q[2], (q[0], q[1]) == (0, 1)) if qstr else "")
-                )
-            else:
-                # relaxed / combinations looping: per-iteration filler
-                # (Quantifier.java inner SKIP_TILL_NEXT / SKIP_TILL_ANY)
-                lgap = f"__lgap{gap_n}"
-                gap_n += 1
-                if s.loop_mode == "relaxed":
-                    # may skip only non-matching (and non-stop) events
-                    if s.cond is not None:
-                        gcol = ~s.cond
-                        if s.until_cond is not None:
-                            gcol = gcol & ~s.until_cond
-                        define[lgap] = gcol
-                    else:
-                        define[lgap] = None  # streaming: rebuilt from pandas
-                    self._lgap_pandas[lgap] = ("not_cond", s.pandas_cond)
-                    filler = f"{lgap}*?"
-                else:  # combinations: may skip anything but a stop event
-                    define[lgap] = (
-                        ~s.until_cond if s.until_cond is not None else F.lit(True)
+                if top
+                else -1
+            )
+            i = 0
+            while i < len(stages):
+                s = stages[i]
+                if s.kind in ("not_next", "not_followed_by"):
+                    if s.cond is None and s.pandas_cond is None:
+                        raise ValueError(f"NOT stage {s.name!r} needs a where() condition")
+                    nxt = stages[i + 1] if i + 1 < len(stages) else None
+                    terminal_nf = s.kind == "not_followed_by" and nxt is None and top
+                    if s.cond is None and not terminal_nf:
+                        # only the TERMINAL notFollowedBy (engine
+                        # lookahead) can run from a pandas-only
+                        # predicate; in-chain NOT folds need Catalyst
+                        raise ValueError(
+                            f"NOT stage {s.name!r} needs a Catalyst where() "
+                            "condition (pandas predicates are only supported "
+                            "on a terminal notFollowedBy)"
+                        )
+                    if s.kind == "not_followed_by":
+                        if nxt is None:
+                            if not top:
+                                raise ValueError(
+                                    "notFollowedBy cannot end a group pattern "
+                                    "(MalformedPatternException)"
+                                )
+                            if self._within is None:
+                                raise ValueError(
+                                    "terminal notFollowedBy requires a within() "
+                                    "bound (Flink: NotFollowedBy is not supported "
+                                    "without windowTime as a last part of a "
+                                    "Pattern, Pattern.java:304)"
+                                )
+                            # post-match lookahead: engine terminal_not
+                            self._terminal_not = (s.cond, s.pandas_cond)
+                            i += 1
+                            continue
+                        if nxt.kind == "next":
+                            # no events can lie between the neighbours; the
+                            # constraint is vacuous (matches Flink NFA: the NOT
+                            # state guards the proceed path only)
+                            pass
+                        elif nxt.kind in ("followed_by", "followed_by_any"):
+                            nxt.negated_gap = s.cond
+                            # ALSO: if the gap is empty, the very next event is
+                            # nxt's own — Flink still forbids it satisfying the
+                            # NOT condition only for notNext, not notFollowedBy.
+                        else:
+                            raise ValueError(
+                                f"NOT stage {s.name!r} must be followed by a "
+                                f"positive stage, got {nxt.kind}"
+                            )
+                    else:  # not_next
+                        if nxt is None:
+                            raise NotImplementedError(
+                                "terminal notNext is not expressible without "
+                                "lookahead; end the pattern on a positive stage"
+                            )
+                        if nxt.kind != "next":
+                            raise NotImplementedError(
+                                "not_next folds into a strict next() stage; for a "
+                                "relaxed successor use not_followed_by()"
+                            )
+                        if nxt.group is not None:
+                            raise NotImplementedError(
+                                "not_next before a group pattern is not "
+                                "expressible; guard the group's first stage "
+                                "condition instead"
+                            )
+                        nxt.fold_not.append(s.cond)
+                    i += 1
+                    continue
+
+                if s.group is None and s.cond is None and s.pandas_cond is None:
+                    raise ValueError(f"stage {s.name!r} has no where() condition")
+                if s.kind == "followed_by":
+                    gap = f"__gap{ctx['gap_n']}"
+                    ctx["gap_n"] += 1
+                    toks.append(f"{gap}*?")
+                    gcol = ~s.negated_gap if s.negated_gap is not None else F.lit(True)
+                    define[gap] = and_negs(gcol, extra_negs)
+                    ctx["lgap_pandas"][gap] = ("true", None)
+                fba_pre = ""
+                if s.kind == "followed_by_any":
+                    # SKIP_TILL_ANY stage gap: under noSkip enumeration
+                    # the filler is GREEDY (branch on every candidate
+                    # event for this stage); single-match strategies take
+                    # the highest-priority branch = minimal gap
+                    # (reluctant), Flink's first surviving computation.
+                    # NOT appended to toks: a zero-able/optional stage
+                    # must carry its gap INSIDE the optional wrapper, or
+                    # the absent branch enumerates junk gap lengths.
+                    gap = f"__gap{ctx['gap_n']}"
+                    ctx["gap_n"] += 1
+                    fba_pre = (f"{gap}*" if emit == "all" else f"{gap}*?") + " "
+                    gcol = ~s.negated_gap if s.negated_gap is not None else F.lit(True)
+                    define[gap] = and_negs(gcol, extra_negs)
+                    ctx["lgap_pandas"][gap] = ("true", None)
+                q = s.quant
+                if q is not None and q[2] is True and emit == "all" and i == last_positive:
+                    q = (q[0], q[1], None)
+                is_loop = q is not None and (q[0] > 1 or q[1] is None or q[1] > 1)
+                if is_loop and s.fold_not:
+                    raise NotImplementedError(
+                        "not_next before a looping stage would fold the negation "
+                        "into every iteration, not just the first event; use "
+                        "not_followed_by() instead"
                     )
-                    self._lgap_pandas[lgap] = ("true", None)
-                    filler = f"{lgap}*" if emit == "all" else f"{lgap}*?"
-                lo, hi, g = q
-                inner_lo, inner_hi = max(lo, 1), hi
-                qstr = brace(inner_lo - 1, None if inner_hi is None else inner_hi - 1)
-                rep = f"( {filler} {s.name} )" + qstr + (sfx(g) if qstr else "")
-                body = f"{s.name} {rep}"
-                if lo == 0:  # optional loop: the whole group may be absent
-                    toks.append(f"( {body} )?" + sfx(g, True))
+
+                # ---- the matchable unit: a symbol or a compiled group ----
+                if s.group is not None:
+                    if s.group._within is not None:
+                        raise ValueError(
+                            "within() on a group pattern is unsupported; "
+                            "set it on the outer pattern"
+                        )
+                    inner_negs = list(extra_negs)
+                    if s.until_cond is not None:
+                        inner_negs.append(s.until_cond)
+                    inner = compile_stages(s.group, s.group._stages, tuple(inner_negs), False)
+                    unit = "( " + " ".join(inner) + " )"
+                    first_cond, first_pandas = _first_positive_cond(s.group._stages)
                 else:
-                    toks.append(body)
-            i += 1
+                    if s.name in ctx["names"]:
+                        raise ValueError(f"duplicate stage name {s.name!r} across groups")
+                    ctx["names"].add(s.name)
+                    cond = s.cond
+                    for neg in s.fold_not:
+                        cond = cond & ~neg
+                    if s.until_cond is not None:
+                        cond = cond & ~s.until_cond
+                    if cond is not None:
+                        cond = and_negs(cond, extra_negs)
+                    define[s.name] = cond
+                    user_syms.append(s.name)
+                    unit = s.name
+                    first_cond, first_pandas = s.cond, s.pandas_cond
+
+                zero_lo = q is not None and q[0] == 0
+                if q is None:
+                    core = unit
+                elif not is_loop or s.loop_mode == "strict":
+                    # zero-able quantifiers build their >=1 core and get
+                    # the optional wrapper below (so a followedByAny gap
+                    # can ride inside it)
+                    qstr = brace(max(q[0], 1), q[1])
+                    core = unit + qstr + (sfx(q[2]) if qstr else "")
+                else:
+                    # relaxed / combinations looping: per-iteration filler
+                    # (Quantifier.java inner SKIP_TILL_NEXT/SKIP_TILL_ANY).
+                    # For groups the relaxed filler may not swallow an
+                    # event that could START the next repetition (the
+                    # NFA's ignore guard is the entry state's take
+                    # condition, NFACompiler getIgnoreCondition).
+                    lgap = f"__lgap{ctx['gap_n']}"
+                    ctx["gap_n"] += 1
+                    if s.loop_mode == "relaxed":
+                        if first_cond is not None:
+                            gcol = ~first_cond
+                            if s.until_cond is not None:
+                                gcol = gcol & ~s.until_cond
+                            define[lgap] = and_negs(gcol, extra_negs)
+                        else:
+                            define[lgap] = None  # streaming: rebuilt from pandas
+                        ctx["lgap_pandas"][lgap] = ("not_cond", first_pandas)
+                        filler = f"{lgap}*?"
+                    else:  # combinations: may skip anything but a stop event
+                        gcol = ~s.until_cond if s.until_cond is not None else F.lit(True)
+                        define[lgap] = and_negs(gcol, extra_negs)
+                        ctx["lgap_pandas"][lgap] = ("true", None)
+                        filler = f"{lgap}*" if emit == "all" else f"{lgap}*?"
+                    lo, hi, g = q
+                    inner_lo, inner_hi = max(lo, 1), hi
+                    qstr = brace(inner_lo - 1, None if inner_hi is None else inner_hi - 1)
+                    rep = f"( {filler} {unit} )" + qstr + (sfx(g) if qstr else "")
+                    core = f"{unit} {rep}"
+                if s.opt or zero_lo:
+                    # optional()/times(0,n) wrapper: 0 or quant-many
+                    # occurrences (times(2).optional() is 0-or-2, never
+                    # 1); a followedByAny stage gap belongs INSIDE
+                    g_opt = q[2] if q is not None else None
+                    if q is None and s.group is None and not fba_pre:
+                        tok = unit + "?" + sfx(g_opt, True)
+                    else:
+                        tok = f"( {fba_pre}{core} )?" + sfx(g_opt, True)
+                else:
+                    tok = fba_pre + core
+                toks.append(tok)
+                i += 1
+            return toks
+
+        toks = compile_stages(self, self._stages, (), True)
         if not user_syms:
             raise ValueError("pattern has no positive stages")
         return " ".join(toks), define, user_syms, self._within
@@ -569,9 +700,7 @@ class PatternStream:
         tn = self._pattern._terminal_not  # (catalyst_cond, pandas_cond) | None
         if self._df.isStreaming:
             pandas_define = {}
-            for s in self._pattern._stages:
-                if s.kind in ("not_next", "not_followed_by"):
-                    continue
+            for s in _positive_leaf_stages(self._pattern._stages):
                 if s.pandas_cond is None:
                     raise ValueError(
                         f"streaming CEP needs vectorized pandas predicates; "
@@ -595,9 +724,7 @@ class PatternStream:
                     pandas_define[name] = lambda pdf, f=fn: ~pd.Series(
                         f(pdf), index=pdf.index
                     )
-            for s in self._pattern._stages:
-                if s.kind in ("not_next", "not_followed_by"):
-                    continue
+            for s in _positive_leaf_stages(self._pattern._stages):
                 if s.fold_not or s.until_cond is not None or s.negated_gap is not None:
                     raise NotImplementedError(
                         "NOT folds / until / not_followed_by need Catalyst "
@@ -606,6 +733,12 @@ class PatternStream:
                         "predicate itself"
                     )
                 pandas_define[s.name] = s.pandas_cond
+            for s in self._pattern._stages:
+                if s.group is not None and s.until_cond is not None:
+                    raise NotImplementedError(
+                        "until() on a group pattern needs Catalyst negation; "
+                        "the streaming route takes pandas predicates"
+                    )
             tn_name = None
             if tn is not None:
                 if tn[1] is None:

@@ -609,3 +609,190 @@ def test_builder_compile_round_trips_through_both_parsers(spark):
         parsed = ast_symbols(parse_pattern_ast(pat))
         assert set(parsed) == set(define), (pat, parsed, sorted(define))
         assert set(syms) == {"a", "b"}
+
+
+# ------------------------------------------------ group patterns (GroupPattern)
+
+
+def _grp(spark, vals):
+    return spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(vals)], "k int, pos int, v int"
+    )
+
+
+def _ab():
+    # the ITCases' (a b) group: middle1 followedBy middle2
+    return Pattern.begin("m1").where("v = 1").followed_by("m2").where("v = 2")
+
+
+def _g_rows(df, p, after="no_skip"):
+    out = {}
+    for r in CEP.pattern(df, p, "k", "pos", after_match=after).flat_select().collect():
+        out.setdefault(r["match_id"], []).append(r["pos"])
+    return sorted(tuple(sorted(v)) for v in out.values())
+
+
+C, A, B, D, E = 0, 1, 2, 3, 4  # event-name encoding for the ITCase inputs
+
+
+def test_group_followed_by_quantified(spark):
+    """GroupITCase.testGroupFollowedBy{Times,OneOrMore,ZeroOrMore,
+    Optional} + testFollowedByGroupTimesOptional: quantifiers on a
+    followedBy group, noSkip emission, exact reference match sets."""
+    d = _grp(spark, [C, A, B, A, B, D])
+
+    def chain(q):
+        p = Pattern.begin("s").where("v = 0").followed_by(_ab())
+        p = q(p)
+        return p.followed_by("e").where("v = 3")
+
+    # c (a b){2} d -> {c a1 b1 a2 b2 d}
+    assert _g_rows(d, chain(lambda p: p.times(2))) == [(0, 1, 2, 3, 4, 5)]
+    # c (a b)+ d -> {c a1 b1 d}, {c a1 b1 a2 b2 d}
+    assert _g_rows(d, chain(lambda p: p.one_or_more())) == [
+        (0, 1, 2, 3, 4, 5), (0, 1, 2, 5)
+    ]
+    # c (a b)* d -> + {c d}
+    assert _g_rows(d, chain(lambda p: p.one_or_more().optional())) == [
+        (0, 1, 2, 3, 4, 5), (0, 1, 2, 5), (0, 5)
+    ]
+    # c (a b)? d over c a1 a2 b d -> {c d}, {c a1 b d} (relaxed link
+    # commits to the FIRST group start; a2 never begins a group)
+    d2 = _grp(spark, [C, A, A, B, D])
+    assert _g_rows(d2, chain(lambda p: p.optional())) == [(0, 1, 3, 4), (0, 4)]
+    # c (a b){2}? d over c a d -> only {c d}: times(2).optional() is
+    # 0-or-2 occurrences, and the group cannot complete even once
+    d3 = _grp(spark, [C, A, D])
+    assert _g_rows(d3, chain(lambda p: p.times(2).optional())) == [(0, 2)]
+
+
+def test_group_followed_by_any_quantified(spark):
+    """GroupITCase.testGroupFollowedByAny{TimesCombinations,
+    TimesOptional,OneOrMore}: followedByAny group links branch over
+    every group start; inner contiguity picks combinations vs
+    contiguous repetitions."""
+    d = _grp(spark, [C, A, B, A, B, A, B, D])
+    g1, g2, g3 = (1, 2), (3, 4), (5, 6)
+
+    def chain(q):
+        p = Pattern.begin("s").where("v = 0").followed_by_any(_ab())
+        p = q(p)
+        return p.followed_by("e").where("v = 3")
+
+    # c any (a b){2} allowCombinations d -> rep pairs (1,2),(1,3),(2,3)
+    assert _g_rows(d, chain(lambda p: p.times(2).allow_combinations())) == sorted(
+        [(0, *g1, *g2, 7), (0, *g1, *g3, 7), (0, *g2, *g3, 7)]
+    )
+    # c any (a b){2}? d (relaxed inner) -> {c d} + contiguous pairs
+    assert _g_rows(d, chain(lambda p: p.times(2).optional())) == sorted(
+        [(0, 7), (0, *g1, *g2, 7), (0, *g2, *g3, 7)]
+    )
+    # c any (a b){1,} d -> every contiguous repetition interval
+    assert _g_rows(d, chain(lambda p: p.one_or_more())) == sorted(
+        [
+            (0, *g1, 7), (0, *g2, 7), (0, *g3, 7),
+            (0, *g1, *g2, 7), (0, *g2, *g3, 7), (0, *g1, *g2, *g3, 7),
+        ]
+    )
+
+
+def test_group_next_and_begin(spark):
+    """GroupITCase.testGroupNextZeroOrMore (strict link to the group) +
+    testGroupBegin (a pattern sequence STARTING with a group)."""
+    d = _grp(spark, [C, A, B, A, B, A, B, D])
+    p = (
+        Pattern.begin("s").where("v = 0")
+        .next(_ab()).one_or_more().optional()
+        .followed_by("e").where("v = 3")
+    )
+    assert _g_rows(d, p) == sorted(
+        [(0, 7), (0, 1, 2, 7), (0, 1, 2, 3, 4, 7), (0, 1, 2, 3, 4, 5, 6, 7)]
+    )
+
+    # (a b){1,2} d over a b a b d -> starts at both groups + the pair
+    d2 = _grp(spark, [A, B, A, B, D])
+    p2 = Pattern.begin(_ab()).times(1, 2).followed_by("e").where("v = 3")
+    assert _g_rows(d2, p2) == sorted([(0, 1, 4), (2, 3, 4), (0, 1, 2, 3, 4)])
+
+
+def test_group_not_followed_by(spark):
+    """GroupITCase.testGroupNotFollowedBy: c any(a b) ^d e over
+    'c a1 b1 d a2 b2 e' — the (a1 b1) branch dies on the d between it
+    and e; only {c a2 b2 e} survives."""
+    d = _grp(spark, [C, A, B, D, A, B, E])
+    p = (
+        Pattern.begin("s").where("v = 0")
+        .followed_by_any(_ab())
+        .not_followed_by("n").where("v = 3")
+        .followed_by("e").where("v = 4")
+    )
+    assert _g_rows(d, p) == [(0, 4, 5, 6)]
+
+
+def test_group_nested(spark):
+    """GroupITCase.testGroupNest: d (a (b c)*)? e over
+    'd a b c b c e' — nested group loop enumerates its prefixes inside
+    the optional outer group."""
+    d = _grp(spark, [3, 0, 1, 2, 1, 2, 4])  # d=3 a=0 b=1 c=2 e=4
+    inner = Pattern.begin("b").where("v = 1").followed_by("c2").where("v = 2")
+    mid = (
+        Pattern.begin("a").where("v = 0")
+        .followed_by(inner).one_or_more().optional()
+    )
+    p = (
+        Pattern.begin("s").where("v = 3")
+        .followed_by(mid).optional()
+        .followed_by("e").where("v = 4")
+    )
+    assert _g_rows(d, p) == sorted(
+        [(0, 6), (0, 1, 6), (0, 1, 2, 3, 6), (0, 1, 2, 3, 4, 5, 6)]
+    )
+
+
+def test_group_one_or_more_with_until(spark):
+    """GroupITCase.testGroupFollowedByOneOrMoreWithUntilCondition:
+    c (a b)+ until(d) d — identical match set to the plain oneOrMore
+    ITCase on this input (the stop event is also the end stage)."""
+    d = _grp(spark, [C, A, B, A, B, D])
+    p = (
+        Pattern.begin("s").where("v = 0")
+        .followed_by(_ab()).one_or_more().until("v = 3")
+        .followed_by("e").where("v = 3")
+    )
+    assert _g_rows(d, p) == [(0, 1, 2, 3, 4, 5), (0, 1, 2, 5)]
+
+
+def test_group_builder_guards(spark):
+    """GroupPattern.java guard parity: where/or on a group raises;
+    greedy() on a group raises (MalformedPatternException)."""
+    g = _ab()
+    p = Pattern.begin("s").where("v = 0").followed_by(g)
+    with pytest.raises(ValueError, match="GroupPattern does not support where"):
+        p.where("v = 9")
+    with pytest.raises(ValueError, match="GroupPattern does not support or"):
+        p.or_("v = 9")
+    with pytest.raises(ValueError, match="not applicable to group"):
+        p.one_or_more().greedy()
+    with pytest.raises(ValueError, match="Optional already applied"):
+        Pattern.begin("a").where("v=1").optional().optional()
+
+
+def test_times_optional_is_zero_or_exact(spark):
+    """Flink semantics fix: times(2).optional() means 0 OR 2
+    occurrences — one lone occurrence must NOT match (previously
+    compiled to {0,2} which admits 1)."""
+    d = _df(spark, [1, 2, 3])  # a, one b, then c
+    p = (
+        Pattern.begin("a").where("v = 1")
+        .next("b").where("v = 2").times(2).optional().consecutive()
+        .next("c").where("v = 3")
+    )
+    # b appears ONCE: only the 0-occurrence branch could match, and it
+    # requires c directly after a (strict next), which fails -> nothing
+    assert _matches(CEP.pattern(d, p, "k", "pos", after_match="no_skip")) == []
+    d2 = _df(spark, [1, 3])
+    assert _g_rows(d2, p) == [(0, 1)]  # zero-occurrence branch
+    d3 = _df(spark, [1, 2, 2, 3])
+    # exactly two b's: the 2-branch matches; the 0-branch needs c at
+    # pos 1 (strict) and fails
+    assert _g_rows(d3, p) == [(0, 1, 2, 3)]
