@@ -41,6 +41,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # older than round 3; the next-stalest r3 entries follow (inert
     # beyond slot 50, queued for the round-9 rotation).
     "q_cep_relaxed_loop",
+    "q_cep_followed_by_any",
     "q_in_subquery",
     "q_scalar_subquery",
     "q_correlated_subquery",

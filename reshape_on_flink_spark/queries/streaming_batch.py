@@ -790,6 +790,72 @@ def q_cep_relaxed_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# followedByAny under noSkip (round-8 fluent surface: SKIP_TILL_ANY
+# stage contiguity, Pattern.java:322): signup followedByAny purchase
+# WITHIN 3 days — the gap may skip MATCHING events, so EVERY purchase
+# inside the window yields its own match, which is exactly the
+# (signup x purchase) interval pair join: an exact relational oracle.
+# Contrast: plain followed_by would emit only the FIRST purchase.
+# Order column is integer epoch-seconds (ns-vs-us-proof).
+# ---------------------------------------------------------------------------
+@query(
+    "q_cep_followed_by_any",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT),
+                                         event_id) AS rn
+      FROM events
+    ),
+    pairs AS (
+      SELECT s.user_id, s.rn AS s_rn
+      FROM seq s
+      JOIN seq p ON p.user_id = s.user_id AND p.rn > s.rn
+      WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+        AND p.sec < s.sec + 259200
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(COUNT(DISTINCT s_rn) AS BIGINT) AS n_signups
+    FROM pairs
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_cep_followed_by_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.api.cep import CEP, Pattern, sym
+
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select("user_id", "ts", "event_id", "event_type")
+        .withColumn("sec", F.col("ts").cast("long"))
+    )
+    pat = (
+        Pattern.begin("s").where(F.col("event_type") == "signup")
+        .followed_by_any("p").where(F.col("event_type") == "purchase")
+        .within(259200)
+    )
+    rows = CEP.pattern(
+        ev, pat, "user_id", ["sec", "event_id"], after_match="no_skip"
+    ).flat_select()
+    per_match = rows.groupBy("user_id", "match_id").agg(
+        F.min(F.when(F.col("matched_symbol") == "s", F.col("sec"))).alias("s_sec"),
+        F.min(F.when(F.col("matched_symbol") == "s", F.col("event_id"))).alias(
+            "s_eid"
+        ),
+    )
+    return (
+        per_match.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.countDistinct("s_sec", "s_eid").cast("bigint").alias("n_signups"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Nested-group MATCH_RECOGNIZE: (V C)+ P — view/click pairs repeating as
 # a *unit*, closed by a purchase (the pattern shape Flink's NFA handles
 # via group states; our generic AST matcher). The relational oracle is
