@@ -65,6 +65,10 @@ HEADLINE = [
     # the h-index coreness fixed point (iterative graph family)
     "q_cep_fluent",
     "q_graph_coreness",
+    # round-8: noSkip loop enumeration + SKIP_TILL_ANY stage contiguity
+    # (both WITHIN-bounded; the enumerator's cost model under load)
+    "q_cep_relaxed_loop",
+    "q_cep_followed_by_any",
 ]
 
 
