@@ -796,3 +796,88 @@ def test_times_optional_is_zero_or_exact(spark):
     # exactly two b's: the 2-branch matches; the 0-branch needs c at
     # pos 1 (strict) and fails
     assert _g_rows(d3, p) == [(0, 1, 2, 3)]
+
+
+# ---------------------------------- UntilConditionITCase / TimesRangeITCase
+
+
+def _ev_df(spark, rows):
+    """rows: (nm, pr) — name-class and price per event, pos = index."""
+    return spark.createDataFrame(
+        [(1, i, nm, pr) for i, (nm, pr) in enumerate(rows)],
+        "k int, pos int, nm int, pr int",
+    )
+
+
+def test_until_condition_itcase_matrix(spark):
+    """UntilConditionITCase tests 1-7: pattern c (a)+/* until(price=5)
+    followedBy end(price=5) across relaxed / allowCombinations /
+    consecutive inner contiguity and the zeroOrMore (optional) variants
+    — exact reference match sets under noSkip."""
+    C, A, B = 0, 1, 2
+
+    def build(mode, optional):
+        p = (
+            Pattern.begin("s").where("nm = 0")
+            .followed_by("m").where("nm = 1").one_or_more()
+        )
+        if mode == "comb":
+            p = p.allow_combinations()
+        elif mode == "strict":
+            p = p.consecutive()
+        if optional:
+            p = p.optional()
+        return p.until("pr = 5").followed_by("e").where("pr = 5")
+
+    def got(df, mode, optional=False):
+        return _g_rows(df, build(mode, optional))
+
+    # input: c a(2) a(3) BRK(a,5) a(6)
+    d1 = _ev_df(spark, [(C, 1), (A, 2), (A, 3), (A, 5), (A, 6)])
+    # 1: relaxed oneOrMore -> {c m1 m2 brk}, {c m1 brk}
+    assert got(d1, "relaxed") == sorted([(0, 1, 2, 3), (0, 1, 3)])
+    # 3: consecutive -> same sets on this input
+    assert got(d1, "strict") == sorted([(0, 1, 2, 3), (0, 1, 3)])
+    # 5/7: zeroOrMore adds the empty-loop {c brk}
+    assert got(d1, "relaxed", True) == sorted([(0, 1, 2, 3), (0, 1, 3), (0, 3)])
+    assert got(d1, "strict", True) == sorted([(0, 1, 2, 3), (0, 1, 3), (0, 3)])
+
+    # 2/6: input c a(2) a(3) a(4) BRK(5) a(6) — combinations over
+    # {m2,m3} on top of the forced m1
+    d2 = _ev_df(spark, [(C, 1), (A, 2), (A, 3), (A, 4), (A, 5), (A, 6)])
+    assert got(d2, "comb") == sorted(
+        [(0, 1, 2, 3, 4), (0, 1, 2, 4), (0, 1, 3, 4), (0, 1, 4)]
+    )
+    assert got(d2, "comb", True) == sorted(
+        [(0, 1, 2, 3, 4), (0, 1, 2, 4), (0, 1, 3, 4), (0, 1, 4), (0, 4)]
+    )
+
+    # 4: consecutive2 — input c a(2) b(3) a(4) BRK(5) a(6): the b
+    # breaks the strict run after m1; the relaxed stage gap has already
+    # committed to m1, so only {c m1 brk}
+    d3 = _ev_df(spark, [(C, 1), (A, 2), (B, 3), (A, 4), (A, 5), (A, 6)])
+    assert got(d3, "strict") == [(0, 1, 4)]
+
+
+def test_times_range_itcase(spark):
+    """TimesRangeITCase.testTimesRange / testTimesRangeFromZero:
+    strict-linked times(lo,hi).allowCombinations() — every subset of
+    the candidate set containing the strict first element, sized within
+    the bounds; lo=0 adds the empty branch."""
+    d = _df(spark, [1, 2, 2, 2, 3])  # c a1 a2 a3 b
+
+    def build(lo, hi):
+        return (
+            Pattern.begin("s").where("v = 1")
+            .next("m").where("v = 2").times(lo, hi).allow_combinations()
+            .followed_by("e").where("v = 3")
+        )
+
+    # times(1,3): {a1 a2 a3}, {a1 a2}, {a1 a3}, {a1}
+    assert _g_rows(d, build(1, 3)) == sorted(
+        [(0, 1, 2, 3, 4), (0, 1, 2, 4), (0, 1, 3, 4), (0, 1, 4)]
+    )
+    # times(0,2): {a1 a2}, {a1 a3}, {a1}, {}
+    assert _g_rows(d, build(0, 2)) == sorted(
+        [(0, 1, 2, 4), (0, 1, 3, 4), (0, 1, 4), (0, 4)]
+    )
