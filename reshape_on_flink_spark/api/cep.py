@@ -550,6 +550,13 @@ class Pattern:
                     ctx["gap_n"] += 1
                     toks.append(f"{gap}*?")
                     gcol = ~s.negated_gap if s.negated_gap is not None else F.lit(True)
+                    if s.until_cond is not None:
+                        # the stop condition guards the WAITING loop
+                        # branch too: an until-event before the first
+                        # loop element kills it (GreedyITCase.
+                        # testGreedyUntilOneOrMoreWithDummyEventsBefore-
+                        # Quantifier expects no match)
+                        gcol = gcol & ~s.until_cond
                     define[gap] = and_negs(gcol, extra_negs)
                     ctx["lgap_pandas"][gap] = ("true", None)
                 fba_pre = ""
@@ -566,6 +573,8 @@ class Pattern:
                     ctx["gap_n"] += 1
                     fba_pre = (f"{gap}*" if emit == "all" else f"{gap}*?") + " "
                     gcol = ~s.negated_gap if s.negated_gap is not None else F.lit(True)
+                    if s.until_cond is not None:
+                        gcol = gcol & ~s.until_cond  # see followed_by above
                     define[gap] = and_negs(gcol, extra_negs)
                     ctx["lgap_pandas"][gap] = ("true", None)
                 q = s.quant

@@ -881,3 +881,113 @@ def test_times_range_itcase(spark):
     assert _g_rows(d, build(0, 2)) == sorted(
         [(0, 1, 2, 4), (0, 1, 3, 4), (0, 1, 4), (0, 4)]
     )
+
+
+# -------------------------------------------------------------- GreedyITCase
+
+
+def test_greedy_itcase_matrix(spark):
+    """GreedyITCase core rows: greedy() commits each start to its
+    longest expansion (relaxed gaps skip the 'dummy' rows), EXCEPT on
+    the pattern's terminal stage where Flink enumerates."""
+    # nm: c=0 a=1 d=2 dummy=9
+    C, A, D, X = 0, 1, 2, 9
+
+    def chain(q, end=True):
+        p = Pattern.begin("s").where("nm = 0").followed_by("m").where("nm = 1")
+        p = q(p)
+        return p.followed_by("e").where("nm = 2") if end else p
+
+    def got(rows, p):
+        return _g_rows(
+            spark.createDataFrame(
+                [(1, i, nm) for i, nm in enumerate(rows)], "k int, pos int, nm int"
+            ),
+            p,
+        )
+
+    # testGreedyOneOrMore / ZeroOrMore: longest only
+    assert got([C, A, A, A, D], chain(lambda p: p.one_or_more().greedy())) == [
+        (0, 1, 2, 3, 4)
+    ]
+    assert got(
+        [C, A, A, A, D], chain(lambda p: p.one_or_more().optional().greedy())
+    ) == [(0, 1, 2, 3, 4)]
+    # ...InBetween: dummies between the a's are skipped, still longest
+    assert got(
+        [C, X, A, X, A, X, A, D], chain(lambda p: p.one_or_more().greedy())
+    ) == [(0, 2, 4, 6, 7)]
+    # ...WithDummyEventsAfterQuantifier: trailing dummy before d
+    assert got([C, A, A, X, D], chain(lambda p: p.one_or_more().greedy())) == [
+        (0, 1, 2, 4)
+    ]
+    # ...WithDummyEventsBeforeQuantifier: no a at all — oneOrMore dies,
+    # zeroOrMore emits the empty-loop match
+    assert got([C, X, D], chain(lambda p: p.one_or_more().greedy())) == []
+    assert got(
+        [C, X, D], chain(lambda p: p.one_or_more().optional().greedy())
+    ) == [(0, 2)]
+    # testGreedyTimesRange: times(2,5).greedy -> longest within bounds
+    assert got(
+        [C, A, A, A, A, D], chain(lambda p: p.times(2, 5).greedy())
+    ) == [(0, 1, 2, 3, 4, 5)]
+
+    # terminal-stage exception (testEndWithZeroOrMoreGreedy /
+    # ...ConsecutiveGreedy / testEndWithGreedyTimesRange): greedy on the
+    # LAST stage is ignored — every expansion is emitted
+    assert got(
+        [C, A, A, X, A],
+        chain(lambda p: p.one_or_more().optional().greedy(), end=False),
+    ) == sorted([(0,), (0, 1), (0, 1, 2), (0, 1, 2, 4)])
+    assert got(
+        [C, A, A, X, A],
+        chain(lambda p: p.one_or_more().optional().consecutive().greedy(), end=False),
+    ) == sorted([(0,), (0, 1), (0, 1, 2)])
+    assert got(
+        [C, A, A, A, A, X],
+        chain(lambda p: p.times(2, 5).greedy(), end=False),
+    ) == sorted([(0, 1, 2), (0, 1, 2, 3), (0, 1, 2, 3, 4)])
+
+
+def test_greedy_until_itcase(spark):
+    """GreedyITCase until rows: the stop condition excludes its event
+    from the loop AND kills the waiting loop branch when it arrives
+    before the first loop element (zeroOrMore's empty branch survives)."""
+    # (nm, pr): c=(0,1), a=(1,pr), d=(2,3); until: pr > 3
+    def build(optional):
+        p = Pattern.begin("s").where("nm = 0").followed_by("m").where("nm = 1")
+        p = p.one_or_more()
+        if optional:
+            p = p.optional()
+        return (
+            p.greedy().until("pr > 3").followed_by("e").where("nm = 2")
+        )
+
+    # ...AfterQuantifier: c a(2) a(3) a(3) STOP(a,4) d -> loop takes the
+    # three sub-stop a's, the gap to d skips the stop event
+    d1 = _ev_df(spark, [(0, 1), (1, 2), (1, 3), (1, 3), (1, 4), (2, 3)])
+    assert _g_rows(d1, build(False)) == [(0, 1, 2, 3, 5)]
+    # ...BeforeQuantifier: c STOP(a,4) a(2) a(3) a(3) d -> the stop
+    # arrives before any loop element: oneOrMore dead, zeroOrMore {c d}
+    d2 = _ev_df(spark, [(0, 1), (1, 4), (1, 2), (1, 3), (1, 3), (2, 3)])
+    assert _g_rows(d2, build(False)) == []
+    assert _g_rows(d2, build(True)) == [(0, 5)]
+
+
+def test_greedy_before_group_pattern(spark):
+    """GreedyITCase.testGreedyZeroOrMoreBeforeGroupPattern: a greedy
+    zero-or-more feeding a times(2) group — one match, the loop longest
+    and both group repetitions consumed."""
+    # nm: c=0 a=1 d=2 e=3 f=4 dummy=9
+    rows = [0, 1, 1, 9, 1, 2, 3, 2, 3, 4]
+    d = spark.createDataFrame(
+        [(1, i, nm) for i, nm in enumerate(rows)], "k int, pos int, nm int"
+    )
+    grp = Pattern.begin("d").where("nm = 2").followed_by("e2").where("nm = 3")
+    p = (
+        Pattern.begin("s").where("nm = 0")
+        .followed_by("m").where("nm = 1").one_or_more().optional().greedy()
+        .followed_by(grp).times(2)
+        .followed_by("f").where("nm = 4")
+    )
+    assert _g_rows(d, p) == [(0, 1, 2, 4, 5, 6, 7, 8, 9)]
