@@ -103,6 +103,7 @@ from dataclasses import dataclass, field
 from typing import Callable
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from reshape_on_flink_spark.operators.cep import (
@@ -136,6 +137,10 @@ class _Stage:
     until_cond: Column | None = None
     negated_gap: Column | None = None  # set on the stage FOLLOWING a not_followed_by
     fold_not: list = field(default_factory=list)  # conds folded in from not_next
+    # not_next before a RELAXED successor: (catalyst, pandas) negations
+    # applied to this (preceding singleton) stage's immediate successor
+    # row via a lead/shift(-1) lookahead
+    lead_not: list = field(default_factory=list)
     # group pattern (GroupPattern.java): a sub-Pattern standing in for
     # the stage's condition; quantifiers/contiguity apply to the group
     group: "Pattern | None" = None
@@ -385,10 +390,16 @@ class Pattern:
 
     # -- compile ------------------------------------------------------
     def compile(
-        self, emit: str = "first"
+        self, emit: str = "first", lookahead_window=None
     ) -> tuple[str, dict[str, Column], list[str], str | float | None]:
         """-> (pattern_string, define, user_symbols, within). Raises on
         chains the engine cannot express (loudly, with the reason).
+
+        ``lookahead_window``: a Spark Window (partitioned by the scan
+        keys, ordered by the scan order) used to fold ``not_next``
+        before a RELAXED successor into the preceding stage via
+        ``F.lead`` — required only for such chains;
+        :meth:`PatternStream._run` supplies it automatically.
 
         ``emit`` resolves Flink-default (``greedy=None``) quantifiers:
 
@@ -457,6 +468,7 @@ class Pattern:
             for s in stages:  # compile is re-runnable: clear derived state
                 s.fold_not = []
                 s.negated_gap = None
+                s.lead_not = []
             # Flink ignores greedy on the pattern's TERMINAL stage and
             # enumerates (GreedyITCase.testEndWithZeroOrMoreGreedy) —
             # outer chain only; groups are never greedy (builder raises)
@@ -480,14 +492,21 @@ class Pattern:
                         raise ValueError(f"NOT stage {s.name!r} needs a where() condition")
                     nxt = stages[i + 1] if i + 1 < len(stages) else None
                     terminal_nf = s.kind == "not_followed_by" and nxt is None and top
-                    if s.cond is None and not terminal_nf:
-                        # only the TERMINAL notFollowedBy (engine
-                        # lookahead) can run from a pandas-only
-                        # predicate; in-chain NOT folds need Catalyst
+                    relaxed_nn = (
+                        s.kind == "not_next"
+                        and nxt is not None
+                        and nxt.kind in ("followed_by", "followed_by_any")
+                    )
+                    if s.cond is None and not (terminal_nf or relaxed_nn):
+                        # the TERMINAL notFollowedBy and the lead-folded
+                        # relaxed not_next can run from pandas-only
+                        # predicates (streaming); other NOT folds need
+                        # a Catalyst Column
                         raise ValueError(
                             f"NOT stage {s.name!r} needs a Catalyst where() "
                             "condition (pandas predicates are only supported "
-                            "on a terminal notFollowedBy)"
+                            "on a terminal notFollowedBy or a not_next with "
+                            "a relaxed successor)"
                         )
                     if s.kind == "not_followed_by":
                         if nxt is None:
@@ -528,23 +547,61 @@ class Pattern:
                                 "terminal notNext is not expressible without "
                                 "lookahead; end the pattern on a positive stage"
                             )
-                        if nxt.kind != "next":
-                            raise NotImplementedError(
-                                "not_next folds into a strict next() stage; for a "
-                                "relaxed successor use not_followed_by()"
+                        if nxt.kind == "next":
+                            if nxt.group is not None:
+                                raise NotImplementedError(
+                                    "not_next before a group pattern is not "
+                                    "expressible; guard the group's first "
+                                    "stage condition instead"
+                                )
+                            nxt.fold_not.append(s.cond)
+                        else:
+                            # relaxed successor (NotPatternITCase.
+                            # testNotNext): the constraint is on the row
+                            # DIRECTLY AFTER the preceding stage — fold
+                            # it there via a lead()/shift(-1) lookahead
+                            prev = next(
+                                (
+                                    stages[j]
+                                    for j in range(i - 1, -1, -1)
+                                    if stages[j].kind
+                                    not in ("not_next", "not_followed_by")
+                                ),
+                                None,
                             )
-                        if nxt.group is not None:
-                            raise NotImplementedError(
-                                "not_next before a group pattern is not "
-                                "expressible; guard the group's first stage "
-                                "condition instead"
-                            )
-                        nxt.fold_not.append(s.cond)
+                            if prev is None:
+                                raise ValueError(
+                                    f"not_next stage {s.name!r} has no "
+                                    "preceding positive stage"
+                                )
+                            if (
+                                prev.group is not None
+                                or prev.quant is not None
+                                or prev.opt
+                            ):
+                                raise NotImplementedError(
+                                    "not_next after a quantified/optional/"
+                                    "group stage needs a last-element "
+                                    "lookahead the compile lacks; use "
+                                    "not_followed_by() or restructure"
+                                )
+                            prev.lead_not.append((s.cond, s.pandas_cond))
                     i += 1
                     continue
 
                 if s.group is None and s.cond is None and s.pandas_cond is None:
                     raise ValueError(f"stage {s.name!r} has no where() condition")
+                if s.negated_gap is not None and (
+                    s.opt or (s.quant is not None and s.quant[0] == 0)
+                ):
+                    raise NotImplementedError(
+                        "notFollowedBy before an optional/zero-able stage "
+                        "extends its scope through the absent branch to the "
+                        "following stage (NotPatternITCase."
+                        "testNotFollowedByBeforeOptional); that branch "
+                        "conditioning is not expressible here — make the "
+                        "stage mandatory or restructure"
+                    )
                 if s.kind == "followed_by":
                     gap = f"__gap{ctx['gap_n']}"
                     ctx["gap_n"] += 1
@@ -673,6 +730,28 @@ class Pattern:
         toks = compile_stages(self, self._stages, (), True)
         if not user_syms:
             raise ValueError("pattern has no positive stages")
+        # not_next before a relaxed successor: fold the negation into the
+        # preceding stage's define via a next-row lookahead (the event
+        # DIRECTLY after it must not satisfy the NOT condition)
+        for st in _positive_leaf_stages(self._stages):
+            if not st.lead_not:
+                continue
+            if lookahead_window is None:
+                raise ValueError(
+                    "not_next before a relaxed successor needs the scan "
+                    "keys/order for its lead() lookahead — run the pattern "
+                    "via CEP.pattern(...), or pass lookahead_window= to "
+                    "compile()"
+                )
+            if any(c is None for c, _p in st.lead_not) or define[st.name] is None:
+                define[st.name] = None  # streaming: rebuilt from pandas
+                continue
+            neg = st.lead_not[0][0]
+            for c, _p in st.lead_not[1:]:
+                neg = neg | c
+            define[st.name] = define[st.name] & ~F.coalesce(
+                F.lead(neg, 1).over(lookahead_window), F.lit(False)
+            )
         return " ".join(toks), define, user_syms, self._within
 
 
@@ -704,7 +783,8 @@ class PatternStream:
         stages = self._pattern._stages
         has_tn = bool(stages) and stages[-1].kind == "not_followed_by"
         pat, define, user_syms, within = self._pattern.compile(
-            emit="all" if (self._after == "no_skip" or has_tn) else "first"
+            emit="all" if (self._after == "no_skip" or has_tn) else "first",
+            lookahead_window=W.partitionBy(*self._keys).orderBy(*self._order),
         )
         tn = self._pattern._terminal_not  # (catalyst_cond, pandas_cond) | None
         if self._df.isStreaming:
@@ -741,7 +821,28 @@ class PatternStream:
                         "predicates — express the negation inside the "
                         "predicate itself"
                     )
-                pandas_define[s.name] = s.pandas_cond
+                if s.lead_not:
+                    # relaxed not_next: next-row lookahead via shift(-1)
+                    negs = [p for _c, p in s.lead_not]
+                    if any(p is None for p in negs):
+                        raise ValueError(
+                            "streaming not_next needs a vectorized pandas "
+                            "predicate on the NOT stage"
+                        )
+
+                    def _lead_wrapped(pdf, base=s.pandas_cond, negs=negs):
+                        import pandas as pd
+
+                        n = pd.Series(negs[0](pdf), index=pdf.index)
+                        for f in negs[1:]:
+                            n = n | pd.Series(f(pdf), index=pdf.index)
+                        return pd.Series(base(pdf), index=pdf.index) & ~n.shift(
+                            -1, fill_value=False
+                        )
+
+                    pandas_define[s.name] = _lead_wrapped
+                else:
+                    pandas_define[s.name] = s.pandas_cond
             for s in self._pattern._stages:
                 if s.group is not None and s.until_cond is not None:
                     raise NotImplementedError(

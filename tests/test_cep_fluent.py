@@ -97,11 +97,32 @@ def test_compile_rejections(spark):
     # terminal notFollowedBy is legal ONLY with within (Pattern.java:304)
     with pytest.raises(ValueError, match="within"):
         Pattern.begin("a").where("v=1").not_followed_by("n").where("v=9").compile()
-    with pytest.raises(NotImplementedError, match="not_followed_by"):
+    # not_next before a relaxed successor lead-folds into the preceding
+    # stage — a bare compile() lacks the scan keys for the lookahead
+    with pytest.raises(ValueError, match="lookahead"):
         (
             Pattern.begin("a").where("v=1")
             .not_next("n").where("v=9")
             .followed_by("b").where("v=2")
+            .compile()
+        )
+    # ...and after a quantified stage it still raises (no last-element
+    # lookahead)
+    with pytest.raises(NotImplementedError, match="not_next after"):
+        (
+            Pattern.begin("a").where("v=1").one_or_more()
+            .not_next("n").where("v=9")
+            .followed_by("b").where("v=2")
+            .compile()
+        )
+    # notFollowedBy before an optional stage: scope extends through the
+    # absent branch — unsupported, loud
+    with pytest.raises(NotImplementedError, match="optional"):
+        (
+            Pattern.begin("a").where("v=1")
+            .not_followed_by("n").where("v=9")
+            .followed_by("b").where("v=2").optional()
+            .followed_by("c").where("v=3")
             .compile()
         )
     with pytest.raises(ValueError, match="no where"):
@@ -991,3 +1012,103 @@ def test_greedy_before_group_pattern(spark):
         .followed_by("f").where("nm = 4")
     )
     assert _g_rows(d, p) == [(0, 1, 2, 4, 5, 6, 7, 8, 9)]
+
+
+# ----------------------------------------------------------- NotPatternITCase
+
+
+def test_not_pattern_itcase_matrix(spark):
+    """NotPatternITCase ports: testNotNext (relaxed successor via the
+    lead-lookahead fold), testNotNextNoMatches, testNotFollowedBy
+    (followedByAny successor), testNotFollowedByWithBranchingAtStart."""
+    # nm: a=0 b=1 c=2 d=3
+    A, B, C, D = 0, 1, 2, 3
+
+    def nm_df(rows):
+        return spark.createDataFrame(
+            [(1, i, nm) for i, nm in enumerate(rows)], "k int, pos int, nm int"
+        )
+
+    # testNotNext: a ^b c(any) d over 'a c1 b c2 d' — the row after a is
+    # c1 (not b), so BOTH c candidates match
+    p = (
+        Pattern.begin("s").where("nm = 0")
+        .not_next("n").where("nm = 1")
+        .followed_by_any("m").where("nm = 2")
+        .followed_by("e").where("nm = 3")
+    )
+    assert _g_rows(nm_df([A, C, B, C, D]), p) == sorted([(0, 1, 4), (0, 3, 4)])
+
+    # testNotNextNoMatches: a ^b c c d over 'a b c c d' — b directly
+    # after a kills every start
+    p2 = (
+        Pattern.begin("s").where("nm = 0")
+        .not_next("n").where("nm = 1")
+        .followed_by("m1").where("nm = 2")
+        .followed_by("m2").where("nm = 2")
+        .followed_by("e").where("nm = 3")
+    )
+    assert _g_rows(nm_df([A, B, C, C, D]), p2) == []
+
+    # testNotFollowedBy: a ^b c(any) d over 'a c1 b c2 d' — the gap to
+    # c2 contains the b, so only the c1 branch survives
+    p3 = (
+        Pattern.begin("s").where("nm = 0")
+        .not_followed_by("n").where("nm = 1")
+        .followed_by_any("m").where("nm = 2")
+        .followed_by("e").where("nm = 3")
+    )
+    assert _g_rows(nm_df([A, C, B, C, D]), p3) == [(0, 1, 4)]
+
+    # testNotFollowedByWithBranchingAtStart: 'a1 b c1 a2 c2 d' — a1's
+    # gap to any c crosses the b; only {a2 c2 d}
+    p4 = (
+        Pattern.begin("s").where("nm = 0")
+        .not_followed_by("n").where("nm = 1")
+        .followed_by("m").where("nm = 2")
+        .followed_by("e").where("nm = 3")
+    )
+    assert _g_rows(nm_df([A, B, C, A, C, D]), p4) == [(3, 4, 5)]
+
+
+def test_not_next_relaxed_streaming_equals_batch(spark, tmp_dir):
+    """The lead-lookahead not_next fold on the streaming route
+    (shift(-1) pandas wrap) == batch."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    values = [0, 2, 1, 2, 3, 0, 1, 2, 3, 0, 2, 3]
+    df = spark.createDataFrame(
+        [(1, i, nm) for i, nm in enumerate(values)], "k int, pos int, nm int"
+    )
+    batch_p = (
+        Pattern.begin("s").where("nm = 0")
+        .not_next("n").where("nm = 1")
+        .followed_by("m").where("nm = 2")
+        .followed_by("e").where("nm = 3")
+    )
+    expected = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in CEP.pattern(df, batch_p, "k", "pos").flat_select().collect()
+    )
+    assert len(expected) >= 6  # two surviving starts, one killed by ^b
+
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "cep_nn"), n_chunks=4, order_col="pos"
+    )
+    stream_p = (
+        Pattern.begin("s").where(lambda pdf: pdf["nm"] == 0)
+        .not_next("n").where(lambda pdf: pdf["nm"] == 1)
+        .followed_by("m").where(lambda pdf: pdf["nm"] == 2)
+        .followed_by("e").where(lambda pdf: pdf["nm"] == 3)
+    )
+    sdf = CEP.pattern(stream, stream_p, "k", "pos").flat_select()
+    got = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in run_to_memory(
+            spark, sdf, "cep_nn_out", tmp_dir, mode="append"
+        ).collect()
+    )
+    assert got == expected
