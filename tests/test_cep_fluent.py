@@ -1112,3 +1112,51 @@ def test_not_next_relaxed_streaming_equals_batch(spark, tmp_dir):
         ).collect()
     )
     assert got == expected
+
+
+def test_group_pattern_streaming_equals_batch(spark, tmp_dir):
+    """Group patterns on the STREAMING route: the group-loop '__lgap'
+    filler rebuilds from the group's first-stage pandas predicate;
+    result equals batch."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    # c (a b)+ d twice over, with noise: 0=(c) 1=(a) 2=(b) 3=(d) 9=noise
+    values = [0, 1, 2, 1, 2, 3, 9, 0, 1, 2, 3]
+    df = spark.createDataFrame(
+        [(1, i, v) for i, v in enumerate(values)], "k int, pos int, v int"
+    )
+    batch_p = (
+        Pattern.begin("s").where("v = 0")
+        .followed_by(
+            Pattern.begin("m1").where("v = 1").followed_by("m2").where("v = 2")
+        ).one_or_more()
+        .followed_by("e").where("v = 3")
+    )
+    expected = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in CEP.pattern(df, batch_p, "k", "pos").flat_select().collect()
+    )
+    assert len(expected) >= 8  # two tiled matches, loop engaged
+
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "cep_grp"), n_chunks=4, order_col="pos"
+    )
+    stream_p = (
+        Pattern.begin("s").where(lambda pdf: pdf["v"] == 0)
+        .followed_by(
+            Pattern.begin("m1").where(lambda pdf: pdf["v"] == 1)
+            .followed_by("m2").where(lambda pdf: pdf["v"] == 2)
+        ).one_or_more()
+        .followed_by("e").where(lambda pdf: pdf["v"] == 3)
+    )
+    sdf = CEP.pattern(stream, stream_p, "k", "pos").flat_select()
+    got = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in run_to_memory(
+            spark, sdf, "cep_grp_out", tmp_dir, mode="append"
+        ).collect()
+    )
+    assert got == expected
