@@ -1160,3 +1160,33 @@ def test_group_pattern_streaming_equals_batch(spark, tmp_dir):
         ).collect()
     )
     assert got == expected
+
+
+def test_times_or_more_itcase(spark):
+    """TimesOrMoreITCase.testTimesOrMore: c a.timesOrMore(2)
+    .allowCombinations() b — subsets of size >= 2 containing the forced
+    first element."""
+    d = _df(spark, [1, 2, 2, 2, 3])  # c a1 a2 a3 b
+    p = (
+        Pattern.begin("s").where("v = 1")
+        .followed_by("m").where("v = 2").times_or_more(2).allow_combinations()
+        .followed_by("e").where("v = 3")
+    )
+    assert _g_rows(d, p) == sorted([(0, 1, 2, 3, 4), (0, 1, 2, 4), (0, 1, 3, 4)])
+
+
+def test_eager_zero_or_more_same_element_itcase(spark):
+    """SameElementITCase.testEagerZeroOrMoreSameElement: repeated
+    identical events through a relaxed zero-or-more — every PREFIX of
+    the matching subsequence (dummies skipped), plus the empty branch."""
+    # c a a a a X a a b  (all a's satisfy the loop; X is noise)
+    d = _df(spark, [1, 2, 2, 2, 2, 9, 2, 2, 3])
+    p = (
+        Pattern.begin("s").where("v = 1")
+        .followed_by("m").where("v = 2").one_or_more().optional()
+        .followed_by("e").where("v = 3")
+    )
+    a_pos = [1, 2, 3, 4, 6, 7]
+    assert _g_rows(d, p) == sorted(
+        [tuple([0] + a_pos[:k] + [8]) for k in range(0, 7)]
+    )
