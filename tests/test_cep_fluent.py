@@ -1190,3 +1190,30 @@ def test_eager_zero_or_more_same_element_itcase(spark):
     assert _g_rows(d, p) == sorted(
         [tuple([0] + a_pos[:k] + [8]) for k in range(0, 7)]
     )
+
+
+def test_after_match_skip_itcase_portable_rows(spark):
+    """AfterMatchSkipITCase ports where the engine's SQL-standard
+    to_first/to_last semantics coincide with Flink: testNoSkip /
+    testSkipPastLast (a{3} sliding windows) and testSkipToFirst /
+    testSkipToLast ((ab){2} next (ab){2} with the skip anchored on the
+    'end' stage)."""
+    d6 = _df(spark, [1] * 6)
+    p3 = Pattern.begin("s").where("v = 1").times(3)
+    assert _g_rows(d6, p3, after="no_skip") == sorted(
+        [(0, 1, 2), (1, 2, 3), (2, 3, 4), (3, 4, 5)]
+    )
+    assert _g_rows(d6, p3, after="past_last_row") == sorted([(0, 1, 2), (3, 4, 5)])
+
+    # ab{2} next ab{2}: every event matches both stages
+    p22 = (
+        Pattern.begin("s").where("v = 1").times(2)
+        .next("e").where("v = 1").times(2)
+    )
+    assert _g_rows(d6, p22, after="to_first e") == sorted(
+        [(0, 1, 2, 3), (2, 3, 4, 5)]
+    )
+    d7 = _df(spark, [1] * 7)
+    assert _g_rows(d7, p22, after="to_last e") == sorted(
+        [(0, 1, 2, 3), (3, 4, 5, 6)]
+    )
