@@ -630,8 +630,11 @@ class Pattern:
                     ctx["gap_n"] += 1
                     fba_pre = (f"{gap}*" if emit == "all" else f"{gap}*?") + " "
                     gcol = ~s.negated_gap if s.negated_gap is not None else F.lit(True)
-                    if s.until_cond is not None:
-                        gcol = gcol & ~s.until_cond  # see followed_by above
+                    # NOTE: unlike followed_by, the SKIP_TILL_ANY gap is
+                    # NOT until-guarded — a branch that skips the stop
+                    # event survives (UntilConditionITCase.
+                    # testUntilConditionFollowedByAnyOneOrMore expects
+                    # {c m3} with the stop BEFORE m3)
                     define[gap] = and_negs(gcol, extra_negs)
                     ctx["lgap_pandas"][gap] = ("true", None)
                 q = s.quant

@@ -1217,3 +1217,27 @@ def test_after_match_skip_itcase_portable_rows(spark):
     assert _g_rows(d7, p22, after="to_last e") == sorted(
         [(0, 1, 2, 3), (3, 4, 5, 6)]
     )
+
+
+def test_until_followed_by_any_itcase(spark):
+    """UntilConditionITCase.testUntilConditionFollowedByAny{OneOrMore,
+    ZeroOrMore}: the SKIP_TILL_ANY stage gap is NOT until-guarded (a
+    branch that skips the stop event survives and may start at m3), but
+    the loop's inner filler IS (no expansion may span the stop): input
+    c m1(2) m2(3) STOP(5) m3(6) -> {c m1 m2},{c m1},{c m2},{c m3}
+    (+ {c} for zeroOrMore)."""
+    d = _ev_df(spark, [(0, 1), (1, 2), (1, 3), (1, 5), (1, 6)])
+
+    def build(optional):
+        p = (
+            Pattern.begin("s").where("nm = 0")
+            .followed_by_any("m").where("nm = 1").one_or_more()
+        )
+        if optional:
+            p = p.optional()
+        return p.until("pr = 5")
+
+    assert _g_rows(d, build(False)) == sorted([(0, 1, 2), (0, 1), (0, 2), (0, 4)])
+    assert _g_rows(d, build(True)) == sorted(
+        [(0, 1, 2), (0, 1), (0, 2), (0, 4), (0,)]
+    )
