@@ -135,8 +135,11 @@ class _Stage:
     # "relaxed" (default SKIP_TILL_NEXT) | "strict" (consecutive) |
     # "combinations" (allowCombinations, SKIP_TILL_ANY)
     until_cond: Column | None = None
-    negated_gap: Column | None = None  # set on the stage FOLLOWING a not_followed_by
-    fold_not: list = field(default_factory=list)  # conds folded in from not_next
+    until_pandas: Callable | None = None  # streaming form of the stop condition
+    # set on the stage FOLLOWING a not_followed_by: (catalyst, pandas)
+    negated_gap: tuple | None = None
+    # conds folded in from not_next: (catalyst, pandas) pairs
+    fold_not: list = field(default_factory=list)
     # not_next before a RELAXED successor: (catalyst, pandas) negations
     # applied to this (preceding singleton) stage's immediate successor
     # row via a lead/shift(-1) lookahead
@@ -147,19 +150,23 @@ class _Stage:
     # optional() is a separate wrapper, NOT lo=0: Flink's
     # times(2).optional() means 0 or 2 occurrences, never 1
     opt: bool = False
+    # IterativeCondition (IterativeCondition.java): fn(event, ctx) -> bool
+    # over the branch's partial match; ANDed with cond/pandas_cond
+    iter_cond: Callable | None = None
 
 
 def _first_positive_cond(stages) -> tuple:
-    """(catalyst_cond, pandas_cond) of the first positive leaf stage —
-    the group-loop relaxed filler's guard (the NFA ignores an event
-    between repetitions unless it could start the next one)."""
+    """(catalyst_cond, pandas_cond, iter_cond, name) of the first
+    positive leaf stage — the group-loop relaxed filler's guard (the
+    NFA ignores an event between repetitions unless it could start the
+    next one)."""
     for st in stages:
         if st.kind in ("not_next", "not_followed_by"):
             continue
         if st.group is not None:
             return _first_positive_cond(st.group._stages)
-        return st.cond, st.pandas_cond
-    return None, None
+        return st.cond, st.pandas_cond, st.iter_cond, st.name
+    return None, None, None, None
 
 
 def _positive_leaf_stages(stages):
@@ -241,14 +248,36 @@ class Pattern:
 
     def where(self, cond: Column | str | Callable) -> "Pattern":
         """AND a condition onto the current stage (Pattern.java:155).
-        Accepts a Catalyst Column, a SQL string, or (streaming route
-        only) a vectorized pandas predicate ``pdf -> bool array``."""
+        Accepts a Catalyst Column, a SQL string, a vectorized pandas
+        predicate ``pdf -> bool array`` (streaming route), or a TWO-
+        argument callable ``(event, ctx) -> bool`` — Flink's
+        ``IterativeCondition`` (IterativeCondition.java; cep.md
+        "Iterative Conditions"): ``event`` is the row dict under
+        evaluation and ``ctx.get_events_for_pattern(name)`` returns the
+        rows already accepted for stage ``name`` along the current
+        branch of this match attempt (the partial match)."""
         t = self._tail()
         if t.group is not None:
             raise ValueError(
                 "GroupPattern does not support where clause (GroupPattern.java:45)"
             )
         if callable(cond) and not isinstance(cond, Column):
+            import inspect
+
+            n_params = len([
+                p
+                for p in inspect.signature(cond).parameters.values()
+                if p.kind
+                in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+                and p.default is p.empty
+            ])
+            if n_params == 2:  # IterativeCondition: fn(event, ctx)
+                if t.iter_cond is not None:
+                    prev = t.iter_cond
+                    t.iter_cond = lambda e, c, a=prev, b=cond: a(e, c) and b(e, c)
+                else:
+                    t.iter_cond = cond
+                return self
             if t.pandas_cond is not None:
                 prev = t.pandas_cond
                 t.pandas_cond = lambda pdf, a=prev, b=cond: a(pdf) & b(pdf)
@@ -374,13 +403,20 @@ class Pattern:
         t.loop_mode = "combinations"
         return self
 
-    def until(self, cond: Column | str) -> "Pattern":
+    def until(self, cond: Column | str | Callable) -> "Pattern":
+        """Stop condition on a looping stage (Pattern.java:228). Accepts
+        a Catalyst Column / SQL string (batch; streaming too when the
+        same stage predicates are Catalyst) or a vectorized pandas
+        predicate ``pdf -> bool array`` for the streaming route."""
         t = self._tail()
         if t.quant is None or t.quant[1] == 1:
             raise ValueError("until() is only applicable to looping stages (Pattern.java:228)")
-        if t.until_cond is not None:
+        if t.until_cond is not None or t.until_pandas is not None:
             raise ValueError("only one until condition can be applied")
-        t.until_cond = F.expr(cond) if isinstance(cond, str) else cond
+        if callable(cond) and not isinstance(cond, Column):
+            t.until_pandas = cond
+        else:
+            t.until_cond = F.expr(cond) if isinstance(cond, str) else cond
         return self
 
     def within(self, duration: str | float) -> "Pattern":
@@ -449,16 +485,30 @@ class Pattern:
             "define": define,
             "user_syms": user_syms,
             "lgap_pandas": {},
+            "iter_define": {},
+            "stage_negs_pd": {},
             "gap_n": 0,
             "names": set(),
         }
         self._lgap_pandas = ctx["lgap_pandas"]
+        self._iter_define = ctx["iter_define"]
+        self._stage_negs_pd = ctx["stage_negs_pd"]
         self._terminal_not = None
 
         def and_negs(col, negs):
-            for neg in negs:
-                col = col & ~neg
+            """negs are (catalyst, pandas) pairs; a pandas-only neg makes
+            the Catalyst form inexpressible -> None (streaming-only
+            define, the batch route raises loudly on it)."""
+            for cat, _pd in negs:
+                if col is None or cat is None:
+                    return None
+                col = col & ~cat
             return col
+
+        def pd_negs(negs):
+            # streaming forms; None placeholders mean 'a negation exists
+            # but has no pandas form' -> the streaming route raises
+            return [p for _cat, p in negs]
 
         def compile_stages(owner, stages, extra_negs, top):
             """One stage list -> token list; groups recurse with their
@@ -497,17 +547,9 @@ class Pattern:
                         and nxt is not None
                         and nxt.kind in ("followed_by", "followed_by_any")
                     )
-                    if s.cond is None and not (terminal_nf or relaxed_nn):
-                        # the TERMINAL notFollowedBy and the lead-folded
-                        # relaxed not_next can run from pandas-only
-                        # predicates (streaming); other NOT folds need
-                        # a Catalyst Column
-                        raise ValueError(
-                            f"NOT stage {s.name!r} needs a Catalyst where() "
-                            "condition (pandas predicates are only supported "
-                            "on a terminal notFollowedBy or a not_next with "
-                            "a relaxed successor)"
-                        )
+                    # pandas-only NOT conditions compile to None Catalyst
+                    # forms: the batch route raises on them, the streaming
+                    # route rebuilds from the pandas predicate
                     if s.kind == "not_followed_by":
                         if nxt is None:
                             if not top:
@@ -532,7 +574,7 @@ class Pattern:
                             # state guards the proceed path only)
                             pass
                         elif nxt.kind in ("followed_by", "followed_by_any"):
-                            nxt.negated_gap = s.cond
+                            nxt.negated_gap = (s.cond, s.pandas_cond)
                             # ALSO: if the gap is empty, the very next event is
                             # nxt's own — Flink still forbids it satisfying the
                             # NOT condition only for notNext, not notFollowedBy.
@@ -554,7 +596,7 @@ class Pattern:
                                     "expressible; guard the group's first "
                                     "stage condition instead"
                                 )
-                            nxt.fold_not.append(s.cond)
+                            nxt.fold_not.append((s.cond, s.pandas_cond))
                         else:
                             # relaxed successor (NotPatternITCase.
                             # testNotNext): the constraint is on the row
@@ -589,7 +631,12 @@ class Pattern:
                     i += 1
                     continue
 
-                if s.group is None and s.cond is None and s.pandas_cond is None:
+                if (
+                    s.group is None
+                    and s.cond is None
+                    and s.pandas_cond is None
+                    and s.iter_cond is None
+                ):
                     raise ValueError(f"stage {s.name!r} has no where() condition")
                 if s.negated_gap is not None and (
                     s.opt or (s.quant is not None and s.quant[0] == 0)
@@ -602,20 +649,23 @@ class Pattern:
                         "conditioning is not expressible here — make the "
                         "stage mandatory or restructure"
                     )
+                has_until = s.until_cond is not None or s.until_pandas is not None
                 if s.kind == "followed_by":
                     gap = f"__gap{ctx['gap_n']}"
                     ctx["gap_n"] += 1
                     toks.append(f"{gap}*?")
-                    gcol = ~s.negated_gap if s.negated_gap is not None else F.lit(True)
-                    if s.until_cond is not None:
+                    gap_negs = list(extra_negs)
+                    if s.negated_gap is not None:
+                        gap_negs.insert(0, s.negated_gap)
+                    if has_until:
                         # the stop condition guards the WAITING loop
                         # branch too: an until-event before the first
                         # loop element kills it (GreedyITCase.
                         # testGreedyUntilOneOrMoreWithDummyEventsBefore-
                         # Quantifier expects no match)
-                        gcol = gcol & ~s.until_cond
-                    define[gap] = and_negs(gcol, extra_negs)
-                    ctx["lgap_pandas"][gap] = ("true", None)
+                        gap_negs.insert(0, (s.until_cond, s.until_pandas))
+                    define[gap] = and_negs(F.lit(True), gap_negs)
+                    ctx["lgap_pandas"][gap] = ("true", None, pd_negs(gap_negs))
                 fba_pre = ""
                 if s.kind == "followed_by_any":
                     # SKIP_TILL_ANY stage gap: under noSkip enumeration
@@ -629,14 +679,16 @@ class Pattern:
                     gap = f"__gap{ctx['gap_n']}"
                     ctx["gap_n"] += 1
                     fba_pre = (f"{gap}*" if emit == "all" else f"{gap}*?") + " "
-                    gcol = ~s.negated_gap if s.negated_gap is not None else F.lit(True)
+                    gap_negs = list(extra_negs)
+                    if s.negated_gap is not None:
+                        gap_negs.insert(0, s.negated_gap)
                     # NOTE: unlike followed_by, the SKIP_TILL_ANY gap is
                     # NOT until-guarded — a branch that skips the stop
                     # event survives (UntilConditionITCase.
                     # testUntilConditionFollowedByAnyOneOrMore expects
                     # {c m3} with the stop BEFORE m3)
-                    define[gap] = and_negs(gcol, extra_negs)
-                    ctx["lgap_pandas"][gap] = ("true", None)
+                    define[gap] = and_negs(F.lit(True), gap_negs)
+                    ctx["lgap_pandas"][gap] = ("true", None, pd_negs(gap_negs))
                 q = s.quant
                 if q is not None and q[2] is True and emit == "all" and i == last_positive:
                     q = (q[0], q[1], None)
@@ -656,26 +708,36 @@ class Pattern:
                             "set it on the outer pattern"
                         )
                     inner_negs = list(extra_negs)
-                    if s.until_cond is not None:
-                        inner_negs.append(s.until_cond)
+                    if has_until:
+                        inner_negs.append((s.until_cond, s.until_pandas))
                     inner = compile_stages(s.group, s.group._stages, tuple(inner_negs), False)
                     unit = "( " + " ".join(inner) + " )"
-                    first_cond, first_pandas = _first_positive_cond(s.group._stages)
+                    first_cond, first_pandas, first_iter, first_name = _first_positive_cond(
+                        s.group._stages
+                    )
                 else:
                     if s.name in ctx["names"]:
                         raise ValueError(f"duplicate stage name {s.name!r} across groups")
                     ctx["names"].add(s.name)
                     cond = s.cond
-                    for neg in s.fold_not:
-                        cond = cond & ~neg
-                    if s.until_cond is not None:
-                        cond = cond & ~s.until_cond
-                    if cond is not None:
-                        cond = and_negs(cond, extra_negs)
+                    if cond is None and s.iter_cond is not None:
+                        # iterative-only stage: static part is TRUE, the
+                        # IterativeCondition decides per branch
+                        cond = F.lit(True)
+                    body_negs = list(s.fold_not)
+                    if has_until:
+                        body_negs.append((s.until_cond, s.until_pandas))
+                    body_negs.extend(extra_negs)
+                    cond = and_negs(cond, body_negs) if cond is not None else None
                     define[s.name] = cond
+                    ctx["stage_negs_pd"][s.name] = pd_negs(body_negs)
+                    if s.iter_cond is not None:
+                        ctx["iter_define"][s.name] = s.iter_cond
                     user_syms.append(s.name)
                     unit = s.name
-                    first_cond, first_pandas = s.cond, s.pandas_cond
+                    first_cond, first_pandas, first_iter, first_name = (
+                        s.cond, s.pandas_cond, s.iter_cond, s.name,
+                    )
 
                 zero_lo = q is not None and q[0] == 0
                 if q is None:
@@ -695,20 +757,39 @@ class Pattern:
                     # condition, NFACompiler getIgnoreCondition).
                     lgap = f"__lgap{ctx['gap_n']}"
                     ctx["gap_n"] += 1
+                    loop_negs = list(extra_negs)
+                    if has_until:
+                        loop_negs.insert(0, (s.until_cond, s.until_pandas))
                     if s.loop_mode == "relaxed":
-                        if first_cond is not None:
-                            gcol = ~first_cond
-                            if s.until_cond is not None:
-                                gcol = gcol & ~s.until_cond
-                            define[lgap] = and_negs(gcol, extra_negs)
+                        if first_iter is not None:
+                            # Flink's ignore edge is NOT(take) evaluated
+                            # ITERATIVELY (NFACompiler getIgnoreCondition):
+                            # the filler may swallow an event that matches
+                            # statically but fails the iterative bound. The
+                            # static filler column is permissive; the
+                            # iterative check reads the body's static flag
+                            # off the row dict and re-runs its condition
+                            # against the branch's partial match.
+                            define[lgap] = and_negs(F.lit(True), loop_negs)
+                            ctx["iter_define"][lgap] = (
+                                lambda e, c, f=first_iter, flag=f"__sym_{first_name}":
+                                not (e.get(flag, True) and f(e, c))
+                            )
+                            ctx["lgap_pandas"][lgap] = ("true", None, pd_negs(loop_negs))
+                        elif first_cond is not None:
+                            define[lgap] = and_negs(~first_cond, loop_negs)
+                            ctx["lgap_pandas"][lgap] = (
+                                "not_cond", first_pandas, pd_negs(loop_negs)
+                            )
                         else:
                             define[lgap] = None  # streaming: rebuilt from pandas
-                        ctx["lgap_pandas"][lgap] = ("not_cond", first_pandas)
+                            ctx["lgap_pandas"][lgap] = (
+                                "not_cond", first_pandas, pd_negs(loop_negs)
+                            )
                         filler = f"{lgap}*?"
                     else:  # combinations: may skip anything but a stop event
-                        gcol = ~s.until_cond if s.until_cond is not None else F.lit(True)
-                        define[lgap] = and_negs(gcol, extra_negs)
-                        ctx["lgap_pandas"][lgap] = ("true", None)
+                        define[lgap] = and_negs(F.lit(True), loop_negs)
+                        ctx["lgap_pandas"][lgap] = ("true", None, pd_negs(loop_negs))
                         filler = f"{lgap}*" if emit == "all" else f"{lgap}*?"
                     lo, hi, g = q
                     inner_lo, inner_hi = max(lo, 1), hi
@@ -793,37 +874,50 @@ class PatternStream:
         if self._df.isStreaming:
             pandas_define = {}
             for s in _positive_leaf_stages(self._pattern._stages):
-                if s.pandas_cond is None:
+                if s.pandas_cond is None and s.iter_cond is None:
                     raise ValueError(
                         f"streaming CEP needs vectorized pandas predicates; "
                         f"stage {s.name!r} has only a Catalyst condition "
                         f"(pass a `pdf -> bool array` callable to where())"
                     )
             # rebuild define with pandas callables: user symbols from
-            # their where() predicates, fillers (stage gaps '__gapN' AND
-            # loop-iteration gaps '__lgapN') from the recipes compile()
-            # recorded in _lgap_pandas — ("true", None) -> all-True,
-            # ("not_cond", f) -> ~f(pdf) (a relaxed loop's filler may
-            # never swallow an event the loop body would match).
+            # their where() predicates + the streaming negation recipes
+            # compile() recorded (until()/not_next folds/group untils,
+            # _stage_negs_pd), fillers (stage gaps '__gapN' AND
+            # loop-iteration gaps '__lgapN') from _lgap_pandas —
+            # ("true", None, negs) -> all-True minus negations,
+            # ("not_cond", f, negs) -> ~f(pdf) minus negations (a
+            # relaxed loop's filler may never swallow an event the loop
+            # body would match, nor a stop/NOT event).
             import pandas as pd
 
-            for name, (kind, fn) in self._pattern._lgap_pandas.items():
-                if kind == "true":
-                    pandas_define[name] = lambda pdf: pd.Series(
-                        True, index=pdf.index
+            def _materialize(base_fn, negs, name, negate_base=False):
+                if any(n is None for n in negs):
+                    raise ValueError(
+                        f"streaming CEP: {name!r} carries a negation "
+                        "(until()/notFollowedBy/not_next fold) with no "
+                        "pandas form — pass a `pdf -> bool array` "
+                        "callable for that condition too"
                     )
-                else:  # "not_cond"
-                    pandas_define[name] = lambda pdf, f=fn: ~pd.Series(
-                        f(pdf), index=pdf.index
-                    )
+
+                def fn(pdf, base=base_fn, negs=tuple(negs), nb=negate_base):
+                    if base is None:
+                        col = pd.Series(True, index=pdf.index)
+                    else:
+                        col = pd.Series(base(pdf), index=pdf.index)
+                        if nb:
+                            col = ~col
+                    for g in negs:
+                        col = col & ~pd.Series(g(pdf), index=pdf.index)
+                    return col
+
+                return fn
+
+            stage_negs_pd = getattr(self._pattern, "_stage_negs_pd", {})
             for s in _positive_leaf_stages(self._pattern._stages):
-                if s.fold_not or s.until_cond is not None or s.negated_gap is not None:
-                    raise NotImplementedError(
-                        "NOT folds / until / not_followed_by need Catalyst "
-                        "negation; the streaming route takes pandas "
-                        "predicates — express the negation inside the "
-                        "predicate itself"
-                    )
+                body = _materialize(
+                    s.pandas_cond, stage_negs_pd.get(s.name, []), s.name
+                )
                 if s.lead_not:
                     # relaxed not_next: next-row lookahead via shift(-1)
                     negs = [p for _c, p in s.lead_not]
@@ -833,25 +927,25 @@ class PatternStream:
                             "predicate on the NOT stage"
                         )
 
-                    def _lead_wrapped(pdf, base=s.pandas_cond, negs=negs):
-                        import pandas as pd
-
+                    def _lead_wrapped(pdf, base=body, negs=negs):
                         n = pd.Series(negs[0](pdf), index=pdf.index)
                         for f in negs[1:]:
                             n = n | pd.Series(f(pdf), index=pdf.index)
-                        return pd.Series(base(pdf), index=pdf.index) & ~n.shift(
-                            -1, fill_value=False
-                        )
+                        return base(pdf) & ~n.shift(-1, fill_value=False)
 
                     pandas_define[s.name] = _lead_wrapped
                 else:
-                    pandas_define[s.name] = s.pandas_cond
-            for s in self._pattern._stages:
-                if s.group is not None and s.until_cond is not None:
-                    raise NotImplementedError(
-                        "until() on a group pattern needs Catalyst negation; "
-                        "the streaming route takes pandas predicates"
+                    pandas_define[s.name] = body
+            for name, (kind, fn, negs) in self._pattern._lgap_pandas.items():
+                if kind == "not_cond" and fn is None:
+                    raise ValueError(
+                        f"streaming CEP: loop filler {name!r} needs the loop "
+                        "body's pandas predicate (pass a `pdf -> bool array` "
+                        "callable to the looping stage's where())"
                     )
+                pandas_define[name] = _materialize(
+                    fn, negs, name, negate_base=(kind == "not_cond")
+                )
             tn_name = None
             if tn is not None:
                 if tn[1] is None:
@@ -871,6 +965,7 @@ class PatternStream:
                 after_match=self._after,
                 within=within,
                 terminal_not=tn_name,
+                iter_define=self._pattern._iter_define or None,
             )
         else:
             only_pandas = [k for k, v in define.items() if v is None]
@@ -897,6 +992,7 @@ class PatternStream:
                 after_match=self._after,
                 within=within,
                 terminal_not=tn_name,
+                iter_define=self._pattern._iter_define or None,
             )
         return out, user_syms
 

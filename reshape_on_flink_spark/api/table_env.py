@@ -895,6 +895,7 @@ class TableEnvironment:
         from pyspark.sql import functions as F
 
         from reshape_on_flink_spark.operators.cep import (
+            iterative_predicate,
             match_recognize,
             pandas_predicate,
             streaming_match_recognize,
@@ -1030,10 +1031,8 @@ class TableEnvironment:
             if re.search(
                 r"\b(SUM|COUNT|AVG|MIN|MAX|FIRST|LAST)\s*\(", expr, re.IGNORECASE
             ):
-                raise NotImplementedError(
-                    "match-scoped aggregates/navigation (SUM/COUNT/AVG/MIN/"
-                    "MAX/FIRST/LAST) in DEFINE need NFA match state and are "
-                    "not supported; row-local expressions and PREV/NEXT are"
+                raise AssertionError(
+                    "unreachable: aggregate DEFINEs route to iterative_predicate"
                 )
             expr = re.sub(
                 r"\bPREV\s*\(\s*\w+\.(\w+)\s*(?:,\s*(\d+))?\s*\)",
@@ -1053,15 +1052,45 @@ class TableEnvironment:
             return re.sub(r"\b(" + "|".join(symbols) + r")\.", "", expr)
 
         define: dict = {}
+        iter_define: dict = {}
         for item in _split_top(def_m.group(1)):
             dm = re.match(r"(\w+)\s+AS\s+(.+)$", item.strip(), re.IGNORECASE | re.DOTALL)
             if not dm:
                 raise ValueError(f"bad DEFINE item: {item!r}")
-            define[dm.group(1)] = (
-                pandas_predicate(dm.group(2), symbols)
-                if streaming
-                else F.expr(mr_expr(dm.group(2)))
-            )
+            d_sym, d_expr = dm.group(1), dm.group(2)
+            if re.search(
+                r"\b(SUM|COUNT|AVG|MIN|MAX|FIRST|LAST)\s*\(", d_expr, re.IGNORECASE
+            ):
+                # match-scoped aggregates/navigation (Flink docs
+                # match_recognize.md "Aggregations": DEFINE A AS
+                # AVG(A.price) < 15) need the partial match -> compile
+                # to an IterativeCondition evaluated per NFA branch.
+                d_expr = re.sub(r"\bRUNNING\s*\(", "(", d_expr, flags=re.IGNORECASE)
+                if re.search(r"\bFINAL\s*\(", d_expr, re.IGNORECASE):
+                    raise NotImplementedError(
+                        "FINAL is not allowed in DEFINE (use it in MEASURES)"
+                    )
+                iter_define[d_sym] = iterative_predicate(d_expr, symbols, d_sym)
+            else:
+                define[d_sym] = (
+                    pandas_predicate(d_expr, symbols)
+                    if streaming
+                    else F.expr(mr_expr(d_expr))
+                )
+        for s in symbols:
+            if s not in define and s not in iter_define:
+                # SQL standard / Flink: a pattern variable with no DEFINE
+                # "evaluates to true for every row" (match_recognize.md
+                # "Define & Measures"; B in the docs aggregation example)
+                if streaming:
+                    def _always_true(pdf):
+                        import pandas as pd
+
+                        return pd.Series(True, index=pdf.index)
+
+                    define[s] = _always_true
+                else:
+                    define[s] = F.lit(True)
 
         # measure descriptors (shared batch/streaming):
         # ("match_number"|"classifier", None, alias, None) or
@@ -1114,7 +1143,9 @@ class TableEnvironment:
             # decided at emission). PREV(col, n) retention: keep exactly
             # max-offset context rows across micro-batch boundaries.
             context_rows = max(
-                1, max((getattr(p, "max_prev", 0) for p in define.values()), default=0)
+                1,
+                max((getattr(p, "max_prev", 0) for p in define.values()), default=0),
+                max((getattr(p, "max_prev", 0) for p in iter_define.values()), default=0),
             )
             per_match = streaming_match_recognize(
                 src_df,
@@ -1128,6 +1159,7 @@ class TableEnvironment:
                 measures=parsed,
                 one_row=not all_rows,
                 within=within_sec,
+                iter_define=iter_define or None,
             )
             view = f"__mr_{abs(hash(sql)) % 10**8}"
             per_match.createOrReplaceTempView(view)
@@ -1137,6 +1169,7 @@ class TableEnvironment:
         matched = match_recognize(
             src_df, part_cols, order_cols, pattern, define,
             after_match=after_match, within=within_sec,
+            iter_define=iter_define or None,
         )
 
         order_key = F.struct(*[F.col(c) for c in order_cols])

@@ -244,6 +244,17 @@ def _ast_matcher(symbols: list[str], seq: list, modes: bool = False):
     Worst case is exponential on adversarially ambiguous nests (as in
     any backtracking regex engine); per-key input is one Arrow batch, so
     the blast radius is a single group, same as Flink's NFA.
+
+    ``match_at(bools, start, n, ic=None)``: ``ic`` is an optional
+    per-symbol-index list of *iterative conditions* — Flink's
+    ``IterativeCondition`` (flink-libraries/flink-cep/.../pattern/
+    conditions/IterativeCondition.java): ``ic[si](pos, taken) -> bool``
+    is evaluated ON TOP of the static ``bools`` column when the branch
+    tries to consume row ``pos``, with ``taken`` the tuple of
+    ``(pos, sym_index)`` rows already accepted along this branch (the
+    partial match — what ``ctx.getEventsForPattern`` exposes). The
+    partial match is threaded through every generator top-down, so
+    conditions see exactly the NFA's per-branch computation state.
     """
     sym_idx = {s: i for i, s in enumerate(symbols)}
 
@@ -255,62 +266,59 @@ def _ast_matcher(symbols: list[str], seq: list, modes: bool = False):
 
     seq_c = compile_seq(seq)
 
-    def match_at(bools, start: int, n: int):
+    def match_at(bools, start: int, n: int, ic=None):
         hit_end = False
 
-        def sym_gen(si, pos):
+        def sym_gen(si, pos, taken):
             nonlocal hit_end
             if pos >= n:
                 if modes:
                     hit_end = True
                 return
-            if bools[si][pos]:
-                yield pos + 1, ((pos, si),)
+            if bools[si][pos] and (ic is None or ic[si] is None or ic[si](pos, taken)):
+                yield pos + 1, taken + ((pos, si),)
 
-        def node_gen(node, pos):
+        def node_gen(node, pos, taken):
             if isinstance(node, int):
-                yield from sym_gen(node, pos)
+                yield from sym_gen(node, pos, taken)
             else:
                 for alt in node:
-                    yield from seq_gen(alt, 0, pos)
+                    yield from seq_gen(alt, 0, pos, taken)
 
-        def rep_gen(node, pos, m, M, greedy):
-            def rep(p, count):
+        def rep_gen(node, pos, m, M, greedy, taken):
+            def rep(p, count, t):
                 if greedy:
                     if M is None or count < M:
-                        for p1, r1 in node_gen(node, p):
+                        for p1, t1 in node_gen(node, p, t):
                             if p1 == p:
                                 continue  # empty-body repetition guard
-                            for p2, r2 in rep(p1, count + 1):
-                                yield p2, r1 + r2
+                            yield from rep(p1, count + 1, t1)
                     if count >= m:
-                        yield p, ()
+                        yield p, t
                 else:
                     if count >= m:
-                        yield p, ()
+                        yield p, t
                     if M is None or count < M:
-                        for p1, r1 in node_gen(node, p):
+                        for p1, t1 in node_gen(node, p, t):
                             if p1 == p:
                                 continue
-                            for p2, r2 in rep(p1, count + 1):
-                                yield p2, r1 + r2
+                            yield from rep(p1, count + 1, t1)
 
-            yield from rep(pos, 0)
+            yield from rep(pos, 0, taken)
 
-        def seq_gen(items, i, pos):
+        def seq_gen(items, i, pos, taken):
             if i == len(items):
-                yield pos, ()
+                yield pos, taken
                 return
             node, (m, M, greedy) = items[i]
             if (m, M) == (1, 1):
-                source = node_gen(node, pos)
+                source = node_gen(node, pos, taken)
             else:
-                source = rep_gen(node, pos, m, M, greedy)
-            for p1, r1 in source:
-                for p2, r2 in seq_gen(items, i + 1, p1):
-                    yield p2, r1 + r2
+                source = rep_gen(node, pos, m, M, greedy, taken)
+            for p1, t1 in source:
+                yield from seq_gen(items, i + 1, p1, t1)
 
-        first = next(seq_gen(seq_c, 0, start), None)
+        first = next(seq_gen(seq_c, 0, start, ()), None)
         if modes and hit_end:
             return _NEED_MORE
         return list(first[1]) if first is not None else None
@@ -353,6 +361,12 @@ def _ast_enumerator(symbols: list[str], seq: list, modes: bool = False):
     a row at ``pos >= n``, the full set is undecided (a future row could
     add a longer expansion) and ``_NEED_MORE`` is returned — same
     closure rule as ``_matcher_modes``.
+
+    ``enum_at(bools, start, n, ic=None)``: ``ic`` is the optional
+    per-symbol-index iterative-condition list (see ``_ast_matcher``):
+    ``ic[si](pos, taken) -> bool`` runs on top of the static column
+    when a branch consumes row ``pos``, with ``taken`` the branch's
+    partial match so far — Flink's ``IterativeCondition.Context``.
     """
     sym_idx = {s: i for i, s in enumerate(symbols)}
 
@@ -364,88 +378,87 @@ def _ast_enumerator(symbols: list[str], seq: list, modes: bool = False):
 
     seq_c = compile_seq(seq)
 
-    def enum_at(bools, start: int, n: int):
+    def enum_at(bools, start: int, n: int, ic=None):
         hit_end = False
         results: list[list] = []
         seen: set = set()
 
-        def node_cands(node, pos):
+        def node_cands(node, pos, taken):
             nonlocal hit_end
             if isinstance(node, int):
                 if pos >= n:
                     if modes:
                         hit_end = True
                     return
-                if bools[node][pos]:
-                    yield pos + 1, ((pos, node),)
+                if bools[node][pos] and (
+                    ic is None or ic[node] is None or ic[node](pos, taken)
+                ):
+                    yield pos + 1, taken + ((pos, node),)
             else:
                 for alt in node:
-                    yield from group_seq(alt, 0, pos)
+                    yield from group_seq(alt, 0, pos, taken)
 
-        def item_cands(node, m, M, greedy, pos):
+        def item_cands(node, m, M, greedy, pos, taken):
             if (m, M) == (1, 1):
-                yield from node_cands(node, pos)
+                yield from node_cands(node, pos, taken)
                 return
 
-            def rep(p, count):
+            def rep(p, count, t):
                 if greedy:
                     if M is None or count < M:
-                        for p1, r1 in node_cands(node, p):
+                        for p1, t1 in node_cands(node, p, t):
                             if p1 == p:
                                 continue  # empty-body repetition guard
-                            for p2, r2 in rep(p1, count + 1):
-                                yield p2, r1 + r2
+                            yield from rep(p1, count + 1, t1)
                     if count >= m:
-                        yield p, ()
+                        yield p, t
                 else:
                     if count >= m:
-                        yield p, ()
+                        yield p, t
                     if M is None or count < M:
-                        for p1, r1 in node_cands(node, p):
+                        for p1, t1 in node_cands(node, p, t):
                             if p1 == p:
                                 continue
-                            for p2, r2 in rep(p1, count + 1):
-                                yield p2, r1 + r2
+                            yield from rep(p1, count + 1, t1)
 
-            yield from rep(pos, 0)
+            yield from rep(pos, 0, taken)
 
-        def group_seq(items, i, pos):
-            """All (end, rows) completions of a group's inner sequence.
-            Inner reluctant items commit to their first expansion that
-            lets the GROUP complete (local cut; exact for the gap-filler
-            groups the fluent compiler emits, where inner fillers are
-            either forced or fully enumerated)."""
+        def group_seq(items, i, pos, taken):
+            """All (end, partial-match) completions of a group's inner
+            sequence. Inner reluctant items commit to their first
+            expansion that lets the GROUP complete (local cut; exact for
+            the gap-filler groups the fluent compiler emits, where inner
+            fillers are either forced or fully enumerated)."""
             if i == len(items):
-                yield pos, ()
+                yield pos, taken
                 return
             node, (m, M, greedy) = items[i]
-            for p1, r1 in item_cands(node, m, M, greedy, pos):
+            for p1, t1 in item_cands(node, m, M, greedy, pos, taken):
                 got = False
-                for p2, r2 in group_seq(items, i + 1, p1):
+                for p2, t2 in group_seq(items, i + 1, p1, t1):
                     got = True
-                    yield p2, r1 + r2
+                    yield p2, t2
                 if greedy is not True and got:
                     break  # reluctant commits shortest, possessive longest
 
-        def seq_all(items, idx, pos, acc) -> int:
+        def seq_all(items, idx, pos, taken) -> int:
             if idx == len(items):
-                if acc:
-                    key = tuple(acc)
-                    if key not in seen:
-                        seen.add(key)
-                        results.append(list(acc))
+                if taken:
+                    if taken not in seen:
+                        seen.add(taken)
+                        results.append(list(taken))
                         return 1
                 return 0
             node, (m, M, greedy) = items[idx]
             added = 0
-            for p1, rows in item_cands(node, m, M, greedy, pos):
-                got = seq_all(items, idx + 1, p1, acc + list(rows))
+            for p1, t1 in item_cands(node, m, M, greedy, pos, taken):
+                got = seq_all(items, idx + 1, p1, t1)
                 added += got
                 if greedy is not True and got:
                     break  # reluctant commits shortest, possessive longest
             return added
 
-        seq_all(seq_c, 0, start, [])
+        seq_all(seq_c, 0, start, ())
         if modes and hit_end:
             return _NEED_MORE
         return results
@@ -491,7 +504,9 @@ def _matcher(symbols: list[str], toks: list[tuple[str | tuple[str, ...], str]]):
     emitted symbol index is the leftmost alternative true at that row."""
     toks_i, cols_for, label_at = _token_cols(symbols, toks)
 
-    def match_at(bools, start: int, n: int):
+    def match_at(bools, start: int, n: int, ic=None):
+        if ic is not None:  # iterative conditions route through the AST matchers
+            raise ValueError("the flat matcher does not evaluate iterative conditions")
         cols = cols_for(bools)
 
         def lab(ti: int, pos: int) -> int:
@@ -743,6 +758,48 @@ def _time_axis(pdf, order_col: str):
     return v.astype("float64"), False
 
 
+class _IterCtx:
+    """``IterativeCondition.Context`` analog (flink-libraries/flink-cep/
+    .../pattern/conditions/IterativeCondition.java): exposes the events
+    already accepted for a pattern symbol along the CURRENT branch of
+    the match attempt. ``records`` are per-group row dicts (they include
+    the computed ``__sym_*`` static-condition flags, so derived
+    conditions — e.g. loop-gap fillers — can read a sibling symbol's
+    static verdict without re-evaluating Catalyst expressions)."""
+
+    __slots__ = ("records", "symbols", "taken", "pos")
+
+    def __init__(self, records, symbols):
+        self.records = records
+        self.symbols = symbols
+        self.taken = ()
+        self.pos = -1  # physical row index of the event under evaluation
+
+    def get_events_for_pattern(self, name: str) -> list:
+        return [self.records[p] for p, si in self.taken if self.symbols[si] == name]
+
+
+def _build_ic(pdf, symbols: list[str], n_cols: int, iter_define):
+    """Per-group iterative-condition list for the AST matchers:
+    ``ic[si](pos, taken) -> bool`` closing over this group's row dicts.
+    Returns None when there are no iterative conditions (fast path)."""
+    if not iter_define:
+        return None
+    records = pdf.to_dict("records")
+    ctx = _IterCtx(records, symbols)
+    ic = [None] * n_cols
+    for name, fn in iter_define.items():
+        si = symbols.index(name)
+
+        def check(pos, taken, fn=fn):
+            ctx.taken = taken
+            ctx.pos = pos
+            return bool(fn(ctx.records[pos], ctx))
+
+        ic[si] = check
+    return ic
+
+
 def match_recognize(
     df: DataFrame,
     partition_by: str | list[str],
@@ -753,6 +810,7 @@ def match_recognize(
     impl: str = "chunked",
     within: str | float | None = None,
     terminal_not: str | None = None,
+    iter_define: dict | None = None,
 ) -> DataFrame:
     """Rows of every match, annotated with ``match_id`` (0-based ordinal
     within the partition) and ``matched_symbol``.
@@ -802,15 +860,32 @@ def match_recognize(
     matches ``{a b1 b2}``); under single-match skip strategies the
     first-completed (fewest rows, then earliest positions) SURVIVING
     expansion is emitted — pass an enumerable (greedy) pattern string.
+
+    ``iter_define``: per-symbol ITERATIVE conditions — Flink's
+    ``IterativeCondition`` (flink-libraries/flink-cep/.../pattern/
+    conditions/IterativeCondition.java; docs/content/docs/libs/cep.md
+    "Iterative Conditions"): ``fn(event, ctx) -> bool`` evaluated when
+    a branch tries to consume a row, where ``event`` is the row dict
+    and ``ctx.get_events_for_pattern(name)`` returns the rows already
+    accepted for ``name`` along the current branch of this match
+    attempt (the partial match). Runs ON TOP of the symbol's static
+    ``define`` condition; a symbol may appear only in ``iter_define``
+    (static part defaults to TRUE). Evaluation is per-branch Python —
+    the static columns stay vectorized and the bitmask-regex scan
+    still prefilters candidate starts, so the slow path runs only on
+    statically-viable spans. Scale: everything stays partition-local
+    inside the per-key Arrow batch, exactly like the static path.
     """
     partition_by = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+    iter_define = dict(iter_define) if iter_define else None
     if _is_flat(pattern):
         toks = parse_pattern(pattern)
         symbols = pattern_symbols(toks)
-        matcher = _matcher(symbols, toks)
-        first_idx = _first_idx_flat(symbols, toks)
         ast = _flat_to_ast(toks)
+        # iterative conditions evaluate per-branch -> AST matcher only
+        matcher = _ast_matcher(symbols, ast) if iter_define else _matcher(symbols, toks)
+        first_idx = _first_idx_flat(symbols, toks)
         rx = _bitmask_regex(symbols, ast)
     else:  # nested groups / bounded quantifiers -> generic AST matcher
         ast = parse_pattern_ast(pattern)
@@ -818,6 +893,13 @@ def match_recognize(
         matcher = _ast_matcher(symbols, ast)
         first_idx = _first_idx_ast(symbols, ast)
         rx = _bitmask_regex(symbols, ast)
+    if iter_define:
+        unknown = [s for s in iter_define if s not in symbols]
+        if unknown:
+            raise ValueError(f"iter_define for symbols not in the pattern: {unknown}")
+        # a purely-iterative symbol has no static column: flag all rows
+        # as statically viable, the iterative check decides per branch
+        define = {**{s: F.lit(True) for s in iter_define if s not in define}, **define}
     missing = [s for s in symbols if s not in define]
     if missing:
         raise ValueError(f"pattern symbols without DEFINE: {missing}")
@@ -870,6 +952,7 @@ def match_recognize(
         pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
         n = len(pdf)
         bools = [pdf[c].to_numpy() for c in sym_cols]
+        ic = _build_ic(pdf, symbols, len(all_syms), iter_define)
         if within is not None:
             tv, is_time = _time_axis(pdf, order_by[0])
             delta = _within_delta(within, is_time)
@@ -904,7 +987,7 @@ def match_recognize(
                 continue
             if enum_at is not None:  # NO_SKIP and/or terminal_not: enumerate
                 hi = bound(i, n)
-                cands = enum_at(bools, i, hi)
+                cands = enum_at(bools, i, hi, ic)
                 if terminal_not is not None:
                     cands = _nf_survivors(cands, bools, hi)
                 if skip_mode == "no_skip":
@@ -926,7 +1009,7 @@ def match_recognize(
                 else:
                     i += 1
                 continue
-            m = match_at(bools, i, bound(i, n))
+            m = match_at(bools, i, bound(i, n), ic)
             if m:  # empty match advances
                 for pos, si in m:
                     rows_idx.append(pos)
@@ -958,6 +1041,7 @@ def match_recognize(
 
         n = len(pdf)
         bools = [pdf[c].to_numpy() for c in sym_cols]
+        ic = _build_ic(pdf, symbols, len(all_syms), iter_define)
         G = len(starts)
         ends = np.append(starts[1:], n)
         if within is not None:
@@ -999,7 +1083,7 @@ def match_recognize(
             r = sp - g
             if enum_at is not None:  # NO_SKIP and/or terminal_not: enumerate
                 hi = bound(r, int(ends[g]))
-                cands = enum_at(bools, r, hi)
+                cands = enum_at(bools, r, hi, ic)
                 if terminal_not is not None:
                     cands = _nf_survivors(cands, bools, hi)
                 if skip_mode == "no_skip":
@@ -1021,7 +1105,7 @@ def match_recognize(
                 else:
                     i = sp + 1
                 continue
-            m = match_at(bools, r, bound(r, int(ends[g])))
+            m = match_at(bools, r, bound(r, int(ends[g])), ic)
             if not m:  # key-bound mismatch (defensive) or WITHIN clamp
                 i = sp + 1
                 continue
@@ -1099,7 +1183,9 @@ def _matcher_modes(symbols: list[str], toks: list[tuple[str | tuple[str, ...], s
     out of rows — the greedy NFA cannot commit yet)."""
     toks_i, cols_for, label_at = _token_cols(symbols, toks)
 
-    def match_at(bools, start: int, n: int):
+    def match_at(bools, start: int, n: int, ic=None):
+        if ic is not None:  # iterative conditions route through the AST matchers
+            raise ValueError("the flat matcher does not evaluate iterative conditions")
         cols = cols_for(bools)
 
         def lab(ti: int, pos: int) -> int:
@@ -1239,8 +1325,15 @@ def streaming_match_recognize(
     one_row: bool = False,
     within: str | float | None = None,
     terminal_not: str | None = None,
+    iter_define: dict | None = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE over a streaming DataFrame (applyInPandasWithState).
+
+    ``iter_define``: per-symbol ITERATIVE conditions ``fn(event, ctx) ->
+    bool`` over the branch's partial match — same contract as the batch
+    operator (see :func:`match_recognize`). Evaluated against the key's
+    buffered history, so ``ctx.pos``-relative PREV lookups cross
+    micro-batch boundaries exactly like the pandas predicates.
 
     ``terminal_not``: terminal ``notFollowedBy`` under ``within`` — same
     contract as the batch operator. Streaming decidability: a surviving
@@ -1309,16 +1402,31 @@ def streaming_match_recognize(
     if _is_flat(pattern):
         toks = parse_pattern(pattern)
         symbols = pattern_symbols(toks)
-        match_at = _matcher_modes(symbols, toks)
-        match_closed = _matcher(symbols, toks)
-        first_idx = _first_idx_flat(symbols, toks)
         ast = _flat_to_ast(toks)
+        if iter_define:  # per-branch evaluation -> AST matchers only
+            match_at = _ast_matcher(symbols, ast, modes=True)
+            match_closed = _ast_matcher(symbols, ast)
+        else:
+            match_at = _matcher_modes(symbols, toks)
+            match_closed = _matcher(symbols, toks)
+        first_idx = _first_idx_flat(symbols, toks)
     else:  # nested groups / bounded quantifiers -> generic AST matcher
         ast = parse_pattern_ast(pattern)
         symbols = ast_symbols(ast)
         match_at = _ast_matcher(symbols, ast, modes=True)
         match_closed = _ast_matcher(symbols, ast)
         first_idx = _first_idx_ast(symbols, ast)
+    if iter_define:
+        unknown = [s for s in iter_define if s not in symbols]
+        if unknown:
+            raise ValueError(f"iter_define for symbols not in the pattern: {unknown}")
+
+        def _true_pd(pdf):
+            import pandas as pd
+
+            return pd.Series(True, index=pdf.index)
+
+        define = {**{s: _true_pd for s in iter_define if s not in define}, **define}
     missing = [s for s in symbols if s not in define]
     if missing:
         raise ValueError(f"pattern symbols without DEFINE: {missing}")
@@ -1397,6 +1505,15 @@ def streaming_match_recognize(
         def scan(frame, allow_open: bool, start: int = 0):
             nonlocal next_id
             bools = [define[s](frame).to_numpy() for s in symbols]
+            if iter_define:
+                # event dicts carry the static flags (an iterative filler
+                # reads its loop body's static verdict off the row)
+                fr2 = frame.copy()
+                for s_name, arr in zip(symbols, bools):
+                    fr2[f"__sym_{s_name}"] = np.asarray(arr, dtype=bool)
+                ic = _build_ic(fr2, symbols, len(symbols), iter_define)
+            else:
+                ic = None
             tnb = (
                 np.asarray(define[terminal_not](frame).to_numpy(), dtype=bool)
                 if terminal_not is not None
@@ -1452,7 +1569,7 @@ def streaming_match_recognize(
                     i += 1
                     continue
                 hi = bound(i)
-                m = match_at(bools, i, hi)
+                m = match_at(bools, i, hi, ic)
                 if m is _NEED_MORE:
                     # end-of-window (hi < n) is FINAL — batch emits
                     # exactly this bounded result; end-of-data is final
@@ -1462,10 +1579,10 @@ def streaming_match_recognize(
                     closed_hi = min(hi, n)
                     if use_enum:
                         i = emit_enum(
-                            survivors(enum_closed(bools, i, closed_hi), closed_hi)
+                            survivors(enum_closed(bools, i, closed_hi, ic), closed_hi)
                         )
                         continue
-                    m2 = match_closed(bools, i, closed_hi)
+                    m2 = match_closed(bools, i, closed_hi, ic)
                     if m2:
                         emit_one(m2)
                         i = _resume_pos(m2, skip_mode, skip_sym, symbols)
@@ -1736,5 +1853,323 @@ def pandas_predicate(expr: str, symbols: list[str]):
         return result.fillna(False) if hasattr(result, "fillna") else result
 
     predicate.__doc__ = f"DEFINE {expr!r} -> {src}"
+    predicate.max_prev = max_prev[0]
+    return predicate
+
+
+def iterative_predicate(expr: str, symbols: list[str], cur_sym: str):
+    """Compile a MATCH_RECOGNIZE DEFINE expression containing
+    match-scoped aggregates/navigation into an iterative condition
+    ``fn(event, ctx) -> bool`` for :func:`match_recognize`'s
+    ``iter_define`` (and the streaming operator's equivalent).
+
+    RUNNING semantics, as in Flink (docs/content/docs/dev/table/sql/
+    queries/match_recognize.md "Aggregations"; MatchCodeGenerator's
+    AggregationPatternVariableFinder): an aggregate or FIRST/LAST over
+    a pattern variable ranges over the rows mapped to that variable SO
+    FAR in the current match attempt, INCLUDING the row currently
+    being classified when the variable is ``cur_sym`` (the symbol this
+    DEFINE belongs to). A bare ``SYM.col`` reference is the current
+    row for ``cur_sym`` and the LAST mapped row for any other
+    variable. SQL NULL semantics: empty SUM/AVG/MIN/MAX and
+    out-of-range FIRST/LAST are NULL, COUNT is 0, and any comparison
+    against NULL is false.
+
+    Grammar: comparisons (=, <>, <, <=, >, >=) between arithmetic
+    (+ - * /) combinations of ``SYM.col``, ``PREV(SYM.col[, n])``
+    (physical row offset), ``SUM/COUNT/AVG/MIN/MAX(SYM.col)``,
+    ``COUNT(SYM.*)``, ``FIRST/LAST(SYM.col[, n])``, numeric/string
+    literals; AND/OR/NOT with parentheses. Loud errors otherwise.
+    """
+    import re as _re
+
+    sym_alt = "|".join(symbols)
+
+    def strip_outer_parens(s: str) -> str:
+        s = s.strip()
+        while s.startswith("(") and s.endswith(")"):
+            depth = 0
+            for i, ch in enumerate(s):
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0 and i != len(s) - 1:
+                        return s
+            s = s[1:-1].strip()
+        return s
+
+    def split_top(s: str, word: str) -> list[str]:
+        parts, depth, start, i, n = [], 0, 0, 0, len(s)
+        pat = _re.compile(r"\b" + word + r"\b", _re.IGNORECASE)
+        while i < n:
+            ch = s[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "'":
+                i += 1
+                while i < n and s[i] != "'":
+                    i += 1
+            elif depth == 0:
+                m = pat.match(s, i)
+                if m:
+                    parts.append(s[start:i])
+                    start = i = m.end()
+                    continue
+            i += 1
+        parts.append(s[start:])
+        return parts
+
+    # -- runtime helpers (SQL NULL semantics) ---------------------------
+    def _mapped(sym, col, e, ctx):
+        vals = [ev[col] for ev in ctx.get_events_for_pattern(sym)]
+        if sym == cur_sym:
+            vals.append(e[col])
+        return vals
+
+    def _agg(fn, sym, col, e, ctx):
+        if col == "*":  # COUNT(SYM.*): rows, not values
+            n = len(ctx.get_events_for_pattern(sym))
+            return n + (1 if sym == cur_sym else 0)
+        vals = [v for v in _mapped(sym, col, e, ctx) if v is not None]
+        if fn == "COUNT":
+            return len(vals)
+        if not vals:
+            return None
+        if fn == "SUM":
+            return sum(vals)
+        if fn == "AVG":
+            return sum(vals) / len(vals)
+        if fn == "MIN":
+            return min(vals)
+        return max(vals)  # MAX
+
+    def _nav(fn, sym, col, n, e, ctx):
+        vals = _mapped(sym, col, e, ctx)
+        if n >= len(vals):
+            return None
+        return vals[n] if fn == "FIRST" else vals[-1 - n]
+
+    max_prev = [0]
+
+    def _prev(col, n, ctx):
+        p = ctx.pos - n
+        return ctx.records[p][col] if p >= 0 else None
+
+    def _ref(sym, col, e, ctx):
+        if sym == cur_sym:
+            return e[col]
+        evs = ctx.get_events_for_pattern(sym)
+        return evs[-1][col] if evs else None
+
+    def _cmp(lhs, op, rhs):
+        try:
+            lv, rv = lhs(), rhs()
+        except TypeError:  # arithmetic over NULL -> NULL
+            return False
+        if lv is None or rv is None:
+            return False
+        if op == "==":
+            return lv == rv
+        if op == "!=":
+            return lv != rv
+        if op == "<":
+            return lv < rv
+        if op == "<=":
+            return lv <= rv
+        if op == ">":
+            return lv > rv
+        return lv >= rv
+
+    def _agge(fn, sym, rowfn, e, ctx):
+        vals = [rowfn(r) for r in ctx.get_events_for_pattern(sym)]
+        if sym == cur_sym:
+            vals.append(rowfn(e))
+        vals = [v for v in vals if v is not None]
+        if fn == "COUNT":
+            return len(vals)
+        if not vals:
+            return None
+        if fn == "SUM":
+            return sum(vals)
+        if fn == "AVG":
+            return sum(vals) / len(vals)
+        if fn == "MIN":
+            return min(vals)
+        return max(vals)  # MAX
+
+    row_fns: dict = {}
+
+    def _agg_expr_code(fn: str, inner: str) -> str:
+        syms = set(_re.findall(r"\b(" + sym_alt + r")\.", inner))
+        if len(syms) != 1:
+            raise NotImplementedError(
+                f"aggregate over {inner!r}: must reference exactly one "
+                "pattern variable (match_recognize.md Aggregations)"
+            )
+        sym = syms.pop()
+        body = _re.sub(r"\b(?:" + sym_alt + r")\.(\w+)", r'__r["\1"]', inner)
+        remainder = _re.sub(r"__r\[\"\w+\"\]", "", body)
+        remainder = _re.sub(r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", "", remainder)
+        if _re.search(r"[A-Za-z_.\"\[\]]", remainder):
+            raise NotImplementedError(
+                f"aggregate expression subset: unsupported token in {inner!r} "
+                "(only SYM.col, literals and + - * / are allowed inside an "
+                "aggregate)"
+            )
+        rcode = compile(body, "<agg-expr>", "eval")
+
+        def rowfn(__r, _c=rcode):
+            try:
+                return eval(_c, {"__builtins__": {}}, {"__r": __r})
+            except TypeError:  # NULL operand -> NULL row value
+                return None
+
+        name = f"_rf{len(row_fns)}"
+        row_fns[name] = rowfn
+        return f'_agge("{fn}", "{sym}", {name}, e, ctx)'
+
+    G = {
+        "__builtins__": {},
+        "_agg": _agg, "_nav": _nav, "_prev": _prev, "_ref": _ref, "_cmp": _cmp,
+        "_agge": _agge,
+    }
+
+    # -- compilers (python source; atoms lifted to placeholders) --------
+    def compile_bool(s: str) -> str:
+        s = strip_outer_parens(s)
+        ors = split_top(s, "OR")
+        if len(ors) > 1:
+            return "(" + " or ".join(compile_bool(p) for p in ors) + ")"
+        ands = split_top(s, "AND")
+        if len(ands) > 1:
+            return "(" + " and ".join(compile_bool(p) for p in ands) + ")"
+        m = _re.match(r"\s*NOT\b(.*)$", s, _re.IGNORECASE | _re.DOTALL)
+        if m:
+            return "(not " + compile_bool(m.group(1)) + ")"
+        return compile_cmp(s)
+
+    def compile_cmp(s: str) -> str:
+        s = strip_outer_parens(s)
+        depth, i, n = 0, 0, len(s)
+        while i < n:
+            ch = s[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "'":
+                i += 1
+                while i < n and s[i] != "'":
+                    i += 1
+            elif depth == 0:
+                for op, py in (("<>", "!="), ("<=", "<="), (">=", ">="),
+                               ("=", "=="), ("<", "<"), (">", ">")):
+                    if s.startswith(op, i):
+                        lhs, rhs = s[:i], s[i + len(op):]
+                        # default-arg binding: eval-locals are not closed
+                        # over by lambdas defined inside the eval'd source
+                        return (f'_cmp(lambda e=e, ctx=ctx: {compile_arith(lhs)}, "{py}", '
+                                f"lambda e=e, ctx=ctx: {compile_arith(rhs)})")
+            i += 1
+        raise NotImplementedError(
+            f"iterative DEFINE subset: expected a comparison, got {s!r}"
+        )
+
+    def compile_arith(s: str) -> str:
+        s = strip_outer_parens(s)
+        out, depth, i, n = [], 0, 0, len(s)
+        while i < n:
+            ch = s[i]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "'":
+                j = s.index("'", i + 1)
+                out.append(s[i : j + 1])
+                i = j + 1
+                continue
+            if depth == 0 and ch in "+-*/":
+                out.append(f" {ch} ")
+                i += 1
+                continue
+            out.append(ch)
+            i += 1
+        return "(" + compile_atoms("".join(out)) + ")"
+
+    def compile_atoms(s: str) -> str:
+        lifted: list[str] = []
+
+        def lift(code: str) -> str:
+            lifted.append(code)
+            return f" __P{len(lifted) - 1}__ "
+
+        if _re.search(r"\b(NEXT|FINAL|RUNNING|CLASSIFIER|MATCH_NUMBER)\s*\(", s, _re.IGNORECASE):
+            raise NotImplementedError(
+                "iterative DEFINE subset: NEXT/FINAL/RUNNING/CLASSIFIER "
+                "cannot combine with match-scoped aggregates"
+            )
+        s = _re.sub(
+            r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(\s*(" + sym_alt + r")\.(\w+|\*)\s*\)",
+            lambda m: lift(f'_agg("{m.group(1).upper()}", "{m.group(2)}", "{m.group(3)}", e, ctx)'),
+            s,
+            flags=_re.IGNORECASE,
+        )
+        # aggregates over single-variable EXPRESSIONS — "Aggregations can
+        # be applied to expressions, but only if they reference a single
+        # pattern variable" (match_recognize.md): SUM(A.price * A.tax)
+        s = _re.sub(
+            r"\b(SUM|COUNT|AVG|MIN|MAX)\s*\(([^()]+)\)",
+            lambda m: lift(_agg_expr_code(m.group(1).upper(), m.group(2))),
+            s,
+            flags=_re.IGNORECASE,
+        )
+        s = _re.sub(
+            r"\b(FIRST|LAST)\s*\(\s*(" + sym_alt + r")\.(\w+)\s*(?:,\s*(\d+))?\s*\)",
+            lambda m: lift(
+                f'_nav("{m.group(1).upper()}", "{m.group(2)}", "{m.group(3)}", {int(m.group(4) or 0)}, e, ctx)'
+            ),
+            s,
+            flags=_re.IGNORECASE,
+        )
+        def _prev_repl(m):
+            n = int(m.group(2) or 1)
+            max_prev[0] = max(max_prev[0], n)
+            return lift(f'_prev("{m.group(1)}", {n}, ctx)')
+
+        s = _re.sub(
+            r"\bPREV\s*\(\s*(?:" + sym_alt + r")\.(\w+)\s*(?:,\s*(\d+))?\s*\)",
+            _prev_repl,
+            s,
+            flags=_re.IGNORECASE,
+        )
+        s = _re.sub(r"'(?:[^']|'')*'", lambda m: lift(m.group(0)), s)
+        s = _re.sub(
+            r"\b(" + sym_alt + r")\.(\w+)",
+            lambda m: lift(f'_ref("{m.group(1)}", "{m.group(2)}", e, ctx)'),
+            s,
+        )
+        remainder = _re.sub(r"__P\d+__", "", s)
+        remainder = _re.sub(r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", "", remainder)
+        bad = _re.search(r"[A-Za-z_.\"\[\]]", remainder)
+        if bad:
+            raise NotImplementedError(
+                f"iterative DEFINE subset: unsupported token at {bad.group(0)!r} "
+                f"in {s!r} (only SYM.col, PREV, SUM/COUNT/AVG/MIN/MAX, "
+                "FIRST/LAST, literals and arithmetic are allowed)"
+            )
+        return _re.sub(r"__P(\d+)__", lambda m: lifted[int(m.group(1))], s)
+
+    src = compile_bool(expr)
+    code = compile(src, "<iter-define>", "eval")
+    G.update(row_fns)  # aggregate-expression row lambdas lifted at compile
+
+    def predicate(event, ctx):
+        return bool(eval(code, G, {"e": event, "ctx": ctx}))
+
+    predicate.__doc__ = f"DEFINE {cur_sym} AS {expr!r} -> {src}"
     predicate.max_prev = max_prev[0]
     return predicate

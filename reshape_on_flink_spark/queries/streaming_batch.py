@@ -1196,3 +1196,122 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Match-scoped aggregate in DEFINE (round 9): PATTERN (A+ B), DEFINE A
+# AS SUM(A.amt) < 20000 — Flink's IterativeCondition surface
+# (match_recognize.md "Aggregations"; IterativeCondition.java): A
+# accumulates rows while the RUNNING sum (incl. the candidate row)
+# stays under the cap, B is undefined (= TRUE, the docs' example
+# shape), AFTER MATCH SKIP PAST LAST ROW tiles the partition. Amounts
+# are integer cents so both engines sum exactly.
+#
+# Exact oracle: the scan is a sequential cap-sum segmentation — per
+# start s the first failing row f has cum(f)-cum(s-1) >= cap; a match
+# is A=[s,f-1], B=f (greedy A+ backtracks one row for B when the
+# partition ends before any failure). A recursive CTE walks the
+# per-user chain over a precomputed step table (f via a prefix-sum
+# join; per-user row counts are bounded, so the join is tiny).
+# ---------------------------------------------------------------------------
+@query(
+    "q_cep_iterative_sum",
+    """
+    WITH RECURSIVE seq AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT),
+                                         event_id) AS rn,
+             CAST(FLOOR(value * 100) AS BIGINT) AS amt
+      FROM events
+    ),
+    cums AS (
+      SELECT user_id, rn, amt,
+             SUM(amt) OVER (PARTITION BY user_id ORDER BY rn) AS cum
+      FROM seq
+    ),
+    nrows AS (SELECT user_id, MAX(rn) AS n FROM cums GROUP BY user_id),
+    firstfail AS (
+      SELECT s.user_id, s.rn AS s_rn, MIN(c.rn) AS f
+      FROM cums s
+      JOIN cums c ON c.user_id = s.user_id AND c.rn >= s.rn
+                 AND c.cum - (s.cum - s.amt) >= 20000
+      GROUP BY s.user_id, s.rn
+    ),
+    step AS (
+      SELECT q.user_id, q.rn AS s,
+             CASE WHEN ff.f IS NULL
+                  THEN CASE WHEN nr.n - q.rn >= 1 THEN nr.n - q.rn END
+                  WHEN ff.f > q.rn THEN ff.f - q.rn
+             END AS a_len,
+             CASE WHEN ff.f IS NULL
+                  THEN CASE WHEN nr.n - q.rn >= 1
+                            THEN cn1.cum - (q.cum - q.amt) END
+                  WHEN ff.f > q.rn THEN cf1.cum - (q.cum - q.amt)
+             END AS a_sum,
+             CASE WHEN ff.f IS NULL
+                  THEN CASE WHEN nr.n - q.rn >= 1 THEN nr.n + 1 ELSE q.rn + 1 END
+                  WHEN ff.f > q.rn THEN ff.f + 1
+                  ELSE q.rn + 1
+             END AS nxt
+      FROM cums q
+      JOIN nrows nr ON nr.user_id = q.user_id
+      LEFT JOIN firstfail ff ON ff.user_id = q.user_id AND ff.s_rn = q.rn
+      LEFT JOIN cums cn1 ON cn1.user_id = q.user_id AND cn1.rn = nr.n - 1
+      LEFT JOIN cums cf1 ON cf1.user_id = q.user_id AND cf1.rn = ff.f - 1
+    ),
+    walk(user_id, s, a_len, a_sum) AS (
+      SELECT user_id, CAST(1 AS BIGINT), CAST(NULL AS BIGINT),
+             CAST(NULL AS BIGINT)
+      FROM nrows
+      UNION ALL
+      SELECT st.user_id, st.nxt, st.a_len, st.a_sum
+      FROM walk w JOIN step st ON st.user_id = w.user_id AND st.s = w.s
+    )
+    SELECT user_id,
+           CAST(COUNT(a_len) AS BIGINT) AS n_matches,
+           CAST(SUM(a_len) AS BIGINT) AS a_rows,
+           CAST(SUM(a_sum) AS BIGINT) AS a_amt
+    FROM walk
+    GROUP BY user_id
+    HAVING COUNT(a_len) > 0
+    ORDER BY user_id
+    """,
+)
+def q_cep_iterative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.api.table_env import TableEnvironment
+
+    t_env = TableEnvironment.create(spark)
+    ev = (
+        load_tables(spark, sf_dir)["events"]
+        .select(
+            "user_id",
+            "event_id",
+            F.col("ts").cast("long").alias("sec"),
+            F.floor(F.col("value") * 100).cast("long").alias("amt"),
+        )
+    )
+    ev.createOrReplaceTempView("__iter_sum_src")
+    per_match = t_env.execute_sql(
+        """
+        SELECT * FROM __iter_sum_src
+            MATCH_RECOGNIZE (
+                PARTITION BY user_id
+                ORDER BY sec, event_id
+                MEASURES COUNT(A.amt) AS a_len, SUM(A.amt) AS a_sum
+                ONE ROW PER MATCH
+                AFTER MATCH SKIP PAST LAST ROW
+                PATTERN (A+ B)
+                DEFINE A AS SUM(A.amt) < 20000
+            ) MR
+        """
+    )
+    return (
+        per_match.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.sum("a_len").cast("bigint").alias("a_rows"),
+            F.sum("a_sum").cast("bigint").alias("a_amt"),
+        )
+        .orderBy("user_id")
+    )

@@ -1241,3 +1241,156 @@ def test_until_followed_by_any_itcase(spark):
     assert _g_rows(d, build(True)) == sorted(
         [(0, 1, 2), (0, 1), (0, 2), (0, 4), (0,)]
     )
+
+
+# ------------------------------------ streaming until()/NOT-fold recipes
+
+
+def _stream_vs_batch(spark, tmp_dir, values, batch_p, stream_p, name, after="past_last_row"):
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    df = _df(spark, values)
+    expected = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in CEP.pattern(df, batch_p, "k", "pos", after_match=after)
+        .flat_select()
+        .collect()
+    )
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, name), n_chunks=3, order_col="pos"
+    )
+    got = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in run_to_memory(
+            spark,
+            CEP.pattern(stream, stream_p, "k", "pos", after_match=after).flat_select(),
+            f"{name}_out",
+            tmp_dir,
+            mode="append",
+        ).collect()
+    )
+    assert got == expected, (got, expected)
+    return expected
+
+
+def test_streaming_until_equals_batch(spark, tmp_dir):
+    """until() with a pandas predicate on the streaming route == the
+    Catalyst until() on batch (round-9: the streaming negation recipes —
+    until used to raise NotImplementedError on streams)."""
+    values = [1, 1, 9, 8, 1, 1, 3, 5, 5]
+    batch_p = (
+        Pattern.begin("a").where("v = 1").one_or_more().until("v = 8")
+        .followed_by("e").where("v = 3")
+    )
+    stream_p = (
+        Pattern.begin("a").where(lambda pdf: pdf["v"] == 1)
+        .one_or_more().until(lambda pdf: pdf["v"] == 8)
+        .followed_by("e").where(lambda pdf: pdf["v"] == 3)
+    )
+    expected = _stream_vs_batch(
+        spark, tmp_dir, values, batch_p, stream_p, "s_until"
+    )
+    assert expected, "fixture must produce matches"
+
+
+def test_streaming_not_followed_by_equals_batch(spark, tmp_dir):
+    """notFollowedBy between stages (negated gap) with pandas
+    predicates: streaming == batch."""
+    values = [1, 9, 3, 1, 2, 3, 5, 5]
+    batch_p = (
+        Pattern.begin("a").where("v = 1")
+        .not_followed_by("n").where("v = 2")
+        .followed_by("e").where("v = 3")
+    )
+    stream_p = (
+        Pattern.begin("a").where(lambda pdf: pdf["v"] == 1)
+        .not_followed_by("n").where(lambda pdf: pdf["v"] == 2)
+        .followed_by("e").where(lambda pdf: pdf["v"] == 3)
+    )
+    expected = _stream_vs_batch(
+        spark, tmp_dir, values, batch_p, stream_p, "s_nfb"
+    )
+    # first a(0) reaches e(2) over the 9; second a(3) is blocked by the 2
+    assert expected == [(0, "a"), (2, "e")], expected
+
+
+def test_streaming_not_next_strict_equals_batch(spark, tmp_dir):
+    """not_next before a strict successor (fold_not) with pandas
+    predicates: streaming == batch."""
+    values = [1, 2, 3, 1, 4, 3, 5, 5]
+    batch_p = (
+        Pattern.begin("a").where("v = 1")
+        .not_next("n").where("v = 2")
+        .next("e").where("v >= 3")
+    )
+    stream_p = (
+        Pattern.begin("a").where(lambda pdf: pdf["v"] == 1)
+        .not_next("n").where(lambda pdf: pdf["v"] == 2)
+        .next("e").where(lambda pdf: pdf["v"] >= 3)
+    )
+    expected = _stream_vs_batch(
+        spark, tmp_dir, values, batch_p, stream_p, "s_nn"
+    )
+    # a(0) next is 2 -> blocked; a(3) next is 4 -> e
+    assert expected == [(3, "a"), (4, "e")], expected
+
+
+def test_streaming_group_until_equals_batch(spark, tmp_dir):
+    """GroupPattern loop with until() on the streaming route (the group
+    until folds into every inner pandas DEFINE + fillers)."""
+    values = [0, 1, 2, 1, 2, 3, 5, 5]  # c (a b)+ until(d=3) d
+    batch_p = (
+        Pattern.begin("s").where("v = 0")
+        .followed_by(
+            Pattern.begin("m1").where("v = 1").followed_by("m2").where("v = 2")
+        ).one_or_more().until("v = 3")
+        .followed_by("e").where("v = 3")
+    )
+    stream_p = (
+        Pattern.begin("s").where(lambda pdf: pdf["v"] == 0)
+        .followed_by(
+            Pattern.begin("m1").where(lambda pdf: pdf["v"] == 1)
+            .followed_by("m2").where(lambda pdf: pdf["v"] == 2)
+        ).one_or_more().until(lambda pdf: pdf["v"] == 3)
+        .followed_by("e").where(lambda pdf: pdf["v"] == 3)
+    )
+    expected = _stream_vs_batch(
+        spark, tmp_dir, values, batch_p, stream_p, "s_gu"
+    )
+    assert expected, "fixture must produce matches"
+
+
+def test_streaming_until_without_pandas_form_is_loud(spark, tmp_dir):
+    """A Catalyst-only until() on the streaming route raises with
+    guidance (it cannot be evaluated over the buffered pandas frame)."""
+    import os
+
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    df = _df(spark, [1, 1, 8, 3])
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "s_loud"), n_chunks=2, order_col="pos"
+    )
+    p = (
+        Pattern.begin("a").where(lambda pdf: pdf["v"] == 1)
+        .one_or_more().until("v = 8")  # Catalyst-only stop condition
+        .followed_by("e").where(lambda pdf: pdf["v"] == 3)
+    )
+    with pytest.raises(ValueError, match="no\\s+pandas form"):
+        CEP.pattern(stream, p, "k", "pos").flat_select()
+
+
+def test_batch_pandas_only_until_is_loud(spark):
+    """A pandas-only until() on the batch route raises (no Catalyst
+    negation to fold into the DEFINE)."""
+    df = _df(spark, [1, 1, 8, 3])
+    p = (
+        Pattern.begin("a").where("v = 1")
+        .one_or_more().until(lambda pdf: pdf["v"] == 8)
+        .followed_by("e").where("v = 3")
+    )
+    with pytest.raises(ValueError, match="only pandas"):
+        CEP.pattern(df, p, "k", "pos").flat_select()

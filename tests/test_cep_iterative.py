@@ -1,0 +1,454 @@
+"""IterativeCondition — conditions over the partial match.
+
+Reference: flink-libraries/flink-cep/src/main/java/org/apache/flink/
+cep/pattern/conditions/IterativeCondition.java (ctx.getEventsForPattern)
++ docs/content/docs/libs/cep.md "Iterative Conditions" (the running-sum
+subtype example), and the SQL surface
+docs/content/docs/dev/table/sql/queries/match_recognize.md
+"Aggregations" (DEFINE A AS AVG(A.price) < 15 — the docs input/output
+table is pinned verbatim in test_sql_define_aggregation_docs_example).
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from reshape_on_flink_spark.operators.cep import (
+    iterative_predicate,
+    match_recognize,
+)
+
+
+@pytest.fixture(scope="module")
+def t_env(spark):
+    from reshape_on_flink_spark.api.table_env import TableEnvironment
+
+    return TableEnvironment.create(spark)
+
+
+def _price_df(spark):
+    rows = [
+        (1, 1, "start", 0.0),
+        (1, 2, "foo1", 2.0),
+        (1, 3, "foo2", 2.0),
+        (1, 4, "foo3", 2.0),  # running sum would reach 6 -> rejected
+        (1, 5, "end", 0.0),
+    ]
+    return spark.createDataFrame(rows, "k int, t int, name string, price double")
+
+
+def _sum_under_5(sym):
+    # returned closure is cloudpickled BY VALUE (not by module ref, which
+    # executors could not import for a test module)
+    def cond(event, ctx):
+        s = event["price"] + sum(e["price"] for e in ctx.get_events_for_pattern(sym))
+        return s < 5.0
+
+    return cond
+
+
+def test_iterative_running_sum_bounds_greedy_loop(spark):
+    """a b+ where b's running sum (incl. the candidate row) stays < 5:
+    the greedy loop backtracks out of the iteratively-rejected third
+    repetition (the docs' running-sum subtype example, strict form)."""
+    out = match_recognize(
+        _price_df(spark), "k", "t", "a b+",
+        define={"a": F.col("name") == "start", "b": F.col("name").startswith("foo")},
+        iter_define={"b": _sum_under_5("b")},
+    )
+    res = [(r.t, r.matched_symbol) for r in out.orderBy("t").collect()]
+    assert res == [(1, "a"), (2, "b"), (3, "b")], res
+
+
+def test_iterative_only_symbol_defaults_static_true(spark):
+    out = match_recognize(
+        _price_df(spark), "k", "t", "a b+",
+        define={"a": F.col("name") == "start"},
+        iter_define={
+            "b": lambda e, ctx: e["name"].startswith("foo")
+            and e["price"] + sum(x["price"] for x in ctx.get_events_for_pattern("b"))
+            < 5.0
+        },
+    )
+    assert sorted(r.t for r in out.collect()) == [1, 2, 3]
+
+
+def test_iterative_chunked_equals_grouped(spark):
+    args = dict(
+        partition_by="k", order_by="t", pattern="a b+",
+        define={"a": F.col("name") == "start", "b": F.col("name").startswith("foo")},
+        iter_define={"b": _sum_under_5("b")},
+    )
+    df = _price_df(spark)
+    chunked = match_recognize(df, impl="chunked", **args)
+    grouped = match_recognize(df, impl="grouped", **args)
+    key = lambda r: (r.match_id, r.t)  # noqa: E731
+    assert sorted(map(key, chunked.collect())) == sorted(map(key, grouped.collect()))
+
+
+def test_iterative_no_skip_enumerates_valid_expansions(spark):
+    """Under noSkip every loop expansion satisfying the iterative bound
+    is its own match; the sum-violating expansion is never emitted."""
+    out = match_recognize(
+        _price_df(spark), "k", "t", "a b+",
+        define={"a": F.col("name") == "start", "b": F.col("name").startswith("foo")},
+        iter_define={"b": _sum_under_5("b")},
+        after_match="no_skip",
+    )
+    m = collections.defaultdict(list)
+    for r in out.collect():
+        m[r.match_id].append(r.t)
+    assert sorted(sorted(v) for v in m.values()) == [[1, 2], [1, 2, 3]]
+
+
+def test_flat_matcher_rejects_ic():
+    from reshape_on_flink_spark.operators.cep import _matcher, parse_pattern
+
+    toks = parse_pattern("a b")
+    with pytest.raises(ValueError, match="iterative"):
+        _matcher(["a", "b"], toks)([[True], [True]], 0, 1, ic=[None, None])
+
+
+# ---------------------------------------------------------------------
+# fluent Pattern API: where((event, ctx) -> bool)
+# ---------------------------------------------------------------------
+
+
+def _relaxed_df(spark):
+    rows = [
+        (1, 1, "c", 0.0),
+        (1, 2, "foo1", 2.0),
+        (1, 3, "foo2", 2.0),
+        (1, 4, "x", 0.0),    # static non-match: relaxed skip
+        (1, 5, "foo3", 5.0),  # static match, sum would hit 9 -> iterative skip
+        (1, 6, "foo4", 0.5),  # sum 4.5 -> take
+        (1, 7, "b", 0.0),
+    ]
+    return spark.createDataFrame(rows, "k int, t int, name string, price double")
+
+
+def test_fluent_iterative_relaxed_loop_ignores_failing_event(spark):
+    """The relaxed loop's ignore edge is NOT(take) evaluated ITERATIVELY
+    (NFACompiler getIgnoreCondition): an event that matches statically
+    but fails the running-sum bound is skipped, not branch-killing —
+    the docs' oneOrMore + running-sum subtype example."""
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+
+    pat = (
+        Pattern.begin("start").where(F.col("name") == "c")
+        .followed_by("mid").where(F.col("name").startswith("foo"))
+        .where(_sum_under_5("mid"))
+        .one_or_more()
+        .followed_by("end").where(F.col("name") == "b")
+    )
+    out = CEP.pattern(_relaxed_df(spark), pat, "k", "t", after_match="no_skip")
+    m = collections.defaultdict(list)
+    for r in out.flat_select().collect():
+        m[r.match_id].append((r.t, r.matched_symbol))
+    sets = sorted(sorted(v) for v in m.values())
+    assert sets == [
+        [(1, "start"), (2, "mid"), (3, "mid"), (6, "mid"), (7, "end")],
+        [(1, "start"), (2, "mid"), (3, "mid"), (7, "end")],
+        [(1, "start"), (2, "mid"), (7, "end")],
+    ], sets
+    # t=5 (statically valid, iteratively rejected) appears in NO match
+    assert all(5 not in [t for t, _ in v] for v in m.values())
+
+
+def test_fluent_iterative_only_stage_and_cross_stage_ctx(spark):
+    """An iterative-only stage (no static condition) referencing a
+    PRIOR stage's events through ctx.get_events_for_pattern."""
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+
+    pat = (
+        Pattern.begin("a").where(lambda e, ctx: e["name"] == "c")
+        .next("b2").where(
+            lambda e, ctx: e["price"]
+            > sum(x["price"] for x in ctx.get_events_for_pattern("a"))
+        )
+    )
+    out = CEP.pattern(_relaxed_df(spark), pat, "k", "t").flat_select()
+    assert sorted((r.t, r.matched_symbol) for r in out.collect()) == [
+        (1, "a"), (2, "b2"),
+    ]
+
+
+def test_fluent_where_iterative_ands_with_static(spark):
+    """Chained where(): static Column AND iterative callable compose."""
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+
+    pat = (
+        Pattern.begin("a").where(F.col("name") == "start")
+        .next("b").where(F.col("name").startswith("foo"))
+        .where(lambda e, ctx: e["price"] < 1.0)  # kills all foo rows (price 2.0)
+    )
+    out = CEP.pattern(_price_df(spark), pat, "k", "t").flat_select()
+    assert out.count() == 0
+
+
+def test_streaming_fluent_iterative_matches_batch(spark, tmp_dir):
+    """Stream == batch for an iterative pattern across micro-batch
+    boundaries (partial-match state carries the running sums). The
+    first statically-viable loop candidate fails the iterative bound,
+    so the relaxed search must skip past it in BOTH harnesses.
+
+    (no_skip streaming enumeration stays pending at buffer end by the
+    decidability rule; single-match strategies decide on the first
+    completed expansion — that route is what this pins.)"""
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    rows = [
+        (1, 1, "c", 0.0),
+        (1, 2, "foo9", 6.0),  # static match, sum 6 >= 5 -> iterative reject
+        (1, 3, "foo1", 2.0),  # first surviving candidate
+        (1, 4, "b", 0.0),
+        (1, 5, "c", 0.0),     # second tiled match
+        (1, 6, "foo2", 1.0),
+        (1, 7, "b", 0.0),
+        (1, 8, "z", 0.0),     # trailing sentinel
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, name string, price double")
+
+    def stages(where_c, where_foo, where_b):
+        return (
+            Pattern.begin("start").where(where_c)
+            .followed_by("mid").where(where_foo).where(_sum_under_5("mid"))
+            .one_or_more()
+            .followed_by("end").where(where_b)
+        )
+
+    pat_b = stages(
+        F.col("name") == "c", F.col("name").startswith("foo"), F.col("name") == "b"
+    )
+    expected = sorted(
+        (r.t, r.matched_symbol)
+        for r in CEP.pattern(df, pat_b, "k", "t").flat_select().collect()
+    )
+    assert expected == [
+        (1, "start"), (3, "mid"), (4, "end"),
+        (5, "start"), (6, "mid"), (7, "end"),
+    ], expected
+
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "iter_cep"), n_chunks=3, order_col="t"
+    )
+    pat_s = stages(
+        lambda pdf: pdf["name"] == "c",
+        lambda pdf: pdf["name"].str.startswith("foo"),
+        lambda pdf: pdf["name"] == "b",
+    )
+    got = sorted(
+        (r.t, r.matched_symbol)
+        for r in run_to_memory(
+            spark,
+            CEP.pattern(stream, pat_s, "k", "t").flat_select(),
+            "iter_cep_out",
+            tmp_dir,
+            mode="append",
+        ).collect()
+    )
+    assert got == expected
+
+
+# ---------------------------------------------------------------------
+# SQL surface: match-scoped aggregates in DEFINE
+# ---------------------------------------------------------------------
+
+
+def _ticker(spark):
+    """The reference docs' Aggregations input table
+    (match_recognize.md: ACME 10:00:00..10:00:11)."""
+    rows = [
+        ("ACME", "2011-04-01 10:00:00", 12.0, 1),
+        ("ACME", "2011-04-01 10:00:01", 17.0, 2),
+        ("ACME", "2011-04-01 10:00:02", 13.0, 1),
+        ("ACME", "2011-04-01 10:00:03", 16.0, 3),
+        ("ACME", "2011-04-01 10:00:04", 25.0, 2),
+        ("ACME", "2011-04-01 10:00:05", 2.0, 1),
+        ("ACME", "2011-04-01 10:00:06", 4.0, 1),
+        ("ACME", "2011-04-01 10:00:07", 10.0, 2),
+        ("ACME", "2011-04-01 10:00:08", 15.0, 2),
+        ("ACME", "2011-04-01 10:00:09", 25.0, 2),
+        ("ACME", "2011-04-01 10:00:10", 25.0, 1),
+        ("ACME", "2011-04-01 10:00:11", 30.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "symbol string, rowtime string, price double, tax int")
+    return df.selectExpr(
+        "symbol", "cast(rowtime as timestamp) rowtime", "price", "tax"
+    )
+
+
+_DOCS_AGG_SQL = """
+SELECT * FROM {src}
+    MATCH_RECOGNIZE (
+        PARTITION BY symbol
+        ORDER BY rowtime
+        MEASURES
+            FIRST(A.rowtime) AS start_tstamp,
+            LAST(A.rowtime) AS end_tstamp,
+            AVG(A.price) AS avgPrice
+        ONE ROW PER MATCH
+        AFTER MATCH SKIP PAST LAST ROW
+        PATTERN (A+ B)
+        DEFINE
+            A AS AVG(A.price) < 15
+    ) MR
+"""
+
+
+def test_sql_define_aggregation_docs_example(spark, t_env):
+    """Verbatim reference query + data + result table
+    (match_recognize.md "Aggregations"): accumulate rows into A while
+    the running average stays < 15; B has no DEFINE (defaults TRUE)."""
+    _ticker(spark).createOrReplaceTempView("iter_ticker")
+    out = t_env.execute_sql(_DOCS_AGG_SQL.format(src="iter_ticker"))
+    res = [
+        (r.symbol, str(r.start_tstamp), str(r.end_tstamp), r.avgPrice)
+        for r in out.orderBy("start_tstamp").collect()
+    ]
+    assert res == [
+        ("ACME", "2011-04-01 10:00:00", "2011-04-01 10:00:03", 14.5),
+        ("ACME", "2011-04-01 10:00:05", "2011-04-01 10:00:10", 13.5),
+    ], res
+
+
+def test_sql_define_aggregate_expression_single_variable(spark, t_env):
+    """SUM over a single-variable expression (docs: 'SUM(A.price *
+    A.tax) is a valid one')."""
+    _ticker(spark).createOrReplaceTempView("iter_ticker2")
+    out = t_env.execute_sql("""
+        SELECT * FROM iter_ticker2
+            MATCH_RECOGNIZE (
+                PARTITION BY symbol
+                ORDER BY rowtime
+                MEASURES FIRST(A.rowtime) AS s, LAST(A.rowtime) AS e,
+                         COUNT(A.price) AS n
+                ONE ROW PER MATCH
+                PATTERN (A+ B)
+                DEFINE A AS SUM(A.price * A.tax) < 60
+            ) MR
+    """)
+    res = [(str(r.s), str(r.e), r.n) for r in out.orderBy("s").collect()]
+    assert res == [
+        ("2011-04-01 10:00:00", "2011-04-01 10:00:02", 3),
+        ("2011-04-01 10:00:04", "2011-04-01 10:00:06", 3),
+        ("2011-04-01 10:00:08", "2011-04-01 10:00:08", 1),
+        ("2011-04-01 10:00:10", "2011-04-01 10:00:10", 1),
+    ], res
+
+
+def test_sql_multi_variable_aggregate_is_rejected(spark, t_env):
+    """Docs: 'AVG(A.price * B.tax) is not [valid]'."""
+    _ticker(spark).createOrReplaceTempView("iter_ticker3")
+    with pytest.raises(NotImplementedError, match="one pattern variable"):
+        t_env.execute_sql("""
+            SELECT * FROM iter_ticker3
+                MATCH_RECOGNIZE (
+                    PARTITION BY symbol ORDER BY rowtime
+                    MEASURES COUNT(A.price) AS n
+                    ONE ROW PER MATCH
+                    PATTERN (A+ B)
+                    DEFINE A AS AVG(A.price * B.tax) < 15
+                ) MR
+        """)
+
+
+def test_sql_first_last_navigation_in_define(spark, t_env):
+    """FIRST/LAST navigation in DEFINE are RUNNING over the partial
+    match: B accepts only rows above the first A price."""
+    _ticker(spark).createOrReplaceTempView("iter_ticker4")
+    out = t_env.execute_sql("""
+        SELECT * FROM iter_ticker4
+            MATCH_RECOGNIZE (
+                PARTITION BY symbol ORDER BY rowtime
+                MEASURES FIRST(A.price) AS first_a, LAST(B.price) AS b_price
+                ONE ROW PER MATCH
+                PATTERN (A B)
+                DEFINE A AS A.price < 15,
+                       B AS B.price > FIRST(A.price)
+            ) MR
+    """)
+    res = [(r.first_a, r.b_price) for r in out.orderBy("first_a").collect()]
+    # pairs (A, B) scanning with skip-past-last-row:
+    # (12,17) ok; (13,16) ok; (2,4) ok; (10,15) ok; next A candidate < 15: none left
+    assert res == [(2.0, 4.0), (10.0, 15.0), (12.0, 17.0), (13.0, 16.0)], res
+
+
+def test_sql_streaming_define_aggregation_matches_batch(spark, t_env, tmp_dir):
+    """The docs aggregation query on a STREAMING source == batch."""
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    df = _ticker(spark)
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "iter_sql"), n_chunks=3, order_col="rowtime"
+    )
+    stream.createOrReplaceTempView("iter_ticker_stream")
+    out = t_env.execute_sql(_DOCS_AGG_SQL.format(src="iter_ticker_stream"))
+    got = sorted(
+        (r.symbol, str(r.start_tstamp), str(r.end_tstamp), r.avgPrice)
+        for r in run_to_memory(
+            spark, out, "iter_sql_out", tmp_dir, mode="append"
+        ).collect()
+    )
+    assert got == [
+        ("ACME", "2011-04-01 10:00:00", "2011-04-01 10:00:03", 14.5),
+        ("ACME", "2011-04-01 10:00:05", "2011-04-01 10:00:10", 13.5),
+    ], got
+
+
+# ---------------------------------------------------------------------
+# iterative_predicate unit behavior
+# ---------------------------------------------------------------------
+
+
+class _FakeCtx:
+    def __init__(self, by_sym, records=None, pos=-1):
+        self._by = by_sym
+        self.records = records or []
+        self.pos = pos
+
+    def get_events_for_pattern(self, name):
+        return self._by.get(name, [])
+
+
+def test_iterative_predicate_null_semantics():
+    # empty SUM -> NULL -> comparison false; COUNT empty -> 0
+    p = iterative_predicate("SUM(a.x) < 100", ["a", "b"], "b")
+    assert p({"x": 1}, _FakeCtx({"a": []})) is False
+    p2 = iterative_predicate("COUNT(a.x) = 0", ["a", "b"], "b")
+    assert p2({"x": 1}, _FakeCtx({"a": []})) is True
+    # other-variable bare ref = LAST mapped row; none mapped -> false
+    p3 = iterative_predicate("a.x > 0", ["a", "b"], "b")
+    assert p3({"x": 5}, _FakeCtx({"a": []})) is False
+    assert p3({"x": 5}, _FakeCtx({"a": [{"x": 1}, {"x": 3}]})) is True
+
+
+def test_iterative_predicate_current_row_inclusion():
+    # cur_sym aggregates INCLUDE the row being classified
+    p = iterative_predicate("SUM(b.x) <= 6", ["a", "b"], "b")
+    assert p({"x": 3}, _FakeCtx({"b": [{"x": 3}]})) is True
+    assert p({"x": 4}, _FakeCtx({"b": [{"x": 3}]})) is False
+    # COUNT(SYM.*) counts rows
+    p2 = iterative_predicate("COUNT(b.*) < 2", ["a", "b"], "b")
+    assert p2({"x": 1}, _FakeCtx({"b": []})) is True
+    assert p2({"x": 1}, _FakeCtx({"b": [{"x": 1}]})) is False
+
+
+def test_iterative_predicate_prev_and_loud_rejects():
+    p = iterative_predicate("PREV(b.x) + SUM(b.x) > 3", ["a", "b"], "b")
+    assert p.max_prev == 1
+    recs = [{"x": 9}, {"x": 2}]
+    assert p({"x": 2}, _FakeCtx({"b": []}, records=recs, pos=1)) is True
+    # PREV off the front -> NULL -> false
+    assert p({"x": 9}, _FakeCtx({"b": []}, records=recs, pos=0)) is False
+    with pytest.raises(NotImplementedError, match="FINAL"):
+        iterative_predicate("FINAL(SUM(b.x)) > 1", ["a", "b"], "b")
+    with pytest.raises(NotImplementedError, match="comparison"):
+        iterative_predicate("SUM(b.x)", ["a", "b"], "b")
