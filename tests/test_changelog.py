@@ -118,3 +118,193 @@ def test_datastream_pandas_paths(spark, tables):
         tables["events"].groupBy("user_id").agg(F.max("value").alias("value"))
     )
     assert_same_rows(top.df, expected)
+
+
+# ---------------------------------------------------------------------
+# Retract streams (streaming.changelog.to_retract_stream) — Flink's
+# toRetractStream / GroupAggFunction emission contract.
+# ---------------------------------------------------------------------
+
+
+def _replay(spark, df, tmp_dir, name, n_chunks, order_col):
+    import os
+
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    return chunked_replay(
+        spark, df, os.path.join(tmp_dir, name), n_chunks=n_chunks, order_col=order_col
+    )
+
+
+def _collect_stream(spark, sdf, name, tmp_dir):
+    from tests.test_streaming import run_to_memory
+
+    return run_to_memory(spark, sdf, name, tmp_dir, mode="append").collect()
+
+
+def test_to_retract_stream_docs_sequence(spark, tmp_dir):
+    """The dynamic_tables.md 'Table to Stream Conversion' sequence:
+    clicks by Mary, Bob, Mary, Liz (one row per micro-batch) emit
+    +I(Mary,1) +I(Bob,1) -U(Mary,1) +U(Mary,2) +I(Liz,1)."""
+    from reshape_on_flink_spark.streaming.changelog import to_retract_stream
+
+    rows = [(1, "Mary"), (2, "Bob"), (3, "Mary"), (4, "Liz")]
+    df = spark.createDataFrame(rows, "seq int, user string")
+    stream = _replay(spark, df, tmp_dir, "retract_docs", 4, "seq")
+    out = to_retract_stream(stream, "user", {"cnt": ("count", None)})
+    got = _collect_stream(spark, out, "retract_docs_out", tmp_dir)
+    # order within a key by _change_seq; keys interleave by first-seen
+    per_key = {}
+    for r in got:
+        per_key.setdefault(r.user, []).append((r._change_seq, r._change_type, r.cnt))
+    for k in per_key:
+        per_key[k] = [(t, c) for _s, t, c in sorted(per_key[k])]
+    assert per_key == {
+        "Mary": [("+I", 1), ("-U", 1), ("+U", 2)],
+        "Bob": [("+I", 1)],
+        "Liz": [("+I", 1)],
+    }, per_key
+
+
+def test_to_retract_stream_upsert_view_equals_batch(spark, tmp_dir):
+    """Normalizing the collected retract stream == the batch aggregate
+    (count/sum/avg/min/max over an append-only input)."""
+    from reshape_on_flink_spark.streaming.changelog import (
+        retract_stream_to_table,
+        to_retract_stream,
+    )
+
+    rows = [(i, i % 5, float(i % 7)) for i in range(40)]
+    df = spark.createDataFrame(rows, "seq int, k int, v double")
+    stream = _replay(spark, df, tmp_dir, "retract_eq", 5, "seq")
+    out = to_retract_stream(
+        stream,
+        "k",
+        {
+            "cnt": ("count", None),
+            "s": ("sum", "v"),
+            "a": ("avg", "v"),
+            "lo": ("min", "v"),
+            "hi": ("max", "v"),
+        },
+    )
+    got = _collect_stream(spark, out, "retract_eq_out", tmp_dir)
+    final = retract_stream_to_table(
+        spark.createDataFrame(got), ["k"]
+    ).orderBy("k")
+    batch = (
+        df.groupBy("k")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("v").alias("s"),
+            F.avg("v").alias("a"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .orderBy("k")
+    )
+    g = [(r.k, r.cnt, r.s, r.a, r.lo, r.hi) for r in final.collect()]
+    b = [(r.k, r.cnt, r.s, r.a, r.lo, r.hi) for r in batch.collect()]
+    assert g == b and len(g) == 5
+    # every key's changelog alternates -U/+U pairs after its +I
+    hist = {}
+    for r in sorted(got, key=lambda r: (r.k, r._change_seq)):
+        hist.setdefault(r.k, []).append(r._change_type)
+    for k, seq in hist.items():
+        assert seq[0] == "+I"
+        rest = seq[1:]
+        assert all(t == ("-U" if i % 2 == 0 else "+U") for i, t in enumerate(rest)), (k, seq)
+
+
+def test_retraction_consuming_two_level_aggregation(spark, tmp_dir):
+    """GroupAggFunction's retract mode, end-to-end: level 1 counts
+    clicks per user (retract stream); level 2 CONSUMES that changelog
+    and counts users per click-count — the frequency histogram that is
+    WRONG without retraction handling (a user moving 1->2 clicks must
+    leave the 1-bucket). Final state == batch recomputation."""
+    from reshape_on_flink_spark.streaming.changelog import (
+        retract_stream_to_table,
+        to_retract_stream,
+    )
+
+    rows = [(i, ["a", "b", "a", "c", "a", "b", "d", "a"][i]) for i in range(8)]
+    df = spark.createDataFrame(rows, "seq int, user string")
+    inner_stream = _replay(spark, df, tmp_dir, "twolevel_in", 8, "seq")
+    inner = to_retract_stream(inner_stream, "user", {"cnt": ("count", None)})
+    level1 = _collect_stream(spark, inner, "twolevel_mid", tmp_dir)
+    assert len(level1) > 4
+
+    # replay level 1's changelog (in emission order) into level 2
+    l1df = spark.createDataFrame(level1).withColumn(
+        "gseq", F.monotonically_increasing_id()
+    )
+    import pandas as pd  # noqa: F401
+
+    l1_ordered = l1df.orderBy("_change_seq", "user").drop("gseq")
+    l1_ordered = l1_ordered.withColumn("gseq", F.monotonically_increasing_id())
+    outer_stream = _replay(
+        spark, l1_ordered, tmp_dir, "twolevel_l2in", 4, "gseq"
+    )
+    outer = to_retract_stream(
+        outer_stream.withColumnRenamed("_change_seq", "_change_seq_in")
+        .withColumn("_change_seq", F.col("gseq")),
+        "cnt",
+        {"n_users": ("count", None)},
+        consume_changelog=True,
+    )
+    got = _collect_stream(spark, outer, "twolevel_out", tmp_dir)
+    final = retract_stream_to_table(spark.createDataFrame(got), ["cnt"])
+    hist = {r.cnt: r.n_users for r in final.collect()}
+    batch_hist = {
+        r.cnt: r.n_users
+        for r in df.groupBy("user")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("cnt")
+        .agg(F.countDistinct("user").alias("n_users"))
+        .collect()
+    }
+    # a: 4 clicks, b: 2, c: 1, d: 1 -> {4:1, 2:1, 1:2}
+    assert batch_hist == {4: 1, 2: 1, 1: 2}
+    assert hist == batch_hist, (hist, batch_hist)
+
+
+def test_consume_changelog_min_max_needs_multiset(spark, tmp_dir):
+    """Retracting the current max must fall back to the runner-up —
+    only a value multiset can answer that (MinWithRetractAggFunction)."""
+    from reshape_on_flink_spark.streaming.changelog import to_retract_stream
+
+    rows = [
+        (0, "+I", 1, 10.0),
+        (1, "+I", 1, 30.0),
+        (2, "-U", 1, 30.0),  # retract the max
+        (3, "+I", 1, 20.0),
+    ]
+    df = spark.createDataFrame(rows, "_change_seq long, _change_type string, k int, v double")
+    stream = _replay(spark, df, tmp_dir, "ms_in", 2, "_change_seq")
+    out = to_retract_stream(
+        stream, "k", {"hi": ("max", "v"), "lo": ("min", "v")},
+        consume_changelog=True,
+    )
+    got = sorted(
+        _collect_stream(spark, out, "ms_out", tmp_dir),
+        key=lambda r: r._change_seq,
+    )
+    states = [(r._change_type, r.hi, r.lo) for r in got]
+    # batch 1: 10,30 -> +I (30, 10); batch 2: -30 then +20 -> (20, 10)
+    assert states == [("+I", 30.0, 10.0), ("-U", 30.0, 10.0), ("+U", 20.0, 10.0)], states
+
+
+def test_to_retract_stream_loud_errors(spark):
+    from reshape_on_flink_spark.streaming.changelog import to_retract_stream
+
+    df = spark.createDataFrame([(1, 2.0)], "k int, v double")
+    try:
+        to_retract_stream(df, "k", {"x": ("median", "v")})
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "unsupported aggregate" in str(e)
+    try:
+        to_retract_stream(df, "k", {"x": ("sum", "v")}, consume_changelog=True)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "_change_type" in str(e)
