@@ -871,6 +871,9 @@ class PatternStream:
             lookahead_window=W.partitionBy(*self._keys).orderBy(*self._order),
         )
         tn = self._pattern._terminal_not  # (catalyst_cond, pandas_cond) | None
+        # relaxed-contiguity fillers: matches may not ANCHOR on one
+        # (Flink computations start at their first TAKEN event)
+        fillers = [k for k in define if k not in user_syms]
         if self._df.isStreaming:
             pandas_define = {}
             for s in _positive_leaf_stages(self._pattern._stages):
@@ -966,6 +969,7 @@ class PatternStream:
                 within=within,
                 terminal_not=tn_name,
                 iter_define=self._pattern._iter_define or None,
+                filler_syms=fillers or None,
             )
         else:
             only_pandas = [k for k, v in define.items() if v is None]
@@ -993,6 +997,7 @@ class PatternStream:
                 within=within,
                 terminal_not=tn_name,
                 iter_define=self._pattern._iter_define or None,
+                filler_syms=fillers or None,
             )
         return out, user_syms
 

@@ -811,6 +811,7 @@ def match_recognize(
     within: str | float | None = None,
     terminal_not: str | None = None,
     iter_define: dict | None = None,
+    filler_syms: list[str] | None = None,
 ) -> DataFrame:
     """Rows of every match, annotated with ``match_id`` (0-based ordinal
     within the partition) and ``matched_symbol``.
@@ -875,6 +876,17 @@ def match_recognize(
     still prefilters candidate starts, so the slow path runs only on
     statically-viable spans. Scale: everything stays partition-local
     inside the per-key Arrow batch, exactly like the static path.
+
+    ``filler_syms``: symbols that model the fluent compiler's relaxed-
+    contiguity IGNORE edges ('__gapN'/'__lgapN'). A match whose FIRST
+    consumed row maps to one is discarded: Flink anchors every NFA
+    computation at its first TAKEN event (start states have no ignore
+    edge), so a filler-led candidate is the same match re-anchored —
+    it is found again when the scan reaches its first real row.
+    Without this, an optional first stage + relaxed successor emits
+    the absent-branch match once per scan position
+    (IterativeConditionsITCase.testIterativeWithLoopingStarting
+    expects ONE bare {end} match).
     """
     partition_by = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
@@ -924,6 +936,9 @@ def match_recognize(
     )
     all_syms = symbols + ([terminal_not] if terminal_not is not None else [])
     tn_idx = len(symbols)  # bools index of the terminal-not flag column
+    filler_idx = frozenset(
+        symbols.index(s) for s in (filler_syms or ()) if s in symbols
+    )
 
     flagged = df
     for s in all_syms:
@@ -988,6 +1003,8 @@ def match_recognize(
             if enum_at is not None:  # NO_SKIP and/or terminal_not: enumerate
                 hi = bound(i, n)
                 cands = enum_at(bools, i, hi, ic)
+                if filler_idx:  # drop filler-anchored candidates
+                    cands = [m for m in cands if m[0][1] not in filler_idx]
                 if terminal_not is not None:
                     cands = _nf_survivors(cands, bools, hi)
                 if skip_mode == "no_skip":
@@ -1010,6 +1027,8 @@ def match_recognize(
                     i += 1
                 continue
             m = match_at(bools, i, bound(i, n), ic)
+            if m and filler_idx and m[0][1] in filler_idx:
+                m = None  # filler-anchored: re-found at its first real row
             if m:  # empty match advances
                 for pos, si in m:
                     rows_idx.append(pos)
@@ -1084,6 +1103,8 @@ def match_recognize(
             if enum_at is not None:  # NO_SKIP and/or terminal_not: enumerate
                 hi = bound(r, int(ends[g]))
                 cands = enum_at(bools, r, hi, ic)
+                if filler_idx:  # drop filler-anchored candidates
+                    cands = [m for m in cands if m[0][1] not in filler_idx]
                 if terminal_not is not None:
                     cands = _nf_survivors(cands, bools, hi)
                 if skip_mode == "no_skip":
@@ -1106,6 +1127,8 @@ def match_recognize(
                     i = sp + 1
                 continue
             m = match_at(bools, r, bound(r, int(ends[g])), ic)
+            if m and filler_idx and m[0][1] in filler_idx:
+                m = None  # filler-anchored: re-found at its first real row
             if not m:  # key-bound mismatch (defensive) or WITHIN clamp
                 i = sp + 1
                 continue
@@ -1326,6 +1349,7 @@ def streaming_match_recognize(
     within: str | float | None = None,
     terminal_not: str | None = None,
     iter_define: dict | None = None,
+    filler_syms: list[str] | None = None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE over a streaming DataFrame (applyInPandasWithState).
 
@@ -1443,6 +1467,9 @@ def streaming_match_recognize(
             )
         if terminal_not not in define:
             raise ValueError(f"terminal_not symbol {terminal_not!r} has no DEFINE")
+    filler_idx = frozenset(
+        symbols.index(s) for s in (filler_syms or ()) if s in symbols
+    )
     use_enum = skip_mode == "no_skip" or terminal_not is not None
     if use_enum:  # enumerate expansions per start, advance by one
         match_at = _ast_enumerator(symbols, ast, modes=True)
@@ -1553,6 +1580,8 @@ def streaming_match_recognize(
             def emit_enum(cands):
                 """Emit a decided enumeration per the skip mode; return
                 the next scan position from `i`."""
+                if filler_idx:  # drop filler-anchored candidates (see batch)
+                    cands = [mm for mm in cands if mm[0][1] not in filler_idx]
                 if skip_mode == "no_skip":
                     for one in cands:
                         emit_one(one)
@@ -1583,6 +1612,8 @@ def streaming_match_recognize(
                         )
                         continue
                     m2 = match_closed(bools, i, closed_hi, ic)
+                    if m2 and filler_idx and m2[0][1] in filler_idx:
+                        m2 = None  # filler-anchored: re-found later
                     if m2:
                         emit_one(m2)
                         i = _resume_pos(m2, skip_mode, skip_sym, symbols)
@@ -1597,6 +1628,8 @@ def streaming_match_recognize(
                     hi = n  # force-close: no further rows = no NOT-row
                 if use_enum:
                     i = emit_enum(survivors(m, hi))
+                elif m and filler_idx and m[0][1] in filler_idx:
+                    i += 1  # filler-anchored: re-found at its first real row
                 elif m:
                     emit_one(m)
                     i = _resume_pos(m, skip_mode, skip_sym, symbols)

@@ -452,3 +452,211 @@ def test_iterative_predicate_prev_and_loud_rejects():
         iterative_predicate("FINAL(SUM(b.x)) > 1", ["a", "b"], "b")
     with pytest.raises(NotImplementedError, match="comparison"):
         iterative_predicate("SUM(b.x)", ["a", "b"], "b")
+
+
+# ---------------------------------------------------------------------
+# IterativeConditionsITCase ports (flink-libraries/flink-cep/src/test/
+# java/org/apache/flink/cep/nfa/IterativeConditionsITCase.java) —
+# events: start1..4 price 1..4, SubEvents foo1..4 price (1,2,3,1),
+# end price 1; noSkip emission; matches compared as row-position sets.
+# ---------------------------------------------------------------------
+
+
+def _itcase_sets(spark, df, pat):
+    from reshape_on_flink_spark.api.cep import CEP
+
+    m = collections.defaultdict(set)
+    for r in (
+        CEP.pattern(df, pat, "k", "pos", after_match="no_skip")
+        .flat_select()
+        .collect()
+    ):
+        m[r.match_id].add(r.pos)
+    return sorted(sorted(v) for v in m.values())
+
+
+def _sum_for(sym, cap, strict=False):
+    def cond(event, ctx):
+        s = event["price"] + sum(e["price"] for e in ctx.get_events_for_pattern(sym))
+        return s <= cap if not strict else s < cap
+
+    return cond
+
+
+def _branching_df(spark):
+    rows = [
+        (1, 1, "start", 1.0, False),
+        (1, 2, "foo1", 1.0, True),
+        (1, 3, "foo2", 2.0, True),
+        (1, 4, "start", 2.0, False),
+        (1, 5, "foo3", 3.0, True),
+        (1, 6, "foo4", 1.0, True),
+        (1, 7, "next-one", 1.0, False),
+        (1, 8, "end", 1.0, False),
+    ]
+    return spark.createDataFrame(rows, "k int, pos int, name string, price double, sub boolean")
+
+
+def _branching_pattern(combinations):
+    from reshape_on_flink_spark.api.cep import Pattern
+
+    p = (
+        Pattern.begin("start").where(F.col("name") == "start")
+        .followed_by("middle")
+        .where(F.col("sub") & F.col("name").startswith("foo"))
+        .where(_sum_for("middle", 5.0, strict=True))
+        .one_or_more()
+    )
+    if combinations:
+        p = p.allow_combinations()
+    return p.followed_by("end").where(F.col("name") == "end")
+
+
+def test_itcase_iterative_branching_eager(spark):
+    """testIterativeWithBranchingPatternEager: 5 matches."""
+    got = _itcase_sets(spark, _branching_df(spark), _branching_pattern(False))
+    assert got == sorted([
+        [1, 2, 3, 6, 8], [1, 2, 3, 8], [1, 2, 8], [4, 5, 6, 8], [4, 5, 8],
+    ]), got
+
+
+def test_itcase_iterative_branching_combinations(spark):
+    """testIterativeWithBranchingPatternCombinations: 7 matches."""
+    got = _itcase_sets(spark, _branching_df(spark), _branching_pattern(True))
+    assert got == sorted([
+        [1, 2, 3, 6, 8], [1, 2, 3, 8], [1, 2, 5, 8], [4, 5, 6, 8],
+        [1, 2, 6, 8], [1, 2, 8], [4, 5, 8],
+    ]), got
+
+
+def _looping_start_df(spark):
+    rows = [
+        (1, 1, "start", 1.0),
+        (1, 2, "start", 2.0),
+        (1, 3, "start", 3.0),
+        (1, 4, "end", 1.0),
+    ]
+    return spark.createDataFrame(rows, "k int, pos int, name string, price double")
+
+
+def _looping_start_pattern(combinations):
+    from reshape_on_flink_spark.api.cep import Pattern
+
+    def iter_start(event, ctx):
+        if event["name"] != "start":
+            return False
+        s = event["price"] + sum(
+            e["price"] for e in ctx.get_events_for_pattern("start")
+        )
+        return s < 5.0
+
+    p = Pattern.begin("start").where(iter_start).one_or_more()
+    if combinations:
+        p = p.allow_combinations()
+    return p.optional().followed_by("end").where(F.col("name") == "end")
+
+
+def test_itcase_iterative_looping_start_eager(spark):
+    """testIterativeWithLoopingStartingEager: incl. the absent-branch
+    {end} match (optional loop)."""
+    got = _itcase_sets(spark, _looping_start_df(spark), _looping_start_pattern(False))
+    assert got == sorted([[1, 2, 4], [1, 4], [2, 4], [3, 4], [4]]), got
+
+
+def test_itcase_iterative_looping_start_combinations(spark):
+    """testIterativeWithLoopingStartingCombination: + the skip-s2 set."""
+    got = _itcase_sets(spark, _looping_start_df(spark), _looping_start_pattern(True))
+    assert got == sorted([[1, 2, 4], [1, 3, 4], [1, 4], [2, 4], [3, 4], [4]]), got
+
+
+def test_itcase_iterative_prev_pattern_dependency(spark):
+    """testIterativeWithPrevPatternDependency: the END stage's condition
+    sums a PRIOR stage's accepted events (no current-row inclusion)."""
+    from reshape_on_flink_spark.api.cep import Pattern
+
+    rows = [(1, 1, "start", 1.0), (1, 2, "start", 2.0), (1, 3, "end", 1.0)]
+    df = spark.createDataFrame(rows, "k int, pos int, name string, price double")
+
+    def end_iter(event, ctx):
+        if event["name"] != "end":
+            return False
+        return sum(e["price"] for e in ctx.get_events_for_pattern("start")) >= 2.0
+
+    pat = (
+        Pattern.begin("start").where(F.col("name") == "start").one_or_more()
+        .followed_by("end").where(end_iter)
+    )
+    got = _itcase_sets(spark, df, pat)
+    assert got == sorted([[1, 2, 3], [2, 3]]), got
+
+
+def test_itcase_iterative_abac(spark):
+    """testIterativeWithABACPattern: start -> followedByAny(subtype foo)
+    -> iterative 'start' loop (sum <= 5) -> end; 5 matches."""
+    from reshape_on_flink_spark.api.cep import Pattern
+
+    rows = [
+        (1, 1, "start", 1.0, False),
+        (1, 2, "foo1", 1.0, True),
+        (1, 3, "start", 2.0, False),
+        (1, 4, "start", 3.0, False),
+        (1, 5, "foo2", 2.0, True),
+        (1, 6, "start", 4.0, False),
+        (1, 7, "foo3", 3.0, True),
+        (1, 8, "foo4", 1.0, True),
+        (1, 9, "end", 1.0, False),
+    ]
+    df = spark.createDataFrame(rows, "k int, pos int, name string, price double, sub boolean")
+
+    def mid2_iter(event, ctx):
+        if event["name"] != "start":
+            return False
+        s = event["price"] + sum(
+            e["price"] for e in ctx.get_events_for_pattern("middle2")
+        )
+        return s <= 5.0
+
+    pat = (
+        Pattern.begin("start").where(F.col("name") == "start")
+        .followed_by_any("middle1")
+        .where(F.col("sub") & F.col("name").startswith("foo"))
+        .followed_by("middle2").where(mid2_iter).one_or_more()
+        .followed_by("end").where(F.col("name") == "end")
+    )
+    got = _itcase_sets(spark, df, pat)
+    assert got == sorted([
+        [1, 2, 3, 4, 9], [1, 2, 3, 9], [1, 5, 6, 9], [3, 5, 6, 9], [4, 5, 6, 9],
+    ]), got
+
+
+def test_itcase_iterative_prev_dependency_after_branching(spark):
+    """testIterativeWithPrevPatternDependencyAfterBranching: 7 matches,
+    the final followedByAny end sums the 'start' loop."""
+    from reshape_on_flink_spark.api.cep import Pattern
+
+    rows = [
+        (1, 1, "start", 1.0, False),
+        (1, 2, "start", 2.0, False),
+        (1, 3, "foo1", 1.0, True),
+        (1, 4, "start", 3.0, False),
+        (1, 5, "foo2", 2.0, True),
+        (1, 6, "end", 1.0, False),
+    ]
+    df = spark.createDataFrame(rows, "k int, pos int, name string, price double, sub boolean")
+
+    def end_iter(event, ctx):
+        if event["name"] != "end":
+            return False
+        return sum(e["price"] for e in ctx.get_events_for_pattern("start")) >= 2.0
+
+    pat = (
+        Pattern.begin("start").where(F.col("name") == "start").one_or_more()
+        .followed_by_any("middle1")
+        .where(F.col("sub") & F.col("name").startswith("foo"))
+        .followed_by_any("end").where(end_iter)
+    )
+    got = _itcase_sets(spark, df, pat)
+    assert got == sorted([
+        [1, 2, 3, 6], [2, 3, 6], [1, 2, 5, 6], [1, 2, 4, 5, 6],
+        [2, 4, 5, 6], [2, 5, 6], [4, 5, 6],
+    ]), got
