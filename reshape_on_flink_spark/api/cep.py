@@ -510,15 +510,38 @@ class Pattern:
             # but has no pandas form' -> the streaming route raises
             return [p for _cat, p in negs]
 
-        def compile_stages(owner, stages, extra_negs, top):
+        def compile_stages(owner, stages, extra_negs, top, first_folds=None):
             """One stage list -> token list; groups recurse with their
             until conditions folded into every inner DEFINE (Flink's
-            stop condition halts collection anywhere in the group)."""
+            stop condition halts collection anywhere in the group).
+            ``first_folds``: not_next negations an OUTER chain folds
+            onto this group's first consumed event."""
             toks: list[str] = []
             for s in stages:  # compile is re-runnable: clear derived state
                 s.fold_not = []
                 s.negated_gap = None
                 s.lead_not = []
+            if first_folds:
+                head = next(
+                    (
+                        st
+                        for st in stages
+                        if st.kind not in ("not_next", "not_followed_by")
+                    ),
+                    None,
+                )
+                if (
+                    head is None
+                    or head.group is not None
+                    or head.quant is not None
+                    or head.opt
+                ):
+                    raise NotImplementedError(
+                        "not_next before a group whose first stage is "
+                        "itself a group/quantified/optional is not "
+                        "expressible; guard that stage's condition instead"
+                    )
+                head.fold_not.extend(first_folds)
             # Flink ignores greedy on the pattern's TERMINAL stage and
             # enumerates (GreedyITCase.testEndWithZeroOrMoreGreedy) —
             # outer chain only; groups are never greedy (builder raises)
@@ -590,12 +613,10 @@ class Pattern:
                                 "lookahead; end the pattern on a positive stage"
                             )
                         if nxt.kind == "next":
-                            if nxt.group is not None:
-                                raise NotImplementedError(
-                                    "not_next before a group pattern is not "
-                                    "expressible; guard the group's first "
-                                    "stage condition instead"
-                                )
+                            # leaf: fold into its DEFINE; group: fold onto
+                            # the group's first consumed event (exact for
+                            # an unquantified group — its first event is
+                            # the one directly after the previous stage)
                             nxt.fold_not.append((s.cond, s.pandas_cond))
                         else:
                             # relaxed successor (NotPatternITCase.
@@ -707,10 +728,20 @@ class Pattern:
                             "within() on a group pattern is unsupported; "
                             "set it on the outer pattern"
                         )
+                    if s.fold_not and (s.quant is not None or s.opt):
+                        raise NotImplementedError(
+                            "not_next before a quantified/optional group "
+                            "would guard every repetition's first event, "
+                            "not just the event after the previous stage; "
+                            "use not_followed_by() or restructure"
+                        )
                     inner_negs = list(extra_negs)
                     if has_until:
                         inner_negs.append((s.until_cond, s.until_pandas))
-                    inner = compile_stages(s.group, s.group._stages, tuple(inner_negs), False)
+                    inner = compile_stages(
+                        s.group, s.group._stages, tuple(inner_negs), False,
+                        first_folds=s.fold_not or None,
+                    )
                     unit = "( " + " ".join(inner) + " )"
                     first_cond, first_pandas, first_iter, first_name = _first_positive_cond(
                         s.group._stages

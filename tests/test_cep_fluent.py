@@ -1394,3 +1394,69 @@ def test_batch_pandas_only_until_is_loud(spark):
     )
     with pytest.raises(ValueError, match="only pandas"):
         CEP.pattern(df, p, "k", "pos").flat_select()
+
+
+# --------------------------------------- not_next before a group pattern
+
+
+def test_not_next_before_strict_group(spark):
+    """not_next folded onto a strict group's first consumed event (the
+    event directly after the previous stage IS the group's first event,
+    so the leaf fold is exact — Pattern.java notNext + GroupPattern)."""
+    p = (
+        Pattern.begin("a").where("v = 1")
+        .not_next("n").where("v = 2")
+        .next(Pattern.begin("b").where("v >= 2").followed_by("c").where("v = 3"))
+    )
+    blocked = _df(spark, [1, 2, 3])   # group head 2 satisfies the NOT
+    allowed = _df(spark, [1, 4, 3])   # head 4 does not
+    assert CEP.pattern(blocked, p, "k", "pos").flat_select().count() == 0
+    got = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in CEP.pattern(allowed, p, "k", "pos").flat_select().collect()
+    )
+    assert got == [(0, "a"), (1, "b"), (2, "c")], got
+
+
+def test_not_next_before_group_streaming_equals_batch(spark, tmp_dir):
+    values = [1, 2, 3, 1, 4, 3, 5, 5]
+    batch_p = (
+        Pattern.begin("a").where("v = 1")
+        .not_next("n").where("v = 2")
+        .next(Pattern.begin("b").where("v >= 2").followed_by("c").where("v = 3"))
+    )
+    stream_p = (
+        Pattern.begin("a").where(lambda pdf: pdf["v"] == 1)
+        .not_next("n").where(lambda pdf: pdf["v"] == 2)
+        .next(
+            Pattern.begin("b").where(lambda pdf: pdf["v"] >= 2)
+            .followed_by("c").where(lambda pdf: pdf["v"] == 3)
+        )
+    )
+    expected = _stream_vs_batch(
+        spark, tmp_dir, values, batch_p, stream_p, "s_nng"
+    )
+    # only the second island survives the NOT
+    assert expected == [(3, "a"), (4, "b"), (5, "c")], expected
+
+
+def test_not_next_before_group_guards(spark):
+    df = _df(spark, [1, 2, 3])
+    quantified = (
+        Pattern.begin("a").where("v = 1")
+        .not_next("n").where("v = 2")
+        .next(Pattern.begin("b").where("v >= 2").followed_by("c").where("v = 3"))
+        .one_or_more()
+    )
+    with pytest.raises(NotImplementedError, match="quantified/optional group|looping"):
+        CEP.pattern(df, quantified, "k", "pos").flat_select()
+    head_quantified = (
+        Pattern.begin("a").where("v = 1")
+        .not_next("n").where("v = 2")
+        .next(
+            Pattern.begin("b").where("v >= 2").times(2)
+            .followed_by("c").where("v = 3")
+        )
+    )
+    with pytest.raises(NotImplementedError, match="first stage"):
+        CEP.pattern(df, head_quantified, "k", "pos").flat_select()
