@@ -69,6 +69,10 @@ HEADLINE = [
     # (both WITHIN-bounded; the enumerator's cost model under load)
     "q_cep_relaxed_loop",
     "q_cep_followed_by_any",
+    # round-9: iterative conditions (DEFINE aggregates) — per-branch
+    # Python evaluation on top of the vectorized scan; the cost model
+    # for the slow path the IterativeCondition surface adds
+    "q_cep_iterative_sum",
 ]
 
 
