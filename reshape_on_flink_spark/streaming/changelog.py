@@ -70,6 +70,8 @@ def to_retract_stream(
     *,
     consume_changelog: bool = False,
     emit_seq: bool = True,
+    granularity: str = "batch",
+    order_by: str | None = None,
 ) -> DataFrame:
     """Grouped aggregation over an unbounded stream, emitting Flink's
     retract stream: ``+I`` for a key's first result, then ``-U``(old) /
@@ -95,13 +97,20 @@ def to_retract_stream(
     on sink order — Flink sinks rely on operator emission order, which
     a distributed Spark sink does not preserve.
 
-    Emission granularity (documented divergence): one -U/+U pair per
-    key per MICRO-BATCH (the batch's rows pre-aggregate vectorized),
-    where Flink emits a pair per input ROW. Flink's minibatch
-    optimization (table.exec.mini-batch.enabled) makes the reference
-    emit exactly this way, so the contract matches the tuned reference
-    path. Replay one row per batch to reproduce row-level sequences
-    (the dynamic_tables.md example does exactly that in tests).
+    ``granularity`` selects the emission contract:
+
+    - ``"batch"`` (default, the scale path): one -U/+U pair per key per
+      MICRO-BATCH — the batch's rows pre-aggregate vectorized. This is
+      exactly the reference's minibatch mode
+      (table.exec.mini-batch.enabled, MiniBatchGroupAggFunction).
+    - ``"row"``: Flink's DEFAULT per-record emission
+      (GroupAggFunction.processElement): every input row emits its
+      -U/+U transition (unchanged aggregates emit nothing, the
+      RecordEqualiser rule). Output is O(2x input rows) by contract,
+      so the per-row Python walk matches the output cost; rows within
+      a batch process in ``order_by`` order when given (pass the
+      stream's event/sequence column for deterministic replays),
+      else arrival order.
     """
     keys = [keys] if isinstance(keys, str) else list(keys)
     fields = {f.name: f for f in sdf.schema.fields}
@@ -115,6 +124,10 @@ def to_retract_stream(
             f"consume_changelog=True needs a {CHANGE_COL!r} column "
             "(+I/-U/+U/-D) on the input"
         )
+    if granularity not in ("batch", "row"):
+        raise ValueError(f"granularity must be 'batch' or 'row', got {granularity!r}")
+    if order_by is not None and order_by not in fields:
+        raise ValueError(f"unknown order_by column {order_by!r}")
 
     out_fields = [fields[k] for k in keys]
     out_schema = StructType(
@@ -154,6 +167,41 @@ def to_retract_stream(
                     row.append(acc[f"m_{out}"])
         return row
 
+    _SIGN = {INSERT: 1, UPDATE_AFTER: 1, UPDATE_BEFORE: -1, DELETE: -1}
+
+    def _init_acc():
+        acc = {"n": 0}
+        for out, (fn, col) in agg_items:
+            if fn == "sum" or fn == "avg":
+                acc[f"s_{out}"] = 0.0
+            elif fn in ("min", "max"):
+                acc[f"m_{out}"] = [] if need_multiset else None
+        return acc
+
+    def _transition(old, new, key_vals):
+        """GroupAggFunction emission contract for one old->new step
+        (unchanged aggregates emit nothing — the RecordEqualiser rule)."""
+        if old is None and new is not None:
+            return [[INSERT, *key_vals, *new]]
+        if old is not None and new is not None and new != old:
+            return [[UPDATE_BEFORE, *key_vals, *old], [UPDATE_AFTER, *key_vals, *new]]
+        if old is not None and new is None:
+            return [[DELETE, *key_vals, *old]]
+        return []
+
+    def _upd_minmax_scalar(acc, out, fn, v, sg):
+        if need_multiset:
+            ms = acc[f"m_{out}"]
+            if sg > 0:
+                ms.append(v)
+            else:
+                ms.remove(v)  # retraction of a never-added value raises
+        else:
+            cur = acc[f"m_{out}"]
+            acc[f"m_{out}"] = (
+                v if cur is None else (min(cur, v) if fn == "min" else max(cur, v))
+            )
+
     def run(key, pdfs, state):
         import pandas as pd
 
@@ -166,69 +214,64 @@ def to_retract_stream(
         batch = pd.concat(list(pdfs), ignore_index=True)
         if not len(batch):
             return
-        if consume_changelog and "_change_seq" in batch.columns:
+        sort_col = order_by if order_by is not None else (
+            "_change_seq"
+            if consume_changelog and "_change_seq" in batch.columns
+            else None
+        )
+        if sort_col is not None:
             # a key's changelog must retract in emission order (the
             # multiset remove of a value not yet added is loud)
-            batch = batch.sort_values("_change_seq", kind="mergesort")
-        old = _finalize(acc) if acc is not None else None
+            batch = batch.sort_values(sort_col, kind="mergesort")
 
         if acc is None:
-            acc = {"n": 0}
-            for out, (fn, col) in agg_items:
-                if fn == "sum" or fn == "avg":
-                    acc[f"s_{out}"] = 0.0
-                elif fn in ("min", "max"):
-                    acc[f"m_{out}"] = [] if need_multiset else None
+            acc = _init_acc()
+        key_vals = list(key)
+        rows = []
 
         if consume_changelog:
-            sign = batch[CHANGE_COL].map(
-                {INSERT: 1, UPDATE_AFTER: 1, UPDATE_BEFORE: -1, DELETE: -1}
-            )
+            sign = batch[CHANGE_COL].map(_SIGN)
             if sign.isna().any():
                 bad = batch[CHANGE_COL][sign.isna()].iloc[0]
                 raise ValueError(f"unknown {CHANGE_COL} value {bad!r}")
-            acc["n"] += int(sign.sum())
         else:
             sign = None
-            acc["n"] += len(batch)
 
-        for out, (fn, col) in agg_items:
-            if fn in ("sum", "avg"):
-                vals = batch[col].astype("float64")
-                acc[f"s_{out}"] += float(
-                    (vals * sign).sum() if sign is not None else vals.sum()
-                )
-            elif fn in ("min", "max"):
-                if need_multiset:
-                    ms = acc[f"m_{out}"]
-                    for v, sg in zip(
-                        batch[col].tolist(),
-                        sign.tolist() if sign is not None else [1] * len(batch),
-                    ):
-                        if sg > 0:
-                            ms.append(v)
-                        else:
-                            ms.remove(v)  # retraction of a never-added value raises
-                else:
-                    bval = batch[col].min() if fn == "min" else batch[col].max()
-                    cur = acc[f"m_{out}"]
-                    acc[f"m_{out}"] = (
-                        bval
-                        if cur is None
-                        else (min(cur, bval) if fn == "min" else max(cur, bval))
+        if granularity == "row":
+            # Flink's default per-record emission
+            # (GroupAggFunction.processElement): one transition per row
+            signs = sign.tolist() if sign is not None else [1] * len(batch)
+            recs = batch.to_dict("records")
+            for rec, sg in zip(recs, signs):
+                # a fresh accumulator finalizes to None -> +I on first row
+                old = _finalize(acc)
+                acc["n"] += sg
+                for out, (fn, col) in agg_items:
+                    if fn in ("sum", "avg"):
+                        acc[f"s_{out}"] += sg * float(rec[col])
+                    elif fn in ("min", "max"):
+                        _upd_minmax_scalar(acc, out, fn, rec[col], sg)
+                rows.extend(_transition(old, _finalize(acc), key_vals))
+        else:
+            old = _finalize(acc)
+            acc["n"] += int(sign.sum()) if sign is not None else len(batch)
+            for out, (fn, col) in agg_items:
+                if fn in ("sum", "avg"):
+                    vals = batch[col].astype("float64")
+                    acc[f"s_{out}"] += float(
+                        (vals * sign).sum() if sign is not None else vals.sum()
                     )
-
-        new = _finalize(acc)
-        key_vals = list(key)
-        rows = []
-        if old is None and new is not None:
-            rows.append([INSERT, *key_vals, *new])
-        elif old is not None and new is not None:
-            if new != old:
-                rows.append([UPDATE_BEFORE, *key_vals, *old])
-                rows.append([UPDATE_AFTER, *key_vals, *new])
-        elif old is not None and new is None:
-            rows.append([DELETE, *key_vals, *old])
+                elif fn in ("min", "max"):
+                    if need_multiset:
+                        for v, sg in zip(
+                            batch[col].tolist(),
+                            sign.tolist() if sign is not None else [1] * len(batch),
+                        ):
+                            _upd_minmax_scalar(acc, out, fn, v, sg)
+                    else:
+                        bval = batch[col].min() if fn == "min" else batch[col].max()
+                        _upd_minmax_scalar(acc, out, fn, bval, 1)
+            rows.extend(_transition(old, _finalize(acc), key_vals))
 
         # keep drained groups' state (n=0) so a reborn key's
         # _change_seq continues monotonically past its -D; bound idle

@@ -308,3 +308,89 @@ def test_to_retract_stream_loud_errors(spark):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "_change_type" in str(e)
+
+
+def test_to_retract_stream_row_granularity_single_batch(spark, tmp_dir):
+    """granularity='row' reproduces Flink's per-record emission
+    (GroupAggFunction.processElement) even when every input row arrives
+    in ONE micro-batch — the dynamic_tables.md sequence again, without
+    needing one-chunk-per-row replay."""
+    from reshape_on_flink_spark.streaming.changelog import to_retract_stream
+
+    rows = [(1, "Mary"), (2, "Bob"), (3, "Mary"), (4, "Liz")]
+    df = spark.createDataFrame(rows, "seq int, user string")
+    stream = _replay(spark, df, tmp_dir, "retract_row", 1, "seq")
+    out = to_retract_stream(
+        stream, "user", {"cnt": ("count", None)},
+        granularity="row", order_by="seq",
+    )
+    got = _collect_stream(spark, out, "retract_row_out", tmp_dir)
+    per_key = {}
+    for r in sorted(got, key=lambda r: (r.user, r._change_seq)):
+        per_key.setdefault(r.user, []).append((r._change_type, r.cnt))
+    assert per_key == {
+        "Mary": [("+I", 1), ("-U", 1), ("+U", 2)],
+        "Bob": [("+I", 1)],
+        "Liz": [("+I", 1)],
+    }, per_key
+
+
+def test_to_retract_stream_row_equals_batch_final_state(spark, tmp_dir):
+    from reshape_on_flink_spark.streaming.changelog import (
+        retract_stream_to_table,
+        to_retract_stream,
+    )
+
+    rows = [(i, i % 3, float((i * 7) % 11)) for i in range(30)]
+    df = spark.createDataFrame(rows, "seq int, k int, v double")
+    aggs = {
+        "cnt": ("count", None), "s": ("sum", "v"),
+        "lo": ("min", "v"), "hi": ("max", "v"),
+    }
+    finals = {}
+    for mode in ("batch", "row"):
+        stream = _replay(spark, df, tmp_dir, f"rg_{mode}", 4, "seq")
+        out = to_retract_stream(
+            stream, "k", aggs, granularity=mode, order_by="seq"
+        )
+        got = _collect_stream(spark, out, f"rg_{mode}_out", tmp_dir)
+        finals[mode] = sorted(
+            (r.k, r.cnt, r.s, r.lo, r.hi)
+            for r in retract_stream_to_table(
+                spark.createDataFrame(got), ["k"]
+            ).collect()
+        )
+        if mode == "row":
+            # per-record contract: every row of a key emits a transition
+            n_i = sum(1 for r in got if r._change_type == "+I")
+            n_u = sum(1 for r in got if r._change_type == "+U")
+            assert n_i == 3 and n_u == 27, (n_i, n_u)
+    assert finals["row"] == finals["batch"]
+
+
+def test_to_retract_stream_row_consume_changelog_minmax(spark, tmp_dir):
+    """Row-granular retraction consumption: retracting the current max
+    emits its own -U/+U step (multiset per transition)."""
+    from reshape_on_flink_spark.streaming.changelog import to_retract_stream
+
+    rows = [
+        (0, "+I", 1, 10.0),
+        (1, "+I", 1, 30.0),
+        (2, "-U", 1, 30.0),
+        (3, "+I", 1, 20.0),
+    ]
+    df = spark.createDataFrame(rows, "_change_seq long, _change_type string, k int, v double")
+    stream = _replay(spark, df, tmp_dir, "rowms_in", 1, "_change_seq")
+    out = to_retract_stream(
+        stream, "k", {"hi": ("max", "v")},
+        consume_changelog=True, granularity="row", order_by="_change_seq",
+    )
+    got = sorted(
+        _collect_stream(spark, out, "rowms_out", tmp_dir),
+        key=lambda r: r._change_seq,
+    )
+    states = [(r._change_type, r.hi) for r in got]
+    assert states == [
+        ("+I", 10.0), ("-U", 10.0), ("+U", 30.0),
+        ("-U", 30.0), ("+U", 10.0), ("-U", 10.0), ("+U", 20.0),
+    ], states
