@@ -169,6 +169,17 @@ def _first_positive_cond(stages) -> tuple:
     return None, None, None, None
 
 
+def _n_required_params(fn) -> int:
+    import inspect
+
+    return len([
+        p
+        for p in inspect.signature(fn).parameters.values()
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        and p.default is p.empty
+    ])
+
+
 def _positive_leaf_stages(stages):
     """Every condition-bearing stage, recursing through groups."""
     for st in stages:
@@ -262,16 +273,7 @@ class Pattern:
                 "GroupPattern does not support where clause (GroupPattern.java:45)"
             )
         if callable(cond) and not isinstance(cond, Column):
-            import inspect
-
-            n_params = len([
-                p
-                for p in inspect.signature(cond).parameters.values()
-                if p.kind
-                in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
-                and p.default is p.empty
-            ])
-            if n_params == 2:  # IterativeCondition: fn(event, ctx)
+            if _n_required_params(cond) == 2:  # IterativeCondition: fn(event, ctx)
                 if t.iter_cond is not None:
                     prev = t.iter_cond
                     t.iter_cond = lambda e, c, a=prev, b=cond: a(e, c) and b(e, c)
@@ -289,13 +291,28 @@ class Pattern:
         return self
 
     def or_(self, cond: Column | str | Callable) -> "Pattern":
-        """OR a condition onto the current stage (Pattern.java:175)."""
+        """OR a condition onto the current stage (Pattern.java:175).
+        A two-argument callable ORs onto a prior ITERATIVE where()
+        (RichOrCondition over like kinds — OR across the static/
+        iterative boundary is not splittable into a column + a branch
+        check, so it raises with guidance)."""
         t = self._tail()
         if t.group is not None:
             raise ValueError(
                 "GroupPattern does not support or clause (GroupPattern.java:51)"
             )
         if callable(cond) and not isinstance(cond, Column):
+            if _n_required_params(cond) == 2:  # IterativeCondition
+                if t.iter_cond is None:
+                    raise ValueError(
+                        "or_ with an iterative condition needs a prior "
+                        "iterative where() on this stage (OR across the "
+                        "static/iterative boundary is not expressible; "
+                        "fold the static test into the callable)"
+                    )
+                prev = t.iter_cond
+                t.iter_cond = lambda e, c, a=prev, b=cond: a(e, c) or b(e, c)
+                return self
             if t.pandas_cond is None:
                 raise ValueError("or_ with a pandas predicate needs a prior where()")
             prev = t.pandas_cond
@@ -306,6 +323,14 @@ class Pattern:
             raise ValueError("or_ needs a prior where() on this stage")
         t.cond = t.cond | cond
         return self
+
+    def subtype(self, cond: Column | str | Callable) -> "Pattern":
+        """Pattern.java:190 ``subtype(Class)`` analog: rows here are
+        untyped, so the subtype narrows via a condition on the type
+        discriminator column (e.g. ``F.col("sub")`` or
+        ``"event_kind = 'sub'"``), ANDed exactly like :meth:`where` —
+        subsequent conditions then apply to the narrowed rows."""
+        return self.where(cond)
 
     # -- quantifiers on the tail stage --------------------------------
     def _set_quant(self, lo: int, hi: int | None) -> None:

@@ -660,3 +660,36 @@ def test_itcase_iterative_prev_dependency_after_branching(spark):
         [1, 2, 3, 6], [2, 3, 6], [1, 2, 5, 6], [1, 2, 4, 5, 6],
         [2, 4, 5, 6], [2, 5, 6], [4, 5, 6],
     ]), got
+
+
+def test_or_iterative_and_subtype_sugar(spark):
+    """or_ over iterative conditions (RichOrCondition, like kinds) and
+    subtype() narrowing (Pattern.java:190)."""
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+
+    df = _relaxed_df(spark)
+    pat = (
+        Pattern.begin("a").where(lambda e, ctx: e["name"] == "c")
+        .next("b2")
+        .where(lambda e, ctx: e["price"] > 100.0)
+        .or_(lambda e, ctx: e["name"] == "foo1")
+    )
+    out = CEP.pattern(df, pat, "k", "t").flat_select()
+    assert sorted((r.t, r.matched_symbol) for r in out.collect()) == [
+        (1, "a"), (2, "b2"),
+    ]
+    # subtype() == where() narrowing
+    pat2 = (
+        Pattern.begin("a").where(F.col("name") == "c")
+        .followed_by("s").subtype(F.col("price") > 1.0)
+        .where(F.col("name").startswith("foo"))
+    )
+    got = sorted(
+        r.t for r in CEP.pattern(df, pat2, "k", "t").flat_select().collect()
+    )
+    assert got == [1, 2]
+    # OR across the static/iterative boundary raises with guidance
+    with pytest.raises(ValueError, match="prior\\s+iterative"):
+        Pattern.begin("x").where(F.col("name") == "c").or_(
+            lambda e, ctx: True
+        )
