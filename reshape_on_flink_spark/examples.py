@@ -293,3 +293,60 @@ def iterate_fibonacci(
         converged=lambda _p, n: n.where(~F.col("done")).limit(1).count() == 0,
     )
     return out.select("first", "second", "step")
+
+
+def side_output_word_count(
+    lines: DataFrame, text_col: str = "value", ts_col: str | None = None,
+    window: str = "5 seconds",
+) -> tuple[DataFrame, DataFrame]:
+    """SideOutputExample.java port (flink-examples-streaming/.../
+    sideoutput/SideOutputExample.java): tokenize lines (lowercase,
+    split on non-word runs); words LONGER than 5 chars go to the
+    'rejected' side output prefixed ``"rejected: "``; the rest are
+    counted per 5-second tumbling window (keyed sum). Returns
+    ``(counts, rejected)`` — Spark's side output is simply a second
+    DataFrame branched off the shared tokenized plan (on streams,
+    attach each to its own sink / one foreachBatch).
+
+    Without ``ts_col`` the windowing collapses to a global count per
+    word (the reference's ingestion-time demo is wall-clock anyway).
+    """
+    tokens = lines.select(
+        F.explode(F.split(F.lower(F.col(text_col)), r"\W+")).alias("word"),
+        *([F.col(ts_col).alias("__ts")] if ts_col else []),
+    ).where(F.length("word") > 0)
+    rejected = tokens.where(F.length("word") > 5).select(
+        F.concat(F.lit("rejected: "), F.col("word")).alias("rejected")
+    )
+    kept = tokens.where(F.length("word") <= 5)
+    if ts_col:
+        counts = (
+            kept.groupBy(F.window("__ts", window).alias("w"), "word")
+            .agg(F.count("*").alias("cnt"))
+            .select("word", F.col("w.start").alias("window_start"), "cnt")
+        )
+    else:
+        counts = kept.groupBy("word").agg(F.count("*").alias("cnt"))
+    return counts, rejected
+
+
+def window_join(
+    grades: DataFrame, salaries: DataFrame, window: str = "2 seconds"
+) -> DataFrame:
+    """WindowJoin.java port (flink-examples-streaming/.../join/
+    WindowJoin.java): join two streams on ``name`` within a tumbling
+    window — ``grades (ts, name, grade)`` x ``salaries (ts, name,
+    salary)`` -> ``(name, grade, salary)`` for pairs whose events fall
+    in the SAME window (TumblingEventTimeWindows semantics: the join
+    window is assigned per element, so both sides must land in one
+    window instance). Spark: assign ``F.window`` on each side and
+    equi-join on (name, window) — co-partitioned hash join, no
+    interval-join state; works batch and streaming (append mode with
+    watermarks on both sides)."""
+    g = grades.select(
+        F.window("ts", window).alias("w"), "name", "grade"
+    )
+    s = salaries.select(
+        F.window("ts", window).alias("w"), "name", "salary"
+    )
+    return g.join(s, ["w", "name"]).select("name", "grade", "salary")

@@ -254,3 +254,72 @@ def test_iterate_fibonacci_reference_simulation(spark):
     # the docs' canonical property: (1,1) crosses 100 at F(11)=144,
     # exits one step later
     assert got[(1, 1)] == ref_steps(1, 1) == 11
+
+
+def test_side_output_word_count(spark, tmp_dir):
+    """SideOutputExample: >5-char words land ONLY on the side output
+    (prefixed), the rest in the windowed counts; batch == stream."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    rows = [
+        (1, "To be or not to be"),
+        (2, "considering the slings and arrows"),
+        (3, "to be to be"),
+    ]
+    df = spark.createDataFrame(rows, "seq int, value string")
+    counts, rejected = E.side_output_word_count(df)
+    got_counts = {(r.word, r.cnt) for r in counts.collect()}
+    got_rej = sorted(r.rejected for r in rejected.collect())
+    assert ("to", 4) in got_counts and ("be", 4) in got_counts
+    assert all(len(w) <= 5 for w, _ in got_counts)
+    assert got_rej == [
+        "rejected: arrows", "rejected: considering", "rejected: slings",
+    ], got_rej
+
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "so_in"), n_chunks=3, order_col="seq"
+    )
+    s_counts, s_rej = E.side_output_word_count(stream)
+    sr = sorted(
+        r.rejected
+        for r in run_to_memory(spark, s_rej, "so_rej", tmp_dir, mode="append").collect()
+    )
+    assert sr == got_rej
+    sc = {
+        (r.word, r.cnt)
+        for r in run_to_memory(
+            spark, s_counts, "so_cnt", tmp_dir, mode="complete"
+        ).collect()
+    }
+    assert sc == got_counts
+
+
+def test_window_join_same_window_only(spark):
+    """WindowJoin: pairs join only inside one tumbling window
+    instance."""
+    g = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 0, 0, 0), "alice", 3),
+            (datetime(2024, 1, 1, 0, 0, 1), "bob", 1),
+            (datetime(2024, 1, 1, 0, 0, 5), "alice", 5),  # next window
+        ],
+        "ts timestamp, name string, grade int",
+    )
+    s = spark.createDataFrame(
+        [
+            (datetime(2024, 1, 1, 0, 0, 1), "alice", 100),
+            (datetime(2024, 1, 1, 0, 0, 6), "alice", 200),
+            (datetime(2024, 1, 1, 0, 0, 30), "bob", 50),  # far window: no grade
+        ],
+        "ts timestamp, name string, salary int",
+    )
+    out = sorted(
+        (r.name, r.grade, r.salary)
+        for r in E.window_join(g, s, "2 seconds").collect()
+    )
+    # window [0,2): alice grade3 x salary100; window [4,6): grade5... salary200
+    # is at t=6 -> window [6,8): NO pair; bob's salary at t=30 unmatched
+    assert out == [("alice", 3, 100)], out
