@@ -1113,7 +1113,21 @@ class TableEnvironment:
             # RUNNING, ONE ROW measures are always FINAL)
             mode = "running" if all_rows else "final"
             sem = re.fullmatch(r"(RUNNING|FINAL)\s*\((.*)\)", expr, re.IGNORECASE | re.DOTALL)
-            if sem:
+
+            def _balanced(s: str) -> bool:
+                depth = 0
+                for ch in s:
+                    depth += ch == "("
+                    depth -= ch == ")"
+                    if depth < 0:
+                        return False
+                return depth == 0
+
+            # only unwrap a TRUE whole-item wrapper — in an expression
+            # like FINAL(SUM(A.p)) - RUNNING(SUM(A.p)) the greedy match
+            # is spurious (inner body unbalanced); per-atom wrappers are
+            # handled by the expression lifter below
+            if sem and _balanced(sem.group(2)):
                 if not all_rows:
                     raise NotImplementedError("RUNNING/FINAL only applies to ALL ROWS PER MATCH")
                 mode, expr = sem.group(1).lower(), sem.group(2).strip()
@@ -1122,14 +1136,60 @@ class TableEnvironment:
                 expr,
                 re.IGNORECASE,
             )
-            if not am:
+            if am:
+                fn, sym, col = am.group(1).upper(), am.group(2), am.group(3)
+                if sym is not None and sym not in symbols:
+                    raise ValueError(f"MEASURES references unknown symbol {sym!r}")
+                if col == "*" and fn != "COUNT":
+                    raise NotImplementedError(f"{fn}(*) in MEASURES")
+                parsed.append(("agg", (fn, sym, col), alias, mode))
+                continue
+            # EXPRESSION measures (Flink MatchCodeGenerator: arbitrary
+            # expressions over match-scoped aggregates/navigation, e.g.
+            # LAST(A.rowtime) - FIRST(A.rowtime)): lift each atom to a
+            # placeholder, validate the remainder is plain arithmetic
+            # (valid identically in Spark SQL and pandas), and carry the
+            # template + atom list. Per-atom RUNNING/FINAL wrappers
+            # override the item mode.
+            atoms: list = []
+
+            def _lift_atom(m: "re.Match") -> str:
+                a_mode = (m.group(1) or "").lower() or mode
+                fn, sym, col = m.group(2).upper(), m.group(3), m.group(4)
+                if not all_rows:
+                    a_mode = "final"
+                if sym is not None and sym not in symbols:
+                    raise ValueError(f"MEASURES references unknown symbol {sym!r}")
+                if col == "*" and fn != "COUNT":
+                    raise NotImplementedError(f"{fn}(*) in MEASURES")
+                atoms.append((fn, sym, col, a_mode))
+                return f" __m{len(atoms) - 1} "
+
+            tmpl = re.sub(
+                r"\b(?:(RUNNING|FINAL)\s*\(\s*)?"
+                r"(FIRST|LAST|COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(?:(\w+)\.)?(\*|\w+)\s*\)"
+                r"(?(1)\s*\))",
+                _lift_atom,
+                expr,
+                flags=re.IGNORECASE,
+            )
+            tmpl = re.sub(
+                r"\bMATCH_NUMBER\s*\(\s*\)",
+                lambda m: (atoms.append(("MATCH_NUMBER", None, None, mode)) or " __m%d " % (len(atoms) - 1)),
+                tmpl,
+                flags=re.IGNORECASE,
+            )
+            if not atoms:
                 raise NotImplementedError(f"unsupported MEASURES expression: {expr!r}")
-            fn, sym, col = am.group(1).upper(), am.group(2), am.group(3)
-            if sym is not None and sym not in symbols:
-                raise ValueError(f"MEASURES references unknown symbol {sym!r}")
-            if col == "*" and fn != "COUNT":
-                raise NotImplementedError(f"{fn}(*) in MEASURES")
-            parsed.append(("agg", (fn, sym, col), alias, mode))
+            remainder = re.sub(r"__m\d+", "", tmpl)
+            remainder = re.sub(r"\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", "", remainder)
+            if re.search(r"[A-Za-z_.\"\[\]']", remainder):
+                raise NotImplementedError(
+                    f"MEASURES expression subset: {expr!r} — only match-scoped "
+                    "aggregates/navigation, MATCH_NUMBER(), numeric literals "
+                    "and + - * / ( ) are supported in expression measures"
+                )
+            parsed.append(("expr", (tmpl.strip(), atoms), alias, mode))
         if not parsed:
             raise ValueError("empty MEASURES")
 
@@ -1186,10 +1246,13 @@ class TableEnvironment:
                 return F.max_by(val, F.when(cond, order_key))
             return getattr(F, fn.lower())(val)
 
-        measures = [
-            (kind, catalyst_agg(*spec) if kind == "agg" else None, alias, mode)
-            for kind, spec, alias, mode in parsed
-        ]
+        def _expr_sql(tmpl: str, atoms, alias: str, name_of) -> str:
+            # substitute placeholder __mI with its column/SQL fragment;
+            # \b keeps __m1 from eating __m10's prefix
+            frag = tmpl
+            for i, atom in enumerate(atoms):
+                frag = re.sub(rf"__m{i}\b", name_of(i, atom), frag)
+            return frag
 
         if all_rows:
             from pyspark.sql import Window as W
@@ -1203,29 +1266,63 @@ class TableEnvironment:
             }
             data_cols = [c for c in matched.columns
                          if c not in ("match_id", "matched_symbol", "__mr_seq")]
-            out_cols = []
-            for kind, agg, alias, mode in measures:
+            pre_cols, out_cols = [], []
+            for kind, spec, alias, mode in parsed:
                 if kind == "match_number":
-                    out_cols.append((F.col("match_id") + 1).alias(alias))
+                    out_cols.append(((F.col("match_id") + 1), alias))
                 elif kind == "classifier":
-                    out_cols.append(sym_col.alias(alias))
-                else:
-                    out_cols.append(agg.over(frames[mode]).alias(alias))
-            per_match = matched.select(*data_cols, *out_cols)
+                    out_cols.append((sym_col, alias))
+                elif kind == "agg":
+                    out_cols.append((catalyst_agg(*spec).over(frames[mode]), alias))
+                else:  # expression over lifted atoms (hidden window cols)
+                    tmpl, atoms = spec
+                    for i, (fn, sym, col, a_mode) in enumerate(atoms):
+                        name = f"__m{i}__{alias}"
+                        if fn == "MATCH_NUMBER":
+                            pre_cols.append((F.col("match_id") + 1).alias(name))
+                        else:
+                            pre_cols.append(
+                                catalyst_agg(fn, sym, col)
+                                .over(frames[a_mode])
+                                .alias(name)
+                            )
+                    frag = _expr_sql(tmpl, atoms, alias, lambda i, _a: f"__m{i}__{alias}")
+                    out_cols.append((F.expr(frag), alias))
+            base = matched.select("*", *pre_cols) if pre_cols else matched
+            per_match = base.select(
+                *data_cols, *[c.alias(a) for c, a in out_cols]
+            )
         else:
-            aggs = [agg.alias(alias) for kind, agg, alias, _ in measures if kind == "agg"]
+            aggs = []
+            for kind, spec, alias, _mode in parsed:
+                if kind == "agg":
+                    aggs.append(catalyst_agg(*spec).alias(alias))
+                elif kind == "expr":
+                    tmpl, atoms = spec
+                    for i, (fn, sym, col, _am) in enumerate(atoms):
+                        if fn != "MATCH_NUMBER":
+                            aggs.append(
+                                catalyst_agg(fn, sym, col).alias(f"__m{i}__{alias}")
+                            )
             one_row = matched.groupBy(*part_cols, "match_id").agg(
                 *(aggs or [F.count("*").alias("__n")])
             )
-            per_match = one_row.select(
-                *part_cols,
-                *[
-                    (F.col("match_id") + 1).alias(alias)
-                    if kind == "match_number"
-                    else F.col(alias)
-                    for kind, _, alias, _ in measures
-                ],
-            )
+            final_cols = []
+            for kind, spec, alias, _mode in parsed:
+                if kind == "match_number":
+                    final_cols.append((F.col("match_id") + 1).alias(alias))
+                elif kind == "agg":
+                    final_cols.append(F.col(alias))
+                else:
+                    tmpl, atoms = spec
+                    frag = _expr_sql(
+                        tmpl, atoms, alias,
+                        lambda i, a: "(match_id + 1)"
+                        if a[0] == "MATCH_NUMBER"
+                        else f"__m{i}__{alias}",
+                    )
+                    final_cols.append(F.expr(frag).alias(alias))
+            per_match = one_row.select(*part_cols, *final_cols)
         view = f"__mr_{abs(hash(sql)) % 10**8}"
         per_match.createOrReplaceTempView(view)
         outer = sql[:src_start] + view + sql[end:]

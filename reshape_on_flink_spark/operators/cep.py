@@ -1485,6 +1485,11 @@ def streaming_match_recognize(
             return StructField(alias, LongType())
         if kind == "classifier":
             return StructField(alias, StringType())
+        if kind == "expr":
+            # expression measures evaluate in pandas arithmetic ->
+            # numeric only on the streaming route (DOUBLE), mirroring
+            # the SUM/AVG type note below
+            return StructField(alias, DoubleType())
         fn, _sym, col = spec
         if fn == "COUNT":
             return StructField(alias, LongType())
@@ -1682,11 +1687,33 @@ def streaming_match_recognize(
         pieces = []
         for mid, g in matched_rows.groupby("match_id", sort=True):
             g = g.reset_index(drop=True)
+            def _expr_eval(spec, running: bool):
+                """Evaluate an expression measure: atoms -> running
+                series / final scalars, then plain pandas arithmetic
+                (the parse layer admits only + - * / and literals)."""
+                tmpl, atoms = spec
+                env = {}
+                for ai, (fn, sym, col, a_mode) in enumerate(atoms):
+                    if fn == "MATCH_NUMBER":
+                        env[f"__m{ai}"] = int(mid) + 1
+                    else:
+                        run_s, fin = _measure_final_and_running(g, fn, sym, col)
+                        env[f"__m{ai}"] = (
+                            run_s if (running and a_mode == "running") else fin
+                        )
+                return eval(  # noqa: S307 - template validated at parse
+                    compile(tmpl, "<measure-expr>", "eval"),
+                    {"__builtins__": {}},
+                    env,
+                )
+
             if one_row:
                 row = {c: g[c].iloc[0] for c in part_cols}
                 for kind, spec, alias, _mode in measures:
                     if kind == "match_number":
                         row[alias] = int(mid) + 1
+                    elif kind == "expr":
+                        row[alias] = _expr_eval(spec, running=False)
                     else:  # agg, FINAL semantics (parse layer rejects classifier)
                         row[alias] = _measure_final_and_running(g, *spec)[1]
                 pieces.append(row)
@@ -1696,6 +1723,8 @@ def streaming_match_recognize(
                         g[alias] = int(mid) + 1
                     elif kind == "classifier":
                         g[alias] = g["matched_symbol"]
+                    elif kind == "expr":
+                        g[alias] = _expr_eval(spec, running=True)
                     else:
                         run_s, fin = _measure_final_and_running(g, *spec)
                         g[alias] = run_s if mode == "running" else fin

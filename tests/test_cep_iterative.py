@@ -693,3 +693,111 @@ def test_or_iterative_and_subtype_sugar(spark):
         Pattern.begin("x").where(F.col("name") == "c").or_(
             lambda e, ctx: True
         )
+
+
+# ---------------------------------------------------------------------
+# MEASURES expressions (Flink MatchCodeGenerator: arbitrary expressions
+# over match-scoped aggregates/navigation)
+# ---------------------------------------------------------------------
+
+
+def _seq_view(spark, name):
+    df = _ticker(spark).selectExpr(
+        "symbol", "cast(rowtime as long) - cast(timestamp'2011-04-01 10:00:00' as long) AS sec",
+        "price", "tax"
+    )
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def test_measures_expression_one_row(spark, t_env):
+    """LAST - FIRST / derived averages / MATCH_NUMBER arithmetic in
+    ONE ROW PER MATCH measures."""
+    _seq_view(spark, "mexpr1")
+    out = t_env.execute_sql("""
+        SELECT * FROM mexpr1
+            MATCH_RECOGNIZE (
+                PARTITION BY symbol ORDER BY sec
+                MEASURES
+                    LAST(A.sec) - FIRST(A.sec) AS dur,
+                    SUM(A.price) / COUNT(A.price) AS avg2,
+                    AVG(A.price) AS avg1,
+                    MATCH_NUMBER() * 100 + COUNT(A.*) AS coded
+                ONE ROW PER MATCH
+                PATTERN (A+ B)
+                DEFINE A AS AVG(A.price) < 15
+            ) MR
+    """)
+    rows = sorted(
+        (r.dur, r.avg2, r.avg1, r.coded) for r in out.collect()
+    )
+    # docs matches: A spans :00-:03 (4 rows) and :05-:10 (6 rows)
+    assert rows == [(3, 14.5, 14.5, 104), (5, 13.5, 13.5, 206)], rows
+
+
+def test_measures_expression_all_rows_running_final(spark, t_env):
+    """Per-atom RUNNING/FINAL wrappers inside one expression:
+    remaining = FINAL(SUM) - RUNNING(SUM) decreases to zero."""
+    _seq_view(spark, "mexpr2")
+    out = t_env.execute_sql("""
+        SELECT sec, remaining FROM mexpr2
+            MATCH_RECOGNIZE (
+                PARTITION BY symbol ORDER BY sec
+                MEASURES FINAL(SUM(A.price)) - RUNNING(SUM(A.price)) AS remaining
+                ALL ROWS PER MATCH
+                PATTERN (A+ B)
+                DEFINE A AS AVG(A.price) < 15
+            ) MR
+        WHERE sec <= 3
+        ORDER BY sec
+    """)
+    got = [(r.sec, r.remaining) for r in out.collect()]
+    # first match A rows: prices 12,17,13,16 (sum 58)
+    assert got == [(0, 46.0), (1, 29.0), (2, 16.0), (3, 0.0)], got
+
+
+def test_measures_expression_streaming_matches_batch(spark, t_env, tmp_dir):
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    df = _seq_view(spark, "mexpr3_b")
+    sql = """
+        SELECT * FROM {src}
+            MATCH_RECOGNIZE (
+                PARTITION BY symbol ORDER BY sec
+                MEASURES LAST(A.sec) - FIRST(A.sec) AS dur,
+                         SUM(A.price) / COUNT(A.price) AS avg2
+                ONE ROW PER MATCH
+                PATTERN (A+ B)
+                DEFINE A AS AVG(A.price) < 15
+            ) MR
+    """
+    batch = sorted(
+        (float(r.dur), r.avg2) for r in t_env.execute_sql(sql.format(src="mexpr3_b")).collect()
+    )
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "mexpr3"), n_chunks=3, order_col="sec"
+    )
+    stream.createOrReplaceTempView("mexpr3_s")
+    got = sorted(
+        (float(r.dur), r.avg2)
+        for r in run_to_memory(
+            spark, t_env.execute_sql(sql.format(src="mexpr3_s")), "mexpr3_out", tmp_dir, mode="append"
+        ).collect()
+    )
+    assert got == batch and len(got) == 2, (got, batch)
+
+
+def test_measures_expression_rejects_functions(spark, t_env):
+    _seq_view(spark, "mexpr4")
+    with pytest.raises(NotImplementedError, match="expression subset"):
+        t_env.execute_sql("""
+            SELECT * FROM mexpr4
+                MATCH_RECOGNIZE (
+                    PARTITION BY symbol ORDER BY sec
+                    MEASURES ABS(LAST(A.price) - 1) AS x
+                    ONE ROW PER MATCH
+                    PATTERN (A B)
+                    DEFINE A AS A.price < 15
+                ) MR
+        """)
