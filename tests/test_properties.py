@@ -559,3 +559,96 @@ def test_coreness_hindex_fixed_point_equals_peeling_definition(spark, edges):
     df = spark.createDataFrame(edges, "src int, dst int")
     got = {r["node"]: r["coreness"] for r in coreness(df).collect()}
     assert got == _py_coreness(edges)
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.sampled_from("abc "), min_size=0, max_size=12),
+    st.lists(st.sampled_from("abc "), min_size=0, max_size=12),
+    st.sampled_from(
+        ["A B", "A+ B", "A B+", "A B? C", "(A|B)+ C", "A (B|C)*", "A+? B", "A{1,2} B"]
+    ),
+)
+def test_cep_iterative_ctx_free_equals_static(rows1, rows2, pattern_str):
+    """An iterative condition that ignores its context must behave
+    exactly like ANDing its per-row verdict into the static column —
+    for both the first-match matcher and the noSkip enumerator. This
+    pins that threading the partial match through the generators did
+    not change branch exploration order or results."""
+    from reshape_on_flink_spark.operators.cep import (
+        _ast_enumerator,
+        _ast_matcher,
+        ast_symbols,
+        parse_pattern_ast,
+    )
+
+    n = min(len(rows1), len(rows2))
+    rows1, rows2 = rows1[:n], rows2[:n]
+    ast = parse_pattern_ast(pattern_str)
+    symbols = ast_symbols(ast)
+    sym_char = {"A": "a", "B": "b", "C": "c"}
+    static = [[c == sym_char[s] for c in rows1] for s in symbols]
+    extra = [[c == sym_char[s] for c in rows2] for s in symbols]
+    combined = [
+        [a and b for a, b in zip(static[i], extra[i])] for i in range(len(symbols))
+    ]
+    ic = [
+        (lambda pos, taken, col=extra[i]: col[pos]) for i in range(len(symbols))
+    ]
+
+    match_ref = _ast_matcher(symbols, ast)
+    enum_ref = _ast_enumerator(symbols, ast)
+    for start in range(n):
+        assert match_ref(static, start, n, ic) == match_ref(combined, start, n), (
+            rows1, rows2, pattern_str, start,
+        )
+        assert enum_ref(static, start, n, ic) == enum_ref(combined, start, n), (
+            rows1, rows2, pattern_str, start,
+        )
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(st.integers(1, 5), min_size=0, max_size=10),
+    st.integers(3, 9),
+)
+def test_cep_iterative_running_sum_agrees_with_bruteforce(vals, cap):
+    """'a b+' with b = (v > 1 AND running sum of b incl current <= cap)
+    vs a brute-force reference: valid expansions at a start are exactly
+    the prefix runs whose every step keeps the sum under the cap."""
+    from reshape_on_flink_spark.operators.cep import (
+        _ast_enumerator,
+        _flat_to_ast,
+        parse_pattern,
+        pattern_symbols,
+    )
+
+    toks = parse_pattern("a b+")
+    symbols = pattern_symbols(toks)
+    ast = _flat_to_ast(toks)
+    n = len(vals)
+    bools = [[v == 1 for v in vals], [v > 1 for v in vals]]
+
+    def b_iter(pos, taken):
+        s = vals[pos] + sum(vals[p] for p, si in taken if symbols[si] == "b")
+        return s <= cap
+
+    ic = [None, b_iter]
+    enum_at = _ast_enumerator(symbols, ast)
+
+    got = {
+        tuple(p for p, _ in m)
+        for start in range(n)
+        for m in enum_at(bools, start, n, ic)
+    }
+    expected = set()
+    for i in range(n):
+        if vals[i] != 1:
+            continue
+        s = 0
+        j = i + 1
+        while j < n and vals[j] > 1 and s + vals[j] <= cap:
+            s += vals[j]
+            expected.add(tuple(range(i, j + 1)))
+            j += 1
+    assert got == expected, (vals, cap, got, expected)
