@@ -1315,3 +1315,117 @@ def q_cep_iterative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Retract stream (round 9): the ACTUAL streaming operator under the
+# hash gate. streaming/changelog.to_retract_stream with per-ROW
+# granularity replays the events table as a 3-chunk stream and emits
+# Flink's GroupAggFunction changelog (+I, then -U/+U per input row);
+# with a deterministic processing order the FULL emission history is
+# closed-form: per user the i-th row's transition retracts the (i-1)-th
+# running aggregate and asserts the i-th — exactly LAG over running
+# windows, which is the oracle. Chunking cannot change the history
+# (state carries across micro-batches; order_by pins within-batch
+# order), so the gate pins crash-consistent streaming semantics with a
+# pure-SQL reference.
+# ---------------------------------------------------------------------------
+@query(
+    "q_retract_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT),
+                                         event_id) AS rn,
+             CAST(FLOOR(value * 100) AS BIGINT) AS amt
+      FROM events
+    ),
+    run AS (
+      SELECT user_id, rn,
+             COUNT(*) OVER w AS cnt,
+             SUM(amt) OVER w AS s
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    steps AS (
+      SELECT user_id, rn, cnt, s,
+             LAG(cnt) OVER w2 AS pcnt, LAG(s) OVER w2 AS ps
+      FROM run
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    changes AS (
+      SELECT user_id,
+             CASE WHEN rn = 1 THEN '+I' ELSE '+U' END AS _change_type,
+             cnt, s,
+             CAST(CASE WHEN rn = 1 THEN 0 ELSE (rn - 2) * 2 + 2 END AS BIGINT)
+               AS _change_seq
+      FROM steps
+      UNION ALL
+      SELECT user_id, '-U', pcnt, ps, CAST((rn - 2) * 2 + 1 AS BIGINT)
+      FROM steps WHERE rn > 1
+    )
+    SELECT user_id, _change_seq, _change_type,
+           CAST(cnt AS BIGINT) AS cnt, CAST(s AS BIGINT) AS amt_sum
+    FROM changes
+    ORDER BY user_id, _change_seq
+    """,
+)
+def q_retract_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from reshape_on_flink_spark.streaming.changelog import to_retract_stream
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("sec"),
+        F.floor(F.col("value") * 100).cast("long").alias("amt"),
+    )
+    # per-key processing order (rn) + a GLOBAL replay order consistent
+    # with it, so chunk boundaries can never reorder a key's rows
+    w_key = W.partitionBy("user_id").orderBy("sec", "event_id")
+    seq = (
+        ev.withColumn("rn", F.row_number().over(w_key))
+        # test-harness global sort: the replay chunker needs one global
+        # monotone column; production streams are already time-ordered
+        .withColumn("gseq", F.row_number().over(W.orderBy("sec", "event_id")))
+    )
+    base = tempfile.mkdtemp(prefix="retract_gate_")
+    stream = chunked_replay(
+        spark, seq, os.path.join(base, "in"), n_chunks=3, order_col="gseq"
+    )
+    out = to_retract_stream(
+        stream,
+        "user_id",
+        {"cnt": ("count", None), "amt_sum": ("sum", "amt")},
+        granularity="row",
+        order_by="rn",
+    )
+    name = f"retract_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            "_change_seq",
+            "_change_type",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("amt_sum").cast("bigint").alias("amt_sum"),
+        )
+        .orderBy("user_id", "_change_seq")
+    )
