@@ -94,7 +94,24 @@ Emission semantics follow Flink's AfterMatchSkipStrategy:
 ``cond AND NOT c`` and the loop filler additionally may not skip a
 ``c`` event (stop collecting at the first ``c`` — Pattern.java:219;
 the docs' stop-condition example ``{a1 a2} {a1} {a2} {a3}`` is
-reproduced in tests).
+reproduced in tests). ``until`` also accepts a pandas predicate for
+the streaming route; every negation (until / NOT folds / group untils)
+carries its streaming recipe, so the same chains run on streams.
+
+Iterative conditions (round 9, IterativeCondition.java):
+``where((event, ctx) -> bool)`` evaluates against the branch's partial
+match — ``ctx.get_events_for_pattern(name)`` returns the rows already
+accepted for ``name`` in this match attempt. A relaxed loop's ignore
+edge is NOT(take) evaluated ITERATIVELY (NFACompiler
+getIgnoreCondition): an event that matches statically but fails a
+running bound is skipped, not branch-killing. ``or_`` composes
+iterative conditions with iterative conditions (RichOrCondition over
+like kinds); ``subtype(cond)`` is the Pattern.subtype analog for
+untyped rows. Matches may never ANCHOR on a relaxed-contiguity filler
+row (Flink computations start at their first TAKEN event) — the
+engines drop filler-led candidates and re-find the match at its first
+real row. All 7 IterativeConditionsITCase matrices are ported in
+tests/test_cep_iterative.py.
 """
 
 from __future__ import annotations

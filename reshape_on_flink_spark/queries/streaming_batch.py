@@ -1418,6 +1418,9 @@ def q_retract_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.processAllAvailable()
     finally:
         q.stop()
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)  # memory sink owns the rows now
     return (
         spark.table(name)
         .select(
