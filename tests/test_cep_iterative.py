@@ -801,3 +801,69 @@ def test_measures_expression_rejects_functions(spark, t_env):
                     DEFINE A AS A.price < 15
                 ) MR
         """)
+
+
+def test_iterative_inside_group_pattern(spark):
+    """A group's inner stage carries an iterative condition; the
+    group-loop relaxed filler uses the FIRST leaf's iterative take as
+    its ignore guard (NFACompiler getIgnoreCondition through
+    GroupPattern)."""
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+
+    rows = [
+        (1, 1, "s", 0.0),
+        (1, 2, "a", 2.0),
+        (1, 3, "b", 1.0),
+        (1, 4, "a", 9.0),   # statically a, iteratively rejected (sum 11)
+        (1, 5, "a", 2.0),
+        (1, 6, "b", 1.0),
+        (1, 7, "e", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, t int, name string, price double")
+
+    def a_iter(e, ctx):
+        s = e["price"] + sum(x["price"] for x in ctx.get_events_for_pattern("ga"))
+        return s < 5.0
+
+    grp = (
+        Pattern.begin("ga").where(F.col("name") == "a").where(a_iter)
+        .followed_by("gb").where(F.col("name") == "b")
+    )
+    pat = (
+        Pattern.begin("s").where(F.col("name") == "s")
+        .followed_by(grp).one_or_more()
+        .followed_by("e").where(F.col("name") == "e")
+    )
+    out = CEP.pattern(df, pat, "k", "t", after_match="no_skip").flat_select()
+    m = collections.defaultdict(list)
+    for r in out.collect():
+        m[r.match_id].append(r.t)
+    sets = sorted(sorted(v) for v in m.values())
+    # (a b) repetitions from s: {2,3}; second rep skips the iteratively
+    # failing a@4 (relaxed), takes a@5 b@6 (sum 4)
+    assert sets == [
+        [1, 2, 3, 5, 6, 7],
+        [1, 2, 3, 7],
+    ], sets
+    assert all(4 not in v for v in m.values())
+
+
+def test_sql_define_aggregate_with_within(spark, t_env):
+    """DEFINE aggregates compose with PATTERN ... WITHIN: the horizon
+    clamps the scan before the iterative bound would."""
+    _seq_view(spark, "iterw")
+    out = t_env.execute_sql("""
+        SELECT * FROM iterw
+            MATCH_RECOGNIZE (
+                PARTITION BY symbol ORDER BY sec
+                MEASURES FIRST(A.sec) AS s, COUNT(A.*) AS n
+                ONE ROW PER MATCH
+                PATTERN (A+ B) WITHIN INTERVAL '3' SECOND
+                DEFINE A AS AVG(A.price) < 15
+            ) MR
+    """)
+    got = sorted((r.s, r.n) for r in out.collect())
+    # without WITHIN the first match is A=:00-:03 + B=:04 (5 rows,
+    # strictly-< horizon of 3s forbids it): A can span at most rows
+    # within [s, s+3) incl. B
+    assert all(n <= 2 for _s, n in got) and got, got
