@@ -713,10 +713,10 @@ class Pattern:
                         "stage mandatory or restructure"
                     )
                 has_until = s.until_cond is not None or s.until_pandas is not None
+                optional_like = s.opt or (s.quant is not None and s.quant[0] == 0)
                 if s.kind == "followed_by":
                     gap = f"__gap{ctx['gap_n']}"
                     ctx["gap_n"] += 1
-                    toks.append(f"{gap}*?")
                     gap_negs = list(extra_negs)
                     if s.negated_gap is not None:
                         gap_negs.insert(0, s.negated_gap)
@@ -727,8 +727,49 @@ class Pattern:
                         # testGreedyUntilOneOrMoreWithDummyEventsBefore-
                         # Quantifier expects no match)
                         gap_negs.insert(0, (s.until_cond, s.until_pandas))
-                    define[gap] = and_negs(F.lit(True), gap_negs)
-                    ctx["lgap_pandas"][gap] = ("true", None, pd_negs(gap_negs))
+                    if emit == "all" and optional_like:
+                        # The gap before an OPTIONAL/zero-able stage: a
+                        # reluctant filler would COMMIT to the first
+                        # completion and prune the stage-present NFA
+                        # branches (NFAITCase.testZeroOrMoreAfterZeroOr-
+                        # More expects {c d1 d2 e} even though {c e}
+                        # completes with a shorter gap). Compile it
+                        # ENUMERABLE and guarded by NOT(stage's first
+                        # condition) — Flink's waiting-state ignore edge
+                        # (NFACompiler getIgnoreCondition): the gap may
+                        # never swallow an event the stage could take.
+                        # Interchangeable gap splits around the absent
+                        # branch collapse via the engines' user-row
+                        # dedup of enumerated candidates.
+                        g_cond, g_pandas, g_iter, g_name = (
+                            _first_positive_cond(s.group._stages)
+                            if s.group is not None
+                            else (s.cond, s.pandas_cond, s.iter_cond, s.name)
+                        )
+                        toks.append(f"{gap}*")
+                        if g_iter is not None:
+                            define[gap] = and_negs(F.lit(True), gap_negs)
+                            ctx["iter_define"][gap] = (
+                                lambda e, c, f=g_iter, flag=f"__sym_{g_name}":
+                                not (e.get(flag, True) and f(e, c))
+                            )
+                            ctx["lgap_pandas"][gap] = (
+                                "true", None, pd_negs(gap_negs)
+                            )
+                        elif g_cond is not None:
+                            define[gap] = and_negs(~g_cond, gap_negs)
+                            ctx["lgap_pandas"][gap] = (
+                                "not_cond", g_pandas, pd_negs(gap_negs)
+                            )
+                        else:
+                            define[gap] = None  # streaming-only
+                            ctx["lgap_pandas"][gap] = (
+                                "not_cond", g_pandas, pd_negs(gap_negs)
+                            )
+                    else:
+                        toks.append(f"{gap}*?")
+                        define[gap] = and_negs(F.lit(True), gap_negs)
+                        ctx["lgap_pandas"][gap] = ("true", None, pd_negs(gap_negs))
                 fba_pre = ""
                 if s.kind == "followed_by_any":
                     # SKIP_TILL_ANY stage gap: under noSkip enumeration

@@ -1005,6 +1005,18 @@ def match_recognize(
                 cands = enum_at(bools, i, hi, ic)
                 if filler_idx:  # drop filler-anchored candidates
                     cands = [m for m in cands if m[0][1] not in filler_idx]
+                    # Flink match identity = the variable->events
+                    # assignment: candidates differing only in FILLER
+                    # rows are one match (interchangeable gap splits
+                    # around absent optional stages) -> dedup on the
+                    # user-row projection
+                    seen_u, uniq = set(), []
+                    for mm_ in cands:
+                        ku = tuple(r for r in mm_ if r[1] not in filler_idx)
+                        if ku not in seen_u:
+                            seen_u.add(ku)
+                            uniq.append(mm_)
+                    cands = uniq
                 if terminal_not is not None:
                     cands = _nf_survivors(cands, bools, hi)
                 if skip_mode == "no_skip":
@@ -1105,6 +1117,18 @@ def match_recognize(
                 cands = enum_at(bools, r, hi, ic)
                 if filler_idx:  # drop filler-anchored candidates
                     cands = [m for m in cands if m[0][1] not in filler_idx]
+                    # Flink match identity = the variable->events
+                    # assignment: candidates differing only in FILLER
+                    # rows are one match (interchangeable gap splits
+                    # around absent optional stages) -> dedup on the
+                    # user-row projection
+                    seen_u, uniq = set(), []
+                    for mm_ in cands:
+                        ku = tuple(r for r in mm_ if r[1] not in filler_idx)
+                        if ku not in seen_u:
+                            seen_u.add(ku)
+                            uniq.append(mm_)
+                    cands = uniq
                 if terminal_not is not None:
                     cands = _nf_survivors(cands, bools, hi)
                 if skip_mode == "no_skip":
@@ -1587,6 +1611,18 @@ def streaming_match_recognize(
                 the next scan position from `i`."""
                 if filler_idx:  # drop filler-anchored candidates (see batch)
                     cands = [mm for mm in cands if mm[0][1] not in filler_idx]
+                    # Flink match identity = the variable->events
+                    # assignment: candidates differing only in FILLER
+                    # rows are one match (interchangeable gap splits
+                    # around absent optional stages) -> dedup on the
+                    # user-row projection
+                    seen_u, uniq = set(), []
+                    for mm_ in cands:
+                        ku = tuple(r for r in mm_ if r[1] not in filler_idx)
+                        if ku not in seen_u:
+                            seen_u.add(ku)
+                            uniq.append(mm_)
+                    cands = uniq
                 if skip_mode == "no_skip":
                     for one in cands:
                         emit_one(one)

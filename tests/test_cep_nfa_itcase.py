@@ -1,0 +1,176 @@
+"""NFAITCase ports — the reference NFA's core quantifier/branching
+matrices (flink-libraries/flink-cep/src/test/java/org/apache/flink/
+cep/nfa/NFAITCase.java), run through the fluent builder under noSkip
+(the NFA's default emission) and compared as row-position sets.
+
+Event model: (pos, name, price, volume, sub) — ``sub`` marks the
+reference's SubEvent subtype, ``volume`` its extra field.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import pytest
+from pyspark.sql import functions as F
+
+from reshape_on_flink_spark.api.cep import CEP, Pattern
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(1, i + 1, *r) for i, r in enumerate(rows)],
+        "k int, pos int, name string, price double, volume double, sub boolean",
+    )
+
+
+def _ev(name, price=1.0, volume=0.0, sub=False):
+    return (name, price, volume, sub)
+
+
+def _sets(spark, rows, pat):
+    m = collections.defaultdict(set)
+    out = CEP.pattern(_df(spark, rows), pat, "k", "pos", after_match="no_skip")
+    for r in out.flat_select().collect():
+        m[r.match_id].add(r.pos)
+    return sorted(sorted(v) for v in m.values())
+
+
+def _n(name):  # simple name condition
+    return F.col("name") == name
+
+
+def test_nfa_itcase_branching_pattern(spark):
+    """testBranchingPattern: start fba(subtype volume>5) fba(subtype
+    next-one) fba(end) — full cross product of candidates."""
+    rows = [
+        _ev("start"),
+        _ev("foo1", volume=10.0, sub=True),
+        _ev("foo2", volume=10.0, sub=True),
+        _ev("foo3", volume=10.0, sub=True),
+        _ev("next-one", volume=2.0, sub=True),
+        _ev("next-one", volume=2.0, sub=True),
+        _ev("end"),
+    ]
+    pat = (
+        Pattern.begin("start").where(_n("start"))
+        .followed_by_any("mf").subtype(F.col("sub")).where(F.col("volume") > 5.0)
+        .followed_by_any("ms").subtype(F.col("sub")).where(_n("next-one"))
+        .followed_by_any("end").where(_n("end"))
+    )
+    got = _sets(spark, rows, pat)
+    assert got == sorted(
+        [1, i, j, 7] for i in (2, 3, 4) for j in (5, 6)
+    ), got
+
+
+def test_nfa_itcase_complex_branching_after_zero_or_more(spark):
+    """testComplexBranchingAfterZeroOrMore: c fba(a+ combinations
+    optional) fba(b) fba(d) fba(e) — 16 matches (every a-subset incl.
+    empty x every d)."""
+    rows = [
+        _ev("c"), _ev("a", 2.0), _ev("a", 3.0), _ev("a", 4.0),
+        _ev("b", 5.0), _ev("d", 6.0), _ev("d", 7.0), _ev("e", 8.0),
+    ]
+    pat = (
+        Pattern.begin("start").where(_n("c"))
+        .followed_by_any("mid").where(_n("a"))
+        .one_or_more().allow_combinations().optional()
+        .followed_by_any("e1").where(_n("b"))
+        .followed_by_any("e2").where(_n("d"))
+        .followed_by_any("e3").where(_n("e"))
+    )
+    got = _sets(spark, rows, pat)
+    subsets = [
+        [], [2], [3], [4], [2, 3], [2, 4], [3, 4], [2, 3, 4],
+    ]
+    assert got == sorted(
+        sorted([1, *s, 5, d, 8]) for s in subsets for d in (6, 7)
+    ), got
+
+
+def test_nfa_itcase_zero_or_more(spark):
+    """testZeroOrMore: c fba(a+ combinations optional) followedBy b."""
+    rows = [_ev("c"), _ev("a", 2.0), _ev("a", 3.0), _ev("b", 5.0)]
+    pat = (
+        Pattern.begin("start").where(_n("c"))
+        .followed_by_any("mid").where(_n("a"))
+        .one_or_more().allow_combinations().optional()
+        .followed_by("end").where(_n("b"))
+    )
+    assert _sets(spark, rows, pat) == [
+        [1, 2, 3, 4], [1, 2, 4], [1, 3, 4], [1, 4],
+    ]
+
+
+def test_nfa_itcase_eager_zero_or_more(spark):
+    """testEagerZeroOrMore: relaxed a+ optional skips the interleaved
+    'd' and folds the a-subsequence eagerly (prefixes only)."""
+    rows = [
+        _ev("c"), _ev("a", 2.0), _ev("a", 3.0), _ev("d", 6.0),
+        _ev("a", 4.0), _ev("b", 5.0),
+    ]
+    pat = (
+        Pattern.begin("start").where(_n("c"))
+        .followed_by("mid").where(_n("a")).one_or_more().optional()
+        .followed_by("end").where(_n("b"))
+    )
+    assert _sets(spark, rows, pat) == [
+        [1, 2, 3, 5, 6], [1, 2, 3, 6], [1, 2, 6], [1, 6],
+    ]
+
+
+def test_nfa_itcase_begin_with_zero_or_more(spark):
+    """testBeginWithZeroOrMore: a pattern STARTING with an optional
+    loop anchors computations at every event — including the bare
+    {end} match exactly once (the filler-anchoring rule)."""
+    rows = [_ev("a", 2.0), _ev("a", 3.0), _ev("a", 3.0), _ev("b", 4.0)]
+    pat = (
+        Pattern.begin("mid").where(_n("a")).one_or_more().optional()
+        .followed_by("end").where(_n("b"))
+    )
+    assert _sets(spark, rows, pat) == [
+        [1, 2, 3, 4], [1, 2, 4], [1, 4], [2, 3, 4], [2, 4], [3, 4], [4],
+    ]
+
+
+def test_nfa_itcase_zero_or_more_after_zero_or_more(spark):
+    """testZeroOrMoreAfterZeroOrMore: two chained optional combination
+    loops; the second loop's FIRST element is pinned by its relaxed
+    stage link (subsets must contain d@3)."""
+    rows = [_ev("c"), _ev("a", 2.0), _ev("d", 3.0), _ev("d", 4.0), _ev("e", 4.0)]
+    pat = (
+        Pattern.begin("start").where(_n("c"))
+        .followed_by_any("m1").where(_n("a"))
+        .one_or_more().allow_combinations().optional()
+        .followed_by("m2").where(_n("d"))
+        .one_or_more().allow_combinations().optional()
+        .followed_by("end").where(_n("e"))
+    )
+    assert _sets(spark, rows, pat) == sorted([
+        [1, 2, 3, 4, 5], [1, 2, 3, 5], [1, 3, 4, 5],
+        [1, 3, 5], [1, 2, 5], [1, 5],
+    ]), _sets(spark, rows, pat)
+
+
+def test_nfa_itcase_zero_or_more_after_branching(spark):
+    """testZeroOrMoreAfterBranching: branch x merging x every kleene
+    subset (incl. empty and {k2} alone — the kleene stage link is
+    followedByAny)."""
+    rows = [
+        _ev("c"), _ev("a", 2.0), _ev("a", 3.0), _ev("f", 3.0),
+        _ev("d", 4.0), _ev("d", 4.0), _ev("e", 4.0),
+    ]
+    pat = (
+        Pattern.begin("start").where(_n("c"))
+        .followed_by_any("branching").where(_n("a"))
+        .followed_by_any("merging").where(_n("f"))
+        .followed_by_any("kleene").where(_n("d"))
+        .one_or_more().allow_combinations().optional()
+        .followed_by("end").where(_n("e"))
+    )
+    got = _sets(spark, rows, pat)
+    ks = [[], [5], [6], [5, 6]]
+    assert got == sorted(
+        sorted([1, a, 4, *k, 7]) for a in (2, 3) for k in ks
+    ), got
