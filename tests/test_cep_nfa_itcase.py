@@ -174,3 +174,73 @@ def test_nfa_itcase_zero_or_more_after_branching(spark):
     assert got == sorted(
         sorted([1, a, 4, *k, 7]) for a in (2, 3) for k in ks
     ), got
+
+
+# ---------------------------------------------------------------------
+# times/oneOrMore x optional x contiguity matrix (NFAITCase
+# testTimesNonStrictOptional1-3, testTimesStrictOptional[1],
+# testOneOrMoreStrictOptional, testOptionalTimesNonStrictWithNext) —
+# input 'c f a1 f a2 a3 b' unless noted; ConsecutiveData events.
+# ---------------------------------------------------------------------
+
+_CFA = [
+    _ev("c"), _ev("f"), _ev("a", 2.0), _ev("f"), _ev("a", 3.0),
+    _ev("a", 4.0), _ev("b", 5.0),
+]
+
+
+def _mid(link, *mods):
+    p = Pattern.begin("start").where(_n("c"))
+    p = getattr(p, link)("mid").where(_n("a"))
+    for m in mods:
+        p = getattr(p, m[0])(*m[1:])
+    return p.followed_by("end").where(_n("b"))
+
+
+def test_nfa_itcase_times_non_strict_optional1(spark):
+    rows = [_ev("c"), _ev("f"), _ev("b", 5.0)]
+    pat = _mid("followed_by", ("times", 3), ("optional",))
+    assert _sets(spark, rows, pat) == [[1, 3]]
+
+
+def test_nfa_itcase_times_non_strict_optional2(spark):
+    pat = _mid("followed_by_any", ("times", 2), ("allow_combinations",), ("optional",))
+    assert _sets(spark, _CFA, pat) == sorted([
+        [1, 3, 5, 7], [1, 3, 6, 7], [1, 5, 6, 7], [1, 7],
+    ])
+
+
+def test_nfa_itcase_times_non_strict_optional3(spark):
+    pat = _mid("followed_by_any", ("times", 2), ("optional",))
+    assert _sets(spark, _CFA, pat) == sorted([
+        [1, 3, 5, 7], [1, 5, 6, 7], [1, 7],
+    ])
+
+
+def test_nfa_itcase_times_strict_optional(spark):
+    pat = _mid("followed_by_any", ("times", 2), ("consecutive",), ("optional",))
+    assert _sets(spark, _CFA, pat) == sorted([[1, 5, 6, 7], [1, 7]])
+
+
+def test_nfa_itcase_one_or_more_strict_optional(spark):
+    pat = _mid("followed_by_any", ("one_or_more",), ("consecutive",), ("optional",))
+    assert _sets(spark, _CFA, pat) == sorted([
+        [1, 5, 6, 7], [1, 3, 7], [1, 5, 7], [1, 6, 7], [1, 7],
+    ])
+
+
+def test_nfa_itcase_times_strict_optional1(spark):
+    rows = [_ev("c"), _ev("a", 2.0), _ev("a", 3.0), _ev("a", 4.0), _ev("b", 5.0)]
+    pat = _mid("next", ("times", 2), ("consecutive",), ("optional",))
+    assert _sets(spark, rows, pat) == sorted([[1, 2, 3, 5], [1, 5]])
+
+
+def test_nfa_itcase_optional_times_non_strict_with_next(spark):
+    rows = [
+        _ev("c"), _ev("a", 2.0), _ev("f"), _ev("a", 3.0), _ev("f"),
+        _ev("a", 4.0), _ev("b", 5.0),
+    ]
+    pat = _mid("next", ("times", 2), ("allow_combinations",), ("optional",))
+    assert _sets(spark, rows, pat) == sorted([
+        [1, 2, 4, 7], [1, 2, 6, 7], [1, 7],
+    ])
