@@ -244,3 +244,153 @@ def test_nfa_itcase_optional_times_non_strict_with_next(spark):
     assert _sets(spark, rows, pat) == sorted([
         [1, 2, 4, 7], [1, 2, 6, 7], [1, 7],
     ])
+
+
+# ---------------------------------------------------------------------
+# mixed-contiguity branching, strict-after-loop, terminal loops, and
+# the version-collision multiset (NFAITCase rows continued)
+# ---------------------------------------------------------------------
+
+
+def _branch_rows():
+    return [
+        _ev("start"),
+        _ev("foo1", volume=10.0, sub=True),
+        _ev("foo2", volume=10.0, sub=True),
+        _ev("foo3", volume=10.0, sub=True),
+        _ev("next-one", volume=2.0, sub=True),
+        _ev("next-one", volume=2.0, sub=True),
+        _ev("end"),
+    ]
+
+
+def test_nfa_itcase_branching_skip_till_next(spark):
+    """testBranchingPatternSkipTillNext: all-followedBy links commit to
+    the FIRST candidate at every stage — exactly one match."""
+    pat = (
+        Pattern.begin("start").where(_n("start"))
+        .followed_by("mf").subtype(F.col("sub")).where(F.col("volume") > 5.0)
+        .followed_by("ms").subtype(F.col("sub")).where(_n("next-one"))
+        .followed_by_any("end").where(_n("end"))
+    )
+    assert _sets(spark, _branch_rows(), pat) == [[1, 2, 5, 7]]
+
+
+def test_nfa_itcase_branching_mixed_followed_by(spark):
+    """testBranchingPatternMixedFollowedBy: fba middle-first branches,
+    the following followedBy commits to the first next-one."""
+    pat = (
+        Pattern.begin("start").where(_n("start"))
+        .followed_by_any("mf").subtype(F.col("sub")).where(F.col("volume") > 5.0)
+        .followed_by("ms").subtype(F.col("sub")).where(_n("next-one"))
+        .followed_by_any("end").where(_n("end"))
+    )
+    assert _sets(spark, _branch_rows(), pat) == sorted(
+        [1, i, 5, 7] for i in (2, 3, 4)
+    )
+
+
+def test_nfa_itcase_strict_continuity_after_zero_or_more(spark):
+    """testStrictContinuityNoResults/ResultsAfterZeroOrMore: a strict
+    NEXT after an optional loop binds to the loop's LAST element."""
+    # no results: the b is separated from the a-run by a c
+    rows = [_ev("d", 1.0), _ev("a", 2.0), _ev("a", 3.0), _ev("c", 1.0), _ev("b", 5.0)]
+    pat = (
+        Pattern.begin("start").where(_n("d"))
+        .followed_by("mid").where(_n("a")).one_or_more().optional()
+        .next("end").where(_n("b"))
+    )
+    assert _sets(spark, rows, pat) == []
+    # results: combination subsets whose LAST element directly precedes b
+    rows2 = [_ev("d", 1.0), _ev("a", 2.0), _ev("a", 3.0), _ev("b", 5.0)]
+    pat2 = (
+        Pattern.begin("start").where(_n("d"))
+        .followed_by_any("mid").where(_n("a"))
+        .one_or_more().optional().allow_combinations()
+        .next("end").where(_n("b"))
+    )
+    assert _sets(spark, rows2, pat2) == sorted([[1, 2, 3, 4], [1, 3, 4]])
+
+
+def test_nfa_itcase_next_zero_or_more(spark):
+    """testNextZeroOrMore: a strict-NEXT consecutive loop cannot start
+    past the adjacent non-matching row; only the absent branch."""
+    rows = [
+        _ev("start"), _ev("x"), _ev("middle", 2.0), _ev("middle", 3.0),
+        _ev("middle", 4.0), _ev("end"),
+    ]
+    pat = (
+        Pattern.begin("start").where(_n("start"))
+        .next("mid").where(_n("middle")).one_or_more().optional().consecutive()
+        .followed_by("end").where(_n("end"))
+    )
+    assert _sets(spark, rows, pat) == [[1, 6]]
+
+
+def test_nfa_itcase_start_and_end_with_zero_or_more(spark):
+    """testStartAndEndWithZeroOrMore: a bare optional loop pattern —
+    per-anchor prefixes, no empty match."""
+    rows = [
+        _ev("c"), _ev("a", 2.0), _ev("a", 3.0), _ev("a", 4.0),
+        _ev("d"), _ev("d"), _ev("d"),
+    ]
+    pat = Pattern.begin("mid").where(_n("a")).one_or_more().optional()
+    assert _sets(spark, rows, pat) == sorted([
+        [2, 3, 4], [2, 3], [2], [3, 4], [3], [4],
+    ])
+
+
+def test_nfa_itcase_end_with_zero_or_more_and_one_or_more(spark):
+    """testEndWithZeroOrMore / testEndWithOneOrMore: terminal loops
+    enumerate every prefix; zeroOrMore adds the bare {c}."""
+    rows = [_ev("c"), _ev("a", 2.0), _ev("a", 3.0), _ev("a", 4.0)]
+    zero = (
+        Pattern.begin("start").where(_n("c"))
+        .followed_by("mid").where(_n("a")).one_or_more().optional()
+    )
+    one = (
+        Pattern.begin("start").where(_n("c"))
+        .followed_by("mid").where(_n("a")).one_or_more()
+    )
+    assert _sets(spark, rows, zero) == sorted([
+        [1, 2, 3, 4], [1, 2, 3], [1, 2], [1],
+    ])
+    assert _sets(spark, rows, one) == sorted([
+        [1, 2, 3, 4], [1, 2, 3], [1, 2],
+    ])
+
+
+def test_nfa_itcase_multiple_takes_version_collision(spark):
+    """testMultipleTakesVersionCollision: c (a+ combinations)
+    (a+ combinations) b — the same row-set reached through DIFFERENT
+    middle1/middle2 splits is a distinct match (variable assignment =
+    match identity), so the expectation is a MULTISET of row-sets."""
+    rows = [
+        _ev("c"), _ev("a", 2.0), _ev("a", 3.0), _ev("a", 4.0),
+        _ev("a", 5.0), _ev("a", 6.0), _ev("b", 5.0),
+    ]
+    pat = (
+        Pattern.begin("start").where(_n("c"))
+        .followed_by("m1").where(_n("a")).one_or_more().allow_combinations()
+        .followed_by("m2").where(_n("a")).one_or_more().allow_combinations()
+        .followed_by("end").where(_n("b"))
+    )
+    m = collections.defaultdict(set)
+    out = CEP.pattern(_df(spark, rows), pat, "k", "pos", after_match="no_skip")
+    for r in out.flat_select().collect():
+        m[r.match_id].add(r.pos)
+    got = sorted(tuple(sorted(v)) for v in m.values())
+    expected = sorted(
+        [tuple([1, 2, 3, 4, 5, 6, 7])] * 4
+        + [tuple([1, 2, 3, 4, 5, 7])] * 3
+        + [tuple([1, 2, 3, 5, 6, 7])] * 2
+        + [tuple([1, 2, 3, 4, 6, 7])] * 2
+        + [tuple([1, 2, 4, 5, 6, 7])] * 2
+        + [tuple([1, 2, 3, 4, 7])] * 2
+        + [tuple([1, 2, 4, 5, 7])]
+        + [tuple([1, 2, 5, 6, 7])]
+        + [tuple([1, 2, 3, 5, 7])]
+        + [tuple([1, 2, 3, 6, 7])]
+        + [tuple([1, 2, 3, 7])]
+    )
+    assert got == expected, (got, expected)
