@@ -394,3 +394,118 @@ def test_nfa_itcase_multiple_takes_version_collision(spark):
         + [tuple([1, 2, 3, 7])]
     )
     assert got == expected, (got, expected)
+
+
+# ---------------------------------------------------------------------
+# atLeastOne / optional / times link-contiguity matrix (NFAITCase
+# testAtLeastOne[Eager], testOptional, testTimes[Strict/NonStrict...],
+# testStartWith*, testEndWithOptional)
+# ---------------------------------------------------------------------
+
+
+def test_nfa_itcase_at_least_one(spark):
+    rows = [_ev("c"), _ev("a", 2.0), _ev("a", 3.0), _ev("b", 5.0)]
+    pat = _mid("followed_by_any", ("one_or_more",), ("allow_combinations",))
+    pat._stages[-1].kind = "followed_by_any"  # fba end link
+    assert _sets(spark, rows, pat) == sorted([[1, 2, 3, 4], [1, 2, 4], [1, 3, 4]])
+
+
+def test_nfa_itcase_at_least_one_eager(spark):
+    rows = [_ev("c"), _ev("a", 2.0), _ev("a", 3.0), _ev("a", 4.0), _ev("b", 5.0)]
+    pat = _mid("followed_by_any", ("one_or_more",))
+    pat._stages[-1].kind = "followed_by_any"
+    assert _sets(spark, rows, pat) == sorted([
+        [1, 2, 3, 4, 5], [1, 2, 3, 5], [1, 3, 4, 5],
+        [1, 2, 5], [1, 3, 5], [1, 4, 5],
+    ])
+
+
+def test_nfa_itcase_optional(spark):
+    rows = [_ev("c"), _ev("a", 2.0), _ev("b", 5.0)]
+    pat = _mid("followed_by", ("optional",))
+    assert _sets(spark, rows, pat) == sorted([[1, 2, 3], [1, 3]])
+
+
+def test_nfa_itcase_times_next_combinations(spark):
+    """testTimes: NEXT pins the first loop element to the adjacent row;
+    combinations pick the second."""
+    rows = [_ev("c"), _ev("a", 2.0), _ev("a", 3.0), _ev("a", 4.0), _ev("b", 5.0)]
+    pat = _mid("next", ("times", 2), ("allow_combinations",))
+    assert _sets(spark, rows, pat) == sorted([[1, 2, 3, 5], [1, 2, 4, 5]])
+
+
+def test_nfa_itcase_start_with_times_consecutive(spark):
+    rows = [_ev("a", 2.0), _ev("a", 3.0), _ev("a", 4.0), _ev("b", 5.0)]
+    pat = (
+        Pattern.begin("mid").where(_n("a")).times(2).consecutive()
+        .followed_by("end").where(_n("b"))
+    )
+    assert _sets(spark, rows, pat) == sorted([[1, 2, 4], [2, 3, 4]])
+
+
+def test_nfa_itcase_times_non_strict_with_next(spark):
+    rows = [
+        _ev("c"), _ev("a", 2.0), _ev("f"), _ev("a", 3.0), _ev("f"),
+        _ev("a", 4.0), _ev("b", 5.0),
+    ]
+    pat = _mid("next", ("times", 2), ("allow_combinations",))
+    assert _sets(spark, rows, pat) == sorted([[1, 2, 4, 7], [1, 2, 6, 7]])
+
+
+def test_nfa_itcase_times_followed_by_eager_vs_combinations(spark):
+    rows = [_ev("c"), _ev("a", 2.0), _ev("a", 3.0), _ev("a", 4.0), _ev("b", 5.0)]
+    eager = _mid("followed_by", ("times", 2))
+    assert _sets(spark, rows, eager) == [[1, 2, 3, 5]]
+    comb = _mid("followed_by_any", ("times", 2), ("allow_combinations",))
+    assert _sets(spark, rows, comb) == sorted([
+        [1, 2, 3, 5], [1, 2, 4, 5], [1, 3, 4, 5],
+    ])
+
+
+def test_nfa_itcase_times_strict_next_consecutive_no_match(spark):
+    """testTimesStrictWithNextAndConsecutive: NEXT + consecutive with
+    an interleaved row -> nothing."""
+    rows = [
+        _ev("c"), _ev("a", 2.0), _ev("f"), _ev("a", 3.0), _ev("a", 4.0),
+        _ev("b", 5.0),
+    ]
+    pat = _mid("next", ("times", 2), ("consecutive",))
+    assert _sets(spark, rows, pat) == []
+
+
+def test_nfa_itcase_start_and_end_with_optional(spark):
+    # testStartWithOptional
+    rows = [_ev("c"), _ev("b", 5.0)]
+    pat = (
+        Pattern.begin("start").where(_n("c")).optional()
+        .followed_by("end").where(_n("b"))
+    )
+    assert _sets(spark, rows, pat) == sorted([[1, 2], [2]])
+    # testEndWithOptional
+    rows2 = [_ev("c"), _ev("a", 2.0)]
+    pat2 = (
+        Pattern.begin("start").where(_n("c"))
+        .followed_by("mid").where(_n("a")).optional()
+    )
+    assert _sets(spark, rows2, pat2) == sorted([[1, 2], [1]])
+
+
+def test_nfa_itcase_times_strict_and_non_strict(spark):
+    eager_in = [
+        _ev("c"), _ev("f"), _ev("a", 2.0), _ev("f"), _ev("a", 3.0),
+        _ev("a", 4.0), _ev("b", 5.0),
+    ]
+    strict = _mid("followed_by_any", ("times", 2), ("consecutive",))
+    assert _sets(spark, eager_in, strict) == [[1, 5, 6, 7]]
+    nonstrict = _mid("followed_by_any", ("times", 2), ("allow_combinations",))
+    assert _sets(spark, eager_in, nonstrict) == sorted([
+        [1, 3, 5, 7], [1, 3, 6, 7], [1, 5, 6, 7],
+    ])
+
+
+def test_nfa_itcase_start_with_one_or_more_strict(spark):
+    """testStartWithOneOrMoreStrict: a bare consecutive loop pattern —
+    runs are broken by non-matching rows."""
+    rows = [_ev("c"), _ev("a", 2.0), _ev("c"), _ev("a", 3.0), _ev("a", 4.0)]
+    pat = Pattern.begin("mid").where(_n("a")).one_or_more().consecutive()
+    assert _sets(spark, rows, pat) == sorted([[2], [4], [5], [4, 5]])
