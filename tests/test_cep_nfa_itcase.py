@@ -509,3 +509,59 @@ def test_nfa_itcase_start_with_one_or_more_strict(spark):
     rows = [_ev("c"), _ev("a", 2.0), _ev("c"), _ev("a", 3.0), _ev("a", 4.0)]
     pat = Pattern.begin("mid").where(_n("a")).one_or_more().consecutive()
     assert _sets(spark, rows, pat) == sorted([[2], [4], [5], [4, 5]])
+
+
+# ---------------------------------------------------------------------
+# the shared oneOrMore/zeroOrMore consuming-strategy matrix (NFAITCase
+# private testOneOrMore/testZeroOrMore helpers + their six callers) —
+# input 'c d a1 a2 a3 d a4 b', pattern c fb(a-loop <strategy>) fb(b)
+# ---------------------------------------------------------------------
+
+_CDA = [
+    _ev("c"), _ev("d", 6.0), _ev("a", 2.0), _ev("a", 3.0), _ev("a", 4.0),
+    _ev("d", 6.0), _ev("a", 5.0), _ev("b", 5.0),
+]
+
+
+def _loop_strategy(strategy, optional):
+    p = Pattern.begin("start").where(_n("c"))
+    p = p.followed_by("mid").where(_n("a")).one_or_more()
+    if strategy == "strict":
+        p = p.consecutive()
+    elif strategy == "any":
+        p = p.allow_combinations()
+    if optional:
+        p = p.optional()
+    return p.followed_by("end").where(_n("b"))
+
+
+def test_nfa_itcase_one_or_more_strategy_matrix(spark):
+    # STRICT: the consecutive run from the first a
+    assert _sets(spark, _CDA, _loop_strategy("strict", False)) == sorted([
+        [1, 3, 4, 5, 8], [1, 3, 4, 8], [1, 3, 8],
+    ])
+    # SKIP_TILL_NEXT: prefixes of the full matching subsequence
+    assert _sets(spark, _CDA, _loop_strategy("next", False)) == sorted([
+        [1, 3, 4, 5, 7, 8], [1, 3, 4, 5, 8], [1, 3, 4, 8], [1, 3, 8],
+    ])
+    # SKIP_TILL_ANY: every subset containing the first a
+    assert _sets(spark, _CDA, _loop_strategy("any", False)) == sorted([
+        [1, 3, 4, 5, 7, 8], [1, 3, 4, 5, 8], [1, 3, 4, 7, 8], [1, 3, 5, 7, 8],
+        [1, 3, 4, 8], [1, 3, 5, 8], [1, 3, 7, 8], [1, 3, 8],
+    ])
+
+
+def test_nfa_itcase_zero_or_more_strategy_matrix(spark):
+    # testStrictEagerZeroOrMore
+    assert _sets(spark, _CDA, _loop_strategy("strict", True)) == sorted([
+        [1, 3, 4, 5, 8], [1, 3, 4, 8], [1, 3, 8], [1, 8],
+    ])
+    # testSkipTillNextZeroOrMore
+    assert _sets(spark, _CDA, _loop_strategy("next", True)) == sorted([
+        [1, 3, 4, 5, 7, 8], [1, 3, 4, 5, 8], [1, 3, 4, 8], [1, 3, 8], [1, 8],
+    ])
+    # testSkipTillAnyZeroOrMore
+    assert _sets(spark, _CDA, _loop_strategy("any", True)) == sorted([
+        [1, 3, 4, 5, 7, 8], [1, 3, 4, 5, 8], [1, 3, 4, 7, 8], [1, 3, 5, 7, 8],
+        [1, 3, 4, 8], [1, 3, 5, 8], [1, 3, 7, 8], [1, 3, 8], [1, 8],
+    ])
