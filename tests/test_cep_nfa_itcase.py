@@ -565,3 +565,42 @@ def test_nfa_itcase_zero_or_more_strategy_matrix(spark):
         [1, 3, 4, 5, 7, 8], [1, 3, 4, 5, 8], [1, 3, 4, 7, 8], [1, 3, 5, 7, 8],
         [1, 3, 4, 8], [1, 3, 5, 8], [1, 3, 7, 8], [1, 3, 8], [1, 8],
     ])
+
+
+# ---------------------------------------------------------------------
+# condition-less stages + strict-continuity basics (NFAITCase
+# testNoConditionNFA / testNoConditionLoopingNFA /
+# testAnyWithNoConditionNFA / testStrictContinuity{With,No}Results)
+# ---------------------------------------------------------------------
+
+
+def test_nfa_itcase_strict_continuity_basics(spark):
+    pat = (
+        Pattern.begin("start").where(_n("a")).next("end").where(_n("b"))
+    )
+    assert _sets(spark, [_ev("a"), _ev("b")], pat) == [[1, 2]]
+    assert _sets(spark, [_ev("a"), _ev("c"), _ev("b")], pat) == []
+
+
+def test_nfa_itcase_no_condition_pairs(spark):
+    """Condition-less stages are always-true: followedBy pairs each row
+    with its IMMEDIATE successor; followedByAny with every later row."""
+    rows = [_ev(x) for x in "abcde"]
+    t = F.lit(True)
+    fb = Pattern.begin("s").where(t).followed_by("e").where(t)
+    assert _sets(spark, rows, fb) == [[1, 2], [2, 3], [3, 4], [4, 5]]
+    fba = Pattern.begin("s").where(t).followed_by_any("e").where(t)
+    assert _sets(spark, rows, fba) == sorted(
+        [i, j] for i in range(1, 6) for j in range(i + 1, 6)
+    )
+
+
+def test_nfa_itcase_no_condition_looping(spark):
+    """testNoConditionLoopingNFA: TRUE begin + TRUE oneOrMore end —
+    every contiguous interval of length >= 2."""
+    rows = [_ev(x) for x in "abcde"]
+    t = F.lit(True)
+    pat = Pattern.begin("s").where(t).followed_by("e").where(t).one_or_more()
+    assert _sets(spark, rows, pat) == sorted(
+        list(range(i, j + 1)) for i in range(1, 6) for j in range(i + 1, 6)
+    )
