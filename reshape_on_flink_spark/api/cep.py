@@ -186,15 +186,36 @@ def _first_positive_cond(stages) -> tuple:
     return None, None, None, None
 
 
-def _n_required_params(fn) -> int:
+def _is_iterative_cond(fn) -> bool:
+    """Dispatch a callable condition: IterativeCondition ``(event, ctx)``
+    vs vectorized pandas predicate ``(pdf)``. A callable counts as
+    iterative when it takes TWO positional parameters — optional ones
+    included, so ``def f(event, ctx=None)`` routes correctly (the Flink
+    shape is always binary, IterativeCondition.java ``filter(T,
+    Context)``). Set ``fn.cep_iterative = True`` / ``False`` (or use
+    :meth:`Pattern.where_iterative`) to bypass inspection for callables
+    whose signature cannot be probed (some builtins/C partials)."""
+    marker = getattr(fn, "cep_iterative", None)
+    if marker is not None:
+        return bool(marker)
     import inspect
 
-    return len([
+    try:
+        sig = inspect.signature(fn)
+    except (TypeError, ValueError) as exc:
+        raise TypeError(
+            f"cannot inspect the signature of {fn!r} to tell a pandas "
+            "predicate (1 positional param: pdf) from an "
+            "IterativeCondition (2 positional params: event, ctx). Set "
+            "`fn.cep_iterative = True` (or False), use "
+            "Pattern.where_iterative(fn), or wrap it in a plain def."
+        ) from exc
+    npos = len([
         p
-        for p in inspect.signature(fn).parameters.values()
+        for p in sig.parameters.values()
         if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
-        and p.default is p.empty
     ])
+    return npos >= 2
 
 
 def _positive_leaf_stages(stages):
@@ -290,7 +311,7 @@ class Pattern:
                 "GroupPattern does not support where clause (GroupPattern.java:45)"
             )
         if callable(cond) and not isinstance(cond, Column):
-            if _n_required_params(cond) == 2:  # IterativeCondition: fn(event, ctx)
+            if _is_iterative_cond(cond):  # IterativeCondition: fn(event, ctx)
                 if t.iter_cond is not None:
                     prev = t.iter_cond
                     t.iter_cond = lambda e, c, a=prev, b=cond: a(e, c) and b(e, c)
@@ -307,6 +328,20 @@ class Pattern:
         t.cond = cond if t.cond is None else (t.cond & cond)
         return self
 
+    def where_iterative(self, cond: Callable) -> "Pattern":
+        """Explicitly AND an IterativeCondition ``(event, ctx) -> bool``
+        onto the current stage, bypassing the signature-based dispatch
+        of :meth:`where` — use for callables whose signature cannot be
+        inspected (C-implemented partials) or whose parameter list
+        doesn't look binary (e.g. ``*args`` adapters)."""
+        try:
+            cond.cep_iterative = True
+        except (AttributeError, TypeError):
+            inner = cond
+            cond = lambda e, c: inner(e, c)  # noqa: E731 — attachable wrapper
+            cond.cep_iterative = True
+        return self.where(cond)
+
     def or_(self, cond: Column | str | Callable) -> "Pattern":
         """OR a condition onto the current stage (Pattern.java:175).
         A two-argument callable ORs onto a prior ITERATIVE where()
@@ -319,7 +354,7 @@ class Pattern:
                 "GroupPattern does not support or clause (GroupPattern.java:51)"
             )
         if callable(cond) and not isinstance(cond, Column):
-            if _n_required_params(cond) == 2:  # IterativeCondition
+            if _is_iterative_cond(cond):  # IterativeCondition
                 if t.iter_cond is None:
                     raise ValueError(
                         "or_ with an iterative condition needs a prior "
@@ -971,6 +1006,7 @@ class PatternStream:
         self._keys = [key_by] if isinstance(key_by, str) else list(key_by)
         self._order = [order_by] if isinstance(order_by, str) else list(order_by)
         self._after = after_match
+        self._side_outputs: dict[str, DataFrame] = {}
 
     def _run(self) -> tuple[DataFrame, list[str]]:
         # no_skip enumerates EVERY loop expansion (Flink noSkip), so
@@ -1115,13 +1151,224 @@ class PatternStream:
             )
         return out, user_syms
 
-    def flat_select(self) -> DataFrame:
+    def flat_select(
+        self, timed_out_partial_matches_tag: str | None = None
+    ) -> DataFrame:
         """ALL ROWS PER MATCH: input columns + (match_id,
         matched_symbol); relaxed-contiguity skipped events (both stage
         '__gapN' and loop '__lgapN' fillers) excluded — skipped events
-        are not part of a Flink match."""
+        are not part of a Flink match.
+
+        ``timed_out_partial_matches_tag`` mirrors ``PatternStream.
+        flatSelect(timedOutPartialMatchesTag, ...)`` (PatternStream.
+        java:202-214): when given, the timed-out partial matches are
+        computed as a side output retrievable via
+        :meth:`get_side_output` — the Spark analog of
+        ``SingleOutputStreamOperator.getSideOutput(tag)``."""
         out, user_syms = self._run()
+        if timed_out_partial_matches_tag is not None:
+            self._side_outputs[timed_out_partial_matches_tag] = (
+                self.timed_out_partial_matches()
+            )
         return out.where(F.col("matched_symbol").isin(user_syms))
+
+    def get_side_output(self, tag: str) -> DataFrame:
+        """Side-output DataFrame registered by a prior
+        ``flat_select(timed_out_partial_matches_tag=tag)`` call."""
+        if tag not in self._side_outputs:
+            raise KeyError(
+                f"no side output {tag!r}; pass "
+                "timed_out_partial_matches_tag to flat_select() first"
+            )
+        return self._side_outputs[tag]
+
+    def timed_out_partial_matches(self) -> DataFrame:
+        """Flink's timed-out-partial-match side output
+        (``PatternStream.flatSelect`` with a ``timedOutPartialMatchesTag``
+        + ``TimedOutPartialMatchHandler``, flink-libraries/flink-cep/
+        src/main/java/org/apache/flink/cep/PatternStream.java:202-214),
+        pinned by NFAITCase.java:405 ``testSimplePatternWithTimeoutHandling``.
+
+        Semantics (derived from the reference test; NFA.advanceTime):
+        a timed-out partial match is EVERY live partial branch at its
+        horizon ``first_row_ts + within`` — not just the longest prefix
+        — tagged with that horizon as ``timeout_ts``. Expiry is
+        event-driven: it fires only if the partition has a row at/after
+        the horizon (``advanceTime`` runs per arriving event). Whether
+        a branch is still live at the horizon depends on the link kind
+        of the stage it is WAITING for:
+
+        - ``followed_by_any`` waiters persist after a sibling take, so
+          both ``{start}`` and ``{start, middle}`` time out;
+        - ``followed_by`` waiters are CONSUMED by the first take-able
+          event — the branch is live iff no event satisfying the
+          waiting stage's condition lies in ``(last_row_ts, horizon)``;
+        - ``next`` waiters die on the adjacent event (it either extends
+          the branch or kills it) — live iff NO event at all lies in
+          ``(last_row_ts, horizon)``.
+
+        Spark-first compile: for each proper stage-prefix the engine
+        enumerates the partial assignments under ``no_skip`` (the branch
+        set), then the survival test is a per-partition lookahead —
+        ``min(tick) over following rows`` for the first take-able /
+        adjacent event and ``max(tick) over partition`` for the
+        expiry witness — no range join, one keyed shuffle per prefix.
+
+        Output: the partial match's rows (input columns +
+        ``matched_symbol``) with ``timeout_id`` (unique with the keys)
+        and ``timeout_ts`` (order-column units; timestamp orders give a
+        timestamp, numeric orders a double).
+
+        Scope (loud otherwise): batch, ``after_match='no_skip'``
+        (Flink's CEP-builder default — other skip strategies also prune
+        partial branches on match completion, which is not modeled),
+        simple positive stages (no loops/optional/NOT/groups — a
+        mid-loop partial needs the lgap continuation guard, TODO.md).
+        """
+        from pyspark.sql import Window as SW
+
+        from reshape_on_flink_spark.operators.cep import _within_delta
+
+        pattern, within = self._pattern, self._pattern._within
+        if within is None:
+            raise ValueError(
+                "timed-out partial matches need a within() bound "
+                "(NFA.advanceTime has no horizon without one; Flink "
+                "emits no timeouts for unbounded patterns)"
+            )
+        if self._df.isStreaming:
+            raise NotImplementedError(
+                "streaming timeout side output: timeouts for a closed "
+                "horizon are deterministic — run the batch form on the "
+                "replayed/archived slice (chunked_replay), or window "
+                "the stream so each horizon closes before emission"
+            )
+        if self._after != "no_skip":
+            raise NotImplementedError(
+                "timeout side output is implemented for "
+                "after_match='no_skip' (Flink's CEP-builder default and "
+                "the reference-pinned case, NFAITCase.java:405); other "
+                "skip strategies additionally prune partial branches "
+                "when a match completes"
+            )
+        stages = pattern._stages
+        if len(stages) < 2:
+            raise ValueError(
+                "a single-stage pattern has no proper prefix to time out"
+            )
+        for s in stages:
+            if s.group is not None or s.kind in ("not_next", "not_followed_by"):
+                raise NotImplementedError(
+                    f"timeout side output: stage {s.name!r} ({s.kind}) — "
+                    "groups and NOT stages are not supported yet"
+                )
+            if s.quant is not None and s.quant[:2] != (1, 1):
+                raise NotImplementedError(
+                    f"timeout side output: quantified stage {s.name!r} — "
+                    "a mid-loop partial needs the lgap continuation "
+                    "guard (TODO.md); only single stages are supported"
+                )
+            if s.until_cond is not None or s.negated_gap is not None:
+                raise NotImplementedError(
+                    f"timeout side output: stage {s.name!r} carries an "
+                    "until()/NOT fold, which changes take-ability"
+                )
+
+        keys, order = self._keys, self._order
+        ocol = order[0]
+        is_time = dict(self._df.dtypes)[ocol].startswith("timestamp")
+        delta = float(_within_delta(within, is_time))
+        tick = (
+            F.unix_micros(F.col(ocol)).cast("double")
+            if is_time
+            else F.col(ocol).cast("double")
+        )
+        wpart = SW.partitionBy(*keys)
+        word = SW.partitionBy(*keys).orderBy(*order)
+        wfollow = word.rowsBetween(1, SW.unboundedFollowing)
+        base = (
+            self._df.withColumn("__to_tick", tick)
+            .withColumn("__to_rid", F.row_number().over(word))
+            .withColumn("__to_pmax", F.max("__to_tick").over(wpart))
+            .withColumn("__to_next_any", F.min("__to_tick").over(wfollow))
+        )
+        user_cols = self._df.columns
+
+        outs = []
+        for k in range(1, len(stages)):
+            waiting = stages[k]
+            if waiting.kind == "followed_by":
+                if waiting.iter_cond is not None:
+                    raise NotImplementedError(
+                        f"timeout side output: waiting stage "
+                        f"{waiting.name!r} has an iterative condition — "
+                        "its take-ability is branch-dependent"
+                    )
+                if waiting.cond is None:
+                    if waiting.pandas_cond is not None:
+                        raise ValueError(
+                            f"timeout side output needs a Catalyst "
+                            f"condition on waiting stage {waiting.name!r}"
+                        )
+                    take_src = F.col("__to_tick")  # unconditioned: any event
+                else:
+                    take_src = F.when(waiting.cond, F.col("__to_tick"))
+                bk = base.withColumn(
+                    "__to_next_take", F.min(take_src).over(wfollow)
+                )
+            elif waiting.kind == "next":
+                bk = base.withColumn("__to_next_take", F.col("__to_next_any"))
+            else:  # followed_by_any: the waiter persists — never consumed
+                bk = base.withColumn(
+                    "__to_next_take", F.lit(None).cast("double")
+                )
+
+            pre = Pattern()
+            pre._stages = stages[:k]
+            pre._within = within
+            rows = PatternStream(bk, pre, keys, order, "no_skip").flat_select()
+            g = rows.groupBy(*keys, "match_id").agg(
+                # first/last row picked by the tie-proof per-partition rid
+                F.min(F.struct("__to_rid", "__to_tick"))["__to_tick"].alias(
+                    "__first"
+                ),
+                F.max(F.struct("__to_rid", "__to_next_take"))[
+                    "__to_next_take"
+                ].alias("__take"),
+                F.any_value("__to_pmax").alias("__pmax"),
+            )
+            g = g.withColumn("__horizon", F.col("__first") + F.lit(delta))
+            # event-driven expiry: a partition row at/after the horizon
+            surv = g.where(F.col("__pmax") >= F.col("__horizon"))
+            if waiting.kind in ("followed_by", "next"):
+                surv = surv.where(
+                    F.col("__take").isNull()
+                    | (F.col("__take") >= F.col("__horizon"))
+                )
+            out = rows.join(
+                surv.select(*keys, "match_id", "__horizon"),
+                [*keys, "match_id"],
+                "inner",
+            )
+            ts = (
+                F.timestamp_micros(F.col("__horizon").cast("long"))
+                if is_time
+                else F.col("__horizon")
+            )
+            outs.append(
+                out.select(
+                    *user_cols,
+                    F.col("matched_symbol"),
+                    F.concat_ws(
+                        "#", F.lit(k), F.col("match_id").cast("string")
+                    ).alias("timeout_id"),
+                    ts.alias("timeout_ts"),
+                )
+            )
+        res = outs[0]
+        for o in outs[1:]:
+            res = res.unionByName(o)
+        return res
 
     def select(self, **measures: Column) -> DataFrame:
         """ONE ROW PER MATCH: key columns + match_id + the given

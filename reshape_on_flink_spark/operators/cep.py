@@ -1912,6 +1912,12 @@ def pandas_predicate(expr: str, symbols: list[str]):
             lifted.append(code)
             return f" __P{len(lifted) - 1}__ "
 
+        # String literals are lifted FIRST so no later atom regex (or the
+        # function-name guard) can rewrite text INSIDE the quotes — e.g.
+        # A.name = 'PREV(A.x)' must compare against the literal, not a
+        # shift (same ordering the validation pass assumes).
+        s = _re.sub(r"'(?:[^']|'')*'", lambda m: lift(m.group(0)), s)
+
         if _re.search(r"\b(NEXT|FIRST|LAST|FINAL|RUNNING|CLASSIFIER)\s*\(", s, _re.IGNORECASE):
             raise NotImplementedError(
                 "streaming DEFINE subset: NEXT/FIRST/LAST/aggregates not supported"
@@ -1928,7 +1934,6 @@ def pandas_predicate(expr: str, symbols: list[str]):
             s,
             flags=_re.IGNORECASE,
         )
-        s = _re.sub(r"'(?:[^']|'')*'", lambda m: lift(m.group(0)), s)
         s = _re.sub(
             r"\b(?:" + sym_alt + r")\.(\w+)", lambda m: lift(f'pdf["{m.group(1)}"]'), s
         )
@@ -2205,6 +2210,12 @@ def iterative_predicate(expr: str, symbols: list[str], cur_sym: str):
             lifted.append(code)
             return f" __P{len(lifted) - 1}__ "
 
+        # Lift string literals FIRST: a literal whose text looks like an
+        # atom (e.g. A.name = 'SUM(A.x)') must stay a literal — rewriting
+        # inside quotes would miscompile silently (the validation pass
+        # already assumes placeholders carry the literals).
+        s = _re.sub(r"'(?:[^']|'')*'", lambda m: lift(m.group(0)), s)
+
         if _re.search(r"\b(NEXT|FINAL|RUNNING|CLASSIFIER|MATCH_NUMBER)\s*\(", s, _re.IGNORECASE):
             raise NotImplementedError(
                 "iterative DEFINE subset: NEXT/FINAL/RUNNING/CLASSIFIER "
@@ -2244,7 +2255,6 @@ def iterative_predicate(expr: str, symbols: list[str], cur_sym: str):
             s,
             flags=_re.IGNORECASE,
         )
-        s = _re.sub(r"'(?:[^']|'')*'", lambda m: lift(m.group(0)), s)
         s = _re.sub(
             r"\b(" + sym_alt + r")\.(\w+)",
             lambda m: lift(f'_ref("{m.group(1)}", "{m.group(2)}", e, ctx)'),

@@ -153,9 +153,18 @@ def to_retract_stream(
             if fn == "count":
                 row.append(int(acc["n"]))
             elif fn == "sum":
-                row.append(float(acc[f"s_{out}"]))
+                # SQL/Flink SumWithRetractAggFunction: SUM over zero
+                # non-null inputs is NULL, not 0
+                row.append(
+                    float(acc[f"s_{out}"]) if acc[f"c_{out}"] > 0 else None
+                )
             elif fn == "avg":
-                row.append(float(acc[f"s_{out}"]) / acc["n"])
+                # AvgAggFunction divides by the NON-NULL count
+                row.append(
+                    float(acc[f"s_{out}"]) / acc[f"c_{out}"]
+                    if acc[f"c_{out}"] > 0
+                    else None
+                )
             else:  # min/max
                 if need_multiset:
                     ms = acc[f"m_{out}"]
@@ -174,6 +183,7 @@ def to_retract_stream(
         for out, (fn, col) in agg_items:
             if fn == "sum" or fn == "avg":
                 acc[f"s_{out}"] = 0.0
+                acc[f"c_{out}"] = 0  # non-null input count (NULLs skipped)
             elif fn in ("min", "max"):
                 acc[f"m_{out}"] = [] if need_multiset else None
         return acc
@@ -189,7 +199,13 @@ def to_retract_stream(
             return [[DELETE, *key_vals, *old]]
         return []
 
+    def _is_null(v):
+        # None, or a float NaN (v != v only for NaN)
+        return v is None or v != v
+
     def _upd_minmax_scalar(acc, out, fn, v, sg):
+        if _is_null(v):
+            return  # Flink Min/MaxWithRetractAggFunction skips NULLs
         if need_multiset:
             ms = acc[f"m_{out}"]
             if sg > 0:
@@ -248,7 +264,10 @@ def to_retract_stream(
                 acc["n"] += sg
                 for out, (fn, col) in agg_items:
                     if fn in ("sum", "avg"):
-                        acc[f"s_{out}"] += sg * float(rec[col])
+                        v = rec[col]
+                        if not _is_null(v):  # NULL inputs are skipped
+                            acc[f"s_{out}"] += sg * float(v)
+                            acc[f"c_{out}"] += sg
                     elif fn in ("min", "max"):
                         _upd_minmax_scalar(acc, out, fn, rec[col], sg)
                 rows.extend(_transition(old, _finalize(acc), key_vals))
@@ -257,10 +276,14 @@ def to_retract_stream(
             acc["n"] += int(sign.sum()) if sign is not None else len(batch)
             for out, (fn, col) in agg_items:
                 if fn in ("sum", "avg"):
-                    vals = batch[col].astype("float64")
-                    acc[f"s_{out}"] += float(
-                        (vals * sign).sum() if sign is not None else vals.sum()
-                    )
+                    vals = pd.to_numeric(batch[col], errors="coerce")
+                    nn = vals.notna()  # NULL/NaN inputs are skipped
+                    if sign is not None:
+                        acc[f"s_{out}"] += float((vals[nn] * sign[nn]).sum())
+                        acc[f"c_{out}"] += int(sign[nn].sum())
+                    else:
+                        acc[f"s_{out}"] += float(vals[nn].sum())
+                        acc[f"c_{out}"] += int(nn.sum())
                 elif fn in ("min", "max"):
                     if need_multiset:
                         for v, sg in zip(
@@ -269,8 +292,10 @@ def to_retract_stream(
                         ):
                             _upd_minmax_scalar(acc, out, fn, v, sg)
                     else:
-                        bval = batch[col].min() if fn == "min" else batch[col].max()
-                        _upd_minmax_scalar(acc, out, fn, bval, 1)
+                        bvals = batch[col].dropna()
+                        if len(bvals):
+                            bval = bvals.min() if fn == "min" else bvals.max()
+                            _upd_minmax_scalar(acc, out, fn, bval, 1)
             rows.extend(_transition(old, _finalize(acc), key_vals))
 
         # keep drained groups' state (n=0) so a reborn key's

@@ -867,3 +867,75 @@ def test_sql_define_aggregate_with_within(spark, t_env):
     # strictly-< horizon of 3s forbids it): A can span at most rows
     # within [s, s+3) incl. B
     assert all(n <= 2 for _s, n in got) and got, got
+
+
+def test_predicate_string_literals_shield_atom_lookalikes():
+    """String literals are lifted BEFORE any atom rewrite, so a literal
+    whose text looks like an aggregate/PREV/SYM.col atom compares as a
+    literal instead of silently miscompiling (round-9 advice)."""
+    # iterative route: literal containing SUM(...) and a SYM.col ref
+    p = iterative_predicate("b.name = 'SUM(b.x)'", ["a", "b"], "b")
+    assert p({"name": "SUM(b.x)"}, _FakeCtx({})) is True
+    assert p({"name": "other"}, _FakeCtx({})) is False
+    p2 = iterative_predicate("b.name = 'see b.x here'", ["a", "b"], "b")
+    assert p2({"name": "see b.x here"}, _FakeCtx({})) is True
+    # pandas route: literal containing PREV(...) / a forbidden fn name
+    import pandas as pd
+
+    from reshape_on_flink_spark.operators.cep import pandas_predicate
+
+    pp = pandas_predicate("A.name = 'PREV(A.x)'", ["A"])
+    got = pp(pd.DataFrame({"name": ["PREV(A.x)", "nope"]}))
+    assert got.tolist() == [True, False]
+    assert pp.max_prev == 0  # the quoted PREV never compiled to a shift
+    pp2 = pandas_predicate("A.name = 'LAST(call)'", ["A"])  # guard name in quotes
+    assert pp2(pd.DataFrame({"name": ["LAST(call)"]})).tolist() == [True]
+
+
+def test_where_dispatch_optional_ctx_and_uninspectable(spark):
+    """where() routes (event, ctx=None) as an IterativeCondition (2
+    positional params regardless of defaults), raises a CLEAR error for
+    signature-less callables, and where_iterative() bypasses dispatch
+    (round-9 advice)."""
+    import functools
+
+    from reshape_on_flink_spark.api.cep import CEP, Pattern, _is_iterative_cond
+
+    def with_default(event, ctx=None):
+        return event["v"] > 1
+
+    assert _is_iterative_cond(with_default) is True
+    assert _is_iterative_cond(lambda pdf: pdf["v"] > 1) is False
+    # explicit marker wins over inspection
+    def pdf_pred(pdf, threshold=1):
+        return pdf["v"] > threshold
+
+    pdf_pred.cep_iterative = False
+    assert _is_iterative_cond(pdf_pred) is False
+    # an uninspectable callable raises with guidance, not a misroute
+    uninspectable = functools.reduce  # C-implemented, no signature
+    try:
+        import inspect
+
+        inspect.signature(uninspectable)
+        has_sig = True
+    except (TypeError, ValueError):
+        has_sig = False
+    if not has_sig:
+        with pytest.raises(TypeError, match="cep_iterative"):
+            _is_iterative_cond(uninspectable)
+    # end-to-end: ctx-defaulted iterative condition works via where()
+    df = spark.createDataFrame(
+        [(1, 0, 1.0), (2, 0, 5.0), (3, 0, 2.0)], "seq int, k int, v double"
+    )
+    pat = (
+        Pattern.begin("s").where(lambda e, ctx=None: e["v"] >= 1.0)
+        .next("b").where_iterative(
+            lambda e, ctx: sum(x["v"] for x in ctx.get_events_for_pattern("s")) < e["v"]
+        )
+    )
+    out = CEP.pattern(df, pat, "k", "seq").select(
+        start=F.min("seq"), n=F.count("*")
+    )
+    rows = {(r.start, r.n) for r in out.collect()}
+    assert rows == {(1, 2)}, rows

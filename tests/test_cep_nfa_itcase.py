@@ -604,3 +604,148 @@ def test_nfa_itcase_no_condition_looping(spark):
     assert _sets(spark, rows, pat) == sorted(
         list(range(i, j + 1)) for i in range(1, 6) for j in range(i + 1, 6)
     )
+
+
+# ---------------------------------------------------------------------
+# Timed-out partial matches (PatternStream.java:202-214 flatSelect with
+# timedOutPartialMatchesTag; NFAITCase.java:405
+# testSimplePatternWithTimeoutHandling)
+# ---------------------------------------------------------------------
+
+
+def _timeout_fixture(spark):
+    rows = [
+        (1, 1, "start"), (1, 2, "start"), (1, 3, "middle"),
+        (1, 4, "foobar"), (1, 11, "end"), (1, 13, "end"),
+    ]
+    return spark.createDataFrame(rows, "k int, ts int, name string")
+
+
+def _collect_timeouts(tdf):
+    """-> set of (frozenset of ts, timeout_ts) per timed-out partial."""
+    per = {}
+    for r in tdf.collect():
+        key = (r.k, r.timeout_id)
+        per.setdefault(key, [set(), None])
+        per[key][0].add(r.ts)
+        per[key][1] = r.timeout_ts
+    return {(frozenset(v[0]), v[1]) for v in per.values()}
+
+
+def test_nfa_itcase_simple_pattern_with_timeout_handling(spark):
+    """NFAITCase.java:405: start fba middle fba end WITHIN 10 over
+    start@1 start@2 middle@3 foobar@4 end@11 end@13 -> exactly 1 match
+    {2,3,11} and 4 timeouts {1}@11 {1,3}@11 {2}@12 {2,3}@12 (every
+    live partial branch at expiry — fba waiters persist after sibling
+    takes; timeout_ts = first_row_ts + within; expiry is event-driven)."""
+    pat = (
+        Pattern.begin("start").where(_n("start"))
+        .followed_by_any("middle").where(_n("middle"))
+        .followed_by_any("end").where(_n("end"))
+        .within(10)
+    )
+    ps = CEP.pattern(_timeout_fixture(spark), pat, "k", "ts", after_match="no_skip")
+    matches = ps.flat_select(timed_out_partial_matches_tag="late")
+    got_m = collections.defaultdict(set)
+    for r in matches.collect():
+        got_m[r.match_id].add(r.ts)
+    assert sorted(sorted(v) for v in got_m.values()) == [[2, 3, 11]]
+    got_t = _collect_timeouts(ps.get_side_output("late"))
+    assert got_t == {
+        (frozenset({1}), 11.0),
+        (frozenset({1, 3}), 11.0),
+        (frozenset({2}), 12.0),
+        (frozenset({2, 3}), 12.0),
+    }, got_t
+
+
+def test_timeout_followed_by_waiters_are_consumed(spark):
+    """Derived matrix (same fixture, relaxed links): under followedBy a
+    waiter is CONSUMED by the first take-able event, so {1} and {2}
+    never time out (middle@3 takes both), {2,3} completes into the
+    match, and only {1,3} expires (end@11 is outside start@1's
+    horizon). next-contiguity kills every waiter here (adjacent
+    events exist), so no timeouts at all."""
+    fb = (
+        Pattern.begin("start").where(_n("start"))
+        .followed_by("middle").where(_n("middle"))
+        .followed_by("end").where(_n("end"))
+        .within(10)
+    )
+    ps = CEP.pattern(_timeout_fixture(spark), fb, "k", "ts", after_match="no_skip")
+    got_t = _collect_timeouts(ps.timed_out_partial_matches())
+    assert got_t == {(frozenset({1, 3}), 11.0)}, got_t
+
+    nx = (
+        Pattern.begin("start").where(_n("start"))
+        .next("middle").where(_n("middle"))
+        .next("end").where(_n("end"))
+        .within(10)
+    )
+    ps2 = CEP.pattern(_timeout_fixture(spark), nx, "k", "ts", after_match="no_skip")
+    assert ps2.timed_out_partial_matches().count() == 0
+
+
+def test_timeout_event_driven_expiry_needs_witness(spark):
+    """advanceTime is event-driven: with no partition row at/after a
+    branch's horizon, the branch does NOT time out (the reference test
+    loop only advances per arriving event)."""
+    rows = [(1, 1, "start"), (1, 2, "middle")]  # max ts 2 < horizon 11
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+    pat = (
+        Pattern.begin("start").where(_n("start"))
+        .followed_by_any("middle").where(_n("middle"))
+        .followed_by_any("end").where(_n("end"))
+        .within(10)
+    )
+    ps = CEP.pattern(df, pat, "k", "ts", after_match="no_skip")
+    assert ps.timed_out_partial_matches().count() == 0
+    # adding a witness row surfaces both partials
+    df2 = df.union(spark.createDataFrame([(1, 20, "noise")], df.schema))
+    ps2 = CEP.pattern(df2, pat, "k", "ts", after_match="no_skip")
+    got = _collect_timeouts(ps2.timed_out_partial_matches())
+    assert got == {(frozenset({1}), 11.0), (frozenset({1, 2}), 11.0)}, got
+
+
+def test_timeout_timestamp_order_and_loud_guards(spark):
+    """Timestamp order columns: horizon arithmetic in microsecond ticks,
+    timeout_ts emitted as a timestamp. Loud guards: no within, loops,
+    non-noSkip."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0 + dt.timedelta(seconds=s), n)
+        for s, n in [(1, "start"), (3, "middle"), (30, "noise")]
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, name string")
+    pat = (
+        Pattern.begin("start").where(_n("start"))
+        .followed_by("middle").where(_n("middle"))
+        .followed_by("end").where(_n("end"))
+        .within("10 seconds")
+    )
+    ps = CEP.pattern(df, pat, "k", "ts", after_match="no_skip")
+    got = {
+        (r.timeout_id.split("#")[0], r.ts.second, r.timeout_ts)
+        for r in ps.timed_out_partial_matches().collect()
+    }
+    assert got == {
+        ("2", 1, t0 + dt.timedelta(seconds=11)),
+        ("2", 3, t0 + dt.timedelta(seconds=11)),
+    }, got  # only {start,middle} expires; {start} was consumed by middle
+
+    nowithin = Pattern.begin("a").where(_n("start")).followed_by("b").where(_n("middle"))
+    with pytest.raises(ValueError, match="within"):
+        CEP.pattern(df, nowithin, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+    looped = (
+        Pattern.begin("a").where(_n("start")).one_or_more()
+        .followed_by("b").where(_n("middle")).within(10)
+    )
+    with pytest.raises(NotImplementedError, match="quantified"):
+        CEP.pattern(df, looped, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+    simple = (
+        Pattern.begin("a").where(_n("start")).followed_by("b").where(_n("middle")).within(10)
+    )
+    with pytest.raises(NotImplementedError, match="no_skip"):
+        CEP.pattern(df, simple, "k", "ts").timed_out_partial_matches()

@@ -394,3 +394,54 @@ def test_to_retract_stream_row_consume_changelog_minmax(spark, tmp_dir):
         ("+I", 10.0), ("-U", 10.0), ("+U", 30.0),
         ("-U", 30.0), ("+U", 10.0), ("-U", 10.0), ("+U", 20.0),
     ], states
+
+
+def test_to_retract_stream_null_inputs_match_sql(spark, tmp_dir):
+    """NULL input semantics mirror Flink's agg functions (Sum/Avg/Min/
+    MaxWithRetractAggFunction + AvgAggFunction): NULL inputs are
+    skipped, AVG divides by the NON-null count, SUM/AVG/MIN/MAX over
+    zero non-null inputs are NULL (COUNT(*) still counts the rows).
+    Oracle = Spark's own batch aggregate, which has SQL semantics.
+    Both granularities."""
+    from reshape_on_flink_spark.streaming.changelog import (
+        retract_stream_to_table,
+        to_retract_stream,
+    )
+
+    rows = [
+        (0, 1, 10.0), (1, 1, None), (2, 1, 30.0),  # mixed nulls
+        (3, 2, None), (4, 2, None),                # all-null key
+        (5, 3, 7.0),
+    ]
+    df = spark.createDataFrame(rows, "seq int, k int, v double")
+    batch = sorted(
+        (r.k, r.cnt, r.s, r.a, r.lo, r.hi)
+        for r in df.groupBy("k").agg(
+            F.count("*").alias("cnt"), F.sum("v").alias("s"),
+            F.avg("v").alias("a"), F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        ).collect()
+    )
+    assert batch[1] == (2, 2, None, None, None, None)  # the oracle itself
+    for mode in ("batch", "row"):
+        stream = _replay(spark, df, tmp_dir, f"nulls_in_{mode}", 3, "seq")
+        out = to_retract_stream(
+            stream, "k",
+            {"cnt": ("count", None), "s": ("sum", "v"), "a": ("avg", "v"),
+             "lo": ("min", "v"), "hi": ("max", "v")},
+            granularity=mode, order_by="seq",
+        )
+        got = _collect_stream(spark, out, f"nulls_out_{mode}", tmp_dir)
+        final = sorted(
+            (r.k, r.cnt, r.s, r.a, r.lo, r.hi)
+            for r in retract_stream_to_table(
+                spark.createDataFrame(got, out.schema), ["k"]
+            ).collect()
+        )
+        assert final == batch, (mode, final, batch)
+        if mode == "row":
+            # mixed-null key: the NULL row changes no aggregate except
+            # COUNT -> it must still emit its -U/+U (cnt is part of the
+            # record), and avg(k=1) is 20.0 = 40/2 not 40/3
+            k1 = [r for r in got if r.k == 1 and r._change_type == "+U"]
+            assert any(r.cnt == 3 and r.a == 20.0 for r in k1), k1
