@@ -1432,3 +1432,107 @@ def q_retract_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "_change_seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# CEP timed-out partial matches (round 10): PatternStream.flatSelect
+# with timedOutPartialMatchesTag (flink-cep PatternStream.java:202-214;
+# NFAITCase.java:405 testSimplePatternWithTimeoutHandling). Pattern
+# A(signup) -fb-> B(error) -fb-> C(purchase) WITHIN 4h per user: every
+# live partial branch at its horizon (first_row + within) is emitted,
+# with followedBy waiters consumed by the first take-able event and
+# expiry gated on a partition row at/after the horizon (event-driven
+# advanceTime). Closed-form oracle: the branch set under SKIP_TILL_NEXT
+# is deterministic — per A row, B = the first take-able error strictly
+# inside the horizon — so survival is a per-row lookahead (first
+# following error/purchase tick) + the witness gate, all window
+# functions. Order axis: ord = epoch_sec * 100000 + per-user row_number
+# (unique, monotone with (ts, event_id); the rn term is < 1 second so
+# the 4h horizon is time-accurate). Scale: one keyed shuffle per prefix
+# length + per-partition window lookaheads — no range join, no driver
+# collect.
+# ---------------------------------------------------------------------------
+_CEP_TIMEOUT_DELTA = 14400 * 100000  # 4 hours in ord units
+
+
+@query(
+    "q_cep_timeout",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER w0 AS rn,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000
+               + ROW_NUMBER() OVER w0 AS ord
+      FROM events
+      WINDOW w0 AS (PARTITION BY user_id
+                    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+    ),
+    enriched AS (
+      SELECT *,
+             MAX(ord) OVER (PARTITION BY user_id) AS pmax,
+             MIN(CASE WHEN event_type = 'error' THEN ord END)
+               OVER wf AS next_b,
+             MIN(CASE WHEN event_type = 'purchase' THEN ord END)
+               OVER wf AS next_c
+      FROM seq
+      WINDOW wf AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    a_rows AS (SELECT * FROM enriched WHERE event_type = 'signup'),
+    t1 AS (  -- prefix {{A}}: no take-able B strictly inside the horizon
+      SELECT user_id, event_id AS a_id, CAST(NULL AS BIGINT) AS b_id,
+             CAST(1 AS BIGINT) AS n_rows, ord + {_CEP_TIMEOUT_DELTA} AS tout
+      FROM a_rows
+      WHERE (next_b IS NULL OR next_b >= ord + {_CEP_TIMEOUT_DELTA})
+        AND pmax >= ord + {_CEP_TIMEOUT_DELTA}
+    ),
+    ab AS (  -- branch {{A,B}}: B = first take-able error inside the horizon
+      SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+             a.ord AS a_ord, b.next_c, a.pmax
+      FROM a_rows a
+      JOIN enriched b ON b.user_id = a.user_id AND b.ord = a.next_b
+      WHERE a.next_b IS NOT NULL AND a.next_b < a.ord + {_CEP_TIMEOUT_DELTA}
+    ),
+    t2 AS (  -- prefix {{A,B}}: no take-able C inside the horizon
+      SELECT user_id, a_id, b_id, CAST(2 AS BIGINT) AS n_rows,
+             a_ord + {_CEP_TIMEOUT_DELTA} AS tout
+      FROM ab
+      WHERE (next_c IS NULL OR next_c >= a_ord + {_CEP_TIMEOUT_DELTA})
+        AND pmax >= a_ord + {_CEP_TIMEOUT_DELTA}
+    )
+    SELECT user_id, a_id, b_id, n_rows, CAST(tout AS BIGINT) AS timeout_ord
+    FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+    ORDER BY user_id, a_id, n_rows
+    """,
+)
+def q_cep_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w0 = W.partitionBy("user_id").orderBy("sec", "event_id")
+    src = ev.select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("long").alias("sec")
+    ).withColumn(
+        "ord", F.col("sec") * 100000 + F.row_number().over(w0)
+    )
+    pat = (
+        Pattern.begin("A").where(F.col("event_type") == "signup")
+        .followed_by("B").where(F.col("event_type") == "error")
+        .followed_by("C").where(F.col("event_type") == "purchase")
+        .within(_CEP_TIMEOUT_DELTA)
+    )
+    ps = CEP.pattern(src, pat, "user_id", "ord", after_match="no_skip")
+    t = ps.timed_out_partial_matches()
+    return (
+        t.groupBy("user_id", "timeout_id")
+        .agg(
+            F.min(F.when(F.col("matched_symbol") == "A", F.col("event_id"))).alias("a_id"),
+            F.min(F.when(F.col("matched_symbol") == "B", F.col("event_id"))).alias("b_id"),
+            F.count("*").alias("n_rows"),
+            F.min("timeout_ts").cast("bigint").alias("timeout_ord"),
+        )
+        .select("user_id", "a_id", "b_id", "n_rows", "timeout_ord")
+        .orderBy("user_id", "a_id", "n_rows")
+    )
