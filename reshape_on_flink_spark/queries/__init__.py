@@ -40,8 +40,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     # r8 gate + r7/r5/r4 rows then cover the inventory with nothing
     # older than round 3; the next-stalest r3 entries follow (inert
     # beyond slot 50, queued for the round-9 rotation).
-    # round-10 rotation: the new round-10 query first (no driver row yet)
+    # round-10 rotation: the new round-10 queries first (no driver row yet)
     "q_cep_timeout",
+    "q_changelog_join_transitions",
     # round-9 rotation: the new round-9 queries first (no driver row yet)
     "q_cep_iterative_sum",
     "q_retract_transitions",

@@ -1536,3 +1536,145 @@ def q_cep_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "a_id", "b_id", "n_rows", "timeout_ord")
         .orderBy("user_id", "a_id", "n_rows")
     )
+
+
+# ---------------------------------------------------------------------------
+# Changelog-consuming JOIN (round 10) — StreamingJoinOperator.java:123-198
+# under the hash gate. The LEFT input is the per-user retract-agg
+# HISTORY (closed-form: the q_retract_transitions recipe — +I then
+# -U/+U per input row), the RIGHT a static dim changelog (user ->
+# segment, inserted before any left row); the streaming join operator
+# consumes both and, for INNER, forwards each input RowKind against the
+# single matched dim row — so the full joined emission history is
+# closed-form: the left history with the segment attached and
+# _change_seq re-counted per join key. Scale: one keyed shuffle into
+# the stateful join; per-record emission is the operator's own output
+# cost (O(matches touched)).
+# ---------------------------------------------------------------------------
+@query(
+    "q_changelog_join_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT),
+                                         event_id) AS rn,
+             CAST(FLOOR(value * 100) AS BIGINT) AS amt
+      FROM events
+    ),
+    run AS (
+      SELECT user_id, rn,
+             COUNT(*) OVER w AS cnt,
+             SUM(amt) OVER w AS s
+      FROM seq
+      WINDOW w AS (PARTITION BY user_id ORDER BY rn
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    steps AS (
+      SELECT user_id, rn, cnt, s,
+             LAG(cnt) OVER w2 AS pcnt, LAG(s) OVER w2 AS ps
+      FROM run
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
+    ),
+    changes AS (
+      SELECT user_id,
+             CASE WHEN rn = 1 THEN '+I' ELSE '+U' END AS _change_type,
+             cnt, s,
+             CAST(CASE WHEN rn = 1 THEN 0 ELSE (rn - 2) * 2 + 2 END AS BIGINT)
+               AS _change_seq
+      FROM steps
+      UNION ALL
+      SELECT user_id, '-U', pcnt, ps, CAST((rn - 2) * 2 + 1 AS BIGINT)
+      FROM steps WHERE rn > 1
+    )
+    SELECT user_id, user_id % 7 AS seg, _change_seq, _change_type,
+           CAST(cnt AS BIGINT) AS cnt, CAST(s AS BIGINT) AS amt_sum
+    FROM changes
+    ORDER BY user_id, _change_seq
+    """,
+)
+def q_changelog_join_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from reshape_on_flink_spark.streaming.changelog import join_changelog
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    ev = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("sec"),
+        F.floor(F.col("value") * 100).cast("long").alias("amt"),
+    )
+    w_key = W.partitionBy("user_id").orderBy("sec", "event_id")
+    w_run = w_key.rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = (
+        ev.withColumn("rn", F.row_number().over(w_key))
+        .withColumn("cnt", F.count("*").over(w_run))
+        .withColumn("s", F.sum("amt").over(w_run))
+        .withColumn("pcnt", F.lag("cnt").over(w_key))
+        .withColumn("ps", F.lag("s").over(w_key))
+    )
+    cur = run.select(
+        "user_id",
+        F.when(F.col("rn") == 1, F.lit("+I")).otherwise(F.lit("+U")).alias("_change_type"),
+        "cnt", F.col("s").alias("amt_sum"),
+        F.when(F.col("rn") == 1, F.lit(0)).otherwise((F.col("rn") - 2) * 2 + 2)
+        .cast("long").alias("oseq"),
+    )
+    prev = run.where("rn > 1").select(
+        "user_id", F.lit("-U").alias("_change_type"),
+        F.col("pcnt").alias("cnt"), F.col("ps").alias("amt_sum"),
+        ((F.col("rn") - 2) * 2 + 1).cast("long").alias("oseq"),
+    )
+    left_hist = cur.unionByName(prev)
+    dim = (
+        ev.select("user_id").distinct()
+        .select(
+            "user_id", F.lit("+I").alias("_change_type"),
+            (F.col("user_id") % 7).alias("seg"),
+            F.lit(-1).cast("long").alias("oseq"),  # dim lands first
+        )
+    )
+    # test-harness global replay order consistent with per-key oseq
+    lg = left_hist.withColumn(
+        "gseq", F.row_number().over(W.orderBy("oseq", "user_id"))
+    )
+    rg = dim.withColumn(
+        "gseq", -F.row_number().over(W.orderBy("user_id"))
+    )
+    base = tempfile.mkdtemp(prefix="jcl_gate_")
+    ls = chunked_replay(
+        spark, lg, os.path.join(base, "l"), n_chunks=3, order_col="gseq"
+    ).drop("gseq")
+    rs = chunked_replay(
+        spark, rg, os.path.join(base, "r"), n_chunks=1, order_col="gseq"
+    ).drop("gseq")
+    joined = join_changelog(ls, rs, "user_id", "inner", order_by="oseq")
+    name = f"jcl_gate_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    shutil.rmtree(base, ignore_errors=True)
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.col("seg").cast("bigint").alias("seg"),
+            "_change_seq",
+            "_change_type",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.col("amt_sum").cast("bigint").alias("amt_sum"),
+        )
+        .orderBy("user_id", "_change_seq")
+    )

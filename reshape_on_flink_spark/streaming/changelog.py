@@ -322,3 +322,323 @@ def retract_stream_to_table(df: DataFrame, keys: list[str]) -> DataFrame:
     from reshape_on_flink_spark.operators.changelog import changelog_normalize
 
     return changelog_normalize(df, keys, "_change_seq")
+
+
+# ---------------------------------------------------------------------------
+# Changelog-consuming JOIN — StreamingJoinOperator.java (flink-table/
+# flink-table-runtime-blink/.../operators/join/stream/
+# StreamingJoinOperator.java:123-198 pseudo-code contract) with the
+# JoinRecordStateView / OuterJoinRecordStateView state model
+# (state/JoinRecordStateViews.java: record -> appear-count;
+# OuterJoinRecordStateViews.java: record -> (appear-count,
+# numOfAssociations)).
+# ---------------------------------------------------------------------------
+
+
+def _norm_cell(v, integral: bool):
+    """Deterministic record-cell normalization across micro-batches:
+    pandas renders a batch's column as int64 or float64 depending on
+    whether THAT batch carries nulls (the other side's rows pad with
+    NaN), so 5 and 5.0 must hash equal in the state view."""
+    import pandas as pd
+
+    if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+        return None
+    try:
+        if hasattr(v, "item"):
+            v = v.item()
+    except (ValueError, AttributeError):
+        pass
+    if integral and isinstance(v, float):
+        return int(v)
+    return v
+
+
+def join_changelog(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    how: str = "inner",
+    *,
+    cond=None,
+    order_by: str | None = None,
+    emit_seq: bool = True,
+) -> DataFrame:
+    """Streaming unbounded join that CONSUMES and EMITS changelogs —
+    Flink's ``StreamingJoinOperator`` (INNER/LEFT/RIGHT/FULL). Each
+    input row carries ``_change_type`` (+I/-U/+U/-D); a retraction on
+    either side retracts the previously-emitted join rows, and outer
+    sides emit/retract null-padded rows as their match count crosses
+    zero — the dynamic-table join contract that makes
+    ``retract agg -> join -> consuming agg`` equal batch recomputation.
+
+    Emission kinds follow the reference exactly (StreamingJoinOperator
+    .java:140-147): INNER forwards the input's RowKind (+I/+U on
+    accumulate, -U/-D on retract); any OUTER join emits only +I/-D
+    ("we always send insert and delete for simplification",
+    FLINK-17337).
+
+    State model per join key (JoinInputSideSpec with no unique key):
+    each side stores ``record -> appear-count``; an outer side
+    additionally stores ``numOfAssociations`` per record so the
+    null-padded row is emitted exactly when the count crosses zero.
+    State size is O(live records per key) — identical to the
+    reference's view; bound idle keys upstream with TTL if inputs
+    churn unboundedly.
+
+    ``on``: equi-join key columns (present in both inputs). ``cond``:
+    optional extra row predicate ``(left_dict, right_dict) -> bool``
+    (the generated ``joinCondition`` beyond the key). ``order_by``: a
+    shared global sequence column (present in both inputs) pinning the
+    interleaving of the two sides inside a micro-batch — required for
+    deterministic replays, exactly like ``to_retract_stream``'s
+    ``order_by``. Per-record emission is the reference's own contract
+    (no minibatch mode exists for this operator); output is O(matches
+    touched), so the per-row walk matches the output cost.
+
+    Batch inputs run the same per-key processor through
+    ``applyInPandas`` (state starts empty, one mega-batch) — the
+    replay-equality oracle.
+
+    NOTE (Spark constraint): Structured Streaming rejects a query with
+    more than one ``applyInPandasWithState`` ("Multiple
+    applyInPandasWithStates are not supported"), so a multi-stateful
+    chain like ``to_retract_stream -> join_changelog ->
+    to_retract_stream`` must cross an exactly-once sink/source
+    boundary between stages (file or kafka sink, then readStream) —
+    the same shape multi-job Flink pipelines take through Kafka
+    topics. The two-level pipeline test demonstrates the staging.
+    """
+    import pandas as pd
+
+    on = [on] if isinstance(on, str) else list(on)
+    if how not in ("inner", "left", "right", "full"):
+        raise ValueError(f"how must be inner/left/right/full, got {how!r}")
+    if left.isStreaming != right.isStreaming:
+        raise ValueError(
+            "join_changelog needs both sides streaming or both batch; "
+            "for a static side use streaming.ops.stream_static_join "
+            "(lookup join) instead"
+        )
+    for side, df in (("left", left), ("right", right)):
+        miss = [c for c in on + [CHANGE_COL] if c not in df.columns]
+        if order_by is not None and order_by not in df.columns:
+            miss.append(order_by)
+        if miss:
+            raise ValueError(f"{side} input is missing columns {miss}")
+    skip = set(on) | {CHANGE_COL} | ({order_by} if order_by else set())
+    lpay = [c for c in left.columns if c not in skip]
+    rpay = [c for c in right.columns if c not in skip]
+    overlap = set(lpay) & set(rpay)
+    if overlap:
+        raise ValueError(
+            f"payload column collision {sorted(overlap)}: rename one side "
+            "(the joined changelog carries both sides' columns flat)"
+        )
+    lfields = {f.name: f for f in left.schema.fields}
+    rfields = {f.name: f for f in right.schema.fields}
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType
+
+    ocols = [order_by] if order_by else []
+    lu = left.select(
+        *on, CHANGE_COL, *ocols, *lpay,
+        *[F.lit(None).cast(rfields[c].dataType).alias(c) for c in rpay],
+        F.lit(0).alias("__side"),
+    )
+    ru = right.select(
+        *on, CHANGE_COL, *ocols,
+        *[F.lit(None).cast(lfields[c].dataType).alias(c) for c in lpay],
+        *rpay, F.lit(1).alias("__side"),
+    )
+    u = lu.unionByName(ru)
+
+    integral_types = ("int", "bigint", "smallint", "tinyint", "long")
+    l_int = [dict(left.dtypes)[c] in integral_types for c in lpay]
+    r_int = [dict(right.dtypes)[c] in integral_types for c in rpay]
+
+    out_schema = StructType(
+        [StructField(CHANGE_COL, StringType())]
+        + [StructField(c, lfields[c].dataType) for c in on]
+        + [StructField(c, lfields[c].dataType, True) for c in lpay]
+        + [StructField(c, rfields[c].dataType, True) for c in rpay]
+        + ([StructField("_change_seq", LongType())] if emit_seq else [])
+    )
+    state_schema = StructType(
+        [StructField("blob", BinaryType()), StructField("seq", LongType())]
+    )
+
+    left_outer = how in ("left", "full")
+    right_outer = how in ("right", "full")
+    n_l, n_r = len(lpay), len(rpay)
+
+    def _process_key(key_vals, records, st, seq0):
+        """The StreamingJoinOperator.processElement loop over one key's
+        (side, kind, payload-tuple) records; st = {'l': {rec: [appear,
+        nassoc]}, 'r': ...}. Returns emitted rows."""
+        rows = []
+        key_list = list(key_vals)
+
+        def emit(kind, lrec, rrec):
+            rows.append([
+                kind, *key_list,
+                *(lrec if lrec is not None else [None] * n_l),
+                *(rrec if rrec is not None else [None] * n_r),
+            ])
+
+        def joined(kind, in_rec, other_rec, input_is_left):
+            if input_is_left:
+                emit(kind, in_rec, other_rec)
+            else:
+                emit(kind, other_rec, in_rec)
+
+        for side, kind, rec in records:
+            input_is_left = side == 0
+            iview = st["l" if input_is_left else "r"]
+            oview = st["r" if input_is_left else "l"]
+            input_outer = left_outer if input_is_left else right_outer
+            other_outer = right_outer if input_is_left else left_outer
+            acc = kind in (INSERT, UPDATE_AFTER)
+            if cond is None:
+                assoc = list(oview.items())
+            else:
+                ld = (dict(zip(lpay, rec)) if input_is_left else None)
+                assoc = []
+                for otup, meta in oview.items():
+                    l_d = ld if input_is_left else dict(zip(lpay, otup))
+                    r_d = dict(zip(rpay, otup)) if input_is_left else dict(
+                        zip(rpay, rec)
+                    )
+                    kd = dict(zip(on, key_list))
+                    if cond({**kd, **l_d}, {**kd, **r_d}):
+                        assoc.append((otup, meta))
+            n_assoc = sum(m[0] for _t, m in assoc)
+
+            if acc:  # record is accumulate (StreamingJoinOperator:210-)
+                if input_outer:
+                    if not assoc:  # send +I[record+null], state.add(rec, 0)
+                        joined(INSERT, rec, None, input_is_left)
+                        ent = iview.setdefault(rec, [0, 0])
+                        ent[0] += 1
+                    else:
+                        if other_outer:
+                            for otup, meta in assoc:
+                                if meta[1] == 0:  # -D[null+other] per copy
+                                    for _ in range(meta[0]):
+                                        joined(DELETE, None, otup, input_is_left)
+                                meta[1] += 1
+                        for otup, meta in assoc:  # +I[record+other]s
+                            for _ in range(meta[0]):
+                                joined(INSERT, rec, otup, input_is_left)
+                        ent = iview.setdefault(rec, [0, 0])
+                        ent[0] += 1
+                        ent[1] = n_assoc  # state.add(record, other.size)
+                else:  # input side not outer: state.add FIRST
+                    ent = iview.setdefault(rec, [0, 0])
+                    ent[0] += 1
+                    if assoc:
+                        if other_outer:
+                            for otup, meta in assoc:
+                                if meta[1] == 0:
+                                    for _ in range(meta[0]):
+                                        joined(DELETE, None, otup, input_is_left)
+                                meta[1] += 1
+                            out_kind = INSERT  # outer pairs: I/D only
+                        else:
+                            out_kind = kind  # inner: forward RowKind
+                        for otup, meta in assoc:
+                            for _ in range(meta[0]):
+                                joined(out_kind, rec, otup, input_is_left)
+            else:  # record is retract (StreamingJoinOperator:180-198)
+                ent = iview.get(rec)
+                if ent is None or ent[0] <= 0:
+                    raise ValueError(
+                        f"retraction of a record never accumulated on "
+                        f"{'left' if input_is_left else 'right'} side: "
+                        f"{rec!r} (check order_by / upstream changelog)"
+                    )
+                ent[0] -= 1  # state.retract(record)
+                if ent[0] == 0:
+                    del iview[rec]
+                if not assoc:
+                    if input_outer:  # send -D[record+null]
+                        joined(DELETE, rec, None, input_is_left)
+                else:
+                    # -D if any side outer, else forward -D/-U
+                    out_kind = (
+                        DELETE
+                        if (input_outer or other_outer)
+                        else kind
+                    )
+                    for otup, meta in assoc:
+                        for _ in range(meta[0]):
+                            joined(out_kind, rec, otup, input_is_left)
+                    if other_outer:
+                        for otup, meta in assoc:
+                            if meta[1] == 0:
+                                raise AssertionError(
+                                    "numOfAssociations == 0 on retract: "
+                                    "this should never happen "
+                                    "(StreamingJoinOperator.java:195)"
+                                )
+                            if meta[1] == 1:  # +I[null+other] per copy
+                                for _ in range(meta[0]):
+                                    joined(INSERT, None, otup, input_is_left)
+                            meta[1] -= 1
+        if emit_seq:
+            rows = [[*r, seq0 + i] for i, r in enumerate(rows)]
+        return rows
+
+    _KINDS_OK = {INSERT, UPDATE_AFTER, UPDATE_BEFORE, DELETE}
+
+    def _batch_records(batch):
+        if order_by is not None:
+            batch = batch.sort_values(order_by, kind="mergesort")
+        sides = batch["__side"].tolist()
+        kinds = batch[CHANGE_COL].tolist()
+        lvals = [batch[c].tolist() for c in lpay]
+        rvals = [batch[c].tolist() for c in rpay]
+        recs = []
+        for i, (sd, kd) in enumerate(zip(sides, kinds)):
+            if kd not in _KINDS_OK:
+                raise ValueError(f"unknown {CHANGE_COL} value {kd!r}")
+            if sd == 0:
+                tup = tuple(
+                    _norm_cell(col[i], ii) for col, ii in zip(lvals, l_int)
+                )
+            else:
+                tup = tuple(
+                    _norm_cell(col[i], ii) for col, ii in zip(rvals, r_int)
+                )
+            recs.append((sd, kd, tup))
+        return recs
+
+    cols = [f.name for f in out_schema.fields]
+
+    if u.isStreaming:
+
+        def run(key, pdfs, state):
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            if not len(batch):
+                return
+            if state.exists:
+                blob, seq = state.get
+                st = pickle.loads(blob)
+            else:
+                st, seq = {"l": {}, "r": {}}, 0
+            rows = _process_key(key, _batch_records(batch), st, seq)
+            state.update((pickle.dumps(st), seq + len(rows)))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+        return u.groupBy(*on).applyInPandasWithState(
+            run, out_schema, state_schema, "append", "NoTimeout"
+        )
+
+    def run_batch(key, batch):
+        st = {"l": {}, "r": {}}
+        rows = _process_key(key, _batch_records(batch), st, 0)
+        return pd.DataFrame(rows, columns=cols)
+
+    return u.groupBy(*on).applyInPandas(run_batch, out_schema)

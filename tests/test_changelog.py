@@ -445,3 +445,204 @@ def test_to_retract_stream_null_inputs_match_sql(spark, tmp_dir):
             # record), and avg(k=1) is 20.0 = 40/2 not 40/3
             k1 = [r for r in got if r.k == 1 and r._change_type == "+U"]
             assert any(r.cnt == 3 and r.a == 20.0 for r in k1), k1
+
+
+# ---------------------------------------------------------------------
+# join_changelog — StreamingJoinOperator.java:123-198 pseudo-code
+# ---------------------------------------------------------------------
+
+
+def _jlog(spark, rows, side):
+    """rows: (seq, kind, k, payload) -> one-sided changelog df."""
+    col = "lv" if side == "l" else "rv"
+    return spark.createDataFrame(
+        rows, f"seq int, {CHANGE_COL} string, k int, {col} string"
+    )
+
+
+def _join_emissions(spark, lrows, rrows, how):
+    from reshape_on_flink_spark.streaming.changelog import join_changelog
+
+    out = join_changelog(
+        _jlog(spark, lrows, "l"), _jlog(spark, rrows, "r"),
+        "k", how, order_by="seq",
+    )
+    got = sorted(out.collect(), key=lambda r: (r.k, r._change_seq))
+    return [(r._change_type, r.lv, r.rv) for r in got]
+
+
+def test_join_changelog_inner_forwards_rowkind(spark):
+    """INNER forwards the input RowKind (+I/+U accumulate, -U/-D
+    retract) — StreamingJoinOperator.java:140-147."""
+    l = [(1, INSERT, 1, "a"), (3, UPDATE_AFTER, 1, "b"), (4, UPDATE_BEFORE, 1, "a")]
+    r = [(2, INSERT, 1, "x"), (5, DELETE, 1, "x")]
+    assert _join_emissions(spark, l, r, "inner") == [
+        ("+I", "a", "x"),   # R+I x matches a
+        ("+U", "b", "x"),   # L+U b forwards +U
+        ("-U", "a", "x"),   # L-U a forwards -U
+        ("-D", "b", "x"),   # R-D x retracts the remaining match
+    ]
+
+
+def test_join_changelog_left_outer_null_padding(spark):
+    """LEFT OUTER: null-padded row appears/disappears as the match
+    count crosses zero; outer emissions are I/D only."""
+    l = [(1, INSERT, 1, "a")]
+    r = [(2, INSERT, 1, "x"), (3, INSERT, 1, "y"),
+         (4, DELETE, 1, "x"), (5, DELETE, 1, "y")]
+    assert _join_emissions(spark, l, r, "left") == [
+        ("+I", "a", None),  # no match yet
+        ("-D", "a", None),  # first match retracts the padding
+        ("+I", "a", "x"),
+        ("+I", "a", "y"),   # numOfAssociations 1 -> 2: no padding churn
+        ("-D", "a", "x"),   # 2 -> 1: skip padding
+        ("-D", "a", "y"),   # 1 -> 0:
+        ("+I", "a", None),  # ...padding returns
+    ]
+
+
+def test_join_changelog_appear_count_duplicates(spark):
+    """JoinRecordStateView with no unique key: identical records keep
+    an appear-count; each stored copy joins."""
+    l = [(1, INSERT, 1, "a"), (2, INSERT, 1, "a")]
+    r = [(3, INSERT, 1, "x")]
+    assert _join_emissions(spark, l, r, "inner") == [
+        ("+I", "a", "x"), ("+I", "a", "x"),
+    ]
+    # retracting one copy retracts one joined row
+    l2 = l + [(4, UPDATE_BEFORE, 1, "a")]
+    assert _join_emissions(spark, l2, r, "inner") == [
+        ("+I", "a", "x"), ("+I", "a", "x"), ("-U", "a", "x"),
+    ]
+
+
+def test_join_changelog_full_outer_and_guards(spark):
+    """FULL OUTER pads both sides; retract-before-accumulate is loud."""
+    l = [(1, INSERT, 1, "a")]
+    r = [(2, INSERT, 2, "x")]
+    got = _join_emissions(spark, l, r, "full")
+    assert got == [("+I", "a", None), ("+I", None, "x")]
+    import pytest as _pytest
+
+    from reshape_on_flink_spark.streaming.changelog import join_changelog
+
+    with _pytest.raises(Exception, match="never accumulated"):
+        join_changelog(
+            _jlog(spark, [(1, DELETE, 1, "a")], "l"),
+            _jlog(spark, [], "r"),
+            "k", "inner", order_by="seq",
+        ).collect()
+    with _pytest.raises(ValueError, match="collision"):
+        join_changelog(
+            _jlog(spark, l, "l"),
+            _jlog(spark, l, "l"),  # same payload name on both sides
+            "k", "inner",
+        )
+
+
+def test_join_changelog_condition_beyond_key(spark):
+    """The generated joinCondition beyond the equi-key: rows only pair
+    when the predicate passes; padding follows the FILTERED match set."""
+    from reshape_on_flink_spark.streaming.changelog import join_changelog
+
+    l = _jlog(spark, [(1, INSERT, 1, "a"), (2, INSERT, 1, "b")], "l")
+    r = _jlog(spark, [(3, INSERT, 1, "x")], "r")
+    out = join_changelog(
+        l, r, "k", "left", order_by="seq",
+        cond=lambda ld, rd: ld["lv"] == "a",
+    )
+    got = [
+        (x._change_type, x.lv, x.rv)
+        for x in sorted(out.collect(), key=lambda x: x._change_seq)
+    ]
+    assert got == [
+        ("+I", "a", None),  # a arrives unmatched
+        ("+I", "b", None),  # b never matches the predicate
+        ("-D", "a", None),  # x pairs with a only: padding retracted...
+        ("+I", "a", "x"),   # ...and the real pair emitted
+    ]
+
+
+def test_join_changelog_two_level_pipeline_stream_equals_batch(spark, tmp_dir):
+    """The dynamic-table contract end-to-end: retract agg (per-user
+    running count/sum) JOINed with a mutating dim changelog (user ->
+    segment, one user re-segmented mid-stream), then a retraction-
+    CONSUMING aggregate per segment — final state == batch
+    recomputation on the final inputs. The -U/+U pairs flowing through
+    the join are what make the segment totals right: without
+    consumption, u1's counts would double-count in both segments."""
+    from reshape_on_flink_spark.streaming.changelog import (
+        join_changelog,
+        retract_stream_to_table,
+        to_retract_stream,
+    )
+
+    # facts: 12 rows over 4 users
+    facts = [(i, i % 4, float(i)) for i in range(12)]
+    fdf = spark.createDataFrame(facts, "seq int, user int, amt double")
+    # dim changelog: u0,u1 -> A; u2,u3 -> B; then u1 re-segments A->B
+    dim_rows = [
+        (0, INSERT, 0, "A"), (1, INSERT, 1, "A"),
+        (2, INSERT, 2, "B"), (3, INSERT, 3, "B"),
+        (4, UPDATE_BEFORE, 1, "A"), (5, UPDATE_AFTER, 1, "B"),
+    ]
+    ddf = spark.createDataFrame(
+        dim_rows, f"dseq int, {CHANGE_COL} string, user int, seg string"
+    )
+
+    # Spark allows ONE applyInPandasWithState per streaming query, so
+    # each stateful stage runs as its own query and the changelog is
+    # replayed across the boundary (the Flink-via-Kafka-topics shape).
+    fstream = _replay(spark, fdf, tmp_dir, "jcl_facts", 3, "seq")
+    agg_rows = _collect_stream(
+        spark,
+        to_retract_stream(
+            fstream, "user",
+            {"cnt": ("count", None), "s": ("sum", "amt")},
+            granularity="row", order_by="seq",
+        ),
+        "jcl_agg_out", tmp_dir,
+    )
+    agg_hist = (
+        spark.createDataFrame(agg_rows)
+        .withColumnRenamed("_change_seq", "oseq")
+        .withColumn("gseq", F.expr("oseq * 10 + user"))  # global replay order
+    )
+
+    lstream = _replay(spark, agg_hist, tmp_dir, "jcl_l", 3, "gseq").drop("gseq")
+    rstream = (
+        _replay(spark, ddf, tmp_dir, "jcl_dim", 3, "dseq")
+        .withColumn("oseq", F.col("dseq").cast("long")).drop("dseq")
+    )
+    joined = join_changelog(lstream, rstream, "user", "inner", order_by="oseq")
+    join_rows = _collect_stream(spark, joined, "jcl_join_out", tmp_dir)
+    join_hist = spark.createDataFrame(join_rows).withColumn(
+        "gseq", F.expr("_change_seq * 10 + user")
+    )
+
+    jstream = _replay(spark, join_hist, tmp_dir, "jcl_j", 3, "gseq").drop("gseq")
+    seg_totals = to_retract_stream(
+        jstream.drop("oseq"),
+        "seg",
+        {"users_cnt": ("count", None), "rows_s": ("sum", "cnt")},
+        consume_changelog=True, order_by="_change_seq",
+    )
+    got = _collect_stream(spark, seg_totals, "jcl_out", tmp_dir)
+    final = retract_stream_to_table(
+        spark.createDataFrame(got, seg_totals.schema), ["seg"]
+    )
+
+    # batch recomputation on final inputs
+    dim_final = spark.createDataFrame(
+        [(0, "A"), (1, "B"), (2, "B"), (3, "B")], "user int, seg string"
+    )
+    batch = (
+        fdf.groupBy("user").agg(F.count("*").alias("cnt"))
+        .join(dim_final, "user")
+        .groupBy("seg")
+        .agg(F.count("*").alias("users_cnt"), F.sum("cnt").alias("rows_s"))
+    )
+    g = sorted((r.seg, r.users_cnt, float(r.rows_s)) for r in final.collect())
+    b = sorted((r.seg, r.users_cnt, float(r.rows_s)) for r in batch.collect())
+    assert g == b, (g, b)
+    assert g[0][0] == "A" and g[0][1] == 1  # u1 really LEFT segment A
