@@ -767,26 +767,52 @@ class _IterCtx:
     conditions — e.g. loop-gap fillers — can read a sibling symbol's
     static verdict without re-evaluating Catalyst expressions)."""
 
-    __slots__ = ("records", "symbols", "taken", "pos")
+    __slots__ = ("records", "symbols", "taken", "pos", "_order_col", "_timer")
 
-    def __init__(self, records, symbols):
+    def __init__(self, records, symbols, order_col=None, timer_service=None):
         self.records = records
         self.symbols = symbols
         self.taken = ()
         self.pos = -1  # physical row index of the event under evaluation
+        self._order_col = order_col
+        self._timer = timer_service
 
     def get_events_for_pattern(self, name: str) -> list:
         return [self.records[p] for p, si in self.taken if self.symbols[si] == name]
 
+    def timestamp(self):
+        """Event-time of the row under evaluation —
+        ``IterativeCondition.Context.timestamp()`` (IterativeCondition.
+        java; NFAIterativeConditionTimeContextTest.java:42): the primary
+        order column's value, as epoch MILLISECONDS for timestamp
+        orders (Flink's StreamRecord timestamp unit) and the raw number
+        for numeric orders."""
+        v = self.records[self.pos][self._order_col]
+        if hasattr(v, "value"):  # pandas Timestamp: ns -> ms
+            return int(v.value // 1_000_000)
+        return v
 
-def _build_ic(pdf, symbols: list[str], n_cols: int, iter_define):
+    def current_processing_time(self):
+        """``Context.currentProcessingTime()`` (NFAIterativeCondition
+        TimeContextTest.java:67): wall-clock milliseconds, or the
+        injected timer service (the TestTimerService analog — pass
+        ``timer_service=`` to match_recognize)."""
+        if self._timer is not None:
+            return self._timer()
+        import time as _time
+
+        return int(_time.time() * 1000)
+
+
+def _build_ic(pdf, symbols: list[str], n_cols: int, iter_define,
+              order_col=None, timer_service=None):
     """Per-group iterative-condition list for the AST matchers:
     ``ic[si](pos, taken) -> bool`` closing over this group's row dicts.
     Returns None when there are no iterative conditions (fast path)."""
     if not iter_define:
         return None
     records = pdf.to_dict("records")
-    ctx = _IterCtx(records, symbols)
+    ctx = _IterCtx(records, symbols, order_col, timer_service)
     ic = [None] * n_cols
     for name, fn in iter_define.items():
         si = symbols.index(name)
@@ -812,6 +838,7 @@ def match_recognize(
     terminal_not: str | None = None,
     iter_define: dict | None = None,
     filler_syms: list[str] | None = None,
+    timer_service=None,
 ) -> DataFrame:
     """Rows of every match, annotated with ``match_id`` (0-based ordinal
     within the partition) and ``matched_symbol``.
@@ -967,7 +994,8 @@ def match_recognize(
         pdf = pdf.sort_values(order_by, kind="mergesort").reset_index(drop=True)
         n = len(pdf)
         bools = [pdf[c].to_numpy() for c in sym_cols]
-        ic = _build_ic(pdf, symbols, len(all_syms), iter_define)
+        ic = _build_ic(pdf, symbols, len(all_syms), iter_define,
+                       order_by[0], timer_service)
         if within is not None:
             tv, is_time = _time_axis(pdf, order_by[0])
             delta = _within_delta(within, is_time)
@@ -1072,7 +1100,8 @@ def match_recognize(
 
         n = len(pdf)
         bools = [pdf[c].to_numpy() for c in sym_cols]
-        ic = _build_ic(pdf, symbols, len(all_syms), iter_define)
+        ic = _build_ic(pdf, symbols, len(all_syms), iter_define,
+                       order_by[0], timer_service)
         G = len(starts)
         ends = np.append(starts[1:], n)
         if within is not None:
@@ -1374,6 +1403,7 @@ def streaming_match_recognize(
     terminal_not: str | None = None,
     iter_define: dict | None = None,
     filler_syms: list[str] | None = None,
+    timer_service=None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE over a streaming DataFrame (applyInPandasWithState).
 
@@ -1567,7 +1597,9 @@ def streaming_match_recognize(
                 fr2 = frame.copy()
                 for s_name, arr in zip(symbols, bools):
                     fr2[f"__sym_{s_name}"] = np.asarray(arr, dtype=bool)
-                ic = _build_ic(fr2, symbols, len(symbols), iter_define)
+                ic = _build_ic(fr2, symbols, len(symbols), iter_define,
+                               order_cols[0] if order_cols else None,
+                               timer_service)
             else:
                 ic = None
             tnb = (

@@ -939,3 +939,63 @@ def test_where_dispatch_optional_ctx_and_uninspectable(spark):
     )
     rows = {(r.start, r.n) for r in out.collect()}
     assert rows == {(1, 2)}, rows
+
+
+# ---------------------------------------------------------------------
+# NFAIterativeConditionTimeContextTest ports (flink-libraries/flink-cep/
+# src/test/java/org/apache/flink/cep/nfa/
+# NFAIterativeConditionTimeContextTest.java)
+# ---------------------------------------------------------------------
+
+
+def test_iterative_ctx_event_timestamp(spark):
+    """:42 testEventTimestamp — ctx.timestamp() == the record's event
+    time: one event at ts 3 matches `ctx.timestamp() == 3`; numeric
+    orders return the raw order value, timestamp orders epoch ms."""
+    from reshape_on_flink_spark.operators.cep import match_recognize
+
+    df = spark.createDataFrame(
+        [(1, 3, 10.0), (1, 5, 20.0)], "k int, ts int, v double"
+    )
+    out = match_recognize(
+        df, "k", "ts", "A", {"A": F.lit(True)},
+        after_match="to_next_row",
+        iter_define={"A": lambda e, ctx: ctx.timestamp() == 3},
+    )
+    assert [r.ts for r in out.collect()] == [3]
+    # timestamp order column -> epoch milliseconds (StreamRecord unit)
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    ms = int(t.timestamp() * 1000)
+    df2 = spark.createDataFrame([(1, t, 1.0)], "k int, ts timestamp, v double")
+    out2 = match_recognize(
+        df2, "k", "ts", "A", {"A": F.lit(True)},
+        iter_define={"A": lambda e, ctx, ms=ms: ctx.timestamp() == ms},
+    )
+    assert out2.count() == 1
+
+
+def test_iterative_ctx_current_processing_time(spark):
+    """:67 testCurrentProcessingTime — with the injected timer service
+    (TestTimerService analog) at 1 nothing matches; at 3 the event
+    matches `ctx.currentProcessingTime() == 3`."""
+    from reshape_on_flink_spark.operators.cep import match_recognize
+
+    df = spark.createDataFrame([(1, 7, 1.0), (1, 8, 2.0)], "k int, ts int, v double")
+    clock = {"now": 1}
+    kw = dict(
+        after_match="to_next_row",
+        iter_define={"A": lambda e, ctx: ctx.current_processing_time() == 3},
+        timer_service=lambda: clock["now"],
+    )
+    assert match_recognize(df, "k", "ts", "A", {"A": F.lit(True)}, **kw).count() == 0
+    clock["now"] = 3
+    assert match_recognize(df, "k", "ts", "A", {"A": F.lit(True)}, **kw).count() == 2
+    # default (no timer_service): wall clock, monotone non-zero
+    got = match_recognize(
+        df, "k", "ts", "A", {"A": F.lit(True)},
+        after_match="to_next_row",
+        iter_define={"A": lambda e, ctx: ctx.current_processing_time() > 1_600_000_000_000},
+    )
+    assert got.count() == 2
