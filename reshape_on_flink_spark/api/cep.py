@@ -188,13 +188,22 @@ def _first_positive_cond(stages) -> tuple:
 
 def _is_iterative_cond(fn) -> bool:
     """Dispatch a callable condition: IterativeCondition ``(event, ctx)``
-    vs vectorized pandas predicate ``(pdf)``. A callable counts as
-    iterative when it takes TWO positional parameters — optional ones
-    included, so ``def f(event, ctx=None)`` routes correctly (the Flink
-    shape is always binary, IterativeCondition.java ``filter(T,
-    Context)``). Set ``fn.cep_iterative = True`` / ``False`` (or use
-    :meth:`Pattern.where_iterative`) to bypass inspection for callables
-    whose signature cannot be probed (some builtins/C partials)."""
+    vs vectorized pandas predicate ``(pdf)``.
+
+    - two REQUIRED positional params -> iterative (unambiguous Flink
+      shape, IterativeCondition.java ``filter(T, Context)``);
+    - one required + defaulted positionals -> ambiguous between
+      ``(event, ctx=None)`` and the default-arg capture idiom
+      ``lambda pdf, n=x: ...``; decided by the SECOND positional's
+      NAME: ``ctx``/``context``/``_ctx`` routes iterative, anything
+      else pandas (a silent misroute here produces wrong matches, so
+      the name convention is load-bearing — documented in where());
+    - otherwise pandas.
+
+    Set ``fn.cep_iterative = True`` / ``False`` (or use
+    :meth:`Pattern.where_iterative`) to bypass inspection entirely —
+    required for callables whose signature cannot be probed (some
+    builtins/C partials), which raise a clear TypeError."""
     marker = getattr(fn, "cep_iterative", None)
     if marker is not None:
         return bool(marker)
@@ -210,12 +219,17 @@ def _is_iterative_cond(fn) -> bool:
             "`fn.cep_iterative = True` (or False), use "
             "Pattern.where_iterative(fn), or wrap it in a plain def."
         ) from exc
-    npos = len([
+    pos = [
         p
         for p in sig.parameters.values()
         if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
-    ])
-    return npos >= 2
+    ]
+    required = [p for p in pos if p.default is p.empty]
+    if len(required) >= 2:
+        return True
+    if len(pos) >= 2:
+        return pos[1].name in ("ctx", "context", "_ctx")
+    return False
 
 
 def _positive_leaf_stages(stages):
@@ -484,15 +498,21 @@ class Pattern:
         """Stop condition on a looping stage (Pattern.java:228). Accepts
         a Catalyst Column / SQL string (batch; streaming too when the
         same stage predicates are Catalyst) or a vectorized pandas
-        predicate ``pdf -> bool array`` for the streaming route."""
+        predicate ``pdf -> bool array`` for the streaming route. As with
+        :meth:`where`, the SAME stop condition may be given once in EACH
+        dialect (one Column + one callable) so a chain runs on batch and
+        streams alike; a second condition in the same dialect raises
+        (Flink: only one until condition can be applied)."""
         t = self._tail()
         if t.quant is None or t.quant[1] == 1:
             raise ValueError("until() is only applicable to looping stages (Pattern.java:228)")
-        if t.until_cond is not None or t.until_pandas is not None:
-            raise ValueError("only one until condition can be applied")
         if callable(cond) and not isinstance(cond, Column):
+            if t.until_pandas is not None:
+                raise ValueError("only one until condition can be applied")
             t.until_pandas = cond
         else:
+            if t.until_cond is not None:
+                raise ValueError("only one until condition can be applied")
             t.until_cond = F.expr(cond) if isinstance(cond, str) else cond
         return self
 

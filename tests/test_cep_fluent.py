@@ -1460,3 +1460,110 @@ def test_not_next_before_group_guards(spark):
     )
     with pytest.raises(NotImplementedError, match="first stage"):
         CEP.pattern(df, head_quantified, "k", "pos").flat_select()
+
+
+def test_group_terminal_not_streaming_equals_batch(spark, tmp_dir):
+    """Round 10: GROUP patterns ending in notFollowedBy + within run on
+    streams too (the round-9 guard is gone). Dual-form conditions (one
+    Column + one pandas callable per stage) let the SAME chain compile
+    for both routes; trailing rows close every horizon."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    names = ["a", "b", "c", "a", "b", "x", "a", "b", "c", "c", "c", "c"]
+    rows = [(1, i + 1, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+
+    def npd(name):
+        return lambda pdf, n=name: pdf["name"] == n
+
+    def dual(p, name):
+        return p.where(F.col("name") == name).where(npd(name))
+
+    def build():
+        grp = dual(dual(Pattern.begin("g1"), "a").next("g2"), "b")
+        p = Pattern.begin(grp).not_followed_by("nf")
+        return dual(p, "x").within(4)
+
+    batch = sorted(
+        (r.ts, r.matched_symbol)
+        for r in CEP.pattern(df, build(), "k", "ts", after_match="no_skip")
+        .flat_select().collect()
+    )
+    # (a1,b2): x6 beyond horizon 5 -> survives; (a4,b5): x6 in (5,9) ->
+    # killed; (a7,b8): no x before horizon 11 -> survives
+    assert batch == [(1, "g1"), (2, "g2"), (7, "g1"), (8, "g2")]
+
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "cep_gtn"), n_chunks=4, order_col="ts"
+    )
+    got = sorted(
+        (r.ts, r.matched_symbol)
+        for r in run_to_memory(
+            spark,
+            CEP.pattern(stream, build(), "k", "ts", after_match="no_skip").flat_select(),
+            "cep_gtn_out", tmp_dir, mode="append",
+        ).collect()
+    )
+    assert got == batch
+
+
+def test_quantified_group_until_terminal_not_streaming(spark, tmp_dir):
+    """Round 10: a QUANTIFIED group with a dual-form until() stop
+    condition chained into terminal notFollowedBy + within — stream ==
+    batch. Also pins the dual-until rule: one condition per dialect,
+    same-dialect twice raises (Flink: only one until)."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    names = ["a", "b", "c", "a", "b", "x", "a", "b"] + ["c"] * 6
+    rows = [(1, i + 1, n) for i, n in enumerate(names)]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+
+    def npd(name):
+        return lambda pdf, n=name: pdf["name"] == n
+
+    def dual(p, name):
+        return p.where(F.col("name") == name).where(npd(name))
+
+    def build():
+        grp = dual(dual(Pattern.begin("h1"), "a").followed_by("h2"), "b")
+        p = (
+            Pattern.begin(grp).one_or_more()
+            .until(F.col("name") == "x").until(npd("x"))
+            .not_followed_by("nf")
+        )
+        return dual(p, "x").within(6)
+
+    batch = sorted(
+        (r.ts, r.matched_symbol)
+        for r in CEP.pattern(df, build(), "k", "ts", after_match="no_skip")
+        .flat_select().collect()
+    )
+    # until(x) stops collection at x6; every pre-x match is killed by
+    # x6 inside its horizon; only (a7,b8) survives
+    assert batch == [(7, "h1"), (8, "h2")]
+
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "cep_qgtn"), n_chunks=4, order_col="ts"
+    )
+    got = sorted(
+        (r.ts, r.matched_symbol)
+        for r in run_to_memory(
+            spark,
+            CEP.pattern(stream, build(), "k", "ts", after_match="no_skip").flat_select(),
+            "cep_qgtn_out", tmp_dir, mode="append",
+        ).collect()
+    )
+    assert got == batch
+
+    with pytest.raises(ValueError, match="only one until"):
+        (Pattern.begin("a").where("name = 'a'").one_or_more()
+         .until("name = 'x'").until(F.col("name") == "y"))
+    with pytest.raises(ValueError, match="only one until"):
+        (Pattern.begin("a").where("name = 'a'").one_or_more()
+         .until(npd("x")).until(npd("y")))

@@ -906,10 +906,16 @@ def test_where_dispatch_optional_ctx_and_uninspectable(spark):
 
     assert _is_iterative_cond(with_default) is True
     assert _is_iterative_cond(lambda pdf: pdf["v"] > 1) is False
-    # explicit marker wins over inspection
+    # the default-arg capture idiom stays a pandas predicate (one
+    # REQUIRED positional; second positional not named ctx) — a silent
+    # iterative misroute here would produce wrong matches
+    assert _is_iterative_cond(lambda pdf, n=3: pdf["v"] > n) is False
+
     def pdf_pred(pdf, threshold=1):
         return pdf["v"] > threshold
 
+    assert _is_iterative_cond(pdf_pred) is False
+    # explicit marker wins over inspection
     pdf_pred.cep_iterative = False
     assert _is_iterative_cond(pdf_pred) is False
     # an uninspectable callable raises with guidance, not a misroute
