@@ -73,6 +73,10 @@ HEADLINE = [
     # Python evaluation on top of the vectorized scan; the cost model
     # for the slow path the IterativeCondition surface adds
     "q_cep_iterative_sum",
+    # round-10: timed-out partial matches — per-prefix enumeration +
+    # window-lookahead survival joins (the timeout side output's cost
+    # model: n-1 extra engine passes over the keyed scan)
+    "q_cep_timeout",
 ]
 
 

@@ -116,6 +116,7 @@ tests/test_cep_iterative.py.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -1234,6 +1235,36 @@ class PatternStream:
         adjacent event and ``max(tick) over partition`` for the
         expiry witness — no range join, one keyed shuffle per prefix.
 
+        Quantified/optional stages (round 10+): a branch's parked NFA
+        state decides its survival guard —
+
+        - parked AT a stage's head state (the previous stage's take
+          chain exited into it — which for a quantified previous stage
+          happens only after exactly ``max`` takes, so infinite loops
+          never park at their successor): the OUTER ignore condition,
+          ``NFACompiler.getIgnoreCondition`` (NFACompiler.java:901) —
+          ``followed_by`` NOT(take), ``next`` none, ``followed_by_any``
+          true. An optional waiting stage changes nothing: PROCEED
+          edges are epsilon (evaluated per arriving event), so an event
+          matching a LATER stage spawns a new branch and leaves the
+          waiter alive.
+        - parked INSIDE a loop (``1 <= taken < max``; both the
+          mandatory ``times`` chain and the optional tail/looping
+          state): the INNER ignore condition,
+          ``NFACompiler.getInnerIgnoreCondition`` (NFACompiler.java:862)
+          — ``consecutive`` none (dies on any event), relaxed (default)
+          NOT(take), ``allow_combinations`` true (persists). The next
+          stage's take-ability is irrelevant here too, and
+          ``NFA.advanceTime`` (NFA.java:259-297) reports EVERY pruned
+          partial — a trailing-loop branch times out even though its
+          event set already emitted completed matches via PROCEED.
+
+        Mid-loop branches are enumerated in ONE engine pass per loop
+        stage: the prefix ending at the loop with quantifier relaxed to
+        ``(1, max-1)`` — every assignment the ITCase-pinned no_skip
+        enumerator emits is exactly a live parked branch (its inner-gap
+        guards are the ignore conditions above).
+
         Output: the partial match's rows (input columns +
         ``matched_symbol``) with ``timeout_id`` (unique with the keys)
         and ``timeout_ts`` (order-column units; timestamp orders give a
@@ -1242,8 +1273,9 @@ class PatternStream:
         Scope (loud otherwise): batch, ``after_match='no_skip'``
         (Flink's CEP-builder default — other skip strategies also prune
         partial branches on match completion, which is not modeled),
-        simple positive stages (no loops/optional/NOT/groups — a
-        mid-loop partial needs the lgap continuation guard, TODO.md).
+        positive stages with Flink-default (non-greedy) quantifiers —
+        no NOT/groups/until/greedy (greedy rewires PROCEED/take
+        conditions, ``updateWithGreedyCondition``).
         """
         from pyspark.sql import Window as SW
 
@@ -1272,7 +1304,10 @@ class PatternStream:
                 "when a match completes"
             )
         stages = pattern._stages
-        if len(stages) < 2:
+        has_loop = any(
+            s.quant is not None and s.quant[:2] != (1, 1) for s in stages
+        )
+        if len(stages) < 2 and not has_loop:
             raise ValueError(
                 "a single-stage pattern has no proper prefix to time out"
             )
@@ -1282,13 +1317,19 @@ class PatternStream:
                     f"timeout side output: stage {s.name!r} ({s.kind}) — "
                     "groups and NOT stages are not supported yet"
                 )
-            if s.quant is not None and s.quant[:2] != (1, 1):
+            if s.quant is not None and s.quant[2] is not None:
                 raise NotImplementedError(
-                    f"timeout side output: quantified stage {s.name!r} — "
-                    "a mid-loop partial needs the lgap continuation "
-                    "guard (TODO.md); only single stages are supported"
+                    f"timeout side output: greedy()/reluctant() stage "
+                    f"{s.name!r} — greedy rewires the PROCEED/take "
+                    "conditions (NFACompiler.updateWithGreedyCondition), "
+                    "changing which branches park"
                 )
-            if s.until_cond is not None or s.negated_gap is not None:
+            if (
+                s.until_cond is not None
+                or s.negated_gap is not None
+                or s.fold_not
+                or s.lead_not
+            ):
                 raise NotImplementedError(
                     f"timeout side output: stage {s.name!r} carries an "
                     "until()/NOT fold, which changes take-ability"
@@ -1314,37 +1355,33 @@ class PatternStream:
         )
         user_cols = self._df.columns
 
-        outs = []
-        for k in range(1, len(stages)):
-            waiting = stages[k]
-            if waiting.kind == "followed_by":
-                if waiting.iter_cond is not None:
-                    raise NotImplementedError(
-                        f"timeout side output: waiting stage "
-                        f"{waiting.name!r} has an iterative condition — "
-                        "its take-ability is branch-dependent"
+        def _take_scan(stage, what: str):
+            """Lookahead to the first event satisfying the stage's
+            take condition — the NOT(take) ignore guard's killer."""
+            if stage.iter_cond is not None:
+                raise NotImplementedError(
+                    f"timeout side output: {what} {stage.name!r} has an "
+                    "iterative condition — its take-ability is "
+                    "branch-dependent"
+                )
+            if stage.cond is None:
+                if stage.pandas_cond is not None:
+                    raise ValueError(
+                        f"timeout side output needs a Catalyst "
+                        f"condition on {what} {stage.name!r}"
                     )
-                if waiting.cond is None:
-                    if waiting.pandas_cond is not None:
-                        raise ValueError(
-                            f"timeout side output needs a Catalyst "
-                            f"condition on waiting stage {waiting.name!r}"
-                        )
-                    take_src = F.col("__to_tick")  # unconditioned: any event
-                else:
-                    take_src = F.when(waiting.cond, F.col("__to_tick"))
-                bk = base.withColumn(
-                    "__to_next_take", F.min(take_src).over(wfollow)
-                )
-            elif waiting.kind == "next":
-                bk = base.withColumn("__to_next_take", F.col("__to_next_any"))
-            else:  # followed_by_any: the waiter persists — never consumed
-                bk = base.withColumn(
-                    "__to_next_take", F.lit(None).cast("double")
-                )
+                take_src = F.col("__to_tick")  # unconditioned: any event
+            else:
+                take_src = F.when(stage.cond, F.col("__to_tick"))
+            return base.withColumn(
+                "__to_next_take", F.min(take_src).over(wfollow)
+            )
 
+        def _timeouts(bk, pre_stages, tag: str, consuming: bool):
+            """Enumerate the parked branches of one prefix shape and
+            apply the survival + expiry-witness filters."""
             pre = Pattern()
-            pre._stages = stages[:k]
+            pre._stages = pre_stages
             pre._within = within
             rows = PatternStream(bk, pre, keys, order, "no_skip").flat_select()
             g = rows.groupBy(*keys, "match_id").agg(
@@ -1360,7 +1397,7 @@ class PatternStream:
             g = g.withColumn("__horizon", F.col("__first") + F.lit(delta))
             # event-driven expiry: a partition row at/after the horizon
             surv = g.where(F.col("__pmax") >= F.col("__horizon"))
-            if waiting.kind in ("followed_by", "next"):
+            if consuming:
                 surv = surv.where(
                     F.col("__take").isNull()
                     | (F.col("__take") >= F.col("__horizon"))
@@ -1375,14 +1412,61 @@ class PatternStream:
                 if is_time
                 else F.col("__horizon")
             )
+            return out.select(
+                *user_cols,
+                F.col("matched_symbol"),
+                F.concat_ws(
+                    "#", F.lit(tag), F.col("match_id").cast("string")
+                ).alias("timeout_id"),
+                ts.alias("timeout_ts"),
+            )
+
+        base_nt = base.withColumn("__to_next_take", F.lit(None).cast("double"))
+        outs = []
+        # -- branches parked AT a stage's head state (last take exited
+        # the previous stage's chain — only possible after exactly max
+        # occurrences of it; infinite loops never exit by take) --------
+        for k in range(1, len(stages)):
+            prev = stages[k - 1]
+            if prev.quant is not None and prev.quant[1] is None:
+                continue  # oneOrMore/zeroOrMore: never parks at stage k
+            pre_stages = list(stages[:k])
+            if prev.quant is not None or prev.opt:
+                mx = 1 if prev.quant is None else prev.quant[1]
+                pre_stages[-1] = dataclasses.replace(
+                    prev,
+                    quant=None if prev.quant is None else (mx, mx, None),
+                    opt=False,  # absent branch parks at prev's own head
+                )
+            waiting = stages[k]
+            if waiting.kind == "followed_by":
+                bk = _take_scan(waiting, "waiting stage")
+            elif waiting.kind == "next":
+                bk = base.withColumn("__to_next_take", F.col("__to_next_any"))
+            else:  # followed_by_any: the waiter persists — never consumed
+                bk = base_nt
             outs.append(
-                out.select(
-                    *user_cols,
-                    F.col("matched_symbol"),
-                    F.concat_ws(
-                        "#", F.lit(k), F.col("match_id").cast("string")
-                    ).alias("timeout_id"),
-                    ts.alias("timeout_ts"),
+                _timeouts(bk, pre_stages, str(k), waiting.kind != "followed_by_any")
+            )
+        # -- branches parked INSIDE a loop (1 <= taken < max): survival
+        # by the INNER ignore condition (NFACompiler.java:862) ---------
+        for p, s in enumerate(stages):
+            if s.quant is None or (s.quant[1] is not None and s.quant[1] < 2):
+                continue
+            mx = None if s.quant[1] is None else s.quant[1] - 1
+            mid = dataclasses.replace(s, quant=(1, mx, None), opt=False)
+            if s.loop_mode == "strict":  # consecutive(): dies on any event
+                bk = base.withColumn("__to_next_take", F.col("__to_next_any"))
+            elif s.loop_mode == "relaxed":  # NOT(take) ignore guard
+                bk = _take_scan(s, "loop stage")
+            else:  # allow_combinations(): true ignore — persists
+                bk = base_nt
+            outs.append(
+                _timeouts(
+                    bk,
+                    [*stages[:p], mid],
+                    f"L{p}",
+                    s.loop_mode != "combinations",
                 )
             )
         res = outs[0]

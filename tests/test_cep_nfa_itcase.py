@@ -738,14 +738,198 @@ def test_timeout_timestamp_order_and_loud_guards(spark):
     nowithin = Pattern.begin("a").where(_n("start")).followed_by("b").where(_n("middle"))
     with pytest.raises(ValueError, match="within"):
         CEP.pattern(df, nowithin, "k", "ts", after_match="no_skip").timed_out_partial_matches()
-    looped = (
-        Pattern.begin("a").where(_n("start")).one_or_more()
+    greedy = (
+        Pattern.begin("a").where(_n("start")).one_or_more().greedy()
         .followed_by("b").where(_n("middle")).within(10)
     )
-    with pytest.raises(NotImplementedError, match="quantified"):
-        CEP.pattern(df, looped, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+    with pytest.raises(NotImplementedError, match="greedy"):
+        CEP.pattern(df, greedy, "k", "ts", after_match="no_skip").timed_out_partial_matches()
     simple = (
         Pattern.begin("a").where(_n("start")).followed_by("b").where(_n("middle")).within(10)
     )
     with pytest.raises(NotImplementedError, match="no_skip"):
         CEP.pattern(df, simple, "k", "ts").timed_out_partial_matches()
+    # single-stage LOOP patterns time out (mid-loop parking) — a@1s is
+    # alone in the loop, middle@3s doesn't take (relaxed ignore), the
+    # @30s row witnesses expiry at 1s+10s
+    looped = Pattern.begin("a").where(_n("start")).one_or_more().within("10 seconds")
+    got_l = {
+        (r.ts.second, r.timeout_ts)
+        for r in CEP.pattern(df, looped, "k", "ts", after_match="no_skip")
+        .timed_out_partial_matches().collect()
+    }
+    assert got_l == {(1, t0 + dt.timedelta(seconds=11))}, got_l
+
+
+# ---------------------------------------------------------------------
+# Timed-out partials with quantified/optional prefixes (round 10+).
+# Expectations are hand-traced NFA runs under the reference ignore
+# conditions: a branch parked INSIDE a loop survives by the INNER
+# ignore (NFACompiler.java:862 getInnerIgnoreCondition — consecutive
+# none, relaxed NOT(take), allowCombinations true); a branch parked AT
+# a stage's head by the OUTER ignore (:901); NFA.advanceTime (NFA.java:
+# 259-297) reports EVERY pruned partial, including ones whose event
+# sets already emitted completed matches via PROCEED.
+# ---------------------------------------------------------------------
+
+
+def _tdf(spark, rows):
+    return spark.createDataFrame(rows, "k int, ts int, name string")
+
+
+def _loop_pat(inner=None, lo=None, hi=None):
+    p = Pattern.begin("start").where(_n("start")).followed_by("mid").where(_n("middle"))
+    if lo is None:
+        p = p.one_or_more()
+    else:
+        p = p.times(lo, hi)
+    if inner == "strict":
+        p = p.consecutive()
+    elif inner == "comb":
+        p = p.allow_combinations()
+    return p.followed_by("end").where(_n("end")).within(10)
+
+
+def test_timeout_midloop_relaxed_inner(spark):
+    """start fb mid+ fb end WITHIN 10 over s@1 m@3 m@5 x@6 e@20.
+    Trace: {s1} consumed by m@3; {s1,m3} killed by m@5 (relaxed inner
+    ignore = NOT(take)); {s1,m3,m5} ignores x@6 and is pruned by
+    advanceTime(20) BEFORE e@20 processes -> the one timeout @11.
+    {s1,m5} never exists (m@3 is take-able inside the head gap).
+    oneOrMore never parks at the end stage, so no end-waiter branch."""
+    df = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 5, "middle"),
+                      (1, 6, "foobar"), (1, 20, "end")])
+    ps = CEP.pattern(df, _loop_pat(), "k", "ts", after_match="no_skip")
+    got = _collect_timeouts(ps.timed_out_partial_matches())
+    assert got == {(frozenset({1, 3, 5}), 11.0)}, got
+
+
+def test_timeout_midloop_consecutive_inner(spark):
+    """consecutive() inner: no ignore edge — the branch dies on ANY
+    intervening event. With x@6 present, {s1,m3,m5} dies there -> no
+    timeouts; without it the next partition event is the @20 witness
+    itself (>= horizon), so the branch survives to expiry."""
+    noisy = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 5, "middle"),
+                         (1, 6, "foobar"), (1, 20, "end")])
+    ps = CEP.pattern(noisy, _loop_pat("strict"), "k", "ts", after_match="no_skip")
+    assert ps.timed_out_partial_matches().count() == 0
+
+    quiet = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 5, "middle"),
+                         (1, 20, "end")])
+    ps2 = CEP.pattern(quiet, _loop_pat("strict"), "k", "ts", after_match="no_skip")
+    got = _collect_timeouts(ps2.timed_out_partial_matches())
+    assert got == {(frozenset({1, 3, 5}), 11.0)}, got
+
+
+def test_timeout_midloop_allow_combinations_inner(spark):
+    """allowCombinations() inner: true ignore — mid-loop branches are
+    never consumed, so BOTH {s1,m3} and {s1,m3,m5} reach their horizon.
+    The head gap still follows the OUTER followedBy (m@3 consumed the
+    {s1} waiter), so {s1,m5} stays impossible."""
+    df = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 5, "middle"),
+                      (1, 6, "foobar"), (1, 20, "end")])
+    ps = CEP.pattern(df, _loop_pat("comb"), "k", "ts", after_match="no_skip")
+    got = _collect_timeouts(ps.timed_out_partial_matches())
+    assert got == {(frozenset({1, 3}), 11.0), (frozenset({1, 3, 5}), 11.0)}, got
+
+
+def test_timeout_trailing_loop_coexists_with_matches(spark):
+    """start fb mid+ WITHIN 10: the looping branch emits matches via
+    PROCEED as it grows, yet advanceTime still reports it when pruned
+    — {s1,m3,m5} is BOTH two emitted matches' prefix set and the one
+    timeout (NFA.java:270-281 reports every pruned partial)."""
+    df = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 5, "middle"),
+                      (1, 6, "foobar"), (1, 20, "noise")])
+    pat = (
+        Pattern.begin("start").where(_n("start"))
+        .followed_by("mid").where(_n("middle")).one_or_more()
+        .within(10)
+    )
+    ps = CEP.pattern(df, pat, "k", "ts", after_match="no_skip")
+    matches = ps.flat_select(timed_out_partial_matches_tag="late")
+    got_m = collections.defaultdict(set)
+    for r in matches.collect():
+        got_m[r.match_id].add(r.ts)
+    assert sorted(sorted(v) for v in got_m.values()) == [[1, 3], [1, 3, 5]]
+    got_t = _collect_timeouts(ps.get_side_output("late"))
+    assert got_t == {(frozenset({1, 3, 5}), 11.0)}, got_t
+
+
+def test_timeout_times_exact_parks_at_next_stage(spark):
+    """mid.times(2): the 2nd take EXITS the times chain into the end
+    stage's head — the {s1,m3,m6} branch then waits under end's OUTER
+    fb ignore and times out; with end@8 present it is consumed into a
+    completed match instead and nothing expires."""
+    df = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 6, "middle"),
+                      (1, 30, "noise")])
+    pat = _loop_pat(lo=2, hi=2)
+    ps = CEP.pattern(df, pat, "k", "ts", after_match="no_skip")
+    got = _collect_timeouts(ps.timed_out_partial_matches())
+    assert got == {(frozenset({1, 3, 6}), 11.0)}, got
+
+    df2 = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 6, "middle"),
+                       (1, 8, "end"), (1, 30, "noise")])
+    ps2 = CEP.pattern(df2, pat, "k", "ts", after_match="no_skip")
+    matches = ps2.flat_select(timed_out_partial_matches_tag="late")
+    got_m = collections.defaultdict(set)
+    for r in matches.collect():
+        got_m[r.match_id].add(r.ts)
+    assert sorted(sorted(v) for v in got_m.values()) == [[1, 3, 6, 8]]
+    assert ps2.get_side_output("late").count() == 0
+
+
+def test_timeout_times_range_midloop(spark):
+    """mid.times(2,3): j=2 (>= from, < to) parks at the unrolled
+    OPTIONAL inner state — inner ignore, NOT the end stage's; a 3rd
+    middle consumes it and parks the j=3 branch at the end stage."""
+    pat = _loop_pat(lo=2, hi=3)
+    df = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 6, "middle"),
+                      (1, 30, "noise")])
+    ps = CEP.pattern(df, pat, "k", "ts", after_match="no_skip")
+    got = _collect_timeouts(ps.timed_out_partial_matches())
+    assert got == {(frozenset({1, 3, 6}), 11.0)}, got
+
+    df2 = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 6, "middle"),
+                       (1, 8, "middle"), (1, 30, "noise")])
+    ps2 = CEP.pattern(df2, pat, "k", "ts", after_match="no_skip")
+    got2 = _collect_timeouts(ps2.timed_out_partial_matches())
+    assert got2 == {(frozenset({1, 3, 6, 8}), 11.0)}, got2
+
+
+def test_timeout_optional_stage_parking(spark):
+    """A fb B? fb C WITHIN 10: with no B event the {a1} branch parks at
+    B's head (PROCEED to C is epsilon — a C-matching event would spawn
+    a new branch, never kill the waiter) and times out as {a1} ONCE —
+    the absent-optional assignment of the longer prefix must not
+    double-report it. With b@3, {a1} is consumed and {a1,b3} expires."""
+    pat = (
+        Pattern.begin("a").where(_n("start"))
+        .followed_by("b").where(_n("middle")).optional()
+        .followed_by("c").where(_n("end"))
+        .within(10)
+    )
+    df = _tdf(spark, [(1, 1, "start"), (1, 4, "foobar"), (1, 30, "noise")])
+    ps = CEP.pattern(df, pat, "k", "ts", after_match="no_skip")
+    got = _collect_timeouts(ps.timed_out_partial_matches())
+    assert got == {(frozenset({1}), 11.0)}, got
+
+    df2 = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 30, "noise")])
+    ps2 = CEP.pattern(df2, pat, "k", "ts", after_match="no_skip")
+    got2 = _collect_timeouts(ps2.timed_out_partial_matches())
+    assert got2 == {(frozenset({1, 3}), 11.0)}, got2
+
+
+def test_timeout_times_optional_zero_or_exactly_n(spark):
+    """mid.times(2).optional() (0 or exactly 2): one middle leaves the
+    j=1 branch mid-chain (inner ignore) -> it expires; the {a1} head
+    waiter was consumed by that same middle."""
+    pat = (
+        Pattern.begin("a").where(_n("start"))
+        .followed_by("mid").where(_n("middle")).times(2).optional()
+        .followed_by("c").where(_n("end"))
+        .within(10)
+    )
+    df = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 30, "noise")])
+    ps = CEP.pattern(df, pat, "k", "ts", after_match="no_skip")
+    got = _collect_timeouts(ps.timed_out_partial_matches())
+    assert got == {(frozenset({1, 3}), 11.0)}, got
