@@ -1253,11 +1253,22 @@ class PatternStream:
           state): the INNER ignore condition,
           ``NFACompiler.getInnerIgnoreCondition`` (NFACompiler.java:862)
           — ``consecutive`` none (dies on any event), relaxed (default)
-          NOT(take), ``allow_combinations`` true (persists). The next
-          stage's take-ability is irrelevant here too, and
+          NOT(take), ``allow_combinations`` true (persists).
           ``NFA.advanceTime`` (NFA.java:259-297) reports EVERY pruned
           partial — a trailing-loop branch times out even though its
           event set already emitted completed matches via PROCEED.
+        - MIGRATED COPIES ('IGNORE after PROCEED', NFA.java:621-633):
+          the decision graph collects IGNORE edges of every
+          proceed-reachable head state, so once a loop met its minimum
+          (or an optional waiting stage can be skipped), the first
+          event after the last take spawns a parked copy at each
+          reachable successor whose OUTER ignore fires — the copy then
+          lives (and times out) under that successor's own consumption
+          rule. This is what lets the reference's consecutive() docs
+          matrix match ``C A1 B`` past an adjacent take-able ``A2``; a
+          partial is emitted iff ANY of its computations survives, and
+          computations sharing an event set collapse to one output row
+          (NFAITCase compares sets).
 
         Mid-loop branches are enumerated in ONE engine pass per loop
         stage: the prefix ending at the loop with quantifier relaxed to
@@ -1355,53 +1366,194 @@ class PatternStream:
         )
         user_cols = self._df.columns
 
-        def _take_scan(stage, what: str):
-            """Lookahead to the first event satisfying the stage's
-            take condition — the NOT(take) ignore guard's killer."""
+        n = len(stages)
+        scan_idx: set[int] = set()
+
+        def _need_scan(i: int, what: str) -> int:
+            """Register stage i for a take-condition lookahead column."""
+            stage = stages[i]
             if stage.iter_cond is not None:
                 raise NotImplementedError(
                     f"timeout side output: {what} {stage.name!r} has an "
                     "iterative condition — its take-ability is "
                     "branch-dependent"
                 )
-            if stage.cond is None:
-                if stage.pandas_cond is not None:
+            if stage.cond is None and stage.pandas_cond is not None:
+                raise ValueError(
+                    f"timeout side output needs a Catalyst "
+                    f"condition on {what} {stage.name!r}"
+                )
+            scan_idx.add(i)
+            return i
+
+        def _optable(s) -> bool:
+            return s.opt or (s.quant is not None and s.quant[0] == 0)
+
+        def _chain(i: int) -> list[int]:
+            """Head states PROCEED-reachable from (and including) stage
+            i — i itself, then onward while stages stay optional."""
+            out = []
+            while i < n:
+                out.append(i)
+                if not _optable(stages[i]):
+                    break
+                i += 1
+            return out
+
+        def _copies_for(targets: list[int]) -> list[tuple]:
+            """Migrated-copy survival specs for 'IGNORE after PROCEED'
+            branches (NFA.java:621-633): the decision graph collects
+            IGNORE edges of every proceed-reachable head state, so a
+            branch whose own ignore fails still spawns a parked copy at
+            head(t) whenever head(t)'s OUTER ignore fires — fb NOT(take),
+            fba true, next none. The copy spawns at the first event
+            after the last take (the trigger) and then lives under
+            head(t)'s own consumption rule, so: copy times out iff SOME
+            event precedes the horizon AND (fb) no take_t does."""
+            out = []
+            for t in targets:
+                st = stages[t]
+                if st.kind == "next":
+                    continue  # no ignore edge -> no migrated copy
+                if st.kind == "followed_by_any":
+                    out.append(("fba", None))
+                elif st.cond is not None:
+                    out.append(("fb", _need_scan(t, "migration target")))
+                # unconditioned followed_by: NOT(take)=false, never fires
+            return out
+
+        # plan entries: (pre_stages, tag, primary, copies, loop_gate)
+        plans = []
+        # -- branches parked AT a stage's head state (last take exited
+        # the previous stage's chain — only possible after exactly max
+        # occurrences of it; infinite loops never exit by take). If the
+        # waiting stage is optional, PROCEED-reachable successors add
+        # migrated copies. -----------------------------------------------
+        for k in range(1, n):
+            prev = stages[k - 1]
+            if prev.quant is not None and prev.quant[1] is None:
+                continue  # oneOrMore/zeroOrMore: never parks at stage k
+            pre_stages = list(stages[:k])
+            if prev.quant is not None or prev.opt:
+                mx = 1 if prev.quant is None else prev.quant[1]
+                pre_stages[-1] = dataclasses.replace(
+                    prev,
+                    quant=None if prev.quant is None else (mx, mx, None),
+                    opt=False,  # absent branch parks at prev's own head
+                )
+            waiting = stages[k]
+            if waiting.kind == "followed_by" and waiting.cond is not None:
+                primary = ("consume", _need_scan(k, "waiting stage"))
+            elif waiting.kind == "followed_by_any":
+                primary = ("persist",)  # true ignore — never consumed
+            else:
+                # next-contiguity (no ignore), or an unconditioned
+                # followed_by (NOT(true) never fires): the adjacent /
+                # any event takes or kills the waiter
+                if waiting.cond is None and waiting.pandas_cond is not None:
                     raise ValueError(
                         f"timeout side output needs a Catalyst "
-                        f"condition on {what} {stage.name!r}"
+                        f"condition on waiting stage {waiting.name!r}"
                     )
-                take_src = F.col("__to_tick")  # unconditioned: any event
-            else:
-                take_src = F.when(stage.cond, F.col("__to_tick"))
-            return base.withColumn(
-                "__to_next_take", F.min(take_src).over(wfollow)
-            )
+                primary = ("any",)
+            copies = _copies_for(_chain(k + 1)) if _optable(waiting) else []
+            plans.append((pre_stages, str(k), primary, copies, None))
+        # -- branches parked INSIDE a loop (1 <= taken < max): survival
+        # by the INNER ignore condition (NFACompiler.java:862), plus
+        # migrated copies at the successors once the loop met its
+        # minimum (below it the inner states have no PROCEED edge) ------
+        for p, s in enumerate(stages):
+            if s.quant is None or (s.quant[1] is not None and s.quant[1] < 2):
+                continue
+            mx = None if s.quant[1] is None else s.quant[1] - 1
+            mid = dataclasses.replace(s, quant=(1, mx, None), opt=False)
+            if s.loop_mode == "strict":  # consecutive(): dies on any event
+                primary = ("any",)
+            elif s.loop_mode == "relaxed":  # NOT(take) ignore guard
+                primary = (
+                    ("consume", _need_scan(p, "loop stage"))
+                    if s.cond is not None
+                    else ("any",)
+                )
+                if s.cond is None and s.pandas_cond is not None:
+                    raise ValueError(
+                        f"timeout side output needs a Catalyst "
+                        f"condition on loop stage {s.name!r}"
+                    )
+            else:  # allow_combinations(): true ignore — persists
+                primary = ("persist",)
+            copies = _copies_for(_chain(p + 1))
+            lo = s.quant[0]
+            gate = (s.name, lo) if (copies and lo >= 2) else None
+            plans.append(([*stages[:p], mid], f"L{p}", primary, copies, gate))
 
-        def _timeouts(bk, pre_stages, tag: str, consuming: bool):
-            """Enumerate the parked branches of one prefix shape and
-            apply the survival + expiry-witness filters."""
+        for i in sorted(scan_idx):
+            src = (
+                F.when(stages[i].cond, F.col("__to_tick"))
+                if stages[i].cond is not None
+                else F.col("__to_tick")
+            )
+            base = base.withColumn(f"__to_nt_{i}", F.min(src).over(wfollow))
+        last_cols = ["__to_next_any"] + [f"__to_nt_{i}" for i in sorted(scan_idx)]
+
+        def _timeouts(pre_stages, tag: str, primary, copies, gate):
+            """Enumerate the parked branches of one prefix shape; keep
+            an assignment iff its witness row exists AND any of its
+            computations (the primary parked branch or a migrated copy)
+            survives to the horizon. Computations sharing an event set
+            collapse to one emitted partial (NFAITCase compares sets)."""
             pre = Pattern()
             pre._stages = pre_stages
             pre._within = within
-            rows = PatternStream(bk, pre, keys, order, "no_skip").flat_select()
-            g = rows.groupBy(*keys, "match_id").agg(
+            rows = PatternStream(base, pre, keys, order, "no_skip").flat_select()
+            aggs = [
                 # first/last row picked by the tie-proof per-partition rid
                 F.min(F.struct("__to_rid", "__to_tick"))["__to_tick"].alias(
                     "__first"
                 ),
-                F.max(F.struct("__to_rid", "__to_next_take"))[
-                    "__to_next_take"
-                ].alias("__take"),
                 F.any_value("__to_pmax").alias("__pmax"),
-            )
-            g = g.withColumn("__horizon", F.col("__first") + F.lit(delta))
-            # event-driven expiry: a partition row at/after the horizon
-            surv = g.where(F.col("__pmax") >= F.col("__horizon"))
-            if consuming:
-                surv = surv.where(
-                    F.col("__take").isNull()
-                    | (F.col("__take") >= F.col("__horizon"))
+            ]
+            for c in last_cols:
+                aggs.append(F.max(F.struct("__to_rid", c))[c].alias(f"__l{c}"))
+            if gate is not None:
+                aggs.append(
+                    F.sum(
+                        (F.col("matched_symbol") == gate[0]).cast("int")
+                    ).alias("__cnt")
                 )
+            g = (
+                rows.groupBy(*keys, "match_id")
+                .agg(*aggs)
+                .withColumn("__horizon", F.col("__first") + F.lit(delta))
+            )
+
+            def _clear(col):  # no matching event after the last take,
+                return F.col(col).isNull() | (  # below the horizon
+                    F.col(col) >= F.col("__horizon")
+                )
+
+            if primary[0] == "consume":
+                alive = _clear(f"__l__to_nt_{primary[1]}")
+            elif primary[0] == "any":
+                alive = _clear("__l__to_next_any")
+            else:
+                alive = F.lit(True)
+            if copies:
+                trigger = F.col("__l__to_next_any").isNotNull() & (
+                    F.col("__l__to_next_any") < F.col("__horizon")
+                )
+                cp = F.lit(False)
+                for kind, i in copies:
+                    cp = cp | (
+                        trigger
+                        if kind == "fba"
+                        else trigger & _clear(f"__l__to_nt_{i}")
+                    )
+                if gate is not None:
+                    cp = cp & (F.col("__cnt") >= F.lit(gate[1]))
+                alive = alive | cp
+            # event-driven expiry: a partition row at/after the horizon
+            surv = g.where((F.col("__pmax") >= F.col("__horizon")) & alive)
             out = rows.join(
                 surv.select(*keys, "match_id", "__horizon"),
                 [*keys, "match_id"],
@@ -1421,54 +1573,7 @@ class PatternStream:
                 ts.alias("timeout_ts"),
             )
 
-        base_nt = base.withColumn("__to_next_take", F.lit(None).cast("double"))
-        outs = []
-        # -- branches parked AT a stage's head state (last take exited
-        # the previous stage's chain — only possible after exactly max
-        # occurrences of it; infinite loops never exit by take) --------
-        for k in range(1, len(stages)):
-            prev = stages[k - 1]
-            if prev.quant is not None and prev.quant[1] is None:
-                continue  # oneOrMore/zeroOrMore: never parks at stage k
-            pre_stages = list(stages[:k])
-            if prev.quant is not None or prev.opt:
-                mx = 1 if prev.quant is None else prev.quant[1]
-                pre_stages[-1] = dataclasses.replace(
-                    prev,
-                    quant=None if prev.quant is None else (mx, mx, None),
-                    opt=False,  # absent branch parks at prev's own head
-                )
-            waiting = stages[k]
-            if waiting.kind == "followed_by":
-                bk = _take_scan(waiting, "waiting stage")
-            elif waiting.kind == "next":
-                bk = base.withColumn("__to_next_take", F.col("__to_next_any"))
-            else:  # followed_by_any: the waiter persists — never consumed
-                bk = base_nt
-            outs.append(
-                _timeouts(bk, pre_stages, str(k), waiting.kind != "followed_by_any")
-            )
-        # -- branches parked INSIDE a loop (1 <= taken < max): survival
-        # by the INNER ignore condition (NFACompiler.java:862) ---------
-        for p, s in enumerate(stages):
-            if s.quant is None or (s.quant[1] is not None and s.quant[1] < 2):
-                continue
-            mx = None if s.quant[1] is None else s.quant[1] - 1
-            mid = dataclasses.replace(s, quant=(1, mx, None), opt=False)
-            if s.loop_mode == "strict":  # consecutive(): dies on any event
-                bk = base.withColumn("__to_next_take", F.col("__to_next_any"))
-            elif s.loop_mode == "relaxed":  # NOT(take) ignore guard
-                bk = _take_scan(s, "loop stage")
-            else:  # allow_combinations(): true ignore — persists
-                bk = base_nt
-            outs.append(
-                _timeouts(
-                    bk,
-                    [*stages[:p], mid],
-                    f"L{p}",
-                    s.loop_mode != "combinations",
-                )
-            )
+        outs = [_timeouts(*plan) for plan in plans]
         res = outs[0]
         for o in outs[1:]:
             res = res.unionByName(o)

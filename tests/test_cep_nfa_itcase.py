@@ -792,33 +792,58 @@ def _loop_pat(inner=None, lo=None, hi=None):
 
 def test_timeout_midloop_relaxed_inner(spark):
     """start fb mid+ fb end WITHIN 10 over s@1 m@3 m@5 x@6 e@20.
-    Trace: {s1} consumed by m@3; {s1,m3} killed by m@5 (relaxed inner
-    ignore = NOT(take)); {s1,m3,m5} ignores x@6 and is pruned by
-    advanceTime(20) BEFORE e@20 processes -> the one timeout @11.
-    {s1,m5} never exists (m@3 is take-able inside the head gap).
-    oneOrMore never parks at the end stage, so no end-waiter branch."""
+    Trace: {s1} consumed by m@3. {s1,m3}'s loop ignore (NOT take) fails
+    at m@5, but the decision graph also collects head(end)'s IGNORE via
+    PROCEED (NFA.java:621-633 'IGNORE after PROCEED'): NOT(take_end)
+    fires at m@5, so a COPY of {s1,m3} parks at head(end) and expires
+    @11 alongside {s1,m3,m5} (which ignores x@6 in the loop and is
+    pruned by advanceTime(20) BEFORE e@20 processes). {s1,m5} never
+    exists (m@3 is take-able inside the head gap); oneOrMore never
+    parks at the end stage by TAKE."""
     df = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 5, "middle"),
                       (1, 6, "foobar"), (1, 20, "end")])
     ps = CEP.pattern(df, _loop_pat(), "k", "ts", after_match="no_skip")
     got = _collect_timeouts(ps.timed_out_partial_matches())
-    assert got == {(frozenset({1, 3, 5}), 11.0)}, got
+    assert got == {(frozenset({1, 3}), 11.0), (frozenset({1, 3, 5}), 11.0)}, got
+
+
+def test_timeout_migrated_copy_consumed_by_successor(spark):
+    """The migrated copy lives under head(end)'s OWN consumption rule:
+    with end@9 inside the window, {s1,m3}'s copy takes it (match, not
+    timeout) while the {s1,m3,m5} loop branch survives the proceed-take
+    (its loop ignore fires at e@9) and still expires — the reference's
+    eager-prefix matches and the timeout coexist."""
+    df = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 5, "middle"),
+                      (1, 9, "end"), (1, 30, "noise")])
+    ps = CEP.pattern(df, _loop_pat(), "k", "ts", after_match="no_skip")
+    matches = ps.flat_select(timed_out_partial_matches_tag="late")
+    got_m = collections.defaultdict(set)
+    for r in matches.collect():
+        got_m[r.match_id].add(r.ts)
+    assert sorted(sorted(v) for v in got_m.values()) == [[1, 3, 5, 9], [1, 3, 9]]
+    got_t = _collect_timeouts(ps.get_side_output("late"))
+    assert got_t == {(frozenset({1, 3, 5}), 11.0)}, got_t
 
 
 def test_timeout_midloop_consecutive_inner(spark):
-    """consecutive() inner: no ignore edge — the branch dies on ANY
-    intervening event. With x@6 present, {s1,m3,m5} dies there -> no
-    timeouts; without it the next partition event is the @20 witness
-    itself (>= horizon), so the branch survives to expiry."""
+    """consecutive() inner: no loop ignore edge — the loop branch dies
+    on ANY intervening event, but 'IGNORE after PROCEED' still freezes
+    a copy at head(end) (the reference's own consecutive() docs matrix
+    rests on this: C A1 B matches despite A2 adjacent to A1). So both
+    prefixes expire whether the killer is a noise row or a take-able
+    middle; in the quiet fixture {s1,m3,m5} survives primarily (the
+    next partition event IS the @20 witness)."""
     noisy = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 5, "middle"),
                          (1, 6, "foobar"), (1, 20, "end")])
     ps = CEP.pattern(noisy, _loop_pat("strict"), "k", "ts", after_match="no_skip")
-    assert ps.timed_out_partial_matches().count() == 0
+    got = _collect_timeouts(ps.timed_out_partial_matches())
+    assert got == {(frozenset({1, 3}), 11.0), (frozenset({1, 3, 5}), 11.0)}, got
 
     quiet = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 5, "middle"),
                          (1, 20, "end")])
     ps2 = CEP.pattern(quiet, _loop_pat("strict"), "k", "ts", after_match="no_skip")
-    got = _collect_timeouts(ps2.timed_out_partial_matches())
-    assert got == {(frozenset({1, 3, 5}), 11.0)}, got
+    got2 = _collect_timeouts(ps2.timed_out_partial_matches())
+    assert got2 == {(frozenset({1, 3}), 11.0), (frozenset({1, 3, 5}), 11.0)}, got2
 
 
 def test_timeout_midloop_allow_combinations_inner(spark):
@@ -889,19 +914,26 @@ def test_timeout_times_range_midloop(spark):
     got = _collect_timeouts(ps.timed_out_partial_matches())
     assert got == {(frozenset({1, 3, 6}), 11.0)}, got
 
+    # a 3rd middle kills the j=2 loop branch but spawns its head(end)
+    # copy (NOT(take_end) fires at m@8), so BOTH prefixes expire
     df2 = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 6, "middle"),
                        (1, 8, "middle"), (1, 30, "noise")])
     ps2 = CEP.pattern(df2, pat, "k", "ts", after_match="no_skip")
     got2 = _collect_timeouts(ps2.timed_out_partial_matches())
-    assert got2 == {(frozenset({1, 3, 6, 8}), 11.0)}, got2
+    assert got2 == {
+        (frozenset({1, 3, 6}), 11.0),
+        (frozenset({1, 3, 6, 8}), 11.0),
+    }, got2
 
 
 def test_timeout_optional_stage_parking(spark):
     """A fb B? fb C WITHIN 10: with no B event the {a1} branch parks at
-    B's head (PROCEED to C is epsilon — a C-matching event would spawn
-    a new branch, never kill the waiter) and times out as {a1} ONCE —
-    the absent-optional assignment of the longer prefix must not
-    double-report it. With b@3, {a1} is consumed and {a1,b3} expires."""
+    B's head and times out as {a1} ONCE — its 'IGNORE after PROCEED'
+    copy at head(C) carries the same event set, and computations
+    sharing an event set collapse (NFAITCase compares sets). With b@3
+    the head(B) waiter is consumed, but the head(C) copy (spawned at
+    b@3: NOT(take_C) fires) survives — so BOTH {a1} and {a1,b3}
+    expire."""
     pat = (
         Pattern.begin("a").where(_n("start"))
         .followed_by("b").where(_n("middle")).optional()
@@ -916,13 +948,15 @@ def test_timeout_optional_stage_parking(spark):
     df2 = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 30, "noise")])
     ps2 = CEP.pattern(df2, pat, "k", "ts", after_match="no_skip")
     got2 = _collect_timeouts(ps2.timed_out_partial_matches())
-    assert got2 == {(frozenset({1, 3}), 11.0)}, got2
+    assert got2 == {(frozenset({1}), 11.0), (frozenset({1, 3}), 11.0)}, got2
 
 
 def test_timeout_times_optional_zero_or_exactly_n(spark):
     """mid.times(2).optional() (0 or exactly 2): one middle leaves the
-    j=1 branch mid-chain (inner ignore) -> it expires; the {a1} head
-    waiter was consumed by that same middle."""
+    j=1 branch mid-chain (inner ignore, below the minimum -> no PROCEED
+    copy) and it expires; the {a1} head waiter is consumed by that same
+    middle BUT its head(c) copy (the optional head's PROCEED closure)
+    spawns at m@3 and survives — both partials expire."""
     pat = (
         Pattern.begin("a").where(_n("start"))
         .followed_by("mid").where(_n("middle")).times(2).optional()
@@ -932,4 +966,4 @@ def test_timeout_times_optional_zero_or_exactly_n(spark):
     df = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 30, "noise")])
     ps = CEP.pattern(df, pat, "k", "ts", after_match="no_skip")
     got = _collect_timeouts(ps.timed_out_partial_matches())
-    assert got == {(frozenset({1, 3}), 11.0)}, got
+    assert got == {(frozenset({1}), 11.0), (frozenset({1, 3}), 11.0)}, got
