@@ -244,6 +244,82 @@ def _positive_leaf_stages(stages):
             yield st
 
 
+def _build_pandas_define(pattern) -> dict:
+    """Streaming DEFINE dict for a COMPILED pattern: user symbols from
+    their where() predicates + the streaming negation recipes compile()
+    recorded (until()/not_next folds/group untils, ``_stage_negs_pd``),
+    fillers (stage gaps ``__gapN`` AND loop-iteration gaps ``__lgapN``)
+    from ``_lgap_pandas`` — ("true", None, negs) -> all-True minus
+    negations, ("not_cond", f, negs) -> ~f(pdf) minus negations (a
+    relaxed loop's filler may never swallow an event the loop body
+    would match, nor a stop/NOT event)."""
+    import pandas as pd
+
+    pandas_define = {}
+    for s in _positive_leaf_stages(pattern._stages):
+        if s.pandas_cond is None and s.iter_cond is None:
+            raise ValueError(
+                f"streaming CEP needs vectorized pandas predicates; "
+                f"stage {s.name!r} has only a Catalyst condition "
+                f"(pass a `pdf -> bool array` callable to where())"
+            )
+
+    def _materialize(base_fn, negs, name, negate_base=False):
+        if any(n is None for n in negs):
+            raise ValueError(
+                f"streaming CEP: {name!r} carries a negation "
+                "(until()/notFollowedBy/not_next fold) with no "
+                "pandas form — pass a `pdf -> bool array` "
+                "callable for that condition too"
+            )
+
+        def fn(pdf, base=base_fn, negs=tuple(negs), nb=negate_base):
+            if base is None:
+                col = pd.Series(True, index=pdf.index)
+            else:
+                col = pd.Series(base(pdf), index=pdf.index)
+                if nb:
+                    col = ~col
+            for g in negs:
+                col = col & ~pd.Series(g(pdf), index=pdf.index)
+            return col
+
+        return fn
+
+    stage_negs_pd = getattr(pattern, "_stage_negs_pd", {})
+    for s in _positive_leaf_stages(pattern._stages):
+        body = _materialize(s.pandas_cond, stage_negs_pd.get(s.name, []), s.name)
+        if s.lead_not:
+            # relaxed not_next: next-row lookahead via shift(-1)
+            negs = [p for _c, p in s.lead_not]
+            if any(p is None for p in negs):
+                raise ValueError(
+                    "streaming not_next needs a vectorized pandas "
+                    "predicate on the NOT stage"
+                )
+
+            def _lead_wrapped(pdf, base=body, negs=negs):
+                n = pd.Series(negs[0](pdf), index=pdf.index)
+                for f in negs[1:]:
+                    n = n | pd.Series(f(pdf), index=pdf.index)
+                return base(pdf) & ~n.shift(-1, fill_value=False)
+
+            pandas_define[s.name] = _lead_wrapped
+        else:
+            pandas_define[s.name] = body
+    for name, (kind, fn, negs) in pattern._lgap_pandas.items():
+        if kind == "not_cond" and fn is None:
+            raise ValueError(
+                f"streaming CEP: loop filler {name!r} needs the loop "
+                "body's pandas predicate (pass a `pdf -> bool array` "
+                "callable to the looping stage's where())"
+            )
+        pandas_define[name] = _materialize(
+            fn, negs, name, negate_base=(kind == "not_cond")
+        )
+    return pandas_define
+
+
 class Pattern:
     """Immutable-ish fluent builder; every method returns ``self`` (the
     Flink API mutates the tail stage the same way)."""
@@ -1046,80 +1122,7 @@ class PatternStream:
         # (Flink computations start at their first TAKEN event)
         fillers = [k for k in define if k not in user_syms]
         if self._df.isStreaming:
-            pandas_define = {}
-            for s in _positive_leaf_stages(self._pattern._stages):
-                if s.pandas_cond is None and s.iter_cond is None:
-                    raise ValueError(
-                        f"streaming CEP needs vectorized pandas predicates; "
-                        f"stage {s.name!r} has only a Catalyst condition "
-                        f"(pass a `pdf -> bool array` callable to where())"
-                    )
-            # rebuild define with pandas callables: user symbols from
-            # their where() predicates + the streaming negation recipes
-            # compile() recorded (until()/not_next folds/group untils,
-            # _stage_negs_pd), fillers (stage gaps '__gapN' AND
-            # loop-iteration gaps '__lgapN') from _lgap_pandas —
-            # ("true", None, negs) -> all-True minus negations,
-            # ("not_cond", f, negs) -> ~f(pdf) minus negations (a
-            # relaxed loop's filler may never swallow an event the loop
-            # body would match, nor a stop/NOT event).
-            import pandas as pd
-
-            def _materialize(base_fn, negs, name, negate_base=False):
-                if any(n is None for n in negs):
-                    raise ValueError(
-                        f"streaming CEP: {name!r} carries a negation "
-                        "(until()/notFollowedBy/not_next fold) with no "
-                        "pandas form — pass a `pdf -> bool array` "
-                        "callable for that condition too"
-                    )
-
-                def fn(pdf, base=base_fn, negs=tuple(negs), nb=negate_base):
-                    if base is None:
-                        col = pd.Series(True, index=pdf.index)
-                    else:
-                        col = pd.Series(base(pdf), index=pdf.index)
-                        if nb:
-                            col = ~col
-                    for g in negs:
-                        col = col & ~pd.Series(g(pdf), index=pdf.index)
-                    return col
-
-                return fn
-
-            stage_negs_pd = getattr(self._pattern, "_stage_negs_pd", {})
-            for s in _positive_leaf_stages(self._pattern._stages):
-                body = _materialize(
-                    s.pandas_cond, stage_negs_pd.get(s.name, []), s.name
-                )
-                if s.lead_not:
-                    # relaxed not_next: next-row lookahead via shift(-1)
-                    negs = [p for _c, p in s.lead_not]
-                    if any(p is None for p in negs):
-                        raise ValueError(
-                            "streaming not_next needs a vectorized pandas "
-                            "predicate on the NOT stage"
-                        )
-
-                    def _lead_wrapped(pdf, base=body, negs=negs):
-                        n = pd.Series(negs[0](pdf), index=pdf.index)
-                        for f in negs[1:]:
-                            n = n | pd.Series(f(pdf), index=pdf.index)
-                        return base(pdf) & ~n.shift(-1, fill_value=False)
-
-                    pandas_define[s.name] = _lead_wrapped
-                else:
-                    pandas_define[s.name] = body
-            for name, (kind, fn, negs) in self._pattern._lgap_pandas.items():
-                if kind == "not_cond" and fn is None:
-                    raise ValueError(
-                        f"streaming CEP: loop filler {name!r} needs the loop "
-                        "body's pandas predicate (pass a `pdf -> bool array` "
-                        "callable to the looping stage's where())"
-                    )
-                pandas_define[name] = _materialize(
-                    fn, negs, name, negate_base=(kind == "not_cond")
-                )
+            pandas_define = _build_pandas_define(self._pattern)
             tn_name = None
             if tn is not None:
                 if tn[1] is None:
@@ -1299,13 +1302,6 @@ class PatternStream:
                 "(NFA.advanceTime has no horizon without one; Flink "
                 "emits no timeouts for unbounded patterns)"
             )
-        if self._df.isStreaming:
-            raise NotImplementedError(
-                "streaming timeout side output: timeouts for a closed "
-                "horizon are deterministic — run the batch form on the "
-                "replayed/archived slice (chunked_replay), or window "
-                "the stream so each horizon closes before emission"
-            )
         if self._after != "no_skip":
             raise NotImplementedError(
                 "timeout side output is implemented for "
@@ -1367,10 +1363,13 @@ class PatternStream:
         user_cols = self._df.columns
 
         n = len(stages)
+        streaming = self._df.isStreaming
         scan_idx: set[int] = set()
 
         def _need_scan(i: int, what: str) -> int:
-            """Register stage i for a take-condition lookahead column."""
+            """Register stage i for a take-condition survival scan —
+            a Catalyst lookahead column on the batch route, a pandas
+            predicate on the streaming route."""
             stage = stages[i]
             if stage.iter_cond is not None:
                 raise NotImplementedError(
@@ -1378,13 +1377,23 @@ class PatternStream:
                     "iterative condition — its take-ability is "
                     "branch-dependent"
                 )
-            if stage.cond is None and stage.pandas_cond is not None:
+            if streaming:
+                if stage.pandas_cond is None:
+                    raise ValueError(
+                        f"streaming timeout side output needs a "
+                        f"vectorized pandas predicate on {what} "
+                        f"{stage.name!r}"
+                    )
+            elif stage.cond is None and stage.pandas_cond is not None:
                 raise ValueError(
                     f"timeout side output needs a Catalyst "
                     f"condition on {what} {stage.name!r}"
                 )
             scan_idx.add(i)
             return i
+
+        def _has_cond(s) -> bool:
+            return s.cond is not None or s.pandas_cond is not None
 
         def _optable(s) -> bool:
             return s.opt or (s.quant is not None and s.quant[0] == 0)
@@ -1417,7 +1426,7 @@ class PatternStream:
                     continue  # no ignore edge -> no migrated copy
                 if st.kind == "followed_by_any":
                     out.append(("fba", None))
-                elif st.cond is not None:
+                elif _has_cond(st):
                     out.append(("fb", _need_scan(t, "migration target")))
                 # unconditioned followed_by: NOT(take)=false, never fires
             return out
@@ -1442,7 +1451,7 @@ class PatternStream:
                     opt=False,  # absent branch parks at prev's own head
                 )
             waiting = stages[k]
-            if waiting.kind == "followed_by" and waiting.cond is not None:
+            if waiting.kind == "followed_by" and _has_cond(waiting):
                 primary = ("consume", _need_scan(k, "waiting stage"))
             elif waiting.kind == "followed_by_any":
                 primary = ("persist",)  # true ignore — never consumed
@@ -1450,11 +1459,6 @@ class PatternStream:
                 # next-contiguity (no ignore), or an unconditioned
                 # followed_by (NOT(true) never fires): the adjacent /
                 # any event takes or kills the waiter
-                if waiting.cond is None and waiting.pandas_cond is not None:
-                    raise ValueError(
-                        f"timeout side output needs a Catalyst "
-                        f"condition on waiting stage {waiting.name!r}"
-                    )
                 primary = ("any",)
             copies = _copies_for(_chain(k + 1)) if _optable(waiting) else []
             plans.append((pre_stages, str(k), primary, copies, None))
@@ -1472,20 +1476,56 @@ class PatternStream:
             elif s.loop_mode == "relaxed":  # NOT(take) ignore guard
                 primary = (
                     ("consume", _need_scan(p, "loop stage"))
-                    if s.cond is not None
+                    if _has_cond(s)
                     else ("any",)
                 )
-                if s.cond is None and s.pandas_cond is not None:
-                    raise ValueError(
-                        f"timeout side output needs a Catalyst "
-                        f"condition on loop stage {s.name!r}"
-                    )
             else:  # allow_combinations(): true ignore — persists
                 primary = ("persist",)
             copies = _copies_for(_chain(p + 1))
             lo = s.quant[0]
             gate = (s.name, lo) if (copies and lo >= 2) else None
             plans.append(([*stages[:p], mid], f"L{p}", primary, copies, gate))
+
+        if streaming:
+            # horizon-close emission inside a stateful operator: each
+            # parked shape becomes a compiled prefix pattern + pandas
+            # survival predicates; one keyed shuffle, state bounded by
+            # the within horizon (streaming_timed_out_partials)
+            from reshape_on_flink_spark.operators.cep import (
+                streaming_timed_out_partials,
+            )
+
+            lookahead = W.partitionBy(*keys).orderBy(*order)
+            op_plans = []
+            for pre_stages, tag, primary, copies, gate in plans:
+                pre = Pattern()
+                pre._stages = pre_stages
+                pre._within = within
+                pat_s, _def, _usr, _win = pre.compile(
+                    emit="all", lookahead_window=lookahead
+                )
+                op_plans.append(
+                    dict(
+                        pat=pat_s,
+                        define=_build_pandas_define(pre),
+                        user_syms=[s.name for s in pre_stages],
+                        tag=tag,
+                        primary=(
+                            ("consume", stages[primary[1]].pandas_cond)
+                            if primary[0] == "consume"
+                            else primary
+                        ),
+                        copies=[
+                            (kk, None if ii is None else stages[ii].pandas_cond)
+                            for kk, ii in copies
+                        ],
+                        gate=gate,
+                    )
+                )
+            return streaming_timed_out_partials(
+                self._df, keys, order, list(self._df.columns),
+                op_plans, delta, is_time,
+            )
 
         for i in sorted(scan_idx):
             src = (

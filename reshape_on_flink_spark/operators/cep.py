@@ -1817,6 +1817,196 @@ def streaming_match_recognize(
     )
 
 
+def streaming_timed_out_partials(
+    events: DataFrame,
+    partition_by,
+    order_cols,
+    input_cols: list[str],
+    plans: list[dict],
+    delta: float,
+    is_time: bool,
+) -> DataFrame:
+    """Streaming side of ``PatternStream.timed_out_partial_matches()``
+    — Flink's timed-out partial-match side output on an unbounded
+    stream (CepOperator advances the NFA per watermark and routes the
+    pruned partials to the timeout tag; PatternStream.java:202-214).
+
+    Horizon-close emission (the same timeout-then-emit rule as the
+    terminal_not path): a start row is DECIDED exactly once, when the
+    key has buffered a row at/after ``start + within`` — the
+    event-driven ``NFA.advanceTime`` witness. The decided slice is then
+    enumerated with the SAME ``_ast_enumerator`` the batch no_skip
+    engine uses (one compiled prefix pattern per parked shape, built by
+    the fluent wrapper), and survival is a numpy scan over the buffered
+    gap ``(last take, horizon)``: primary parked branch per its ignore
+    condition ('consume' = NOT(take) guard, 'any' = no ignore edge,
+    'persist' = true ignore) OR any 'IGNORE after PROCEED' migrated
+    copy (NFA.java:621-633), gated on the loop minimum where the inner
+    states have no PROCEED edge. Identical user-row sets collapse to
+    one emitted partial — same contract as the batch route.
+
+    ``plans``: one dict per parked shape — ``pat`` (compiled pattern
+    string incl. gap fillers), ``define`` (pandas predicates per
+    symbol), ``user_syms``, ``tag``, ``primary``/``copies`` survival
+    specs carrying pandas take-predicates, ``gate`` = (loop_sym, lo).
+
+    100 TB: one shuffle on the key; per-key state is the undecided
+    suffix only (rows with ``tick > max_tick - within``), so state is
+    bounded by the window horizon regardless of stream length. In-order
+    caveat (same as ``streaming_match_recognize``): per-key event-time
+    ordered arrival — a late row below an already-decided horizon
+    cannot retro-create or kill branches.
+
+    Output: input columns + ``matched_symbol``/``timeout_id``/
+    ``timeout_ts`` — the batch side output's schema (ids differ; the
+    stream==batch tests compare (event-set, timeout_ts) sets).
+    """
+    import pickle
+
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    part_cols = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    ocol = order_cols[0]
+
+    compiled = []
+    for pl in plans:
+        ast = parse_pattern_ast(pl["pat"])
+        symbols = ast_symbols(ast)
+        missing = [s for s in symbols if s not in pl["define"]]
+        if missing:
+            raise ValueError(f"timeout prefix symbols without DEFINE: {missing}")
+        compiled.append((symbols, _ast_enumerator(symbols, ast), pl))
+
+    sample = events.select(*input_cols)
+    out_schema = StructType(
+        [
+            *sample.schema.fields,
+            StructField("matched_symbol", StringType()),
+            StructField("timeout_id", StringType()),
+            StructField(
+                "timeout_ts", TimestampType() if is_time else DoubleType()
+            ),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("pending", BinaryType()),
+            StructField("frontier", DoubleType()),
+            StructField("serial", LongType()),
+        ]
+    )
+
+    def run(key, pdfs, state):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            blob, frontier, serial = state.get
+            pending = pickle.loads(blob)
+        else:
+            pending, frontier, serial = None, float("-inf"), 0
+        new = pd.concat(list(pdfs), ignore_index=True)[input_cols]
+        pdf = (
+            pd.concat([pending, new], ignore_index=True)
+            if pending is not None
+            else new
+        ).sort_values(order_cols, kind="mergesort").reset_index(drop=True)
+        if is_time:
+            ticks = (
+                pdf[ocol].astype("datetime64[us]").astype("int64").to_numpy()
+            ).astype("float64")
+        else:
+            ticks = pdf[ocol].to_numpy().astype("float64")
+        n = len(pdf)
+        max_tick = float(ticks[-1]) if n else float("-inf")
+        f_new = max_tick - delta  # starts at/below this tick are decided
+        dec = np.nonzero((ticks > frontier) & (ticks <= f_new))[0]
+        pieces = []
+        for symbols, enum_at, pl in compiled:
+            if not len(dec):
+                break
+            bools = [
+                np.asarray(pl["define"][s](pdf).to_numpy(), dtype=bool)
+                for s in symbols
+            ]
+            user = set(pl["user_syms"])
+            prim, copies, gate = pl["primary"], pl["copies"], pl["gate"]
+            prim_arr = (
+                np.asarray(prim[1](pdf).to_numpy(), dtype=bool)
+                if prim[0] == "consume"
+                else None
+            )
+            cp_arrs = [
+                (k2, None if f2 is None else np.asarray(f2(pdf).to_numpy(), dtype=bool))
+                for k2, f2 in copies
+            ]
+            for i in dec:
+                h = float(ticks[i]) + delta
+                lim = int(np.searchsorted(ticks, h, side="left"))
+                seen: set = set()
+                for match in enum_at(bools, int(i), lim):
+                    rows = sorted(
+                        (pos, symbols[si])
+                        for pos, si in match
+                        if symbols[si] in user
+                    )
+                    if not rows:
+                        continue
+                    kset = frozenset(rows)
+                    if kset in seen:  # filler splits of one partial
+                        continue
+                    seen.add(kset)
+                    j = rows[-1][0]
+                    gap = slice(j + 1, lim)
+                    gap_any = lim > j + 1
+                    if prim[0] == "persist":
+                        alive = True
+                    elif prim[0] == "any":
+                        alive = not gap_any
+                    else:
+                        alive = not prim_arr[gap].any()
+                    if not alive and cp_arrs and gap_any:
+                        gated = True
+                        if gate is not None:
+                            cnt = sum(1 for _p, s2 in rows if s2 == gate[0])
+                            gated = cnt >= gate[1]
+                        if gated:
+                            for k2, arr in cp_arrs:
+                                if k2 == "fba" or not arr[gap].any():
+                                    alive = True
+                                    break
+                    if not alive:
+                        continue
+                    out = pdf.iloc[[p for p, _s in rows]].copy()
+                    out["matched_symbol"] = [s2 for _p, s2 in rows]
+                    out["timeout_id"] = f"{pl['tag']}#{serial}"
+                    out["timeout_ts"] = (
+                        pd.Timestamp(int(h), unit="us") if is_time else h
+                    )
+                    serial += 1
+                    pieces.append(out)
+        keep = pdf[ticks > f_new] if n else pdf
+        state.update((pickle.dumps(keep), float(max(frontier, f_new)), int(serial)))
+        if pieces:
+            yield pd.concat(pieces, ignore_index=True)
+        else:
+            yield pd.DataFrame(
+                columns=[*input_cols, "matched_symbol", "timeout_id", "timeout_ts"]
+            )
+
+    return sample.groupBy(*part_cols).applyInPandasWithState(
+        run, out_schema, state_schema, "append", "NoTimeout"
+    )
+
 
 def pandas_predicate(expr: str, symbols: list[str]):
     """Compile a MATCH_RECOGNIZE DEFINE expression into a vectorized

@@ -967,3 +967,91 @@ def test_timeout_times_optional_zero_or_exactly_n(spark):
     ps = CEP.pattern(df, pat, "k", "ts", after_match="no_skip")
     got = _collect_timeouts(ps.timed_out_partial_matches())
     assert got == {(frozenset({1}), 11.0), (frozenset({1, 3}), 11.0)}, got
+
+
+# ---------------------------------------------------------------------
+# Streaming timeout side output (horizon-close emission inside
+# streaming_timed_out_partials) — stream == batch on the reference
+# fixture and on a quantified-prefix pattern, replayed across chunks so
+# the frontier/buffer state crosses micro-batch boundaries.
+# ---------------------------------------------------------------------
+
+
+def _pd_n(name):
+    return lambda pdf, _n=name: pdf["name"] == _n
+
+
+def _stream_timeouts(spark, tmp_dir, df, pat, sub):
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, f"to_{sub}"), n_chunks=3, order_col="ts"
+    )
+    sdf = CEP.pattern(
+        stream, pat, "k", "ts", after_match="no_skip"
+    ).timed_out_partial_matches()
+    rows = run_to_memory(
+        spark, sdf, f"to_out_{sub}", tmp_dir, mode="append"
+    ).collect()
+    per = {}
+    for r in rows:
+        per.setdefault((r.k, r.timeout_id), [set(), None])
+        per[(r.k, r.timeout_id)][0].add(r.ts)
+        per[(r.k, r.timeout_id)][1] = r.timeout_ts
+    return {(frozenset(v[0]), v[1]) for v in per.values()}
+
+
+def test_streaming_timeouts_equal_batch_simple(spark, tmp_dir):
+    """NFAITCase:405 (fba chain) on the streaming route: the 4 pinned
+    timeouts, each emitted once its horizon closes in keyed state."""
+    pat = (
+        Pattern.begin("start").where(_pd_n("start"))
+        .followed_by_any("middle").where(_pd_n("middle"))
+        .followed_by_any("end").where(_pd_n("end"))
+        .within(10)
+    )
+    got = _stream_timeouts(spark, tmp_dir, _timeout_fixture(spark), pat, "simple")
+    assert got == {
+        (frozenset({1}), 11.0),
+        (frozenset({1, 3}), 11.0),
+        (frozenset({2}), 12.0),
+        (frozenset({2, 3}), 12.0),
+    }, got
+
+
+def test_streaming_timeouts_loop_equal_batch(spark, tmp_dir):
+    """Relaxed mid-loop fixture: the loop prefix {s1,m3} survives via
+    its 'IGNORE after PROCEED' copy and {s1,m3,m5} primarily — same
+    two partials as the batch matrix, across chunked replay."""
+    df = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 5, "middle"),
+                      (1, 6, "foobar"), (1, 20, "end")])
+    pat = (
+        Pattern.begin("start").where(_pd_n("start"))
+        .followed_by("mid").where(_pd_n("middle")).one_or_more()
+        .followed_by("end").where(_pd_n("end"))
+        .within(10)
+    )
+    got = _stream_timeouts(spark, tmp_dir, df, pat, "loop")
+    assert got == {(frozenset({1, 3}), 11.0), (frozenset({1, 3, 5}), 11.0)}, got
+
+
+def test_streaming_timeouts_times_range_equal_batch(spark, tmp_dir):
+    """times(2,3) with a 3rd middle: the j=2 branch's migrated copy and
+    the j=3 end-waiter both expire — matches the batch matrix; the
+    loop-minimum gate keeps the j=1 branch dead."""
+    df = _tdf(spark, [(1, 1, "start"), (1, 3, "middle"), (1, 6, "middle"),
+                      (1, 8, "middle"), (1, 30, "noise")])
+    pat = (
+        Pattern.begin("start").where(_pd_n("start"))
+        .followed_by("mid").where(_pd_n("middle")).times(2, 3)
+        .followed_by("end").where(_pd_n("end"))
+        .within(10)
+    )
+    got = _stream_timeouts(spark, tmp_dir, df, pat, "times")
+    assert got == {
+        (frozenset({1, 3, 6}), 11.0),
+        (frozenset({1, 3, 6, 8}), 11.0),
+    }, got
