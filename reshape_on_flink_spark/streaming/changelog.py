@@ -354,6 +354,88 @@ def _norm_cell(v, integral: bool):
     return v
 
 
+class _MultisetView:
+    """InputSideHasNoUniqueKey (JoinRecordStateViews.java:154): state
+    maps record -> appear-count; entries are ``[appear, nassoc]`` with
+    ``nassoc`` the OuterJoinRecordStateView numOfAssociations."""
+
+    def __init__(self):
+        self.d = {}
+
+    def items(self):
+        return list(self.d.items())
+
+    def add(self, rec):
+        ent = self.d.setdefault(rec, [0, 0])
+        ent[0] += 1
+        return ent
+
+    def retract(self, rec):
+        ent = self.d.get(rec)
+        if ent is None or ent[0] <= 0:
+            return None
+        ent[0] -= 1
+        if ent[0] == 0:
+            del self.d[rec]
+        return ent
+
+    def __len__(self):
+        return len(self.d)
+
+
+class _UniqueKeyView:
+    """InputSideHasUniqueKey (JoinRecordStateViews.java:112 /
+    OuterJoinRecordStateViews.java:143): state maps unique-key ->
+    ``[1, nassoc, record]`` — addRecord is a PUT (upsert: a second
+    accumulate for the same unique key REPLACES the stored record
+    without counting), retractRecord REMOVES BY KEY even when the
+    retraction's payload differs from the stored record. With
+    ``uk_idx == ()`` this is JoinKeyContainsUniqueKey (:71 — the
+    ValueState single-slot view: the join key itself is unique)."""
+
+    def __init__(self, uk_idx):
+        self.d = {}
+        self.uk_idx = tuple(uk_idx)
+
+    def _uk(self, rec):
+        return tuple(rec[i] for i in self.uk_idx)
+
+    def items(self):
+        # appear is always 1: the view holds at most one record per
+        # unique key, so the emission loops run exactly once per entry
+        return [(ent[2], ent) for ent in self.d.values()]
+
+    def add(self, rec):
+        ent = [1, 0, rec]  # unconditional put (recordState.put/update)
+        self.d[self._uk(rec)] = ent
+        return ent
+
+    def retract(self, rec):
+        return self.d.pop(self._uk(rec), None)
+
+    def __len__(self):
+        return len(self.d)
+
+
+def _make_view(unique_key, side_name, on, payload):
+    """JoinInputSideSpec analog: None -> withoutUniqueKey; columns all
+    inside the join key -> withUniqueKeyContainedByJoinKey; otherwise
+    withUniqueKey over the payload positions."""
+    if unique_key is None:
+        return _MultisetView()
+    uk = [unique_key] if isinstance(unique_key, str) else list(unique_key)
+    if not uk:
+        raise ValueError(f"{side_name}_unique_key must name at least one column")
+    bad = [c for c in uk if c not in on and c not in payload]
+    if bad:
+        raise ValueError(
+            f"{side_name}_unique_key columns {bad} not in the {side_name} "
+            "input's join-key/payload columns"
+        )
+    idx = [payload.index(c) for c in uk if c in payload]
+    return _UniqueKeyView(idx)  # [] == join key contains the unique key
+
+
 def join_changelog(
     left: DataFrame,
     right: DataFrame,
@@ -363,6 +445,8 @@ def join_changelog(
     cond=None,
     order_by: str | None = None,
     emit_seq: bool = True,
+    left_unique_key: str | list[str] | None = None,
+    right_unique_key: str | list[str] | None = None,
 ) -> DataFrame:
     """Streaming unbounded join that CONSUMES and EMITS changelogs —
     Flink's ``StreamingJoinOperator`` (INNER/LEFT/RIGHT/FULL). Each
@@ -378,13 +462,27 @@ def join_changelog(
     ("we always send insert and delete for simplification",
     FLINK-17337).
 
-    State model per join key (JoinInputSideSpec with no unique key):
-    each side stores ``record -> appear-count``; an outer side
-    additionally stores ``numOfAssociations`` per record so the
-    null-padded row is emitted exactly when the count crosses zero.
-    State size is O(live records per key) — identical to the
-    reference's view; bound idle keys upstream with TTL if inputs
-    churn unboundedly.
+    State model per join key (JoinInputSideSpec, JoinInputSideSpec.
+    java:34-120 / JoinRecordStateViews.java:42-205): by default
+    (``withoutUniqueKey``) each side stores ``record -> appear-count``;
+    an outer side additionally stores ``numOfAssociations`` per record
+    so the null-padded row is emitted exactly when the count crosses
+    zero. State size is O(live records per key); bound idle keys
+    upstream with TTL if inputs churn unboundedly.
+
+    ``left_unique_key`` / ``right_unique_key`` (the reference's
+    state-size optimization, ``JoinInputSideSpec.withUniqueKey`` /
+    ``withUniqueKeyContainedByJoinKey``): declare columns that are
+    unique WITHIN a join key on that side and the side's state switches
+    to an upsert map ``unique-key -> record`` — O(live unique keys) —
+    or, when every declared column is part of ``on``, to the
+    single-record slot (``JoinKeyContainsUniqueKey``: ValueState,
+    O(1) per join key). Semantics mirror the reference's views, not
+    just the footprint: addRecord is a PUT (a duplicate accumulate
+    REPLACES the stored record instead of counting to two) and
+    retractRecord removes BY KEY even when the retraction's payload
+    differs — declare a spec only when the input genuinely has that
+    unique key, exactly like the reference planner.
 
     ``on``: equi-join key columns (present in both inputs). ``cond``:
     optional extra row predicate ``(left_dict, right_dict) -> bool``
@@ -472,6 +570,14 @@ def join_changelog(
     left_outer = how in ("left", "full")
     right_outer = how in ("right", "full")
     n_l, n_r = len(lpay), len(rpay)
+    _make_view(left_unique_key, "left", on, lpay)  # validate eagerly
+    _make_view(right_unique_key, "right", on, rpay)
+
+    def _fresh_state():
+        return {
+            "l": _make_view(left_unique_key, "left", on, lpay),
+            "r": _make_view(right_unique_key, "right", on, rpay),
+        }
 
     def _process_key(key_vals, records, st, seq0):
         """The StreamingJoinOperator.processElement loop over one key's
@@ -519,8 +625,7 @@ def join_changelog(
                 if input_outer:
                     if not assoc:  # send +I[record+null], state.add(rec, 0)
                         joined(INSERT, rec, None, input_is_left)
-                        ent = iview.setdefault(rec, [0, 0])
-                        ent[0] += 1
+                        iview.add(rec)
                     else:
                         if other_outer:
                             for otup, meta in assoc:
@@ -531,12 +636,10 @@ def join_changelog(
                         for otup, meta in assoc:  # +I[record+other]s
                             for _ in range(meta[0]):
                                 joined(INSERT, rec, otup, input_is_left)
-                        ent = iview.setdefault(rec, [0, 0])
-                        ent[0] += 1
+                        ent = iview.add(rec)
                         ent[1] = n_assoc  # state.add(record, other.size)
                 else:  # input side not outer: state.add FIRST
-                    ent = iview.setdefault(rec, [0, 0])
-                    ent[0] += 1
+                    iview.add(rec)
                     if assoc:
                         if other_outer:
                             for otup, meta in assoc:
@@ -551,16 +654,12 @@ def join_changelog(
                             for _ in range(meta[0]):
                                 joined(out_kind, rec, otup, input_is_left)
             else:  # record is retract (StreamingJoinOperator:180-198)
-                ent = iview.get(rec)
-                if ent is None or ent[0] <= 0:
+                if iview.retract(rec) is None:  # state.retract(record)
                     raise ValueError(
                         f"retraction of a record never accumulated on "
                         f"{'left' if input_is_left else 'right'} side: "
                         f"{rec!r} (check order_by / upstream changelog)"
                     )
-                ent[0] -= 1  # state.retract(record)
-                if ent[0] == 0:
-                    del iview[rec]
                 if not assoc:
                     if input_outer:  # send -D[record+null]
                         joined(DELETE, rec, None, input_is_left)
@@ -626,7 +725,7 @@ def join_changelog(
                 blob, seq = state.get
                 st = pickle.loads(blob)
             else:
-                st, seq = {"l": {}, "r": {}}, 0
+                st, seq = _fresh_state(), 0
             rows = _process_key(key, _batch_records(batch), st, seq)
             state.update((pickle.dumps(st), seq + len(rows)))
             if rows:
@@ -637,7 +736,7 @@ def join_changelog(
         )
 
     def run_batch(key, batch):
-        st = {"l": {}, "r": {}}
+        st = _fresh_state()
         rows = _process_key(key, _batch_records(batch), st, 0)
         return pd.DataFrame(rows, columns=cols)
 

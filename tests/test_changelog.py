@@ -646,3 +646,139 @@ def test_join_changelog_two_level_pipeline_stream_equals_batch(spark, tmp_dir):
     b = sorted((r.seg, r.users_cnt, float(r.rows_s)) for r in batch.collect())
     assert g == b, (g, b)
     assert g[0][0] == "A" and g[0][1] == 1  # u1 really LEFT segment A
+
+
+# ---------------------------------------------------------------------
+# JoinInputSideSpec unique-key state views (JoinInputSideSpec.java:
+# 34-120, JoinRecordStateViews.java:71/112/154, OuterJoinRecordState
+# Views.java:75/143) — upsert state keyed by the unique key.
+# ---------------------------------------------------------------------
+
+
+def _jlog_uk(spark, rows):
+    """rows: (seq, kind, k, uid, lv) -> left changelog with a unique key."""
+    return spark.createDataFrame(
+        rows, f"seq int, {CHANGE_COL} string, k int, uid int, lv string"
+    )
+
+
+def test_join_changelog_unique_key_upsert_and_retract_by_key(spark):
+    """withUniqueKey: addRecord is a PUT — a second accumulate for the
+    same unique key REPLACES the stored record (no appear-count), and
+    retractRecord removes BY KEY even when the payload differs
+    (JoinRecordStateViews.java:137-151)."""
+    from reshape_on_flink_spark.streaming.changelog import join_changelog
+
+    l = _jlog_uk(spark, [
+        (1, INSERT, 1, 7, "a"),
+        (2, INSERT, 1, 7, "b"),      # upsert: replaces 'a'
+    ])
+    r = _jlog(spark, [(3, INSERT, 1, "x")], "r")
+    out = join_changelog(
+        l, r, "k", "inner", order_by="seq", left_unique_key="uid",
+    )
+    got = [
+        (rr._change_type, rr.uid, rr.lv, rr.rv)
+        for rr in sorted(out.collect(), key=lambda rr: rr._change_seq)
+    ]
+    # only the replacement joins — the multiset view would emit both
+    assert got == [("+I", 7, "b", "x")], got
+
+    # retraction carries a DIFFERENT payload but the same unique key:
+    # the record is removed by key (multiset view would raise)
+    l2 = _jlog_uk(spark, [
+        (1, INSERT, 1, 7, "a"),
+        (2, INSERT, 1, 7, "b"),
+        (4, UPDATE_BEFORE, 1, 7, "zzz"),
+    ])
+    out2 = join_changelog(
+        l2, r, "k", "inner", order_by="seq", left_unique_key="uid",
+    )
+    got2 = [
+        (rr._change_type, rr.uid, rr.lv, rr.rv)
+        for rr in sorted(out2.collect(), key=lambda rr: rr._change_seq)
+    ]
+    assert got2 == [("+I", 7, "b", "x"), ("-U", 7, "zzz", "x")], got2
+
+
+def test_join_changelog_join_key_contains_unique_key(spark):
+    """JoinKeyContainsUniqueKey (every unique-key column inside `on`):
+    the side's state is a single record slot per join key — the
+    ValueState view (JoinRecordStateViews.java:71-109)."""
+    from reshape_on_flink_spark.streaming.changelog import join_changelog
+
+    l = _jlog(spark, [(1, INSERT, 1, "a"), (2, INSERT, 1, "b")], "l")
+    r = _jlog(spark, [(3, INSERT, 1, "x")], "r")
+    out = join_changelog(
+        l, r, "k", "inner", order_by="seq", left_unique_key=["k"],
+    )
+    got = [
+        (rr._change_type, rr.lv, rr.rv)
+        for rr in sorted(out.collect(), key=lambda rr: rr._change_seq)
+    ]
+    assert got == [("+I", "b", "x")], got  # 'b' replaced 'a' in the slot
+
+
+def test_join_changelog_unique_key_equals_multiset_on_proper_changelog(spark):
+    """On a WELL-FORMED retract changelog (every -U precedes its
+    replacement, unique key genuinely unique) the unique-key view and
+    the multiset view emit identical sequences — the spec is pure
+    state-size optimization, exactly like the reference planner's
+    choice. Left outer exercises the numOfAssociations bookkeeping on
+    the unique-key entries too."""
+    from reshape_on_flink_spark.streaming.changelog import join_changelog
+
+    lrows = [
+        (1, INSERT, 1, 7, "a"),
+        (4, UPDATE_BEFORE, 1, 7, "a"),
+        (5, UPDATE_AFTER, 1, 7, "a2"),
+        (6, INSERT, 1, 8, "c"),
+    ]
+    rrows = [(2, INSERT, 1, "x"), (3, INSERT, 1, "y"), (7, DELETE, 1, "x")]
+
+    def run(**kw):
+        out = join_changelog(
+            _jlog_uk(spark, lrows), _jlog(spark, rrows, "r"),
+            "k", "left", order_by="seq", **kw,
+        )
+        return [
+            (rr._change_type, rr.uid, rr.lv, rr.rv)
+            for rr in sorted(out.collect(), key=lambda rr: rr._change_seq)
+        ]
+
+    assert run(left_unique_key="uid") == run()
+
+
+def test_join_state_view_units():
+    """View-class contracts incl. pickle round-trips (they live inside
+    the operator's keyed state blob)."""
+    import pickle
+
+    import pytest
+
+    from reshape_on_flink_spark.streaming.changelog import (
+        _MultisetView, _UniqueKeyView, _make_view,
+    )
+
+    m = _MultisetView()
+    m.add(("a",)); m.add(("a",))
+    assert m.items() == [(("a",), [2, 0])]
+    assert m.retract(("a",))[0] == 1 and len(m) == 1
+    assert m.retract(("b",)) is None  # never accumulated -> loud upstream
+
+    u = _UniqueKeyView((0,))
+    u.add(("k1", "v1")); u.add(("k1", "v2")); u.add(("k2", "v"))
+    assert len(u) == 2  # upsert replaced v1
+    assert sorted(r for r, _m in u.items()) == [("k1", "v2"), ("k2", "v")]
+    assert u.retract(("k1", "whatever")) is not None  # remove by key
+    assert u.retract(("k1", "v2")) is None
+    u2 = pickle.loads(pickle.dumps(u))
+    assert u2.items() == u.items() and u2.uk_idx == (0,)
+
+    jk = _make_view(["k"], "left", ["k"], ["lv"])
+    assert isinstance(jk, _UniqueKeyView) and jk.uk_idx == ()
+    jk.add(("a",)); jk.add(("b",))
+    assert jk.items() == [(("b",), [1, 0, ("b",)])]  # single slot
+
+    with pytest.raises(ValueError, match="not in the left"):
+        _make_view(["nope"], "left", ["k"], ["lv"])
