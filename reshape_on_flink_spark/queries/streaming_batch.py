@@ -1678,3 +1678,76 @@ def q_changelog_join_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "_change_seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# Changelog-consuming WINDOW aggregate (round 10) — the table-runtime
+# WindowOperator (WindowOperator.java:341-391) under the hash gate. The
+# input changelog is closed-form: every event inserts its fact (+I at
+# oseq 2rn) and every third event (event_id % 3 == 0) is later fully
+# retracted (-D at oseq 2rn+1), so the fired windows equal a plain
+# GROUP BY over the never-retracted facts — except that fully-drained
+# windows still fire with COUNT 0 / NULL sums (emitWindowResult has no
+# emptiness check), which the oracle's GROUP BY reproduces because the
+# retracted facts keep their group row alive. Batch route = the same
+# per-window accumulate/retract processor with the end-of-input
+# watermark. Scale: one keyed shuffle; state = open windows only.
+# ---------------------------------------------------------------------------
+@query(
+    "q_changelog_window_agg",
+    """
+    WITH f AS (
+      SELECT user_id, event_id,
+             CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS DOUBLE) AS t,
+             CAST(FLOOR(value * 100) AS DOUBLE) AS amt,
+             (event_id % 3 = 0) AS retr
+      FROM events
+    )
+    SELECT user_id,
+           CAST(FLOOR(t / 3600) * 3600 AS BIGINT) AS ws,
+           CAST(FLOOR(t / 3600) * 3600 + 3600 AS BIGINT) AS we,
+           '+I' AS _change_type,
+           CAST(SUM(CASE WHEN retr THEN 0 ELSE 1 END) AS BIGINT) AS cnt,
+           CAST(SUM(CASE WHEN NOT retr THEN amt END) AS DOUBLE) AS amt_sum,
+           CAST(MAX(CASE WHEN NOT retr THEN amt END) AS DOUBLE) AS amt_max
+    FROM f
+    GROUP BY user_id, FLOOR(t / 3600)
+    ORDER BY user_id, ws
+    """,
+)
+def q_changelog_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.streaming.changelog import window_agg_changelog
+
+    base = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").cast("double").alias("t"),
+        F.floor(F.col("value") * 100).cast("double").alias("amt"),
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    seqd = base.withColumn("rn", F.row_number().over(w))
+    ins = seqd.select(
+        "user_id", F.lit("+I").alias("_change_type"), "t", "amt",
+        (F.col("rn") * 2).cast("long").alias("oseq"),
+    )
+    dels = seqd.where(F.col("event_id") % 3 == 0).select(
+        "user_id", F.lit("-D").alias("_change_type"), "t", "amt",
+        (F.col("rn") * 2 + 1).cast("long").alias("oseq"),
+    )
+    out = window_agg_changelog(
+        ins.unionByName(dels),
+        "user_id",
+        "t",
+        {"cnt": ("count", None), "amt_sum": ("sum", "amt"), "amt_max": ("max", "amt")},
+        size=3600.0,
+        order_by="oseq",
+    )
+    return out.select(
+        "user_id",
+        F.col("window_start").cast("bigint").alias("ws"),
+        F.col("window_end").cast("bigint").alias("we"),
+        "_change_type",
+        "cnt",
+        "amt_sum",
+        F.col("amt_max").cast("double").alias("amt_max"),
+    ).orderBy("user_id", "ws")

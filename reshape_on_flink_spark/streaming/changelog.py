@@ -741,3 +741,288 @@ def join_changelog(
         return pd.DataFrame(rows, columns=cols)
 
     return u.groupBy(*on).applyInPandas(run_batch, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Changelog-consuming WINDOW aggregate — the table-runtime WindowOperator
+# (flink-table/flink-table-runtime-blink/.../operators/window/
+# WindowOperator.java:341-391: per affected window, accumulate when
+# RowDataUtil.isAccumulateMsg else retract; rows whose windows are all
+# cleaned up are dropped and counted late). This closes the last §1.1
+# retraction divergence: windows no longer just compare final table
+# state — the operator applies +I/-U/+U/-D to per-window accumulators.
+# ---------------------------------------------------------------------------
+
+
+def window_agg_changelog(
+    sdf: DataFrame,
+    keys: str | list[str],
+    time_col: str,
+    aggs: dict[str, tuple[str, str | None]],
+    *,
+    size,
+    slide=None,
+    consume_changelog: bool = True,
+    order_by: str | None = None,
+) -> DataFrame:
+    """Tumble/hop window aggregation that CONSUMES a changelog —
+    Flink's ``WindowOperator`` with a retractable ``NamespaceAggsHandle``
+    (WindowOperator.java:341-371): each input row is assigned to its
+    affected windows (``TumblingWindowAssigner`` /
+    ``SlidingWindowAssigner``), and ``+I/+U`` rows accumulate while
+    ``-U/-D`` rows RETRACT from that window's accumulators. A window
+    fires once the key's event-time high-water mark reaches its end
+    (``EventTimeTriggers.afterEndOfWindow``; micro-batch semantics: the
+    watermark a batch sees is the PREVIOUS batch's maximum, matching
+    Spark's own watermark model), emits ONE insert row (``+I`` — group
+    window output is append-only, no early fire), and its state is
+    cleaned up (allowed lateness 0). Rows for already-cleaned windows
+    are DROPPED and logged — WindowOperator's lateRecordsDroppedRate.
+
+    A window all of whose rows were retracted still fires with the
+    drained aggregates (COUNT 0, SUM/AVG/MIN/MAX NULL):
+    ``emitWindowResult`` emits whatever ``getValue`` returns, with no
+    emptiness check — pinned behavior, not an accident.
+
+    ``aggs``: out_col -> (fn, in_col), fn in count/sum/avg/min/max —
+    same contract as :func:`to_retract_stream`, including SQL NULL
+    semantics (NULL inputs skipped; SUM/AVG over zero non-null inputs
+    are NULL) and the min/max retraction multiset
+    (Min/MaxWithRetractAggFunction).
+
+    ``size``/``slide``: window parameters in the time column's own
+    units for numeric columns, or anything ``_within_delta`` accepts
+    ("1 hour", seconds) for timestamp columns. ``slide=None`` = tumble.
+    ``order_by``: per-key intra-batch processing order (falls back to
+    ``_change_seq`` when the input carries one) — retractions must
+    replay after the inserts they cancel, the same loud contract as
+    the other changelog consumers.
+
+    Batch inputs run the identical processor through ``applyInPandas``
+    with the end-of-input watermark (+inf — Flink batch semantics:
+    every touched window closes), which is the replay-equality oracle.
+
+    100 TB: one shuffle on the key; per-key state = the OPEN windows
+    only (closed windows are purged on fire), so state is bounded by
+    size/slide x the key's in-flight event-time spread, not by history.
+    """
+    import math
+
+    import pandas as pd
+
+    from reshape_on_flink_spark.operators.cep import _within_delta
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    fields = {f.name: f for f in sdf.schema.fields}
+    for out, (fn, col) in aggs.items():
+        if fn not in _FNS:
+            raise ValueError(f"unsupported aggregate {fn!r} (use {_FNS})")
+        if fn != "count" and (col is None or col not in fields):
+            raise ValueError(f"aggregate {out!r}: unknown input column {col!r}")
+    if time_col not in fields:
+        raise ValueError(f"unknown time column {time_col!r}")
+    if consume_changelog and CHANGE_COL not in fields:
+        raise ValueError(
+            f"consume_changelog=True needs a {CHANGE_COL!r} column on the input"
+        )
+    is_time = fields[time_col].dataType.typeName().startswith("timestamp")
+    size_t = float(_within_delta(size, is_time))
+    slide_t = None if slide is None else float(_within_delta(slide, is_time))
+    if size_t <= 0 or (slide_t is not None and slide_t <= 0):
+        raise ValueError("window size/slide must be positive")
+
+    from pyspark.sql.types import TimestampType
+
+    wtype = TimestampType() if is_time else DoubleType()
+    out_schema = StructType(
+        [
+            StructField(CHANGE_COL, StringType()),
+            StructField("window_start", wtype),
+            StructField("window_end", wtype),
+            *[fields[k] for k in keys],
+            *[
+                StructField(out, _out_field(fn, fields.get(col or "", None)))
+                for out, (fn, col) in aggs.items()
+            ],
+        ]
+    )
+    state_schema = StructType(
+        [StructField("blob", BinaryType()), StructField("wm", DoubleType())]
+    )
+    agg_items = list(aggs.items())
+    need_multiset = consume_changelog and any(
+        fn in ("min", "max") for _o, (fn, _c) in agg_items
+    )
+    _SIGN = {INSERT: 1, UPDATE_AFTER: 1, UPDATE_BEFORE: -1, DELETE: -1}
+    cols = [f.name for f in out_schema.fields]
+
+    def _init_acc():
+        acc = {"n": 0}
+        for out, (fn, col) in agg_items:
+            if fn in ("sum", "avg"):
+                acc[f"s_{out}"] = 0.0
+                acc[f"c_{out}"] = 0
+            elif fn in ("min", "max"):
+                acc[f"m_{out}"] = [] if need_multiset else None
+        return acc
+
+    def _finalize(acc):
+        row = []
+        for out, (fn, col) in agg_items:
+            if fn == "count":
+                row.append(int(acc["n"]) if acc["n"] > 0 else 0)
+            elif fn == "sum":
+                row.append(float(acc[f"s_{out}"]) if acc[f"c_{out}"] > 0 else None)
+            elif fn == "avg":
+                row.append(
+                    float(acc[f"s_{out}"]) / acc[f"c_{out}"]
+                    if acc[f"c_{out}"] > 0
+                    else None
+                )
+            else:
+                if need_multiset:
+                    ms = acc[f"m_{out}"]
+                    row.append(
+                        None if not ms else (min(ms) if fn == "min" else max(ms))
+                    )
+                else:
+                    row.append(acc[f"m_{out}"])
+        return row
+
+    def _is_null(v):
+        return v is None or v != v
+
+    def _windows_of(tick: float):
+        if slide_t is None:
+            ws = math.floor(tick / size_t) * size_t
+            return (ws,)
+        last = math.floor(tick / slide_t) * slide_t
+        out = []
+        ws = last
+        while ws > tick - size_t:
+            out.append(ws)
+            ws -= slide_t
+        return tuple(out)
+
+    def _tick_series(batch):
+        if is_time:
+            return (
+                batch[time_col]
+                .astype("datetime64[us]")
+                .astype("int64")
+                .astype("float64")
+            )
+        return batch[time_col].astype("float64")
+
+    def _process(key_vals, batch, wins, wm):
+        """Apply one (sorted) batch to the per-window accumulators with
+        the CURRENT watermark for lateness, return #late-dropped."""
+        tick = _tick_series(batch).tolist()
+        if consume_changelog:
+            signs = batch[CHANGE_COL].map(_SIGN)
+            if signs.isna().any():
+                bad = batch[CHANGE_COL][signs.isna()].iloc[0]
+                raise ValueError(f"unknown {CHANGE_COL} value {bad!r}")
+            signs = signs.tolist()
+        else:
+            signs = [1] * len(batch)
+        vals = {
+            col: batch[col].tolist()
+            for _o, (fn, col) in agg_items
+            if fn != "count"
+        }
+        late = 0
+        for i, (t, sg) in enumerate(zip(tick, signs)):
+            dropped = True
+            for ws in _windows_of(t):
+                if ws + size_t <= wm:
+                    continue  # window already fired + cleaned
+                dropped = False
+                acc = wins.get(ws)
+                if acc is None:
+                    acc = wins[ws] = _init_acc()
+                acc["n"] += sg
+                for out, (fn, col) in agg_items:
+                    if fn in ("sum", "avg"):
+                        v = vals[col][i]
+                        if not _is_null(v):
+                            acc[f"s_{out}"] += sg * float(v)
+                            acc[f"c_{out}"] += sg
+                    elif fn in ("min", "max"):
+                        v = vals[col][i]
+                        if _is_null(v):
+                            continue
+                        if need_multiset:
+                            ms = acc[f"m_{out}"]
+                            if sg > 0:
+                                ms.append(v)
+                            else:
+                                ms.remove(v)  # loud on retract-first
+                        else:
+                            cur = acc[f"m_{out}"]
+                            acc[f"m_{out}"] = (
+                                v
+                                if cur is None
+                                else (min(cur, v) if fn == "min" else max(cur, v))
+                            )
+            late += dropped
+        return late
+
+    def _sorted(batch):
+        sort_col = order_by if order_by is not None else (
+            "_change_seq" if "_change_seq" in batch.columns else None
+        )
+        if sort_col is not None:
+            batch = batch.sort_values(sort_col, kind="mergesort")
+        return batch
+
+    def _fire(key_vals, wins, wm):
+        rows = []
+        for ws in sorted(w for w in wins if w + size_t <= wm):
+            acc = wins.pop(ws)
+            if is_time:
+                b0 = pd.Timestamp(int(ws), unit="us")
+                b1 = pd.Timestamp(int(ws + size_t), unit="us")
+            else:
+                b0, b1 = ws, ws + size_t
+            rows.append([INSERT, b0, b1, *key_vals, *_finalize(acc)])
+        return rows
+
+    if sdf.isStreaming:
+
+        def run(key, pdfs, state):
+            if state.exists:
+                blob, wm = state.get
+                wins = pickle.loads(blob)
+            else:
+                wins, wm = {}, float("-inf")
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            if not len(batch):
+                return
+            batch = _sorted(batch)
+            late = _process(list(key), batch, wins, wm)
+            if late:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "window_agg_changelog: dropped %d late row(s) for key "
+                    "%r (window already fired — lateRecordsDroppedRate)",
+                    late, key,
+                )
+            wm = max(wm, float(_tick_series(batch).max()))
+            rows = _fire(list(key), wins, wm)
+            state.update((pickle.dumps(wins), wm))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+        return sdf.groupBy(*keys).applyInPandasWithState(
+            run, out_schema, state_schema, "append", "NoTimeout"
+        )
+
+    def run_batch(key, batch):
+        wins: dict = {}
+        _process(list(key), _sorted(batch), wins, float("-inf"))
+        rows = _fire(list(key), wins, float("inf"))
+        return pd.DataFrame(rows, columns=cols)
+
+    return sdf.groupBy(*keys).applyInPandas(run_batch, out_schema)

@@ -782,3 +782,162 @@ def test_join_state_view_units():
 
     with pytest.raises(ValueError, match="not in the left"):
         _make_view(["nope"], "left", ["k"], ["lv"])
+
+
+# ---------------------------------------------------------------------
+# window_agg_changelog — WindowOperator.java:341-391 (accumulate/retract
+# per affected window, late rows dropped after cleanup, append output)
+# ---------------------------------------------------------------------
+
+
+def _wlog(spark, rows):
+    """rows: (seq, kind, k, t, v) -> keyed changelog with event time t."""
+    return spark.createDataFrame(
+        rows, f"seq int, {CHANGE_COL} string, k int, t double, v double"
+    )
+
+
+_WAGGS = {"cnt": ("count", None), "s": ("sum", "v"), "mx": ("max", "v")}
+
+
+def _wrows(out_df):
+    return sorted(
+        (r.k, r.window_start, r.window_end, r._change_type, r.cnt, r.s, r.mx)
+        for r in out_df.collect()
+    )
+
+
+def test_window_agg_changelog_tumble_retracts_and_drained_window(spark):
+    """Tumble(10): -D retracts from its window's accumulators; a window
+    whose every row was retracted still FIRES with the drained
+    aggregates (COUNT 0, SUM/MAX NULL) — emitWindowResult has no
+    emptiness check."""
+    from reshape_on_flink_spark.streaming.changelog import window_agg_changelog
+
+    log = _wlog(spark, [
+        (1, INSERT, 1, 1.0, 10.0),
+        (2, INSERT, 1, 5.0, 20.0),
+        (3, DELETE, 1, 5.0, 20.0),    # retracts the 20 in window [0,10)
+        (4, INSERT, 1, 12.0, 7.0),
+        (5, INSERT, 1, 23.0, 5.0),
+        (6, DELETE, 1, 23.0, 5.0),    # drains window [20,30) entirely
+    ])
+    out = window_agg_changelog(
+        log, "k", "t", _WAGGS, size=10.0, order_by="seq",
+    )
+    assert _wrows(out) == [
+        (1, 0.0, 10.0, "+I", 1, 10.0, 10.0),
+        (1, 10.0, 20.0, "+I", 1, 7.0, 7.0),
+        (1, 20.0, 30.0, "+I", 0, None, None),  # drained but touched
+    ], _wrows(out)
+
+
+def test_window_agg_changelog_hop_multi_assign(spark):
+    """Hop(size 10, slide 5): a row lands in BOTH overlapping windows
+    and its retraction retracts from both (assignStateNamespace loop,
+    WindowOperator.java:353-371)."""
+    from reshape_on_flink_spark.streaming.changelog import window_agg_changelog
+
+    log = _wlog(spark, [
+        (1, INSERT, 1, 7.0, 10.0),   # windows [0,10) and [5,15)
+        (2, INSERT, 1, 12.0, 3.0),   # windows [5,15) and [10,20)
+        (3, UPDATE_BEFORE, 1, 7.0, 10.0),
+        (4, UPDATE_AFTER, 1, 7.0, 11.0),  # amend the first fact
+    ])
+    out = window_agg_changelog(
+        log, "k", "t", _WAGGS, size=10.0, slide=5.0, order_by="seq",
+    )
+    assert _wrows(out) == [
+        (1, 0.0, 10.0, "+I", 1, 11.0, 11.0),
+        (1, 5.0, 15.0, "+I", 2, 14.0, 11.0),
+        (1, 10.0, 20.0, "+I", 1, 3.0, 3.0),
+    ], _wrows(out)
+
+
+def test_window_agg_changelog_stream_equals_batch(spark, tmp_dir):
+    """Streaming route == batch route on every window the stream's
+    high-water mark closed (trailing windows stay pending at the
+    watermark — Flink leaves them in state too)."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.changelog import window_agg_changelog
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    rows, seq = [], 0
+    for k in (1, 2):
+        for i in range(12):
+            t = float(3 * i + k)
+            seq += 1
+            rows.append((seq, INSERT, k, t, float(10 * i)))
+            if i % 3 == 0:
+                seq += 1
+                rows.append((seq, DELETE, k, t, float(10 * i)))
+    log = _wlog(spark, rows)
+    batch = window_agg_changelog(log, "k", "t", _WAGGS, size=10.0, order_by="seq")
+    max_tick = max(r[3] for r in rows)
+    expected = [r for r in _wrows(batch) if r[2] <= max_tick]
+
+    stream = chunked_replay(
+        spark, log, os.path.join(tmp_dir, "wagg"), n_chunks=4, order_col="seq"
+    )
+    sout = window_agg_changelog(stream, "k", "t", _WAGGS, size=10.0, order_by="seq")
+    got = _wrows(run_to_memory(spark, sout, "wagg_out", tmp_dir, mode="append"))
+    assert got == expected and len(got) >= 6, (got, expected)
+
+
+def test_window_agg_changelog_late_rows_dropped(spark, tmp_dir):
+    """A row (here: a retraction) arriving AFTER its window fired is
+    dropped — lateRecordsDroppedRate — leaving the emitted window as
+    it was; the batch route (end-of-input watermark) still consumes
+    it, pinning the documented divergence of late replays."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.changelog import window_agg_changelog
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    rows = [
+        (1, INSERT, 1, 1.0, 10.0),
+        (2, INSERT, 1, 25.0, 3.0),   # chunk 1 ends: wm=25, [0,10) fires
+        (3, DELETE, 1, 1.0, 10.0),   # chunk 2: late retraction -> dropped
+        (4, INSERT, 1, 38.0, 1.0),   # closes [20,30)
+    ]
+    log = _wlog(spark, rows)
+    stream = chunked_replay(
+        spark, log, os.path.join(tmp_dir, "wlate"), n_chunks=2, order_col="seq"
+    )
+    sout = window_agg_changelog(stream, "k", "t", _WAGGS, size=10.0, order_by="seq")
+    got = _wrows(run_to_memory(spark, sout, "wlate_out", tmp_dir, mode="append"))
+    assert (1, 0.0, 10.0, "+I", 1, 10.0, 10.0) in got, got  # unretracted
+    # batch processes everything before firing: the window drains
+    assert (1, 0.0, 10.0, "+I", 0, None, None) in _wrows(
+        window_agg_changelog(log, "k", "t", _WAGGS, size=10.0, order_by="seq")
+    )
+
+
+def test_window_agg_changelog_timestamp_windows(spark):
+    """Timestamp time column: size given as an interval string, window
+    bounds emitted as timestamps."""
+    import datetime as dt
+
+    from reshape_on_flink_spark.streaming.changelog import window_agg_changelog
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            (1, INSERT, 1, t0 + dt.timedelta(seconds=3), 5.0),
+            (2, INSERT, 1, t0 + dt.timedelta(seconds=14), 6.0),
+            (3, UPDATE_BEFORE, 1, t0 + dt.timedelta(seconds=3), 5.0),
+        ],
+        f"seq int, {CHANGE_COL} string, k int, t timestamp, v double",
+    )
+    out = window_agg_changelog(
+        df, "k", "t", {"cnt": ("count", None), "s": ("sum", "v")},
+        size="10 seconds", order_by="seq",
+    )
+    got = sorted((r.window_start, r.window_end, r.cnt, r.s) for r in out.collect())
+    assert got == [
+        (t0, t0 + dt.timedelta(seconds=10), 0, None),
+        (t0 + dt.timedelta(seconds=10), t0 + dt.timedelta(seconds=20), 1, 6.0),
+    ], got
