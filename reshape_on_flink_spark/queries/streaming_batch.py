@@ -1751,3 +1751,68 @@ def q_changelog_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "amt_sum",
         F.col("amt_max").cast("double").alias("amt_max"),
     ).orderBy("user_id", "ws")
+
+
+# ---------------------------------------------------------------------------
+# Retractable streaming Top-N (round 10) — RetractableTopNFunction.java
+# under the hash gate. The changelog inserts every event and later fully
+# retracts every third one, so the operator's final rank table (its
+# emission stream materialized per (user, rank) slot by
+# changelog_normalize — vacated slots end on -D and drop) equals
+# ROW_NUMBER() over the never-retracted facts. The sort key
+# (amt DESC, event_id ASC) is unique, so arrival-order ties never
+# arbitrate the oracle. All intermediate up/downgrade churn must net
+# out exactly for the hash to match — this gates the emission logic,
+# not just the final sort. Scale: one keyed shuffle; emission is
+# O(rank shifts) — the operator's contractual output.
+# ---------------------------------------------------------------------------
+@query(
+    "q_retractable_topn",
+    """
+    WITH f AS (
+      SELECT user_id, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS amt
+      FROM events
+      WHERE event_id % 3 <> 0
+    ),
+    r AS (
+      SELECT user_id, event_id, amt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY amt DESC, event_id ASC) AS rank_num
+      FROM f
+    )
+    SELECT user_id, CAST(rank_num AS BIGINT) AS rank_num, event_id, amt
+    FROM r WHERE rank_num <= 3
+    ORDER BY user_id, rank_num
+    """,
+)
+def q_retractable_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.operators.changelog import changelog_normalize
+    from reshape_on_flink_spark.streaming.changelog import retractable_topn
+
+    base = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("amt"),
+    )
+    w = W.partitionBy("user_id").orderBy("event_id")
+    seqd = base.withColumn("rn", F.row_number().over(w))
+    ins = seqd.select(
+        "user_id", F.lit("+I").alias("_change_type"), "event_id", "amt",
+        (F.col("rn") * 2).cast("long").alias("oseq"),
+    )
+    dels = seqd.where(F.col("event_id") % 3 == 0).select(
+        "user_id", F.lit("-D").alias("_change_type"), "event_id", "amt",
+        (F.col("rn") * 2 + 1).cast("long").alias("oseq"),
+    )
+    out = retractable_topn(
+        ins.unionByName(dels),
+        "user_id",
+        [("amt", "desc"), ("event_id", "asc")],
+        rank_end=3,
+        output_rank_number=True,
+        order_by="oseq",
+    )
+    final = changelog_normalize(out, ["user_id", "rank_num"], "_change_seq")
+    return final.select(
+        "user_id", "rank_num", "event_id", "amt"
+    ).orderBy("user_id", "rank_num")

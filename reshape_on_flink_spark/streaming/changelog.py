@@ -1026,3 +1026,356 @@ def window_agg_changelog(
         return pd.DataFrame(rows, columns=cols)
 
     return sdf.groupBy(*keys).applyInPandas(run_batch, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Retractable streaming Top-N — RetractableTopNFunction.java (flink-table/
+# flink-table-runtime-blink/.../operators/rank/RetractableTopNFunction.java)
+# over the AbstractTopNFunction collect contract (:245-301). The state is
+# the reference's exactly: a sorted map sort-key -> count plus a data map
+# sort-key -> arrival-ordered record list; every input (accumulate OR
+# retract) walks the in-range prefix and emits the rank shifts.
+# ---------------------------------------------------------------------------
+
+
+def retractable_topn(
+    sdf: DataFrame,
+    partition_by: str | list[str],
+    sort_cols: list[tuple[str, str]],
+    *,
+    rank_end: int,
+    rank_start: int = 1,
+    output_rank_number: bool = True,
+    generate_update_before: bool = True,
+    order_by: str | None = None,
+) -> DataFrame:
+    """Streaming Top-N that CONSUMES a changelog — Flink's
+    ``RetractableTopNFunction`` (the planner's choice whenever the rank
+    input is an updating table). Each ``+I/+U`` input may push a row out
+    of the Top-N (its downgrade emits as -U/+U rank shifts, or a -D on
+    the without-number path); each ``-U/-D`` input may promote the row
+    after it (rank shifts, or a +I of the newly-in-range row). Emission
+    kinds follow AbstractTopNFunction.java:245-301: every emitted rank
+    is range-checked against ``[rank_start, rank_end]``, and the
+    with-row-number algorithm is forced when an offset is present.
+
+    ``sort_cols``: ``[(col, "asc"|"desc"), ...]`` — the ORDER BY of the
+    reference's ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...)
+    WHERE rn <= N pattern. Ties keep ARRIVAL order (the reference's
+    per-sort-key record list). ``order_by``: intra-batch replay order,
+    same contract as the other changelog consumers.
+
+    State per key = the reference's exactly: ``sortedMap`` (sort-key ->
+    live count) + ``dataState`` (sort-key -> arrival-ordered records);
+    retraction removes by record equality (RecordEqualiser). A retract
+    for a sort key with EMPTY state warns (the reference's lenient
+    STATE_CLEARED path); a non-empty mismatch raises — same split as
+    RetractableTopNFunction.java:180-196. The Python sorted-map is a
+    dict re-sorted per record (O(K log K) vs the TreeMap's O(log K));
+    K = live distinct sort keys per partition key, which the walk
+    bounds anyway — the O(matches shifted) output dominates.
+
+    Batch inputs run the identical processor through ``applyInPandas``
+    (the replay-equality oracle); ``changelog_normalize`` over
+    (keys, rank_num) materializes the final rank table.
+
+    100 TB: one shuffle on the key; emission is O(rank shifts), which
+    is the operator's contractual output — there is no cheaper correct
+    answer for an updating input.
+    """
+    import functools
+
+    import pandas as pd
+
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    fields = {f.name: f for f in sdf.schema.fields}
+    if CHANGE_COL not in fields:
+        raise ValueError(f"retractable_topn needs a {CHANGE_COL!r} column")
+    if rank_end < 1 or rank_start < 1 or rank_start > rank_end:
+        raise ValueError(f"bad rank range [{rank_start}, {rank_end}]")
+    for c, d in sort_cols:
+        if c not in fields:
+            raise ValueError(f"unknown sort column {c!r}")
+        if d not in ("asc", "desc"):
+            raise ValueError(f"sort direction must be asc/desc, got {d!r}")
+    skip = set(keys) | {CHANGE_COL} | ({order_by} if order_by else set())
+    payload = [c for c in sdf.columns if c not in skip]
+    miss = [c for c, _d in sort_cols if c not in payload]
+    if miss:
+        raise ValueError(f"sort columns {miss} must be payload columns")
+    sort_idx = [(payload.index(c), d == "desc") for c, d in sort_cols]
+    use_rownum = output_rank_number or rank_start > 1
+
+    integral_types = ("int", "bigint", "smallint", "tinyint", "long")
+    pay_int = [dict(sdf.dtypes)[c] in integral_types for c in payload]
+
+    out_schema = StructType(
+        [StructField(CHANGE_COL, StringType())]
+        + [fields[k] for k in keys]
+        + [StructField(c, fields[c].dataType, True) for c in payload]
+        + ([StructField("rank_num", LongType())] if output_rank_number else [])
+        + [StructField("_change_seq", LongType())]
+    )
+    state_schema = StructType(
+        [StructField("blob", BinaryType()), StructField("seq", LongType())]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def _sk(rec):
+        return tuple(rec[i] for i, _desc in sort_idx)
+
+    def _cmp(a, b):
+        for (i, desc), va, vb in zip(sort_idx, a, b):
+            if va == vb:
+                continue
+            if va is None:
+                return 1  # NULLs last in ascending order
+            if vb is None:
+                return -1
+            lt = va < vb
+            if desc:
+                lt = not lt
+            return -1 if lt else 1
+        return 0
+
+    def _process_key(key_vals, records, st, seq0):
+        # cmp_to_key wrappers aren't picklable: build per invocation
+        _key_of = functools.cmp_to_key(_cmp)
+        smap, ds = st["sm"], st["ds"]
+        rows = []
+        key_list = list(key_vals)
+
+        def coll(kind, rec, rank=None, checked=True):
+            # AbstractTopNFunction.collect*(row, rank): range-checked;
+            # the unchecked overloads pass rank=None. collectUpdateBefore
+            # additionally honors generateUpdateBefore (:279) — the
+            # planner omits -U when the downstream doesn't need it
+            if kind == UPDATE_BEFORE and not generate_update_before:
+                return
+            if checked and rank is not None and not (
+                rank_start <= rank <= rank_end
+            ):
+                return
+            row = [kind, *key_list, *rec]
+            if output_rank_number:
+                row.append(int(rank) if rank is not None else None)
+            rows.append(row)
+
+        def _sorted_keys():
+            return sorted(smap, key=_key_of)
+
+        def emit_with_rownum(sk, in_rec):
+            cur_rank, cur_row, finds = 0, None, False
+            for key in _sorted_keys():
+                if cur_rank > rank_end:
+                    break
+                if not finds and key == sk:
+                    cur_rank += smap[key]
+                    cur_row = in_rec
+                    finds = True
+                elif finds:
+                    inputs = ds.get(key, [])
+                    i = 0
+                    while i < len(inputs) and cur_rank <= rank_end:
+                        prev = inputs[i]
+                        coll(UPDATE_BEFORE, prev, cur_rank)
+                        coll(UPDATE_AFTER, cur_row, cur_rank)
+                        cur_row = prev
+                        cur_rank += 1
+                        i += 1
+                else:
+                    cur_rank += smap[key]
+            if cur_rank <= rank_end:
+                coll(INSERT, cur_row, cur_rank)
+
+        def emit_without_rownum(sk, in_rec):
+            cur_rank, finds = 0, False
+            to_collect = to_delete = None
+            for key in _sorted_keys():
+                if cur_rank > rank_end:
+                    break
+                if not finds and key == sk:
+                    cur_rank += smap[key]
+                    if rank_start <= cur_rank <= rank_end:
+                        to_collect = in_rec
+                    finds = True
+                elif finds:
+                    count = smap[key]
+                    rank_of_last = cur_rank + count
+                    if rank_of_last <= rank_end:
+                        cur_rank = rank_of_last
+                    else:
+                        to_delete = ds[key][rank_end - cur_rank]
+                        break
+                else:
+                    cur_rank += smap[key]
+            if to_delete is not None:
+                coll(DELETE, to_delete, checked=False)
+            if to_collect is not None:
+                coll(INSERT, in_rec, checked=False)
+
+        def retract_with_rownum(sk, in_rec):
+            cur_rank, prev_row, finds = 0, None, False
+            for key in _sorted_keys():
+                if cur_rank > rank_end:
+                    break
+                if not finds and key == sk:
+                    inputs = ds.get(key, [])
+                    it = 0
+                    while it < len(inputs) and cur_rank <= rank_end:
+                        cur_row = inputs[it]
+                        if not finds and cur_row == in_rec:
+                            prev_row = cur_row
+                            finds = True
+                            # remove; the NEXT row shifts INTO the
+                            # removed row's rank, so the rank counter
+                            # still advances (reference :364-375)
+                            del inputs[it]
+                        else:
+                            if finds:
+                                coll(UPDATE_BEFORE, prev_row, cur_rank)
+                                coll(UPDATE_AFTER, cur_row, cur_rank)
+                                prev_row = cur_row
+                            it += 1
+                        cur_rank += 1
+                    if not inputs:
+                        ds.pop(key, None)
+                elif finds:
+                    inputs = ds.get(key, [])
+                    i = 0
+                    while i < len(inputs) and cur_rank <= rank_end:
+                        cur_row = inputs[i]
+                        coll(UPDATE_BEFORE, prev_row, cur_rank)
+                        coll(UPDATE_AFTER, cur_row, cur_rank)
+                        prev_row = cur_row
+                        cur_rank += 1
+                        i += 1
+                else:
+                    cur_rank += smap[key]
+            if cur_rank <= rank_end and finds:
+                # no replacement behind: the retracted row leaves a hole
+                coll(DELETE, prev_row, cur_rank)
+            return finds
+
+        def retract_without_rownum(sk, in_rec):
+            next_rank, finds = 1, False
+            for key in _sorted_keys():
+                if next_rank > rank_end:
+                    break
+                if not finds and key == sk:
+                    inputs = ds.get(key, [])
+                    it = 0
+                    while it < len(inputs) and next_rank <= rank_end:
+                        prev_row = inputs[it]
+                        if not finds and prev_row == in_rec:
+                            coll(DELETE, prev_row, next_rank, checked=False)
+                            next_rank -= 1
+                            finds = True
+                            del inputs[it]
+                        else:
+                            if finds and next_rank == rank_end:
+                                coll(INSERT, prev_row, checked=False)
+                            it += 1
+                        next_rank += 1
+                    if not inputs:
+                        ds.pop(key, None)
+                elif finds:
+                    count = smap[key]
+                    rank_of_last = next_rank + count - 1
+                    if rank_of_last < rank_end:
+                        next_rank = rank_of_last + 1
+                    else:
+                        to_add = ds[key][rank_end - next_rank]
+                        coll(INSERT, to_add, checked=False)
+                        break
+                else:
+                    next_rank += smap[key]
+            return finds
+
+        for kind, rec in records:
+            sk = _sk(rec)
+            if kind in (INSERT, UPDATE_AFTER):
+                smap[sk] = smap.get(sk, 0) + 1
+                if use_rownum:
+                    emit_with_rownum(sk, rec)
+                else:
+                    emit_without_rownum(sk, rec)
+                ds.setdefault(sk, []).append(rec)
+            else:
+                if use_rownum:
+                    removed = retract_with_rownum(sk, rec)
+                else:
+                    removed = retract_without_rownum(sk, rec)
+                if sk in smap:
+                    n = smap[sk] - 1
+                    if n == 0:
+                        del smap[sk]
+                    else:
+                        smap[sk] = n
+                elif not smap:
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "retractable_topn: state cleared (TTL) — lenient skip"
+                    )
+                else:
+                    raise ValueError(
+                        f"Can not retract a non-existent record: {rec!r}"
+                    )
+                if not removed:
+                    inputs = ds.get(sk)
+                    if inputs is not None:
+                        for i, r in enumerate(inputs):
+                            if r == rec:
+                                del inputs[i]
+                                break
+                        if not inputs:
+                            ds.pop(sk, None)
+        if rows:
+            rows = [[*r, seq0 + i] for i, r in enumerate(rows)]
+        return rows
+
+    _KINDS_OK = {INSERT, UPDATE_AFTER, UPDATE_BEFORE, DELETE}
+
+    def _records(batch):
+        if order_by is not None:
+            batch = batch.sort_values(order_by, kind="mergesort")
+        elif "_change_seq" in batch.columns:
+            batch = batch.sort_values("_change_seq", kind="mergesort")
+        kinds = batch[CHANGE_COL].tolist()
+        vals = [batch[c].tolist() for c in payload]
+        recs = []
+        for i, kd in enumerate(kinds):
+            if kd not in _KINDS_OK:
+                raise ValueError(f"unknown {CHANGE_COL} value {kd!r}")
+            recs.append(
+                (kd, tuple(_norm_cell(col[i], ii) for col, ii in zip(vals, pay_int)))
+            )
+        return recs
+
+    if sdf.isStreaming:
+
+        def run(key, pdfs, state):
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            if not len(batch):
+                return
+            if state.exists:
+                blob, seq = state.get
+                st = pickle.loads(blob)
+            else:
+                st, seq = {"sm": {}, "ds": {}}, 0
+            rows = _process_key(key, _records(batch), st, seq)
+            state.update((pickle.dumps(st), seq + len(rows)))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+        return sdf.groupBy(*keys).applyInPandasWithState(
+            run, out_schema, state_schema, "append", "NoTimeout"
+        )
+
+    def run_batch(key, batch):
+        st = {"sm": {}, "ds": {}}
+        rows = _process_key(key, _records(batch), st, 0)
+        return pd.DataFrame(rows, columns=cols)
+
+    return sdf.groupBy(*keys).applyInPandas(run_batch, out_schema)

@@ -941,3 +941,247 @@ def test_window_agg_changelog_timestamp_windows(spark):
         (t0, t0 + dt.timedelta(seconds=10), 0, None),
         (t0 + dt.timedelta(seconds=10), t0 + dt.timedelta(seconds=20), 1, 6.0),
     ], got
+
+
+# ---------------------------------------------------------------------
+# retractable_topn — RetractableTopNFunctionTest.java ports (the
+# reference's own emission matrices, compared per partition key in
+# _change_seq order). Record model: (shop, rid, num), sort = num asc,
+# ties by arrival — exactly the test base's selectors.
+# ---------------------------------------------------------------------
+
+
+def _topn_run(spark, rows, n, gen_ub, rownum, rank_start=1):
+    import collections
+
+    from reshape_on_flink_spark.streaming.changelog import retractable_topn
+
+    df = spark.createDataFrame(
+        rows, f"seq int, {CHANGE_COL} string, shop string, rid long, num int"
+    )
+    out = retractable_topn(
+        df, "shop", [("num", "asc")],
+        rank_end=n, rank_start=rank_start, output_rank_number=rownum,
+        generate_update_before=gen_ub, order_by="seq",
+    )
+    res = collections.defaultdict(list)
+    for r in sorted(out.collect(), key=lambda r: (r.shop, r._change_seq)):
+        rec = (r._change_type, r.rid, r.num) + ((r.rank_num,) if rownum else ())
+        res[r.shop].append(rec)
+    return dict(res)
+
+
+_TOPN_BOOKS = [
+    (1, INSERT, "book", 1, 12),
+    (2, INSERT, "book", 2, 19),
+    (3, INSERT, "book", 4, 11),
+    (4, UPDATE_BEFORE, "book", 1, 12),
+    (5, INSERT, "book", 5, 11),
+    (6, INSERT, "fruit", 4, 33),
+    (7, INSERT, "fruit", 3, 44),
+    (8, INSERT, "fruit", 5, 22),
+]
+
+
+def test_retractable_topn_retract_message_no_update_before(spark):
+    """testProcessRetractMessageWithNotGenerateUpdateBefore (N=2)."""
+    got = _topn_run(spark, _TOPN_BOOKS, 2, gen_ub=False, rownum=True)
+    assert got == {
+        "book": [
+            ("+I", 1, 12, 1), ("+I", 2, 19, 2),
+            ("+U", 4, 11, 1), ("+U", 1, 12, 2),
+            ("+U", 2, 19, 2),                      # retract (1,12)
+            ("+U", 5, 11, 2),
+        ],
+        "fruit": [
+            ("+I", 4, 33, 1), ("+I", 3, 44, 2),
+            ("+U", 5, 22, 1), ("+U", 4, 33, 2),
+        ],
+    }, got
+
+
+def test_retractable_topn_retract_message_with_update_before(spark):
+    """testProcessRetractMessageWithGenerateUpdateBefore (N=2)."""
+    got = _topn_run(spark, _TOPN_BOOKS, 2, gen_ub=True, rownum=True)
+    assert got == {
+        "book": [
+            ("+I", 1, 12, 1), ("+I", 2, 19, 2),
+            ("-U", 1, 12, 1), ("+U", 4, 11, 1),
+            ("-U", 2, 19, 2), ("+U", 1, 12, 2),
+            ("-U", 1, 12, 2), ("+U", 2, 19, 2),
+            ("-U", 2, 19, 2), ("+U", 5, 11, 2),
+        ],
+        "fruit": [
+            ("+I", 4, 33, 1), ("+I", 3, 44, 2),
+            ("-U", 4, 33, 1), ("+U", 5, 22, 1),
+            ("-U", 3, 44, 2), ("+U", 4, 33, 2),
+        ],
+    }, got
+
+
+_TOPN_INSERTS = [
+    (1, INSERT, "book", 1, 12),
+    (2, INSERT, "book", 2, 19),
+    (3, INSERT, "book", 4, 11),
+    (4, INSERT, "fruit", 4, 33),
+    (5, INSERT, "fruit", 3, 44),
+    (6, INSERT, "fruit", 5, 22),
+    (7, INSERT, "book", 1, 10),  # the reference's post-restore record
+]
+
+
+def test_retractable_topn_rank_range_with_rownum_and_restore(spark):
+    """testConstantRankRangeWithoutOffsetWithRowNumber incl. the
+    snapshot/restore tail (state continuity == one long replay)."""
+    got = _topn_run(spark, _TOPN_INSERTS, 2, gen_ub=True, rownum=True)
+    assert got == {
+        "book": [
+            ("+I", 1, 12, 1), ("+I", 2, 19, 2),
+            ("-U", 1, 12, 1), ("+U", 4, 11, 1),
+            ("-U", 2, 19, 2), ("+U", 1, 12, 2),
+            ("-U", 4, 11, 1), ("+U", 1, 10, 1),
+            ("-U", 1, 12, 2), ("+U", 4, 11, 2),
+        ],
+        "fruit": [
+            ("+I", 4, 33, 1), ("+I", 3, 44, 2),
+            ("-U", 4, 33, 1), ("+U", 5, 22, 1),
+            ("-U", 3, 44, 2), ("+U", 4, 33, 2),
+        ],
+    }, got
+
+
+def test_retractable_topn_without_rownum_and_restore(spark):
+    """testConstantRankRangeWithoutOffsetWithoutRowNumber: the
+    without-number algorithm emits only the boundary churn (+I of the
+    entrant, -D of the displaced row)."""
+    got = _topn_run(spark, _TOPN_INSERTS, 2, gen_ub=True, rownum=False)
+    assert got == {
+        "book": [
+            ("+I", 1, 12), ("+I", 2, 19),
+            ("-D", 2, 19), ("+I", 4, 11),
+            ("-D", 1, 12), ("+I", 1, 10),
+        ],
+        "fruit": [
+            ("+I", 4, 33), ("+I", 3, 44),
+            ("-D", 3, 44), ("+I", 5, 22),
+        ],
+    }, got
+
+
+_TOPN_TIES = [
+    (1, INSERT, "a", 1, 1),
+    (2, INSERT, "a", 2, 2),
+    (3, INSERT, "a", 3, 2),
+    (4, INSERT, "a", 4, 2),
+    (5, INSERT, "a", 5, 3),
+    (6, INSERT, "a", 6, 4),
+    (7, UPDATE_BEFORE, "a", 2, 2),
+]
+
+
+def test_retractable_topn_ties_without_rownum(spark):
+    """testConstantRankRangeWithoutRowNumber (N=3): equal sort keys
+    rank by ARRIVAL order; the retraction promotes the same-key row
+    waiting at rank 4."""
+    got = _topn_run(spark, _TOPN_TIES, 3, gen_ub=False, rownum=False)
+    assert got == {
+        "a": [
+            ("+I", 1, 1), ("+I", 2, 2), ("+I", 3, 2),
+            ("-D", 2, 2), ("+I", 4, 2),
+        ],
+    }, got
+
+
+def test_retractable_topn_ties_with_rownum(spark):
+    """testConstantRankRangeWithRowNumber (N=3, no update-before)."""
+    got = _topn_run(spark, _TOPN_TIES, 3, gen_ub=False, rownum=True)
+    assert got == {
+        "a": [
+            ("+I", 1, 1, 1), ("+I", 2, 2, 2), ("+I", 3, 2, 3),
+            ("+U", 3, 2, 2), ("+U", 4, 2, 3),
+        ],
+    }, got
+
+
+_TOPN_OOR = [
+    (1, INSERT, "a", 1, 1),
+    (2, INSERT, "a", 2, 2),
+    (3, INSERT, "a", 3, 2),
+    (4, INSERT, "a", 4, 4),
+    (5, INSERT, "a", 5, 4),
+    (6, DELETE, "a", 4, 4),
+    (7, DELETE, "a", 1, 1),
+    (8, DELETE, "a", 2, 2),
+]
+
+
+def test_retractable_topn_retract_out_of_range(spark):
+    """testRetractRecordOutOfRankRange{Without,With}RowNumber (N=2):
+    deleting a row below the cut emits nothing; deleting in-range rows
+    promotes the successors."""
+    got = _topn_run(spark, _TOPN_OOR, 2, gen_ub=False, rownum=False)
+    assert got == {
+        "a": [
+            ("+I", 1, 1), ("+I", 2, 2),
+            ("-D", 1, 1), ("+I", 3, 2),
+            ("-D", 2, 2), ("+I", 5, 4),
+        ],
+    }, got
+    got2 = _topn_run(spark, _TOPN_OOR, 2, gen_ub=False, rownum=True)
+    assert got2 == {
+        "a": [
+            ("+I", 1, 1, 1), ("+I", 2, 2, 2),
+            ("+U", 2, 2, 1), ("+U", 3, 2, 2),
+            ("+U", 3, 2, 1), ("+U", 5, 4, 2),
+        ],
+    }, got2
+
+
+def test_retractable_topn_offset_range(spark):
+    """ConstantRankRange(2,3) — hasOffset forces the with-number
+    algorithm and every emission is range-checked, so rank-1 churn is
+    silent (derived from AbstractTopNFunction.java:245-301)."""
+    rows = [
+        (1, INSERT, "a", 1, 1),
+        (2, INSERT, "a", 2, 2),
+        (3, INSERT, "a", 3, 3),
+        (4, INSERT, "a", 4, 4),
+        (5, INSERT, "a", 0, 0),  # new rank-1: shifts 2->r2(sic) etc.
+    ]
+    got = _topn_run(spark, rows, 3, gen_ub=True, rownum=True, rank_start=2)
+    assert got == {
+        "a": [
+            ("+I", 2, 2, 2), ("+I", 3, 3, 3),
+            ("-U", 2, 2, 2), ("+U", 1, 1, 2),
+            ("-U", 3, 3, 3), ("+U", 2, 2, 3),
+        ],
+    }, got
+
+
+def test_retractable_topn_stream_equals_batch(spark, tmp_dir):
+    """Streaming route across 3 chunks == batch route (snapshot/restore
+    continuity, the reference test's mid-test snapshot)."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.changelog import retractable_topn
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    df = spark.createDataFrame(
+        _TOPN_BOOKS + [(9 + i, k, s, r, n) for i, (k, s, r, n) in enumerate([
+            (DELETE, "book", 4, 11), (INSERT, "fruit", 7, 11),
+            (INSERT, "book", 8, 5), (DELETE, "fruit", 5, 22),
+        ])],
+        f"seq int, {CHANGE_COL} string, shop string, rid long, num int",
+    )
+    kw = dict(rank_end=2, output_rank_number=True, order_by="seq")
+    batch = retractable_topn(df, "shop", [("num", "asc")], **kw)
+    expected = sorted(map(tuple, batch.collect()))
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "rtopn"), n_chunks=3, order_col="seq"
+    )
+    sout = retractable_topn(stream, "shop", [("num", "asc")], **kw)
+    got = sorted(
+        map(tuple, run_to_memory(spark, sout, "rtopn_out", tmp_dir, mode="append").collect())
+    )
+    assert got == expected and len(got) >= 16, (len(got), got[:4])
