@@ -42,6 +42,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # beyond slot 50, queued for the round-9 rotation).
     # round-10 rotation: the new round-10 queries first (no driver row yet)
     "q_retractable_topn",
+    "q_updatable_topn",
     "q_changelog_window_agg",
     "q_cep_timeout",
     "q_changelog_join_transitions",

@@ -1816,3 +1816,70 @@ def q_retractable_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "user_id", "rank_num", "event_id", "amt"
     ).orderBy("user_id", "rank_num")
+
+
+# ---------------------------------------------------------------------------
+# Updatable streaming Top-N (round 10) — UpdatableTopNFunction.java under
+# the hash gate. Upsert changelog: every event inserts at its base amt;
+# every third event later UPGRADES (+U) to amt+100000 — rank-improving
+# only, the operator's monotonicity contract (sort desc, update mono
+# increasing). The final rank table (rank slots only ever fill — rows
+# improve, none retract — so changelog_normalize per (user, rank) keeps
+# each slot's last occupant) equals ROW_NUMBER over the LATEST version
+# of each row. Rows trimmed from the O(N) state re-enter through the
+# buffer-range check when their upgrade lands — that path is exercised
+# wherever the upgrade overtakes rows that had pushed it out.
+# ---------------------------------------------------------------------------
+@query(
+    "q_updatable_topn",
+    """
+    WITH f AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT)
+               + CASE WHEN event_id % 3 = 0 THEN 100000 ELSE 0 END AS amt
+      FROM events
+    ),
+    r AS (
+      SELECT user_id, event_id, amt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY amt DESC, event_id ASC) AS rank_num
+      FROM f
+    )
+    SELECT user_id, CAST(rank_num AS BIGINT) AS rank_num, event_id, amt
+    FROM r WHERE rank_num <= 3
+    ORDER BY user_id, rank_num
+    """,
+)
+def q_updatable_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.operators.changelog import changelog_normalize
+    from reshape_on_flink_spark.streaming.changelog import updatable_topn
+
+    base = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("amt"),
+    )
+    w = W.partitionBy("user_id").orderBy("event_id")
+    seqd = base.withColumn("rn", F.row_number().over(w))
+    ins = seqd.select(
+        "user_id", F.lit("+I").alias("_change_type"), "event_id", "amt",
+        (F.col("rn") * 2).cast("long").alias("oseq"),
+    )
+    ups = seqd.where(F.col("event_id") % 3 == 0).select(
+        "user_id", F.lit("+U").alias("_change_type"), "event_id",
+        (F.col("amt") + 100000).alias("amt"),
+        (F.col("rn") * 2 + 1).cast("long").alias("oseq"),
+    )
+    out = updatable_topn(
+        ins.unionByName(ups),
+        "user_id",
+        "event_id",
+        [("amt", "desc"), ("event_id", "asc")],
+        rank_end=3,
+        output_rank_number=True,
+        order_by="oseq",
+    )
+    final = changelog_normalize(out, ["user_id", "rank_num"], "_change_seq")
+    return final.select(
+        "user_id", "rank_num", "event_id", "amt"
+    ).orderBy("user_id", "rank_num")

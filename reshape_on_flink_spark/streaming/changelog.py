@@ -1379,3 +1379,334 @@ def retractable_topn(
         return pd.DataFrame(rows, columns=cols)
 
     return sdf.groupBy(*keys).applyInPandas(run_batch, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Updatable streaming Top-N — UpdatableTopNFunction.java (flink-table/
+# flink-table-runtime-blink/.../operators/rank/UpdatableTopNFunction.java:
+# 54-61 scenario contract, :257-470 emission walks). The fast path for
+# UPSERT rank inputs: state holds ONLY the Top-N rows, keyed by a unique
+# row key; updates may only move a row UP in rank (the planner's
+# monotonicity rule), so no full history is retained.
+# ---------------------------------------------------------------------------
+
+
+def updatable_topn(
+    sdf: DataFrame,
+    partition_by: str | list[str],
+    row_key: str | list[str],
+    sort_cols: list[tuple[str, str]],
+    *,
+    rank_end: int,
+    output_rank_number: bool = True,
+    generate_update_before: bool = True,
+    order_by: str | None = None,
+) -> DataFrame:
+    """Streaming Top-N over an UPSERT stream — Flink's
+    ``UpdatableTopNFunction``, "a fast version of RetractableTopNFunction
+    which only holds top n data in state" (UpdatableTopNFunction.java:
+    54-61). Scenario contract (the reference planner enforces these;
+    we validate what is checkable and document the rest):
+
+    1. updates move a record toward BETTER ranks only (sort collation
+       ascending with decreasing update mono, or descending with
+       increasing) — an update that would demote a record silently
+       corrupts state in the reference too;
+    2. ``row_key`` is unique and, with the partition key, identifies
+       the record across updates;
+    3. the input carries NO ``-U``/``-D`` rows (upsert stream) — loud
+       here.
+
+    Emission walks are the reference's exactly: a same-sort-key update
+    replaces in place (-U/+U at its rank); a rank-improving update
+    shifts only the rows between its new and old rank
+    (:371-390, the ``compare <= 0 .. currentRank < oldRank`` loop,
+    asserting arrival at the old rank); a new in-range record shifts
+    everything below it and trims the sort keys that fell past the cut
+    from state — silently on the with-number path (their ranks were
+    rewritten by the shift emissions), with an explicit ``-D`` of the
+    retired last row on the without-number path (:449-460).
+
+    State per (partition) key = Top-N rows only: ``buffer`` (sort-key
+    -> arrival-ordered row keys) + ``row-key -> record`` — the
+    reference's TopNBuffer/rowKeyMap pair, pickled per key instead of
+    LRU-cached over RocksDB. 100 TB: one shuffle on the key; state is
+    O(N) per key — THE reason this operator exists next to the
+    retractable one.
+
+    Batch inputs replay through ``applyInPandas`` (the replay-equality
+    oracle). Output schema matches :func:`retractable_topn`.
+    """
+    import functools
+
+    import pandas as pd
+
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    rks = [row_key] if isinstance(row_key, str) else list(row_key)
+    fields = {f.name: f for f in sdf.schema.fields}
+    if CHANGE_COL not in fields:
+        raise ValueError(f"updatable_topn needs a {CHANGE_COL!r} column")
+    if rank_end < 1:
+        raise ValueError(f"rank_end must be >= 1, got {rank_end}")
+    for c, d in sort_cols:
+        if c not in fields:
+            raise ValueError(f"unknown sort column {c!r}")
+        if d not in ("asc", "desc"):
+            raise ValueError(f"sort direction must be asc/desc, got {d!r}")
+    skip = set(keys) | {CHANGE_COL} | ({order_by} if order_by else set())
+    payload = [c for c in sdf.columns if c not in skip]
+    for c in rks:
+        if c not in payload:
+            raise ValueError(f"row_key column {c!r} must be a payload column")
+    sort_idx = [(payload.index(c), d == "desc") for c, d in sort_cols]
+    rk_idx = [payload.index(c) for c in rks]
+
+    integral_types = ("int", "bigint", "smallint", "tinyint", "long")
+    pay_int = [dict(sdf.dtypes)[c] in integral_types for c in payload]
+
+    out_schema = StructType(
+        [StructField(CHANGE_COL, StringType())]
+        + [fields[k] for k in keys]
+        + [StructField(c, fields[c].dataType, True) for c in payload]
+        + ([StructField("rank_num", LongType())] if output_rank_number else [])
+        + [StructField("_change_seq", LongType())]
+    )
+    state_schema = StructType(
+        [StructField("blob", BinaryType()), StructField("seq", LongType())]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def _sk(rec):
+        return tuple(rec[i] for i, _d in sort_idx)
+
+    def _rk(rec):
+        return tuple(rec[i] for i in rk_idx)
+
+    def _cmp(a, b):
+        for (i, desc), va, vb in zip(sort_idx, a, b):
+            if va == vb:
+                continue
+            if va is None:
+                return 1
+            if vb is None:
+                return -1
+            lt = va < vb
+            if desc:
+                lt = not lt
+            return -1 if lt else 1
+        return 0
+
+    def _process_key(key_vals, records, st, seq0):
+        _key_of = functools.cmp_to_key(_cmp)
+        buf, rkmap = st["buf"], st["rk"]
+        rows = []
+        key_list = list(key_vals)
+
+        def coll(kind, rec, rank=None, checked=True):
+            if kind == UPDATE_BEFORE and not generate_update_before:
+                return
+            if checked and rank is not None and not (1 <= rank <= rank_end):
+                return
+            row = [kind, *key_list, *rec]
+            if output_rank_number:
+                row.append(int(rank) if rank is not None else None)
+            rows.append(row)
+
+        def _skeys():
+            return sorted(buf, key=_key_of)
+
+        def _in_buffer_range(sk):
+            # TopNBuffer.checkSortKeyInBufferRange: better than the
+            # worst, or the buffer is not yet full
+            if not buf:
+                return True
+            worst = max(buf, key=_key_of)
+            if _cmp(sk, worst) < 0:
+                return True
+            return sum(len(v) for v in buf.values()) < rank_end
+
+        def _rownumber(sk, rk):
+            cur = 1
+            for key in _skeys():
+                if key == sk:
+                    for inner, r in enumerate(buf[key], 1):
+                        if r == rk:
+                            return cur
+                        cur += 1
+                else:
+                    cur += len(buf[key])
+            raise RuntimeError(
+                "Failed to find the sortKey, rowkey in the buffer. "
+                "This should never happen"
+            )
+
+        def _put(sk, rk):
+            buf.setdefault(sk, []).append(rk)
+
+        def _remove(sk, rk):
+            lst = buf.get(sk)
+            if lst is not None:
+                try:
+                    lst.remove(rk)
+                except ValueError:
+                    pass
+                if not lst:
+                    del buf[sk]
+
+        def emit_with_rownum(sk, in_rec, old_sk=None, old_rec=None, old_rank=-1):
+            skeys = _skeys()
+            idx, cur_rank, cur_row, finds = 0, 0, None, False
+            while idx < len(skeys) and cur_rank <= rank_end:
+                key = skeys[idx]
+                idx += 1
+                rkeys = buf[key]
+                if not finds and key == sk:
+                    cur_rank += len(rkeys)
+                    cur_row = in_rec
+                    finds = True
+                elif finds:
+                    if old_sk is None:
+                        # new row: shift every following in-range row
+                        i = 0
+                        while i < len(rkeys) and cur_rank <= rank_end:
+                            prev = rkmap[rkeys[i]]
+                            coll(UPDATE_BEFORE, prev, cur_rank)
+                            coll(UPDATE_AFTER, cur_row, cur_rank)
+                            cur_row = prev
+                            cur_rank += 1
+                            i += 1
+                    elif _cmp(key, old_sk) <= 0:
+                        # rank improved: shift only rows above the old rank
+                        i = 0
+                        while i < len(rkeys) and cur_rank < old_rank:
+                            prev = rkmap[rkeys[i]]
+                            coll(UPDATE_BEFORE, prev, cur_rank)
+                            coll(UPDATE_AFTER, cur_row, cur_rank)
+                            cur_row = prev
+                            cur_rank += 1
+                            i += 1
+                    else:
+                        break  # ranks below the old position are unchanged
+                else:
+                    cur_rank += len(rkeys)
+            if cur_rank <= rank_end:
+                if old_rec is None:
+                    coll(INSERT, cur_row, cur_rank)
+                else:
+                    assert cur_rank == old_rank, (cur_rank, old_rank)
+                    coll(UPDATE_BEFORE, old_rec, old_rank)
+                    coll(UPDATE_AFTER, cur_row, cur_rank)
+                return
+            # trim the sort keys that fell past the cut (their ranks
+            # were rewritten by the shifts above — no extra emission)
+            while idx < len(skeys):
+                key = skeys[idx]
+                idx += 1
+                for r in buf[key]:
+                    rkmap.pop(r, None)
+                del buf[key]
+
+        def with_rownum(in_rec):
+            sk, rk = _sk(in_rec), _rk(in_rec)
+            old = rkmap.get(rk)
+            if old is not None:
+                old_sk = _sk(old)
+                if old_sk == sk:
+                    # same rank, new content: replace in place
+                    rank = _rownumber(sk, rk)
+                    rkmap[rk] = in_rec
+                    coll(UPDATE_BEFORE, old, rank)
+                    coll(UPDATE_AFTER, in_rec, rank)
+                    return
+                old_rank = _rownumber(old_sk, rk)
+                _remove(old_sk, rk)
+                _put(sk, rk)
+                rkmap[rk] = in_rec
+                emit_with_rownum(sk, in_rec, old_sk, old, old_rank)
+            elif _in_buffer_range(sk):
+                _put(sk, rk)
+                rkmap[rk] = in_rec
+                emit_with_rownum(sk, in_rec)
+
+        def without_rownum(in_rec):
+            sk, rk = _sk(in_rec), _rk(in_rec)
+            old = rkmap.get(rk)
+            if old is not None:
+                old_sk = _sk(old)
+                if old_sk != sk:
+                    _remove(old_sk, rk)
+                    _put(sk, rk)
+                rkmap[rk] = in_rec
+                coll(UPDATE_BEFORE, old, checked=False)
+                coll(UPDATE_AFTER, in_rec, checked=False)
+            elif _in_buffer_range(sk):
+                _put(sk, rk)
+                rkmap[rk] = in_rec
+                if sum(len(v) for v in buf.values()) > rank_end:
+                    worst = max(buf, key=_key_of)
+                    last_rk = buf[worst][-1]
+                    _remove(worst, last_rk)
+                    last = rkmap.pop(last_rk, None)
+                    if last is not None:
+                        coll(DELETE, last, checked=False)
+                coll(INSERT, in_rec, checked=False)
+
+        for kind, rec in records:
+            if kind in (UPDATE_BEFORE, DELETE):
+                raise ValueError(
+                    "updatable_topn consumes an UPSERT stream: -U/-D "
+                    "rows are not allowed (UpdatableTopNFunction.java:60 "
+                    "— use retractable_topn for retract inputs)"
+                )
+            if output_rank_number:
+                with_rownum(rec)
+            else:
+                without_rownum(rec)
+        if rows:
+            rows = [[*r, seq0 + i] for i, r in enumerate(rows)]
+        return rows
+
+    _KINDS_OK = {INSERT, UPDATE_AFTER, UPDATE_BEFORE, DELETE}
+
+    def _records(batch):
+        if order_by is not None:
+            batch = batch.sort_values(order_by, kind="mergesort")
+        elif "_change_seq" in batch.columns:
+            batch = batch.sort_values("_change_seq", kind="mergesort")
+        kinds = batch[CHANGE_COL].tolist()
+        vals = [batch[c].tolist() for c in payload]
+        recs = []
+        for i, kd in enumerate(kinds):
+            if kd not in _KINDS_OK:
+                raise ValueError(f"unknown {CHANGE_COL} value {kd!r}")
+            recs.append(
+                (kd, tuple(_norm_cell(col[i], ii) for col, ii in zip(vals, pay_int)))
+            )
+        return recs
+
+    if sdf.isStreaming:
+
+        def run(key, pdfs, state):
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            if not len(batch):
+                return
+            if state.exists:
+                blob, seq = state.get
+                st = pickle.loads(blob)
+            else:
+                st, seq = {"buf": {}, "rk": {}}, 0
+            rows = _process_key(key, _records(batch), st, seq)
+            state.update((pickle.dumps(st), seq + len(rows)))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+        return sdf.groupBy(*keys).applyInPandasWithState(
+            run, out_schema, state_schema, "append", "NoTimeout"
+        )
+
+    def run_batch(key, batch):
+        st = {"buf": {}, "rk": {}}
+        rows = _process_key(key, _records(batch), st, 0)
+        return pd.DataFrame(rows, columns=cols)
+
+    return sdf.groupBy(*keys).applyInPandas(run_batch, out_schema)

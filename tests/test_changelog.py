@@ -1185,3 +1185,141 @@ def test_retractable_topn_stream_equals_batch(spark, tmp_dir):
         map(tuple, run_to_memory(spark, sout, "rtopn_out", tmp_dir, mode="append").collect())
     )
     assert got == expected and len(got) >= 16, (len(got), got[:4])
+
+
+# ---------------------------------------------------------------------
+# updatable_topn — UpdatableTopNFunctionTest.java ports (upsert-input
+# fast path: state holds only the Top-N, updates move rows up in rank).
+# ---------------------------------------------------------------------
+
+
+_UPDATABLE_ROWS = [
+    (1, INSERT, "book", 2, 19),
+    (2, INSERT, "book", 3, 16),
+    (3, UPDATE_AFTER, "book", 2, 11),
+    (4, UPDATE_AFTER, "book", 3, 15),
+    (5, INSERT, "book", 4, 2),
+    (6, UPDATE_AFTER, "book", 2, 1),
+]
+
+
+def _utopn_run(spark, rows, n, gen_ub, rownum):
+    import collections
+
+    from reshape_on_flink_spark.streaming.changelog import updatable_topn
+
+    df = spark.createDataFrame(
+        rows, f"seq int, {CHANGE_COL} string, shop string, rid long, num int"
+    )
+    out = updatable_topn(
+        df, "shop", "rid", [("num", "asc")],
+        rank_end=n, output_rank_number=rownum,
+        generate_update_before=gen_ub, order_by="seq",
+    )
+    res = collections.defaultdict(list)
+    for r in sorted(out.collect(), key=lambda r: (r.shop, r._change_seq)):
+        rec = (r._change_type, r.rid, r.num) + ((r.rank_num,) if rownum else ())
+        res[r.shop].append(rec)
+    return dict(res)
+
+
+def test_updatable_topn_sort_key_changes_with_rownum(spark):
+    """testSortKeyChangesWhenOutputRankNumber (N=2): rank-improving
+    updates shift only the rows between the new and old rank."""
+    got = _utopn_run(spark, _UPDATABLE_ROWS, 2, gen_ub=True, rownum=True)
+    assert got == {
+        "book": [
+            ("+I", 2, 19, 1),
+            ("-U", 2, 19, 1), ("+U", 3, 16, 1), ("+I", 2, 19, 2),
+            ("-U", 3, 16, 1), ("+U", 2, 11, 1),
+            ("-U", 2, 19, 2), ("+U", 3, 16, 2),
+            ("-U", 3, 16, 2), ("+U", 3, 15, 2),
+            ("-U", 2, 11, 1), ("+U", 4, 2, 1),
+            ("-U", 3, 15, 2), ("+U", 2, 11, 2),
+            ("-U", 4, 2, 1), ("+U", 2, 1, 1),
+            ("-U", 2, 11, 2), ("+U", 4, 2, 2),
+        ],
+    }, got
+
+
+def test_updatable_topn_sort_key_changes_with_rownum_no_ub(spark):
+    """...AndNotGenerateUpdateBefore variant."""
+    got = _utopn_run(spark, _UPDATABLE_ROWS, 2, gen_ub=False, rownum=True)
+    assert got == {
+        "book": [
+            ("+I", 2, 19, 1),
+            ("+U", 3, 16, 1), ("+I", 2, 19, 2),
+            ("+U", 2, 11, 1), ("+U", 3, 16, 2),
+            ("+U", 3, 15, 2),
+            ("+U", 4, 2, 1), ("+U", 2, 11, 2),
+            ("+U", 2, 1, 1), ("+U", 4, 2, 2),
+        ],
+    }, got
+
+
+def test_updatable_topn_sort_key_changes_without_rownum(spark):
+    """testSortKeyChangesWhenNotOutputRankNumber: in-place -U/+U for
+    tracked rows, boundary -D/+I churn for entrants."""
+    got = _utopn_run(spark, _UPDATABLE_ROWS, 2, gen_ub=True, rownum=False)
+    assert got == {
+        "book": [
+            ("+I", 2, 19), ("+I", 3, 16),
+            ("-U", 2, 19), ("+U", 2, 11),
+            ("-U", 3, 16), ("+U", 3, 15),
+            ("-D", 3, 15), ("+I", 4, 2),
+            ("-U", 2, 11), ("+U", 2, 1),
+        ],
+    }, got
+
+
+def test_updatable_topn_sort_key_changes_without_rownum_no_ub(spark):
+    """...AndNotGenerateUpdateBefore variant."""
+    got = _utopn_run(spark, _UPDATABLE_ROWS, 2, gen_ub=False, rownum=False)
+    assert got == {
+        "book": [
+            ("+I", 2, 19), ("+I", 3, 16),
+            ("+U", 2, 11),
+            ("+U", 3, 15),
+            ("-D", 3, 15), ("+I", 4, 2),
+            ("+U", 2, 1),
+        ],
+    }, got
+
+
+def test_updatable_topn_guards_and_stream_equals_batch(spark, tmp_dir):
+    """-U/-D inputs are loud (upsert contract); streaming == batch
+    across chunked replay (state continuity)."""
+    import os
+
+    import pytest
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.changelog import updatable_topn
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    bad = spark.createDataFrame(
+        [(1, DELETE, "book", 2, 19)],
+        f"seq int, {CHANGE_COL} string, shop string, rid long, num int",
+    )
+    with pytest.raises(Exception, match="UPSERT"):
+        updatable_topn(
+            bad, "shop", "rid", [("num", "asc")], rank_end=2, order_by="seq"
+        ).collect()
+
+    df = spark.createDataFrame(
+        _UPDATABLE_ROWS + [(7, INSERT, "fruit", 9, 3), (8, UPDATE_AFTER, "fruit", 9, 1)],
+        f"seq int, {CHANGE_COL} string, shop string, rid long, num int",
+    )
+    kw = dict(rank_end=2, output_rank_number=True, order_by="seq")
+    expected = sorted(
+        map(tuple, updatable_topn(df, "shop", "rid", [("num", "asc")], **kw).collect())
+    )
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "utopn"), n_chunks=3, order_col="seq"
+    )
+    got = sorted(map(tuple, run_to_memory(
+        spark,
+        updatable_topn(stream, "shop", "rid", [("num", "asc")], **kw),
+        "utopn_out", tmp_dir, mode="append",
+    ).collect()))
+    assert got == expected and len(got) >= 18, (len(got), got[:4])
