@@ -44,6 +44,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_retractable_topn",
     "q_updatable_topn",
     "q_changelog_window_agg",
+    "q_changelog_session_agg",
     "q_cep_timeout",
     "q_changelog_join_transitions",
     # round-9 rotation: the new round-9 queries first (no driver row yet)

@@ -1883,3 +1883,85 @@ def q_updatable_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.select(
         "user_id", "rank_num", "event_id", "amt"
     ).orderBy("user_id", "rank_num")
+
+
+# ---------------------------------------------------------------------------
+# Changelog-consuming SESSION window aggregate (round 10) —
+# SessionWindowAssigner + MergingWindowProcessFunction.java:74-96 under
+# the hash gate. Retractions subtract from the merged session's
+# accumulators but never shrink its extent (no un-merge), and since a
+# well-formed retraction replays an inserted timestamp, the session
+# extents equal the classic gaps-and-islands over the INSERT rows —
+# while the aggregates cover only the never-retracted facts, with
+# fully-drained sessions still firing (COUNT 0 / NULL sums). Events
+# whose per-user spacing exceeds 1800s start a new island (t - prev >
+# gap; touching is boundary-inclusive so = gap stays merged).
+# ---------------------------------------------------------------------------
+@query(
+    "q_changelog_session_agg",
+    """
+    WITH f AS (
+      SELECT user_id, event_id,
+             CAST(CAST(FLOOR(epoch(ts)) AS BIGINT) AS DOUBLE) AS t,
+             CAST(FLOOR(value * 100) AS DOUBLE) AS amt,
+             (event_id % 3 = 0) AS retr
+      FROM events
+    ),
+    s AS (
+      SELECT *, CASE WHEN t - LAG(t) OVER w > 1800 THEN 1 ELSE 0 END AS brk
+      FROM f
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+    ),
+    g AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    )
+    SELECT user_id,
+           CAST(MIN(t) AS BIGINT) AS ws,
+           CAST(MAX(t) + 1800 AS BIGINT) AS we,
+           '+I' AS _change_type,
+           CAST(SUM(CASE WHEN retr THEN 0 ELSE 1 END) AS BIGINT) AS cnt,
+           CAST(SUM(CASE WHEN NOT retr THEN amt END) AS DOUBLE) AS amt_sum,
+           CAST(MAX(CASE WHEN NOT retr THEN amt END) AS DOUBLE) AS amt_max
+    FROM g
+    GROUP BY user_id, sid
+    ORDER BY user_id, ws
+    """,
+)
+def q_changelog_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from reshape_on_flink_spark.streaming.changelog import window_agg_changelog
+
+    base = load_tables(spark, sf_dir)["events"].select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").cast("double").alias("t"),
+        F.floor(F.col("value") * 100).cast("double").alias("amt"),
+    )
+    w = W.partitionBy("user_id").orderBy("t", "event_id")
+    seqd = base.withColumn("rn", F.row_number().over(w))
+    ins = seqd.select(
+        "user_id", F.lit("+I").alias("_change_type"), "t", "amt",
+        (F.col("rn") * 2).cast("long").alias("oseq"),
+    )
+    dels = seqd.where(F.col("event_id") % 3 == 0).select(
+        "user_id", F.lit("-D").alias("_change_type"), "t", "amt",
+        (F.col("rn") * 2 + 1).cast("long").alias("oseq"),
+    )
+    out = window_agg_changelog(
+        ins.unionByName(dels),
+        "user_id",
+        "t",
+        {"cnt": ("count", None), "amt_sum": ("sum", "amt"), "amt_max": ("max", "amt")},
+        gap=1800.0,
+        order_by="oseq",
+    )
+    return out.select(
+        "user_id",
+        F.col("window_start").cast("bigint").alias("ws"),
+        F.col("window_end").cast("bigint").alias("we"),
+        "_change_type",
+        "cnt",
+        "amt_sum",
+        F.col("amt_max").cast("double").alias("amt_max"),
+    ).orderBy("user_id", "ws")

@@ -760,12 +760,13 @@ def window_agg_changelog(
     time_col: str,
     aggs: dict[str, tuple[str, str | None]],
     *,
-    size,
+    size=None,
     slide=None,
+    gap=None,
     consume_changelog: bool = True,
     order_by: str | None = None,
 ) -> DataFrame:
-    """Tumble/hop window aggregation that CONSUMES a changelog —
+    """Tumble/hop/session window aggregation that CONSUMES a changelog —
     Flink's ``WindowOperator`` with a retractable ``NamespaceAggsHandle``
     (WindowOperator.java:341-371): each input row is assigned to its
     affected windows (``TumblingWindowAssigner`` /
@@ -793,6 +794,16 @@ def window_agg_changelog(
     ``size``/``slide``: window parameters in the time column's own
     units for numeric columns, or anything ``_within_delta`` accepts
     ("1 hour", seconds) for timestamp columns. ``slide=None`` = tumble.
+    ``gap=`` (instead of ``size``) selects SESSION windows
+    (``SessionWindowAssigner`` + ``MergingWindowProcessFunction``):
+    every row's proto-window ``[t, t+gap)`` joins the per-key merge set
+    — for EVERY RowKind, because ``assignStateNamespace`` runs
+    ``addWindow`` before the accumulate/retract split
+    (MergingWindowProcessFunction.java:74-96) — touching windows merge
+    (boundary-inclusive ``TimeWindow.intersects``), merged accumulators
+    combine, and retractions subtract from the merged session WITHOUT
+    shrinking its extent (there is no un-merge in the reference
+    either).
     ``order_by``: per-key intra-batch processing order (falls back to
     ``_change_seq`` when the input carries one) — retractions must
     replay after the inserts they cancel, the same loud contract as
@@ -826,10 +837,16 @@ def window_agg_changelog(
             f"consume_changelog=True needs a {CHANGE_COL!r} column on the input"
         )
     is_time = fields[time_col].dataType.typeName().startswith("timestamp")
-    size_t = float(_within_delta(size, is_time))
+    if (size is None) == (gap is None):
+        raise ValueError("pass exactly one of size= (tumble/hop) or gap= (session)")
+    if gap is not None and slide is not None:
+        raise ValueError("slide= applies to hop windows only, not sessions")
+    size_t = None if size is None else float(_within_delta(size, is_time))
     slide_t = None if slide is None else float(_within_delta(slide, is_time))
-    if size_t <= 0 or (slide_t is not None and slide_t <= 0):
-        raise ValueError("window size/slide must be positive")
+    gap_t = None if gap is None else float(_within_delta(gap, is_time))
+    for v in (size_t, slide_t, gap_t):
+        if v is not None and v <= 0:
+            raise ValueError("window size/slide/gap must be positive")
 
     from pyspark.sql.types import TimestampType
 
@@ -893,14 +910,15 @@ def window_agg_changelog(
         return v is None or v != v
 
     def _windows_of(tick: float):
+        # fixed assigners return (start, end) namespaces directly
         if slide_t is None:
             ws = math.floor(tick / size_t) * size_t
-            return (ws,)
+            return ((ws, ws + size_t),)
         last = math.floor(tick / slide_t) * slide_t
         out = []
         ws = last
         while ws > tick - size_t:
-            out.append(ws)
+            out.append((ws, ws + size_t))
             ws -= slide_t
         return tuple(out)
 
@@ -931,40 +949,86 @@ def window_agg_changelog(
             for _o, (fn, col) in agg_items
             if fn != "count"
         }
+        def _apply(acc, i, sg):
+            acc["n"] += sg
+            for out, (fn, col) in agg_items:
+                if fn in ("sum", "avg"):
+                    v = vals[col][i]
+                    if not _is_null(v):
+                        acc[f"s_{out}"] += sg * float(v)
+                        acc[f"c_{out}"] += sg
+                elif fn in ("min", "max"):
+                    v = vals[col][i]
+                    if _is_null(v):
+                        continue
+                    if need_multiset:
+                        ms = acc[f"m_{out}"]
+                        if sg > 0:
+                            ms.append(v)
+                        else:
+                            ms.remove(v)  # loud on retract-first
+                    else:
+                        cur = acc[f"m_{out}"]
+                        acc[f"m_{out}"] = (
+                            v
+                            if cur is None
+                            else (min(cur, v) if fn == "min" else max(cur, v))
+                        )
+
+        def _merge_accs(a, b):
+            a["n"] += b["n"]
+            for out, (fn, col) in agg_items:
+                if fn in ("sum", "avg"):
+                    a[f"s_{out}"] += b[f"s_{out}"]
+                    a[f"c_{out}"] += b[f"c_{out}"]
+                elif fn in ("min", "max"):
+                    if need_multiset:
+                        a[f"m_{out}"].extend(b[f"m_{out}"])
+                    else:
+                        bv = b[f"m_{out}"]
+                        cur = a[f"m_{out}"]
+                        if bv is not None:
+                            a[f"m_{out}"] = (
+                                bv
+                                if cur is None
+                                else (min(cur, bv) if fn == "min" else max(cur, bv))
+                            )
+            return a
+
         late = 0
         for i, (t, sg) in enumerate(zip(tick, signs)):
+            if gap_t is not None:
+                # SessionWindowAssigner: the row's proto-window
+                # [t, t+gap) joins the merge set for EVERY RowKind
+                # (MergingWindowProcessFunction.assignStateNamespace
+                # runs addWindow before the accumulate/retract split);
+                # touching windows merge (TimeWindow.intersects is
+                # boundary-inclusive)
+                ws, we = t, t + gap_t
+                parts = [
+                    w for w in wins if w[0] <= we and w[1] >= ws
+                ]
+                for w in parts:
+                    ws = min(ws, w[0])
+                    we = max(we, w[1])
+                if we <= wm:
+                    late += 1  # a session in the cleaned-up past
+                    continue
+                acc = _init_acc()
+                for w in parts:
+                    _merge_accs(acc, wins.pop(w))
+                _apply(acc, i, sg)
+                wins[(ws, we)] = acc
+                continue
             dropped = True
-            for ws in _windows_of(t):
-                if ws + size_t <= wm:
+            for w in _windows_of(t):
+                if w[1] <= wm:
                     continue  # window already fired + cleaned
                 dropped = False
-                acc = wins.get(ws)
+                acc = wins.get(w)
                 if acc is None:
-                    acc = wins[ws] = _init_acc()
-                acc["n"] += sg
-                for out, (fn, col) in agg_items:
-                    if fn in ("sum", "avg"):
-                        v = vals[col][i]
-                        if not _is_null(v):
-                            acc[f"s_{out}"] += sg * float(v)
-                            acc[f"c_{out}"] += sg
-                    elif fn in ("min", "max"):
-                        v = vals[col][i]
-                        if _is_null(v):
-                            continue
-                        if need_multiset:
-                            ms = acc[f"m_{out}"]
-                            if sg > 0:
-                                ms.append(v)
-                            else:
-                                ms.remove(v)  # loud on retract-first
-                        else:
-                            cur = acc[f"m_{out}"]
-                            acc[f"m_{out}"] = (
-                                v
-                                if cur is None
-                                else (min(cur, v) if fn == "min" else max(cur, v))
-                            )
+                    acc = wins[w] = _init_acc()
+                _apply(acc, i, sg)
             late += dropped
         return late
 
@@ -978,13 +1042,13 @@ def window_agg_changelog(
 
     def _fire(key_vals, wins, wm):
         rows = []
-        for ws in sorted(w for w in wins if w + size_t <= wm):
-            acc = wins.pop(ws)
+        for ws, we in sorted(w for w in wins if w[1] <= wm):
+            acc = wins.pop((ws, we))
             if is_time:
                 b0 = pd.Timestamp(int(ws), unit="us")
-                b1 = pd.Timestamp(int(ws + size_t), unit="us")
+                b1 = pd.Timestamp(int(we), unit="us")
             else:
-                b0, b1 = ws, ws + size_t
+                b0, b1 = ws, we
             rows.append([INSERT, b0, b1, *key_vals, *_finalize(acc)])
         return rows
 

@@ -1323,3 +1323,117 @@ def test_updatable_topn_guards_and_stream_equals_batch(spark, tmp_dir):
         "utopn_out", tmp_dir, mode="append",
     ).collect()))
     assert got == expected and len(got) >= 18, (len(got), got[:4])
+
+
+# ---------------------------------------------------------------------
+# window_agg_changelog SESSION windows (SessionWindowAssigner +
+# MergingWindowProcessFunction.java:74-96: every row's proto-window
+# joins the merge set regardless of RowKind; no un-merge on retract)
+# ---------------------------------------------------------------------
+
+
+def test_window_agg_changelog_session_merge_and_retract(spark):
+    """gap=5: retracting a session row subtracts from the merged
+    accumulators but never shrinks the session's extent."""
+    from reshape_on_flink_spark.streaming.changelog import window_agg_changelog
+
+    log = _wlog(spark, [
+        (1, INSERT, 1, 1.0, 10.0),
+        (2, INSERT, 1, 4.0, 20.0),   # merges into [1, 9)
+        (3, DELETE, 1, 4.0, 20.0),   # subtract; extent stays [1, 9)
+        (4, INSERT, 1, 20.0, 7.0),
+        (5, INSERT, 1, 23.0, 5.0),   # merges into [20, 28)
+        (6, DELETE, 1, 23.0, 5.0),
+    ])
+    out = window_agg_changelog(log, "k", "t", _WAGGS, gap=5.0, order_by="seq")
+    assert _wrows(out) == [
+        (1, 1.0, 9.0, "+I", 1, 10.0, 10.0),
+        (1, 20.0, 28.0, "+I", 1, 7.0, 7.0),
+    ], _wrows(out)
+
+
+def test_window_agg_changelog_session_bridge_and_touch(spark):
+    """A row exactly `gap` after a session's last event still joins it
+    (boundary-inclusive intersects), and a bridging row merges two
+    previously separate sessions into one."""
+    from reshape_on_flink_spark.streaming.changelog import window_agg_changelog
+
+    log = _wlog(spark, [
+        (1, INSERT, 1, 1.0, 1.0),
+        (2, INSERT, 1, 10.0, 2.0),   # [1,6) and [10,15): separate
+        (3, INSERT, 1, 6.0, 4.0),    # [6,11) touches both -> [1,15)
+        (4, INSERT, 2, 0.0, 9.0),
+        (5, INSERT, 2, 5.0, 8.0),    # exactly gap later: same session
+    ])
+    out = window_agg_changelog(log, "k", "t", _WAGGS, gap=5.0, order_by="seq")
+    assert _wrows(out) == [
+        (1, 1.0, 15.0, "+I", 3, 7.0, 4.0),
+        (2, 0.0, 10.0, "+I", 2, 17.0, 9.0),
+    ], _wrows(out)
+
+
+def test_window_agg_changelog_session_stream_equals_batch(spark, tmp_dir):
+    """Streaming sessions fire at the key's high-water mark and match
+    the batch route on every closed session."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.changelog import window_agg_changelog
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    rows, seq = [], 0
+    for k in (1, 2):
+        t = float(k)
+        for i in range(10):
+            # monotone per key (the operator's in-order caveat), mixed
+            # gaps around the session gap of 4
+            t += 3.0 if i % 3 else 9.0
+            seq += 1
+            rows.append((seq, INSERT, k, t, float(i)))
+            if i % 3 == 0:
+                seq += 1
+                rows.append((seq, DELETE, k, t, float(i)))
+    log = _wlog(spark, rows)
+    batch = window_agg_changelog(log, "k", "t", _WAGGS, gap=4.0, order_by="seq")
+    max_tick = max(r[3] for r in rows)
+    expected = [r for r in _wrows(batch) if r[2] <= max_tick]
+    assert len(expected) >= 4  # non-degenerate
+
+    stream = chunked_replay(
+        spark, log, os.path.join(tmp_dir, "sagg"), n_chunks=4, order_col="seq"
+    )
+    sout = window_agg_changelog(stream, "k", "t", _WAGGS, gap=4.0, order_by="seq")
+    got = _wrows(run_to_memory(spark, sout, "sagg_out", tmp_dir, mode="append"))
+    assert got == expected, (got, expected)
+
+
+def test_window_agg_changelog_session_late_drop_and_guards(spark, tmp_dir):
+    """A row whose merged session would end at/before the watermark is
+    late-dropped (the fired session is immutable); size/gap/slide
+    parameter combinations are validated."""
+    import os
+
+    import pytest
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.changelog import window_agg_changelog
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    rows = [
+        (1, INSERT, 1, 1.0, 10.0),
+        (2, INSERT, 1, 30.0, 3.0),   # chunk 1: wm=30, [1,6) fires
+        (3, DELETE, 1, 1.0, 10.0),   # chunk 2: late -> dropped
+        (4, INSERT, 1, 60.0, 1.0),   # closes [30,35)
+    ]
+    log = _wlog(spark, rows)
+    stream = chunked_replay(
+        spark, log, os.path.join(tmp_dir, "slate"), n_chunks=2, order_col="seq"
+    )
+    sout = window_agg_changelog(stream, "k", "t", _WAGGS, gap=5.0, order_by="seq")
+    got = _wrows(run_to_memory(spark, sout, "slate_out", tmp_dir, mode="append"))
+    assert (1, 1.0, 6.0, "+I", 1, 10.0, 10.0) in got, got
+
+    with pytest.raises(ValueError, match="exactly one"):
+        window_agg_changelog(log, "k", "t", _WAGGS, size=5.0, gap=5.0)
+    with pytest.raises(ValueError, match="hop"):
+        window_agg_changelog(log, "k", "t", _WAGGS, gap=5.0, slide=2.0)
