@@ -1774,3 +1774,162 @@ def updatable_topn(
         return pd.DataFrame(rows, columns=cols)
 
     return sdf.groupBy(*keys).applyInPandas(run_batch, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Changelog-EMITTING keep-last dedup / streaming ChangelogNormalize —
+# DeduplicateFunctionHelper.java:42-147 (flink-table-runtime-blink/.../
+# deduplicate/): processLastRowOnProcTime for append inputs,
+# processLastRowOnChangelog for upsert/changelog inputs (the core of
+# StreamExecChangelogNormalize).
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_last_changelog(
+    sdf: DataFrame,
+    keys: str | list[str],
+    *,
+    consume_changelog: bool = False,
+    generate_update_before: bool = True,
+    generate_insert: bool = True,
+    order_by: str | None = None,
+) -> DataFrame:
+    """Keep-last deduplication that EMITS a retract changelog — the
+    reference's ``DeduplicateKeepLastRowFunction`` emission contract
+    (DeduplicateFunctionHelper.java):
+
+    - append input (``consume_changelog=False``,
+      ``processLastRowOnProcTime`` :42-83): a key's first row emits
+      ``+I`` (or ``+U`` when ``generate_insert=False`` — "always send
+      UPDATE_AFTER if INSERT is not needed"); a replacement emits
+      ``-U``(previous) — gated on ``generate_update_before`` — then
+      ``+U``(current); a row EQUAL to the stored one emits nothing
+      (the RecordEqualiser skip, :114-118 — state TTL is not modeled
+      here so the skip always applies).
+    - changelog input (``consume_changelog=True``,
+      ``processLastRowOnChangelog`` :98-147 — the streaming
+      ``ChangelogNormalize`` core, e.g. normalizing an upsert-kafka
+      topic): ``+I/+U`` behave as above; ``-U/-D`` emit ``-D`` carrying
+      the STORED row's full content (the input may be a key-only
+      tombstone) and clear the key's state; deleting an absent key is
+      a no-op.
+
+    Output: ``_change_type`` + the input columns + per-key
+    ``_change_seq``. The batch route replays the identical processor
+    (replay-equality oracle); ``changelog_normalize`` over the output
+    reproduces the keep-last table state.
+
+    100 TB: one shuffle on the key; state = ONE row per live key (the
+    ValueState), the smallest of the changelog operators.
+    """
+    import pandas as pd
+
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    fields = {f.name: f for f in sdf.schema.fields}
+    if consume_changelog and CHANGE_COL not in fields:
+        raise ValueError(
+            f"consume_changelog=True needs a {CHANGE_COL!r} column on the input"
+        )
+    skip = set(keys) | {CHANGE_COL} | ({order_by} if order_by else set())
+    payload = [c for c in sdf.columns if c not in skip]
+
+    integral_types = ("int", "bigint", "smallint", "tinyint", "long")
+    pay_int = [dict(sdf.dtypes)[c] in integral_types for c in payload]
+
+    out_schema = StructType(
+        [StructField(CHANGE_COL, StringType())]
+        + [fields[k] for k in keys]
+        + [StructField(c, fields[c].dataType, True) for c in payload]
+        + [StructField("_change_seq", LongType())]
+    )
+    state_schema = StructType(
+        [StructField("blob", BinaryType()), StructField("seq", LongType())]
+    )
+    cols = [f.name for f in out_schema.fields]
+
+    def _process_key(key_vals, records, st, seq0):
+        rows = []
+        key_list = list(key_vals)
+        prev = st.get("row")
+
+        def emit(kind, rec):
+            rows.append([kind, *key_list, *rec])
+
+        for kind, rec in records:
+            if not consume_changelog:
+                if kind != INSERT:
+                    raise ValueError(
+                        "append-mode keep-last dedup got a non-INSERT row "
+                        f"({kind!r}); pass consume_changelog=True "
+                        "(DeduplicateFunctionHelper.checkInsertOnly)"
+                    )
+                upsert = True
+            else:
+                upsert = kind in (INSERT, UPDATE_AFTER)
+            if upsert:
+                if prev is None:
+                    emit(INSERT if generate_insert else UPDATE_AFTER, rec)
+                elif prev == rec:
+                    continue  # RecordEqualiser skip (no TTL modeled)
+                else:
+                    if generate_update_before:
+                        emit(UPDATE_BEFORE, prev)
+                    emit(UPDATE_AFTER, rec)
+                prev = rec
+            else:  # -U / -D: tombstone — emit the STORED full content
+                if prev is not None:
+                    emit(DELETE, prev)
+                    prev = None
+                # nothing to do if removing a non-existent row
+        st["row"] = prev
+        if rows:
+            rows = [[*r, seq0 + i] for i, r in enumerate(rows)]
+        return rows
+
+    _KINDS_OK = {INSERT, UPDATE_AFTER, UPDATE_BEFORE, DELETE}
+
+    def _records(batch):
+        if order_by is not None:
+            batch = batch.sort_values(order_by, kind="mergesort")
+        elif "_change_seq" in batch.columns:
+            batch = batch.sort_values("_change_seq", kind="mergesort")
+        if consume_changelog:
+            kinds = batch[CHANGE_COL].tolist()
+        else:
+            kinds = [INSERT] * len(batch)
+        vals = [batch[c].tolist() for c in payload]
+        recs = []
+        for i, kd in enumerate(kinds):
+            if kd not in _KINDS_OK:
+                raise ValueError(f"unknown {CHANGE_COL} value {kd!r}")
+            recs.append(
+                (kd, tuple(_norm_cell(col[i], ii) for col, ii in zip(vals, pay_int)))
+            )
+        return recs
+
+    if sdf.isStreaming:
+
+        def run(key, pdfs, state):
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            if not len(batch):
+                return
+            if state.exists:
+                blob, seq = state.get
+                st = pickle.loads(blob)
+            else:
+                st, seq = {"row": None}, 0
+            rows = _process_key(key, _records(batch), st, seq)
+            state.update((pickle.dumps(st), seq + len(rows)))
+            if rows:
+                yield pd.DataFrame(rows, columns=cols)
+
+        return sdf.groupBy(*keys).applyInPandasWithState(
+            run, out_schema, state_schema, "append", "NoTimeout"
+        )
+
+    def run_batch(key, batch):
+        st = {"row": None}
+        rows = _process_key(key, _records(batch), st, 0)
+        return pd.DataFrame(rows, columns=cols)
+
+    return sdf.groupBy(*keys).applyInPandas(run_batch, out_schema)
