@@ -1134,10 +1134,12 @@ def retractable_topn(
     retraction removes by record equality (RecordEqualiser). A retract
     for a sort key with EMPTY state warns (the reference's lenient
     STATE_CLEARED path); a non-empty mismatch raises — same split as
-    RetractableTopNFunction.java:180-196. The Python sorted-map is a
-    dict re-sorted per record (O(K log K) vs the TreeMap's O(log K));
-    K = live distinct sort keys per partition key, which the walk
-    bounds anyway — the O(matches shifted) output dominates.
+    RetractableTopNFunction.java:180-196. The sorted-key order is
+    MAINTAINED incrementally (``bisect.insort`` on a parallel sorted
+    list — O(log K) comparisons per insert/remove plus a C-level
+    memmove), matching the reference TreeMap's O(log K) insert +
+    ordered iteration (RetractableTopNFunction.java:53) instead of
+    re-sorting the map per record.
 
     Batch inputs run the identical processor through ``applyInPandas``
     (the replay-equality oracle); ``changelog_normalize`` over
@@ -1147,6 +1149,7 @@ def retractable_topn(
     is the operator's contractual output — there is no cheaper correct
     answer for an updating input.
     """
+    import bisect
     import functools
 
     import pandas as pd
@@ -1206,6 +1209,12 @@ def retractable_topn(
         # cmp_to_key wrappers aren't picklable: build per invocation
         _key_of = functools.cmp_to_key(_cmp)
         smap, ds = st["sm"], st["ds"]
+        # Parallel sorted list of live sort keys — the TreeMap's key
+        # order, maintained incrementally. Rebuilt once when restoring
+        # state pickled by an older version that lacked it.
+        sl = st.get("sl")
+        if sl is None or len(sl) != len(smap):
+            sl = st["sl"] = sorted(smap, key=_key_of)
         rows = []
         key_list = list(key_vals)
 
@@ -1226,7 +1235,7 @@ def retractable_topn(
             rows.append(row)
 
         def _sorted_keys():
-            return sorted(smap, key=_key_of)
+            return sl
 
         def emit_with_rownum(sk, in_rec):
             cur_rank, cur_row, finds = 0, None, False
@@ -1359,6 +1368,8 @@ def retractable_topn(
         for kind, rec in records:
             sk = _sk(rec)
             if kind in (INSERT, UPDATE_AFTER):
+                if sk not in smap:
+                    bisect.insort(sl, sk, key=_key_of)
                 smap[sk] = smap.get(sk, 0) + 1
                 if use_rownum:
                     emit_with_rownum(sk, rec)
@@ -1374,6 +1385,7 @@ def retractable_topn(
                     n = smap[sk] - 1
                     if n == 0:
                         del smap[sk]
+                        del sl[bisect.bisect_left(sl, _key_of(sk), key=_key_of)]
                     else:
                         smap[sk] = n
                 elif not smap:

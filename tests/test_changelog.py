@@ -1187,6 +1187,50 @@ def test_retractable_topn_stream_equals_batch(spark, tmp_dir):
     assert got == expected and len(got) >= 16, (len(got), got[:4])
 
 
+def test_retractable_topn_high_k_sorted_list(spark):
+    """High-K guard for the TreeMap-parity sorted list
+    (RetractableTopNFunction.java:53): one key, 10k distinct sort keys.
+    The pre-r11 per-record ``sorted(smap)`` made this O(K^2 log K)
+    (~minutes); the bisect-maintained list keeps per-record cost flat
+    (seconds, dominated by Spark fixed overhead). Net state after
+    inserts + deletes must equal the brute-force Top-N."""
+    import collections
+    import random
+    import time
+
+    from reshape_on_flink_spark.streaming.changelog import retractable_topn
+
+    rng = random.Random(11)
+    nums = list(range(10_000))
+    rng.shuffle(nums)
+    rows = [(i + 1, INSERT, "a", 100_000 + n, n) for i, n in enumerate(nums)]
+    dels = rng.sample(nums, 200)
+    rows += [
+        (len(rows) + j + 1, DELETE, "a", 100_000 + n, n)
+        for j, n in enumerate(dels)
+    ]
+    df = spark.createDataFrame(
+        rows, f"seq int, {CHANGE_COL} string, shop string, rid long, num int"
+    )
+    t0 = time.perf_counter()
+    out = retractable_topn(
+        df, "shop", [("num", "asc")],
+        rank_end=5, output_rank_number=False,
+        generate_update_before=False, order_by="seq",
+    ).collect()
+    elapsed = time.perf_counter() - t0
+    # net the +I/-D changelog into the final Top-5
+    net = collections.Counter()
+    for r in sorted(out, key=lambda r: r._change_seq):
+        net[(r.rid, r.num)] += 1 if r._change_type == INSERT else -1
+    live = sorted(k for k, c in net.items() if c)
+    alive = sorted(set(nums) - set(dels))[:5]
+    assert live == [(100_000 + n, n) for n in alive], live
+    # pre-fix this path took minutes; generous bound still catches an
+    # O(K^2) regression while tolerating a loaded box
+    assert elapsed < 120, f"high-K retractable_topn took {elapsed:.0f}s"
+
+
 # ---------------------------------------------------------------------
 # updatable_topn — UpdatableTopNFunctionTest.java ports (upsert-input
 # fast path: state holds only the Top-N, updates move rows up in rank).
