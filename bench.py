@@ -77,6 +77,10 @@ HEADLINE = [
     # window-lookahead survival joins (the timeout side output's cost
     # model: n-1 extra engine passes over the keyed scan)
     "q_cep_timeout",
+    # round-11: timeouts under AfterMatchSkipStrategy — the no_skip
+    # passes run twice (partial summaries + output join) plus one
+    # full-pattern match pass and the keyed emission-replay shuffle
+    "q_cep_timeout_skip",
 ]
 
 

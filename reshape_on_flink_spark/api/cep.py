@@ -125,6 +125,9 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from reshape_on_flink_spark.operators.cep import (
+    _parse_after_match as _parse_after_match_cep,
+)
+from reshape_on_flink_spark.operators.cep import (
     match_recognize,
     streaming_match_recognize,
 )
@@ -1284,10 +1287,35 @@ class PatternStream:
         and ``timeout_ts`` (order-column units; timestamp orders give a
         timestamp, numeric orders a double).
 
-        Scope (loud otherwise): batch, ``after_match='no_skip'``
-        (Flink's CEP-builder default — other skip strategies also prune
-        partial branches on match completion, which is not modeled),
-        positive stages with Flink-default (non-greedy) quantifiers —
+        AfterMatchSkipStrategy (round 11): under a skip strategy an
+        emitted match additionally PRUNES partial branches — silently,
+        they never reach the side output (``NFA.java:396-436``
+        ``processMatchesAccordingToSkipStrategy`` +
+        ``aftermatch/AfterMatchSkipStrategy.prune``). The reference
+        dynamics, replayed exactly by ``skip_prune_verdicts``:
+        completed matches queue by START event and one is emitted only
+        when no live partial starts strictly earlier, so a
+        never-completing earlier partial DEFERS the emission until its
+        own horizon reports it; at the emission event, live partials
+        with start event <= pruningId are discarded (STRICT < for
+        SKIP TO FIRST/LAST), where pruningId = the match's last event
+        (``past_last_row``), first event (``to_next_row``), or the
+        first/last event mapped to SYM (``to_first/to_last SYM``). A
+        partial whose horizon is <= the emission tick was already
+        reported by that event's ``advanceTime`` and is NOT pruned.
+        Matches come from the same sequential matcher as the match
+        output (first-completed surviving expansion per start — the
+        reference's earliest-completion winner among same-start
+        candidates, pinned by the cep.md skip-matrix tests). Cost: the
+        skip route runs the prefix enumerations twice (once for the
+        partial summaries feeding the prune replay, once for the
+        output join) plus one full-pattern match pass and one keyed
+        shuffle of (key, rid, tick) for the emission replay.
+
+        Scope (loud otherwise): every skip strategy on the batch
+        route; streaming timeouts remain ``no_skip`` only (pruning
+        needs the incremental match cursor in the same keyed state).
+        Positive stages with Flink-default (non-greedy) quantifiers —
         no NOT/groups/until/greedy (greedy rewires PROCEED/take
         conditions, ``updateWithGreedyCondition``).
         """
@@ -1302,15 +1330,18 @@ class PatternStream:
                 "(NFA.advanceTime has no horizon without one; Flink "
                 "emits no timeouts for unbounded patterns)"
             )
-        if self._after != "no_skip":
-            raise NotImplementedError(
-                "timeout side output is implemented for "
-                "after_match='no_skip' (Flink's CEP-builder default and "
-                "the reference-pinned case, NFAITCase.java:405); other "
-                "skip strategies additionally prune partial branches "
-                "when a match completes"
-            )
         stages = pattern._stages
+        skip_mode, skip_sym = _parse_after_match_cep(
+            self._after, [s.name for s in stages]
+        )
+        if self._df.isStreaming and skip_mode != "no_skip":
+            raise NotImplementedError(
+                "streaming timeout side output supports "
+                "after_match='no_skip' only; skip strategies prune "
+                "partial branches on match emission (NFA.java:396-436), "
+                "which on a stream needs the incremental match cursor — "
+                "run the batch route, or use no_skip"
+            )
         has_loop = any(
             s.quant is not None and s.quant[:2] != (1, 1) for s in stages
         )
@@ -1541,7 +1572,9 @@ class PatternStream:
             an assignment iff its witness row exists AND any of its
             computations (the primary parked branch or a migrated copy)
             survives to the horizon. Computations sharing an event set
-            collapse to one emitted partial (NFAITCase compares sets)."""
+            collapse to one emitted partial (NFAITCase compares sets).
+            Returns (branch rows, surviving-branch summaries); the
+            skip-strategy prune filter and final join happen outside."""
             pre = Pattern()
             pre._stages = pre_stages
             pre._within = within
@@ -1551,6 +1584,7 @@ class PatternStream:
                 F.min(F.struct("__to_rid", "__to_tick"))["__to_tick"].alias(
                     "__first"
                 ),
+                F.min("__to_rid").alias("__srid"),
                 F.any_value("__to_pmax").alias("__pmax"),
             ]
             for c in last_cols:
@@ -1594,26 +1628,92 @@ class PatternStream:
                 alive = alive | cp
             # event-driven expiry: a partition row at/after the horizon
             surv = g.where((F.col("__pmax") >= F.col("__horizon")) & alive)
+            return rows, surv
+
+        frames = [(_timeouts(*plan), plan[1]) for plan in plans]
+
+        pruned = None
+        if skip_mode != "no_skip":
+            # AfterMatchSkipStrategy: emitted matches silently discard
+            # partial branches whose start event is covered by the
+            # pruning id before their horizon (NFA.java:396-436 +
+            # aftermatch/*.java). Matches come from the SAME sequential
+            # matcher the match output uses (first-completed surviving
+            # expansion per start = the reference's earliest-completion
+            # winner among same-start candidates); the emission replay
+            # in skip_prune_verdicts handles deferred emission gated by
+            # earlier-starting never-completing partials.
+            from reshape_on_flink_spark.operators.cep import (
+                skip_prune_verdicts,
+            )
+
+            parts = None
+            for (_rows, surv), _tag in frames:
+                sel = surv.select(*keys, "__srid", "__horizon")
+                parts = sel if parts is None else parts.unionByName(sel)
+            parts = parts.groupBy(*keys, "__srid").agg(
+                F.min("__horizon").alias("__horizon")
+            )
+            mrows = PatternStream(
+                base, pattern, keys, order, self._after
+            ).flat_select()
+            if skip_mode == "past_last_row":
+                prid = F.max("__to_rid")
+            elif skip_mode == "to_next_row":
+                prid = F.min("__to_rid")
+            elif skip_mode == "to_first":
+                prid = F.min(
+                    F.when(F.col("matched_symbol") == skip_sym, F.col("__to_rid"))
+                )
+            else:  # to_last
+                prid = F.max(
+                    F.when(F.col("matched_symbol") == skip_sym, F.col("__to_rid"))
+                )
+            msum = (
+                mrows.groupBy(*keys, "match_id")
+                .agg(
+                    F.min("__to_rid").alias("__srid"),
+                    F.max(F.struct("__to_rid", "__to_tick"))["__to_tick"].alias(
+                        "__etick"
+                    ),
+                    prid.alias("__prid"),
+                )
+                .drop("match_id")
+            )
+            ev = base.select(
+                *keys,
+                F.col("__to_rid").alias("__rid"),
+                F.col("__to_tick").alias("__tick"),
+            )
+            pruned = skip_prune_verdicts(
+                ev, msum, parts, keys,
+                strict=skip_mode in ("to_first", "to_last"),
+            )
+
+        ts = (
+            F.timestamp_micros(F.col("__horizon").cast("long"))
+            if is_time
+            else F.col("__horizon")
+        )
+        outs = []
+        for (rows, surv), tag in frames:
+            if pruned is not None:
+                surv = surv.join(pruned, [*keys, "__srid"], "left_anti")
             out = rows.join(
                 surv.select(*keys, "match_id", "__horizon"),
                 [*keys, "match_id"],
                 "inner",
             )
-            ts = (
-                F.timestamp_micros(F.col("__horizon").cast("long"))
-                if is_time
-                else F.col("__horizon")
+            outs.append(
+                out.select(
+                    *user_cols,
+                    F.col("matched_symbol"),
+                    F.concat_ws(
+                        "#", F.lit(tag), F.col("match_id").cast("string")
+                    ).alias("timeout_id"),
+                    ts.alias("timeout_ts"),
+                )
             )
-            return out.select(
-                *user_cols,
-                F.col("matched_symbol"),
-                F.concat_ws(
-                    "#", F.lit(tag), F.col("match_id").cast("string")
-                ).alias("timeout_id"),
-                ts.alias("timeout_ts"),
-            )
-
-        outs = [_timeouts(*plan) for plan in plans]
         res = outs[0]
         for o in outs[1:]:
             res = res.unionByName(o)

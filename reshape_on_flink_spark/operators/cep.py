@@ -2008,6 +2008,114 @@ def streaming_timed_out_partials(
     )
 
 
+def skip_prune_verdicts(
+    events: DataFrame,
+    matches: DataFrame,
+    partials: DataFrame,
+    keys: list[str],
+    strict: bool,
+) -> DataFrame:
+    """Which partial-match starts does an AfterMatchSkipStrategy PRUNE
+    (silently discard — they never reach the timeout side output)?
+
+    Summary-level replay of the reference emission loop
+    (flink-libraries/flink-cep/.../nfa/NFA.java:396-436
+    ``processMatchesAccordingToSkipStrategy`` +
+    ``aftermatch/AfterMatchSkipStrategy.prune``), per partition key:
+
+    - Completed matches queue ordered by START event
+      (NFAState.COMPUTATION_STATE_COMPARATOR) and one is emitted only
+      once no live partial starts strictly earlier (``isEarlier`` uses
+      <=, so a same-start partial does not gate). A never-completing
+      earlier partial therefore DEFERS the emission until its own
+      horizon fires — and is itself reported by ``advanceTime``, which
+      runs before each event's ``doProcess``.
+    - Emission happens at the first event whose tick reaches
+      ``max(completion tick, previous emission tick, gating partials'
+      horizons)`` — processing is event-driven, like ``advanceTime``.
+    - On emission, live partials with start event <= pruningId
+      (``SkipRelativeToWholeMatchStrategy.shouldPrune``; STRICT < for
+      the SkipToElement strategies) are discarded. A partial whose
+      horizon is <= the emission tick was already reported by that
+      event's ``advanceTime`` — pruning only hits ``horizon > emit``.
+
+    Only never-completing surviving branches can gate (with static
+    conditions an earlier-starting live branch reaches every stage no
+    later than a later start, so completing branches co-complete and
+    win by start order), which is exactly the ``partials`` input.
+
+    Inputs: ``events`` = keys + ``__rid``/``__tick`` (every partition
+    row, arrival-ordered rid = the EventId total order), ``matches`` =
+    keys + ``__srid``/``__etick``/``__prid`` (start rid, completion
+    tick, pruning-event rid — a null ``__prid`` degrades that match to
+    NoSkip, the reference's throwExceptionOnMiss=false path),
+    ``partials`` = keys + ``__srid``/``__horizon``. Output: the keys +
+    ``__srid`` of every PRUNED partial start.
+
+    100 TB: one keyed shuffle of the tagged union; per-key work is a
+    linear walk over the key's matches with numpy masks over its
+    partial starts — matches and partials are per-key summaries, the
+    event axis is two doubles per row.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def _tag(df, t, a, b, c):
+        return df.select(
+            *keys,
+            F.lit(t).alias("__t"),
+            F.col(a).cast("double").alias("__a"),
+            F.col(b).cast("double").alias("__b"),
+            (F.col(c) if c else F.lit(None)).cast("double").alias("__c"),
+        )
+
+    tagged = (
+        _tag(events, "E", "__rid", "__tick", None)
+        .unionByName(_tag(matches, "M", "__srid", "__etick", "__prid"))
+        .unionByName(_tag(partials, "P", "__srid", "__horizon", None))
+    )
+    key_fields = [f for f in tagged.schema.fields if f.name in keys]
+    out_schema = StructType([*key_fields, StructField("__srid", LongType())])
+
+    def run(pdf):
+        m = pdf[pdf["__t"] == "M"]
+        p = pdf[pdf["__t"] == "P"]
+        if not len(m) or not len(p):
+            return pd.DataFrame(columns=[*keys, "__srid"])
+        ev = np.sort(pdf.loc[pdf["__t"] == "E", "__b"].to_numpy(dtype=float))
+        mm = m[["__a", "__b", "__c"]].to_numpy(dtype=float)
+        mm = mm[np.argsort(mm[:, 0], kind="stable")]
+        ps = p["__a"].to_numpy(dtype=float)
+        ph = p["__b"].to_numpy(dtype=float)
+        live = np.ones(len(ps), dtype=bool)
+        killed = np.zeros(len(ps), dtype=bool)
+        prev = -np.inf
+        for srid, etick, prid in mm:
+            if np.isnan(prid):  # SKIP TO with no mapped rows -> NoSkip
+                continue
+            thr = max(float(etick), prev)
+            gates = live & (ps < srid)
+            if gates.any():
+                thr = max(thr, float(ph[gates].max()))
+            i = int(np.searchsorted(ev, thr, side="left"))
+            if i >= len(ev):
+                continue  # never witnessed: the match is never emitted
+            emit = float(ev[i])
+            prev = emit
+            kill = live & (ph > emit) & ((ps < prid) if strict else (ps <= prid))
+            if kill.any():
+                killed |= kill
+                live &= ~kill
+        if not killed.any():
+            return pd.DataFrame(columns=[*keys, "__srid"])
+        out = p.loc[killed, list(keys)].copy()
+        out["__srid"] = p.loc[killed, "__a"].astype("int64").to_numpy()
+        return out
+
+    return tagged.groupBy(*keys).applyInPandas(run, out_schema)
+
+
 def pandas_predicate(expr: str, symbols: list[str]):
     """Compile a MATCH_RECOGNIZE DEFINE expression into a vectorized
     pandas predicate ``(pdf) -> bool Series`` for the STREAMING matcher.

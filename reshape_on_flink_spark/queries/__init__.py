@@ -40,6 +40,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     # r8 gate + r7/r5/r4 rows then cover the inventory with nothing
     # older than round 3; the next-stalest r3 entries follow (inert
     # beyond slot 50, queued for the round-9 rotation).
+    # round-11 rotation: the new round-11 query first (no driver row yet)
+    "q_cep_timeout_skip",
     # round-10 rotation: the new round-10 queries first (no driver row yet)
     "q_retractable_topn",
     "q_updatable_topn",

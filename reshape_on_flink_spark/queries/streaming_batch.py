@@ -1539,6 +1539,137 @@ def q_cep_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CEP timed-out partials under an AfterMatchSkipStrategy (round 11):
+# NFA.java:396-436 processMatchesAccordingToSkipStrategy — an emitted
+# match silently PRUNES partial branches with start event <= pruningId
+# before their horizon. Pattern A(signup) -fbAny-> B(error) -fbAny->
+# C(purchase) WITHIN 2 days under SKIP_TO_NEXT (pruningId = the match's
+# own start event), so pruning hits exactly the emitted start's own
+# persisting fba waiters. Closed-form oracle (no recursion): to_next
+# emits ONE first-completed match per start (b = first error after a,
+# c = first purchase after that b, c < a+delta); completion ticks are
+# monotone in start, so the emission event of start s is the first
+# event at/after max(c_ord, horizons of earlier matchless starts) —
+# earlier matchless starts gate the emission (NFAState start-ordered
+# queue; they are themselves reported, never pruned, because the
+# deferred emission lands at/after their horizon); the start's waiters
+# are pruned iff that event precedes the start's own horizon. t1 = the
+# {A} waiter of every unpruned witnessed start, t2 = every fbAny {A,B}
+# branch (B = ANY error strictly inside the window — fba waiters
+# persist past sibling takes, NFAITCase:405). Scale: the engine adds
+# one keyed shuffle of (key, rid, tick) for the emission replay over
+# the no_skip branch passes; per-key work is numpy masks over start
+# summaries.
+# ---------------------------------------------------------------------------
+_CEP_SKIP_DELTA = 172800 * 100000  # 2 days in ord units
+
+
+@query(
+    "q_cep_timeout_skip",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             ROW_NUMBER() OVER w0 AS rn,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000
+               + ROW_NUMBER() OVER w0 AS ord
+      FROM events
+      WINDOW w0 AS (PARTITION BY user_id
+                    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+    ),
+    enriched AS (
+      SELECT *,
+             MAX(ord) OVER (PARTITION BY user_id) AS pmax,
+             MIN(CASE WHEN event_type = 'error' THEN ord END)
+               OVER wf AS next_b,
+             MIN(CASE WHEN event_type = 'purchase' THEN ord END)
+               OVER wf AS next_c
+      FROM seq
+      WINDOW wf AS (PARTITION BY user_id ORDER BY rn
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    a_rows AS (SELECT * FROM enriched WHERE event_type = 'signup'),
+    m AS (  -- to_next: one first-completed match per start
+      SELECT a.user_id, a.ord AS a_ord, b.next_c AS c_ord
+      FROM a_rows a
+      JOIN enriched b ON b.user_id = a.user_id AND b.ord = a.next_b
+      WHERE a.next_b IS NOT NULL AND b.next_c IS NOT NULL
+        AND b.next_c < a.ord + {_CEP_SKIP_DELTA}
+    ),
+    ann AS (  -- horizons of earlier matchless starts gate the emission
+      SELECT a.user_id, a.ord AS a_ord, a.pmax, m.c_ord,
+             MAX(CASE WHEN m.c_ord IS NULL AND a.pmax >= a.ord + {_CEP_SKIP_DELTA}
+                      THEN a.ord + {_CEP_SKIP_DELTA} END)
+               OVER (PARTITION BY a.user_id ORDER BY a.ord
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_max
+      FROM a_rows a
+      LEFT JOIN m ON m.user_id = a.user_id AND m.a_ord = a.ord
+    ),
+    pruned AS (  -- emission event before the start's own horizon
+      SELECT x.user_id, x.a_ord
+      FROM ann x
+      WHERE x.c_ord IS NOT NULL
+        AND (SELECT MIN(e.ord) FROM seq e
+              WHERE e.user_id = x.user_id
+                AND e.ord >= GREATEST(x.c_ord, COALESCE(x.run_max, x.c_ord)))
+            < x.a_ord + {_CEP_SKIP_DELTA}
+    ),
+    alive AS (
+      SELECT a.* FROM a_rows a
+      WHERE a.pmax >= a.ord + {_CEP_SKIP_DELTA}
+        AND NOT EXISTS (SELECT 1 FROM pruned p
+                         WHERE p.user_id = a.user_id AND p.a_ord = a.ord)
+    ),
+    t1 AS (
+      SELECT user_id, event_id AS a_id, CAST(NULL AS BIGINT) AS b_id,
+             CAST(1 AS BIGINT) AS n_rows, ord + {_CEP_SKIP_DELTA} AS tout
+      FROM alive
+    ),
+    t2 AS (  -- every fbAny {{A,B}} branch persists to the horizon
+      SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+             CAST(2 AS BIGINT) AS n_rows, a.ord + {_CEP_SKIP_DELTA} AS tout
+      FROM alive a
+      JOIN seq b ON b.user_id = a.user_id AND b.event_type = 'error'
+                AND b.ord > a.ord AND b.ord < a.ord + {_CEP_SKIP_DELTA}
+    )
+    SELECT user_id, a_id, b_id, n_rows, CAST(tout AS BIGINT) AS timeout_ord
+    FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+    ORDER BY user_id, a_id, n_rows, b_id
+    """,
+)
+def q_cep_timeout_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w0 = W.partitionBy("user_id").orderBy("sec", "event_id")
+    src = ev.select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("long").alias("sec")
+    ).withColumn(
+        "ord", F.col("sec") * 100000 + F.row_number().over(w0)
+    )
+    pat = (
+        Pattern.begin("A").where(F.col("event_type") == "signup")
+        .followed_by_any("B").where(F.col("event_type") == "error")
+        .followed_by_any("C").where(F.col("event_type") == "purchase")
+        .within(_CEP_SKIP_DELTA)
+    )
+    ps = CEP.pattern(src, pat, "user_id", "ord", after_match="to_next_row")
+    t = ps.timed_out_partial_matches()
+    return (
+        t.groupBy("user_id", "timeout_id")
+        .agg(
+            F.min(F.when(F.col("matched_symbol") == "A", F.col("event_id"))).alias("a_id"),
+            F.min(F.when(F.col("matched_symbol") == "B", F.col("event_id"))).alias("b_id"),
+            F.count("*").alias("n_rows"),
+            F.min("timeout_ts").cast("bigint").alias("timeout_ord"),
+        )
+        .select("user_id", "a_id", "b_id", "n_rows", "timeout_ord")
+        .orderBy("user_id", "a_id", "n_rows", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Changelog-consuming JOIN (round 10) — StreamingJoinOperator.java:123-198
 # under the hash gate. The LEFT input is the per-user retract-agg
 # HISTORY (closed-form: the q_retract_transitions recipe — +I then

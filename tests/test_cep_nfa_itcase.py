@@ -744,11 +744,17 @@ def test_timeout_timestamp_order_and_loud_guards(spark):
     )
     with pytest.raises(NotImplementedError, match="greedy"):
         CEP.pattern(df, greedy, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+    # skip strategies are supported on the batch route (round 11): with
+    # no completed match in this fixture there is nothing to prune, so
+    # the default past_last_row equals no_skip here
     simple = (
         Pattern.begin("a").where(_n("start")).followed_by("b").where(_n("middle")).within(10)
     )
-    with pytest.raises(NotImplementedError, match="no_skip"):
-        CEP.pattern(df, simple, "k", "ts").timed_out_partial_matches()
+    assert (
+        CEP.pattern(df, simple, "k", "ts").timed_out_partial_matches().count()
+        == CEP.pattern(df, simple, "k", "ts", after_match="no_skip")
+        .timed_out_partial_matches().count()
+    )
     # single-stage LOOP patterns time out (mid-loop parking) — a@1s is
     # alone in the loop, middle@3s doesn't take (relaxed ignore), the
     # @30s row witnesses expiry at 1s+10s
@@ -759,6 +765,165 @@ def test_timeout_timestamp_order_and_loud_guards(spark):
         .timed_out_partial_matches().collect()
     }
     assert got_l == {(1, t0 + dt.timedelta(seconds=11))}, got_l
+
+
+# ---------------------------------------------------------------------
+# Timed-out partials under AfterMatchSkipStrategy (round 11). Hand-
+# traced reference runs of NFA.processMatchesAccordingToSkipStrategy
+# (NFA.java:396-436): completed matches queue by START event and emit
+# only when no live partial starts strictly earlier; on emission,
+# partials with start event <= pruningId are SILENTLY pruned (never
+# reach the timeout tag; STRICT < for SkipToElementStrategy), where
+# pruningId = last match event (SkipPastLastStrategy), first match
+# event (SkipToNextStrategy) or first/last event mapped to SYM. A
+# partial whose horizon passed at/before the emission event was
+# already reported by that event's advanceTime and is NOT pruned.
+# ---------------------------------------------------------------------
+
+
+def _fba_within10():
+    return (
+        Pattern.begin("A").where(F.col("name") == "a")
+        .followed_by_any("B").where(F.col("name") == "m")
+        .followed_by_any("C").where(F.col("name") == "e")
+        .within(10)
+    )
+
+
+def _skip_touts(spark, rows, pat, after):
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+    ps = CEP.pattern(df, pat, "k", "ts", after_match=after)
+    return _collect_timeouts(ps.timed_out_partial_matches())
+
+
+def test_timeout_skip_past_last_event_prunes_partials(spark):
+    """The NFAITCase:405 fixture under skipPastLastEvent: the match
+    {2,3,11} completes at end@11 (no live partial starts before
+    start@2 — {1}/{1,3} expired at that very event's advanceTime, so
+    they ARE reported), and its emission prunes the persisting fba
+    waiters {2}/{2,3} (start <= last match event) before their @12
+    horizon."""
+    pat = (
+        Pattern.begin("start").where(_n("start"))
+        .followed_by_any("middle").where(_n("middle"))
+        .followed_by_any("end").where(_n("end"))
+        .within(10)
+    )
+    ps = CEP.pattern(
+        _timeout_fixture(spark), pat, "k", "ts", after_match="past_last_row"
+    )
+    matches = ps.flat_select(timed_out_partial_matches_tag="late")
+    got_m = collections.defaultdict(set)
+    for r in matches.collect():
+        got_m[r.match_id].add(r.ts)
+    assert sorted(sorted(v) for v in got_m.values()) == [[2, 3, 11]]
+    got_t = _collect_timeouts(ps.get_side_output("late"))
+    assert got_t == {(frozenset({1}), 11.0), (frozenset({1, 3}), 11.0)}, got_t
+
+
+def test_timeout_skip_to_next_vs_past_last(spark):
+    """a@1 m@2 a@3 e@4 noise@30 with start fbAny middle fbAny end:
+    match {1,2,4}. skipPastLastEvent prunes every partial (starts 1
+    and 3 are both <= the last match event e@4); skipToNext prunes
+    only the match's own start (pruningId = first match event a@1), so
+    the stuck later start {3} still times out at 13."""
+    rows = [(1, 1, "a"), (1, 2, "m"), (1, 3, "a"), (1, 4, "e"), (1, 30, "x")]
+    assert _skip_touts(spark, rows, _fba_within10(), "no_skip") == {
+        (frozenset({1}), 11.0),
+        (frozenset({1, 2}), 11.0),
+        (frozenset({3}), 13.0),
+    }
+    assert _skip_touts(spark, rows, _fba_within10(), "past_last_row") == set()
+    assert _skip_touts(spark, rows, _fba_within10(), "to_next_row") == {
+        (frozenset({3}), 13.0)
+    }
+
+
+def test_timeout_skip_horizon_beats_emission(spark):
+    """a@1 a@9 m@10 e@12 noise@30: the match {9,10,12} completes at
+    e@12, but that event's advanceTime runs FIRST and reports {1} and
+    {1,10} (horizon 11 <= 12) — pruning only hits partials whose
+    horizon is still open at the emission tick ({9}/{9,10} at 19)."""
+    rows = [(1, 1, "a"), (1, 9, "a"), (1, 10, "m"), (1, 12, "e"), (1, 30, "x")]
+    got = _skip_touts(spark, rows, _fba_within10(), "past_last_row")
+    assert got == {(frozenset({1}), 11.0), (frozenset({1, 10}), 11.0)}, got
+
+
+def test_timeout_skip_new_starts_after_match_survive(spark):
+    """a@1 m@2 e@3 a@5 noise@30: the match {1,2,3} prunes every partial
+    with start <= e@3, but the NEW start a@5 (after the pruning id)
+    lives on and times out at 15."""
+    rows = [(1, 1, "a"), (1, 2, "m"), (1, 3, "e"), (1, 5, "a"), (1, 30, "x")]
+    got = _skip_touts(spark, rows, _fba_within10(), "past_last_row")
+    assert got == {(frozenset({5}), 15.0)}, got
+
+
+def test_timeout_skip_prunes_mid_loop_branches(spark):
+    """a+ followedBy b over a@1 a@2 b@3 a@4 noise@30: under noSkip the
+    mid-loop branches {1,2,4} and {2,4} park past b@3 (relaxed inner
+    ignore NOT(take) forces taking a2, so {1,4} never exists) and time
+    out with {4}. skipPastLastEvent emits the first-completed {1,3}
+    and prunes every branch whose start is <= b@3 — only the post-
+    match start {4} still times out."""
+    loop = (
+        Pattern.begin("A").where(F.col("name") == "a").one_or_more()
+        .followed_by("B").where(F.col("name") == "b")
+        .within(10)
+    )
+    rows = [(1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "a"), (1, 30, "x")]
+    assert _skip_touts(spark, rows, loop, "no_skip") == {
+        (frozenset({1, 2, 4}), 11.0),
+        (frozenset({2, 4}), 12.0),
+        (frozenset({4}), 14.0),
+    }
+    assert _skip_touts(spark, rows, loop, "past_last_row") == {
+        (frozenset({4}), 14.0)
+    }
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+    got_m = collections.defaultdict(set)
+    for r in (
+        CEP.pattern(df, loop, "k", "ts", after_match="past_last_row")
+        .flat_select().collect()
+    ):
+        got_m[r.match_id].add(r.ts)
+    assert sorted(sorted(v) for v in got_m.values()) == [[1, 3]]
+
+
+def test_timeout_skip_to_element_is_strict(spark):
+    """SkipToElementStrategy.shouldPrune uses STRICT < (vs <= for the
+    whole-match strategies): a@1 x@2 ab@3 x@10 with A in (a,ab), B in
+    (b,ab) within 5 — the match {1,3} maps its last B to ab@3, and the
+    partial A-start {3} sits exactly AT that pruning id: to_last B
+    keeps it (3 < 3 is false; times out at 8), past_last_row prunes it
+    (3 <= 3)."""
+    pat = (
+        Pattern.begin("A").where(F.col("name").isin("a", "ab"))
+        .followed_by("B").where(F.col("name").isin("b", "ab"))
+        .within(5)
+    )
+    rows = [(1, 1, "a"), (1, 2, "x"), (1, 3, "ab"), (1, 10, "x")]
+    assert _skip_touts(spark, rows, pat, "to_last B") == {
+        (frozenset({3}), 8.0)
+    }
+    assert _skip_touts(spark, rows, pat, "past_last_row") == set()
+
+
+def test_timeout_skip_streaming_guard(spark, tmp_dir):
+    """Streaming timeouts remain no_skip-only: a skip strategy needs
+    the incremental match cursor in the same keyed state (loud
+    NotImplementedError, not silent no_skip semantics)."""
+    import os
+
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    rows = [(1, 1, "a"), (1, 2, "m"), (1, 30, "x")]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "skipguard"), n_chunks=1, order_col="ts"
+    )
+    ps = CEP.pattern(stream, _fba_within10(), "k", "ts", after_match="past_last_row")
+    with pytest.raises(NotImplementedError, match="no_skip"):
+        ps.timed_out_partial_matches()
 
 
 # ---------------------------------------------------------------------
