@@ -1313,11 +1313,15 @@ class PatternStream:
         shuffle of (key, rid, tick) for the emission replay.
 
         Scope (loud otherwise): every skip strategy on the batch
-        route; streaming timeouts remain ``no_skip`` only (pruning
-        needs the incremental match cursor in the same keyed state).
-        Positive stages with Flink-default (non-greedy) quantifiers —
-        no NOT/groups/until/greedy (greedy rewires PROCEED/take
-        conditions, ``updateWithGreedyCondition``).
+        route; streaming additionally runs ``past_last_row`` and
+        ``to_next_row`` (the sequential matcher advances incrementally
+        from a keyed cursor and the emission replay lives in the same
+        state — ``streaming_timed_out_partials``), while SKIP TO
+        FIRST/LAST stay batch-only (resuming AT the mapped element
+        needs overlapping scans). Positive stages with Flink-default
+        (non-greedy) quantifiers — no NOT/groups/until/greedy (greedy
+        rewires PROCEED/take conditions,
+        ``updateWithGreedyCondition``).
         """
         from pyspark.sql import Window as SW
 
@@ -1334,13 +1338,12 @@ class PatternStream:
         skip_mode, skip_sym = _parse_after_match_cep(
             self._after, [s.name for s in stages]
         )
-        if self._df.isStreaming and skip_mode != "no_skip":
+        if self._df.isStreaming and skip_mode in ("to_first", "to_last"):
             raise NotImplementedError(
-                "streaming timeout side output supports "
-                "after_match='no_skip' only; skip strategies prune "
-                "partial branches on match emission (NFA.java:396-436), "
-                "which on a stream needs the incremental match cursor — "
-                "run the batch route, or use no_skip"
+                "streaming timeout side output supports no_skip, "
+                "past_last_row and to_next_row; SKIP TO FIRST/LAST "
+                "resumes AT the mapped element (overlapping scans) — "
+                "run the batch route for those"
             )
         has_loop = any(
             s.quant is not None and s.quant[:2] != (1, 1) for s in stages
@@ -1553,9 +1556,24 @@ class PatternStream:
                         gate=gate,
                     )
                 )
+            skip_spec = None
+            if skip_mode != "no_skip":
+                # the FULL pattern, compiled emit='first' — the same
+                # first-completed sequential matcher the batch match
+                # output uses; the operator runs it incrementally from
+                # a keyed cursor and replays the emission loop
+                full_pat, _fdef, full_usr, _fwin = pattern.compile(
+                    emit="first", lookahead_window=lookahead
+                )
+                skip_spec = dict(
+                    mode=skip_mode,
+                    pat=full_pat,
+                    define=_build_pandas_define(pattern),
+                    user_syms=list(full_usr),
+                )
             return streaming_timed_out_partials(
                 self._df, keys, order, list(self._df.columns),
-                op_plans, delta, is_time,
+                op_plans, delta, is_time, skip=skip_spec,
             )
 
         for i in sorted(scan_idx):

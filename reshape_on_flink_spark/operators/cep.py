@@ -1825,6 +1825,7 @@ def streaming_timed_out_partials(
     plans: list[dict],
     delta: float,
     is_time: bool,
+    skip: dict | None = None,
 ) -> DataFrame:
     """Streaming side of ``PatternStream.timed_out_partial_matches()``
     — Flink's timed-out partial-match side output on an unbounded
@@ -1849,6 +1850,23 @@ def streaming_timed_out_partials(
     string incl. gap fillers), ``define`` (pandas predicates per
     symbol), ``user_syms``, ``tag``, ``primary``/``copies`` survival
     specs carrying pandas take-predicates, ``gate`` = (loop_sym, lo).
+
+    ``skip`` (round 11): AfterMatchSkipStrategy support — ``None`` =
+    no_skip (every partial reported); else a dict with ``mode``
+    ('past_last_row' | 'to_next_row'), ``pat``/``define``/``user_syms``
+    for the FULL pattern compiled ``emit='first'``. The operator then
+    runs the sequential matcher incrementally over the decided region
+    (keyed-state cursor = the AFTER MATCH SKIP resume position) and
+    replays the reference emission loop (NFA.java:396-436): a match's
+    emission lands at the first buffered event reaching max(completion
+    tick, previous emission, horizons of earlier reported-timeout
+    starts — the start-ordered queue's gating), and a decided start's
+    partials are PRUNED (dropped, not reported) iff some emission with
+    pruningId >= the start's rid precedes the start's horizon. All
+    emission witnesses lie inside the 1x-``within`` buffer (completion
+    <= start + within <= frontier + within = max buffered tick), so
+    state stays bounded: the undecided suffix + the match cursor +
+    open-horizon gate/emission summaries.
 
     100 TB: one shuffle on the key; per-key state is the undecided
     suffix only (rows with ``tick > max_tick - within``), so state is
@@ -1886,6 +1904,28 @@ def streaming_timed_out_partials(
             raise ValueError(f"timeout prefix symbols without DEFINE: {missing}")
         compiled.append((symbols, _ast_enumerator(symbols, ast), pl))
 
+    skip_compiled = None
+    if skip is not None:
+        if skip["mode"] not in ("past_last_row", "to_next_row"):
+            raise NotImplementedError(
+                f"streaming timeout skip mode {skip['mode']!r}: only "
+                "past_last_row / to_next_row (SkipToElement resumes AT "
+                "the mapped element — overlapping scans need the batch "
+                "route)"
+            )
+        f_ast = parse_pattern_ast(skip["pat"])
+        f_syms = ast_symbols(f_ast)
+        missing = [s for s in f_syms if s not in skip["define"]]
+        if missing:
+            raise ValueError(f"skip full-pattern symbols without DEFINE: {missing}")
+        f_user = set(skip["user_syms"])
+        skip_compiled = (
+            f_syms,
+            _ast_matcher(f_syms, f_ast),
+            frozenset(j for j, s in enumerate(f_syms) if s not in f_user),
+            skip["mode"],
+        )
+
     sample = events.select(*input_cols)
     out_schema = StructType(
         [
@@ -1909,11 +1949,24 @@ def streaming_timed_out_partials(
         import numpy as np
         import pandas as pd
 
+        aux = None
         if state.exists:
             blob, frontier, serial = state.get
-            pending = pickle.loads(blob)
+            st0 = pickle.loads(blob)
+            if skip_compiled is not None:
+                pending, aux = st0["pdf"], st0["aux"]
+            else:
+                pending = st0
         else:
             pending, frontier, serial = None, float("-inf"), 0
+        if skip_compiled is not None and aux is None:
+            aux = {
+                "rid_base": 0,
+                "cursor": 0,
+                "prev_emit": float("-inf"),
+                "gates": [],      # (start_rid, horizon) of reported starts
+                "emissions": [],  # (emit_tick, prune_rid)
+            }
         new = pd.concat(list(pdfs), ignore_index=True)[input_cols]
         pdf = (
             pd.concat([pending, new], ignore_index=True)
@@ -1930,7 +1983,12 @@ def streaming_timed_out_partials(
         max_tick = float(ticks[-1]) if n else float("-inf")
         f_new = max_tick - delta  # starts at/below this tick are decided
         dec = np.nonzero((ticks > frontier) & (ticks <= f_new))[0]
-        pieces = []
+
+        # phase 1: enumerate the surviving parked branches per decided
+        # start (NFA ignore-condition survival — independent of skip
+        # pruning), in plan-major order
+        cands: list = []  # (tag, local start idx, horizon, rows)
+        surv_starts: set = set()
         for symbols, enum_at, pl in compiled:
             if not len(dec):
                 break
@@ -1986,16 +2044,116 @@ def streaming_timed_out_partials(
                                     break
                     if not alive:
                         continue
-                    out = pdf.iloc[[p for p, _s in rows]].copy()
-                    out["matched_symbol"] = [s2 for _p, s2 in rows]
-                    out["timeout_id"] = f"{pl['tag']}#{serial}"
-                    out["timeout_ts"] = (
-                        pd.Timestamp(int(h), unit="us") if is_time else h
+                    cands.append((pl["tag"], int(i), h, rows))
+                    surv_starts.add(int(i))
+
+        # phase 2 (skip strategies): incremental sequential matcher +
+        # emission replay + per-start prune verdicts. Only starts with
+        # SURVIVING branches enter the gate list — a start whose
+        # branches all die by consumption stops gating in the reference
+        # too (its deferral never crosses a later start's horizon).
+        pruned_starts: set = set()
+        if skip_compiled is not None and n and len(dec):
+            f_syms, match_at, f_filler, mode = skip_compiled
+            fbools = [
+                np.asarray(skip["define"][s](pdf).to_numpy(), dtype=bool)
+                for s in f_syms
+            ]
+            # resume from the keyed cursor (the AFTER MATCH SKIP resume
+            # position); a match starting at tick <= f_new has its
+            # whole within-horizon buffered, so it is final. Rid
+            # stability relies on the operator's in-order contract
+            # (per-key event-time ordered arrival): new rows sort after
+            # the pending suffix, so pending positions never shift.
+            rid_base = aux["rid_base"]
+            matches_new = []
+            i = max(0, aux["cursor"] - rid_base)
+            while i < n and ticks[i] <= f_new:
+                lim = int(np.searchsorted(ticks, ticks[i] + delta, side="left"))
+                m = match_at(fbools, int(i), lim)
+                if m and m[0][1] in f_filler:
+                    m = None  # filler-anchored: re-found at its real row
+                if m:
+                    e_pos = m[-1][0]
+                    prid = rid_base + (
+                        e_pos if mode == "past_last_row" else m[0][0]
                     )
-                    serial += 1
-                    pieces.append(out)
+                    matches_new.append(
+                        (rid_base + m[0][0], float(ticks[e_pos]), prid)
+                    )
+                    i = e_pos + 1 if mode == "past_last_row" else i + 1
+                else:
+                    i += 1
+            aux["cursor"] = rid_base + i
+            # emission replay in start-rid order: matches at/below a
+            # start's rid emit before its verdict (their emission may
+            # prune it); a reported start's horizon gates every LATER
+            # match (the reference's start-ordered completed queue)
+            gates, emissions = aux["gates"], aux["emissions"]
+
+            def _emit(ms_rid, e_tick, prid):
+                thr = max(e_tick, aux["prev_emit"])
+                for g_rid, g_h in gates:
+                    if g_rid < ms_rid and g_h > thr:
+                        thr = g_h
+                j = int(np.searchsorted(ticks, thr, side="left"))
+                if j < n:  # always true: thr <= max buffered tick
+                    aux["prev_emit"] = float(ticks[j])
+                    emissions.append((aux["prev_emit"], prid))
+
+            mi = 0
+            for i in dec:
+                ii = int(i)
+                s_rid = rid_base + ii
+                h = float(ticks[i]) + delta
+                while mi < len(matches_new) and matches_new[mi][0] <= s_rid:
+                    _emit(*matches_new[mi])
+                    mi += 1
+                if ii in surv_starts:
+                    if any(e < h and s_rid <= p for e, p in emissions):
+                        pruned_starts.add(ii)
+                    else:
+                        gates.append((s_rid, h))
+            while mi < len(matches_new):  # matches past the last start
+                _emit(*matches_new[mi])
+                mi += 1
+
+        # phase 3: emit the unpruned partials, serials in plan-major
+        # order (identical numbering to the pre-skip operator when
+        # nothing is pruned)
+        pieces = []
+        for tag, ii, h, rows in cands:
+            if ii in pruned_starts:
+                continue
+            out = pdf.iloc[[p for p, _s in rows]].copy()
+            out["matched_symbol"] = [s2 for _p, s2 in rows]
+            out["timeout_id"] = f"{tag}#{serial}"
+            out["timeout_ts"] = (
+                pd.Timestamp(int(h), unit="us") if is_time else h
+            )
+            serial += 1
+            pieces.append(out)
         keep = pdf[ticks > f_new] if n else pdf
-        state.update((pickle.dumps(keep), float(max(frontier, f_new)), int(serial)))
+        if skip_compiled is not None:
+            # retention: dropped rows are the sorted prefix; gates and
+            # emissions live while they can still affect undecided
+            # starts (horizon above the frontier / pruning id at or
+            # beyond the first kept rid)
+            n_dropped = n - len(keep)
+            first_kept = aux["rid_base"] + n_dropped
+            aux["rid_base"] = first_kept
+            if n:
+                aux["cursor"] = max(aux["cursor"], first_kept)
+            aux["gates"] = [
+                (g, gh) for g, gh in aux["gates"] if gh > f_new
+            ]
+            aux["emissions"] = [
+                (e, p) for e, p in aux["emissions"] if p >= first_kept
+            ]
+            blob = pickle.dumps({"pdf": keep, "aux": aux})
+        else:
+            blob = pickle.dumps(keep)
+        state.update((blob, float(max(frontier, f_new)), int(serial)))
         if pieces:
             yield pd.concat(pieces, ignore_index=True)
         else:

@@ -908,21 +908,73 @@ def test_timeout_skip_to_element_is_strict(spark):
     assert _skip_touts(spark, rows, pat, "past_last_row") == set()
 
 
-def test_timeout_skip_streaming_guard(spark, tmp_dir):
-    """Streaming timeouts remain no_skip-only: a skip strategy needs
-    the incremental match cursor in the same keyed state (loud
-    NotImplementedError, not silent no_skip semantics)."""
+def _pd_fba_within10():
+    def c(name):
+        return lambda pdf, _n=name: pdf["name"] == _n
+
+    return (
+        Pattern.begin("A").where(c("a"))
+        .followed_by_any("B").where(c("m"))
+        .followed_by_any("C").where(c("e"))
+        .within(10)
+    )
+
+
+def test_timeout_skip_streaming_equals_batch(spark, tmp_dir):
+    """past_last_row / to_next_row timeouts on the streaming route
+    (incremental sequential matcher + emission replay in keyed state,
+    across 3 chunks) == the batch hand-traced matrices. Covers: full
+    pruning by an emitted match, post-match starts surviving, the
+    to_next start-only pruning id, and the horizon-beats-emission race."""
+    rows_a = [(1, 1, "a"), (1, 2, "m"), (1, 3, "a"), (1, 4, "e"), (1, 30, "x")]
+    rows_b = [(1, 1, "a"), (1, 9, "a"), (1, 10, "m"), (1, 12, "e"), (1, 30, "x")]
+    rows_c = [(1, 1, "a"), (1, 2, "m"), (1, 3, "e"), (1, 5, "a"), (1, 30, "x")]
+    pat = _pd_fba_within10()
+    df_a = spark.createDataFrame(rows_a, "k int, ts int, name string")
+    df_b = spark.createDataFrame(rows_b, "k int, ts int, name string")
+    df_c = spark.createDataFrame(rows_c, "k int, ts int, name string")
+    assert _stream_timeouts(
+        spark, tmp_dir, df_a, pat, "sk_pl_a", after="past_last_row"
+    ) == set()
+    assert _stream_timeouts(
+        spark, tmp_dir, df_a, pat, "sk_tn_a", after="to_next_row"
+    ) == {(frozenset({3}), 13.0)}
+    assert _stream_timeouts(
+        spark, tmp_dir, df_b, pat, "sk_pl_b", after="past_last_row"
+    ) == {(frozenset({1}), 11.0), (frozenset({1, 10}), 11.0)}
+    assert _stream_timeouts(
+        spark, tmp_dir, df_c, pat, "sk_pl_c", after="past_last_row"
+    ) == {(frozenset({5}), 15.0)}
+
+
+def test_timeout_skip_streaming_loop_and_guard(spark, tmp_dir):
+    """Mid-loop pruning on the streaming route (a+ fb b under
+    skipPastLastEvent: only the post-match start {4} times out) and the
+    SKIP TO FIRST/LAST streaming guard (resuming AT the mapped element
+    needs overlapping scans — batch route only, loud)."""
     import os
 
     from reshape_on_flink_spark.streaming.source import chunked_replay
 
-    rows = [(1, 1, "a"), (1, 2, "m"), (1, 30, "x")]
+    def c(name):
+        return lambda pdf, _n=name: pdf["name"] == _n
+
+    loop = (
+        Pattern.begin("A").where(c("a")).one_or_more()
+        .followed_by("B").where(c("b"))
+        .within(10)
+    )
+    rows = [(1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 4, "a"), (1, 30, "x")]
     df = spark.createDataFrame(rows, "k int, ts int, name string")
+    assert _stream_timeouts(
+        spark, tmp_dir, df, loop, "sk_loop", after="past_last_row"
+    ) == {(frozenset({4}), 14.0)}
+
     stream = chunked_replay(
         spark, df, os.path.join(tmp_dir, "skipguard"), n_chunks=1, order_col="ts"
     )
-    ps = CEP.pattern(stream, _fba_within10(), "k", "ts", after_match="past_last_row")
-    with pytest.raises(NotImplementedError, match="no_skip"):
+    ps = CEP.pattern(stream, _pd_fba_within10(), "k", "ts", after_match="to_first B")
+    with pytest.raises(NotImplementedError, match="batch route"):
         ps.timed_out_partial_matches()
 
 
@@ -1146,7 +1198,7 @@ def _pd_n(name):
     return lambda pdf, _n=name: pdf["name"] == _n
 
 
-def _stream_timeouts(spark, tmp_dir, df, pat, sub):
+def _stream_timeouts(spark, tmp_dir, df, pat, sub, after="no_skip"):
     import os
 
     from tests.test_streaming import run_to_memory
@@ -1156,7 +1208,7 @@ def _stream_timeouts(spark, tmp_dir, df, pat, sub):
         spark, df, os.path.join(tmp_dir, f"to_{sub}"), n_chunks=3, order_col="ts"
     )
     sdf = CEP.pattern(
-        stream, pat, "k", "ts", after_match="no_skip"
+        stream, pat, "k", "ts", after_match=after
     ).timed_out_partial_matches()
     rows = run_to_memory(
         spark, sdf, f"to_out_{sub}", tmp_dir, mode="append"
