@@ -81,6 +81,16 @@ HEADLINE = [
     # passes run twice (partial summaries + output join) plus one
     # full-pattern match pass and the keyed emission-replay shuffle
     "q_cep_timeout_skip",
+    # round-11 (verdict #1): the round-10 changelog/rank family joins
+    # the headline so the sf1 probe covers the per-record stateful
+    # walks across a 10x step — each is ONE keyed shuffle into an
+    # applyInPandas replay whose output is the operator's contractual
+    # emission history (O(transitions))
+    "q_changelog_join_transitions",
+    "q_changelog_window_agg",
+    "q_changelog_session_agg",
+    "q_retractable_topn",
+    "q_updatable_topn",
 ]
 
 
