@@ -1318,10 +1318,28 @@ class PatternStream:
         from a keyed cursor and the emission replay lives in the same
         state — ``streaming_timed_out_partials``), while SKIP TO
         FIRST/LAST stay batch-only (resuming AT the mapped element
-        needs overlapping scans). Positive stages with Flink-default
-        (non-greedy) quantifiers — no NOT/groups/until/greedy (greedy
-        rewires PROCEED/take conditions,
-        ``updateWithGreedyCondition``).
+        needs overlapping scans).
+
+        STOP-edge kills (round 11): ``until()`` on a non-greedy loop
+        and mid-pattern ``notFollowedBy`` are supported as KILL SCANS —
+        the reference compiles them into stop transitions
+        (NFACompiler.java:785-830 extends take/inner-ignore with
+        NOT(until) + ``addStopStateToLooping``; ``addStopStates`` for
+        NOT gaps), so a parked branch silently dies when a matching
+        event lands in its gap before the horizon: alive iff no kill
+        event in ``(last take, horizon)``. The loop's until guards
+        both the mid-loop branch and the waiting head (r8
+        dual-dialect); a NOT gap guards the waiting head AND any
+        migrated copy parked behind it, while a branch INSIDE a loop
+        has discharged its entry-gap NOT with its first take. NOT
+        stages inside a prefix ride the prefix matcher's gap fillers
+        (an N in an inner gap kills the branch before it ever parks).
+
+        Remaining loud guards: greedy()/reluctant (greedy rewires
+        PROCEED/take, ``updateWithGreedyCondition``), group patterns,
+        ``not_next`` folds (strict-adjacency death, not a gap scan),
+        terminal ``notFollowedBy``, and notFollowedBy before a
+        followedByAny stage.
         """
         from pyspark.sql import Window as SW
 
@@ -1334,9 +1352,9 @@ class PatternStream:
                 "(NFA.advanceTime has no horizon without one; Flink "
                 "emits no timeouts for unbounded patterns)"
             )
-        stages = pattern._stages
+        raw = pattern._stages
         skip_mode, skip_sym = _parse_after_match_cep(
-            self._after, [s.name for s in stages]
+            self._after, [s.name for s in raw]
         )
         if self._df.isStreaming and skip_mode in ("to_first", "to_last"):
             raise NotImplementedError(
@@ -1345,6 +1363,38 @@ class PatternStream:
                 "resumes AT the mapped element (overlapping scans) — "
                 "run the batch route for those"
             )
+        for idx, s in enumerate(raw):
+            if s.group is not None:
+                raise NotImplementedError(
+                    f"timeout side output: stage {s.name!r} — group "
+                    "patterns are not supported yet"
+                )
+            if s.kind == "not_next":
+                raise NotImplementedError(
+                    f"timeout side output: stage {s.name!r} (not_next) — "
+                    "strict-adjacency negation; parked-branch death is "
+                    "adjacent-event-dependent, not a gap scan"
+                )
+            if s.kind == "not_followed_by" and idx == len(raw) - 1:
+                raise NotImplementedError(
+                    f"timeout side output: terminal notFollowedBy "
+                    f"{s.name!r} — the post-prefix NOT horizon "
+                    "interacts with every parked shape (use the "
+                    "terminal_not match surface)"
+                )
+        # fold attributes (negated_gap / fold_not / lead_not) are compile
+        # artifacts — materialize them before reading (compile resets
+        # then re-derives them from the NOT stages)
+        pattern.compile(
+            emit="first",
+            lookahead_window=W.partitionBy(*self._keys).orderBy(*self._order),
+        )
+        # positive-stage view: NOT stages fold onto their successor
+        # (negated_gap) and stay inside prefix slices via raw_pos
+        stages = [s for s in raw if s.kind != "not_followed_by"]
+        raw_pos = [
+            i for i, s in enumerate(raw) if s.kind != "not_followed_by"
+        ]
         has_loop = any(
             s.quant is not None and s.quant[:2] != (1, 1) for s in stages
         )
@@ -1353,11 +1403,6 @@ class PatternStream:
                 "a single-stage pattern has no proper prefix to time out"
             )
         for s in stages:
-            if s.group is not None or s.kind in ("not_next", "not_followed_by"):
-                raise NotImplementedError(
-                    f"timeout side output: stage {s.name!r} ({s.kind}) — "
-                    "groups and NOT stages are not supported yet"
-                )
             if s.quant is not None and s.quant[2] is not None:
                 raise NotImplementedError(
                     f"timeout side output: greedy()/reluctant() stage "
@@ -1365,16 +1410,31 @@ class PatternStream:
                     "conditions (NFACompiler.updateWithGreedyCondition), "
                     "changing which branches park"
                 )
-            if (
-                s.until_cond is not None
-                or s.negated_gap is not None
-                or s.fold_not
-                or s.lead_not
-            ):
+            if s.fold_not or s.lead_not:
                 raise NotImplementedError(
-                    f"timeout side output: stage {s.name!r} carries an "
-                    "until()/NOT fold, which changes take-ability"
+                    f"timeout side output: stage {s.name!r} carries a "
+                    "not_next fold (strict-adjacency negation) — its "
+                    "parked-branch death is adjacent-event-dependent, "
+                    "not a gap scan"
                 )
+            if s.negated_gap is not None and s.kind == "followed_by_any":
+                raise NotImplementedError(
+                    f"timeout side output: stage {s.name!r} — "
+                    "notFollowedBy before a followedByAny stage is not "
+                    "traced yet (SKIP_TILL_ANY ignore vs the NOT stop "
+                    "edge)"
+                )
+
+        def _prefix_raw(k: int) -> list:
+            """Raw-stage prefix ending just before positive stage k,
+            with trailing NOT stages stripped (the waiting stage's
+            entry-gap NOT becomes a kill scan on the parked branch,
+            not part of the prefix); inner NOT stages stay so the
+            prefix matcher enforces their gaps."""
+            sl = list(raw[: raw_pos[k]])
+            while sl and sl[-1].kind == "not_followed_by":
+                sl.pop()
+            return sl
 
         keys, order = self._keys, self._order
         ocol = order[0]
@@ -1429,6 +1489,51 @@ class PatternStream:
         def _has_cond(s) -> bool:
             return s.cond is not None or s.pandas_cond is not None
 
+        # kill scans (round 11): STOP-edge conditions that silently
+        # discard a parked branch when a matching event lands in its
+        # gap — until() on a loop (NFACompiler.java:785-830 extends
+        # take/inner-ignore with NOT(until) and adds the stop state;
+        # r8's dual-dialect finding: the stop also guards the waiting
+        # head) and notFollowedBy before the waiting stage (the NOT
+        # compiles stop transitions on the waiting state). Registered
+        # as (catalyst, pandas) pairs; batch scans them like take
+        # conditions, streaming evaluates the pandas form on the gap.
+        kill_specs: dict[str, tuple] = {}
+
+        def _need_kill(key: str, cond, pcond, what: str) -> str:
+            if streaming:
+                if pcond is None:
+                    raise ValueError(
+                        f"streaming timeout side output needs a pandas "
+                        f"form of the {what}"
+                    )
+            elif cond is None:
+                raise ValueError(
+                    f"timeout side output needs a Catalyst form of the "
+                    f"{what}"
+                )
+            kill_specs[key] = (cond, pcond)
+            return key
+
+        def _kills_for(idx: int, waiting_head: bool) -> tuple:
+            """Kill keys for a branch parked at stage idx's head
+            (waiting_head=True: the entry gap's notFollowedBy applies)
+            or inside its loop (the NOT was discharged by the first
+            take; only the until stop remains)."""
+            s = stages[idx]
+            out = []
+            if s.until_cond is not None or s.until_pandas is not None:
+                out.append(_need_kill(
+                    f"u{idx}", s.until_cond, s.until_pandas,
+                    f"until() condition of {s.name!r}",
+                ))
+            if waiting_head and s.negated_gap is not None:
+                out.append(_need_kill(
+                    f"g{idx}", s.negated_gap[0], s.negated_gap[1],
+                    f"notFollowedBy condition before {s.name!r}",
+                ))
+            return tuple(out)
+
         def _optable(s) -> bool:
             return s.opt or (s.quant is not None and s.quant[0] == 0)
 
@@ -1459,9 +1564,13 @@ class PatternStream:
                 if st.kind == "next":
                     continue  # no ignore edge -> no migrated copy
                 if st.kind == "followed_by_any":
-                    out.append(("fba", None))
+                    out.append(("fba", None, _kills_for(t, True)))
                 elif _has_cond(st):
-                    out.append(("fb", _need_scan(t, "migration target")))
+                    out.append((
+                        "fb",
+                        _need_scan(t, "migration target"),
+                        _kills_for(t, True),
+                    ))
                 # unconditioned followed_by: NOT(take)=false, never fires
             return out
 
@@ -1476,7 +1585,7 @@ class PatternStream:
             prev = stages[k - 1]
             if prev.quant is not None and prev.quant[1] is None:
                 continue  # oneOrMore/zeroOrMore: never parks at stage k
-            pre_stages = list(stages[:k])
+            pre_stages = _prefix_raw(k)
             if prev.quant is not None or prev.opt:
                 mx = 1 if prev.quant is None else prev.quant[1]
                 pre_stages[-1] = dataclasses.replace(
@@ -1486,14 +1595,19 @@ class PatternStream:
                 )
             waiting = stages[k]
             if waiting.kind == "followed_by" and _has_cond(waiting):
-                primary = ("consume", _need_scan(k, "waiting stage"))
+                primary = (
+                    "consume", _need_scan(k, "waiting stage"),
+                    _kills_for(k, True),
+                )
             elif waiting.kind == "followed_by_any":
-                primary = ("persist",)  # true ignore — never consumed
+                # true ignore — never consumed; a loop's until stop
+                # still kills the waiting head (r8 dual-dialect)
+                primary = ("persist", None, _kills_for(k, True))
             else:
                 # next-contiguity (no ignore), or an unconditioned
                 # followed_by (NOT(true) never fires): the adjacent /
                 # any event takes or kills the waiter
-                primary = ("any",)
+                primary = ("any", None, ())
             copies = _copies_for(_chain(k + 1)) if _optable(waiting) else []
             plans.append((pre_stages, str(k), primary, copies, None))
         # -- branches parked INSIDE a loop (1 <= taken < max): survival
@@ -1505,20 +1619,25 @@ class PatternStream:
                 continue
             mx = None if s.quant[1] is None else s.quant[1] - 1
             mid = dataclasses.replace(s, quant=(1, mx, None), opt=False)
+            mid_kills = _kills_for(p, False)  # inner: until stop only
             if s.loop_mode == "strict":  # consecutive(): dies on any event
-                primary = ("any",)
+                primary = ("any", None, ())
             elif s.loop_mode == "relaxed":  # NOT(take) ignore guard
                 primary = (
-                    ("consume", _need_scan(p, "loop stage"))
+                    ("consume", _need_scan(p, "loop stage"), mid_kills)
                     if _has_cond(s)
-                    else ("any",)
+                    else ("any", None, ())
                 )
             else:  # allow_combinations(): true ignore — persists
-                primary = ("persist",)
+                primary = ("persist", None, mid_kills)
             copies = _copies_for(_chain(p + 1))
             lo = s.quant[0]
             gate = (s.name, lo) if (copies and lo >= 2) else None
-            plans.append(([*stages[:p], mid], f"L{p}", primary, copies, gate))
+            # keep a NOT stage before the loop in the prefix: the
+            # entry gap belongs to the mid-loop branch's own history
+            plans.append(
+                ([*raw[: raw_pos[p]], mid], f"L{p}", primary, copies, gate)
+            )
 
         if streaming:
             # horizon-close emission inside a stateful operator: each
@@ -1542,16 +1661,25 @@ class PatternStream:
                     dict(
                         pat=pat_s,
                         define=_build_pandas_define(pre),
-                        user_syms=[s.name for s in pre_stages],
+                        user_syms=[
+                            s.name for s in pre_stages
+                            if s.kind != "not_followed_by"
+                        ],
                         tag=tag,
                         primary=(
-                            ("consume", stages[primary[1]].pandas_cond)
+                            primary[0],
+                            stages[primary[1]].pandas_cond
                             if primary[0] == "consume"
-                            else primary
+                            else None,
+                            [kill_specs[kk][1] for kk in primary[2]],
                         ),
                         copies=[
-                            (kk, None if ii is None else stages[ii].pandas_cond)
-                            for kk, ii in copies
+                            (
+                                kk,
+                                None if ii is None else stages[ii].pandas_cond,
+                                [kill_specs[x][1] for x in kls],
+                            )
+                            for kk, ii, kls in copies
                         ],
                         gate=gate,
                     )
@@ -1583,7 +1711,18 @@ class PatternStream:
                 else F.col("__to_tick")
             )
             base = base.withColumn(f"__to_nt_{i}", F.min(src).over(wfollow))
-        last_cols = ["__to_next_any"] + [f"__to_nt_{i}" for i in sorted(scan_idx)]
+        for kk in sorted(kill_specs):
+            base = base.withColumn(
+                f"__to_kl_{kk}",
+                F.min(F.when(kill_specs[kk][0], F.col("__to_tick"))).over(
+                    wfollow
+                ),
+            )
+        last_cols = (
+            ["__to_next_any"]
+            + [f"__to_nt_{i}" for i in sorted(scan_idx)]
+            + [f"__to_kl_{kk}" for kk in sorted(kill_specs)]
+        )
 
         def _timeouts(pre_stages, tag: str, primary, copies, gate):
             """Enumerate the parked branches of one prefix shape; keep
@@ -1624,23 +1763,31 @@ class PatternStream:
                     F.col(col) >= F.col("__horizon")
                 )
 
+            def _kills_clear(kills):
+                c = F.lit(True)
+                for kk in kills:
+                    c = c & _clear(f"__l__to_kl_{kk}")
+                return c
+
             if primary[0] == "consume":
                 alive = _clear(f"__l__to_nt_{primary[1]}")
             elif primary[0] == "any":
                 alive = _clear("__l__to_next_any")
             else:
                 alive = F.lit(True)
+            alive = alive & _kills_clear(primary[2])
             if copies:
                 trigger = F.col("__l__to_next_any").isNotNull() & (
                     F.col("__l__to_next_any") < F.col("__horizon")
                 )
                 cp = F.lit(False)
-                for kind, i in copies:
-                    cp = cp | (
+                for kind, i, kls in copies:
+                    term = (
                         trigger
                         if kind == "fba"
                         else trigger & _clear(f"__l__to_nt_{i}")
                     )
+                    cp = cp | (term & _kills_clear(kls))
                 if gate is not None:
                     cp = cp & (F.col("__cnt") >= F.lit(gate[1]))
                 alive = alive | cp

@@ -2003,9 +2003,20 @@ def streaming_timed_out_partials(
                 if prim[0] == "consume"
                 else None
             )
+
+            def _karr(fns):
+                return [
+                    np.asarray(f(pdf).to_numpy(), dtype=bool) for f in fns
+                ]
+
+            prim_kills = _karr(prim[2]) if len(prim) > 2 else []
             cp_arrs = [
-                (k2, None if f2 is None else np.asarray(f2(pdf).to_numpy(), dtype=bool))
-                for k2, f2 in copies
+                (
+                    k2,
+                    None if f2 is None else np.asarray(f2(pdf).to_numpy(), dtype=bool),
+                    _karr(rest[0]) if rest else [],
+                )
+                for k2, f2, *rest in copies
             ]
             for i in dec:
                 h = float(ticks[i]) + delta
@@ -2032,14 +2043,18 @@ def streaming_timed_out_partials(
                         alive = not gap_any
                     else:
                         alive = not prim_arr[gap].any()
+                    if alive and prim_kills:
+                        alive = not any(ka[gap].any() for ka in prim_kills)
                     if not alive and cp_arrs and gap_any:
                         gated = True
                         if gate is not None:
                             cnt = sum(1 for _p, s2 in rows if s2 == gate[0])
                             gated = cnt >= gate[1]
                         if gated:
-                            for k2, arr in cp_arrs:
-                                if k2 == "fba" or not arr[gap].any():
+                            for k2, arr, kls in cp_arrs:
+                                if (k2 == "fba" or not arr[gap].any()) and not any(
+                                    ka[gap].any() for ka in kls
+                                ):
                                     alive = True
                                     break
                     if not alive:

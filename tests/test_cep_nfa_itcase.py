@@ -979,6 +979,158 @@ def test_timeout_skip_streaming_loop_and_guard(spark, tmp_dir):
 
 
 # ---------------------------------------------------------------------
+# Timed-out partials with until() / mid-pattern notFollowedBy (round
+# 11). Hand-traced against the reference STOP edges: until() extends
+# the loop's take AND inner-ignore with NOT(until) and adds a stop
+# state (NFACompiler.java:785-830 createLooping /
+# addStopStateToLooping) — an until event is neither taken nor
+# ignored, so the parked loop branch DIES; the r8 dual-dialect
+# finding extends the stop to the waiting loop head. A mid-pattern
+# notFollowedBy compiles stop transitions on the waiting state
+# (addStopStates), so an N event in the parked gap silently kills the
+# waiter (and a migrated copy parked behind the NOT gap). Kills are
+# gap scans: branch alive iff no kill event in (last take, horizon).
+# ---------------------------------------------------------------------
+
+
+def test_timeout_until_kills_parked_loop_branch(spark):
+    """A.times(2).until(U) fb B within 10 over a@1 [u|y]@3 x@30: the
+    1-take mid-loop branch {1} (below the loop minimum, so no migrated
+    copy) survives to 11 when the gap is quiet, and DIES on the until
+    event — no timeout, nothing reported."""
+    pat = (
+        Pattern.begin("A").where(_n("a")).times(2).until(_n("u"))
+        .followed_by("B").where(_n("b")).within(10)
+    )
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 3, "y"), (1, 30, "x")], pat, "no_skip"
+    ) == {(frozenset({1}), 11.0)}
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 3, "u"), (1, 30, "x")], pat, "no_skip"
+    ) == set()
+
+
+def test_timeout_until_with_next_successor(spark):
+    """A.oneOrMore().until(U) next B: 'next' has no ignore edge, so no
+    migrated copy can save the branch — the until stop is the only
+    difference between timing out at 11 and dying silently."""
+    pat = (
+        Pattern.begin("A").where(_n("a")).one_or_more().until(_n("u"))
+        .next("B").where(_n("b")).within(10)
+    )
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 3, "y"), (1, 30, "x")], pat, "no_skip"
+    ) == {(frozenset({1}), 11.0)}
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 3, "u"), (1, 30, "x")], pat, "no_skip"
+    ) == set()
+
+
+def test_timeout_not_followed_by_gap_kill(spark):
+    """A ^N fb B within 10: the B-waiter is stop-killed by an N event
+    inside its horizon (a@1 n@2 -> nothing), survives a quiet gap
+    (a@1 y@2 -> {1}@11), and an N at/after the horizon cannot kill a
+    branch advanceTime already reported (a@1 n@12 -> {1}@11)."""
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .not_followed_by("N").where(F.col("name") == "nn")
+        .followed_by("B").where(_n("b")).within(10)
+    )
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "y"), (1, 30, "x")], pat, "no_skip"
+    ) == {(frozenset({1}), 11.0)}
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "nn"), (1, 30, "x")], pat, "no_skip"
+    ) == set()
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 12, "nn"), (1, 30, "x")], pat, "no_skip"
+    ) == {(frozenset({1}), 11.0)}
+
+
+def test_timeout_not_gap_kills_migrated_copy_and_prefix(spark):
+    """A fb B? ^N fb C: the {a,b} waiter at C and the {a} migrated
+    copy behind the absent optional B both die on the N event; without
+    it both time out. A ^N fb B fb C: an N INSIDE the prefix gap kills
+    the branch before b is ever taken, so the {A,B} prefix set is
+    empty (the prefix matcher's NOT gap, not the kill scan)."""
+    p4 = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by("B").where(_n("b")).optional()
+        .not_followed_by("N").where(F.col("name") == "nn")
+        .followed_by("C").where(_n("c")).within(10)
+    )
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "y"), (1, 30, "x")],
+        p4, "no_skip",
+    ) == {(frozenset({1}), 11.0), (frozenset({1, 2}), 11.0)}
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "nn"), (1, 30, "x")],
+        p4, "no_skip",
+    ) == set()
+    p5 = (
+        Pattern.begin("A").where(_n("a"))
+        .not_followed_by("N").where(F.col("name") == "nn")
+        .followed_by("B").where(_n("b"))
+        .followed_by("C").where(_n("c")).within(10)
+    )
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 30, "x")], p5, "no_skip"
+    ) == {(frozenset({1, 2}), 11.0)}
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "nn"), (1, 3, "b"), (1, 30, "x")],
+        p5, "no_skip",
+    ) == set()
+
+
+def test_timeout_until_streaming_equals_batch(spark, tmp_dir):
+    """until + NOT kill scans on the streaming route: the pandas kill
+    predicates ride the plan dicts; chunked replay == batch."""
+    def c(name):
+        return lambda pdf, _n=name: pdf["name"] == _n
+
+    pat = (
+        Pattern.begin("A").where(c("a")).one_or_more().until(c("u"))
+        .followed_by("B").where(c("b")).within(10)
+    )
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 5, "a"), (1, 30, "x")]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+    assert _stream_timeouts(spark, tmp_dir, df, pat, "until_sb") == {
+        (frozenset({1, 5}), 11.0),
+        (frozenset({5}), 15.0),
+    }
+    # the until event kills the mid-loop branch but its migrated copy
+    # (min met, fb B head) spawned at that same event and survives —
+    # the partial still times out, exactly as on the batch route
+    rows2 = [(1, 1, "a"), (1, 2, "u"), (1, 30, "x")]
+    df2 = spark.createDataFrame(rows2, "k int, ts int, name string")
+    assert _stream_timeouts(spark, tmp_dir, df2, pat, "until_sb2") == {
+        (frozenset({1}), 11.0)
+    }
+    # with a 'next' successor there is no copy: the until stop is the
+    # whole difference between reporting at 11 and dying silently
+    nxt = (
+        Pattern.begin("A").where(c("a")).one_or_more().until(c("u"))
+        .next("B").where(c("b")).within(10)
+    )
+    assert _stream_timeouts(spark, tmp_dir, df2, nxt, "until_sb3") == set()
+    nf = (
+        Pattern.begin("A").where(c("a"))
+        .not_followed_by("N").where(c("nn"))
+        .followed_by("B").where(c("b")).within(10)
+    )
+    df3 = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "nn"), (1, 30, "x")], "k int, ts int, name string"
+    )
+    assert _stream_timeouts(spark, tmp_dir, df3, nf, "nf_sb") == set()
+    df4 = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "y"), (1, 30, "x")], "k int, ts int, name string"
+    )
+    assert _stream_timeouts(spark, tmp_dir, df4, nf, "nf_sb2") == {
+        (frozenset({1}), 11.0)
+    }
+
+
+# ---------------------------------------------------------------------
 # Timed-out partials with quantified/optional prefixes (round 10+).
 # Expectations are hand-traced NFA runs under the reference ignore
 # conditions: a branch parked INSIDE a loop survives by the INNER
