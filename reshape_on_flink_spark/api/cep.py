@@ -1335,11 +1335,21 @@ class PatternStream:
         stages inside a prefix ride the prefix matcher's gap fillers
         (an N in an inner gap kills the branch before it ever parks).
 
+        ``not_next`` (round 11, NotPatternITCase adjacency): a strict
+        fold onto a 'next' successor changes take-ability only (the
+        waiter dies on any event regardless); before a RELAXED
+        successor the parked waiter dies iff the FIRST event of its
+        gap matches — an 'adj' kill scan (the carrier's horizon-blind
+        ``lead()`` fold is stripped from terminal prefix stages and
+        reapplied horizon-aware, so an adjacent kill event at/after
+        the horizon loses to ``advanceTime``).
+
         Remaining loud guards: greedy()/reluctant (greedy rewires
         PROCEED/take, ``updateWithGreedyCondition``), group patterns,
-        ``not_next`` folds (strict-adjacency death, not a gap scan),
-        terminal ``notFollowedBy``, and notFollowedBy before a
-        followedByAny stage.
+        terminal ``notFollowedBy``, notFollowedBy before a
+        followedByAny stage, not_next folds onto quantified/optional
+        successors, and not_next with an optional successor (migrated-
+        copy adjacency untraced).
         """
         from pyspark.sql import Window as SW
 
@@ -1369,12 +1379,6 @@ class PatternStream:
                     f"timeout side output: stage {s.name!r} — group "
                     "patterns are not supported yet"
                 )
-            if s.kind == "not_next":
-                raise NotImplementedError(
-                    f"timeout side output: stage {s.name!r} (not_next) — "
-                    "strict-adjacency negation; parked-branch death is "
-                    "adjacent-event-dependent, not a gap scan"
-                )
             if s.kind == "not_followed_by" and idx == len(raw) - 1:
                 raise NotImplementedError(
                     f"timeout side output: terminal notFollowedBy "
@@ -1389,11 +1393,13 @@ class PatternStream:
             emit="first",
             lookahead_window=W.partitionBy(*self._keys).orderBy(*self._order),
         )
-        # positive-stage view: NOT stages fold onto their successor
-        # (negated_gap) and stay inside prefix slices via raw_pos
-        stages = [s for s in raw if s.kind != "not_followed_by"]
+        # positive-stage view: NOT stages fold onto their neighbours
+        # (negated_gap / fold_not / lead_not) and stay inside prefix
+        # slices via raw_pos
+        _NOT_KINDS = ("not_next", "not_followed_by")
+        stages = [s for s in raw if s.kind not in _NOT_KINDS]
         raw_pos = [
-            i for i, s in enumerate(raw) if s.kind != "not_followed_by"
+            i for i, s in enumerate(raw) if s.kind not in _NOT_KINDS
         ]
         has_loop = any(
             s.quant is not None and s.quant[:2] != (1, 1) for s in stages
@@ -1402,7 +1408,7 @@ class PatternStream:
             raise ValueError(
                 "a single-stage pattern has no proper prefix to time out"
             )
-        for s in stages:
+        for si, s in enumerate(stages):
             if s.quant is not None and s.quant[2] is not None:
                 raise NotImplementedError(
                     f"timeout side output: greedy()/reluctant() stage "
@@ -1410,12 +1416,28 @@ class PatternStream:
                     "conditions (NFACompiler.updateWithGreedyCondition), "
                     "changing which branches park"
                 )
-            if s.fold_not or s.lead_not:
+            if s.fold_not and (
+                s.kind != "next" or s.quant is not None or s.opt
+            ):
                 raise NotImplementedError(
                     f"timeout side output: stage {s.name!r} carries a "
-                    "not_next fold (strict-adjacency negation) — its "
-                    "parked-branch death is adjacent-event-dependent, "
-                    "not a gap scan"
+                    "not_next fold onto a non-strict/quantified stage — "
+                    "only the strict-successor fold (take = B AND "
+                    "NOT(N) on the adjacent row; the waiter dies on any "
+                    "event regardless) is supported"
+                )
+            if s.lead_not and (
+                si + 1 >= len(stages)
+                or stages[si + 1].opt
+                or (
+                    stages[si + 1].quant is not None
+                    and stages[si + 1].quant[0] == 0
+                )
+            ):
+                raise NotImplementedError(
+                    f"timeout side output: not_next after {s.name!r} "
+                    "with an optional/zero-able successor — the "
+                    "adjacency of a migrated copy's path is not traced"
                 )
             if s.negated_gap is not None and s.kind == "followed_by_any":
                 raise NotImplementedError(
@@ -1432,7 +1454,7 @@ class PatternStream:
             not part of the prefix); inner NOT stages stay so the
             prefix matcher enforces their gaps."""
             sl = list(raw[: raw_pos[k]])
-            while sl and sl[-1].kind == "not_followed_by":
+            while sl and sl[-1].kind in _NOT_KINDS:
                 sl.pop()
             return sl
 
@@ -1516,22 +1538,51 @@ class PatternStream:
             return key
 
         def _kills_for(idx: int, waiting_head: bool) -> tuple:
-            """Kill keys for a branch parked at stage idx's head
-            (waiting_head=True: the entry gap's notFollowedBy applies)
-            or inside its loop (the NOT was discharged by the first
-            take; only the until stop remains)."""
+            """Kill specs for a branch parked at stage idx's head
+            (waiting_head=True: the entry gap's notFollowedBy and a
+            preceding not_next adjacency apply) or inside its loop
+            (the NOT was discharged by the first take; only the until
+            stop remains). Each entry is (flavor, key): 'gap' = dies
+            on ANY matching event in (last take, horizon); 'adj' =
+            dies iff the FIRST event in the gap matches (not_next —
+            NotPatternITCase strict adjacency)."""
             s = stages[idx]
             out = []
             if s.until_cond is not None or s.until_pandas is not None:
-                out.append(_need_kill(
+                out.append(("gap", _need_kill(
                     f"u{idx}", s.until_cond, s.until_pandas,
                     f"until() condition of {s.name!r}",
-                ))
+                )))
             if waiting_head and s.negated_gap is not None:
-                out.append(_need_kill(
+                out.append(("gap", _need_kill(
                     f"g{idx}", s.negated_gap[0], s.negated_gap[1],
                     f"notFollowedBy condition before {s.name!r}",
-                ))
+                )))
+            if waiting_head and idx > 0 and stages[idx - 1].lead_not:
+                ln = stages[idx - 1].lead_not
+                cond = pcond = None
+                if all(c is not None for c, _p in ln):
+                    cond = ln[0][0]
+                    for c, _p in ln[1:]:
+                        cond = cond | c
+                if all(p is not None for _c, p in ln):
+                    pds = [p for _c, p in ln]
+
+                    def pcond(pdf, _pds=tuple(pds)):
+                        col = _pds[0](pdf)
+                        for g in _pds[1:]:
+                            col = col | g(pdf)
+                        return col
+
+                if cond is None and pcond is None:
+                    raise ValueError(
+                        f"not_next negation after "
+                        f"{stages[idx - 1].name!r} has no usable form"
+                    )
+                out.append(("adj", _need_kill(
+                    f"a{idx}", cond, pcond,
+                    f"not_next condition after {stages[idx - 1].name!r}",
+                )))
             return tuple(out)
 
         def _optable(s) -> bool:
@@ -1592,6 +1643,14 @@ class PatternStream:
                     prev,
                     quant=None if prev.quant is None else (mx, mx, None),
                     opt=False,  # absent branch parks at prev's own head
+                )
+            if pre_stages[-1].lead_not:
+                # the terminal carrier's lead() fold is horizon-blind
+                # (an adjacent kill event BEYOND the horizon must not
+                # erase a branch advanceTime reports first) — strip it;
+                # the 'adj' kill scan reapplies it horizon-aware
+                pre_stages[-1] = dataclasses.replace(
+                    pre_stages[-1], lead_not=[]
                 )
             waiting = stages[k]
             if waiting.kind == "followed_by" and _has_cond(waiting):
@@ -1671,13 +1730,16 @@ class PatternStream:
                             stages[primary[1]].pandas_cond
                             if primary[0] == "consume"
                             else None,
-                            [kill_specs[kk][1] for kk in primary[2]],
+                            [
+                                (fl, kill_specs[kk][1])
+                                for fl, kk in primary[2]
+                            ],
                         ),
                         copies=[
                             (
                                 kk,
                                 None if ii is None else stages[ii].pandas_cond,
-                                [kill_specs[x][1] for x in kls],
+                                [(fl, kill_specs[x][1]) for fl, x in kls],
                             )
                             for kk, ii, kls in copies
                         ],
@@ -1765,8 +1827,19 @@ class PatternStream:
 
             def _kills_clear(kills):
                 c = F.lit(True)
-                for kk in kills:
-                    c = c & _clear(f"__l__to_kl_{kk}")
+                for flavor, kk in kills:
+                    col = f"__l__to_kl_{kk}"
+                    if flavor == "gap":
+                        c = c & _clear(col)
+                    else:  # 'adj': dies iff the FIRST gap event matches
+                        c = c & (
+                            F.col(col).isNull()
+                            | (F.col(col) != F.col("__l__to_next_any"))
+                            | (
+                                F.col("__l__to_next_any")
+                                >= F.col("__horizon")
+                            )
+                        )
                 return c
 
             if primary[0] == "consume":

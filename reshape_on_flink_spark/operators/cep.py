@@ -2004,10 +2004,24 @@ def streaming_timed_out_partials(
                 else None
             )
 
-            def _karr(fns):
+            def _karr(kls):
                 return [
-                    np.asarray(f(pdf).to_numpy(), dtype=bool) for f in fns
+                    (fl, np.asarray(f(pdf).to_numpy(), dtype=bool))
+                    for fl, f in kls
                 ]
+
+            def _killed(kls, gap):
+                # 'gap' kill: any matching event in (last take, horizon);
+                # 'adj' kill (not_next): the FIRST gap event matches —
+                # the gap slice is horizon-bounded already
+                for fl, ka in kls:
+                    seg = ka[gap]
+                    if fl == "gap":
+                        if seg.any():
+                            return True
+                    elif len(seg) and seg[0]:
+                        return True
+                return False
 
             prim_kills = _karr(prim[2]) if len(prim) > 2 else []
             cp_arrs = [
@@ -2044,7 +2058,7 @@ def streaming_timed_out_partials(
                     else:
                         alive = not prim_arr[gap].any()
                     if alive and prim_kills:
-                        alive = not any(ka[gap].any() for ka in prim_kills)
+                        alive = not _killed(prim_kills, gap)
                     if not alive and cp_arrs and gap_any:
                         gated = True
                         if gate is not None:
@@ -2052,9 +2066,9 @@ def streaming_timed_out_partials(
                             gated = cnt >= gate[1]
                         if gated:
                             for k2, arr, kls in cp_arrs:
-                                if (k2 == "fba" or not arr[gap].any()) and not any(
-                                    ka[gap].any() for ka in kls
-                                ):
+                                if (
+                                    k2 == "fba" or not arr[gap].any()
+                                ) and not _killed(kls, gap):
                                     alive = True
                                     break
                     if not alive:

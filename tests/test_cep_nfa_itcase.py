@@ -1130,6 +1130,69 @@ def test_timeout_until_streaming_equals_batch(spark, tmp_dir):
     }
 
 
+def test_timeout_not_next_adjacency_kill(spark):
+    """A not_next(N) fb B within 10 (NotPatternITCase adjacency): the
+    parked B-waiter dies iff the event DIRECTLY after a@1 matches N —
+    a non-adjacent N@3 behind a noise row does NOT kill (this is what
+    separates the 'adj' kill scan from the notFollowedBy 'gap' scan),
+    and an adjacent N at/after the horizon loses to advanceTime. With
+    a strict successor (not_next then next B) the waiter dies on any
+    event regardless, so the fold changes nothing about parking."""
+    p1 = (
+        Pattern.begin("A").where(_n("a"))
+        .not_next("N").where(F.col("name") == "nn")
+        .followed_by("B").where(_n("b")).within(10)
+    )
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "y"), (1, 30, "x")], p1, "no_skip"
+    ) == {(frozenset({1}), 11.0)}
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "nn"), (1, 30, "x")], p1, "no_skip"
+    ) == set()
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 12, "nn"), (1, 30, "x")], p1, "no_skip"
+    ) == {(frozenset({1}), 11.0)}
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "y"), (1, 3, "nn"), (1, 30, "x")],
+        p1, "no_skip",
+    ) == {(frozenset({1}), 11.0)}
+    p2 = (
+        Pattern.begin("A").where(_n("a"))
+        .not_next("N").where(F.col("name") == "nn")
+        .next("B").where(_n("b")).within(10)
+    )
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 30, "x")], p2, "no_skip"
+    ) == {(frozenset({1}), 11.0)}
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "nn"), (1, 30, "x")], p2, "no_skip"
+    ) == set()
+
+
+def test_timeout_not_next_streaming_equals_batch(spark, tmp_dir):
+    """The 'adj' kill on the streaming route: the first gap event
+    decides, across chunked replay — same four-cell matrix."""
+    def c(name):
+        return lambda pdf, _n=name: pdf["name"] == _n
+
+    pat = (
+        Pattern.begin("A").where(c("a"))
+        .not_next("N").where(c("nn"))
+        .followed_by("B").where(c("b")).within(10)
+    )
+    cells = [
+        ([(1, 1, "a"), (1, 2, "y"), (1, 30, "x")], {(frozenset({1}), 11.0)}),
+        ([(1, 1, "a"), (1, 2, "nn"), (1, 30, "x")], set()),
+        (
+            [(1, 1, "a"), (1, 2, "y"), (1, 3, "nn"), (1, 30, "x")],
+            {(frozenset({1}), 11.0)},
+        ),
+    ]
+    for j, (rows, want) in enumerate(cells):
+        df = spark.createDataFrame(rows, "k int, ts int, name string")
+        assert _stream_timeouts(spark, tmp_dir, df, pat, f"nn_sb{j}") == want
+
+
 # ---------------------------------------------------------------------
 # Timed-out partials with quantified/optional prefixes (round 10+).
 # Expectations are hand-traced NFA runs under the reference ignore
