@@ -1774,11 +1774,18 @@ class PatternStream:
             )
             base = base.withColumn(f"__to_nt_{i}", F.min(src).over(wfollow))
         for kk in sorted(kill_specs):
+            # struct min = FIRST kill event in rid order: the rid makes
+            # the 'adj' (not_next) adjacency test tie-proof — with
+            # duplicate order values a same-tick but non-adjacent kill
+            # event must not be mistaken for the directly-adjacent one
             base = base.withColumn(
                 f"__to_kl_{kk}",
-                F.min(F.when(kill_specs[kk][0], F.col("__to_tick"))).over(
-                    wfollow
-                ),
+                F.min(
+                    F.when(
+                        kill_specs[kk][0],
+                        F.struct("__to_rid", "__to_tick"),
+                    )
+                ).over(wfollow),
             )
         last_cols = (
             ["__to_next_any"]
@@ -1804,6 +1811,7 @@ class PatternStream:
                     "__first"
                 ),
                 F.min("__to_rid").alias("__srid"),
+                F.max("__to_rid").alias("__lrid"),
                 F.any_value("__to_pmax").alias("__pmax"),
             ]
             for c in last_cols:
@@ -1828,20 +1836,47 @@ class PatternStream:
             def _kills_clear(kills):
                 c = F.lit(True)
                 for flavor, kk in kills:
-                    col = f"__l__to_kl_{kk}"
+                    col = F.col(f"__l__to_kl_{kk}")
+                    kt = col["__to_tick"]
                     if flavor == "gap":
-                        c = c & _clear(col)
-                    else:  # 'adj': dies iff the FIRST gap event matches
+                        c = c & (col.isNull() | (kt >= F.col("__horizon")))
+                    else:
+                        # 'adj': dies iff the FIRST gap event matches —
+                        # decided by rid adjacency (first-following rid
+                        # is always last-take rid + 1), tie-proof under
+                        # duplicate order values
                         c = c & (
-                            F.col(col).isNull()
-                            | (F.col(col) != F.col("__l__to_next_any"))
-                            | (
-                                F.col("__l__to_next_any")
-                                >= F.col("__horizon")
-                            )
+                            col.isNull()
+                            | (col["__to_rid"] != F.col("__lrid") + 1)
+                            | (kt >= F.col("__horizon"))
                         )
                 return c
 
+            def _kill_deaths(kills, guard_col):
+                """Per kill spec: the tick where this branch leaves the
+                reference's partialMatches via the STOP edge (NULL if
+                it doesn't) — fires only below the horizon and, for a
+                consumable branch, only if no take-able event precedes
+                the kill (ties kill: NOT(until) guards the take)."""
+                out = []
+                for flavor, kk in kills:
+                    col = F.col(f"__l__to_kl_{kk}")
+                    kt = col["__to_tick"]
+                    fired = col.isNotNull() & (kt < F.col("__horizon"))
+                    if flavor == "adj":
+                        fired = fired & (
+                            col["__to_rid"] == F.col("__lrid") + 1
+                        )
+                    if guard_col is not None:
+                        tc = F.col(guard_col)
+                        fired = fired & (tc.isNull() | (kt <= tc))
+                    out.append(F.when(fired, kt))
+                return out
+
+            def _least(cands):
+                return cands[0] if len(cands) == 1 else F.least(*cands)
+
+            death_cands = []  # one entry per computation (primary/copy)
             if primary[0] == "consume":
                 alive = _clear(f"__l__to_nt_{primary[1]}")
             elif primary[0] == "any":
@@ -1849,11 +1884,23 @@ class PatternStream:
             else:
                 alive = F.lit(True)
             alive = alive & _kills_clear(primary[2])
+            if primary[2]:
+                death_cands.append(_least(_kill_deaths(
+                    primary[2],
+                    f"__l__to_nt_{primary[1]}"
+                    if primary[0] == "consume"
+                    else None,
+                )))
             if copies:
                 trigger = F.col("__l__to_next_any").isNotNull() & (
                     F.col("__l__to_next_any") < F.col("__horizon")
                 )
                 cp = F.lit(False)
+                gated = (
+                    F.lit(True)
+                    if gate is None
+                    else F.col("__cnt") >= F.lit(gate[1])
+                )
                 for kind, i, kls in copies:
                     term = (
                         trigger
@@ -1861,12 +1908,35 @@ class PatternStream:
                         else trigger & _clear(f"__l__to_nt_{i}")
                     )
                     cp = cp | (term & _kills_clear(kls))
+                    if kls:
+                        death_cands.append(F.when(
+                            trigger & gated,
+                            _least(_kill_deaths(
+                                kls,
+                                None if kind == "fba" else f"__l__to_nt_{i}",
+                            )),
+                        ))
                 if gate is not None:
                     cp = cp & (F.col("__cnt") >= F.lit(gate[1]))
                 alive = alive | cp
             # event-driven expiry: a partition row at/after the horizon
             surv = g.where((F.col("__pmax") >= F.col("__horizon")) & alive)
-            return rows, surv
+            # stop-edge deaths: branches killed mid-gap stay live in
+            # the reference's partialMatches until their kill event, so
+            # they gate (but never join) the skip-emission replay
+            dead = None
+            if death_cands:
+                death = (
+                    death_cands[0]
+                    if len(death_cands) == 1
+                    else F.greatest(*death_cands)
+                )
+                dead = (
+                    g.withColumn("__gt", death)
+                    .where(F.col("__gt").isNotNull())
+                    .select(*keys, "__srid", "__gt")
+                )
+            return rows, surv, dead
 
         frames = [(_timeouts(*plan), plan[1]) for plan in plans]
 
@@ -1886,11 +1956,24 @@ class PatternStream:
             )
 
             parts = None
-            for (_rows, surv), _tag in frames:
-                sel = surv.select(*keys, "__srid", "__horizon")
+            for (_rows, surv, dead), _tag in frames:
+                sel = surv.select(
+                    *keys, "__srid", "__horizon", F.lit(0).alias("__gate")
+                )
                 parts = sel if parts is None else parts.unionByName(sel)
+                if dead is not None:
+                    parts = parts.unionByName(dead.select(
+                        *keys,
+                        "__srid",
+                        F.col("__gt").alias("__horizon"),
+                        F.lit(1).alias("__gate"),
+                    ))
+            # per start: gate until the LATEST-dying computation; any
+            # surviving branch (gate 0, horizon = first + within, always
+            # past every same-start kill tick) keeps the start reportable
             parts = parts.groupBy(*keys, "__srid").agg(
-                F.min("__horizon").alias("__horizon")
+                F.max("__horizon").alias("__horizon"),
+                F.min("__gate").alias("__gate"),
             )
             mrows = PatternStream(
                 base, pattern, keys, order, self._after
@@ -1934,7 +2017,7 @@ class PatternStream:
             else F.col("__horizon")
         )
         outs = []
-        for (rows, surv), tag in frames:
+        for (rows, surv, _dead), tag in frames:
             if pruned is not None:
                 surv = surv.join(pruned, [*keys, "__srid"], "left_anti")
             out = rows.join(

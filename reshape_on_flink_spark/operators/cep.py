@@ -1953,6 +1953,16 @@ def streaming_timed_out_partials(
         if state.exists:
             blob, frontier, serial = state.get
             st0 = pickle.loads(blob)
+            skip_format = isinstance(st0, dict) and "pdf" in st0 and "aux" in st0
+            if (skip_compiled is not None) != skip_format:
+                raise ValueError(
+                    "timeout state format mismatch: after_match changed "
+                    "across restart (restored keyed state was written by "
+                    f"a {'skip-enabled' if skip_format else 'no-skip'} "
+                    "query, this query is "
+                    f"{'no-skip' if skip_compiled is None else 'skip-enabled'})"
+                    " — restart from a fresh checkpoint"
+                )
             if skip_compiled is not None:
                 pending, aux = st0["pdf"], st0["aux"]
             else:
@@ -1989,6 +1999,12 @@ def streaming_timed_out_partials(
         # pruning), in plan-major order
         cands: list = []  # (tag, local start idx, horizon, rows)
         surv_starts: set = set()
+        # start idx -> latest stop-edge death tick among its killed
+        # branches: a branch killed mid-gap by until()/NOT gates later
+        # matches' emissions until its kill event (it is live in the
+        # reference's partialMatches until then), even though it never
+        # reaches the timeout output itself
+        dead_gates: dict = {}
         for symbols, enum_at, pl in compiled:
             if not len(dec):
                 break
@@ -2022,6 +2038,41 @@ def streaming_timed_out_partials(
                     elif len(seg) and seg[0]:
                         return True
                 return False
+
+            def _kill_pos(kls, gap):
+                # earliest stop-edge position in the gap (absolute
+                # index into pdf), or None — the tick where a killed
+                # branch leaves the reference's partialMatches
+                best = None
+                for fl, ka in kls:
+                    seg = ka[gap]
+                    if fl == "gap":
+                        nz = np.nonzero(seg)[0]
+                        if len(nz):
+                            pos = gap.start + int(nz[0])
+                            best = pos if best is None else min(best, pos)
+                    elif len(seg) and seg[0]:
+                        best = gap.start if best is None else min(best, gap.start)
+                return best
+
+            def _first_take(arr, gap):
+                nz = np.nonzero(arr[gap])[0]
+                return gap.start + int(nz[0]) if len(nz) else None
+
+            def _note_death(ii, kls, gap, take_arr):
+                # record the branch's stop-edge death tick for the
+                # emission-gate list: fires only if the kill precedes
+                # the event that would otherwise consume the branch
+                kp = _kill_pos(kls, gap)
+                if kp is None:
+                    return
+                if take_arr is not None:
+                    tk = _first_take(take_arr, gap)
+                    if tk is not None and tk < kp:
+                        return
+                t = float(ticks[kp])
+                if t > dead_gates.get(ii, float("-inf")):
+                    dead_gates[ii] = t
 
             prim_kills = _karr(prim[2]) if len(prim) > 2 else []
             cp_arrs = [
@@ -2059,18 +2110,29 @@ def streaming_timed_out_partials(
                         alive = not prim_arr[gap].any()
                     if alive and prim_kills:
                         alive = not _killed(prim_kills, gap)
-                    if not alive and cp_arrs and gap_any:
-                        gated = True
-                        if gate is not None:
-                            cnt = sum(1 for _p, s2 in rows if s2 == gate[0])
-                            gated = cnt >= gate[1]
-                        if gated:
-                            for k2, arr, kls in cp_arrs:
-                                if (
-                                    k2 == "fba" or not arr[gap].any()
-                                ) and not _killed(kls, gap):
-                                    alive = True
-                                    break
+                    if skip_compiled is not None and prim_kills:
+                        _note_death(
+                            int(i), prim_kills, gap,
+                            prim_arr if prim[0] == "consume" else None,
+                        )
+                    gated = True
+                    if gate is not None:
+                        cnt = sum(1 for _p, s2 in rows if s2 == gate[0])
+                        gated = cnt >= gate[1]
+                    if not alive and cp_arrs and gap_any and gated:
+                        for k2, arr, kls in cp_arrs:
+                            if (
+                                k2 == "fba" or not arr[gap].any()
+                            ) and not _killed(kls, gap):
+                                alive = True
+                                break
+                    if skip_compiled is not None and gap_any and gated:
+                        for k2, arr, kls in cp_arrs:
+                            if kls:
+                                _note_death(
+                                    int(i), kls, gap,
+                                    None if k2 == "fba" else arr,
+                                )
                     if not alive:
                         continue
                     cands.append((pl["tag"], int(i), h, rows))
@@ -2143,6 +2205,13 @@ def streaming_timed_out_partials(
                         pruned_starts.add(ii)
                     else:
                         gates.append((s_rid, h))
+                elif ii in dead_gates:
+                    # a stop-edge-killed branch stays live (and gating)
+                    # until its kill event; pruned-before-death entries
+                    # are subsumed by prev_emit monotonicity
+                    d = dead_gates[ii]
+                    if not any(e < d and s_rid <= p for e, p in emissions):
+                        gates.append((s_rid, d))
             while mi < len(matches_new):  # matches past the last start
                 _emit(*matches_new[mi])
                 mi += 1
@@ -2226,18 +2295,37 @@ def skip_prune_verdicts(
       horizon is <= the emission tick was already reported by that
       event's ``advanceTime`` — pruning only hits ``horizon > emit``.
 
-    Only never-completing surviving branches can gate (with static
-    conditions an earlier-starting live branch reaches every stage no
-    later than a later start, so completing branches co-complete and
-    win by start order), which is exactly the ``partials`` input.
+    Which branches can gate: surviving never-completing partials (the
+    ``__gate = 0`` rows — with static conditions an earlier-starting
+    live branch reaches every stage no later than a later start, so
+    completing branches co-complete and win by start order) AND
+    branches later killed mid-gap by a stop edge (until() /
+    notFollowedBy / not_next — NFACompiler's STOP transitions). A
+    stop-edge branch is live in ``partialMatches`` until its kill
+    event, so it defers emissions exactly until then: its gate entry
+    carries ``__gate = 1`` and ``__horizon`` = the kill tick, and it
+    is never itself reported (killed silently either way, so it must
+    not reach the pruned-verdict output that anti-joins the timeout
+    rows). Note the invariant that makes these gate-only rows
+    conservative for every currently constructible shape: an earlier
+    start's kill-exposure window opens no later than a later start's
+    (its last take at each stage is <=, forced by the relaxed ignore
+    NOT(take)), so a branch killed by a stop edge dies at or before
+    the tick where any later-starting match's gap would also have
+    died — the kill always precedes a completion it could gate. The
+    machinery still models the kill tick exactly so that future shape
+    lifts (greedy, NOT-before-fbAny) cannot silently break the
+    deferral order.
 
     Inputs: ``events`` = keys + ``__rid``/``__tick`` (every partition
     row, arrival-ordered rid = the EventId total order), ``matches`` =
     keys + ``__srid``/``__etick``/``__prid`` (start rid, completion
     tick, pruning-event rid — a null ``__prid`` degrades that match to
     NoSkip, the reference's throwExceptionOnMiss=false path),
-    ``partials`` = keys + ``__srid``/``__horizon``. Output: the keys +
-    ``__srid`` of every PRUNED partial start.
+    ``partials`` = keys + ``__srid``/``__horizon``/``__gate`` (0 =
+    reportable surviving partial, horizon = first tick + within; 1 =
+    stop-edge-killed branch, horizon = its kill tick). Output: the
+    keys + ``__srid`` of every PRUNED reportable partial start.
 
     100 TB: one keyed shuffle of the tagged union; per-key work is a
     linear walk over the key's matches with numpy masks over its
@@ -2260,7 +2348,7 @@ def skip_prune_verdicts(
     tagged = (
         _tag(events, "E", "__rid", "__tick", None)
         .unionByName(_tag(matches, "M", "__srid", "__etick", "__prid"))
-        .unionByName(_tag(partials, "P", "__srid", "__horizon", None))
+        .unionByName(_tag(partials, "P", "__srid", "__horizon", "__gate"))
     )
     key_fields = [f for f in tagged.schema.fields if f.name in keys]
     out_schema = StructType([*key_fields, StructField("__srid", LongType())])
@@ -2275,6 +2363,9 @@ def skip_prune_verdicts(
         mm = mm[np.argsort(mm[:, 0], kind="stable")]
         ps = p["__a"].to_numpy(dtype=float)
         ph = p["__b"].to_numpy(dtype=float)
+        # gate-only rows (stop-edge-killed branches): defer emissions
+        # until their kill tick but never appear in the prune output
+        pgate = p["__c"].to_numpy(dtype=float) == 1.0
         live = np.ones(len(ps), dtype=bool)
         killed = np.zeros(len(ps), dtype=bool)
         prev = -np.inf
@@ -2294,6 +2385,7 @@ def skip_prune_verdicts(
             if kill.any():
                 killed |= kill
                 live &= ~kill
+        killed &= ~pgate
         if not killed.any():
             return pd.DataFrame(columns=[*keys, "__srid"])
         out = p.loc[killed, list(keys)].copy()

@@ -1487,3 +1487,183 @@ def test_streaming_timeouts_times_range_equal_batch(spark, tmp_dir):
         (frozenset({1, 3, 6}), 11.0),
         (frozenset({1, 3, 6, 8}), 11.0),
     }, got
+
+
+# ---------------------------------------------------------------------
+# Skip strategies x stop-edge kill scans (round 12, ADVICE r11): the
+# reference gates deferred emissions on EVERY live partial in
+# partialMatches, INCLUDING branches later killed mid-gap by until()/
+# notFollowedBy/not_next stop edges — such a branch defers emissions
+# until its kill event, then vanishes silently. The emission replay
+# models them as gate-only entries (kill-truncated gate-until ticks)
+# that never reach the timeout output.
+# ---------------------------------------------------------------------
+
+
+def test_skip_prune_verdicts_gate_only_kill_entries(spark):
+    """Unit pin of the emission-replay walk: a gate-only (stop-edge-
+    killed) partial with death tick 5 defers an earlier match's
+    emission from tick 3 to tick 5, saving the reportable partial
+    whose horizon (4.5) lies in between (the reference reports it via
+    advanceTime before the deferred emission); a second gate-only
+    entry (death 6.5) defers the second match past the 6.8 horizon.
+    Gate-only srids never appear in the prune output; the reportable
+    partial at srid 2 (horizon 10 > the tick-5 emission, start <= the
+    pruning id 3) is the only pruned start."""
+    from reshape_on_flink_spark.operators.cep import skip_prune_verdicts
+
+    ev = spark.createDataFrame(
+        [(1, r, float(r)) for r in range(1, 8)],
+        "k int, __rid long, __tick double",
+    )
+    matches = spark.createDataFrame(
+        [(1, 2, 3.0, 3.0), (1, 5, 5.5, 7.0)],
+        "k int, __srid long, __etick double, __prid double",
+    )
+    partials = spark.createDataFrame(
+        [
+            (1, 1, 5.0, 1),   # killed at 5 -> gates match 1 (etick 3)
+            (1, 3, 4.5, 0),   # horizon 4.5 < deferred emission 5: saved
+            (1, 4, 6.5, 1),   # killed at 6.5 -> gates match 2 (5.5)
+            (1, 2, 10.0, 0),  # alive at emission 5, start <= prid 3: pruned
+            (1, 6, 6.8, 0),   # horizon 6.8 < deferred emission 7: saved
+        ],
+        "k int, __srid long, __horizon double, __gate int",
+    )
+    got = {
+        (r.k, r["__srid"])
+        for r in skip_prune_verdicts(
+            ev, matches, partials, ["k"], strict=False
+        ).collect()
+    }
+    assert got == {(1, 2)}, got
+
+
+def test_timeout_skip_with_until_kill_scan(spark):
+    """A.times(2).until(U) fb B within 10 under skipPastLastEvent over
+    a@1 u@2 a@3 a@4 b@5 x@30: the mid-loop branch {1} is stop-killed
+    at u@2 (a gate-only entry — dead before the match completes at
+    b@5, so no deferral), the match {3,4,5} emits at tick 5, and its
+    pruning id b@5 covers the surviving mid-loop branch {4} (horizon
+    14 > 5) — nothing times out. Under noSkip {4} is reported."""
+    pat = (
+        Pattern.begin("A").where(_n("a")).times(2).until(_n("u"))
+        .followed_by("B").where(_n("b")).within(10)
+    )
+    rows = [(1, 1, "a"), (1, 2, "u"), (1, 3, "a"), (1, 4, "a"),
+            (1, 5, "b"), (1, 30, "x")]
+    assert _skip_touts(spark, rows, pat, "no_skip") == {
+        (frozenset({4}), 14.0)
+    }
+    assert _skip_touts(spark, rows, pat, "past_last_row") == set()
+    # to_next_row prunes only at/below the match's first event a@3:
+    # the later start {4} survives and still times out
+    assert _skip_touts(spark, rows, pat, "to_next_row") == {
+        (frozenset({4}), 14.0)
+    }
+
+
+def test_timeout_skip_with_not_followed_by_kill_scan(spark):
+    """A ^N fb B fbAny C within 10 under skipPastLastEvent over
+    a@1 nn@2 a@3 b@4 c@5 x@30: the C-waiter lineage from a@1 is
+    stop-killed by nn@2 before b is ever taken (prefix-gap NOT), the
+    a@3 lineage completes {3,4,5} and its emission covers the
+    persisting fbAny waiter {3,4} (horizon 13); nothing survives.
+    Under noSkip the {3,4} waiter is reported."""
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .not_followed_by("N").where(F.col("name") == "nn")
+        .followed_by("B").where(_n("b"))
+        .followed_by_any("C").where(_n("c")).within(10)
+    )
+    rows = [(1, 1, "a"), (1, 2, "nn"), (1, 3, "a"), (1, 4, "b"),
+            (1, 5, "c"), (1, 30, "x")]
+    assert _skip_touts(spark, rows, pat, "no_skip") == {
+        (frozenset({3, 4}), 13.0)
+    }
+    assert _skip_touts(spark, rows, pat, "past_last_row") == set()
+
+
+def test_timeout_skip_until_streaming_equals_batch(spark, tmp_dir):
+    """The until-kill x skipPastLastEvent fixture on the streaming
+    route (incremental matcher + dead-gate entries in keyed state) ==
+    the batch matrices."""
+    def c(name):
+        return lambda pdf, _n=name: pdf["name"] == _n
+
+    pat = (
+        Pattern.begin("A").where(c("a")).times(2).until(c("u"))
+        .followed_by("B").where(c("b")).within(10)
+    )
+    rows = [(1, 1, "a"), (1, 2, "u"), (1, 3, "a"), (1, 4, "a"),
+            (1, 5, "b"), (1, 30, "x")]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+    assert _stream_timeouts(
+        spark, tmp_dir, df, pat, "sk_uk_pl", after="past_last_row"
+    ) == set()
+    assert _stream_timeouts(
+        spark, tmp_dir, df, pat, "sk_uk_tn", after="to_next_row"
+    ) == {(frozenset({4}), 14.0)}
+
+
+def test_timeout_state_format_mismatch_is_loud(spark, tmp_dir):
+    """Restoring keyed timeout state across an after_match change
+    (no-skip blob = bare pickled DataFrame vs skip blob = {pdf, aux})
+    raises a clear 'state format mismatch' error instead of an opaque
+    KeyError / silently misreading the dict as the pending frame."""
+    import os
+    import shutil
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    def c(name):
+        return lambda pdf, _n=name: pdf["name"] == _n
+
+    pat = (
+        Pattern.begin("A").where(c("a"))
+        .followed_by("B").where(c("b")).within(10)
+    )
+    rows = [(1, 1, "a"), (1, 2, "m")]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+    src = os.path.join(tmp_dir, "fmt_src")
+    ckpt = os.path.join(tmp_dir, "fmt_ckpt")
+
+    chunked_replay(spark, df, src, n_chunks=1, order_col="ts")
+
+    def run(after, qname):
+        # re-point at the SAME source dir without rewriting it
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(os.path.join(src, "stream"))
+        )
+        sdf = CEP.pattern(
+            stream, pat, "k", "ts", after_match=after
+        ).timed_out_partial_matches()
+        q = (
+            sdf.writeStream.outputMode("append")
+            .format("noop").queryName(qname)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("no_skip", "fmt_run1")  # leaves no-skip keyed state behind
+    # new file so the restarted query has a batch to process
+    extra = spark.createDataFrame(
+        [(1, 30, "x")], "k int, ts int, name string"
+    )
+    tmp_extra = os.path.join(tmp_dir, "fmt_extra")
+    extra.coalesce(1).write.mode("overwrite").parquet(tmp_extra)
+    part = next(
+        f for f in sorted(os.listdir(tmp_extra)) if f.endswith(".parquet")
+    )
+    shutil.copy(
+        os.path.join(tmp_extra, part),
+        os.path.join(src, "stream", "999.parquet"),
+    )
+    with pytest.raises(StreamingQueryException, match="state format mismatch"):
+        run("past_last_row", "fmt_run2")
