@@ -221,6 +221,67 @@ def main() -> None:
         timings[label] = round(statistics.median(samples), 3)
         startups[label] = round(statistics.median(startup_samples), 3)
 
+    # Keyed-PROCESS skew pair (round 12): the operator class where the
+    # reference's reroute genuinely pays. For relational count/sum,
+    # Spark's map-side partial aggregation already bounds per-reducer
+    # work (at most one partial row per key x map partition reaches the
+    # shuffle), so the skew_replay_* pair above measures pure controller
+    # overhead — by design. A custom keyed stage (applyInPandas — the
+    # Flink keyed-stream analog, and the shape of every stateful pandas
+    # operator in this repo) is NOT map-side combined: every record of
+    # the hot key crosses the shuffle into ONE task and serializes it.
+    # Here the controller observes the hot key (the real control loop,
+    # not a hardcoded table) and its salted reroute is a genuine
+    # wall-clock WIN (~2-2.5x at this size; full streaming-replay
+    # variant in tools/reshape_win_bench.py + BASELINE.md round-12).
+    from reshape_on_flink_spark.sources.readers import datagen
+    from reshape_on_flink_spark.streaming.reshape import (
+        ReshapeController,
+        keyed_process_agg,
+        observe_candidates,
+    )
+
+    hot = datagen(spark, 4_800_000, n_keys=200, skew_hot_share=0.9).select(
+        "id", "key", "value"
+    )
+    hot_dir = os.path.join(".tmp", "bench_hotkeys.parquet")
+    hot.write.mode("overwrite").parquet(hot_dir)
+    hot = spark.read.parquet(hot_dir)
+    rconf = ReshapeConf(parallelism=32, freq_ms=0)
+    controller = ReshapeController(rconf)
+    sink_dir = os.path.join(".tmp", "bench_hotkeys_sink")
+    shutil.rmtree(sink_dir, ignore_errors=True)
+    sink = PartialUpsertSink(spark, sink_dir, "key", compact_every=10)
+
+    def process_pass(routing: dict, epoch: int) -> None:
+        sink.write(
+            keyed_process_agg(hot, "key", "value", routing, "id"), epoch
+        )
+
+    process_pass({}, 0)  # warm + observation source
+    obs = sink.read_epoch(0)
+    total_rows, candidates = observe_candidates(obs, "key", rconf, {})
+    controller.observe(candidates, total_rows)
+    routing = controller.routing()
+    assert routing, "controller failed to detect the 90%-mass hot key"
+    proc_samples: dict[str, list] = {
+        "skew_process_plain": [],
+        "skew_process_reshape": [],
+    }
+    epoch = 1
+    for _ in range(REPS):  # interleaved, min-of-REPS (host steal noise)
+        for plabel, r in (
+            ("skew_process_plain", {}),
+            ("skew_process_reshape", routing),
+        ):
+            t0 = time.perf_counter()
+            process_pass(r, epoch)
+            proc_samples[plabel].append(time.perf_counter() - t0)
+            epoch += 1
+    for plabel, s in proc_samples.items():
+        timings[plabel] = round(min(s), 3)
+    shutil.rmtree(sink_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

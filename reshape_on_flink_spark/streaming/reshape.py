@@ -202,6 +202,77 @@ def salted_partial_merge_agg(
     )
 
 
+def keyed_process_agg(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    routing: dict,
+    spread_col: str,
+) -> DataFrame:
+    """The same exact (key, cnt, sum_value) aggregation computed through
+    a keyed PROCESS stage (``applyInPandas``) instead of a relational
+    aggregate — the operator shape where the reference's reroute
+    actually pays.
+
+    Why this exists: for relational count/sum, Spark's map-side partial
+    aggregation already performs Reshape's mitigation — each reducer
+    receives at most one partial row per (key, map partition), so no
+    skew survives the shuffle and salting is pure overhead (measured:
+    every committed skew_replay shows reshape >= plain). The reference's
+    subtasks are NOT combining aggregates though: a Flink keyed stream
+    ships every raw record of a key to one subtask that does per-record
+    work (``WorkerSimulator.scala:22-42`` — the reroute redirects that
+    record flow). Spark's analog of that operator class is a custom
+    keyed stage (``applyInPandas`` / stateful pandas ops), which Spark
+    never map-side combines: every record crosses the shuffle keyed by
+    ``key_col`` and one task processes the whole hot group. THERE a hot
+    key genuinely serializes a reducer, and the salted reroute
+    (hash(spread_col) pmod n_salts sub-keys, partial process per
+    sub-key, exact merge) is a real wall-clock win — benched as
+    ``skew_process_plain`` vs ``skew_process_reshape``.
+    """
+    import pandas as pd
+
+    key_type = df.schema[key_col].dataType.simpleString()
+    out_schema = f"{key_col} {key_type}, cnt long, sum_value double"
+
+    def agg_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({
+            key_col: [pdf[key_col].iloc[0]],
+            "cnt": [len(pdf)],
+            "sum_value": [float(pdf[value_col].sum())],
+        })
+
+    if not routing:
+        return df.groupBy(key_col).applyInPandas(agg_fn, out_schema)
+
+    salt_map = F.create_map(
+        *[x for k, n in routing.items() for x in (F.lit(k), F.lit(int(n)))]
+    )
+    n_salts = F.coalesce(salt_map.getItem(F.col(key_col)), F.lit(1))
+    partial_schema = f"{key_col} {key_type}, _salt int, cnt long, sum_value double"
+
+    def partial_fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame({
+            key_col: [pdf[key_col].iloc[0]],
+            "_salt": [int(pdf["_salt"].iloc[0])],
+            "cnt": [len(pdf)],
+            "sum_value": [float(pdf[value_col].sum())],
+        })
+
+    partial = (
+        df.withColumn("_salt", F.pmod(F.hash(F.col(spread_col)), n_salts))
+        .groupBy(key_col, "_salt")
+        .applyInPandas(partial_fn, partial_schema)
+    )
+    # merge: at most max_salts tiny partial rows per key — the exactness
+    # stage the reference omits (SURVEY.md §0.5); relational here because
+    # the record flow is already collapsed
+    return partial.groupBy(key_col).agg(
+        F.sum("cnt").alias("cnt"), F.sum("sum_value").alias("sum_value")
+    )
+
+
 def observe_candidates(
     merged: DataFrame, key_col: str, conf: ReshapeConf, tracked: dict
 ) -> tuple[int, dict]:
@@ -457,12 +528,23 @@ class ReshapeStreamingAgg:
         spread_col: str,
         conf: ReshapeConf,
         sink: PartialUpsertSink | None = None,
+        engine: str = "relational",
     ):
+        if engine not in ("relational", "process"):
+            raise ValueError(
+                f"engine must be 'relational' or 'process', got {engine!r}"
+            )
         self.key_col = key_col
         self.value_col = value_col
         self.spread_col = spread_col
         self.conf = conf
         self.sink = sink
+        # 'relational': Catalyst agg (map-side combine absorbs the skew
+        # itself; the controller is overhead-only — kept as the default
+        # because it IS the right plan for combinable aggs). 'process':
+        # keyed applyInPandas stage (no map-side combine — the Flink
+        # keyed-stream analog where the reroute genuinely pays).
+        self.engine = engine
         if sink is None:
             # driver-side dict mode is test/bench-only: per-key results
             # accumulate in driver memory, which is unbounded in the key
@@ -486,7 +568,11 @@ class ReshapeStreamingAgg:
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         routing = self.controller.routing() if self.conf.enabled else {}
         self.routing_history.append(dict(routing))
-        agg = salted_partial_merge_agg(
+        agg_impl = (
+            keyed_process_agg if self.engine == "process"
+            else salted_partial_merge_agg
+        )
+        agg = agg_impl(
             batch_df, self.key_col, self.value_col, routing, self.spread_col
         )
         # listener mode: observation runs out-of-band on progress events

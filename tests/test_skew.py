@@ -81,6 +81,72 @@ class TestSaltedAgg:
         }
         assert salted == plain
 
+    def test_keyed_process_agg_exact_and_routed(self, spark):
+        """The keyed-PROCESS engine (round 12): same exact (key, cnt,
+        sum_value) through an applyInPandas stage — the operator class
+        Spark does NOT map-side combine, i.e. the Flink keyed-stream
+        shape where the reference's reroute genuinely pays. Plain ==
+        routed == relational on a skewed fixture (hot key 0 at 50%)."""
+        from reshape_on_flink_spark.sources.readers import datagen
+        from reshape_on_flink_spark.streaming.reshape import keyed_process_agg
+
+        df = datagen(spark, 20_000, n_keys=40, skew_hot_share=0.5).select(
+            "id", "key", "value"
+        )
+
+        def snap(out):
+            return {
+                r["key"]: (r["cnt"], round(r["sum_value"], 6))
+                for r in out.collect()
+            }
+
+        relational = snap(
+            df.groupBy("key").agg(
+                F.count("*").alias("cnt"),
+                F.sum("value").cast("double").alias("sum_value"),
+            )
+        )
+        plain = snap(keyed_process_agg(df, "key", "value", {}, "id"))
+        routed = snap(
+            keyed_process_agg(df, "key", "value", {0: 10, 3: 4}, "id")
+        )
+        assert plain == relational
+        assert routed == relational
+
+    def test_process_engine_streaming_equals_relational(self, spark, tmp_dir):
+        """ReshapeStreamingAgg(engine='process') over a chunked zipf
+        replay with the controller ON == the relational engine's results
+        (and the controller engages on the hot key)."""
+        import os
+
+        from reshape_on_flink_spark.sources.readers import datagen
+        from reshape_on_flink_spark.streaming.source import chunked_replay
+
+        df = datagen(spark, 20_000, n_keys=40, skew_hot_share=0.5).select(
+            "id", "key", "value"
+        )
+        results = {}
+        for engine in ("relational", "process"):
+            replay = os.path.join(tmp_dir, f"pe_{engine}")
+            ckpt = os.path.join(tmp_dir, f"pe_{engine}_ckpt")
+            stream = chunked_replay(spark, df, replay, n_chunks=4,
+                                    order_col="id")
+            with pytest.warns(RuntimeWarning):  # sink-less driver-dict mode
+                agg = ReshapeStreamingAgg(
+                    "key", "value", "id",
+                    ReshapeConf(enabled=True, parallelism=8, freq_ms=0),
+                    engine=engine,
+                )
+            q = agg.attach(stream, ckpt)
+            q.awaitTermination(120)
+            results[engine] = {
+                k: (c, round(s, 6)) for k, (c, s) in agg.results.items()
+            }
+            assert any(0 in r for r in agg.routing_history), (
+                f"{engine}: controller never engaged on the hot key"
+            )
+        assert results["process"] == results["relational"]
+
     def test_spread_improvement_on_skewed_keys(self, spark):
         """The point of the mechanism: a hot key that would land on one
         reducer spreads over n_salts reducers. Measure max reducer share
