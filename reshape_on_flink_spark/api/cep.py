@@ -1344,12 +1344,25 @@ class PatternStream:
         reapplied horizon-aware, so an adjacent kill event at/after
         the horizon loses to ``advanceTime``).
 
-        Remaining loud guards: greedy()/reluctant (greedy rewires
-        PROCEED/take, ``updateWithGreedyCondition``), group patterns,
-        terminal ``notFollowedBy``, notFollowedBy before a
-        followedByAny stage, not_next folds onto quantified/optional
-        successors, and not_next with an optional successor (migrated-
-        copy adjacency untraced).
+        ``greedy()`` (round 12): the reference ANDs NOT(takeCondition)
+        onto EVERY transition of the greedy stage's PROCEED sink
+        (``NFACompiler.updateWithGreedyCondition``), so branches parked
+        at the successor state — the maxed-out head waiter and mid-loop
+        migrated copies — silently die on any greedy-take-able event in
+        their gap: exactly a 'gap' KILL SCAN on the greedy stage's own
+        take condition (terminal greedy is ignored, GreedyITCase).
+        ``reluctant()`` needs no handling: it is this engine's
+        match-emission extension (deterministic shortest COMPLETION);
+        it never changes which branches are live, so the parked set
+        equals the default's.
+
+        Remaining loud guards: group patterns, terminal
+        ``notFollowedBy``, notFollowedBy before a followedByAny stage,
+        not_next folds onto quantified/optional successors, not_next
+        with an optional successor (migrated-copy adjacency untraced),
+        greedy followed by 2+ positive stages (interior-greedy prefixes
+        commit possessively), greedy before an optional successor (the
+        sink guard is one level), and greedy with allow_combinations.
         """
         from pyspark.sql import Window as SW
 
@@ -1408,14 +1421,40 @@ class PatternStream:
             raise ValueError(
                 "a single-stage pattern has no proper prefix to time out"
             )
+        # greedy()/reluctant() (round 12). reluctant() needs NO timeout
+        # handling: it is this engine's match-emission extension
+        # (deterministic shortest COMPLETION per start — Flink has no
+        # reluctant); commitment happens at completion time and never
+        # changes which branches are LIVE, so the parked set equals the
+        # default's. greedy() compiles to derived KILL SCANS below: the
+        # reference ANDs NOT(takeCondition) onto EVERY transition of the
+        # greedy stage's PROCEED sink (NFACompiler.java
+        # updateWithGreedyCondition), so a branch parked at the successor
+        # state — the maxed-out head waiter or a mid-loop migrated copy —
+        # silently dies on any greedy-take-able event in its gap (it can
+        # neither take nor ignore it). Narrow residual guards:
         for si, s in enumerate(stages):
-            if s.quant is not None and s.quant[2] is not None:
-                raise NotImplementedError(
-                    f"timeout side output: greedy()/reluctant() stage "
-                    f"{s.name!r} — greedy rewires the PROCEED/take "
-                    "conditions (NFACompiler.updateWithGreedyCondition), "
-                    "changing which branches park"
-                )
+            if (
+                s.quant is not None
+                and s.quant[2] is True
+                and si < len(stages) - 1  # terminal greedy is IGNORED
+            ):  # (GreedyITCase.testEndWithZeroOrMoreGreedy)
+                if si < len(stages) - 2:
+                    raise NotImplementedError(
+                        f"timeout side output: greedy stage {s.name!r} "
+                        "followed by 2+ positive stages — prefixes that "
+                        "pass THROUGH a greedy stage commit possessively "
+                        "(longest per start), which diverges from the "
+                        "NFA's per-branch sink guard when loop takes "
+                        "interleave with successor events"
+                    )
+                if s.loop_mode == "combinations":
+                    raise NotImplementedError(
+                        f"timeout side output: greedy stage {s.name!r} "
+                        "with allow_combinations() — the TRUE inner "
+                        "ignore branches around the sink guard"
+                    )
+        for si, s in enumerate(stages):
             if s.fold_not and (
                 s.kind != "next" or s.quant is not None or s.opt
             ):
@@ -1625,6 +1664,27 @@ class PatternStream:
                 # unconditioned followed_by: NOT(take)=false, never fires
             return out
 
+        def _greedy_kill(g: int):
+            """The sink-guard kill for greedy stage g: every transition
+            of the PROCEED sink carries NOT(take), so branches parked
+            there die on any g-take-able event in their gap — exactly a
+            'gap' kill scan on g's take condition. One level only: a
+            greedy stage before an optional/zero-able successor raises
+            (the guard does not propagate through the chain)."""
+            s = stages[g]
+            if g + 1 < len(stages) and _optable(stages[g + 1]):
+                raise NotImplementedError(
+                    f"timeout side output: greedy stage {s.name!r} "
+                    "before an optional/zero-able successor — "
+                    "updateWithGreedyCondition guards the immediate "
+                    "sink only; proceed-through-optional copies are "
+                    "untraced"
+                )
+            return ("gap", _need_kill(
+                f"gr{g}", s.cond, s.pandas_cond,
+                f"greedy take condition of {s.name!r}",
+            ))
+
         # plan entries: (pre_stages, tag, primary, copies, loop_gate)
         plans = []
         # -- branches parked AT a stage's head state (last take exited
@@ -1653,15 +1713,24 @@ class PatternStream:
                     pre_stages[-1], lead_not=[]
                 )
             waiting = stages[k]
+            # the waiting state is prev's PROCEED sink: a maxed-out
+            # greedy prev kills the waiter on any prev-take-able gap
+            # event (sink-guard); subsumed for 'any' waiters, which die
+            # on every gap event regardless
+            gk = (
+                (_greedy_kill(k - 1),)
+                if prev.quant is not None and prev.quant[2] is True
+                else ()
+            )
             if waiting.kind == "followed_by" and _has_cond(waiting):
                 primary = (
                     "consume", _need_scan(k, "waiting stage"),
-                    _kills_for(k, True),
+                    _kills_for(k, True) + gk,
                 )
             elif waiting.kind == "followed_by_any":
                 # true ignore — never consumed; a loop's until stop
                 # still kills the waiting head (r8 dual-dialect)
-                primary = ("persist", None, _kills_for(k, True))
+                primary = ("persist", None, _kills_for(k, True) + gk)
             else:
                 # next-contiguity (no ignore), or an unconditioned
                 # followed_by (NOT(true) never fires): the adjacent /
@@ -1690,6 +1759,15 @@ class PatternStream:
             else:  # allow_combinations(): true ignore — persists
                 primary = ("persist", None, mid_kills)
             copies = _copies_for(_chain(p + 1))
+            if s.quant[2] is True and p < len(stages) - 1:
+                # greedy loop (non-terminal): migrated copies park at the
+                # guarded PROCEED sink — they spawn only at non-take
+                # events and die at the next take-able one; both effects
+                # are the 'gap' kill on the loop's own take condition
+                g_kill = _greedy_kill(p)
+                copies = [
+                    (kind, i2, (*kls, g_kill)) for kind, i2, kls in copies
+                ]
             lo = s.quant[0]
             gate = (s.name, lo) if (copies and lo >= 2) else None
             # keep a NOT stage before the loop in the prefix: the

@@ -738,12 +738,15 @@ def test_timeout_timestamp_order_and_loud_guards(spark):
     nowithin = Pattern.begin("a").where(_n("start")).followed_by("b").where(_n("middle"))
     with pytest.raises(ValueError, match="within"):
         CEP.pattern(df, nowithin, "k", "ts", after_match="no_skip").timed_out_partial_matches()
-    greedy = (
+    # greedy directly before the final stage is SUPPORTED (round 12);
+    # the residual guard is interior greedy (2+ positive stages after)
+    greedy_interior = (
         Pattern.begin("a").where(_n("start")).one_or_more().greedy()
-        .followed_by("b").where(_n("middle")).within(10)
+        .followed_by("b").where(_n("middle"))
+        .followed_by("c").where(_n("end")).within(10)
     )
     with pytest.raises(NotImplementedError, match="greedy"):
-        CEP.pattern(df, greedy, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+        CEP.pattern(df, greedy_interior, "k", "ts", after_match="no_skip").timed_out_partial_matches()
     # skip strategies are supported on the batch route (round 11): with
     # no completed match in this fixture there is nothing to prune, so
     # the default past_last_row equals no_skip here
@@ -1667,3 +1670,167 @@ def test_timeout_state_format_mismatch_is_loud(spark, tmp_dir):
     )
     with pytest.raises(StreamingQueryException, match="state format mismatch"):
         run("past_last_row", "fmt_run2")
+
+
+# ---------------------------------------------------------------------
+# Timed-out partials under greedy() (round 12). Reference semantics:
+# NFACompiler.updateWithGreedyCondition ANDs NOT(takeCondition) onto
+# EVERY transition of the greedy stage's PROCEED sink, so a branch
+# parked at the successor state (the maxed-out head waiter, a mid-loop
+# migrated copy) can neither take nor ignore a greedy-take-able event
+# — it silently DIES on the first one in its gap. Terminal greedy is
+# ignored (GreedyITCase.testEndWithZeroOrMoreGreedy). reluctant() is
+# this engine's match-emission extension: commitment happens at
+# completion time, liveness is unchanged, so timeouts == default.
+# ---------------------------------------------------------------------
+
+
+def _greedy_fix(spark, rows):
+    return spark.createDataFrame(rows, "k int, ts int, name string")
+
+
+def test_timeout_greedy_kills_migrated_copy(spark):
+    """C fb A+.greedy fb D within 10 over c@1 a@2 x@3 a@4 x@30. Hand
+    trace: {c,a2} mid-loop is consume-dead (a@4 forced-take); its
+    migrated copy at D (spawned at x@3) DIES at a@4 under greedy (D's
+    transitions carry NOT(A-take)) but survives without greedy. The
+    maximal branch {c,a2,a4} parks mid-loop with a clean gap and times
+    out either way."""
+    def pat(greedy):
+        p = Pattern.begin("C").where(_n("c")).followed_by("A").where(_n("a")).one_or_more()
+        if greedy:
+            p = p.greedy()
+        return p.followed_by("D").where(_n("d")).within(10)
+
+    rows = [(1, 1, "c"), (1, 2, "a"), (1, 3, "x"), (1, 4, "a"), (1, 30, "x")]
+    assert _skip_touts(spark, rows, pat(False), "no_skip") == {
+        (frozenset({1, 2}), 11.0),
+        (frozenset({1, 2, 4}), 11.0),
+    }
+    assert _skip_touts(spark, rows, pat(True), "no_skip") == {
+        (frozenset({1, 2, 4}), 11.0)
+    }
+
+
+def test_timeout_greedy_kills_maxed_head_waiter(spark):
+    """C fb A.times(2).greedy fb D within 10 over c@1 a@2 a@3 x@4 a@5
+    x@30: the maxed branch {c,a2,a3} parks at D's head — the guarded
+    sink — and dies at a@5 under greedy (times out at 11 without it).
+    The 1-take mid-loop branch is below the loop minimum (no copy)
+    and consume-dead either way."""
+    def pat(greedy):
+        p = Pattern.begin("C").where(_n("c")).followed_by("A").where(_n("a")).times(2)
+        if greedy:
+            p = p.greedy()
+        return p.followed_by("D").where(_n("d")).within(10)
+
+    rows = [(1, 1, "c"), (1, 2, "a"), (1, 3, "a"), (1, 4, "x"),
+            (1, 5, "a"), (1, 30, "x")]
+    assert _skip_touts(spark, rows, pat(False), "no_skip") == {
+        (frozenset({1, 2, 3}), 11.0)
+    }
+    assert _skip_touts(spark, rows, pat(True), "no_skip") == set()
+    # quiet gap: the maxed waiter survives under greedy too
+    rows2 = [(1, 1, "c"), (1, 2, "a"), (1, 3, "a"), (1, 4, "x"), (1, 30, "x")]
+    assert _skip_touts(spark, rows2, pat(True), "no_skip") == {
+        (frozenset({1, 2, 3}), 11.0)
+    }
+
+
+def test_timeout_greedy_with_skip_strategy(spark):
+    """greedy x AfterMatchSkip interplay. Fixture 1: the sink guard is
+    CROSS-START — the second start's own a-events are A-take-able
+    events inside the first start's D-waiter gap, so greedy kills that
+    waiter (its death feeds the emission replay's gate entries);
+    nothing times out. Fixture 2: the second start begins after the
+    first waiter's horizon — the waiter expires via advanceTime before
+    the match completes, the emission prunes nothing, and the timeout
+    survives under past_last_row."""
+    p = (
+        Pattern.begin("C").where(_n("c"))
+        .followed_by("A").where(_n("a")).times(2).greedy()
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    rows = [(1, 1, "c"), (1, 2, "a"), (1, 3, "a"), (1, 4, "x"),
+            (1, 5, "c"), (1, 6, "a"), (1, 7, "a"), (1, 13, "d"),
+            (1, 30, "x")]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+    ps = CEP.pattern(df, p, "k", "ts", after_match="past_last_row")
+    matches = ps.flat_select(timed_out_partial_matches_tag="late")
+    got_m = collections.defaultdict(set)
+    for r in matches.collect():
+        got_m[r.match_id].add(r.ts)
+    assert sorted(sorted(v) for v in got_m.values()) == [[5, 6, 7, 13]]
+    assert _collect_timeouts(ps.get_side_output("late")) == set()
+
+    rows2 = [(1, 1, "c"), (1, 2, "a"), (1, 3, "a"), (1, 4, "x"),
+             (1, 12, "c"), (1, 13, "a"), (1, 14, "a"), (1, 15, "d"),
+             (1, 30, "x")]
+    assert _skip_touts(spark, rows2, p, "past_last_row") == {
+        (frozenset({1, 2, 3}), 11.0)
+    }
+
+
+def test_timeout_reluctant_equals_default(spark):
+    """reluctant() commits the shortest COMPLETION but never changes
+    branch liveness — the timed-out partial set equals the default's."""
+    def pat(reluctant):
+        p = Pattern.begin("C").where(_n("c")).followed_by("A").where(_n("a")).one_or_more()
+        if reluctant:
+            p = p.reluctant()
+        return p.followed_by("D").where(_n("d")).within(10)
+
+    rows = [(1, 1, "c"), (1, 2, "a"), (1, 3, "x"), (1, 4, "a"), (1, 30, "x")]
+    assert _skip_touts(spark, rows, pat(True), "no_skip") == _skip_touts(
+        spark, rows, pat(False), "no_skip"
+    )
+
+
+def test_timeout_greedy_residual_guards(spark):
+    """Interior greedy (2+ positive stages after), greedy before an
+    optional successor, and greedy + allow_combinations stay loud."""
+    df = spark.createDataFrame([(1, 1, "c"), (1, 30, "x")],
+                               "k int, ts int, name string")
+    opt_succ = (
+        Pattern.begin("C").where(_n("c"))
+        .followed_by("A").where(_n("a")).one_or_more().greedy()
+        .followed_by("B").where(_n("b")).optional()
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    with pytest.raises(NotImplementedError, match="greedy"):
+        CEP.pattern(df, opt_succ, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+    comb = (
+        Pattern.begin("A").where(_n("a")).one_or_more()
+        .allow_combinations().greedy()
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    with pytest.raises(NotImplementedError, match="allow_combinations|combinations"):
+        CEP.pattern(df, comb, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+
+
+def test_timeout_greedy_streaming_equals_batch(spark, tmp_dir):
+    """The greedy kill scans ride the streaming plan dicts like every
+    other kill: chunked replay == the batch matrices for both greedy
+    fixtures."""
+    def c(name):
+        return lambda pdf, _n=name: pdf["name"] == _n
+
+    p1 = (
+        Pattern.begin("C").where(c("c"))
+        .followed_by("A").where(c("a")).one_or_more().greedy()
+        .followed_by("D").where(c("d")).within(10)
+    )
+    rows1 = [(1, 1, "c"), (1, 2, "a"), (1, 3, "x"), (1, 4, "a"), (1, 30, "x")]
+    df1 = spark.createDataFrame(rows1, "k int, ts int, name string")
+    assert _stream_timeouts(spark, tmp_dir, df1, p1, "greedy_sb1") == {
+        (frozenset({1, 2, 4}), 11.0)
+    }
+    p2 = (
+        Pattern.begin("C").where(c("c"))
+        .followed_by("A").where(c("a")).times(2).greedy()
+        .followed_by("D").where(c("d")).within(10)
+    )
+    rows2 = [(1, 1, "c"), (1, 2, "a"), (1, 3, "a"), (1, 4, "x"),
+             (1, 5, "a"), (1, 30, "x")]
+    df2 = spark.createDataFrame(rows2, "k int, ts int, name string")
+    assert _stream_timeouts(spark, tmp_dir, df2, p2, "greedy_sb2") == set()
