@@ -1356,8 +1356,20 @@ class PatternStream:
         it never changes which branches are live, so the parked set
         equals the default's.
 
-        Remaining loud guards: group patterns, terminal
-        ``notFollowedBy``, notFollowedBy before a followedByAny stage,
+        Group patterns (round 12): unquantified, non-optional,
+        until-free groups FLATTEN — NFACompiler converts a non-looping
+        GroupPattern's inner pattern in place between its neighbours,
+        so the inlined leaf list produces the identical parked shapes
+        (park at the group's head leaf, inside it at each inner waiting
+        position, and past it). notFollowedBy before a followedByAny
+        stage rides the same negated_gap kill as before followed_by
+        (NotPatternITCase.testNotFollowedBy pins the scope). Terminal
+        ``notFollowedBy`` under no_skip needs no handling at all: its
+        stop edges attach to the post-prefix PENDING state only.
+
+        Remaining loud guards: quantified/optional/until groups,
+        terminal ``notFollowedBy`` under a skip strategy (the pending
+        branch is a prunable partial completing at horizon close),
         not_next folds onto quantified/optional successors, not_next
         with an optional successor (migrated-copy adjacency untraced),
         greedy followed by 2+ positive stages (interior-greedy prefixes
@@ -1376,6 +1388,60 @@ class PatternStream:
                 "emits no timeouts for unbounded patterns)"
             )
         raw = pattern._stages
+        # fold attributes (negated_gap / fold_not / lead_not) are compile
+        # artifacts — materialize them before reading (compile resets
+        # then re-derives them from the NOT stages)
+        pattern.compile(
+            emit="first",
+            lookahead_window=W.partitionBy(*self._keys).orderBy(*self._order),
+        )
+
+        # group patterns (round 12): an UNQUANTIFIED, non-optional,
+        # until-free group compiles to its inner states INLINED, with the
+        # outer link's contiguity applied to the first inner leaf — the
+        # same state graph a flat pattern would produce (NFACompiler
+        # convertPattern: a non-looping GroupPattern's inner pattern is
+        # converted in place between its neighbours). Flattening it here
+        # lets every parked-shape plan below apply uniformly: branches
+        # park AT the group's head leaf (the entry gap's kills included)
+        # and INSIDE the group at each inner waiting position. The
+        # outer compile above already pushed the group-level folds
+        # (not_next / notFollowedBy before the group) onto the inner
+        # head leaf; the entry link kind and the outer negated_gap move
+        # with the head here.
+        def _flatten(sl):
+            out = []
+            for s in sl:
+                if s.group is None:
+                    out.append(s)
+                    continue
+                if s.quant is not None or s.opt:
+                    raise NotImplementedError(
+                        f"timeout side output: quantified/optional "
+                        f"group {s.name!r} — mid-iteration parked "
+                        "shapes of a group loop are not traced yet"
+                    )
+                if s.until_cond is not None or s.until_pandas is not None:
+                    raise NotImplementedError(
+                        f"timeout side output: until() on group "
+                        f"{s.name!r} — the stop edge guards every "
+                        "inner waiting position (untraced)"
+                    )
+                inner = _flatten(list(s.group._stages))
+                head = dataclasses.replace(
+                    inner[0],
+                    kind=s.kind,
+                    negated_gap=(
+                        inner[0].negated_gap
+                        if inner[0].negated_gap is not None
+                        else s.negated_gap
+                    ),
+                )
+                out.append(head)
+                out.extend(inner[1:])
+            return out
+
+        raw = _flatten(raw)
         skip_mode, skip_sym = _parse_after_match_cep(
             self._after, [s.name for s in raw]
         )
@@ -1386,26 +1452,29 @@ class PatternStream:
                 "resumes AT the mapped element (overlapping scans) — "
                 "run the batch route for those"
             )
+        # terminal notFollowedBy (round 12): its stop edges attach to
+        # the POST-PREFIX pending state only (the full-pattern branch
+        # waiting for its horizon to close N-free — the terminal_not
+        # match surface), so proper-prefix parked shapes are untouched
+        # and the no_skip timeout set needs no handling at all. Under a
+        # skip strategy the pending branch is a PRUNABLE partial whose
+        # completion tick is its horizon close (NFA.java
+        # processMatchesAccordingToSkipStrategy prunes partialMatches,
+        # which includes pendings) — match-side pruning the emission
+        # replay does not model yet, so that combination stays loud.
         for idx, s in enumerate(raw):
-            if s.group is not None:
-                raise NotImplementedError(
-                    f"timeout side output: stage {s.name!r} — group "
-                    "patterns are not supported yet"
-                )
-            if s.kind == "not_followed_by" and idx == len(raw) - 1:
+            if (
+                s.kind == "not_followed_by"
+                and idx == len(raw) - 1
+                and skip_mode != "no_skip"
+            ):
                 raise NotImplementedError(
                     f"timeout side output: terminal notFollowedBy "
-                    f"{s.name!r} — the post-prefix NOT horizon "
-                    "interacts with every parked shape (use the "
-                    "terminal_not match surface)"
+                    f"{s.name!r} under an AfterMatchSkipStrategy — the "
+                    "pending full-pattern branch is itself a prunable "
+                    "partial completing at horizon close; run no_skip "
+                    "or drop the terminal NOT"
                 )
-        # fold attributes (negated_gap / fold_not / lead_not) are compile
-        # artifacts — materialize them before reading (compile resets
-        # then re-derives them from the NOT stages)
-        pattern.compile(
-            emit="first",
-            lookahead_window=W.partitionBy(*self._keys).orderBy(*self._order),
-        )
         # positive-stage view: NOT stages fold onto their neighbours
         # (negated_gap / fold_not / lead_not) and stay inside prefix
         # slices via raw_pos
@@ -1478,13 +1547,13 @@ class PatternStream:
                     "with an optional/zero-able successor — the "
                     "adjacency of a migrated copy's path is not traced"
                 )
-            if s.negated_gap is not None and s.kind == "followed_by_any":
-                raise NotImplementedError(
-                    f"timeout side output: stage {s.name!r} — "
-                    "notFollowedBy before a followedByAny stage is not "
-                    "traced yet (SKIP_TILL_ANY ignore vs the NOT stop "
-                    "edge)"
-                )
+            # notFollowedBy before a followedByAny stage (round 12): the
+            # NOT compiles stop transitions on the SKIP_TILL_ANY waiting
+            # state like on any other — the engine's match surface pins
+            # the kill scope via NotPatternITCase.testNotFollowedBy ('a
+            # ^b c(any) d' over 'a c1 b c2 d': the waiter's gap crossing
+            # b dies, the already-taken c1 child survives) — so the
+            # existing negated_gap 'gap' kill in _kills_for covers it.
 
         def _prefix_raw(k: int) -> list:
             """Raw-stage prefix ending just before positive stage k,

@@ -1834,3 +1834,257 @@ def test_timeout_greedy_streaming_equals_batch(spark, tmp_dir):
              (1, 5, "a"), (1, 30, "x")]
     df2 = spark.createDataFrame(rows2, "k int, ts int, name string")
     assert _stream_timeouts(spark, tmp_dir, df2, p2, "greedy_sb2") == set()
+
+
+# ---------------------------------------------------------------------
+# Timed-out partials with GROUP-pattern prefixes (round 12). Reference:
+# NFACompiler converts a non-looping GroupPattern's inner pattern IN
+# PLACE between its neighbours (the same state graph a flat pattern
+# produces), with the outer link's contiguity on the first inner leaf.
+# The engine flattens such groups for the timeout route, so branches
+# park AT the group's head leaf and INSIDE the group at each inner
+# waiting position; quantified/optional/until groups stay loud.
+# ---------------------------------------------------------------------
+
+
+def _grp_pat(within=10):
+    grp = Pattern.begin("B").where(_n("b")).followed_by("C").where(_n("c"))
+    return (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp)
+        .followed_by("D").where(_n("d")).within(within)
+    )
+
+
+def test_timeout_group_prefix_parks_at_head_and_inside(spark):
+    """A fb (B fb C) fb D within 10: the {a} branch parks at the
+    group's HEAD leaf (consumed by b), {a,b} parks INSIDE the group at
+    C's waiting position, {a,b,c} parks past the group at D."""
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "x"), (1, 30, "n")], _grp_pat(), "no_skip"
+    ) == {(frozenset({1}), 11.0)}
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "x"), (1, 30, "n")],
+        _grp_pat(), "no_skip",
+    ) == {(frozenset({1, 2}), 11.0)}
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 30, "n")],
+        _grp_pat(), "no_skip",
+    ) == {(frozenset({1, 2, 3}), 11.0)}
+
+
+def test_timeout_group_not_before_group_kills_head_waiter(spark):
+    """A ^N fb (B fb C) within 10: the NOT gap guards the flattened
+    group's head waiter — an N event in the gap kills {a} silently."""
+    grp = Pattern.begin("B").where(_n("b")).followed_by("C").where(_n("c"))
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .not_followed_by("N").where(F.col("name") == "nn")
+        .followed_by(grp).within(10)
+    )
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "nn"), (1, 30, "x")], pat, "no_skip"
+    ) == set()
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "y"), (1, 30, "x")], pat, "no_skip"
+    ) == {(frozenset({1}), 11.0)}
+
+
+def test_timeout_group_with_inner_loop(spark):
+    """A fb (B+ fb C) within 10: the inner loop's mid-collection park
+    lives inside the group — {a,b} waits with a migrated copy at C."""
+    grp = (
+        Pattern.begin("B").where(_n("b")).one_or_more()
+        .followed_by("C").where(_n("c"))
+    )
+    pat = Pattern.begin("A").where(_n("a")).followed_by(grp).within(10)
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 30, "x")], pat, "no_skip"
+    ) == {(frozenset({1, 2}), 11.0)}
+
+
+def test_timeout_group_skip_strategy_prunes_inner_park(spark):
+    """Group prefixes x AfterMatchSkip: the match {1,2,3,6} emits at
+    d@6 and its pruning id covers the second start's inside-group park
+    {4,5} (horizon 14 > 6) — pruned under past_last_row, reported
+    under no_skip."""
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "a"),
+            (1, 5, "b"), (1, 6, "d"), (1, 30, "x")]
+    assert _skip_touts(spark, rows, _grp_pat(), "no_skip") == {
+        (frozenset({4, 5}), 14.0)
+    }
+    assert _skip_touts(spark, rows, _grp_pat(), "past_last_row") == set()
+
+
+def test_timeout_group_residual_guards(spark):
+    """Quantified/optional groups and until() on a group stay loud."""
+    df = spark.createDataFrame([(1, 1, "a"), (1, 30, "x")],
+                               "k int, ts int, name string")
+    grp = Pattern.begin("B").where(_n("b")).followed_by("C").where(_n("c"))
+    quant = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp).times(2).within(10)
+    )
+    with pytest.raises(NotImplementedError, match="group"):
+        CEP.pattern(df, quant, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+    grp2 = Pattern.begin("B").where(_n("b")).followed_by("C").where(_n("c"))
+    until = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp2).one_or_more().until(_n("u")).within(10)
+    )
+    with pytest.raises(NotImplementedError, match="group"):
+        CEP.pattern(df, until, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+
+
+def test_timeout_group_streaming_equals_batch(spark, tmp_dir):
+    """Flattened group prefixes ride the streaming plan dicts: chunked
+    replay == the batch matrices (head park, inside-group park, past-
+    group park)."""
+    def c(name):
+        return lambda pdf, _n=name: pdf["name"] == _n
+
+    grp = Pattern.begin("B").where(c("b")).followed_by("C").where(c("c"))
+    pat = (
+        Pattern.begin("A").where(c("a"))
+        .followed_by(grp)
+        .followed_by("D").where(c("d")).within(10)
+    )
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "x"), (1, 30, "n")],
+        "k int, ts int, name string",
+    )
+    assert _stream_timeouts(spark, tmp_dir, df, pat, "grp_sb1") == {
+        (frozenset({1, 2}), 11.0)
+    }
+    df2 = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 30, "n")],
+        "k int, ts int, name string",
+    )
+    assert _stream_timeouts(spark, tmp_dir, df2, pat, "grp_sb2") == {
+        (frozenset({1, 2, 3}), 11.0)
+    }
+
+
+# ---------------------------------------------------------------------
+# Terminal notFollowedBy + NOT-before-followedByAny timeouts (round 12)
+# ---------------------------------------------------------------------
+
+
+def test_timeout_terminal_not_followed_by_no_skip(spark):
+    """A fb B ^N within 10 under no_skip: the terminal NOT's stop edges
+    attach to the post-prefix PENDING state only — the {a} B-waiter
+    times out normally; a consumed waiter leaves nothing (the pending
+    {a,b} branch either matches at horizon close or is killed by N,
+    never a timeout)."""
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by("B").where(_n("b"))
+        .not_followed_by("N").where(F.col("name") == "nn")
+        .within(10)
+    )
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "x"), (1, 30, "w")], pat, "no_skip"
+    ) == {(frozenset({1}), 11.0)}
+    # consumed waiter + N-killed pending: no timeout, no match
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "nn"), (1, 30, "w")]
+    assert _skip_touts(spark, rows, pat, "no_skip") == set()
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+    assert CEP.pattern(df, pat, "k", "ts", after_match="no_skip").flat_select().count() == 0
+    # clean pending -> MATCH at horizon close, still no timeout
+    rows2 = [(1, 1, "a"), (1, 2, "b"), (1, 30, "w")]
+    df2 = spark.createDataFrame(rows2, "k int, ts int, name string")
+    ps2 = CEP.pattern(df2, pat, "k", "ts", after_match="no_skip")
+    assert _collect_timeouts(ps2.timed_out_partial_matches()) == set()
+    assert {r.ts for r in ps2.flat_select().collect()} == {1, 2}
+
+
+def test_timeout_terminal_not_scope_excludes_inner_waiters(spark):
+    """A fb B fb C ^N within 10: the terminal NOT guards only the
+    post-C region — an N inside the {a,b} C-waiter's gap does NOT kill
+    it (it still times out at 11)."""
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by("B").where(_n("b"))
+        .followed_by("C").where(_n("c"))
+        .not_followed_by("N").where(F.col("name") == "nn")
+        .within(10)
+    )
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "nn"), (1, 30, "w")],
+        pat, "no_skip",
+    ) == {(frozenset({1, 2}), 11.0)}
+
+
+def test_timeout_terminal_not_skip_guard(spark):
+    """Terminal notFollowedBy under a skip strategy stays loud: the
+    pending branch is a prunable partial completing at horizon close."""
+    df = spark.createDataFrame([(1, 1, "a"), (1, 30, "x")],
+                               "k int, ts int, name string")
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by("B").where(_n("b"))
+        .not_followed_by("N").where(F.col("name") == "nn")
+        .within(10)
+    )
+    with pytest.raises(NotImplementedError, match="pending"):
+        CEP.pattern(df, pat, "k", "ts", after_match="past_last_row").timed_out_partial_matches()
+
+
+def test_timeout_not_before_followed_by_any(spark):
+    """A ^N fbAny B fb C within 10: the NOT stop edge kills the
+    PERSISTING fbAny waiter on an N in its gap (NotPatternITCase
+    testNotFollowedBy scope), while an already-taken child parked at C
+    is out of the NOT's scope and still times out."""
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .not_followed_by("N").where(F.col("name") == "nn")
+        .followed_by_any("B").where(_n("b"))
+        .followed_by("C").where(_n("c")).within(10)
+    )
+    # quiet gap: the fbAny waiter {1} persists AND its child {1,2}
+    # parks at C — both time out
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 30, "w")], pat, "no_skip"
+    ) == {(frozenset({1}), 11.0), (frozenset({1, 2}), 11.0)}
+    # N after the take: kills the waiter {1}; the child {1,2} survives
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "nn"), (1, 30, "w")],
+        pat, "no_skip",
+    ) == {(frozenset({1, 2}), 11.0)}
+    # N before any take: the waiter dies before b; no branch exists
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "nn"), (1, 3, "b"), (1, 30, "w")],
+        pat, "no_skip",
+    ) == set()
+
+
+def test_timeout_terminal_not_and_fbany_not_streaming(spark, tmp_dir):
+    """Both round-12 NOT lifts on the streaming route == batch."""
+    def c(name):
+        return lambda pdf, _n=name: pdf["name"] == _n
+
+    tpat = (
+        Pattern.begin("A").where(c("a"))
+        .followed_by("B").where(c("b"))
+        .not_followed_by("N").where(c("nn"))
+        .within(10)
+    )
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "x"), (1, 30, "w")], "k int, ts int, name string"
+    )
+    assert _stream_timeouts(spark, tmp_dir, df, tpat, "tnot_sb") == {
+        (frozenset({1}), 11.0)
+    }
+    fpat = (
+        Pattern.begin("A").where(c("a"))
+        .not_followed_by("N").where(c("nn"))
+        .followed_by_any("B").where(c("b"))
+        .followed_by("C").where(c("c")).within(10)
+    )
+    df2 = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "nn"), (1, 30, "w")],
+        "k int, ts int, name string",
+    )
+    assert _stream_timeouts(spark, tmp_dir, df2, fpat, "fbany_not_sb") == {
+        (frozenset({1, 2}), 11.0)
+    }
