@@ -1312,13 +1312,12 @@ class PatternStream:
         output join) plus one full-pattern match pass and one keyed
         shuffle of (key, rid, tick) for the emission replay.
 
-        Scope (loud otherwise): every skip strategy on the batch
-        route; streaming additionally runs ``past_last_row`` and
-        ``to_next_row`` (the sequential matcher advances incrementally
-        from a keyed cursor and the emission replay lives in the same
-        state — ``streaming_timed_out_partials``), while SKIP TO
-        FIRST/LAST stay batch-only (resuming AT the mapped element
-        needs overlapping scans).
+        Scope: every skip strategy on BOTH routes (round 12 lifted the
+        streaming SKIP TO FIRST/LAST guard: the incremental sequential
+        matcher resumes AT the mapped element via ``_resume_pos``; the
+        resume point is always >= the match start >= frontier − within,
+        so the overlapping rescan stays inside the horizon-bounded
+        keyed buffer, and SkipToElement pruning uses STRICT <).
 
         STOP-edge kills (round 11): ``until()`` on a non-greedy loop
         and mid-pattern ``notFollowedBy`` are supported as KILL SCANS —
@@ -1445,13 +1444,10 @@ class PatternStream:
         skip_mode, skip_sym = _parse_after_match_cep(
             self._after, [s.name for s in raw]
         )
-        if self._df.isStreaming and skip_mode in ("to_first", "to_last"):
-            raise NotImplementedError(
-                "streaming timeout side output supports no_skip, "
-                "past_last_row and to_next_row; SKIP TO FIRST/LAST "
-                "resumes AT the mapped element (overlapping scans) — "
-                "run the batch route for those"
-            )
+        # SKIP TO FIRST/LAST streams too (round 12): the incremental
+        # matcher resumes AT the mapped element via _resume_pos — the
+        # resume point is >= the match start >= frontier − within, so
+        # the overlapping rescan never leaves the horizon-bounded buffer
         # terminal notFollowedBy (round 12): its stop edges attach to
         # the POST-PREFIX pending state only (the full-pattern branch
         # waiting for its horizon to close N-free — the terminal_not
@@ -1904,6 +1900,7 @@ class PatternStream:
                 )
                 skip_spec = dict(
                     mode=skip_mode,
+                    sym=skip_sym,
                     pat=full_pat,
                     define=_build_pandas_define(pattern),
                     user_syms=list(full_usr),

@@ -1906,12 +1906,11 @@ def streaming_timed_out_partials(
 
     skip_compiled = None
     if skip is not None:
-        if skip["mode"] not in ("past_last_row", "to_next_row"):
+        if skip["mode"] not in (
+            "past_last_row", "to_next_row", "to_first", "to_last"
+        ):
             raise NotImplementedError(
-                f"streaming timeout skip mode {skip['mode']!r}: only "
-                "past_last_row / to_next_row (SkipToElement resumes AT "
-                "the mapped element — overlapping scans need the batch "
-                "route)"
+                f"streaming timeout skip mode {skip['mode']!r} is unknown"
             )
         f_ast = parse_pattern_ast(skip["pat"])
         f_syms = ast_symbols(f_ast)
@@ -1924,6 +1923,7 @@ def streaming_timed_out_partials(
             _ast_matcher(f_syms, f_ast),
             frozenset(j for j, s in enumerate(f_syms) if s not in f_user),
             skip["mode"],
+            skip.get("sym"),
         )
 
     sample = events.select(*input_cols)
@@ -2145,7 +2145,17 @@ def streaming_timed_out_partials(
         # too (its deferral never crosses a later start's horizon).
         pruned_starts: set = set()
         if skip_compiled is not None and n and len(dec):
-            f_syms, match_at, f_filler, mode = skip_compiled
+            f_syms, match_at, f_filler, mode, skip_sym = skip_compiled
+            # SkipToElementStrategy prunes with STRICT < (vs <= for the
+            # whole-match strategies) and resumes AT the mapped element
+            # — the resume point is >= the match start >= frontier −
+            # within, so the overlapping rescan stays inside the
+            # horizon-bounded buffer
+            strict = mode in ("to_first", "to_last")
+
+            def _covers(s_rid, p):
+                return s_rid < p if strict else s_rid <= p
+
             fbools = [
                 np.asarray(skip["define"][s](pdf).to_numpy(), dtype=bool)
                 for s in f_syms
@@ -2166,13 +2176,19 @@ def streaming_timed_out_partials(
                     m = None  # filler-anchored: re-found at its real row
                 if m:
                     e_pos = m[-1][0]
-                    prid = rid_base + (
-                        e_pos if mode == "past_last_row" else m[0][0]
-                    )
+                    if mode == "past_last_row":
+                        prid, nxt = rid_base + e_pos, e_pos + 1
+                    elif mode == "to_next_row":
+                        prid, nxt = rid_base + m[0][0], i + 1
+                    else:  # to_first / to_last SYM: resume AT the
+                        # mapped element (raises the reference's
+                        # infinite-loop / no-mapped-rows contract)
+                        nxt = _resume_pos(m, mode, skip_sym, f_syms)
+                        prid = rid_base + nxt
                     matches_new.append(
                         (rid_base + m[0][0], float(ticks[e_pos]), prid)
                     )
-                    i = e_pos + 1 if mode == "past_last_row" else i + 1
+                    i = nxt
                 else:
                     i += 1
             aux["cursor"] = rid_base + i
@@ -2201,7 +2217,7 @@ def streaming_timed_out_partials(
                     _emit(*matches_new[mi])
                     mi += 1
                 if ii in surv_starts:
-                    if any(e < h and s_rid <= p for e, p in emissions):
+                    if any(e < h and _covers(s_rid, p) for e, p in emissions):
                         pruned_starts.add(ii)
                     else:
                         gates.append((s_rid, h))
@@ -2210,7 +2226,7 @@ def streaming_timed_out_partials(
                     # until its kill event; pruned-before-death entries
                     # are subsumed by prev_emit monotonicity
                     d = dead_gates[ii]
-                    if not any(e < d and s_rid <= p for e, p in emissions):
+                    if not any(e < d and _covers(s_rid, p) for e, p in emissions):
                         gates.append((s_rid, d))
             while mi < len(matches_new):  # matches past the last start
                 _emit(*matches_new[mi])

@@ -950,15 +950,13 @@ def test_timeout_skip_streaming_equals_batch(spark, tmp_dir):
     ) == {(frozenset({5}), 15.0)}
 
 
-def test_timeout_skip_streaming_loop_and_guard(spark, tmp_dir):
+def test_timeout_skip_streaming_loop_and_to_element(spark, tmp_dir):
     """Mid-loop pruning on the streaming route (a+ fb b under
-    skipPastLastEvent: only the post-match start {4} times out) and the
-    SKIP TO FIRST/LAST streaming guard (resuming AT the mapped element
-    needs overlapping scans — batch route only, loud)."""
-    import os
-
-    from reshape_on_flink_spark.streaming.source import chunked_replay
-
+    skipPastLastEvent: only the post-match start {4} times out), and
+    SKIP TO FIRST/LAST streaming == batch (round 12: the incremental
+    matcher resumes AT the mapped element; strict-< pruning keeps the
+    same-rid partial alive — the test_timeout_skip_to_element_is_strict
+    batch matrix)."""
     def c(name):
         return lambda pdf, _n=name: pdf["name"] == _n
 
@@ -973,12 +971,19 @@ def test_timeout_skip_streaming_loop_and_guard(spark, tmp_dir):
         spark, tmp_dir, df, loop, "sk_loop", after="past_last_row"
     ) == {(frozenset({4}), 14.0)}
 
-    stream = chunked_replay(
-        spark, df, os.path.join(tmp_dir, "skipguard"), n_chunks=1, order_col="ts"
+    pat = (
+        Pattern.begin("A").where(lambda pdf: pdf["name"].isin(["a", "ab"]))
+        .followed_by("B").where(lambda pdf: pdf["name"].isin(["b", "ab"]))
+        .within(5)
     )
-    ps = CEP.pattern(stream, _pd_fba_within10(), "k", "ts", after_match="to_first B")
-    with pytest.raises(NotImplementedError, match="batch route"):
-        ps.timed_out_partial_matches()
+    rows2 = [(1, 1, "a"), (1, 2, "x"), (1, 3, "ab"), (1, 10, "x")]
+    df2 = spark.createDataFrame(rows2, "k int, ts int, name string")
+    assert _stream_timeouts(
+        spark, tmp_dir, df2, pat, "sk_tolast", after="to_last B"
+    ) == {(frozenset({3}), 8.0)}
+    assert _stream_timeouts(
+        spark, tmp_dir, df2, pat, "sk_tofirst", after="to_first B"
+    ) == {(frozenset({3}), 8.0)}
 
 
 # ---------------------------------------------------------------------
