@@ -91,6 +91,10 @@ HEADLINE = [
     "q_changelog_session_agg",
     "q_retractable_topn",
     "q_updatable_topn",
+    # round-12: timeouts under greedy() — the sink-guard kill scans add
+    # one window-scan column per greedy stage to the same multi-pass
+    # timeout shape (no new shuffles beyond the q_cep_timeout model)
+    "q_cep_timeout_greedy",
 ]
 
 

@@ -34,96 +34,74 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (merged() appends them in module order and they keep their prior-round
 # rows as evidence). merged() raises on unknown names.
 GATE_PRIORITY: tuple[str, ...] = (
-    # round-8 rotation: the new round-8 query first, then the 15
-    # queries whose only driver row is round 2 (stalest evidence),
-    # then the oldest round-3 entries to fill the 50-slot gate cap.
-    # r8 gate + r7/r5/r4 rows then cover the inventory with nothing
-    # older than round 3; the next-stalest r3 entries follow (inert
-    # beyond slot 50, queued for the round-9 rotation).
-    # round-11 rotation: the new round-11 query first (no driver row yet)
-    "q_cep_timeout_skip",
-    # round-10 rotation: the new round-10 queries first (no driver row yet)
-    "q_retractable_topn",
-    "q_updatable_topn",
-    "q_changelog_window_agg",
-    "q_changelog_session_agg",
-    "q_cep_timeout",
-    "q_changelog_join_transitions",
-    # round-9 rotation: the new round-9 queries first (no driver row yet)
-    "q_cep_iterative_sum",
-    "q_retract_transitions",
-    "q_cep_relaxed_loop",
-    "q_cep_followed_by_any",
-    "q_in_subquery",
-    "q_scalar_subquery",
-    "q_correlated_subquery",
-    "q_explode_tokens",
-    "q_posexplode",
-    "q_string_funcs",
-    "q_regex_funcs",
-    "q_math_funcs",
-    "q_datetime_funcs",
-    "q_case_null_funcs",
-    "q_hash_funcs",
-    "q_array_map_funcs",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q9_product_type_profit",
-    "q_join_theta",
-    "q_grouping_sets",
-    "q_listagg",
-    "q_percentiles",
-    "q_bit_bool_agg",
-    "q_limit_offset",
-    "q_values_literal",
-    "q_distinct_split_agg",
-    "q_asof_operator",
-    "q_range_join_operator",
-    "q_changelog_normalize",
-    "q_ds_channel_rollup",
-    "q_ds_yoy_ratio",
-    "q_ds_moving_avg_deviation",
-    "q_ds_having_count_join_back",
-    "q_tumble_window",
-    "q_hop_window",
-    "q_session_window",
-    "q_cumulate_window",
-    "q_interval_join",
-    "q_asof_join",
-    "q_stream_static_join",
-    "q_window_topn",
-    "q_json_extract",
-    "q_flink_sql_dialect",
-    "q_match_recognize",
-    "q_match_recognize_sql",
-    "q_match_recognize_nested",
-    "q_window_join",
-    "q_session_window_dynamic_gap",
-    "q_dedup_exact",
+    # round-12 rotation (verdict r11 #8: cycle the oldest-unchecked
+    # queries to the front). Recomputed from the committed
+    # CORRECTNESS_r*.json files: the new round-12 gate first (no
+    # driver row yet), then every query whose latest driver row is
+    # round 3 (the stalest evidence in the ledger), then round-4
+    # rows to fill the 50-slot cap (+10 queued spares beyond it).
+    "q_cep_timeout_greedy",
+    # latest driver evidence: round 3
+    "q_bpe_token_stats",
+    "q_decontaminate",
+    "q_dedup_clusters",
+    "q_fingerprint",
+    "q_lang_id",
+    "q_llm_pipeline",
     "q_minhash_near_dups",
     "q_ngram_jaccard",
+    "q_pii_scrub",
+    "q_repetition_filter",
     "q_simhash",
-    # --- slots 51+ (next rotation) ---
-    "q_text_quality",
-    "q_lang_id",
-    "q_fingerprint",
-    "q_similarity_topk",
     "q_similarity_ann_lsh",
-    "q_bpe_token_stats",
     "q_similarity_ivf",
     "q_similarity_ivf_trained",
-    "q_dedup_clusters",
-    "q_llm_pipeline",
-    "q_repetition_filter",
-    "q_decontaminate",
-    "q_pii_scrub",
+    "q_similarity_topk",
+    "q_text_quality",
+    # latest driver evidence: round 4
+    "q10_returned_items",
+    "q11_important_supply",
+    "q12_priority_class",
+    "q13_order_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_filter",
     "q1_pricing_summary",
+    "q20_supply_candidates",
+    "q21_waiting_suppliers",
+    "q22_idle_customers",
+    "q2_min_cost_supplier",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
-    "q10_returned_items",
+    "q8_market_share",
+    "q_dialect_catalog_roundtrip",
+    "q_distinct_rows",
+    "q_domain_mix_sample",
+    "q_ds_antijoin_returns",
+    "q_ds_bucket_case",
+    "q_ds_channel_intersect",
+    "q_ds_channel_tolerance",
+    "q_ds_cumulative_cross",
+    "q_ds_exists_demographics",
+    "q_ds_frequent_item_best_customer",
+    "q_ds_pivot_monthly",
+    "q_ds_returns_net",
+    "q_ds_rollup_rank",
+    "q_ds_scalar_count_grid",
+    "q_ds_ship_lag_matrix",
+    "q_ds_unpivot_monthly",
+    "q_ds_wide_star_yoy",
+    "q_ds_yoy_customer_filter",
+    "q_embedding_near_dup",
+    "q_embedding_quantize",
+    "q_filter_clause_agg",
+    "q_join_full_outer",
     "q_join_left_outer",
     "q_join_right_outer",
-    "q_join_full_outer",
+    "q_join_semi",
 )
 
 

@@ -1670,6 +1670,88 @@ def q_cep_timeout_skip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CEP timed-out partials under greedy() (round 12). Pattern A(signup)
+# -fb-> B(error)+.greedy() -fb-> C(purchase) WITHIN 2 days, no_skip.
+# Reference: NFACompiler.updateWithGreedyCondition ANDs NOT(B-take)
+# onto every transition of the loop's PROCEED sink, so a mid-loop
+# migrated copy parked at C dies on the next error — only the MAXIMAL
+# forced-take branch per start survives to its horizon. Closed form:
+# one timeout per witnessed start — the lone {A} B-waiter when the
+# window holds no error, else {A + ALL errors in (a, a+delta)}
+# (relaxed inner ignore NOT(take) forces the error-prefix chain; the
+# greedy kill removes every shorter chain's C-copy). Purchases never
+# kill a parked branch (relaxed ignore persists past PROCEED siblings).
+# Scale: the same one-keyed-shuffle branch passes as q_cep_timeout.
+# ---------------------------------------------------------------------------
+@query(
+    "q_cep_timeout_greedy",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000
+               + ROW_NUMBER() OVER w0 AS ord
+      FROM events
+      WINDOW w0 AS (PARTITION BY user_id
+                    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+    ),
+    pm AS (SELECT user_id, MAX(ord) AS pmax FROM seq GROUP BY user_id),
+    a_rows AS (
+      SELECT s.*, p.pmax FROM seq s JOIN pm p USING (user_id)
+      WHERE s.event_type = 'signup' AND p.pmax >= s.ord + {_CEP_SKIP_DELTA}
+    ),
+    eb AS (
+      SELECT a.user_id, a.event_id AS a_id, a.ord AS a_ord,
+             COUNT(b.ord) AS bc, ARG_MAX(b.event_id, b.ord) AS bl
+      FROM a_rows a
+      LEFT JOIN seq b ON b.user_id = a.user_id AND b.event_type = 'error'
+                     AND b.ord > a.ord AND b.ord < a.ord + {_CEP_SKIP_DELTA}
+      GROUP BY a.user_id, a.event_id, a.ord
+    )
+    SELECT user_id, a_id,
+           CASE WHEN bc = 0 THEN NULL ELSE bl END AS b_last,
+           CAST(1 + bc AS BIGINT) AS n_rows,
+           CAST(a_ord + {_CEP_SKIP_DELTA} AS BIGINT) AS timeout_ord
+    FROM eb
+    ORDER BY user_id, a_id
+    """,
+)
+def q_cep_timeout_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w0 = W.partitionBy("user_id").orderBy("sec", "event_id")
+    src = ev.select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("long").alias("sec")
+    ).withColumn(
+        "ord", F.col("sec") * 100000 + F.row_number().over(w0)
+    )
+    pat = (
+        Pattern.begin("A").where(F.col("event_type") == "signup")
+        .followed_by("B").where(F.col("event_type") == "error")
+        .one_or_more().greedy()
+        .followed_by("C").where(F.col("event_type") == "purchase")
+        .within(_CEP_SKIP_DELTA)
+    )
+    ps = CEP.pattern(src, pat, "user_id", "ord", after_match="no_skip")
+    t = ps.timed_out_partial_matches()
+    return (
+        t.groupBy("user_id", "timeout_id")
+        .agg(
+            F.min(F.when(F.col("matched_symbol") == "A", F.col("event_id"))).alias("a_id"),
+            F.max_by(
+                F.when(F.col("matched_symbol") == "B", F.col("event_id")), F.col("ord")
+            ).alias("b_last"),
+            F.count("*").alias("n_rows"),
+            F.min("timeout_ts").cast("bigint").alias("timeout_ord"),
+        )
+        .select("user_id", "a_id", "b_last", "n_rows", "timeout_ord")
+        .orderBy("user_id", "a_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Changelog-consuming JOIN (round 10) — StreamingJoinOperator.java:123-198
 # under the hash gate. The LEFT input is the per-user retract-agg
 # HISTORY (closed-form: the q_retract_transitions recipe — +I then
