@@ -1366,7 +1366,18 @@ class PatternStream:
         ``notFollowedBy`` under no_skip needs no handling at all: its
         stop edges attach to the post-prefix PENDING state only.
 
-        Remaining loud guards: quantified/optional/until groups,
+        Quantified/optional groups (round 12, late): parked shapes
+        enumerate per iteration topology — inside the first iteration
+        (entry-linked inner chain), inside iteration j+1 (group
+        quantified 1..mx-1 + relaxed-linked inner chain), and BETWEEN
+        iterations (consume on the group's entry condition — the r8
+        group-loop filler guard = the NFA ignore edge; PROCEED copies
+        gated by entry-leaf take count >= the loop minimum); a maxed
+        bounded group parks at the successor via the head-park plans.
+
+        Remaining loud guards: group loops with non-relaxed iteration
+        contiguity, non-plain inner leaves (nested quantifiers/
+        optionals/NOTs/untils) and until() on a group,
         terminal ``notFollowedBy`` under a skip strategy (the pending
         branch is a prunable partial completing at horizon close),
         not_next folds onto quantified/optional successors, not_next
@@ -1415,11 +1426,11 @@ class PatternStream:
                     out.append(s)
                     continue
                 if s.quant is not None or s.opt:
-                    raise NotImplementedError(
-                        f"timeout side output: quantified/optional "
-                        f"group {s.name!r} — mid-iteration parked "
-                        "shapes of a group loop are not traced yet"
-                    )
+                    # quantified/optional groups stay as group stages —
+                    # the loop-plan builder below enumerates their
+                    # mid-iteration parked shapes (round 12)
+                    out.append(s)
+                    continue
                 if s.until_cond is not None or s.until_pandas is not None:
                     raise NotImplementedError(
                         f"timeout side output: until() on group "
@@ -1584,33 +1595,42 @@ class PatternStream:
 
         n = len(stages)
         streaming = self._df.isStreaming
-        scan_idx: set[int] = set()
+        # survival-scan registry: key -> (catalyst cond | None = scan any
+        # event, pandas cond, iterative flag source name). String keys so
+        # inner-group waiting positions can register scans too (round 12)
+        scan_specs: dict[str, tuple] = {}
 
-        def _need_scan(i: int, what: str) -> int:
-            """Register stage i for a take-condition survival scan —
-            a Catalyst lookahead column on the batch route, a pandas
-            predicate on the streaming route."""
-            stage = stages[i]
-            if stage.iter_cond is not None:
+        def _need_scan_cond(key, cond, pcond, iter_cond, what, name) -> str:
+            """Register a take-condition survival scan — a Catalyst
+            lookahead column on the batch route, a pandas predicate on
+            the streaming route."""
+            if iter_cond is not None:
                 raise NotImplementedError(
-                    f"timeout side output: {what} {stage.name!r} has an "
+                    f"timeout side output: {what} {name!r} has an "
                     "iterative condition — its take-ability is "
                     "branch-dependent"
                 )
             if streaming:
-                if stage.pandas_cond is None:
+                if pcond is None:
                     raise ValueError(
                         f"streaming timeout side output needs a "
                         f"vectorized pandas predicate on {what} "
-                        f"{stage.name!r}"
+                        f"{name!r}"
                     )
-            elif stage.cond is None and stage.pandas_cond is not None:
+            elif cond is None and pcond is not None:
                 raise ValueError(
                     f"timeout side output needs a Catalyst "
-                    f"condition on {what} {stage.name!r}"
+                    f"condition on {what} {name!r}"
                 )
-            scan_idx.add(i)
-            return i
+            scan_specs[key] = (cond, pcond)
+            return key
+
+        def _need_scan(i: int, what: str) -> str:
+            stage = stages[i]
+            return _need_scan_cond(
+                f"s{i}", stage.cond, stage.pandas_cond, stage.iter_cond,
+                what, stage.name,
+            )
 
         def _has_cond(s) -> bool:
             return s.cond is not None or s.pandas_cond is not None
@@ -1720,6 +1740,18 @@ class PatternStream:
                     continue  # no ignore edge -> no migrated copy
                 if st.kind == "followed_by_any":
                     out.append(("fba", None, _kills_for(t, True)))
+                elif st.group is not None:
+                    # copy parked at a group target consumes on the
+                    # group's entry condition (first positive leaf)
+                    ec, ep, ei, en = _first_positive_cond(st.group._stages)
+                    out.append((
+                        "fb",
+                        _need_scan_cond(
+                            f"ge{t}", ec, ep, ei,
+                            "entry condition of group", st.name,
+                        ),
+                        _kills_for(t, True),
+                    ))
                 elif _has_cond(st):
                     out.append((
                         "fb",
@@ -1787,7 +1819,21 @@ class PatternStream:
                 if prev.quant is not None and prev.quant[2] is True
                 else ()
             )
-            if waiting.kind == "followed_by" and _has_cond(waiting):
+            if waiting.group is not None and waiting.kind == "followed_by":
+                # waiting AT a (quantified) group's head: the fb waiter
+                # is consumed by the group's ENTRY condition — the first
+                # positive leaf's take (the same guard the group-loop
+                # relaxed fillers use, r8)
+                ec, ep, ei, en = _first_positive_cond(waiting.group._stages)
+                primary = (
+                    "consume",
+                    _need_scan_cond(
+                        f"ge{k}", ec, ep, ei,
+                        "entry condition of group", waiting.name,
+                    ),
+                    _kills_for(k, True) + gk,
+                )
+            elif waiting.kind == "followed_by" and _has_cond(waiting):
                 primary = (
                     "consume", _need_scan(k, "waiting stage"),
                     _kills_for(k, True) + gk,
@@ -1808,6 +1854,8 @@ class PatternStream:
         # migrated copies at the successors once the loop met its
         # minimum (below it the inner states have no PROCEED edge) ------
         for p, s in enumerate(stages):
+            if s.group is not None:
+                continue  # quantified groups: dedicated builder below
             if s.quant is None or (s.quant[1] is not None and s.quant[1] < 2):
                 continue
             mx = None if s.quant[1] is None else s.quant[1] - 1
@@ -1840,6 +1888,134 @@ class PatternStream:
             plans.append(
                 ([*raw[: raw_pos[p]], mid], f"L{p}", primary, copies, gate)
             )
+        # -- branches parked inside/between iterations of a QUANTIFIED
+        # GROUP (round 12). NFACompiler compiles a looping GroupPattern
+        # into its inner states repeated, with the loop's relaxed
+        # iteration link guarded by the group's ENTRY condition (the r8
+        # group-loop filler rule = the NFA ignore edge). Parked shapes:
+        # (1a) inside the FIRST iteration at inner position i — prefix =
+        # outer prefix + the entry-linked inner chain up to i; (1b)
+        # inside iteration j+1 >= 2 — prefix = outer prefix + the group
+        # quantified (1..mx-1) + a relaxed-linked inner chain up to i;
+        # (2) BETWEEN iterations (j >= 1 full, waiting for the next
+        # entry event — relaxed forced-take, consume on the entry
+        # condition) with migrated copies at the successors once the
+        # loop minimum is met (the gate counts entry-leaf takes =
+        # iterations). Supported shape: plain positive inner leaves
+        # (no nested quantifiers/optionals/NOTs/untils), relaxed
+        # iteration contiguity; everything else raises loudly. ---------
+        for p, s in enumerate(stages):
+            if s.group is None or (s.quant is None and not s.opt):
+                continue
+            inner = _flatten(list(s.group._stages))
+            for st in inner:
+                if (
+                    st.kind not in ("begin", "next", "followed_by",
+                                    "followed_by_any")
+                    or st.group is not None
+                    or st.quant is not None
+                    or st.opt
+                    or st.until_cond is not None
+                    or st.until_pandas is not None
+                    or st.iter_cond is not None
+                    or st.negated_gap is not None
+                    or st.fold_not
+                    or st.lead_not
+                ):
+                    raise NotImplementedError(
+                        f"timeout side output: quantified group "
+                        f"{s.name!r} — inner stage {st.name!r} is not a "
+                        "plain positive leaf (nested quantifiers/"
+                        "optionals/NOTs/untils inside a group loop are "
+                        "untraced)"
+                    )
+            if s.until_cond is not None or s.until_pandas is not None:
+                raise NotImplementedError(
+                    f"timeout side output: until() on quantified group "
+                    f"{s.name!r} — the stop edge guards every inner "
+                    "waiting position (untraced)"
+                )
+            if s.quant is not None and s.quant[1] != 1 and s.loop_mode != "relaxed":
+                raise NotImplementedError(
+                    f"timeout side output: quantified group {s.name!r} "
+                    f"with {s.loop_mode!r} iteration contiguity — only "
+                    "the relaxed default is traced"
+                )
+            rp = raw_pos[p]
+
+            def _inner_primary(st, key):
+                if st.kind == "followed_by_any":
+                    return ("persist", None, ())
+                if st.kind == "followed_by" and _has_cond(st):
+                    return (
+                        "consume",
+                        _need_scan_cond(
+                            key, st.cond, st.pandas_cond, st.iter_cond,
+                            "group inner stage", st.name,
+                        ),
+                        (),
+                    )
+                return ("any", None, ())
+
+            # (1a) first iteration in progress
+            for i in range(1, len(inner)):
+                head = dataclasses.replace(inner[0], kind=s.kind)
+                pre = [*raw[:rp], head, *inner[1:i]]
+                plans.append((
+                    pre, f"G{p}e{i}",
+                    _inner_primary(inner[i], f"gi{p}_{i}"), [], None,
+                ))
+            mx = 1 if s.quant is None else s.quant[1]
+            lo = (0 if s.opt else 1) if s.quant is None else s.quant[0]
+            if mx is None or mx >= 2:
+                gprev = dataclasses.replace(
+                    s,
+                    quant=(1, None if mx is None else mx - 1, None),
+                    opt=False,
+                )
+
+                def _rename_group(g):
+                    # 1b prefixes hold the group AND flat copies of its
+                    # leaves — suffix the group side to satisfy the
+                    # compiler's cross-group name uniqueness; the output
+                    # strips the suffix back off matched_symbol
+                    g2 = Pattern()
+                    g2._stages = [
+                        dataclasses.replace(st, group=_rename_group(st.group))
+                        if st.group is not None
+                        else dataclasses.replace(st, name=st.name + "__gq")
+                        for st in g._stages
+                    ]
+                    return g2
+
+                gprev_r = dataclasses.replace(
+                    gprev, group=_rename_group(s.group)
+                )
+                # (1b) iteration j+1 >= 2 in progress
+                for i in range(1, len(inner)):
+                    ih = dataclasses.replace(inner[0], kind="followed_by")
+                    pre = [*raw[:rp], gprev_r, ih, *inner[1:i]]
+                    plans.append((
+                        pre, f"G{p}m{i}",
+                        _inner_primary(inner[i], f"gi{p}_{i}"), [], None,
+                    ))
+                # (2) between iterations: waiting for the next entry
+                # event (relaxed forced-take), PROCEED copies once the
+                # minimum is met
+                ec, ep, ei, en = _first_positive_cond(s.group._stages)
+                primary = (
+                    "consume",
+                    _need_scan_cond(
+                        f"ge{p}", ec, ep, ei,
+                        "entry condition of group", s.name,
+                    ),
+                    (),
+                )
+                copies = _copies_for(_chain(p + 1))
+                gate = (en, lo) if (copies and lo >= 2) else None
+                plans.append((
+                    [*raw[:rp], gprev], f"G{p}w", primary, copies, gate,
+                ))
 
         if streaming:
             # horizon-close emission inside a stateful operator: each
@@ -1864,13 +2040,13 @@ class PatternStream:
                         pat=pat_s,
                         define=_build_pandas_define(pre),
                         user_syms=[
-                            s.name for s in pre_stages
-                            if s.kind != "not_followed_by"
+                            st.name
+                            for st in _positive_leaf_stages(pre_stages)
                         ],
                         tag=tag,
                         primary=(
                             primary[0],
-                            stages[primary[1]].pandas_cond
+                            scan_specs[primary[1]][1]
                             if primary[0] == "consume"
                             else None,
                             [
@@ -1881,7 +2057,7 @@ class PatternStream:
                         copies=[
                             (
                                 kk,
-                                None if ii is None else stages[ii].pandas_cond,
+                                None if ii is None else scan_specs[ii][1],
                                 [(fl, kill_specs[x][1]) for fl, x in kls],
                             )
                             for kk, ii, kls in copies
@@ -1905,18 +2081,23 @@ class PatternStream:
                     define=_build_pandas_define(pattern),
                     user_syms=list(full_usr),
                 )
-            return streaming_timed_out_partials(
+            res = streaming_timed_out_partials(
                 self._df, keys, order, list(self._df.columns),
                 op_plans, delta, is_time, skip=skip_spec,
             )
+            return res.withColumn(
+                "matched_symbol",
+                F.regexp_replace(F.col("matched_symbol"), "__gq$", ""),
+            )
 
-        for i in sorted(scan_idx):
+        for key in sorted(scan_specs):
+            cond = scan_specs[key][0]
             src = (
-                F.when(stages[i].cond, F.col("__to_tick"))
-                if stages[i].cond is not None
+                F.when(cond, F.col("__to_tick"))
+                if cond is not None
                 else F.col("__to_tick")
             )
-            base = base.withColumn(f"__to_nt_{i}", F.min(src).over(wfollow))
+            base = base.withColumn(f"__to_nt_{key}", F.min(src).over(wfollow))
         for kk in sorted(kill_specs):
             # struct min = FIRST kill event in rid order: the rid makes
             # the 'adj' (not_next) adjacency test tie-proof — with
@@ -1933,7 +2114,7 @@ class PatternStream:
             )
         last_cols = (
             ["__to_next_any"]
-            + [f"__to_nt_{i}" for i in sorted(scan_idx)]
+            + [f"__to_nt_{key}" for key in sorted(scan_specs)]
             + [f"__to_kl_{kk}" for kk in sorted(kill_specs)]
         )
 
@@ -2172,7 +2353,9 @@ class PatternStream:
             outs.append(
                 out.select(
                     *user_cols,
-                    F.col("matched_symbol"),
+                    F.regexp_replace(
+                        F.col("matched_symbol"), "__gq$", ""
+                    ).alias("matched_symbol"),
                     F.concat_ws(
                         "#", F.lit(tag), F.col("match_id").cast("string")
                     ).alias("timeout_id"),

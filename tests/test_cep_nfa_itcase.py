@@ -1922,7 +1922,8 @@ def test_timeout_group_skip_strategy_prunes_inner_park(spark):
 
 
 def test_timeout_group_residual_guards(spark):
-    """Quantified/optional groups and until() on a group stay loud."""
+    """Quantified groups WORK (round 12 late — the quiet head-waiter
+    here times out); until() on a group stays loud."""
     df = spark.createDataFrame([(1, 1, "a"), (1, 30, "x")],
                                "k int, ts int, name string")
     grp = Pattern.begin("B").where(_n("b")).followed_by("C").where(_n("c"))
@@ -1930,8 +1931,11 @@ def test_timeout_group_residual_guards(spark):
         Pattern.begin("A").where(_n("a"))
         .followed_by(grp).times(2).within(10)
     )
-    with pytest.raises(NotImplementedError, match="group"):
-        CEP.pattern(df, quant, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+    got = _collect_timeouts(
+        CEP.pattern(df, quant, "k", "ts", after_match="no_skip")
+        .timed_out_partial_matches()
+    )
+    assert got == {(frozenset({1}), 11.0)}, got
     grp2 = Pattern.begin("B").where(_n("b")).followed_by("C").where(_n("c"))
     until = (
         Pattern.begin("A").where(_n("a"))
@@ -2092,4 +2096,142 @@ def test_timeout_terminal_not_and_fbany_not_streaming(spark, tmp_dir):
     )
     assert _stream_timeouts(spark, tmp_dir, df2, fpat, "fbany_not_sb") == {
         (frozenset({1, 2}), 11.0)
+    }
+
+
+# ---------------------------------------------------------------------
+# Timed-out partials inside/between iterations of QUANTIFIED groups
+# (round 12, late). NFACompiler compiles a looping GroupPattern into
+# its inner states repeated with the relaxed iteration link guarded by
+# the group's entry condition (the r8 group-loop filler rule = the NFA
+# ignore edge). Parked shapes: inside the first iteration, inside
+# iteration j+1, BETWEEN iterations (consume on the entry condition,
+# PROCEED copies gated by iteration count >= the loop minimum), and
+# the maxed head-park at the successor.
+# ---------------------------------------------------------------------
+
+
+def _gq_pat(lo, hi=None, within=10):
+    grp = Pattern.begin("B").where(_n("b")).followed_by("C").where(_n("c"))
+    p = Pattern.begin("A").where(_n("a")).followed_by(grp)
+    p = p.times(lo) if hi is None else p.times(lo, hi)
+    return p.followed_by("D").where(_n("d")).within(within)
+
+
+def test_timeout_group_loop_parked_shapes(spark):
+    """A fb (B fb C).times(2) fb D within 10 — each park topology:
+    inside iteration 1 ({a,b}), between iterations ({a,b,c} waiting the
+    next entry), inside iteration 2 ({a,b,c,b}), and the maxed
+    head-park at D ({a,b,c,b,c})."""
+    pat2 = _gq_pat(2)
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 30, "x")], pat2, "no_skip"
+    ) == {(frozenset({1, 2}), 11.0)}
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 30, "x")],
+        pat2, "no_skip",
+    ) == {(frozenset({1, 2, 3}), 11.0)}
+    assert _skip_touts(
+        spark,
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"), (1, 30, "x")],
+        pat2, "no_skip",
+    ) == {(frozenset({1, 2, 3, 4}), 11.0)}
+    assert _skip_touts(
+        spark,
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"), (1, 5, "c"),
+         (1, 30, "x")],
+        pat2, "no_skip",
+    ) == {(frozenset({1, 2, 3, 4, 5}), 11.0)}
+
+
+def test_timeout_group_loop_min_gates_proceed_copies(spark):
+    """times(1,2) vs times(2,3) over a b c x b: the j=1 branch
+    {a,b,c} is consumed by the next entry event b@5; with the minimum
+    met (times(1,2)) its PROCEED copy at D persists and it still times
+    out — below the minimum (times(2,3)) there is no PROCEED edge and
+    it dies, leaving only the iteration-2 park {a,b,c,b}."""
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "x"),
+            (1, 5, "b"), (1, 30, "x")]
+    assert _skip_touts(spark, rows, _gq_pat(1, 2), "no_skip") == {
+        (frozenset({1, 2, 3}), 11.0),
+        (frozenset({1, 2, 3, 5}), 11.0),
+    }
+    assert _skip_touts(spark, rows, _gq_pat(2, 3), "no_skip") == {
+        (frozenset({1, 2, 3, 5}), 11.0)
+    }
+
+
+def test_timeout_optional_group_absent_branch_copy(spark):
+    """A fb (B fb C).optional() fb D within 10 over a b x: the {a}
+    waiter at the optional group is consumed by the entry b@2, but its
+    absent-branch PROCEED copy at D persists — both {a} and the
+    inside-group {a,b} time out."""
+    grp = Pattern.begin("B").where(_n("b")).followed_by("C").where(_n("c"))
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp).optional()
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 30, "x")], pat, "no_skip"
+    ) == {(frozenset({1}), 11.0), (frozenset({1, 2}), 11.0)}
+
+
+def test_timeout_group_loop_residual_guards(spark):
+    """Non-relaxed iteration contiguity, nested inner quantifiers and
+    until() on a quantified group stay loud."""
+    df = spark.createDataFrame([(1, 1, "a"), (1, 30, "x")],
+                               "k int, ts int, name string")
+    grp = Pattern.begin("B").where(_n("b")).followed_by("C").where(_n("c"))
+    consec = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp).times(2).consecutive()
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    with pytest.raises(NotImplementedError, match="contiguity"):
+        CEP.pattern(df, consec, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+    inner_q = Pattern.begin("B").where(_n("b")).one_or_more().followed_by("C").where(_n("c"))
+    nested = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(inner_q).times(2)
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    with pytest.raises(NotImplementedError, match="inner stage"):
+        CEP.pattern(df, nested, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+    grp3 = Pattern.begin("B").where(_n("b")).followed_by("C").where(_n("c"))
+    unt = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp3).times(2).until(_n("u"))
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    with pytest.raises(NotImplementedError, match="until"):
+        CEP.pattern(df, unt, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+
+
+def test_timeout_group_loop_streaming_equals_batch(spark, tmp_dir):
+    """The quantified-group parked shapes on the streaming route ==
+    the batch matrices (iteration-2 park and the maxed head-park)."""
+    def c(name):
+        return lambda pdf, _n=name: pdf["name"] == _n
+
+    grp = Pattern.begin("B").where(c("b")).followed_by("C").where(c("c"))
+    pat = (
+        Pattern.begin("A").where(c("a"))
+        .followed_by(grp).times(2)
+        .followed_by("D").where(c("d")).within(10)
+    )
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"), (1, 30, "x")],
+        "k int, ts int, name string",
+    )
+    assert _stream_timeouts(spark, tmp_dir, df, pat, "gq_sb1") == {
+        (frozenset({1, 2, 3, 4}), 11.0)
+    }
+    df2 = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"), (1, 5, "c"),
+         (1, 30, "x")],
+        "k int, ts int, name string",
+    )
+    assert _stream_timeouts(spark, tmp_dir, df2, pat, "gq_sb2") == {
+        (frozenset({1, 2, 3, 4, 5}), 11.0)
     }
