@@ -1464,24 +1464,39 @@ class PatternStream:
         # waiting for its horizon to close N-free — the terminal_not
         # match surface), so proper-prefix parked shapes are untouched
         # and the no_skip timeout set needs no handling at all. Under a
-        # skip strategy the pending branch is a PRUNABLE partial whose
-        # completion tick is its horizon close (NFA.java
-        # processMatchesAccordingToSkipStrategy prunes partialMatches,
-        # which includes pendings) — match-side pruning the emission
-        # replay does not model yet, so that combination stays loud.
-        for idx, s in enumerate(raw):
-            if (
-                s.kind == "not_followed_by"
-                and idx == len(raw) - 1
-                and skip_mode != "no_skip"
-            ):
-                raise NotImplementedError(
-                    f"timeout side output: terminal notFollowedBy "
-                    f"{s.name!r} under an AfterMatchSkipStrategy — the "
-                    "pending full-pattern branch is itself a prunable "
-                    "partial completing at horizon close; run no_skip "
-                    "or drop the terminal NOT"
-                )
+        # skip strategy (batch, late round 12) the pendings fold into
+        # the existing machinery because EVERY terminal-NOT match
+        # completes AT its horizon close (NFA.java advanceTime turns a
+        # timed-out isPending computation into a potential match, so
+        # completion tick = start + within):
+        # - completions are co-ordered with starts, so the sequential
+        #   first-completed-per-start matcher (mrows below) replays
+        #   processMatchesAccordingToSkipStrategy's completedMatches
+        #   pruning exactly — a pending pruned by an earlier emission
+        #   is a start the matcher never resumes into;
+        # - the replay just needs __etick = the HORIZON (not the last
+        #   matched row's tick): a parked partial whose horizon lies in
+        #   (last row, match horizon] is reported by an earlier
+        #   advanceTime and must escape the prune;
+        # - pendings never DEFER emissions: a pending with start s
+        #   gates only matches with later starts, whose completion
+        #   (their horizon) is >= s's own horizon >= any tick where s's
+        #   pending completes or is N-killed — so no gate entries.
+        # The streaming route would need horizon-close completion in
+        # the operator's incremental full-pattern cursor — still loud.
+        terminal_tn = bool(raw) and raw[-1].kind == "not_followed_by"
+        if (
+            terminal_tn
+            and skip_mode != "no_skip"
+            and self._df.isStreaming
+        ):
+            raise NotImplementedError(
+                f"streaming timeout side output: terminal notFollowedBy "
+                f"{raw[-1].name!r} under an AfterMatchSkipStrategy — "
+                "the incremental matcher does not model horizon-close "
+                "pending completion yet; run no_skip, drop the "
+                "terminal NOT, or use the batch route"
+            )
         # positive-stage view: NOT stages fold onto their neighbours
         # (negated_gap / fold_not / lead_not) and stay inside prefix
         # slices via raw_pos
@@ -1541,19 +1556,22 @@ class PatternStream:
                     "NOT(N) on the adjacent row; the waiter dies on any "
                     "event regardless) is supported"
                 )
-            if s.lead_not and (
-                si + 1 >= len(stages)
-                or stages[si + 1].opt
-                or (
-                    stages[si + 1].quant is not None
-                    and stages[si + 1].quant[0] == 0
-                )
-            ):
+            if s.lead_not and si + 1 >= len(stages):
+                # defensive: the builder rejects terminal notNext, so a
+                # trailing lead_not carrier should be unconstructible
                 raise NotImplementedError(
-                    f"timeout side output: not_next after {s.name!r} "
-                    "with an optional/zero-able successor — the "
-                    "adjacency of a migrated copy's path is not traced"
+                    f"timeout side output: not_next after the terminal "
+                    f"stage {s.name!r} has no successor to anchor the "
+                    "adjacency"
                 )
+            # not_next before an OPTIONAL/zero-able successor (round 12,
+            # late): a branch parked at the successor's head spawns
+            # migrated copies past it; every PROCEED in that chain
+            # evaluates on the SAME first gap event (the NFA's notNext
+            # state PROCEEDs to stop on N and through to the successor
+            # on NOT(N), both at the next event), and the builder bans
+            # quantified/optional lead_not carriers — so the copies just
+            # inherit the park-level 'adj' kill (applied below).
             # notFollowedBy before a followedByAny stage (round 12): the
             # NOT compiles stop transitions on the SKIP_TILL_ANY waiting
             # state like on any other — the engine's match surface pins
@@ -1819,6 +1837,7 @@ class PatternStream:
                 if prev.quant is not None and prev.quant[2] is True
                 else ()
             )
+            head_kills = _kills_for(k, True)
             if waiting.group is not None and waiting.kind == "followed_by":
                 # waiting AT a (quantified) group's head: the fb waiter
                 # is consumed by the group's ENTRY condition — the first
@@ -1831,23 +1850,30 @@ class PatternStream:
                         f"ge{k}", ec, ep, ei,
                         "entry condition of group", waiting.name,
                     ),
-                    _kills_for(k, True) + gk,
+                    head_kills + gk,
                 )
             elif waiting.kind == "followed_by" and _has_cond(waiting):
                 primary = (
                     "consume", _need_scan(k, "waiting stage"),
-                    _kills_for(k, True) + gk,
+                    head_kills + gk,
                 )
             elif waiting.kind == "followed_by_any":
                 # true ignore — never consumed; a loop's until stop
                 # still kills the waiting head (r8 dual-dialect)
-                primary = ("persist", None, _kills_for(k, True) + gk)
+                primary = ("persist", None, head_kills + gk)
             else:
                 # next-contiguity (no ignore), or an unconditioned
                 # followed_by (NOT(true) never fires): the adjacent /
                 # any event takes or kills the waiter
                 primary = ("any", None, ())
             copies = _copies_for(_chain(k + 1)) if _optable(waiting) else []
+            # migrated copies share the waiter's last take, so a
+            # preceding not_next's adjacency kill applies to them too
+            carry = tuple(e for e in head_kills if e[0] == "adj")
+            if carry and copies:
+                copies = [
+                    (kind, ii, (*kls, *carry)) for kind, ii, kls in copies
+                ]
             plans.append((pre_stages, str(k), primary, copies, None))
         # -- branches parked INSIDE a loop (1 <= taken < max): survival
         # by the INNER ignore condition (NFACompiler.java:862), plus
@@ -2315,13 +2341,20 @@ class PatternStream:
                 prid = F.max(
                     F.when(F.col("matched_symbol") == skip_sym, F.col("__to_rid"))
                 )
+            # terminal notFollowedBy: the match is a pending branch that
+            # completes AT horizon close (advanceTime turns the timed-out
+            # pending into a potential match), not at its last row
+            etick = (
+                F.min(F.struct("__to_rid", "__to_tick"))["__to_tick"]
+                + F.lit(delta)
+                if terminal_tn
+                else F.max(F.struct("__to_rid", "__to_tick"))["__to_tick"]
+            )
             msum = (
                 mrows.groupBy(*keys, "match_id")
                 .agg(
                     F.min("__to_rid").alias("__srid"),
-                    F.max(F.struct("__to_rid", "__to_tick"))["__to_tick"].alias(
-                        "__etick"
-                    ),
+                    etick.alias("__etick"),
                     prid.alias("__prid"),
                 )
                 .drop("match_id")

@@ -1177,6 +1177,62 @@ def test_timeout_not_next_adjacency_kill(spark):
     ) == set()
 
 
+def test_timeout_not_next_before_optional_successor(spark):
+    """A not_next(N) fb B? fb C within 10 (round 12, late): the parked
+    branch at B?'s head spawns a migrated copy at C; the NFA's notNext
+    state PROCEEDs to stop on N and through to C on NOT(N) at the SAME
+    next event, so the copy inherits the 'adj' kill — an adjacent N
+    kills waiter AND copy; a non-adjacent N kills neither."""
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .not_next("N").where(F.col("name") == "nn")
+        .followed_by("B").where(_n("b")).optional()
+        .followed_by("C").where(_n("c")).within(10)
+    )
+    # quiet gap: waiter at B and its copy at C share {a} -> one partial
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "x"), (1, 13, "w")], pat, "no_skip"
+    ) == {(frozenset({1}), 11.0)}
+    # ADJACENT N: the copy dies with the waiter (the un-lifted model
+    # left the copy alive and wrongly reported {a})
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "nn"), (1, 13, "w")], pat, "no_skip"
+    ) == set()
+    # non-adjacent N: adjacency satisfied, the park survives
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "x"), (1, 3, "nn"), (1, 13, "w")],
+        pat, "no_skip",
+    ) == {(frozenset({1}), 11.0)}
+    # copy consumed by c -> match {a,c} (B absent); the B-waiter still
+    # times out
+    rows = [(1, 1, "a"), (1, 2, "x"), (1, 3, "c"), (1, 13, "w")]
+    assert _skip_touts(spark, rows, pat, "no_skip") == {
+        (frozenset({1}), 11.0)
+    }
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+    got = CEP.pattern(df, pat, "k", "ts", after_match="no_skip").flat_select()
+    assert {r.ts for r in got.collect()} == {1, 3}
+    # b taken: {a,b} parks at C (prefix enforces adjacency via the
+    # retained fold) AND the ignore-after-PROCEED copy {a} persists at
+    # C (NFA.java:621-633) — both time out
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 13, "w")], pat, "no_skip"
+    ) == {(frozenset({1}), 11.0), (frozenset({1, 2}), 11.0)}
+    # zero-able quantified successor takes the same route
+    pat2 = (
+        Pattern.begin("A").where(_n("a"))
+        .not_next("N").where(F.col("name") == "nn")
+        .followed_by("B").where(_n("b")).times(0, 2)
+        .followed_by("C").where(_n("c")).within(10)
+    )
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "nn"), (1, 13, "w")], pat2, "no_skip"
+    ) == set()
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "x"), (1, 13, "w")], pat2, "no_skip"
+    ) == {(frozenset({1}), 11.0)}
+
+
 def test_timeout_not_next_streaming_equals_batch(spark, tmp_dir):
     """The 'adj' kill on the streaming route: the first gap event
     decides, across chunked replay — same four-cell matrix."""
@@ -2024,19 +2080,120 @@ def test_timeout_terminal_not_scope_excludes_inner_waiters(spark):
     ) == {(frozenset({1, 2}), 11.0)}
 
 
-def test_timeout_terminal_not_skip_guard(spark):
-    """Terminal notFollowedBy under a skip strategy stays loud: the
-    pending branch is a prunable partial completing at horizon close."""
-    df = spark.createDataFrame([(1, 1, "a"), (1, 30, "x")],
-                               "k int, ts int, name string")
+def _tn3_pat(within=10):
+    return (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by("B").where(_n("b"))
+        .followed_by("C").where(_n("c"))
+        .not_followed_by("N").where(F.col("name") == "nn")
+        .within(within)
+    )
+
+
+def test_timeout_terminal_not_skip_prunes_interior_partial(spark):
+    """A fb B fb C ^N within 10 under skipPastLastEvent: the pending
+    {a@0,b@2,c@4} completes AT its horizon (advanceTime turns the
+    timed-out pending into a match) and emits at the first event >= 10
+    (w@11), pruning the interior B-waiter {a@3} (start rid 3 <= prid 4,
+    horizon 13 > 11) before its @14 witness. no_skip reports it."""
+    rows = [(1, 0, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+            (1, 11, "w"), (1, 14, "w")]
+    assert _skip_touts(spark, rows, _tn3_pat(), "no_skip") == {
+        (frozenset({3}), 13.0)
+    }
+    assert _skip_touts(spark, rows, _tn3_pat(), "past_last_row") == set()
+    # the match itself is emitted either way
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+    m = CEP.pattern(df, _tn3_pat(), "k", "ts",
+                    after_match="past_last_row").flat_select()
+    assert {r.ts for r in m.collect()} == {0, 2, 4}
+
+
+def test_timeout_terminal_not_skip_emission_at_horizon(spark):
+    """The pending's completion tick is its HORIZON, not its last row:
+    with the match {a@0,b@1,c@3} (h=10) and the only later event at
+    @13, emission happens at 13 — the interior B-waiter {a@2}
+    (horizon 12 <= 13) was reported by an earlier advanceTime and must
+    ESCAPE the prune. A last-row completion tick (3) would emit at c@3
+    and wrongly prune it."""
+    rows = [(1, 0, "a"), (1, 1, "b"), (1, 2, "a"), (1, 3, "c"),
+            (1, 13, "w")]
+    want = {(frozenset({2}), 12.0)}
+    assert _skip_touts(spark, rows, _tn3_pat(), "past_last_row") == want
+    assert _skip_touts(spark, rows, _tn3_pat(), "no_skip") == want
+
+
+def test_timeout_terminal_not_skip_match_side_pruning(spark):
+    """Two pendings complete at the same advanceTime in start order;
+    the first emission prunes the second COMPLETED match from the
+    queue (NFA.java prunes completedMatches too): A fb B ^N over
+    a@0 a@1 b@2 — past_last_row keeps only {0,2}, no_skip both."""
     pat = (
         Pattern.begin("A").where(_n("a"))
         .followed_by("B").where(_n("b"))
         .not_followed_by("N").where(F.col("name") == "nn")
         .within(10)
     )
-    with pytest.raises(NotImplementedError, match="pending"):
-        CEP.pattern(df, pat, "k", "ts", after_match="past_last_row").timed_out_partial_matches()
+    rows = [(1, 0, "a"), (1, 1, "a"), (1, 2, "b"), (1, 12, "w")]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+
+    def msets(after):
+        out = collections.defaultdict(set)
+        got = CEP.pattern(df, pat, "k", "ts", after_match=after).flat_select()
+        for r in got.collect():
+            out[r.match_id].add(r.ts)
+        return sorted(sorted(v) for v in out.values())
+
+    assert msets("no_skip") == [[0, 2], [1, 2]]
+    assert msets("past_last_row") == [[0, 2]]
+    # pendings are matches-or-dead, never timeouts
+    assert _skip_touts(spark, rows, pat, "past_last_row") == set()
+
+
+def test_timeout_terminal_not_skip_n_killed_pending_prunes_nothing(spark):
+    """An N event kills the pending mid-gap — the match is never
+    emitted, so it prunes nothing: the interior B-waiter still times
+    out under the skip strategy."""
+    rows = [(1, 0, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+            (1, 5, "nn"), (1, 14, "w")]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+    assert CEP.pattern(df, _tn3_pat(), "k", "ts",
+                       after_match="past_last_row").flat_select().count() == 0
+    assert _skip_touts(spark, rows, _tn3_pat(), "past_last_row") == {
+        (frozenset({3}), 13.0)
+    }
+
+
+def test_timeout_terminal_not_skip_to_element_is_strict(spark):
+    """SKIP TO FIRST B prunes with STRICT < on the mapped element's
+    rid: the interior waiter {a@3} (start rid 3) survives prid=rid(b@2)
+    =2 where past_last_row (prid=4, <=) killed it."""
+    rows = [(1, 0, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+            (1, 11, "w"), (1, 14, "w")]
+    assert _skip_touts(spark, rows, _tn3_pat(), "to_first B") == {
+        (frozenset({3}), 13.0)
+    }
+
+
+def test_timeout_terminal_not_skip_streaming_guard(spark, tmp_dir):
+    """The streaming route stays loud: the incremental full-pattern
+    cursor does not model horizon-close pending completion."""
+    import os
+
+    src = os.path.join(tmp_dir, "tn_skip_guard_src")
+    df = spark.createDataFrame([(1, 1, "a"), (1, 30, "x")],
+                               "k int, ts int, name string")
+    df.write.parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    pat = (
+        Pattern.begin("A").where(lambda pdf: pdf["name"] == "a")
+        .followed_by("B").where(lambda pdf: pdf["name"] == "b")
+        .not_followed_by("N").where(lambda pdf: pdf["name"] == "nn")
+        .within(10)
+    )
+    with pytest.raises(NotImplementedError, match="horizon-close"):
+        CEP.pattern(sdf, pat, "k", "ts",
+                    after_match="past_last_row").timed_out_partial_matches()
 
 
 def test_timeout_not_before_followed_by_any(spark):
