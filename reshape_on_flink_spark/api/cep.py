@@ -1375,16 +1375,33 @@ class PatternStream:
         gated by entry-leaf take count >= the loop minimum); a maxed
         bounded group parks at the successor via the head-park plans.
 
-        Remaining loud guards: group loops with non-relaxed iteration
-        contiguity, non-plain inner leaves (nested quantifiers/
-        optionals/NOTs/untils) and until() on a group,
-        terminal ``notFollowedBy`` under a skip strategy (the pending
-        branch is a prunable partial completing at horizon close),
-        not_next folds onto quantified/optional successors, not_next
-        with an optional successor (migrated-copy adjacency untraced),
-        greedy followed by 2+ positive stages (interior-greedy prefixes
-        commit possessively), greedy before an optional successor (the
-        sink guard is one level), and greedy with allow_combinations.
+        Late round 12 lifts: terminal ``notFollowedBy`` under a skip
+        strategy on batch (pendings complete AT horizon close, so the
+        emission replay runs with match etick = horizon); not_next
+        before optional/zero-able successors (copies inherit the
+        park-level 'adj' kill — every PROCEED evaluates on the same
+        first gap event); until() on group loops (stop edges guard
+        every looping position: a 'gap' kill on all group-plan
+        primaries, with the in-progress iteration wrapped as an
+        unquantified partial group so compile threads NOT(until) into
+        its inner takes and gaps); consecutive()/allowCombinations()
+        iteration contiguity on group loops (between-iterations rule
+        'any'/'persist', iteration link next/followedByAny); interior
+        greedy (prefixes de-greedy to enumerate every expansion, then a
+        per-assignment SPAN kill drops expansions with a
+        greedy-take-able event in (last greedy take, next taken row] —
+        the sink guard replayed, batch route only); and greedy before
+        an optional successor (copies beyond the sink spawn-block on a
+        greedy-take-able FIRST gap event: an 'adj' kill).
+
+        Remaining loud guards: group loops with non-plain inner leaves
+        (nested quantifiers/optionals/NOTs/untils inside the loop),
+        greedy with allow_combinations (the TRUE inner ignore branches
+        around the sink guard), iterative conditions on scanned/killed
+        stages (branch-dependent take-ability), and on the STREAMING
+        route only: terminal notFollowedBy under a skip strategy
+        (horizon-close pending completion) and interior greedy (the
+        span-kill enumeration).
         """
         from pyspark.sql import Window as SW
 
@@ -1482,21 +1499,11 @@ class PatternStream:
         #   gates only matches with later starts, whose completion
         #   (their horizon) is >= s's own horizon >= any tick where s's
         #   pending completes or is N-killed — so no gate entries.
-        # The streaming route would need horizon-close completion in
-        # the operator's incremental full-pattern cursor — still loud.
+        # The streaming route mirrors this in the operator's
+        # incremental full-pattern cursor: a found sequence is PENDING
+        # until its horizon — killed if an N event lands in (last row,
+        # horizon), else completing with e_tick = the horizon.
         terminal_tn = bool(raw) and raw[-1].kind == "not_followed_by"
-        if (
-            terminal_tn
-            and skip_mode != "no_skip"
-            and self._df.isStreaming
-        ):
-            raise NotImplementedError(
-                f"streaming timeout side output: terminal notFollowedBy "
-                f"{raw[-1].name!r} under an AfterMatchSkipStrategy — "
-                "the incremental matcher does not model horizon-close "
-                "pending completion yet; run no_skip, drop the "
-                "terminal NOT, or use the batch route"
-            )
         # positive-stage view: NOT stages fold onto their neighbours
         # (negated_gap / fold_not / lead_not) and stay inside prefix
         # slices via raw_pos
@@ -1530,15 +1537,6 @@ class PatternStream:
                 and s.quant[2] is True
                 and si < len(stages) - 1  # terminal greedy is IGNORED
             ):  # (GreedyITCase.testEndWithZeroOrMoreGreedy)
-                if si < len(stages) - 2:
-                    raise NotImplementedError(
-                        f"timeout side output: greedy stage {s.name!r} "
-                        "followed by 2+ positive stages — prefixes that "
-                        "pass THROUGH a greedy stage commit possessively "
-                        "(longest per start), which diverges from the "
-                        "NFA's per-branch sink guard when loop takes "
-                        "interleave with successor events"
-                    )
                 if s.loop_mode == "combinations":
                     raise NotImplementedError(
                         f"timeout side output: greedy stage {s.name!r} "
@@ -1741,7 +1739,7 @@ class PatternStream:
                 i += 1
             return out
 
-        def _copies_for(targets: list[int]) -> list[tuple]:
+        def _copies_for(targets: list[int], greedy=None) -> list[tuple]:
             """Migrated-copy survival specs for 'IGNORE after PROCEED'
             branches (NFA.java:621-633): the decision graph collects
             IGNORE edges of every proceed-reachable head state, so a
@@ -1750,14 +1748,26 @@ class PatternStream:
             fba true, next none. The copy spawns at the first event
             after the last take (the trigger) and then lives under
             head(t)'s own consumption rule, so: copy times out iff SOME
-            event precedes the horizon AND (fb) no take_t does."""
+            event precedes the horizon AND (fb) no take_t does.
+
+            ``greedy=(kill_key, sink_idx)``: a preceding greedy stage
+            guards the PROCEED sink — the copy AT the sink dies on any
+            greedy-take-able gap event ('gap'); copies BEYOND it spawn
+            only if the first gap event passes the sink's guard
+            ('adj')."""
             out = []
             for t in targets:
                 st = stages[t]
                 if st.kind == "next":
                     continue  # no ignore edge -> no migrated copy
+                kls = _kills_for(t, True)
+                if greedy is not None:
+                    kls = (
+                        *kls,
+                        ("gap" if t == greedy[1] else "adj", greedy[0]),
+                    )
                 if st.kind == "followed_by_any":
-                    out.append(("fba", None, _kills_for(t, True)))
+                    out.append(("fba", None, kls))
                 elif st.group is not None:
                     # copy parked at a group target consumes on the
                     # group's entry condition (first positive leaf)
@@ -1768,37 +1778,32 @@ class PatternStream:
                             f"ge{t}", ec, ep, ei,
                             "entry condition of group", st.name,
                         ),
-                        _kills_for(t, True),
+                        kls,
                     ))
                 elif _has_cond(st):
                     out.append((
                         "fb",
                         _need_scan(t, "migration target"),
-                        _kills_for(t, True),
+                        kls,
                     ))
                 # unconditioned followed_by: NOT(take)=false, never fires
             return out
 
-        def _greedy_kill(g: int):
-            """The sink-guard kill for greedy stage g: every transition
-            of the PROCEED sink carries NOT(take), so branches parked
-            there die on any g-take-able event in their gap — exactly a
-            'gap' kill scan on g's take condition. One level only: a
-            greedy stage before an optional/zero-able successor raises
-            (the guard does not propagate through the chain)."""
+        def _greedy_key(g: int) -> str:
+            """Kill-spec key for greedy stage g's take condition.
+            updateWithGreedyCondition ANDs NOT(take) onto every
+            transition of the PROCEED sink, so: a branch parked AT the
+            sink dies on any g-take-able event in its gap (a 'gap'
+            kill), and a migrated copy BEYOND the sink (reached through
+            an optional sink via ignore-after-PROCEED) could only spawn
+            at a first gap event that passes the sink's guard — it dies
+            iff that event is g-take-able (an 'adj' kill); once at the
+            later state it is unguarded."""
             s = stages[g]
-            if g + 1 < len(stages) and _optable(stages[g + 1]):
-                raise NotImplementedError(
-                    f"timeout side output: greedy stage {s.name!r} "
-                    "before an optional/zero-able successor — "
-                    "updateWithGreedyCondition guards the immediate "
-                    "sink only; proceed-through-optional copies are "
-                    "untraced"
-                )
-            return ("gap", _need_kill(
+            return _need_kill(
                 f"gr{g}", s.cond, s.pandas_cond,
                 f"greedy take condition of {s.name!r}",
-            ))
+            )
 
         # plan entries: (pre_stages, tag, primary, copies, loop_gate)
         plans = []
@@ -1832,11 +1837,12 @@ class PatternStream:
             # greedy prev kills the waiter on any prev-take-able gap
             # event (sink-guard); subsumed for 'any' waiters, which die
             # on every gap event regardless
-            gk = (
-                (_greedy_kill(k - 1),)
+            gkey = (
+                _greedy_key(k - 1)
                 if prev.quant is not None and prev.quant[2] is True
-                else ()
+                else None
             )
+            gk = (("gap", gkey),) if gkey is not None else ()
             head_kills = _kills_for(k, True)
             if waiting.group is not None and waiting.kind == "followed_by":
                 # waiting AT a (quantified) group's head: the fb waiter
@@ -1866,7 +1872,16 @@ class PatternStream:
                 # followed_by (NOT(true) never fires): the adjacent /
                 # any event takes or kills the waiter
                 primary = ("any", None, ())
-            copies = _copies_for(_chain(k + 1)) if _optable(waiting) else []
+            copies = (
+                _copies_for(
+                    _chain(k + 1),
+                    # the waiter at k IS the guarded sink, so every copy
+                    # beyond it takes the spawn-blocking 'adj' form
+                    greedy=(gkey, k) if gkey is not None else None,
+                )
+                if _optable(waiting)
+                else []
+            )
             # migrated copies share the waiter's last take, so a
             # preceding not_next's adjacency kill applies to them too
             carry = tuple(e for e in head_kills if e[0] == "adj")
@@ -1897,16 +1912,21 @@ class PatternStream:
                 )
             else:  # allow_combinations(): true ignore — persists
                 primary = ("persist", None, mid_kills)
-            copies = _copies_for(_chain(p + 1))
-            if s.quant[2] is True and p < len(stages) - 1:
-                # greedy loop (non-terminal): migrated copies park at the
-                # guarded PROCEED sink — they spawn only at non-take
-                # events and die at the next take-able one; both effects
-                # are the 'gap' kill on the loop's own take condition
-                g_kill = _greedy_kill(p)
-                copies = [
-                    (kind, i2, (*kls, g_kill)) for kind, i2, kls in copies
-                ]
+            # greedy loop (non-terminal): migrated copies park at the
+            # guarded PROCEED sink (p+1: the 'gap' kill on the loop's
+            # own take condition — they spawn only at non-take events
+            # and die at the next take-able one) or, through an optional
+            # sink, beyond it (spawn blocked iff the first gap event is
+            # take-able: 'adj')
+            mgk = (
+                _greedy_key(p)
+                if s.quant[2] is True and p < len(stages) - 1
+                else None
+            )
+            copies = _copies_for(
+                _chain(p + 1),
+                greedy=(mgk, p + 1) if mgk is not None else None,
+            )
             lo = s.quant[0]
             gate = (s.name, lo) if (copies and lo >= 2) else None
             # keep a NOT stage before the loop in the prefix: the
@@ -1955,23 +1975,47 @@ class PatternStream:
                         "optionals/NOTs/untils inside a group loop are "
                         "untraced)"
                     )
-            if s.until_cond is not None or s.until_pandas is not None:
-                raise NotImplementedError(
-                    f"timeout side output: until() on quantified group "
-                    f"{s.name!r} — the stop edge guards every inner "
-                    "waiting position (untraced)"
-                )
-            if s.quant is not None and s.quant[1] != 1 and s.loop_mode != "relaxed":
-                raise NotImplementedError(
-                    f"timeout side output: quantified group {s.name!r} "
-                    f"with {s.loop_mode!r} iteration contiguity — only "
-                    "the relaxed default is traced"
-                )
             rp = raw_pos[p]
+            # until() on the group loop (round 12, late): NFACompiler
+            # puts the stop edge on every looping state, so (a) a branch
+            # parked at ANY position inside/between iterations dies on a
+            # stop event in its gap — a 'gap' kill on all G-plan
+            # primaries; (b) the PREFIX must not take a stop event nor
+            # cross one in an in-iteration gap — the match surface
+            # threads NOT(until) into every inner DEFINE and fb gap via
+            # inner_negs, replicated here by wrapping the in-progress
+            # iteration as an unquantified partial GROUP carrying the
+            # until (compile threads inner_negs for groups regardless of
+            # quantification). Copies PAST the group stay unguarded (the
+            # successor state is outside the loop). The head waiter was
+            # already guarded via _kills_for (r8 dual-dialect).
+            has_gu = s.until_cond is not None or s.until_pandas is not None
+            gu = (
+                (("gap", _need_kill(
+                    f"u{p}", s.until_cond, s.until_pandas,
+                    f"until() condition of group {s.name!r}",
+                )),)
+                if has_gu
+                else ()
+            )
+
+            def _iter_prefix(chain, kind):
+                """Prefix stages for an in-progress iteration: the taken
+                leaf chain linked by ``kind``. With until(), wrap as an
+                unquantified group on the carrier stage so compile
+                threads NOT(until) into the inner bodies and gaps."""
+                if not has_gu:
+                    return [dataclasses.replace(chain[0], kind=kind),
+                            *chain[1:]]
+                part = Pattern()
+                part._stages = [dataclasses.replace(st) for st in chain]
+                return [dataclasses.replace(
+                    s, group=part, quant=None, opt=False, kind=kind,
+                )]
 
             def _inner_primary(st, key):
                 if st.kind == "followed_by_any":
-                    return ("persist", None, ())
+                    return ("persist", None, gu)
                 if st.kind == "followed_by" and _has_cond(st):
                     return (
                         "consume",
@@ -1979,14 +2023,24 @@ class PatternStream:
                             key, st.cond, st.pandas_cond, st.iter_cond,
                             "group inner stage", st.name,
                         ),
-                        (),
+                        gu,
                     )
                 return ("any", None, ())
 
+            # iteration contiguity (round 12, late): the loop's
+            # consuming strategy sets the link of iteration j+1's first
+            # take and the between-iterations waiting rule; completed
+            # iterations enforce it inside the prefix via gprev's own
+            # loop_mode
+            iter_kind = {
+                "relaxed": "followed_by",
+                "strict": "next",
+                "combinations": "followed_by_any",
+            }[s.loop_mode or "relaxed"]
+
             # (1a) first iteration in progress
             for i in range(1, len(inner)):
-                head = dataclasses.replace(inner[0], kind=s.kind)
-                pre = [*raw[:rp], head, *inner[1:i]]
+                pre = [*raw[:rp], *_iter_prefix(inner[:i], s.kind)]
                 plans.append((
                     pre, f"G{p}e{i}",
                     _inner_primary(inner[i], f"gi{p}_{i}"), [], None,
@@ -2019,31 +2073,88 @@ class PatternStream:
                 )
                 # (1b) iteration j+1 >= 2 in progress
                 for i in range(1, len(inner)):
-                    ih = dataclasses.replace(inner[0], kind="followed_by")
-                    pre = [*raw[:rp], gprev_r, ih, *inner[1:i]]
+                    pre = [*raw[:rp], gprev_r,
+                           *_iter_prefix(inner[:i], iter_kind)]
                     plans.append((
                         pre, f"G{p}m{i}",
                         _inner_primary(inner[i], f"gi{p}_{i}"), [], None,
                     ))
                 # (2) between iterations: waiting for the next entry
-                # event (relaxed forced-take), PROCEED copies once the
-                # minimum is met
+                # event — a forced take under relaxed contiguity, death
+                # on any event under consecutive(), a persisting true
+                # ignore under allowCombinations(); PROCEED copies once
+                # the minimum is met
                 ec, ep, ei, en = _first_positive_cond(s.group._stages)
-                primary = (
-                    "consume",
-                    _need_scan_cond(
-                        f"ge{p}", ec, ep, ei,
-                        "entry condition of group", s.name,
-                    ),
-                    (),
-                )
+                if iter_kind == "next":
+                    primary = ("any", None, ())
+                elif iter_kind == "followed_by_any":
+                    primary = ("persist", None, gu)
+                else:
+                    primary = (
+                        "consume",
+                        _need_scan_cond(
+                            f"ge{p}", ec, ep, ei,
+                            "entry condition of group", s.name,
+                        ),
+                        gu,
+                    )
                 copies = _copies_for(_chain(p + 1))
                 gate = (en, lo) if (copies and lo >= 2) else None
                 plans.append((
                     [*raw[:rp], gprev], f"G{p}w", primary, copies, gate,
                 ))
 
+        # interior greedy stages (round 12, late): a prefix that passes
+        # THROUGH a greedy stage must enumerate EVERY expansion (the
+        # match surface's possessive commit keeps only the longest per
+        # start) and keep exactly the expansions whose post-greedy span
+        # is clean — updateWithGreedyCondition ANDs NOT(take) onto every
+        # transition of the PROCEED sink, so the reference branch died
+        # if any greedy-take-able event lies in (last greedy take, next
+        # taken row], the next take itself included. De-greedy the
+        # prefix stage and record a per-assignment span kill.
+        def _despan(pre_stages):
+            spans = []
+            pos = [
+                i for i, st in enumerate(pre_stages)
+                if st.kind not in _NOT_KINDS
+            ]
+            out = list(pre_stages)
+            for j, i in enumerate(pos[:-1]):
+                st = out[i]
+                if (
+                    st.group is None
+                    and st.quant is not None
+                    and st.quant[2] is True
+                ):
+                    out[i] = dataclasses.replace(
+                        st, quant=(st.quant[0], st.quant[1], None)
+                    )
+                    post = [
+                        ps.name
+                        for ii in pos[j + 1:]
+                        for ps in _positive_leaf_stages([out[ii]])
+                    ]
+                    spans.append((st.name, post, _need_kill(
+                        f"gsp_{st.name}", st.cond, st.pandas_cond,
+                        f"greedy take condition of {st.name!r}",
+                    )))
+            return out, spans
+
+        plans = [
+            (*_despan(pre_stages), tag, primary, copies, gate)
+            for pre_stages, tag, primary, copies, gate in plans
+        ]
+        # -> entries are now (pre_stages, spans, tag, primary, copies, gate)
+
         if streaming:
+            if any(spans for _pre, spans, *_rest in plans):
+                raise NotImplementedError(
+                    "streaming timeout side output: a greedy stage "
+                    "followed by 2+ positive stages — the de-greedy'd "
+                    "prefix enumeration with span kills runs on the "
+                    "batch route only"
+                )
             # horizon-close emission inside a stateful operator: each
             # parked shape becomes a compiled prefix pattern + pandas
             # survival predicates; one keyed shuffle, state bounded by
@@ -2054,7 +2165,7 @@ class PatternStream:
 
             lookahead = W.partitionBy(*keys).orderBy(*order)
             op_plans = []
-            for pre_stages, tag, primary, copies, gate in plans:
+            for pre_stages, _spans, tag, primary, copies, gate in plans:
                 pre = Pattern()
                 pre._stages = pre_stages
                 pre._within = within
@@ -2100,12 +2211,25 @@ class PatternStream:
                 full_pat, _fdef, full_usr, _fwin = pattern.compile(
                     emit="first", lookahead_window=lookahead
                 )
+                tn_p = None
+                if terminal_tn:
+                    # pendings complete AT horizon close; the cursor
+                    # needs the N predicate to kill them mid-gap
+                    tnc = pattern._terminal_not
+                    if tnc is None or tnc[1] is None:
+                        raise ValueError(
+                            "streaming timeout side output needs a "
+                            "pandas form of the terminal notFollowedBy "
+                            "condition"
+                        )
+                    tn_p = tnc[1]
                 skip_spec = dict(
                     mode=skip_mode,
                     sym=skip_sym,
                     pat=full_pat,
                     define=_build_pandas_define(pattern),
                     user_syms=list(full_usr),
+                    tn=tn_p,
                 )
             res = streaming_timed_out_partials(
                 self._df, keys, order, list(self._df.columns),
@@ -2144,7 +2268,7 @@ class PatternStream:
             + [f"__to_kl_{kk}" for kk in sorted(kill_specs)]
         )
 
-        def _timeouts(pre_stages, tag: str, primary, copies, gate):
+        def _timeouts(pre_stages, spans, tag: str, primary, copies, gate):
             """Enumerate the parked branches of one prefix shape; keep
             an assignment iff its witness row exists AND any of its
             computations (the primary parked branch or a migrated copy)
@@ -2173,11 +2297,44 @@ class PatternStream:
                         (F.col("matched_symbol") == gate[0]).cast("int")
                     ).alias("__cnt")
                 )
+            for j2, (gname, post, kkey) in enumerate(spans):
+                # the kill-scan struct AT the greedy stage's last row =
+                # the first greedy-take-able event after it, and the rid
+                # of the first post-greedy taken row
+                aggs.append(
+                    F.max(
+                        F.when(
+                            F.col("matched_symbol") == gname,
+                            F.struct(
+                                F.col("__to_rid"),
+                                F.col(f"__to_kl_{kkey}").alias("kl"),
+                            ),
+                        )
+                    ).alias(f"__gsp{j2}")
+                )
+                aggs.append(
+                    F.min(
+                        F.when(
+                            F.col("matched_symbol").isin(post),
+                            F.col("__to_rid"),
+                        )
+                    ).alias(f"__pn{j2}")
+                )
             g = (
                 rows.groupBy(*keys, "match_id")
                 .agg(*aggs)
                 .withColumn("__horizon", F.col("__first") + F.lit(delta))
             )
+            for j2 in range(len(spans)):
+                # the reference branch died at the sink before the next
+                # take: a greedy-take-able event at rid <= the first
+                # post-greedy taken row (the take itself carries
+                # NOT(greedy take)) invalidates the whole expansion
+                kl = F.col(f"__gsp{j2}")["kl"]
+                bad = kl.isNotNull() & (
+                    kl["__to_rid"] <= F.col(f"__pn{j2}")
+                )
+                g = g.where(~F.coalesce(bad, F.lit(False)))
 
             def _clear(col):  # no matching event after the last take,
                 return F.col(col).isNull() | (  # below the horizon
@@ -2289,7 +2446,7 @@ class PatternStream:
                 )
             return rows, surv, dead
 
-        frames = [(_timeouts(*plan), plan[1]) for plan in plans]
+        frames = [(_timeouts(*plan), plan[2]) for plan in plans]
 
         pruned = None
         if skip_mode != "no_skip":

@@ -1924,6 +1924,7 @@ def streaming_timed_out_partials(
             frozenset(j for j, s in enumerate(f_syms) if s not in f_user),
             skip["mode"],
             skip.get("sym"),
+            skip.get("tn"),
         )
 
     sample = events.select(*input_cols)
@@ -2145,7 +2146,7 @@ def streaming_timed_out_partials(
         # too (its deferral never crosses a later start's horizon).
         pruned_starts: set = set()
         if skip_compiled is not None and n and len(dec):
-            f_syms, match_at, f_filler, mode, skip_sym = skip_compiled
+            f_syms, match_at, f_filler, mode, skip_sym, tn_pred = skip_compiled
             # SkipToElementStrategy prunes with STRICT < (vs <= for the
             # whole-match strategies) and resumes AT the mapped element
             # — the resume point is >= the match start >= frontier −
@@ -2160,6 +2161,11 @@ def streaming_timed_out_partials(
                 np.asarray(skip["define"][s](pdf).to_numpy(), dtype=bool)
                 for s in f_syms
             ]
+            tn_arr = (
+                np.asarray(tn_pred(pdf).to_numpy(), dtype=bool)
+                if tn_pred is not None
+                else None
+            )
             # resume from the keyed cursor (the AFTER MATCH SKIP resume
             # position); a match starting at tick <= f_new has its
             # whole within-horizon buffered, so it is final. Rid
@@ -2174,6 +2180,11 @@ def streaming_timed_out_partials(
                 m = match_at(fbools, int(i), lim)
                 if m and m[0][1] in f_filler:
                     m = None  # filler-anchored: re-found at its real row
+                if m and tn_arr is not None and tn_arr[m[-1][0] + 1 : lim].any():
+                    # terminal notFollowedBy: the PENDING sequence is
+                    # killed by an N event in (last row, horizon) — no
+                    # match, no resume, the next start still scans
+                    m = None
                 if m:
                     e_pos = m[-1][0]
                     if mode == "past_last_row":
@@ -2185,9 +2196,14 @@ def streaming_timed_out_partials(
                         # infinite-loop / no-mapped-rows contract)
                         nxt = _resume_pos(m, mode, skip_sym, f_syms)
                         prid = rid_base + nxt
-                    matches_new.append(
-                        (rid_base + m[0][0], float(ticks[e_pos]), prid)
+                    # a terminal-NOT pending completes AT its horizon
+                    # (advanceTime turns it into a potential match)
+                    e_tick = (
+                        float(ticks[i]) + delta
+                        if tn_arr is not None
+                        else float(ticks[e_pos])
                     )
+                    matches_new.append((rid_base + m[0][0], e_tick, prid))
                     i = nxt
                 else:
                     i += 1

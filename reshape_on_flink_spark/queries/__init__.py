@@ -40,6 +40,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # driver row yet), then every query whose latest driver row is
     # round 3 (the stalest evidence in the ledger), then round-4
     # rows to fill the 50-slot cap (+10 queued spares beyond it).
+    "q_cep_timeout_group_until",
     "q_cep_timeout_greedy",
     # latest driver evidence: round 3
     "q_bpe_token_stats",

@@ -1752,6 +1752,106 @@ def q_cep_timeout_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CEP timed-out partials of a GROUP LOOP with until() (round 12) —
+# NFACompiler looping-GroupPattern states + the until stop edge on
+# every looping position. Pattern: signup fb (error fb purchase)+
+# .until(view) within 2 days, no_skip. With relaxed forced-take links
+# the per-start chain is DETERMINISTIC (take the first matching event
+# each step), so the oracle walks it with a recursive CTE over
+# precomputed next-error/next-purchase/next-view lookaheads: advance
+# while the next expected event precedes both the horizon and the next
+# view; die if a view comes first; otherwise the branch is parked and
+# reports at the horizon (given a witness row at/after it). Scale: the
+# same one-keyed-shuffle branch enumeration as q_cep_timeout.
+# ---------------------------------------------------------------------------
+@query(
+    "q_cep_timeout_group_until",
+    f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000
+               + ROW_NUMBER() OVER w0 AS ord
+      FROM events
+      WINDOW w0 AS (PARTITION BY user_id
+                    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+    ),
+    lk AS (
+      SELECT user_id, event_id, event_type, ord,
+             MIN(CASE WHEN event_type = 'error' THEN ord END) OVER wf AS nx_b,
+             MIN(CASE WHEN event_type = 'purchase' THEN ord END) OVER wf AS nx_c,
+             MIN(CASE WHEN event_type = 'view' THEN ord END) OVER wf AS nx_u,
+             MAX(ord) OVER (PARTITION BY user_id) AS pmax
+      FROM seq
+      WINDOW wf AS (PARTITION BY user_id ORDER BY ord
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    starts AS (
+      SELECT user_id, event_id AS a_id, ord AS a_ord
+      FROM lk
+      WHERE event_type = 'signup' AND pmax >= ord + {_CEP_SKIP_DELTA}
+    ),
+    chain(user_id, a_id, a_ord, cur, want_b, n) AS (
+      SELECT user_id, a_id, a_ord, a_ord, TRUE, 0 FROM starts
+      UNION ALL
+      SELECT c.user_id, c.a_id, c.a_ord,
+             CASE WHEN c.want_b THEN r.nx_b ELSE r.nx_c END,
+             NOT c.want_b, c.n + 1
+      FROM chain c
+      JOIN lk r ON r.user_id = c.user_id AND r.ord = c.cur
+      WHERE CASE WHEN c.want_b THEN r.nx_b ELSE r.nx_c END IS NOT NULL
+        AND CASE WHEN c.want_b THEN r.nx_b ELSE r.nx_c END
+              < c.a_ord + {_CEP_SKIP_DELTA}
+        AND (r.nx_u IS NULL
+             OR CASE WHEN c.want_b THEN r.nx_b ELSE r.nx_c END < r.nx_u)
+    )
+    SELECT c.user_id, c.a_id, CAST(1 + c.n AS BIGINT) AS n_rows,
+           CAST(c.a_ord + {_CEP_SKIP_DELTA} AS BIGINT) AS timeout_ord
+    FROM chain c
+    JOIN lk r ON r.user_id = c.user_id AND r.ord = c.cur
+    WHERE COALESCE(
+            LEAST(CASE WHEN c.want_b THEN r.nx_b ELSE r.nx_c END, r.nx_u),
+            c.a_ord + {_CEP_SKIP_DELTA}
+          ) >= c.a_ord + {_CEP_SKIP_DELTA}
+    ORDER BY c.user_id, c.a_id
+    """,
+)
+def q_cep_timeout_group_until(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w0 = W.partitionBy("user_id").orderBy("sec", "event_id")
+    src = ev.select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("long").alias("sec")
+    ).withColumn(
+        "ord", F.col("sec") * 100000 + F.row_number().over(w0)
+    )
+    grp = (
+        Pattern.begin("B").where(F.col("event_type") == "error")
+        .followed_by("C").where(F.col("event_type") == "purchase")
+    )
+    pat = (
+        Pattern.begin("A").where(F.col("event_type") == "signup")
+        .followed_by(grp).one_or_more()
+        .until(F.col("event_type") == "view")
+        .within(_CEP_SKIP_DELTA)
+    )
+    ps = CEP.pattern(src, pat, "user_id", "ord", after_match="no_skip")
+    t = ps.timed_out_partial_matches()
+    return (
+        t.groupBy("user_id", "timeout_id")
+        .agg(
+            F.min(F.when(F.col("matched_symbol") == "A", F.col("event_id"))).alias("a_id"),
+            F.count("*").alias("n_rows"),
+            F.min("timeout_ts").cast("bigint").alias("timeout_ord"),
+        )
+        .select("user_id", "a_id", "n_rows", "timeout_ord")
+        .orderBy("user_id", "a_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Changelog-consuming JOIN (round 10) — StreamingJoinOperator.java:123-198
 # under the hash gate. The LEFT input is the per-user retract-agg
 # HISTORY (closed-form: the q_retract_transitions recipe — +I then

@@ -738,15 +738,22 @@ def test_timeout_timestamp_order_and_loud_guards(spark):
     nowithin = Pattern.begin("a").where(_n("start")).followed_by("b").where(_n("middle"))
     with pytest.raises(ValueError, match="within"):
         CEP.pattern(df, nowithin, "k", "ts", after_match="no_skip").timed_out_partial_matches()
-    # greedy directly before the final stage is SUPPORTED (round 12);
-    # the residual guard is interior greedy (2+ positive stages after)
+    # interior greedy (2+ positive stages after) is SUPPORTED on batch
+    # (round 12, late — the de-greedy'd span-kill enumeration): the
+    # mid-loop park {start} and the span-clean {start,middle} park at c
+    # both report
     greedy_interior = (
         Pattern.begin("a").where(_n("start")).one_or_more().greedy()
         .followed_by("b").where(_n("middle"))
-        .followed_by("c").where(_n("end")).within(10)
+        .followed_by("c").where(_n("end")).within("10 seconds")
     )
-    with pytest.raises(NotImplementedError, match="greedy"):
-        CEP.pattern(df, greedy_interior, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+    got_gi = {
+        (r.timeout_id.split("#")[0], r.ts.second)
+        for r in CEP.pattern(df, greedy_interior, "k", "ts",
+                             after_match="no_skip")
+        .timed_out_partial_matches().collect()
+    }
+    assert {s for _t, s in got_gi} == {1, 3}, got_gi
     # skip strategies are supported on the batch route (round 11): with
     # no completed match in this fixture there is nothing to prune, so
     # the default past_last_row equals no_skip here
@@ -1848,18 +1855,10 @@ def test_timeout_reluctant_equals_default(spark):
 
 
 def test_timeout_greedy_residual_guards(spark):
-    """Interior greedy (2+ positive stages after), greedy before an
-    optional successor, and greedy + allow_combinations stay loud."""
+    """greedy + allow_combinations stays loud (the TRUE inner ignore
+    branches around the sink guard)."""
     df = spark.createDataFrame([(1, 1, "c"), (1, 30, "x")],
                                "k int, ts int, name string")
-    opt_succ = (
-        Pattern.begin("C").where(_n("c"))
-        .followed_by("A").where(_n("a")).one_or_more().greedy()
-        .followed_by("B").where(_n("b")).optional()
-        .followed_by("D").where(_n("d")).within(10)
-    )
-    with pytest.raises(NotImplementedError, match="greedy"):
-        CEP.pattern(df, opt_succ, "k", "ts", after_match="no_skip").timed_out_partial_matches()
     comb = (
         Pattern.begin("A").where(_n("a")).one_or_more()
         .allow_combinations().greedy()
@@ -1867,6 +1866,100 @@ def test_timeout_greedy_residual_guards(spark):
     )
     with pytest.raises(NotImplementedError, match="allow_combinations|combinations"):
         CEP.pattern(df, comb, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+
+
+def _ig_pat():
+    return (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by("B").where(_n("b")).one_or_more().greedy()
+        .followed_by("C").where(_n("c"))
+        .followed_by("D").where(_n("d")).within(10)
+    )
+
+
+def test_timeout_interior_greedy_span_kill(spark):
+    """greedy followed by 2+ positive stages (round 12, late): a park
+    at D whose prefix passed THROUGH B+.greedy keeps exactly the
+    expansions with no B-take-able event between the last B and the C
+    take (updateWithGreedyCondition on the sink). a b1 b2 c: the
+    {a,b1,c} expansion is span-killed by b2, only {a,b1,b2,c} parks."""
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "c"),
+                (1, 30, "x")],
+        _ig_pat(), "no_skip",
+    ) == {(frozenset({1, 2, 3, 4}), 11.0), (frozenset({1, 2, 3}), 11.0)}
+
+
+def test_timeout_interior_greedy_interleaved_takes(spark):
+    """The possessive-commit divergence case: a b1 c b2 — the branch
+    that proceeded at c@3 is PAST the guarded sink when b@4 arrives
+    ({a,b1,c} parks at D), while the loop branch was forced through
+    b@4 ({a,b1,b2} parks mid-loop). A longest-commit prefix would lose
+    the first."""
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"),
+                (1, 30, "x")],
+        _ig_pat(), "no_skip",
+    ) == {(frozenset({1, 2, 3}), 11.0), (frozenset({1, 2, 4}), 11.0)}
+    # quiet control: both the D-park and the loop park survive
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 30, "x")],
+        _ig_pat(), "no_skip",
+    ) == {(frozenset({1, 2, 3}), 11.0), (frozenset({1, 2}), 11.0)}
+
+
+def _go_pat():
+    return (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by("B").where(_n("b")).one_or_more().greedy()
+        .followed_by("C").where(_n("c")).optional()
+        .followed_by("D").where(_n("d")).within(10)
+    )
+
+
+def test_timeout_greedy_before_optional_successor(spark):
+    """greedy before an optional successor (round 12, late): the copy
+    BEYOND the guarded sink spawns only if the FIRST gap event passes
+    the sink's NOT(take) — a later B cannot kill it ('adj', not 'gap').
+    a b x b: the D-copy of {a,b@2} spawned at x@3 and survives b@4;
+    a b b x: the first gap event IS B-take-able, so it never spawned."""
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "x"), (1, 4, "b"),
+                (1, 30, "x")],
+        _go_pat(), "no_skip",
+    ) == {(frozenset({1, 2}), 11.0), (frozenset({1, 2, 4}), 11.0)}
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "x"),
+                (1, 30, "x")],
+        _go_pat(), "no_skip",
+    ) == {(frozenset({1, 2, 3}), 11.0)}
+    # C present: the span-killed D-park route coexists with the copy
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 30, "x")],
+        _go_pat(), "no_skip",
+    ) == {(frozenset({1, 2, 3}), 11.0), (frozenset({1, 2}), 11.0)}
+
+
+def test_timeout_interior_greedy_streaming_guard(spark, tmp_dir):
+    """The de-greedy'd span-kill enumeration is batch-only."""
+    import os
+
+    src = os.path.join(tmp_dir, "ig_guard_src")
+    df = spark.createDataFrame([(1, 1, "a"), (1, 30, "x")],
+                               "k int, ts int, name string")
+    df.write.parquet(src)
+    sdf = spark.readStream.schema(df.schema).parquet(src)
+    pat = (
+        Pattern.begin("A").where(lambda pdf: pdf["name"] == "a")
+        .followed_by("B").where(lambda pdf: pdf["name"] == "b")
+        .one_or_more().greedy()
+        .followed_by("C").where(lambda pdf: pdf["name"] == "c")
+        .followed_by("D").where(lambda pdf: pdf["name"] == "d")
+        .within(10)
+    )
+    with pytest.raises(NotImplementedError, match="batch route only"):
+        CEP.pattern(sdf, pat, "k", "ts",
+                    after_match="no_skip").timed_out_partial_matches()
 
 
 def test_timeout_greedy_streaming_equals_batch(spark, tmp_dir):
@@ -1979,7 +2072,9 @@ def test_timeout_group_skip_strategy_prunes_inner_park(spark):
 
 def test_timeout_group_residual_guards(spark):
     """Quantified groups WORK (round 12 late — the quiet head-waiter
-    here times out); until() on a group stays loud."""
+    here times out), as does until() on a group loop (lifted later the
+    same round: the quiet head-waiter still reports, a stop event
+    kills it)."""
     df = spark.createDataFrame([(1, 1, "a"), (1, 30, "x")],
                                "k int, ts int, name string")
     grp = Pattern.begin("B").where(_n("b")).followed_by("C").where(_n("c"))
@@ -1997,8 +2092,17 @@ def test_timeout_group_residual_guards(spark):
         Pattern.begin("A").where(_n("a"))
         .followed_by(grp2).one_or_more().until(_n("u")).within(10)
     )
-    with pytest.raises(NotImplementedError, match="group"):
-        CEP.pattern(df, until, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+    got_u = _collect_timeouts(
+        CEP.pattern(df, until, "k", "ts", after_match="no_skip")
+        .timed_out_partial_matches()
+    )
+    assert got_u == {(frozenset({1}), 11.0)}, got_u
+    df_u = spark.createDataFrame([(1, 1, "a"), (1, 2, "u"), (1, 30, "x")],
+                                 "k int, ts int, name string")
+    assert _collect_timeouts(
+        CEP.pattern(df_u, until, "k", "ts", after_match="no_skip")
+        .timed_out_partial_matches()
+    ) == set()
 
 
 def test_timeout_group_streaming_equals_batch(spark, tmp_dir):
@@ -2175,25 +2279,42 @@ def test_timeout_terminal_not_skip_to_element_is_strict(spark):
     }
 
 
-def test_timeout_terminal_not_skip_streaming_guard(spark, tmp_dir):
-    """The streaming route stays loud: the incremental full-pattern
-    cursor does not model horizon-close pending completion."""
-    import os
+def test_timeout_terminal_not_skip_streaming_equals_batch(spark, tmp_dir):
+    """Terminal notFollowedBy under a skip strategy on the STREAMING
+    route: the incremental cursor treats a found sequence as PENDING —
+    killed by an N in (last row, horizon), else completing AT the
+    horizon — and the keyed emission replay prunes with that tick.
+    Same fixtures as the batch matrices."""
+    def c(name):
+        return lambda pdf, _n=name: pdf["name"] == _n
 
-    src = os.path.join(tmp_dir, "tn_skip_guard_src")
-    df = spark.createDataFrame([(1, 1, "a"), (1, 30, "x")],
-                               "k int, ts int, name string")
-    df.write.parquet(src)
-    sdf = spark.readStream.schema(df.schema).parquet(src)
     pat = (
-        Pattern.begin("A").where(lambda pdf: pdf["name"] == "a")
-        .followed_by("B").where(lambda pdf: pdf["name"] == "b")
-        .not_followed_by("N").where(lambda pdf: pdf["name"] == "nn")
+        Pattern.begin("A").where(c("a"))
+        .followed_by("B").where(c("b"))
+        .followed_by("C").where(c("c"))
+        .not_followed_by("N").where(c("nn"))
         .within(10)
     )
-    with pytest.raises(NotImplementedError, match="horizon-close"):
-        CEP.pattern(sdf, pat, "k", "ts",
-                    after_match="past_last_row").timed_out_partial_matches()
+    # interior partial pruned by the horizon-close emission (key 1) vs
+    # the emission-at-horizon escape (key 2: horizon 12 <= emit 13)
+    df = spark.createDataFrame(
+        [(1, 0, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"),
+         (1, 11, "w"), (1, 14, "w"),
+         (2, 0, "a"), (2, 1, "b"), (2, 2, "a"), (2, 3, "c"), (2, 13, "w")],
+        "k int, ts int, name string",
+    )
+    assert _stream_timeouts(
+        spark, tmp_dir, df, pat, "tnsk_sb", after="past_last_row"
+    ) == {(frozenset({2}), 12.0)}
+    # N-killed pending prunes nothing
+    df2 = spark.createDataFrame(
+        [(1, 0, "a"), (1, 2, "b"), (1, 3, "a"), (1, 4, "c"), (1, 5, "nn"),
+         (1, 14, "w")],
+        "k int, ts int, name string",
+    )
+    assert _stream_timeouts(
+        spark, tmp_dir, df2, pat, "tnsk_sb2", after="past_last_row"
+    ) == {(frozenset({3}), 13.0)}
 
 
 def test_timeout_not_before_followed_by_any(spark):
@@ -2335,18 +2456,9 @@ def test_timeout_optional_group_absent_branch_copy(spark):
 
 
 def test_timeout_group_loop_residual_guards(spark):
-    """Non-relaxed iteration contiguity, nested inner quantifiers and
-    until() on a quantified group stay loud."""
+    """Nested inner quantifiers on a quantified group stay loud."""
     df = spark.createDataFrame([(1, 1, "a"), (1, 30, "x")],
                                "k int, ts int, name string")
-    grp = Pattern.begin("B").where(_n("b")).followed_by("C").where(_n("c"))
-    consec = (
-        Pattern.begin("A").where(_n("a"))
-        .followed_by(grp).times(2).consecutive()
-        .followed_by("D").where(_n("d")).within(10)
-    )
-    with pytest.raises(NotImplementedError, match="contiguity"):
-        CEP.pattern(df, consec, "k", "ts", after_match="no_skip").timed_out_partial_matches()
     inner_q = Pattern.begin("B").where(_n("b")).one_or_more().followed_by("C").where(_n("c"))
     nested = (
         Pattern.begin("A").where(_n("a"))
@@ -2355,14 +2467,174 @@ def test_timeout_group_loop_residual_guards(spark):
     )
     with pytest.raises(NotImplementedError, match="inner stage"):
         CEP.pattern(df, nested, "k", "ts", after_match="no_skip").timed_out_partial_matches()
-    grp3 = Pattern.begin("B").where(_n("b")).followed_by("C").where(_n("c"))
-    unt = (
+
+
+def _gqu_pat(lo, hi=None, within=10):
+    grp = Pattern.begin("B").where(_n("b")).followed_by("C").where(_n("c"))
+    p = Pattern.begin("A").where(_n("a")).followed_by(grp)
+    p = (p.times(lo) if hi is None else p.times(lo, hi)).until(_n("u"))
+    return p.followed_by("D").where(_n("d")).within(within)
+
+
+def test_timeout_group_loop_until_kills_parked_shapes(spark):
+    """until() on a quantified group (round 12, late): the stop edge
+    guards every looping position — inside iteration 1, between
+    iterations (below the copy minimum), inside iteration 2, and the
+    head waiter; each dies on a stop event in its gap."""
+    pat = _gqu_pat(2)
+    # inside iteration 1: {a,b} waiting C dies at u@3
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "u"), (1, 30, "x")],
+        pat, "no_skip",
+    ) == set()
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "x"), (1, 30, "x")],
+        pat, "no_skip",
+    ) == {(frozenset({1, 2}), 11.0)}
+    # between iterations, below the times(2) minimum (no PROCEED copy)
+    assert _skip_touts(
+        spark,
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "u"), (1, 30, "x")],
+        pat, "no_skip",
+    ) == set()
+    # inside iteration 2: {a,b,c,b} waiting C dies at u@5
+    assert _skip_touts(
+        spark,
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"), (1, 5, "u"),
+         (1, 30, "x")],
+        pat, "no_skip",
+    ) == set()
+    # head waiter {a} dies on a stop event before the first entry
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "u"), (1, 30, "x")], pat, "no_skip"
+    ) == set()
+
+
+def test_timeout_group_loop_until_guards_prefix_gaps(spark):
+    """The until threads into the IN-PROGRESS iteration's inner gaps
+    and takes (the partial-group wrap): a stop event inside the B->C
+    gap kills that branch, so no between-iterations park may claim
+    {a,b,c} across it."""
+    pat = _gqu_pat(2)
+    assert _skip_touts(
+        spark,
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "u"), (1, 4, "c"), (1, 30, "x")],
+        pat, "no_skip",
+    ) == set()
+
+
+def test_timeout_group_loop_until_copy_survives(spark):
+    """With the loop minimum met, the PROCEED copy at D is OUTSIDE the
+    looping states: the stop event kills the between-iterations waiter
+    but the already-spawned copy still times out (mirrors the plain-
+    loop copy-survives-the-until-event matrix)."""
+    assert _skip_touts(
+        spark,
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "x"), (1, 5, "u"),
+         (1, 30, "x")],
+        _gqu_pat(1, 2), "no_skip",
+    ) == {(frozenset({1, 2, 3}), 11.0)}
+
+
+def test_timeout_group_loop_consecutive(spark):
+    """consecutive() iteration contiguity (round 12, late): the
+    between-iterations waiter dies on any non-adjacent event; an
+    adjacent entry chains iteration 2 exactly as relaxed would."""
+    grp = Pattern.begin("B").where(_n("b")).followed_by("C").where(_n("c"))
+    pat = (
         Pattern.begin("A").where(_n("a"))
-        .followed_by(grp3).times(2).until(_n("u"))
+        .followed_by(grp).times(2).consecutive()
         .followed_by("D").where(_n("d")).within(10)
     )
-    with pytest.raises(NotImplementedError, match="until"):
-        CEP.pattern(df, unt, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+    # quiet gap: the strict waiter times out like the relaxed one
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 30, "x")],
+        pat, "no_skip",
+    ) == {(frozenset({1, 2, 3}), 11.0)}
+    # a non-entry event in the gap kills the strict waiter (relaxed
+    # would survive it) — and a later entry cannot resurrect it
+    assert _skip_touts(
+        spark,
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "x"), (1, 30, "x")],
+        pat, "no_skip",
+    ) == set()
+    assert _skip_touts(
+        spark,
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "x"), (1, 5, "b"),
+         (1, 30, "x")],
+        pat, "no_skip",
+    ) == set()
+    # directly-adjacent entry: iteration 2 parks inside as usual
+    assert _skip_touts(
+        spark,
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"), (1, 30, "x")],
+        pat, "no_skip",
+    ) == {(frozenset({1, 2, 3, 4}), 11.0)}
+
+
+def test_timeout_group_loop_allow_combinations(spark):
+    """allowCombinations() iteration contiguity: the between-iterations
+    waiter is a TRUE ignore — it persists through entry events (each
+    spawns an iteration-2 branch) and still times out itself."""
+    grp = Pattern.begin("B").where(_n("b")).followed_by("C").where(_n("c"))
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp).times(2).allow_combinations()
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    assert _skip_touts(
+        spark,
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "x"), (1, 5, "b"),
+         (1, 30, "x")],
+        pat, "no_skip",
+    ) == {(frozenset({1, 2, 3}), 11.0), (frozenset({1, 2, 3, 5}), 11.0)}
+    # two candidate second entries both branch (SKIP_TILL_ANY link)
+    assert _skip_touts(
+        spark,
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"), (1, 5, "b"),
+         (1, 30, "x")],
+        pat, "no_skip",
+    ) == {
+        (frozenset({1, 2, 3}), 11.0),
+        (frozenset({1, 2, 3, 4}), 11.0),
+        (frozenset({1, 2, 3, 5}), 11.0),
+    }
+
+
+def test_timeout_group_loop_until_and_contiguity_streaming(spark, tmp_dir):
+    """Group-loop until() and consecutive() ride the streaming plan
+    dicts: chunked replay == the batch matrices."""
+    def c(name):
+        return lambda pdf, _n=name: pdf["name"] == _n
+
+    gu = Pattern.begin("B").where(c("b")).followed_by("C").where(c("c"))
+    pat_u = (
+        Pattern.begin("A").where(c("a"))
+        .followed_by(gu).times(2).until(c("u"))
+        .followed_by("D").where(c("d")).within(10)
+    )
+    df_u = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "u"), (1, 30, "x"),
+         (2, 1, "a"), (2, 2, "b"), (2, 3, "x"), (2, 30, "x")],
+        "k int, ts int, name string",
+    )
+    assert _stream_timeouts(spark, tmp_dir, df_u, pat_u, "gqu_sb") == {
+        (frozenset({1, 2}), 11.0)
+    }
+    gc = Pattern.begin("B").where(c("b")).followed_by("C").where(c("c"))
+    pat_c = (
+        Pattern.begin("A").where(c("a"))
+        .followed_by(gc).times(2).consecutive()
+        .followed_by("D").where(c("d")).within(10)
+    )
+    df_c = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "x"), (1, 30, "x"),
+         (2, 1, "a"), (2, 2, "b"), (2, 3, "c"), (2, 4, "b"), (2, 30, "x")],
+        "k int, ts int, name string",
+    )
+    assert _stream_timeouts(spark, tmp_dir, df_c, pat_c, "gqc_sb") == {
+        (frozenset({1, 2, 3, 4}), 11.0)
+    }
 
 
 def test_timeout_group_loop_streaming_equals_batch(spark, tmp_dir):
