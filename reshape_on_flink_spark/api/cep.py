@@ -1750,22 +1750,19 @@ class PatternStream:
             head(t)'s own consumption rule, so: copy times out iff SOME
             event precedes the horizon AND (fb) no take_t does.
 
-            ``greedy=(kill_key, sink_idx)``: a preceding greedy stage
-            guards the PROCEED sink — the copy AT the sink dies on any
-            greedy-take-able gap event ('gap'); copies BEYOND it spawn
-            only if the first gap event passes the sink's guard
-            ('adj')."""
+            ``greedy``: tuple of (kill_key, sink_idx) — each preceding
+            greedy stage guards its PROCEED sink: the copy AT the sink
+            dies on any greedy-take-able gap event ('gap'); copies
+            BEYOND it spawn only if the first gap event passes the
+            sink's guard ('adj')."""
             out = []
             for t in targets:
                 st = stages[t]
                 if st.kind == "next":
                     continue  # no ignore edge -> no migrated copy
                 kls = _kills_for(t, True)
-                if greedy is not None:
-                    kls = (
-                        *kls,
-                        ("gap" if t == greedy[1] else "adj", greedy[0]),
-                    )
+                for gkey2, sink in greedy or ():
+                    kls = (*kls, ("gap" if t == sink else "adj", gkey2))
                 if st.kind == "followed_by_any":
                     out.append(("fba", None, kls))
                 elif st.group is not None:
@@ -1872,13 +1869,25 @@ class PatternStream:
                 # followed_by (NOT(true) never fires): the adjacent /
                 # any event takes or kills the waiter
                 primary = ("any", None, ())
+            gtuple = ((gkey, k),) if gkey is not None else ()
+            if (
+                waiting.quant is not None
+                and waiting.quant[2] is True
+                and waiting.quant[1] is not None
+                and _optable(waiting)
+                and k < n - 1
+            ):
+                # a ZERO-ABLE BOUNDED greedy times-loop guards the
+                # ORIGINAL successor state (createTimesState applies
+                # updateWithGreedyCondition to it before building the
+                # chain, so the zero-take PROCEED lands on guarded
+                # states) — unbounded optional loops guard only the
+                # loop's COPY, leaving the zero-take branch unguarded
+                gtuple = (*gtuple, (_greedy_key(k), k + 1))
             copies = (
-                _copies_for(
-                    _chain(k + 1),
-                    # the waiter at k IS the guarded sink, so every copy
-                    # beyond it takes the spawn-blocking 'adj' form
-                    greedy=(gkey, k) if gkey is not None else None,
-                )
+                # the waiter at k IS prev's guarded sink, so every copy
+                # beyond it takes the spawn-blocking 'adj' form
+                _copies_for(_chain(k + 1), greedy=gtuple)
                 if _optable(waiting)
                 else []
             )
@@ -1925,7 +1934,7 @@ class PatternStream:
             )
             copies = _copies_for(
                 _chain(p + 1),
-                greedy=(mgk, p + 1) if mgk is not None else None,
+                greedy=((mgk, p + 1),) if mgk is not None else (),
             )
             lo = s.quant[0]
             gate = (s.name, lo) if (copies and lo >= 2) else None
@@ -2135,10 +2144,26 @@ class PatternStream:
                         for ii in pos[j + 1:]
                         for ps in _positive_leaf_stages([out[ii]])
                     ]
-                    spans.append((st.name, post, _need_kill(
-                        f"gsp_{st.name}", st.cond, st.pandas_cond,
-                        f"greedy take condition of {st.name!r}",
-                    )))
+                    # span anchor: the last row BEFORE the post-greedy
+                    # take. 'anchor' mode = max non-post row (covers
+                    # ZERO-take assignments too — a bounded times-loop
+                    # guards the ORIGINAL successor before building the
+                    # chain, so the zero-take path is guarded); 'g'
+                    # mode anchors on the last greedy row only (an
+                    # unbounded optional loop guards only its COPY of
+                    # the sink — the zero-take branch is exempt)
+                    zb_unbounded = (
+                        (st.opt or st.quant[0] == 0)
+                        and st.quant[1] is None
+                    )
+                    spans.append((
+                        "g" if zb_unbounded else "anchor",
+                        st.name, post,
+                        _need_kill(
+                            f"gsp_{st.name}", st.cond, st.pandas_cond,
+                            f"greedy take condition of {st.name!r}",
+                        ),
+                    ))
             return out, spans
 
         plans = [
@@ -2297,14 +2322,20 @@ class PatternStream:
                         (F.col("matched_symbol") == gate[0]).cast("int")
                     ).alias("__cnt")
                 )
-            for j2, (gname, post, kkey) in enumerate(spans):
-                # the kill-scan struct AT the greedy stage's last row =
-                # the first greedy-take-able event after it, and the rid
-                # of the first post-greedy taken row
+            for j2, (mode, gname, post, kkey) in enumerate(spans):
+                # the kill-scan struct AT the span anchor row (the last
+                # greedy row, or the last pre-post row in 'anchor'
+                # mode) = the first greedy-take-able event after it,
+                # and the rid of the first post-greedy taken row
+                anchor = (
+                    F.col("matched_symbol") == gname
+                    if mode == "g"
+                    else ~F.col("matched_symbol").isin(post)
+                )
                 aggs.append(
                     F.max(
                         F.when(
-                            F.col("matched_symbol") == gname,
+                            anchor,
                             F.struct(
                                 F.col("__to_rid"),
                                 F.col(f"__to_kl_{kkey}").alias("kl"),

@@ -1940,6 +1940,50 @@ def test_timeout_greedy_before_optional_successor(spark):
     ) == {(frozenset({1, 2, 3}), 11.0), (frozenset({1, 2}), 11.0)}
 
 
+def test_timeout_greedy_zero_take_guard_split(spark):
+    """The reference guards the ORIGINAL successor only for a BOUNDED
+    zero-able greedy times-loop (createTimesState applies
+    updateWithGreedyCondition before building the chain, so the
+    zero-take PROCEED lands on guarded states); an UNBOUNDED optional
+    loop guards only its COPY of the sink (createLooping), leaving the
+    zero-take branch unguarded. Same fixture, opposite outcomes for
+    the zero-take copy {a} at C."""
+    bounded = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by("B").where(_n("b")).times(0, 2).greedy()
+        .followed_by("C").where(_n("c")).within(10)
+    )
+    rows = [(1, 1, "a"), (1, 2, "x"), (1, 3, "b"), (1, 30, "w")]
+    assert _skip_touts(spark, rows, bounded, "no_skip") == {
+        (frozenset({1, 3}), 11.0)
+    }
+    unbounded = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by("B").where(_n("b")).one_or_more().optional().greedy()
+        .followed_by("C").where(_n("c")).within(10)
+    )
+    assert _skip_touts(spark, rows, unbounded, "no_skip") == {
+        (frozenset({1}), 11.0), (frozenset({1, 3}), 11.0)
+    }
+
+
+def test_timeout_interior_greedy_zero_take_span(spark):
+    """Interior BOUNDED zero-able greedy: the span kill anchors on the
+    last pre-post row, so a ZERO-take expansion {a,c} is killed by a
+    B event between a and c (the guarded original's take carries
+    NOT(B)); the one-take expansion {a,b,c} parks."""
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by("B").where(_n("b")).times(0, 2).greedy()
+        .followed_by("C").where(_n("c"))
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 30, "w")],
+        pat, "no_skip",
+    ) == {(frozenset({1, 2, 3}), 11.0), (frozenset({1, 2}), 11.0)}
+
+
 def test_timeout_interior_greedy_streaming_guard(spark, tmp_dir):
     """The de-greedy'd span-kill enumeration is batch-only."""
     import os
