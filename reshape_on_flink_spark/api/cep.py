@@ -1392,16 +1392,20 @@ class PatternStream:
         greedy-take-able event in (last greedy take, next taken row] —
         the sink guard replayed, batch route only); and greedy before
         an optional successor (copies beyond the sink spawn-block on a
-        greedy-take-able FIRST gap event: an 'adj' kill).
+        greedy-take-able FIRST gap event: an 'adj' kill). The span-kill
+        enumeration and the horizon-close pending completion both run
+        on the STREAMING route too (numpy span scans per enumerated
+        expansion; the incremental cursor treats terminal-NOT
+        sequences as pendings). Zero-take guard split: a BOUNDED
+        zero-able greedy times-loop guards the ORIGINAL successor
+        (zero-take copies and span expansions included); an unbounded
+        optional loop guards only its sink COPY (zero-take exempt).
 
         Remaining loud guards: group loops with non-plain inner leaves
         (nested quantifiers/optionals/NOTs/untils inside the loop),
         greedy with allow_combinations (the TRUE inner ignore branches
-        around the sink guard), iterative conditions on scanned/killed
-        stages (branch-dependent take-ability), and on the STREAMING
-        route only: terminal notFollowedBy under a skip strategy
-        (horizon-close pending completion) and interior greedy (the
-        span-kill enumeration).
+        around the sink guard), and iterative conditions on scanned/
+        killed stages (branch-dependent take-ability).
         """
         from pyspark.sql import Window as SW
 
@@ -2173,13 +2177,6 @@ class PatternStream:
         # -> entries are now (pre_stages, spans, tag, primary, copies, gate)
 
         if streaming:
-            if any(spans for _pre, spans, *_rest in plans):
-                raise NotImplementedError(
-                    "streaming timeout side output: a greedy stage "
-                    "followed by 2+ positive stages — the de-greedy'd "
-                    "prefix enumeration with span kills runs on the "
-                    "batch route only"
-                )
             # horizon-close emission inside a stateful operator: each
             # parked shape becomes a compiled prefix pattern + pandas
             # survival predicates; one keyed shuffle, state bounded by
@@ -2190,16 +2187,28 @@ class PatternStream:
 
             lookahead = W.partitionBy(*keys).orderBy(*order)
             op_plans = []
-            for pre_stages, _spans, tag, primary, copies, gate in plans:
+            for pre_stages, spans, tag, primary, copies, gate in plans:
                 pre = Pattern()
                 pre._stages = pre_stages
                 pre._within = within
                 pat_s, _def, _usr, _win = pre.compile(
                     emit="all", lookahead_window=lookahead
                 )
+                spans_p = []
+                for mode, gname, post, kk in spans:
+                    if kill_specs[kk][1] is None:
+                        raise ValueError(
+                            "streaming timeout side output needs a "
+                            "pandas form of the greedy take condition "
+                            f"of {gname!r}"
+                        )
+                    spans_p.append(
+                        (mode, gname, frozenset(post), kill_specs[kk][1])
+                    )
                 op_plans.append(
                     dict(
                         pat=pat_s,
+                        spans=spans_p,
                         define=_build_pandas_define(pre),
                         user_syms=[
                             st.name

@@ -2076,6 +2076,11 @@ def streaming_timed_out_partials(
                     dead_gates[ii] = t
 
             prim_kills = _karr(prim[2]) if len(prim) > 2 else []
+            sp_arrs = [
+                (mode, gname, post,
+                 np.asarray(f(pdf).to_numpy(), dtype=bool))
+                for mode, gname, post, f in pl.get("spans", ())
+            ]
             cp_arrs = [
                 (
                     k2,
@@ -2100,6 +2105,31 @@ def streaming_timed_out_partials(
                     if kset in seen:  # filler splits of one partial
                         continue
                     seen.add(kset)
+                    # interior-greedy span kills (round 12, late): the
+                    # de-greedy'd prefix enumerates every expansion;
+                    # drop those with a greedy-take-able event in
+                    # (anchor, next taken row] — the sink guard. 'g'
+                    # mode anchors on the last greedy row (zero-take
+                    # exempt: unbounded optional loops guard only the
+                    # loop's sink COPY); 'anchor' mode on the last
+                    # pre-post row (bounded times guard the original)
+                    bad = False
+                    for mode, gname, post, sp in sp_arrs:
+                        if mode == "g":
+                            gp = [p2 for p2, s2 in rows if s2 == gname]
+                            if not gp:
+                                continue
+                            anchor = gp[-1]
+                        else:
+                            anchor = max(
+                                p2 for p2, s2 in rows if s2 not in post
+                            )
+                        nxt = min(p2 for p2, _s2 in rows if p2 > anchor)
+                        if sp[anchor + 1 : nxt + 1].any():
+                            bad = True
+                            break
+                    if bad:
+                        continue
                     j = rows[-1][0]
                     gap = slice(j + 1, lim)
                     gap_any = lim > j + 1

@@ -1984,26 +1984,41 @@ def test_timeout_interior_greedy_zero_take_span(spark):
     ) == {(frozenset({1, 2, 3}), 11.0), (frozenset({1, 2}), 11.0)}
 
 
-def test_timeout_interior_greedy_streaming_guard(spark, tmp_dir):
-    """The de-greedy'd span-kill enumeration is batch-only."""
-    import os
+def test_timeout_interior_greedy_streaming_equals_batch(spark, tmp_dir):
+    """The de-greedy'd span-kill enumeration on the streaming route ==
+    the batch matrices (span kill + possessive-divergence fixtures,
+    plus the zero-take 'anchor' span)."""
+    def c(name):
+        return lambda pdf, _n=name: pdf["name"] == _n
 
-    src = os.path.join(tmp_dir, "ig_guard_src")
-    df = spark.createDataFrame([(1, 1, "a"), (1, 30, "x")],
-                               "k int, ts int, name string")
-    df.write.parquet(src)
-    sdf = spark.readStream.schema(df.schema).parquet(src)
     pat = (
-        Pattern.begin("A").where(lambda pdf: pdf["name"] == "a")
-        .followed_by("B").where(lambda pdf: pdf["name"] == "b")
-        .one_or_more().greedy()
-        .followed_by("C").where(lambda pdf: pdf["name"] == "c")
-        .followed_by("D").where(lambda pdf: pdf["name"] == "d")
-        .within(10)
+        Pattern.begin("A").where(c("a"))
+        .followed_by("B").where(c("b")).one_or_more().greedy()
+        .followed_by("C").where(c("c"))
+        .followed_by("D").where(c("d")).within(10)
     )
-    with pytest.raises(NotImplementedError, match="batch route only"):
-        CEP.pattern(sdf, pat, "k", "ts",
-                    after_match="no_skip").timed_out_partial_matches()
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "c"), (1, 30, "x"),
+         (2, 1, "a"), (2, 2, "b"), (2, 3, "c"), (2, 4, "b"), (2, 30, "x")],
+        "k int, ts int, name string",
+    )
+    assert _stream_timeouts(spark, tmp_dir, df, pat, "ig_sb") == {
+        (frozenset({1, 2, 3, 4}), 11.0), (frozenset({1, 2, 3}), 11.0),
+        (frozenset({1, 2, 4}), 11.0),
+    }
+    zpat = (
+        Pattern.begin("A").where(c("a"))
+        .followed_by("B").where(c("b")).times(0, 2).greedy()
+        .followed_by("C").where(c("c"))
+        .followed_by("D").where(c("d")).within(10)
+    )
+    df2 = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 30, "w")],
+        "k int, ts int, name string",
+    )
+    assert _stream_timeouts(spark, tmp_dir, df2, zpat, "igz_sb") == {
+        (frozenset({1, 2, 3}), 11.0), (frozenset({1, 2}), 11.0)
+    }
 
 
 def test_timeout_greedy_streaming_equals_batch(spark, tmp_dir):
