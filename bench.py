@@ -95,6 +95,11 @@ HEADLINE = [
     # one window-scan column per greedy stage to the same multi-pass
     # timeout shape (no new shuffles beyond the q_cep_timeout model)
     "q_cep_timeout_greedy",
+    # round-12 late: group-loop timeouts with until() — the per-
+    # iteration-topology prefix plans (1a/1b/between) multiply the
+    # engine passes but each stays one keyed scan; the until kill adds
+    # one window-scan column shared across plans
+    "q_cep_timeout_group_until",
 ]
 
 
