@@ -1768,7 +1768,7 @@ class PatternStream:
                 for gkey2, sink in greedy or ():
                     kls = (*kls, ("gap" if t == sink else "adj", gkey2))
                 if st.kind == "followed_by_any":
-                    out.append(("fba", None, kls))
+                    out.append(("fba", None, kls, None))
                 elif st.group is not None:
                     # copy parked at a group target consumes on the
                     # group's entry condition (first positive leaf)
@@ -1780,12 +1780,14 @@ class PatternStream:
                             "entry condition of group", st.name,
                         ),
                         kls,
+                        None,
                     ))
                 elif _has_cond(st):
                     out.append((
                         "fb",
                         _need_scan(t, "migration target"),
                         kls,
+                        None,
                     ))
                 # unconditioned followed_by: NOT(take)=false, never fires
             return out
@@ -1806,6 +1808,41 @@ class PatternStream:
                 f"greedy take condition of {s.name!r}",
             )
 
+        def _rename_group(g):
+            # prefixes holding a completed-iterations group AND flat
+            # copies of its leaves suffix the group side to satisfy the
+            # compiler's cross-group name uniqueness; the output strips
+            # the suffix back off matched_symbol
+            g2 = Pattern()
+            g2._stages = [
+                dataclasses.replace(st, group=_rename_group(st.group))
+                if st.group is not None
+                else dataclasses.replace(st, name=st.name + "__gq")
+                for st in g._stages
+            ]
+            return g2
+
+        def _wrap_iter(gs, chain, kind):
+            """Prefix stages for an in-progress/final group iteration:
+            the taken leaf chain linked by ``kind``. With until() on
+            the group, wrap as an unquantified group on the carrier so
+            compile threads NOT(until) into inner bodies and gaps."""
+            if gs.until_cond is None and gs.until_pandas is None:
+                return [dataclasses.replace(chain[0], kind=kind),
+                        *chain[1:]]
+            part = Pattern()
+            part._stages = [dataclasses.replace(st) for st in chain]
+            return [dataclasses.replace(
+                gs, group=part, quant=None, opt=False, kind=kind,
+            )]
+
+        def _iter_link(gs):
+            return {
+                "relaxed": "followed_by",
+                "strict": "next",
+                "combinations": "followed_by_any",
+            }[gs.loop_mode or "relaxed"]
+
         # plan entries: (pre_stages, tag, primary, copies, loop_gate)
         plans = []
         # -- branches parked AT a stage's head state (last take exited
@@ -1820,11 +1857,42 @@ class PatternStream:
             pre_stages = _prefix_raw(k)
             if prev.quant is not None or prev.opt:
                 mx = 1 if prev.quant is None else prev.quant[1]
-                pre_stages[-1] = dataclasses.replace(
-                    prev,
-                    quant=None if prev.quant is None else (mx, mx, None),
-                    opt=False,  # absent branch parks at prev's own head
+                g_inner = (
+                    _flatten(list(prev.group._stages))
+                    if prev.group is not None
+                    else None
                 )
+                if g_inner is not None and g_inner[-1].opt:
+                    # maxed GROUP with an optable final leaf (round 12,
+                    # late): a final iteration completed WITHOUT its
+                    # tail is already covered by the waiting-position
+                    # plans' successor copies — restrict this prefix to
+                    # final-tail-present assignments to avoid cross-plan
+                    # duplicates
+                    chain = [dataclasses.replace(st) for st in g_inner]
+                    chain[-1] = dataclasses.replace(chain[-1], opt=False)
+                    head2 = pre_stages[:-1]
+                    if mx is not None and mx >= 2:
+                        gpr = dataclasses.replace(
+                            prev,
+                            quant=(mx - 1, mx - 1, None),
+                            opt=False,
+                            group=_rename_group(prev.group),
+                        )
+                        pre_stages = [
+                            *head2, gpr,
+                            *_wrap_iter(prev, chain, _iter_link(prev)),
+                        ]
+                    else:
+                        pre_stages = [
+                            *head2, *_wrap_iter(prev, chain, prev.kind),
+                        ]
+                else:
+                    pre_stages[-1] = dataclasses.replace(
+                        prev,
+                        quant=None if prev.quant is None else (mx, mx, None),
+                        opt=False,  # absent branch parks at prev's head
+                    )
             if pre_stages[-1].lead_not:
                 # the terminal carrier's lead() fold is horizon-blind
                 # (an adjacent kill event BEYOND the horizon must not
@@ -1900,7 +1968,8 @@ class PatternStream:
             carry = tuple(e for e in head_kills if e[0] == "adj")
             if carry and copies:
                 copies = [
-                    (kind, ii, (*kls, *carry)) for kind, ii, kls in copies
+                    (kind, ii, (*kls, *carry), cg)
+                    for kind, ii, kls, cg in copies
                 ]
             plans.append((pre_stages, str(k), primary, copies, None))
         # -- branches parked INSIDE a loop (1 <= taken < max): survival
@@ -1941,7 +2010,7 @@ class PatternStream:
                 greedy=((mgk, p + 1),) if mgk is not None else (),
             )
             lo = s.quant[0]
-            gate = (s.name, lo) if (copies and lo >= 2) else None
+            gate = ((s.name,), lo) if (copies and lo >= 2) else None
             # keep a NOT stage before the loop in the prefix: the
             # entry gap belongs to the mid-loop branch's own history
             plans.append(
@@ -1967,13 +2036,12 @@ class PatternStream:
             if s.group is None or (s.quant is None and not s.opt):
                 continue
             inner = _flatten(list(s.group._stages))
-            for st in inner:
+            for qi, st in enumerate(inner):
                 if (
                     st.kind not in ("begin", "next", "followed_by",
                                     "followed_by_any")
                     or st.group is not None
                     or st.quant is not None
-                    or st.opt
                     or st.until_cond is not None
                     or st.until_pandas is not None
                     or st.iter_cond is not None
@@ -1985,8 +2053,28 @@ class PatternStream:
                         f"timeout side output: quantified group "
                         f"{s.name!r} — inner stage {st.name!r} is not a "
                         "plain positive leaf (nested quantifiers/"
-                        "optionals/NOTs/untils inside a group loop are "
-                        "untraced)"
+                        "NOTs/untils inside a group loop are untraced)"
+                    )
+                if st.opt:
+                    # round 12 late: a full plan set for optional inner
+                    # leaves exists below (per-copy iteration gates,
+                    # boundary copies, tail-forced between/head-park
+                    # prefixes), but the underlying MATCH enumeration
+                    # over-admits fluid iteration links for optable
+                    # tails — the composed NOT(tail)-gap + NOT(entry)-
+                    # lgap accepts entry..tail..entry gaps the NFA
+                    # kills (the tail-waiter force-takes the first tail
+                    # event and the boundary copy force-takes the first
+                    # entry, so a valid link gap must be tail-free OR
+                    # entry-free, an alternation the token grammar
+                    # cannot express). Until the match surface grows
+                    # the two-path link filter, this stays loud.
+                    raise NotImplementedError(
+                        f"timeout side output: quantified group "
+                        f"{s.name!r} — inner stage {st.name!r} is "
+                        "OPTIONAL; the group-loop iteration links for "
+                        "optable tails need the two-path (tail-free OR "
+                        "entry-free) gap filter (see TODO round-13)"
                     )
             rp = raw_pos[p]
             # until() on the group loop (round 12, late): NFACompiler
@@ -2012,20 +2100,6 @@ class PatternStream:
                 else ()
             )
 
-            def _iter_prefix(chain, kind):
-                """Prefix stages for an in-progress iteration: the taken
-                leaf chain linked by ``kind``. With until(), wrap as an
-                unquantified group on the carrier stage so compile
-                threads NOT(until) into the inner bodies and gaps."""
-                if not has_gu:
-                    return [dataclasses.replace(chain[0], kind=kind),
-                            *chain[1:]]
-                part = Pattern()
-                part._stages = [dataclasses.replace(st) for st in chain]
-                return [dataclasses.replace(
-                    s, group=part, quant=None, opt=False, kind=kind,
-                )]
-
             def _inner_primary(st, key):
                 if st.kind == "followed_by_any":
                     return ("persist", None, gu)
@@ -2045,59 +2119,119 @@ class PatternStream:
             # take and the between-iterations waiting rule; completed
             # iterations enforce it inside the prefix via gprev's own
             # loop_mode
-            iter_kind = {
-                "relaxed": "followed_by",
-                "strict": "next",
-                "combinations": "followed_by_any",
-            }[s.loop_mode or "relaxed"]
+            iter_kind = _iter_link(s)
+            mx = 1 if s.quant is None else s.quant[1]
+            lo = (0 if s.opt else 1) if s.quant is None else s.quant[0]
+            ec, ep, ei, en = _first_positive_cond(s.group._stages)
+            # iteration count per assignment = entry-leaf takes across
+            # the renamed completed-iterations group AND the current
+            # in-progress chain
+            cnt_syms = (en, en + "__gq")
+            succ_gate = ("ge", lo) if lo >= 2 else None
+            succ_copies = [
+                (kk, ii, kls, succ_gate)
+                for kk, ii, kls, _cg in _copies_for(_chain(p + 1))
+            ]
+
+            def _chain_forced(upto):
+                """inner[:upto] with the LAST stage forced present —
+                assignments where it is absent are exactly the earlier
+                waiting positions' copies (no cross-plan duplicates)."""
+                ch = [dataclasses.replace(st) for st in inner[:upto]]
+                ch[-1] = dataclasses.replace(ch[-1], opt=False)
+                return ch
+
+            def _inner_copies(i):
+                """Migrated copies of a branch waiting at inner
+                position i (round 12, late — OPTIONAL inner leaves):
+                inner targets through the optable tail; iff the tail
+                reaches the iteration end, the iteration is
+                COMPLETABLE and the branch also proceeds to the
+                boundary — the next-iteration entry wait (absent under
+                consecutive() links; persisting under fbAny links)
+                valid while iterations < mx, and the outer successors
+                valid once iterations >= lo."""
+                if not _optable(inner[i]):
+                    return []
+                out, j, reach_end = [], i + 1, False
+                while True:
+                    if j >= len(inner):
+                        reach_end = True
+                        break
+                    st2 = inner[j]
+                    if st2.kind == "followed_by_any":
+                        out.append(("fba", None, gu, None))
+                    elif st2.kind != "next" and _has_cond(st2):
+                        out.append((
+                            "fb",
+                            _need_scan_cond(
+                                f"gi{p}_{j}", st2.cond, st2.pandas_cond,
+                                st2.iter_cond, "group inner stage",
+                                st2.name,
+                            ),
+                            gu, None,
+                        ))
+                    if not _optable(st2):
+                        break
+                    j += 1
+                if not reach_end:
+                    return out
+                if (mx is None or mx >= 2) and iter_kind != "next":
+                    bg = ("lt", mx) if mx is not None else None
+                    if iter_kind == "followed_by_any":
+                        out.append(("fba", None, gu, bg))
+                    else:
+                        out.append((
+                            "fb",
+                            _need_scan_cond(
+                                f"ge{p}", ec, ep, ei,
+                                "entry condition of group", s.name,
+                            ),
+                            gu, bg,
+                        ))
+                out.extend(succ_copies)
+                return out
+
+            def _g_gate(cps):
+                return (cnt_syms, None) if any(
+                    cg is not None for *_x, cg in cps
+                ) else None
 
             # (1a) first iteration in progress
             for i in range(1, len(inner)):
-                pre = [*raw[:rp], *_iter_prefix(inner[:i], s.kind)]
+                pre = [*raw[:rp], *_wrap_iter(s, _chain_forced(i), s.kind)]
+                cps = _inner_copies(i)
                 plans.append((
                     pre, f"G{p}e{i}",
-                    _inner_primary(inner[i], f"gi{p}_{i}"), [], None,
+                    _inner_primary(inner[i], f"gi{p}_{i}"), cps,
+                    _g_gate(cps),
                 ))
-            mx = 1 if s.quant is None else s.quant[1]
-            lo = (0 if s.opt else 1) if s.quant is None else s.quant[0]
+
             if mx is None or mx >= 2:
                 gprev = dataclasses.replace(
                     s,
                     quant=(1, None if mx is None else mx - 1, None),
                     opt=False,
                 )
-
-                def _rename_group(g):
-                    # 1b prefixes hold the group AND flat copies of its
-                    # leaves — suffix the group side to satisfy the
-                    # compiler's cross-group name uniqueness; the output
-                    # strips the suffix back off matched_symbol
-                    g2 = Pattern()
-                    g2._stages = [
-                        dataclasses.replace(st, group=_rename_group(st.group))
-                        if st.group is not None
-                        else dataclasses.replace(st, name=st.name + "__gq")
-                        for st in g._stages
-                    ]
-                    return g2
-
                 gprev_r = dataclasses.replace(
                     gprev, group=_rename_group(s.group)
                 )
                 # (1b) iteration j+1 >= 2 in progress
                 for i in range(1, len(inner)):
                     pre = [*raw[:rp], gprev_r,
-                           *_iter_prefix(inner[:i], iter_kind)]
+                           *_wrap_iter(s, _chain_forced(i), iter_kind)]
+                    cps = _inner_copies(i)
                     plans.append((
                         pre, f"G{p}m{i}",
-                        _inner_primary(inner[i], f"gi{p}_{i}"), [], None,
+                        _inner_primary(inner[i], f"gi{p}_{i}"), cps,
+                        _g_gate(cps),
                     ))
-                # (2) between iterations: waiting for the next entry
-                # event — a forced take under relaxed contiguity, death
-                # on any event under consecutive(), a persisting true
-                # ignore under allowCombinations(); PROCEED copies once
-                # the minimum is met
-                ec, ep, ei, en = _first_positive_cond(s.group._stages)
+            # (2) between iterations: waiting for the next entry
+            # event — a forced take under relaxed contiguity, death
+            # on any event under consecutive(), a persisting true
+            # ignore under allowCombinations(); PROCEED copies once
+            # the minimum is met
+            if mx is None or mx >= 2:
                 if iter_kind == "next":
                     primary = ("any", None, ())
                 elif iter_kind == "followed_by_any":
@@ -2111,11 +2245,42 @@ class PatternStream:
                         ),
                         gu,
                     )
-                copies = _copies_for(_chain(p + 1))
-                gate = (en, lo) if (copies and lo >= 2) else None
-                plans.append((
-                    [*raw[:rp], gprev], f"G{p}w", primary, copies, gate,
-                ))
+                if not _optable(inner[-1]):
+                    # the last take of a completed iteration can only
+                    # be the final leaf: one plan over gprev
+                    plans.append((
+                        [*raw[:rp], gprev], f"G{p}w", primary,
+                        succ_copies, _g_gate(succ_copies),
+                    ))
+                else:
+                    # optable final leaf: a tail-absent completion's
+                    # between-wait is already some waiting position's
+                    # BOUNDARY copy — restrict these plans to last
+                    # take = the forced final leaf, split by whether
+                    # completed iterations precede (the entry link
+                    # kind differs)
+                    full = _chain_forced(len(inner))
+                    plans.append((
+                        [*raw[:rp], *_wrap_iter(s, full, s.kind)],
+                        f"G{p}wA", primary, succ_copies,
+                        _g_gate(succ_copies),
+                    ))
+                    if mx is None or mx >= 3:
+                        gprev2 = dataclasses.replace(
+                            s,
+                            quant=(1, None if mx is None else mx - 2,
+                                   None),
+                            opt=False,
+                        )
+                        gprev2_r = dataclasses.replace(
+                            gprev2, group=_rename_group(s.group)
+                        )
+                        plans.append((
+                            [*raw[:rp], gprev2_r,
+                             *_wrap_iter(s, full, iter_kind)],
+                            f"G{p}wB", primary, succ_copies,
+                            _g_gate(succ_copies),
+                        ))
 
         # interior greedy stages (round 12, late): a prefix that passes
         # THROUGH a greedy stage must enumerate EVERY expansion (the
@@ -2230,8 +2395,9 @@ class PatternStream:
                                 kk,
                                 None if ii is None else scan_specs[ii][1],
                                 [(fl, kill_specs[x][1]) for fl, x in kls],
+                                cg,
                             )
-                            for kk, ii, kls in copies
+                            for kk, ii, kls, cg in copies
                         ],
                         gate=gate,
                     )
@@ -2328,7 +2494,9 @@ class PatternStream:
             if gate is not None:
                 aggs.append(
                     F.sum(
-                        (F.col("matched_symbol") == gate[0]).cast("int")
+                        F.col("matched_symbol")
+                        .isin(list(gate[0]))
+                        .cast("int")
                     ).alias("__cnt")
                 )
             for j2, (mode, gname, post, kkey) in enumerate(spans):
@@ -2446,25 +2614,36 @@ class PatternStream:
                 cp = F.lit(False)
                 gated = (
                     F.lit(True)
-                    if gate is None
+                    if gate is None or gate[1] is None
                     else F.col("__cnt") >= F.lit(gate[1])
                 )
-                for kind, i, kls in copies:
+
+                def _cgated(cond, cg):
+                    # per-copy gate against the plan's count column:
+                    # ("ge", n) / ("lt", n) — the iteration-count
+                    # validity of boundary/successor copies
+                    if cg is None:
+                        return cond
+                    if cg[0] == "ge":
+                        return cond & (F.col("__cnt") >= F.lit(cg[1]))
+                    return cond & (F.col("__cnt") < F.lit(cg[1]))
+
+                for kind, i, kls, cg in copies:
                     term = (
                         trigger
                         if kind == "fba"
                         else trigger & _clear(f"__l__to_nt_{i}")
                     )
-                    cp = cp | (term & _kills_clear(kls))
+                    cp = cp | _cgated(term & _kills_clear(kls), cg)
                     if kls:
                         death_cands.append(F.when(
-                            trigger & gated,
+                            _cgated(trigger & gated, cg),
                             _least(_kill_deaths(
                                 kls,
                                 None if kind == "fba" else f"__l__to_nt_{i}",
                             )),
                         ))
-                if gate is not None:
+                if gate is not None and gate[1] is not None:
                     cp = cp & (F.col("__cnt") >= F.lit(gate[1]))
                 alive = alive | cp
             # event-driven expiry: a partition row at/after the horizon

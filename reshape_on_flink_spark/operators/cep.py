@@ -2086,6 +2086,7 @@ def streaming_timed_out_partials(
                     k2,
                     None if f2 is None else np.asarray(f2(pdf).to_numpy(), dtype=bool),
                     _karr(rest[0]) if rest else [],
+                    rest[1] if len(rest) > 1 else None,
                 )
                 for k2, f2, *rest in copies
             ]
@@ -2147,19 +2148,36 @@ def streaming_timed_out_partials(
                             prim_arr if prim[0] == "consume" else None,
                         )
                     gated = True
+                    cnt = 0
                     if gate is not None:
-                        cnt = sum(1 for _p, s2 in rows if s2 == gate[0])
-                        gated = cnt >= gate[1]
+                        gsyms = (
+                            gate[0]
+                            if isinstance(gate[0], (tuple, list, set))
+                            else (gate[0],)
+                        )
+                        cnt = sum(1 for _p, s2 in rows if s2 in gsyms)
+                        if gate[1] is not None:
+                            gated = cnt >= gate[1]
+
+                    def _cok(cg, _cnt=None):
+                        # per-copy gate against the iteration count
+                        if cg is None:
+                            return True
+                        c = cnt if _cnt is None else _cnt
+                        return c >= cg[1] if cg[0] == "ge" else c < cg[1]
+
                     if not alive and cp_arrs and gap_any and gated:
-                        for k2, arr, kls in cp_arrs:
+                        for k2, arr, kls, cg in cp_arrs:
                             if (
-                                k2 == "fba" or not arr[gap].any()
-                            ) and not _killed(kls, gap):
+                                _cok(cg)
+                                and (k2 == "fba" or not arr[gap].any())
+                                and not _killed(kls, gap)
+                            ):
                                 alive = True
                                 break
                     if skip_compiled is not None and gap_any and gated:
-                        for k2, arr, kls in cp_arrs:
-                            if kls:
+                        for k2, arr, kls, cg in cp_arrs:
+                            if kls and _cok(cg):
                                 _note_death(
                                     int(i), kls, gap,
                                     None if k2 == "fba" else arr,

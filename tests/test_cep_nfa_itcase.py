@@ -2535,6 +2535,30 @@ def _gqu_pat(lo, hi=None, within=10):
     return p.followed_by("D").where(_n("d")).within(within)
 
 
+def test_timeout_group_inner_optional_guard(spark):
+    """OPTIONAL inner leaves in a group loop stay loud: the match
+    enumeration's composed NOT(tail)-gap + NOT(entry)-lgap admits
+    entry..tail..entry iteration links the NFA kills (the tail-waiter
+    force-takes the first tail event, the boundary copy the first
+    entry — a valid link gap is tail-free OR entry-free). The full
+    parked-shape plan set (boundary copies, per-copy iteration gates,
+    tail-forced between/head-park prefixes) is in place behind the
+    guard pending the two-path link filter."""
+    df = spark.createDataFrame([(1, 1, "a"), (1, 30, "x")],
+                               "k int, ts int, name string")
+    grp = (
+        Pattern.begin("B").where(_n("b"))
+        .followed_by("C").where(_n("c")).optional()
+    )
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp).times(2)
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    with pytest.raises(NotImplementedError, match="OPTIONAL"):
+        CEP.pattern(df, pat, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+
+
 def test_timeout_group_loop_until_kills_parked_shapes(spark):
     """until() on a quantified group (round 12, late): the stop edge
     guards every looping position — inside iteration 1, between
