@@ -666,10 +666,12 @@ class Pattern:
             "stage_negs_pd": {},
             "gap_n": 0,
             "names": set(),
+            "fluid_links": [],
         }
         self._lgap_pandas = ctx["lgap_pandas"]
         self._iter_define = ctx["iter_define"]
         self._stage_negs_pd = ctx["stage_negs_pd"]
+        self._fluid_links = ctx["fluid_links"]
         self._terminal_not = None
 
         def and_negs(col, negs):
@@ -1040,6 +1042,27 @@ class Pattern:
                         define[lgap] = and_negs(F.lit(True), loop_negs)
                         ctx["lgap_pandas"][lgap] = ("true", None, pd_negs(loop_negs))
                         filler = f"{lgap}*" if emit == "all" else f"{lgap}*?"
+                    if s.group is not None and s.loop_mode == "relaxed":
+                        lv = [
+                            (st.name,
+                             st.opt
+                             or (st.quant is not None and st.quant[0] == 0))
+                            for st in _positive_leaf_stages(s.group._stages)
+                        ]
+                        if len(lv) > 1 and lv[-1][1]:
+                            # FLUID iteration links (optable tail): the
+                            # composed NOT(tail)-gap + NOT(entry)-lgap
+                            # grammar admits entry..tail..entry link
+                            # gaps the NFA kills (the tail-waiter
+                            # force-takes the first tail event, the
+                            # boundary copy the first entry). Matchers
+                            # post-filter enumerated candidates with
+                            # the two-path rule: a link gap after a
+                            # tail-absent iteration end must be S-free
+                            # for SOME S in {post-end optable conds} ∪
+                            # {entry} (one pure ignore path per
+                            # surviving NFA copy).
+                            ctx["fluid_links"].append(lv)
                     lo, hi, g = q
                     inner_lo, inner_hi = max(lo, 1), hi
                     qstr = brace(inner_lo - 1, None if inner_hi is None else inner_hi - 1)
@@ -1116,11 +1139,24 @@ class PatternStream:
         # killed expansion must not kill its surviving siblings.
         stages = self._pattern._stages
         has_tn = bool(stages) and stages[-1].kind == "not_followed_by"
+        lookahead = W.partitionBy(*self._keys).orderBy(*self._order)
         pat, define, user_syms, within = self._pattern.compile(
             emit="all" if (self._after == "no_skip" or has_tn) else "first",
-            lookahead_window=W.partitionBy(*self._keys).orderBy(*self._order),
+            lookahead_window=lookahead,
         )
+        if self._pattern._fluid_links and not (
+            self._after == "no_skip" or has_tn
+        ):
+            # fluid iteration links force the enumerate+filter route,
+            # which needs the enumerable gap grammar
+            pat, define, user_syms, within = self._pattern.compile(
+                emit="all", lookahead_window=lookahead,
+            )
         tn = self._pattern._terminal_not  # (catalyst_cond, pandas_cond) | None
+        fluid = (
+            list(self._pattern._fluid_links or [])
+            + list(getattr(self._pattern, "_fluid_extra", None) or [])
+        ) or None
         # relaxed-contiguity fillers: matches may not ANCHOR on one
         # (Flink computations start at their first TAKEN event)
         fillers = [k for k in define if k not in user_syms]
@@ -1147,6 +1183,7 @@ class PatternStream:
                 terminal_not=tn_name,
                 iter_define=self._pattern._iter_define or None,
                 filler_syms=fillers or None,
+                fluid_links=fluid,
             )
         else:
             only_pandas = [k for k, v in define.items() if v is None]
@@ -1175,6 +1212,7 @@ class PatternStream:
                 terminal_not=tn_name,
                 iter_define=self._pattern._iter_define or None,
                 filler_syms=fillers or None,
+                fluid_links=fluid,
             )
         return out, user_syms
 
@@ -1836,6 +1874,28 @@ class PatternStream:
                 gs, group=part, quant=None, opt=False, kind=kind,
             )]
 
+        def _fluid_specs(sts):
+            """Two-path link specs for synthesized timeout prefixes:
+            the compile only generates them for LOOPING groups, but a
+            1b/between/head-park prefix holds the completed iterations
+            as a possibly non-looping group followed by a FLAT current-
+            iteration chain — the group-to-chain link is fluid too, and
+            the filter keys rows by suffix-stripped leaf NAME, so one
+            spec per optable-tail group covers both sides."""
+            out = []
+            for st in sts:
+                if st.group is None:
+                    continue
+                lv = [
+                    (ps.name[:-4] if ps.name.endswith("__gq") else ps.name,
+                     ps.opt
+                     or (ps.quant is not None and ps.quant[0] == 0))
+                    for ps in _positive_leaf_stages(st.group._stages)
+                ]
+                if len(lv) > 1 and lv[-1][1]:
+                    out.append(lv)
+            return out
+
         def _iter_link(gs):
             return {
                 "relaxed": "followed_by",
@@ -2055,26 +2115,13 @@ class PatternStream:
                         "plain positive leaf (nested quantifiers/"
                         "NOTs/untils inside a group loop are untraced)"
                     )
-                if st.opt:
-                    # round 12 late: a full plan set for optional inner
-                    # leaves exists below (per-copy iteration gates,
-                    # boundary copies, tail-forced between/head-park
-                    # prefixes), but the underlying MATCH enumeration
-                    # over-admits fluid iteration links for optable
-                    # tails — the composed NOT(tail)-gap + NOT(entry)-
-                    # lgap accepts entry..tail..entry gaps the NFA
-                    # kills (the tail-waiter force-takes the first tail
-                    # event and the boundary copy force-takes the first
-                    # entry, so a valid link gap must be tail-free OR
-                    # entry-free, an alternation the token grammar
-                    # cannot express). Until the match surface grows
-                    # the two-path link filter, this stays loud.
+                if st.opt and qi == 0:
                     raise NotImplementedError(
                         f"timeout side output: quantified group "
-                        f"{s.name!r} — inner stage {st.name!r} is "
-                        "OPTIONAL; the group-loop iteration links for "
-                        "optable tails need the two-path (tail-free OR "
-                        "entry-free) gap filter (see TODO round-13)"
+                        f"{s.name!r} — an OPTIONAL entry leaf shifts "
+                        "the iteration's entry condition per branch "
+                        "(untraced); interior/trailing optional leaves "
+                        "are supported"
                     )
             rp = raw_pos[p]
             # until() on the group loop (round 12, late): NFACompiler
@@ -2359,6 +2406,10 @@ class PatternStream:
                 pat_s, _def, _usr, _win = pre.compile(
                     emit="all", lookahead_window=lookahead
                 )
+                fluid_p = (
+                    list(pre._fluid_links or [])
+                    + _fluid_specs(pre_stages)
+                ) or None
                 spans_p = []
                 for mode, gname, post, kk in spans:
                     if kill_specs[kk][1] is None:
@@ -2374,6 +2425,7 @@ class PatternStream:
                     dict(
                         pat=pat_s,
                         spans=spans_p,
+                        fluid=fluid_p,
                         define=_build_pandas_define(pre),
                         user_syms=[
                             st.name
@@ -2411,6 +2463,14 @@ class PatternStream:
                 full_pat, _fdef, full_usr, _fwin = pattern.compile(
                     emit="first", lookahead_window=lookahead
                 )
+                if pattern._fluid_links:
+                    raise NotImplementedError(
+                        "streaming timeout side output: a skip strategy "
+                        "over a group loop with OPTIONAL tail leaves — "
+                        "the incremental match cursor does not run the "
+                        "two-path link filter yet; use no_skip or the "
+                        "batch route"
+                    )
                 tn_p = None
                 if terminal_tn:
                     # pendings complete AT horizon close; the cursor
@@ -2479,6 +2539,7 @@ class PatternStream:
             pre = Pattern()
             pre._stages = pre_stages
             pre._within = within
+            pre._fluid_extra = _fluid_specs(pre_stages)
             rows = PatternStream(base, pre, keys, order, "no_skip").flat_select()
             aggs = [
                 # first/last row picked by the tie-proof per-partition rid

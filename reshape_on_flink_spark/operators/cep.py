@@ -692,6 +692,58 @@ def _first_idx_ast(symbols: list[str], seq: list) -> list[int]:
     return sorted(out)
 
 
+def _fluid_ok(m, bools, sym_index, specs) -> bool:
+    """Two-path iteration-link rule for group loops with OPTIONAL tail
+    leaves (round 12, late — NFACompiler state-graph semantics). The
+    token grammar composes the optional tail's NOT(tail) gap with the
+    loop's NOT(entry) lgap, admitting entry..tail..entry link gaps that
+    no NFA computation survives: the tail-waiter force-takes the first
+    tail event, the boundary copy force-takes the first entry. Each
+    surviving copy is one PURE ignore path, so a link gap after a
+    TAIL-ABSENT iteration end is valid iff it is S-free for SOME S in
+    {conds of the optable leaves after the end} ∪ {entry}.
+
+    ``m``: ordered candidate [(pos, symidx)]; ``sym_index``: symbol
+    name (suffix-stripped — a renamed group-copy leaf shares its
+    original's condition) -> bools index; ``specs``: list of
+    [(leaf_name, optable)] per fluid group, leaf order, names stripped.
+    """
+    for lv in specs:
+        fam = {name: j for j, (name, _o) in enumerate(lv)}
+        prev = None
+        for pos, si in m:
+            nm = sym_index[1][si]
+            j = fam.get(nm)
+            if j is None:
+                continue
+            if j == 0 and prev is not None:
+                ppos, pj = prev
+                if pj < len(lv) - 1:  # tail-absent iteration end
+                    names = [
+                        lv[k][0]
+                        for k in range(pj + 1, len(lv))
+                        if lv[k][1]
+                    ]
+                    names.append(lv[0][0])
+                    gap = slice(ppos + 1, pos)
+                    if not any(
+                        not bools[sym_index[0][s]][gap].any()
+                        for s in names
+                    ):
+                        return False
+            prev = (pos, j)
+    return True
+
+
+def _fluid_index(symbols: list[str]) -> tuple[dict, list]:
+    """(stripped name -> bools index, symidx -> stripped name)."""
+    strip = [s[:-4] if s.endswith("__gq") else s for s in symbols]
+    idx: dict = {}
+    for i, s in enumerate(strip):
+        idx.setdefault(s, i)
+    return idx, strip
+
+
 def _parse_after_match(after_match: str, symbols: list[str]) -> tuple[str, str | None]:
     """AFTER MATCH SKIP strategy string -> (skip_mode, skip_sym).
 
@@ -838,10 +890,15 @@ def match_recognize(
     terminal_not: str | None = None,
     iter_define: dict | None = None,
     filler_syms: list[str] | None = None,
+    fluid_links: list | None = None,
     timer_service=None,
 ) -> DataFrame:
     """Rows of every match, annotated with ``match_id`` (0-based ordinal
     within the partition) and ``matched_symbol``.
+
+    ``fluid_links``: two-path iteration-link specs for group loops with
+    OPTIONAL tail leaves (see :func:`_fluid_ok`) — forces the
+    enumerate+filter route and drops over-admitted link gaps.
 
     ``define`` maps each pattern symbol to a boolean Catalyst expression;
     use ``F.lag(col).over(Window.partitionBy(keys).orderBy(order))`` for
@@ -958,11 +1015,13 @@ def match_recognize(
             raise ValueError(f"terminal_not symbol {terminal_not!r} has no DEFINE")
     enum_at = (
         _ast_enumerator(symbols, ast)
-        if (skip_mode == "no_skip" or terminal_not is not None)
+        if (skip_mode == "no_skip" or terminal_not is not None
+            or fluid_links)
         else None
     )
     all_syms = symbols + ([terminal_not] if terminal_not is not None else [])
     tn_idx = len(symbols)  # bools index of the terminal-not flag column
+    fl_idx = _fluid_index(symbols) if fluid_links else None
     filler_idx = frozenset(
         symbols.index(s) for s in (filler_syms or ()) if s in symbols
     )
@@ -1045,6 +1104,11 @@ def match_recognize(
                             seen_u.add(ku)
                             uniq.append(mm_)
                     cands = uniq
+                if fluid_links:
+                    cands = [
+                        m for m in cands
+                        if _fluid_ok(m, bools, fl_idx, fluid_links)
+                    ]
                 if terminal_not is not None:
                     cands = _nf_survivors(cands, bools, hi)
                 if skip_mode == "no_skip":
@@ -1158,6 +1222,11 @@ def match_recognize(
                             seen_u.add(ku)
                             uniq.append(mm_)
                     cands = uniq
+                if fluid_links:
+                    cands = [
+                        m for m in cands
+                        if _fluid_ok(m, bools, fl_idx, fluid_links)
+                    ]
                 if terminal_not is not None:
                     cands = _nf_survivors(cands, bools, hi)
                 if skip_mode == "no_skip":
@@ -1403,9 +1472,14 @@ def streaming_match_recognize(
     terminal_not: str | None = None,
     iter_define: dict | None = None,
     filler_syms: list[str] | None = None,
+    fluid_links: list | None = None,
     timer_service=None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE over a streaming DataFrame (applyInPandasWithState).
+
+    ``fluid_links``: two-path iteration-link specs for group loops with
+    OPTIONAL tail leaves (:func:`_fluid_ok`) — forces the enumerate+
+    filter route, same contract as the batch operator.
 
     ``iter_define``: per-symbol ITERATIVE conditions ``fn(event, ctx) ->
     bool`` over the branch's partial match — same contract as the batch
@@ -1524,7 +1598,11 @@ def streaming_match_recognize(
     filler_idx = frozenset(
         symbols.index(s) for s in (filler_syms or ()) if s in symbols
     )
-    use_enum = skip_mode == "no_skip" or terminal_not is not None
+    use_enum = (
+        skip_mode == "no_skip" or terminal_not is not None
+        or bool(fluid_links)
+    )
+    fl_idx = _fluid_index(symbols) if fluid_links else None
     if use_enum:  # enumerate expansions per start, advance by one
         match_at = _ast_enumerator(symbols, ast, modes=True)
         enum_closed = _ast_enumerator(symbols, ast)
@@ -1641,6 +1719,11 @@ def streaming_match_recognize(
             def emit_enum(cands):
                 """Emit a decided enumeration per the skip mode; return
                 the next scan position from `i`."""
+                if fluid_links:
+                    cands = [
+                        mm for mm in cands
+                        if _fluid_ok(mm, bools, fl_idx, fluid_links)
+                    ]
                 if filler_idx:  # drop filler-anchored candidates (see batch)
                     cands = [mm for mm in cands if mm[0][1] not in filler_idx]
                     # Flink match identity = the variable->events
@@ -2076,6 +2159,8 @@ def streaming_timed_out_partials(
                     dead_gates[ii] = t
 
             prim_kills = _karr(prim[2]) if len(prim) > 2 else []
+            pl_fluid = pl.get("fluid")
+            pl_flidx = _fluid_index(symbols) if pl_fluid else None
             sp_arrs = [
                 (mode, gname, post,
                  np.asarray(f(pdf).to_numpy(), dtype=bool))
@@ -2095,6 +2180,10 @@ def streaming_timed_out_partials(
                 lim = int(np.searchsorted(ticks, h, side="left"))
                 seen: set = set()
                 for match in enum_at(bools, int(i), lim):
+                    if pl_fluid and not _fluid_ok(
+                        match, bools, pl_flidx, pl_fluid
+                    ):
+                        continue
                     rows = sorted(
                         (pos, symbols[si])
                         for pos, si in match

@@ -41,6 +41,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # round 3 (the stalest evidence in the ledger), then round-4
     # rows to fill the 50-slot cap (+10 queued spares beyond it).
     "q_cep_timeout_group_until",
+    "q_cep_timeout_group_opt",
     "q_cep_timeout_greedy",
     # latest driver evidence: round 3
     "q_bpe_token_stats",

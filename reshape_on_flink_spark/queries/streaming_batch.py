@@ -1852,6 +1852,130 @@ def q_cep_timeout_group_until(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CEP timed-out partials of a group loop with an OPTIONAL inner leaf
+# (round 12, late) — signup fb (error fb purchase?)+ fb click within
+# 2 days, no_skip. A branch that took the entry leaf is SIMULTANEOUSLY
+# waiting at the optional tail, at the iteration boundary (next entry)
+# and — the one_or_more minimum being met — at the successor, so the
+# per-start walk BRANCHES. The oracle walks the computation tree with
+# a recursive CTE over next-event lookaheads; from a tail-pending node
+# the next iteration may start at any error BEFORE the first purchase
+# (the tail-waiter's NOT(purchase) ignore branches at each) or at the
+# FIRST error overall (the boundary copy's forced take) — this is the
+# same two-path link rule the engine's fluid-link filter enforces. A
+# node is a reported partial iff ANY of its waits survives to the
+# horizon. Row sets are unique per (start, n, last_ord). Scale: the
+# same one-keyed-shuffle enumeration as the other timeout gates.
+# ---------------------------------------------------------------------------
+@query(
+    "q_cep_timeout_group_opt",
+    f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000
+               + ROW_NUMBER() OVER w0 AS ord
+      FROM events
+      WINDOW w0 AS (PARTITION BY user_id
+                    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+    ),
+    lk AS (
+      SELECT user_id, event_id, event_type, ord,
+             MIN(CASE WHEN event_type = 'error' THEN ord END) OVER wf AS nx_b,
+             MIN(CASE WHEN event_type = 'purchase' THEN ord END) OVER wf AS nx_c,
+             MIN(CASE WHEN event_type = 'click' THEN ord END) OVER wf AS nx_d,
+             MAX(ord) OVER (PARTITION BY user_id) AS pmax
+      FROM seq
+      WINDOW wf AS (PARTITION BY user_id ORDER BY ord
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    starts AS (
+      SELECT user_id, event_id AS a_id, ord AS a_ord
+      FROM lk
+      WHERE event_type = 'signup' AND pmax >= ord + {_CEP_SKIP_DELTA}
+    ),
+    chain(user_id, a_id, a_ord, cur, st, n) AS (
+      SELECT user_id, a_id, a_ord, a_ord, 'A', 0 FROM starts
+      UNION ALL
+      SELECT c.user_id, c.a_id, c.a_ord, e.ord,
+             CASE WHEN e.event_type = 'purchase' THEN 'C' ELSE 'B' END,
+             c.n + 1
+      FROM chain c
+      JOIN lk r ON r.user_id = c.user_id AND r.ord = c.cur
+      JOIN lk e ON e.user_id = c.user_id AND e.ord > c.cur
+               AND e.ord < c.a_ord + {_CEP_SKIP_DELTA}
+      WHERE (e.event_type = 'error'
+             AND (
+               (c.st = 'B'
+                AND (e.ord < COALESCE(r.nx_c, e.ord + 1)
+                     OR e.ord = r.nx_b))
+               OR (c.st <> 'B' AND e.ord = r.nx_b)
+             ))
+         OR (c.st = 'B' AND e.event_type = 'purchase'
+             AND e.ord = r.nx_c)
+    )
+    SELECT c.user_id, c.a_id, CAST(1 + c.n AS BIGINT) AS n_rows,
+           CAST(c.cur AS BIGINT) AS last_ord,
+           CAST(c.a_ord + {_CEP_SKIP_DELTA} AS BIGINT) AS timeout_ord
+    FROM chain c
+    JOIN lk r ON r.user_id = c.user_id AND r.ord = c.cur
+    WHERE CASE
+            WHEN c.st = 'A' THEN
+              COALESCE(r.nx_b, c.a_ord + {_CEP_SKIP_DELTA})
+                >= c.a_ord + {_CEP_SKIP_DELTA}
+            WHEN c.st = 'B' THEN
+              COALESCE(r.nx_c, c.a_ord + {_CEP_SKIP_DELTA})
+                  >= c.a_ord + {_CEP_SKIP_DELTA}
+              OR COALESCE(r.nx_b, c.a_ord + {_CEP_SKIP_DELTA})
+                  >= c.a_ord + {_CEP_SKIP_DELTA}
+              OR COALESCE(r.nx_d, c.a_ord + {_CEP_SKIP_DELTA})
+                  >= c.a_ord + {_CEP_SKIP_DELTA}
+            ELSE
+              COALESCE(r.nx_b, c.a_ord + {_CEP_SKIP_DELTA})
+                  >= c.a_ord + {_CEP_SKIP_DELTA}
+              OR COALESCE(r.nx_d, c.a_ord + {_CEP_SKIP_DELTA})
+                  >= c.a_ord + {_CEP_SKIP_DELTA}
+          END
+    ORDER BY c.user_id, c.a_id, n_rows, last_ord
+    """,
+)
+def q_cep_timeout_group_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w0 = W.partitionBy("user_id").orderBy("sec", "event_id")
+    src = ev.select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("long").alias("sec")
+    ).withColumn(
+        "ord", F.col("sec") * 100000 + F.row_number().over(w0)
+    )
+    grp = (
+        Pattern.begin("B").where(F.col("event_type") == "error")
+        .followed_by("C").where(F.col("event_type") == "purchase").optional()
+    )
+    pat = (
+        Pattern.begin("A").where(F.col("event_type") == "signup")
+        .followed_by(grp).one_or_more()
+        .followed_by("D").where(F.col("event_type") == "click")
+        .within(_CEP_SKIP_DELTA)
+    )
+    ps = CEP.pattern(src, pat, "user_id", "ord", after_match="no_skip")
+    t = ps.timed_out_partial_matches()
+    return (
+        t.groupBy("user_id", "timeout_id")
+        .agg(
+            F.min(F.when(F.col("matched_symbol") == "A", F.col("event_id"))).alias("a_id"),
+            F.count("*").alias("n_rows"),
+            F.max("ord").alias("last_ord"),
+            F.min("timeout_ts").cast("bigint").alias("timeout_ord"),
+        )
+        .select("user_id", "a_id", "n_rows", "last_ord", "timeout_ord")
+        .orderBy("user_id", "a_id", "n_rows", "last_ord")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Changelog-consuming JOIN (round 10) — StreamingJoinOperator.java:123-198
 # under the hash gate. The LEFT input is the per-user retract-agg
 # HISTORY (closed-form: the q_retract_transitions recipe — +I then

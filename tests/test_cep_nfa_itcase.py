@@ -2535,28 +2535,173 @@ def _gqu_pat(lo, hi=None, within=10):
     return p.followed_by("D").where(_n("d")).within(within)
 
 
-def test_timeout_group_inner_optional_guard(spark):
-    """OPTIONAL inner leaves in a group loop stay loud: the match
-    enumeration's composed NOT(tail)-gap + NOT(entry)-lgap admits
-    entry..tail..entry iteration links the NFA kills (the tail-waiter
-    force-takes the first tail event, the boundary copy the first
-    entry — a valid link gap is tail-free OR entry-free). The full
-    parked-shape plan set (boundary copies, per-copy iteration gates,
-    tail-forced between/head-park prefixes) is in place behind the
-    guard pending the two-path link filter."""
-    df = spark.createDataFrame([(1, 1, "a"), (1, 30, "x")],
-                               "k int, ts int, name string")
+def _gqo_pat(lo, hi=None, within=10, grp_times=True):
     grp = (
         Pattern.begin("B").where(_n("b"))
         .followed_by("C").where(_n("c")).optional()
+    )
+    p = Pattern.begin("A").where(_n("a")).followed_by(grp)
+    p = (
+        (p.times(lo) if hi is None else p.times(lo, hi))
+        if grp_times
+        else p.one_or_more()
+    )
+    return p.followed_by("D").where(_n("d")).within(within)
+
+
+def test_timeout_group_inner_optional_leaf(spark):
+    """A fb (B fb C?).times(2) fb D within 10 (round 12, late —
+    OPTIONAL inner leaves): a branch waiting at C? is simultaneously
+    (via PROCEED) at the iteration boundary, so it consumes on C OR
+    the next entry, and its iteration counts as complete."""
+    pat = _gqo_pat(2)
+    # waiting at C? of iteration 1 (boundary copy alive too — same rows)
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 30, "w")], pat, "no_skip"
+    ) == {(frozenset({1, 2}), 11.0)}
+    # tail-absent iteration 1 + iteration 2 in progress: BOTH the
+    # iteration-1 waiter (still parked at C?) and the tail-absent
+    # iteration-2 waiter report
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 30, "w")],
+        pat, "no_skip",
+    ) == {(frozenset({1, 2}), 11.0), (frozenset({1, 2, 3}), 11.0)}
+    # C taken: the waiter dies at c@3 but its ignore-after-PROCEED
+    # boundary copy {a,b} survives, alongside the completed-iteration
+    # between-wait {a,b,c}
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 30, "w")],
+        pat, "no_skip",
+    ) == {(frozenset({1, 2}), 11.0), (frozenset({1, 2, 3}), 11.0)}
+
+
+def test_timeout_group_inner_optional_fluid_links(spark):
+    """The two-path link filter on the timeout prefixes: after the
+    tail-absent iteration {b@2}, the C?-waiter force-takes the first
+    purchase c@4 and the boundary copy force-takes the first entry
+    b@3, so NO carrier survives to start iteration 2 at b@5 — the
+    {a,b2,b5} park must not be reported. Valid parks: {a,b2} (waiting
+    C? killed... consumed at c@4 -> boundary copy consumed at b@3 ->
+    dead), {a,b2,b3} (iteration 2 via the first entry, waiting C?
+    consumed at c@4 -> its boundary copy takes b@5 -> {a,b2,b3,b5}),
+    {a,b2,c4} chains, etc. — hand-traced below."""
+    pat = _gqo_pat(1, 2)
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "c"),
+            (1, 5, "b"), (1, 30, "w")]
+    # the full hand-traced park set; notably ABSENT: {a,b2,b5} (its
+    # b2->b5 link crosses both the first entry b3 — killing the
+    # boundary copy — and the first purchase c4 — consuming the
+    # C?-waiter) and any 3-iteration chain (mx=2)
+    assert _skip_touts(spark, rows, pat, "no_skip") == {
+        (frozenset({1, 2}), 11.0),
+        (frozenset({1, 2, 3}), 11.0),
+        (frozenset({1, 2, 4}), 11.0),
+        (frozenset({1, 2, 3, 4}), 11.0),
+        (frozenset({1, 2, 4, 5}), 11.0),
+    }
+
+
+def test_timeout_group_inner_optional_maxed_parks(spark):
+    """times(2) maxed with optable tails: every tail-present/absent
+    combination that completes two iterations parks at D — the
+    tail-present finals via the (restricted) maxed head-park prefix,
+    the tail-absent finals via the waiting positions' successor copies
+    (gated by iterations >= lo) — with no cross-plan duplicates."""
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"),
+            (1, 5, "c"), (1, 6, "x"), (1, 30, "w")]
+    assert _skip_touts(spark, rows, _gqo_pat(2), "no_skip") == {
+        (frozenset({1, 2, 3, 4, 5}), 11.0),
+        (frozenset({1, 2, 3, 4}), 11.0),
+        (frozenset({1, 2, 4, 5}), 11.0),
+        (frozenset({1, 2, 4}), 11.0),
+    }
+
+
+def test_timeout_group_inner_optional_unbounded(spark):
+    """one_or_more with an optable tail: the C?-waiter, its boundary
+    wait and its successor copy (min met) share one row set — one
+    reported partial."""
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 3, "x"), (1, 30, "w")],
+        _gqo_pat(0, grp_times=False), "no_skip",
+    ) == {(frozenset({1, 2}), 11.0)}
+
+
+def test_timeout_group_inner_optional_residual_guards(spark):
+    """An OPTIONAL entry leaf stays loud (per-branch entry condition);
+    nested quantifiers stay loud."""
+    df = spark.createDataFrame([(1, 1, "a"), (1, 30, "x")],
+                               "k int, ts int, name string")
+    grp = (
+        Pattern.begin("B").where(_n("b")).optional()
+        .followed_by("C").where(_n("c"))
     )
     pat = (
         Pattern.begin("A").where(_n("a"))
         .followed_by(grp).times(2)
         .followed_by("D").where(_n("d")).within(10)
     )
-    with pytest.raises(NotImplementedError, match="OPTIONAL"):
+    with pytest.raises(NotImplementedError, match="entry leaf"):
         CEP.pattern(df, pat, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+
+
+def test_timeout_group_inner_optional_streaming_equals_batch(spark, tmp_dir):
+    """Inner-optional group parks on the streaming route == batch
+    (per-copy iteration gates and the fluid-link filter ride the plan
+    dicts)."""
+    def c(name):
+        return lambda pdf, _n=name: pdf["name"] == _n
+
+    grp = (
+        Pattern.begin("B").where(c("b"))
+        .followed_by("C").where(c("c")).optional()
+    )
+    pat = (
+        Pattern.begin("A").where(c("a"))
+        .followed_by(grp).times(2)
+        .followed_by("D").where(c("d")).within(10)
+    )
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 30, "w"),
+         (2, 1, "a"), (2, 2, "b"), (2, 3, "c"), (2, 30, "w")],
+        "k int, ts int, name string",
+    )
+    assert _stream_timeouts(spark, tmp_dir, df, pat, "gqo_sb") == {
+        (frozenset({1, 2}), 11.0), (frozenset({1, 2, 3}), 11.0)
+    }
+
+
+def test_match_fluid_link_filter(spark):
+    """The MATCH surface's two-path link rule (round 12, late): for
+    A fb (B fb C?)+ fb D over a b1 b2 c1 b3 d, the {a,b1,b3,d} set is
+    NOT a match — after c1 (tail force-take) and b2 (boundary force-
+    take) no {a,b1} carrier survives to start an iteration at b3 —
+    while the pure-path sets (b2-entry, first-entry-after-purchase)
+    all remain."""
+    import collections
+
+    grp = (
+        Pattern.begin("B").where(_n("b"))
+        .followed_by("C").where(_n("c")).optional()
+    )
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp).one_or_more()
+        .followed_by("D").where(_n("d")).within(100)
+    )
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "c"),
+            (1, 5, "b"), (1, 6, "d")]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+    out = CEP.pattern(df, pat, "k", "ts", after_match="no_skip").flat_select()
+    m = collections.defaultdict(set)
+    for r in out.collect():
+        m[r.match_id].add(r.ts)
+    got = sorted(sorted(v) for v in m.values())
+    assert [1, 2, 5, 6] not in got, got
+    assert got == [
+        [1, 2, 3, 4, 5, 6], [1, 2, 3, 4, 6], [1, 2, 3, 5, 6],
+        [1, 2, 3, 6], [1, 2, 4, 5, 6], [1, 2, 4, 6], [1, 2, 6],
+    ], got
 
 
 def test_timeout_group_loop_until_kills_parked_shapes(spark):
