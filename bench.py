@@ -100,6 +100,11 @@ HEADLINE = [
     # engine passes but each stays one keyed scan; the until kill adds
     # one window-scan column shared across plans
     "q_cep_timeout_group_until",
+    # round-12 late: optional-tail group-loop timeouts — the fluid-link
+    # two-path filter runs inside the per-start enumeration (numpy
+    # scans over candidate link gaps), so the cost model stays the
+    # multi-pass keyed-scan shape with a branching per-start tree
+    "q_cep_timeout_group_opt",
 ]
 
 
