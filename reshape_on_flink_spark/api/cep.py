@@ -1442,8 +1442,11 @@ class PatternStream:
         Remaining loud guards: group loops with non-plain inner leaves
         (nested quantifiers/optionals/NOTs/untils inside the loop),
         greedy with allow_combinations (the TRUE inner ignore branches
-        around the sink guard), and iterative conditions on scanned/
-        killed stages (branch-dependent take-ability).
+        around the sink guard), iterative conditions on scanned/
+        killed stages (branch-dependent take-ability), and an OPTIONAL
+        group-loop entry leaf. Optional-tail group loops (fluid
+        iteration links) run everywhere — batch, streaming, and under
+        skip strategies on both routes — via the two-path link filter.
         """
         from pyspark.sql import Window as SW
 
@@ -2463,14 +2466,15 @@ class PatternStream:
                 full_pat, _fdef, full_usr, _fwin = pattern.compile(
                     emit="first", lookahead_window=lookahead
                 )
+                full_fluid = None
                 if pattern._fluid_links:
-                    raise NotImplementedError(
-                        "streaming timeout side output: a skip strategy "
-                        "over a group loop with OPTIONAL tail leaves — "
-                        "the incremental match cursor does not run the "
-                        "two-path link filter yet; use no_skip or the "
-                        "batch route"
+                    # fluid full pattern: the cursor enumerates with
+                    # the two-path filter, so it needs the enumerable
+                    # gap grammar
+                    full_pat, _fdef, full_usr, _fwin = pattern.compile(
+                        emit="all", lookahead_window=lookahead
                     )
+                    full_fluid = list(pattern._fluid_links)
                 tn_p = None
                 if terminal_tn:
                     # pendings complete AT horizon close; the cursor
@@ -2490,6 +2494,7 @@ class PatternStream:
                     define=_build_pandas_define(pattern),
                     user_syms=list(full_usr),
                     tn=tn_p,
+                    fluid=full_fluid,
                 )
             res = streaming_timed_out_partials(
                 self._df, keys, order, list(self._df.columns),

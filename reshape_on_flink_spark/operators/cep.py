@@ -2001,13 +2001,20 @@ def streaming_timed_out_partials(
         if missing:
             raise ValueError(f"skip full-pattern symbols without DEFINE: {missing}")
         f_user = set(skip["user_syms"])
+        f_fluid = skip.get("fluid")
         skip_compiled = (
             f_syms,
-            _ast_matcher(f_syms, f_ast),
+            # a FLUID full pattern (optional-tail group loop) needs the
+            # enumerate+filter route: the sequential matcher's single
+            # candidate may be an over-admitted link expansion
+            _ast_enumerator(f_syms, f_ast) if f_fluid
+            else _ast_matcher(f_syms, f_ast),
             frozenset(j for j, s in enumerate(f_syms) if s not in f_user),
             skip["mode"],
             skip.get("sym"),
             skip.get("tn"),
+            f_fluid,
+            _fluid_index(f_syms) if f_fluid else None,
         )
 
     sample = events.select(*input_cols)
@@ -2283,7 +2290,8 @@ def streaming_timed_out_partials(
         # too (its deferral never crosses a later start's horizon).
         pruned_starts: set = set()
         if skip_compiled is not None and n and len(dec):
-            f_syms, match_at, f_filler, mode, skip_sym, tn_pred = skip_compiled
+            (f_syms, match_at, f_filler, mode, skip_sym, tn_pred,
+             f_fluid, f_flidx) = skip_compiled
             # SkipToElementStrategy prunes with STRICT < (vs <= for the
             # whole-match strategies) and resumes AT the mapped element
             # — the resume point is >= the match start >= frontier −
@@ -2314,9 +2322,24 @@ def streaming_timed_out_partials(
             i = max(0, aux["cursor"] - rid_base)
             while i < n and ticks[i] <= f_new:
                 lim = int(np.searchsorted(ticks, ticks[i] + delta, side="left"))
-                m = match_at(fbools, int(i), lim)
-                if m and m[0][1] in f_filler:
-                    m = None  # filler-anchored: re-found at its real row
+                if f_fluid:
+                    fcands = [
+                        mm for mm in match_at(fbools, int(i), lim)
+                        if mm[0][1] not in f_filler
+                        and _fluid_ok(mm, fbools, f_flidx, f_fluid)
+                        and (tn_arr is None
+                             or not tn_arr[mm[-1][0] + 1 : lim].any())
+                    ]
+                    m = (
+                        min(fcands,
+                            key=lambda c: (len(c), [p for p, _s in c]))
+                        if fcands
+                        else None
+                    )
+                else:
+                    m = match_at(fbools, int(i), lim)
+                    if m and m[0][1] in f_filler:
+                        m = None  # filler-anchored: re-found at its row
                 if m and tn_arr is not None and tn_arr[m[-1][0] + 1 : lim].any():
                     # terminal notFollowedBy: the PENDING sequence is
                     # killed by an N event in (last row, horizon) — no

@@ -2671,6 +2671,42 @@ def test_timeout_group_inner_optional_streaming_equals_batch(spark, tmp_dir):
     }
 
 
+def test_timeout_fluid_skip_streaming_equals_batch(spark, tmp_dir):
+    """Skip strategies over a FLUID pattern (optional-tail group loop)
+    on the streaming route: the cursor enumerates with the two-path
+    filter and picks the first-completed survivor; the emission then
+    prunes the open partials exactly as on batch. Fixture: the
+    {a0,b1,d3} match (tail-absent iteration) emits at d@3 with
+    prid = rid(d), pruning both the {a0,b1} waiter (horizon 10) and
+    the second start {a2} (horizon 12) before their witnesses."""
+    def c(name):
+        return lambda pdf, _n=name: pdf["name"] == _n
+
+    def build(cols):
+        grp = (
+            Pattern.begin("B").where(cols("b"))
+            .followed_by("C").where(cols("c")).optional()
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).one_or_more()
+            .followed_by("D").where(cols("d")).within(10)
+        )
+
+    rows = [(1, 0, "a"), (1, 1, "b"), (1, 2, "a"), (1, 3, "d"),
+            (1, 14, "w")]
+    want_ns = {(frozenset({0, 1}), 10.0), (frozenset({2}), 12.0)}
+    assert _skip_touts(spark, rows, build(_n), "no_skip") == want_ns
+    assert _skip_touts(spark, rows, build(_n), "past_last_row") == set()
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+    assert _stream_timeouts(
+        spark, tmp_dir, df, build(c), "flsk_ns", after="no_skip"
+    ) == want_ns
+    assert _stream_timeouts(
+        spark, tmp_dir, df, build(c), "flsk_pl", after="past_last_row"
+    ) == set()
+
+
 def test_match_fluid_link_filter(spark):
     """The MATCH surface's two-path link rule (round 12, late): for
     A fb (B fb C?)+ fb D over a b1 b2 c1 b3 d, the {a,b1,b3,d} set is
