@@ -93,6 +93,16 @@ def _pattern(kind: str, cols):
             .followed_by(grp).one_or_more().until(cols("u"))
             .followed_by("D").where(cols("d")).within(12)
         )
+    if kind == "group_opt":
+        grp = (
+            Pattern.begin("B").where(cols("b"))
+            .followed_by("C").where(cols("c")).optional()
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).one_or_more()
+            .followed_by("D").where(cols("d")).within(12)
+        )
     if kind == "terminal_not":
         return (
             Pattern.begin("A").where(cols("a"))
@@ -115,6 +125,10 @@ GRID = [
     ("group_until", "no_skip", 52),
     ("terminal_not", "no_skip", 61),
     ("terminal_not", "past_last_row", 62),
+    # fluid iteration links (optional-tail group loop): the two-path
+    # filter on both routes, incl. the streaming skip cursor
+    ("group_opt", "no_skip", 71),
+    ("group_opt", "past_last_row", 72),
 ]
 
 
