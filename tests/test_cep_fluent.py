@@ -1567,3 +1567,60 @@ def test_quantified_group_until_terminal_not_streaming(spark, tmp_dir):
     with pytest.raises(ValueError, match="only one until"):
         (Pattern.begin("a").where("name = 'a'").one_or_more()
          .until(npd("x")).until(npd("y")))
+
+
+def test_fluid_group_match_streaming_equals_batch(spark, tmp_dir):
+    """Optional-tail group loop MATCHING on streams == batch (the
+    two-path link filter runs in the incremental matcher too): the
+    f7 fixture where {a,b1,b3,d} must NOT match — after the tail
+    force-take (c1) and the boundary force-take (b2) no {a,b1}
+    carrier survives to b3 — while every pure-path set does."""
+    import collections
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "c"),
+            (1, 5, "b"), (1, 6, "d"), (1, 60, "x")]
+    df = spark.createDataFrame(rows, "k int, pos int, name string")
+
+    def build(cols):
+        grp = (
+            Pattern.begin("B").where(cols("b"))
+            .followed_by("C").where(cols("c")).optional()
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).one_or_more()
+            .followed_by("D").where(cols("d")).within(50)
+        )
+
+    def msets(out_rows):
+        m = collections.defaultdict(set)
+        for r in out_rows:
+            m[r.match_id].add(r.pos)
+        return sorted(sorted(v) for v in m.values())
+
+    batch_p = build(lambda n: F.col("name") == n)
+    expected = msets(
+        CEP.pattern(df, batch_p, "k", "pos", after_match="no_skip")
+        .flat_select().collect()
+    )
+    assert [1, 2, 5, 6] not in expected
+    assert [1, 2, 6] in expected and len(expected) == 7
+
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "cep_fluid_m"), n_chunks=3,
+        order_col="pos",
+    )
+    stream_p = build(lambda n: (lambda pdf, _n=n: pdf["name"] == _n))
+    sdf = CEP.pattern(
+        stream, stream_p, "k", "pos", after_match="no_skip"
+    ).flat_select()
+    got = msets(
+        run_to_memory(
+            spark, sdf, "cep_fluid_m_out", tmp_dir, mode="append"
+        ).collect()
+    )
+    assert got == expected
