@@ -34,64 +34,14 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # (merged() appends them in module order and they keep their prior-round
 # rows as evidence). merged() raises on unknown names.
 GATE_PRIORITY: tuple[str, ...] = (
-    # round-12 rotation (verdict r11 #8: cycle the oldest-unchecked
-    # queries to the front). Recomputed from the committed
-    # CORRECTNESS_r*.json files: the new round-12 gate first (no
-    # driver row yet), then every query whose latest driver row is
-    # round 3 (the stalest evidence in the ledger), then round-4
-    # rows to fill the 50-slot cap (+10 queued spares beyond it).
-    "q_cep_timeout_group_until",
-    "q_cep_timeout_group_opt",
-    "q_cep_timeout_greedy",
-    # latest driver evidence: round 3
-    "q_bpe_token_stats",
-    "q_decontaminate",
-    "q_dedup_clusters",
-    "q_fingerprint",
-    "q_lang_id",
-    "q_llm_pipeline",
-    "q_minhash_near_dups",
-    "q_ngram_jaccard",
-    "q_pii_scrub",
-    "q_repetition_filter",
-    "q_simhash",
-    "q_similarity_ann_lsh",
-    "q_similarity_ivf",
-    "q_similarity_ivf_trained",
-    "q_similarity_topk",
-    "q_text_quality",
-    # latest driver evidence: round 4
-    "q10_returned_items",
-    "q11_important_supply",
-    "q12_priority_class",
-    "q13_order_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_qty_revenue",
-    "q18_large_orders",
-    "q19_disjunctive_filter",
-    "q1_pricing_summary",
-    "q20_supply_candidates",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q8_market_share",
-    "q_dialect_catalog_roundtrip",
-    "q_distinct_rows",
-    "q_domain_mix_sample",
-    "q_ds_antijoin_returns",
-    "q_ds_bucket_case",
-    "q_ds_channel_intersect",
-    "q_ds_channel_tolerance",
-    "q_ds_cumulative_cross",
-    "q_ds_exists_demographics",
-    "q_ds_frequent_item_best_customer",
-    "q_ds_pivot_monthly",
-    "q_ds_returns_net",
-    "q_ds_rollup_rank",
+    # round-13 rotation (verdict r12 #7: keep cycling — recomputed from
+    # the committed CORRECTNESS_r*.json ledgers this round). After the
+    # r11+r12 driver runs, no query is driver-unchecked and the stalest
+    # evidence is: 19 queries last seen in round 4, then 50 last seen in
+    # round 5 (rounds 3-and-earlier all refreshed by r12). Order below =
+    # the full round-4 block, then round-5 alphabetical to fill the
+    # 50-slot cap (+19 queued spares past it). New round-13 gate queries
+    # (no driver row yet) are prepended as they land.
     "q_ds_scalar_count_grid",
     "q_ds_ship_lag_matrix",
     "q_ds_unpivot_monthly",
@@ -104,6 +54,64 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_join_left_outer",
     "q_join_right_outer",
     "q_join_semi",
+    "q_minhash_signatures",
+    "q_multimodal_features",
+    "q_multimodal_meta",
+    "q_nullsafe_join",
+    "q_quantized_topk",
+    "q_sequence_pack",
+    "q_star_join_region_revenue",
+    # latest driver evidence: round 5
+    "q_bigram_perplexity",
+    "q_bloom_decontam",
+    "q_cms_heavy_hitters",
+    "q_contamination_rate",
+    "q_corpus_assembly",
+    "q_corpus_overlap_minhash",
+    "q_corpus_trigram_topk",
+    "q_curation_v2",
+    "q_dedup_keep_best",
+    "q_doc_chunks",
+    "q_domain_upsample",
+    "q_ds_above_nation_avg_returns",
+    "q_ds_before_after_ratio",
+    "q_ds_bracketed_or_join",
+    "q_ds_channel_overlap_census",
+    "q_ds_correlated_exists_or",
+    "q_ds_correlated_window_ratio",
+    "q_ds_dual_rank_return_ratio",
+    "q_ds_exists_notexists_distinct",
+    "q_ds_first_purchase_cohort",
+    "q_ds_inventory_chain",
+    "q_ds_lifecycle_chain",
+    "q_ds_multi_cte_reuse",
+    "q_ds_ranked_dim_rollup",
+    "q_ds_revenue_share",
+    "q_ds_two_cte_union_channels",
+    "q_ds_two_year_star_join",
+    "q_ds_variance_flag_chain",
+    "q_funnel_conversion",
+    "q_hist_quantiles",
+    "q_hll_distinct",
+    "q_hll_intersect_est",
+    "q_hll_rollup",
+    "q_join_anti",
+    "q_join_cross",
+    "q_length_batches",
+    "q_passage_dedup",
+    "q_profile_table",
+    "q_quality_classifier",
+    "q_quality_percentile_gate",
+    "q_scd2_intervals",
+    "q_shard_manifest",
+    "q_similarity_ivfpq",
+    "q_similarity_pq",
+    "q_similarity_pq_rerank",
+    "q_stratified_sample",
+    "q_text_normalize",
+    "q_tfidf_top_terms",
+    "q_train_val_test_split",
+    "q_unigram_perplexity",
 )
 
 
