@@ -95,6 +95,10 @@ HEADLINE = [
     # one window-scan column per greedy stage to the same multi-pass
     # timeout shape (no new shuffles beyond the q_cep_timeout model)
     "q_cep_timeout_greedy",
+    # round-13: timeouts under greedy()+allowCombinations() — the
+    # times(2,3) bound caps the fluid subset enumeration at O(k^2) per
+    # start; survival stays the same persist/kill-scan model
+    "q_cep_timeout_comb_greedy",
     # round-12 late: group-loop timeouts with until() — the per-
     # iteration-topology prefix plans (1a/1b/between) multiply the
     # engine passes but each stays one keyed scan; the until kill adds

@@ -247,6 +247,83 @@ def _positive_leaf_stages(stages):
             yield st
 
 
+def _greedy_span_specs(stages) -> list:
+    """Sink-guard specs for TOP-level greedy loop stages (round 13).
+
+    NFACompiler.updateWithGreedyCondition ANDs NOT(takeCondition) onto
+    every transition of the greedy stage's PROCEED sink, and the
+    looping ignoreState has no PROCEED edge — so the only routes from
+    the loop to the sink carry the guard. Replayed on enumerated match
+    candidates by ``_greedy_ok`` (operators/cep.py): a candidate dies
+    iff a loop-take-able event lies in (last loop take, next taken
+    row] when the sink stage is present, or iff the FIRST gap event is
+    loop-take-able when an optional sink is skipped (the copy past the
+    sink is unguarded — NFA 'IGNORE after PROCEED' spawns only at that
+    first event).
+
+    One spec per guarded stage: ``(loop_name, prev_name, sink_name,
+    mode)`` — ``prev_name`` anchors zero-take assignments, ``mode`` is
+    ``'anchor'`` (zero-take assignments guarded too: without prior
+    NOTs ``copyWithoutTransitiveNots`` returns the SAME state, so the
+    zero-take PROCEED lands on the one-and-only guarded sink — pinned
+    by GreedyITCase testGreedyZeroOrMore, where {c,d} does NOT match
+    over ``c a a a d``; bounded times-loops guard the original
+    unconditionally, createTimesState) or ``'exempt0'`` (zero-take
+    exempt: an UNBOUNDED optional loop preceded by a NOT — the only
+    case copyWithoutTransitiveNots actually copies, so the init
+    state's PROCEED targets the unguarded original while the loop
+    proceeds to the guarded copy). Terminal greedy is ignored
+    (GreedyITCase testEndWithZeroOrMoreGreedy) and exact-times greedy
+    compiles no guard (createTimesState gates on times.getFrom() !=
+    times.getTo()); groups are never greedy (builder raises)."""
+    _NOTS = ("not_next", "not_followed_by")
+    pos, prior_not = [], []
+    for i, s in enumerate(stages):
+        if s.kind in _NOTS:
+            continue
+        pos.append(s)
+        prior_not.append(i > 0 and stages[i - 1].kind in _NOTS)
+    specs = []
+    for j, s in enumerate(pos[:-1]):
+        if s.group is not None or s.quant is None or s.quant[2] is not True:
+            continue
+        lo, hi, _g = s.quant
+        if hi is not None and lo == hi:
+            continue
+        if s.until_cond is not None or s.until_pandas is not None:
+            # until() + greedy compiles a guarded/unguarded TWIN of the
+            # sink (createLooping: the copy made BEFORE
+            # updateWithGreedyCondition keeps unguarded transitions and
+            # is proceed-reachable exactly when the until condition
+            # holds at the jump event — GreedyITCase
+            # testGreedyUntilWithDummyEventsBeforeQuantifier). The span
+            # filter cannot express the per-event twin choice; the
+            # stage keeps the possessive compile (longest-commit),
+            # whose results match every GreedyITCase until row.
+            continue
+
+        def _first_leaf(st):
+            if st.group is not None:
+                return next(iter(_positive_leaf_stages(st.group._stages))).name
+            return st.name
+
+        def _last_leaf(st):
+            if st.group is not None:
+                return list(_positive_leaf_stages(st.group._stages))[-1].name
+            return st.name
+
+        prev_name = _last_leaf(pos[j - 1]) if j > 0 else None
+        sink_name = _first_leaf(pos[j + 1])
+        optable = s.opt or lo == 0
+        mode = (
+            "exempt0"
+            if (optable and hi is None and prior_not[j])
+            else "anchor"
+        )
+        specs.append((s.name, prev_name, sink_name, mode))
+    return specs
+
+
 def _build_pandas_define(pattern) -> dict:
     """Streaming DEFINE dict for a COMPILED pattern: user symbols from
     their where() predicates + the streaming negation recipes compile()
@@ -673,6 +750,14 @@ class Pattern:
         self._stage_negs_pd = ctx["stage_negs_pd"]
         self._fluid_links = ctx["fluid_links"]
         self._terminal_not = None
+        # greedy sink-guard specs (round 13): non-terminal greedy loops
+        # compile ENUMERABLE under emit='all' and the guard is replayed
+        # as a candidate filter (_greedy_ok) — the possessive commit
+        # kept only the longest expansion per start, but the NFA also
+        # emits earlier completions whose sink jump was clean (the
+        # guard constrains the jump span, not the expansion choice)
+        self._greedy_spans = _greedy_span_specs(self._stages)
+        greedy_enum = {name for name, _p, _s, _m in self._greedy_spans}
 
         def and_negs(col, negs):
             """negs are (catalyst, pandas) pairs; a pandas-only neg makes
@@ -851,6 +936,20 @@ class Pattern:
                     )
                 has_until = s.until_cond is not None or s.until_pandas is not None
                 optional_like = s.opt or (s.quant is not None and s.quant[0] == 0)
+                # a GROUP whose first positive leaf is optable needs the
+                # same enumerable NOT(head)-guarded gap (round 13): the
+                # waiting state is the optable head leaf's, whose ignore
+                # edge is NOT(head take) only — an event take-able by a
+                # LATER inner leaf forks an in-group copy but never
+                # consumes the waiter, so later-start branches survive
+                # (a reluctant gap commits to the earliest start and
+                # loses them)
+                if s.group is not None and not optional_like:
+                    _h = s.group._stages[0]
+                    while _h.group is not None:
+                        _h = _h.group._stages[0]
+                    if _h.opt or (_h.quant is not None and _h.quant[0] == 0):
+                        optional_like = True
                 if s.kind == "followed_by":
                     gap = f"__gap{ctx['gap_n']}"
                     ctx["gap_n"] += 1
@@ -932,6 +1031,15 @@ class Pattern:
                     ctx["lgap_pandas"][gap] = ("true", None, pd_negs(gap_negs))
                 q = s.quant
                 if q is not None and q[2] is True and emit == "all" and i == last_positive:
+                    q = (q[0], q[1], None)
+                if (
+                    q is not None
+                    and q[2] is True
+                    and emit == "all"
+                    and top
+                    and s.name in greedy_enum
+                ):
+                    # guarded greedy: enumerate; _greedy_ok filters
                     q = (q[0], q[1], None)
                 is_loop = q is not None and (q[0] > 1 or q[1] is None or q[1] > 1)
                 if is_loop and s.fold_not:
@@ -1144,11 +1252,11 @@ class PatternStream:
             emit="all" if (self._after == "no_skip" or has_tn) else "first",
             lookahead_window=lookahead,
         )
-        if self._pattern._fluid_links and not (
-            self._after == "no_skip" or has_tn
-        ):
-            # fluid iteration links force the enumerate+filter route,
-            # which needs the enumerable gap grammar
+        if (
+            self._pattern._fluid_links or self._pattern._greedy_spans
+        ) and not (self._after == "no_skip" or has_tn):
+            # fluid iteration links and greedy sink guards force the
+            # enumerate+filter route, which needs the enumerable grammar
             pat, define, user_syms, within = self._pattern.compile(
                 emit="all", lookahead_window=lookahead,
             )
@@ -1157,6 +1265,7 @@ class PatternStream:
             list(self._pattern._fluid_links or [])
             + list(getattr(self._pattern, "_fluid_extra", None) or [])
         ) or None
+        greedy_spans = list(self._pattern._greedy_spans or []) or None
         # relaxed-contiguity fillers: matches may not ANCHOR on one
         # (Flink computations start at their first TAKEN event)
         fillers = [k for k in define if k not in user_syms]
@@ -1184,6 +1293,7 @@ class PatternStream:
                 iter_define=self._pattern._iter_define or None,
                 filler_syms=fillers or None,
                 fluid_links=fluid,
+                greedy_spans=greedy_spans,
             )
         else:
             only_pandas = [k for k, v in define.items() if v is None]
@@ -1213,6 +1323,7 @@ class PatternStream:
                 iter_define=self._pattern._iter_define or None,
                 filler_syms=fillers or None,
                 fluid_links=fluid,
+                greedy_spans=greedy_spans,
             )
         return out, user_syms
 
@@ -1439,12 +1550,27 @@ class PatternStream:
         (zero-take copies and span expansions included); an unbounded
         optional loop guards only its sink COPY (zero-take exempt).
 
+        Round-13 lifts: greedy + allow_combinations (the ignoreState
+        has no PROCEED edge, so the sink-jump rule equals relaxed
+        greedy's — existing kills suffice; the match surface switched
+        from possessive commit to enumerate + _greedy_ok span filter,
+        which also fixed early-completion matches the commit dropped);
+        ITERATIVE conditions on scanned stages (per-branch re-
+        evaluation: a cogrouped pandas pass on batch, the candidate
+        walk on streaming); OPTIONAL group-loop ENTRY leaves (the
+        waiter parks at the optable head state whose ignore is
+        NOT(head) only — extra 'fb' copies per optable-chain state,
+        iteration counting by the first mandatory leaf); and the
+        zero-take guard-split correction (without prior NOTs,
+        copyWithoutTransitiveNots returns its argument, so zero-take
+        routes share the guarded sink).
+
         Remaining loud guards: group loops with non-plain inner leaves
-        (nested quantifiers/optionals/NOTs/untils inside the loop),
-        greedy with allow_combinations (the TRUE inner ignore branches
-        around the sink guard), iterative conditions on scanned/
-        killed stages (branch-dependent take-ability), and an OPTIONAL
-        group-loop entry leaf. Optional-tail group loops (fluid
+        (nested quantifiers/NOTs/untils inside the loop, or all-
+        optional inners), group-level until() on certain shapes,
+        iterative conditions under a STREAMING skip strategy (the
+        incremental cursor), and not_next folds onto non-strict/
+        quantified carriers. Optional-tail group loops (fluid
         iteration links) run everywhere — batch, streaming, and under
         skip strategies on both routes — via the two-path link filter.
         """
@@ -1575,19 +1701,24 @@ class PatternStream:
         # updateWithGreedyCondition), so a branch parked at the successor
         # state — the maxed-out head waiter or a mid-loop migrated copy —
         # silently dies on any greedy-take-able event in its gap (it can
-        # neither take nor ignore it). Narrow residual guards:
-        for si, s in enumerate(stages):
-            if (
-                s.quant is not None
-                and s.quant[2] is True
-                and si < len(stages) - 1  # terminal greedy is IGNORED
-            ):  # (GreedyITCase.testEndWithZeroOrMoreGreedy)
-                if s.loop_mode == "combinations":
-                    raise NotImplementedError(
-                        f"timeout side output: greedy stage {s.name!r} "
-                        "with allow_combinations() — the TRUE inner "
-                        "ignore branches around the sink guard"
-                    )
+        # neither take nor ignore it).
+        #
+        # greedy + allow_combinations (round 13): needs NO machinery
+        # beyond the existing kills. In the compiled NFA the PROCEED
+        # edge lives only on the looping state (the ignoreState copy has
+        # take/ignore edges but no PROCEED — NFACompiler createLooping),
+        # so the ONLY routes from the loop to the sink are (a) a direct
+        # sink take at the first gap event after a loop take, or (b) an
+        # IGNORE-after-PROCEED copy parked at the sink, spawned at that
+        # same first gap event — and both carry the sink's NOT(take)
+        # guard. The TRUE inner ignore keeps the mid-loop branch itself
+        # alive forever (primary 'persist' below) and lets it take later
+        # loop events after skipping some (the fluid subset enumeration
+        # of the de-greedied prefix), but it never re-opens a PROCEED
+        # from the ignoreState: the sink-jump rule is identical to the
+        # relaxed-greedy one (no greedy-take-able event in (last loop
+        # take, next taken row]) — exactly the existing 'gap'/'adj'
+        # kills and the interior-greedy span kill.
         for si, s in enumerate(stages):
             if s.fold_not and (
                 s.kind != "next" or s.quant is not None or s.opt
@@ -1664,26 +1795,26 @@ class PatternStream:
         def _need_scan_cond(key, cond, pcond, iter_cond, what, name) -> str:
             """Register a take-condition survival scan — a Catalyst
             lookahead column on the batch route, a pandas predicate on
-            the streaming route."""
-            if iter_cond is not None:
-                raise NotImplementedError(
-                    f"timeout side output: {what} {name!r} has an "
-                    "iterative condition — its take-ability is "
-                    "branch-dependent"
-                )
+            the streaming route. An ITERATIVE condition (round 13)
+            makes take-ability branch-dependent: the static part still
+            compiles to the shared column/array, and each parked
+            branch re-evaluates the iterative part per statically-
+            viable gap event with ITS OWN partial match as the
+            IterativeCondition.Context — a cogrouped pandas pass on
+            the batch route, the in-loop candidate walk on streaming."""
             if streaming:
-                if pcond is None:
+                if pcond is None and iter_cond is None:
                     raise ValueError(
                         f"streaming timeout side output needs a "
                         f"vectorized pandas predicate on {what} "
                         f"{name!r}"
                     )
-            elif cond is None and pcond is not None:
+            elif cond is None and pcond is not None and iter_cond is None:
                 raise ValueError(
                     f"timeout side output needs a Catalyst "
                     f"condition on {what} {name!r}"
                 )
-            scan_specs[key] = (cond, pcond)
+            scan_specs[key] = (cond, pcond, iter_cond)
             return key
 
         def _need_scan(i: int, what: str) -> str:
@@ -1694,7 +1825,14 @@ class PatternStream:
             )
 
         def _has_cond(s) -> bool:
-            return s.cond is not None or s.pandas_cond is not None
+            # an iterative-only stage is CONDITIONED (static part true,
+            # take-ability per branch) — round 13; without this it fell
+            # through to the unconditioned-fb 'any' primary
+            return (
+                s.cond is not None
+                or s.pandas_cond is not None
+                or s.iter_cond is not None
+            )
 
         # kill scans (round 11): STOP-edge conditions that silently
         # discard a parked branch when a matching event lands in its
@@ -1784,6 +1922,31 @@ class PatternStream:
                 i += 1
             return out
 
+        def _group_chain_copies(t: int, gstage, kls) -> list[tuple]:
+            """Extra entry-wait computations for a group with an
+            OPTABLE head chain (round 13): the waiter at the head
+            leaf's state spawns 'IGNORE after PROCEED' copies at every
+            deeper chain state up to the first mandatory leaf — the
+            partial survives iff any of them does. Chain leaves are
+            plain (the group-plan builder's leaf check ran for every
+            quantified group in the pattern)."""
+            gi = _flatten(list(gstage.group._stages))
+            out = []
+            for j in range(1, len(gi)):
+                if not _optable(gi[j - 1]):
+                    break
+                st2 = gi[j]
+                out.append((
+                    "fb",
+                    _need_scan_cond(
+                        f"gi{t}_{j}", st2.cond, st2.pandas_cond,
+                        st2.iter_cond, "group inner stage", st2.name,
+                    ),
+                    kls,
+                    None,
+                ))
+            return out
+
         def _copies_for(targets: list[int], greedy=None) -> list[tuple]:
             """Migrated-copy survival specs for 'IGNORE after PROCEED'
             branches (NFA.java:621-633): the decision graph collects
@@ -1812,7 +1975,9 @@ class PatternStream:
                     out.append(("fba", None, kls, None))
                 elif st.group is not None:
                     # copy parked at a group target consumes on the
-                    # group's entry condition (first positive leaf)
+                    # group's entry condition (first positive leaf);
+                    # an optable head chain adds one copy per deeper
+                    # chain state (round 13)
                     ec, ep, ei, en = _first_positive_cond(st.group._stages)
                     out.append((
                         "fb",
@@ -1823,6 +1988,7 @@ class PatternStream:
                         kls,
                         None,
                     ))
+                    out.extend(_group_chain_copies(t, st, kls))
                 elif _has_cond(st):
                     out.append((
                         "fb",
@@ -2008,16 +2174,25 @@ class PatternStream:
             if (
                 waiting.quant is not None
                 and waiting.quant[2] is True
-                and waiting.quant[1] is not None
                 and _optable(waiting)
                 and k < n - 1
+                and not (
+                    waiting.quant[1] is None
+                    and (waiting.negated_gap is not None or waiting.fold_not)
+                )
             ):
-                # a ZERO-ABLE BOUNDED greedy times-loop guards the
-                # ORIGINAL successor state (createTimesState applies
-                # updateWithGreedyCondition to it before building the
-                # chain, so the zero-take PROCEED lands on guarded
-                # states) — unbounded optional loops guard only the
-                # loop's COPY, leaving the zero-take branch unguarded
+                # a ZERO-ABLE greedy loop guards its successor for the
+                # zero-take copies too: bounded times-loops guard the
+                # ORIGINAL unconditionally (createTimesState applies
+                # updateWithGreedyCondition before building the chain),
+                # and a NOT-free unbounded optional loop has only ONE
+                # sink state — copyWithoutTransitiveNots returns its
+                # argument, so createLooping guards the state the
+                # zero-take PROCEED lands on (round-13 correction,
+                # pinned by GreedyITCase testGreedyZeroOrMore). The
+                # exempt case is an unbounded optional loop PRECEDED BY
+                # A NOT: only there does the copy split leave the
+                # zero-take route unguarded.
                 gtuple = (*gtuple, (_greedy_key(k), k + 1))
             copies = (
                 # the waiter at k IS prev's guarded sink, so every copy
@@ -2026,6 +2201,17 @@ class PatternStream:
                 if _optable(waiting)
                 else []
             )
+            if (
+                waiting.group is not None
+                and waiting.kind == "followed_by"
+            ):
+                # optable head chain of a waiting GROUP (round 13):
+                # the head waiter's deeper-chain copies share its gap
+                # and kills
+                copies = [
+                    *_group_chain_copies(k, waiting, head_kills + gk),
+                    *copies,
+                ]
             # migrated copies share the waiter's last take, so a
             # preceding not_next's adjacency kill applies to them too
             carry = tuple(e for e in head_kills if e[0] == "adj")
@@ -2107,25 +2293,41 @@ class PatternStream:
                     or st.quant is not None
                     or st.until_cond is not None
                     or st.until_pandas is not None
-                    or st.iter_cond is not None
                     or st.negated_gap is not None
                     or st.fold_not
                     or st.lead_not
                 ):
+                    # ITERATIVE inner leaves are fine since round 13:
+                    # the scan registry threads the per-branch
+                    # predicate, and the IterativeCondition context
+                    # strips the __gq iteration-rename so cross-
+                    # iteration get_events_for_pattern works
                     raise NotImplementedError(
                         f"timeout side output: quantified group "
                         f"{s.name!r} — inner stage {st.name!r} is not a "
                         "plain positive leaf (nested quantifiers/"
                         "NOTs/untils inside a group loop are untraced)"
                     )
-                if st.opt and qi == 0:
-                    raise NotImplementedError(
-                        f"timeout side output: quantified group "
-                        f"{s.name!r} — an OPTIONAL entry leaf shifts "
-                        "the iteration's entry condition per branch "
-                        "(untraced); interior/trailing optional leaves "
-                        "are supported"
-                    )
+            # OPTIONAL entry leaf (round 13): the iteration waiter parks
+            # at the optable HEAD leaf's state, whose ignore edge is
+            # NOT(head take) only — so the waiter's consume scan stays
+            # the head condition, but the decision graph ALSO parks an
+            # 'IGNORE after PROCEED' copy at every further optable-
+            # chain state (and the first mandatory one): the partial
+            # survives iff ANY of those computations does (one extra
+            # 'fb' copy per chain state below). Iterations are counted
+            # by the first MANDATORY leaf (each completed iteration
+            # takes it exactly once; boundary copies only exist for
+            # completable in-progress iterations, which have it too).
+            ohead = 0
+            while ohead < len(inner) and _optable(inner[ohead]):
+                ohead += 1
+            if ohead >= len(inner):
+                raise NotImplementedError(
+                    f"timeout side output: quantified group {s.name!r} "
+                    "has no mandatory inner leaf (an all-optional group "
+                    "loop admits empty iterations — untraced)"
+                )
             rp = raw_pos[p]
             # until() on the group loop (round 12, late): NFACompiler
             # puts the stop edge on every looping state, so (a) a branch
@@ -2173,10 +2375,31 @@ class PatternStream:
             mx = 1 if s.quant is None else s.quant[1]
             lo = (0 if s.opt else 1) if s.quant is None else s.quant[0]
             ec, ep, ei, en = _first_positive_cond(s.group._stages)
-            # iteration count per assignment = entry-leaf takes across
-            # the renamed completed-iterations group AND the current
-            # in-progress chain
-            cnt_syms = (en, en + "__gq")
+            # iteration count per assignment = takes of the first
+            # MANDATORY leaf across the renamed completed-iterations
+            # group AND the current in-progress chain (== entry-leaf
+            # takes when the entry is mandatory; round 13 generalized
+            # for optable entry leaves)
+            em = inner[ohead].name
+            cnt_syms = (em, em + "__gq")
+            # extra entry-wait computations for an optable head chain
+            # (round 13): one 'fb' copy per chain state past the head —
+            # they share the waiter's taken rows and survive its
+            # consumption by head-take-able events
+            def _ochain_copies(kls, bg):
+                out2 = []
+                for qi2 in range(1, ohead + 1):
+                    st2 = inner[qi2]
+                    out2.append((
+                        "fb",
+                        _need_scan_cond(
+                            f"gi{p}_{qi2}", st2.cond, st2.pandas_cond,
+                            st2.iter_cond, "group inner stage", st2.name,
+                        ),
+                        kls,
+                        bg,
+                    ))
+                return out2
             succ_gate = ("ge", lo) if lo >= 2 else None
             succ_copies = [
                 (kk, ii, kls, succ_gate)
@@ -2239,6 +2462,7 @@ class PatternStream:
                             ),
                             gu, bg,
                         ))
+                        out.extend(_ochain_copies(gu, bg))
                 out.extend(succ_copies)
                 return out
 
@@ -2295,12 +2519,24 @@ class PatternStream:
                         ),
                         gu,
                     )
+                # optable head chain (round 13): the between-waiter
+                # survives head-consuming events through its copies at
+                # the deeper chain states, valid while another
+                # iteration may start
+                w_extra = (
+                    _ochain_copies(
+                        gu, ("lt", mx) if mx is not None else None
+                    )
+                    if iter_kind == "followed_by" and ohead > 0
+                    else []
+                )
+                w_copies = [*w_extra, *succ_copies]
                 if not _optable(inner[-1]):
                     # the last take of a completed iteration can only
                     # be the final leaf: one plan over gprev
                     plans.append((
                         [*raw[:rp], gprev], f"G{p}w", primary,
-                        succ_copies, _g_gate(succ_copies),
+                        w_copies, _g_gate(w_copies),
                     ))
                 else:
                     # optable final leaf: a tail-absent completion's
@@ -2312,8 +2548,8 @@ class PatternStream:
                     full = _chain_forced(len(inner))
                     plans.append((
                         [*raw[:rp], *_wrap_iter(s, full, s.kind)],
-                        f"G{p}wA", primary, succ_copies,
-                        _g_gate(succ_copies),
+                        f"G{p}wA", primary, w_copies,
+                        _g_gate(w_copies),
                     ))
                     if mx is None or mx >= 3:
                         gprev2 = dataclasses.replace(
@@ -2328,8 +2564,8 @@ class PatternStream:
                         plans.append((
                             [*raw[:rp], gprev2_r,
                              *_wrap_iter(s, full, iter_kind)],
-                            f"G{p}wB", primary, succ_copies,
-                            _g_gate(succ_copies),
+                            f"G{p}wB", primary, w_copies,
+                            _g_gate(w_copies),
                         ))
 
         # interior greedy stages (round 12, late): a prefix that passes
@@ -2365,18 +2601,23 @@ class PatternStream:
                     ]
                     # span anchor: the last row BEFORE the post-greedy
                     # take. 'anchor' mode = max non-post row (covers
-                    # ZERO-take assignments too — a bounded times-loop
-                    # guards the ORIGINAL successor before building the
-                    # chain, so the zero-take path is guarded); 'g'
-                    # mode anchors on the last greedy row only (an
-                    # unbounded optional loop guards only its COPY of
-                    # the sink — the zero-take branch is exempt)
-                    zb_unbounded = (
+                    # ZERO-take assignments too — bounded times-loops
+                    # guard the ORIGINAL successor unconditionally, and
+                    # a NOT-free unbounded optional loop has only ONE
+                    # sink state, guarded: copyWithoutTransitiveNots
+                    # returns its argument — round-13 correction,
+                    # GreedyITCase testGreedyZeroOrMore); 'g' mode
+                    # anchors on the last greedy row only (zero-take
+                    # exempt: an unbounded optional loop PRECEDED BY A
+                    # NOT proceeds its zero-take route to the unguarded
+                    # original of the copy split)
+                    zb_exempt = (
                         (st.opt or st.quant[0] == 0)
                         and st.quant[1] is None
+                        and (st.negated_gap is not None or st.fold_not)
                     )
                     spans.append((
-                        "g" if zb_unbounded else "anchor",
+                        "g" if zb_exempt else "anchor",
                         st.name, post,
                         _need_kill(
                             f"gsp_{st.name}", st.cond, st.pandas_cond,
@@ -2430,6 +2671,11 @@ class PatternStream:
                         spans=spans_p,
                         fluid=fluid_p,
                         define=_build_pandas_define(pre),
+                        # iterative stage conditions of the prefix
+                        # (round 13): threaded into the operator's
+                        # enumerator so assignments invalid under an
+                        # IterativeCondition are never parked
+                        iter_define=pre._iter_define or None,
                         user_syms=[
                             st.name
                             for st in _positive_leaf_stages(pre_stages)
@@ -2444,6 +2690,12 @@ class PatternStream:
                                 (fl, kill_specs[kk][1])
                                 for fl, kk in primary[2]
                             ],
+                            # iterative part of the consume scan (round
+                            # 13): re-evaluated per branch in the
+                            # operator's candidate walk
+                            scan_specs[primary[1]][2]
+                            if primary[0] == "consume"
+                            else None,
                         ),
                         copies=[
                             (
@@ -2451,6 +2703,7 @@ class PatternStream:
                                 None if ii is None else scan_specs[ii][1],
                                 [(fl, kill_specs[x][1]) for fl, x in kls],
                                 cg,
+                                None if ii is None else scan_specs[ii][2],
                             )
                             for kk, ii, kls, cg in copies
                         ],
@@ -2458,6 +2711,14 @@ class PatternStream:
                     )
                 )
             skip_spec = None
+            if skip_mode != "no_skip" and pattern._iter_define:
+                raise NotImplementedError(
+                    "streaming timeout side output under a skip "
+                    "strategy with iterative conditions — the "
+                    "incremental full-pattern cursor does not thread "
+                    "IterativeCondition contexts yet (batch and "
+                    "no_skip streaming do)"
+                )
             if skip_mode != "no_skip":
                 # the FULL pattern, compiled emit='first' — the same
                 # first-completed sequential matcher the batch match
@@ -2466,15 +2727,16 @@ class PatternStream:
                 full_pat, _fdef, full_usr, _fwin = pattern.compile(
                     emit="first", lookahead_window=lookahead
                 )
-                full_fluid = None
-                if pattern._fluid_links:
-                    # fluid full pattern: the cursor enumerates with
-                    # the two-path filter, so it needs the enumerable
-                    # gap grammar
+                full_fluid = full_greedy = None
+                if pattern._fluid_links or pattern._greedy_spans:
+                    # fluid full pattern / greedy sink guards: the
+                    # cursor enumerates with the candidate filters, so
+                    # it needs the enumerable gap grammar
                     full_pat, _fdef, full_usr, _fwin = pattern.compile(
                         emit="all", lookahead_window=lookahead
                     )
-                    full_fluid = list(pattern._fluid_links)
+                    full_fluid = list(pattern._fluid_links) or None
+                    full_greedy = list(pattern._greedy_spans) or None
                 tn_p = None
                 if terminal_tn:
                     # pendings complete AT horizon close; the cursor
@@ -2495,6 +2757,7 @@ class PatternStream:
                     user_syms=list(full_usr),
                     tn=tn_p,
                     fluid=full_fluid,
+                    greedy=full_greedy,
                 )
             res = streaming_timed_out_partials(
                 self._df, keys, order, list(self._df.columns),
@@ -2505,8 +2768,24 @@ class PatternStream:
                 F.regexp_replace(F.col("matched_symbol"), "__gq$", ""),
             )
 
+        it_scan_keys = sorted(
+            k for k in scan_specs if scan_specs[k][2] is not None
+        )
         for key in sorted(scan_specs):
-            cond = scan_specs[key][0]
+            cond, _pc, itc = scan_specs[key]
+            if itc is not None:
+                # iterative scan (round 13): the shared window column
+                # cannot decide branch-dependent take-ability — compute
+                # the STATIC flag only; the per-assignment cogroup pass
+                # in _timeouts evaluates the iterative part against
+                # each branch's own partial match
+                base = base.withColumn(
+                    f"__to_its_{key}",
+                    F.lit(True)
+                    if cond is None  # iterative-only: static part true
+                    else F.coalesce(cond, F.lit(False)),
+                )
+                continue
             src = (
                 F.when(cond, F.col("__to_tick"))
                 if cond is not None
@@ -2529,9 +2808,107 @@ class PatternStream:
             )
         last_cols = (
             ["__to_next_any"]
-            + [f"__to_nt_{key}" for key in sorted(scan_specs)]
+            + [
+                f"__to_nt_{key}"
+                for key in sorted(scan_specs)
+                if scan_specs[key][2] is None
+            ]
             + [f"__to_kl_{kk}" for kk in sorted(kill_specs)]
         )
+
+        def _iter_hits(rows, it_keys):
+            """Per-assignment first ITERATIVE take tick (round 13): a
+            cogrouped pandas pass joining each enumerated assignment
+            with its key's events — for every statically-viable gap
+            event, the scan's IterativeCondition re-runs with the
+            branch's own taken rows as the Context (the same
+            ``_IterCtx`` contract the match surface uses). Returns one
+            row per (keys, match_id) with a nullable first-hit tick
+            per scan key."""
+            from reshape_on_flink_spark.operators.cep import _IterCtx
+
+            it_fns = {k: scan_specs[k][2] for k in it_keys}
+            key_fields = [
+                f for f in base.schema.fields if f.name in keys
+            ]
+            schema_out = ", ".join(
+                [f"`{f.name}` {f.dataType.simpleString()}" for f in key_fields]
+                + ["match_id bigint"]
+                + [f"`__itk_{k}` double" for k in it_keys]
+            )
+            asg = rows.select(*keys, "match_id", "__to_rid", "matched_symbol")
+            flag_cols = [f"__to_its_{k}" for k in it_keys]
+            ev = base.select(
+                *user_cols,
+                "__to_rid",
+                "__to_tick",
+                *flag_cols,
+            )
+            ocol_name = ocol
+            dlt = delta
+
+            def fn(key_vals, asg_pdf, ev_pdf):
+                import numpy as np
+                import pandas as pd
+
+                if not len(asg_pdf):
+                    return pd.DataFrame(
+                        columns=[f.name for f in key_fields]
+                        + ["match_id"]
+                        + [f"__itk_{k}" for k in it_keys]
+                    )
+                ev2 = ev_pdf.sort_values("__to_rid").reset_index(drop=True)
+                ticks = ev2["__to_tick"].to_numpy()
+                flags = {
+                    k: ev2[f"__to_its_{k}"].to_numpy().astype(bool)
+                    for k in it_keys
+                }
+                recs = ev2.to_dict("records")
+                out = []
+                for mid, grp in asg_pdf.groupby("match_id", sort=False):
+                    grp = grp.sort_values("__to_rid")
+                    rids = grp["__to_rid"].to_numpy()
+                    names = [
+                        s[:-4] if s.endswith("__gq") else s
+                        for s in grp["matched_symbol"]
+                    ]
+                    sym_idx: dict = {}
+                    taken = []
+                    for rid, nm in zip(rids, names):
+                        si = sym_idx.setdefault(nm, len(sym_idx))
+                        taken.append((int(rid) - 1, si))
+                    symbols = list(sym_idx)
+                    ctx = _IterCtx(recs, symbols, ocol_name)
+                    ctx.taken = tuple(taken)
+                    first_pos = int(rids[0]) - 1
+                    last_pos = int(rids[-1]) - 1
+                    horizon = float(ticks[first_pos]) + dlt
+                    lim = int(np.searchsorted(ticks, horizon, side="left"))
+                    hits = []
+                    for k in it_keys:
+                        hit = None
+                        fnk = it_fns[k]
+                        for p in range(last_pos + 1, lim):
+                            if not flags[k][p]:
+                                continue
+                            ctx.pos = p
+                            if fnk(recs[p], ctx):
+                                hit = float(ticks[p])
+                                break
+                        hits.append(hit)
+                    out.append([*key_vals, int(mid), *hits])
+                return pd.DataFrame(
+                    out,
+                    columns=[f.name for f in key_fields]
+                    + ["match_id"]
+                    + [f"__itk_{k}" for k in it_keys],
+                )
+
+            return (
+                asg.groupBy(*keys)
+                .cogroup(ev.groupBy(*keys))
+                .applyInPandas(fn, schema=schema_out)
+            )
 
         def _timeouts(pre_stages, spans, tag: str, primary, copies, gate):
             """Enumerate the parked branches of one prefix shape; keep
@@ -2599,6 +2976,25 @@ class PatternStream:
                 .agg(*aggs)
                 .withColumn("__horizon", F.col("__first") + F.lit(delta))
             )
+            plan_it = sorted({
+                k
+                for k in (
+                    [primary[1]] if primary[0] == "consume" else []
+                ) + [ii for _kd, ii, _kl, _cg in copies if ii is not None]
+                if scan_specs[k][2] is not None
+            })
+            if plan_it:
+                g = g.join(
+                    _iter_hits(rows, plan_it), [*keys, "match_id"], "left"
+                )
+
+            def _scan_col(key):
+                """First consuming-take tick for a scan key: the shared
+                window column for static scans, the per-assignment
+                cogroup column for ITERATIVE ones (round 13)."""
+                if scan_specs[key][2] is not None:
+                    return F.col(f"__itk_{key}")
+                return F.col(f"__l__to_nt_{key}")
             for j2 in range(len(spans)):
                 # the reference branch died at the sink before the next
                 # take: a greedy-take-able event at rid <= the first
@@ -2611,9 +3007,9 @@ class PatternStream:
                 g = g.where(~F.coalesce(bad, F.lit(False)))
 
             def _clear(col):  # no matching event after the last take,
-                return F.col(col).isNull() | (  # below the horizon
-                    F.col(col) >= F.col("__horizon")
-                )
+                if isinstance(col, str):  # below the horizon
+                    col = F.col(col)
+                return col.isNull() | (col >= F.col("__horizon"))
 
             def _kills_clear(kills):
                 c = F.lit(True)
@@ -2650,7 +3046,11 @@ class PatternStream:
                             col["__to_rid"] == F.col("__lrid") + 1
                         )
                     if guard_col is not None:
-                        tc = F.col(guard_col)
+                        tc = (
+                            F.col(guard_col)
+                            if isinstance(guard_col, str)
+                            else guard_col
+                        )
                         fired = fired & (tc.isNull() | (kt <= tc))
                     out.append(F.when(fired, kt))
                 return out
@@ -2660,7 +3060,7 @@ class PatternStream:
 
             death_cands = []  # one entry per computation (primary/copy)
             if primary[0] == "consume":
-                alive = _clear(f"__l__to_nt_{primary[1]}")
+                alive = _clear(_scan_col(primary[1]))
             elif primary[0] == "any":
                 alive = _clear("__l__to_next_any")
             else:
@@ -2669,7 +3069,7 @@ class PatternStream:
             if primary[2]:
                 death_cands.append(_least(_kill_deaths(
                     primary[2],
-                    f"__l__to_nt_{primary[1]}"
+                    _scan_col(primary[1])
                     if primary[0] == "consume"
                     else None,
                 )))
@@ -2698,7 +3098,7 @@ class PatternStream:
                     term = (
                         trigger
                         if kind == "fba"
-                        else trigger & _clear(f"__l__to_nt_{i}")
+                        else trigger & _clear(_scan_col(i))
                     )
                     cp = cp | _cgated(term & _kills_clear(kls), cg)
                     if kls:
@@ -2706,7 +3106,7 @@ class PatternStream:
                             _cgated(trigger & gated, cg),
                             _least(_kill_deaths(
                                 kls,
-                                None if kind == "fba" else f"__l__to_nt_{i}",
+                                None if kind == "fba" else _scan_col(i),
                             )),
                         ))
                 if gate is not None and gate[1] is not None:

@@ -735,6 +735,66 @@ def _fluid_ok(m, bools, sym_index, specs) -> bool:
     return True
 
 
+def _greedy_ok(m, bools, sym_index, specs, filler_idx) -> bool:
+    """Greedy sink-guard rule replayed on an enumerated candidate
+    (round 13 — NFACompiler.updateWithGreedyCondition: every transition
+    of the greedy stage's PROCEED sink is ANDed with NOT(take), and the
+    looping ignoreState has no PROCEED edge, so the loop-to-sink jump
+    happens at exactly one event per branch).
+
+    Per spec ``(loop_name, prev_name, sink_name, mode)``:
+
+    - anchor = the candidate's last row taken by the loop; a ZERO-take
+      assignment anchors on ``prev_name``'s last row under ``'anchor'``
+      (without prior NOTs there is only ONE sink state and it is
+      guarded — copyWithoutTransitiveNots returns its argument;
+      GreedyITCase testGreedyZeroOrMore kills {c,d} over ``c a a a
+      d``) and is exempt under ``'exempt0'`` (unbounded optional loop
+      preceded by a NOT: the zero-take PROCEED targets the unguarded
+      original).
+    - if the next taken row belongs to the sink stage: reject iff any
+      loop-take-able event lies in (anchor, next] — the branch either
+      waited at the guarded sink through it or its take carried the
+      guard.
+    - if the sink was skipped (optional): reject iff the FIRST event
+      after the anchor is loop-take-able — the 'IGNORE after PROCEED'
+      copy past the sink spawns only at that event and is unguarded
+      afterwards.
+    - a candidate ENDING at the loop (all-optional tail) is kept — a
+      permissive reading of the unpinned corner (no GreedyITCase
+      fixture ends a guarded greedy before an absent optional tail).
+    """
+    idx_of, strip = sym_index
+    user = [(p, strip[si]) for p, si in m if si not in filler_idx]
+    for loop_name, prev_name, sink_name, mode in specs:
+        li = idx_of.get(loop_name)
+        if li is None:
+            continue
+        g = bools[li]
+        lp = [p for p, nm in user if nm == loop_name]
+        if lp:
+            a = lp[-1]
+        elif mode == "exempt0":
+            continue
+        else:
+            if prev_name is None:
+                continue
+            pp = [p for p, nm in user if nm == prev_name]
+            if not pp:
+                continue
+            a = pp[-1]
+        nxt = next(((p, nm) for p, nm in user if p > a), None)
+        if nxt is None:
+            continue
+        np_, nm_ = nxt
+        if nm_ == sink_name:
+            if np.asarray(g[a + 1 : np_ + 1], dtype=bool).any():
+                return False
+        elif a + 1 < len(g) and g[a + 1]:
+            return False
+    return True
+
+
 def _fluid_index(symbols: list[str]) -> tuple[dict, list]:
     """(stripped name -> bools index, symidx -> stripped name)."""
     strip = [s[:-4] if s.endswith("__gq") else s for s in symbols]
@@ -864,7 +924,16 @@ def _build_ic(pdf, symbols: list[str], n_cols: int, iter_define,
     if not iter_define:
         return None
     records = pdf.to_dict("records")
-    ctx = _IterCtx(records, symbols, order_col, timer_service)
+    # ctx exposes SUFFIX-STRIPPED names: a renamed completed-iterations
+    # group leaf (name__gq) shares its original's identity, so an
+    # IterativeCondition's get_events_for_pattern("B") sees takes from
+    # every iteration (round 13)
+    ctx = _IterCtx(
+        records,
+        [s[:-4] if s.endswith("__gq") else s for s in symbols],
+        order_col,
+        timer_service,
+    )
     ic = [None] * n_cols
     for name, fn in iter_define.items():
         si = symbols.index(name)
@@ -891,6 +960,7 @@ def match_recognize(
     iter_define: dict | None = None,
     filler_syms: list[str] | None = None,
     fluid_links: list | None = None,
+    greedy_spans: list | None = None,
     timer_service=None,
 ) -> DataFrame:
     """Rows of every match, annotated with ``match_id`` (0-based ordinal
@@ -899,6 +969,11 @@ def match_recognize(
     ``fluid_links``: two-path iteration-link specs for group loops with
     OPTIONAL tail leaves (see :func:`_fluid_ok`) — forces the
     enumerate+filter route and drops over-admitted link gaps.
+
+    ``greedy_spans``: sink-guard specs for greedy loop stages (see
+    :func:`_greedy_ok`) — forces the enumerate+filter route and drops
+    candidates whose loop-to-successor jump crosses a loop-take-able
+    event (NFACompiler.updateWithGreedyCondition replayed).
 
     ``define`` maps each pattern symbol to a boolean Catalyst expression;
     use ``F.lag(col).over(Window.partitionBy(keys).orderBy(order))`` for
@@ -1016,12 +1091,14 @@ def match_recognize(
     enum_at = (
         _ast_enumerator(symbols, ast)
         if (skip_mode == "no_skip" or terminal_not is not None
-            or fluid_links)
+            or fluid_links or greedy_spans)
         else None
     )
     all_syms = symbols + ([terminal_not] if terminal_not is not None else [])
     tn_idx = len(symbols)  # bools index of the terminal-not flag column
-    fl_idx = _fluid_index(symbols) if fluid_links else None
+    fl_idx = (
+        _fluid_index(symbols) if (fluid_links or greedy_spans) else None
+    )
     filler_idx = frozenset(
         symbols.index(s) for s in (filler_syms or ()) if s in symbols
     )
@@ -1108,6 +1185,12 @@ def match_recognize(
                     cands = [
                         m for m in cands
                         if _fluid_ok(m, bools, fl_idx, fluid_links)
+                    ]
+                if greedy_spans:
+                    cands = [
+                        m for m in cands
+                        if _greedy_ok(m, bools, fl_idx, greedy_spans,
+                                      filler_idx)
                     ]
                 if terminal_not is not None:
                     cands = _nf_survivors(cands, bools, hi)
@@ -1226,6 +1309,12 @@ def match_recognize(
                     cands = [
                         m for m in cands
                         if _fluid_ok(m, bools, fl_idx, fluid_links)
+                    ]
+                if greedy_spans:
+                    cands = [
+                        m for m in cands
+                        if _greedy_ok(m, bools, fl_idx, greedy_spans,
+                                      filler_idx)
                     ]
                 if terminal_not is not None:
                     cands = _nf_survivors(cands, bools, hi)
@@ -1473,6 +1562,7 @@ def streaming_match_recognize(
     iter_define: dict | None = None,
     filler_syms: list[str] | None = None,
     fluid_links: list | None = None,
+    greedy_spans: list | None = None,
     timer_service=None,
 ) -> DataFrame:
     """MATCH_RECOGNIZE over a streaming DataFrame (applyInPandasWithState).
@@ -1600,9 +1690,11 @@ def streaming_match_recognize(
     )
     use_enum = (
         skip_mode == "no_skip" or terminal_not is not None
-        or bool(fluid_links)
+        or bool(fluid_links) or bool(greedy_spans)
     )
-    fl_idx = _fluid_index(symbols) if fluid_links else None
+    fl_idx = (
+        _fluid_index(symbols) if (fluid_links or greedy_spans) else None
+    )
     if use_enum:  # enumerate expansions per start, advance by one
         match_at = _ast_enumerator(symbols, ast, modes=True)
         enum_closed = _ast_enumerator(symbols, ast)
@@ -1723,6 +1815,12 @@ def streaming_match_recognize(
                     cands = [
                         mm for mm in cands
                         if _fluid_ok(mm, bools, fl_idx, fluid_links)
+                    ]
+                if greedy_spans:
+                    cands = [
+                        mm for mm in cands
+                        if _greedy_ok(mm, bools, fl_idx, greedy_spans,
+                                      filler_idx)
                     ]
                 if filler_idx:  # drop filler-anchored candidates (see batch)
                     cands = [mm for mm in cands if mm[0][1] not in filler_idx]
@@ -2002,19 +2100,22 @@ def streaming_timed_out_partials(
             raise ValueError(f"skip full-pattern symbols without DEFINE: {missing}")
         f_user = set(skip["user_syms"])
         f_fluid = skip.get("fluid")
+        f_greedy = skip.get("greedy")
         skip_compiled = (
             f_syms,
-            # a FLUID full pattern (optional-tail group loop) needs the
-            # enumerate+filter route: the sequential matcher's single
-            # candidate may be an over-admitted link expansion
-            _ast_enumerator(f_syms, f_ast) if f_fluid
+            # a FLUID full pattern (optional-tail group loop) or a
+            # greedy sink guard needs the enumerate+filter route: the
+            # sequential matcher's single candidate may be an
+            # over-admitted link expansion / a guarded jump
+            _ast_enumerator(f_syms, f_ast) if (f_fluid or f_greedy)
             else _ast_matcher(f_syms, f_ast),
             frozenset(j for j, s in enumerate(f_syms) if s not in f_user),
             skip["mode"],
             skip.get("sym"),
             skip.get("tn"),
             f_fluid,
-            _fluid_index(f_syms) if f_fluid else None,
+            _fluid_index(f_syms) if (f_fluid or f_greedy) else None,
+            f_greedy,
         )
 
     sample = events.select(*input_cols)
@@ -2105,11 +2206,49 @@ def streaming_timed_out_partials(
             ]
             user = set(pl["user_syms"])
             prim, copies, gate = pl["primary"], pl["copies"], pl["gate"]
-            prim_arr = (
-                np.asarray(prim[1](pdf).to_numpy(), dtype=bool)
-                if prim[0] == "consume"
-                else None
+            pl_ic = _build_ic(
+                pdf, symbols, len(symbols), pl.get("iter_define"),
+                order_cols[0],
             )
+            prim_it = prim[3] if len(prim) > 3 else None
+            if prim[0] == "consume":
+                prim_arr = (
+                    np.asarray(prim[1](pdf).to_numpy(), dtype=bool)
+                    if prim[1] is not None
+                    else np.ones(n, dtype=bool)  # iterative-only static
+                )
+            else:
+                prim_arr = None
+            # iterative scans (round 13): evaluated per branch against
+            # its own partial match — lazy per-batch records + context
+            plan_has_iter = prim_it is not None or any(
+                len(c) > 4 and c[4] is not None for c in copies
+            )
+            it_recs = it_ctx = None
+            if plan_has_iter:
+                it_recs = pdf.to_dict("records")
+                it_ctx = _IterCtx(
+                    it_recs,
+                    [s[:-4] if s.endswith("__gq") else s for s in symbols],
+                    order_cols[0],
+                )
+
+            def _first_take_it(arr, itfn, gap, taken):
+                """First consuming take in the gap: static flag AND, for
+                iterative scans, the IterativeCondition over THIS
+                branch's taken rows."""
+                nz = np.nonzero(arr[gap])[0]
+                if not len(nz):
+                    return None
+                if itfn is None:
+                    return gap.start + int(nz[0])
+                it_ctx.taken = tuple(taken)
+                for off in nz:
+                    p2 = gap.start + int(off)
+                    it_ctx.pos = p2
+                    if itfn(it_recs[p2], it_ctx):
+                        return p2
+                return None
 
             def _karr(kls):
                 return [
@@ -2150,7 +2289,7 @@ def streaming_timed_out_partials(
                 nz = np.nonzero(arr[gap])[0]
                 return gap.start + int(nz[0]) if len(nz) else None
 
-            def _note_death(ii, kls, gap, take_arr):
+            def _note_death(ii, kls, gap, take_arr, itfn=None, match=None):
                 # record the branch's stop-edge death tick for the
                 # emission-gate list: fires only if the kill precedes
                 # the event that would otherwise consume the branch
@@ -2158,7 +2297,11 @@ def streaming_timed_out_partials(
                 if kp is None:
                     return
                 if take_arr is not None:
-                    tk = _first_take(take_arr, gap)
+                    tk = (
+                        _first_take_it(take_arr, itfn, gap, match)
+                        if itfn is not None
+                        else _first_take(take_arr, gap)
+                    )
                     if tk is not None and tk < kp:
                         return
                 t = float(ticks[kp])
@@ -2176,9 +2319,17 @@ def streaming_timed_out_partials(
             cp_arrs = [
                 (
                     k2,
-                    None if f2 is None else np.asarray(f2(pdf).to_numpy(), dtype=bool),
+                    np.asarray(f2(pdf).to_numpy(), dtype=bool)
+                    if f2 is not None
+                    else (
+                        np.ones(n, dtype=bool)
+                        if k2 == "fb" and len(rest) > 2
+                        and rest[2] is not None
+                        else None
+                    ),
                     _karr(rest[0]) if rest else [],
                     rest[1] if len(rest) > 1 else None,
+                    rest[2] if len(rest) > 2 else None,
                 )
                 for k2, f2, *rest in copies
             ]
@@ -2186,7 +2337,7 @@ def streaming_timed_out_partials(
                 h = float(ticks[i]) + delta
                 lim = int(np.searchsorted(ticks, h, side="left"))
                 seen: set = set()
-                for match in enum_at(bools, int(i), lim):
+                for match in enum_at(bools, int(i), lim, pl_ic):
                     if pl_fluid and not _fluid_ok(
                         match, bools, pl_flidx, pl_fluid
                     ):
@@ -2234,6 +2385,11 @@ def streaming_timed_out_partials(
                         alive = True
                     elif prim[0] == "any":
                         alive = not gap_any
+                    elif prim_it is not None:
+                        alive = (
+                            _first_take_it(prim_arr, prim_it, gap, match)
+                            is None
+                        )
                     else:
                         alive = not prim_arr[gap].any()
                     if alive and prim_kills:
@@ -2242,6 +2398,7 @@ def streaming_timed_out_partials(
                         _note_death(
                             int(i), prim_kills, gap,
                             prim_arr if prim[0] == "consume" else None,
+                            prim_it, match,
                         )
                     gated = True
                     cnt = 0
@@ -2263,20 +2420,25 @@ def streaming_timed_out_partials(
                         return c >= cg[1] if cg[0] == "ge" else c < cg[1]
 
                     if not alive and cp_arrs and gap_any and gated:
-                        for k2, arr, kls, cg in cp_arrs:
+                        for k2, arr, kls, cg, it2 in cp_arrs:
                             if (
                                 _cok(cg)
-                                and (k2 == "fba" or not arr[gap].any())
+                                and (
+                                    k2 == "fba"
+                                    or _first_take_it(arr, it2, gap, match)
+                                    is None
+                                )
                                 and not _killed(kls, gap)
                             ):
                                 alive = True
                                 break
                     if skip_compiled is not None and gap_any and gated:
-                        for k2, arr, kls, cg in cp_arrs:
+                        for k2, arr, kls, cg, it2 in cp_arrs:
                             if kls and _cok(cg):
                                 _note_death(
                                     int(i), kls, gap,
                                     None if k2 == "fba" else arr,
+                                    it2, match,
                                 )
                     if not alive:
                         continue
@@ -2291,7 +2453,7 @@ def streaming_timed_out_partials(
         pruned_starts: set = set()
         if skip_compiled is not None and n and len(dec):
             (f_syms, match_at, f_filler, mode, skip_sym, tn_pred,
-             f_fluid, f_flidx) = skip_compiled
+             f_fluid, f_flidx, f_greedy) = skip_compiled
             # SkipToElementStrategy prunes with STRICT < (vs <= for the
             # whole-match strategies) and resumes AT the mapped element
             # — the resume point is >= the match start >= frontier −
@@ -2322,11 +2484,15 @@ def streaming_timed_out_partials(
             i = max(0, aux["cursor"] - rid_base)
             while i < n and ticks[i] <= f_new:
                 lim = int(np.searchsorted(ticks, ticks[i] + delta, side="left"))
-                if f_fluid:
+                if f_fluid or f_greedy:
                     fcands = [
                         mm for mm in match_at(fbools, int(i), lim)
                         if mm[0][1] not in f_filler
-                        and _fluid_ok(mm, fbools, f_flidx, f_fluid)
+                        and (not f_fluid
+                             or _fluid_ok(mm, fbools, f_flidx, f_fluid))
+                        and (not f_greedy
+                             or _greedy_ok(mm, fbools, f_flidx, f_greedy,
+                                           f_filler))
                         and (tn_arr is None
                              or not tn_arr[mm[-1][0] + 1 : lim].any())
                     ]

@@ -1752,6 +1752,137 @@ def q_cep_timeout_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CEP timed-out partials under greedy() + allowCombinations() (round
+# 13). Pattern A(signup) -fb-> B(error).times(2,3).allowCombinations()
+# .greedy() -fb-> C(purchase) WITHIN 2 days, no_skip. Reference
+# semantics (NFACompiler): the loop's TRUE inner ignore keeps every
+# mid-loop branch alive and lets it skip errors (subset enumeration
+# anchored on the FIRST error — the relaxed entry waiter force-takes
+# it), while updateWithGreedyCondition guards the PROCEED sink, so a
+# maxed 3-take branch parked at C dies on any later error. Closed
+# form per witnessed start with errors e1<...<ek in the window:
+# {A} alone iff k=0; {A,e1} and every {A,e1,ej} persist mid-loop
+# (true ignore); {A,e1,ei,ek} (1<i<k) parks at C and survives iff no
+# error follows ek (j=k by construction) and no purchase consumes the
+# waiter in (ek, horizon). Scale: same one-keyed-shuffle branch
+# enumeration as q_cep_timeout_greedy; the times(2,3) bound caps the
+# subset fan-out at O(k^2) per start.
+# ---------------------------------------------------------------------------
+@query(
+    "q_cep_timeout_comb_greedy",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000
+               + ROW_NUMBER() OVER w0 AS ord
+      FROM events
+      WINDOW w0 AS (PARTITION BY user_id
+                    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+    ),
+    pm AS (SELECT user_id, MAX(ord) AS pmax FROM seq GROUP BY user_id),
+    a_rows AS (
+      SELECT s.*, p.pmax FROM seq s JOIN pm p USING (user_id)
+      WHERE s.event_type = 'signup' AND p.pmax >= s.ord + {_CEP_SKIP_DELTA}
+    ),
+    errs AS (
+      SELECT a.user_id, a.event_id AS a_id, a.ord AS a_ord,
+             b.event_id AS b_id, b.ord AS b_ord,
+             ROW_NUMBER() OVER (PARTITION BY a.user_id, a.event_id
+                                ORDER BY b.ord) AS rn,
+             COUNT(*) OVER (PARTITION BY a.user_id, a.event_id) AS k,
+             MAX(b.ord) OVER (PARTITION BY a.user_id, a.event_id) AS bmax
+      FROM a_rows a
+      JOIN seq b ON b.user_id = a.user_id AND b.event_type = 'error'
+                AND b.ord > a.ord AND b.ord < a.ord + {_CEP_SKIP_DELTA}
+    ),
+    t0 AS (  -- no error in the window: the B-entry waiter persists
+      SELECT a.user_id, a.event_id AS a_id, CAST(1 AS BIGINT) AS n_rows,
+             CAST(NULL AS BIGINT) AS b2_id, CAST(NULL AS BIGINT) AS b3_id,
+             a.ord + {_CEP_SKIP_DELTA} AS tout
+      FROM a_rows a
+      WHERE NOT EXISTS (SELECT 1 FROM seq b
+                         WHERE b.user_id = a.user_id
+                           AND b.event_type = 'error'
+                           AND b.ord > a.ord
+                           AND b.ord < a.ord + {_CEP_SKIP_DELTA})
+    ),
+    t1 AS (  -- one take: the forced first error, parked inside the loop
+      SELECT user_id, a_id, CAST(2 AS BIGINT) AS n_rows,
+             CAST(NULL AS BIGINT) AS b2_id, CAST(NULL AS BIGINT) AS b3_id,
+             a_ord + {_CEP_SKIP_DELTA} AS tout
+      FROM errs WHERE rn = 1
+    ),
+    t2 AS (  -- two takes {{e1, ej}}: true ignore persists every subset
+      SELECT user_id, a_id, CAST(3 AS BIGINT) AS n_rows,
+             b_id AS b2_id, CAST(NULL AS BIGINT) AS b3_id,
+             a_ord + {_CEP_SKIP_DELTA} AS tout
+      FROM errs WHERE rn >= 2
+    ),
+    t3 AS (  -- maxed {{e1, ei, ek}}: the guarded C-waiter survives iff
+             -- nothing follows ek (errors kill, purchases consume)
+      SELECT e.user_id, e.a_id, CAST(4 AS BIGINT) AS n_rows,
+             e.b_id AS b2_id,
+             (SELECT el.b_id FROM errs el
+               WHERE el.user_id = e.user_id AND el.a_id = e.a_id
+                 AND el.rn = e.k) AS b3_id,
+             e.a_ord + {_CEP_SKIP_DELTA} AS tout
+      FROM errs e
+      WHERE e.rn BETWEEN 2 AND e.k - 1
+        AND NOT EXISTS (SELECT 1 FROM seq c
+                         WHERE c.user_id = e.user_id
+                           AND c.event_type = 'purchase'
+                           AND c.ord > e.bmax
+                           AND c.ord < e.a_ord + {_CEP_SKIP_DELTA})
+    )
+    SELECT user_id, a_id, n_rows, b2_id, b3_id,
+           CAST(tout AS BIGINT) AS timeout_ord
+    FROM (SELECT * FROM t0 UNION ALL SELECT * FROM t1
+          UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3)
+    ORDER BY user_id, a_id, n_rows, b2_id, b3_id
+    """,
+)
+def q_cep_timeout_comb_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w0 = W.partitionBy("user_id").orderBy("sec", "event_id")
+    src = ev.select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("long").alias("sec")
+    ).withColumn(
+        "ord", F.col("sec") * 100000 + F.row_number().over(w0)
+    )
+    pat = (
+        Pattern.begin("A").where(F.col("event_type") == "signup")
+        .followed_by("B").where(F.col("event_type") == "error")
+        .times(2, 3).allow_combinations().greedy()
+        .followed_by("C").where(F.col("event_type") == "purchase")
+        .within(_CEP_SKIP_DELTA)
+    )
+    ps = CEP.pattern(src, pat, "user_id", "ord", after_match="no_skip")
+    t = ps.timed_out_partial_matches()
+    bs = F.when(F.col("matched_symbol") == "B",
+                F.struct(F.col("ord"), F.col("event_id")))
+    return (
+        t.groupBy("user_id", "timeout_id")
+        .agg(
+            F.min(F.when(F.col("matched_symbol") == "A", F.col("event_id"))).alias("a_id"),
+            F.count("*").alias("n_rows"),
+            F.sort_array(F.collect_list(bs)).alias("b_sorted"),
+            F.min("timeout_ts").cast("bigint").alias("timeout_ord"),
+        )
+        .select(
+            "user_id", "a_id", "n_rows",
+            F.get("b_sorted", 1)["event_id"].alias("b2_id"),
+            F.get("b_sorted", 2)["event_id"].alias("b3_id"),
+            "timeout_ord",
+        )
+        .orderBy("user_id", "a_id", "n_rows", "b2_id", "b3_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # CEP timed-out partials of a GROUP LOOP with until() (round 12) —
 # NFACompiler looping-GroupPattern states + the until stop edge on
 # every looping position. Pattern: signup fb (error fb purchase)+

@@ -907,6 +907,36 @@ def test_times_range_itcase(spark):
 # -------------------------------------------------------------- GreedyITCase
 
 
+def test_greedy_early_completion_coexists_with_extension(spark):
+    """Round-13 match-surface correction: updateWithGreedyCondition
+    guards only the loop's IMMEDIATE sink, so a branch that jumped to
+    the sink on a clean event and moved PAST it is unguarded — later
+    loop-take-able events cannot kill it. Over ``a b c b c d`` with
+    ``a b+.greedy c d``, the NFA emits BOTH {a,b1,c1,d} (jumped at c1,
+    sat at the unguarded D state through b2) and {a,b1,b2,c2,d}; the
+    pre-round-13 possessive commit kept only the longest. Control:
+    ``a b b c d`` still yields the single longest match (the early
+    jump {a,b1,c}-candidates are span-killed by b2)."""
+    def pat():
+        return (
+            Pattern.begin("s").where("nm = 0")
+            .followed_by("m").where("nm = 1").one_or_more().greedy()
+            .followed_by("e").where("nm = 2")
+            .followed_by("f").where("nm = 3")
+        )
+
+    def df(rows):
+        return spark.createDataFrame(
+            [(1, i, nm) for i, nm in enumerate(rows)], "k int, pos int, nm int"
+        )
+
+    # nm: a=0 b=1 c=2 d=3
+    assert _g_rows(df([0, 1, 2, 1, 2, 3]), pat()) == sorted(
+        [(0, 1, 2, 5), (0, 1, 3, 4, 5)]
+    )
+    assert _g_rows(df([0, 1, 1, 2, 3]), pat()) == [(0, 1, 2, 3, 4)]
+
+
 def test_greedy_itcase_matrix(spark):
     """GreedyITCase core rows: greedy() commits each start to its
     longest expansion (relaxed gaps skip the 'dummy' rows), EXCEPT on
@@ -1624,3 +1654,52 @@ def test_fluid_group_match_streaming_equals_batch(spark, tmp_dir):
         ).collect()
     )
     assert got == expected
+
+
+def test_group_optable_head_later_starts(spark):
+    """Round-13 match-surface fix: a followed_by GROUP whose first
+    positive leaf is OPTIONAL waits at that leaf's state, whose ignore
+    edge is NOT(head take) only (NFACompiler getIgnoreCondition) — an
+    event take-able by a later inner leaf forks an in-group copy but
+    never consumes the waiter, so later-start branches survive. The
+    pre-fix reluctant gap committed to the earliest start and lost
+    them."""
+    def n(x):
+        return F.col("name") == x
+
+    def match_sets(rows, p):
+        df = spark.createDataFrame(rows, "k int, ts int, name string")
+        out = CEP.pattern(df, p, "k", "ts", after_match="no_skip").flat_select()
+        per = {}
+        for r in out.collect():
+            per.setdefault(r.match_id, set()).add(r.ts)
+        return sorted(sorted(v) for v in per.values())
+
+    def grp():
+        return (
+            Pattern.begin("B").where(n("b")).optional()
+            .followed_by("C").where(n("c"))
+        )
+
+    loop = (
+        Pattern.begin("A").where(n("a"))
+        .followed_by(grp()).one_or_more()
+        .followed_by("D").where(n("d"))
+    )
+    flat = (
+        Pattern.begin("A").where(n("a"))
+        .followed_by(grp())
+        .followed_by("D").where(n("d"))
+    )
+    accd = [(1, 1, "a"), (1, 2, "c"), (1, 3, "c"), (1, 4, "d")]
+    # hand-traced NFA: the B?-waiter ignores c@2 (NOT-b), so iteration
+    # one may start at c@3; the parked C-copy force-takes the first c
+    assert match_sets(accd, loop) == [[1, 2, 3, 4], [1, 2, 4], [1, 3, 4]]
+    assert match_sets(accd, flat) == [[1, 2, 4], [1, 3, 4]]
+    # a b-take-able event CONSUMES the waiter (forced take), while the
+    # pre-spawned C-copy (B absent) force-takes the first c after it
+    abcxcd = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "x"),
+              (1, 5, "c"), (1, 6, "d")]
+    assert match_sets(abcxcd, loop) == [
+        [1, 2, 3, 5, 6], [1, 2, 3, 6], [1, 3, 5, 6], [1, 3, 6],
+    ]

@@ -1005,3 +1005,241 @@ def test_iterative_ctx_current_processing_time(spark):
         iter_define={"A": lambda e, ctx: ctx.current_processing_time() > 1_600_000_000_000},
     )
     assert got.count() == 2
+
+
+# ---------------------------------------------------------------------
+# Timed-out partials with ITERATIVE survival scans (round 13): the
+# consume scan's take-ability is branch-dependent, so the engine
+# re-evaluates the IterativeCondition per parked branch over its
+# statically-viable gap events — a cogrouped per-assignment pass on
+# batch, the in-loop candidate walk on streaming. Reference: the scan
+# replays the same take condition NFA.java evaluates on the waiting
+# state's TAKE edge, with ctx = the branch's own partial match.
+# ---------------------------------------------------------------------
+
+
+def _gt_first_a_():
+    # closure -> cloudpickled by value (executors can't import test modules)
+    def cond(event, ctx):
+        a_rows = ctx.get_events_for_pattern("A")
+        return bool(a_rows) and event["v"] > a_rows[0]["v"]
+
+    return cond
+
+
+def _b_increasing_():
+    def cond(event, ctx):
+        bs = ctx.get_events_for_pattern("B")
+        return event["v"] > max((e["v"] for e in bs), default=float("-inf"))
+
+    return cond
+
+
+def _to_sets(tdf):
+    per = {}
+    for r in tdf.collect():
+        per.setdefault(r.timeout_id, [set(), None])
+        per[r.timeout_id][0].add(r.ts)
+        per[r.timeout_id][1] = r.timeout_ts
+    return {(frozenset(v[0]), v[1]) for v in per.values()}
+
+
+def test_timeout_iterative_head_scan_batch(spark):
+    """Waiter consume scan with an iterative-only stage: b(v=3) after
+    a(v=5) is statically viable but iteratively rejected, so the {a}
+    waiter is NOT consumed and times out; with b(v=7) the take fires
+    and the waiter is consumed (match, no timeout)."""
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+
+    rows = [
+        (1, 1, "a", 5.0), (1, 3, "b", 3.0), (1, 30, "w", 0.0),
+        (2, 1, "a", 5.0), (2, 4, "b", 7.0), (2, 30, "w", 0.0),
+    ]
+    df = spark.createDataFrame(rows, "k int, ts int, name string, v double")
+    pat = (
+        Pattern.begin("A").where(F.col("name") == "a")
+        .followed_by("B").where_iterative(_gt_first_a_())
+        .within(10)
+    )
+    ps = CEP.pattern(df, pat, "k", "ts", after_match="no_skip")
+    got = {}
+    for r in ps.timed_out_partial_matches().collect():
+        got.setdefault((r.k, r.timeout_id), set()).add(r.ts)
+    assert {frozenset(v) for v in got.values()} == {frozenset({1})} and all(
+        k[0] == 1 for k in got
+    ), got
+
+
+def test_timeout_iterative_midloop_and_copy_batch(spark):
+    """Mid-loop survival with an iterative loop condition (strictly
+    increasing B values): b@3(v=4) statically matches but iteratively
+    fails against the {a,b@2(v=5)} branch, so that branch parks
+    un-consumed and times out; the static-only scan would have
+    consumed it."""
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+
+    rows = [(1, 1, "a", 0.0), (1, 2, "b", 5.0), (1, 3, "b", 4.0),
+            (1, 30, "w", 0.0)]
+    df = spark.createDataFrame(rows, "k int, ts int, name string, v double")
+    pat = (
+        Pattern.begin("A").where(F.col("name") == "a")
+        .followed_by("B").where(F.col("name") == "b")
+        .where_iterative(_b_increasing_()).one_or_more()
+        .followed_by("C").where(F.col("name") == "c")
+        .within(10)
+    )
+    ps = CEP.pattern(df, pat, "k", "ts", after_match="no_skip")
+    assert _to_sets(ps.timed_out_partial_matches()) == {
+        (frozenset({1, 2}), 11.0)
+    }
+
+
+def test_timeout_iterative_streaming_equals_batch(spark, tmp_dir):
+    """The streaming candidate walk evaluates the same per-branch
+    IterativeCondition as the batch cogroup pass."""
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+    from tests.test_streaming import run_to_memory
+
+    rows = [(1, 1, "a", 0.0), (1, 2, "b", 5.0), (1, 3, "b", 4.0),
+            (1, 30, "w", 0.0),
+            (2, 1, "a", 0.0), (2, 2, "b", 1.0), (2, 3, "b", 2.0),
+            (2, 30, "w", 0.0)]
+    df = spark.createDataFrame(rows, "k int, ts int, name string, v double")
+
+    def pat():
+        return (
+            Pattern.begin("A").where(F.col("name") == "a")
+            .where(lambda p: p["name"] == "a")
+            .followed_by("B").where(F.col("name") == "b")
+            .where(lambda p: p["name"] == "b")
+            .where_iterative(_b_increasing_()).one_or_more()
+            .followed_by("C").where(F.col("name") == "c")
+            .where(lambda p: p["name"] == "c")
+            .within(10)
+        )
+
+    ps = CEP.pattern(df, pat(), "k", "ts", after_match="no_skip")
+    got_b = {}
+    for r in ps.timed_out_partial_matches().collect():
+        got_b.setdefault((r.k, r.timeout_id), set()).add(r.ts)
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "it_to"), n_chunks=3, order_col="ts"
+    )
+    sdf = CEP.pattern(
+        stream, pat(), "k", "ts", after_match="no_skip"
+    ).timed_out_partial_matches()
+    srows = run_to_memory(spark, sdf, "it_to_out", tmp_dir, mode="append").collect()
+    got_s = {}
+    for r in srows:
+        got_s.setdefault((r.k, r.timeout_id), set()).add(r.ts)
+    assert sorted(map(sorted, got_s.values())) == sorted(
+        map(sorted, got_b.values())
+    )
+    # per-branch ground truth: key 1 parks {a,b2}; key 2's increasing
+    # chain parks {a,b2}, {a,b2,b3} (relaxed consume forces b3's take)
+    assert sorted(map(sorted, got_b.values())) == [
+        [1, 2], [1, 2], [1, 2, 3]
+    ]
+
+
+def test_timeout_iterative_streaming_skip_guard(spark, tmp_dir):
+    """Streaming + skip strategy + iterative conditions stays a loud
+    guard (the incremental full-pattern cursor does not thread the
+    IterativeCondition context); batch + skip runs."""
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    rows = [(1, 1, "a", 0.0), (1, 2, "b", 5.0), (1, 30, "w", 0.0)]
+    df = spark.createDataFrame(rows, "k int, ts int, name string, v double")
+
+    def pat():
+        return (
+            Pattern.begin("A").where(F.col("name") == "a")
+            .where(lambda p: p["name"] == "a")
+            .followed_by("B").where(F.col("name") == "b")
+            .where(lambda p: p["name"] == "b")
+            .where_iterative(_b_increasing_()).one_or_more()
+            .followed_by("C").where(F.col("name") == "c")
+            .where(lambda p: p["name"] == "c")
+            .within(10)
+        )
+
+    # batch + skip: runs (mrows thread the IterativeCondition)
+    got = CEP.pattern(
+        df, pat(), "k", "ts", after_match="past_last_row"
+    ).timed_out_partial_matches()
+    assert got.count() > 0
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "it_sk"), n_chunks=2, order_col="ts"
+    )
+    with pytest.raises(NotImplementedError, match="[Ii]terative"):
+        CEP.pattern(
+            stream, pat(), "k", "ts", after_match="past_last_row"
+        ).timed_out_partial_matches()
+
+
+def _c_increasing_():
+    def cond(event, ctx):
+        cs = ctx.get_events_for_pattern("C")
+        return event["v"] > max((e["v"] for e in cs), default=float("-inf"))
+
+    return cond
+
+
+def test_timeout_group_loop_iterative_inner_leaf(spark, tmp_dir):
+    """Round 13: an ITERATIVE condition on a group-loop inner leaf.
+    A fb (B C)+ fb D within 10 where C requires v strictly above every
+    prior C across iterations. Over a b c(5) b c(4) w: iteration 2's
+    waiter {a,b,c5,b} is statically consumable by c@5(v=4) but the
+    IterativeCondition rejects it against the branch's own C history
+    (the renamed C__gq iteration rows included), so the branch parks
+    and times out — a static-only scan would consume it. Stream ==
+    batch."""
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+    from tests.test_streaming import run_to_memory
+
+    rows = [(1, 1, "a", 0.0), (1, 2, "b", 0.0), (1, 3, "c", 5.0),
+            (1, 4, "b", 0.0), (1, 5, "c", 4.0), (1, 30, "w", 0.0)]
+    df = spark.createDataFrame(rows, "k int, ts int, name string, v double")
+
+    def pat():
+        grp = (
+            Pattern.begin("B").where(F.col("name") == "b")
+            .where(lambda p: p["name"] == "b")
+            .followed_by("C").where(F.col("name") == "c")
+            .where(lambda p: p["name"] == "c")
+            .where_iterative(_c_increasing_())
+        )
+        return (
+            Pattern.begin("A").where(F.col("name") == "a")
+            .where(lambda p: p["name"] == "a")
+            .followed_by(grp).one_or_more()
+            .followed_by("D").where(F.col("name") == "d")
+            .where(lambda p: p["name"] == "d")
+            .within(10)
+        )
+
+    ps = CEP.pattern(df, pat(), "k", "ts", after_match="no_skip")
+    got_b = _to_sets(ps.timed_out_partial_matches())
+    # {a,b,c} is consumed by b@4 but its successor copy at D
+    # (proceed-reachable once the loop minimum is met) survives
+    assert got_b == {
+        (frozenset({1, 2, 3}), 11.0),
+        (frozenset({1, 2, 3, 4}), 11.0),
+    }, got_b
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "gli_to"), n_chunks=3,
+        order_col="ts",
+    )
+    sdf = CEP.pattern(
+        stream, pat(), "k", "ts", after_match="no_skip"
+    ).timed_out_partial_matches()
+    srows = run_to_memory(spark, sdf, "gli_out", tmp_dir, mode="append").collect()
+    per = {}
+    for r in srows:
+        per.setdefault(r.timeout_id, [set(), None])
+        per[r.timeout_id][0].add(r.ts)
+        per[r.timeout_id][1] = r.timeout_ts
+    assert {(frozenset(v[0]), v[1]) for v in per.values()} == got_b

@@ -1854,18 +1854,143 @@ def test_timeout_reluctant_equals_default(spark):
     )
 
 
-def test_timeout_greedy_residual_guards(spark):
-    """greedy + allow_combinations stays loud (the TRUE inner ignore
-    branches around the sink guard)."""
-    df = spark.createDataFrame([(1, 1, "c"), (1, 30, "x")],
-                               "k int, ts int, name string")
-    comb = (
-        Pattern.begin("A").where(_n("a")).one_or_more()
-        .allow_combinations().greedy()
-        .followed_by("D").where(_n("d")).within(10)
-    )
-    with pytest.raises(NotImplementedError, match="allow_combinations|combinations"):
-        CEP.pattern(df, comb, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+def test_timeout_greedy_comb_midloop_persists(spark):
+    """greedy + allow_combinations (round 13): the TRUE inner ignore
+    keeps every mid-loop branch alive, so for an UNBOUNDED loop the
+    timeout set equals plain combinations — the sink guard only bites
+    where a branch actually sits at the sink. C fb A+.comb[.greedy]
+    fb D within 10 over c@1 a@2 x@3 a@4 x@30: {c,a2} persists under
+    comb+greedy (vs relaxed+greedy, where it is consume-dead —
+    test_timeout_greedy_kills_migrated_copy)."""
+    def pat(greedy):
+        p = (Pattern.begin("C").where(_n("c"))
+             .followed_by("A").where(_n("a")).one_or_more()
+             .allow_combinations())
+        if greedy:
+            p = p.greedy()
+        return p.followed_by("D").where(_n("d")).within(10)
+
+    rows = [(1, 1, "c"), (1, 2, "a"), (1, 3, "x"), (1, 4, "a"), (1, 30, "x")]
+    want = {(frozenset({1, 2}), 11.0), (frozenset({1, 2, 4}), 11.0)}
+    assert _skip_touts(spark, rows, pat(True), "no_skip") == want
+    assert _skip_touts(spark, rows, pat(False), "no_skip") == want
+
+
+def test_timeout_greedy_comb_bounded_head_waiter_dies(spark):
+    """Bounded comb loop, maxed branch parked at the guarded sink:
+    C fb A.times(2,3).comb.greedy fb D within 10 over c@1 a@2 a@3 a@4
+    x@5 a@6 x@30. NFA trace: first take forced at a@2 (relaxed entry),
+    then comb skips enumerate 2/3-subsets; the 3-subsets park at D —
+    {a2,a3,a4} dies at a@6 under greedy (sink transitions carry
+    NOT(A-take)); {a2,a3,a6}/{a2,a4,a6} park at t6 with clean gaps.
+    Mid-loop 1/2-subsets all persist (true inner ignore)."""
+    def pat(greedy):
+        p = (Pattern.begin("C").where(_n("c"))
+             .followed_by("A").where(_n("a")).times(2, 3)
+             .allow_combinations())
+        if greedy:
+            p = p.greedy()
+        return p.followed_by("D").where(_n("d")).within(10)
+
+    rows = [(1, 1, "c"), (1, 2, "a"), (1, 3, "a"), (1, 4, "a"),
+            (1, 5, "x"), (1, 6, "a"), (1, 30, "x")]
+    base = {
+        (frozenset({1, 2}), 11.0),
+        (frozenset({1, 2, 3}), 11.0),
+        (frozenset({1, 2, 4}), 11.0),
+        (frozenset({1, 2, 6}), 11.0),
+        (frozenset({1, 2, 3, 6}), 11.0),
+        (frozenset({1, 2, 4, 6}), 11.0),
+    }
+    assert _skip_touts(spark, rows, pat(True), "no_skip") == base
+    assert _skip_touts(spark, rows, pat(False), "no_skip") == base | {
+        (frozenset({1, 2, 3, 4}), 11.0)
+    }
+
+
+def test_timeout_interior_greedy_comb_span_kill(spark):
+    """Interior comb+greedy: a prefix THROUGH the loop keeps exactly
+    the expansions whose (last loop take, next taken row] span is
+    greedy-clean — under combinations the expansions are subsequences,
+    and the ignoreState has no PROCEED edge, so the jump rule is the
+    same as relaxed greedy. A+.comb[.greedy] fb B fb C within 10 over
+    a@1 a@2 b@3 x@30: greedy kills the {a1,b3} expansion (a@2 lies in
+    its span); plain comb keeps it via the unguarded sink-ignore
+    copy."""
+    def pat(greedy):
+        p = (Pattern.begin("A").where(_n("a")).one_or_more()
+             .allow_combinations())
+        if greedy:
+            p = p.greedy()
+        return (p.followed_by("B").where(_n("b"))
+                .followed_by("C").where(_n("c")).within(10))
+
+    rows = [(1, 1, "a"), (1, 2, "a"), (1, 3, "b"), (1, 30, "x")]
+    base = {
+        (frozenset({1}), 11.0),
+        (frozenset({2}), 12.0),
+        (frozenset({1, 2}), 11.0),
+        (frozenset({1, 2, 3}), 11.0),
+        (frozenset({2, 3}), 12.0),
+    }
+    assert _skip_touts(spark, rows, pat(True), "no_skip") == base
+    assert _skip_touts(spark, rows, pat(False), "no_skip") == base | {
+        (frozenset({1, 3}), 11.0)
+    }
+
+
+def test_match_greedy_comb_subsequences_end_at_last_takeable(spark):
+    """Match-surface pin for greedy + allow_combinations: matches are
+    the loop-event SUBSEQUENCES whose last taken element has no
+    greedy-take-able event between it and the successor take (the
+    ignoreState has no PROCEED edge; the sink is NOT(take)-guarded).
+    a+ comb.greedy fb b over a1 a2 a3 b4: the four subsequences ending
+    at a3 match; relaxed greedy admits only the contiguous suffixes."""
+    rows = [(1, 1, "a"), (1, 2, "a"), (1, 3, "a"), (1, 4, "b")]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+
+    def pat(comb):
+        p = Pattern.begin("A").where(_n("a")).one_or_more()
+        if comb:
+            p = p.allow_combinations()
+        return p.greedy().followed_by("B").where(_n("b"))
+
+    def match_sets(p):
+        out = CEP.pattern(df, p, "k", "ts", after_match="no_skip").flat_select()
+        per = collections.defaultdict(set)
+        for r in out.collect():
+            per[r.match_id].add(r.ts)
+        return sorted(sorted(v) for v in per.values())
+
+    assert match_sets(pat(True)) == [
+        [1, 2, 3, 4], [1, 3, 4], [2, 3, 4], [3, 4],
+    ]
+    assert match_sets(pat(False)) == [[1, 2, 3, 4], [2, 3, 4], [3, 4]]
+
+
+def test_timeout_greedy_comb_streaming_equals_batch(spark, tmp_dir):
+    """comb+greedy timeouts: the streaming route (persist primary +
+    greedy kill predicates over the incremental cursor) equals batch
+    on the bounded-loop fixture where the sink guard discriminates,
+    plus a key where a completing D coexists with persisting
+    mid-loop branches."""
+    rows = [(1, 1, "c"), (1, 2, "a"), (1, 3, "a"), (1, 4, "a"),
+            (1, 5, "x"), (1, 6, "a"), (1, 30, "x"),
+            (2, 11, "c"), (2, 12, "a"), (2, 13, "a"), (2, 18, "d"),
+            (2, 40, "x")]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+
+    def pat(cols):
+        return (
+            Pattern.begin("C").where(cols("c"))
+            .followed_by("A").where(cols("a")).times(2, 3)
+            .allow_combinations().greedy()
+            .followed_by("D").where(cols("d")).within(10)
+        )
+
+    got_b = _skip_touts(spark, rows, pat(_n), "no_skip")
+    got_s = _stream_timeouts(spark, tmp_dir, df, pat(_pd_n), "gcomb")
+    assert got_s == got_b
 
 
 def _ig_pat():
@@ -1941,30 +2066,49 @@ def test_timeout_greedy_before_optional_successor(spark):
 
 
 def test_timeout_greedy_zero_take_guard_split(spark):
-    """The reference guards the ORIGINAL successor only for a BOUNDED
-    zero-able greedy times-loop (createTimesState applies
-    updateWithGreedyCondition before building the chain, so the
-    zero-take PROCEED lands on guarded states); an UNBOUNDED optional
-    loop guards only its COPY of the sink (createLooping), leaving the
-    zero-take branch unguarded. Same fixture, opposite outcomes for
-    the zero-take copy {a} at C."""
+    """Round-13 correction of the round-12 reading: without prior NOTs
+    ``copyWithoutTransitiveNots`` returns its ARGUMENT, so a NOT-free
+    zero-able greedy loop — bounded times OR unbounded optional — has
+    only ONE successor state and ``updateWithGreedyCondition`` guards
+    it for the zero-take route too (pinned by GreedyITCase
+    testGreedyZeroOrMore: {c,d} does not match over ``c a a a d``).
+    The genuine split is an unbounded optional loop PRECEDED BY A NOT:
+    only there does the copy split leave the zero-take PROCEED on the
+    unguarded original. Three fixtures over a@1 x@2 b@3 w@30."""
+    rows = [(1, 1, "a"), (1, 2, "x"), (1, 3, "b"), (1, 30, "w")]
     bounded = (
         Pattern.begin("A").where(_n("a"))
         .followed_by("B").where(_n("b")).times(0, 2).greedy()
         .followed_by("C").where(_n("c")).within(10)
     )
-    rows = [(1, 1, "a"), (1, 2, "x"), (1, 3, "b"), (1, 30, "w")]
     assert _skip_touts(spark, rows, bounded, "no_skip") == {
         (frozenset({1, 3}), 11.0)
     }
+    # NOT-free unbounded optional: the zero-take copy {a} at C shares
+    # the guarded sink and dies at b@3
     unbounded = (
         Pattern.begin("A").where(_n("a"))
         .followed_by("B").where(_n("b")).one_or_more().optional().greedy()
         .followed_by("C").where(_n("c")).within(10)
     )
     assert _skip_touts(spark, rows, unbounded, "no_skip") == {
-        (frozenset({1}), 11.0), (frozenset({1, 3}), 11.0)
+        (frozenset({1, 3}), 11.0)
     }
+    # the genuine exempt case — a NOT before the OPTIONAL loop, where
+    # copyWithoutTransitiveNots actually copies and the zero-take
+    # route lands on the unguarded original — is unconstructible here:
+    # the builder's pre-existing scope guard rejects notFollowedBy
+    # before any optional/zero-able stage (NotPatternITCase
+    # testNotFollowedByBeforeOptional), so the 'exempt0' spec mode is
+    # defensive only
+    not_split = (
+        Pattern.begin("A").where(_n("a"))
+        .not_followed_by("N").where(_n("n"))
+        .followed_by("B").where(_n("b")).one_or_more().optional().greedy()
+        .followed_by("C").where(_n("c")).within(10)
+    )
+    with pytest.raises(NotImplementedError, match="optional|zero-able"):
+        _skip_touts(spark, rows, not_split, "no_skip")
 
 
 def test_timeout_interior_greedy_zero_take_span(spark):
@@ -2628,8 +2772,9 @@ def test_timeout_group_inner_optional_unbounded(spark):
 
 
 def test_timeout_group_inner_optional_residual_guards(spark):
-    """An OPTIONAL entry leaf stays loud (per-branch entry condition);
-    nested quantifiers stay loud."""
+    """Round 13 lifted the OPTIONAL entry leaf (the guard fixture now
+    runs: only the head waiter parks on an empty window); nested
+    quantifiers and all-optional group loops stay loud."""
     df = spark.createDataFrame([(1, 1, "a"), (1, 30, "x")],
                                "k int, ts int, name string")
     grp = (
@@ -2641,8 +2786,31 @@ def test_timeout_group_inner_optional_residual_guards(spark):
         .followed_by(grp).times(2)
         .followed_by("D").where(_n("d")).within(10)
     )
-    with pytest.raises(NotImplementedError, match="entry leaf"):
-        CEP.pattern(df, pat, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 30, "x")], pat, "no_skip"
+    ) == {(frozenset({1}), 11.0)}
+    nested = (
+        Pattern.begin("B").where(_n("b")).one_or_more()
+        .followed_by("C").where(_n("c"))
+    )
+    pat2 = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(nested).times(2)
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    with pytest.raises(NotImplementedError, match="plain positive leaf"):
+        CEP.pattern(df, pat2, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+    allopt = (
+        Pattern.begin("B").where(_n("b")).optional()
+        .followed_by("C").where(_n("c")).optional()
+    )
+    pat3 = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(allopt).times(2)
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    with pytest.raises(NotImplementedError, match="mandatory"):
+        CEP.pattern(df, pat3, "k", "ts", after_match="no_skip").timed_out_partial_matches()
 
 
 def test_timeout_group_inner_optional_streaming_equals_batch(spark, tmp_dir):
@@ -2928,3 +3096,107 @@ def test_timeout_group_loop_streaming_equals_batch(spark, tmp_dir):
     assert _stream_timeouts(spark, tmp_dir, df2, pat, "gq_sb2") == {
         (frozenset({1, 2, 3, 4, 5}), 11.0)
     }
+
+
+# ---------------------------------------------------------------------
+# Quantified group loops with an OPTIONAL ENTRY leaf (round 13). The
+# iteration waiter parks at the optable head leaf's state, whose NFA
+# ignore edge is NOT(head take) only — deeper chain states carry
+# 'IGNORE after PROCEED' copies sharing the waiter's rows, so the
+# parked partial survives iff ANY of those computations does.
+# Iterations count by the first MANDATORY leaf.
+# ---------------------------------------------------------------------
+
+
+def _goe_pat():
+    grp = (
+        Pattern.begin("B").where(_n("b")).optional()
+        .followed_by("C").where(_n("c"))
+    )
+    return (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp).one_or_more()
+        .followed_by("D").where(_n("d")).within(10)
+    )
+
+
+def test_timeout_group_optional_entry_matrix(spark):
+    """Hand-traced matrix for A fb (B? C)+ fb D within 10."""
+    # a c w: head waiter survives c (NOT-b ignore); {a,c} between-waits
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "c"), (1, 30, "w")], _goe_pat(),
+        "no_skip",
+    ) == {(frozenset({1}), 11.0), (frozenset({1, 2}), 11.0)}
+    # a b c w: b@2 consumes the head waiter, whose PRE-SPAWNED C-copy
+    # (B absent) force-takes c@4 — iteration {c4} exists alongside
+    # {b2,c4}; both between-wait. No {a} partial survives (waiter and
+    # copy both consumed).
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 4, "c"), (1, 30, "w")],
+        _goe_pat(), "no_skip",
+    ) == {(frozenset({1, 2, 4}), 11.0), (frozenset({1, 4}), 11.0)}
+    # a c b w: the between-waiter {a,c} is consumed by b@3 but its
+    # C-chain copy survives (no later c) — the round-13 lift's case;
+    # {a,c,b} waits inside iteration 2 at C; the head waiter IGNORED
+    # c@2 (NOT-b) and forked at b@3 — {a,b} waits at C too
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "c"), (1, 3, "b"), (1, 30, "w")],
+        _goe_pat(), "no_skip",
+    ) == {
+        (frozenset({1, 2}), 11.0),
+        (frozenset({1, 2, 3}), 11.0),
+        (frozenset({1, 3}), 11.0),
+    }
+    # a x w: no group event at all — only the head waiter
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "x"), (1, 30, "w")], _goe_pat(),
+        "no_skip",
+    ) == {(frozenset({1}), 11.0)}
+
+
+def test_timeout_group_optional_entry_times2(spark):
+    """times(2) variant: iteration counting by the MANDATORY leaf (C)
+    gates the successor copies; a c1 c2 parks between iterations with
+    the minimum met, a c1 parks below it."""
+    grp = (
+        Pattern.begin("B").where(_n("b")).optional()
+        .followed_by("C").where(_n("c"))
+    )
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp).times(2)
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    # a c1 c2 w: {a} head-waits (c's are NOT-b-ignorable and fork
+    # iterations {c1} AND {c2}); {a,c1}/{a,c2} between-wait below the
+    # minimum; {a,c1,c2} maxed -> parks at D's head
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "c"), (1, 3, "c"), (1, 30, "w")],
+        pat, "no_skip",
+    ) == {
+        (frozenset({1}), 11.0),
+        (frozenset({1, 2}), 11.0),
+        (frozenset({1, 3}), 11.0),
+        (frozenset({1, 2, 3}), 11.0),
+    }
+
+
+def test_timeout_group_optional_entry_streaming_equals_batch(spark, tmp_dir):
+    rows = [(1, 1, "a"), (1, 2, "c"), (1, 3, "b"), (1, 30, "w"),
+            (2, 1, "a"), (2, 2, "b"), (2, 4, "c"), (2, 30, "w")]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+
+    def pat(cols):
+        grp = (
+            Pattern.begin("B").where(cols("b")).optional()
+            .followed_by("C").where(cols("c"))
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).one_or_more()
+            .followed_by("D").where(cols("d")).within(10)
+        )
+
+    got_b = _skip_touts(spark, rows, pat(_n), "no_skip")
+    got_s = _stream_timeouts(spark, tmp_dir, df, pat(_pd_n), "goe")
+    assert got_s == got_b

@@ -66,6 +66,14 @@ def _pattern(kind: str, cols):
             .followed_by("C").where(cols("c"))
             .followed_by("D").where(cols("d")).within(12)
         )
+    if kind == "greedy_comb":
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by("B").where(cols("b")).times(2, 3)
+            .allow_combinations().greedy()
+            .followed_by("C").where(cols("c"))
+            .followed_by("D").where(cols("d")).within(12)
+        )
     if kind == "not_fold":
         return (
             Pattern.begin("A").where(cols("a"))
@@ -103,6 +111,16 @@ def _pattern(kind: str, cols):
             .followed_by(grp).one_or_more()
             .followed_by("D").where(cols("d")).within(12)
         )
+    if kind == "group_opt_entry":
+        grp = (
+            Pattern.begin("B").where(cols("b")).optional()
+            .followed_by("C").where(cols("c"))
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).one_or_more()
+            .followed_by("D").where(cols("d")).within(12)
+        )
     if kind == "terminal_not":
         return (
             Pattern.begin("A").where(cols("a"))
@@ -119,6 +137,10 @@ GRID = [
     ("loop_until", "no_skip", 21),
     ("loop_until", "past_last_row", 22),
     ("greedy_interior", "no_skip", 31),
+    # greedy + allow_combinations (round 13): fluid subset expansions
+    # through the guarded sink, on both routes and under a skip
+    ("greedy_comb", "no_skip", 32),
+    ("greedy_comb", "past_last_row", 33),
     ("not_fold", "no_skip", 41),
     ("not_fold", "to_next_row", 42),
     ("group_loop", "no_skip", 51),
@@ -129,6 +151,10 @@ GRID = [
     # filter on both routes, incl. the streaming skip cursor
     ("group_opt", "no_skip", 71),
     ("group_opt", "past_last_row", 72),
+    # optional ENTRY leaf (round 13): optable-head chain copies +
+    # mandatory-leaf iteration counting, on both routes and under skip
+    ("group_opt_entry", "no_skip", 73),
+    ("group_opt_entry", "past_last_row", 74),
 ]
 
 

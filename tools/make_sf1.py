@@ -25,8 +25,18 @@ import os
 import sys
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".bench", "sf1")
-COPIES = 10
+# round 13: COPIES/DST are env-overridable so the same generator makes
+# the sf10 probe input (SFN_COPIES=100 SFN_DST=.bench/sf10) — two
+# measured decades instead of one for the 100 TB extrapolations
+COPIES = int(os.environ.get("SFN_COPIES", "10"))
+DST = os.environ.get(
+    "SFN_DST",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".bench",
+        "sf1",
+    ),
+)
 
 SPANS = {
     "custkey": 100_000,
