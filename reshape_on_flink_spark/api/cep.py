@@ -1565,11 +1565,22 @@ class PatternStream:
         copyWithoutTransitiveNots returns its argument, so zero-take
         routes share the guarded sink).
 
-        Remaining loud guards: group loops with non-plain inner leaves
-        (nested quantifiers/NOTs/untils inside the loop, or all-
-        optional inners), group-level until() on certain shapes,
+        UNBOUNDED inner loops inside group loops run too (round 13,
+        late): Gq mid-loop plans park branches inside the inner loop
+        per iteration topology (the inner relaxed ignore only forbids
+        skipping the loop's own take-able events, so completions FORK
+        off copies without consuming the loop branch); positions after
+        an unbounded inner loop exist only as its migrated copies (no
+        exit-by-take); TAIL-loop groups have no distinct between-state
+        (the loop branch IS the waiter — the Gq boundary/successor
+        copies subsume the between and head-park plans, their
+        mandatory-leaf count gates closing the books at mx).
+
+        Remaining loud guards: BOUNDED/greedy nested quantifiers,
+        NOTs and untils inside group-loop leaves; group loops with no
+        plain mandatory inner leaf (nothing to count iterations by);
         iterative conditions under a STREAMING skip strategy (the
-        incremental cursor), and not_next folds onto non-strict/
+        incremental cursor); and not_next folds onto non-strict/
         quantified carriers. Optional-tail group loops (fluid
         iteration links) run everywhere — batch, streaming, and under
         skip strategies on both routes — via the two-path link filter.
@@ -1620,6 +1631,12 @@ class PatternStream:
                     out.append(s)
                     continue
                 if s.until_cond is not None or s.until_pandas is not None:
+                    # DEFENSIVE ONLY (verified round 13): until() on an
+                    # UNQUANTIFIED group is unconstructible — the
+                    # builder raises "until() is only applicable to
+                    # looping stages (Pattern.java:228)" before any
+                    # such stage can exist. Quantified-group until()
+                    # runs via the G-plan machinery below.
                     raise NotImplementedError(
                         f"timeout side output: until() on group "
                         f"{s.name!r} — the stop edge guards every "
@@ -2083,6 +2100,13 @@ class PatternStream:
             prev = stages[k - 1]
             if prev.quant is not None and prev.quant[1] is None:
                 continue  # oneOrMore/zeroOrMore: never parks at stage k
+            if prev.group is not None and (prev.quant is not None or prev.opt):
+                g_last = _flatten(list(prev.group._stages))[-1]
+                if g_last.quant is not None:
+                    # a tail-loop group never exits by take (the inner
+                    # loop is unbounded); the successor wait lives as
+                    # the Gq plans' copies (round 13)
+                    continue
             pre_stages = _prefix_raw(k)
             if prev.quant is not None or prev.opt:
                 mx = 1 if prev.quant is None else prev.quant[1]
@@ -2286,27 +2310,39 @@ class PatternStream:
                 continue
             inner = _flatten(list(s.group._stages))
             for qi, st in enumerate(inner):
+                # UNBOUNDED non-greedy inner loops are supported since
+                # round 13 (the Lg mid-loop plans below): their minimum
+                # (<=1) is met by any parked-inside assignment and they
+                # never exit by take, so the single iteration counter
+                # suffices. Bounded inner loops would need a second
+                # runtime counter (inner-min gating + iteration gating
+                # on one plan) — still guarded. ITERATIVE inner leaves
+                # are fine (the scan registry threads the per-branch
+                # predicate; the IterativeCondition context strips the
+                # __gq iteration-rename).
+                inner_loop_ok = (
+                    st.quant is not None
+                    and st.quant[1] is None
+                    and st.quant[0] <= 1
+                    and st.quant[2] is not True
+                )
                 if (
                     st.kind not in ("begin", "next", "followed_by",
                                     "followed_by_any")
                     or st.group is not None
-                    or st.quant is not None
+                    or (st.quant is not None and not inner_loop_ok)
                     or st.until_cond is not None
                     or st.until_pandas is not None
                     or st.negated_gap is not None
                     or st.fold_not
                     or st.lead_not
                 ):
-                    # ITERATIVE inner leaves are fine since round 13:
-                    # the scan registry threads the per-branch
-                    # predicate, and the IterativeCondition context
-                    # strips the __gq iteration-rename so cross-
-                    # iteration get_events_for_pattern works
                     raise NotImplementedError(
                         f"timeout side output: quantified group "
                         f"{s.name!r} — inner stage {st.name!r} is not a "
-                        "plain positive leaf (nested quantifiers/"
-                        "NOTs/untils inside a group loop are untraced)"
+                        "plain positive leaf (bounded/greedy nested "
+                        "quantifiers, NOTs and untils inside a group "
+                        "loop are untraced)"
                     )
             # OPTIONAL entry leaf (round 13): the iteration waiter parks
             # at the optable HEAD leaf's state, whose ignore edge is
@@ -2376,11 +2412,27 @@ class PatternStream:
             lo = (0 if s.opt else 1) if s.quant is None else s.quant[0]
             ec, ep, ei, en = _first_positive_cond(s.group._stages)
             # iteration count per assignment = takes of the first
-            # MANDATORY leaf across the renamed completed-iterations
-            # group AND the current in-progress chain (== entry-leaf
-            # takes when the entry is mandatory; round 13 generalized
-            # for optable entry leaves)
-            em = inner[ohead].name
+            # PLAIN MANDATORY leaf across the renamed completed-
+            # iterations group AND the current in-progress chain (==
+            # entry-leaf takes when the entry is plain mandatory;
+            # round 13 generalized for optable entries and unbounded
+            # inner loops — a loop leaf takes many times per
+            # iteration, so it cannot count)
+            em = next(
+                (
+                    st.name
+                    for st in inner
+                    if not _optable(st) and st.quant is None
+                ),
+                None,
+            )
+            if em is None:
+                raise NotImplementedError(
+                    f"timeout side output: quantified group {s.name!r} "
+                    "has no plain mandatory inner leaf to count "
+                    "iterations by (every mandatory leaf is a loop — "
+                    "untraced)"
+                )
             cnt_syms = (em, em + "__gq")
             # extra entry-wait computations for an optable head chain
             # (round 13): one 'fb' copy per chain state past the head —
@@ -2409,9 +2461,15 @@ class PatternStream:
             def _chain_forced(upto):
                 """inner[:upto] with the LAST stage forced present —
                 assignments where it is absent are exactly the earlier
-                waiting positions' copies (no cross-plan duplicates)."""
+                waiting positions' copies (no cross-plan duplicates).
+                A zero-able loop leaf forces by bumping its minimum to
+                one (round 13)."""
                 ch = [dataclasses.replace(st) for st in inner[:upto]]
-                ch[-1] = dataclasses.replace(ch[-1], opt=False)
+                last = ch[-1]
+                q2 = last.quant
+                if q2 is not None and q2[0] == 0:
+                    q2 = (1, q2[1], q2[2])
+                ch[-1] = dataclasses.replace(last, opt=False, quant=q2)
                 return ch
 
             def _inner_copies(i):
@@ -2426,6 +2484,13 @@ class PatternStream:
                 valid once iterations >= lo."""
                 if not _optable(inner[i]):
                     return []
+                return _targets_from(i)
+
+            def _targets_from(i):
+                """The PROCEED-reachable copy targets past inner
+                position i — shared by optable waiting positions and
+                (round 13) branches parked INSIDE an unbounded inner
+                loop, whose minimum (<=1) is met by construction."""
                 out, j, reach_end = [], i + 1, False
                 while True:
                     if j >= len(inner):
@@ -2471,13 +2536,55 @@ class PatternStream:
                     cg is not None for *_x, cg in cps
                 ) else None
 
+            def _loop_mid(qi):
+                """Mid-loop chain for an unbounded inner loop leaf at
+                qi (round 13): the preceding leaves plus the loop with
+                its minimum normalized to one — any parked-inside
+                assignment has >= 1 take and the loop never exits by
+                take."""
+                ch = [dataclasses.replace(st) for st in inner[: qi + 1]]
+                ch[-1] = dataclasses.replace(
+                    ch[-1], quant=(1, None, None), opt=False
+                )
+                return ch
+
+            def _loop_primary(st2, key):
+                if st2.loop_mode == "strict":
+                    return ("any", None, ())
+                if st2.loop_mode == "combinations":
+                    return ("persist", None, gu)
+                return (
+                    "consume",
+                    _need_scan_cond(
+                        key, st2.cond, st2.pandas_cond, st2.iter_cond,
+                        "group inner loop", st2.name,
+                    ),
+                    gu,
+                )
+
             # (1a) first iteration in progress
             for i in range(1, len(inner)):
+                if inner[i - 1].quant is not None:
+                    # an unbounded inner loop never exits by take: the
+                    # wait at position i is a COPY of its mid-loop
+                    # branches (plan Gq below), not a separate park
+                    continue
                 pre = [*raw[:rp], *_wrap_iter(s, _chain_forced(i), s.kind)]
                 cps = _inner_copies(i)
                 plans.append((
                     pre, f"G{p}e{i}",
                     _inner_primary(inner[i], f"gi{p}_{i}"), cps,
+                    _g_gate(cps),
+                ))
+            # (1a-q) parked INSIDE an unbounded inner loop, iteration 1
+            for qi, st2 in enumerate(inner):
+                if st2.quant is None:
+                    continue
+                pre = [*raw[:rp], *_wrap_iter(s, _loop_mid(qi), s.kind)]
+                cps = _targets_from(qi)
+                plans.append((
+                    pre, f"G{p}eq{qi}",
+                    _loop_primary(st2, f"gi{p}_{qi}"), cps,
                     _g_gate(cps),
                 ))
 
@@ -2492,6 +2599,8 @@ class PatternStream:
                 )
                 # (1b) iteration j+1 >= 2 in progress
                 for i in range(1, len(inner)):
+                    if inner[i - 1].quant is not None:
+                        continue
                     pre = [*raw[:rp], gprev_r,
                            *_wrap_iter(s, _chain_forced(i), iter_kind)]
                     cps = _inner_copies(i)
@@ -2500,12 +2609,28 @@ class PatternStream:
                         _inner_primary(inner[i], f"gi{p}_{i}"), cps,
                         _g_gate(cps),
                     ))
+                # (1b-q) inside an unbounded inner loop, iteration >= 2
+                for qi, st2 in enumerate(inner):
+                    if st2.quant is None:
+                        continue
+                    pre = [*raw[:rp], gprev_r,
+                           *_wrap_iter(s, _loop_mid(qi), iter_kind)]
+                    cps = _targets_from(qi)
+                    plans.append((
+                        pre, f"G{p}mq{qi}",
+                        _loop_primary(st2, f"gi{p}_{qi}"), cps,
+                        _g_gate(cps),
+                    ))
             # (2) between iterations: waiting for the next entry
             # event — a forced take under relaxed contiguity, death
             # on any event under consecutive(), a persisting true
             # ignore under allowCombinations(); PROCEED copies once
-            # the minimum is met
-            if mx is None or mx >= 2:
+            # the minimum is met. A TAIL-LOOP group (round 13) has no
+            # distinct between-state: the iteration's loop branch IS
+            # the waiter (it can still extend), so the Gq plans'
+            # boundary/successor copies subsume these — and their
+            # mandatory-leaf count gates close the books at mx.
+            if (mx is None or mx >= 2) and inner[-1].quant is None:
                 if iter_kind == "next":
                     primary = ("any", None, ())
                 elif iter_kind == "followed_by_any":

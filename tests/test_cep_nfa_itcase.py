@@ -2659,10 +2659,22 @@ def test_timeout_optional_group_absent_branch_copy(spark):
 
 
 def test_timeout_group_loop_residual_guards(spark):
-    """Nested inner quantifiers on a quantified group stay loud."""
+    """BOUNDED nested inner quantifiers on a quantified group stay
+    loud (dual runtime counters); unbounded ones run since round 13
+    (the Gq plans — the one_or_more fixture now parks its lone head
+    waiter on an empty window)."""
     df = spark.createDataFrame([(1, 1, "a"), (1, 30, "x")],
                                "k int, ts int, name string")
-    inner_q = Pattern.begin("B").where(_n("b")).one_or_more().followed_by("C").where(_n("c"))
+    inner_u = Pattern.begin("B").where(_n("b")).one_or_more().followed_by("C").where(_n("c"))
+    runs = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(inner_u).times(2)
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 30, "x")], runs, "no_skip"
+    ) == {(frozenset({1}), 11.0)}
+    inner_q = Pattern.begin("B").where(_n("b")).times(2).followed_by("C").where(_n("c"))
     nested = (
         Pattern.begin("A").where(_n("a"))
         .followed_by(inner_q).times(2)
@@ -2789,8 +2801,11 @@ def test_timeout_group_inner_optional_residual_guards(spark):
     assert _skip_touts(
         spark, [(1, 1, "a"), (1, 30, "x")], pat, "no_skip"
     ) == {(frozenset({1}), 11.0)}
+    # BOUNDED inner quantifiers stay loud (two runtime counters would
+    # be needed: inner-min gating AND iteration gating on one plan);
+    # unbounded inner loops run since round 13 (the Gq plans)
     nested = (
-        Pattern.begin("B").where(_n("b")).one_or_more()
+        Pattern.begin("B").where(_n("b")).times(2)
         .followed_by("C").where(_n("c"))
     )
     pat2 = (
@@ -3199,4 +3214,110 @@ def test_timeout_group_optional_entry_streaming_equals_batch(spark, tmp_dir):
 
     got_b = _skip_touts(spark, rows, pat(_n), "no_skip")
     got_s = _stream_timeouts(spark, tmp_dir, df, pat(_pd_n), "goe")
+    assert got_s == got_b
+
+
+# ---------------------------------------------------------------------
+# Group loops with UNBOUNDED inner loops (round 13): (B+ C)+ etc. The
+# Gq mid-loop plans park branches inside the inner loop per iteration
+# topology; waits at the position after an unbounded loop exist only
+# as its migrated copies (no exit-by-take); tail-loop groups have no
+# distinct between-state (the loop branch IS the waiter), and
+# iterations count by the first plain mandatory leaf.
+# ---------------------------------------------------------------------
+
+
+def _gql_pat(times=None):
+    grp = (
+        Pattern.begin("B").where(_n("b")).one_or_more()
+        .followed_by("C").where(_n("c"))
+    )
+    p = Pattern.begin("A").where(_n("a")).followed_by(grp)
+    p = p.times(times) if times else p.one_or_more()
+    return p.followed_by("D").where(_n("d")).within(10)
+
+
+def test_timeout_group_inner_loop_matrix(spark):
+    """A fb (B+ C)+ fb D within 10 over a b b x c b w. Hand trace:
+    mid-B branch {a,b2} is consumed by the forced b@3; {a,b2,b3}
+    IGNORES x@4 and c@5 (the inner relaxed ignore only forbids
+    skipping B-take-able events — the C-take forks a completion copy
+    without consuming the loop branch) and extends through b@6 to
+    park as {a,b2,b3,b6}; the completions {a,b2,c5}/{a,b2,b3,c5} are
+    consumed by b@6 as between-waiters BUT survive through their
+    D-copies (loop minimum met); iteration-2 mid-B branches {..,b6}
+    park with clean gaps."""
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "x"),
+            (1, 5, "c"), (1, 6, "b"), (1, 30, "w")]
+    assert _skip_touts(spark, rows, _gql_pat(), "no_skip") == {
+        (frozenset({1, 2, 5}), 11.0),
+        (frozenset({1, 2, 3, 5}), 11.0),
+        (frozenset({1, 2, 3, 6}), 11.0),
+        (frozenset({1, 2, 5, 6}), 11.0),
+        (frozenset({1, 2, 3, 5, 6}), 11.0),
+    }
+
+
+def test_timeout_group_inner_loop_times2(spark):
+    """(B+ C).times(2): iteration 2's mid-B branch {a,b2,c3,b4} parks;
+    the maxed 2-iteration assignment parks at D via the head-park
+    plan; the 1-iteration between-waiter {a,b2,c3} dies at b@4 with
+    its D-copy gated below the minimum (C-count 1 < 2). The inner
+    loop's relaxed ignore admits skipping c@3: B-chain {b2,b4} parks
+    mid-iteration-1 ({1,2,4}) and completes via c@5 into the
+    1-iteration between-waiter {1,2,4,5}."""
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"),
+            (1, 5, "c"), (1, 6, "x"), (1, 30, "w")]
+    assert _skip_touts(spark, rows, _gql_pat(times=2), "no_skip") == {
+        (frozenset({1, 2, 4}), 11.0),
+        (frozenset({1, 2, 4, 5}), 11.0),
+        (frozenset({1, 2, 3, 4}), 11.0),
+        (frozenset({1, 2, 3, 4, 5}), 11.0),
+    }
+
+
+def test_timeout_group_tail_loop(spark):
+    """TAIL-loop group (C B+)+: the iteration's B-loop branch IS the
+    between-waiter (it can still extend), so survival is its relaxed
+    consume scan OR the next-iteration C-copy OR the D successor copy.
+    a c b x w: {a,c2} (waiting at the mandatory B with no proceed) is
+    consumed by b@3 and leaves no copy; {a,c2,b3} parks mid-loop with
+    a clean tail (x neutral) and times out — alive through its own
+    relaxed consume scan AND its C/D copies alike."""
+    grp = (
+        Pattern.begin("C").where(_n("c"))
+        .followed_by("B").where(_n("b")).one_or_more()
+    )
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp).one_or_more()
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    rows = [(1, 1, "a"), (1, 2, "c"), (1, 3, "b"), (1, 4, "x"),
+            (1, 30, "w")]
+    assert _skip_touts(spark, rows, pat, "no_skip") == {
+        (frozenset({1, 2, 3}), 11.0),
+    }
+
+
+def test_timeout_group_inner_loop_streaming_equals_batch(spark, tmp_dir):
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "x"),
+            (1, 5, "c"), (1, 6, "b"), (1, 30, "w"),
+            (2, 11, "a"), (2, 12, "b"), (2, 13, "c"), (2, 18, "d"),
+            (2, 40, "w")]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+
+    def pat(cols):
+        grp = (
+            Pattern.begin("B").where(cols("b")).one_or_more()
+            .followed_by("C").where(cols("c"))
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).one_or_more()
+            .followed_by("D").where(cols("d")).within(10)
+        )
+
+    got_b = _skip_touts(spark, rows, pat(_n), "no_skip")
+    got_s = _stream_timeouts(spark, tmp_dir, df, pat(_pd_n), "gql")
     assert got_s == got_b

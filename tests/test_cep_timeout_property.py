@@ -111,6 +111,26 @@ def _pattern(kind: str, cols):
             .followed_by(grp).one_or_more()
             .followed_by("D").where(cols("d")).within(12)
         )
+    if kind == "group_inner_loop":
+        grp = (
+            Pattern.begin("B").where(cols("b")).one_or_more()
+            .followed_by("C").where(cols("c"))
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).one_or_more()
+            .followed_by("D").where(cols("d")).within(12)
+        )
+    if kind == "group_tail_loop":
+        grp = (
+            Pattern.begin("C").where(cols("c"))
+            .followed_by("B").where(cols("b")).one_or_more()
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).times(2)
+            .followed_by("D").where(cols("d")).within(12)
+        )
     if kind == "group_opt_entry":
         grp = (
             Pattern.begin("B").where(cols("b")).optional()
@@ -155,6 +175,11 @@ GRID = [
     # mandatory-leaf iteration counting, on both routes and under skip
     ("group_opt_entry", "no_skip", 73),
     ("group_opt_entry", "past_last_row", 74),
+    # unbounded INNER loops in group loops (round 13): Gq mid-loop
+    # plans, tail-loop between-subsumption, mandatory-leaf counting
+    ("group_inner_loop", "no_skip", 75),
+    ("group_inner_loop", "past_last_row", 76),
+    ("group_tail_loop", "no_skip", 77),
 ]
 
 
@@ -167,7 +192,14 @@ def _batch_touts(spark, rows, pat, after):
         per.setdefault(key, [r.k, set(), None])
         per[key][1].add(r.ts)
         per[key][2] = r.timeout_ts
-    return {(v[0], frozenset(v[1]), v[2]) for v in per.values()}
+    got = {(v[0], frozenset(v[1]), v[2]) for v in per.values()}
+    # partial identity = the event SET (NFAITCase compares sets): two
+    # plan shapes must never emit the same set twice (cross-plan
+    # duplicate invariant, round 13)
+    assert len(per) == len(got), (
+        f"duplicate timed-out partials: {len(per)} ids, {len(got)} sets"
+    )
+    return got
 
 
 def _stream_touts(spark, tmp_dir, rows, pat, after, sub):
