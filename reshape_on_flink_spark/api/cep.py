@@ -129,6 +129,7 @@ from reshape_on_flink_spark.operators.cep import (
 )
 from reshape_on_flink_spark.operators.cep import (
     match_recognize,
+    match_recognize_multi,
     streaming_match_recognize,
 )
 
@@ -3043,11 +3044,15 @@ class PatternStream:
             collapse to one emitted partial (NFAITCase compares sets).
             Returns (branch rows, surviving-branch summaries); the
             skip-strategy prune filter and final join happen outside."""
-            pre = Pattern()
-            pre._stages = pre_stages
-            pre._within = within
-            pre._fluid_extra = _fluid_specs(pre_stages)
-            rows = PatternStream(base, pre, keys, order, "no_skip").flat_select()
+            rows = multi_rows.get(tag)
+            if rows is None:
+                pre = Pattern()
+                pre._stages = pre_stages
+                pre._within = within
+                pre._fluid_extra = _fluid_specs(pre_stages)
+                rows = PatternStream(
+                    base, pre, keys, order, "no_skip"
+                ).flat_select()
             aggs = [
                 # first/last row picked by the tie-proof per-partition rid
                 F.min(F.struct("__to_rid", "__to_tick"))["__to_tick"].alias(
@@ -3255,6 +3260,67 @@ class PatternStream:
                     .select(*keys, "__srid", "__gt")
                 )
             return rows, surv, dead
+
+        # one-pass plan-id consolidation (round 14, profiled in
+        # BASELINE.md round 13): with >1 prefix plans, every plan used
+        # to run its own match_recognize pass — repartition + sort +
+        # pandas scan over the SAME base relation — and the G-plan
+        # family was measured scan-dominated (q_cep_timeout_group_opt:
+        # 5 passes, ~0.72 est. scan share). All plans now run in ONE
+        # keyed shuffle via match_recognize_multi, and the shared frame
+        # is persisted because each plan's aggregation + final join
+        # reference it again (block-level cache locks make concurrent
+        # union arms compute it once). Equality with the per-plan route
+        # is pytest-pinned; the per-plan path stays as the fallback for
+        # single-plan patterns and the defensive corners below.
+        multi_rows: dict[str, DataFrame] = {}
+        if len(plans) > 1:
+            lookahead = W.partitionBy(*keys).orderBy(*order)
+            specs: list[dict] = []
+            for pre_stages, _spans, tag, _primary, _copies, _gate in plans:
+                pre = Pattern()
+                pre._stages = pre_stages
+                pre._within = within
+                pat_p, define_p, user_p, within_p = pre.compile(
+                    emit="all", lookahead_window=lookahead
+                )
+                if pre._terminal_not is not None or any(
+                    define_p[s] is None for s in define_p
+                ):
+                    # trailing NOTs are stripped by _prefix_raw and the
+                    # batch route requires Catalyst defines, so neither
+                    # should occur — fall back to per-plan passes if a
+                    # future shape ever lands here
+                    specs = []
+                    break
+                specs.append(dict(
+                    pattern=pat_p,
+                    define=define_p,
+                    tag=tag,
+                    user_syms=list(user_p),
+                    within=within_p,
+                    iter_define=pre._iter_define or None,
+                    filler_syms=[
+                        k for k in define_p if k not in user_p
+                    ] or None,
+                    fluid_links=(
+                        list(pre._fluid_links or [])
+                        + _fluid_specs(pre_stages)
+                    ) or None,
+                    greedy_spans=list(pre._greedy_spans or []) or None,
+                ))
+            if specs:
+                from pyspark import StorageLevel
+
+                shared = match_recognize_multi(
+                    base, keys, order, specs
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                multi_rows = {
+                    s["tag"]: shared.where(
+                        F.col("__plan") == s["tag"]
+                    ).drop("__plan")
+                    for s in specs
+                }
 
         frames = [(_timeouts(*plan), plan[2]) for plan in plans]
 

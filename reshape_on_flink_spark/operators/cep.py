@@ -1400,6 +1400,289 @@ def match_recognize(
     return sorted_df.mapInPandas(run_chunks, schema=schema_out)
 
 
+def match_recognize_multi(
+    df: DataFrame,
+    partition_by: str | list[str],
+    order_by: str | list[str],
+    plans: list[dict],
+) -> DataFrame:
+    """N ``no_skip`` enumeration passes in ONE keyed shuffle.
+
+    Motivation (BASELINE.md round-13 pass-count profile): the timeout
+    side output's prefix plans each ran a full ``match_recognize`` pass
+    — repartition + sort + the pandas scan — over the SAME base
+    relation, and the G-plan family was measured scan-DOMINATED
+    (q_cep_timeout_group_opt: 5 passes, ~0.72 estimated scan share).
+    This runs every plan inside one ``repartition(keys) +
+    sortWithinPartitions + mapInPandas`` stage, tagging output rows
+    with ``__plan``, so the base computation, shuffle, sort and Arrow
+    transfer are paid once regardless of plan count. At cluster scale
+    the saving compounds: one wide shuffle of the event relation
+    instead of one per parked-branch shape.
+
+    Each plan dict: ``pattern`` (string), ``define`` (symbol ->
+    Catalyst Column), ``tag`` (the ``__plan`` value), ``user_syms``
+    (symbols kept in the output — ``flat_select``'s filter, applied at
+    emission time), plus optional ``within`` / ``iter_define`` /
+    ``filler_syms`` / ``fluid_links`` / ``greedy_spans`` with
+    :func:`match_recognize` semantics.
+
+    Contract (pinned by ``test_cep_multi_pass_equals_singles``): for
+    every plan, the rows with ``__plan == tag`` equal
+    ``match_recognize(df, keys, order, pattern, define,
+    after_match='no_skip', ...)`` filtered to ``user_syms`` — the multi
+    pass is a scheduling change only. Only the enumeration route exists
+    here: timeout prefixes always run ``no_skip`` and have their
+    trailing NOT stages stripped upstream, so neither the single-match
+    skip logic nor ``terminal_not`` is needed.
+    """
+    partition_by = (
+        [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    )
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+
+    compiled = []
+    flagged = df
+    for j, p in enumerate(plans):
+        pattern = p["pattern"]
+        define = dict(p["define"])
+        iter_define = dict(p["iter_define"]) if p.get("iter_define") else None
+        if _is_flat(pattern):
+            toks = parse_pattern(pattern)
+            symbols = pattern_symbols(toks)
+            ast = _flat_to_ast(toks)
+        else:
+            ast = parse_pattern_ast(pattern)
+            symbols = ast_symbols(ast)
+        if iter_define:
+            unknown = [s for s in iter_define if s not in symbols]
+            if unknown:
+                raise ValueError(
+                    f"iter_define for symbols not in the pattern: {unknown}"
+                )
+            define = {
+                **{s: F.lit(True) for s in iter_define if s not in define},
+                **define,
+            }
+        missing = [s for s in symbols if s not in define]
+        if missing:
+            raise ValueError(f"pattern symbols without DEFINE: {missing}")
+        only_pandas = [s for s in symbols if define[s] is None]
+        if only_pandas:
+            raise ValueError(
+                f"batch CEP needs Catalyst conditions; stages "
+                f"{only_pandas} have only pandas predicates"
+            )
+        fluid_links = list(p.get("fluid_links") or []) or None
+        greedy_spans = list(p.get("greedy_spans") or []) or None
+        filler_idx = frozenset(
+            symbols.index(s) for s in (p.get("filler_syms") or ()) if s in symbols
+        )
+        user_set = set(p["user_syms"])
+        sym_cols = [f"__p{j}_{s}" for s in symbols]
+        for s, c in zip(symbols, sym_cols):
+            flagged = flagged.withColumn(c, F.coalesce(define[s], F.lit(False)))
+        compiled.append(
+            dict(
+                tag=str(p["tag"]),
+                symbols=symbols,
+                sym_cols=sym_cols,
+                # per-plan rename so _IterCtx row dicts expose the
+                # __sym_{name} static flags the compiler's iterative
+                # filler lambdas read (e.get(f"__sym_{name}", True))
+                ren={c: f"__sym_{s}" for s, c in zip(symbols, sym_cols)},
+                enum_at=_ast_enumerator(symbols, ast),
+                rx=_bitmask_regex(symbols, ast),
+                first_idx=_first_idx_ast(symbols, ast),
+                fl_idx=(
+                    _fluid_index(symbols) if (fluid_links or greedy_spans) else None
+                ),
+                filler_idx=filler_idx,
+                fluid_links=fluid_links,
+                greedy_spans=greedy_spans,
+                iter_define=iter_define,
+                within=p.get("within"),
+                user_idx=frozenset(
+                    i for i, s in enumerate(symbols) if s in user_set
+                ),
+            )
+        )
+
+    out_fields = list(df.schema.fields)
+    data_cols = [f.name for f in out_fields]
+    schema_out = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields)
+        + ", match_id bigint, matched_symbol string, __plan string"
+    )
+
+    def scan_chunk(pdf, starts):
+        import pandas as pd
+
+        n = len(pdf)
+        G = len(starts)
+        ends = np.append(starts[1:], n)
+        frames = []
+        for pl in compiled:
+            bools = [pdf[c].to_numpy() for c in pl["sym_cols"]]
+            if pl["iter_define"]:
+                ic = _build_ic(
+                    pdf.rename(columns=pl["ren"]),
+                    pl["symbols"],
+                    len(pl["symbols"]),
+                    pl["iter_define"],
+                    order_by[0],
+                )
+            else:
+                ic = None
+            if pl["within"] is not None:
+                tv, is_time = _time_axis(pdf, order_by[0])
+                delta = _within_delta(pl["within"], is_time)
+
+                def bound(i: int, hi: int, tv=tv, delta=delta) -> int:
+                    return min(
+                        hi,
+                        i
+                        + int(
+                            np.searchsorted(
+                                tv[i:hi], tv[i] + delta, side="left"
+                            )
+                        ),
+                    )
+            else:
+                bound = lambda i, hi: hi  # noqa: E731
+            rows_idx: list = []
+            match_ids: list = []
+            matched_syms: list = []
+            mids = np.zeros(G, dtype=np.int64)
+            symbols = pl["symbols"]
+            enum_at = pl["enum_at"]
+            filler_idx = pl["filler_idx"]
+            user_idx = pl["user_idx"]
+
+            def handle(r: int, g: int) -> None:
+                hi = bound(r, int(ends[g]))
+                cands = enum_at(bools, r, hi, ic)
+                if filler_idx:  # drop filler-anchored candidates + dedup
+                    cands = [m for m in cands if m[0][1] not in filler_idx]
+                    seen_u, uniq = set(), []
+                    for mm_ in cands:
+                        ku = tuple(rr for rr in mm_ if rr[1] not in filler_idx)
+                        if ku not in seen_u:
+                            seen_u.add(ku)
+                            uniq.append(mm_)
+                    cands = uniq
+                if pl["fluid_links"]:
+                    cands = [
+                        m
+                        for m in cands
+                        if _fluid_ok(m, bools, pl["fl_idx"], pl["fluid_links"])
+                    ]
+                if pl["greedy_spans"]:
+                    cands = [
+                        m
+                        for m in cands
+                        if _greedy_ok(
+                            m, bools, pl["fl_idx"], pl["greedy_spans"],
+                            filler_idx,
+                        )
+                    ]
+                for m in cands:
+                    for pos, si in m:
+                        if si in user_idx:
+                            rows_idx.append(pos)
+                            match_ids.append(int(mids[g]))
+                            matched_syms.append(symbols[si])
+                    mids[g] += 1
+
+            rx = pl["rx"]
+            if rx is not None and n:
+                acc = np.zeros(n, dtype=np.int32)
+                for b, col in enumerate(bools):
+                    acc += np.asarray(col, dtype=np.int32) << b
+                acc += _RX_BASE
+                s_all = "".join(map(chr, acc.tolist()))
+                sep = chr(_RX_BASE)  # bitmask 0: in no symbol class
+                enc = sep.join(
+                    s_all[s:e] for s, e in zip(starts.tolist(), ends.tolist())
+                )
+                group_strstart = starts + np.arange(G)
+                i, L = 0, len(enc)
+                while i < L:
+                    mm = rx.search(enc, i)
+                    if not mm:
+                        break
+                    if mm.end() == mm.start():  # empty match: advance
+                        i = mm.start() + 1
+                        continue
+                    sp = mm.start()
+                    g = int(
+                        np.searchsorted(group_strstart, sp, side="right") - 1
+                    )
+                    handle(sp - g, g)
+                    i = sp + 1
+            elif n:
+                can_start = np.logical_or.reduce(
+                    [np.asarray(bools[jj], dtype=bool) for jj in pl["first_idx"]]
+                )
+                for g in range(G):
+                    for r in range(int(starts[g]), int(ends[g])):
+                        if can_start[r]:
+                            handle(r, g)
+            if rows_idx:
+                out = pdf.iloc[rows_idx][data_cols].copy()
+                out["match_id"] = pd.Series(
+                    match_ids, index=out.index, dtype="int64"
+                )
+                out["matched_symbol"] = pd.Series(
+                    matched_syms, index=out.index
+                )
+                out["__plan"] = pl["tag"]
+                frames.append(out)
+        if not frames:
+            return None
+        return pd.concat(frames, ignore_index=True)
+
+    part_cols = list(partition_by)
+
+    def run_chunks(batches):
+        import pandas as pd
+
+        carry = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            else:
+                pdf = pdf.reset_index(drop=True)
+            keys = pdf[part_cols]
+            shifted = keys.shift()
+            boundary = (
+                ((keys != shifted) & ~(keys.isna() & shifted.isna()))
+                .any(axis=1)
+                .to_numpy()
+            )
+            boundary[0] = True
+            starts = np.flatnonzero(boundary)
+            last_start = int(starts[-1])
+            carry = pdf.iloc[last_start:]
+            if last_start == 0:
+                continue
+            out = scan_chunk(pdf.iloc[:last_start], starts[:-1])
+            if out is not None:
+                yield out
+        if carry is not None and len(carry):
+            out = scan_chunk(carry.reset_index(drop=True), np.array([0]))
+            if out is not None:
+                yield out
+
+    sorted_df = flagged.repartition(*part_cols).sortWithinPartitions(
+        *part_cols, *order_by
+    )
+    return sorted_df.mapInPandas(run_chunks, schema=schema_out)
+
+
 # ---------------------------------------------------------------------------
 # Streaming MATCH_RECOGNIZE — incremental NFA across micro-batches.
 # Reference: CepOperator.java keeps partial NFA computations in keyed
