@@ -109,6 +109,11 @@ HEADLINE = [
     # scans over candidate link gaps), so the cost model stays the
     # multi-pass keyed-scan shape with a branching per-start tree
     "q_cep_timeout_group_opt",
+    # round 14: bounded inner quantifiers in group loops (dual runtime
+    # counters) — and since round 14 every multi-plan timeout query
+    # runs ONE consolidated match pass (match_recognize_multi) instead
+    # of one keyed shuffle per prefix plan
+    "q_cep_timeout_group_times",
 ]
 
 

@@ -2321,10 +2321,17 @@ class PatternStream:
                 # are fine (the scan registry threads the per-branch
                 # predicate; the IterativeCondition context strips the
                 # __gq iteration-rename).
+                # round 14: BOUNDED inner loops (times(m,n)) and
+                # min>=2 unbounded ones lift via the dual-counter
+                # machinery — parked-inside plans cap the loop at
+                # (1, hi-1), exit-by-max parks pin it at (hi, hi), and
+                # a second plan-level count column gates PROCEED
+                # copies on current-iteration takes >= the inner
+                # minimum. Greedy inner loops keep their guard (the
+                # sink guards would have to compose with the group's
+                # iteration machinery — untraced).
                 inner_loop_ok = (
                     st.quant is not None
-                    and st.quant[1] is None
-                    and st.quant[0] <= 1
                     and st.quant[2] is not True
                 )
                 if (
@@ -2341,7 +2348,7 @@ class PatternStream:
                     raise NotImplementedError(
                         f"timeout side output: quantified group "
                         f"{s.name!r} — inner stage {st.name!r} is not a "
-                        "plain positive leaf (bounded/greedy nested "
+                        "plain positive leaf (greedy nested "
                         "quantifiers, NOTs and untils inside a group "
                         "loop are untraced)"
                     )
@@ -2464,11 +2471,18 @@ class PatternStream:
                 assignments where it is absent are exactly the earlier
                 waiting positions' copies (no cross-plan duplicates).
                 A zero-able loop leaf forces by bumping its minimum to
-                one (round 13)."""
+                one (round 13). A BOUNDED loop leaf pins at (hi, hi)
+                (round 14): the NFA only moves PAST a times chain by
+                taking its maximum — branches with fewer takes are
+                still parked inside it (the Gq plans) and reach the
+                successor only as PROCEED copies, so a j < hi
+                assignment here would be a cross-plan duplicate."""
                 ch = [dataclasses.replace(st) for st in inner[:upto]]
                 last = ch[-1]
                 q2 = last.quant
-                if q2 is not None and q2[0] == 0:
+                if q2 is not None and q2[1] is not None:
+                    q2 = (q2[1], q2[1], q2[2])
+                elif q2 is not None and q2[0] == 0:
                     q2 = (1, q2[1], q2[2])
                 ch[-1] = dataclasses.replace(last, opt=False, quant=q2)
                 return ch
@@ -2537,15 +2551,37 @@ class PatternStream:
                     cg is not None for *_x, cg in cps
                 ) else None
 
+            def _g_gate_q(cps, st2):
+                """Plan gate for a branch parked INSIDE an inner loop
+                (round 14, dual counters): besides the iteration count
+                (__cnt over the mandatory leaf, driving the per-copy
+                ge/lt gates), PROCEED copies exist only once the
+                CURRENT iteration's loop takes reach the inner minimum
+                — a second count column over the un-renamed loop
+                symbol (completed iterations' takes carry the __gq
+                rename, so they never pollute it). j >= 1 holds by
+                construction, so the second counter is materialized
+                only for inner minima >= 2."""
+                lo2 = st2.quant[0] if st2.quant is not None else 1
+                need1 = any(cg is not None for *_x, cg in cps)
+                if lo2 < 2:
+                    return _g_gate(cps) if need1 else None
+                return (cnt_syms, None, (st2.name,), lo2)
+
             def _loop_mid(qi):
-                """Mid-loop chain for an unbounded inner loop leaf at
-                qi (round 13): the preceding leaves plus the loop with
-                its minimum normalized to one — any parked-inside
-                assignment has >= 1 take and the loop never exits by
-                take."""
+                """Mid-loop chain for an inner loop leaf at qi: the
+                preceding leaves plus the loop normalized to minimum
+                one — any parked-inside assignment has >= 1 take. An
+                unbounded loop never exits by take (round 13); a
+                BOUNDED one is capped at hi-1 here (round 14) — the
+                hi-th take forces the branch out of the times chain,
+                which is the pinned exit-by-max position wait, not a
+                parked-inside shape."""
                 ch = [dataclasses.replace(st) for st in inner[: qi + 1]]
+                q2 = ch[-1].quant
+                hi2 = None if q2[1] is None else q2[1] - 1
                 ch[-1] = dataclasses.replace(
-                    ch[-1], quant=(1, None, None), opt=False
+                    ch[-1], quant=(1, hi2, None), opt=False
                 )
                 return ch
 
@@ -2565,10 +2601,13 @@ class PatternStream:
 
             # (1a) first iteration in progress
             for i in range(1, len(inner)):
-                if inner[i - 1].quant is not None:
+                q2 = inner[i - 1].quant
+                if q2 is not None and q2[1] is None:
                     # an unbounded inner loop never exits by take: the
                     # wait at position i is a COPY of its mid-loop
-                    # branches (plan Gq below), not a separate park
+                    # branches (plan Gq below), not a separate park.
+                    # A BOUNDED loop does exit — at exactly hi takes
+                    # (_chain_forced pins it), round 14
                     continue
                 pre = [*raw[:rp], *_wrap_iter(s, _chain_forced(i), s.kind)]
                 cps = _inner_copies(i)
@@ -2577,16 +2616,18 @@ class PatternStream:
                     _inner_primary(inner[i], f"gi{p}_{i}"), cps,
                     _g_gate(cps),
                 ))
-            # (1a-q) parked INSIDE an unbounded inner loop, iteration 1
+            # (1a-q) parked INSIDE an inner loop, iteration 1
             for qi, st2 in enumerate(inner):
-                if st2.quant is None:
-                    continue
+                if st2.quant is None or (
+                    st2.quant[1] is not None and st2.quant[1] <= 1
+                ):
+                    continue  # (m,1)/(0,1) never park inside a chain
                 pre = [*raw[:rp], *_wrap_iter(s, _loop_mid(qi), s.kind)]
                 cps = _targets_from(qi)
                 plans.append((
                     pre, f"G{p}eq{qi}",
                     _loop_primary(st2, f"gi{p}_{qi}"), cps,
-                    _g_gate(cps),
+                    _g_gate_q(cps, st2),
                 ))
 
             if mx is None or mx >= 2:
@@ -2600,7 +2641,8 @@ class PatternStream:
                 )
                 # (1b) iteration j+1 >= 2 in progress
                 for i in range(1, len(inner)):
-                    if inner[i - 1].quant is not None:
+                    q2 = inner[i - 1].quant
+                    if q2 is not None and q2[1] is None:
                         continue
                     pre = [*raw[:rp], gprev_r,
                            *_wrap_iter(s, _chain_forced(i), iter_kind)]
@@ -2610,9 +2652,11 @@ class PatternStream:
                         _inner_primary(inner[i], f"gi{p}_{i}"), cps,
                         _g_gate(cps),
                     ))
-                # (1b-q) inside an unbounded inner loop, iteration >= 2
+                # (1b-q) inside an inner loop, iteration >= 2
                 for qi, st2 in enumerate(inner):
-                    if st2.quant is None:
+                    if st2.quant is None or (
+                        st2.quant[1] is not None and st2.quant[1] <= 1
+                    ):
                         continue
                     pre = [*raw[:rp], gprev_r,
                            *_wrap_iter(s, _loop_mid(qi), iter_kind)]
@@ -2620,18 +2664,28 @@ class PatternStream:
                     plans.append((
                         pre, f"G{p}mq{qi}",
                         _loop_primary(st2, f"gi{p}_{qi}"), cps,
-                        _g_gate(cps),
+                        _g_gate_q(cps, st2),
                     ))
             # (2) between iterations: waiting for the next entry
             # event — a forced take under relaxed contiguity, death
             # on any event under consecutive(), a persisting true
             # ignore under allowCombinations(); PROCEED copies once
-            # the minimum is met. A TAIL-LOOP group (round 13) has no
-            # distinct between-state: the iteration's loop branch IS
-            # the waiter (it can still extend), so the Gq plans'
-            # boundary/successor copies subsume these — and their
-            # mandatory-leaf count gates close the books at mx.
-            if (mx is None or mx >= 2) and inner[-1].quant is None:
+            # the minimum is met. An UNBOUNDED tail-loop group (round
+            # 13) has no distinct between-state: the iteration's loop
+            # branch IS the waiter (it can still extend), so the Gq
+            # plans' boundary/successor copies subsume these — and
+            # their mandatory-leaf count gates close the books at mx.
+            # A BOUNDED tail loop (round 14) DOES exit — at exactly hi
+            # takes — so its between-parks exist but must be pinned to
+            # the exit-by-max shape (the wA/wB route below; j < hi
+            # waiters reach the boundary only as the Gq plans' copies).
+            tail = inner[-1]
+            tail_bounded = (
+                tail.quant is not None and tail.quant[1] is not None
+            )
+            if (mx is None or mx >= 2) and (
+                tail.quant is None or tail_bounded
+            ):
                 if iter_kind == "next":
                     primary = ("any", None, ())
                 elif iter_kind == "followed_by_any":
@@ -2657,7 +2711,7 @@ class PatternStream:
                     else []
                 )
                 w_copies = [*w_extra, *succ_copies]
-                if not _optable(inner[-1]):
+                if not _optable(tail) and not tail_bounded:
                     # the last take of a completed iteration can only
                     # be the final leaf: one plan over gprev
                     plans.append((
@@ -2670,7 +2724,9 @@ class PatternStream:
                     # BOUNDARY copy — restrict these plans to last
                     # take = the forced final leaf, split by whether
                     # completed iterations precede (the entry link
-                    # kind differs)
+                    # kind differs). A BOUNDED tail loop rides the
+                    # same route with the leaf pinned at (hi, hi):
+                    # only exit-by-max branches park between (round 14)
                     full = _chain_forced(len(inner))
                     plans.append((
                         [*raw[:rp], *_wrap_iter(s, full, s.kind)],
@@ -3072,6 +3128,16 @@ class PatternStream:
                         .cast("int")
                     ).alias("__cnt")
                 )
+                if len(gate) > 3 and gate[2] is not None:
+                    # second counter (round 14, bounded inner loops):
+                    # current-iteration takes of the parked loop leaf
+                    aggs.append(
+                        F.sum(
+                            F.col("matched_symbol")
+                            .isin(list(gate[2]))
+                            .cast("int")
+                        ).alias("__cnt2")
+                    )
             for j2, (mode, gname, post, kkey) in enumerate(spans):
                 # the kill-scan struct AT the span anchor row (the last
                 # greedy row, or the last pre-post row in 'anchor'
@@ -3213,6 +3279,11 @@ class PatternStream:
                     if gate is None or gate[1] is None
                     else F.col("__cnt") >= F.lit(gate[1])
                 )
+                if gate is not None and len(gate) > 3 and gate[2] is not None:
+                    # dual-counter plan gate (round 14): PROCEED copies
+                    # need the current iteration's loop takes >= the
+                    # inner minimum too
+                    gated = gated & (F.col("__cnt2") >= F.lit(gate[3]))
 
                 def _cgated(cond, cg):
                     # per-copy gate against the plan's count column:
@@ -3241,6 +3312,8 @@ class PatternStream:
                         ))
                 if gate is not None and gate[1] is not None:
                     cp = cp & (F.col("__cnt") >= F.lit(gate[1]))
+                if gate is not None and len(gate) > 3 and gate[2] is not None:
+                    cp = cp & (F.col("__cnt2") >= F.lit(gate[3]))
                 alive = alive | cp
             # event-driven expiry: a partition row at/after the horizon
             surv = g.where((F.col("__pmax") >= F.col("__horizon")) & alive)

@@ -2694,6 +2694,16 @@ def streaming_timed_out_partials(
                         cnt = sum(1 for _p, s2 in rows if s2 in gsyms)
                         if gate[1] is not None:
                             gated = cnt >= gate[1]
+                        if len(gate) > 3 and gate[2] is not None:
+                            # dual-counter gate (round 14, bounded
+                            # inner loops): current-iteration loop
+                            # takes must reach the inner minimum for
+                            # PROCEED copies to exist
+                            g2 = set(gate[2])
+                            cnt2 = sum(
+                                1 for _p, s2 in rows if s2 in g2
+                            )
+                            gated = gated and cnt2 >= gate[3]
 
                     def _cok(cg, _cnt=None):
                         # per-copy gate against the iteration count

@@ -2107,6 +2107,130 @@ def q_cep_timeout_group_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CEP timed-out partials of a group loop with a BOUNDED inner
+# quantifier (round 14, dual runtime counters) — signup fb
+# (error{2,3} fb purchase)+ fb click within 2 days, no_skip.
+# NFACompiler compiles times(2,3) into a 3-state chain (2 mandatory);
+# a branch parked at chain position j spawns PROCEED copies only once
+# j >= 2 (the engine's second, current-iteration counter) and leaves
+# the chain only by taking the 3rd error (the pinned exit-by-max
+# park). The oracle walks the branching computation tree: per node the
+# next take is the FIRST error (loop/entry — relaxed links force-take)
+# or, from j >= 2, the FIRST purchase (the C-copy); states are
+# determined by the taken event types, so row sets are unique per
+# walk. A node reports iff ANY of its waits survives to the horizon:
+# j=1 the loop scan only, j=2 loop OR purchase-copy, j=3 purchase
+# only, iteration-complete entry OR click-copy. Scale: the same
+# one-keyed-shuffle (now ONE multi-plan pass) as the other gates.
+# ---------------------------------------------------------------------------
+@query(
+    "q_cep_timeout_group_times",
+    f"""
+    WITH RECURSIVE seq AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000
+               + ROW_NUMBER() OVER w0 AS ord
+      FROM events
+      WINDOW w0 AS (PARTITION BY user_id
+                    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+    ),
+    lk AS (
+      SELECT user_id, event_id, event_type, ord,
+             MIN(CASE WHEN event_type = 'error' THEN ord END) OVER wf AS nx_b,
+             MIN(CASE WHEN event_type = 'purchase' THEN ord END) OVER wf AS nx_c,
+             MIN(CASE WHEN event_type = 'click' THEN ord END) OVER wf AS nx_d,
+             MAX(ord) OVER (PARTITION BY user_id) AS pmax
+      FROM seq
+      WINDOW wf AS (PARTITION BY user_id ORDER BY ord
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    starts AS (
+      SELECT user_id, event_id AS a_id, ord AS a_ord
+      FROM lk
+      WHERE event_type = 'signup' AND pmax >= ord + {_CEP_SKIP_DELTA}
+    ),
+    chain(user_id, a_id, a_ord, cur, st, n) AS (
+      SELECT user_id, a_id, a_ord, a_ord, 'A', 0 FROM starts
+      UNION ALL
+      SELECT c.user_id, c.a_id, c.a_ord, e.ord,
+             CASE WHEN e.event_type = 'purchase' THEN 'C'
+                  WHEN c.st = 'B1' THEN 'B2'
+                  WHEN c.st = 'B2' THEN 'B3'
+                  ELSE 'B1' END,
+             c.n + 1
+      FROM chain c
+      JOIN lk r ON r.user_id = c.user_id AND r.ord = c.cur
+      JOIN lk e ON e.user_id = c.user_id
+               AND e.ord < c.a_ord + {_CEP_SKIP_DELTA}
+               AND (
+                 (e.ord = r.nx_b AND c.st IN ('A', 'B1', 'B2', 'C'))
+                 OR (e.ord = r.nx_c AND c.st IN ('B2', 'B3'))
+               )
+    )
+    SELECT c.user_id, c.a_id, CAST(1 + c.n AS BIGINT) AS n_rows,
+           CAST(c.cur AS BIGINT) AS last_ord,
+           CAST(c.a_ord + {_CEP_SKIP_DELTA} AS BIGINT) AS timeout_ord
+    FROM chain c
+    JOIN lk r ON r.user_id = c.user_id AND r.ord = c.cur
+    WHERE CASE
+            WHEN c.st IN ('A', 'B1') THEN
+              COALESCE(r.nx_b, c.a_ord + {_CEP_SKIP_DELTA})
+                >= c.a_ord + {_CEP_SKIP_DELTA}
+            WHEN c.st = 'B2' THEN
+              COALESCE(r.nx_b, c.a_ord + {_CEP_SKIP_DELTA})
+                  >= c.a_ord + {_CEP_SKIP_DELTA}
+              OR COALESCE(r.nx_c, c.a_ord + {_CEP_SKIP_DELTA})
+                  >= c.a_ord + {_CEP_SKIP_DELTA}
+            WHEN c.st = 'B3' THEN
+              COALESCE(r.nx_c, c.a_ord + {_CEP_SKIP_DELTA})
+                  >= c.a_ord + {_CEP_SKIP_DELTA}
+            ELSE
+              COALESCE(r.nx_b, c.a_ord + {_CEP_SKIP_DELTA})
+                  >= c.a_ord + {_CEP_SKIP_DELTA}
+              OR COALESCE(r.nx_d, c.a_ord + {_CEP_SKIP_DELTA})
+                  >= c.a_ord + {_CEP_SKIP_DELTA}
+          END
+    ORDER BY c.user_id, c.a_id, n_rows, last_ord
+    """,
+)
+def q_cep_timeout_group_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w0 = W.partitionBy("user_id").orderBy("sec", "event_id")
+    src = ev.select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("long").alias("sec")
+    ).withColumn(
+        "ord", F.col("sec") * 100000 + F.row_number().over(w0)
+    )
+    grp = (
+        Pattern.begin("B").where(F.col("event_type") == "error").times(2, 3)
+        .followed_by("C").where(F.col("event_type") == "purchase")
+    )
+    pat = (
+        Pattern.begin("A").where(F.col("event_type") == "signup")
+        .followed_by(grp).one_or_more()
+        .followed_by("D").where(F.col("event_type") == "click")
+        .within(_CEP_SKIP_DELTA)
+    )
+    ps = CEP.pattern(src, pat, "user_id", "ord", after_match="no_skip")
+    t = ps.timed_out_partial_matches()
+    return (
+        t.groupBy("user_id", "timeout_id")
+        .agg(
+            F.min(F.when(F.col("matched_symbol") == "A", F.col("event_id"))).alias("a_id"),
+            F.count("*").alias("n_rows"),
+            F.max("ord").alias("last_ord"),
+            F.min("timeout_ts").cast("bigint").alias("timeout_ord"),
+        )
+        .select("user_id", "a_id", "n_rows", "last_ord", "timeout_ord")
+        .orderBy("user_id", "a_id", "n_rows", "last_ord")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Changelog-consuming JOIN (round 10) — StreamingJoinOperator.java:123-198
 # under the hash gate. The LEFT input is the per-user retract-agg
 # HISTORY (closed-form: the q_retract_transitions recipe — +I then

@@ -2659,10 +2659,11 @@ def test_timeout_optional_group_absent_branch_copy(spark):
 
 
 def test_timeout_group_loop_residual_guards(spark):
-    """BOUNDED nested inner quantifiers on a quantified group stay
-    loud (dual runtime counters); unbounded ones run since round 13
-    (the Gq plans — the one_or_more fixture now parks its lone head
-    waiter on an empty window)."""
+    """GREEDY nested inner quantifiers on a quantified group stay
+    loud; unbounded inner loops run since round 13 (the Gq plans —
+    the one_or_more fixture parks its lone head waiter on an empty
+    window) and BOUNDED ones since round 14 (dual runtime counters —
+    the times(2) fixture parks {a} at the chain head the same way)."""
     df = spark.createDataFrame([(1, 1, "a"), (1, 30, "x")],
                                "k int, ts int, name string")
     inner_u = Pattern.begin("B").where(_n("b")).one_or_more().followed_by("C").where(_n("c"))
@@ -2680,8 +2681,20 @@ def test_timeout_group_loop_residual_guards(spark):
         .followed_by(inner_q).times(2)
         .followed_by("D").where(_n("d")).within(10)
     )
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 30, "x")], nested, "no_skip"
+    ) == {(frozenset({1}), 11.0)}
+    inner_g = (
+        Pattern.begin("B").where(_n("b")).times(2, 3).greedy()
+        .followed_by("C").where(_n("c"))
+    )
+    greedy_nested = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(inner_g).times(2)
+        .followed_by("D").where(_n("d")).within(10)
+    )
     with pytest.raises(NotImplementedError, match="inner stage"):
-        CEP.pattern(df, nested, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+        CEP.pattern(df, greedy_nested, "k", "ts", after_match="no_skip").timed_out_partial_matches()
 
 
 def _gqu_pat(lo, hi=None, within=10):
@@ -2801,9 +2814,9 @@ def test_timeout_group_inner_optional_residual_guards(spark):
     assert _skip_touts(
         spark, [(1, 1, "a"), (1, 30, "x")], pat, "no_skip"
     ) == {(frozenset({1}), 11.0)}
-    # BOUNDED inner quantifiers stay loud (two runtime counters would
-    # be needed: inner-min gating AND iteration gating on one plan);
-    # unbounded inner loops run since round 13 (the Gq plans)
+    # BOUNDED inner quantifiers run since round 14 (the dual runtime
+    # counters: inner-min gating AND iteration gating on one plan);
+    # the head waiter parks on an empty window like any other shape
     nested = (
         Pattern.begin("B").where(_n("b")).times(2)
         .followed_by("C").where(_n("c"))
@@ -2813,8 +2826,9 @@ def test_timeout_group_inner_optional_residual_guards(spark):
         .followed_by(nested).times(2)
         .followed_by("D").where(_n("d")).within(10)
     )
-    with pytest.raises(NotImplementedError, match="plain positive leaf"):
-        CEP.pattern(df, pat2, "k", "ts", after_match="no_skip").timed_out_partial_matches()
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 30, "x")], pat2, "no_skip"
+    ) == {(frozenset({1}), 11.0)}
     allopt = (
         Pattern.begin("B").where(_n("b")).optional()
         .followed_by("C").where(_n("c")).optional()
@@ -3320,4 +3334,192 @@ def test_timeout_group_inner_loop_streaming_equals_batch(spark, tmp_dir):
 
     got_b = _skip_touts(spark, rows, pat(_n), "no_skip")
     got_s = _stream_timeouts(spark, tmp_dir, df, pat(_pd_n), "gql")
+    assert got_s == got_b
+
+
+# ---------------------------------------------------------------------
+# BOUNDED nested quantifiers in group loops (round 14, dual runtime
+# counters). NFACompiler compiles times(m, n) into a chain of n states
+# (the first m mandatory); inside a looping group, a branch parked at
+# chain position j has PROCEED copies only once j >= m (the second,
+# current-iteration counter — completed iterations carry the __gq
+# rename and never pollute it), and the branch leaves the chain only
+# by taking the n-th event (exit-by-max pinned position waits / wA-wB
+# between plans).
+# ---------------------------------------------------------------------
+
+
+def _gqb_pat(lo, hi, within=10):
+    grp = (
+        Pattern.begin("B").where(_n("b")).times(lo, hi)
+        .followed_by("C").where(_n("c"))
+    )
+    return (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp).one_or_more()
+        .followed_by("D").where(_n("d")).within(within)
+    )
+
+
+def test_timeout_group_bounded_loop_parked_inside(spark):
+    """A fb (B{2,3} fb C)+ fb D over a b b w: the j=1 branch {a,b2} is
+    consumed by b@4; the j=2 branch {a,b2,b4} parks inside the times
+    chain with a clean gap and times out."""
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 4, "b"), (1, 30, "w")],
+        _gqb_pat(2, 3), "no_skip",
+    ) == {(frozenset({1, 2, 4}), 11.0)}
+
+
+def test_timeout_group_bounded_loop_exit_by_max(spark):
+    """a b b b x w: {a,b2,b3} is consumed by b@4 but its C-copy
+    (j=2 >= lo) persists past it; {a,b2,b3,b4} took the chain maximum
+    and parks AT the C state (the pinned exit plan); the j=1 branch
+    {a,b2} dies with no copies."""
+    assert _skip_touts(
+        spark,
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "b"), (1, 5, "x"),
+         (1, 30, "w")],
+        _gqb_pat(2, 3), "no_skip",
+    ) == {
+        (frozenset({1, 2, 3}), 11.0),
+        (frozenset({1, 2, 3, 4}), 11.0),
+    }
+
+
+def test_timeout_group_bounded_loop_min_gates_copies(spark):
+    """a b b c w under times(2,3) vs times(1,3): the j=1 branch
+    {a,b2} is consumed by b@3 either way, but only with the minimum
+    met does its C-copy exist — times(1,3) admits the extra
+    {a,b2,c4} completion (between-wait + D-copy), times(2,3) does not
+    (the dual-counter discriminator)."""
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "c"),
+            (1, 30, "w")]
+    assert _skip_touts(spark, rows, _gqb_pat(2, 3), "no_skip") == {
+        (frozenset({1, 2, 3}), 11.0),
+        (frozenset({1, 2, 3, 4}), 11.0),
+    }
+    assert _skip_touts(spark, rows, _gqb_pat(1, 3), "no_skip") == {
+        (frozenset({1, 2, 3}), 11.0),
+        (frozenset({1, 2, 3, 4}), 11.0),
+        (frozenset({1, 2, 4}), 11.0),
+    }
+
+
+def test_timeout_group_bounded_loop_between_and_completions(spark):
+    """a b x b b c w: iteration-1 B-chains are {2},{2,4},{2,4,5}
+    (relaxed inner gaps may hold non-B events, never a skipped B).
+    j=3 exits to C and completes into {a,b2,b4,b5,c6}; the j=2
+    branch's C-copy completes into {a,b2,b4,c6}; both park at the
+    boundary/successor and time out. j=1 has no copies and every
+    in-chain waiter was consumed."""
+    assert _skip_touts(
+        spark,
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "x"), (1, 4, "b"), (1, 5, "b"),
+         (1, 6, "c"), (1, 30, "w")],
+        _gqb_pat(2, 3), "no_skip",
+    ) == {
+        (frozenset({1, 2, 4, 5, 6}), 11.0),
+        (frozenset({1, 2, 4, 6}), 11.0),
+    }
+
+
+def test_timeout_group_bounded_loop_iteration2(spark):
+    """a b b c b b w: iteration 2 parks inside the bounded chain
+    ({a,b2,b3,c4,b5,b6}, plan Gq-m); the iteration-1 between-waiter
+    {a,b2,b3,c4} is consumed by b@5 but survives through its D-copy;
+    {a,b2,b3,b5} (the waiter consumed-extended across c@4) exits at
+    the maximum and parks at C. The iteration-2 j=1 branch
+    {..,c4,b5} dies at b@6 with its copies gated (j < 2)."""
+    assert _skip_touts(
+        spark,
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "c"), (1, 5, "b"),
+         (1, 6, "b"), (1, 30, "w")],
+        _gqb_pat(2, 3), "no_skip",
+    ) == {
+        (frozenset({1, 2, 3, 5}), 11.0),
+        (frozenset({1, 2, 3, 4}), 11.0),
+        (frozenset({1, 2, 3, 4, 5, 6}), 11.0),
+    }
+
+
+def test_timeout_group_bounded_tail_loop(spark):
+    """BOUNDED TAIL loop (B fb C{1,2})+: a b c c x w — the j=1 branch
+    {a,b2,c3} is consumed by c@4 but its boundary/D copies persist
+    (lo=1 met); {a,b2,c3,c4} took the tail maximum and parks BETWEEN
+    iterations (the pinned wA plan); with C{0,2} the tail-absent
+    completion {a,b2} additionally times out through its boundary
+    copy (j=0 proceed allowed at a zero minimum)."""
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "c"),
+            (1, 5, "x"), (1, 30, "w")]
+
+    def pat(lo):
+        grp = (
+            Pattern.begin("B").where(_n("b"))
+            .followed_by("C").where(_n("c")).times(lo, 2)
+        )
+        return (
+            Pattern.begin("A").where(_n("a"))
+            .followed_by(grp).one_or_more()
+            .followed_by("D").where(_n("d")).within(10)
+        )
+
+    assert _skip_touts(spark, rows, pat(1), "no_skip") == {
+        (frozenset({1, 2, 3}), 11.0),
+        (frozenset({1, 2, 3, 4}), 11.0),
+    }
+    assert _skip_touts(spark, rows, pat(0), "no_skip") == {
+        (frozenset({1, 2}), 11.0),
+        (frozenset({1, 2, 3}), 11.0),
+        (frozenset({1, 2, 3, 4}), 11.0),
+    }
+
+
+def test_timeout_group_min2_inner_loop(spark):
+    """times_or_more(2) inner loop (B{2,} fb C)+: the j=1 park
+    {a,b2} survives an empty window as its own waiter but never
+    spawns copies below the minimum — a b b c w yields the j=2 park
+    and its completion, never the j=1 completion {a,b2,c4}."""
+    grp = (
+        Pattern.begin("B").where(_n("b")).times_or_more(2)
+        .followed_by("C").where(_n("c"))
+    )
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp).one_or_more()
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 30, "w")], pat, "no_skip"
+    ) == {(frozenset({1, 2}), 11.0)}
+    assert _skip_touts(
+        spark,
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "c"), (1, 30, "w")],
+        pat, "no_skip",
+    ) == {
+        (frozenset({1, 2, 3}), 11.0),
+        (frozenset({1, 2, 3, 4}), 11.0),
+    }
+
+
+def test_timeout_group_bounded_loop_streaming_equals_batch(spark, tmp_dir):
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "c"), (1, 5, "b"),
+            (1, 6, "b"), (1, 30, "w"),
+            (2, 11, "a"), (2, 12, "b"), (2, 13, "b"), (2, 14, "b"),
+            (2, 15, "x"), (2, 40, "w")]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+
+    def pat(cols):
+        grp = (
+            Pattern.begin("B").where(cols("b")).times(2, 3)
+            .followed_by("C").where(cols("c"))
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).one_or_more()
+            .followed_by("D").where(cols("d")).within(10)
+        )
+
+    got_b = _skip_touts(spark, rows, pat(_n), "no_skip")
+    got_s = _stream_timeouts(spark, tmp_dir, df, pat(_pd_n), "gqb")
     assert got_s == got_b

@@ -147,6 +147,36 @@ def _pattern(kind: str, cols):
             .followed_by("B").where(cols("b"))
             .not_followed_by("N").where(cols("n")).within(12)
         )
+    if kind == "group_bounded_loop":
+        grp = (
+            Pattern.begin("B").where(cols("b")).times(2, 3)
+            .followed_by("C").where(cols("c"))
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).one_or_more()
+            .followed_by("D").where(cols("d")).within(12)
+        )
+    if kind == "group_bounded_tail":
+        grp = (
+            Pattern.begin("B").where(cols("b"))
+            .followed_by("C").where(cols("c")).times(1, 2)
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).one_or_more()
+            .followed_by("D").where(cols("d")).within(12)
+        )
+    if kind == "group_min2_loop":
+        grp = (
+            Pattern.begin("B").where(cols("b")).times_or_more(2)
+            .followed_by("C").where(cols("c"))
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).one_or_more()
+            .followed_by("D").where(cols("d")).within(12)
+        )
     raise AssertionError(kind)
 
 
@@ -180,6 +210,13 @@ GRID = [
     ("group_inner_loop", "no_skip", 75),
     ("group_inner_loop", "past_last_row", 76),
     ("group_tail_loop", "no_skip", 77),
+    # BOUNDED nested quantifiers in group loops (round 14): the dual
+    # runtime counters (iteration gate + current-iteration loop-take
+    # gate), exit-by-max pinned parks, bounded tails via wA/wB
+    ("group_bounded_loop", "no_skip", 81),
+    ("group_bounded_loop", "past_last_row", 82),
+    ("group_bounded_tail", "no_skip", 83),
+    ("group_min2_loop", "no_skip", 84),
 ]
 
 
