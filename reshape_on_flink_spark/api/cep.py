@@ -2893,14 +2893,6 @@ class PatternStream:
                     )
                 )
             skip_spec = None
-            if skip_mode != "no_skip" and pattern._iter_define:
-                raise NotImplementedError(
-                    "streaming timeout side output under a skip "
-                    "strategy with iterative conditions — the "
-                    "incremental full-pattern cursor does not thread "
-                    "IterativeCondition contexts yet (batch and "
-                    "no_skip streaming do)"
-                )
             if skip_mode != "no_skip":
                 # the FULL pattern, compiled emit='first' — the same
                 # first-completed sequential matcher the batch match
@@ -2940,6 +2932,10 @@ class PatternStream:
                     tn=tn_p,
                     fluid=full_fluid,
                     greedy=full_greedy,
+                    # round 14: the incremental full-pattern cursor
+                    # threads IterativeCondition contexts (the last
+                    # streaming-skip guard)
+                    iter_define=pattern._iter_define or None,
                 )
             res = streaming_timed_out_partials(
                 self._df, keys, order, list(self._df.columns),

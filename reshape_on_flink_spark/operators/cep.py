@@ -2399,6 +2399,8 @@ def streaming_timed_out_partials(
             f_fluid,
             _fluid_index(f_syms) if (f_fluid or f_greedy) else None,
             f_greedy,
+            # round 14: the cursor threads IterativeCondition contexts
+            skip.get("iter_define"),
         )
 
     sample = events.select(*input_cols)
@@ -2489,10 +2491,23 @@ def streaming_timed_out_partials(
             ]
             user = set(pl["user_syms"])
             prim, copies, gate = pl["primary"], pl["copies"], pl["gate"]
-            pl_ic = _build_ic(
-                pdf, symbols, len(symbols), pl.get("iter_define"),
-                order_cols[0],
-            )
+            pl_ic = None
+            if pl.get("iter_define"):
+                # event dicts must carry the __sym static flags: the
+                # compiler's iterative FILLER conditions read a sibling
+                # symbol's static verdict off the row
+                # (e.get(f"__sym_{name}", True)) — without the column
+                # the permissive default drops the static part and a
+                # statically-non-take-able row wrongly breaks loop gaps
+                # (found round 14; the match operator's scan() already
+                # does this)
+                fr2 = pdf.copy()
+                for s_name, arr in zip(symbols, bools):
+                    fr2[f"__sym_{s_name}"] = np.asarray(arr, dtype=bool)
+                pl_ic = _build_ic(
+                    fr2, symbols, len(symbols), pl["iter_define"],
+                    order_cols[0],
+                )
             prim_it = prim[3] if len(prim) > 3 else None
             if prim[0] == "consume":
                 prim_arr = (
@@ -2746,7 +2761,7 @@ def streaming_timed_out_partials(
         pruned_starts: set = set()
         if skip_compiled is not None and n and len(dec):
             (f_syms, match_at, f_filler, mode, skip_sym, tn_pred,
-             f_fluid, f_flidx, f_greedy) = skip_compiled
+             f_fluid, f_flidx, f_greedy, f_iter) = skip_compiled
             # SkipToElementStrategy prunes with STRICT < (vs <= for the
             # whole-match strategies) and resumes AT the mapped element
             # — the resume point is >= the match start >= frontier −
@@ -2761,6 +2776,17 @@ def streaming_timed_out_partials(
                 np.asarray(skip["define"][s](pdf).to_numpy(), dtype=bool)
                 for s in f_syms
             ]
+            f_ic = None
+            if f_iter:
+                # IterativeCondition context for the full-pattern
+                # cursor (round 14): event dicts carry the __sym
+                # static flags like every other matcher route
+                fr_f = pdf.copy()
+                for s_name, arr in zip(f_syms, fbools):
+                    fr_f[f"__sym_{s_name}"] = np.asarray(arr, dtype=bool)
+                f_ic = _build_ic(
+                    fr_f, f_syms, len(f_syms), f_iter, ocol
+                )
             tn_arr = (
                 np.asarray(tn_pred(pdf).to_numpy(), dtype=bool)
                 if tn_pred is not None
@@ -2779,7 +2805,7 @@ def streaming_timed_out_partials(
                 lim = int(np.searchsorted(ticks, ticks[i] + delta, side="left"))
                 if f_fluid or f_greedy:
                     fcands = [
-                        mm for mm in match_at(fbools, int(i), lim)
+                        mm for mm in match_at(fbools, int(i), lim, f_ic)
                         if mm[0][1] not in f_filler
                         and (not f_fluid
                              or _fluid_ok(mm, fbools, f_flidx, f_fluid))
@@ -2796,7 +2822,7 @@ def streaming_timed_out_partials(
                         else None
                     )
                 else:
-                    m = match_at(fbools, int(i), lim)
+                    m = match_at(fbools, int(i), lim, f_ic)
                     if m and m[0][1] in f_filler:
                         m = None  # filler-anchored: re-found at its row
                 if m and tn_arr is not None and tn_arr[m[-1][0] + 1 : lim].any():

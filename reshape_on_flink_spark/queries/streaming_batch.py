@@ -2330,13 +2330,17 @@ def q_changelog_join_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long").alias("oseq"),  # dim lands first
         )
     )
-    # test-harness global replay order consistent with per-key oseq
+    # test-harness global replay order consistent with per-key oseq —
+    # a map-only monotone expression (oseq-major, user-minor), NOT a
+    # row_number over an unpartitioned window: the global window
+    # funneled the whole left history through ONE task and was the
+    # dominant super-linear term in the sf10 probe (chunked_replay
+    # only needs an orderable value; its range bucketing stays the
+    # same order)
     lg = left_hist.withColumn(
-        "gseq", F.row_number().over(W.orderBy("oseq", "user_id"))
+        "gseq", F.col("oseq") * F.lit(100_000_000) + F.col("user_id")
     )
-    rg = dim.withColumn(
-        "gseq", -F.row_number().over(W.orderBy("user_id"))
-    )
+    rg = dim.withColumn("gseq", -F.col("user_id"))
     base = tempfile.mkdtemp(prefix="jcl_gate_")
     ls = chunked_replay(
         spark, lg, os.path.join(base, "l"), n_chunks=3, order_col="gseq"
@@ -2345,10 +2349,17 @@ def q_changelog_join_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, rg, os.path.join(base, "r"), n_chunks=1, order_col="gseq"
     ).drop("gseq")
     joined = join_changelog(ls, rs, "user_id", "inner", order_by="oseq")
-    name = f"jcl_gate_{uuid.uuid4().hex[:8]}"
+    # parquet sink + read-back instead of a memory sink: the memory
+    # sink collects every output row onto the driver (the second
+    # super-linear term at sf10); the parquet sink stays distributed.
+    # Inputs + checkpoint are removed; the output dir must outlive the
+    # returned DataFrame.
+    out_dir = os.path.join(
+        tempfile.gettempdir(), f"jcl_gate_out_{uuid.uuid4().hex[:8]}"
+    )
     q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
+        joined.writeStream.format("parquet")
+        .option("path", out_dir)
         .outputMode("append")
         .option("checkpointLocation", os.path.join(base, "ckpt"))
         .start()
@@ -2359,7 +2370,7 @@ def q_changelog_join_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
     shutil.rmtree(base, ignore_errors=True)
     return (
-        spark.table(name)
+        spark.read.parquet(out_dir)
         .select(
             "user_id",
             F.col("seg").cast("bigint").alias("seg"),

@@ -1143,15 +1143,30 @@ def test_timeout_iterative_streaming_equals_batch(spark, tmp_dir):
     ]
 
 
-def test_timeout_iterative_streaming_skip_guard(spark, tmp_dir):
-    """Streaming + skip strategy + iterative conditions stays a loud
-    guard (the incremental full-pattern cursor does not thread the
-    IterativeCondition context); batch + skip runs."""
+def test_timeout_iterative_streaming_skip_equals_batch(spark, tmp_dir):
+    """Round 14 (lifts the last streaming-skip guard): the incremental
+    full-pattern cursor threads the IterativeCondition context, so
+    streaming + skip strategy + iterative conditions == batch. The
+    fixture exercises both sides of the context: key 1's match prunes
+    its partials and leaves the post-match start; key 2's iterative
+    cap blocks b@14 (7+9 > 10), so the waiter survives the statically
+    take-able event and parks {11,12,13}."""
     from reshape_on_flink_spark.api.cep import CEP, Pattern
     from reshape_on_flink_spark.streaming.source import chunked_replay
+    from tests.test_streaming import run_to_memory
 
-    rows = [(1, 1, "a", 0.0), (1, 2, "b", 5.0), (1, 30, "w", 0.0)]
+    rows = [(1, 1, "a", 0.0), (1, 2, "b", 5.0), (1, 3, "x", 1.0),
+            (1, 4, "b", 5.0), (1, 5, "c", 0.0), (1, 6, "a", 0.0),
+            (1, 7, "b", 2.0), (1, 30, "w", 0.0),
+            (2, 11, "a", 0.0), (2, 12, "b", 3.0), (2, 13, "b", 4.0),
+            (2, 14, "b", 9.0), (2, 40, "w", 0.0)]
     df = spark.createDataFrame(rows, "k int, ts int, name string, v double")
+
+    def _cap(event, ctx):
+        return (
+            sum(e["v"] for e in ctx.get_events_for_pattern("B"))
+            + event["v"] <= 10
+        )
 
     def pat():
         return (
@@ -1159,24 +1174,43 @@ def test_timeout_iterative_streaming_skip_guard(spark, tmp_dir):
             .where(lambda p: p["name"] == "a")
             .followed_by("B").where(F.col("name") == "b")
             .where(lambda p: p["name"] == "b")
-            .where_iterative(_b_increasing_()).one_or_more()
+            .where_iterative(_cap).one_or_more()
             .followed_by("C").where(F.col("name") == "c")
             .where(lambda p: p["name"] == "c")
             .within(10)
         )
 
-    # batch + skip: runs (mrows thread the IterativeCondition)
-    got = CEP.pattern(
-        df, pat(), "k", "ts", after_match="past_last_row"
-    ).timed_out_partial_matches()
-    assert got.count() > 0
-    stream = chunked_replay(
-        spark, df, os.path.join(tmp_dir, "it_sk"), n_chunks=2, order_col="ts"
-    )
-    with pytest.raises(NotImplementedError, match="[Ii]terative"):
-        CEP.pattern(
-            stream, pat(), "k", "ts", after_match="past_last_row"
+    want = [[6, 7], [11, 12], [11, 12, 13]]
+    for i, after in enumerate(
+        ("past_last_row", "to_next_row", "to_first B")
+    ):
+        got_b = {}
+        for r in CEP.pattern(
+            df, pat(), "k", "ts", after_match=after
+        ).timed_out_partial_matches().collect():
+            got_b.setdefault((r.k, r.timeout_id), set()).add(r.ts)
+        stream = chunked_replay(
+            spark, df, os.path.join(tmp_dir, f"it_sk{i}"), n_chunks=4,
+            order_col="ts",
+        )
+        sdf = CEP.pattern(
+            stream, pat(), "k", "ts", after_match=after
         ).timed_out_partial_matches()
+        srows = run_to_memory(
+            spark, sdf, f"it_sk_out{i}", tmp_dir, mode="append"
+        ).collect()
+        got_s = {}
+        for r in srows:
+            got_s.setdefault((r.k, r.timeout_id), set()).add(r.ts)
+        assert sorted(map(sorted, got_s.values())) == sorted(
+            map(sorted, got_b.values())
+        ), after
+        # ground truth: key 1's partials are PRUNED by the match
+        # {a1,b2,b4,c5} (emission at c@5 precedes their horizon 11)
+        # and the post-match {a6,b7} parks. Key 2: {11,12} (C-copy),
+        # {11,12,13} (the iterative cap blocks b@14 from consuming
+        # the waiter).
+        assert sorted(map(sorted, got_b.values())) == sorted(want), after
 
 
 def _c_increasing_():
@@ -1243,3 +1277,60 @@ def test_timeout_group_loop_iterative_inner_leaf(spark, tmp_dir):
         per[r.timeout_id][0].add(r.ts)
         per[r.timeout_id][1] = r.timeout_ts
     assert {(frozenset(v[0]), v[1]) for v in per.values()} == got_b
+
+
+def test_timeout_iterative_static_flag_streaming(spark, tmp_dir):
+    """Round-14 fix: the streaming timeout operator's IterativeCondition
+    context must expose the __sym static flags — the compiler's
+    iterative FILLER conditions read the loop body's static verdict off
+    the row (e.get(f"__sym_{{name}}", True)), and without the column the
+    permissive default made a statically-non-take-able row (x@3, which
+    passes the iterative cap but is not a 'b') break the loop gap: the
+    {a,b2,b4} park was silently dropped on streams while batch emitted
+    it. Stream == batch, values pinned."""
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+    from tests.test_streaming import run_to_memory
+
+    rows = [(1, 1, "a", 0.0), (1, 2, "b", 5.0), (1, 3, "x", 1.0),
+            (1, 4, "b", 5.0), (1, 30, "w", 0.0)]
+    df = spark.createDataFrame(rows, "k int, ts int, name string, v double")
+
+    def _cap(event, ctx):
+        return (
+            sum(e["v"] for e in ctx.get_events_for_pattern("B"))
+            + event["v"] <= 10
+        )
+
+    def pat():
+        return (
+            Pattern.begin("A").where(F.col("name") == "a")
+            .where(lambda p: p["name"] == "a")
+            .followed_by("B").where(F.col("name") == "b")
+            .where(lambda p: p["name"] == "b")
+            .where_iterative(_cap).one_or_more()
+            .followed_by("C").where(F.col("name") == "c")
+            .where(lambda p: p["name"] == "c")
+            .within(10)
+        )
+
+    got_b = {}
+    for r in CEP.pattern(
+        df, pat(), "k", "ts", after_match="no_skip"
+    ).timed_out_partial_matches().collect():
+        got_b.setdefault((r.k, r.timeout_id), set()).add(r.ts)
+    assert sorted(map(sorted, got_b.values())) == [[1, 2], [1, 2, 4]]
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "it_flag"), n_chunks=3,
+        order_col="ts",
+    )
+    sdf = CEP.pattern(
+        stream, pat(), "k", "ts", after_match="no_skip"
+    ).timed_out_partial_matches()
+    srows = run_to_memory(
+        spark, sdf, "it_flag_out", tmp_dir, mode="append"
+    ).collect()
+    got_s = {}
+    for r in srows:
+        got_s.setdefault((r.k, r.timeout_id), set()).add(r.ts)
+    assert sorted(map(sorted, got_s.values())) == [[1, 2], [1, 2, 4]]
