@@ -1577,14 +1577,26 @@ class PatternStream:
         copies subsume the between and head-park plans, their
         mandatory-leaf count gates closing the books at mx).
 
-        Remaining loud guards: BOUNDED/greedy nested quantifiers,
-        NOTs and untils inside group-loop leaves; group loops with no
-        plain mandatory inner leaf (nothing to count iterations by);
+        Round-14 lifts: BOUNDED nested quantifiers in group loops
+        (dual runtime counters — parked-inside plans cap the times
+        chain at (1, hi-1) with PROCEED copies gated on a second,
+        current-iteration count column over the un-renamed loop
+        symbol; exit-by-max parks pin the chain at (hi, hi) via
+        _chain_forced; bounded TAILS ride the pinned wA/wB
+        between-plans; times_or_more(n>=2) minima gate the same way);
         iterative conditions under a STREAMING skip strategy (the
-        incremental cursor); and not_next folds onto non-strict/
-        quantified carriers. Optional-tail group loops (fluid
-        iteration links) run everywhere — batch, streaming, and under
-        skip strategies on both routes — via the two-path link filter.
+        incremental cursor threads a flag-carrying IterativeCondition
+        context); and every plan's prefix enumeration runs in ONE
+        consolidated match pass (match_recognize_multi) instead of one
+        keyed shuffle per parked shape.
+
+        Remaining loud guards: GREEDY nested quantifiers, NOTs and
+        untils inside group-loop leaves; group loops with no plain
+        mandatory inner leaf (nothing to count iterations by); and
+        not_next folds onto non-strict/quantified carriers.
+        Optional-tail group loops (fluid iteration links) run
+        everywhere — batch, streaming, and under skip strategies on
+        both routes — via the two-path link filter.
         """
         from pyspark.sql import Window as SW
 
