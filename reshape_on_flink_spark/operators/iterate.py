@@ -30,13 +30,26 @@ def iterate(
     step: Callable[[DataFrame, int], DataFrame],
     max_iters: int,
     converged: Callable[[DataFrame, DataFrame], bool] | None = None,
+    on_round: Callable[[int, float], None] | None = None,
 ) -> DataFrame:
     """Run ``step(state, i)`` until ``converged(prev, new)`` or
-    ``max_iters``. State is localCheckpoint()ed every round."""
+    ``max_iters``. State is localCheckpoint()ed every round.
+
+    ``on_round(i, wall_seconds)`` — optional instrumentation hook fired
+    after each round's checkpoint + convergence probe; lets scale probes
+    attribute cost to round count vs per-round work without touching
+    the operator.
+    """
+    import time as _time
+
     state = seed.localCheckpoint()
     for i in range(max_iters):
+        t0 = _time.monotonic()
         new_state = step(state, i).localCheckpoint()
-        if converged is not None and converged(state, new_state):
+        done = converged is not None and converged(state, new_state)
+        if on_round is not None:
+            on_round(i, _time.monotonic() - t0)
+        if done:
             return new_state
         state = new_state
     return state
@@ -688,6 +701,7 @@ def coreness(
     src: str = "src",
     dst: str = "dst",
     max_iters: int = 100,
+    on_round: Callable[[int, float], None] | None = None,
 ) -> DataFrame:
     """Vertex coreness (the k-core number of every vertex) -> (node,
     coreness), via the h-index fixed point (Lu et al., "The H-index of a
@@ -747,7 +761,7 @@ def coreness(
 
     out = iterate(
         state0.withColumn("__changed", F.lit(True)), step, max_iters,
-        converged=converged,
+        converged=converged, on_round=on_round,
     )
     return out.select("node", F.col("val").alias("coreness"))
 
