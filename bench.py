@@ -114,6 +114,10 @@ HEADLINE = [
     # runs ONE consolidated match pass (match_recognize_multi) instead
     # of one keyed shuffle per prefix plan
     "q_cep_timeout_group_times",
+    # round 14 late: GREEDY inner loops in group loops — per-run sink
+    # guard on the consolidated prefix enumerations + a 'gap' kill on
+    # the loop's sink copy; same one-consolidated-pass cost model
+    "q_cep_timeout_group_greedy",
 ]
 
 

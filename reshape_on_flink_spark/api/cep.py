@@ -278,12 +278,29 @@ def _greedy_span_specs(stages) -> list:
     compiles no guard (createTimesState gates on times.getFrom() !=
     times.getTo()); groups are never greedy (builder raises)."""
     _NOTS = ("not_next", "not_followed_by")
+
+    def _efl(sl):
+        """Effective leaf list: UNQUANTIFIED non-optional groups inline
+        (NFACompiler converts them in place between their neighbours),
+        so their inner greedy loops ride the top-level spec walk with
+        the real cross-boundary prev/sink; quantified/optional groups
+        stay opaque (their inner loops get per-iteration specs below).
+        NOT stages stay in place for the prior_not computation."""
+        out = []
+        for s in sl:
+            if s.group is not None and s.quant is None and not s.opt:
+                out.extend(_efl(s.group._stages))
+            else:
+                out.append(s)
+        return out
+
+    eff = _efl(stages)
     pos, prior_not = [], []
-    for i, s in enumerate(stages):
+    for i, s in enumerate(eff):
         if s.kind in _NOTS:
             continue
         pos.append(s)
-        prior_not.append(i > 0 and stages[i - 1].kind in _NOTS)
+        prior_not.append(i > 0 and eff[i - 1].kind in _NOTS)
     specs = []
     for j, s in enumerate(pos[:-1]):
         if s.group is not None or s.quant is None or s.quant[2] is not True:
@@ -322,6 +339,63 @@ def _greedy_span_specs(stages) -> list:
             else "anchor"
         )
         specs.append((s.name, prev_name, sink_name, mode))
+
+    # greedy loops INSIDE a looping (quantified/optional) group
+    # (round 14): convertPattern re-applies updateWithGreedyCondition
+    # inside EVERY iteration copy, so the guard anchors per maximal
+    # run of the loop symbol (_greedy_ok iterates runs). Supported
+    # shape: lo >= 1 loop immediately followed by a plain MANDATORY
+    # inner leaf — every iteration then contributes exactly one run
+    # whose guarded sink jump is that leaf's take. Other shapes raise
+    # loudly: the possessive compile they previously fell into commits
+    # iteration 1's run through the NEXT iteration's entry rows and
+    # silently drops valid matches (round-14 bug class).
+    def _walk_group(gs):
+        inner = [st for st in _efl(gs.group._stages) if st.kind not in _NOTS]
+        for j, st in enumerate(inner):
+            if st.group is not None:
+                if st.quant is not None or st.opt:
+                    _walk_group(st)
+                continue
+            if st.quant is None or st.quant[2] is not True:
+                continue
+            lo2, hi2, _g2 = st.quant
+            if hi2 is not None and lo2 == hi2:
+                continue  # exact times compiles no guard (createTimesState)
+            if st.until_cond is not None or st.until_pandas is not None:
+                continue  # possessive twin compile retained (see above)
+            nxt = inner[j + 1] if j + 1 < len(inner) else None
+            if (
+                nxt is None
+                or nxt.group is not None
+                or nxt.quant is not None
+                or nxt.opt
+            ):
+                raise NotImplementedError(
+                    f"greedy loop {st.name!r} at the iteration tail (or "
+                    "before optional/quantified leaves) of a looping "
+                    "group: its PROCEED sink is the iteration-boundary "
+                    "state, so the guard spans the next iteration's "
+                    "entry — untraced; restructure so a plain mandatory "
+                    "leaf follows the greedy loop inside the group"
+                )
+            if lo2 == 0 or st.opt:
+                raise NotImplementedError(
+                    f"zero-able greedy loop {st.name!r} inside a looping "
+                    "group: a zero-take iteration leaves no run to "
+                    "anchor its sink guard on — untraced"
+                )
+            prev2 = _last_leaf(inner[j - 1]) if j > 0 else None
+            specs.append((st.name, prev2, nxt.name, "anchor"))
+
+    def _last_leaf(st):
+        if st.group is not None:
+            return list(_positive_leaf_stages(st.group._stages))[-1].name
+        return st.name
+
+    for s in eff:
+        if s.group is not None and (s.quant is not None or s.opt):
+            _walk_group(s)
     return specs
 
 
@@ -760,6 +834,33 @@ class Pattern:
         self._greedy_spans = _greedy_span_specs(self._stages)
         greedy_enum = {name for name, _p, _s, _m in self._greedy_spans}
 
+        # pattern-terminal greedy through trailing UNQUANTIFIED groups
+        # (round 14): the final NFA state has no transitions to guard,
+        # so end-of-pattern greedy is a no-op (GreedyITCase
+        # testEndWithZeroOrMoreGreedy) even when the terminal leaf sits
+        # inside a trailing unquantified group — enumerate plainly
+        # (the flat case rides compile_stages' last_positive check)
+        def _eff_last(sl):
+            for st in reversed(sl):
+                if st.kind in ("begin", "next", "followed_by",
+                               "followed_by_any"):
+                    if st.group is not None and st.quant is None and not st.opt:
+                        return _eff_last(st.group._stages)
+                    return st
+            return None
+
+        _tl = _eff_last(self._stages)
+        greedy_term = (
+            {_tl.name}
+            if (
+                _tl is not None
+                and _tl.group is None
+                and _tl.quant is not None
+                and _tl.quant[2] is True
+            )
+            else set()
+        )
+
         def and_negs(col, negs):
             """negs are (catalyst, pandas) pairs; a pandas-only neg makes
             the Catalyst form inexpressible -> None (streaming-only
@@ -1031,16 +1132,22 @@ class Pattern:
                     define[gap] = and_negs(F.lit(True), gap_negs)
                     ctx["lgap_pandas"][gap] = ("true", None, pd_negs(gap_negs))
                 q = s.quant
-                if q is not None and q[2] is True and emit == "all" and i == last_positive:
+                if (
+                    q is not None
+                    and q[2] is True
+                    and emit == "all"
+                    and (i == last_positive or s.name in greedy_term)
+                ):
                     q = (q[0], q[1], None)
                 if (
                     q is not None
                     and q[2] is True
                     and emit == "all"
-                    and top
                     and s.name in greedy_enum
                 ):
                     # guarded greedy: enumerate; _greedy_ok filters
+                    # (round 14: inner group-loop leaves too — their
+                    # specs anchor per iteration run)
                     q = (q[0], q[1], None)
                 is_loop = q is not None and (q[0] > 1 or q[1] is None or q[1] > 1)
                 if is_loop and s.fold_not:
@@ -1590,10 +1697,44 @@ class PatternStream:
         consolidated match pass (match_recognize_multi) instead of one
         keyed shuffle per parked shape.
 
-        Remaining loud guards: GREEDY nested quantifiers, NOTs and
-        untils inside group-loop leaves; group loops with no plain
-        mandatory inner leaf (nothing to count iterations by); and
-        not_next folds onto non-strict/quantified carriers.
+        UNBOUNDED greedy inner loops in group loops run too (round 14,
+        late): compile's per-run span specs filter the prefix
+        enumerations (a completed iteration whose sink jump crossed a
+        loop-take-able event never existed — _greedy_ok anchors per
+        maximal run, __gq-stripped), and the loop's migrated sink copy
+        carries a 'gap' kill on the loop's own take condition
+        (updateWithGreedyCondition guards every sink transition,
+        ignore included). BOUNDED greedy inner loops stay guarded
+        (_chain_forced pins them exact-times, which emits no span
+        spec).
+
+        Group loops with NO plain mandatory inner leaf run when no
+        iteration-count gate is materialized (round 14, late: lo <= 1
+        and unbounded mx need none). Such iterations can both continue
+        and complete on the same loop take, so a k-take run and its
+        split across iterations are distinct live computations over
+        identical rows — the reference reports ONE partial per event
+        set (NFAITCase), replayed by a set-level cross-plan dedup
+        (streaming: phase-3 signature set; batch: an output-sized
+        collapse pass, enabled only for this shape class).
+
+        until() on INNER loops inside group loops runs too (round 14,
+        late): the stop edges live on the loop's own states
+        (addStopStateToLooping + the init state, r8 dual dialect), so
+        every wait AT or park INSIDE the loop — the head/between/
+        boundary entry waits, the optable-chain copies, the Gq
+        primaries and the loop-targeting 'fb' copies — carries a 'gap'
+        kill on the until condition (_leaf_until_kill), while sink
+        copies cross the stop event (UntilConditionITCase's
+        completion-survives rule); the match/prefix compile already
+        threads NOT(until) into the loop's takes and iteration gaps.
+
+        Remaining loud guards: BOUNDED greedy loops and greedy+until
+        loops inside group loops, NOTs inside group-loop leaves;
+        all-loop-mandatory group loops that DO need an
+        iteration-count gate (bounded repetitions or minimum >= 2 —
+        nothing to count iterations by); and not_next folds onto
+        non-strict/quantified carriers.
         Optional-tail group loops (fluid iteration links) run
         everywhere — batch, streaming, and under skip strategies on
         both routes — via the two-path link filter.
@@ -1936,7 +2077,30 @@ class PatternStream:
                     f"a{idx}", cond, pcond,
                     f"not_next condition after {stages[idx - 1].name!r}",
                 )))
+            if s.group is not None:
+                # until() on the group's HEAD inner loop (round 14,
+                # late): the head wait parks at that loop's init state,
+                # which carries the stop edge (r8 dual dialect)
+                out.extend(_leaf_until_kill(
+                    _flatten(list(s.group._stages))[0], f"h{idx}"
+                ))
             return tuple(out)
+
+        def _leaf_until_kill(st2, tag: str) -> tuple:
+            """Stop-edge kill for until() on a group-INNER loop leaf
+            (round 14, late): NFACompiler attaches the stop transitions
+            to the loop's own states (addStopStateToLooping + the init
+            state, the r8 dual dialect), so branches waiting AT or
+            parked INSIDE the loop die on an until event in their gap.
+            Positions PAST the loop are unguarded — a sink copy crosses
+            the stop event (UntilConditionITCase's completion-survives
+            rule, confirmed by the round-14 match probes)."""
+            if st2.until_cond is None and st2.until_pandas is None:
+                return ()
+            return (("gap", _need_kill(
+                f"giu_{tag}_{st2.name}", st2.until_cond, st2.until_pandas,
+                f"until() condition of group inner loop {st2.name!r}",
+            )),)
 
         def _optable(s) -> bool:
             return s.opt or (s.quant is not None and s.quant[0] == 0)
@@ -1972,7 +2136,7 @@ class PatternStream:
                         f"gi{t}_{j}", st2.cond, st2.pandas_cond,
                         st2.iter_cond, "group inner stage", st2.name,
                     ),
-                    kls,
+                    kls + _leaf_until_kill(st2, f"hc{t}"),
                     None,
                 ))
             return out
@@ -2104,6 +2268,14 @@ class PatternStream:
 
         # plan entries: (pre_stages, tag, primary, copies, loop_gate)
         plans = []
+        # plan shapes are event-set-disjoint by construction EXCEPT for
+        # group loops whose iteration can both continue and complete on
+        # the same loop take (no plain mandatory inner leaf, round 14
+        # late): a k-take run and its split across two iterations are
+        # distinct live computations over identical rows, and the
+        # reference reports ONE partial per event set — the final
+        # assembly then runs a set-level dedup pass
+        overlap_dedup = False
         # -- branches parked AT a stage's head state (last take exited
         # the previous stage's chain — only possible after exactly max
         # occurrences of it; infinite loops never exit by take). If the
@@ -2339,20 +2511,40 @@ class PatternStream:
                 # (1, hi-1), exit-by-max parks pin it at (hi, hi), and
                 # a second plan-level count column gates PROCEED
                 # copies on current-iteration takes >= the inner
-                # minimum. Greedy inner loops keep their guard (the
-                # sink guards would have to compose with the group's
-                # iteration machinery — untraced).
+                # minimum. UNBOUNDED greedy inner loops lift too
+                # (round 14, late): compile's per-run span specs
+                # filter the prefix enumerations (completed-iteration
+                # runs with a dirty sink jump never existed,
+                # _greedy_ok), and the loop's migrated sink copy
+                # carries a 'gap' kill on the loop's own take
+                # condition (updateWithGreedyCondition ANDs NOT(take)
+                # onto every sink transition) — see _targets_from.
+                # BOUNDED greedy loops stay guarded: _chain_forced
+                # pins them at (hi, hi), an exact-times compile that
+                # emits no span spec, so prefixes passing THROUGH the
+                # guarded sink would over-admit dirty jumps.
                 inner_loop_ok = (
                     st.quant is not None
-                    and st.quant[2] is not True
+                    and (st.quant[2] is not True or st.quant[1] is None)
                 )
+                # until() on a non-greedy inner loop lifts (round 14,
+                # late): the stop edges live on the loop's own states,
+                # replayed as a 'gap' kill on every wait AT / park
+                # INSIDE it (_leaf_until_kill). Greedy + until keeps
+                # the possessive compile on the match surface (the
+                # twin-sink corner), which would under-enumerate the
+                # prefixes — guarded.
                 if (
                     st.kind not in ("begin", "next", "followed_by",
                                     "followed_by_any")
                     or st.group is not None
                     or (st.quant is not None and not inner_loop_ok)
-                    or st.until_cond is not None
-                    or st.until_pandas is not None
+                    or (
+                        (st.until_cond is not None
+                         or st.until_pandas is not None)
+                        and st.quant is not None
+                        and st.quant[2] is True
+                    )
                     or st.negated_gap is not None
                     or st.fold_not
                     or st.lead_not
@@ -2360,8 +2552,8 @@ class PatternStream:
                     raise NotImplementedError(
                         f"timeout side output: quantified group "
                         f"{s.name!r} — inner stage {st.name!r} is not a "
-                        "plain positive leaf (greedy nested "
-                        "quantifiers, NOTs and untils inside a group "
+                        "supported leaf (greedy nested quantifiers, "
+                        "greedy+until loops and NOTs inside a group "
                         "loop are untraced)"
                     )
             # OPTIONAL entry leaf (round 13): the iteration waiter parks
@@ -2409,8 +2601,9 @@ class PatternStream:
             )
 
             def _inner_primary(st, key):
+                iu = _leaf_until_kill(st, f"ip{p}")
                 if st.kind == "followed_by_any":
-                    return ("persist", None, gu)
+                    return ("persist", None, gu + iu)
                 if st.kind == "followed_by" and _has_cond(st):
                     return (
                         "consume",
@@ -2418,7 +2611,7 @@ class PatternStream:
                             key, st.cond, st.pandas_cond, st.iter_cond,
                             "group inner stage", st.name,
                         ),
-                        gu,
+                        gu + iu,
                     )
                 return ("any", None, ())
 
@@ -2446,14 +2639,25 @@ class PatternStream:
                 ),
                 None,
             )
+            # em = None (every mandatory leaf is a loop) is fine as long
+            # as NO iteration-count gate is ever materialized — lo <= 1
+            # and mx unbounded need none (round 14, late): boundary
+            # copies carry ("lt", mx) gates only for bounded mx, and
+            # successor copies ("ge", lo) gates only for lo >= 2. The
+            # gate constructors below raise if a gate is actually
+            # needed without a countable leaf.
+            cnt_syms = (em, em + "__gq") if em is not None else None
             if em is None:
+                overlap_dedup = True
+
+            def _need_cnt():
                 raise NotImplementedError(
                     f"timeout side output: quantified group {s.name!r} "
-                    "has no plain mandatory inner leaf to count "
-                    "iterations by (every mandatory leaf is a loop — "
-                    "untraced)"
+                    "needs an iteration-count gate (bounded repetitions "
+                    "or minimum >= 2) but has no plain mandatory inner "
+                    "leaf to count iterations by (every mandatory leaf "
+                    "is a loop — untraced)"
                 )
-            cnt_syms = (em, em + "__gq")
             # extra entry-wait computations for an optable head chain
             # (round 13): one 'fb' copy per chain state past the head —
             # they share the waiter's taken rows and survive its
@@ -2468,7 +2672,7 @@ class PatternStream:
                             f"gi{p}_{qi2}", st2.cond, st2.pandas_cond,
                             st2.iter_cond, "group inner stage", st2.name,
                         ),
-                        kls,
+                        kls + _leaf_until_kill(st2, f"oc{p}"),
                         bg,
                     ))
                 return out2
@@ -2517,15 +2721,30 @@ class PatternStream:
                 """The PROCEED-reachable copy targets past inner
                 position i — shared by optable waiting positions and
                 (round 13) branches parked INSIDE an unbounded inner
-                loop, whose minimum (<=1) is met by construction."""
+                loop, whose minimum (<=1) is met by construction. For
+                a GREEDY inner loop (round 14, late) the sink copy at
+                i+1 additionally dies on any loop-take-able gap event:
+                updateWithGreedyCondition ANDs NOT(take) onto every
+                transition of the PROCEED sink, ignore included."""
+                st0 = inner[i]
+                gk = gu
+                if st0.quant is not None and st0.quant[2] is True:
+                    gk = gu + (("gap", _need_kill(
+                        f"gg{p}_{i}", st0.cond, st0.pandas_cond,
+                        f"greedy take condition of group inner loop "
+                        f"{st0.name!r}",
+                    )),)
                 out, j, reach_end = [], i + 1, False
                 while True:
                     if j >= len(inner):
                         reach_end = True
                         break
                     st2 = inner[j]
+                    kls_j = (gk if j == i + 1 else gu) + _leaf_until_kill(
+                        st2, f"tf{p}"
+                    )
                     if st2.kind == "followed_by_any":
-                        out.append(("fba", None, gu, None))
+                        out.append(("fba", None, kls_j, None))
                     elif st2.kind != "next" and _has_cond(st2):
                         out.append((
                             "fb",
@@ -2534,7 +2753,7 @@ class PatternStream:
                                 st2.iter_cond, "group inner stage",
                                 st2.name,
                             ),
-                            gu, None,
+                            kls_j, None,
                         ))
                     if not _optable(st2):
                         break
@@ -2543,8 +2762,9 @@ class PatternStream:
                     return out
                 if (mx is None or mx >= 2) and iter_kind != "next":
                     bg = ("lt", mx) if mx is not None else None
+                    eu = gu + _leaf_until_kill(inner[0], f"te{p}")
                     if iter_kind == "followed_by_any":
-                        out.append(("fba", None, gu, bg))
+                        out.append(("fba", None, eu, bg))
                     else:
                         out.append((
                             "fb",
@@ -2552,16 +2772,18 @@ class PatternStream:
                                 f"ge{p}", ec, ep, ei,
                                 "entry condition of group", s.name,
                             ),
-                            gu, bg,
+                            eu, bg,
                         ))
                         out.extend(_ochain_copies(gu, bg))
                 out.extend(succ_copies)
                 return out
 
             def _g_gate(cps):
-                return (cnt_syms, None) if any(
-                    cg is not None for *_x, cg in cps
-                ) else None
+                if not any(cg is not None for *_x, cg in cps):
+                    return None
+                if cnt_syms is None:
+                    _need_cnt()
+                return (cnt_syms, None)
 
             def _g_gate_q(cps, st2):
                 """Plan gate for a branch parked INSIDE an inner loop
@@ -2578,6 +2800,8 @@ class PatternStream:
                 need1 = any(cg is not None for *_x, cg in cps)
                 if lo2 < 2:
                     return _g_gate(cps) if need1 else None
+                if cnt_syms is None:
+                    _need_cnt()
                 return (cnt_syms, None, (st2.name,), lo2)
 
             def _loop_mid(qi):
@@ -2598,17 +2822,18 @@ class PatternStream:
                 return ch
 
             def _loop_primary(st2, key):
+                iu = _leaf_until_kill(st2, f"lp{p}")
                 if st2.loop_mode == "strict":
                     return ("any", None, ())
                 if st2.loop_mode == "combinations":
-                    return ("persist", None, gu)
+                    return ("persist", None, gu + iu)
                 return (
                     "consume",
                     _need_scan_cond(
                         key, st2.cond, st2.pandas_cond, st2.iter_cond,
                         "group inner loop", st2.name,
                     ),
-                    gu,
+                    gu + iu,
                 )
 
             # (1a) first iteration in progress
@@ -2698,10 +2923,11 @@ class PatternStream:
             if (mx is None or mx >= 2) and (
                 tail.quant is None or tail_bounded
             ):
+                weu = gu + _leaf_until_kill(inner[0], f"we{p}")
                 if iter_kind == "next":
                     primary = ("any", None, ())
                 elif iter_kind == "followed_by_any":
-                    primary = ("persist", None, gu)
+                    primary = ("persist", None, weu)
                 else:
                     primary = (
                         "consume",
@@ -2709,7 +2935,7 @@ class PatternStream:
                             f"ge{p}", ec, ep, ei,
                             "entry condition of group", s.name,
                         ),
-                        gu,
+                        weu,
                     )
                 # optable head chain (round 13): the between-waiter
                 # survives head-consuming events through its copies at
@@ -2864,6 +3090,12 @@ class PatternStream:
                         pat=pat_s,
                         spans=spans_p,
                         fluid=fluid_p,
+                        # per-run sink-guard specs for greedy loops
+                        # inside the prefix's wrapped/renamed groups
+                        # (round 14, late) — candidate-level filter,
+                        # same contract as the batch route's
+                        # pre._greedy_spans threading
+                        greedy=list(pre._greedy_spans or []) or None,
                         define=_build_pandas_define(pre),
                         # iterative stage conditions of the prefix
                         # (round 13): threaded into the operator's
@@ -3507,12 +3739,45 @@ class PatternStream:
                         "#", F.lit(tag), F.col("match_id").cast("string")
                     ).alias("timeout_id"),
                     ts.alias("timeout_ts"),
+                    F.col("__to_rid").alias("__dd_rid"),
                 )
             )
         res = outs[0]
         for o in outs[1:]:
             res = res.unionByName(o)
-        return res
+        if overlap_dedup:
+            # set-level collapse across plans (see overlap_dedup above):
+            # one reported partial per (keys, event set) — the rid makes
+            # the signature tie-proof, stripped symbols ride along so
+            # distinct assignments over the same rows stay distinct only
+            # if they differ in labeling (they cannot: same conditions)
+            sigs = res.groupBy(*keys, "timeout_id").agg(
+                F.sha2(
+                    F.concat_ws(
+                        ",",
+                        F.sort_array(F.collect_list(F.concat_ws(
+                            ":",
+                            F.col("__dd_rid").cast("string"),
+                            F.col("matched_symbol"),
+                        ))),
+                    ),
+                    256,
+                ).alias("__dd_sig"),
+            )
+            win = (
+                sigs.withColumn(
+                    "__dd_rn",
+                    F.row_number().over(
+                        SW.partitionBy(*keys, "__dd_sig").orderBy(
+                            "timeout_id"
+                        )
+                    ),
+                )
+                .where(F.col("__dd_rn") == 1)
+                .select(*keys, "timeout_id")
+            )
+            res = res.join(win, [*keys, "timeout_id"], "left_semi")
+        return res.drop("__dd_rid")
 
     def select(self, **measures: Column) -> DataFrame:
         """ONE ROW PER MATCH: key columns + match_id + the given

@@ -763,35 +763,57 @@ def _greedy_ok(m, bools, sym_index, specs, filler_idx) -> bool:
     - a candidate ENDING at the loop (all-optional tail) is kept — a
       permissive reading of the unpinned corner (no GreedyITCase
       fixture ends a guarded greedy before an absent optional tail).
+    - a greedy loop INSIDE a quantified group repeats once per
+      iteration (round 14): ``convertPattern`` re-applies
+      ``updateWithGreedyCondition`` inside EVERY iteration copy, so the
+      rule runs per maximal RUN of the loop symbol — each run's sink
+      jump is guarded independently. Spec names may carry the
+      ``__gq`` completed-iterations rename; runs unify on the stripped
+      name (the rename preserves the take condition).
     """
     idx_of, strip = sym_index
     user = [(p, strip[si]) for p, si in m if si not in filler_idx]
     for loop_name, prev_name, sink_name, mode in specs:
-        li = idx_of.get(loop_name)
+        loop = loop_name[:-4] if loop_name.endswith("__gq") else loop_name
+        sink = (
+            sink_name[:-4]
+            if sink_name is not None and sink_name.endswith("__gq")
+            else sink_name
+        )
+        prev = (
+            prev_name[:-4]
+            if prev_name is not None and prev_name.endswith("__gq")
+            else prev_name
+        )
+        li = idx_of.get(loop)
         if li is None:
             continue
         g = bools[li]
-        lp = [p for p, nm in user if nm == loop_name]
-        if lp:
-            a = lp[-1]
-        elif mode == "exempt0":
-            continue
-        else:
-            if prev_name is None:
+        anchors = [
+            p
+            for j, (p, nm) in enumerate(user)
+            if nm == loop
+            and (j + 1 >= len(user) or user[j + 1][1] != loop)
+        ]
+        if not anchors:
+            if mode == "exempt0":
                 continue
-            pp = [p for p, nm in user if nm == prev_name]
+            if prev is None:
+                continue
+            pp = [p for p, nm in user if nm == prev]
             if not pp:
                 continue
-            a = pp[-1]
-        nxt = next(((p, nm) for p, nm in user if p > a), None)
-        if nxt is None:
-            continue
-        np_, nm_ = nxt
-        if nm_ == sink_name:
-            if np.asarray(g[a + 1 : np_ + 1], dtype=bool).any():
+            anchors = [pp[-1]]
+        for a in anchors:
+            nxt = next(((p, nm) for p, nm in user if p > a), None)
+            if nxt is None:
+                continue
+            np_, nm_ = nxt
+            if nm_ == sink:
+                if np.asarray(g[a + 1 : np_ + 1], dtype=bool).any():
+                    return False
+            elif a + 1 < len(g) and g[a + 1]:
                 return False
-        elif a + 1 < len(g) and g[a + 1]:
-            return False
     return True
 
 
@@ -2608,7 +2630,17 @@ def streaming_timed_out_partials(
 
             prim_kills = _karr(prim[2]) if len(prim) > 2 else []
             pl_fluid = pl.get("fluid")
-            pl_flidx = _fluid_index(symbols) if pl_fluid else None
+            pl_greedy = pl.get("greedy")
+            pl_flidx = (
+                _fluid_index(symbols) if (pl_fluid or pl_greedy) else None
+            )
+            pl_fillers = (
+                frozenset(
+                    i2 for i2, s2 in enumerate(symbols) if s2 not in user
+                )
+                if pl_greedy
+                else frozenset()
+            )
             sp_arrs = [
                 (mode, gname, post,
                  np.asarray(f(pdf).to_numpy(), dtype=bool))
@@ -2638,6 +2670,13 @@ def streaming_timed_out_partials(
                 for match in enum_at(bools, int(i), lim, pl_ic):
                     if pl_fluid and not _fluid_ok(
                         match, bools, pl_flidx, pl_fluid
+                    ):
+                        continue
+                    # greedy inner-loop sink guard (round 14, late):
+                    # per-run span filter, same rule as the batch
+                    # prefix enumerations
+                    if pl_greedy and not _greedy_ok(
+                        match, bools, pl_flidx, pl_greedy, pl_fillers
                     ):
                         continue
                     rows = sorted(
@@ -2895,11 +2934,25 @@ def streaming_timed_out_partials(
 
         # phase 3: emit the unpruned partials, serials in plan-major
         # order (identical numbering to the pre-skip operator when
-        # nothing is pruned)
+        # nothing is pruned). Computations sharing an event set
+        # collapse to ONE reported partial (NFAITCase compares sets) —
+        # plan shapes are disjoint by construction except for group
+        # loops whose iteration can both continue and complete on the
+        # same loop take (loop leaf with optable-only surroundings,
+        # round 14 late): there a k-take run and its split across two
+        # iterations are distinct live computations over identical rows.
+        seen_sets: set = set()
         pieces = []
         for tag, ii, h, rows in cands:
             if ii in pruned_starts:
                 continue
+            sig = frozenset(
+                (p, s2[:-4] if s2.endswith("__gq") else s2)
+                for p, s2 in rows
+            )
+            if sig in seen_sets:
+                continue
+            seen_sets.add(sig)
             out = pdf.iloc[[p for p, _s in rows]].copy()
             out["matched_symbol"] = [s2 for _p, s2 in rows]
             out["timeout_id"] = f"{tag}#{serial}"

@@ -2231,6 +2231,169 @@ def q_cep_timeout_group_times(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CEP timed-out partials of a GREEDY inner loop inside a group loop
+# (round 14, late) — signup fb (error+ GREEDY fb purchase).times(2) fb
+# click within 2 days, no_skip. NFACompiler re-applies
+# updateWithGreedyCondition inside every iteration copy, so the loop's
+# PROCEED sink (the iteration's purchase take, and the copy waiting at
+# it) dies on any error in its span. Closed form per start a
+# (horizon h = a + delta; E(x,y) = errors strictly between):
+#   T0 {a}                       iff E(a,h) = 0            (head park)
+#   T1 {a, E(a,h)}               iff E(a,h) >= 1 (maximal in-loop run;
+#       shorter runs are consumed by the next error, and their sink
+#       copies die on it — the greedy 'gap' kill)
+#   T2 {a, E(a,p), p}  per purchase p in (a,h) with E(a,p) >= 1 and
+#       E(p,h) = 0                            (between-iterations wait)
+#   T3 {a, E(a,p), p, E(p,h)}    iff E(a,p) >= 1 and E(p,h) >= 1
+#                                        (iteration-2 maximal in-loop)
+#   T4 {a, E(a,p), p, E(p,p2), p2} per purchase pair p < p2 with
+#       E(a,p) >= 1, E(p,p2) >= 1 and no click in (p2,h)  (maxed-group
+#       D-wait, past the guarded sink — unguarded)
+# Greedy is what makes each iteration's error set FORCED (all errors
+# in the interval): a sub-run's purchase take has a later error in its
+# span and is killed — the non-greedy oracle would also count every
+# error-prefix subset. Pinned by the test_timeout_group_greedy_loop_*
+# matrices and the group_greedy_loop property-grid cells.
+# Scale: the T4 purchase-pair join is per-user and horizon-bounded —
+# the same one-keyed-shuffle shape as the other timeout gates.
+# ---------------------------------------------------------------------------
+@query(
+    "q_cep_timeout_group_greedy",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000
+               + ROW_NUMBER() OVER w0 AS ord
+      FROM events
+      WINDOW w0 AS (PARTITION BY user_id
+                    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+    ),
+    pm AS (SELECT user_id, MAX(ord) AS pmax FROM seq GROUP BY user_id),
+    lk2 AS (
+      SELECT user_id, ord, event_type,
+             MAX(CASE WHEN event_type = 'error' THEN ord END)
+               OVER wp AS prev_er,
+             MAX(CASE WHEN event_type = 'purchase' THEN ord END)
+               OVER wp AS prev_pu
+      FROM seq
+      WINDOW wp AS (PARTITION BY user_id ORDER BY ord
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    er AS (SELECT user_id, ord FROM seq WHERE event_type = 'error'),
+    -- a purchase can close an iteration only as the FIRST purchase
+    -- after the run's last error (the C-waiter's relaxed ignore is
+    -- NOT(purchase) — it cannot skip a C-able event): last purchase
+    -- before p must precede last error before p
+    pu AS (SELECT user_id, ord, prev_er, prev_pu FROM lk2
+           WHERE event_type = 'purchase'
+             AND prev_er IS NOT NULL
+             AND COALESCE(prev_pu, 0) < prev_er),
+    ck AS (SELECT user_id, ord FROM seq WHERE event_type = 'click'),
+    starts AS (
+      SELECT s.user_id, s.event_id AS a_id, s.ord AS a_ord,
+             s.ord + {_CEP_SKIP_DELTA} AS h
+      FROM seq s JOIN pm USING (user_id)
+      WHERE s.event_type = 'signup' AND pm.pmax >= s.ord + {_CEP_SKIP_DELTA}
+    ),
+    t0 AS (
+      SELECT user_id, a_id, CAST(1 AS BIGINT) AS n_rows,
+             a_ord AS last_ord, h
+      FROM starts s
+      WHERE NOT EXISTS (SELECT 1 FROM er e WHERE e.user_id = s.user_id
+                          AND e.ord > s.a_ord AND e.ord < s.h)
+    ),
+    t1 AS (
+      SELECT s.user_id, s.a_id, CAST(1 + COUNT(*) AS BIGINT) AS n_rows,
+             MAX(e.ord) AS last_ord, s.h
+      FROM starts s JOIN er e ON e.user_id = s.user_id
+            AND e.ord > s.a_ord AND e.ord < s.h
+      GROUP BY s.user_id, s.a_id, s.h
+    ),
+    it1 AS (
+      SELECT s.user_id, s.a_id, s.a_ord, s.h, p.ord AS p_ord,
+             (SELECT COUNT(*) FROM er e WHERE e.user_id = s.user_id
+                AND e.ord > s.a_ord AND e.ord < p.ord) AS ne1
+      FROM starts s JOIN pu p ON p.user_id = s.user_id
+            AND p.ord > s.a_ord AND p.ord < s.h
+    ),
+    t2 AS (
+      SELECT user_id, a_id, CAST(2 + ne1 AS BIGINT) AS n_rows,
+             p_ord AS last_ord, h
+      FROM it1 i
+      WHERE ne1 >= 1 AND NOT EXISTS (
+        SELECT 1 FROM er e WHERE e.user_id = i.user_id
+          AND e.ord > i.p_ord AND e.ord < i.h)
+    ),
+    t3 AS (
+      SELECT i.user_id, i.a_id,
+             CAST(2 + i.ne1 + COUNT(*) AS BIGINT) AS n_rows,
+             MAX(e.ord) AS last_ord, i.h
+      FROM it1 i JOIN er e ON e.user_id = i.user_id
+            AND e.ord > i.p_ord AND e.ord < i.h
+      WHERE i.ne1 >= 1
+      GROUP BY i.user_id, i.a_id, i.p_ord, i.ne1, i.h
+    ),
+    t4 AS (
+      SELECT i.user_id, i.a_id,
+             CAST(3 + i.ne1 + (SELECT COUNT(*) FROM er e
+                WHERE e.user_id = i.user_id AND e.ord > i.p_ord
+                  AND e.ord < p2.ord) AS BIGINT) AS n_rows,
+             p2.ord AS last_ord, i.h
+      FROM it1 i JOIN pu p2 ON p2.user_id = i.user_id
+            AND p2.ord > i.p_ord AND p2.ord < i.h
+      WHERE i.ne1 >= 1
+        AND (SELECT COUNT(*) FROM er e WHERE e.user_id = i.user_id
+               AND e.ord > i.p_ord AND e.ord < p2.ord) >= 1
+        AND NOT EXISTS (SELECT 1 FROM ck c WHERE c.user_id = i.user_id
+                          AND c.ord > p2.ord AND c.ord < i.h)
+    )
+    SELECT user_id, a_id, n_rows, CAST(last_ord AS BIGINT) AS last_ord,
+           CAST(h AS BIGINT) AS timeout_ord
+    FROM (SELECT * FROM t0 UNION ALL SELECT * FROM t1
+          UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+          UNION ALL SELECT * FROM t4)
+    ORDER BY user_id, a_id, n_rows, last_ord
+    """,
+)
+def q_cep_timeout_group_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w0 = W.partitionBy("user_id").orderBy("sec", "event_id")
+    src = ev.select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("long").alias("sec")
+    ).withColumn(
+        "ord", F.col("sec") * 100000 + F.row_number().over(w0)
+    )
+    grp = (
+        Pattern.begin("B").where(F.col("event_type") == "error")
+        .one_or_more().greedy()
+        .followed_by("C").where(F.col("event_type") == "purchase")
+    )
+    pat = (
+        Pattern.begin("A").where(F.col("event_type") == "signup")
+        .followed_by(grp).times(2)
+        .followed_by("D").where(F.col("event_type") == "click")
+        .within(_CEP_SKIP_DELTA)
+    )
+    ps = CEP.pattern(src, pat, "user_id", "ord", after_match="no_skip")
+    t = ps.timed_out_partial_matches()
+    return (
+        t.groupBy("user_id", "timeout_id")
+        .agg(
+            F.min(F.when(F.col("matched_symbol") == "A", F.col("event_id"))).alias("a_id"),
+            F.count("*").alias("n_rows"),
+            F.max("ord").alias("last_ord"),
+            F.min("timeout_ts").cast("bigint").alias("timeout_ord"),
+        )
+        .select("user_id", "a_id", "n_rows", "last_ord", "timeout_ord")
+        .orderBy("user_id", "a_id", "n_rows", "last_ord")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Changelog-consuming JOIN (round 10) — StreamingJoinOperator.java:123-198
 # under the hash gate. The LEFT input is the per-user retract-agg
 # HISTORY (closed-form: the q_retract_transitions recipe — +I then

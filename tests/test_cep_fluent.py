@@ -1703,3 +1703,184 @@ def test_group_optable_head_later_starts(spark):
     assert match_sets(abcxcd, loop) == [
         [1, 2, 3, 5, 6], [1, 2, 3, 6], [1, 3, 5, 6], [1, 3, 6],
     ]
+
+
+# -------------------------------------- greedy loops inside group loops
+
+
+def test_greedy_inner_loop_in_quantified_group(spark):
+    """Round-14 bug class: a greedy inner loop inside a times(>=2)
+    group used to keep the possessive compile, whose iteration-1 commit
+    swallowed the next iteration's entry rows -> ZERO matches on
+    trivially-matching fixtures. NFA ground truth (NFACompiler
+    convertPattern re-applies updateWithGreedyCondition inside every
+    iteration copy): the guard is per-iteration — a candidate dies iff
+    a B-take-able event lies in (that iteration's last B take, its C
+    take]. Hand-traced over b b c b c d:
+
+    - {b0 b1 c2 | b3 c4 | d5}: both spans clean -> MATCH
+    - {b1 c2 | b3 c4 | d5} (start b1): spans clean -> MATCH
+    - {b0 c2 | ...}: b1 is B-able in (b0, c2] — the branch waited at
+      the guarded C state through b1 -> KILLED (the non-greedy control
+      keeps it: the C state's relaxed ignore skips b1)
+    """
+    b, c, d = 1, 2, 3
+
+    def pat():
+        g = (
+            Pattern.begin("B").where(F.col("v") == b).one_or_more().greedy()
+            .followed_by("C").where(F.col("v") == c)
+        )
+        return Pattern.begin(g).times(2).followed_by("D").where(F.col("v") == d)
+
+    def pat_plain():
+        g = (
+            Pattern.begin("B").where(F.col("v") == b).one_or_more()
+            .followed_by("C").where(F.col("v") == c)
+        )
+        return Pattern.begin(g).times(2).followed_by("D").where(F.col("v") == d)
+
+    df = _df(spark, [b, b, c, b, c, d])
+    got = _matches(CEP.pattern(df, pat(), "k", "pos", after_match="no_skip"))
+    assert sorted(got) == [
+        [(0, "B"), (1, "B"), (2, "C"), (3, "B"), (4, "C"), (5, "D")],
+        [(1, "B"), (2, "C"), (3, "B"), (4, "C"), (5, "D")],
+    ]
+    # the discriminating control: non-greedy keeps the {b0 c2 ...} branch
+    got_plain = _matches(CEP.pattern(df, pat_plain(), "k", "pos", after_match="no_skip"))
+    assert len(got_plain) == 3
+    assert [(0, "B"), (2, "C"), (3, "B"), (4, "C"), (5, "D")] in got_plain
+
+    # single-b iterations: exactly one match (was zero pre-fix)
+    df2 = _df(spark, [b, c, b, c, d])
+    got2 = _matches(CEP.pattern(df2, pat(), "k", "pos", after_match="no_skip"))
+    assert got2 == [[(0, "B"), (1, "C"), (2, "B"), (3, "C"), (4, "D")]]
+
+
+def test_greedy_inner_loop_in_one_or_more_group(spark):
+    """Same guard under an UNBOUNDED group loop. Hand-traced over
+    b b c b c d: iterations may stop after one (the PROCEED copy past
+    the loop waits at D with a relaxed NOT(d) ignore, so b3 c4 are
+    skippable on the 1-iteration branches), and the inner B-loop's own
+    relaxed ignore may skip c2 to span {b0 b1 b3} in ONE iteration.
+    Greedy kills exactly {b0 c2 ...} (b1 B-able in the sink span) and
+    {b0 b1 c4} is structurally absent (the C waiter cannot ignore the
+    C-able c2)."""
+    b, c, d = 1, 2, 3
+    g = (
+        Pattern.begin("B").where(F.col("v") == b).one_or_more().greedy()
+        .followed_by("C").where(F.col("v") == c)
+    )
+    p = Pattern.begin(g).one_or_more().followed_by("D").where(F.col("v") == d)
+    df = _df(spark, [b, b, c, b, c, d])
+    got = _matches(CEP.pattern(df, p, "k", "pos", after_match="no_skip"))
+    assert sorted(got) == [
+        [(0, "B"), (1, "B"), (2, "C"), (3, "B"), (4, "C"), (5, "D")],
+        [(0, "B"), (1, "B"), (2, "C"), (5, "D")],
+        [(0, "B"), (1, "B"), (3, "B"), (4, "C"), (5, "D")],
+        [(1, "B"), (2, "C"), (3, "B"), (4, "C"), (5, "D")],
+        [(1, "B"), (2, "C"), (5, "D")],
+        [(1, "B"), (3, "B"), (4, "C"), (5, "D")],
+        [(3, "B"), (4, "C"), (5, "D")],
+    ]
+
+
+def test_greedy_inner_loop_untraced_shapes_raise(spark):
+    """Iteration-tail greedy (the sink is the iteration-boundary state)
+    and zero-able greedy inner loops raise loudly instead of the
+    silently-wrong possessive compile they previously fell into."""
+    b, c, d = 1, 2, 3
+    df = _df(spark, [c, b, c, b, d])
+    tail = (
+        Pattern.begin("C").where(F.col("v") == c)
+        .followed_by("B").where(F.col("v") == b).one_or_more().greedy()
+    )
+    p_tail = Pattern.begin(tail).times(2).followed_by("D").where(F.col("v") == d)
+    with pytest.raises(NotImplementedError, match="iteration tail"):
+        CEP.pattern(df, p_tail, "k", "pos", after_match="no_skip").flat_select()
+
+    zero = (
+        Pattern.begin("B").where(F.col("v") == b)
+        .one_or_more().optional().greedy()
+        .followed_by("C").where(F.col("v") == c)
+    )
+    p_zero = Pattern.begin(zero).times(2).followed_by("D").where(F.col("v") == d)
+    with pytest.raises(NotImplementedError, match="zero-able greedy"):
+        CEP.pattern(df, p_zero, "k", "pos", after_match="no_skip").flat_select()
+
+
+def test_terminal_greedy_inside_trailing_unquantified_group(spark):
+    """A pattern-terminal greedy loop reached through a trailing
+    UNQUANTIFIED group is a no-op (the final state has no transitions
+    to guard — GreedyITCase testEndWithZeroOrMoreGreedy), identical to
+    the flat terminal-greedy compile."""
+    a, b, c = 4, 1, 2
+    df = _df(spark, [a, c, b, b])
+    g = (
+        Pattern.begin("C").where(F.col("v") == c)
+        .followed_by("B").where(F.col("v") == b).one_or_more().greedy()
+    )
+    p_group = Pattern.begin("A").where(F.col("v") == a).followed_by(g)
+    p_flat = (
+        Pattern.begin("A").where(F.col("v") == a)
+        .followed_by("C").where(F.col("v") == c)
+        .followed_by("B").where(F.col("v") == b).one_or_more().greedy()
+    )
+    got_g = sorted(_matches(CEP.pattern(df, p_group, "k", "pos", after_match="no_skip")))
+    got_f = sorted(_matches(CEP.pattern(df, p_flat, "k", "pos", after_match="no_skip")))
+    assert got_g == got_f
+    # {a c b2}, {a c b2 b3} — NOT {a c b3}: the mid-pattern B+ waiter
+    # cannot ignore the B-able b2 (relaxed ignore is NOT(take))
+    assert len(got_g) == 2
+
+
+def test_greedy_inner_group_loop_streaming_equals_batch(spark, tmp_dir):
+    """The per-run sink guard runs on the streaming route too (shared
+    _greedy_ok over the enumerated candidates). The pattern carries a
+    within() bound: the enumerable greedy loop probes past the last
+    buffered row, so without a horizon the start would stay PENDING by
+    the streaming emission rule (a match is emitted once a later row
+    proves its window closed) — the far-future sentinel row closes
+    every real start's horizon."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    b, c, d = 1, 2, 3
+    values = [b, b, c, b, c, d, b, c, b, b, c, d]
+    rows = [(1, i, v) for i, v in enumerate(values)] + [(1, 1000, 9)]
+    df = spark.createDataFrame(rows, "k int, pos int, v int")
+    g_b = (
+        Pattern.begin("B").where(F.col("v") == b).one_or_more().greedy()
+        .followed_by("C").where(F.col("v") == c)
+    )
+    p_b = (
+        Pattern.begin(g_b).times(2)
+        .followed_by("D").where(F.col("v") == d).within(50)
+    )
+    expected = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in CEP.pattern(df, p_b, "k", "pos", after_match="no_skip").flat_select().collect()
+    )
+    assert len(expected) >= 10  # non-degenerate
+
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "cep_ggrp"), n_chunks=4, order_col="pos"
+    )
+    g_s = (
+        Pattern.begin("B").where(lambda pdf: pdf["v"] == b).one_or_more().greedy()
+        .followed_by("C").where(lambda pdf: pdf["v"] == c)
+    )
+    p_s = (
+        Pattern.begin(g_s).times(2)
+        .followed_by("D").where(lambda pdf: pdf["v"] == d).within(50)
+    )
+    sdf = CEP.pattern(stream, p_s, "k", "pos", after_match="no_skip").flat_select()
+    got = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in run_to_memory(
+            spark, sdf, "cep_ggrp_out", tmp_dir, mode="append"
+        ).collect()
+    )
+    assert got == expected

@@ -3523,3 +3523,367 @@ def test_timeout_group_bounded_loop_streaming_equals_batch(spark, tmp_dir):
     got_b = _skip_touts(spark, rows, pat(_n), "no_skip")
     got_s = _stream_timeouts(spark, tmp_dir, df, pat(_pd_n), "gqb")
     assert got_s == got_b
+
+
+# ------------------------------------ greedy inner loops in group loops
+
+
+def _ggl_pat(times=None):
+    grp = (
+        Pattern.begin("B").where(_n("b")).one_or_more().greedy()
+        .followed_by("C").where(_n("c"))
+    )
+    p = Pattern.begin("A").where(_n("a")).followed_by(grp)
+    p = p.times(times) if times else p.one_or_more()
+    return p.followed_by("D").where(_n("d")).within(10)
+
+
+def test_timeout_group_greedy_loop_times2(spark):
+    """A fb (B+greedy C).times(2) fb D within 10 over a b b c b w
+    (round 14, late). updateWithGreedyCondition ANDs NOT(b) onto every
+    transition of the loop's PROCEED sink inside each iteration copy:
+
+    - inside-loop branches are unchanged ({a,b2,b3,b5} parks; shorter
+      runs are consumed by the next forced b);
+    - iteration 1 = {b2,c4} is span-KILLED in the prefix (b3 is
+      B-able in (b2, c4] — the branch waited at the guarded C state
+      through b3), so the non-greedy timeout {1,2,4,5} disappears;
+    - iteration 1 = {b2,b3,c4} is span-clean, its iteration-2 mid-B
+      branch {a,b2,b3,c4,b5} parks."""
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "c"),
+            (1, 5, "b"), (1, 30, "w")]
+    assert _skip_touts(spark, rows, _ggl_pat(times=2), "no_skip") == {
+        (frozenset({1, 2, 3, 5}), 11.0),
+        (frozenset({1, 2, 3, 4, 5}), 11.0),
+    }
+    # the non-greedy control keeps the {b2,c4}-iteration branch
+    assert _skip_touts(spark, rows, _gql_pat(times=2), "no_skip") == {
+        (frozenset({1, 2, 3, 5}), 11.0),
+        (frozenset({1, 2, 4, 5}), 11.0),
+        (frozenset({1, 2, 3, 4, 5}), 11.0),
+    }
+
+
+def test_timeout_group_greedy_loop_sink_copy_dies(spark):
+    """The migrated sink copy's greedy kill (the new 'gap' kill on the
+    loop's own take condition): over a b b w the {a,b2} C-copy has NO
+    c in its gap — without the kill it would survive to the horizon
+    and wrongly emit {1,2}; the NFA copy died at b@3 (every sink
+    transition carries NOT(b)). The non-greedy control DOES emit it
+    (a legitimate relaxed C-waiter ignoring b@3)."""
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 30, "w")]
+    assert _skip_touts(spark, rows, _ggl_pat(times=2), "no_skip") == {
+        (frozenset({1, 2, 3}), 11.0),
+    }
+    assert _skip_touts(spark, rows, _gql_pat(times=2), "no_skip") == {
+        (frozenset({1, 2}), 11.0),
+        (frozenset({1, 2, 3}), 11.0),
+    }
+
+
+def test_timeout_group_greedy_loop_one_or_more(spark):
+    """(B+greedy C)+ fb D over a b c b w: the 1-iteration
+    between-waiter {a,b2,c3} is consumed by b@4 as a waiter but its
+    D-copy survives (minimum met); the iteration-2 mid-B branch
+    {a,b2,c3,b4} and the c-skipping single-iteration run {a,b2,b4}
+    park with clean gaps. The {a,b2} C-copy is consumed by c@3 before
+    its greedy kill at b@4 (completion, not death)."""
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"),
+            (1, 30, "w")]
+    assert _skip_touts(spark, rows, _ggl_pat(), "no_skip") == {
+        (frozenset({1, 2, 4}), 11.0),
+        (frozenset({1, 2, 3}), 11.0),
+        (frozenset({1, 2, 3, 4}), 11.0),
+    }
+
+
+def test_timeout_group_greedy_loop_streaming_equals_batch(spark, tmp_dir):
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "b"), (1, 4, "c"),
+            (1, 5, "b"), (1, 30, "w"),
+            (2, 11, "a"), (2, 12, "b"), (2, 13, "b"), (2, 40, "w")]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+
+    def pat(cols):
+        grp = (
+            Pattern.begin("B").where(cols("b")).one_or_more().greedy()
+            .followed_by("C").where(cols("c"))
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).times(2)
+            .followed_by("D").where(cols("d")).within(10)
+        )
+
+    got_b = _skip_touts(spark, rows, pat(_n), "no_skip")
+    got_s = _stream_timeouts(spark, tmp_dir, df, pat(_pd_n), "ggl")
+    assert got_s == got_b
+    # key 2's sink copy dies at b@13 on both routes (the greedy kill)
+    assert (frozenset({11, 12}), 21.0) not in got_s
+
+
+def test_timeout_group_greedy_loop_full_completion_parks_at_d(spark):
+    """Maxed times(2) group with a full 2-iteration completion over
+    a b c b c x w: the D-waiter {a,b2,c3,b4,c5} parks (past the
+    guarded sink — unguarded, x is neutral); iteration 1 = {b2,b4,c5}
+    (the loop's relaxed ignore skips c@3) leaves the span-clean
+    between-waiter {1,2,4,5}; the inside-loop max run {1,2,4} and the
+    iteration-2 mid-B branch {1,2,3,4} park as before."""
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"),
+            (1, 5, "c"), (1, 6, "x"), (1, 30, "w")]
+    assert _skip_touts(spark, rows, _ggl_pat(times=2), "no_skip") == {
+        (frozenset({1, 2, 4}), 11.0),
+        (frozenset({1, 2, 3, 4}), 11.0),
+        (frozenset({1, 2, 4, 5}), 11.0),
+        (frozenset({1, 2, 3, 4, 5}), 11.0),
+    }
+
+
+# ------------- group loops with no plain mandatory inner leaf (round 14)
+
+
+def test_timeout_group_all_loop_mandatory_optional_entry(spark):
+    """A fb (C? B+)+ fb D within 10 over a c b x w: no plain mandatory
+    inner leaf exists (the only mandatory leaf is the B loop), but a
+    one_or_more group materializes NO iteration-count gate (boundary
+    copies gate on bounded mx only, successor copies on lo >= 2) — the
+    round-14 relaxation admits the shape. {a,c2,b3} parks inside the
+    loop; {a,b3} parks too (C absent: the optable-head machinery's
+    'fb' B-chain copy ignores the non-B c2 and takes b3); {a} and
+    {a,c2} are consumed by b3."""
+    grp = (
+        Pattern.begin("C").where(_n("c")).optional()
+        .followed_by("B").where(_n("b")).one_or_more()
+    )
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp).one_or_more()
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    rows = [(1, 1, "a"), (1, 2, "c"), (1, 3, "b"), (1, 4, "x"),
+            (1, 30, "w")]
+    assert _skip_touts(spark, rows, pat, "no_skip") == {
+        (frozenset({1, 2, 3}), 11.0),
+        (frozenset({1, 3}), 11.0),
+    }
+
+
+def test_timeout_group_all_loop_mandatory_optional_tail(spark):
+    """A fb (B+ C?)+ fb D within 10 over a b c b w — the shape where a
+    k-take run and its split across two iterations are DISTINCT live
+    computations over identical rows (the iteration both continues and
+    completes on each loop take): the reference reports ONE partial
+    per event set, pinned here via the set-level dedup pass.
+    {a,b2} completes iteration 1 (C absent) and its D-copy survives;
+    {a,b2,c3} completes via c and its D-copy survives; {a,b2,c3,b4}
+    parks inside iteration 2; {a,b2,b4} is BOTH the single-iteration
+    2-take run and the {b2}|{b4} split — one timeout."""
+    grp = (
+        Pattern.begin("B").where(_n("b")).one_or_more()
+        .followed_by("C").where(_n("c")).optional()
+    )
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp).one_or_more()
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"),
+            (1, 30, "w")]
+    assert _skip_touts(spark, rows, pat, "no_skip") == {
+        (frozenset({1, 2}), 11.0),
+        (frozenset({1, 2, 3}), 11.0),
+        (frozenset({1, 2, 3, 4}), 11.0),
+        (frozenset({1, 2, 4}), 11.0),
+    }
+
+
+def test_timeout_group_pure_loop(spark):
+    """A fb (B+)+ fb D within 10 over a b x b w: the doubly-looping
+    degenerate — {a,b2}'s D-copy survives (iteration complete, min
+    met); {a,b2,b4} collapses the single-run and split-iteration
+    computations; {a,b4} is unconstructible (A's waiter cannot skip
+    the B-able b2)."""
+    grp = Pattern.begin("B").where(_n("b")).one_or_more()
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp).one_or_more()
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "x"), (1, 4, "b"),
+            (1, 30, "w")]
+    assert _skip_touts(spark, rows, pat, "no_skip") == {
+        (frozenset({1, 2}), 11.0),
+        (frozenset({1, 2, 4}), 11.0),
+    }
+
+
+def test_timeout_group_all_loop_mandatory_gate_needed_raises(spark):
+    """times(2) (bounded mx) on an all-loop-mandatory group needs the
+    iteration-count gate and still raises loudly."""
+    grp = Pattern.begin("B").where(_n("b")).one_or_more()
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp).times(2)
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 30, "w")]
+    with pytest.raises(NotImplementedError, match="iteration-count gate"):
+        _skip_touts(spark, rows, pat, "no_skip")
+
+
+def test_timeout_group_all_loop_mandatory_streaming_equals_batch(
+    spark, tmp_dir
+):
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"),
+            (1, 30, "w"),
+            (2, 11, "a"), (2, 12, "c"), (2, 13, "b"), (2, 18, "x"),
+            (2, 40, "w")]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+
+    def pat(cols):
+        grp = (
+            Pattern.begin("B").where(cols("b")).one_or_more()
+            .followed_by("C").where(cols("c")).optional()
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).one_or_more()
+            .followed_by("D").where(cols("d")).within(10)
+        )
+
+    got_b = _skip_touts(spark, rows, pat(_n), "no_skip")
+    got_s = _stream_timeouts(spark, tmp_dir, df, pat(_pd_n), "allloop")
+    assert got_s == got_b
+    # the set-level collapse holds on both routes: {1,2,4} exactly once
+    assert (frozenset({1, 2, 4}), 11.0) in got_s
+
+
+# ----------------- until() on inner loops inside group loops (round 14)
+
+
+def _giu_pat(times=2):
+    grp = (
+        Pattern.begin("B").where(_n("b")).one_or_more().until(_n("u"))
+        .followed_by("C").where(_n("c"))
+    )
+    return (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp).times(times)
+        .followed_by("D").where(_n("d")).within(10)
+    )
+
+
+def test_timeout_group_inner_until_kills_loop_waits(spark):
+    """A fb (B+ until(u) C).times(2) fb D within 10. NFACompiler
+    attaches the until stop edges to the inner loop's own states
+    (addStopStateToLooping + the init state, r8 dual dialect); the
+    sink C state is NOT guarded — a C-copy crosses the stop event
+    (UntilConditionITCase's completion-survives rule).
+
+    a b u c w: the inside-loop park {a,b2} dies at u@3 while its
+    C-copy is CONSUMED by c@4 (completion) — so the iteration-1
+    completion's between-waiter {a,b2,c4} is the only timeout. The
+    no-until control keeps {a,b2} alive to the horizon."""
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "u"), (1, 4, "c"),
+            (1, 30, "w")]
+    assert _skip_touts(spark, rows, _giu_pat(), "no_skip") == {
+        (frozenset({1, 2, 4}), 11.0),
+    }
+    assert _skip_touts(spark, rows, _gql_pat(times=2), "no_skip") == {
+        (frozenset({1, 2}), 11.0),
+        (frozenset({1, 2, 4}), 11.0),
+    }
+
+
+def test_timeout_group_inner_until_kills_between_and_head_waits(spark):
+    """The between-iterations waiter and the group-head waiter park at
+    the next iteration's loop-INIT state — until-guarded (the r8 dual
+    dialect). a b c u w: the iteration-1 between-waiter {a,b2,c3} dies
+    at u@4 (and the inside park is consumed by c@3's sibling copy then
+    killed) -> NO timeouts. a u w: the head waiter {a} dies at u@2;
+    the neutral control a x w keeps it."""
+    assert _skip_touts(
+        spark,
+        [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "u"), (1, 30, "w")],
+        _giu_pat(), "no_skip",
+    ) == set()
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "u"), (1, 30, "w")],
+        _giu_pat(), "no_skip",
+    ) == set()
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "x"), (1, 30, "w")],
+        _giu_pat(), "no_skip",
+    ) == {(frozenset({1}), 11.0)}
+
+
+def test_timeout_group_inner_until_copies_cross_the_stop(spark):
+    """a b c b u b c w: iteration-2's inside park {a,b2,c3,b4} dies at
+    u@5, but BOTH until-crossing C-copy completions survive to their
+    own waits — iter1={b2,b4,c7} (the copy skips c3's sibling... the
+    run {b2,b4} skipped c3 via the inner ignore, its C-copy crossed
+    u@5 and ignored the B-able b6) leaves the between-waiter
+    {1,2,4,7}; iter1={b2,c3} + iter2={b4,c7} leaves the maxed D-wait
+    {1,2,3,4,7}. The inside park {a,b2} is consumed by b4."""
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "b"),
+            (1, 5, "u"), (1, 6, "b"), (1, 7, "c"), (1, 30, "w")]
+    assert _skip_touts(spark, rows, _giu_pat(), "no_skip") == {
+        (frozenset({1, 2, 3, 4, 7}), 11.0),
+        (frozenset({1, 2, 4, 7}), 11.0),
+    }
+
+
+def test_timeout_group_inner_until_park_not_masked(spark):
+    """a b w (no u, no c): the inside park survives — the until kill
+    fires only on actual stop events."""
+    assert _skip_touts(
+        spark, [(1, 1, "a"), (1, 2, "b"), (1, 30, "w")],
+        _giu_pat(), "no_skip",
+    ) == {(frozenset({1, 2}), 11.0)}
+
+
+def test_timeout_group_inner_until_streaming_equals_batch(spark, tmp_dir):
+    rows = [(1, 1, "a"), (1, 2, "b"), (1, 3, "u"), (1, 4, "c"),
+            (1, 30, "w"),
+            (2, 11, "a"), (2, 12, "b"), (2, 13, "c"), (2, 14, "u"),
+            (2, 40, "w"),
+            (3, 21, "a"), (3, 22, "b"), (3, 30, "x"), (3, 50, "w")]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+
+    def pat(cols):
+        grp = (
+            Pattern.begin("B").where(cols("b")).one_or_more()
+            .until(cols("u"))
+            .followed_by("C").where(cols("c"))
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).times(2)
+            .followed_by("D").where(cols("d")).within(10)
+        )
+
+    got_b = _skip_touts(spark, rows, pat(_n), "no_skip")
+    got_s = _stream_timeouts(spark, tmp_dir, df, pat(_pd_n), "giu")
+    assert got_s == got_b
+    # key 1's inside park died at u@3 on both routes
+    assert (frozenset({1, 2}), 11.0) not in got_s
+
+
+def test_timeout_group_greedy_until_loop_still_raises(spark):
+    """greedy + until inner loops keep the possessive match compile
+    (the twin-sink corner) which would under-enumerate the prefixes —
+    loud guard."""
+    grp = (
+        Pattern.begin("B").where(_n("b")).one_or_more().greedy()
+        .until(_n("u"))
+        .followed_by("C").where(_n("c"))
+    )
+    pat = (
+        Pattern.begin("A").where(_n("a"))
+        .followed_by(grp).times(2)
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    with pytest.raises(NotImplementedError, match="greedy\\+until|not a supported leaf"):
+        _skip_touts(
+            spark, [(1, 1, "a"), (1, 2, "b"), (1, 30, "w")],
+            pat, "no_skip",
+        )

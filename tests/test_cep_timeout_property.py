@@ -177,6 +177,42 @@ def _pattern(kind: str, cols):
             .followed_by(grp).one_or_more()
             .followed_by("D").where(cols("d")).within(12)
         )
+    if kind == "group_loop_opt_tail":
+        # no plain mandatory inner leaf (round 14): the iteration both
+        # continues and completes on each loop take — exercises the
+        # set-level cross-plan collapse on both routes
+        grp = (
+            Pattern.begin("B").where(cols("b")).one_or_more()
+            .followed_by("C").where(cols("c")).optional()
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).one_or_more()
+            .followed_by("D").where(cols("d")).within(12)
+        )
+    if kind == "group_until_loop":
+        # until() on an INNER loop (round 14, late): stop edges on the
+        # loop's own states — waits at/inside it die, sink copies cross
+        grp = (
+            Pattern.begin("B").where(cols("b")).one_or_more()
+            .until(cols("u"))
+            .followed_by("C").where(cols("c"))
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).one_or_more()
+            .followed_by("D").where(cols("d")).within(12)
+        )
+    if kind == "group_greedy_loop":
+        grp = (
+            Pattern.begin("B").where(cols("b")).one_or_more().greedy()
+            .followed_by("C").where(cols("c"))
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).one_or_more()
+            .followed_by("D").where(cols("d")).within(12)
+        )
     raise AssertionError(kind)
 
 
@@ -217,6 +253,17 @@ GRID = [
     ("group_bounded_loop", "past_last_row", 82),
     ("group_bounded_tail", "no_skip", 83),
     ("group_min2_loop", "no_skip", 84),
+    # GREEDY inner loops in group loops (round 14, late): per-run sink
+    # guard on the prefix enumerations + the sink copy's gap kill
+    ("group_greedy_loop", "no_skip", 91),
+    ("group_greedy_loop", "past_last_row", 92),
+    # all-loop-mandatory group loops (round 14, late): no iteration
+    # gate needed; same-set computations collapse across plans
+    ("group_loop_opt_tail", "no_skip", 93),
+    ("group_loop_opt_tail", "past_last_row", 94),
+    # until() on inner loops in group loops (round 14, late)
+    ("group_until_loop", "no_skip", 95),
+    ("group_until_loop", "past_last_row", 96),
 ]
 
 
