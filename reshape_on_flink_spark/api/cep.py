@@ -3587,6 +3587,7 @@ class PatternStream:
         # is pytest-pinned; the per-plan path stays as the fallback for
         # single-plan patterns and the defensive corners below.
         multi_rows: dict[str, DataFrame] = {}
+        full_tag = None
         if len(plans) > 1:
             lookahead = W.partitionBy(*keys).orderBy(*order)
             specs: list[dict] = []
@@ -3622,6 +3623,46 @@ class PatternStream:
                     ) or None,
                     greedy_spans=list(pre._greedy_spans or []) or None,
                 ))
+            if specs and skip_mode != "no_skip" and not terminal_tn:
+                # the skip route's full-pattern sequential pass joins
+                # the consolidated shuffle (round 14, late): the
+                # separate mrows pass re-paid the repartition + sort +
+                # Arrow transfer of the SAME base relation (round-13
+                # decomposition: 3.3 s of q_cep_timeout_skip's 11.3 s
+                # at sf0.1 was that pass alone)
+                f_pat, f_def, f_usr, f_win = pattern.compile(
+                    emit="first", lookahead_window=lookahead
+                )
+                seq_enum = False
+                if pattern._fluid_links or pattern._greedy_spans:
+                    f_pat, f_def, f_usr, f_win = pattern.compile(
+                        emit="all", lookahead_window=lookahead
+                    )
+                    seq_enum = True
+                if (
+                    pattern._terminal_not is None
+                    and all(f_def[s2] is not None for s2 in f_def)
+                ):
+                    full_tag = "__full"
+                    specs.append(dict(
+                        pattern=f_pat,
+                        define=f_def,
+                        tag=full_tag,
+                        user_syms=list(f_usr),
+                        within=f_win,
+                        iter_define=pattern._iter_define or None,
+                        filler_syms=[
+                            k for k in f_def if k not in f_usr
+                        ] or None,
+                        fluid_links=list(
+                            pattern._fluid_links or []
+                        ) or None,
+                        greedy_spans=list(
+                            pattern._greedy_spans or []
+                        ) or None,
+                        after_match=self._after,
+                        seq_enum=seq_enum,
+                    ))
             if specs:
                 from pyspark import StorageLevel
 
@@ -3672,9 +3713,13 @@ class PatternStream:
                 F.max("__horizon").alias("__horizon"),
                 F.min("__gate").alias("__gate"),
             )
-            mrows = PatternStream(
-                base, pattern, keys, order, self._after
-            ).flat_select()
+            mrows = (
+                multi_rows.get(full_tag) if full_tag is not None else None
+            )
+            if mrows is None:
+                mrows = PatternStream(
+                    base, pattern, keys, order, self._after
+                ).flat_select()
             if skip_mode == "past_last_row":
                 prid = F.max("__to_rid")
             elif skip_mode == "to_next_row":

@@ -1452,11 +1452,16 @@ def match_recognize_multi(
     Contract (pinned by ``test_cep_multi_pass_equals_singles``): for
     every plan, the rows with ``__plan == tag`` equal
     ``match_recognize(df, keys, order, pattern, define,
-    after_match='no_skip', ...)`` filtered to ``user_syms`` — the multi
-    pass is a scheduling change only. Only the enumeration route exists
-    here: timeout prefixes always run ``no_skip`` and have their
-    trailing NOT stages stripped upstream, so neither the single-match
-    skip logic nor ``terminal_not`` is needed.
+    after_match=<plan's>, ...)`` filtered to ``user_syms`` — the multi
+    pass is a scheduling change only. Plans default to the ``no_skip``
+    enumeration route (timeout prefixes always run ``no_skip`` with
+    trailing NOT stages stripped upstream); a plan may instead carry
+    ``after_match`` (a single-match skip strategy — round 14, late:
+    the skip route's full-pattern pass rides the consolidated
+    shuffle) with ``seq_enum=True`` when its pattern was compiled
+    ``emit='all'`` (fluid links / greedy spans force the
+    enumerate+min first-completed route). ``terminal_not`` is not
+    supported — those patterns keep their dedicated pass.
     """
     partition_by = (
         [partition_by] if isinstance(partition_by, str) else list(partition_by)
@@ -1504,6 +1509,8 @@ def match_recognize_multi(
         sym_cols = [f"__p{j}_{s}" for s in symbols]
         for s, c in zip(symbols, sym_cols):
             flagged = flagged.withColumn(c, F.coalesce(define[s], F.lit(False)))
+        after_match = p.get("after_match", "no_skip")
+        skip = _parse_after_match(after_match, symbols)
         compiled.append(
             dict(
                 tag=str(p["tag"]),
@@ -1514,6 +1521,18 @@ def match_recognize_multi(
                 # filler lambdas read (e.get(f"__sym_{name}", True))
                 ren={c: f"__sym_{s}" for s, c in zip(symbols, sym_cols)},
                 enum_at=_ast_enumerator(symbols, ast),
+                # single-match plans (round 14, late — the skip route's
+                # full-pattern pass rides the consolidated shuffle):
+                # the sequential cursor resumes by the skip strategy;
+                # the backtracking matcher serves plans whose compile
+                # is emit='first' (seq_enum False), enumerate+min the
+                # fluid/greedy ones (first-completed survivor)
+                skip=skip,
+                match_at=(
+                    _ast_matcher(symbols, ast)
+                    if skip[0] != "no_skip" else None
+                ),
+                seq_enum=bool(p.get("seq_enum")),
                 rx=_bitmask_regex(symbols, ast),
                 first_idx=_first_idx_ast(symbols, ast),
                 fl_idx=(
@@ -1616,6 +1635,52 @@ def match_recognize_multi(
                             matched_syms.append(symbols[si])
                     mids[g] += 1
 
+            skip_mode, skip_sym = pl["skip"]
+
+            def seq_match(r: int, g: int):
+                """Single-match candidate at start r — the sequential
+                route's first-completed survivor (enumerate+min for
+                fluid/greedy emit='all' compiles, the backtracking
+                matcher otherwise), pinned equal to match_recognize by
+                test_cep_multi_sequential_equals_single."""
+                hi = bound(r, int(ends[g]))
+                if pl["seq_enum"]:
+                    cands = enum_at(bools, r, hi, ic)
+                    if filler_idx:
+                        cands = [
+                            m for m in cands if m[0][1] not in filler_idx
+                        ]
+                    if pl["fluid_links"]:
+                        cands = [
+                            m for m in cands
+                            if _fluid_ok(m, bools, pl["fl_idx"],
+                                         pl["fluid_links"])
+                        ]
+                    if pl["greedy_spans"]:
+                        cands = [
+                            m for m in cands
+                            if _greedy_ok(m, bools, pl["fl_idx"],
+                                          pl["greedy_spans"], filler_idx)
+                        ]
+                    if not cands:
+                        return None
+                    return min(
+                        cands,
+                        key=lambda mm: (len(mm), [p2 for p2, _ in mm]),
+                    )
+                m = pl["match_at"](bools, r, hi, ic)
+                if m and filler_idx and m[0][1] in filler_idx:
+                    return None  # filler-anchored: re-found later
+                return m
+
+            def emit_m(m, g: int) -> None:
+                for pos, si in m:
+                    if si in user_idx:
+                        rows_idx.append(pos)
+                        match_ids.append(int(mids[g]))
+                        matched_syms.append(symbols[si])
+                mids[g] += 1
+
             rx = pl["rx"]
             if rx is not None and n:
                 acc = np.zeros(n, dtype=np.int32)
@@ -1640,16 +1705,38 @@ def match_recognize_multi(
                     g = int(
                         np.searchsorted(group_strstart, sp, side="right") - 1
                     )
-                    handle(sp - g, g)
-                    i = sp + 1
+                    if skip_mode == "no_skip":
+                        handle(sp - g, g)
+                        i = sp + 1
+                        continue
+                    m = seq_match(sp - g, g)
+                    if not m:
+                        i = sp + 1
+                        continue
+                    emit_m(m, g)
+                    i = _resume_pos(m, skip_mode, skip_sym, symbols) + g
             elif n:
                 can_start = np.logical_or.reduce(
                     [np.asarray(bools[jj], dtype=bool) for jj in pl["first_idx"]]
                 )
-                for g in range(G):
-                    for r in range(int(starts[g]), int(ends[g])):
-                        if can_start[r]:
-                            handle(r, g)
+                if skip_mode == "no_skip":
+                    for g in range(G):
+                        for r in range(int(starts[g]), int(ends[g])):
+                            if can_start[r]:
+                                handle(r, g)
+                else:
+                    for g in range(G):
+                        r = int(starts[g])
+                        while r < int(ends[g]):
+                            if not can_start[r]:
+                                r += 1
+                                continue
+                            m = seq_match(r, g)
+                            if not m:
+                                r += 1
+                                continue
+                            emit_m(m, g)
+                            r = _resume_pos(m, skip_mode, skip_sym, symbols)
             if rows_idx:
                 out = pdf.iloc[rows_idx][data_cols].copy()
                 out["match_id"] = pd.Series(

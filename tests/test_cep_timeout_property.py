@@ -386,3 +386,57 @@ def test_cep_multi_pass_equals_singles(spark):
         )
         got_t = sorted(by_tag.get(p["tag"], []))
         assert got_t == want_t, p["tag"]
+
+
+def test_cep_multi_sequential_equals_single(spark):
+    """Sequential plans in match_recognize_multi (round 14, late — the
+    skip route's full-pattern pass rides the consolidated shuffle):
+    for every skip strategy, a plan carrying after_match equals a
+    standalone match_recognize with that strategy, filtered to
+    user_syms — including the >12-symbol per-key cursor fallback shape
+    via a second, filler-heavy pattern."""
+    from reshape_on_flink_spark.operators.cep import (
+        match_recognize,
+        match_recognize_multi,
+    )
+
+    rows = _fixture(41, n_keys=4, n_rows=40)
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+    shapes = [
+        ("A G*? B H*? C", {"A": _c("a"), "G": ~_c("b"), "B": _c("b"),
+                           "H": ~_c("c"), "C": _c("c")}, ["G", "H"]),
+        ("A B (L*? B)*? G*? C",
+         {"A": _c("a"), "B": _c("b"), "L": ~_c("b"), "G": ~_c("c"),
+          "C": _c("c")}, ["L", "G"]),
+    ]
+    for after in ("past_last_row", "to_next_row", "to_first B",
+                  "to_last B"):
+        plans = []
+        for i, (pat, define, fillers) in enumerate(shapes):
+            plans.append(dict(
+                pattern=pat, define=define, tag=f"s{i}",
+                user_syms=[s for s in define if not s.startswith(("G", "H", "L"))],
+                filler_syms=fillers, within=12, after_match=after,
+            ))
+        multi = match_recognize_multi(df, ["k"], ["ts"], plans).collect()
+        by_tag: dict = {}
+        for r in multi:
+            by_tag.setdefault(r["__plan"], []).append(
+                (r.k, r.ts, r.name, r.match_id, r.matched_symbol)
+            )
+        for p in plans:
+            want = (
+                match_recognize(
+                    df, ["k"], ["ts"], p["pattern"], p["define"],
+                    after_match=after, within=p.get("within"),
+                    filler_syms=p.get("filler_syms"),
+                )
+                .where(F.col("matched_symbol").isin(p["user_syms"]))
+                .collect()
+            )
+            want_t = sorted(
+                (r.k, r.ts, r.name, r.match_id, r.matched_symbol)
+                for r in want
+            )
+            got_t = sorted(by_tag.get(p["tag"], []))
+            assert got_t == want_t, (after, p["tag"])
