@@ -1105,9 +1105,45 @@ class Pattern:
                                 "not_cond", g_pandas, pd_negs(gap_negs)
                             )
                     else:
+                        # MANDATORY stage gap (round 14, late): the
+                        # reluctant filler commits to the first
+                        # completion, which equals Flink's forced take
+                        # — EXCEPT when that take's continuation dead-
+                        # ends (a NOT gap / until / WITHIN kill): the
+                        # unguarded filler then slid PAST the take-able
+                        # event to a later candidate the NFA never
+                        # reaches (the waiting state's ignore is
+                        # NOT(take), getIgnoreCondition SKIP_TILL_NEXT).
+                        # Guard the filler with NOT(first condition);
+                        # committed expansions are unchanged (their gap
+                        # never held a take-able event), dead-end slides
+                        # become impossible.
+                        g_cond, g_pandas, g_iter, g_name = (
+                            _first_positive_cond(s.group._stages)
+                            if s.group is not None
+                            else (s.cond, s.pandas_cond, s.iter_cond, s.name)
+                        )
                         toks.append(f"{gap}*?")
-                        define[gap] = and_negs(F.lit(True), gap_negs)
-                        ctx["lgap_pandas"][gap] = ("true", None, pd_negs(gap_negs))
+                        if g_iter is not None:
+                            define[gap] = and_negs(F.lit(True), gap_negs)
+                            ctx["iter_define"][gap] = (
+                                lambda e, c, f=g_iter,
+                                flag=f"__sym_{g_name}":
+                                not (e.get(flag, True) and f(e, c))
+                            )
+                            ctx["lgap_pandas"][gap] = (
+                                "true", None, pd_negs(gap_negs)
+                            )
+                        elif g_cond is not None:
+                            define[gap] = and_negs(~g_cond, gap_negs)
+                            ctx["lgap_pandas"][gap] = (
+                                "not_cond", g_pandas, pd_negs(gap_negs)
+                            )
+                        else:
+                            define[gap] = None  # streaming-only
+                            ctx["lgap_pandas"][gap] = (
+                                "not_cond", g_pandas, pd_negs(gap_negs)
+                            )
                 fba_pre = ""
                 if s.kind == "followed_by_any":
                     # SKIP_TILL_ANY stage gap: under noSkip enumeration
@@ -1729,8 +1765,17 @@ class PatternStream:
         completion-survives rule); the match/prefix compile already
         threads NOT(until) into the loop's takes and iteration gaps.
 
+        Interior notFollowedBy folds inside group loops run too
+        (round 14, late): the prefix chains carry the NOT stages (the
+        compile re-derives each iteration copy's negated_gap folds),
+        and the NOT gap kills the waits AT its carrier leaf in every
+        iteration (_leaf_not_kill) — the between/boundary/head entry
+        waits and positions past the carrier are untouched (the take
+        discharged the NOT).
+
         Remaining loud guards: BOUNDED greedy loops and greedy+until
-        loops inside group loops, NOTs inside group-loop leaves;
+        loops inside group loops; leading/trailing inner NOTs and
+        NOTs before loops/optionals in a group loop;
         all-loop-mandatory group loops that DO need an
         iteration-count gate (bounded repetitions or minimum >= 2 —
         nothing to count iterations by); and not_next folds onto
@@ -2493,7 +2538,54 @@ class PatternStream:
         for p, s in enumerate(stages):
             if s.group is None or (s.quant is None and not s.opt):
                 continue
-            inner = _flatten(list(s.group._stages))
+            # inner_raw keeps interior notFollowedBy STAGES in place —
+            # prefix chains must carry them because compile_stages
+            # resets and re-derives the negated_gap folds from the NOT
+            # stages in the list (round 14, late: interior NOTs in
+            # group loops); the positional machinery below walks the
+            # POSITIVE leaves only
+            inner_raw = _flatten(list(s.group._stages))
+            inner = [
+                st for st in inner_raw if st.kind not in _NOT_KINDS
+            ]
+            raw_of = [
+                j for j, st in enumerate(inner_raw)
+                if st.kind not in _NOT_KINDS
+            ]
+
+            def _raw_slice(upto):
+                """inner_raw prefix covering the first ``upto`` POSITIVE
+                leaves (interleaved NOT stages included); never ends on
+                a NOT (slices end at a positive position)."""
+                return [
+                    dataclasses.replace(st)
+                    for st in inner_raw[: raw_of[upto - 1] + 1]
+                ]
+
+            for ni, st in enumerate(inner_raw):
+                if st.kind not in _NOT_KINDS:
+                    continue
+                nxt_pos = next(
+                    (st2 for st2 in inner_raw[ni + 1:]
+                     if st2.kind not in _NOT_KINDS),
+                    None,
+                )
+                if (
+                    st.kind != "not_followed_by"
+                    or ni == 0
+                    or nxt_pos is None
+                    or nxt_pos.group is not None
+                    or nxt_pos.quant is not None
+                    or nxt_pos.opt
+                ):
+                    raise NotImplementedError(
+                        f"timeout side output: quantified group "
+                        f"{s.name!r} — inner NOT stage {st.name!r} is "
+                        "supported only as an interior notFollowedBy "
+                        "before a plain mandatory leaf (leading/"
+                        "trailing NOTs and NOTs before loops/optionals "
+                        "in a group loop are untraced)"
+                    )
             for qi, st in enumerate(inner):
                 # UNBOUNDED non-greedy inner loops are supported since
                 # round 13 (the Lg mid-loop plans below): their minimum
@@ -2534,6 +2626,10 @@ class PatternStream:
                 # the possessive compile on the match surface (the
                 # twin-sink corner), which would under-enumerate the
                 # prefixes — guarded.
+                # interior negated_gap folds are admitted (round 14,
+                # late) — the ni-walk above already restricted them to
+                # notFollowedBy before a plain mandatory leaf, and
+                # _leaf_not_kill guards the waits at that leaf
                 if (
                     st.kind not in ("begin", "next", "followed_by",
                                     "followed_by_any")
@@ -2545,7 +2641,6 @@ class PatternStream:
                         and st.quant is not None
                         and st.quant[2] is True
                     )
-                    or st.negated_gap is not None
                     or st.fold_not
                     or st.lead_not
                 ):
@@ -2600,8 +2695,26 @@ class PatternStream:
                 else ()
             )
 
+            def _leaf_not_kill(st2, tag: str) -> tuple:
+                """'gap' kill for an interior notFollowedBy fold inside
+                the group (round 14, late): the NOT gap guards the
+                branch WAITING at its carrier leaf (addStopStates on
+                the waiting state) and any copy parked there; a branch
+                past the carrier discharged the NOT with its take."""
+                if st2.negated_gap is None:
+                    return ()
+                return (("gap", _need_kill(
+                    f"gin_{tag}_{st2.name}",
+                    st2.negated_gap[0], st2.negated_gap[1],
+                    f"notFollowedBy condition before group inner leaf "
+                    f"{st2.name!r}",
+                )),)
+
             def _inner_primary(st, key):
-                iu = _leaf_until_kill(st, f"ip{p}")
+                iu = (
+                    _leaf_until_kill(st, f"ip{p}")
+                    + _leaf_not_kill(st, f"ip{p}")
+                )
                 if st.kind == "followed_by_any":
                     return ("persist", None, gu + iu)
                 if st.kind == "followed_by" and _has_cond(st):
@@ -2672,7 +2785,9 @@ class PatternStream:
                             f"gi{p}_{qi2}", st2.cond, st2.pandas_cond,
                             st2.iter_cond, "group inner stage", st2.name,
                         ),
-                        kls + _leaf_until_kill(st2, f"oc{p}"),
+                        kls
+                        + _leaf_until_kill(st2, f"oc{p}")
+                        + _leaf_not_kill(st2, f"oc{p}"),
                         bg,
                     ))
                 return out2
@@ -2693,7 +2808,7 @@ class PatternStream:
                 still parked inside it (the Gq plans) and reach the
                 successor only as PROCEED copies, so a j < hi
                 assignment here would be a cross-plan duplicate."""
-                ch = [dataclasses.replace(st) for st in inner[:upto]]
+                ch = _raw_slice(upto)
                 last = ch[-1]
                 q2 = last.quant
                 if q2 is not None and q2[1] is not None:
@@ -2740,8 +2855,10 @@ class PatternStream:
                         reach_end = True
                         break
                     st2 = inner[j]
-                    kls_j = (gk if j == i + 1 else gu) + _leaf_until_kill(
-                        st2, f"tf{p}"
+                    kls_j = (
+                        (gk if j == i + 1 else gu)
+                        + _leaf_until_kill(st2, f"tf{p}")
+                        + _leaf_not_kill(st2, f"tf{p}")
                     )
                     if st2.kind == "followed_by_any":
                         out.append(("fba", None, kls_j, None))
@@ -2813,7 +2930,7 @@ class PatternStream:
                 hi-th take forces the branch out of the times chain,
                 which is the pinned exit-by-max position wait, not a
                 parked-inside shape."""
-                ch = [dataclasses.replace(st) for st in inner[: qi + 1]]
+                ch = _raw_slice(qi + 1)
                 q2 = ch[-1].quant
                 hi2 = None if q2[1] is None else q2[1] - 1
                 ch[-1] = dataclasses.replace(

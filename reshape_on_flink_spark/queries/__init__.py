@@ -42,6 +42,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # the full round-4 block, then round-5 alphabetical to fill the
     # 50-slot cap (+19 queued spares past it). New round-13 gate queries
     # (no driver row yet) are prepended as they land.
+    "q_cep_timeout_group_not",
     "q_cep_timeout_group_greedy",
     "q_cep_timeout_group_times",
     "q_cep_timeout_comb_greedy",

@@ -2394,6 +2394,155 @@ def q_cep_timeout_group_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CEP timed-out partials of an INTERIOR notFollowedBy inside a group
+# loop (round 14, late) — signup fb (error ~view purchase).times(2) fb
+# click within 2 days, no_skip. addStopStates puts the NOT's stop
+# transitions on the state WAITING for the carrier leaf (purchase), so
+# that wait dies on a view in its gap in EVERY iteration, while the
+# between-iterations / head / D waits are untouched (the purchase take
+# discharged the NOT). Every element is a "first X after Y" lookahead
+# (entry waits cannot skip errors, the C-wait cannot skip purchases),
+# so the closed form is one chain of window lookaheads per start:
+#   a1 = first error after s          T1 {s,a1}      iff no purchase
+#        AND no view in (a1,h)
+#   c1 = first purchase after a1, valid iff no view in (a1,c1)
+#                                     T2 {s,a1,c1}   iff no error in (c1,h)
+#   a2 = first error after c1         T3 {s,a1,c1,a2} iff no purchase
+#        AND no view in (a2,h)
+#   c2 = first purchase after a2, valid iff no view in (a2,c2)
+#                                     T4 {s,a1,c1,a2,c2} iff no click
+#        in (c2,h)
+#   T0 {s} iff no error in (s,h)
+# Pinned by the test_timeout_group_interior_not_* matrices and the
+# group_interior_not property-grid cells. Scale: the same
+# one-keyed-shuffle consolidated pass as the other timeout gates; the
+# oracle is join-free per step (window lookahead columns).
+# ---------------------------------------------------------------------------
+@query(
+    "q_cep_timeout_group_not",
+    f"""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) * 100000
+               + ROW_NUMBER() OVER w0 AS ord
+      FROM events
+      WINDOW w0 AS (PARTITION BY user_id
+                    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT), event_id)
+    ),
+    lk AS (
+      SELECT user_id, event_id, event_type, ord,
+             MIN(CASE WHEN event_type = 'error' THEN ord END) OVER wf AS nx_a,
+             MIN(CASE WHEN event_type = 'purchase' THEN ord END) OVER wf AS nx_c,
+             MIN(CASE WHEN event_type = 'view' THEN ord END) OVER wf AS nx_n,
+             MIN(CASE WHEN event_type = 'click' THEN ord END) OVER wf AS nx_d,
+             MAX(ord) OVER (PARTITION BY user_id) AS pmax
+      FROM seq
+      WINDOW wf AS (PARTITION BY user_id ORDER BY ord
+                    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    starts AS (
+      SELECT user_id, event_id AS s_id, ord AS s_ord,
+             ord + {_CEP_SKIP_DELTA} AS h, nx_a
+      FROM lk
+      WHERE event_type = 'signup' AND pmax >= ord + {_CEP_SKIP_DELTA}
+    ),
+    t0 AS (
+      SELECT user_id, s_id, CAST(1 AS BIGINT) AS n_rows,
+             s_ord AS last_ord, h
+      FROM starts WHERE nx_a IS NULL OR nx_a >= h
+    ),
+    s1 AS (  -- a1 taken
+      SELECT s.user_id, s.s_id, s.h, r.ord AS a1,
+             r.nx_c AS c1x, r.nx_n AS n1x
+      FROM starts s JOIN lk r ON r.user_id = s.user_id
+            AND r.ord = s.nx_a
+      WHERE s.nx_a < s.h
+    ),
+    t1 AS (
+      SELECT user_id, s_id, CAST(2 AS BIGINT) AS n_rows,
+             a1 AS last_ord, h
+      FROM s1
+      WHERE (c1x IS NULL OR c1x >= h) AND (n1x IS NULL OR n1x >= h)
+    ),
+    s2 AS (  -- c1 taken: first purchase after a1, no view between
+      SELECT s.user_id, s.s_id, s.h, s.a1, r.ord AS c1, r.nx_a AS a2x
+      FROM s1 s JOIN lk r ON r.user_id = s.user_id AND r.ord = s.c1x
+      WHERE s.c1x < s.h AND (s.n1x IS NULL OR s.n1x > s.c1x)
+    ),
+    t2 AS (
+      SELECT user_id, s_id, CAST(3 AS BIGINT) AS n_rows,
+             c1 AS last_ord, h
+      FROM s2 WHERE a2x IS NULL OR a2x >= h
+    ),
+    s3 AS (  -- a2 taken
+      SELECT s.user_id, s.s_id, s.h, s.a1, s.c1, r.ord AS a2,
+             r.nx_c AS c2x, r.nx_n AS n2x
+      FROM s2 s JOIN lk r ON r.user_id = s.user_id AND r.ord = s.a2x
+      WHERE s.a2x < s.h
+    ),
+    t3 AS (
+      SELECT user_id, s_id, CAST(4 AS BIGINT) AS n_rows,
+             a2 AS last_ord, h
+      FROM s3
+      WHERE (c2x IS NULL OR c2x >= h) AND (n2x IS NULL OR n2x >= h)
+    ),
+    s4 AS (  -- c2 taken: maxed group, waiting at D
+      SELECT s.user_id, s.s_id, s.h, r.ord AS c2, r.nx_d AS d2x
+      FROM s3 s JOIN lk r ON r.user_id = s.user_id AND r.ord = s.c2x
+      WHERE s.c2x < s.h AND (s.n2x IS NULL OR s.n2x > s.c2x)
+    ),
+    t4 AS (
+      SELECT user_id, s_id, CAST(5 AS BIGINT) AS n_rows,
+             c2 AS last_ord, h
+      FROM s4 WHERE d2x IS NULL OR d2x >= h
+    )
+    SELECT user_id, s_id, n_rows, CAST(last_ord AS BIGINT) AS last_ord,
+           CAST(h AS BIGINT) AS timeout_ord
+    FROM (SELECT * FROM t0 UNION ALL SELECT * FROM t1
+          UNION ALL SELECT * FROM t2 UNION ALL SELECT * FROM t3
+          UNION ALL SELECT * FROM t4)
+    ORDER BY user_id, s_id, n_rows, last_ord
+    """,
+)
+def q_cep_timeout_group_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from reshape_on_flink_spark.api.cep import CEP, Pattern
+
+    ev = load_tables(spark, sf_dir)["events"]
+    w0 = W.partitionBy("user_id").orderBy("sec", "event_id")
+    src = ev.select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("long").alias("sec")
+    ).withColumn(
+        "ord", F.col("sec") * 100000 + F.row_number().over(w0)
+    )
+    grp = (
+        Pattern.begin("A").where(F.col("event_type") == "error")
+        .not_followed_by("N").where(F.col("event_type") == "view")
+        .followed_by("C").where(F.col("event_type") == "purchase")
+    )
+    pat = (
+        Pattern.begin("S").where(F.col("event_type") == "signup")
+        .followed_by(grp).times(2)
+        .followed_by("D").where(F.col("event_type") == "click")
+        .within(_CEP_SKIP_DELTA)
+    )
+    ps = CEP.pattern(src, pat, "user_id", "ord", after_match="no_skip")
+    t = ps.timed_out_partial_matches()
+    return (
+        t.groupBy("user_id", "timeout_id")
+        .agg(
+            F.min(F.when(F.col("matched_symbol") == "S", F.col("event_id"))).alias("s_id"),
+            F.count("*").alias("n_rows"),
+            F.max("ord").alias("last_ord"),
+            F.min("timeout_ts").cast("bigint").alias("timeout_ord"),
+        )
+        .select("user_id", "s_id", "n_rows", "last_ord", "timeout_ord")
+        .orderBy("user_id", "s_id", "n_rows", "last_ord")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Changelog-consuming JOIN (round 10) — StreamingJoinOperator.java:123-198
 # under the hash gate. The LEFT input is the per-user retract-agg
 # HISTORY (closed-form: the q_retract_transitions recipe — +I then

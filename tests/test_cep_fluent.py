@@ -1884,3 +1884,77 @@ def test_greedy_inner_group_loop_streaming_equals_batch(spark, tmp_dir):
         ).collect()
     )
     assert got == expected
+
+
+# ---------------- followed_by gap guard (dead-end slide, round 14)
+
+
+def test_followed_by_gap_cannot_slide_past_takeable_dead_end(spark):
+    """Round-14 bug class: the reluctant stage-gap filler carried an
+    unguarded TRUE define, relying on first-completion commit — equal
+    to Flink's forced take EXCEPT when the take's continuation
+    dead-ends: over s a n a c with S fb A ~N fb C, the NFA's S-waiter
+    takes a@2 (its ignore is NOT(take), getIgnoreCondition
+    SKIP_TILL_NEXT) and dies at n@3 — a@4 is unreachable, NO match.
+    The unguarded filler slid past a@2 and wrongly matched
+    {s,a4,c5}. The filler now carries NOT(first condition)."""
+    s, a, nn, c = 1, 2, 3, 4
+    p = (
+        Pattern.begin("S").where(F.col("v") == s)
+        .followed_by("A").where(F.col("v") == a)
+        .not_followed_by("N").where(F.col("v") == nn)
+        .followed_by("C").where(F.col("v") == c)
+    )
+    df = _df(spark, [s, a, nn, a, c])
+    assert _matches(CEP.pattern(df, p, "k", "pos", after_match="no_skip")) == []
+    # control: without the N event the forced take completes
+    df2 = _df(spark, [s, a, 9, a, c])
+    got = _matches(CEP.pattern(df2, p, "k", "pos", after_match="no_skip"))
+    assert got == [[(0, "S"), (1, "A"), (4, "C")]]
+    # single-match route agrees (same guarded filler)
+    assert _matches(CEP.pattern(df, p, "k", "pos")) == []
+
+
+def test_followed_by_gap_guard_streaming_equals_batch(spark, tmp_dir):
+    """The guarded filler's streaming recipe ('not_cond' lgap form):
+    dead-end slides are dead on both routes."""
+    import os
+
+    from tests.test_streaming import run_to_memory
+    from reshape_on_flink_spark.streaming.source import chunked_replay
+
+    s, a, nn, c = 1, 2, 3, 4
+    rows = [(1, i, v) for i, v in enumerate([s, a, nn, a, c, s, a, 9, c])]
+    rows.append((1, 1000, 99))
+    df = spark.createDataFrame(rows, "k int, pos int, v int")
+    p_b = (
+        Pattern.begin("S").where(F.col("v") == s)
+        .followed_by("A").where(F.col("v") == a)
+        .not_followed_by("N").where(F.col("v") == nn)
+        .followed_by("C").where(F.col("v") == c).within(50)
+    )
+    expected = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in CEP.pattern(df, p_b, "k", "pos", after_match="no_skip")
+        .flat_select().collect()
+    )
+    assert expected == [(5, "S"), (6, "A"), (8, "C")]  # only the clean start
+
+    stream = chunked_replay(
+        spark, df, os.path.join(tmp_dir, "cep_gslide"), n_chunks=3,
+        order_col="pos",
+    )
+    p_s = (
+        Pattern.begin("S").where(lambda pdf: pdf["v"] == s)
+        .followed_by("A").where(lambda pdf: pdf["v"] == a)
+        .not_followed_by("N").where(lambda pdf: pdf["v"] == nn)
+        .followed_by("C").where(lambda pdf: pdf["v"] == c).within(50)
+    )
+    sdf = CEP.pattern(stream, p_s, "k", "pos", after_match="no_skip").flat_select()
+    got = sorted(
+        (r["pos"], r["matched_symbol"])
+        for r in run_to_memory(
+            spark, sdf, "cep_gslide_out", tmp_dir, mode="append"
+        ).collect()
+    )
+    assert got == expected

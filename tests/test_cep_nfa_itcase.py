@@ -3887,3 +3887,107 @@ def test_timeout_group_greedy_until_loop_still_raises(spark):
             spark, [(1, 1, "a"), (1, 2, "b"), (1, 30, "w")],
             pat, "no_skip",
         )
+
+
+# ---------- interior notFollowedBy inside group loops (round 14, late)
+
+
+def _gnot_pat(times=2):
+    grp = (
+        Pattern.begin("A").where(_n("a"))
+        .not_followed_by("N").where(_n("n"))
+        .followed_by("C").where(_n("c"))
+    )
+    return (
+        Pattern.begin("S").where(_n("s"))
+        .followed_by(grp).times(times)
+        .followed_by("D").where(_n("d")).within(10)
+    )
+
+
+def test_timeout_group_interior_not_kills_carrier_waits(spark):
+    """S fb (A ~N C).times(2) fb D within 10: the NOT gap guards the
+    branch waiting at its carrier leaf C in EVERY iteration
+    (addStopStates on the waiting state), re-derived per iteration
+    copy by the prefix compile. s a n w: the iteration-1 C-wait
+    {s,a2} dies at n@3 (the neutral control s a x w keeps it);
+    s a c a n w: the iteration-2 C-wait {s,a2,c3,a4} dies at n@5."""
+    assert _skip_touts(
+        spark, [(1, 1, "s"), (1, 2, "a"), (1, 3, "n"), (1, 30, "w")],
+        _gnot_pat(), "no_skip",
+    ) == set()
+    assert _skip_touts(
+        spark, [(1, 1, "s"), (1, 2, "a"), (1, 3, "x"), (1, 30, "w")],
+        _gnot_pat(), "no_skip",
+    ) == {(frozenset({1, 2}), 11.0)}
+    assert _skip_touts(
+        spark,
+        [(1, 1, "s"), (1, 2, "a"), (1, 3, "c"), (1, 4, "a"),
+         (1, 5, "n"), (1, 30, "w")],
+        _gnot_pat(), "no_skip",
+    ) == set()
+
+
+def test_timeout_group_interior_not_scoped_to_carrier(spark):
+    """The kill applies ONLY to waits at the carrier: the
+    between-iterations waiter (waiting for the next A) and the maxed
+    D-wait are untouched by an N event in their gaps. s a c n w: the
+    between-waiter {s,a2,c3} survives n@4; the full 2-iteration
+    completion parks at D."""
+    assert _skip_touts(
+        spark,
+        [(1, 1, "s"), (1, 2, "a"), (1, 3, "c"), (1, 4, "n"), (1, 30, "w")],
+        _gnot_pat(), "no_skip",
+    ) == {(frozenset({1, 2, 3}), 11.0)}
+    assert _skip_touts(
+        spark,
+        [(1, 1, "s"), (1, 2, "a"), (1, 3, "c"), (1, 4, "a"),
+         (1, 5, "c"), (1, 6, "x"), (1, 30, "w")],
+        _gnot_pat(), "no_skip",
+    ) == {(frozenset({1, 2, 3, 4, 5}), 11.0)}
+
+
+def test_timeout_group_interior_not_untraced_shapes_raise(spark):
+    """Leading/trailing inner NOTs and NOTs before loops stay loud."""
+    grp = (
+        Pattern.begin("A").where(_n("a"))
+        .not_followed_by("N").where(_n("n"))
+        .followed_by("B").where(_n("b")).one_or_more()
+    )
+    pat = (
+        Pattern.begin("S").where(_n("s"))
+        .followed_by(grp).times(2)
+        .followed_by("D").where(_n("d")).within(10)
+    )
+    with pytest.raises(NotImplementedError, match="inner NOT stage"):
+        _skip_touts(
+            spark, [(1, 1, "s"), (1, 2, "a"), (1, 30, "w")],
+            pat, "no_skip",
+        )
+
+
+def test_timeout_group_interior_not_streaming_equals_batch(spark, tmp_dir):
+    rows = [(1, 1, "s"), (1, 2, "a"), (1, 3, "n"), (1, 30, "w"),
+            (2, 11, "s"), (2, 12, "a"), (2, 13, "c"), (2, 14, "n"),
+            (2, 40, "w"),
+            (3, 21, "s"), (3, 22, "a"), (3, 23, "x"), (3, 50, "w")]
+    df = spark.createDataFrame(rows, "k int, ts int, name string")
+
+    def pat(cols):
+        grp = (
+            Pattern.begin("A").where(cols("a"))
+            .not_followed_by("N").where(cols("n"))
+            .followed_by("C").where(cols("c"))
+        )
+        return (
+            Pattern.begin("S").where(cols("s"))
+            .followed_by(grp).times(2)
+            .followed_by("D").where(cols("d")).within(10)
+        )
+
+    got_b = _skip_touts(spark, rows, pat(_n), "no_skip")
+    got_s = _stream_timeouts(spark, tmp_dir, df, pat(_pd_n), "gnot")
+    assert got_s == got_b
+    # key 1's C-wait died at n@3 on both routes; key 3's survived
+    assert (frozenset({1, 2}), 11.0) not in got_s
+    assert (frozenset({21, 22}), 31.0) in got_s

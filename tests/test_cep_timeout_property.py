@@ -203,6 +203,19 @@ def _pattern(kind: str, cols):
             .followed_by(grp).one_or_more()
             .followed_by("D").where(cols("d")).within(12)
         )
+    if kind == "group_interior_not":
+        # interior notFollowedBy inside a group loop (round 14, late):
+        # the NOT gap guards the carrier-leaf waits in every iteration
+        grp = (
+            Pattern.begin("B").where(cols("b"))
+            .not_followed_by("N").where(cols("n"))
+            .followed_by("C").where(cols("c"))
+        )
+        return (
+            Pattern.begin("A").where(cols("a"))
+            .followed_by(grp).one_or_more()
+            .followed_by("D").where(cols("d")).within(12)
+        )
     if kind == "group_greedy_loop":
         grp = (
             Pattern.begin("B").where(cols("b")).one_or_more().greedy()
@@ -264,6 +277,9 @@ GRID = [
     # until() on inner loops in group loops (round 14, late)
     ("group_until_loop", "no_skip", 95),
     ("group_until_loop", "past_last_row", 96),
+    # interior notFollowedBy in group loops (round 14, late)
+    ("group_interior_not", "no_skip", 97),
+    ("group_interior_not", "past_last_row", 98),
 ]
 
 
