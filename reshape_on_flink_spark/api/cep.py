@@ -3354,6 +3354,18 @@ class PatternStream:
             ]
             + [f"__to_kl_{kk}" for kk in sorted(kill_specs)]
         )
+        if not streaming:
+            # Materialize the fully-decorated base ONCE before the
+            # multi-pass fan-out: every prefix plan, survival join and
+            # emission replay below re-derived base from scratch — the
+            # pre-fix q_cep_timeout_skip plan re-ran the events scan 15
+            # times and the ord/lookahead window stack per pass
+            # (plans/r13/q_cep_timeout_skip_before.txt; guide §3.3
+            # "materialising an intermediate truncates the plan", §5).
+            # MEMORY_AND_DISK-backed localCheckpoint: one bounded copy of
+            # the decorated input vs N full recomputes — the trade holds
+            # at any scale where the operator runs multiple passes.
+            base = base.localCheckpoint()
 
         def _iter_hits(rows, it_keys):
             """Per-assignment first ITERATIVE take tick (round 13): a
@@ -3443,9 +3455,16 @@ class PatternStream:
                     + [f"__itk_{k}" for k in it_keys],
                 )
 
+            from reshape_on_flink_spark.session import (
+                repartition_for_python_stage,
+            )
+
             return (
-                asg.groupBy(*keys)
-                .cogroup(ev.groupBy(*keys))
+                repartition_for_python_stage(asg, list(keys))
+                .groupBy(*keys)
+                .cogroup(
+                    repartition_for_python_stage(ev, list(keys)).groupBy(*keys)
+                )
                 .applyInPandas(fn, schema=schema_out)
             )
 

@@ -117,7 +117,13 @@ class KeyedStream:
         def run(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
             return fn(key, pdf)
 
-        return DataStream(self.df.groupBy(*self.keys).applyInPandas(run, schema=schema))
+        from reshape_on_flink_spark.session import repartition_for_python_stage
+
+        return DataStream(
+            repartition_for_python_stage(self.df, list(self.keys))
+            .groupBy(*self.keys)
+            .applyInPandas(run, schema=schema)
+        )
 
     def window_tumble(self, ts_col: str, size: str) -> "WindowedStream":
         return WindowedStream(self.df, self.keys, F.window(ts_col, size))
@@ -166,9 +172,15 @@ class KeyedStream:
     ) -> DataStream:
         """coGroup analog: ``fn(key, left_pdf, right_pdf) -> pdf`` via
         cogrouped applyInPandas (both sides shuffled once on the key)."""
+        from reshape_on_flink_spark.session import repartition_for_python_stage
+
         return DataStream(
-            self.df.groupBy(*self.keys)
-            .cogroup(other.df.groupBy(*other.keys))
+            repartition_for_python_stage(self.df, list(self.keys))
+            .groupBy(*self.keys)
+            .cogroup(
+                repartition_for_python_stage(other.df, list(other.keys))
+                .groupBy(*other.keys)
+            )
             .applyInPandas(fn, schema=schema)
         )
 

@@ -1253,7 +1253,13 @@ def match_recognize(
         return out
 
     if impl == "grouped":
-        return flagged.groupBy(*partition_by).applyInPandas(process_group, schema=schema_out)
+        from reshape_on_flink_spark.session import repartition_for_python_stage
+
+        return (
+            repartition_for_python_stage(flagged, list(partition_by))
+            .groupBy(*partition_by)
+            .applyInPandas(process_group, schema=schema_out)
+        )
     if impl != "chunked":
         raise ValueError(f"impl must be 'chunked' or 'grouped', got {impl!r}")
 
@@ -1418,7 +1424,11 @@ def match_recognize(
     # keys are hash-partitioned and made contiguous + ordered within
     # partitions, so no per-key pandas sort is needed; memory is bounded
     # by one Arrow batch + the largest single key's rows (the carry)
-    sorted_df = flagged.repartition(*part_cols).sortWithinPartitions(*part_cols, *order_by)
+    from reshape_on_flink_spark.session import repartition_for_python_stage
+
+    sorted_df = repartition_for_python_stage(flagged, part_cols).sortWithinPartitions(
+        *part_cols, *order_by
+    )
     return sorted_df.mapInPandas(run_chunks, schema=schema_out)
 
 
@@ -1786,7 +1796,9 @@ def match_recognize_multi(
             if out is not None:
                 yield out
 
-    sorted_df = flagged.repartition(*part_cols).sortWithinPartitions(
+    from reshape_on_flink_spark.session import repartition_for_python_stage
+
+    sorted_df = repartition_for_python_stage(flagged, part_cols).sortWithinPartitions(
         *part_cols, *order_by
     )
     return sorted_df.mapInPandas(run_chunks, schema=schema_out)
@@ -3209,7 +3221,13 @@ def skip_prune_verdicts(
         out["__srid"] = p.loc[killed, "__a"].astype("int64").to_numpy()
         return out
 
-    return tagged.groupBy(*keys).applyInPandas(run, out_schema)
+    from reshape_on_flink_spark.session import repartition_for_python_stage
+
+    return (
+        repartition_for_python_stage(tagged, list(keys))
+        .groupBy(*keys)
+        .applyInPandas(run, out_schema)
+    )
 
 
 def pandas_predicate(expr: str, symbols: list[str]):

@@ -2621,19 +2621,36 @@ def q_changelog_join_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pcnt", F.lag("cnt").over(w_key))
         .withColumn("ps", F.lag("s").over(w_key))
     )
-    cur = run.select(
-        "user_id",
-        F.when(F.col("rn") == 1, F.lit("+I")).otherwise(F.lit("+U")).alias("_change_type"),
-        "cnt", F.col("s").alias("amt_sum"),
-        F.when(F.col("rn") == 1, F.lit(0)).otherwise((F.col("rn") - 2) * 2 + 2)
-        .cast("long").alias("oseq"),
+    # one window pass instead of two: the old cur/prev self-union re-ran
+    # the scan+Exchange+Sort+Window subtree per branch (guide §2.4/§7.2 —
+    # duplicated subtrees); inline() emits the -U/+U pair (or the lone
+    # +I) from a single window output row, identical rows and oseq values
+    _ins_row = F.struct(
+        F.lit("+I").alias("_change_type"),
+        F.col("cnt"),
+        F.col("s").alias("amt_sum"),
+        F.lit(0).cast("long").alias("oseq"),
     )
-    prev = run.where("rn > 1").select(
-        "user_id", F.lit("-U").alias("_change_type"),
-        F.col("pcnt").alias("cnt"), F.col("ps").alias("amt_sum"),
+    _ub_row = F.struct(
+        F.lit("-U").alias("_change_type"),
+        F.col("pcnt").alias("cnt"),
+        F.col("ps").alias("amt_sum"),
         ((F.col("rn") - 2) * 2 + 1).cast("long").alias("oseq"),
     )
-    left_hist = cur.unionByName(prev)
+    _ua_row = F.struct(
+        F.lit("+U").alias("_change_type"),
+        F.col("cnt"),
+        F.col("s").alias("amt_sum"),
+        ((F.col("rn") - 2) * 2 + 2).cast("long").alias("oseq"),
+    )
+    left_hist = run.select(
+        "user_id",
+        F.inline(
+            F.when(F.col("rn") == 1, F.array(_ins_row)).otherwise(
+                F.array(_ub_row, _ua_row)
+            )
+        ),
+    )
     dim = (
         ev.select("user_id").distinct()
         .select(
@@ -2739,23 +2756,29 @@ def q_changelog_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("long").cast("double").alias("t"),
         F.floor(F.col("value") * 100).cast("double").alias("amt"),
     )
-    w = W.partitionBy("user_id").orderBy("t", "event_id")
-    seqd = base.withColumn("rn", F.row_number().over(w))
-    ins = seqd.select(
-        "user_id", F.lit("+I").alias("_change_type"), "t", "amt",
-        (F.col("rn") * 2).cast("long").alias("oseq"),
-    )
-    dels = seqd.where(F.col("event_id") % 3 == 0).select(
-        "user_id", F.lit("-D").alias("_change_type"), "t", "amt",
-        (F.col("rn") * 2 + 1).cast("long").alias("oseq"),
+    # Same changelog, one map-only pass: the old ROW_NUMBER window +
+    # self-union ran the scan+Exchange+Sort+Window subtree TWICE and
+    # shuffled a synthetic oseq column (plans/r13/..._before.txt); oseq's
+    # only job was replay order ins@2rn / del@2rn+1 with rn ranked by
+    # (t, event_id) — exactly (t, event_id, '+I'<'-D') order, which the
+    # operator's composite order_by replays directly (guide §2.4: remove
+    # shuffles outright; §2.3: shuffle fewer bytes). The explode emits
+    # the -D copy right where the union's second branch did.
+    rec = base.select(
+        "user_id", "event_id", "t", "amt",
+        F.explode(
+            F.when(
+                F.col("event_id") % 3 == 0, F.array(F.lit("+I"), F.lit("-D"))
+            ).otherwise(F.array(F.lit("+I")))
+        ).alias("_change_type"),
     )
     out = window_agg_changelog(
-        ins.unionByName(dels),
+        rec,
         "user_id",
         "t",
         {"cnt": ("count", None), "amt_sum": ("sum", "amt"), "amt_max": ("max", "amt")},
         size=3600.0,
-        order_by="oseq",
+        order_by=["t", "event_id", "_change_type"],
     )
     return out.select(
         "user_id",
@@ -2809,23 +2832,24 @@ def q_retractable_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * 100).cast("long").alias("amt"),
     )
-    w = W.partitionBy("user_id").orderBy("event_id")
-    seqd = base.withColumn("rn", F.row_number().over(w))
-    ins = seqd.select(
-        "user_id", F.lit("+I").alias("_change_type"), "event_id", "amt",
-        (F.col("rn") * 2).cast("long").alias("oseq"),
-    )
-    dels = seqd.where(F.col("event_id") % 3 == 0).select(
-        "user_id", F.lit("-D").alias("_change_type"), "event_id", "amt",
-        (F.col("rn") * 2 + 1).cast("long").alias("oseq"),
+    # one map-only changelog pass instead of window + self-union: oseq
+    # ranked by event_id alone, so (event_id, '+I'<'-D') IS the replay
+    # order — no ROW_NUMBER pass, no doubled shuffle (guide §2.4)
+    rec = base.select(
+        "user_id", "event_id", "amt",
+        F.explode(
+            F.when(
+                F.col("event_id") % 3 == 0, F.array(F.lit("+I"), F.lit("-D"))
+            ).otherwise(F.array(F.lit("+I")))
+        ).alias("_change_type"),
     )
     out = retractable_topn(
-        ins.unionByName(dels),
+        rec,
         "user_id",
         [("amt", "desc"), ("event_id", "asc")],
         rank_end=3,
         output_rank_number=True,
-        order_by="oseq",
+        order_by=["event_id", "_change_type"],
     )
     final = changelog_normalize(out, ["user_id", "rank_num"], "_change_seq")
     return final.select(
@@ -2874,25 +2898,34 @@ def q_updatable_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.floor(F.col("value") * 100).cast("long").alias("amt"),
     )
-    w = W.partitionBy("user_id").orderBy("event_id")
-    seqd = base.withColumn("rn", F.row_number().over(w))
-    ins = seqd.select(
-        "user_id", F.lit("+I").alias("_change_type"), "event_id", "amt",
-        (F.col("rn") * 2).cast("long").alias("oseq"),
+    # one map-only changelog pass instead of window + self-union: the
+    # upgrade (+U, amt+100000) replays right after its own insert, i.e.
+    # (event_id, '+I'<'+U') order — inline() emits both versions without
+    # a ROW_NUMBER pass or doubled shuffle (guide §2.4)
+    _ins = F.struct(
+        F.col("event_id"), F.col("amt"), F.lit("+I").alias("_change_type")
     )
-    ups = seqd.where(F.col("event_id") % 3 == 0).select(
-        "user_id", F.lit("+U").alias("_change_type"), "event_id",
+    _up = F.struct(
+        F.col("event_id"),
         (F.col("amt") + 100000).alias("amt"),
-        (F.col("rn") * 2 + 1).cast("long").alias("oseq"),
+        F.lit("+U").alias("_change_type"),
+    )
+    rec = base.select(
+        "user_id",
+        F.inline(
+            F.when(F.col("event_id") % 3 == 0, F.array(_ins, _up)).otherwise(
+                F.array(_ins)
+            )
+        ),
     )
     out = updatable_topn(
-        ins.unionByName(ups),
+        rec,
         "user_id",
         "event_id",
         [("amt", "desc"), ("event_id", "asc")],
         rank_end=3,
         output_rank_number=True,
-        order_by="oseq",
+        order_by=["event_id", "_change_type"],
     )
     final = changelog_normalize(out, ["user_id", "rank_num"], "_change_seq")
     return final.select(
@@ -2953,23 +2986,23 @@ def q_changelog_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("long").cast("double").alias("t"),
         F.floor(F.col("value") * 100).cast("double").alias("amt"),
     )
-    w = W.partitionBy("user_id").orderBy("t", "event_id")
-    seqd = base.withColumn("rn", F.row_number().over(w))
-    ins = seqd.select(
-        "user_id", F.lit("+I").alias("_change_type"), "t", "amt",
-        (F.col("rn") * 2).cast("long").alias("oseq"),
-    )
-    dels = seqd.where(F.col("event_id") % 3 == 0).select(
-        "user_id", F.lit("-D").alias("_change_type"), "t", "amt",
-        (F.col("rn") * 2 + 1).cast("long").alias("oseq"),
+    # one map-only changelog pass instead of window + self-union — same
+    # restructure as q_changelog_window_agg (see that query's comment)
+    rec = base.select(
+        "user_id", "event_id", "t", "amt",
+        F.explode(
+            F.when(
+                F.col("event_id") % 3 == 0, F.array(F.lit("+I"), F.lit("-D"))
+            ).otherwise(F.array(F.lit("+I")))
+        ).alias("_change_type"),
     )
     out = window_agg_changelog(
-        ins.unionByName(dels),
+        rec,
         "user_id",
         "t",
         {"cnt": ("count", None), "amt_sum": ("sum", "amt"), "amt_max": ("max", "amt")},
         gap=1800.0,
-        order_by="oseq",
+        order_by=["t", "event_id", "_change_type"],
     )
     return out.select(
         "user_id",

@@ -83,6 +83,41 @@ def get_spark(app_name: str = "reshape_on_flink_spark", *, cores: int | None = N
     return spark
 
 
+def repartition_for_python_stage(df: DataFrame, cols) -> DataFrame:
+    """Hash-repartition ``df`` by ``cols`` with an EXPLICIT partition
+    count for a downstream Python stage (``applyInPandas`` /
+    ``mapInPandas`` keyed scans).
+
+    Why explicit: AQE's partition coalescing sizes post-shuffle
+    partitions by BYTES (``advisoryPartitionSizeInBytes`` /
+    ``minPartitionSize``) — the right proxy for JVM operators, but a
+    Python replay/NFA stage's cost is per ROW (orders of magnitude more
+    CPU per byte), so a few-MB keyed shuffle coalesces to 1-2 partitions
+    and the whole Python stage serializes onto 1-2 cores (measured:
+    ``repartition("user_id")`` ran the pandas scan on ONE partition at
+    sf0.1; pinning restored full parallelism — optimization guide §2.2/
+    §4). Spark leaves user-pinned ``repartition(n, cols)`` alone, and a
+    following ``groupBy(cols)`` reuses the partitioning (no second
+    exchange).
+
+    The count follows ``spark.sql.shuffle.partitions`` — the
+    deployment's configured starting parallelism (set per cluster; the
+    local default tracks $SPARK_GRAFT_CPUS) — NOT a hard-coded local
+    constant. Empty partitions (fewer live keys than N) cost only task
+    launches; per-key skew inside a Python stage is bounded by the
+    largest single key either way.
+    """
+    from pyspark.sql import functions as F
+
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
 class EngineSession:
     """Thin TableEnvironment-style facade over a SparkSession.
 

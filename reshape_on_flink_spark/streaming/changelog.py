@@ -43,6 +43,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from reshape_on_flink_spark.session import repartition_for_python_stage
 from reshape_on_flink_spark.operators.changelog import (
     CHANGE_COL,
     DELETE,
@@ -63,6 +64,28 @@ def _out_field(fn: str, in_field) -> "StructField":
     return in_field.dataType  # min/max keep the input type
 
 
+def _order_spec(order_by) -> tuple[list[str] | None, set[str]]:
+    """Normalize an ``order_by`` spec to ``(sort_cols, payload_skip)``.
+
+    ``order_by`` may be a single column name (back-compat: the column is
+    a pure replay-sequence helper and is EXCLUDED from the operator's
+    payload/output) or a LIST of column names (a composite replay order
+    over columns the input already carries — payload membership is left
+    untouched, so ordering by a payload column does not drop it from the
+    output). The list form lets callers replay in e.g. ``(event_time,
+    id, _change_type)`` order without first materializing a synthetic
+    sequence column through a window function — at scale that removes a
+    whole Exchange+Sort+Window pass from the changelog construction
+    (optimization guide §2.4). pandas ``sort_values`` accepts both
+    forms directly; the stable mergesort keeps arrival order on ties.
+    """
+    if order_by is None:
+        return None, set()
+    if isinstance(order_by, str):
+        return [order_by], {order_by}
+    return list(order_by), set()
+
+
 def to_retract_stream(
     sdf: DataFrame,
     keys: str | list[str],
@@ -71,7 +94,7 @@ def to_retract_stream(
     consume_changelog: bool = False,
     emit_seq: bool = True,
     granularity: str = "batch",
-    order_by: str | None = None,
+    order_by: str | list[str] | None = None,
 ) -> DataFrame:
     """Grouped aggregation over an unbounded stream, emitting Flink's
     retract stream: ``+I`` for a key's first result, then ``-U``(old) /
@@ -126,8 +149,10 @@ def to_retract_stream(
         )
     if granularity not in ("batch", "row"):
         raise ValueError(f"granularity must be 'batch' or 'row', got {granularity!r}")
-    if order_by is not None and order_by not in fields:
-        raise ValueError(f"unknown order_by column {order_by!r}")
+    order_cols, _ = _order_spec(order_by)
+    for c in order_cols or ():
+        if c not in fields:
+            raise ValueError(f"unknown order_by column {c!r}")
 
     out_fields = [fields[k] for k in keys]
     out_schema = StructType(
@@ -230,7 +255,7 @@ def to_retract_stream(
         batch = pd.concat(list(pdfs), ignore_index=True)
         if not len(batch):
             return
-        sort_col = order_by if order_by is not None else (
+        sort_col = order_cols if order_cols is not None else (
             "_change_seq"
             if consume_changelog and "_change_seq" in batch.columns
             else None
@@ -443,7 +468,7 @@ def join_changelog(
     how: str = "inner",
     *,
     cond=None,
-    order_by: str | None = None,
+    order_by: str | list[str] | None = None,
     emit_seq: bool = True,
     left_unique_key: str | list[str] | None = None,
     right_unique_key: str | list[str] | None = None,
@@ -518,13 +543,14 @@ def join_changelog(
             "for a static side use streaming.ops.stream_static_join "
             "(lookup join) instead"
         )
+    order_cols, _ = _order_spec(order_by)
     for side, df in (("left", left), ("right", right)):
         miss = [c for c in on + [CHANGE_COL] if c not in df.columns]
-        if order_by is not None and order_by not in df.columns:
-            miss.append(order_by)
+        miss += [c for c in order_cols or () if c not in df.columns]
         if miss:
             raise ValueError(f"{side} input is missing columns {miss}")
-    skip = set(on) | {CHANGE_COL} | ({order_by} if order_by else set())
+    # order columns ride both union branches, never the joined payload
+    skip = set(on) | {CHANGE_COL} | set(order_cols or ())
     lpay = [c for c in left.columns if c not in skip]
     rpay = [c for c in right.columns if c not in skip]
     overlap = set(lpay) & set(rpay)
@@ -539,7 +565,7 @@ def join_changelog(
     from pyspark.sql import functions as F
     from pyspark.sql.types import IntegerType
 
-    ocols = [order_by] if order_by else []
+    ocols = order_cols or []
     lu = left.select(
         *on, CHANGE_COL, *ocols, *lpay,
         *[F.lit(None).cast(rfields[c].dataType).alias(c) for c in rpay],
@@ -692,8 +718,8 @@ def join_changelog(
     _KINDS_OK = {INSERT, UPDATE_AFTER, UPDATE_BEFORE, DELETE}
 
     def _batch_records(batch):
-        if order_by is not None:
-            batch = batch.sort_values(order_by, kind="mergesort")
+        if order_cols is not None:
+            batch = batch.sort_values(order_cols, kind="mergesort")
         sides = batch["__side"].tolist()
         kinds = batch[CHANGE_COL].tolist()
         lvals = [batch[c].tolist() for c in lpay]
@@ -740,7 +766,9 @@ def join_changelog(
         rows = _process_key(key, _batch_records(batch), st, 0)
         return pd.DataFrame(rows, columns=cols)
 
-    return u.groupBy(*on).applyInPandas(run_batch, out_schema)
+    return repartition_for_python_stage(u, on).groupBy(*on).applyInPandas(
+        run_batch, out_schema
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -764,7 +792,7 @@ def window_agg_changelog(
     slide=None,
     gap=None,
     consume_changelog: bool = True,
-    order_by: str | None = None,
+    order_by: str | list[str] | None = None,
 ) -> DataFrame:
     """Tumble/hop/session window aggregation that CONSUMES a changelog —
     Flink's ``WindowOperator`` with a retractable ``NamespaceAggsHandle``
@@ -1032,8 +1060,10 @@ def window_agg_changelog(
             late += dropped
         return late
 
+    _wagg_order_cols, _ = _order_spec(order_by)
+
     def _sorted(batch):
-        sort_col = order_by if order_by is not None else (
+        sort_col = _wagg_order_cols if _wagg_order_cols is not None else (
             "_change_seq" if "_change_seq" in batch.columns else None
         )
         if sort_col is not None:
@@ -1089,7 +1119,9 @@ def window_agg_changelog(
         rows = _fire(list(key), wins, float("inf"))
         return pd.DataFrame(rows, columns=cols)
 
-    return sdf.groupBy(*keys).applyInPandas(run_batch, out_schema)
+    return repartition_for_python_stage(sdf, keys).groupBy(*keys).applyInPandas(
+        run_batch, out_schema
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1111,7 +1143,7 @@ def retractable_topn(
     rank_start: int = 1,
     output_rank_number: bool = True,
     generate_update_before: bool = True,
-    order_by: str | None = None,
+    order_by: str | list[str] | None = None,
 ) -> DataFrame:
     """Streaming Top-N that CONSUMES a changelog — Flink's
     ``RetractableTopNFunction`` (the planner's choice whenever the rank
@@ -1165,7 +1197,8 @@ def retractable_topn(
             raise ValueError(f"unknown sort column {c!r}")
         if d not in ("asc", "desc"):
             raise ValueError(f"sort direction must be asc/desc, got {d!r}")
-    skip = set(keys) | {CHANGE_COL} | ({order_by} if order_by else set())
+    _rt_order_cols, _rt_order_skip = _order_spec(order_by)
+    skip = set(keys) | {CHANGE_COL} | _rt_order_skip
     payload = [c for c in sdf.columns if c not in skip]
     miss = [c for c, _d in sort_cols if c not in payload]
     if miss:
@@ -1414,8 +1447,8 @@ def retractable_topn(
     _KINDS_OK = {INSERT, UPDATE_AFTER, UPDATE_BEFORE, DELETE}
 
     def _records(batch):
-        if order_by is not None:
-            batch = batch.sort_values(order_by, kind="mergesort")
+        if _rt_order_cols is not None:
+            batch = batch.sort_values(_rt_order_cols, kind="mergesort")
         elif "_change_seq" in batch.columns:
             batch = batch.sort_values("_change_seq", kind="mergesort")
         kinds = batch[CHANGE_COL].tolist()
@@ -1454,7 +1487,9 @@ def retractable_topn(
         rows = _process_key(key, _records(batch), st, 0)
         return pd.DataFrame(rows, columns=cols)
 
-    return sdf.groupBy(*keys).applyInPandas(run_batch, out_schema)
+    return repartition_for_python_stage(sdf, keys).groupBy(*keys).applyInPandas(
+        run_batch, out_schema
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1476,7 +1511,7 @@ def updatable_topn(
     rank_end: int,
     output_rank_number: bool = True,
     generate_update_before: bool = True,
-    order_by: str | None = None,
+    order_by: str | list[str] | None = None,
 ) -> DataFrame:
     """Streaming Top-N over an UPSERT stream — Flink's
     ``UpdatableTopNFunction``, "a fast version of RetractableTopNFunction
@@ -1529,7 +1564,8 @@ def updatable_topn(
             raise ValueError(f"unknown sort column {c!r}")
         if d not in ("asc", "desc"):
             raise ValueError(f"sort direction must be asc/desc, got {d!r}")
-    skip = set(keys) | {CHANGE_COL} | ({order_by} if order_by else set())
+    _ut_order_cols, _ut_order_skip = _order_spec(order_by)
+    skip = set(keys) | {CHANGE_COL} | _ut_order_skip
     payload = [c for c in sdf.columns if c not in skip]
     for c in rks:
         if c not in payload:
@@ -1745,8 +1781,8 @@ def updatable_topn(
     _KINDS_OK = {INSERT, UPDATE_AFTER, UPDATE_BEFORE, DELETE}
 
     def _records(batch):
-        if order_by is not None:
-            batch = batch.sort_values(order_by, kind="mergesort")
+        if _ut_order_cols is not None:
+            batch = batch.sort_values(_ut_order_cols, kind="mergesort")
         elif "_change_seq" in batch.columns:
             batch = batch.sort_values("_change_seq", kind="mergesort")
         kinds = batch[CHANGE_COL].tolist()
@@ -1785,7 +1821,9 @@ def updatable_topn(
         rows = _process_key(key, _records(batch), st, 0)
         return pd.DataFrame(rows, columns=cols)
 
-    return sdf.groupBy(*keys).applyInPandas(run_batch, out_schema)
+    return repartition_for_python_stage(sdf, keys).groupBy(*keys).applyInPandas(
+        run_batch, out_schema
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1804,7 +1842,7 @@ def dedup_keep_last_changelog(
     consume_changelog: bool = False,
     generate_update_before: bool = True,
     generate_insert: bool = True,
-    order_by: str | None = None,
+    order_by: str | list[str] | None = None,
 ) -> DataFrame:
     """Keep-last deduplication that EMITS a retract changelog — the
     reference's ``DeduplicateKeepLastRowFunction`` emission contract
@@ -1842,7 +1880,8 @@ def dedup_keep_last_changelog(
         raise ValueError(
             f"consume_changelog=True needs a {CHANGE_COL!r} column on the input"
         )
-    skip = set(keys) | {CHANGE_COL} | ({order_by} if order_by else set())
+    _dl_order_cols, _dl_order_skip = _order_spec(order_by)
+    skip = set(keys) | {CHANGE_COL} | _dl_order_skip
     payload = [c for c in sdf.columns if c not in skip]
 
     integral_types = ("int", "bigint", "smallint", "tinyint", "long")
@@ -1901,8 +1940,8 @@ def dedup_keep_last_changelog(
     _KINDS_OK = {INSERT, UPDATE_AFTER, UPDATE_BEFORE, DELETE}
 
     def _records(batch):
-        if order_by is not None:
-            batch = batch.sort_values(order_by, kind="mergesort")
+        if _dl_order_cols is not None:
+            batch = batch.sort_values(_dl_order_cols, kind="mergesort")
         elif "_change_seq" in batch.columns:
             batch = batch.sort_values("_change_seq", kind="mergesort")
         if consume_changelog:
@@ -1944,4 +1983,6 @@ def dedup_keep_last_changelog(
         rows = _process_key(key, _records(batch), st, 0)
         return pd.DataFrame(rows, columns=cols)
 
-    return sdf.groupBy(*keys).applyInPandas(run_batch, out_schema)
+    return repartition_for_python_stage(sdf, keys).groupBy(*keys).applyInPandas(
+        run_batch, out_schema
+    )

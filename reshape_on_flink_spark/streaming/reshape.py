@@ -243,8 +243,14 @@ def keyed_process_agg(
             "sum_value": [float(pdf[value_col].sum())],
         })
 
+    from reshape_on_flink_spark.session import repartition_for_python_stage
+
     if not routing:
-        return df.groupBy(key_col).applyInPandas(agg_fn, out_schema)
+        return (
+            repartition_for_python_stage(df, key_col)
+            .groupBy(key_col)
+            .applyInPandas(agg_fn, out_schema)
+        )
 
     salt_map = F.create_map(
         *[x for k, n in routing.items() for x in (F.lit(k), F.lit(int(n)))]
@@ -261,7 +267,10 @@ def keyed_process_agg(
         })
 
     partial = (
-        df.withColumn("_salt", F.pmod(F.hash(F.col(spread_col)), n_salts))
+        repartition_for_python_stage(
+            df.withColumn("_salt", F.pmod(F.hash(F.col(spread_col)), n_salts)),
+            [key_col, "_salt"],
+        )
         .groupBy(key_col, "_salt")
         .applyInPandas(partial_fn, partial_schema)
     )

@@ -51,6 +51,11 @@ def chunked_replay(
     # parallel, works for every orderable dtype.
     order_type = df.schema[order_col].dataType
     if isinstance(order_type, (NumericType, DateType, TimestampType, TimestampNTZType)):
+        # materialize ONCE: the quantile probe plus the n_chunks filtered
+        # writes below would otherwise each recompute df's full upstream
+        # plan (n+1 passes — for window-heavy callers that dominated the
+        # replay setup; optimization guide §5 localCheckpoint / §2.4)
+        df = df.localCheckpoint()
         ordv = F.col(order_col).cast("double")
         probs = [i / n_chunks for i in range(1, n_chunks)]
         cuts = (

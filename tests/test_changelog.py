@@ -1481,3 +1481,140 @@ def test_window_agg_changelog_session_late_drop_and_guards(spark, tmp_dir):
         window_agg_changelog(log, "k", "t", _WAGGS, size=5.0, gap=5.0)
     with pytest.raises(ValueError, match="hop"):
         window_agg_changelog(log, "k", "t", _WAGGS, gap=5.0, slide=2.0)
+
+
+# ---------------------------------------------------------------------------
+# Round-13 optimization internals: pinned Python-stage parallelism and
+# multi-column order_by (composite replay order without a window pass).
+# ---------------------------------------------------------------------------
+
+
+def test_python_stage_partitions_pinned(spark):
+    """repartition_for_python_stage must defeat AQE's byte-based
+    coalescing: a keyed batch applyInPandas over a few-MB input ran on
+    1-2 post-shuffle partitions (AQE sizes partitions by bytes; a Python
+    replay's cost is per row), serializing the stage. The pin follows
+    spark.sql.shuffle.partitions."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from reshape_on_flink_spark.session import repartition_for_python_stage
+
+    n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = spark.range(0, 20000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    )
+
+    def fn(key, b):
+        return pd.DataFrame({"k": [key[0]], "n": [len(b)]})
+
+    pinned = (
+        repartition_for_python_stage(df, "k")
+        .groupBy("k")
+        .applyInPandas(fn, "k long, n long")
+    )
+    n_parts = (
+        pinned.withColumn("p", F.spark_partition_id())
+        .select("p").distinct().count()
+    )
+    # every configured partition holds some of the 1000 keys
+    assert n_parts == min(n_conf, 1000)
+    # and the results are unchanged
+    assert pinned.agg(F.sum("n")).collect()[0][0] == 20000
+
+
+def test_retractable_topn_order_by_list_equals_synthetic_seq(spark):
+    """order_by=[cols...] (composite replay order) must replay exactly
+    like the old single synthetic sequence column built by a ROW_NUMBER
+    window — same emission history, same _change_seq values."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from reshape_on_flink_spark.streaming.changelog import retractable_topn
+
+    rows = [
+        (1, 10, 5), (1, 11, 9), (1, 12, 9), (1, 13, 2),
+        (1, 14, 9), (1, 15, 1), (2, 20, 7), (2, 21, 7), (2, 22, 3),
+    ]
+    base = spark.createDataFrame(rows, "k long, eid long, amt long")
+
+    # old shape: window rank -> oseq 2rn / 2rn+1, union of ins + dels
+    w = W.partitionBy("k").orderBy("eid")
+    seqd = base.withColumn("rn", F.row_number().over(w))
+    ins = seqd.select(
+        "k", F.lit("+I").alias("_change_type"), "eid", "amt",
+        (F.col("rn") * 2).cast("long").alias("oseq"),
+    )
+    dels = seqd.where(F.col("eid") % 3 == 0).select(
+        "k", F.lit("-D").alias("_change_type"), "eid", "amt",
+        (F.col("rn") * 2 + 1).cast("long").alias("oseq"),
+    )
+    old = retractable_topn(
+        ins.unionByName(dels), "k", [("amt", "desc"), ("eid", "asc")],
+        rank_end=2, output_rank_number=True, order_by="oseq",
+    )
+
+    # new shape: explode the RowKinds, composite (eid, '+I'<'-D') order
+    rec = base.select(
+        "k", "eid", "amt",
+        F.explode(
+            F.when(F.col("eid") % 3 == 0, F.array(F.lit("+I"), F.lit("-D")))
+            .otherwise(F.array(F.lit("+I")))
+        ).alias("_change_type"),
+    )
+    new = retractable_topn(
+        rec, "k", [("amt", "desc"), ("eid", "asc")],
+        rank_end=2, output_rank_number=True,
+        order_by=["eid", "_change_type"],
+    )
+
+    cols = ["_change_type", "k", "eid", "amt", "rank_num", "_change_seq"]
+    assert sorted(map(tuple, old.select(*cols).collect())) == sorted(
+        map(tuple, new.select(*cols).collect())
+    )
+
+
+def test_window_agg_changelog_order_by_list(spark):
+    """window_agg_changelog with a composite order list equals the
+    synthetic-oseq replay (tumble + the min/max retraction multiset)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from reshape_on_flink_spark.streaming.changelog import window_agg_changelog
+
+    rows = [
+        (1, 1, 10.0, 5.0), (1, 2, 20.0, 9.0), (1, 3, 30.0, 9.0),
+        (1, 4, 130.0, 2.0), (2, 5, 15.0, 7.0), (2, 6, 15.0, 3.0),
+    ]
+    base = spark.createDataFrame(rows, "k long, eid long, t double, amt double")
+    aggs = {"cnt": ("count", None), "s": ("sum", "amt"), "m": ("max", "amt")}
+
+    w = W.partitionBy("k").orderBy("t", "eid")
+    seqd = base.withColumn("rn", F.row_number().over(w))
+    ins = seqd.select(
+        "k", F.lit("+I").alias("_change_type"), "t", "amt",
+        (F.col("rn") * 2).cast("long").alias("oseq"),
+    )
+    dels = seqd.where(F.col("eid") % 3 == 0).select(
+        "k", F.lit("-D").alias("_change_type"), "t", "amt",
+        (F.col("rn") * 2 + 1).cast("long").alias("oseq"),
+    )
+    old = window_agg_changelog(
+        ins.unionByName(dels), "k", "t", aggs, size=100.0, order_by="oseq"
+    )
+
+    rec = base.select(
+        "k", "eid", "t", "amt",
+        F.explode(
+            F.when(F.col("eid") % 3 == 0, F.array(F.lit("+I"), F.lit("-D")))
+            .otherwise(F.array(F.lit("+I")))
+        ).alias("_change_type"),
+    )
+    new = window_agg_changelog(
+        rec, "k", "t", aggs, size=100.0, order_by=["t", "eid", "_change_type"]
+    )
+
+    cols = ["_change_type", "window_start", "window_end", "k", "cnt", "s", "m"]
+    assert sorted(map(tuple, old.select(*cols).collect())) == sorted(
+        map(tuple, new.select(*cols).collect())
+    )
