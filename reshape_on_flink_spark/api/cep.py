@@ -3354,18 +3354,16 @@ class PatternStream:
             ]
             + [f"__to_kl_{kk}" for kk in sorted(kill_specs)]
         )
-        if not streaming:
-            # Materialize the fully-decorated base ONCE before the
-            # multi-pass fan-out: every prefix plan, survival join and
-            # emission replay below re-derived base from scratch — the
-            # pre-fix q_cep_timeout_skip plan re-ran the events scan 15
-            # times and the ord/lookahead window stack per pass
-            # (plans/r13/q_cep_timeout_skip_before.txt; guide §3.3
-            # "materialising an intermediate truncates the plan", §5).
-            # MEMORY_AND_DISK-backed localCheckpoint: one bounded copy of
-            # the decorated input vs N full recomputes — the trade holds
-            # at any scale where the operator runs multiple passes.
-            base = base.localCheckpoint()
+        # Measured NON-WIN (round 13, interleaved on/off A/B at sf0.1,
+        # re-confirming the round-11 persist probe): localCheckpoint()ing
+        # the decorated base before the multi-pass fan-out LOST +0.7 to
+        # +3.4 s on every timeout query. The plans do re-derive base per
+        # pass (the skip plan re-runs the events scan 15x), but with the
+        # keyed Python stages pinned to full parallelism the recomputes
+        # are cheap codegen'd JVM work, while a checkpoint serializes one
+        # materialization and downgrades every downstream scan to a
+        # non-codegen ExistingRDD without pruning (guide §1: measure; §5:
+        # cache only when recompute beats the pressure — here it doesn't).
 
         def _iter_hits(rows, it_keys):
             """Per-assignment first ITERATIVE take tick (round 13): a

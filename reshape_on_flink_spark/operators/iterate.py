@@ -723,11 +723,6 @@ def coreness(
     )
     sym = sym.localCheckpoint()
     state0 = sym.groupBy("node").agg(F.count("*").alias("val"))
-    # the per-round value routing joins sym ∪ self-rows against the state
-    # ONCE: the self row carries the node's own previous value through
-    # the same shuffle, so the old second state-join (for the __changed
-    # flag) disappears (guide §2.4 — one exchange instead of two)
-    sym_flagged = sym.withColumn("_self", F.lit(False)).localCheckpoint()
 
     # Bulk iteration deliberately (NOT iterate_delta): the h-index
     # frontier does not shrink usefully on dense co-occurrence graphs —
@@ -741,39 +736,24 @@ def coreness(
     # same job, so the per-round cost is ONE checkpointed job plus a
     # LIMIT-1 probe on its result — not a separate join+count job.
     def step(state: DataFrame, _i: int) -> DataFrame:
-        # h-index in ONE join + ONE aggregate (was: join + window
-        # row_number + agg + a second state join — guide §2.4): route
-        # neighbor values along sym, carry each node's own previous
-        # value on a synthetic self row through the same shuffle, then
-        # compute h = max_i min(i, v_(i) desc) from the sorted value
-        # array — pure JVM expressions, no per-node sort pass beyond
-        # sort_array, and the __changed flag falls out of the same row.
-        with_self = sym_flagged.unionByName(
-            state.select(
-                "node", F.col("node").alias("nbr"), F.lit(True).alias("_self")
+        nbr_vals = sym.join(
+            state.select(F.col("node").alias("nbr"), "val"), "nbr"
+        ).select("node", "val")
+        ranked = nbr_vals.withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("node").orderBy(F.desc("val"))),
+        )
+        new_vals = ranked.groupBy("node").agg(
+            F.max(F.least(F.col("rn"), F.col("val"))).alias("nv")
+        )
+        return (
+            state.select("node", F.col("val").alias("pv"))
+            .join(new_vals, "node")
+            .select(
+                "node",
+                F.col("nv").alias("val"),
+                (F.col("nv") != F.col("pv")).alias("__changed"),
             )
-        )
-        routed = with_self.join(
-            state.select(F.col("node").alias("nbr"), F.col("val").alias("nv_in")),
-            "nbr",
-        ).select("node", "_self", "nv_in")
-        agg = routed.groupBy("node").agg(
-            F.max(F.when(F.col("_self"), F.col("nv_in"))).alias("pv"),
-            F.sort_array(
-                F.collect_list(F.when(~F.col("_self"), F.col("nv_in"))), False
-            ).alias("_vals"),
-        )
-        h = F.array_max(
-            F.zip_with(
-                F.col("_vals"),
-                F.sequence(F.lit(1).cast("long"), F.size("_vals").cast("long")),
-                lambda v, i: F.least(v, i),
-            )
-        )
-        return agg.select(
-            "node",
-            h.alias("val"),
-            (h != F.col("pv")).alias("__changed"),
         )
 
     def converged(_prev: DataFrame, new: DataFrame) -> bool:
