@@ -239,6 +239,30 @@ def ivf_centroids(dim: int, n_cells: int, seed: int = 7) -> list[list[float]]:
     return c.tolist()
 
 
+def _lit_2d(rows) -> Column:
+    """2-D DOUBLE array literal in ONE py4j call. PySpark's ``lit()`` on
+    a nested list recurses into one ``lit()`` per scalar — a cProfile of
+    ``pq_encode`` showed ~7k py4j round trips, ~2 s of driver wall per
+    plan BUILD (guide §7.3: driver-side single-threaded cost). A SQL
+    literal string parses JVM-side instead. Bit-exactness: ``repr()``
+    emits the shortest decimal that round-trips to the same IEEE-754
+    double and ``Double.parseDouble`` returns the nearest double, so the
+    parsed array is bit-identical to the lit() form."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in row) + ")"
+            for row in rows
+        )
+        + ")"
+    )
+
+
+def _lit_1d_long(vals) -> Column:
+    """1-D BIGINT array literal in ONE py4j call (see _lit_2d)."""
+    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+
+
 def _cell_of(vec_col: str | Column, centroids: list[list[float]]) -> Column:
     """Nearest cell id — defined as probe_cells(...)[0] so corpus
     assignment and query probing share one ordering spec (desc dot,
@@ -253,7 +277,7 @@ def _probe_cells(vec_col: str | Column, centroids: list[list[float]], nprobe: in
     identical arithmetic, ~n_cells·dim fewer py4j/tree nodes)."""
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     pairs = F.transform(
-        F.lit([[float(x) for x in cen] for cen in centroids]),
+        _lit_2d([float(x) for x in cen] for cen in centroids),
         lambda cen, i: F.struct(dot(v, cen).alias("d"), i.alias("cell")),
     )
     ordered = F.reverse(F.array_sort(pairs))  # by d desc, cell desc tiebreak
@@ -563,7 +587,7 @@ def pq_codebooks_trained(
         def code_of(s: int) -> Column:
             sub = _sub_slice(vec_col, s, d_sub)
             pairs = F.transform(
-                F.lit(books[s]),
+                _lit_2d(books[s]),
                 lambda cw, i: F.struct(_fold_l2(sub, cw).alias("d"), i.alias("code")),
             )
             return F.element_at(F.array_sort(pairs), 1)["code"]
@@ -633,7 +657,7 @@ def pq_encode(
     def code_of(s: int) -> Column:
         sub = _sub_slice(vec_col, s, d_sub)
         pairs = F.transform(
-            F.lit(books[s]),
+            _lit_2d(books[s]),
             lambda cw, i: F.struct(_fold_l2(sub, cw).alias("d"), i.alias("code")),
         )
         return F.element_at(F.array_sort(pairs), 1)["code"]
@@ -677,11 +701,9 @@ def pq_topk(
     # norms (fixed-point), exact integer sum across subspaces. One array
     # literal per subspace (see pq_encode on why not per-codeword nodes).
     n2_lit = [
-        F.lit(
-            [
-                int(math.floor(sum(x * x for x in books[s][c]) * PQ_SCALE + 0.5))
-                for c in range(k_codes)
-            ]
+        _lit_1d_long(
+            int(math.floor(sum(x * x for x in books[s][c]) * PQ_SCALE + 0.5))
+            for c in range(k_codes)
         )
         for s in range(m)
     ]
@@ -694,7 +716,7 @@ def pq_topk(
     def lut_of(s: int) -> Column:
         sub = _sub_slice(vec_col, s, d_sub)
         return F.transform(
-            F.lit(books[s]),
+            _lit_2d(books[s]),
             lambda cw: F.round(_fold_dot(sub, cw) * PQ_SCALE).cast("long"),
         ).alias(f"ql{s}")
 
@@ -800,11 +822,9 @@ def ivfpq_topk(
         extra_cols=(_cell_of(vec_col, cents).alias("cell"),),
     )
     n2_lit = [
-        F.lit(
-            [
-                int(math.floor(sum(x * x for x in books[s][c]) * PQ_SCALE + 0.5))
-                for c in range(k_codes)
-            ]
+        _lit_1d_long(
+            int(math.floor(sum(x * x for x in books[s][c]) * PQ_SCALE + 0.5))
+            for c in range(k_codes)
         )
         for s in range(m)
     ]
@@ -817,7 +837,7 @@ def ivfpq_topk(
     def lut_of(s: int) -> Column:
         sub = _sub_slice(vec_col, s, d_sub)
         return F.transform(
-            F.lit(books[s]),
+            _lit_2d(books[s]),
             lambda cw: F.round(_fold_dot(sub, cw) * PQ_SCALE).cast("long"),
         ).alias(f"ql{s}")
 

@@ -2708,7 +2708,6 @@ def q_changelog_join_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("bigint").alias("cnt"),
             F.col("amt_sum").cast("bigint").alias("amt_sum"),
         )
-        .orderBy("user_id", "_change_seq")
     )
 
 
@@ -2788,7 +2787,7 @@ def q_changelog_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         "amt_sum",
         F.col("amt_max").cast("double").alias("amt_max"),
-    ).orderBy("user_id", "ws")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2852,9 +2851,7 @@ def q_retractable_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=["event_id", "_change_type"],
     )
     final = changelog_normalize(out, ["user_id", "rank_num"], "_change_seq")
-    return final.select(
-        "user_id", "rank_num", "event_id", "amt"
-    ).orderBy("user_id", "rank_num")
+    return final.select("user_id", "rank_num", "event_id", "amt")
 
 
 # ---------------------------------------------------------------------------
@@ -2928,9 +2925,7 @@ def q_updatable_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         order_by=["event_id", "_change_type"],
     )
     final = changelog_normalize(out, ["user_id", "rank_num"], "_change_seq")
-    return final.select(
-        "user_id", "rank_num", "event_id", "amt"
-    ).orderBy("user_id", "rank_num")
+    return final.select("user_id", "rank_num", "event_id", "amt")
 
 
 # ---------------------------------------------------------------------------
@@ -3012,4 +3007,4 @@ def q_changelog_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         "amt_sum",
         F.col("amt_max").cast("double").alias("amt_max"),
-    ).orderBy("user_id", "ws")
+    )
