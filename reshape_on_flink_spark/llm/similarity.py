@@ -19,6 +19,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
@@ -247,13 +249,20 @@ def _lit_2d(rows) -> Column:
     literal string parses JVM-side instead. Bit-exactness: ``repr()``
     emits the shortest decimal that round-trips to the same IEEE-754
     double and ``Double.parseDouble`` returns the nearest double, so the
-    parsed array is bit-identical to the lit() form."""
+    parsed array is bit-identical to the lit() form. Non-finite values
+    are rejected loudly: ``repr(inf)`` would render as a bare ``inf``
+    token, which the SQL parser reads as an (unresolvable) column
+    reference — codebooks/centroids are finite by construction, so a
+    non-finite here is an upstream bug, not a value to encode."""
+
+    def _d(x: float) -> str:
+        if not math.isfinite(x):
+            raise ValueError(f"_lit_2d: non-finite codebook value {x!r}")
+        return f"CAST({x!r} AS DOUBLE)"
+
     return F.expr(
         "array("
-        + ",".join(
-            "array(" + ",".join(f"CAST({x!r} AS DOUBLE)" for x in row) + ")"
-            for row in rows
-        )
+        + ",".join("array(" + ",".join(_d(x) for x in row) + ")" for row in rows)
         + ")"
     )
 

@@ -735,47 +735,13 @@ def coreness(
     # __changed flag computed against the previous values inside the
     # same job, so the per-round cost is ONE checkpointed job plus a
     # LIMIT-1 probe on its result — not a separate join+count job.
-    import os as _os
-
-    sym_flagged = sym.withColumn("_self", F.lit(False)).localCheckpoint()
-
-    def step_hybrid(state: DataFrame, _i: int) -> DataFrame:
-        # window+self-row hybrid (round 13, guide §2.4): a flagged self
-        # row per node rides the SAME nbr-join shuffle and carries the
-        # node's previous value, so the old second state join (only for
-        # the __changed flag) disappears — while the h-index keeps the
-        # codegen'd Window/HashAggregate path (the collect_list fusion
-        # was a measured 3-4x NEGATIVE, see OPTIMIZATION_r13.md). The
-        # self row sorts LAST (False < True), so non-self rows keep the
-        # exact rn the plain formulation assigns.
-        with_self = sym_flagged.unionByName(
-            state.select(
-                "node", F.col("node").alias("nbr"), F.lit(True).alias("_self")
-            )
-        )
-        routed = with_self.join(
-            state.select(F.col("node").alias("nbr"), F.col("val").alias("nv_in")),
-            "nbr",
-        ).select("node", "_self", "nv_in")
-        ranked = routed.withColumn(
-            "rn",
-            F.row_number().over(
-                W.partitionBy("node").orderBy(F.asc("_self"), F.desc("nv_in"))
-            ),
-        )
-        agg = ranked.groupBy("node").agg(
-            F.max(
-                F.when(~F.col("_self"), F.least(F.col("rn"), F.col("nv_in")))
-            ).alias("nv"),
-            F.max(F.when(F.col("_self"), F.col("nv_in"))).alias("pv"),
-        )
-        return agg.select(
-            "node",
-            F.col("nv").alias("val"),
-            (F.col("nv") != F.col("pv")).alias("__changed"),
-        )
-
-    def step_plain(state: DataFrame, _i: int) -> DataFrame:
+    # NOTE (round 14): a "hybrid" step that rode a flagged self row on
+    # the nbr-join shuffle to drop the second state join was a measured
+    # 3.1x REGRESSION at sf0.1 (driver r13: 8.2s -> 25.4s; the wider
+    # shuffle + per-key extra row cost more than the avoided join).
+    # Reverted to the plain formulation; do not reintroduce without an
+    # interleaved A/B at sf0.1 and sf1.
+    def step(state: DataFrame, _i: int) -> DataFrame:
         nbr_vals = sym.join(
             state.select(F.col("node").alias("nbr"), "val"), "nbr"
         ).select("node", "val")
@@ -795,12 +761,6 @@ def coreness(
                 (F.col("nv") != F.col("pv")).alias("__changed"),
             )
         )
-
-    step = (
-        step_plain
-        if _os.environ.get("RESHAPE_CORENESS_STEP") == "plain"
-        else step_hybrid
-    )
 
     def converged(_prev: DataFrame, new: DataFrame) -> bool:
         return new.where(F.col("__changed")).isEmpty()

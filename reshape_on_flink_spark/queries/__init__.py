@@ -27,72 +27,29 @@ from pyspark.sql import DataFrame, SparkSession
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 # The driver's correctness gate checks the FIRST 50 registered queries, so
-# registration order is evidence-allocation. Rotation policy (round 4+):
-# queries with NO driver row in any prior round go first, then the ones
-# with the STALEST driver evidence (computed from the committed
-# CORRECTNESS_r*.json files). Queries left off this list still register
-# (merged() appends them in module order and they keep their prior-round
-# rows as evidence). merged() raises on unknown names.
+# registration order is evidence-allocation. Rotation policy (round 4+,
+# amended round 14): queries REWRITTEN/RESTRUCTURED in the current or the
+# previous round whose driver evidence predates the rewrite go FIRST
+# (rewritten-outranks-stalest — verdict r13 #3), then queries with NO
+# driver row, then the STALEST driver evidence (computed from the
+# committed CORRECTNESS_r*.json files). Queries left off this list still
+# register (merged() appends them in module order and they keep their
+# prior-round rows as evidence). merged() raises on unknown names.
 GATE_PRIORITY: tuple[str, ...] = (
-    # round-13 rotation (verdict r12 #7: keep cycling — recomputed from
-    # the committed CORRECTNESS_r*.json ledgers this round). After the
-    # r11+r12 driver runs, no query is driver-unchecked and the stalest
-    # evidence is: 19 queries last seen in round 4, then 50 last seen in
-    # round 5 (rounds 3-and-earlier all refreshed by r12). Order below =
-    # the full round-4 block, then round-5 alphabetical to fill the
-    # 50-slot cap (+19 queued spares past it). New round-13 gate queries
-    # (no driver row yet) are prepended as they land.
-    "q_cep_timeout_group_not",
-    "q_cep_timeout_group_greedy",
-    "q_cep_timeout_group_times",
-    "q_cep_timeout_comb_greedy",
-    "q_ds_scalar_count_grid",
-    "q_ds_ship_lag_matrix",
-    "q_ds_unpivot_monthly",
-    "q_ds_wide_star_yoy",
-    "q_ds_yoy_customer_filter",
-    "q_embedding_near_dup",
-    "q_embedding_quantize",
-    "q_filter_clause_agg",
-    "q_join_full_outer",
-    "q_join_left_outer",
-    "q_join_right_outer",
-    "q_join_semi",
-    "q_minhash_signatures",
-    "q_multimodal_features",
-    "q_multimodal_meta",
-    "q_nullsafe_join",
-    "q_quantized_topk",
-    "q_sequence_pack",
-    "q_star_join_region_revenue",
-    # latest driver evidence: round 5
-    "q_bigram_perplexity",
-    "q_bloom_decontam",
-    "q_cms_heavy_hitters",
-    "q_contamination_rate",
-    "q_corpus_assembly",
-    "q_corpus_overlap_minhash",
-    "q_corpus_trigram_topk",
-    "q_curation_v2",
-    "q_dedup_keep_best",
-    "q_doc_chunks",
-    "q_domain_upsample",
-    "q_ds_above_nation_avg_returns",
-    "q_ds_before_after_ratio",
-    "q_ds_bracketed_or_join",
-    "q_ds_channel_overlap_census",
-    "q_ds_correlated_exists_or",
-    "q_ds_correlated_window_ratio",
-    "q_ds_dual_rank_return_ratio",
-    "q_ds_exists_notexists_distinct",
-    "q_ds_first_purchase_cohort",
-    "q_ds_inventory_chain",
-    "q_ds_lifecycle_chain",
-    "q_ds_multi_cte_reuse",
-    "q_ds_ranked_dim_rollup",
-    "q_ds_revenue_share",
-    "q_ds_two_cte_union_channels",
-    "q_ds_two_year_star_join",
+    # round-14 rotation. Head block = the round-13 rewrites the r13
+    # driver sample did not cover: the five changelog gates (restructured
+    # in queries/streaming_batch.py, last driver-checked r11), coreness
+    # (step reverted to the plain formulation this round, last checked
+    # r7), and the PQ-literal similarity rewrite (last checked r5).
+    "q_graph_coreness",
+    "q_changelog_window_agg",
+    "q_changelog_session_agg",
+    "q_changelog_join_transitions",
+    "q_retractable_topn",
+    "q_updatable_topn",
+    "q_similarity_pq_rerank",
+    # stalest driver evidence: round 5 (the 22 round-5 names the r13
+    # 50-slot cap left behind; pq_rerank moved to the head block)
     "q_ds_variance_flag_chain",
     "q_funnel_conversion",
     "q_hist_quantiles",
@@ -110,12 +67,55 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_shard_manifest",
     "q_similarity_ivfpq",
     "q_similarity_pq",
-    "q_similarity_pq_rerank",
     "q_stratified_sample",
     "q_text_normalize",
     "q_tfidf_top_terms",
     "q_train_val_test_split",
     "q_unigram_perplexity",
+    # stalest driver evidence: round 7 (alphabetical fill to the 50-slot
+    # cap; coreness moved to the head block; the rest of the round-7
+    # block queues past the cap as spares)
+    "q6_forecast_revenue",
+    "q_agg_distinct",
+    "q_agg_minmax_by",
+    "q_cep_fluent",
+    "q_contrastive_pairs",
+    "q_count_evictor",
+    "q_count_window",
+    "q_cube",
+    "q_dedup_keep_first",
+    "q_dedup_keep_last",
+    "q_except",
+    "q_graph_bipartite_projection",
+    "q_graph_clustering_coeff",
+    "q_graph_community",
+    "q_graph_degrees",
+    "q_graph_hits",
+    "q_graph_jaccard",
+    "q_graph_kcore",
+    "q_graph_label_propagation",
+    "q_graph_metrics",
+    "q_graph_pagerank",
+    # spares past the 50-slot cap (round-7 block continued)
+    "q_graph_pregel",
+    "q_graph_sssp",
+    "q_graph_summarize",
+    "q_graph_triangles",
+    "q_hard_negatives",
+    "q_having",
+    "q_intersect",
+    "q_json_construct",
+    "q_match_recognize_within",
+    "q_order_limit",
+    "q_pivot",
+    "q_rollup",
+    "q_salted_join",
+    "q_similar_to",
+    "q_similarity_pq_trained",
+    "q_stats_moments",
+    "q_table_api_pipeline",
+    "q_temperature_mix",
+    "q_topk_per_group",
 )
 
 

@@ -515,7 +515,14 @@ def join_changelog(
     shared global sequence column (present in both inputs) pinning the
     interleaving of the two sides inside a micro-batch — required for
     deterministic replays, exactly like ``to_retract_stream``'s
-    ``order_by``. Per-record emission is the reference's own contract
+    ``order_by``. DELIBERATE divergence from ``_order_spec``'s list-form
+    contract: here order columns (single OR list form) are always
+    replay-sequence metadata shared by both sides and are EXCLUDED from
+    the joined payload — the flat output carries each side's payload
+    columns exactly once, and a shared order column would otherwise
+    collide across sides. Callers that want an order column in the
+    output should duplicate it under another name before joining.
+    Per-record emission is the reference's own contract
     (no minibatch mode exists for this operator); output is O(matches
     touched), so the per-row walk matches the output cost.
 
@@ -1061,6 +1068,9 @@ def window_agg_changelog(
         return late
 
     _wagg_order_cols, _ = _order_spec(order_by)
+    for _c in _wagg_order_cols or ():
+        if _c not in sdf.columns:
+            raise ValueError(f"unknown order_by column {_c!r}")
 
     def _sorted(batch):
         sort_col = _wagg_order_cols if _wagg_order_cols is not None else (
@@ -1198,6 +1208,9 @@ def retractable_topn(
         if d not in ("asc", "desc"):
             raise ValueError(f"sort direction must be asc/desc, got {d!r}")
     _rt_order_cols, _rt_order_skip = _order_spec(order_by)
+    for _c in _rt_order_cols or ():
+        if _c not in fields:
+            raise ValueError(f"unknown order_by column {_c!r}")
     skip = set(keys) | {CHANGE_COL} | _rt_order_skip
     payload = [c for c in sdf.columns if c not in skip]
     miss = [c for c, _d in sort_cols if c not in payload]
@@ -1565,6 +1578,9 @@ def updatable_topn(
         if d not in ("asc", "desc"):
             raise ValueError(f"sort direction must be asc/desc, got {d!r}")
     _ut_order_cols, _ut_order_skip = _order_spec(order_by)
+    for _c in _ut_order_cols or ():
+        if _c not in fields:
+            raise ValueError(f"unknown order_by column {_c!r}")
     skip = set(keys) | {CHANGE_COL} | _ut_order_skip
     payload = [c for c in sdf.columns if c not in skip]
     for c in rks:
@@ -1881,6 +1897,9 @@ def dedup_keep_last_changelog(
             f"consume_changelog=True needs a {CHANGE_COL!r} column on the input"
         )
     _dl_order_cols, _dl_order_skip = _order_spec(order_by)
+    for _c in _dl_order_cols or ():
+        if _c not in fields:
+            raise ValueError(f"unknown order_by column {_c!r}")
     skip = set(keys) | {CHANGE_COL} | _dl_order_skip
     payload = [c for c in sdf.columns if c not in skip]
 

@@ -1517,8 +1517,12 @@ def test_python_stage_partitions_pinned(spark):
         pinned.withColumn("p", F.spark_partition_id())
         .select("p").distinct().count()
     )
-    # every configured partition holds some of the 1000 keys
-    assert n_parts == min(n_conf, 1000)
+    # the pinned fan-out spreads the 1000 keys across (most of) the
+    # configured partitions — a lower bound, not exact coverage: on a
+    # high-core box (shuffle.partitions >> 32) hashing 1000 keys leaves
+    # some buckets empty in expectation. Anything > n_conf//2 is still
+    # unambiguously distinct from AQE's 1-2 coalesced partitions.
+    assert n_parts > min(n_conf, 1000) // 2
     # and the results are unchanged
     assert pinned.agg(F.sum("n")).collect()[0][0] == 20000
 
