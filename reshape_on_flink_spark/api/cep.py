@@ -3310,6 +3310,12 @@ class PatternStream:
         it_scan_keys = sorted(
             k for k in scan_specs if scan_specs[k][2] is not None
         )
+        # decorations batched into ONE select (not one withColumn each —
+        # every withColumn rebuilds + re-analyzes the whole plan; the
+        # timeout family spent 1.4-3.8 s/query of driver wall in plan
+        # construction, guide §7.3). No decoration references another,
+        # so one projection is equivalent.
+        deco_cols = []
         for key in sorted(scan_specs):
             cond, _pc, itc = scan_specs[key]
             if itc is not None:
@@ -3318,11 +3324,12 @@ class PatternStream:
                 # the STATIC flag only; the per-assignment cogroup pass
                 # in _timeouts evaluates the iterative part against
                 # each branch's own partial match
-                base = base.withColumn(
-                    f"__to_its_{key}",
-                    F.lit(True)
-                    if cond is None  # iterative-only: static part true
-                    else F.coalesce(cond, F.lit(False)),
+                deco_cols.append(
+                    (
+                        F.lit(True)
+                        if cond is None  # iterative-only: static part true
+                        else F.coalesce(cond, F.lit(False))
+                    ).alias(f"__to_its_{key}")
                 )
                 continue
             src = (
@@ -3330,21 +3337,26 @@ class PatternStream:
                 if cond is not None
                 else F.col("__to_tick")
             )
-            base = base.withColumn(f"__to_nt_{key}", F.min(src).over(wfollow))
+            deco_cols.append(
+                F.min(src).over(wfollow).alias(f"__to_nt_{key}")
+            )
         for kk in sorted(kill_specs):
             # struct min = FIRST kill event in rid order: the rid makes
             # the 'adj' (not_next) adjacency test tie-proof — with
             # duplicate order values a same-tick but non-adjacent kill
             # event must not be mistaken for the directly-adjacent one
-            base = base.withColumn(
-                f"__to_kl_{kk}",
+            deco_cols.append(
                 F.min(
                     F.when(
                         kill_specs[kk][0],
                         F.struct("__to_rid", "__to_tick"),
                     )
-                ).over(wfollow),
+                )
+                .over(wfollow)
+                .alias(f"__to_kl_{kk}")
             )
+        if deco_cols:
+            base = base.select("*", *deco_cols)
         last_cols = (
             ["__to_next_any"]
             + [

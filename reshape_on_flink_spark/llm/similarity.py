@@ -255,21 +255,31 @@ def _lit_2d(rows) -> Column:
     reference — codebooks/centroids are finite by construction, so a
     non-finite here is an upstream bug, not a value to encode."""
 
-    def _d(x: float) -> str:
-        if not math.isfinite(x):
-            raise ValueError(f"_lit_2d: non-finite codebook value {x!r}")
-        return f"CAST({x!r} AS DOUBLE)"
+    return F.expr(_sql_2d(rows))
 
-    return F.expr(
+
+def _sql_d(x: float) -> str:
+    if not math.isfinite(x):
+        raise ValueError(f"_sql_d: non-finite codebook value {x!r}")
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+def _sql_2d(rows) -> str:
+    """SQL text of a 2-D DOUBLE array literal (see _lit_2d)."""
+    return (
         "array("
-        + ",".join("array(" + ",".join(_d(x) for x in row) + ")" for row in rows)
+        + ",".join("array(" + ",".join(_sql_d(x) for x in row) + ")" for row in rows)
         + ")"
     )
 
 
 def _lit_1d_long(vals) -> Column:
     """1-D BIGINT array literal in ONE py4j call (see _lit_2d)."""
-    return F.expr("array(" + ",".join(f"{int(v)}L" for v in vals) + ")")
+    return F.expr(_sql_1d_long(vals))
+
+
+def _sql_1d_long(vals) -> str:
+    return "array(" + ",".join(f"{int(v)}L" for v in vals) + ")"
 
 
 def _cell_of(vec_col: str | Column, centroids: list[list[float]]) -> Column:
@@ -593,19 +603,11 @@ def pq_codebooks_trained(
     d_sub = dim // m
     books = pq_codebooks(corpus, m, k_codes, dim, id_col, vec_col)
     for _ in range(n_iters):
-        def code_of(s: int) -> Column:
-            sub = _sub_slice(vec_col, s, d_sub)
-            pairs = F.transform(
-                _lit_2d(books[s]),
-                lambda cw, i: F.struct(_fold_l2(sub, cw).alias("d"), i.alias("code")),
-            )
-            return F.element_at(F.array_sort(pairs), 1)["code"]
-
         quads = F.array(
             *[
                 F.struct(
                     F.lit(s).alias("s"),
-                    code_of(s).alias("code"),
+                    F.expr(_code_of_sql(vec_col, books[s], s, d_sub)).alias("code"),
                     _sub_slice(vec_col, s, d_sub).alias("sv"),
                 )
                 for s in range(m)
@@ -642,6 +644,56 @@ def _fold_dot(sub: Column, cw: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+# --- SQL-string compiles of the PQ per-subspace expressions -------------
+#
+# Each lambda-form builder above (`F.transform(..., lambda ...)` wrapping
+# `_fold_l2` / `_fold_dot`) costs tens of py4j round trips PER CALL while
+# the plan is built — ~1 s of single-threaded driver wall across the
+# m-subspace loops of pq_encode/pq_topk (guide §7.3, same finding as
+# _lit_2d). The functions below emit the IDENTICAL Catalyst tree as one
+# SQL string parsed JVM-side: same zip_with/aggregate fold order, same
+# double casts, `0.0D` parses to the same DoubleType literal as
+# F.lit(0.0), int literals stay IntegerType, and named_struct/array_sort/
+# element_at map 1:1 onto the Column-API nodes — so the arithmetic is
+# bit-identical (the oracle hash gate on the similarity family is the
+# proof). Keep the Column forms above: they document the semantics and
+# serve the non-PQ callers.
+
+
+def _sub_slice_sql(vec_col: str, s: int, d_sub: int) -> str:
+    return f"slice(`{vec_col}`, {s * d_sub + 1}, {d_sub})"
+
+
+def _code_of_sql(vec_col: str, book: list[list[float]], s: int, d_sub: int) -> str:
+    """SQL text of pq_encode's per-subspace nearest-codeword id:
+    element_at(array_sort(transform(B, (cw,i) -> struct(L2, i))), 1).code
+    with L2 = aggregate(zip_with(sub, cw, (a,b)->(a-b)^2), 0.0, +)."""
+    sub = _sub_slice_sql(vec_col, s, d_sub)
+    l2 = (
+        f"aggregate(zip_with({sub}, cw, (a, b) -> "
+        "(CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), 0.0D, "
+        "(acc, x) -> acc + x)"
+    )
+    return (
+        f"element_at(array_sort(transform({_sql_2d(book)}, "
+        f"(cw, i) -> named_struct('d', {l2}, 'code', i))), 1).code"
+    )
+
+
+def _lut_of_sql(vec_col: str, book: list[list[float]], s: int, d_sub: int) -> str:
+    """SQL text of pq_topk's per-subspace fixed-point LUT:
+    transform(B, cw -> CAST(round(dot(sub, cw) * PQ_SCALE) AS BIGINT))."""
+    sub = _sub_slice_sql(vec_col, s, d_sub)
+    dot_ = (
+        f"aggregate(zip_with({sub}, cw, (a, b) -> CAST(a AS DOUBLE) * b), "
+        "0.0D, (acc, x) -> acc + x)"
+    )
+    return (
+        f"transform({_sql_2d(book)}, "
+        f"cw -> CAST(round({dot_} * {PQ_SCALE}) AS BIGINT))"
+    )
+
+
 def pq_encode(
     corpus: DataFrame,
     books: list[list[list[float]]],
@@ -663,18 +715,15 @@ def pq_encode(
     m = len(books)
     d_sub = len(books[0][0])  # noqa: F841  (shape doc; slices derive from it)
 
-    def code_of(s: int) -> Column:
-        sub = _sub_slice(vec_col, s, d_sub)
-        pairs = F.transform(
-            _lit_2d(books[s]),
-            lambda cw, i: F.struct(_fold_l2(sub, cw).alias("d"), i.alias("code")),
-        )
-        return F.element_at(F.array_sort(pairs), 1)["code"]
-
+    # one JVM-side expr() parse per subspace instead of a lambda tree
+    # built node-by-node over py4j (see _code_of_sql)
     return corpus.select(
         F.col(id_col).alias("neighbor_id"),
         *extra_cols,
-        *[code_of(s).alias(f"c{s}") for s in range(m)],
+        *[
+            F.expr(_code_of_sql(vec_col, books[s], s, d_sub)).alias(f"c{s}")
+            for s in range(m)
+        ],
     )
 
 
@@ -709,33 +758,29 @@ def pq_topk(
     # reconstruction norm^2 per row: literal lookup of per-codeword
     # norms (fixed-point), exact integer sum across subspaces. One array
     # literal per subspace (see pq_encode on why not per-codeword nodes).
-    n2_lit = [
-        _lit_1d_long(
+    n2_sql = [
+        _sql_1d_long(
             int(math.floor(sum(x * x for x in books[s][c]) * PQ_SCALE + 0.5))
             for c in range(k_codes)
         )
         for s in range(m)
     ]
-    recon2f = sum(
-        [F.element_at(n2_lit[s], F.col(f"c{s}") + 1) for s in range(m)],
-        F.lit(0).cast("long"),
+    recon2f = F.expr(
+        "CAST(0 AS BIGINT)"
+        + "".join(f" + element_at({n2_sql[s]}, (`c{s}` + 1))" for s in range(m))
     )
     enc = enc.withColumn("_r2f", recon2f)
 
-    def lut_of(s: int) -> Column:
-        sub = _sub_slice(vec_col, s, d_sub)
-        return F.transform(
-            _lit_2d(books[s]),
-            lambda cw: F.round(_fold_dot(sub, cw) * PQ_SCALE).cast("long"),
-        ).alias(f"ql{s}")
-
-    qlut = [lut_of(s) for s in range(m)]
+    qlut = [
+        F.expr(_lut_of_sql(vec_col, books[s], s, d_sub)).alias(f"ql{s}")
+        for s in range(m)
+    ]
     q = queries.select(
         F.col(id_col).alias("query_id"), norm(vec_col).alias("_qn"), *qlut
     )
-    adf = sum(
-        [F.element_at(F.col(f"ql{s}"), F.col(f"c{s}") + 1) for s in range(m)],
-        F.lit(0).cast("long"),
+    adf = F.expr(
+        "CAST(0 AS BIGINT)"
+        + "".join(f" + element_at(`ql{s}`, (`c{s}` + 1))" for s in range(m))
     )
     cos_pq = (adf.cast("double") / F.lit(float(PQ_SCALE))) / (
         F.col("_qn")
@@ -830,36 +875,32 @@ def ivfpq_topk(
         corpus, books, id_col, vec_col,
         extra_cols=(_cell_of(vec_col, cents).alias("cell"),),
     )
-    n2_lit = [
-        _lit_1d_long(
+    n2_sql = [
+        _sql_1d_long(
             int(math.floor(sum(x * x for x in books[s][c]) * PQ_SCALE + 0.5))
             for c in range(k_codes)
         )
         for s in range(m)
     ]
-    recon2f = sum(
-        [F.element_at(n2_lit[s], F.col(f"c{s}") + 1) for s in range(m)],
-        F.lit(0).cast("long"),
+    recon2f = F.expr(
+        "CAST(0 AS BIGINT)"
+        + "".join(f" + element_at({n2_sql[s]}, (`c{s}` + 1))" for s in range(m))
     )
     enc = enc.withColumn("_r2f", recon2f)
-
-    def lut_of(s: int) -> Column:
-        sub = _sub_slice(vec_col, s, d_sub)
-        return F.transform(
-            _lit_2d(books[s]),
-            lambda cw: F.round(_fold_dot(sub, cw) * PQ_SCALE).cast("long"),
-        ).alias(f"ql{s}")
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
         norm(vec_col).alias("_qn"),
         F.col(vec_col).alias("qvec"),
-        *[lut_of(s) for s in range(m)],
+        *[
+            F.expr(_lut_of_sql(vec_col, books[s], s, d_sub)).alias(f"ql{s}")
+            for s in range(m)
+        ],
         F.explode(_probe_cells(vec_col, cents, nprobe)).alias("cell"),
     )
-    adf = sum(
-        [F.element_at(F.col(f"ql{s}"), F.col(f"c{s}") + 1) for s in range(m)],
-        F.lit(0).cast("long"),
+    adf = F.expr(
+        "CAST(0 AS BIGINT)"
+        + "".join(f" + element_at(`ql{s}`, (`c{s}` + 1))" for s in range(m))
     )
     cos_pq = (adf.cast("double") / F.lit(float(PQ_SCALE))) / (
         F.col("_qn")

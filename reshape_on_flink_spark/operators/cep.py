@@ -1125,9 +1125,15 @@ def match_recognize(
         symbols.index(s) for s in (filler_syms or ()) if s in symbols
     )
 
-    flagged = df
-    for s in all_syms:
-        flagged = flagged.withColumn(f"__sym_{s}", F.coalesce(define[s], F.lit(False)))
+    # one select, not one withColumn per symbol (each withColumn rebuilds
+    # and re-analyzes the whole plan — guide §7.3 driver-side cost)
+    flagged = df.select(
+        "*",
+        *[
+            F.coalesce(define[s], F.lit(False)).alias(f"__sym_{s}")
+            for s in all_syms
+        ],
+    )
 
     out_fields = [f for f in df.schema.fields]
     schema_out = (
@@ -1479,7 +1485,7 @@ def match_recognize_multi(
     order_by = [order_by] if isinstance(order_by, str) else list(order_by)
 
     compiled = []
-    flagged = df
+    flag_cols: list = []  # (name, Column) — appended in ONE select below
     for j, p in enumerate(plans):
         pattern = p["pattern"]
         define = dict(p["define"])
@@ -1518,7 +1524,7 @@ def match_recognize_multi(
         user_set = set(p["user_syms"])
         sym_cols = [f"__p{j}_{s}" for s in symbols]
         for s, c in zip(symbols, sym_cols):
-            flagged = flagged.withColumn(c, F.coalesce(define[s], F.lit(False)))
+            flag_cols.append((c, F.coalesce(define[s], F.lit(False))))
         after_match = p.get("after_match", "no_skip")
         skip = _parse_after_match(after_match, symbols)
         compiled.append(
@@ -1558,6 +1564,15 @@ def match_recognize_multi(
                 ),
             )
         )
+
+    # ONE select instead of one withColumn per symbol per plan: each
+    # withColumn rebuilds (and re-analyzes) the whole logical plan, so a
+    # 5-plan x 6-symbol timeout family paid ~30 plan rebuilds of driver
+    # wall per query build (guide §7.3 — measured: q_cep_timeout_group_*
+    # spent 1.4-3.8 s, ~half the query, in DataFrame construction).
+    flagged = df.select(
+        "*", *[col.alias(c) for c, col in flag_cols]
+    ) if flag_cols else df
 
     out_fields = list(df.schema.fields)
     data_cols = [f.name for f in out_fields]

@@ -1,6 +1,7 @@
-"""Capture .explain('formatted') for headline queries -> plans/r13/.
+"""Capture .explain('formatted') for headline queries -> plans/<round>/.
 
 Usage: python tools/capture_plans.py [before|after] [query ...]
+Round dir from $PLANS_ROUND (default r14).
 
 Writes plans/r13/<name>_<tag>.txt for each headline query (or the named
 subset). Plans are captured at $SPARK_GRAFT_SF_DIR (default sf0.1) — the
@@ -30,7 +31,9 @@ def main() -> None:
     queries, _ = merged()
     spark = get_spark("capture_plans")
     out_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PLANS_ROUND", "r14"),
     )
     os.makedirs(out_dir, exist_ok=True)
 
