@@ -3466,14 +3466,19 @@ class PatternStream:
                 )
 
             from reshape_on_flink_spark.session import (
+                PYTHON_STAGE_TASK_BYTES,
                 repartition_for_python_stage,
             )
 
             return (
-                repartition_for_python_stage(asg, list(keys))
+                repartition_for_python_stage(
+                    asg, list(keys), task_bytes=PYTHON_STAGE_TASK_BYTES
+                )
                 .groupBy(*keys)
                 .cogroup(
-                    repartition_for_python_stage(ev, list(keys)).groupBy(*keys)
+                    repartition_for_python_stage(
+                        ev, list(keys), task_bytes=PYTHON_STAGE_TASK_BYTES
+                    ).groupBy(*keys)
                 )
                 .applyInPandas(fn, schema=schema_out)
             )

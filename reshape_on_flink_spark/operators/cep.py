@@ -1259,10 +1259,15 @@ def match_recognize(
         return out
 
     if impl == "grouped":
-        from reshape_on_flink_spark.session import repartition_for_python_stage
+        from reshape_on_flink_spark.session import (
+            PYTHON_STAGE_TASK_BYTES,
+            repartition_for_python_stage,
+        )
 
         return (
-            repartition_for_python_stage(flagged, list(partition_by))
+            repartition_for_python_stage(
+                flagged, list(partition_by), task_bytes=PYTHON_STAGE_TASK_BYTES
+            )
             .groupBy(*partition_by)
             .applyInPandas(process_group, schema=schema_out)
         )
@@ -1430,11 +1435,14 @@ def match_recognize(
     # keys are hash-partitioned and made contiguous + ordered within
     # partitions, so no per-key pandas sort is needed; memory is bounded
     # by one Arrow batch + the largest single key's rows (the carry)
-    from reshape_on_flink_spark.session import repartition_for_python_stage
-
-    sorted_df = repartition_for_python_stage(flagged, part_cols).sortWithinPartitions(
-        *part_cols, *order_by
+    from reshape_on_flink_spark.session import (
+        PYTHON_STAGE_TASK_BYTES,
+        repartition_for_python_stage,
     )
+
+    sorted_df = repartition_for_python_stage(
+        flagged, part_cols, task_bytes=PYTHON_STAGE_TASK_BYTES
+    ).sortWithinPartitions(*part_cols, *order_by)
     return sorted_df.mapInPandas(run_chunks, schema=schema_out)
 
 
@@ -1811,11 +1819,14 @@ def match_recognize_multi(
             if out is not None:
                 yield out
 
-    from reshape_on_flink_spark.session import repartition_for_python_stage
-
-    sorted_df = repartition_for_python_stage(flagged, part_cols).sortWithinPartitions(
-        *part_cols, *order_by
+    from reshape_on_flink_spark.session import (
+        PYTHON_STAGE_TASK_BYTES,
+        repartition_for_python_stage,
     )
+
+    sorted_df = repartition_for_python_stage(
+        flagged, part_cols, task_bytes=PYTHON_STAGE_TASK_BYTES
+    ).sortWithinPartitions(*part_cols, *order_by)
     return sorted_df.mapInPandas(run_chunks, schema=schema_out)
 
 
@@ -3236,10 +3247,15 @@ def skip_prune_verdicts(
         out["__srid"] = p.loc[killed, "__a"].astype("int64").to_numpy()
         return out
 
-    from reshape_on_flink_spark.session import repartition_for_python_stage
+    from reshape_on_flink_spark.session import (
+        PYTHON_STAGE_TASK_BYTES,
+        repartition_for_python_stage,
+    )
 
     return (
-        repartition_for_python_stage(tagged, list(keys))
+        repartition_for_python_stage(
+            tagged, list(keys), task_bytes=PYTHON_STAGE_TASK_BYTES
+        )
         .groupBy(*keys)
         .applyInPandas(run, out_schema)
     )

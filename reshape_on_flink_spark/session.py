@@ -83,7 +83,29 @@ def get_spark(app_name: str = "reshape_on_flink_spark", *, cores: int | None = N
     return spark
 
 
-def repartition_for_python_stage(df: DataFrame, cols) -> DataFrame:
+#: Target input bytes per Python-stage task (optimizer estimate — for
+#: parquet-backed inputs that is COMPRESSED bytes, ~5-10x denser than
+#: the in-flight rows). Python keyed stages cost per ROW, not per byte,
+#: so this sits far below the JVM advisory partition size (256 MB): the
+#: r13 scaling block measured the CEP/changelog family ~MIN at an
+#: 8-way fan-out of the ~1.5-2 MB sf0.1 estimates, i.e. ~256 KiB of
+#: estimate per task. Env-overridable for cluster tuning.
+PYTHON_STAGE_TASK_BYTES = int(
+    os.environ.get("RESHAPE_PY_STAGE_TASK_BYTES", 256 * 1024)
+)
+
+#: Never cap the fan-out below this many partitions: a wrong-low
+#: optimizer estimate (post-filter selectivity guesses) must not
+#: serialize a genuinely heavy Python stage — 1-2 partitions is the
+#: exact failure the pin exists to prevent.
+PYTHON_STAGE_MIN_PARTITIONS = int(
+    os.environ.get("RESHAPE_PY_STAGE_MIN_PARTITIONS", 8)
+)
+
+
+def repartition_for_python_stage(
+    df: DataFrame, cols, *, task_bytes: int | None = None
+) -> DataFrame:
     """Hash-repartition ``df`` by ``cols`` with an EXPLICIT partition
     count for a downstream Python stage (``applyInPandas`` /
     ``mapInPandas`` keyed scans).
@@ -103,9 +125,21 @@ def repartition_for_python_stage(df: DataFrame, cols) -> DataFrame:
     The count follows ``spark.sql.shuffle.partitions`` — the
     deployment's configured starting parallelism (set per cluster; the
     local default tracks $SPARK_GRAFT_CPUS) — NOT a hard-coded local
-    constant. Empty partitions (fewer live keys than N) cost only task
-    launches; per-key skew inside a Python stage is bounded by the
-    largest single key either way.
+    constant. Stages whose per-partition FIXED cost dominates at small
+    inputs (round 14, verdict item 6: the CEP scans — per-partition
+    plan/flag/numpy setup, measured 1.2-1.9x faster at sf0.1 when the
+    fan-out tracks input size) pass ``task_bytes`` to additionally cap
+    the width at ``ceil(estimated_bytes / task_bytes)``, floored at
+    :data:`PYTHON_STAGE_MIN_PARTITIONS`. The cap self-removes at scale
+    (a 10x input estimate re-opens the full configured width) and on
+    estimate failure (unknown/huge sizeInBytes ⇒ full width), so it is
+    a small-input overhead bound, not a parallelism limit. Stages whose
+    per-ROW cost dominates (the changelog replay processors — the only
+    bench entries that SCALE with cores in the r13 driver's 8-vs-32
+    block, and measured 0.6-0.8x under a forced cap) keep the full
+    width: leave ``task_bytes`` None. Empty partitions (fewer live keys
+    than N) cost only task launches; per-key skew inside a Python stage
+    is bounded by the largest single key either way.
     """
     from pyspark.sql import functions as F
 
@@ -115,6 +149,18 @@ def repartition_for_python_stage(df: DataFrame, cols) -> DataFrame:
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     except Exception:
         n = spark.sparkContext.defaultParallelism
+    if task_bytes:
+        try:
+            est = int(
+                str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            )
+            if 0 < est < n * task_bytes:
+                n = min(n, max(
+                    PYTHON_STAGE_MIN_PARTITIONS,
+                    -(-est // task_bytes),
+                ))
+        except Exception:
+            pass  # no estimate -> keep the configured width
     return df.repartition(n, *[F.col(c) for c in cols])
 
 

@@ -1518,13 +1518,48 @@ def test_python_stage_partitions_pinned(spark):
         .select("p").distinct().count()
     )
     # the pinned fan-out spreads the 1000 keys across (most of) the
-    # configured partitions — a lower bound, not exact coverage: on a
-    # high-core box (shuffle.partitions >> 32) hashing 1000 keys leaves
-    # some buckets empty in expectation. Anything > n_conf//2 is still
-    # unambiguously distinct from AQE's 1-2 coalesced partitions.
-    assert n_parts > min(n_conf, 1000) // 2
+    # pinned width — a lower bound, not exact coverage: hashing can
+    # leave buckets empty in expectation. Round 14: the pin caps its
+    # width for SMALL estimated inputs (this 20k-row range is one), but
+    # never below PYTHON_STAGE_MIN_PARTITIONS — anything above half the
+    # floor is still unambiguously distinct from AQE's 1-2 coalesced
+    # partitions, which is the failure the pin defends against.
+    from reshape_on_flink_spark.session import PYTHON_STAGE_MIN_PARTITIONS
+
+    floor = min(n_conf, PYTHON_STAGE_MIN_PARTITIONS, 1000)
+    assert n_parts > floor // 2
     # and the results are unchanged
     assert pinned.agg(F.sum("n")).collect()[0][0] == 20000
+
+
+def test_python_stage_pin_cap_scales_with_input(spark):
+    """The round-14 size cap on repartition_for_python_stage: a small
+    estimated input pins to the floor (not 1-2, not the full configured
+    width); a large estimated input re-opens the configured width."""
+    from pyspark.sql import functions as F
+
+    from reshape_on_flink_spark.session import (
+        PYTHON_STAGE_MIN_PARTITIONS,
+        PYTHON_STAGE_TASK_BYTES,
+        repartition_for_python_stage,
+    )
+
+    n_conf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    small = spark.range(0, 1000).select((F.col("id") % 97).alias("k"))
+    n_small = repartition_for_python_stage(
+        small, "k", task_bytes=PYTHON_STAGE_TASK_BYTES
+    ).rdd.getNumPartitions()
+    assert n_small == min(n_conf, PYTHON_STAGE_MIN_PARTITIONS)
+    # without task_bytes (per-ROW-cost stages) the width stays configured
+    n_def = repartition_for_python_stage(small, "k").rdd.getNumPartitions()
+    assert n_def == n_conf
+    # wide enough that the optimizer estimate clears n_conf * target
+    big_rows = (n_conf * PYTHON_STAGE_TASK_BYTES) // 8  # ~8 bytes/long row
+    big = spark.range(0, big_rows * 2).select((F.col("id") % 1000).alias("k"))
+    n_big = repartition_for_python_stage(
+        big, "k", task_bytes=PYTHON_STAGE_TASK_BYTES
+    ).rdd.getNumPartitions()
+    assert n_big == n_conf
 
 
 def test_retractable_topn_order_by_list_equals_synthetic_seq(spark):

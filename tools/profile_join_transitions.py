@@ -32,6 +32,20 @@ VARIANTS: dict[str, dict[str, str]] = {
     "async_progress": {
         "spark.sql.streaming.asyncProgressTrackingEnabled": "true"
     },
+    "rocksdb": {
+        "spark.sql.streaming.stateStore.providerClass":
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+    },
+    "no_snapshots": {
+        # with <=5 micro-batches the HDFS provider never snapshots anyway;
+        # confirm that's true (a null result is evidence)
+        "spark.sql.streaming.stateStore.minDeltasForSnapshot": "100"
+    },
+    "unload_off": {
+        # keep loaded state store providers resident across batches
+        "spark.sql.streaming.stateStore.maintenanceInterval": "600s"
+    },
     "combo": {
         "spark.sql.streaming.noDataMicroBatches.enabled": "false",
         "spark.sql.streaming.stateStore.formatValidation.enabled": "false",
