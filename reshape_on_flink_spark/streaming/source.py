@@ -15,12 +15,6 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (
-    DateType,
-    NumericType,
-    TimestampNTZType,
-    TimestampType,
-)
 
 from reshape_on_flink_spark.session import ensure_confs
 
@@ -40,56 +34,50 @@ def chunked_replay(
     os.makedirs(out_dir)
     schema = df.schema
     # time-ordered chunk assignment WITHOUT a global window (an
-    # unpartitioned ntile() funnels the whole table through one task).
-    # Numeric/temporal order columns: approximate n_chunks-quantiles give
-    # the chunk boundaries and the assignment is a map-only range
-    # bucketing — fully parallel, same replay semantics (chunk i holds
-    # earlier rows than chunk i+1, boundaries approximate not exact).
-    # Any other orderable type (e.g. md5 strings): repartitionByRange +
-    # spark_partition_id — range partitions are assigned in ascending
-    # order, so the partition id IS the time-ordered chunk id; equally
-    # parallel, works for every orderable dtype.
-    order_type = df.schema[order_col].dataType
-    if isinstance(order_type, (NumericType, DateType, TimestampType, TimestampNTZType)):
-        # materialize ONCE: the quantile probe plus the n_chunks filtered
-        # writes below would otherwise each recompute df's full upstream
-        # plan (n+1 passes — for window-heavy callers that dominated the
-        # replay setup; optimization guide §5 localCheckpoint / §2.4)
-        df = df.localCheckpoint()
-        ordv = F.col(order_col).cast("double")
-        probs = [i / n_chunks for i in range(1, n_chunks)]
-        cuts = (
-            sorted(set(df.select(ordv.alias("_o")).stat.approxQuantile("_o", probs, 0.001)))
-            if probs
-            else []
-        )
-        chunk_expr = F.lit(1)
-        for c in cuts:
-            chunk_expr = chunk_expr + F.when(ordv > F.lit(c), 1).otherwise(0)
-        chunk = df.withColumn("_chunk", chunk_expr)
-    else:
-        # localCheckpoint pins the (sampled) range boundaries and partition
-        # ids so the per-chunk writes below don't re-run the shuffle with a
-        # potentially different sample.
-        chunk = (
-            df.repartitionByRange(n_chunks, F.col(order_col))
-            .withColumn("_chunk", F.spark_partition_id() + F.lit(1))
-            .localCheckpoint()
-        )
-    for i in range(1, n_chunks + 1):
-        (
-            chunk.where(F.col("_chunk") == i)
-            .drop("_chunk")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(out_dir, f"chunk_{i:03d}"))
-        )
+    # unpartitioned ntile() funnels the whole table through one task):
+    # repartitionByRange + spark_partition_id — range partitions are
+    # assigned in ascending order, so the partition id IS the
+    # time-ordered chunk id, for every orderable dtype. Replay semantics
+    # match the old per-dtype quantile bucketing: chunk i holds earlier
+    # rows than chunk i+1, boundaries approximate (range sampling) not
+    # exact; consumers order replays by their own sequence columns,
+    # never by chunk-internal file order, so boundary placement is
+    # invisible in results.
+    #
+    # Round 14 (guide §2.4 — fewer jobs): ONE localCheckpoint (the only
+    # upstream execution — window-heavy callers dominated the replay
+    # setup) + ONE range-partitioned write that emits every chunk as a
+    # single file in a single job (each range partition is exactly one
+    # write task holding exactly one _chunk value), replacing the
+    # quantile probe + n_chunks serial filtered coalesce(1) write jobs
+    # (measured: q_changelog_join_transitions left-side setup
+    # 1.8 s -> ~0.9 s warm at sf0.1).
+    df = df.localCheckpoint()
+    (
+        df.repartitionByRange(n_chunks, F.col(order_col))
+        .withColumn("_chunk", F.spark_partition_id() + F.lit(1))
+        .write.partitionBy("_chunk")
+        .mode("overwrite")
+        .parquet(os.path.join(out_dir, "chunks"))
+    )
     # flatten part files into one dir with ordered names
     flat = os.path.join(out_dir, "stream")
     os.makedirs(flat)
     base_mtime = int(os.path.getmtime(out_dir))
+    empty = None
     for i in range(1, n_chunks + 1):
-        src = os.path.join(out_dir, f"chunk_{i:03d}")
+        src = os.path.join(out_dir, "chunks", f"_chunk={i}")
+        if not os.path.isdir(src):
+            # empty range partition (fewer rows/distinct order values
+            # than chunks): the partitioned write emits no directory —
+            # pad with an empty file so the replay still has n_chunks
+            # micro-batches, exactly as the per-chunk writes always did
+            if empty is None:
+                empty = os.path.join(out_dir, "_empty")
+                spark.createDataFrame([], schema).coalesce(1).write.mode(
+                    "overwrite"
+                ).parquet(empty)
+            src = empty
         part = next(f for f in sorted(os.listdir(src)) if f.endswith(".parquet"))
         dst = os.path.join(flat, f"{i:03d}.parquet")
         shutil.copy(os.path.join(src, part), dst)
