@@ -40,11 +40,18 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
 
 
-def get_spark(app_name: str = "reshape_on_flink_spark", *, cores: int | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "reshape_on_flink_spark",
+    *,
+    cores: int | None = None,
+    extra_confs: dict[str, str] | None = None,
+) -> SparkSession:
     """Create (or fetch) the tuned SparkSession.
 
     ``local[N]`` for tests; on a real cluster the same config block applies —
     nothing here is local-mode-specific except the master URL.
+    ``extra_confs`` are applied at builder time (context-static settings
+    like the shuffle codec need this; measurement sweeps use it).
     """
     cores = cores or default_parallelism()
     builder = (
@@ -55,6 +62,15 @@ def get_spark(app_name: str = "reshape_on_flink_spark", *, cores: int | None = N
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- joins: allow shuffled-hash where its size conditions fit
+        # (guide §3.1/§9) — measured round 14 on the sf1 probe, 3-rep
+        # min per variant, own session each: total 24.41 s vs 26.59 s
+        # base (q5 1.71x, q10 1.27x, q_corpus_assembly 1.18x,
+        # q_agg_distinct 1.15x, no query below 1.01x); the zstd shuffle
+        # codec measured NULL on the same probe (26.41 s, mixed signs)
+        # and stays default lz4. Explicit merge hints (bucketed-join
+        # paths) still win over the preference. ---
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         # --- deterministic cross-engine comparison ---
         .config("spark.sql.session.timeZone", "UTC")
         # --- Python boundary is always Arrow ---
@@ -78,6 +94,8 @@ def get_spark(app_name: str = "reshape_on_flink_spark", *, cores: int | None = N
         builder = builder.master(f"local[{cores}]")
     for k, v in RESHAPE_DEFAULTS.items():
         builder = builder.config(f"spark.{k}", v)
+    for k, v in (extra_confs or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
