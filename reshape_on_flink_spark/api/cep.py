@@ -3500,34 +3500,43 @@ class PatternStream:
                 rows = PatternStream(
                     base, pre, keys, order, "no_skip"
                 ).flat_select()
+            # Round 14 (guide §7.3, measured): this builder emitted
+            # ~7k py4j round trips per query — every Column operator is
+            # a socket round trip, and the build was 1.4-1.9 s of the
+            # 3-4 s group-family queries. The aggregation and survival
+            # predicates are now composed as SQL STRINGS and parsed
+            # JVM-side in one expr() each — identical Catalyst trees
+            # (same functions, same three-valued-logic chains; symbols
+            # are plain identifiers, counts are int literals), pinned
+            # by the oracle hash equality of all 17 timeout queries.
+            def _q(name: str) -> str:
+                return f"`{name}`"
+
+            def _in_list(syms) -> str:
+                return "(" + ", ".join(f"'{s}'" for s in syms) + ")"
+
             aggs = [
                 # first/last row picked by the tie-proof per-partition rid
-                F.min(F.struct("__to_rid", "__to_tick"))["__to_tick"].alias(
-                    "__first"
-                ),
-                F.min("__to_rid").alias("__srid"),
-                F.max("__to_rid").alias("__lrid"),
-                F.any_value("__to_pmax").alias("__pmax"),
+                "min(struct(__to_rid, __to_tick)).`__to_tick` AS `__first`",
+                "min(__to_rid) AS `__srid`",
+                "max(__to_rid) AS `__lrid`",
+                "any_value(__to_pmax) AS `__pmax`",
             ]
             for c in last_cols:
-                aggs.append(F.max(F.struct("__to_rid", c))[c].alias(f"__l{c}"))
+                aggs.append(
+                    f"max(struct(__to_rid, {_q(c)})).{_q(c)} AS {_q('__l' + c)}"
+                )
             if gate is not None:
                 aggs.append(
-                    F.sum(
-                        F.col("matched_symbol")
-                        .isin(list(gate[0]))
-                        .cast("int")
-                    ).alias("__cnt")
+                    "sum(CAST(matched_symbol IN "
+                    f"{_in_list(gate[0])} AS INT)) AS `__cnt`"
                 )
                 if len(gate) > 3 and gate[2] is not None:
                     # second counter (round 14, bounded inner loops):
                     # current-iteration takes of the parked loop leaf
                     aggs.append(
-                        F.sum(
-                            F.col("matched_symbol")
-                            .isin(list(gate[2]))
-                            .cast("int")
-                        ).alias("__cnt2")
+                        "sum(CAST(matched_symbol IN "
+                        f"{_in_list(gate[2])} AS INT)) AS `__cnt2`"
                     )
             for j2, (mode, gname, post, kkey) in enumerate(spans):
                 # the kill-scan struct AT the span anchor row (the last
@@ -3535,32 +3544,21 @@ class PatternStream:
                 # mode) = the first greedy-take-able event after it,
                 # and the rid of the first post-greedy taken row
                 anchor = (
-                    F.col("matched_symbol") == gname
+                    f"matched_symbol = '{gname}'"
                     if mode == "g"
-                    else ~F.col("matched_symbol").isin(post)
+                    else f"NOT (matched_symbol IN {_in_list(post)})"
                 )
                 aggs.append(
-                    F.max(
-                        F.when(
-                            anchor,
-                            F.struct(
-                                F.col("__to_rid"),
-                                F.col(f"__to_kl_{kkey}").alias("kl"),
-                            ),
-                        )
-                    ).alias(f"__gsp{j2}")
+                    f"max(CASE WHEN {anchor} THEN struct(__to_rid, "
+                    f"{_q('__to_kl_' + kkey)} AS kl) END) AS `__gsp{j2}`"
                 )
                 aggs.append(
-                    F.min(
-                        F.when(
-                            F.col("matched_symbol").isin(post),
-                            F.col("__to_rid"),
-                        )
-                    ).alias(f"__pn{j2}")
+                    f"min(CASE WHEN matched_symbol IN {_in_list(post)} "
+                    f"THEN __to_rid END) AS `__pn{j2}`"
                 )
             g = (
                 rows.groupBy(*keys, "match_id")
-                .agg(*aggs)
+                .agg(*[F.expr(a) for a in aggs])
                 .withColumn("__horizon", F.col("__first") + F.lit(delta))
             )
             plan_it = sorted({
@@ -3575,49 +3573,46 @@ class PatternStream:
                     _iter_hits(rows, plan_it), [*keys, "match_id"], "left"
                 )
 
-            def _scan_col(key):
+            def _scan_col(key) -> str:
                 """First consuming-take tick for a scan key: the shared
                 window column for static scans, the per-assignment
                 cogroup column for ITERATIVE ones (round 13)."""
                 if scan_specs[key][2] is not None:
-                    return F.col(f"__itk_{key}")
-                return F.col(f"__l__to_nt_{key}")
+                    return _q(f"__itk_{key}")
+                return _q(f"__l__to_nt_{key}")
             for j2 in range(len(spans)):
                 # the reference branch died at the sink before the next
                 # take: a greedy-take-able event at rid <= the first
                 # post-greedy taken row (the take itself carries
                 # NOT(greedy take)) invalidates the whole expansion
-                kl = F.col(f"__gsp{j2}")["kl"]
-                bad = kl.isNotNull() & (
-                    kl["__to_rid"] <= F.col(f"__pn{j2}")
-                )
-                g = g.where(~F.coalesce(bad, F.lit(False)))
+                g = g.where(F.expr(
+                    f"NOT coalesce(`__gsp{j2}`.kl IS NOT NULL AND "
+                    f"`__gsp{j2}`.kl.`__to_rid` <= `__pn{j2}`, false)"
+                ))
 
-            def _clear(col):  # no matching event after the last take,
-                if isinstance(col, str):  # below the horizon
-                    col = F.col(col)
-                return col.isNull() | (col >= F.col("__horizon"))
+            def _clear(col: str) -> str:  # no matching event after the
+                # last take, below the horizon
+                return f"({col} IS NULL OR {col} >= __horizon)"
 
-            def _kills_clear(kills):
-                c = F.lit(True)
+            def _kills_clear(kills) -> str:
+                cs = []
                 for flavor, kk in kills:
-                    col = F.col(f"__l__to_kl_{kk}")
-                    kt = col["__to_tick"]
+                    col = _q(f"__l__to_kl_{kk}")
+                    kt = f"{col}.`__to_tick`"
                     if flavor == "gap":
-                        c = c & (col.isNull() | (kt >= F.col("__horizon")))
+                        cs.append(f"({col} IS NULL OR {kt} >= __horizon)")
                     else:
                         # 'adj': dies iff the FIRST gap event matches —
                         # decided by rid adjacency (first-following rid
                         # is always last-take rid + 1), tie-proof under
                         # duplicate order values
-                        c = c & (
-                            col.isNull()
-                            | (col["__to_rid"] != F.col("__lrid") + 1)
-                            | (kt >= F.col("__horizon"))
+                        cs.append(
+                            f"({col} IS NULL OR {col}.`__to_rid` != "
+                            f"__lrid + 1 OR {kt} >= __horizon)"
                         )
-                return c
+                return "(" + " AND ".join(cs) + ")" if cs else "true"
 
-            def _kill_deaths(kills, guard_col):
+            def _kill_deaths(kills, guard_col: str | None) -> list[str]:
                 """Per kill spec: the tick where this branch leaves the
                 reference's partialMatches via the STOP edge (NULL if
                 it doesn't) — fires only below the horizon and, for a
@@ -3625,34 +3620,32 @@ class PatternStream:
                 the kill (ties kill: NOT(until) guards the take)."""
                 out = []
                 for flavor, kk in kills:
-                    col = F.col(f"__l__to_kl_{kk}")
-                    kt = col["__to_tick"]
-                    fired = col.isNotNull() & (kt < F.col("__horizon"))
+                    col = _q(f"__l__to_kl_{kk}")
+                    kt = f"{col}.`__to_tick`"
+                    fired = f"{col} IS NOT NULL AND {kt} < __horizon"
                     if flavor == "adj":
-                        fired = fired & (
-                            col["__to_rid"] == F.col("__lrid") + 1
-                        )
+                        fired += f" AND {col}.`__to_rid` = __lrid + 1"
                     if guard_col is not None:
-                        tc = (
-                            F.col(guard_col)
-                            if isinstance(guard_col, str)
-                            else guard_col
+                        fired += (
+                            f" AND ({guard_col} IS NULL OR "
+                            f"{kt} <= {guard_col})"
                         )
-                        fired = fired & (tc.isNull() | (kt <= tc))
-                    out.append(F.when(fired, kt))
+                    out.append(f"CASE WHEN {fired} THEN {kt} END")
                 return out
 
-            def _least(cands):
-                return cands[0] if len(cands) == 1 else F.least(*cands)
+            def _least(cands: list[str]) -> str:
+                if len(cands) == 1:
+                    return cands[0]
+                return "least(" + ", ".join(cands) + ")"
 
             death_cands = []  # one entry per computation (primary/copy)
             if primary[0] == "consume":
                 alive = _clear(_scan_col(primary[1]))
             elif primary[0] == "any":
-                alive = _clear("__l__to_next_any")
+                alive = _clear(_q("__l__to_next_any"))
             else:
-                alive = F.lit(True)
-            alive = alive & _kills_clear(primary[2])
+                alive = "true"
+            alive = f"({alive} AND {_kills_clear(primary[2])})"
             if primary[2]:
                 death_cands.append(_least(_kill_deaths(
                     primary[2],
@@ -3661,53 +3654,58 @@ class PatternStream:
                     else None,
                 )))
             if copies:
-                trigger = F.col("__l__to_next_any").isNotNull() & (
-                    F.col("__l__to_next_any") < F.col("__horizon")
-                )
-                cp = F.lit(False)
+                nxt = _q("__l__to_next_any")
+                trigger = f"({nxt} IS NOT NULL AND {nxt} < __horizon)"
+                cp = "false"
                 gated = (
-                    F.lit(True)
+                    "true"
                     if gate is None or gate[1] is None
-                    else F.col("__cnt") >= F.lit(gate[1])
+                    else f"(__cnt >= {int(gate[1])})"
                 )
                 if gate is not None and len(gate) > 3 and gate[2] is not None:
                     # dual-counter plan gate (round 14): PROCEED copies
                     # need the current iteration's loop takes >= the
                     # inner minimum too
-                    gated = gated & (F.col("__cnt2") >= F.lit(gate[3]))
+                    gated = f"({gated} AND __cnt2 >= {int(gate[3])})"
 
-                def _cgated(cond, cg):
+                def _cgated(cond: str, cg) -> str:
                     # per-copy gate against the plan's count column:
                     # ("ge", n) / ("lt", n) — the iteration-count
                     # validity of boundary/successor copies
                     if cg is None:
                         return cond
-                    if cg[0] == "ge":
-                        return cond & (F.col("__cnt") >= F.lit(cg[1]))
-                    return cond & (F.col("__cnt") < F.lit(cg[1]))
+                    op = ">=" if cg[0] == "ge" else "<"
+                    return f"({cond} AND __cnt {op} {int(cg[1])})"
 
                 for kind, i, kls, cg in copies:
                     term = (
                         trigger
                         if kind == "fba"
-                        else trigger & _clear(_scan_col(i))
+                        else f"({trigger} AND {_clear(_scan_col(i))})"
                     )
-                    cp = cp | _cgated(term & _kills_clear(kls), cg)
+                    cp = (
+                        f"({cp} OR "
+                        + _cgated(f"({term} AND {_kills_clear(kls)})", cg)
+                        + ")"
+                    )
                     if kls:
-                        death_cands.append(F.when(
-                            _cgated(trigger & gated, cg),
-                            _least(_kill_deaths(
+                        death_cands.append(
+                            "CASE WHEN "
+                            + _cgated(f"({trigger} AND {gated})", cg)
+                            + " THEN "
+                            + _least(_kill_deaths(
                                 kls,
                                 None if kind == "fba" else _scan_col(i),
-                            )),
-                        ))
+                            ))
+                            + " END"
+                        )
                 if gate is not None and gate[1] is not None:
-                    cp = cp & (F.col("__cnt") >= F.lit(gate[1]))
+                    cp = f"({cp} AND __cnt >= {int(gate[1])})"
                 if gate is not None and len(gate) > 3 and gate[2] is not None:
-                    cp = cp & (F.col("__cnt2") >= F.lit(gate[3]))
-                alive = alive | cp
+                    cp = f"({cp} AND __cnt2 >= {int(gate[3])})"
+                alive = f"({alive} OR {cp})"
             # event-driven expiry: a partition row at/after the horizon
-            surv = g.where((F.col("__pmax") >= F.col("__horizon")) & alive)
+            surv = g.where(F.expr(f"__pmax >= __horizon AND {alive}"))
             # stop-edge deaths: branches killed mid-gap stay live in
             # the reference's partialMatches until their kill event, so
             # they gate (but never join) the skip-emission replay
@@ -3716,10 +3714,10 @@ class PatternStream:
                 death = (
                     death_cands[0]
                     if len(death_cands) == 1
-                    else F.greatest(*death_cands)
+                    else "greatest(" + ", ".join(death_cands) + ")"
                 )
                 dead = (
-                    g.withColumn("__gt", death)
+                    g.withColumn("__gt", F.expr(death))
                     .where(F.col("__gt").isNotNull())
                     .select(*keys, "__srid", "__gt")
                 )
