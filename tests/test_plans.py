@@ -127,14 +127,22 @@ def test_no_cartesian_product_in_any_inventory_plan(spark):
     CartesianProduct. Theta joins must ride BroadcastNestedLoopJoin (one
     side bounded) — an unbounded cartesian at 100 TB is a bug by
     definition."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from reshape_on_flink_spark.queries import merged
 
     queries, _ = merged()
-    offenders = []
-    for name, fn in sorted(queries.items()):
-        plan = plan_of(fn(spark, SF_DIR))
-        if "CartesianProduct" in plan:
-            offenders.append(name)
+
+    def check(item):
+        name, fn = item
+        # py4j and the Spark scheduler are thread-safe; building the
+        # ~200 inventory plans serially was the single slowest test
+        # (~2 min — some builds execute jobs: iterations, replay
+        # staging). 8-way build keeps the lint but not the wall.
+        return name if "CartesianProduct" in plan_of(fn(spark, SF_DIR)) else None
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        offenders = [n for n in pool.map(check, sorted(queries.items())) if n]
     assert not offenders, offenders
 
 
