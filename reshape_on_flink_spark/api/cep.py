@@ -3467,19 +3467,19 @@ class PatternStream:
 
             from reshape_on_flink_spark.session import (
                 PYTHON_STAGE_TASK_BYTES,
-                repartition_for_python_stage,
+                python_stage_width,
             )
 
+            # ONE width for both cogroup inputs (sized by the larger,
+            # per-row-scanned side): mismatched capped widths made
+            # EnsureRequirements re-shuffle one side — an extra
+            # exchange in the r14 skip plan
+            n_cg = python_stage_width(ev, task_bytes=PYTHON_STAGE_TASK_BYTES)
+            kcols = [F.col(c) for c in keys]
             return (
-                repartition_for_python_stage(
-                    asg, list(keys), task_bytes=PYTHON_STAGE_TASK_BYTES
-                )
+                asg.repartition(n_cg, *kcols)
                 .groupBy(*keys)
-                .cogroup(
-                    repartition_for_python_stage(
-                        ev, list(keys), task_bytes=PYTHON_STAGE_TASK_BYTES
-                    ).groupBy(*keys)
-                )
+                .cogroup(ev.repartition(n_cg, *kcols).groupBy(*keys))
                 .applyInPandas(fn, schema=schema_out)
             )
 

@@ -162,6 +162,15 @@ def repartition_for_python_stage(
     from pyspark.sql import functions as F
 
     cols = [cols] if isinstance(cols, str) else list(cols)
+    n = python_stage_width(df, task_bytes=task_bytes)
+    return df.repartition(n, *[F.col(c) for c in cols])
+
+
+def python_stage_width(df: DataFrame, *, task_bytes: int | None = None) -> int:
+    """The partition count :func:`repartition_for_python_stage` would
+    pin for ``df`` — exposed so CO-GROUPED stages can size BOTH inputs
+    with one width (mismatched widths make EnsureRequirements re-shuffle
+    one side: an extra exchange, measured in the r14 skip plan)."""
     spark = df.sparkSession
     try:
         n = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -179,7 +188,7 @@ def repartition_for_python_stage(
                 ))
         except Exception:
             pass  # no estimate -> keep the configured width
-    return df.repartition(n, *[F.col(c) for c in cols])
+    return n
 
 
 class EngineSession:
