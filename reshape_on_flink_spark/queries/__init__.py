@@ -48,6 +48,19 @@ GATE_PRIORITY: tuple[str, ...] = (
     "q_retractable_topn",
     "q_updatable_topn",
     "q_similarity_pq_rerank",
+    # round-14 rewrites (rewritten-outranks-stalest): the timeout-branch
+    # survival predicates of timed_out_partial_matches now compile as
+    # SQL strings (api/cep.py round 14) — every consumer re-verifies
+    # this round even where its r13 evidence is fresh
+    "q_cep_timeout",
+    "q_cep_timeout_skip",
+    "q_cep_timeout_greedy",
+    "q_cep_timeout_comb_greedy",
+    "q_cep_timeout_group_until",
+    "q_cep_timeout_group_opt",
+    "q_cep_timeout_group_times",
+    "q_cep_timeout_group_greedy",
+    "q_cep_timeout_group_not",
     # stalest driver evidence: round 5 (the 22 round-5 names the r13
     # 50-slot cap left behind; pq_rerank moved to the head block)
     "q_ds_variance_flag_chain",
